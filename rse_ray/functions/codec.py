@@ -1,0 +1,179 @@
+"""Posting-list codec: delta + varint compressed docID/TF/DL blocks with
+block-max metadata (north-star format; the reference keeps postings as
+Postgres rows, init_db.sql:10-16 — here they become compact byte runs
+that the merge shuffle moves instead of raw rows).
+
+Layout of one encoded posting *run* (one term within one doc-partition):
+
+    varint n                  # number of postings
+    varint len(doc_bytes)
+    varint len(tf_bytes)
+    varint len(dl_bytes)
+    doc_bytes                 # varint deltas of sorted doc_ids
+                              # (first value = delta from 0, i.e. absolute)
+    tf_bytes                  # varint term frequencies
+    dl_bytes                  # varint doc lengths (carried per posting so
+                              # BM25 scoring needs no docmap lookup)
+
+Separate streams keep decode fully vectorized (numpy), ~50-100x faster
+than a per-byte Python loop. Block-max metadata is a parallel structure
+(one entry per BLOCK_SIZE postings): (last_doc, max_tf, min_dl), enough
+to compute an exact BM25 upper bound per block for WAND-style skipping
+(idf and avgdl are global query-time constants):
+
+    ub(block) = idf * (k1+1)*max_tf / (max_tf + k1*(1 - b + b*min_dl/avgdl))
+
+Runs over disjoint, ordered docID ranges concatenate into a globally
+sorted posting list without re-encoding the deltas? No — the first doc
+of each run is absolute, so runs are merged by decoding (vectorized) and
+re-encoding once in the groupby(term) merge stage (pipelines/build.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_U64_1 = np.uint64(1)
+_SHIFTS = [np.uint64(7 * j) for j in range(10)]
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints, vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # bytes needed per value: 1 + number of 7-bit groups above the first
+    nbytes = np.ones(n, dtype=np.int64)
+    for j in range(1, 10):
+        nbytes += (v >= (_U64_1 << _SHIFTS[j])).astype(np.int64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=offsets[1:])
+    total = int(offsets[-1] + nbytes[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    for j in range(10):
+        sel = nbytes > j
+        if not sel.any():
+            break
+        vals = (v[sel] >> _SHIFTS[j]) & np.uint64(0x7F)
+        cont = (nbytes[sel] - 1 > j).astype(np.uint64) << np.uint64(7)
+        out[offsets[sel] + j] = (vals | cont).astype(np.uint8)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int) -> np.ndarray:
+    """Decode exactly ``count`` LEB128 varints from ``buf`` (which must
+    contain exactly those varints), vectorized."""
+    if count == 0:
+        return np.zeros(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (b & 0x80) == 0
+    if int(is_last.sum()) != count:
+        raise ValueError(
+            f"varint stream has {int(is_last.sum())} values, expected {count}"
+        )
+    # index of the value each byte belongs to
+    value_idx = np.zeros(len(b), dtype=np.int64)
+    np.cumsum(is_last[:-1], out=value_idx[1:])
+    # position of each byte within its value
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    lengths = np.diff(np.concatenate((starts, [len(b)])))
+    pos = np.arange(len(b), dtype=np.int64) - np.repeat(starts, lengths)
+    payload = (b & 0x7F).astype(np.uint64)
+    out = np.zeros(count, dtype=np.uint64)
+    for j in range(int(pos.max()) + 1):
+        sel = pos == j
+        # each value owns at most one byte at position j -> indices unique,
+        # so fancy-indexed |= is safe (no duplicate-scatter hazard)
+        out[value_idx[sel]] |= payload[sel] << _SHIFTS[j]
+    return out
+
+
+def _read_varint(buf: memoryview, at: int) -> tuple[int, int]:
+    val = 0
+    shift = 0
+    while True:
+        byte = buf[at]
+        at += 1
+        val |= (byte & 0x7F) << shift
+        if byte < 0x80:
+            return val, at
+        shift += 7
+
+
+def encode_run(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> bytes:
+    """Encode one posting run. ``doc_ids`` must be strictly increasing."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    n = len(doc_ids)
+    if n == 0:
+        return varint_encode(np.array([0, 0, 0, 0]))
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(doc_ids[0])
+    if n > 1:
+        d = np.diff(doc_ids)
+        if (d <= 0).any():
+            raise ValueError("doc_ids must be strictly increasing")
+        deltas[1:] = d.astype(np.uint64)
+    doc_bytes = varint_encode(deltas)
+    tf_bytes = varint_encode(np.asarray(tfs, dtype=np.uint64))
+    dl_bytes = varint_encode(np.asarray(dls, dtype=np.uint64))
+    header = varint_encode(
+        np.array([n, len(doc_bytes), len(tf_bytes), len(dl_bytes)], dtype=np.uint64)
+    )
+    return b"".join((header, doc_bytes, tf_bytes, dl_bytes))
+
+
+def decode_run(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one run -> (doc_ids int64 ascending, tfs int32, dls int32)."""
+    mv = memoryview(buf)
+    n, at = _read_varint(mv, 0)
+    ld, at = _read_varint(mv, at)
+    lt, at = _read_varint(mv, at)
+    ll, at = _read_varint(mv, at)
+    if n == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int32),
+            np.zeros(0, dtype=np.int32),
+        )
+    deltas = varint_decode(mv[at : at + ld], n)
+    tfs = varint_decode(mv[at + ld : at + ld + lt], n)
+    dls = varint_decode(mv[at + ld + lt : at + ld + lt + ll], n)
+    doc_ids = np.cumsum(deltas.astype(np.int64))
+    return doc_ids, tfs.astype(np.int32), dls.astype(np.int32)
+
+
+# --- block-max metadata ----------------------------------------------------
+
+_BLOCK_HDR = struct.Struct("<i")
+
+
+def block_meta(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> bytes:
+    """Per-BLOCK_SIZE-postings metadata: (last_doc:i64, max_tf:i32,
+    min_dl:i32), serialized as packed little-endian arrays."""
+    n = len(doc_ids)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    last_doc = np.empty(nblocks, dtype=np.int64)
+    max_tf = np.empty(nblocks, dtype=np.int32)
+    min_dl = np.empty(nblocks, dtype=np.int32)
+    for i in range(nblocks):
+        lo, hi = i * BLOCK_SIZE, min(n, (i + 1) * BLOCK_SIZE)
+        last_doc[i] = doc_ids[hi - 1]
+        max_tf[i] = tfs[lo:hi].max()
+        min_dl[i] = dls[lo:hi].min()
+    return _BLOCK_HDR.pack(nblocks) + last_doc.tobytes() + max_tf.tobytes() + min_dl.tobytes()
+
+
+def decode_block_meta(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    (nblocks,) = _BLOCK_HDR.unpack_from(buf, 0)
+    at = _BLOCK_HDR.size
+    last_doc = np.frombuffer(buf, dtype=np.int64, count=nblocks, offset=at)
+    at += 8 * nblocks
+    max_tf = np.frombuffer(buf, dtype=np.int32, count=nblocks, offset=at)
+    at += 4 * nblocks
+    min_dl = np.frombuffer(buf, dtype=np.int32, count=nblocks, offset=at)
+    return last_doc, max_tf, min_dl

@@ -1,0 +1,97 @@
+"""Codec round-trip + property tests (SURVEY §5.3)."""
+
+import numpy as np
+import pytest
+
+from rse_ray.functions.codec import (
+    BLOCK_SIZE,
+    block_meta,
+    decode_block_meta,
+    decode_run,
+    encode_run,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip_edges():
+    vals = np.array(
+        [0, 1, 127, 128, 129, 16383, 16384, 2**32 - 1, 2**40, 2**63 - 1, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    buf = varint_encode(vals)
+    out = varint_decode(buf, len(vals))
+    assert (out == vals).all()
+
+
+def test_varint_empty():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert len(varint_decode(b"", 0)) == 0
+
+
+def test_varint_sizes():
+    assert varint_encode(np.array([0])) == b"\x00"
+    assert varint_encode(np.array([127])) == b"\x7f"
+    assert varint_encode(np.array([128])) == b"\x80\x01"
+    assert varint_encode(np.array([300])) == b"\xac\x02"
+
+
+def test_varint_random_roundtrip():
+    rng = np.random.default_rng(42)
+    for scale in (100, 10**6, 10**12):
+        vals = rng.integers(0, scale, size=10000).astype(np.uint64)
+        assert (varint_decode(varint_encode(vals), len(vals)) == vals).all()
+
+
+def test_run_roundtrip():
+    rng = np.random.default_rng(7)
+    doc_ids = np.sort(rng.choice(10**7, size=5000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 50, size=5000).astype(np.int32)
+    dls = rng.integers(20, 400, size=5000).astype(np.int32)
+    buf = encode_run(doc_ids, tfs, dls)
+    d, t, l = decode_run(buf)
+    assert (d == doc_ids).all()
+    assert (t == tfs).all()
+    assert (l == dls).all()
+    # delta+varint should beat raw int64 docids comfortably on dense lists
+    assert len(buf) < doc_ids.nbytes
+
+
+def test_run_single_and_empty():
+    d, t, l = decode_run(encode_run(np.array([42]), np.array([3]), np.array([100])))
+    assert d.tolist() == [42] and t.tolist() == [3] and l.tolist() == [100]
+    d, t, l = decode_run(encode_run(np.array([], dtype=np.int64), np.array([]), np.array([])))
+    assert len(d) == 0
+
+
+def test_run_bucketed_ids_roundtrip():
+    # doc ids with the (bucket << 40 | rank) layout used by the build
+    ids = np.array([(b << 40) | r for b in (0, 3, 17) for r in range(100)], dtype=np.int64)
+    ids.sort()
+    tfs = np.ones(len(ids), dtype=np.int32)
+    dls = np.full(len(ids), 30, dtype=np.int32)
+    d, t, l = decode_run(encode_run(ids, tfs, dls))
+    assert (d == ids).all()
+
+
+def test_run_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_run(np.array([5, 5]), np.array([1, 1]), np.array([1, 1]))
+    with pytest.raises(ValueError):
+        encode_run(np.array([5, 3]), np.array([1, 1]), np.array([1, 1]))
+
+
+def test_block_meta_invariants():
+    rng = np.random.default_rng(3)
+    n = 1000
+    doc_ids = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 90, size=n).astype(np.int32)
+    dls = rng.integers(10, 500, size=n).astype(np.int32)
+    last_doc, max_tf, min_dl = decode_block_meta(block_meta(doc_ids, tfs, dls))
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    assert len(last_doc) == nblocks
+    for i in range(nblocks):
+        lo, hi = i * BLOCK_SIZE, min(n, (i + 1) * BLOCK_SIZE)
+        assert last_doc[i] == doc_ids[hi - 1]
+        assert max_tf[i] == tfs[lo:hi].max()   # block-max invariant (§5.3)
+        assert min_dl[i] == dls[lo:hi].min()

@@ -1,0 +1,131 @@
+"""HTML extraction unit tests pinning the reference's DOM-walk quirks
+(SURVEY §5.1; crawler.go:246-349)."""
+
+from rse_ray.functions.extract import extract, resolve_links
+
+
+def page(head: str, body: str = "") -> str:
+    return f"<!DOCTYPE html><html><head>{head}</head><body>{body}</body></html>"
+
+
+def test_first_title_wins():
+    r = extract(page("<title>first</title><title>second</title>"))
+    assert r["title"] == "first"
+
+
+def test_empty_first_title_falls_through():
+    # guard is `title == ""` (crawler.go:256-258): an empty first title
+    # lets a later non-empty one win
+    r = extract(page("<title></title><title>second</title>"))
+    assert r["title"] == "second"
+
+
+def test_title_rcdata_literal_markup():
+    # <title> is RCDATA (HTML5 / x/net/html): tags inside are literal text
+    r = extract(page("<title>a<b>c</b></title>"))
+    assert r["title"] == "a<b>c</b>"
+
+
+def test_title_entity_decoded():
+    r = extract(page("<title>a &amp; b</title>"))
+    assert r["title"] == "a & b"
+
+
+def test_last_meta_description_wins():
+    r = extract(
+        page(
+            '<meta name="description" content="one">'
+            '<meta name="description" content="two">'
+        )
+    )
+    assert r["description"] == "two"
+
+
+def test_meta_description_no_emptiness_guard():
+    # no guard: a later matching meta with empty/missing content resets it
+    r = extract(
+        page('<meta name="description" content="one"><meta name="description">')
+    )
+    assert r["description"] == ""
+
+
+def test_meta_name_value_case_insensitive():
+    r = extract(page('<meta name="DESCRIPTION" content="x">'))
+    assert r["description"] == "x"
+
+
+def test_meta_other_names_ignored():
+    r = extract(page('<meta name="keywords" content="x">'))
+    assert r["description"] == ""
+
+
+def test_body_paragraph_concat():
+    r = extract(page("<title>t</title>", "<p>one <b>bold</b> two</p><p>second</p>"))
+    # within a <p>: DFS concat, NO separators (crawler.go:281-292);
+    # between <p>s: single space (FIXTURES.md §1.3)
+    assert r["body"] == "one bold two second"
+    assert r["text"] == "t\n\none bold two second"
+
+
+def test_missing_title_and_meta():
+    r = extract(page("", "<p>x</p>"))
+    assert r["title"] == "" and r["description"] == ""
+    assert r["text"] == "\n\nx"
+
+
+def test_text_contract():
+    r = extract(
+        page(
+            '<title>T</title><meta name="description" content="D">',
+            "<p>B1</p><p>B2</p>",
+        )
+    )
+    assert r["text"] == "T\nD\nB1 B2"
+
+
+def test_first_href_only():
+    # duplicate href attrs on one <a>: first wins (crawler.go:313)
+    r = extract('<a href="http://a.example/1" href="http://a.example/2">x</a>')
+    assert r["hrefs"] == ["http://a.example/1"]
+
+
+def test_link_validation_and_resolution():
+    hrefs = [
+        "/rel/path",                       # relative -> resolved
+        "http://other.example/abs",        # absolute http
+        "https://sec.example/x",           # https
+        "ftp://files.example/f",           # bad scheme -> dropped
+        "#frag",                            # fragment-only -> dropped
+        "http://other.example/p#frag",     # has fragment -> dropped
+        "mailto:x@example.com",            # bad scheme -> dropped
+    ]
+    out = resolve_links("http://base.example/dir/page.html", hrefs)
+    assert out == [
+        "http://base.example/rel/path",
+        "http://other.example/abs",
+        "https://sec.example/x",
+    ]
+
+
+def test_links_extracted_in_document_order_with_duplicates():
+    html = (
+        '<a href="http://a.example/1">x</a>'
+        '<a href="http://a.example/2">y</a>'
+        '<a href="http://a.example/1">z</a>'
+    )
+    r = extract(html)
+    assert r["hrefs"] == [
+        "http://a.example/1",
+        "http://a.example/2",
+        "http://a.example/1",
+    ]
+
+
+def test_bytes_input():
+    r = extract(page("<title>bytes</title>").encode("utf-8"))
+    assert r["title"] == "bytes"
+
+
+def test_self_closing_meta():
+    r = extract(page('<meta name="description" content="sc"/>'))
+    assert r["description"] == "sc"
