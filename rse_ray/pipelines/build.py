@@ -1,0 +1,220 @@
+"""The inverted-index build pipeline (north_star core).
+
+Reference lifecycle being re-expressed (SURVEY §3.1): the crawler's
+fetch -> extractMetadata -> upsert -> keyword intent becomes a bounded
+batch pipeline; Redis/Postgres shared state becomes two explicit
+shuffles plus durable per-partition checkpoints.
+
+    Stage A (docs):      read pages -> extract -> bucket -> dedup+docIDs
+                         -> docs/bucket_*.parquet  [checkpoint]
+    Stage B (segments):  per-bucket tokenize + posting-run encode
+                         -> segments/bucket_*.parquet  [checkpoint]
+    Stage C (merge):     groupby(term, salt_group) over compressed runs
+                         -> shards/*.parquet (term-range partitioned)
+    Stage D (stats):     N / avgdl / term & byte metrics from manifests
+                         -> stats.json, _MANIFEST.json
+
+Resume: stages A and B skip partitions whose manifest is ``done``
+(writes are atomic tmp+rename, so a killed run leaves only complete
+partitions); stage C is a single shuffle re-run if its manifest is
+absent. All outputs are content-determined (docIDs from crc32+sort,
+salt from bucket), so a resumed or differently-parallel build yields
+the identical logical index (tests/test_build.py).
+
+Scale: 10^12 docs -> num_buckets ~ 1e5..1e6 so a bucket is a few GB;
+locally the default is small. Only compressed posting runs cross the
+term shuffle. The docs checkpoint doubles as the docmap (doc_id -> url)
+used to hydrate search results.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+from rse_ray.stages.fulltext import (
+    DocBucketWriter,
+    SegmentWriter,
+    extract_batch,
+    make_add_bucket,
+    make_add_salt,
+    merge_runs,
+)
+from rse_ray.state.manifest import (
+    PartitionManifests,
+    read_json,
+    write_json_atomic,
+)
+
+
+@dataclass
+class BuildConfig:
+    num_buckets: int = 32
+    buckets_per_salt_group: int = 8
+    stem: bool = True
+    from_html: bool = True       # False: trust the pre-extracted `text` column
+    extract_batch_size: int = 256
+    segment_concurrency: int | None = None   # actor pool size; None = #CPUs
+    extra: dict = field(default_factory=dict)
+
+
+def _dirs(index_dir: str) -> dict:
+    return {
+        "docs": os.path.join(index_dir, "docs"),
+        "segments": os.path.join(index_dir, "segments"),
+        "shards": os.path.join(index_dir, "shards"),
+        "stats": os.path.join(index_dir, "stats.json"),
+        "manifest": os.path.join(index_dir, "_MANIFEST.json"),
+    }
+
+
+def build_index(
+    pages_path: str | list[str],
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+) -> dict:
+    """Build (or resume) the full index. Returns the build manifest."""
+    import ray
+    import ray.data
+
+    cfg = cfg or BuildConfig()
+    d = _dirs(index_dir)
+    existing = read_json(d["manifest"])
+    if existing and existing.get("status") == "done":
+        return existing
+
+    t0 = time.perf_counter()
+
+    # ---- Stage A: pages -> per-bucket deduped docs -----------------------
+    docs_manifests = PartitionManifests(d["docs"])
+    stage_a = read_json(os.path.join(d["docs"], "_STAGE.json"))
+    if not (stage_a and stage_a.get("status") == "done"):
+        cols = ["url", "warc_ts", "html"] if cfg.from_html else ["url", "warc_ts", "text"]
+        ds = ray.data.read_parquet(pages_path, columns=cols)
+        if cfg.from_html:
+            ds = ds.map_batches(
+                extract_batch,
+                batch_format="pyarrow",
+                batch_size=cfg.extract_batch_size,
+                zero_copy_batch=True,
+            )
+        ds = ds.map_batches(
+            make_add_bucket(cfg.num_buckets), batch_format="pyarrow"
+        )
+        # the bucket shuffle: dedup + docID assignment + bucket file writes
+        manifest_rows = ds.groupby("bucket").map_groups(
+            DocBucketWriter(d["docs"]), batch_format="pyarrow"
+        )
+        rows = manifest_rows.take_all()
+        write_json_atomic(
+            os.path.join(d["docs"], "_STAGE.json"),
+            {
+                "status": "done",
+                "num_buckets": len(rows),
+                "num_docs": sum(r["num_docs"] for r in rows),
+                "num_input_rows": sum(r["num_input_rows"] for r in rows),
+            },
+        )
+
+    # ---- Stage B: per-bucket tokenize + partial segments -----------------
+    bucket_files = sorted(
+        f for f in os.listdir(d["docs"]) if f.endswith(".parquet")
+    )
+    items = []
+    for f in bucket_files:
+        bucket = int(f.split("_")[1].split(".")[0])
+        items.append({"bucket": bucket, "path": os.path.join(d["docs"], f)})
+    seg_manifests = PartitionManifests(d["segments"])
+    pending = [
+        it for it in items
+        if not seg_manifests.is_done(f"bucket_{it['bucket']:06d}")
+    ]
+    seg_stats_rows = []
+    if pending or not os.path.isdir(d["segments"]):
+        concurrency = cfg.segment_concurrency or max(
+            1, min(len(items), int(ray.available_resources().get("CPU", 8)))
+        )
+        seg_ds = ray.data.from_items(items).map_batches(
+            SegmentWriter,
+            fn_constructor_args=(d["segments"],),
+            fn_constructor_kwargs={"stem": cfg.stem},
+            batch_size=1,
+            concurrency=concurrency,
+            batch_format="numpy",
+        )
+        seg_stats_rows = seg_ds.take_all()
+    else:
+        seg_stats_rows = seg_manifests.load_all()
+
+    # ---- Stage D data (needed before C completes, cheap): global stats ---
+    num_docs = int(sum(int(r["num_docs"]) for r in seg_stats_rows))
+    num_tokens = int(sum(int(r["num_tokens"]) for r in seg_stats_rows))
+    stats = {
+        "num_docs": num_docs,
+        "num_tokens": num_tokens,
+        "avgdl": (num_tokens / num_docs) if num_docs else 0.0,
+        "num_partial_terms": int(sum(int(r["num_terms"]) for r in seg_stats_rows)),
+        "payload_bytes": int(sum(int(r["payload_bytes"]) for r in seg_stats_rows)),
+        "num_buckets": cfg.num_buckets,
+        "buckets_per_salt_group": cfg.buckets_per_salt_group,
+        "stem": cfg.stem,
+    }
+    write_json_atomic(d["stats"], stats)
+
+    # ---- Stage C: global merge shuffle by (term, salt_group) -------------
+    merge_marker = os.path.join(d["shards"], "_STAGE.json")
+    stage_c = read_json(merge_marker)
+    if not (stage_c and stage_c.get("status") == "done"):
+        # a crashed merge may have left partial shard files; the merge is
+        # one atomic shuffle, so clean and redo it entirely
+        if os.path.isdir(d["shards"]):
+            for f in os.listdir(d["shards"]):
+                if f.endswith(".parquet"):
+                    os.unlink(os.path.join(d["shards"], f))
+        seg_ds = ray.data.read_parquet(d["segments"])
+        seg_ds = seg_ds.map_batches(
+            make_add_salt(cfg.buckets_per_salt_group), batch_format="pyarrow"
+        )
+        merged = seg_ds.groupby(["term", "salt_group"]).map_groups(
+            merge_runs, batch_format="pyarrow"
+        )
+        merged.write_parquet(d["shards"])
+        write_json_atomic(merge_marker, {"status": "done"})
+
+    # shard file -> term range routing table (from parquet footers only)
+    shard_files = sorted(
+        f for f in os.listdir(d["shards"]) if f.endswith(".parquet")
+    )
+    routes = []
+    n_term_rows = 0
+    for f in shard_files:
+        pf = pq.ParquetFile(os.path.join(d["shards"], f))
+        tmin, tmax = None, None
+        for rg in range(pf.metadata.num_row_groups):
+            col = pf.metadata.row_group(rg).column(0)  # term
+            st = col.statistics
+            if st is not None and st.has_min_max:
+                tmin = st.min if tmin is None else min(tmin, st.min)
+                tmax = st.max if tmax is None else max(tmax, st.max)
+        n_term_rows += pf.metadata.num_rows
+        routes.append({"file": f, "term_min": tmin, "term_max": tmax})
+
+    manifest = {
+        "status": "done",
+        "index_dir": index_dir,
+        "stats": stats,
+        "shards": routes,
+        "num_shard_rows": n_term_rows,
+        "build_seconds": time.perf_counter() - t0,
+        "config": {
+            "num_buckets": cfg.num_buckets,
+            "buckets_per_salt_group": cfg.buckets_per_salt_group,
+            "stem": cfg.stem,
+            "from_html": cfg.from_html,
+        },
+    }
+    write_json_atomic(d["manifest"], manifest)
+    return manifest

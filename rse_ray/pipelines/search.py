@@ -1,0 +1,551 @@
+"""BM25 top-k retrieval over the built index.
+
+Reference query path being re-expressed (SURVEY §3.2, api/main.go:48-119):
+tokenize -> retrieve posting lists (union over terms, ≙ the
+`word = ANY(...)` semi-join J1) -> score -> rank. The reference's
+frequency*frequency relevance (api/main.go:86-95) is superseded by BM25
+per the north_star; rank order + scores are the oracle-pinned contract.
+
+Scoring spec (must stay bit-identical to tests/oracle.py — same
+expression shapes, same accumulation order, SURVEY §7.5 hard part 3):
+
+    idf     = ln(1 + (N - df + 0.5) / (df + 0.5))        # Lucene form
+    tf_part = (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))
+    score   = sum over query terms IN SORTED TERM ORDER of
+              qtf * idf * tf_part
+    k1=1.2, b=0.75; ties broken by ascending doc_id.
+
+Two scorers:
+  * ``taat``  — exhaustive term-at-a-time, fully vectorized; per-doc
+    accumulation via stable sort + np.add.reduceat so the add order per
+    doc equals sorted-term order (fp determinism).
+  * ``bmw``   — block-max WAND document-at-a-time with per-block upper
+    bounds (codec block meta); skips blocks that cannot reach the heap
+    threshold. Returns exactly the taat top-k (asserted in tests).
+
+Deployment shapes:
+  * ``Searcher`` — driver-side, reads shard parquet directly (tests,
+    batch oracles).
+  * ``ShardSearcherActor`` — long-lived Ray actors each owning a
+    contiguous term-range slice of the shard files (ST5 pattern);
+    ``DistributedSearcher`` scatter-gathers per-term partial results.
+    At fleet scale each actor mmaps only its slice; queries touch
+    |query terms| actors, not all of them.
+"""
+
+from __future__ import annotations
+
+import bisect
+import math
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from rse_ray.functions.codec import decode_block_meta, decode_run
+from rse_ray.functions.tokenizer import tokenize
+from rse_ray.state.manifest import read_json
+
+K1 = 1.2
+B = 0.75
+
+
+# --------------------------------------------------------------------------
+# shard access
+# --------------------------------------------------------------------------
+
+class ShardFiles:
+    """Term-range routing over the merged shard parquet files. The merge
+    groupby is sort-based, so files are term-range partitioned; routing
+    is a binary search over footer min/max stats (no data read)."""
+
+    def __init__(self, index_dir: str) -> None:
+        self.shards_dir = os.path.join(index_dir, "shards")
+        manifest = read_json(os.path.join(index_dir, "_MANIFEST.json"))
+        if manifest and "shards" in manifest:
+            routes = manifest["shards"]
+        else:
+            routes = self._scan_footers()
+        routes = [r for r in routes if r["term_min"] is not None]
+        routes.sort(key=lambda r: (r["term_min"], r["term_max"]))
+        self.files = [os.path.join(self.shards_dir, r["file"]) for r in routes]
+        self.term_min = [r["term_min"] for r in routes]
+        self.term_max = [r["term_max"] for r in routes]
+
+    def _scan_footers(self) -> list[dict]:
+        routes = []
+        for f in sorted(os.listdir(self.shards_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(self.shards_dir, f))
+            tmin = tmax = None
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(0).statistics
+                if st is not None and st.has_min_max:
+                    tmin = st.min if tmin is None else min(tmin, st.min)
+                    tmax = st.max if tmax is None else max(tmax, st.max)
+            routes.append({"file": f, "term_min": tmin, "term_max": tmax})
+        return routes
+
+    def files_for_term(self, term: str) -> list[str]:
+        # candidate files: term_min <= term <= term_max; ranges are
+        # sorted and (nearly) disjoint -> binary search + local scan
+        out = []
+        hi = bisect.bisect_right(self.term_min, term)
+        for i in range(hi - 1, -1, -1):
+            if self.term_max[i] >= term:
+                out.append(self.files[i])
+            elif self.term_min[i] < term and self.term_max[i] < term:
+                break
+        return out[::-1]
+
+
+class _FileTermIndex:
+    """Postings lookup inside one shard file; rows are loaded once per
+    file and indexed by term (actor-resident state at fleet scale)."""
+
+    def __init__(self, path: str) -> None:
+        t = pq.read_table(path)
+        self.terms = t.column("term").to_pylist()
+        self.payloads = t.column("payload").to_pylist()
+        self.blockmeta = t.column("blockmeta").to_pylist()
+        self.min_doc = t.column("min_doc").to_numpy()
+        self.df = t.column("df").to_numpy()
+        self.by_term: dict[str, list[int]] = {}
+        for i, term in enumerate(self.terms):
+            self.by_term.setdefault(term, []).append(i)
+
+    def runs(self, term: str) -> list[tuple[int, bytes, bytes, int]]:
+        """[(min_doc, payload, blockmeta, df)] for a term, unordered."""
+        return [
+            (int(self.min_doc[i]), self.payloads[i], self.blockmeta[i], int(self.df[i]))
+            for i in self.by_term.get(term, ())
+        ]
+
+
+class IndexReader:
+    """Driver-side postings access: term -> globally docID-sorted
+    (doc_ids, tfs, dls) + global df."""
+
+    def __init__(self, index_dir: str) -> None:
+        self.index_dir = index_dir
+        self.stats = read_json(os.path.join(index_dir, "stats.json"))
+        self.shards = ShardFiles(index_dir)
+        self._file_cache: dict[str, _FileTermIndex] = {}
+
+    def _file(self, path: str) -> _FileTermIndex:
+        fi = self._file_cache.get(path)
+        if fi is None:
+            fi = _FileTermIndex(path)
+            self._file_cache[path] = fi
+        return fi
+
+    def postings(self, term: str):
+        runs = []
+        for path in self.shards.files_for_term(term):
+            runs.extend(self._file(path).runs(term))
+        if not runs:
+            return None
+        runs.sort(key=lambda r: r[0])  # salt chunks are doc-range disjoint
+        ids, tfs, dls = [], [], []
+        df = 0
+        for _, payload, _, rdf in runs:
+            d, t, l = decode_run(payload)
+            ids.append(d)
+            tfs.append(t)
+            dls.append(l)
+            df += rdf
+        return (
+            np.concatenate(ids),
+            np.concatenate(tfs),
+            np.concatenate(dls),
+            df,
+        )
+
+    def postings_with_blocks(self, term: str):
+        """Like postings() but keeps per-run block metadata for BMW."""
+        runs = []
+        for path in self.shards.files_for_term(term):
+            runs.extend(self._file(path).runs(term))
+        if not runs:
+            return None
+        runs.sort(key=lambda r: r[0])
+        ids, tfs, dls, metas = [], [], [], []
+        df = 0
+        for _, payload, bm, rdf in runs:
+            d, t, l = decode_run(payload)
+            ids.append(d)
+            tfs.append(t)
+            dls.append(l)
+            metas.append(decode_block_meta(bm))
+            df += rdf
+        return ids, tfs, dls, metas, df
+
+
+# --------------------------------------------------------------------------
+# scoring
+# --------------------------------------------------------------------------
+
+def _query_weights(query: str, stem: bool):
+    """-> sorted [(term, qtf)]; sorted order fixes fp accumulation."""
+    toks = tokenize(query, stem=stem)
+    qtf: dict[str, int] = {}
+    for t in toks:
+        qtf[t] = qtf.get(t, 0) + 1
+    return sorted(qtf.items())
+
+
+def _idf(N: int, df: int) -> float:
+    return math.log(1 + (N - df + 0.5) / (df + 0.5))
+
+
+def _rank_topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+    """Top-k by (score desc, doc_id asc), deterministic."""
+    if len(doc_ids) == 0:
+        return []
+    order = np.lexsort((doc_ids, -scores))
+    top = order[:k]
+    return [(int(doc_ids[i]), float(scores[i])) for i in top]
+
+
+def _accumulate_topk(id_parts, contrib_parts, k):
+    """Sum per-term contribution arrays into per-doc scores with ONE
+    scatter-add per term, applied in the parts' (sorted-term) order —
+    the per-doc fp accumulation order is then exactly the oracle's
+    sequential sorted-term order (np.add.reduceat would NOT be: it sums
+    pairwise). Each term's docs are unique, so fancy-indexed += is safe."""
+    if not id_parts:
+        return []
+    uniq = np.unique(np.concatenate(id_parts))
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    for ids, contrib in zip(id_parts, contrib_parts):
+        acc[np.searchsorted(uniq, ids)] += contrib
+    return _rank_topk(uniq, acc, k)
+
+
+class Searcher:
+    def __init__(self, index_dir: str) -> None:
+        self.reader = IndexReader(index_dir)
+        self.N = int(self.reader.stats["num_docs"])
+        self.avgdl = float(self.reader.stats["avgdl"])
+        self.stem = bool(self.reader.stats.get("stem", True))
+
+    # ---- exhaustive TAAT (the rank-identity oracle-matching path) -------
+    def search(self, query: str, k: int = 10, *, mode: str = "taat"):
+        if mode == "bmw":
+            return self.search_bmw(query, k)
+        terms = _query_weights(query, self.stem)
+        id_parts, contrib_parts = [], []
+        for term, qtf in terms:
+            got = self.reader.postings(term)
+            if got is None:
+                continue
+            ids, tfs, dls, df = got
+            w = qtf * _idf(self.N, df)
+            tf_part = (tfs * (K1 + 1)) / (tfs + K1 * (1 - B + B * dls / self.avgdl))
+            id_parts.append(ids)
+            contrib_parts.append(w * tf_part)
+        return _accumulate_topk(id_parts, contrib_parts, k)
+
+    # ---- block-max WAND -------------------------------------------------
+    def search_bmw(self, query: str, k: int = 10):
+        terms = _query_weights(query, self.stem)
+        cursors = []
+        for term, qtf in terms:
+            got = self.reader.postings_with_blocks(term)
+            if got is None:
+                continue
+            ids_runs, tfs_runs, dls_runs, metas, df = got
+            w = qtf * _idf(self.N, df)
+            ids = np.concatenate(ids_runs)
+            tfs = np.concatenate(tfs_runs)
+            dls = np.concatenate(dls_runs)
+            # per-block upper bounds from stored (last_doc, max_tf, min_dl)
+            last_docs = np.concatenate([m[0] for m in metas])
+            max_tf = np.concatenate([m[1] for m in metas]).astype(np.float64)
+            min_dl = np.concatenate([m[2] for m in metas]).astype(np.float64)
+            ub = w * (max_tf * (K1 + 1)) / (
+                max_tf + K1 * (1 - B + B * min_dl / self.avgdl)
+            )
+            # block start offsets: blocks are per-run BLOCK_SIZE slices
+            from rse_ray.functions.codec import BLOCK_SIZE
+
+            starts = []
+            base = 0
+            for r_ids, m in zip(ids_runs, metas):
+                nb = len(m[0])
+                starts.extend(base + j * BLOCK_SIZE for j in range(nb))
+                base += len(r_ids)
+            cursors.append(
+                _TermCursor(term, w, ids, tfs, dls,
+                            np.asarray(starts, dtype=np.int64),
+                            last_docs, ub, self.avgdl)
+            )
+        if not cursors:
+            return []
+        return _bmw_topk(cursors, k)
+
+
+class _TermCursor:
+    __slots__ = ("term", "w", "ids", "tfs", "dls", "block_starts",
+                 "block_last", "block_ub", "avgdl", "pos", "max_ub")
+
+    def __init__(self, term, w, ids, tfs, dls, block_starts, block_last,
+                 block_ub, avgdl):
+        self.term = term
+        self.w = w
+        self.ids = ids
+        self.tfs = tfs
+        self.dls = dls
+        self.block_starts = block_starts
+        self.block_last = block_last
+        self.block_ub = block_ub
+        self.avgdl = avgdl
+        self.pos = 0
+        self.max_ub = float(block_ub.max()) if len(block_ub) else 0.0
+
+    def current(self) -> int:
+        return int(self.ids[self.pos]) if self.pos < len(self.ids) else 1 << 62
+
+    def exhausted(self) -> bool:
+        return self.pos >= len(self.ids)
+
+    def seek(self, target: int) -> None:
+        """Advance to the first doc >= target (galloping via searchsorted)."""
+        if self.pos < len(self.ids) and self.ids[self.pos] < target:
+            self.pos += int(
+                np.searchsorted(self.ids[self.pos:], target, side="left")
+            )
+
+    def block_upper_at(self, doc: int) -> float:
+        """Upper bound of the block that would contain ``doc`` (the first
+        block whose last_doc >= doc). Non-mutating."""
+        b = int(np.searchsorted(self.block_last, doc, side="left"))
+        if b >= len(self.block_last):
+            return 0.0
+        return float(self.block_ub[b])
+
+    def block_end_at(self, doc: int) -> int:
+        """First docID after the block containing ``doc``. Non-mutating."""
+        b = int(np.searchsorted(self.block_last, doc, side="left"))
+        if b >= len(self.block_last):
+            return 1 << 62
+        return int(self.block_last[b]) + 1
+
+    def score_current(self) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        tf_part = (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / self.avgdl))
+        return self.w * tf_part
+
+
+def _bmw_topk(cursors: list[_TermCursor], k: int):
+    """Block-max WAND. Maintains a (score, -doc_id) min-heap of size k;
+    pivots on the WAND invariant, then checks the pivot's BLOCK upper
+    bounds before fully scoring. Exact w.r.t. the TAAT scorer because a
+    doc's final score is accumulated over its cursors in sorted-term
+    order (cursors are created in sorted-term order and scanned in that
+    order when scoring)."""
+    import heapq
+
+    heap: list[tuple[float, int]] = []  # (score, -doc_id), min-heap of k best
+    threshold = -math.inf
+
+    while True:
+        live = sorted(
+            (c for c in cursors if not c.exhausted()), key=lambda c: c.current()
+        )
+        if not live:
+            break
+        # WAND pivot: smallest prefix whose max_ub sum reaches the
+        # threshold. >= not >: a candidate tying the threshold can still
+        # win on the ascending-doc_id tie-break, so it must be examined.
+        acc = 0.0
+        pivot_idx = None
+        for i, c in enumerate(live):
+            acc += c.max_ub
+            if acc >= threshold:
+                pivot_idx = i
+                break
+        if pivot_idx is None:
+            break  # even all terms together cannot reach the threshold
+        pivot_doc = live[pivot_idx].current()
+        # extend the pivot set over every cursor already AT pivot_doc —
+        # their contributions are real, not bounded, and skipping without
+        # counting them caused false skips
+        while (
+            pivot_idx + 1 < len(live)
+            and live[pivot_idx + 1].current() == pivot_doc
+        ):
+            pivot_idx += 1
+        pivot_set = live[: pivot_idx + 1]
+
+        # block-max refinement: exact per-block upper bounds at pivot_doc
+        block_acc = 0.0
+        for c in pivot_set:
+            block_acc += c.block_upper_at(pivot_doc)
+        if block_acc < threshold:
+            # no doc in [pivot_doc, target) can reach the threshold:
+            # target is capped by both the pivot set's block ends and the
+            # next cursor's current (beyond which a new term joins in)
+            next_doc = min(c.block_end_at(pivot_doc) for c in pivot_set)
+            if pivot_idx + 1 < len(live):
+                next_doc = min(next_doc, live[pivot_idx + 1].current())
+            target = max(next_doc, pivot_doc + 1)
+            for c in pivot_set:
+                c.seek(target)
+            continue
+
+        if live[0].current() == pivot_doc:
+            # sorted currents + live[pivot_idx] == pivot_doc -> the whole
+            # pivot set is at pivot_doc: fully score it (sorted-term
+            # order => fp accumulation identical to TAAT/oracle)
+            score = 0.0
+            for c in sorted(pivot_set, key=lambda c: c.term):
+                score += c.score_current()
+            item = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            if len(heap) == k:
+                threshold = heap[0][0]
+            for c in pivot_set:
+                c.pos += 1
+        else:
+            # advance the lagging cursors up to the pivot
+            for c in pivot_set:
+                c.seek(pivot_doc)
+
+    out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return [(-nd, s) for s, nd in out]
+
+
+# --------------------------------------------------------------------------
+# actor-hosted shards (scatter-gather)
+# --------------------------------------------------------------------------
+
+def make_shard_searcher_actor():
+    """Defined lazily so importing this module never touches Ray."""
+    import ray
+
+    @ray.remote
+    class ShardSearcherActor:
+        """Owns a slice of shard files; resolves terms to (ids, contribs)
+        partials. State (decoded file indexes) loads once per actor —
+        the ST5 'open once, serve many queries' pattern."""
+
+        def __init__(self, index_dir: str, file_paths: list[str],
+                     N: int, avgdl: float):
+            self.indexes = [_FileTermIndex(p) for p in file_paths]
+            self.N = N
+            self.avgdl = avgdl
+
+        def term_partial(self, term: str):
+            """-> (ids, tf_part, df_partial) or None. The idf weight is
+            applied by the DRIVER with the global df (a term at a file
+            boundary can span two actors, so local df is partial)."""
+            runs = []
+            for fi in self.indexes:
+                runs.extend(fi.runs(term))
+            if not runs:
+                return None
+            runs.sort(key=lambda r: r[0])
+            ids, tfs, dls = [], [], []
+            df = 0
+            for _, payload, _, rdf in runs:
+                d, t, l = decode_run(payload)
+                ids.append(d)
+                tfs.append(t)
+                dls.append(l)
+                df += rdf
+            ids = np.concatenate(ids)
+            tfs = np.concatenate(tfs)
+            dls = np.concatenate(dls)
+            tf_part = (tfs * (K1 + 1)) / (tfs + K1 * (1 - B + B * dls / self.avgdl))
+            return ids, tf_part, df
+
+    return ShardSearcherActor
+
+
+class DistributedSearcher:
+    """Scatter-gather BM25: terms are routed to the actors owning their
+    term range; the driver merges per-term partials with the same
+    stable-sort + reduceat accumulation as the local TAAT path."""
+
+    def __init__(self, index_dir: str, num_actors: int = 4) -> None:
+        import ray
+
+        self.stats = read_json(os.path.join(index_dir, "stats.json"))
+        self.N = int(self.stats["num_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+        self.stem = bool(self.stats.get("stem", True))
+        shards = ShardFiles(index_dir)
+        files = shards.files
+        num_actors = max(1, min(num_actors, len(files)))
+        Actor = make_shard_searcher_actor()
+        self.actor_ranges = []  # (term_min, term_max, actor)
+        per = (len(files) + num_actors - 1) // num_actors
+        for a in range(num_actors):
+            chunk = files[a * per : (a + 1) * per]
+            if not chunk:
+                continue
+            lo = shards.term_min[a * per]
+            hi = shards.term_max[min(len(files), (a + 1) * per) - 1]
+            actor = Actor.remote(index_dir, chunk, self.N, self.avgdl)
+            self.actor_ranges.append((lo, hi, actor))
+
+    def _actors_for(self, term: str):
+        return [a for lo, hi, a in self.actor_ranges if lo <= term <= hi] or [
+            a for _, _, a in self.actor_ranges
+        ]
+
+    def search(self, query: str, k: int = 10):
+        import ray
+
+        terms = _query_weights(query, self.stem)
+        futures = []  # (term_index, future)
+        for ti, (term, _) in enumerate(terms):
+            for actor in self._actors_for(term):
+                futures.append((ti, actor.term_partial.remote(term)))
+        results = ray.get([f for _, f in futures])
+        # regroup per term: sum partial dfs, then weight each partial
+        per_term: dict[int, list] = {}
+        for (ti, _), got in zip(futures, results):
+            if got is not None:
+                per_term.setdefault(ti, []).append(got)
+        id_parts, contrib_parts = [], []
+        for ti in sorted(per_term):   # sorted-term accumulation order
+            parts = per_term[ti]
+            df = sum(p[2] for p in parts)
+            w = terms[ti][1] * _idf(self.N, df)
+            for ids, tf_part, _ in parts:
+                id_parts.append(ids)
+                contrib_parts.append(w * tf_part)
+        return _accumulate_topk(id_parts, contrib_parts, k)
+
+
+# --------------------------------------------------------------------------
+# result hydration (doc_id -> url), J2-free by design (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+def hydrate_urls(index_dir: str, hits: list[tuple[int, float]]):
+    """Join top-k doc_ids back to urls via the bucket-routed docmap:
+    doc_id >> 40 names the one docs file to read (point lookup, no scan
+    of the full docmap even at 10^12 docs)."""
+    from rse_ray.functions.ids import DOC_BUCKET_BITS
+
+    by_bucket: dict[int, list[int]] = {}
+    for did, _ in hits:
+        by_bucket.setdefault(did >> DOC_BUCKET_BITS, []).append(did)
+    urls: dict[int, str] = {}
+    docs_dir = os.path.join(index_dir, "docs")
+    for bucket, dids in by_bucket.items():
+        path = os.path.join(docs_dir, f"bucket_{bucket:06d}.parquet")
+        t = pq.read_table(path, columns=["doc_id", "url"])
+        ids = t.column("doc_id").to_numpy()
+        us = t.column("url").to_pylist()
+        pos = {int(d): u for d, u in zip(ids, us)}
+        for d in dids:
+            urls[d] = pos[d]
+    return [(did, score, urls[did]) for did, score in hits]

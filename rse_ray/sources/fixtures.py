@@ -1,0 +1,275 @@
+"""Deterministic synthetic `pages` corpus + query set (FIXTURES.md).
+
+Everything is seeded and wall-clock-free. The generator computes the
+golden `text` column directly from the same strings it injects into the
+HTML template, so ``extract(html) == text`` byte-for-byte is a real test
+of the extractor, not a tautology (FIXTURES.md §1.3). Edge-case rows
+cycle by ``row_idx % 20`` to pin the reference's extraction quirks
+(crawler.go:246-324).
+
+Tiers (FIXTURES.md §1): t1=500 rows / 10 dup pairs, t2=5,000 / 100,
+bench=50,000 / 500. Duplicate-url rows share the url but have distinct
+``warc_ts`` and distinct html; golden dedup keeps the max-``warc_ts``
+row (upsert last-writer-wins, crawler.go:217-221).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EPOCH = datetime(2024, 12, 1, 0, 0, 0)
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+_SUFFIXES = ("ing", "ed", "s", "ation", "ness")
+
+
+def make_vocab(size: int = 10_000, seed: int = 42) -> list[str]:
+    """Synthetic ASCII lowercase vocabulary; ~15% carry inflectional
+    suffixes so Porter stemming is non-trivial (FIXTURES §1.1)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(26)
+    words = []
+    for k in range(size):
+        n = k
+        chars = []
+        while True:
+            chars.append(_LETTERS[perm[n % 19]])
+            n //= 19
+            if n == 0:
+                break
+        chars.append(_LETTERS[perm[(3 + 7 * k) % 26]])
+        words.append("".join(chars))
+    idx = rng.choice(size, size=int(0.15 * size), replace=False)
+    for i in idx:
+        words[i] += _SUFFIXES[i % len(_SUFFIXES)]
+    return words
+
+
+def _zipf_ranks(rng: np.random.default_rng, s: float, n_ranks: int, size: int) -> np.ndarray:
+    """Draw `size` ranks in [0, n_ranks) from a (bounded) Zipf(s)."""
+    w = 1.0 / np.power(np.arange(1, n_ranks + 1, dtype=np.float64), s)
+    p = w / w.sum()
+    return rng.choice(n_ranks, size=size, p=p)
+
+
+def _body_tokens(rng, vocab, n_tokens: int) -> list[str]:
+    ranks = _zipf_ranks(rng, 1.1, len(vocab), n_tokens)
+    toks = [vocab[r] for r in ranks]
+    # ~2% mixed-case tokens (tokenizer must lowercase them away)
+    for i in rng.choice(n_tokens, size=max(1, n_tokens // 50), replace=False):
+        toks[i] = toks[i].upper() if i % 2 else toks[i].capitalize()
+    return toks
+
+
+def _join_ws(rng, toks: list[str]) -> str:
+    """Join tokens with mostly single spaces, ~2% tab/newline runs —
+    all inside str.split()'s whitespace set (FIXTURES §1.1)."""
+    if not toks:
+        return ""
+    seps = rng.choice([" ", " ", " ", " ", "\t", "\n"], size=len(toks) - 1,
+                      p=[0.96, 0.01, 0.01, 0.0, 0.01, 0.01])
+    out = [toks[0]]
+    for sep, t in zip(seps, toks[1:]):
+        out.append(str(sep))
+        out.append(t)
+    return "".join(out)
+
+
+def _make_row(rng, vocab, hosts, row_idx: int, url: str):
+    """Build one page: returns (html, text, golden_links)."""
+    case = row_idx % 20
+
+    title_toks = [vocab[r] for r in _zipf_ranks(rng, 1.1, len(vocab), int(rng.integers(3, 9)))]
+    desc_toks = [vocab[r] for r in _zipf_ranks(rng, 1.1, len(vocab), int(rng.integers(0, 16)))]
+    n_body = int(np.clip(np.exp(rng.normal(4.0, 0.7)), 20, 400))
+    body_toks = _body_tokens(rng, vocab, n_body)
+
+    title = " ".join(title_toks)
+    desc = " ".join(desc_toks)
+
+    # split body into 1-3 paragraphs
+    n_paras = int(rng.integers(1, 4))
+    cuts = sorted(rng.choice(max(1, len(body_toks) - 1), size=n_paras - 1, replace=False).tolist()) if n_paras > 1 else []
+    paras = []
+    prev = 0
+    for c in cuts + [len(body_toks)]:
+        seg = body_toks[prev:c]
+        prev = c
+        if seg:
+            paras.append(_join_ws(rng, seg))
+    body = " ".join(paras)
+
+    # --- head per edge case ---
+    head = []
+    golden_title = title
+    golden_desc = desc
+    if case == 0:      # two titles -> first wins
+        head.append(f"<title>{title}</title><title>ignored {title}</title>")
+        head.append(f'<meta name="description" content="{desc}">')
+    elif case == 1:    # empty first title -> second wins
+        head.append(f"<title></title><title>{title}</title>")
+        head.append(f'<meta name="description" content="{desc}">')
+    elif case == 2:    # markup inside <title> is literal (RCDATA)
+        golden_title = f"{title}<b>x</b>"
+        head.append(f"<title>{golden_title}</title>")
+        head.append(f'<meta name="description" content="{desc}">')
+    elif case == 3:    # two metas -> LAST wins
+        head.append(f"<title>{title}</title>")
+        head.append('<meta name="description" content="overridden earlier">')
+        head.append(f'<meta name="description" content="{desc}">')
+    elif case == 4:    # uppercase name value still matches
+        head.append(f"<title>{title}</title>")
+        head.append(f'<meta name="DESCRIPTION" content="{desc}">')
+    elif case == 5:    # missing title
+        golden_title = ""
+        head.append(f'<meta name="description" content="{desc}">')
+    elif case == 6:    # missing meta
+        golden_desc = ""
+        head.append(f"<title>{title}</title>")
+    elif case == 7:    # missing both
+        golden_title = ""
+        golden_desc = ""
+    else:
+        head.append(f"<title>{title}</title>")
+        head.append(f'<meta name="description" content="{desc}">')
+
+    # --- links ---
+    anchors = []
+    golden_links = []
+    n_links = int(rng.integers(0, 5))
+    targets = [
+        f"https://site{int(rng.integers(0, len(hosts)))}.example/p/{int(rng.integers(0, 10_000))}"
+        for _ in range(n_links)
+    ]
+    for t in targets:
+        anchors.append(f'<a href="{t}">a</a>')
+        golden_links.append(t)
+    if case == 8:      # duplicate href attrs: first wins
+        anchors.append(f'<a href="{url}/first" href="{url}/second">a</a>')
+        golden_links.append(f"{url}/first")
+    elif case == 9:    # relative link resolves against page url
+        anchors.append('<a href="/x/y">a</a>')
+        scheme_host = url.split("/p/")[0]
+        golden_links.append(f"{scheme_host}/x/y")
+    elif case == 10:   # ftp scheme dropped
+        anchors.append('<a href="ftp://files.example/f">a</a>')
+    elif case == 11:   # fragment-only dropped
+        anchors.append('<a href="#frag">a</a>')
+    elif case == 12:   # url with fragment dropped
+        anchors.append('<a href="https://site0.example/p/1#frag">a</a>')
+    elif case == 13:   # mailto dropped
+        anchors.append('<a href="mailto:x@example.com">a</a>')
+
+    html = (
+        "<!DOCTYPE html><html><head>"
+        + "".join(head)
+        + "</head><body>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + "".join(anchors)
+        + "</body></html>"
+    )
+    text = f"{golden_title}\n{golden_desc}\n{body}"
+    return html, text, golden_links
+
+
+def generate_pages(
+    pages_dir: str,
+    *,
+    n_rows: int = 500,
+    n_dup_pairs: int = 10,
+    seed: int = 42,
+    n_hosts: int = 50,
+    vocab_size: int = 10_000,
+    rows_per_file: int = 1000,
+    golden_links_path: str | None = None,
+) -> dict:
+    """Write the pages corpus as Parquet files under ``pages_dir``.
+    Returns summary metadata. Deterministic for a given seed."""
+    os.makedirs(pages_dir, exist_ok=True)
+    vocab = make_vocab(vocab_size, seed)
+    rng = np.random.default_rng(seed + 1)
+    hosts = list(range(n_hosts))
+    host_ranks = _zipf_ranks(rng, 1.2, n_hosts, n_rows)
+
+    n_unique = n_rows - n_dup_pairs
+    urls = [f"https://site{host_ranks[i]}.example/p/{i}" for i in range(n_unique)]
+    # duplicate rows reuse early urls, get later timestamps + fresh html
+    dup_targets = [urls[(i * 7) % n_unique] for i in range(n_dup_pairs)]
+
+    all_urls = urls + dup_targets
+    rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+    links_rows = {"src_url": [], "dst_url": []}
+    for i, url in enumerate(all_urls):
+        row_rng = np.random.default_rng(seed * 1_000_003 + i)
+        html, text, glinks = _make_row(row_rng, vocab, hosts, i, url)
+        rows["url"].append(url)
+        rows["warc_ts"].append(EPOCH + timedelta(seconds=i))
+        rows["html"].append(html.encode("utf-8"))
+        rows["text"].append(text)
+        h = zlib.crc32(url.encode()) % 100
+        rows["lang"].append("en" if h < 95 else ("da" if h % 2 else "de"))
+        for dst in glinks:
+            links_rows["src_url"].append(url)
+            links_rows["dst_url"].append(dst)
+
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    table = pa.Table.from_pydict(rows, schema=schema)
+    n_files = max(1, (n_rows + rows_per_file - 1) // rows_per_file)
+    for f in range(n_files):
+        part = table.slice(f * rows_per_file, rows_per_file)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(pages_dir, f"pages_{f:05d}.parquet"),
+                           row_group_size=1000)
+    if golden_links_path:
+        pq.write_table(pa.Table.from_pydict(links_rows), golden_links_path)
+    return {
+        "n_rows": n_rows,
+        "n_unique_urls": n_unique,
+        "n_files": n_files,
+        "n_links": len(links_rows["src_url"]),
+    }
+
+
+def generate_queries(n: int = 60, seed: int = 42, vocab_size: int = 10_000) -> list[dict]:
+    """Reference query set (FIXTURES §2): 20 single-term (head/tail),
+    20 multi-term, 10 with repeated terms, 5 unknown-only, 5 mixed
+    case/whitespace. Terms are drawn PRE-stemming from the vocab."""
+    vocab = make_vocab(vocab_size, seed)
+    rng = np.random.default_rng(seed + 2)
+    queries: list[str] = []
+    # 20 single-term: 10 head ranks, 10 tail ranks
+    for r in range(10):
+        queries.append(vocab[r])
+    for r in rng.integers(2000, vocab_size, size=10):
+        queries.append(vocab[int(r)])
+    # 20 multi-term, 2-5 terms, mixed df
+    for _ in range(20):
+        k = int(rng.integers(2, 6))
+        ranks = [int(x) for x in _zipf_ranks(rng, 1.05, vocab_size, k)]
+        queries.append(" ".join(vocab[r] for r in ranks))
+    # 10 with repeated terms (query tf > 1)
+    for _ in range(10):
+        r = int(_zipf_ranks(rng, 1.05, 3000, 1)[0])
+        other = int(rng.integers(0, vocab_size))
+        queries.append(f"{vocab[r]} {vocab[other]} {vocab[r]}")
+    # 5 with unknown terms only
+    for i in range(5):
+        queries.append(f"zzqx{i}unknown zzqy{i}missing")
+    # 5 mixed case + extra whitespace
+    for _ in range(5):
+        r1, r2 = int(rng.integers(0, 500)), int(rng.integers(0, vocab_size))
+        queries.append(f"  {vocab[r1].upper()}\t {vocab[r2].capitalize()}  ")
+    return [{"qid": i, "query": q} for i, q in enumerate(queries[:n])]

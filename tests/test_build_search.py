@@ -1,0 +1,148 @@
+"""E2E: build the index with the Ray pipeline on the fixture corpus and
+verify rank-identity against the naive oracle (SURVEY §5.2), extraction
+byte-identity (§5.1 / input_hint), determinism across parallelism
+grouping (§5.4) and BMW == TAAT."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from tests.oracle import OracleIndex
+
+NUM_BUCKETS = 16
+
+
+@pytest.fixture(scope="session")
+def built_index(ray_session, fixture_pages, tmp_path_factory):
+    from rse_ray.pipelines.build import BuildConfig, build_index
+
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    manifest = build_index(
+        fixture_pages["pages_dir"],
+        index_dir,
+        BuildConfig(num_buckets=NUM_BUCKETS, buckets_per_salt_group=4),
+    )
+    return {"index_dir": index_dir, "manifest": manifest}
+
+
+@pytest.fixture(scope="session")
+def oracle(fixture_pages):
+    rows = _load_rows(fixture_pages["pages_dir"])
+    return OracleIndex(rows, num_buckets=NUM_BUCKETS)
+
+
+def _load_rows(pages_dir):
+    rows = []
+    for f in sorted(os.listdir(pages_dir)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(pages_dir, f))
+            rows.extend(t.to_pylist())
+    return rows
+
+
+def test_extraction_byte_identity(fixture_pages):
+    """input_hint invariant: extract(html) == text byte-for-byte per url."""
+    from rse_ray.functions.extract import extract
+
+    rows = _load_rows(fixture_pages["pages_dir"])
+    assert len(rows) == 500
+    bad = []
+    for r in rows:
+        got = extract(r["html"])["text"]
+        if got != r["text"]:
+            bad.append((r["url"], got[:80], r["text"][:80]))
+    assert not bad, f"{len(bad)} extraction mismatches, first: {bad[:2]}"
+
+
+def test_build_stats_match_oracle(built_index, oracle):
+    stats = built_index["manifest"]["stats"]
+    assert stats["num_docs"] == oracle.N
+    assert stats["num_tokens"] == sum(oracle.doc_len.values())
+    assert stats["avgdl"] == pytest.approx(oracle.avgdl, rel=0, abs=0)
+
+
+def test_docmap_matches_oracle(built_index, oracle):
+    docs_dir = os.path.join(built_index["index_dir"], "docs")
+    got = {}
+    for f in sorted(os.listdir(docs_dir)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(docs_dir, f), columns=["doc_id", "url"])
+            for did, url in zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist()):
+                got[url] = did
+    assert got == oracle.doc_ids
+
+
+def test_postings_match_oracle(built_index, oracle):
+    from rse_ray.pipelines.search import IndexReader
+
+    reader = IndexReader(built_index["index_dir"])
+    # check a spread of terms: head, medium, tail, missing
+    terms = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))
+    sample = terms[:5] + terms[len(terms) // 2 : len(terms) // 2 + 5] + terms[-5:]
+    for term in sample:
+        got = reader.postings(term)
+        assert got is not None, term
+        ids, tfs, dls, df = got
+        want = sorted(oracle.postings[term].items())
+        assert df == len(want)
+        assert ids.tolist() == [d for d, _ in want]
+        assert tfs.tolist() == [tf for _, tf in want]
+        assert dls.tolist() == [oracle.doc_len[d] for d, _ in want]
+        assert (np.diff(ids) > 0).all() if len(ids) > 1 else True
+    assert reader.postings("zzz-not-a-term") is None
+
+
+def test_rank_identity_on_query_set(built_index, oracle, fixture_pages):
+    """The headline conformance test: docIDs AND scores rank-identical
+    (exact float equality — same fp ops in same order) on all 60
+    reference queries, ties broken by ascending doc_id."""
+    from rse_ray.pipelines.search import Searcher
+
+    s = Searcher(built_index["index_dir"])
+    assert s.N == oracle.N and s.avgdl == oracle.avgdl
+    for q in fixture_pages["queries"]:
+        got = s.search(q["query"], k=10)
+        want = oracle.search(q["query"], k=10)
+        assert got == want, f"qid={q['qid']} {q['query']!r}\n got={got}\nwant={want}"
+
+
+def test_bmw_equals_taat(built_index, fixture_pages):
+    from rse_ray.pipelines.search import Searcher
+
+    s = Searcher(built_index["index_dir"])
+    for q in fixture_pages["queries"]:
+        taat = s.search(q["query"], k=10)
+        bmw = s.search_bmw(q["query"], k=10)
+        assert bmw == taat, f"qid={q['qid']} {q['query']!r}"
+
+
+def test_distributed_searcher_matches(built_index, oracle, fixture_pages, ray_session):
+    from rse_ray.pipelines.search import DistributedSearcher
+
+    ds = DistributedSearcher(built_index["index_dir"], num_actors=3)
+    for q in fixture_pages["queries"][::7]:
+        got = ds.search(q["query"], k=10)
+        want = oracle.search(q["query"], k=10)
+        assert got == want, f"qid={q['qid']}"
+
+
+def test_hydrate_urls(built_index, oracle, fixture_pages):
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    s = Searcher(built_index["index_dir"])
+    hits = s.search(fixture_pages["queries"][0]["query"], k=5)
+    if hits:
+        out = hydrate_urls(built_index["index_dir"], hits)
+        for did, score, url in out:
+            assert oracle.url_of[did] == url
+
+
+def test_empty_and_unknown_queries(built_index):
+    from rse_ray.pipelines.search import Searcher
+
+    s = Searcher(built_index["index_dir"])
+    assert s.search("", k=10) == []
+    assert s.search("zzqx0unknown zzqy0missing", k=10) == []
+    assert s.search_bmw("zzqx0unknown", k=10) == []
