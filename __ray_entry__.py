@@ -1,44 +1,528 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship: the full inverted-index build + BM25 top-k
+               pipeline (html extract -> dedup -> segments -> merge ->
+               search) over pages derived from sf0.001 documents.
+queries()    — one callable per implemented operator/pipeline
+               (SURVEY.md §2 + the training-data operator set).
+oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible entry;
+               column names and rounding match the Ray results exactly.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in rse_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# shared constants (mirrored literally inside the oracle SQL strings)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = "spark window merge window"          # qtf: window=2
+BM25_QUERY_SQL_TERMS = "('merge', 1), ('spark', 1), ('window', 2)"
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+JACCARD_THRESHOLD = 0.1
+COS_NEARDUP_THRESHOLD = 0.5
+
+# the tokenize CTE shared by every text oracle (matches
+# rse_ray tokenize(stem=False): lower -> whitespace split -> drop empty)
+_TOKS = """
+WITH toks0 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+  FROM documents
+), toks AS (SELECT doc_id, term FROM toks0 WHERE term <> '')
+"""
+
+_BM25_CTES = (
+    _TOKS
+    + """,
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+s AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+q(term, qtf) AS (VALUES {terms}),
+d AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+scores AS (
+  SELECT p.doc_id,
+         sum(q.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             (p.tf * (1.2 + 1)) /
+             (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS raw
+  FROM p JOIN q USING (term) JOIN d USING (term)
+       JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY p.doc_id)
+"""
+).format(terms=BM25_QUERY_SQL_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _finalize(result) -> Any:
+    """Dataset/DataFrame -> pyarrow table with ns-timestamps cast to us
+    (pandas round-trips inflate us -> ns; DuckDB speaks us)."""
+    import pandas as pd
+
+    if isinstance(result, pd.DataFrame):
+        t = pa.Table.from_pandas(result, preserve_index=False)
+    elif isinstance(result, pa.Table):
+        t = result
+    else:  # ray Dataset
+        t = pa.Table.from_pandas(result.to_pandas(), preserve_index=False)
+    fields = []
+    changed = False
+    for f in t.schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+            fields.append(pa.field(f.name, pa.timestamp("us")))
+            changed = True
+        else:
+            fields.append(f)
+    return t.cast(pa.schema(fields)) if changed else t
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def _q_doc_token_stats(sf_dir: str):
+    from rse_ray.pipelines.text import doc_token_stats
+
+    return _finalize(doc_token_stats(_read(sf_dir, "documents",
+                                           ["doc_id", "text"])))
+
+
+def _q_postings(sf_dir: str):
+    from rse_ray.pipelines.text import postings
+
+    return _finalize(postings(_read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _q_term_df(sf_dir: str):
+    from rse_ray.pipelines.text import term_df
+
+    return _finalize(term_df(_read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _q_corpus_stats(sf_dir: str):
+    from rse_ray.pipelines.text import corpus_stats
+
+    return _finalize(corpus_stats(_read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _q_bm25_scores(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents
+
+    return _finalize(bm25_documents(sf_dir, BM25_QUERY, k=None))
+
+
+def _q_bm25_topk(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents
+
+    return _finalize(bm25_documents(sf_dir, BM25_QUERY, k=20))
+
+
+def _q_quality(sf_dir: str):
+    from rse_ray.pipelines.text import quality_scores
+
+    return _finalize(quality_scores(_read(sf_dir, "documents",
+                                          ["doc_id", "text"])))
+
+
+def _q_fingerprint(sf_dir: str):
+    from rse_ray.pipelines.text import fingerprints
+
+    return _finalize(fingerprints(_read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _q_lang_id(sf_dir: str):
+    from rse_ray.pipelines.text import lang_id
+
+    return _finalize(lang_id(_read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _q_exact_dedup(sf_dir: str):
+    from rse_ray.pipelines.dedup import exact_dedup
+
+    return _finalize(exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _q_last_writer(sf_dir: str):
+    from rse_ray.pipelines.dedup import last_writer_dedup
+
+    keep = ["user_id", "event_id", "ts", "event_type", "value"]
+    return _finalize(
+        last_writer_dedup(_read(sf_dir, "events", keep), "user_id", "ts",
+                          "event_id", keep)
+    )
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from rse_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return _finalize(
+        ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            threshold=JACCARD_THRESHOLD, max_bucket=10**9)
+    )
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from rse_ray.pipelines.dedup import minhash_dedup_pairs
+
+    return _finalize(
+        minhash_dedup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            threshold=0.5)
+    )
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from rse_ray.pipelines.dedup import simhash_dup_pairs
+
+    return _finalize(
+        simhash_dup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          max_hamming=3)
+    )
+
+
+def _q_knn(sf_dir: str):
+    from rse_ray.pipelines.ann import brute_force_knn
+
+    return _finalize(
+        brute_force_knn(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                        KNN_QUERY_IDS, k=10)
+    )
+
+
+def _q_lsh_knn(sf_dir: str):
+    from rse_ray.pipelines.ann import lsh_knn
+
+    return _finalize(
+        lsh_knn(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                KNN_QUERY_IDS, k=10)
+    )
+
+
+def _q_centroids(sf_dir: str):
+    from rse_ray.pipelines.ann import label_centroids
+
+    return _finalize(label_centroids(_read(sf_dir, "embeddings",
+                                           ["vec_id", "embedding", "label"])))
+
+
+def _q_cos_neardup(sf_dir: str):
+    from rse_ray.pipelines.ann import cosine_neardup_pairs
+
+    return _finalize(
+        cosine_neardup_pairs(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+            threshold=COS_NEARDUP_THRESHOLD,
+        )
+    )
+
+
+def _q_pricing(sf_dir: str):
+    from rse_ray.pipelines.relational import pricing_summary
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate"]
+    return _finalize(pricing_summary(_read(sf_dir, "lineitem", cols)))
+
+
+def _q_top_orders(sf_dir: str):
+    from rse_ray.pipelines.relational import top_orders
+
+    return _finalize(top_orders(_read(sf_dir, "orders",
+                                      ["o_orderkey", "o_totalprice"])))
+
+
+def _q_revenue(sf_dir: str):
+    from rse_ray.pipelines.relational import revenue_filter
+
+    return _finalize(
+        revenue_filter(
+            _read(sf_dir, "lineitem",
+                  ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]),
+            date_lo="1996-01-01", date_hi="1997-01-01",
+        )
+    )
+
+
+def _q_semi_join(sf_dir: str):
+    from rse_ray.pipelines.relational import semi_join_customers_with_orders
+
+    return _finalize(
+        semi_join_customers_with_orders(
+            _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+            min_total=400.0,
+        )
+    )
+
+
+def _q_orders_by_segment(sf_dir: str):
+    from rse_ray.pipelines.relational import orders_by_segment
+
+    return _finalize(
+        orders_by_segment(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        )
+    )
+
+
+def _q_window_agg(sf_dir: str):
+    from rse_ray.pipelines.relational import window_agg
+
+    return _finalize(window_agg(_read(sf_dir, "events",
+                                      ["event_id", "ts", "event_type", "value"])))
+
+
+def _q_distinct(sf_dir: str):
+    from rse_ray.pipelines.relational import distinct_lang_source
+
+    return _finalize(distinct_lang_source(_read(sf_dir, "documents",
+                                                ["lang", "source"])))
+
+
+def _q_json_sum(sf_dir: str):
+    from rse_ray.pipelines.relational import json_props_sum
+
+    return _finalize(json_props_sum(_read(sf_dir, "events",
+                                          ["event_type", "props"])))
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing demo over a deterministic fake media table
+    (no media tables exist in testdata; decode backend is a stub —
+    see rse_ray/pipelines/multimodal.py)."""
+    import ray.data
+
+    from rse_ray.pipelines.multimodal import make_fake_media_table, media_features
+
+    ds = ray.data.from_arrow(make_fake_media_table(n=64, seed=5))
+    return _finalize(media_features(ds))
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full html->index->BM25 pipeline at sf0.001. Documents
+    are wrapped into the reference HTML shape so the byte-exact
+    extractor runs, then indexed (stemmed) and queried."""
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    def wrap_html(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls, htmls = [], []
+        from datetime import datetime, timedelta
+
+        for i, t in zip(ids, texts):
+            urls.append(f"https://docs.example/{i:012d}")
+            htmls.append(
+                (f"<!DOCTYPE html><html><head><title>document {i}</title>"
+                 f'<meta name="description" content="synthetic doc {i}">'
+                 f"</head><body><p>{t}</p></body></html>").encode()
+            )
+        ts = [datetime(2024, 12, 1) + timedelta(seconds=i) for i in ids]
+        return pa.table(
+            {"url": pa.array(urls), "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+             "html": pa.array(htmls, type=pa.binary())}
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(wrap_html, batch_format="pyarrow")
+    index_dir = "/tmp/rse_ray_cache/flagship_sf0001"
+    build_index(ds, index_dir,
+                BuildConfig(num_buckets=16, buckets_per_salt_group=4,
+                            stem=True, from_html=True))
+    s = Searcher(index_dir)
+    hits = s.search("spark windows merged data", k=10)
+    rows = hydrate_urls(index_dir, hits)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"rank": range(1, len(rows) + 1),
+         "doc_id": [d for d, _, _ in rows],
+         "score": [round(sc, 6) for _, sc, _ in rows],
+         "url": [u for _, _, u in rows]}
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # fulltext core (tokenize -> postings -> stats -> BM25)
+        "doc_token_stats": _q_doc_token_stats,
+        "postings": _q_postings,
+        "term_df": _q_term_df,
+        "corpus_stats": _q_corpus_stats,
+        "bm25_scores": _q_bm25_scores,
+        "bm25_topk": _q_bm25_topk,
+        # text analysis (training-data ops)
+        "quality_scores": _q_quality,
+        "doc_fingerprints": _q_fingerprint,
+        "lang_id": _q_lang_id,
+        # dedup family
+        "exact_dedup": _q_exact_dedup,
+        "dedup_last_writer": _q_last_writer,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_dedup_pairs": _q_minhash_pairs,
+        "simhash_dup_pairs": _q_simhash_pairs,
+        # similarity search
+        "knn_cosine": _q_knn,
+        "knn_cosine_lsh": _q_lsh_knn,
+        "embedding_centroids": _q_centroids,
+        "cosine_neardup_pairs": _q_cos_neardup,
+        # relational / streaming surface
+        "pricing_summary": _q_pricing,
+        "top_orders": _q_top_orders,
+        "revenue_filter": _q_revenue,
+        "semi_join_customers": _q_semi_join,
+        "orders_by_segment": _q_orders_by_segment,
+        "window_agg": _q_window_agg,
+        "distinct_lang_source": _q_distinct,
+        "json_props_sum": _q_json_sum,
+        # multimodal plumbing (stubbed decode kernel)
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_token_stats": _TOKS + """
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT term)::BIGINT AS n_unique
+FROM toks GROUP BY doc_id""",
+        "postings": _TOKS + """
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY term, doc_id""",
+        "term_df": _TOKS + """
+, p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf
+FROM p GROUP BY term""",
+        "corpus_stats": _TOKS + """
+, dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1)
+SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens,
+       round(sum(dl)::DOUBLE / count(*), 6) AS avgdl
+FROM dl""",
+        "bm25_scores": _BM25_CTES + """
+SELECT doc_id, round(raw, 6) AS score FROM scores""",
+        "bm25_topk": _BM25_CTES + """
+SELECT doc_id, round(raw, 6) AS score FROM scores
+ORDER BY raw DESC, doc_id LIMIT 20""",
+        "quality_scores": _TOKS + """
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(count(DISTINCT term)::DOUBLE / count(*), 6) AS uniq_ratio,
+       round(sum(length(term))::DOUBLE / count(*), 6) AS mean_token_len,
+       round(sum(CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS stopword_ratio
+FROM toks GROUP BY doc_id""",
+        "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "exact_dedup": """
+SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY text""",
+        "dedup_last_writer": """
+SELECT user_id, event_id, ts, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1""",
+        "ngram_jaccard_pairs": """
+WITH dd AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x <> '') AS arr FROM documents),
+sh AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+       FROM dd, unnest(range(1, len(arr) - 1)) AS t(i)),
+p AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM p GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS c
+          FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= {th}""".format(th=JACCARD_THRESHOLD),
+        "knn_cosine": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN ({ids})),
+c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS raw
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, round(raw, 6) AS cos FROM c
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY raw DESC, neighbor_id) <= 10""".format(
+            ids=", ".join(str(i) for i in KNN_QUERY_IDS)
+        ),
+        "embedding_centroids": """
+WITH x AS (SELECT label, unnest(range(1, 65))::BIGINT AS dim,
+                  unnest(CAST(embedding AS DOUBLE[])) AS v
+           FROM embeddings)
+SELECT label, dim, round(sum(v) / count(*), 6) AS centroid
+FROM x GROUP BY label, dim""",
+        "cosine_neardup_pairs": """
+SELECT least(a.vec_id, b.vec_id)::BIGINT AS vec_a,
+       greatest(a.vec_id, b.vec_id)::BIGINT AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {th}""".format(
+            th=COS_NEARDUP_THRESHOLD
+        ),
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*)::BIGINT AS count_order,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus""",
+        "top_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "revenue_filter": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+        "semi_join_customers": """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400)""",
+        "orders_by_segment": """
+SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+        "window_agg": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
+        "json_props_sum": """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
+FROM events GROUP BY event_type""",
+        # rows-only (non-SQL-expressible): lang_id, minhash_dedup_pairs,
+        # simhash_dup_pairs, knn_cosine_lsh, media_features
+    }

@@ -1,0 +1,210 @@
+"""Benchmark driver (round contract).
+
+Default: run the headline fulltext pipeline (HTML -> extract -> dedup
+-> segments -> merge -> BM25 queries) over a cached deterministic
+fixture corpus, plus every `queries()` entry over `$GRAFT_SF_DIR`
+(default /root/testdata/sf0.1), and print ONE JSON line.
+
+`--scaling`: run the identical headline build in two fresh
+subprocesses (num_cpus=8 and num_cpus=32) on the same input and report
+docs/s at both plus scaling efficiency eff = thr(4N) / (4 * thr(N))
+(the sandbox proxy for the N-vs-4N-node criterion in BASELINE.json).
+
+This script OWNS its Ray session (ray.init/ray.shutdown); the library
+never initialises Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.environ.get("RSE_RAY_CACHE", "/tmp/rse_ray_cache")
+CORPUS_ROWS = int(os.environ.get("RSE_BENCH_CORPUS_ROWS", "50000"))
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ray_init(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+
+def ensure_corpus(n_rows: int) -> str:
+    """Deterministic fixture pages corpus, generated once and cached."""
+    from rse_ray.sources.fixtures import generate_pages
+
+    pages_dir = os.path.join(CACHE, f"bench_pages_{n_rows}")
+    marker = os.path.join(pages_dir, "_DONE.json")
+    if not os.path.exists(marker):
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        meta = generate_pages(
+            pages_dir,
+            n_rows=n_rows,
+            n_dup_pairs=max(10, n_rows // 100),
+            seed=42,
+            rows_per_file=2000,
+        )
+        with open(marker, "w") as f:
+            json.dump(meta, f)
+    return pages_dir
+
+
+def run_headline(num_cpus: int, n_rows: int) -> dict:
+    """Fresh index build + BM25 latency. Requires an active Ray session."""
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import Searcher
+    from rse_ray.sources.fixtures import generate_queries
+
+    pages_dir = ensure_corpus(n_rows)
+    index_dir = os.path.join(CACHE, f"bench_index_{n_rows}_{num_cpus}_{os.getpid()}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    manifest = build_index(
+        pages_dir,
+        index_dir,
+        BuildConfig(num_buckets=max(16, num_cpus * 2),
+                    buckets_per_salt_group=4, stem=True, from_html=True),
+    )
+    build_s = time.perf_counter() - t0
+    n_docs = manifest["stats"]["num_docs"]
+
+    searcher = Searcher(index_dir)
+    queries = [q["query"] for q in generate_queries(60)]
+    for q in queries[:5]:  # warm the term->shard readers
+        searcher.search(q, k=10, mode="bmw")
+    lat_taat, lat_bmw = [], []
+    for q in queries:
+        t = time.perf_counter()
+        searcher.search(q, k=10, mode="taat")
+        lat_taat.append(time.perf_counter() - t)
+        t = time.perf_counter()
+        searcher.search(q, k=10, mode="bmw")
+        lat_bmw.append(time.perf_counter() - t)
+
+    def p(v, q):
+        return sorted(v)[min(len(v) - 1, int(q * len(v)))]
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    return {
+        "corpus_rows": n_rows,
+        "num_docs": n_docs,
+        "build_sec": round(build_s, 3),
+        "docs_per_sec": round(n_docs / build_s, 1),
+        "bm25_p50_ms": round(p(lat_bmw, 0.50) * 1e3, 3),
+        "bm25_p95_ms": round(p(lat_bmw, 0.95) * 1e3, 3),
+        "bm25_taat_p95_ms": round(p(lat_taat, 0.95) * 1e3, 3),
+        "bm25_mean_ms": round(statistics.mean(lat_bmw) * 1e3, 3),
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    """Time every `queries()` entry over sf_dir (one run each)."""
+    import __ray_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        try:
+            res = fn(sf_dir)
+            _ = res.num_rows if hasattr(res, "num_rows") else len(res)
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep the bench alive; surface the failure
+            out[name] = f"ERROR: {type(e).__name__}: {e}"
+    return out
+
+
+def main_default(num_cpus: int) -> None:
+    _ray_init(num_cpus)
+    headline = run_headline(num_cpus, CORPUS_ROWS)
+    qtimes = run_queries(SF_DIR)
+    sf = 0.1
+    for tok in ("sf0.001", "sf0.01", "sf0.1", "sf1"):
+        if tok in SF_DIR:
+            sf = float(tok[2:])
+    result = {
+        "metric": "index_build_sec_50k_pages_plus_bm25_p95",
+        "value": headline["build_sec"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "headline": headline,
+    }
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+
+
+def main_headline_json(num_cpus: int, out_path: str) -> None:
+    """Subprocess mode for --scaling: headline only, result to a file."""
+    _ray_init(num_cpus)
+    res = run_headline(num_cpus, CORPUS_ROWS)
+    res["num_cpus"] = num_cpus
+    with open(out_path, "w") as f:
+        json.dump(res, f)
+    import ray
+
+    ray.shutdown()
+
+
+def main_scaling() -> None:
+    ensure_corpus(CORPUS_ROWS)  # generate outside the timed subprocesses
+    results = {}
+    for cpus in (8, 32):
+        out = os.path.join(CACHE, f"scaling_{cpus}.json")
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--headline-json", out, "--cpus", str(cpus)],
+            check=True, env=env, cwd=REPO,
+        )
+        with open(out) as f:
+            results[cpus] = json.load(f)
+    thr8 = results[8]["docs_per_sec"]
+    thr32 = results[32]["docs_per_sec"]
+    eff = thr32 / (4.0 * thr8)
+    out = {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "throughput_docs_per_sec": {"cpus_8": thr8, "cpus_32": thr32},
+        "build_sec": {"cpus_8": results[8]["build_sec"],
+                      "cpus_32": results[32]["build_sec"]},
+        "bm25_p95_ms": {"cpus_8": results[8]["bm25_p95_ms"],
+                        "cpus_32": results[32]["bm25_p95_ms"]},
+        "corpus_rows": CORPUS_ROWS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-json", default=None)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    args = ap.parse_args()
+    if args.scaling:
+        main_scaling()
+    elif args.headline_json:
+        main_headline_json(args.cpus, args.headline_json)
+    else:
+        main_default(args.cpus)

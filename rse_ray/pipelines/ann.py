@@ -1,0 +1,277 @@
+"""Similarity search over an embedding column (list<float>).
+
+  * brute_force_knn — baseline: broadcast the (small) query matrix via
+    ray.put once; every batch does ONE numpy matmul against it and emits
+    only its local top-k per query; the driver reduces local top-ks.
+    Scales linearly with corpus size, constant driver memory.
+  * lsh_knn — scale path: random-hyperplane LSH buckets; queries probe
+    only their own bucket(s). Recall/probe tradeoff documented; exact
+    within probed buckets.
+  * label_centroids — per-cluster mean embedding (the aggregate step of
+    a k-means-ish pipeline), pre-summed per batch so the shuffle moves
+    one partial (label, sum_vec, n) row per label per batch.
+  * cosine_neardup_pairs — embedding near-dup: bucket by LSH (or label)
+    and do within-bucket matmuls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy()
+    emb = batch.column("embedding")
+    # list<float> -> (n, d) float64 without per-row python
+    flat = emb.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    n = len(ids)
+    mat = flat.astype(np.float64).reshape(n, -1)
+    return ids, mat
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(norms == 0, 1, norms)
+
+
+def brute_force_knn(ds, query_ids: list[int], k: int = 10,
+                    *, round_to: int | None = 6) -> pd.DataFrame:
+    """Exact cosine top-k for each query vector (excluding self).
+    -> (query_id, neighbor_id, cos) with deterministic (cos desc,
+    neighbor_id asc) per-query order."""
+    import ray
+
+    qset = set(int(q) for q in query_ids)
+
+    # pass 1 (cheap, small): fetch the query vectors themselves
+    qvecs = {}
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        ids, mat = _batch_matrix(batch)
+        for i, vid in enumerate(ids):
+            if int(vid) in qset:
+                qvecs[int(vid)] = mat[i]
+    q_ids = sorted(qvecs)
+    Q = _normalize(np.stack([qvecs[q] for q in q_ids]))
+    q_ref = ray.put((q_ids, Q))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids_l, Q_l = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        sims = _normalize(mat) @ Q_l.T  # (n, nq)
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(q_ids_l):
+            col = sims[:, qi]
+            mask = ids != qid
+            cand_idx = np.flatnonzero(mask)
+            take = min(k, len(cand_idx))
+            if take == 0:
+                continue
+            # local top-k (cos desc, id asc)
+            sub = cand_idx[np.lexsort((ids[cand_idx], -col[cand_idx]))[:take]]
+            out_q.extend([qid] * len(sub))
+            out_n.extend(int(i) for i in ids[sub])
+            out_c.extend(float(c) for c in col[sub])
+        return pa.table(
+            {"query_id": pa.array(out_q, type=pa.int64()),
+             "neighbor_id": pa.array(out_n, type=pa.int64()),
+             "cos": pa.array(out_c, type=pa.float64())}
+        )
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    # driver-side reduce of local top-ks (k * n_batches rows, tiny)
+    rows = []
+    for qid, g in local.groupby("query_id"):
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        rows.append(g)
+    if not rows:
+        return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                             "neighbor_id": pd.array([], dtype="int64"),
+                             "cos": pd.array([], dtype="float64")})
+    out = pd.concat(rows, ignore_index=True)
+    if round_to is not None:
+        out["cos"] = out["cos"].round(round_to)
+    return out.sort_values(["query_id", "cos", "neighbor_id"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
+class LshBucketer:
+    """Random-hyperplane LSH: bucket = sign bits of (v @ H). Planes are
+    seeded and built once per actor."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 8, seed: int = 11) -> None:
+        rng = np.random.default_rng(seed)
+        self.H = rng.standard_normal((dim, n_planes))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        bits = (_normalize(mat) @ self.H) > 0
+        buckets = (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
+        return pa.table(
+            {"vec_id": pa.array(ids, type=pa.int64()),
+             "bucket": pa.array(buckets, type=pa.int64()),
+             "embedding": batch.column("embedding")}
+        )
+
+
+def lsh_knn(ds, query_ids: list[int], k: int = 10, *, n_planes: int = 8,
+            seed: int = 11, concurrency: int = 4,
+            multiprobe: int = 1) -> pd.DataFrame:
+    """Approximate cosine top-k, multi-probe random-hyperplane LSH.
+
+    Scale shape: query vectors are fetched once (tiny) and broadcast
+    via ray.put together with their probe-bucket sets (home bucket +
+    all Hamming<=multiprobe flips); the corpus is bucketed ONCE by an
+    actor-pool stage and grouped by bucket; each bucket group scores
+    only the queries probing it (one matmul) and emits local top-k;
+    the driver reduces k*probes rows per query. At 10^12 vectors the
+    bucket groupby replaces the full scan; recall rises with
+    multiprobe at probes = 1 + n_planes (+ n_planes^2/2 ...) buckets."""
+    import ray
+
+    from rse_ray.util import clamp_pool
+
+    concurrency = clamp_pool(concurrency)
+    qset = set(int(q) for q in query_ids)
+
+    # pass 1 (cheap): the query vectors themselves
+    qvecs = {}
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        ids, mat = _batch_matrix(batch)
+        for i, vid in enumerate(ids):
+            if int(vid) in qset:
+                qvecs[int(vid)] = mat[i]
+    q_ids = sorted(qvecs)
+    Q = _normalize(np.stack([qvecs[q] for q in q_ids]))
+
+    # probe sets, computed with the same seeded hyperplanes
+    H = np.random.default_rng(seed).standard_normal((Q.shape[1], n_planes))
+    bits = (Q @ H) > 0
+    weights = 1 << np.arange(n_planes)
+    bucket_to_qidx: dict[int, list[int]] = {}
+
+    def _probe(qi: int, b: np.ndarray, flips_left: int, start: int) -> None:
+        bucket = int(b @ weights)
+        bucket_to_qidx.setdefault(bucket, []).append(qi)
+        if flips_left:
+            for j in range(start, n_planes):
+                b2 = b.copy()
+                b2[j] = ~b2[j]
+                _probe(qi, b2, flips_left - 1, j + 1)
+
+    for qi in range(len(q_ids)):
+        _probe(qi, bits[qi], multiprobe, 0)
+    q_ref = ray.put((q_ids, Q, {b: sorted(set(v))
+                                for b, v in bucket_to_qidx.items()}))
+
+    bucketed = ds.map_batches(
+        LshBucketer,
+        fn_constructor_kwargs={"n_planes": n_planes, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bucket_knn(g: pd.DataFrame) -> pd.DataFrame:
+        q_ids_l, Q_l, probes = ray.get(q_ref)
+        qidx = probes.get(int(g["bucket"].iloc[0]), [])
+        if not qidx:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []})
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        mat = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in g["embedding"]]
+        ))
+        sims = mat @ Q_l[qidx].T  # (n_bucket, n_probing)
+        out = []
+        for col, qi in enumerate(qidx):
+            qid = q_ids_l[qi]
+            cand = np.flatnonzero(ids != qid)
+            order = cand[np.lexsort((ids[cand], -sims[cand, col]))[:k]]
+            for j in order:
+                out.append((qid, int(ids[j]), round(float(sims[j, col]), 6)))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos"])
+
+    res = bucketed.groupby("bucket").map_groups(
+        bucket_knn, batch_format="pandas"
+    ).to_pandas()
+    if res.empty:
+        return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                             "neighbor_id": pd.array([], dtype="int64"),
+                             "cos": pd.array([], dtype="float64")})
+    # driver reduce: global top-k per query over all probed buckets
+    res = res.astype({"query_id": "int64", "neighbor_id": "int64"})
+    res = (res.sort_values(["query_id", "cos", "neighbor_id"],
+                           ascending=[True, False, True])
+              .groupby("query_id", as_index=False).head(k))
+    return res.reset_index(drop=True)
+
+
+def label_centroids(ds, *, round_to: int = 6):
+    """(label, dim, centroid): mean embedding per label. Pre-aggregated:
+    each batch emits one (label, sum, n) partial; the groupby moves
+    n_labels * n_batches tiny rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy()
+        _, mat = _batch_matrix(batch)
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(labels):
+            sel = labels == lab
+            out_l.append(int(lab))
+            out_s.append(mat[sel].sum(axis=0))
+            out_n.append(int(sel.sum()))
+        return pa.table(
+            {"label": pa.array(out_l, type=pa.int32()),
+             "vsum": pa.array([s.tolist() for s in out_s],
+                              type=pa.list_(pa.float64())),
+             "n": pa.array(out_n, type=pa.int64())}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        label = int(g["label"].iloc[0])
+        vs = np.stack([np.asarray(v, dtype=np.float64) for v in g["vsum"]])
+        total = vs.sum(axis=0)
+        n = int(g["n"].sum())
+        cent = np.round(total / n, round_to)
+        return pd.DataFrame(
+            {"label": np.full(len(cent), label, dtype=np.int32),
+             "dim": np.arange(1, len(cent) + 1, dtype=np.int64),
+             "centroid": cent}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def cosine_neardup_pairs(ds, *, threshold: float = 0.8,
+                         by: str = "label") -> pd.DataFrame:
+    """Embedding near-dup: within-bucket all-pairs cosine >= threshold.
+    Bucketing by `label` (or LSH) keeps each matmul b x b."""
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        mat = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in g["embedding"]]
+        ))
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sel = sims[iu, ju] >= threshold
+        a = np.minimum(ids[iu[sel]], ids[ju[sel]])
+        b = np.maximum(ids[iu[sel]], ids[ju[sel]])
+        return pd.DataFrame(
+            {"vec_a": a, "vec_b": b,
+             "cos": np.round(sims[iu[sel], ju[sel]], 6)}
+        )
+
+    res = ds.groupby(by).map_groups(bucket_pairs, batch_format="pandas")
+    out = res.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
+                             "vec_b": pd.array([], dtype="int64"),
+                             "cos": pd.array([], dtype="float64")})
+    return out.astype({"vec_a": "int64", "vec_b": "int64"}).sort_values(
+        ["vec_a", "vec_b"]
+    ).reset_index(drop=True)

@@ -72,11 +72,13 @@ def _dirs(index_dir: str) -> dict:
 
 
 def build_index(
-    pages_path: str | list[str],
+    pages_path,
     index_dir: str,
     cfg: BuildConfig | None = None,
 ) -> dict:
-    """Build (or resume) the full index. Returns the build manifest."""
+    """Build (or resume) the full index. ``pages_path`` is a parquet
+    path / list of paths, or an already-constructed ``ray.data.Dataset``
+    with columns (url, warc_ts, html|text). Returns the build manifest."""
     import ray
     import ray.data
 
@@ -93,7 +95,10 @@ def build_index(
     stage_a = read_json(os.path.join(d["docs"], "_STAGE.json"))
     if not (stage_a and stage_a.get("status") == "done"):
         cols = ["url", "warc_ts", "html"] if cfg.from_html else ["url", "warc_ts", "text"]
-        ds = ray.data.read_parquet(pages_path, columns=cols)
+        if isinstance(pages_path, (str, list)):
+            ds = ray.data.read_parquet(pages_path, columns=cols)
+        else:
+            ds = pages_path.select_columns(cols)
         if cfg.from_html:
             ds = ds.map_batches(
                 extract_batch,

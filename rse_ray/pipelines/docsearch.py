@@ -1,0 +1,78 @@
+"""Run the REAL index-build + BM25 engine over a `documents` table
+(doc_id, text) — the SQL-checkable end-to-end path: the same pipeline,
+codec, merge and scorer as the web-pages flagship, with doc_ids mapped
+back to the table's own ids at the end.
+
+The documents are wrapped as pages (url = "doc://{doc_id:012d}",
+constant warc_ts), indexed with stem=False so a DuckDB oracle can
+reproduce tokenization, and the built index is cached under /tmp keyed
+by the input path + config (the build manifest makes re-entry a no-op).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from datetime import datetime
+
+import pandas as pd
+import pyarrow as pa
+
+_CACHE_ROOT = "/tmp/rse_ray_cache"
+_EPOCH = datetime(2024, 12, 1)
+
+
+def _wrap_documents(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_pylist()
+    urls = [f"doc://{i:012d}" for i in ids]
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array([_EPOCH] * len(ids), type=pa.timestamp("us")),
+            "text": batch.column("text"),
+        }
+    )
+
+
+def documents_index(sf_dir: str, *, stem: bool = False,
+                    num_buckets: int = 16) -> str:
+    """Build (or reuse) the index over {sf_dir}/documents.parquet;
+    returns the index dir."""
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|stem={stem}|b={num_buckets}".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(_CACHE_ROOT, f"docidx_{key}")
+    ds = ray.data.read_parquet(src, columns=["doc_id", "text"]).map_batches(
+        _wrap_documents, batch_format="pyarrow"
+    )
+    build_index(
+        ds,
+        index_dir,
+        BuildConfig(num_buckets=num_buckets, buckets_per_salt_group=4,
+                    stem=stem, from_html=False),
+    )
+    return index_dir
+
+
+def bm25_documents(sf_dir: str, query: str, k: int | None = None,
+                   *, stem: bool = False, round_to: int = 6) -> pd.DataFrame:
+    """-> (doc_id, score) for every document matching >= 1 query term
+    (k=None), or the top-k. doc_id is the documents table's own id."""
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=stem)
+    s = Searcher(index_dir)
+    hits = s.search(query, k=k if k is not None else s.N)
+    rows = hydrate_urls(index_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            "score": [round(score, round_to) for _, score, _ in rows],
+        }
+    )

@@ -1,0 +1,224 @@
+"""Text-analysis operators over a documents table (doc_id, text, ...).
+
+These are the training-data-pipeline operators (language-ID, quality
+scoring, token counting, fingerprinting) plus the SQL-checkable face of
+the fulltext core (tokenize -> postings -> df -> corpus stats -> BM25).
+
+Tokenization here defaults to ``stem=False`` so a DuckDB oracle
+(regexp_split_to_array + lower) can reproduce it exactly; the stemmed
+path is exercised by the fixture-corpus tests (tests/test_build_search).
+
+Every operator is a per-batch transform (no Python-per-row Dataset
+calls); aggregations pre-reduce inside the batch and shuffle only
+(key, partial) rows (ray_guide 'Aggregation at scale').
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _tok(text: str, stem: bool) -> list[str]:
+    from rse_ray.functions.tokenizer import tokenize
+
+    return tokenize(text, stem=stem)
+
+
+# --------------------------------------------------------------------------
+# token stats / postings / df / corpus stats
+# --------------------------------------------------------------------------
+
+def doc_token_stats(ds, *, stem: bool = False):
+    """Per-doc token counts: (doc_id, n_tokens, n_unique)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        n_tokens = np.empty(len(texts), dtype=np.int64)
+        n_unique = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = _tok(t, stem)
+            n_tokens[i] = len(toks)
+            n_unique[i] = len(set(toks))
+        return pa.table(
+            {"doc_id": pa.array(ids), "n_tokens": pa.array(n_tokens),
+             "n_unique": pa.array(n_unique)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def postings(ds, *, stem: bool = False):
+    """(term, doc_id, tf) posting rows — A1: tf is aggregated inside the
+    doc (a doc never spans batches), so this is shuffle-free."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        terms, dids, tfs = [], [], []
+        for did, t in zip(ids, texts):
+            for term, tf in Counter(_tok(t, stem)).items():
+                terms.append(term)
+                dids.append(int(did))
+                tfs.append(tf)
+        return pa.table(
+            {"term": pa.array(terms, type=pa.string()),
+             "doc_id": pa.array(dids, type=pa.int64()),
+             "tf": pa.array(tfs, type=pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def term_df(ds, *, stem: bool = False):
+    """(term, df, total_tf) — pre-aggregated per batch, then ONE small
+    groupby over (term, partial) rows instead of raw postings."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        df_c: Counter = Counter()
+        tf_c: Counter = Counter()
+        for t in texts:
+            c = Counter(_tok(t, stem))
+            df_c.update(c.keys())
+            tf_c.update(c)
+        terms = sorted(df_c)
+        return pa.table(
+            {"term": pa.array(terms, type=pa.string()),
+             "df_p": pa.array([df_c[t] for t in terms], type=pa.int64()),
+             "tf_p": pa.array([tf_c[t] for t in terms], type=pa.int64())}
+        )
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("term").aggregate(
+        Sum("df_p", alias_name="df"), Sum("tf_p", alias_name="total_tf")
+    )
+    return out
+
+
+def corpus_stats(ds, *, stem: bool = False) -> pd.DataFrame:
+    """One row: (n_docs, total_tokens, avgdl)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks = sum(len(_tok(t, stem)) for t in texts)
+        return pa.table({"docs_p": pa.array([len(texts)], type=pa.int64()),
+                         "tokens_p": pa.array([toks], type=pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(["docs_p", "tokens_p"])
+    n_docs = int(agg["sum(docs_p)"])
+    n_tokens = int(agg["sum(tokens_p)"])
+    return pd.DataFrame(
+        {"n_docs": pd.array([n_docs], dtype="int64"),
+         "total_tokens": pd.array([n_tokens], dtype="int64"),
+         "avgdl": [round(n_tokens / n_docs, 6)]}
+    )
+
+
+# --------------------------------------------------------------------------
+# quality scoring / fingerprints / language id
+# --------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a")
+
+
+def quality_scores(ds, *, stem: bool = False):
+    """Per-doc quality features (length, uniqueness, mean token length,
+    stopword ratio). All ratios are exact int/int divisions rounded to
+    6dp so a SQL oracle reproduces them bit-for-bit."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        n_tokens = np.empty(n, dtype=np.int64)
+        uniq_ratio = np.empty(n, dtype=np.float64)
+        mean_len = np.empty(n, dtype=np.float64)
+        stop_ratio = np.empty(n, dtype=np.float64)
+        stops = set(STOPWORDS)
+        for i, t in enumerate(texts):
+            toks = _tok(t, stem)
+            nt = len(toks)
+            n_tokens[i] = nt
+            if nt:
+                uniq_ratio[i] = round(len(set(toks)) / nt, 6)
+                mean_len[i] = round(sum(len(w) for w in toks) / nt, 6)
+                stop_ratio[i] = round(sum(1 for w in toks if w in stops) / nt, 6)
+            else:
+                uniq_ratio[i] = mean_len[i] = stop_ratio[i] = 0.0
+        return pa.table(
+            {"doc_id": pa.array(ids), "n_tokens": pa.array(n_tokens),
+             "uniq_ratio": pa.array(uniq_ratio),
+             "mean_token_len": pa.array(mean_len),
+             "stopword_ratio": pa.array(stop_ratio)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprints(ds):
+    """(doc_id, fp): md5 content fingerprint — the exact-dedup key and
+    the per-partition content hash used in manifests."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        return pa.table({"doc_id": pa.array(ids), "fp": pa.array(fps, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# tiny per-language letter-frequency profiles (public-knowledge letter
+# statistics, coarse). Deterministic heuristic, not a model.
+_LANG_PROFILES = {
+    "en": {"e": 12.7, "t": 9.1, "a": 8.2, "o": 7.5, "i": 7.0, "n": 6.7, "s": 6.3, "h": 6.1},
+    "de": {"e": 16.4, "n": 9.8, "i": 7.6, "s": 7.3, "r": 7.0, "a": 6.5, "t": 6.2, "d": 5.1},
+    "fr": {"e": 14.7, "s": 7.9, "a": 7.6, "i": 7.5, "t": 7.2, "n": 7.1, "r": 6.6, "u": 6.3},
+    "es": {"e": 12.5, "a": 12.2, "o": 8.7, "s": 7.2, "r": 6.9, "n": 6.8, "i": 6.2, "d": 5.0},
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage: profiles built once per actor
+    (__init__), batches scored vectorized (__call__) — the stateful
+    map_batches pattern (model-loading stand-in)."""
+
+    def __init__(self) -> None:
+        langs = sorted(_LANG_PROFILES)
+        self.langs = langs
+        mat = np.zeros((len(langs), 26), dtype=np.float64)
+        for li, lang in enumerate(langs):
+            for ch, w in _LANG_PROFILES[lang].items():
+                mat[li, ord(ch) - 97] = w
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        self.mat = mat / np.where(norm == 0, 1, norm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        hist = np.zeros((len(texts), 26), dtype=np.float64)
+        for i, t in enumerate(texts):
+            for ch in t:
+                o = ord(ch)
+                if 97 <= o <= 122:
+                    hist[i, o - 97] += 1.0
+        norm = np.linalg.norm(hist, axis=1, keepdims=True)
+        hist /= np.where(norm == 0, 1, norm)
+        sims = hist @ self.mat.T
+        pred = [self.langs[j] for j in np.argmax(sims, axis=1)]
+        return pa.table(
+            {"doc_id": pa.array(ids), "lang_pred": pa.array(pred, type=pa.string())}
+        )
+
+
+def lang_id(ds, *, concurrency: int | None = 4):
+    from rse_ray.util import clamp_pool
+
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=clamp_pool(concurrency))
