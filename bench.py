@@ -106,6 +106,7 @@ def run_headline(num_cpus: int, n_rows: int) -> dict:
         "corpus_rows": n_rows,
         "num_docs": n_docs,
         "build_sec": round(build_s, 3),
+        "stage_seconds": manifest.get("stage_seconds", {}),
         "docs_per_sec": round(n_docs / build_s, 1),
         "bm25_p50_ms": round(p(lat_bmw, 0.50) * 1e3, 3),
         "bm25_p95_ms": round(p(lat_bmw, 0.95) * 1e3, 3),

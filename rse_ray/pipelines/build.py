@@ -89,6 +89,7 @@ def build_index(
         return existing
 
     t0 = time.perf_counter()
+    stage_secs: dict[str, float] = {}
 
     # ---- Stage A: pages -> per-bucket deduped docs -----------------------
     docs_manifests = PartitionManifests(d["docs"])
@@ -114,6 +115,7 @@ def build_index(
             DocBucketWriter(d["docs"]), batch_format="pyarrow"
         )
         rows = manifest_rows.take_all()
+        stage_secs["A_docs"] = time.perf_counter() - t0
         write_json_atomic(
             os.path.join(d["docs"], "_STAGE.json"),
             {
@@ -151,6 +153,9 @@ def build_index(
             batch_format="numpy",
         )
         seg_stats_rows = seg_ds.take_all()
+        stage_secs["B_segments"] = (
+            time.perf_counter() - t0 - sum(stage_secs.values())
+        )
     else:
         seg_stats_rows = seg_manifests.load_all()
 
@@ -186,8 +191,13 @@ def build_index(
         merged = seg_ds.groupby(["term", "salt_group"]).map_groups(
             merge_runs, batch_format="pyarrow"
         )
-        merged.write_parquet(d["shards"])
+        # small row groups: the query side lazy-reads payload columns at
+        # row-group granularity, so this bounds per-term fetch I/O
+        merged.write_parquet(d["shards"], row_group_size=4096)
         write_json_atomic(merge_marker, {"status": "done"})
+        stage_secs["C_merge"] = (
+            time.perf_counter() - t0 - sum(stage_secs.values())
+        )
 
     # shard file -> term range routing table (from parquet footers only)
     shard_files = sorted(
@@ -214,6 +224,7 @@ def build_index(
         "shards": routes,
         "num_shard_rows": n_term_rows,
         "build_seconds": time.perf_counter() - t0,
+        "stage_seconds": {k: round(v, 3) for k, v in stage_secs.items()},
         "config": {
             "num_buckets": cfg.num_buckets,
             "buckets_per_salt_group": cfg.buckets_per_salt_group,

@@ -279,15 +279,20 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_n: int = 3,
         )
 
     def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted({(int(d), int(n)) for d, n in zip(g["doc_id"], g["n_sh"])})
-        if len(recs) < 2 or len(recs) > max_bucket:
+        # vectorized: hot shingles produce O(k^2) pairs, so the pair
+        # matrix is built with numpy triu indices, never a Python loop
+        d = np.asarray(g["doc_id"], dtype=np.int64)
+        n = np.asarray(g["n_sh"], dtype=np.int64)
+        d, idx = np.unique(d, return_index=True)
+        n = n[idx]
+        if len(d) < 2 or len(d) > max_bucket:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "na": [], "nb": [],
                                  "c": []}, dtype="int64")
-        rows = [
-            (da, db, na, nb, 1)
-            for (da, na), (db, nb) in combinations(recs, 2)
-        ]
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "na", "nb", "c"])
+        iu, ju = np.triu_indices(len(d), k=1)
+        return pd.DataFrame(
+            {"doc_a": d[iu], "doc_b": d[ju], "na": n[iu], "nb": n[ju],
+             "c": np.ones(len(iu), dtype=np.int64)}
+        )
 
     ex = ds.map_batches(explode, batch_format="pyarrow")
     pairs = ex.groupby("sh").map_groups(pair_counts, batch_format="pandas")

@@ -101,37 +101,66 @@ class ShardFiles:
 
 
 class _FileTermIndex:
-    """Postings lookup inside one shard file; rows are loaded once per
-    file and indexed by term (actor-resident state at fleet scale)."""
+    """Postings lookup inside one shard file. Only the term directory
+    (term, min_doc, df — a few bytes/row) loads eagerly; the payload /
+    blockmeta columns are fetched lazily per ROW GROUP on first touch
+    (parquet row groups are the I/O unit), so opening a shard costs
+    milliseconds and a query touches only the row groups its terms live
+    in. Actor-resident state at fleet scale."""
 
     def __init__(self, path: str) -> None:
-        t = pq.read_table(path)
+        self.pf = pq.ParquetFile(path)
+        t = self.pf.read(columns=["term", "min_doc", "df"])
         self.terms = t.column("term").to_pylist()
-        self.payloads = t.column("payload").to_pylist()
-        self.blockmeta = t.column("blockmeta").to_pylist()
         self.min_doc = t.column("min_doc").to_numpy()
         self.df = t.column("df").to_numpy()
         self.by_term: dict[str, list[int]] = {}
         for i, term in enumerate(self.terms):
             self.by_term.setdefault(term, []).append(i)
+        # row-group row offsets for row -> row-group routing
+        md = self.pf.metadata
+        self._rg_starts = np.cumsum(
+            [0] + [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        )
+        self._rg_cache: dict[int, tuple] = {}
+
+    def _payload_row(self, i: int) -> tuple[bytes, bytes]:
+        rg = int(np.searchsorted(self._rg_starts, i, side="right")) - 1
+        got = self._rg_cache.get(rg)
+        if got is None:
+            t = self.pf.read_row_group(rg, columns=["payload", "blockmeta"])
+            got = (t.column("payload"), t.column("blockmeta"))
+            self._rg_cache[rg] = got
+        off = i - int(self._rg_starts[rg])
+        return got[0][off].as_py(), got[1][off].as_py()
 
     def runs(self, term: str) -> list[tuple[int, bytes, bytes, int]]:
         """[(min_doc, payload, blockmeta, df)] for a term, unordered."""
-        return [
-            (int(self.min_doc[i]), self.payloads[i], self.blockmeta[i], int(self.df[i]))
-            for i in self.by_term.get(term, ())
-        ]
+        out = []
+        for i in self.by_term.get(term, ()):
+            payload, bm = self._payload_row(i)
+            out.append((int(self.min_doc[i]), payload, bm, int(self.df[i])))
+        return out
 
 
 class IndexReader:
     """Driver-side postings access: term -> globally docID-sorted
     (doc_ids, tfs, dls) + global df."""
 
+    # decoded-postings LRU: head (Zipf) terms recur across queries, and
+    # re-decoding a multi-MB posting run per query dominated p95. Budget
+    # is in postings (bounds memory: ~16B/posting decoded).
+    CACHE_POSTINGS_BUDGET = 4_000_000
+
     def __init__(self, index_dir: str) -> None:
+        from collections import OrderedDict
+
         self.index_dir = index_dir
         self.stats = read_json(os.path.join(index_dir, "stats.json"))
         self.shards = ShardFiles(index_dir)
         self._file_cache: dict[str, _FileTermIndex] = {}
+        self._term_cache: OrderedDict[str, tuple] = OrderedDict()
+        self._cache_postings = 0
 
     def _file(self, path: str) -> _FileTermIndex:
         fi = self._file_cache.get(path)
@@ -140,36 +169,18 @@ class IndexReader:
             self._file_cache[path] = fi
         return fi
 
-    def postings(self, term: str):
+    def _decoded(self, term: str):
+        """-> (ids_runs, tfs_runs, dls_runs, metas, df) or None, LRU-cached."""
+        got = self._term_cache.get(term)
+        if got is not None:
+            self._term_cache.move_to_end(term)
+            return got
         runs = []
         for path in self.shards.files_for_term(term):
             runs.extend(self._file(path).runs(term))
         if not runs:
             return None
         runs.sort(key=lambda r: r[0])  # salt chunks are doc-range disjoint
-        ids, tfs, dls = [], [], []
-        df = 0
-        for _, payload, _, rdf in runs:
-            d, t, l = decode_run(payload)
-            ids.append(d)
-            tfs.append(t)
-            dls.append(l)
-            df += rdf
-        return (
-            np.concatenate(ids),
-            np.concatenate(tfs),
-            np.concatenate(dls),
-            df,
-        )
-
-    def postings_with_blocks(self, term: str):
-        """Like postings() but keeps per-run block metadata for BMW."""
-        runs = []
-        for path in self.shards.files_for_term(term):
-            runs.extend(self._file(path).runs(term))
-        if not runs:
-            return None
-        runs.sort(key=lambda r: r[0])
         ids, tfs, dls, metas = [], [], [], []
         df = 0
         for _, payload, bm, rdf in runs:
@@ -179,7 +190,31 @@ class IndexReader:
             dls.append(l)
             metas.append(decode_block_meta(bm))
             df += rdf
-        return ids, tfs, dls, metas, df
+        got = (ids, tfs, dls, metas, df)
+        n = int(sum(len(x) for x in ids))
+        self._term_cache[term] = got
+        self._cache_postings += n
+        while (self._cache_postings > self.CACHE_POSTINGS_BUDGET
+               and len(self._term_cache) > 1):
+            _, old = self._term_cache.popitem(last=False)
+            self._cache_postings -= int(sum(len(x) for x in old[0]))
+        return got
+
+    def postings(self, term: str):
+        got = self._decoded(term)
+        if got is None:
+            return None
+        ids, tfs, dls, _, df = got
+        return (
+            np.concatenate(ids),
+            np.concatenate(tfs),
+            np.concatenate(dls),
+            df,
+        )
+
+    def postings_with_blocks(self, term: str):
+        """Like postings() but keeps per-run block metadata for BMW."""
+        return self._decoded(term)
 
 
 # --------------------------------------------------------------------------
@@ -340,82 +375,85 @@ class _TermCursor:
 
 
 def _bmw_topk(cursors: list[_TermCursor], k: int):
-    """Block-max WAND. Maintains a (score, -doc_id) min-heap of size k;
-    pivots on the WAND invariant, then checks the pivot's BLOCK upper
-    bounds before fully scoring. Exact w.r.t. the TAAT scorer because a
-    doc's final score is accumulated over its cursors in sorted-term
-    order (cursors are created in sorted-term order and scanned in that
-    order when scoring)."""
+    """Vectorized block-max top-k (the BMW idea executed segment-at-a-
+    time instead of doc-at-a-time, so the hot path is numpy, not a
+    Python heap loop per posting).
+
+    The docID space is partitioned into segments at the union of all
+    cursors' block boundaries (so each segment maps to at most one
+    block per cursor, and per-segment upper bound = sum of the covering
+    blocks' BM25 bounds). Segments are processed in DESCENDING upper-
+    bound order, maintaining the running top-k threshold; the first
+    segment whose bound is below the threshold ends the search (bounds
+    are sorted, nothing after it can qualify). Surviving segments are
+    scored exactly with the same vector kernels and sorted-term fp
+    accumulation order as TAAT, so results are bit-identical to the
+    TAAT/oracle path (tests/test_build_search.py::test_bmw_equals_taat).
+    """
     import heapq
+
+    cursors = sorted(cursors, key=lambda c: c.term)  # fp accumulation order
+    bounds = np.unique(np.concatenate([c.block_last for c in cursors]))
+    nseg = len(bounds)
+    seg_ub = np.zeros(nseg, dtype=np.float64)
+    for c in cursors:
+        bi = np.searchsorted(c.block_last, bounds, side="left")
+        valid = bi < len(c.block_last)
+        seg_ub[valid] += c.block_ub[bi[valid]]
+    seg_starts = np.empty(nseg, dtype=np.int64)
+    seg_starts[0] = -1
+    seg_starts[1:] = bounds[:-1]  # segment i covers (seg_starts[i], bounds[i]]
+
+    # per-cursor posting ranges of every segment, one searchsorted pass
+    cur_lo = [np.searchsorted(c.ids, seg_starts, side="right") for c in cursors]
+    cur_hi = [np.searchsorted(c.ids, bounds, side="right") for c in cursors]
 
     heap: list[tuple[float, int]] = []  # (score, -doc_id), min-heap of k best
     threshold = -math.inf
-
-    while True:
-        live = sorted(
-            (c for c in cursors if not c.exhausted()), key=lambda c: c.current()
-        )
-        if not live:
-            break
-        # WAND pivot: smallest prefix whose max_ub sum reaches the
-        # threshold. >= not >: a candidate tying the threshold can still
-        # win on the ascending-doc_id tie-break, so it must be examined.
-        acc = 0.0
-        pivot_idx = None
-        for i, c in enumerate(live):
-            acc += c.max_ub
-            if acc >= threshold:
-                pivot_idx = i
-                break
-        if pivot_idx is None:
-            break  # even all terms together cannot reach the threshold
-        pivot_doc = live[pivot_idx].current()
-        # extend the pivot set over every cursor already AT pivot_doc —
-        # their contributions are real, not bounded, and skipping without
-        # counting them caused false skips
-        while (
-            pivot_idx + 1 < len(live)
-            and live[pivot_idx + 1].current() == pivot_doc
-        ):
-            pivot_idx += 1
-        pivot_set = live[: pivot_idx + 1]
-
-        # block-max refinement: exact per-block upper bounds at pivot_doc
-        block_acc = 0.0
-        for c in pivot_set:
-            block_acc += c.block_upper_at(pivot_doc)
-        if block_acc < threshold:
-            # no doc in [pivot_doc, target) can reach the threshold:
-            # target is capped by both the pivot set's block ends and the
-            # next cursor's current (beyond which a new term joins in)
-            next_doc = min(c.block_end_at(pivot_doc) for c in pivot_set)
-            if pivot_idx + 1 < len(live):
-                next_doc = min(next_doc, live[pivot_idx + 1].current())
-            target = max(next_doc, pivot_doc + 1)
-            for c in pivot_set:
-                c.seek(target)
+    order = np.argsort(-seg_ub, kind="stable")
+    CHUNK = 32  # segments scored together: amortizes numpy call overhead
+    for pos in range(0, nseg, CHUNK):
+        chunk = order[pos:pos + CHUNK]
+        if len(heap) == k:
+            if seg_ub[chunk[0]] < threshold:
+                break  # descending bounds: nothing later can qualify
+            chunk = chunk[seg_ub[chunk] >= threshold]
+            if len(chunk) == 0:
+                continue
+        id_parts, contrib_parts = [], []
+        for ci, c in enumerate(cursors):
+            los, his = cur_lo[ci][chunk], cur_hi[ci][chunk]
+            sel = los < his
+            if not sel.any():
+                continue
+            take = np.concatenate(
+                [np.arange(lo, hi) for lo, hi in zip(los[sel], his[sel])]
+            )
+            tfs = c.tfs[take]
+            dls = c.dls[take]
+            tf_part = (tfs * (K1 + 1)) / (
+                tfs + K1 * (1 - B + B * dls / c.avgdl)
+            )
+            id_parts.append(c.ids[take])
+            contrib_parts.append(c.w * tf_part)
+        if not id_parts:
             continue
-
-        if live[0].current() == pivot_doc:
-            # sorted currents + live[pivot_idx] == pivot_doc -> the whole
-            # pivot set is at pivot_doc: fully score it (sorted-term
-            # order => fp accumulation identical to TAAT/oracle)
-            score = 0.0
-            for c in sorted(pivot_set, key=lambda c: c.term):
-                score += c.score_current()
-            item = (score, -pivot_doc)
+        uniq = np.unique(np.concatenate(id_parts))
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        for ids, contrib in zip(id_parts, contrib_parts):
+            acc[np.searchsorted(uniq, ids)] += contrib
+        if len(heap) == k:
+            cand = np.flatnonzero(acc >= threshold)
+        else:
+            cand = np.arange(len(acc))
+        for i in cand:
+            item = (float(acc[i]), -int(uniq[i]))
             if len(heap) < k:
                 heapq.heappush(heap, item)
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
-            if len(heap) == k:
-                threshold = heap[0][0]
-            for c in pivot_set:
-                c.pos += 1
-        else:
-            # advance the lagging cursors up to the pivot
-            for c in pivot_set:
-                c.seek(pivot_doc)
+        if len(heap) == k:
+            threshold = heap[0][0]
 
     out = sorted(heap, key=lambda x: (-x[0], -x[1]))
     return [(-nd, s) for s, nd in out]
