@@ -303,6 +303,65 @@ def _q_json_sum(sf_dir: str):
                                           ["event_type", "props"])))
 
 
+def _q_reference_relevance(sf_dir: str):
+    from rse_ray.pipelines.linkgraph import reference_relevance
+
+    return _finalize(
+        reference_relevance(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            BM25_QUERY, stem=False)
+    )
+
+
+def _linkgraph_corpus() -> str:
+    """Deterministic cached pages corpus for the link-graph queries (no
+    html/link tables exist in testdata; pages are the fixture corpus)."""
+    import json
+
+    from rse_ray.sources.fixtures import generate_pages
+
+    pages_dir = "/tmp/rse_ray_cache/linkgraph_pages_2000"
+    marker = os.path.join(pages_dir, "_DONE.json")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        meta = generate_pages(pages_dir, n_rows=2000, n_dup_pairs=0, seed=11,
+                              rows_per_file=500)
+        with open(marker, "w") as f:
+            json.dump(meta, f)
+    return pages_dir
+
+
+def _q_link_extract(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import extract_links
+
+    return _finalize(extract_links(ray.data.read_parquet(_linkgraph_corpus())))
+
+
+def _q_backlink_counts(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import backlink_counts, extract_links
+
+    links = extract_links(ray.data.read_parquet(_linkgraph_corpus()))
+    return _finalize(backlink_counts(links))
+
+
+def _q_reference_rank(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import extract_links, reference_search
+    from rse_ray.sources.fixtures import make_vocab
+
+    pages = ray.data.read_parquet(_linkgraph_corpus())
+    links = extract_links(pages)
+    vocab = make_vocab(10_000, 11)
+    query = f"{vocab[0]} {vocab[2]} {vocab[0]}"
+    return _finalize(reference_search(pages, links, query, stem=True))
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing demo over a deterministic fake media table
     (no media tables exist in testdata; decode backend is a stub —
@@ -402,6 +461,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _q_window_agg,
         "distinct_lang_source": _q_distinct,
         "json_props_sum": _q_json_sum,
+        # link graph (reference M5/A2/A3/A4 capability)
+        "reference_relevance": _q_reference_relevance,
+        "link_extract": _q_link_extract,
+        "backlink_counts": _q_backlink_counts,
+        "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
         "media_features": _q_media_features,
     }
@@ -523,6 +587,15 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)""",
 SELECT event_type,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
 FROM events GROUP BY event_type""",
+        "reference_relevance": _TOKS + """
+, p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+q(term, qtf) AS (VALUES {terms})
+SELECT doc_id, sum(q.qtf * p.tf)::BIGINT AS relevance
+FROM p JOIN q USING (term) GROUP BY doc_id""".format(
+            terms=BM25_QUERY_SQL_TERMS
+        ),
         # rows-only (non-SQL-expressible): lang_id, minhash_dedup_pairs,
-        # simhash_dup_pairs, knn_cosine_lsh, media_features
+        # simhash_dup_pairs, knn_cosine_lsh, media_features, and the
+        # html-parsing link-graph trio (link_extract, backlink_counts,
+        # reference_rank — pytest-oracled in tests/test_linkgraph.py)
     }

@@ -1,0 +1,195 @@
+"""Link-graph capability: extraction, backlink counts, and the
+reference's own relevance + rank formulas.
+
+Re-expresses the reference's link pipeline (SURVEY §2.2 M5, §2.4 J3,
+§2.5 A2-A4):
+
+  * link extraction — crawler-side `extractLinks` + resolve + validate
+    (crawler/src/crawler/crawler/crawler.go:294-349): each <a>'s FIRST
+    href, RFC 3986-resolved against the page url, kept only for
+    http(s) schemes with empty fragment and non-empty host. In the
+    reference the links feed the Redis frontier (crawler.go:207-213);
+    here they land in a (src_url, dst_url) table.
+  * backlink counts — `backlinks[src]++` over pages
+    (api/main.go:74-83) as a pre-aggregated groupby (A2).
+  * relevance — `score = Σ_term queryFreq(t) × pageFreq(t)`
+    (api/main.go:86-95): integer dot product of query tf and page tf
+    over the matched pages (J1 semi-join keeps pages with ≥1 query
+    term). This is the reference's scoring function, kept alongside
+    BM25 (which supersedes it for the north-star rank contract).
+  * rank — the degenerate single-iteration PageRank
+    (api/main.go:97-111): `rank(p) = (1.0 + Σ_{b≠p}
+    relevance[b]/backlinkCount[b]) × 0.85` where the sum runs over ALL
+    backlink-source ids seen across the hit set except p itself (the
+    reference's exact — buggy-looking but normative — loop shape), and
+    relevance[b] is 0 for ids outside the hit set (Go map default).
+
+Scale notes: link extraction is a stateless flat-map (rows out ≫ rows
+in); backlink counting pre-reduces per batch and shuffles only
+(dst_url, partial) rows; the rank stage broadcasts the hit set (query
+results are small by construction — they fit the driver in the
+reference too) and never moves the full link table to the driver.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+RANKER_CONSTANT = 0.85   # api/main.go:99
+RATING_FACTOR = 1.0      # api/main.go:98
+
+
+# --------------------------------------------------------------------------
+# M5: link extraction (pages -> links table)
+# --------------------------------------------------------------------------
+
+def extract_links(pages_ds):
+    """(url, html) -> (src_url, dst_url), one row per kept link.
+    Flat-map: a batch of pages yields a batch of links (possibly more
+    rows than pages, possibly zero)."""
+    from rse_ray.functions.extract import extract, resolve_links
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        src, dst = [], []
+        for u, h in zip(urls, htmls):
+            for link in resolve_links(u, extract(h)["hrefs"]):
+                src.append(u)
+                dst.append(link)
+        return pa.table(
+            {"src_url": pa.array(src, type=pa.string()),
+             "dst_url": pa.array(dst, type=pa.string())}
+        )
+
+    return pages_ds.select_columns(["url", "html"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 / J3: backlink counts (how many pages link to each target)
+# --------------------------------------------------------------------------
+
+def backlink_counts(links_ds):
+    """(src_url, dst_url) -> (dst_url, n_backlinks). Pre-aggregated per
+    batch so the shuffle moves (dst, partial) not raw edges."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter(batch.column("dst_url").to_pylist())
+        keys = sorted(c)
+        return pa.table(
+            {"dst_url": pa.array(keys, type=pa.string()),
+             "n_p": pa.array([c[k] for k in keys], type=pa.int64())}
+        )
+
+    return links_ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "dst_url"
+    ).aggregate(Sum("n_p", alias_name="n_backlinks"))
+
+
+# --------------------------------------------------------------------------
+# A3: the reference's relevance score (query tf × page tf)
+# --------------------------------------------------------------------------
+
+def reference_relevance(ds, query: str, *, stem: bool = False,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """(id, text) -> (id, relevance) for rows sharing ≥1 query term —
+    the J1 semi-join plus api/main.go:86-95's integer dot product.
+    Shuffle-free: the query's tf map rides into every task as a plain
+    closure constant (broadcast-small-side)."""
+    from rse_ray.functions.tokenizer import tokenize
+
+    qtf = dict(Counter(tokenize(query, stem=stem)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        id_type = batch.column(id_col).type
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_ids, out_scores = [], []
+        for i, t in zip(ids, texts):
+            tf = Counter(tokenize(t, stem=stem))
+            if not any(w in tf for w in qtf):
+                continue  # not matched by the J1 semi-join
+            score = sum(q * tf[w] for w, q in qtf.items() if w in tf)
+            out_ids.append(i)
+            out_scores.append(score)
+        return pa.table(
+            {id_col: pa.array(out_ids, type=id_type),
+             "relevance": pa.array(out_scores, type=pa.int64())}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# A4: the reference's page rank over a hit set
+# --------------------------------------------------------------------------
+
+def reference_search(pages_ds, links_ds, query: str, *,
+                     stem: bool = True) -> pd.DataFrame:
+    """The reference's full query path (api/main.go:48-119) over a
+    pages table + links table: tokenize -> semi-join hit set ->
+    relevance -> backlink map over the hit set -> rank -> sort.
+
+    Returns (url, relevance, rank) sorted by rank desc, url asc (the
+    Go sort leaves ties unspecified; url asc pins them).
+
+    Partitioning assumption: the HIT SET (pages matching ≥1 query
+    term) fits in driver memory — true in the reference, which
+    materializes `[]CompletePage` per request. The links table itself
+    is only ever filtered/aggregated distributed-side.
+    """
+    rel = reference_relevance(
+        pages_ds, query, stem=stem, id_col="url", text_col="text"
+    ).rename_columns({"url": "hit_url"})
+    hits = rel.to_pandas()  # small by construction (see docstring)
+    if hits.empty:
+        return pd.DataFrame({"url": [], "relevance": [], "rank": []})
+
+    hit_urls = set(hits["hit_url"])
+    relevance = dict(zip(hits["hit_url"], hits["relevance"]))
+
+    # backlinks map (api/main.go:74-83): for each hit page, count its
+    # backlink SOURCES: backlinks[src]++ over edges whose dst is a hit.
+    def edges_into_hits(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_url").to_pylist()
+        dst = batch.column("dst_url").to_pylist()
+        c = Counter(s for s, d in zip(src, dst) if d in hit_urls)
+        keys = sorted(c)
+        return pa.table(
+            {"src_url": pa.array(keys, type=pa.string()),
+             "n_p": pa.array([c[k] for k in keys], type=pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    bl = (
+        links_ds.map_batches(edges_into_hits, batch_format="pyarrow")
+        .groupby("src_url")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+    )
+    # Σ over the whole backlinks map of relevance[src]/count[src]
+    # (relevance 0 for non-hit sources — Go map default, main.go:106).
+    contrib = {
+        s: relevance.get(s, 0) / n for s, n in zip(bl["src_url"], bl["n"])
+    }
+    total = float(sum(contrib.values()))
+    ranks = np.empty(len(hits), dtype=np.float64)
+    for i, u in enumerate(hits["hit_url"]):
+        # exclude p's own term (the `backlinkID == page.ID` continue)
+        ranks[i] = (RATING_FACTOR + total - contrib.get(u, 0.0)) * RANKER_CONSTANT
+    out = pd.DataFrame(
+        {"url": hits["hit_url"], "relevance": hits["relevance"], "rank": ranks}
+    )
+    return out.sort_values(["rank", "url"], ascending=[False, True]).reset_index(
+        drop=True
+    )

@@ -1,0 +1,130 @@
+"""Link-graph pipeline vs golden links + pure-Python oracles.
+
+Golden semantics are the reference's crawler-side link extraction
+(crawler.go:294-349) and api-side relevance/rank loops
+(api/main.go:86-111); the oracle below re-implements those loops
+naively and never imports the distributed code paths it checks.
+"""
+
+from collections import Counter
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def link_corpus(tmp_path_factory):
+    from rse_ray.sources.fixtures import generate_pages
+
+    root = tmp_path_factory.mktemp("linkfix")
+    pages_dir = root / "pages"
+    golden = root / "golden_links.parquet"
+    generate_pages(str(pages_dir), n_rows=300, n_dup_pairs=0, seed=7,
+                   golden_links_path=str(golden))
+    return {"pages_dir": str(pages_dir), "golden": str(golden)}
+
+
+def _links_df(path_or_ds):
+    df = path_or_ds.to_pandas() if hasattr(path_or_ds, "to_pandas") else path_or_ds
+    return (df.sort_values(["src_url", "dst_url"]).reset_index(drop=True))
+
+
+def test_extract_links_matches_golden(ray_session, link_corpus):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import extract_links
+
+    got = _links_df(extract_links(ray.data.read_parquet(link_corpus["pages_dir"])))
+    want = _links_df(pq.read_table(link_corpus["golden"]).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_backlink_counts(ray_session, link_corpus):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import backlink_counts, extract_links
+
+    links = extract_links(ray.data.read_parquet(link_corpus["pages_dir"]))
+    got = (backlink_counts(links).to_pandas()
+           .sort_values("dst_url").reset_index(drop=True))
+    golden = pq.read_table(link_corpus["golden"]).to_pandas()
+    want = (golden.groupby("dst_url").size().rename("n_backlinks")
+            .reset_index().sort_values("dst_url").reset_index(drop=True))
+    want["n_backlinks"] = want["n_backlinks"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_reference_relevance_oracle(ray_session):
+    import ray.data
+
+    from rse_ray.functions.tokenizer import tokenize
+    from rse_ray.pipelines.linkgraph import reference_relevance
+
+    sf = "/root/testdata/sf0.001"
+    query = "spark window merge window"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+    got = (reference_relevance(ds, query, stem=False).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    qtf = Counter(tokenize(query, stem=False))
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        tf = Counter(tokenize(text, stem=False))
+        if any(w in tf for w in qtf):
+            rows.append((int(did), sum(q * tf[w] for w, q in qtf.items())))
+    want = (pd.DataFrame(rows, columns=["doc_id", "relevance"])
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_reference_search_full_oracle(ray_session, link_corpus):
+    """End-to-end A3+A4: distributed pipeline == naive replica of the
+    Go loops (api/main.go:48-119) on the same corpus."""
+    import ray.data
+
+    from rse_ray.functions.tokenizer import tokenize
+    from rse_ray.pipelines.linkgraph import extract_links, reference_search
+
+    pages = ray.data.read_parquet(link_corpus["pages_dir"])
+    links = extract_links(pages)
+    # head-vocab query so the hit set is non-trivial
+    from rse_ray.sources.fixtures import make_vocab
+
+    vocab = make_vocab(10_000, 7)
+    query = f"{vocab[0]} {vocab[1]} {vocab[0]}"
+    got = reference_search(pages, links, query, stem=True)
+    assert len(got) > 0
+
+    # --- naive oracle ---
+    pdf = pq.read_table(link_corpus["pages_dir"]).to_pandas()
+    ldf = pq.read_table(link_corpus["golden"]).to_pandas()
+    qtf = Counter(tokenize(query, stem=True))
+    relevance = {}
+    for url, text in zip(pdf["url"], pdf["text"]):
+        tf = Counter(tokenize(text, stem=True))
+        if any(w in tf for w in qtf):
+            relevance[url] = sum(q * tf[w] for w, q in qtf.items())
+    backlinks = Counter()
+    hit = set(relevance)
+    for s, d in zip(ldf["src_url"], ldf["dst_url"]):
+        if d in hit:
+            backlinks[s] += 1
+    ranks = {}
+    for p in relevance:
+        rank = 1.0
+        for b, n in backlinks.items():
+            if b == p:
+                continue
+            rank += relevance.get(b, 0) / n
+        ranks[p] = rank * 0.85
+    want = (pd.DataFrame(
+        {"url": list(relevance), "relevance": list(relevance.values()),
+         "rank": [ranks[u] for u in relevance]})
+        .sort_values(["rank", "url"], ascending=[False, True])
+        .reset_index(drop=True))
+    want["relevance"] = want["relevance"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
