@@ -251,66 +251,134 @@ def simhash_dup_pairs(ds, *, max_hamming: int = 3):
 # --------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_n: int = 3,
-                        max_bucket: int = 1000):
-    """Exact all-pairs n-gram Jaccard >= threshold via a shingle-join:
-    explode (shingle_hash, doc_id, n_shingles) -> group by shingle ->
-    pair counts -> jaccard = inter / (na + nb - inter). Distributed
-    as two groupbys; the intersect counts are summed per pair."""
-    from ray.data.aggregate import Sum
+                        max_bucket: int | None = None, num_blocks: int = 32):
+    """Exact all-pairs n-gram Jaccard >= threshold, block-nested-loop.
+
+    The naive distributed form (explode shingles -> groupby(shingle) ->
+    emit C(df,2) pair rows -> groupby(pair) sum) shuffles one row per
+    *shared-shingle instance* — quadratic in the hot-shingle df and
+    dominated by two all-to-all sorts of that pair stream. This version
+    never shuffles pair rows at all:
+
+      1. one map_batches turns each doc into its (64-bit-hashed,
+         deduped) shingle array — the only pass over text;
+      2. the shingle-set blocks are pinned in the object store
+         (``to_arrow_refs``: Ray Data's own blocks ARE the partition);
+      3. a task per block-pair (i <= j) fetches the two blocks
+         zero-copy and computes ALL pairwise intersection counts
+         locally via one C-speed hash-join (pandas merge on shingle)
+         + bincount over packed pair ids, then emits only the pairs
+         meeting the threshold.
+
+    Work is the same Σ df_i·df_j pair instances, but it runs as numpy
+    kernels inside ~B²/2 independent tasks instead of rows through a
+    distributed sort, and the output (the only thing shuffled anywhere)
+    is just the qualifying pairs. At fleet scale the blocks become
+    parquet shards on shared storage and the B²/2 task grid streams
+    through the same code path; ``max_bucket`` is retained for
+    API-compat and ignored (no candidate cap is needed).
+    """
+    import ray
+    import zlib
 
     from rse_ray.functions.hashing import shingles
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def make_sets(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
-        sh_h, dids, sizes = [], [], []
+        out_id, out_sh = [], []
         for did, t in zip(ids, texts):
             sh = shingles(t.split(), shingle_n)
-            for s in sh:
-                import zlib
-
-                sh_h.append(zlib.crc32(s))
-                dids.append(int(did))
-                sizes.append(len(sh))
+            if not sh:
+                continue
+            # 63-bit hash (two crc32 halves, high bit dropped to stay in
+            # int64): collision-free in practice, unlike bare crc32 whose
+            # birthday collisions at ~1e6 distinct shingles would corrupt
+            # exact intersection counts
+            h = np.fromiter(
+                (((zlib.crc32(s) & 0x7FFFFFFF) << 32) | zlib.crc32(s + b"#j")
+                 for s in sh),
+                dtype=np.int64, count=len(sh),
+            )
+            out_id.append(int(did))
+            out_sh.append(h)
         return pa.table(
-            {"sh": pa.array(sh_h, type=pa.int64()),
-             "doc_id": pa.array(dids, type=pa.int64()),
-             "n_sh": pa.array(sizes, type=pa.int64())}
+            {"doc_id": pa.array(out_id, type=pa.int64()),
+             "sh": pa.array([a.tolist() for a in out_sh],
+                            type=pa.list_(pa.int64()))}
         )
 
-    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized: hot shingles produce O(k^2) pairs, so the pair
-        # matrix is built with numpy triu indices, never a Python loop
-        d = np.asarray(g["doc_id"], dtype=np.int64)
-        n = np.asarray(g["n_sh"], dtype=np.int64)
-        d, idx = np.unique(d, return_index=True)
-        n = n[idx]
-        if len(d) < 2 or len(d) > max_bucket:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "na": [], "nb": [],
-                                 "c": []}, dtype="int64")
-        iu, ju = np.triu_indices(len(d), k=1)
-        return pd.DataFrame(
-            {"doc_a": d[iu], "doc_b": d[ju], "na": n[iu], "nb": n[ju],
-             "c": np.ones(len(iu), dtype=np.int64)}
+    sets_ds = ds.map_batches(make_sets, batch_format="pyarrow")
+    # Ray Data's own blocks are the partition; repartition (a split/
+    # coalesce, not a shuffle) sizes the B x B task grid
+    block_refs = sets_ds.repartition(num_blocks).to_arrow_refs()
+    B = len(block_refs)
+
+    def _explode(tbl: pa.Table):
+        """block table -> (doc_ids, set sizes, flat shingle array,
+        doc index per flat row)."""
+        ids = tbl.column("doc_id").to_numpy()
+        lists = tbl.column("sh")
+        flat = lists.combine_chunks().flatten().to_numpy() if isinstance(
+            lists, pa.ChunkedArray
+        ) else lists.flatten().to_numpy()
+        sizes = np.asarray(
+            [len(v) for v in tbl.column("sh").to_pylist()], dtype=np.int64
+        )
+        idx = np.repeat(np.arange(len(ids), dtype=np.int64), sizes)
+        return ids, sizes, flat, idx
+
+    def block_pair(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            ta = ray.get(block_refs[i])
+            ids_a, na, sh_a, ia = _explode(ta)
+            if i == j:
+                ids_b, nb, sh_b, ib = ids_a, na, sh_a, ia
+            else:
+                ids_b, nb, sh_b, ib = _explode(ray.get(block_refs[j]))
+            if len(ids_a) == 0 or len(ids_b) == 0:
+                continue
+            # hash-join on shingle: one pair-instance row per shared
+            # shingle occurrence, all in C
+            m = pd.merge(
+                pd.DataFrame({"sh": sh_a, "ia": ia}),
+                pd.DataFrame({"sh": sh_b, "ib": ib}),
+                on="sh", sort=False,
+            )
+            if i == j:
+                m = m[m["ia"].values < m["ib"].values]
+            if not len(m):
+                continue
+            keys = m["ia"].values * np.int64(len(ids_b)) + m["ib"].values
+            uk, counts = np.unique(keys, return_counts=True)
+            pa_idx = uk // len(ids_b)
+            pb_idx = uk % len(ids_b)
+            jac = counts / (na[pa_idx] + nb[pb_idx] - counts)
+            keep = jac >= threshold
+            if not keep.any():
+                continue
+            da, db = ids_a[pa_idx[keep]], ids_b[pb_idx[keep]]
+            lo, hi = np.minimum(da, db), np.maximum(da, db)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_j.append(np.round(jac[keep], 6))
+        if not out_a:
+            return pa.table(
+                {"doc_a": pa.array([], type=pa.int64()),
+                 "doc_b": pa.array([], type=pa.int64()),
+                 "jaccard": pa.array([], type=pa.float64())}
+            )
+        return pa.table(
+            {"doc_a": pa.array(np.concatenate(out_a)),
+             "doc_b": pa.array(np.concatenate(out_b)),
+             "jaccard": pa.array(np.concatenate(out_j))}
         )
 
-    ex = ds.map_batches(explode, batch_format="pyarrow")
-    pairs = ex.groupby("sh").map_groups(pair_counts, batch_format="pandas")
-    # na/nb ride along as (constant-per-pair) group keys so the jaccard
-    # denominator survives the aggregate without a second join
-    agg2 = pairs.groupby(["doc_a", "doc_b", "na", "nb"]).aggregate(
-        Sum("c", alias_name="inter")
+    items = [{"i": i, "j": j} for i in range(B) for j in range(i, B)]
+    import ray.data as rd
+
+    return rd.from_items(items).map_batches(
+        block_pair, batch_format="pyarrow", batch_size=1
     )
-
-    def jacc(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        inter = df["inter"].astype("int64")
-        union = df["na"] + df["nb"] - inter
-        j = (inter / union).round(6)
-        out = df[["doc_a", "doc_b"]].copy()
-        out["jaccard"] = j
-        return pa.Table.from_pandas(
-            out[j >= threshold], preserve_index=False
-        )
-
-    return agg2.map_batches(jacc, batch_format="pyarrow")
