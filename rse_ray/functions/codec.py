@@ -93,6 +93,21 @@ def varint_decode(buf: bytes, count: int) -> np.ndarray:
     return out
 
 
+def _varint_one(v: int) -> bytes:
+    """Scalar LEB128 — the vectorized encoder's numpy setup costs ~90us
+    even for one value; this is ~100x faster for the single-varint
+    restitching done per run in splice_runs."""
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
 def _read_varint(buf: memoryview, at: int) -> tuple[int, int]:
     val = 0
     shift = 0
@@ -147,6 +162,52 @@ def decode_run(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray, np.ndar
     return doc_ids, tfs.astype(np.int32), dls.astype(np.int32)
 
 
+def splice_runs(payloads: list[bytes], min_docs, max_docs) -> bytes:
+    """Concatenate doc-range-disjoint, ascending posting runs WITHOUT
+    decoding: within-run deltas are unchanged by a merge, so the only
+    bytes that differ from a full re-encode are each subsequent run's
+    FIRST doc varint (absolute docID -> delta from the previous run's
+    max_doc, both known from segment metadata). tf/dl streams
+    concatenate verbatim. decode_run(splice_runs(...)) is element-exact
+    with decoding the runs separately and concatenating (tests/
+    test_codec.py); the merge shuffle's reducer cost drops from
+    decode+re-encode of every posting to O(#runs) header arithmetic."""
+    doc_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    dl_parts: list[bytes] = []
+    n_tot = 0
+    prev_max = 0
+    first = True
+    for i, buf in enumerate(payloads):
+        mv = memoryview(buf)
+        n, at = _read_varint(mv, 0)
+        ld, at = _read_varint(mv, at)
+        lt, at = _read_varint(mv, at)
+        ll, at = _read_varint(mv, at)
+        if n == 0:
+            continue
+        doc_b = mv[at : at + ld]
+        tf_parts.append(bytes(mv[at + ld : at + ld + lt]))
+        dl_parts.append(bytes(mv[at + ld + lt : at + ld + lt + ll]))
+        if first:
+            doc_parts.append(bytes(doc_b))
+            first = False
+        else:
+            _, fe = _read_varint(doc_b, 0)  # skip the absolute first docID
+            delta = int(min_docs[i]) - prev_max
+            doc_parts.append(_varint_one(delta) + bytes(doc_b[fe:]))
+        prev_max = int(max_docs[i])
+        n_tot += n
+    doc_bytes = b"".join(doc_parts)
+    tf_bytes = b"".join(tf_parts)
+    dl_bytes = b"".join(dl_parts)
+    header = b"".join(
+        _varint_one(v)
+        for v in (n_tot, len(doc_bytes), len(tf_bytes), len(dl_bytes))
+    )
+    return header + doc_bytes + tf_bytes + dl_bytes
+
+
 # --- block-max metadata ----------------------------------------------------
 
 _BLOCK_HDR = struct.Struct("<i")
@@ -166,6 +227,28 @@ def block_meta(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> bytes:
         max_tf[i] = tfs[lo:hi].max()
         min_dl[i] = dls[lo:hi].min()
     return _BLOCK_HDR.pack(nblocks) + last_doc.tobytes() + max_tf.tobytes() + min_dl.tobytes()
+
+
+def splice_block_meta(metas: list[bytes]) -> bytes:
+    """Concatenate per-run block metadata. Blocks keep describing
+    exactly their postings (each run's last block is just shorter than
+    BLOCK_SIZE); the query side only consumes (last_doc, max_tf,
+    min_dl) per block and never assumes uniform block width, so spliced
+    metadata is exact for WAND bounds."""
+    n_tot = 0
+    lasts, maxs, mins = [], [], []
+    for m in metas:
+        ld, mt, md = decode_block_meta(m)
+        n_tot += len(ld)
+        lasts.append(ld)
+        maxs.append(mt)
+        mins.append(md)
+    return (
+        _BLOCK_HDR.pack(n_tot)
+        + np.concatenate(lasts).tobytes()
+        + np.concatenate(maxs).tobytes()
+        + np.concatenate(mins).tobytes()
+    )
 
 
 def decode_block_meta(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -37,11 +37,14 @@ import pyarrow.parquet as pq
 
 from rse_ray.stages.fulltext import (
     DocBucketWriter,
-    SegmentWriter,
     extract_batch,
     make_add_bucket,
+    make_add_range_part,
     make_add_salt,
-    merge_runs,
+    merge_partition,
+    sample_terms,
+    segment_write_batch_fn,
+    term_range_boundaries,
 )
 from rse_ray.state.manifest import (
     PartitionManifests,
@@ -54,6 +57,7 @@ from rse_ray.state.manifest import (
 class BuildConfig:
     num_buckets: int = 32
     buckets_per_salt_group: int = 8
+    merge_partitions: int = 32   # merge-shuffle reducers; fixed by config
     stem: bool = True
     from_html: bool = True       # False: trust the pre-extracted `text` column
     extract_batch_size: int = 256
@@ -141,15 +145,13 @@ def build_index(
     ]
     seg_stats_rows = []
     if pending or not os.path.isdir(d["segments"]):
-        concurrency = cfg.segment_concurrency or max(
-            1, min(len(items), int(ray.available_resources().get("CPU", 8)))
-        )
+        # task form, not an actor pool: the worker-global stem cache
+        # (stages/fulltext._worker_stemmer) gives actor-grade state
+        # amortization while reusing the already-warm worker processes —
+        # no per-actor startup on the critical path
         seg_ds = ray.data.from_items(items).map_batches(
-            SegmentWriter,
-            fn_constructor_args=(d["segments"],),
-            fn_constructor_kwargs={"stem": cfg.stem},
+            segment_write_batch_fn(d["segments"], stem=cfg.stem),
             batch_size=1,
-            concurrency=concurrency,
             batch_format="numpy",
         )
         seg_stats_rows = seg_ds.take_all()
@@ -185,11 +187,27 @@ def build_index(
                 if f.endswith(".parquet"):
                     os.unlink(os.path.join(d["shards"], f))
         seg_ds = ray.data.read_parquet(d["segments"])
+        # content-determined range boundaries -> P vectorized partition
+        # merges instead of |vocab|x|salts| per-group Python calls; range
+        # (not hash) parts keep shard files term-contiguous for routing.
+        # The samples ride in the stage-B manifests; fall back to a
+        # column-pruned sampling pass for pre-sample manifests (resume)
+        sampled: list[str] = []
+        have_samples = all(r.get("sampled") is not None for r in seg_stats_rows)
+        if seg_stats_rows and have_samples:
+            for r in seg_stats_rows:
+                sampled.extend(list(r["sampled"]))
+        else:
+            sample_rows = ray.data.read_parquet(
+                d["segments"], columns=["term"]
+            ).map_batches(sample_terms, batch_format="pyarrow").take_all()
+            sampled = [r["term"] for r in sample_rows]
+        bounds = term_range_boundaries(sampled, cfg.merge_partitions)
         seg_ds = seg_ds.map_batches(
             make_add_salt(cfg.buckets_per_salt_group), batch_format="pyarrow"
-        )
-        merged = seg_ds.groupby(["term", "salt_group"]).map_groups(
-            merge_runs, batch_format="pyarrow"
+        ).map_batches(make_add_range_part(bounds), batch_format="pyarrow")
+        merged = seg_ds.groupby("part").map_groups(
+            merge_partition, batch_format="pyarrow"
         )
         # small row groups: the query side lazy-reads payload columns at
         # row-group granularity, so this bounds per-term fetch I/O

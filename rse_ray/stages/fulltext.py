@@ -8,11 +8,12 @@ Pipeline shape (pipelines/build.py):
       -> groupby(bucket).map_groups(DocBucketWriter)      # D1 dedup + docIDs
       -> [per-bucket docs parquet on disk = checkpoint]
     from_items(pending buckets)
-      -> map_batches(SegmentWriter actor pool)            # tokenize + encode
+      -> map_batches(segment_write_batch_fn tasks)        # tokenize + encode
       -> [per-bucket partial segment parquet = checkpoint]
     read_parquet(partial segments)
       -> map_batches(add salt_group = bucket // K)        # skew salting
-      -> groupby(term, salt_group).map_groups(merge_runs) # THE term shuffle
+      -> map_batches(add salt_group, add range part)      # skew + routing keys
+      -> groupby(part).map_groups(merge_partition)        # THE term shuffle
       -> write_parquet(shards)                            # term-range files
 
 Scale notes (100 TB / 10^12 docs):
@@ -27,10 +28,12 @@ Scale notes (100 TB / 10^12 docs):
     by simple ordered concat at query time). Tail terms appear in few
     buckets and so produce few groups — no fan-out overhead. This is the
     FP-Hadoop-style repartition-the-reduce pattern (PAPERS.md).
-  * SegmentWriter is a callable CLASS (actor pool): the Porter stem
-    cache (~99% hit rate on Zipfian vocab) and output-dir handles are
-    built once per actor, reused across buckets (reference analog: the
-    per-process DB pool, SURVEY §2.3 ST3).
+  * The segment build amortizes its Porter stem cache (~99% hit rate on
+    Zipfian vocab) per worker PROCESS via a module global
+    (_worker_stemmer) — actor-grade state reuse on the already-warm task
+    worker pool, with no actor startup on the critical path (reference
+    analog: the per-process DB pool, SURVEY §2.3 ST3). SegmentWriter
+    remains as the explicit actor-pool form of the same stage.
 """
 
 from __future__ import annotations
@@ -180,33 +183,129 @@ def _manifest_row(bucket: int, n_docs: int, n_input: int, path: str) -> pa.Table
     )
 
 
-class SegmentWriter:
-    """Actor-pool stage: docs bucket -> partial segment.
+_WORKER_STEMMER: "StemCache | None" = None
 
-    One __call__ handles a small batch of {bucket, path} work items; for
-    each it reads the bucket's docs parquet, tokenizes (cached Porter),
-    builds term -> (docIDs, tfs, dls) posting runs (docs arrive in
-    ascending doc_id order, so runs are born sorted — no sort needed),
-    delta+varint-encodes them and writes one term-sorted partial segment
+
+def _worker_stemmer() -> StemCache:
+    """Per-worker-PROCESS stem cache (module global): gives the same
+    once-per-worker amortization as actor state (~99% hit rate on
+    Zipfian vocab) without paying actor-pool startup — segment builds
+    run as plain tasks on the already-warm worker pool (the reference
+    analog is still the per-process DB pool, SURVEY §2.3 ST3)."""
+    global _WORKER_STEMMER
+    if _WORKER_STEMMER is None:
+        _WORKER_STEMMER = StemCache()
+    return _WORKER_STEMMER
+
+
+def write_segment(bucket: int, docs_path: str, segments_dir: str,
+                  *, stem: bool = True) -> dict:
+    """Build one bucket's partial segment: read the bucket docs parquet,
+    tokenize (cached Porter), build term -> (docIDs, tfs, dls) posting
+    runs (docs arrive in ascending doc_id order, so runs are born
+    sorted), delta+varint-encode and write a term-sorted partial segment
     parquet atomically, plus a lineage/metrics manifest.
 
-    Returns manifest rows (bucket, num_docs, num_tokens, num_terms,
-    payload_bytes) — the inputs to global stats (N, avgdl).
-    """
+    The manifest also carries this bucket's content-determined term
+    SAMPLE (crc32(term#sample) % 61 == 0) so the merge stage derives its
+    range boundaries for free instead of re-reading every segment.
+    Skips buckets whose manifest is already done (resume)."""
+    import zlib
 
-    def __init__(self, segments_dir: str, *, stem: bool = True) -> None:
-        self.segments_dir = segments_dir
-        self.stem = stem
-        self.stemmer = StemCache() if stem else None
-        self.manifests = PartitionManifests(segments_dir)
+    manifests = PartitionManifests(segments_dir)
+    key = f"bucket_{bucket:06d}"
+    seg_path = os.path.join(segments_dir, f"{key}.parquet")
+    from rse_ray.state.manifest import read_json
 
-    def __call__(self, items: dict) -> pa.Table:
-        out = {
-            "bucket": [], "num_docs": [], "num_tokens": [],
-            "num_terms": [], "payload_bytes": [], "path": [],
-        }
+    prev = read_json(manifests.path(key))
+    if prev and prev.get("status") == "done":
+        return {k: prev[k] for k in
+                ("bucket", "num_docs", "num_tokens", "num_terms",
+                 "payload_bytes", "path", "sampled")}
+
+    stemmer = _worker_stemmer() if stem else None
+    docs = pq.read_table(docs_path, columns=["doc_id", "text"])
+    doc_ids = docs.column("doc_id").to_numpy()
+    texts = docs.column("text").to_pylist()
+
+    runs: dict[str, list[list[int]]] = {}
+    num_tokens = 0
+    for did, text in zip(doc_ids, texts):
+        toks = tokenize(text, stem=stem, _stemmer=stemmer)
+        num_tokens += len(toks)
+        dl = len(toks)
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        for term, tf in counts.items():
+            run = runs.get(term)
+            if run is None:
+                run = [[], [], []]
+                runs[term] = run
+            run[0].append(int(did))
+            run[1].append(tf)
+            run[2].append(dl)
+
+    terms = sorted(runs)
+    rows = {k: [] for k in ("term", "bucket", "df", "min_doc", "max_doc",
+                            "payload", "blockmeta")}
+    payload_bytes = 0
+    sampled = []
+    for term in terms:
+        ids, tfs, dls = runs[term]
+        ids_a = np.asarray(ids, dtype=np.int64)
+        tfs_a = np.asarray(tfs, dtype=np.int32)
+        dls_a = np.asarray(dls, dtype=np.int32)
+        payload = encode_run(ids_a, tfs_a, dls_a)
+        payload_bytes += len(payload)
+        if zlib.crc32(term.encode("utf-8") + b"#sample") % 61 == 0:
+            sampled.append(term)
+        rows["term"].append(term)
+        rows["bucket"].append(bucket)
+        rows["df"].append(len(ids))
+        rows["min_doc"].append(int(ids_a[0]) if len(ids) else 0)
+        rows["max_doc"].append(int(ids_a[-1]) if len(ids) else 0)
+        rows["payload"].append(payload)
+        rows["blockmeta"].append(block_meta(ids_a, tfs_a, dls_a))
+
+    seg = pa.table(
+        {
+            "term": pa.array(rows["term"], type=pa.string()),
+            "bucket": pa.array(rows["bucket"], type=pa.int32()),
+            "df": pa.array(rows["df"], type=pa.int64()),
+            "min_doc": pa.array(rows["min_doc"], type=pa.int64()),
+            "max_doc": pa.array(rows["max_doc"], type=pa.int64()),
+            "payload": pa.array(rows["payload"], type=pa.binary()),
+            "blockmeta": pa.array(rows["blockmeta"], type=pa.binary()),
+        },
+        schema=SEGMENT_SCHEMA,
+    )
+    write_file_atomic(seg_path, lambda tmp: pq.write_table(seg, tmp))
+    manifest = manifests.mark_done(
+        key,
+        bucket=bucket,
+        num_docs=len(doc_ids),
+        num_tokens=num_tokens,
+        num_terms=len(terms),
+        payload_bytes=payload_bytes,
+        path=seg_path,
+        sampled=sampled,
+        lineage=[docs_path],
+    )
+    return {k: manifest[k] for k in
+            ("bucket", "num_docs", "num_tokens", "num_terms",
+             "payload_bytes", "path", "sampled")}
+
+
+def segment_write_batch_fn(segments_dir: str, *, stem: bool = True):
+    """Task-form map_batches fn over {bucket, path} work items."""
+
+    def fn(items: dict) -> pa.Table:
+        out = {"bucket": [], "num_docs": [], "num_tokens": [],
+               "num_terms": [], "payload_bytes": [], "path": [],
+               "sampled": []}
         for bucket, path in zip(items["bucket"], items["path"]):
-            m = self._build_one(int(bucket), str(path))
+            m = write_segment(int(bucket), str(path), segments_dir, stem=stem)
             for k in out:
                 out[k].append(m[k])
         return pa.table(
@@ -217,87 +316,25 @@ class SegmentWriter:
                 "num_terms": pa.array(out["num_terms"], type=pa.int64()),
                 "payload_bytes": pa.array(out["payload_bytes"], type=pa.int64()),
                 "path": pa.array(out["path"]),
+                "sampled": pa.array(out["sampled"],
+                                    type=pa.list_(pa.string())),
             }
         )
 
-    def _build_one(self, bucket: int, docs_path: str) -> dict:
-        key = f"bucket_{bucket:06d}"
-        seg_path = os.path.join(self.segments_dir, f"{key}.parquet")
-        from rse_ray.state.manifest import read_json
+    return fn
 
-        prev = read_json(self.manifests.path(key))
-        if prev and prev.get("status") == "done":
-            return {k: prev[k] for k in
-                    ("bucket", "num_docs", "num_tokens", "num_terms",
-                     "payload_bytes", "path")}
 
-        docs = pq.read_table(docs_path, columns=["doc_id", "text"])
-        doc_ids = docs.column("doc_id").to_numpy()
-        texts = docs.column("text").to_pylist()
+class SegmentWriter:
+    """Actor-pool form of the segment build stage (kept for pipelines
+    that prefer explicit actor state; the default build uses the task
+    form segment_write_batch_fn + worker-global stem cache, which gives
+    identical output without actor startup cost)."""
 
-        runs: dict[str, list[list[int]]] = {}
-        num_tokens = 0
-        for did, text in zip(doc_ids, texts):
-            toks = tokenize(text, stem=self.stem, _stemmer=self.stemmer)
-            num_tokens += len(toks)
-            dl = len(toks)
-            counts: dict[str, int] = {}
-            for t in toks:
-                counts[t] = counts.get(t, 0) + 1
-            for term, tf in counts.items():
-                run = runs.get(term)
-                if run is None:
-                    run = [[], [], []]
-                    runs[term] = run
-                run[0].append(int(did))
-                run[1].append(tf)
-                run[2].append(dl)
+    def __init__(self, segments_dir: str, *, stem: bool = True) -> None:
+        self._fn = segment_write_batch_fn(segments_dir, stem=stem)
 
-        terms = sorted(runs)
-        rows = {k: [] for k in ("term", "bucket", "df", "min_doc", "max_doc",
-                                "payload", "blockmeta")}
-        payload_bytes = 0
-        for term in terms:
-            ids, tfs, dls = runs[term]
-            ids_a = np.asarray(ids, dtype=np.int64)
-            tfs_a = np.asarray(tfs, dtype=np.int32)
-            dls_a = np.asarray(dls, dtype=np.int32)
-            payload = encode_run(ids_a, tfs_a, dls_a)
-            payload_bytes += len(payload)
-            rows["term"].append(term)
-            rows["bucket"].append(bucket)
-            rows["df"].append(len(ids))
-            rows["min_doc"].append(int(ids_a[0]) if len(ids) else 0)
-            rows["max_doc"].append(int(ids_a[-1]) if len(ids) else 0)
-            rows["payload"].append(payload)
-            rows["blockmeta"].append(block_meta(ids_a, tfs_a, dls_a))
-
-        seg = pa.table(
-            {
-                "term": pa.array(rows["term"], type=pa.string()),
-                "bucket": pa.array(rows["bucket"], type=pa.int32()),
-                "df": pa.array(rows["df"], type=pa.int64()),
-                "min_doc": pa.array(rows["min_doc"], type=pa.int64()),
-                "max_doc": pa.array(rows["max_doc"], type=pa.int64()),
-                "payload": pa.array(rows["payload"], type=pa.binary()),
-                "blockmeta": pa.array(rows["blockmeta"], type=pa.binary()),
-            },
-            schema=SEGMENT_SCHEMA,
-        )
-        write_file_atomic(seg_path, lambda tmp: pq.write_table(seg, tmp))
-        manifest = self.manifests.mark_done(
-            key,
-            bucket=bucket,
-            num_docs=len(doc_ids),
-            num_tokens=num_tokens,
-            num_terms=len(terms),
-            payload_bytes=payload_bytes,
-            path=seg_path,
-            lineage=[docs_path],
-        )
-        return {k: manifest[k] for k in
-                ("bucket", "num_docs", "num_tokens", "num_terms",
-                 "payload_bytes", "path")}
+    def __call__(self, items: dict) -> pa.Table:
+        return self._fn(items)
 
 
 def make_add_salt(buckets_per_group: int):
@@ -310,35 +347,118 @@ def make_add_salt(buckets_per_group: int):
     return add_salt
 
 
-def merge_runs(group: pa.Table) -> pa.Table:
-    """Merge one (term, salt_group) group: decode the per-bucket runs,
-    concatenate in bucket order (bucket order == docID order by the
-    doc_id layout), re-encode once. Pure vectorized numpy."""
-    from rse_ray.functions.codec import decode_run
+def sample_terms(batch: pa.Table) -> pa.Table:
+    """Content-determined ~1/61 sample of segment term rows (kept iff
+    crc32(term#sample) % 61 == 0): the sample — and therefore the merge
+    range boundaries derived from it — depends only on the input ROWS,
+    never on block layout or parallelism, so builds at any CPU count
+    partition identically (SURVEY §7.5 hard part 5)."""
+    import zlib
 
-    idx = pc.sort_indices(group, sort_keys=[("bucket", "ascending")])
+    terms = batch.column("term").to_pylist()
+    keep = [t for t in terms
+            if zlib.crc32(t.encode("utf-8") + b"#sample") % 61 == 0]
+    return pa.table({"term": pa.array(keep, type=pa.string())})
+
+
+def term_range_boundaries(sampled_terms: list[str], num_parts: int) -> list[str]:
+    """P-1 upper-exclusive boundaries from the (df-weighted: one sample
+    row per term PER BUCKET, so head terms weigh more) sampled terms —
+    quantile splitting balances merge-reducer ROW counts, not vocab."""
+    s = sorted(sampled_terms)
+    if not s or num_parts <= 1:
+        return []
+    step = len(s) / num_parts
+    bounds = []
+    for i in range(1, num_parts):
+        b = s[min(len(s) - 1, int(i * step))]
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
+def make_add_range_part(boundaries: list[str]):
+    """part = term's range bucket (binary search over the sampled
+    boundaries). Range (not hash) partitioning keeps every output file
+    term-contiguous, which the query side's footer min/max routing
+    (ShardFiles) depends on."""
+    import bisect
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        parts = np.fromiter(
+            (bisect.bisect_right(boundaries, t) for t in terms),
+            dtype=np.int32, count=len(terms),
+        )
+        return batch.append_column("part", pa.array(parts, type=pa.int32()))
+
+    return add_part
+
+
+def merge_partition(group: pa.Table) -> pa.Table:
+    """Merge ONE part's worth of (term, salt_group, bucket) runs.
+
+    Sorts the partition once, walks contiguous (term, salt_group) spans,
+    and for the (dominant) single-run tail terms passes payload/blockmeta
+    through untouched; multi-bucket spans are merged by BYTE SPLICING
+    (codec.splice_runs: only each run's first doc varint is re-coded) —
+    no posting is ever decoded in the merge. Bucket ascending == docID
+    ascending by the doc_id layout, so merged runs stay sorted (delta
+    coding + WAND both rely on it)."""
+    from rse_ray.functions.codec import splice_block_meta, splice_runs
+
+    idx = pc.sort_indices(
+        group,
+        sort_keys=[("term", "ascending"), ("salt_group", "ascending"),
+                   ("bucket", "ascending")],
+    )
     g = group.take(idx)
-    term = g.column("term")[0].as_py()
-    salt = int(g.column("salt_group")[0].as_py())
-    ids_parts, tf_parts, dl_parts = [], [], []
-    for payload in g.column("payload"):
-        d, t, l = decode_run(payload.as_py())
-        ids_parts.append(d)
-        tf_parts.append(t)
-        dl_parts.append(l)
-    ids = np.concatenate(ids_parts)
-    tfs = np.concatenate(tf_parts)
-    dls = np.concatenate(dl_parts)
-    payload = encode_run(ids, tfs, dls)
+    n = g.num_rows
+    terms = g.column("term").to_pylist()
+    salts = g.column("salt_group").to_numpy()
+    dfs = g.column("df").to_numpy()
+    min_docs = g.column("min_doc").to_numpy()
+    max_docs = g.column("max_doc").to_numpy()
+    payloads = g.column("payload").to_pylist()
+    metas = g.column("blockmeta").to_pylist()
+
+    # span boundaries where (term, salt_group) changes
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        same_term = np.array(
+            [terms[i] == terms[i - 1] for i in range(1, n)], dtype=bool
+        )
+        change[1:] = ~(same_term & (salts[1:] == salts[:-1]))
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+
+    o_term, o_salt, o_df, o_min, o_max, o_pay, o_meta = [], [], [], [], [], [], []
+    for s, e in zip(starts, ends):
+        o_term.append(terms[s])
+        o_salt.append(int(salts[s]))
+        if e - s == 1:  # single run: pass through, no recode
+            o_df.append(int(dfs[s]))
+            o_min.append(int(min_docs[s]))
+            o_max.append(int(max_docs[s]))
+            o_pay.append(payloads[s])
+            o_meta.append(metas[s])
+        else:
+            o_df.append(int(dfs[s:e].sum()))
+            o_min.append(int(min_docs[s]))
+            o_max.append(int(max_docs[e - 1]))
+            o_pay.append(
+                splice_runs(payloads[s:e], min_docs[s:e], max_docs[s:e])
+            )
+            o_meta.append(splice_block_meta(metas[s:e]))
     return pa.table(
         {
-            "term": pa.array([term], type=pa.string()),
-            "salt_group": pa.array([salt], type=pa.int32()),
-            "df": pa.array([len(ids)], type=pa.int64()),
-            "min_doc": pa.array([int(ids[0])], type=pa.int64()),
-            "max_doc": pa.array([int(ids[-1])], type=pa.int64()),
-            "payload": pa.array([payload], type=pa.binary()),
-            "blockmeta": pa.array([block_meta(ids, tfs, dls)], type=pa.binary()),
+            "term": pa.array(o_term, type=pa.string()),
+            "salt_group": pa.array(o_salt, type=pa.int32()),
+            "df": pa.array(o_df, type=pa.int64()),
+            "min_doc": pa.array(o_min, type=pa.int64()),
+            "max_doc": pa.array(o_max, type=pa.int64()),
+            "payload": pa.array(o_pay, type=pa.binary()),
+            "blockmeta": pa.array(o_meta, type=pa.binary()),
         },
         schema=SHARD_SCHEMA,
     )

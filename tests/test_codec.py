@@ -95,3 +95,46 @@ def test_block_meta_invariants():
         assert last_doc[i] == doc_ids[hi - 1]
         assert max_tf[i] == tfs[lo:hi].max()   # block-max invariant (§5.3)
         assert min_dl[i] == dls[lo:hi].min()
+
+
+def test_splice_runs_equals_decode_concat():
+    """splice_runs must be element-exact with decode-each-and-concat,
+    for random numbers of disjoint ascending runs (the merge contract)."""
+    from rse_ray.functions.codec import splice_block_meta, splice_runs
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n_runs = int(rng.integers(2, 6))
+        payloads, metas, min_docs, max_docs = [], [], [], []
+        all_ids, all_tfs, all_dls = [], [], []
+        base = 0
+        for r in range(n_runs):
+            n = int(rng.integers(1, 400))
+            ids = base + np.sort(
+                rng.choice(10**5, size=n, replace=False)
+            ).astype(np.int64)
+            base = int(ids[-1]) + int(rng.integers(1, 1000))
+            tfs = rng.integers(1, 50, size=n).astype(np.int32)
+            dls = rng.integers(5, 300, size=n).astype(np.int32)
+            payloads.append(encode_run(ids, tfs, dls))
+            metas.append(block_meta(ids, tfs, dls))
+            min_docs.append(int(ids[0]))
+            max_docs.append(int(ids[-1]))
+            all_ids.append(ids)
+            all_tfs.append(tfs)
+            all_dls.append(dls)
+        spliced = splice_runs(
+            payloads, np.array(min_docs), np.array(max_docs)
+        )
+        d, t, l = decode_run(spliced)
+        assert (d == np.concatenate(all_ids)).all()
+        assert (t == np.concatenate(all_tfs)).all()
+        assert (l == np.concatenate(all_dls)).all()
+        # spliced block meta == concat of per-run metas, and every block
+        # still satisfies the block-max invariant over its own postings
+        ld, mt, md = decode_block_meta(splice_block_meta(metas))
+        parts = [decode_block_meta(m) for m in metas]
+        assert (ld == np.concatenate([p[0] for p in parts])).all()
+        assert (mt == np.concatenate([p[1] for p in parts])).all()
+        assert (md == np.concatenate([p[2] for p in parts])).all()
+        assert (np.diff(ld) > 0).all()  # ascending across run joints
