@@ -76,11 +76,13 @@ def run_headline(num_cpus: int, n_rows: int) -> dict:
     shutil.rmtree(index_dir, ignore_errors=True)
 
     t0 = time.perf_counter()
+    # config is FIXED (never derived from num_cpus): the N-vs-4N scaling
+    # criterion requires the identical job at both parallelism levels
     manifest = build_index(
         pages_dir,
         index_dir,
-        BuildConfig(num_buckets=max(16, num_cpus * 2),
-                    buckets_per_salt_group=4, stem=True, from_html=True),
+        BuildConfig(num_buckets=128, buckets_per_salt_group=8,
+                    merge_partitions=32, stem=True, from_html=True),
     )
     build_s = time.perf_counter() - t0
     n_docs = manifest["stats"]["num_docs"]
@@ -167,12 +169,17 @@ def main_headline_json(num_cpus: int, out_path: str) -> None:
 
 
 def main_scaling() -> None:
-    ensure_corpus(CORPUS_ROWS)  # generate outside the timed subprocesses
+    # scaling uses a larger corpus than the per-round default so the
+    # parallel compute dominates the (fixed) shuffle/scheduling floor —
+    # the honest strong-scaling regime the N-vs-4N criterion measures
+    rows = int(os.environ.get("RSE_BENCH_SCALING_ROWS", "200000"))
+    ensure_corpus(rows)  # generate outside the timed subprocesses
     results = {}
     for cpus in (8, 32):
         out = os.path.join(CACHE, f"scaling_{cpus}.json")
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["RSE_BENCH_CORPUS_ROWS"] = str(rows)
         subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
              "--headline-json", out, "--cpus", str(cpus)],
@@ -192,7 +199,7 @@ def main_scaling() -> None:
                       "cpus_32": results[32]["build_sec"]},
         "bm25_p95_ms": {"cpus_8": results[8]["bm25_p95_ms"],
                         "cpus_32": results[32]["bm25_p95_ms"]},
-        "corpus_rows": CORPUS_ROWS,
+        "corpus_rows": rows,
     }
     print(json.dumps(out))
 
