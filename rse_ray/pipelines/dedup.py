@@ -21,11 +21,11 @@ Scale shapes:
 from __future__ import annotations
 
 import hashlib
-from itertools import combinations
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 # --------------------------------------------------------------------------
@@ -105,21 +105,46 @@ class MinHashSignatures:
 
 
 def minhash_candidate_pairs(ds, *, num_perm=128, num_bands=16, shingle_n=3,
-                            concurrency: int | None = 4, max_bucket: int = 64):
+                            concurrency: int | None = 4, max_bucket: int = 64,
+                            num_parts: int = 32):
     """LSH candidate pairs: docs sharing any band bucket. Returns
-    (doc_a, doc_b) with doc_a < doc_b, deduplicated across bands."""
+    (doc_a, doc_b) with doc_a < doc_b, deduplicated across bands.
+
+    Shuffles group by a COARSE partition key (band_hash % P, then
+    doc_a % P for the cross-band dedup) and do all per-bucket pair
+    generation inside the partition with one vectorized self-merge —
+    grouping by the raw (band, band_hash) key would pay per-group
+    Python+Arrow overhead on ~|docs|x|bands| near-singleton groups."""
     from rse_ray.util import clamp_pool
 
     concurrency = clamp_pool(concurrency)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g["doc_id"]))
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype="int64")
-        pairs = list(combinations(ids, 2))
-        return pd.DataFrame(
-            {"doc_a": [a for a, _ in pairs], "doc_b": [b for _, b in pairs]}
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(batch.column("band_hash"), num_parts - 1),
+            pa.int32(),
         )
+        return batch.append_column("part", part)
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket sizes (distinct docs per (band, band_hash))
+        g = g.drop_duplicates(["band", "band_hash", "doc_id"])
+        sz = g.groupby(["band", "band_hash"])["doc_id"].transform("size")
+        g = g[(sz >= 2) & (sz <= max_bucket)]
+        if g.empty:
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64"),
+                                 "part2": pd.array([], dtype="int32")})
+        m = pd.merge(g, g, on=["band", "band_hash"], sort=False)
+        m = m[m["doc_id_x"].values < m["doc_id_y"].values]
+        out = (m[["doc_id_x", "doc_id_y"]]
+               .drop_duplicates()
+               .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"}))
+        out["part2"] = (out["doc_a"] % num_parts).astype("int32")
+        return out
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
 
     sig = ds.map_batches(
         MinHashSignatures,
@@ -128,16 +153,11 @@ def minhash_candidate_pairs(ds, *, num_perm=128, num_bands=16, shingle_n=3,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    pairs = sig.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # dedup pairs found in multiple bands
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pair, batch_format="pandas"
-    )
+    pairs = sig.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(part_pairs, batch_format="pandas")
+    # cross-band dedup: a pair can surface under several band hashes
+    return pairs.groupby("part2").map_groups(dedup_part, batch_format="pandas")
 
 
 def minhash_dedup_pairs(ds, *, threshold: float = 0.8, num_perm=128,
@@ -195,55 +215,83 @@ def simhash_signatures(ds):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def simhash_dup_pairs(ds, *, max_hamming: int = 3):
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+
+
+def _hamming64_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(a ^ b) for int64-held uint64 bit patterns."""
+    x = a.view(np.uint64) ^ b.view(np.uint64)
+    return _POPCOUNT8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+
+
+def simhash_dup_pairs(ds, *, max_hamming: int = 3, num_parts: int = 32):
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found by the
-    standard 4-table prefix-rotation trick: two 64-bit hashes within
-    Hamming 3 share at least one identical 16-bit quarter -> group by
-    (quarter_idx, quarter_value), verify within buckets."""
-    from rse_ray.functions.hashing import hamming64
+    standard 4-table prefix trick: two 64-bit hashes within Hamming 3
+    share at least one identical 16-bit quarter -> bucket by
+    (quarter_idx, quarter_value), verify within buckets.
+
+    Buckets are near-singletons, so the shuffle groups by a coarse
+    partition of the quarter key and each partition does bucket pairing
+    with one vectorized self-merge + LUT popcount (same pattern as
+    minhash_candidate_pairs)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        sigs = batch.column("simhash").to_numpy().astype(np.uint64)
-        q_idx, q_val, dids, full = [], [], [], []
-        for did, s in zip(ids, sigs):
-            for q in range(4):
-                q_idx.append(q)
-                q_val.append(int((int(s) >> (16 * q)) & 0xFFFF))
-                dids.append(int(did))
-                full.append(np.int64(s))
+        sigs = batch.column("simhash").to_numpy()
+        n = len(ids)
+        u = sigs.view(np.uint64)
+        q_idx = np.tile(np.arange(4, dtype=np.int32), n)
+        dids = np.repeat(ids, 4)
+        full = np.repeat(sigs, 4)
+        shifts = np.tile(np.arange(4, dtype=np.uint64) * np.uint64(16), n)
+        q_val = ((np.repeat(u, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
+        part = ((q_idx.astype(np.int64) << 16) | q_val) % num_parts
         return pa.table(
-            {"q": pa.array(q_idx, type=pa.int32()),
-             "qv": pa.array(q_val, type=pa.int32()),
+            {"q": pa.array(q_idx), "qv": pa.array(q_val),
              "doc_id": pa.array(dids, type=pa.int64()),
-             "simhash": pa.array(full, type=pa.int64())}
+             "simhash": pa.array(full, type=pa.int64()),
+             "part": pa.array(part.astype(np.int32))}
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        recs = sorted(
-            {(int(d), int(s)) for d, s in zip(g["doc_id"], g["simhash"])}
-        )
-        for (da, sa), (db, sb) in combinations(recs, 2):
-            hd = hamming64(int(np.uint64(sa)), int(np.uint64(sb)))
-            if hd <= max_hamming:
-                rows.append((da, db, hd))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(
-            "int64" if rows else {"doc_a": "int64", "doc_b": "int64",
-                                  "hamming": "int64"}
-        )
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby(["q", "qv"])["doc_id"].transform("size")
+        g = g[sz >= 2]
+        if g.empty:
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64"),
+                                 "hamming": pd.array([], dtype="int64"),
+                                 "part2": pd.array([], dtype="int32")})
+        m = pd.merge(g, g, on=["q", "qv"], sort=False)
+        m = m[m["doc_id_x"].values < m["doc_id_y"].values]
+        if m.empty:
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64"),
+                                 "hamming": pd.array([], dtype="int64"),
+                                 "part2": pd.array([], dtype="int32")})
+        hd = _hamming64_vec(m["simhash_x"].to_numpy(),
+                            m["simhash_y"].to_numpy())
+        m = m[hd <= max_hamming]
+        out = pd.DataFrame(
+            {"doc_a": m["doc_id_x"].to_numpy(),
+             "doc_b": m["doc_id_y"].to_numpy(),
+             "hamming": hd[hd <= max_hamming]}
+        ).drop_duplicates(["doc_a", "doc_b"])
+        out["part2"] = (out["doc_a"] % num_parts).astype("int32")
+        return out
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[
+            ["doc_a", "doc_b", "hamming"]
+        ]
 
     sig = simhash_signatures(ds)
     pairs = sig.map_batches(explode, batch_format="pyarrow").groupby(
-        ["q", "qv"]
-    ).map_groups(verify, batch_format="pandas")
-
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pair, batch_format="pandas"
-    )
+        "part"
+    ).map_groups(part_pairs, batch_format="pandas")
+    # a pair can match on several quarters -> cross-partition dedup
+    return pairs.groupby("part2").map_groups(dedup_part, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
