@@ -82,7 +82,8 @@ def run_headline(num_cpus: int, n_rows: int) -> dict:
         pages_dir,
         index_dir,
         BuildConfig(num_buckets=128, buckets_per_salt_group=8,
-                    merge_partitions=32, stem=True, from_html=True),
+                    merge_partitions=32, read_num_blocks=64,
+                    stem=True, from_html=True),
     )
     build_s = time.perf_counter() - t0
     n_docs = manifest["stats"]["num_docs"]
@@ -172,8 +173,13 @@ def main_scaling() -> None:
     # scaling uses a larger corpus than the per-round default so the
     # parallel compute dominates the (fixed) shuffle/scheduling floor —
     # the honest strong-scaling regime the N-vs-4N criterion measures
-    rows = int(os.environ.get("RSE_BENCH_SCALING_ROWS", "200000"))
-    ensure_corpus(rows)  # generate outside the timed subprocesses
+    rows = int(os.environ.get("RSE_BENCH_SCALING_ROWS", "800000"))
+    # generate outside the timed subprocesses (Ray-parallel chunk tasks)
+    _ray_init(DEFAULT_CPUS)
+    ensure_corpus(rows)
+    import ray
+
+    ray.shutdown()
     results = {}
     for cpus in (8, 32):
         out = os.path.join(CACHE, f"scaling_{cpus}.json")

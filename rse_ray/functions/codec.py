@@ -42,11 +42,26 @@ _SHIFTS = [np.uint64(7 * j) for j in range(10)]
 
 
 def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints, vectorized."""
+    """LEB128-encode an array of non-negative ints. Scalar loop for
+    short arrays (the numpy kernel's fixed setup costs ~40us, which
+    dominates on the tail-term runs that are ~90% of encode calls);
+    vectorized above that."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return b""
+    if n <= 32:
+        out = bytearray()
+        for x in v.tolist():
+            while True:
+                b = x & 0x7F
+                x >>= 7
+                if x:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+        return bytes(out)
     # bytes needed per value: 1 + number of 7-bit groups above the first
     nbytes = np.ones(n, dtype=np.int64)
     for j in range(1, 10):
@@ -70,6 +85,16 @@ def varint_decode(buf: bytes, count: int) -> np.ndarray:
     contain exactly those varints), vectorized."""
     if count == 0:
         return np.zeros(0, dtype=np.uint64)
+    if count <= 32:  # scalar fast path, mirrors the encoder's
+        out = np.empty(count, dtype=np.uint64)
+        mv = memoryview(buf)
+        at = 0
+        for i in range(count):
+            val, at = _read_varint(mv, at)
+            out[i] = val
+        if at != len(mv):
+            raise ValueError("varint stream longer than expected")
+        return out
     b = np.frombuffer(buf, dtype=np.uint8)
     is_last = (b & 0x80) == 0
     if int(is_last.sum()) != count:

@@ -33,15 +33,13 @@ import os
 import time
 from dataclasses import dataclass, field
 
-import pyarrow.parquet as pq
-
 from rse_ray.stages.fulltext import (
     DocBucketWriter,
+    ShardPartWriter,
     extract_batch,
     make_add_bucket,
     make_add_range_part,
     make_add_salt,
-    merge_partition,
     sample_terms,
     segment_write_batch_fn,
     term_range_boundaries,
@@ -61,7 +59,8 @@ class BuildConfig:
     stem: bool = True
     from_html: bool = True       # False: trust the pre-extracted `text` column
     extract_batch_size: int = 256
-    segment_concurrency: int | None = None   # actor pool size; None = #CPUs
+    read_num_blocks: int | None = None  # fixed read fan-out (NOT cpu-derived)
+    segment_concurrency: int | None = None   # kept for API-compat (unused)
     extra: dict = field(default_factory=dict)
 
 
@@ -95,13 +94,16 @@ def build_index(
     t0 = time.perf_counter()
     stage_secs: dict[str, float] = {}
 
-    # ---- Stage A: pages -> per-bucket deduped docs -----------------------
+    # ---- Stage A: pages -> per-bucket deduped docs + partial segments ----
+    # (segment build is FUSED into the dedup reduce task: one task wave
+    # writes both checkpoints, no barrier or bucket re-read between them)
     docs_manifests = PartitionManifests(d["docs"])
     stage_a = read_json(os.path.join(d["docs"], "_STAGE.json"))
     if not (stage_a and stage_a.get("status") == "done"):
         cols = ["url", "warc_ts", "html"] if cfg.from_html else ["url", "warc_ts", "text"]
         if isinstance(pages_path, (str, list)):
-            ds = ray.data.read_parquet(pages_path, columns=cols)
+            ds = ray.data.read_parquet(pages_path, columns=cols,
+                                       override_num_blocks=cfg.read_num_blocks)
         else:
             ds = pages_path.select_columns(cols)
         if cfg.from_html:
@@ -116,10 +118,11 @@ def build_index(
         )
         # the bucket shuffle: dedup + docID assignment + bucket file writes
         manifest_rows = ds.groupby("bucket").map_groups(
-            DocBucketWriter(d["docs"]), batch_format="pyarrow"
+            DocBucketWriter(d["docs"], d["segments"], stem=cfg.stem),
+            batch_format="pyarrow",
         )
         rows = manifest_rows.take_all()
-        stage_secs["A_docs"] = time.perf_counter() - t0
+        stage_secs["A_docs_segments"] = time.perf_counter() - t0
         write_json_atomic(
             os.path.join(d["docs"], "_STAGE.json"),
             {
@@ -130,7 +133,8 @@ def build_index(
             },
         )
 
-    # ---- Stage B: per-bucket tokenize + partial segments -----------------
+    # ---- Stage B sweep: segments for any bucket the fused stage missed
+    # (resume over a pre-fusion checkpoint layout; normally a no-op) ----
     bucket_files = sorted(
         f for f in os.listdir(d["docs"]) if f.endswith(".parquet")
     )
@@ -143,23 +147,19 @@ def build_index(
         it for it in items
         if not seg_manifests.is_done(f"bucket_{it['bucket']:06d}")
     ]
-    seg_stats_rows = []
-    if pending or not os.path.isdir(d["segments"]):
+    if pending:
         # task form, not an actor pool: the worker-global stem cache
         # (stages/fulltext._worker_stemmer) gives actor-grade state
-        # amortization while reusing the already-warm worker processes —
-        # no per-actor startup on the critical path
-        seg_ds = ray.data.from_items(items).map_batches(
+        # amortization while reusing the already-warm worker processes
+        ray.data.from_items(pending).map_batches(
             segment_write_batch_fn(d["segments"], stem=cfg.stem),
             batch_size=1,
             batch_format="numpy",
-        )
-        seg_stats_rows = seg_ds.take_all()
-        stage_secs["B_segments"] = (
+        ).take_all()
+        stage_secs["B_segment_sweep"] = (
             time.perf_counter() - t0 - sum(stage_secs.values())
         )
-    else:
-        seg_stats_rows = seg_manifests.load_all()
+    seg_stats_rows = seg_manifests.load_all()
 
     # ---- Stage D data (needed before C completes, cheap): global stats ---
     num_docs = int(sum(int(r["num_docs"]) for r in seg_stats_rows))
@@ -176,21 +176,15 @@ def build_index(
     }
     write_json_atomic(d["stats"], stats)
 
-    # ---- Stage C: global merge shuffle by (term, salt_group) -------------
+    # ---- Stage C: global merge shuffle by term range-part ----------------
     merge_marker = os.path.join(d["shards"], "_STAGE.json")
     stage_c = read_json(merge_marker)
     if not (stage_c and stage_c.get("status") == "done"):
-        # a crashed merge may have left partial shard files; the merge is
-        # one atomic shuffle, so clean and redo it entirely
-        if os.path.isdir(d["shards"]):
-            for f in os.listdir(d["shards"]):
-                if f.endswith(".parquet"):
-                    os.unlink(os.path.join(d["shards"], f))
         seg_ds = ray.data.read_parquet(d["segments"])
         # content-determined range boundaries -> P vectorized partition
         # merges instead of |vocab|x|salts| per-group Python calls; range
         # (not hash) parts keep shard files term-contiguous for routing.
-        # The samples ride in the stage-B manifests; fall back to a
+        # The samples ride in the segment manifests; fall back to a
         # column-pruned sampling pass for pre-sample manifests (resume)
         sampled: list[str] = []
         have_samples = all(r.get("sampled") is not None for r in seg_stats_rows)
@@ -206,34 +200,34 @@ def build_index(
         seg_ds = seg_ds.map_batches(
             make_add_salt(cfg.buckets_per_salt_group), batch_format="pyarrow"
         ).map_batches(make_add_range_part(bounds), batch_format="pyarrow")
-        merged = seg_ds.groupby("part").map_groups(
-            merge_partition, batch_format="pyarrow"
+        # each reduce task writes its own term-contiguous shard file
+        # (atomic + per-part manifest -> per-part resume) and returns its
+        # route row, so no driver-side footer scan is needed
+        route_rows = seg_ds.groupby("part").map_groups(
+            ShardPartWriter(d["shards"]), batch_format="pyarrow"
+        ).take_all()
+        write_json_atomic(
+            merge_marker,
+            {"status": "done", "num_parts": len(route_rows),
+             "boundaries": bounds},
         )
-        # small row groups: the query side lazy-reads payload columns at
-        # row-group granularity, so this bounds per-term fetch I/O
-        merged.write_parquet(d["shards"], row_group_size=4096)
-        write_json_atomic(merge_marker, {"status": "done"})
         stage_secs["C_merge"] = (
             time.perf_counter() - t0 - sum(stage_secs.values())
         )
-
-    # shard file -> term range routing table (from parquet footers only)
-    shard_files = sorted(
-        f for f in os.listdir(d["shards"]) if f.endswith(".parquet")
-    )
-    routes = []
-    n_term_rows = 0
-    for f in shard_files:
-        pf = pq.ParquetFile(os.path.join(d["shards"], f))
-        tmin, tmax = None, None
-        for rg in range(pf.metadata.num_row_groups):
-            col = pf.metadata.row_group(rg).column(0)  # term
-            st = col.statistics
-            if st is not None and st.has_min_max:
-                tmin = st.min if tmin is None else min(tmin, st.min)
-                tmax = st.max if tmax is None else max(tmax, st.max)
-        n_term_rows += pf.metadata.num_rows
-        routes.append({"file": f, "term_min": tmin, "term_max": tmax})
+        routes = sorted(
+            ({"file": r["file"], "term_min": r["term_min"],
+              "term_max": r["term_max"], "num_rows": int(r["num_rows"])}
+             for r in route_rows),
+            key=lambda r: r["file"],
+        )
+    else:
+        routes = [
+            {"file": m["file"], "term_min": m["term_min"],
+             "term_max": m["term_max"], "num_rows": int(m["num_rows"])}
+            for m in PartitionManifests(d["shards"]).load_all()
+        ]
+    routes = [r for r in routes if r["num_rows"] > 0]
+    n_term_rows = sum(r["num_rows"] for r in routes)
 
     manifest = {
         "status": "done",

@@ -177,6 +177,49 @@ def _make_row(rng, vocab, hosts, row_idx: int, url: str):
     return html, text, golden_links
 
 
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def _all_urls(seed: int, n_rows: int, n_dup_pairs: int, n_hosts: int) -> list[str]:
+    rng = np.random.default_rng(seed + 1)
+    host_ranks = _zipf_ranks(rng, 1.2, n_hosts, n_rows)
+    n_unique = n_rows - n_dup_pairs
+    urls = [f"https://site{host_ranks[i]}.example/p/{i}" for i in range(n_unique)]
+    # duplicate rows reuse early urls, get later timestamps + fresh html
+    return urls + [urls[(i * 7) % n_unique] for i in range(n_dup_pairs)]
+
+
+def _build_rows(urls_slice: list[str], start_idx: int, seed: int,
+                vocab: list[str], hosts: list[int]):
+    """Rows [start_idx, start_idx+len(urls_slice)) of the corpus. Each
+    row's RNG is seeded by its global index, so any chunking of the row
+    space yields byte-identical output (chunk-parallel == serial)."""
+    rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+    links = {"src_url": [], "dst_url": []}
+    for off, url in enumerate(urls_slice):
+        i = start_idx + off
+        row_rng = np.random.default_rng(seed * 1_000_003 + i)
+        html, text, glinks = _make_row(row_rng, vocab, hosts, i, url)
+        rows["url"].append(url)
+        rows["warc_ts"].append(EPOCH + timedelta(seconds=i))
+        rows["html"].append(html.encode("utf-8"))
+        rows["text"].append(text)
+        h = zlib.crc32(url.encode()) % 100
+        rows["lang"].append("en" if h < 95 else ("da" if h % 2 else "de"))
+        for dst in glinks:
+            links["src_url"].append(url)
+            links["dst_url"].append(dst)
+    return pa.Table.from_pydict(rows, schema=PAGES_SCHEMA), links
+
+
 def generate_pages(
     pages_dir: str,
     *,
@@ -189,55 +232,50 @@ def generate_pages(
     golden_links_path: str | None = None,
 ) -> dict:
     """Write the pages corpus as Parquet files under ``pages_dir``.
-    Returns summary metadata. Deterministic for a given seed."""
+    Returns summary metadata. Deterministic for a given seed; when a
+    Ray session is live the per-file chunks are generated as parallel
+    Ray tasks (identical bytes either way — per-row seeding)."""
     os.makedirs(pages_dir, exist_ok=True)
     vocab = make_vocab(vocab_size, seed)
-    rng = np.random.default_rng(seed + 1)
     hosts = list(range(n_hosts))
-    host_ranks = _zipf_ranks(rng, 1.2, n_hosts, n_rows)
+    all_urls = _all_urls(seed, n_rows, n_dup_pairs, n_hosts)
+    n_files = max(1, (len(all_urls) + rows_per_file - 1) // rows_per_file)
 
-    n_unique = n_rows - n_dup_pairs
-    urls = [f"https://site{host_ranks[i]}.example/p/{i}" for i in range(n_unique)]
-    # duplicate rows reuse early urls, get later timestamps + fresh html
-    dup_targets = [urls[(i * 7) % n_unique] for i in range(n_dup_pairs)]
+    def chunk_args(f: int):
+        lo = f * rows_per_file
+        return all_urls[lo : lo + rows_per_file], lo
 
-    all_urls = urls + dup_targets
-    rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
-    links_rows = {"src_url": [], "dst_url": []}
-    for i, url in enumerate(all_urls):
-        row_rng = np.random.default_rng(seed * 1_000_003 + i)
-        html, text, glinks = _make_row(row_rng, vocab, hosts, i, url)
-        rows["url"].append(url)
-        rows["warc_ts"].append(EPOCH + timedelta(seconds=i))
-        rows["html"].append(html.encode("utf-8"))
-        rows["text"].append(text)
-        h = zlib.crc32(url.encode()) % 100
-        rows["lang"].append("en" if h < 95 else ("da" if h % 2 else "de"))
-        for dst in glinks:
-            links_rows["src_url"].append(url)
-            links_rows["dst_url"].append(dst)
+    def write_chunk(f: int, urls_slice, lo) -> dict:
+        table, links = _build_rows(urls_slice, lo, seed, vocab, hosts)
+        pq.write_table(table, os.path.join(pages_dir, f"pages_{f:05d}.parquet"),
+                       row_group_size=1000)
+        return links
 
-    schema = pa.schema(
-        [
-            ("url", pa.string()),
-            ("warc_ts", pa.timestamp("us")),
-            ("html", pa.binary()),
-            ("text", pa.string()),
-            ("lang", pa.string()),
-        ]
-    )
-    table = pa.Table.from_pydict(rows, schema=schema)
-    n_files = max(1, (n_rows + rows_per_file - 1) // rows_per_file)
-    for f in range(n_files):
-        part = table.slice(f * rows_per_file, rows_per_file)
-        if part.num_rows:
-            pq.write_table(part, os.path.join(pages_dir, f"pages_{f:05d}.parquet"),
-                           row_group_size=1000)
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and n_files > 4
+    except ImportError:
+        use_ray = False
+
+    if use_ray:
+        import ray
+
+        remote_chunk = ray.remote(write_chunk)
+        refs = [remote_chunk.remote(f, *chunk_args(f)) for f in range(n_files)]
+        link_parts = ray.get(refs)
+    else:
+        link_parts = [write_chunk(f, *chunk_args(f)) for f in range(n_files)]
+
+    links_rows = {
+        "src_url": [u for p in link_parts for u in p["src_url"]],
+        "dst_url": [u for p in link_parts for u in p["dst_url"]],
+    }
     if golden_links_path:
         pq.write_table(pa.Table.from_pydict(links_rows), golden_links_path)
     return {
         "n_rows": n_rows,
-        "n_unique_urls": n_unique,
+        "n_unique_urls": n_rows - n_dup_pairs,
         "n_files": n_files,
         "n_links": len(links_rows["src_url"]),
     }

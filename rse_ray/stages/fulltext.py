@@ -113,10 +113,18 @@ class DocBucketWriter:
     """map_groups callable for one url-bucket: exact dedup by url keeping
     the max-warc_ts row (upsert last-writer-wins, crawler.go:217-221),
     deterministic docID assignment, atomic per-bucket docs parquet.
-    Emits one manifest row. Skips buckets already marked done (resume)."""
+    Emits one manifest row. Skips buckets already marked done (resume).
 
-    def __init__(self, docs_dir: str) -> None:
+    With ``segments_dir`` set, the bucket's partial segment is built in
+    the SAME reduce task (write_segment on the in-memory table): the
+    docs checkpoint and the tokenize stage then share one task wave —
+    no barrier, no bucket re-read, half the task scheduling."""
+
+    def __init__(self, docs_dir: str, segments_dir: str | None = None,
+                 *, stem: bool = True) -> None:
         self.docs_dir = docs_dir
+        self.segments_dir = segments_dir
+        self.stem = stem
         self.manifests = PartitionManifests(docs_dir)
         self.__name__ = "DocBucketWriter"  # map_groups wants a named fn
 
@@ -128,6 +136,9 @@ class DocBucketWriter:
 
         prev = read_json(self.manifests.path(key))
         if prev and prev.get("status") == "done":
+            if self.segments_dir is not None:
+                write_segment(bucket, out_path, self.segments_dir,
+                              stem=self.stem)  # no-op if its manifest is done
             return _manifest_row(
                 bucket, prev["num_docs"], prev["num_input_rows"], out_path
             )
@@ -169,6 +180,9 @@ class DocBucketWriter:
             path=out_path,
             bytes=os.path.getsize(out_path),
         )
+        if self.segments_dir is not None:
+            write_segment(bucket, out_path, self.segments_dir,
+                          stem=self.stem, docs_table=docs)
         return _manifest_row(bucket, n_docs, n, out_path)
 
 
@@ -199,7 +213,7 @@ def _worker_stemmer() -> StemCache:
 
 
 def write_segment(bucket: int, docs_path: str, segments_dir: str,
-                  *, stem: bool = True) -> dict:
+                  *, stem: bool = True, docs_table: pa.Table | None = None) -> dict:
     """Build one bucket's partial segment: read the bucket docs parquet,
     tokenize (cached Porter), build term -> (docIDs, tfs, dls) posting
     runs (docs arrive in ascending doc_id order, so runs are born
@@ -224,7 +238,8 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
                  "payload_bytes", "path", "sampled")}
 
     stemmer = _worker_stemmer() if stem else None
-    docs = pq.read_table(docs_path, columns=["doc_id", "text"])
+    docs = (docs_table if docs_table is not None
+            else pq.read_table(docs_path, columns=["doc_id", "text"]))
     doc_ids = docs.column("doc_id").to_numpy()
     texts = docs.column("text").to_pylist()
 
@@ -462,3 +477,54 @@ def merge_partition(group: pa.Table) -> pa.Table:
         },
         schema=SHARD_SCHEMA,
     )
+
+
+class ShardPartWriter:
+    """map_groups callable for one merge range-part: runs
+    merge_partition and writes the part's term-contiguous shard parquet
+    ITSELF (atomic tmp+rename + per-part manifest), emitting only a
+    route row (file, term_min, term_max, num_rows).
+
+    Compared to a trailing write_parquet operator this (a) removes the
+    driver-side parquet-footer scan — the route comes back with the
+    task, (b) gives the merge per-PART resume (a killed merge skips
+    finished parts on re-run), matching the doc/segment stages'
+    checkpoint granularity."""
+
+    def __init__(self, shards_dir: str) -> None:
+        self.shards_dir = shards_dir
+        self.manifests = PartitionManifests(shards_dir)
+        self.__name__ = "ShardPartWriter"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = int(group.column("part")[0].as_py())
+        key = f"part_{part:05d}"
+        fname = f"{key}.parquet"
+        out_path = os.path.join(self.shards_dir, fname)
+        from rse_ray.state.manifest import read_json
+
+        prev = read_json(self.manifests.path(key))
+        if prev and prev.get("status") == "done":
+            return self._route_row(prev["file"], prev["term_min"],
+                                   prev["term_max"], prev["num_rows"])
+        merged = merge_partition(group)
+        write_file_atomic(
+            out_path,
+            lambda tmp: pq.write_table(merged, tmp, row_group_size=4096),
+        )
+        tmin = merged.column("term")[0].as_py() if merged.num_rows else None
+        tmax = merged.column("term")[-1].as_py() if merged.num_rows else None
+        self.manifests.mark_done(
+            key, part=part, file=fname, term_min=tmin, term_max=tmax,
+            num_rows=merged.num_rows, bytes=os.path.getsize(out_path),
+        )
+        return self._route_row(fname, tmin, tmax, merged.num_rows)
+
+    @staticmethod
+    def _route_row(fname, tmin, tmax, num_rows) -> pa.Table:
+        return pa.table(
+            {"file": pa.array([fname], type=pa.string()),
+             "term_min": pa.array([tmin], type=pa.string()),
+             "term_max": pa.array([tmax], type=pa.string()),
+             "num_rows": pa.array([int(num_rows)], type=pa.int64())}
+        )
