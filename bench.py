@@ -76,13 +76,16 @@ def run_headline(num_cpus: int, n_rows: int) -> dict:
     shutil.rmtree(index_dir, ignore_errors=True)
 
     t0 = time.perf_counter()
-    # config is FIXED (never derived from num_cpus): the N-vs-4N scaling
-    # criterion requires the identical job at both parallelism levels
+    # config derives only from the INPUT (never from num_cpus): the
+    # N-vs-4N scaling criterion requires the identical job at both
+    # parallelism levels. Buckets scale with corpus size so a bucket
+    # stays ~6k docs (the cache-friendly write_segment regime).
     manifest = build_index(
         pages_dir,
         index_dir,
-        BuildConfig(num_buckets=128, buckets_per_salt_group=8,
-                    merge_partitions=32, read_num_blocks=64,
+        BuildConfig(num_buckets=max(128, n_rows // 6250),
+                    buckets_per_salt_group=64,
+                    merge_partitions=64, read_num_blocks=64,
                     stem=True, from_html=True),
     )
     build_s = time.perf_counter() - t0
@@ -173,7 +176,7 @@ def main_scaling() -> None:
     # scaling uses a larger corpus than the per-round default so the
     # parallel compute dominates the (fixed) shuffle/scheduling floor —
     # the honest strong-scaling regime the N-vs-4N criterion measures
-    rows = int(os.environ.get("RSE_BENCH_SCALING_ROWS", "800000"))
+    rows = int(os.environ.get("RSE_BENCH_SCALING_ROWS", "3200000"))
     # generate outside the timed subprocesses (Ray-parallel chunk tasks)
     _ray_init(DEFAULT_CPUS)
     ensure_corpus(rows)

@@ -5,21 +5,25 @@ fetch -> extractMetadata -> upsert -> keyword intent becomes a bounded
 batch pipeline; Redis/Postgres shared state becomes two explicit
 shuffles plus durable per-partition checkpoints.
 
-    Stage A (docs):      read pages -> extract -> bucket -> dedup+docIDs
-                         -> docs/bucket_*.parquet  [checkpoint]
-    Stage B (segments):  per-bucket tokenize + posting-run encode
-                         -> segments/bucket_*.parquet  [checkpoint]
-    Stage C (merge):     groupby(term, salt_group) over compressed runs
-                         -> shards/*.parquet (term-range partitioned)
+    Stage A (fused):     read pages -> extract -> bucket -> dedup+docIDs
+                         + per-bucket tokenize + posting-run encode, all
+                         in one reduce task wave
+                         -> docs/bucket_*.parquet + segments/bucket_*
+                            .parquet  [two checkpoints per bucket]
+    Stage B (sweep):     segments for buckets the fused stage missed
+                         (resume over pre-fusion layouts; usually no-op)
+    Stage C (merge):     groupby(range part) over compressed runs;
+                         reducers splice runs bytewise and write their
+                         own shards/part_*.parquet  [per-part manifest]
     Stage D (stats):     N / avgdl / term & byte metrics from manifests
                          -> stats.json, _MANIFEST.json
 
-Resume: stages A and B skip partitions whose manifest is ``done``
-(writes are atomic tmp+rename, so a killed run leaves only complete
-partitions); stage C is a single shuffle re-run if its manifest is
-absent. All outputs are content-determined (docIDs from crc32+sort,
-salt from bucket), so a resumed or differently-parallel build yields
-the identical logical index (tests/test_build.py).
+Resume: every stage skips partitions whose manifest is ``done`` (writes
+are atomic tmp+rename, so a killed run leaves only complete
+partitions); stage C resumes per range-part. All outputs are
+content-determined (docIDs from crc32+sort, merge boundaries from
+hash-sampled terms), so a resumed or differently-parallel build yields
+the identical logical index (tests/test_determinism_resume.py).
 
 Scale: 10^12 docs -> num_buckets ~ 1e5..1e6 so a bucket is a few GB;
 locally the default is small. Only compressed posting runs cross the
@@ -60,6 +64,11 @@ class BuildConfig:
     from_html: bool = True       # False: trust the pre-extracted `text` column
     extract_batch_size: int = 256
     read_num_blocks: int | None = None  # fixed read fan-out (NOT cpu-derived)
+    # build segments inside the dedup reduce task (saves a stage at
+    # small scale, but couples the CPU-heavy tokenize to the shuffle's
+    # block-limited reduce parallelism — off by default so stage B
+    # scales as a free task pool)
+    fuse_segments: bool = False
     segment_concurrency: int | None = None   # kept for API-compat (unused)
     extra: dict = field(default_factory=dict)
 
@@ -118,7 +127,11 @@ def build_index(
         )
         # the bucket shuffle: dedup + docID assignment + bucket file writes
         manifest_rows = ds.groupby("bucket").map_groups(
-            DocBucketWriter(d["docs"], d["segments"], stem=cfg.stem),
+            DocBucketWriter(
+                d["docs"],
+                d["segments"] if cfg.fuse_segments else None,
+                stem=cfg.stem,
+            ),
             batch_format="pyarrow",
         )
         rows = manifest_rows.take_all()
@@ -148,6 +161,9 @@ def build_index(
         if not seg_manifests.is_done(f"bucket_{it['bucket']:06d}")
     ]
     if pending:
+        # largest buckets first (LPT): shortens the last-wave straggler
+        # tail of the task pool
+        pending.sort(key=lambda it: -os.path.getsize(it["path"]))
         # task form, not an actor pool: the worker-global stem cache
         # (stages/fulltext._worker_stemmer) gives actor-grade state
         # amortization while reusing the already-warm worker processes
@@ -180,7 +196,13 @@ def build_index(
     merge_marker = os.path.join(d["shards"], "_STAGE.json")
     stage_c = read_json(merge_marker)
     if not (stage_c and stage_c.get("status") == "done"):
-        seg_ds = ray.data.read_parquet(d["segments"])
+        # block count pinned to the reducer count: Ray's sort shuffle
+        # cost grows with map-block count (M x R shuffle objects +
+        # driver boundary machinery), and with range parts the reducers
+        # are row-balanced already — more map blocks buys nothing
+        seg_ds = ray.data.read_parquet(
+            d["segments"], override_num_blocks=cfg.merge_partitions
+        )
         # content-determined range boundaries -> P vectorized partition
         # merges instead of |vocab|x|salts| per-group Python calls; range
         # (not hash) parts keep shard files term-contiguous for routing.

@@ -149,8 +149,9 @@ class IndexReader:
 
     # decoded-postings LRU: head (Zipf) terms recur across queries, and
     # re-decoding a multi-MB posting run per query dominated p95. Budget
-    # is in postings (bounds memory: ~16B/posting decoded).
-    CACHE_POSTINGS_BUDGET = 4_000_000
+    # is in postings (bounds memory: ~16B/posting decoded -> ~1 GiB).
+    # Must comfortably exceed one query's terms or warm queries thrash.
+    CACHE_POSTINGS_BUDGET = 64_000_000
 
     def __init__(self, index_dir: str) -> None:
         from collections import OrderedDict
@@ -170,7 +171,10 @@ class IndexReader:
         return fi
 
     def _decoded(self, term: str):
-        """-> (ids_runs, tfs_runs, dls_runs, metas, df) or None, LRU-cached."""
+        """-> (ids, tfs, dls, (block_last, block_max_tf, block_min_dl),
+        df) or None, LRU-cached. Arrays are the globally docID-sorted
+        concatenation of the term's salt chunks, decoded jointly (one
+        vectorized varint pass per stream, codec.decode_runs_joint)."""
         got = self._term_cache.get(term)
         if got is not None:
             self._term_cache.move_to_end(term)
@@ -181,23 +185,23 @@ class IndexReader:
         if not runs:
             return None
         runs.sort(key=lambda r: r[0])  # salt chunks are doc-range disjoint
-        ids, tfs, dls, metas = [], [], [], []
-        df = 0
-        for _, payload, bm, rdf in runs:
-            d, t, l = decode_run(payload)
-            ids.append(d)
-            tfs.append(t)
-            dls.append(l)
-            metas.append(decode_block_meta(bm))
-            df += rdf
-        got = (ids, tfs, dls, metas, df)
-        n = int(sum(len(x) for x in ids))
+        from rse_ray.functions.codec import decode_runs_joint
+
+        ids, tfs, dls = decode_runs_joint([r[1] for r in runs])
+        metas = [decode_block_meta(r[2]) for r in runs]
+        block_meta = (
+            np.concatenate([m[0] for m in metas]),
+            np.concatenate([m[1] for m in metas]),
+            np.concatenate([m[2] for m in metas]),
+        )
+        df = int(sum(r[3] for r in runs))
+        got = (ids, tfs, dls, block_meta, df)
         self._term_cache[term] = got
-        self._cache_postings += n
+        self._cache_postings += len(ids)
         while (self._cache_postings > self.CACHE_POSTINGS_BUDGET
                and len(self._term_cache) > 1):
             _, old = self._term_cache.popitem(last=False)
-            self._cache_postings -= int(sum(len(x) for x in old[0]))
+            self._cache_postings -= len(old[0])
         return got
 
     def postings(self, term: str):
@@ -205,15 +209,10 @@ class IndexReader:
         if got is None:
             return None
         ids, tfs, dls, _, df = got
-        return (
-            np.concatenate(ids),
-            np.concatenate(tfs),
-            np.concatenate(dls),
-            df,
-        )
+        return (ids, tfs, dls, df)
 
     def postings_with_blocks(self, term: str):
-        """Like postings() but keeps per-run block metadata for BMW."""
+        """Like postings() but with the concatenated block metadata."""
         return self._decoded(term)
 
 
@@ -235,12 +234,70 @@ def _idf(N: int, df: int) -> float:
 
 
 def _rank_topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
-    """Top-k by (score desc, doc_id asc), deterministic."""
-    if len(doc_ids) == 0:
+    """Top-k by (score desc, doc_id asc), deterministic. Pre-filters
+    with an O(n) partition so the exact lexsort runs on ~k rows, not
+    millions (>= keeps every kth-score tie, so tie-breaks stay exact)."""
+    n = len(doc_ids)
+    if n == 0:
         return []
+    if n > max(4096, 4 * k):
+        kth = np.partition(scores, n - k)[n - k]
+        sel = np.flatnonzero(scores >= kth)
+        doc_ids, scores = doc_ids[sel], scores[sel]
     order = np.lexsort((doc_ids, -scores))
     top = order[:k]
     return [(int(doc_ids[i]), float(scores[i])) for i in top]
+
+
+class _DenseDocMap:
+    """doc_id <-> dense [0, N) mapping from the docs-checkpoint
+    manifests (doc_id = bucket << BITS | rank, ranks dense per bucket).
+    Enables an O(N)-array scatter-add accumulator instead of
+    unique+searchsorted over multi-million-row posting unions. Note:
+    sized by corpus doc count — a driver/actor-local accumulator is an
+    explicitly single-node shortcut; the scatter-gather path shards it."""
+
+    def __init__(self, index_dir: str) -> None:
+        from rse_ray.functions.ids import DOC_BUCKET_BITS
+        from rse_ray.state.manifest import PartitionManifests
+
+        rows = PartitionManifests(os.path.join(index_dir, "docs")).load_all()
+        if not rows:
+            raise FileNotFoundError("no docs manifests")
+        self._bits = DOC_BUCKET_BITS
+        self._mask = (1 << DOC_BUCKET_BITS) - 1
+        buckets = sorted((int(r["bucket"]), int(r["num_docs"])) for r in rows)
+        sizes = np.zeros(buckets[-1][0] + 1, dtype=np.int64)
+        for b, nd in buckets:
+            sizes[b] = nd
+        self.offsets = np.concatenate(([0], np.cumsum(sizes)))
+        self.N = int(self.offsets[-1])
+
+    def dense(self, ids: np.ndarray) -> np.ndarray:
+        return self.offsets[ids >> self._bits] + (ids & self._mask)
+
+    def docids(self, dense_idx: np.ndarray) -> np.ndarray:
+        b = np.searchsorted(self.offsets, dense_idx, side="right") - 1
+        return (b.astype(np.int64) << self._bits) | (dense_idx - self.offsets[b])
+
+
+def _accumulate_topk_dense(id_parts, contrib_parts, k, dmap: _DenseDocMap):
+    """Same sums and fp order as _accumulate_topk (one scatter-add per
+    term, sorted-term order), but into a dense corpus-sized array: no
+    unique/searchsorted over the posting union. Matched docs always
+    score > 0 (idf > 0, tf_part > 0), so acc > 0 == matched."""
+    if not id_parts:
+        return []
+    acc = np.zeros(dmap.N, dtype=np.float64)
+    for ids, contrib in zip(id_parts, contrib_parts):
+        acc[dmap.dense(ids)] += contrib
+    n = dmap.N
+    kth = np.partition(acc, n - k)[n - k] if n > k else 0.0
+    cand = np.flatnonzero(acc >= kth) if kth > 0 else np.flatnonzero(acc > 0)
+    docids = dmap.docids(cand)
+    scores = acc[cand]
+    order = np.lexsort((docids, -scores))[:k]
+    return [(int(docids[i]), float(scores[i])) for i in order]
 
 
 def _accumulate_topk(id_parts, contrib_parts, k):
@@ -264,6 +321,10 @@ class Searcher:
         self.N = int(self.reader.stats["num_docs"])
         self.avgdl = float(self.reader.stats["avgdl"])
         self.stem = bool(self.reader.stats.get("stem", True))
+        try:
+            self.dmap = _DenseDocMap(index_dir)
+        except (FileNotFoundError, OSError):
+            self.dmap = None  # index without docs checkpoint
 
     # ---- exhaustive TAAT (the rank-identity oracle-matching path) -------
     def search(self, query: str, k: int = 10, *, mode: str = "taat"):
@@ -280,6 +341,8 @@ class Searcher:
             tf_part = (tfs * (K1 + 1)) / (tfs + K1 * (1 - B + B * dls / self.avgdl))
             id_parts.append(ids)
             contrib_parts.append(w * tf_part)
+        if self.dmap is not None:
+            return _accumulate_topk_dense(id_parts, contrib_parts, k, self.dmap)
         return _accumulate_topk(id_parts, contrib_parts, k)
 
     # ---- block-max WAND -------------------------------------------------
@@ -290,35 +353,31 @@ class Searcher:
             got = self.reader.postings_with_blocks(term)
             if got is None:
                 continue
-            ids_runs, tfs_runs, dls_runs, metas, df = got
+            ids, tfs, dls, (last_docs, bmax_tf, bmin_dl), df = got
             w = qtf * _idf(self.N, df)
-            ids = np.concatenate(ids_runs)
-            tfs = np.concatenate(tfs_runs)
-            dls = np.concatenate(dls_runs)
             # per-block upper bounds from stored (last_doc, max_tf, min_dl)
-            last_docs = np.concatenate([m[0] for m in metas])
-            max_tf = np.concatenate([m[1] for m in metas]).astype(np.float64)
-            min_dl = np.concatenate([m[2] for m in metas]).astype(np.float64)
+            max_tf = bmax_tf.astype(np.float64)
+            min_dl = bmin_dl.astype(np.float64)
             ub = w * (max_tf * (K1 + 1)) / (
                 max_tf + K1 * (1 - B + B * min_dl / self.avgdl)
             )
-            # block start offsets: blocks are per-run BLOCK_SIZE slices
-            from rse_ray.functions.codec import BLOCK_SIZE
-
-            starts = []
-            base = 0
-            for r_ids, m in zip(ids_runs, metas):
-                nb = len(m[0])
-                starts.extend(base + j * BLOCK_SIZE for j in range(nb))
-                base += len(r_ids)
             cursors.append(
-                _TermCursor(term, w, ids, tfs, dls,
-                            np.asarray(starts, dtype=np.int64),
+                _TermCursor(term, w, ids, tfs, dls, None,
                             last_docs, ub, self.avgdl)
             )
         if not cursors:
             return []
-        return _bmw_topk(cursors, k)
+        if len(cursors) == 1:
+            # single-term: block bounds cannot prune (every posting's
+            # score is independent of other terms), so the segment
+            # machinery is pure overhead — score in one vectorized pass
+            # (identical kernel and fp order as TAAT -> identical ranks)
+            c = cursors[0]
+            tf_part = (c.tfs * (K1 + 1)) / (
+                c.tfs + K1 * (1 - B + B * c.dls / c.avgdl)
+            )
+            return _rank_topk(c.ids, c.w * tf_part, k)
+        return _bmw_topk(cursors, k, dmap=self.dmap)
 
 
 class _TermCursor:
@@ -374,7 +433,7 @@ class _TermCursor:
         return self.w * tf_part
 
 
-def _bmw_topk(cursors: list[_TermCursor], k: int):
+def _bmw_topk(cursors: list[_TermCursor], k: int, dmap=None):
     """Vectorized block-max top-k (the BMW idea executed segment-at-a-
     time instead of doc-at-a-time, so the hot path is numpy, not a
     Python heap loop per posting).
@@ -404,6 +463,23 @@ def _bmw_topk(cursors: list[_TermCursor], k: int):
     seg_starts[0] = -1
     seg_starts[1:] = bounds[:-1]  # segment i covers (seg_starts[i], bounds[i]]
 
+    # flat-bounds fast exit: when the upper bounds barely vary (uniform
+    # tf/dl distributions), the threshold can never overtake them and
+    # block skipping degenerates to exhaustive scoring with overhead —
+    # score everything in one TAAT-identical dense pass instead
+    if dmap is not None and nseg > 512:
+        top_ub = float(seg_ub.max())
+        med_ub = float(np.partition(seg_ub, nseg // 2)[nseg // 2])
+        if med_ub >= 0.5 * top_ub:
+            id_parts = [c.ids for c in cursors]
+            contrib_parts = []
+            for c in cursors:
+                tf_part = (c.tfs * (K1 + 1)) / (
+                    c.tfs + K1 * (1 - B + B * c.dls / c.avgdl)
+                )
+                contrib_parts.append(c.w * tf_part)
+            return _accumulate_topk_dense(id_parts, contrib_parts, k, dmap)
+
     # per-cursor posting ranges of every segment, one searchsorted pass
     cur_lo = [np.searchsorted(c.ids, seg_starts, side="right") for c in cursors]
     cur_hi = [np.searchsorted(c.ids, bounds, side="right") for c in cursors]
@@ -411,13 +487,29 @@ def _bmw_topk(cursors: list[_TermCursor], k: int):
     heap: list[tuple[float, int]] = []  # (score, -doc_id), min-heap of k best
     threshold = -math.inf
     order = np.argsort(-seg_ub, kind="stable")
-    CHUNK = 32  # segments scored together: amortizes numpy call overhead
-    for pos in range(0, nseg, CHUNK):
+    CHUNK = 128  # segments scored together: amortizes numpy call overhead
+    BULK_AFTER = 4  # chunks before giving up on skipping (see below)
+    pos = 0
+    n_chunks = 0
+    while pos < nseg:
         chunk = order[pos:pos + CHUNK]
+        pos += CHUNK
+        n_chunks += 1
         if len(heap) == k:
             if seg_ub[chunk[0]] < threshold:
                 break  # descending bounds: nothing later can qualify
-            chunk = chunk[seg_ub[chunk] >= threshold]
+            if n_chunks > BULK_AFTER:
+                # the threshold hasn't caught up with the bounds after
+                # several chunks — this query's blocks are unprunable
+                # (uniform bounds), so chunked processing is pure
+                # overhead. Finish in ONE vectorized pass over every
+                # remaining above-threshold segment: identical scoring,
+                # TAAT-like cost.
+                rest = order[pos - CHUNK:]
+                chunk = rest[seg_ub[rest] >= threshold]
+                pos = nseg
+            else:
+                chunk = chunk[seg_ub[chunk] >= threshold]
             if len(chunk) == 0:
                 continue
         id_parts, contrib_parts = [], []
@@ -426,9 +518,11 @@ def _bmw_topk(cursors: list[_TermCursor], k: int):
             sel = los < his
             if not sel.any():
                 continue
-            take = np.concatenate(
-                [np.arange(lo, hi) for lo, hi in zip(los[sel], his[sel])]
-            )
+            lens = his[sel] - los[sel]
+            # vectorized multi-range arange (no per-segment Python)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            take = (np.arange(int(lens.sum()), dtype=np.int64)
+                    - np.repeat(starts, lens) + np.repeat(los[sel], lens))
             tfs = c.tfs[take]
             dls = c.dls[take]
             tf_part = (tfs * (K1 + 1)) / (
@@ -438,14 +532,36 @@ def _bmw_topk(cursors: list[_TermCursor], k: int):
             contrib_parts.append(c.w * tf_part)
         if not id_parts:
             continue
-        uniq = np.unique(np.concatenate(id_parts))
-        acc = np.zeros(len(uniq), dtype=np.float64)
-        for ids, contrib in zip(id_parts, contrib_parts):
-            acc[np.searchsorted(uniq, ids)] += contrib
+        if dmap is not None and sum(len(p) for p in id_parts) > 65536:
+            # large chunk (the bulk finish, typically): dense scatter-add
+            # instead of unique+searchsorted over the posting union —
+            # same adds in the same sorted-term order, same sums
+            acc_d = np.zeros(dmap.N, dtype=np.float64)
+            for ids, contrib in zip(id_parts, contrib_parts):
+                acc_d[dmap.dense(ids)] += contrib
+            if len(heap) == k:
+                cand_d = np.flatnonzero(acc_d >= max(threshold, 1e-300))
+            else:
+                cand_d = np.flatnonzero(acc_d > 0)
+            uniq = dmap.docids(cand_d)
+            acc = acc_d[cand_d]
+        else:
+            uniq = np.unique(np.concatenate(id_parts))
+            acc = np.zeros(len(uniq), dtype=np.float64)
+            for ids, contrib in zip(id_parts, contrib_parts):
+                acc[np.searchsorted(uniq, ids)] += contrib
         if len(heap) == k:
             cand = np.flatnonzero(acc >= threshold)
         else:
             cand = np.arange(len(acc))
+        if len(cand) > 4 * max(k, 16):
+            # keep only the k best (plus kth-score ties) before the
+            # Python heap loop — exact, since anything below the kth
+            # score in this chunk can never enter the final top-k
+            sc = acc[cand]
+            if len(cand) > k:
+                kth = np.partition(sc, len(sc) - k)[len(sc) - k]
+                cand = cand[sc >= kth]
         for i in cand:
             item = (float(acc[i]), -int(uniq[i]))
             if len(heap) < k:
@@ -489,17 +605,10 @@ def make_shard_searcher_actor():
             if not runs:
                 return None
             runs.sort(key=lambda r: r[0])
-            ids, tfs, dls = [], [], []
-            df = 0
-            for _, payload, _, rdf in runs:
-                d, t, l = decode_run(payload)
-                ids.append(d)
-                tfs.append(t)
-                dls.append(l)
-                df += rdf
-            ids = np.concatenate(ids)
-            tfs = np.concatenate(tfs)
-            dls = np.concatenate(dls)
+            from rse_ray.functions.codec import decode_runs_joint
+
+            ids, tfs, dls = decode_runs_joint([r[1] for r in runs])
+            df = int(sum(r[3] for r in runs))
             tf_part = (tfs * (K1 + 1)) / (tfs + K1 * (1 - B + B * dls / self.avgdl))
             return ids, tf_part, df
 

@@ -6,15 +6,15 @@ Pipeline shape (pipelines/build.py):
       -> map_batches(extract_batch, pyarrow, zero-copy)   # M3/M4: html->text
       -> map_batches(add_bucket)                          # crc32(url) % B
       -> groupby(bucket).map_groups(DocBucketWriter)      # D1 dedup + docIDs
-      -> [per-bucket docs parquet on disk = checkpoint]
-    from_items(pending buckets)
-      -> map_batches(segment_write_batch_fn tasks)        # tokenize + encode
-      -> [per-bucket partial segment parquet = checkpoint]
+         [fused: write_segment in the same reduce task]   # tokenize + encode
+      -> [per-bucket docs + segment parquet = checkpoints]
+    (resume sweep: from_items(pending buckets)
+      -> map_batches(segment_write_batch_fn tasks))
     read_parquet(partial segments)
-      -> map_batches(add salt_group = bucket // K)        # skew salting
       -> map_batches(add salt_group, add range part)      # skew + routing keys
-      -> groupby(part).map_groups(merge_partition)        # THE term shuffle
-      -> write_parquet(shards)                            # term-range files
+      -> groupby(part).map_groups(ShardPartWriter)        # THE term shuffle;
+         each reduce task writes its term-contiguous      # splice-merge, no
+         shard file + manifest, returns a route row       # posting decode
 
 Scale notes (100 TB / 10^12 docs):
   * The only all-to-all exchanges are the bucket groupby (dedup) and the

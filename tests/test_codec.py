@@ -138,3 +138,29 @@ def test_splice_runs_equals_decode_concat():
         assert (mt == np.concatenate([p[1] for p in parts])).all()
         assert (md == np.concatenate([p[2] for p in parts])).all()
         assert (np.diff(ld) > 0).all()  # ascending across run joints
+
+
+def test_decode_runs_joint_exact():
+    from rse_ray.functions.codec import decode_runs_joint
+
+    rng = np.random.default_rng(23)
+    for trial in range(15):
+        n_runs = int(rng.integers(1, 7))
+        payloads, all_ids, all_tfs, all_dls = [], [], [], []
+        base = 0
+        for _ in range(n_runs):
+            n = int(rng.integers(1, 300))
+            ids = base + np.sort(
+                rng.choice(10**6, size=n, replace=False)
+            ).astype(np.int64)
+            base = int(ids[-1]) + int(rng.integers(1, 50))
+            tfs = rng.integers(1, 40, size=n).astype(np.int32)
+            dls = rng.integers(5, 200, size=n).astype(np.int32)
+            payloads.append(encode_run(ids, tfs, dls))
+            all_ids.append(ids)
+            all_tfs.append(tfs)
+            all_dls.append(dls)
+        d, t, l = decode_runs_joint(payloads)
+        assert (d == np.concatenate(all_ids)).all()
+        assert (t == np.concatenate(all_tfs)).all()
+        assert (l == np.concatenate(all_dls)).all()
