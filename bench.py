@@ -85,7 +85,8 @@ def run_headline(num_cpus: int, n_rows: int) -> dict:
         index_dir,
         BuildConfig(num_buckets=max(128, n_rows // 6250),
                     buckets_per_salt_group=64,
-                    merge_partitions=64, read_num_blocks=64,
+                    merge_partitions=max(64, n_rows // 50_000),
+                    read_num_blocks=64,
                     stem=True, from_html=True),
     )
     build_s = time.perf_counter() - t0
