@@ -118,3 +118,35 @@ def test_salting_splits_head_terms(ray_session, fixture_pages, tmp_path):
     # head term total df should be near corpus size
     best = max(by_term.items(), key=lambda kv: sum(df for _, df in kv[1]))
     assert sum(df for _, df in best[1]) > 300
+
+
+def test_resume_after_partial_merge(ray_session, fixture_pages, tmp_path):
+    """Simulate a crash MID-MERGE: drop some shard part files + their
+    manifests + the stage marker and final manifest, then resume. The
+    merge re-runs, finished parts are skipped (their manifests are
+    done), missing parts are rebuilt; result equals a full build."""
+    full = str(tmp_path / "full")
+    crash = str(tmp_path / "crash")
+    _build(fixture_pages["pages_dir"], full)
+    _build(fixture_pages["pages_dir"], crash)
+
+    shards_dir = os.path.join(crash, "shards")
+    parts = [f for f in sorted(os.listdir(shards_dir)) if f.endswith(".parquet")]
+    assert len(parts) > 3
+    survivors = {}
+    for v in parts[1:3]:
+        os.unlink(os.path.join(shards_dir, v))
+        os.unlink(os.path.join(shards_dir, "_manifests", v.replace(".parquet", ".json")))
+    for f in parts:
+        p = os.path.join(shards_dir, f)
+        if os.path.exists(p):
+            survivors[f] = os.path.getmtime(p)
+    os.unlink(os.path.join(shards_dir, "_STAGE.json"))
+    os.unlink(os.path.join(crash, "_MANIFEST.json"))
+
+    m = _build(fixture_pages["pages_dir"], crash)
+    assert m["status"] == "done"
+    assert _logical_index(crash) == _logical_index(full)
+    # finished parts were skipped, not rewritten
+    for f, mtime in survivors.items():
+        assert os.path.getmtime(os.path.join(shards_dir, f)) == mtime
