@@ -51,6 +51,32 @@ class MinHasher:
         h = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return np.min(h, axis=1)
 
+    def signatures_batch(self, tokens_list: list[list[str]],
+                         n: int = 3) -> np.ndarray:
+        """(len(tokens_list), num_perm) signatures — one hash matrix +
+        one reduceat over the whole batch instead of per-doc numpy
+        calls. Identical values to signature() per doc."""
+        xs, counts = [], []
+        for toks in tokens_list:
+            sh = shingles(toks, n)
+            counts.append(len(sh))
+            if sh:
+                xs.append(_shingle_hashes(sh) % np.uint64(_MERSENNE))
+        out = np.full((len(tokens_list), self.num_perm), _MERSENNE,
+                      dtype=np.uint64)
+        if not xs:
+            return out
+        x_all = np.concatenate(xs)
+        h = (self.a[:, None] * x_all[None, :] + self.b[:, None]) % np.uint64(
+            _MERSENNE
+        )
+        nonempty = np.flatnonzero(np.asarray(counts) > 0)
+        starts = np.concatenate(
+            ([0], np.cumsum([c for c in counts if c > 0])[:-1])
+        ).astype(np.int64)
+        out[nonempty] = np.minimum.reduceat(h, starts, axis=1).T
+        return out
+
     def band_keys(self, sig: np.ndarray, num_bands: int) -> list[int]:
         """LSH band hashes: split the signature into bands, hash each."""
         rows = self.num_perm // num_bands
@@ -76,17 +102,18 @@ def exact_jaccard(tokens_a: list[str], tokens_b: list[str], n: int = 3) -> float
 
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over token crc64-ish hashes (crc32 of token and of
-    token+salt concatenated for the high half). Deterministic."""
+    token+salt concatenated for the high half). Deterministic. Token
+    hashing is the only per-token Python; bit voting is one vectorized
+    unpack+sum over the whole doc."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        tb = t.encode("utf-8")
-        h = (zlib.crc32(tb) << 32) | zlib.crc32(tb + b"#hi")
-        bits = np.unpackbits(
-            np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
-        ).astype(np.int64)
-        acc += 2 * bits - 1
+    hs = np.fromiter(
+        ((zlib.crc32(tb) << 32) | zlib.crc32(tb + b"#hi")
+         for tb in (t.encode("utf-8") for t in tokens)),
+        dtype=np.uint64, count=len(tokens),
+    )
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1)
+    acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(tokens)
     out = np.packbits((acc > 0).astype(np.uint8))
     return int(np.frombuffer(out.tobytes(), dtype=np.uint64)[0])
 

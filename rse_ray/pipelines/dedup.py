@@ -89,10 +89,11 @@ class MinHashSignatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
+        sigs = self.mh.signatures_batch(
+            [t.split() for t in texts], self.shingle_n
+        )
         bands, keys, dids = [], [], []
-        for did, text in zip(ids, texts):
-            toks = text.split()
-            sig = self.mh.signature(toks, self.shingle_n)
+        for did, sig in zip(ids, sigs):
             for band, key in enumerate(self.mh.band_keys(sig, self.num_bands)):
                 bands.append(band)
                 keys.append(key)
