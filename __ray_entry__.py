@@ -147,6 +147,20 @@ def _q_fingerprint(sf_dir: str):
     return _finalize(fingerprints(_read(sf_dir, "documents", ["doc_id", "text"])))
 
 
+def _q_regex_token_counts(sf_dir: str):
+    from rse_ray.pipelines.text import regex_token_counts
+
+    return _finalize(regex_token_counts(_read(sf_dir, "documents",
+                                              ["doc_id", "text"])))
+
+
+def _q_winnow_fingerprints(sf_dir: str):
+    from rse_ray.pipelines.text import winnow_fingerprints
+
+    return _finalize(winnow_fingerprints(_read(sf_dir, "documents",
+                                               ["doc_id", "text"])))
+
+
 def _q_lang_id(sf_dir: str):
     from rse_ray.pipelines.text import lang_id
 
@@ -440,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (training-data ops)
         "quality_scores": _q_quality,
         "doc_fingerprints": _q_fingerprint,
+        "regex_token_counts": _q_regex_token_counts,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "lang_id": _q_lang_id,
         # dedup family
         "exact_dedup": _q_exact_dedup,
@@ -501,6 +517,13 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
              / count(*), 6) AS stopword_ratio
 FROM toks GROUP BY doc_id""",
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "regex_token_counts": """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_bpe_tokens
+FROM documents""".format(pat=__import__("rse_ray.pipelines.text",
+                                        fromlist=["BPE_PATTERN"])
+                         .BPE_PATTERN.replace("'", "''")),
         "exact_dedup": """
 SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
 FROM documents GROUP BY text""",

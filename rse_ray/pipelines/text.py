@@ -222,3 +222,62 @@ def lang_id(ds, *, concurrency: int | None = 4):
 
     return ds.map_batches(LangId, batch_format="pyarrow",
                           concurrency=clamp_pool(concurrency))
+
+
+# --------------------------------------------------------------------------
+# BPE-ish regex token counting + winnowing fingerprints
+# --------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer shape, restricted to constructs RE2 (DuckDB)
+# and Python `re` treat identically (no lookahead): contraction tails,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def regex_token_counts(ds):
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace tokens vs BPE-ish
+    regex pretokens — the two token-budget estimators a training-data
+    pipeline tracks. The regex is compiled once per task (module-level
+    cache), applied per batch."""
+    import re
+
+    pat = re.compile(BPE_PATTERN)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        ws = np.empty(n, dtype=np.int64)
+        bpe = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws[i] = len(t.split())
+            bpe[i] = len(pat.findall(t))
+        return pa.table(
+            {"doc_id": pa.array(ids), "n_ws_tokens": pa.array(ws),
+             "n_bpe_tokens": pa.array(bpe)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def winnow_fingerprints(ds, *, window: int = 64, mod_bits: int = 4):
+    """Winnowing/content-defined fingerprints: (doc_id, fp) rows, one
+    per selected rolling-hash position (flat-map: docs yield 0..n
+    rows). The fingerprint set is the content-defined-chunking key used
+    for shift-robust dedup."""
+    from rse_ray.functions.hashing import rolling_fingerprint
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_id, out_fp = [], []
+        for did, t in zip(ids, texts):
+            for fp in rolling_fingerprint(t, window=window, mod_bits=mod_bits):
+                out_id.append(int(did))
+                out_fp.append(fp)
+        return pa.table(
+            {"doc_id": pa.array(out_id, type=pa.int64()),
+             "fp": pa.array(out_fp, type=pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

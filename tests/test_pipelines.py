@@ -189,3 +189,41 @@ def test_rolling_fingerprint_properties():
     inter = len(set(fp) & set(fp2))
     assert inter / len(set(fp)) >= 0.5
     assert rolling_fingerprint("") == []
+
+
+def test_regex_token_counts_matches_sql(ray_session, duck):
+    from rse_ray.pipelines.text import BPE_PATTERN, regex_token_counts
+
+    got = _norm(regex_token_counts(_read("documents", ["doc_id", "text"]))
+                .to_pandas())
+    pat = BPE_PATTERN.replace("'", "''")
+    want = _norm(duck.sql(f"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+               len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_bpe_tokens
+        FROM documents""").df())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_winnow_fingerprints_oracle(ray_session):
+    """Ray flat-map == direct per-doc rolling_fingerprint calls, and
+    fingerprints are shift-robust (shared content -> shared fps)."""
+    import pyarrow.parquet as pq
+
+    from rse_ray.functions.hashing import rolling_fingerprint
+    from rse_ray.pipelines.text import winnow_fingerprints
+
+    got = (winnow_fingerprints(_read("documents", ["doc_id", "text"]))
+           .to_pandas().sort_values(["doc_id", "fp"]).reset_index(drop=True))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    rows = [(int(d), fp) for d, t in zip(docs["doc_id"], docs["text"])
+            for fp in rolling_fingerprint(t, window=64, mod_bits=4)]
+    want = (pd.DataFrame(rows, columns=["doc_id", "fp"])
+            .sort_values(["doc_id", "fp"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # shift-robustness: prefixing text leaves interior fingerprints shared
+    t = str(docs["text"].iloc[0])
+    a = set(rolling_fingerprint(t, window=64, mod_bits=4))
+    b = set(rolling_fingerprint("PREFIX " * 3 + t, window=64, mod_bits=4))
+    assert a & b
