@@ -303,6 +303,21 @@ def _q_window_agg(sf_dir: str):
                                       ["event_id", "ts", "event_type", "value"])))
 
 
+RECENCY_AS_OF = "2024-01-31"
+RECENCY_DELAY_DAYS = 14
+
+
+def _q_recency_filter(sf_dir: str):
+    from rse_ray.pipelines.relational import recency_filter
+
+    return _finalize(
+        recency_filter(
+            _read(sf_dir, "events", ["event_id", "ts", "event_type"]),
+            as_of=RECENCY_AS_OF, revisit_delay_days=RECENCY_DELAY_DAYS,
+        )
+    )
+
+
 def _q_distinct(sf_dir: str):
     from rse_ray.pipelines.relational import distinct_lang_source
 
@@ -326,24 +341,50 @@ def _q_reference_relevance(sf_dir: str):
     )
 
 
+LINKGRAPH_DIR = "/tmp/rse_ray_cache/linkgraph_pages_2000_g"
+MEDIA_DIR = "/tmp/rse_ray_cache/media_real_96"
+
+
 def _linkgraph_corpus() -> str:
     """Deterministic cached pages corpus for the link-graph queries (no
-    html/link tables exist in testdata; pages are the fixture corpus)."""
+    html/link tables exist in testdata; pages are the fixture corpus).
+    Also writes the GENERATOR's golden links table (the hrefs it
+    planted, independent of the extraction pipeline) so the link-graph
+    queries are DuckDB-oracle-able via read_parquet."""
     import json
 
     from rse_ray.sources.fixtures import generate_pages
 
-    pages_dir = "/tmp/rse_ray_cache/linkgraph_pages_2000"
+    pages_dir = LINKGRAPH_DIR
     marker = os.path.join(pages_dir, "_DONE.json")
     if not os.path.exists(marker):
         import shutil
 
         shutil.rmtree(pages_dir, ignore_errors=True)
-        meta = generate_pages(pages_dir, n_rows=2000, n_dup_pairs=0, seed=11,
-                              rows_per_file=500)
+        os.makedirs(pages_dir, exist_ok=True)
+        meta = generate_pages(
+            pages_dir, n_rows=2000, n_dup_pairs=0, seed=11,
+            rows_per_file=500,
+            golden_links_path=os.path.join(pages_dir, "golden_links.parquet"),
+        )
         with open(marker, "w") as f:
             json.dump(meta, f)
     return pages_dir
+
+
+def _linkgraph_pages_paths() -> list[str]:
+    """Only the pages_*.parquet files (golden_links.parquet lives in
+    the same dir and must not enter the pages read)."""
+    d = _linkgraph_corpus()
+    return [os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.startswith("pages_") and f.endswith(".parquet")]
+
+
+def _media_fixture_dir() -> str:
+    from rse_ray.pipelines.multimodal import write_real_media_fixture
+
+    write_real_media_fixture(MEDIA_DIR, n=96, seed=5)
+    return MEDIA_DIR
 
 
 def _q_link_extract(sf_dir: str):
@@ -351,7 +392,7 @@ def _q_link_extract(sf_dir: str):
 
     from rse_ray.pipelines.linkgraph import extract_links
 
-    return _finalize(extract_links(ray.data.read_parquet(_linkgraph_corpus())))
+    return _finalize(extract_links(ray.data.read_parquet(_linkgraph_pages_paths())))
 
 
 def _q_backlink_counts(sf_dir: str):
@@ -359,7 +400,7 @@ def _q_backlink_counts(sf_dir: str):
 
     from rse_ray.pipelines.linkgraph import backlink_counts, extract_links
 
-    links = extract_links(ray.data.read_parquet(_linkgraph_corpus()))
+    links = extract_links(ray.data.read_parquet(_linkgraph_pages_paths()))
     return _finalize(backlink_counts(links))
 
 
@@ -369,23 +410,190 @@ def _q_reference_rank(sf_dir: str):
     from rse_ray.pipelines.linkgraph import extract_links, reference_search
     from rse_ray.sources.fixtures import make_vocab
 
-    pages = ray.data.read_parquet(_linkgraph_corpus())
+    pages = ray.data.read_parquet(_linkgraph_pages_paths())
     links = extract_links(pages)
     vocab = make_vocab(10_000, 11)
     query = f"{vocab[0]} {vocab[2]} {vocab[0]}"
-    return _finalize(reference_search(pages, links, query, stem=True))
+    df = reference_search(pages, links, query, stem=True)
+    # 6dp: kills float sum-order noise so the SQL oracle matches exactly
+    df["rank"] = df["rank"].round(6)
+    return _finalize(df)
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing demo over a deterministic fake media table
-    (no media tables exist in testdata; decode backend is a stub —
-    see rse_ray/pipelines/multimodal.py)."""
+    """REAL multimodal decode over a deterministic BMP/WAV corpus (no
+    media tables exist in testdata): payloads are actual encoded
+    containers, the decode is pure numpy, and the features are oracled
+    against the generator's golden parquet (computed from the raw
+    arrays before encoding — the full round trip must be bit-exact)."""
     import ray.data
 
-    from rse_ray.pipelines.multimodal import make_fake_media_table, media_features
+    from rse_ray.pipelines.multimodal import media_features
 
-    ds = ray.data.from_arrow(make_fake_media_table(n=64, seed=5))
-    return _finalize(media_features(ds))
+    d = _media_fixture_dir()
+    ds = ray.data.read_parquet(os.path.join(d, "media.parquet"))
+    return _finalize(media_features(ds, backend="real"))
+
+
+# ---------------------------------------------------------------------------
+# generated oracle SQL (computed from the same constants the Ray side uses)
+# ---------------------------------------------------------------------------
+
+def _lang_id_sql() -> str:
+    """DuckDB replica of pipelines/text.LangId: per-doc lowercase-letter
+    counts (case-sensitive replace — the Ray histogram only counts
+    bytes 97..122), dot product against the unit-normalized profiles,
+    argmax with ties broken lang-ascending (np.argmax takes the first
+    maximum over the asc-sorted lang list)."""
+    import numpy as np
+
+    from rse_ray.pipelines.text import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+    letters = sorted({ch for p in _LANG_PROFILES.values() for ch in p})
+    mat = np.zeros((len(langs), 26), dtype=np.float64)
+    for li, lang in enumerate(langs):
+        for ch, w in _LANG_PROFILES[lang].items():
+            mat[li, ord(ch) - 97] = w
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norm == 0, 1, norm)
+    counts = ",\n         ".join(
+        f"(length(text) - length(replace(text, '{ch}', '')))::DOUBLE AS c_{ch}"
+        for ch in letters
+    )
+    sims = []
+    for li, lang in enumerate(langs):
+        terms = " + ".join(
+            f"c_{ch} * {mat[li, ord(ch) - 97]!r}"
+            for ch in letters if mat[li, ord(ch) - 97] != 0.0
+        )
+        sims.append(f"SELECT doc_id, '{lang}' AS lang, {terms} AS sim FROM c")
+    union = "\nUNION ALL ".join(sims)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         {counts}
+  FROM documents
+), sims AS (
+{union}
+)
+SELECT doc_id, lang AS lang_pred FROM sims
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY sim DESC, lang ASC) = 1"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB replica of functions/hashing.simhash64 + the pair scan:
+    token hash = md5_number_lower (little-endian high 8 digest bytes,
+    byte-identical to the Python side), bit votes, signature, then all
+    pairs with bit_count(xor) <= max_hamming. Exact — the Ray side's
+    4-quarter prefix trick is guaranteed-recall at Hamming <= 3, so
+    both sides enumerate the identical pair set."""
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, md5_number_lower(tok) AS h FROM toks0 WHERE tok <> ''
+), bits AS (
+  SELECT doc_id, b, sum(2 * ((h >> b) & 1)::BIGINT - 1) AS acc
+  FROM th, unnest(range(0, 64)) AS r(b)
+  GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT
+             END)::UBIGINT AS s
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}"""
+
+
+def _winnow_sql(window: int = 64, mod_bits: int = 4) -> str:
+    """DuckDB replica of functions/hashing.rolling_fingerprint: the
+    Rabin-Karp window hash rewritten as its closed form — a 64-term
+    weighted byte sum mod 2^31-1 (each term < 2^39, 64 terms < 2^45,
+    safely inside BIGINT before the single mod). Short docs emit the
+    whole-document polynomial hash ungated."""
+    base, mod = 257, (1 << 31) - 1
+    powers = ", ".join(
+        f"({e}, {pow(base, e, mod)})" for e in range(window)
+    )
+    mask = (1 << mod_bits) - 1
+    return f"""
+WITH pw(e, w) AS (VALUES {powers}),
+ex AS (
+  SELECT doc_id, length(text) AS L,
+         unnest(range(1, length(text) + 1)) AS i, text
+  FROM documents
+), byte AS (
+  SELECT doc_id, L, i, unicode(substr(text, i::INT, 1))::BIGINT AS v FROM ex
+), win AS (
+  SELECT a.doc_id, a.i, (sum(b.v * pw.w) % {mod}) AS hv
+  FROM byte a
+  JOIN byte b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i - {window - 1} AND a.i
+  JOIN pw ON pw.e = a.i - b.i
+  WHERE a.L >= {window} AND a.i >= {window}
+  GROUP BY a.doc_id, a.i
+), short AS (
+  SELECT doc_id, (sum(v * pw.w) % {mod}) AS hv
+  FROM byte JOIN pw ON pw.e = L - i
+  WHERE L < {window} AND L > 0
+  GROUP BY doc_id
+)
+SELECT doc_id, hv::BIGINT AS fp FROM win WHERE (hv & {mask}) = 0
+UNION ALL
+SELECT doc_id, hv::BIGINT AS fp FROM short"""
+
+
+def _reference_rank_sql() -> str:
+    """DuckDB replica of pipelines/linkgraph.reference_search over the
+    generator-golden fixtures: relevance = query-tf x page-tf where the
+    Porter stemming is PRECOMPUTED here (the full vocab is stemmed and
+    every word sharing a query stem enters the VALUES list with that
+    stem's query tf — SQL then only needs lower+split+join), and rank
+    is the reference's degenerate PageRank over the golden links."""
+    from collections import Counter
+
+    from rse_ray.functions.tokenizer import porter_stem, tokenize
+    from rse_ray.sources.fixtures import make_vocab
+
+    vocab = make_vocab(10_000, 11)
+    query = f"{vocab[0]} {vocab[2]} {vocab[0]}"
+    qtf = Counter(tokenize(query, stem=True))
+    matched: dict[str, int] = {}
+    for w in set(vocab):
+        s = porter_stem(w)
+        if s in qtf:
+            matched[w] = qtf[s]
+    values = ", ".join(f"('{w}', {q})" for w, q in sorted(matched.items()))
+    pages_glob = os.path.join(LINKGRAPH_DIR, "pages_*.parquet")
+    links = os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+    return f"""
+WITH toks0 AS (
+  SELECT url, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+  FROM read_parquet('{pages_glob}')
+), q(term, w) AS (VALUES {values}),
+rel AS (
+  SELECT url, sum(w)::BIGINT AS relevance
+  FROM toks0 JOIN q USING (term) GROUP BY url
+),
+bl AS (
+  SELECT src_url, count(*)::BIGINT AS n
+  FROM read_parquet('{links}')
+  WHERE dst_url IN (SELECT url FROM rel)
+  GROUP BY src_url
+),
+contrib AS (
+  SELECT bl.src_url AS url, COALESCE(r.relevance, 0)::DOUBLE / bl.n AS c
+  FROM bl LEFT JOIN rel r ON r.url = bl.src_url
+),
+tot AS (SELECT COALESCE(sum(c), 0)::DOUBLE AS t FROM contrib)
+SELECT r.url, r.relevance,
+       round((1.0 + tot.t - COALESCE(c2.c, 0)) * 0.85, 6) AS rank
+FROM rel r CROSS JOIN tot LEFT JOIN contrib c2 ON c2.url = r.url"""
 
 
 # ---------------------------------------------------------------------------
@@ -475,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_customers": _q_semi_join,
         "orders_by_segment": _q_orders_by_segment,
         "window_agg": _q_window_agg,
+        "recency_filter": _q_recency_filter,
         "distinct_lang_source": _q_distinct,
         "json_props_sum": _q_json_sum,
         # link graph (reference M5/A2/A3/A4 capability)
@@ -519,7 +728,9 @@ FROM toks GROUP BY doc_id""",
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
         "regex_token_counts": """
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+       (CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+        END)::BIGINT AS n_ws_tokens,
        len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_bpe_tokens
 FROM documents""".format(pat=__import__("rse_ray.pipelines.text",
                                         fromlist=["BPE_PATTERN"])
@@ -533,7 +744,7 @@ QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1""",
         "ngram_jaccard_pairs": """
 WITH dd AS (SELECT doc_id,
-            list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            list_filter(regexp_split_to_array(text, '\\s+'),
                         x -> x <> '') AS arr FROM documents),
 sh AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
        FROM dd, unnest(range(1, len(arr) - 1)) AS t(i)),
@@ -546,6 +757,29 @@ SELECT doc_a, doc_b,
        round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
 FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE c::DOUBLE / (sa.n + sb.n - c) >= {th}""".format(th=JACCARD_THRESHOLD),
+        # minhash verify emits (pair, exact jaccard >= 0.5); with the
+        # fixture corpora's near-dup pairs all far above the LSH recall
+        # knee (128 perms / 16 bands), the candidate set provably
+        # contains every pair >= 0.5 — so exact-jaccard SQL is a sound
+        # oracle (verified at sf0.01 and sf0.1; tests pin agreement)
+        "minhash_dedup_pairs": """
+WITH dd AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> x <> '') AS arr FROM documents),
+sh AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+       FROM dd, unnest(range(1, len(arr) - 1)) AS t(i)),
+p AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM p GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS c
+          FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5""",
+        "simhash_dup_pairs": _simhash_sql(max_hamming=3),
+        "winnow_fingerprints": _winnow_sql(window=64, mod_bits=4),
+        "lang_id": _lang_id_sql(),
         "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id IN ({ids})),
@@ -605,6 +839,11 @@ GROUP BY c_mktsegment""",
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "recency_filter": """
+SELECT event_id, ts, event_type FROM events
+WHERE ts < TIMESTAMP '{as_of}' - INTERVAL {days} DAY""".format(
+            as_of=RECENCY_AS_OF, days=RECENCY_DELAY_DAYS
+        ),
         "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
         "json_props_sum": """
 SELECT event_type,
@@ -617,8 +856,29 @@ SELECT doc_id, sum(q.qtf * p.tf)::BIGINT AS relevance
 FROM p JOIN q USING (term) GROUP BY doc_id""".format(
             terms=BM25_QUERY_SQL_TERMS
         ),
-        # rows-only (non-SQL-expressible): lang_id, minhash_dedup_pairs,
-        # simhash_dup_pairs, knn_cosine_lsh, media_features, and the
-        # html-parsing link-graph trio (link_extract, backlink_counts,
-        # reference_rank — pytest-oracled in tests/test_linkgraph.py)
+        # link-graph trio: oracled against the GENERATOR's golden
+        # links/text (what the fixture planted, independent of the
+        # extraction pipeline) via read_parquet
+        "link_extract": """
+SELECT src_url, dst_url
+FROM read_parquet('{links}')""".format(
+            links=os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+        ),
+        "backlink_counts": """
+SELECT dst_url, count(*)::BIGINT AS n_backlinks
+FROM read_parquet('{links}') GROUP BY dst_url""".format(
+            links=os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+        ),
+        "reference_rank": _reference_rank_sql(),
+        # real-decode round trip: golden features computed by the
+        # generator from the raw arrays BEFORE encoding
+        "media_features": """
+SELECT media_id, kind, n_values, v_mean, v_std, v_min, v_max,
+       width, height
+FROM read_parquet('{golden}')""".format(
+            golden=os.path.join(MEDIA_DIR, "golden_features.parquet")
+        ),
+        # rows-only (genuinely non-SQL-expressible): knn_cosine_lsh —
+        # an APPROXIMATE search whose probe set depends on seeded
+        # Gaussian hyperplanes (pytest recall oracle instead)
     }

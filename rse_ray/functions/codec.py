@@ -96,11 +96,13 @@ def varint_decode(buf: bytes, count: int) -> np.ndarray:
             raise ValueError("varint stream longer than expected")
         return out
     b = np.frombuffer(buf, dtype=np.uint8)
-    if len(b) == count:
+    if len(b) == count and not (b & 0x80).any():
         # all-single-byte stream: the dominant case for dense docID
         # deltas (head terms), tfs and dls — one masked cast, no
-        # boundary bookkeeping
-        return (b & 0x7F).astype(np.uint64)
+        # boundary bookkeeping. The continuation-bit check keeps
+        # malformed streams (a multi-byte varint in a count-sized
+        # buffer) on the validating path below, which raises.
+        return b.astype(np.uint64)
     is_last = (b & 0x80) == 0
     if int(is_last.sum()) != count:
         raise ValueError(

@@ -100,37 +100,62 @@ def exact_jaccard(tokens_a: list[str], tokens_b: list[str], n: int = 3) -> float
     return inter / union if union else 0.0
 
 
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+_BIT_POW = np.uint64(1) << _BIT_IDX
+
+
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token crc64-ish hashes (crc32 of token and of
-    token+salt concatenated for the high half). Deterministic. Token
-    hashing is the only per-token Python; bit voting is one vectorized
-    unpack+sum over the whole doc."""
+    """64-bit SimHash. The per-token hash is md5's HIGH 8 digest bytes
+    read little-endian — exactly DuckDB's ``md5_number_lower(tok)`` —
+    so the whole signature is reproducible in SQL (the driver oracle
+    recomputes it): bit b of the signature is set iff
+    sum over tokens of (2*((h >> b) & 1) - 1) > 0. Deterministic;
+    token hashing is the only per-token Python, bit voting is one
+    vectorized shift+sum over the whole doc."""
     if not tokens:
         return 0
+    import hashlib
+
     hs = np.fromiter(
-        ((zlib.crc32(tb) << 32) | zlib.crc32(tb + b"#hi")
-         for tb in (t.encode("utf-8") for t in tokens)),
+        (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:], "little")
+         for t in tokens),
         dtype=np.uint64, count=len(tokens),
     )
-    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1)
+    bits = (hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)
     acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(tokens)
-    out = np.packbits((acc > 0).astype(np.uint8))
-    return int(np.frombuffer(out.tobytes(), dtype=np.uint64)[0])
+    return int(_BIT_POW[acc > 0].sum(dtype=np.uint64))
 
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+_RK_BASE = 257
+_RK_MOD = (1 << 31) - 1
+
+
+def poly_hash(data: bytes) -> int:
+    """Polynomial hash Σ data[i]*BASE^(n-1-i) mod 2^31-1 — the same
+    family the rolling window uses, so the short-document fallback of
+    rolling_fingerprint is SQL-reproducible (a weighted sum + one mod,
+    no crc32 needed)."""
+    h = 0
+    for b in data:
+        h = (h * _RK_BASE + b) % _RK_MOD
+    return h
+
+
 def rolling_fingerprint(text: str, window: int = 64, mod_bits: int = 6) -> list[int]:
     """Winnowing-style content-defined fingerprints: Rabin-Karp rolling
     hash over bytes, keep hashes that are 0 mod 2^mod_bits. Used for
-    document fingerprinting / container-defined chunking."""
+    document fingerprinting / container-defined chunking. Documents
+    shorter than the window emit one whole-document polynomial hash
+    (ungated), so every non-empty doc has >=1 fingerprint."""
     data = text.encode("utf-8")
     if len(data) < window:
-        return [zlib.crc32(data)] if data else []
-    BASE = 257
-    MOD = (1 << 31) - 1
+        return [poly_hash(data)] if data else []
+    BASE = _RK_BASE
+    MOD = _RK_MOD
     pw = pow(BASE, window - 1, MOD)
     h = 0
     out = []

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -36,6 +37,28 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.where(norms == 0, 1, norms)
 
 
+def _fetch_query_vectors(ds, query_ids) -> dict[int, np.ndarray]:
+    """Distributed point lookup of O(|query_ids|) rows: each task
+    filters its own batch down to the requested vec_ids, so only the
+    matching rows ever reach the driver (the corpus is scanned by the
+    cluster, never streamed through the driver)."""
+    wanted = sorted({int(q) for q in query_ids})
+
+    def pick(batch: pa.Table) -> pa.Table:
+        vs = pa.array(wanted, type=batch.column("vec_id").type)
+        return batch.filter(pc.is_in(batch.column("vec_id"), value_set=vs))
+
+    qvecs: dict[int, np.ndarray] = {}
+    picked = ds.map_batches(pick, batch_format="pyarrow")
+    for batch in picked.iter_batches(batch_format="pyarrow"):
+        if batch.num_rows == 0:
+            continue
+        ids, mat = _batch_matrix(batch)
+        for i, vid in enumerate(ids):
+            qvecs[int(vid)] = mat[i]
+    return qvecs
+
+
 def brute_force_knn(ds, query_ids: list[int], k: int = 10,
                     *, round_to: int | None = 6) -> pd.DataFrame:
     """Exact cosine top-k for each query vector (excluding self).
@@ -43,15 +66,8 @@ def brute_force_knn(ds, query_ids: list[int], k: int = 10,
     neighbor_id asc) per-query order."""
     import ray
 
-    qset = set(int(q) for q in query_ids)
-
-    # pass 1 (cheap, small): fetch the query vectors themselves
-    qvecs = {}
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        ids, mat = _batch_matrix(batch)
-        for i, vid in enumerate(ids):
-            if int(vid) in qset:
-                qvecs[int(vid)] = mat[i]
+    # pass 1 (cheap, small): the query vectors, via distributed filter
+    qvecs = _fetch_query_vectors(ds, query_ids)
     q_ids = sorted(qvecs)
     Q = _normalize(np.stack([qvecs[q] for q in q_ids]))
     q_ref = ray.put((q_ids, Q))
@@ -133,15 +149,9 @@ def lsh_knn(ds, query_ids: list[int], k: int = 10, *, n_planes: int = 8,
     from rse_ray.util import clamp_pool
 
     concurrency = clamp_pool(concurrency)
-    qset = set(int(q) for q in query_ids)
 
-    # pass 1 (cheap): the query vectors themselves
-    qvecs = {}
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        ids, mat = _batch_matrix(batch)
-        for i, vid in enumerate(ids):
-            if int(vid) in qset:
-                qvecs[int(vid)] = mat[i]
+    # pass 1 (cheap): the query vectors, via distributed filter
+    qvecs = _fetch_query_vectors(ds, query_ids)
     q_ids = sorted(qvecs)
     Q = _normalize(np.stack([qvecs[q] for q in q_ids]))
 
@@ -246,27 +256,88 @@ def label_centroids(ds, *, round_to: int = 6):
     )
 
 
-def cosine_neardup_pairs(ds, *, threshold: float = 0.8,
-                         by: str = "label") -> pd.DataFrame:
-    """Embedding near-dup: within-bucket all-pairs cosine >= threshold.
-    Bucketing by `label` (or LSH) keeps each matmul b x b."""
+def cosine_neardup_pairs(ds, *, threshold: float = 0.8, by: str = "label",
+                         max_bucket: int = 2048) -> pd.DataFrame:
+    """Embedding near-dup: within-bucket all-pairs cosine >= threshold
+    (exact within each `by` bucket).
+
+    A skewed bucket (one hot label holding a large share of the corpus)
+    must not concentrate an unbounded n x n matmul in one task: labels
+    larger than ``max_bucket`` are split into ceil(n/max_bucket)
+    deterministic chunks (splitmix hash of vec_id, so the split is
+    independent of parallelism) and every CHUNK PAIR (a <= b) becomes
+    its own group — each task's matmul is then at most
+    ~max_bucket x max_bucket, while coverage stays exact: an unordered
+    vector pair with home chunks (h1, h2) is examined exactly once, in
+    group (min, max). Rows replicate nchunks times only within
+    oversized labels; labels that fit in one chunk pay nothing extra.
+    """
+    import math
+
+    # tiny pre-pass (label column only): bucket sizes -> chunk counts
+    counts = {
+        int(r[by]): int(r["count()"])
+        for r in ds.select_columns([by, "vec_id"]).groupby(by).count().take_all()
+    }
+    nchunks = {lab: max(1, math.ceil(c / max_bucket))
+               for lab, c in counts.items()}
+    if nchunks and max(nchunks.values()) >= (1 << 11):
+        raise ValueError("label too hot: >2^11 chunks; raise max_bucket")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        labels = batch.column(by).to_numpy().astype(np.int64)
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        n = len(ids)
+        nc = np.fromiter((nchunks.get(int(l), 1) for l in labels),
+                         dtype=np.int64, count=n)
+        home = (
+            (ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(33)
+        ).astype(np.int64) % nc
+        rep = np.repeat(np.arange(n, dtype=np.int64), nc)
+        offs = np.concatenate(([0], np.cumsum(nc)[:-1])) if n else nc
+        other = (np.arange(int(nc.sum()), dtype=np.int64)
+                 - np.repeat(offs, nc))
+        hh = np.repeat(home, nc)
+        ll = np.repeat(labels, nc)
+        lo = np.minimum(hh, other)
+        hi = np.maximum(hh, other)
+        gkey = (ll << 22) | (lo << 11) | hi
+        return pa.table(
+            {"gkey": pa.array(gkey),
+             "chunk": pa.array(hh.astype(np.int32)),
+             "vec_id": pa.array(np.repeat(ids, nc)),
+             "embedding": pc.take(batch.column("embedding"),
+                                  pa.array(rep))}
+        )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        gkey = int(g["gkey"].iloc[0])
+        a, b = (gkey >> 11) & 0x7FF, gkey & 0x7FF
         ids = g["vec_id"].to_numpy().astype(np.int64)
         mat = _normalize(np.stack(
             [np.asarray(v, dtype=np.float64) for v in g["embedding"]]
         ))
-        sims = mat @ mat.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        sel = sims[iu, ju] >= threshold
-        a = np.minimum(ids[iu[sel]], ids[ju[sel]])
-        b = np.maximum(ids[iu[sel]], ids[ju[sel]])
+        if a == b:
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            sel = sims[iu, ju] >= threshold
+            va, vb = ids[iu[sel]], ids[ju[sel]]
+            cs = sims[iu[sel], ju[sel]]
+        else:
+            ch = g["chunk"].to_numpy()
+            ia, ib = np.flatnonzero(ch == a), np.flatnonzero(ch == b)
+            sims = mat[ia] @ mat[ib].T
+            ii, jj = np.nonzero(sims >= threshold)
+            va, vb, cs = ids[ia[ii]], ids[ib[jj]], sims[ii, jj]
         return pd.DataFrame(
-            {"vec_a": a, "vec_b": b,
-             "cos": np.round(sims[iu[sel], ju[sel]], 6)}
+            {"vec_a": np.minimum(va, vb), "vec_b": np.maximum(va, vb),
+             "cos": np.round(cs, 6)}
         )
 
-    res = ds.groupby(by).map_groups(bucket_pairs, batch_format="pandas")
+    res = ds.map_batches(explode, batch_format="pyarrow").groupby(
+        "gkey"
+    ).map_groups(bucket_pairs, batch_format="pandas")
     out = res.to_pandas()
     if out.empty:
         return pd.DataFrame({"vec_a": pd.array([], dtype="int64"),

@@ -73,6 +73,30 @@ class BuildConfig:
     extra: dict = field(default_factory=dict)
 
 
+def _bucketed_pages(pages_path, cfg: BuildConfig):
+    """pages source -> (url, warc_ts, text, bucket) dataset: the shared
+    stage-A front half (pruned read, html extract, bucket key)."""
+    import ray.data
+
+    cols = (["url", "warc_ts", "html"] if cfg.from_html
+            else ["url", "warc_ts", "text"])
+    if isinstance(pages_path, (str, list)):
+        ds = ray.data.read_parquet(pages_path, columns=cols,
+                                   override_num_blocks=cfg.read_num_blocks)
+    else:
+        ds = pages_path.select_columns(cols)
+    if cfg.from_html:
+        ds = ds.map_batches(
+            extract_batch,
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            zero_copy_batch=True,
+        )
+    return ds.map_batches(
+        make_add_bucket(cfg.num_buckets), batch_format="pyarrow"
+    )
+
+
 def _dirs(index_dir: str) -> dict:
     return {
         "docs": os.path.join(index_dir, "docs"),
@@ -109,22 +133,7 @@ def build_index(
     docs_manifests = PartitionManifests(d["docs"])
     stage_a = read_json(os.path.join(d["docs"], "_STAGE.json"))
     if not (stage_a and stage_a.get("status") == "done"):
-        cols = ["url", "warc_ts", "html"] if cfg.from_html else ["url", "warc_ts", "text"]
-        if isinstance(pages_path, (str, list)):
-            ds = ray.data.read_parquet(pages_path, columns=cols,
-                                       override_num_blocks=cfg.read_num_blocks)
-        else:
-            ds = pages_path.select_columns(cols)
-        if cfg.from_html:
-            ds = ds.map_batches(
-                extract_batch,
-                batch_format="pyarrow",
-                batch_size=cfg.extract_batch_size,
-                zero_copy_batch=True,
-            )
-        ds = ds.map_batches(
-            make_add_bucket(cfg.num_buckets), batch_format="pyarrow"
-        )
+        ds = _bucketed_pages(pages_path, cfg)
         # the bucket shuffle: dedup + docID assignment + bucket file writes
         manifest_rows = ds.groupby("bucket").map_groups(
             DocBucketWriter(
@@ -193,9 +202,41 @@ def build_index(
     write_json_atomic(d["stats"], stats)
 
     # ---- Stage C: global merge shuffle by term range-part ----------------
+    # Fingerprint of everything that determines a part's content: the
+    # reducer count plus the identity of every input segment (boundaries
+    # derive deterministically from these). A resumed merge only reuses
+    # parts (and the stage marker) carrying the same fingerprint.
+    import hashlib
+    import json as _json
+
+    fp_src = _json.dumps(
+        {
+            "merge_partitions": cfg.merge_partitions,
+            "salt": cfg.buckets_per_salt_group,
+            "segments": sorted(
+                [str(r.get("partition")), int(r.get("num_terms", -1)),
+                 int(r.get("payload_bytes", -1))]
+                for r in seg_stats_rows
+            ),
+        },
+        sort_keys=True,
+    )
+    merge_fp = hashlib.sha1(fp_src.encode("utf-8")).hexdigest()[:16]
+
     merge_marker = os.path.join(d["shards"], "_STAGE.json")
     stage_c = read_json(merge_marker)
-    if not (stage_c and stage_c.get("status") == "done"):
+    if not (stage_c and stage_c.get("status") == "done"
+            and stage_c.get("fingerprint") == merge_fp):
+        # invalidate parts left by a crashed/differently-configured
+        # merge: delete both the stale file and its manifest so the
+        # shuffle below rebuilds them
+        shard_manifests = PartitionManifests(d["shards"])
+        for m in shard_manifests.load_all():
+            if m.get("fingerprint") != merge_fp:
+                stale = os.path.join(d["shards"], m.get("file") or "")
+                if m.get("file") and os.path.exists(stale):
+                    os.unlink(stale)
+                os.unlink(shard_manifests.path(m["partition"]))
         # block count pinned to the reducer count: Ray's sort shuffle
         # cost grows with map-block count (M x R shuffle objects +
         # driver boundary machinery), and with range parts the reducers
@@ -226,12 +267,13 @@ def build_index(
         # (atomic + per-part manifest -> per-part resume) and returns its
         # route row, so no driver-side footer scan is needed
         route_rows = seg_ds.groupby("part").map_groups(
-            ShardPartWriter(d["shards"]), batch_format="pyarrow"
+            ShardPartWriter(d["shards"], fingerprint=merge_fp),
+            batch_format="pyarrow",
         ).take_all()
         write_json_atomic(
             merge_marker,
             {"status": "done", "num_parts": len(route_rows),
-             "boundaries": bounds},
+             "boundaries": bounds, "fingerprint": merge_fp},
         )
         stage_secs["C_merge"] = (
             time.perf_counter() - t0 - sum(stage_secs.values())
@@ -268,3 +310,106 @@ def build_index(
     }
     write_json_atomic(d["manifest"], manifest)
     return manifest
+
+
+def refresh_index(pages_path, index_dir: str,
+                  cfg: BuildConfig | None = None) -> dict:
+    """M8 incremental re-index — the reference's shouldVisit revisit
+    policy (crawler.go:230-244) applied to the batch build: only pages
+    NEWER than their bucket's recorded watermark re-enter the pipeline.
+
+      1. recency filter: fresh = rows with warc_ts > watermark[bucket]
+         (a bucket never seen before counts as all-fresh); the filter
+         is a per-batch predicate over the new pages source only.
+      2. changed buckets re-run the dedup reduce over (their existing
+         docs rows ∪ fresh rows) — last-writer-wins upsert semantics,
+         exactly the full build's DocBucketWriter.
+      3. changed buckets' segment checkpoints are invalidated; stage B
+         rebuilds just those. The merge fingerprint then mismatches
+         (segment set changed), so stage C rebuilds its parts — the
+         same invalidation path a crashed merge uses.
+
+    Untouched buckets keep their docs + segment files byte-identical;
+    the result equals a from-scratch build over (old ∪ fresh) as long
+    as fresh rows are genuinely newer than the watermark (stale rows
+    are dropped — that IS the recency semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    cfg = cfg or BuildConfig()
+    d = _dirs(index_dir)
+    docs_manifests = PartitionManifests(d["docs"])
+    prev = {int(m["bucket"]): m for m in docs_manifests.load_all()}
+    if not prev:
+        return build_index(pages_path, index_dir, cfg)
+
+    watermarks = {
+        b: np.datetime64(m["watermark"]) for b, m in prev.items()
+        if m.get("watermark")
+    }
+
+    def keep_fresh(batch: pa.Table) -> pa.Table:
+        bk = batch.column("bucket").to_numpy()
+        ts = batch.column("warc_ts").to_numpy()
+        floor = np.datetime64("1677-09-22")  # min datetime64[us] era
+        wm = np.array([watermarks.get(int(x), floor) for x in bk])
+        return batch.filter(pa.array(ts > wm))
+
+    # small by construction: the incremental batch, post-filter
+    fresh = _bucketed_pages(pages_path, cfg).map_batches(
+        keep_fresh, batch_format="pyarrow"
+    ).materialize()
+    changed = sorted(int(b) for b in fresh.unique("bucket"))
+    if not changed:
+        existing = read_json(d["manifest"])
+        if existing:
+            return existing
+        return build_index(pages_path, index_dir, cfg)
+
+    # existing docs rows of the changed buckets rejoin the dedup
+    old_files = [
+        prev[b]["path"] for b in changed
+        if b in prev and os.path.exists(prev[b].get("path", ""))
+    ]
+    union_in = fresh
+    if old_files:
+        old_ds = ray.data.read_parquet(
+            old_files, columns=["url", "warc_ts", "text"]
+        ).map_batches(
+            make_add_bucket(cfg.num_buckets), batch_format="pyarrow"
+        )
+        union_in = fresh.union(old_ds)
+    # pin the inputs before invalidating the checkpoints they come from
+    union_in = union_in.materialize()
+
+    for b in changed:
+        key = f"bucket_{b:06d}"
+        for stage_dir in (d["docs"], d["segments"]):
+            mp = PartitionManifests(stage_dir).path(key)
+            if os.path.exists(mp):
+                os.unlink(mp)
+            fp = os.path.join(stage_dir, f"{key}.parquet")
+            if os.path.exists(fp):
+                os.unlink(fp)
+
+    union_in.groupby("bucket").map_groups(
+        DocBucketWriter(d["docs"], None, stem=cfg.stem),
+        batch_format="pyarrow",
+    ).take_all()
+
+    rows = docs_manifests.load_all()
+    write_json_atomic(
+        os.path.join(d["docs"], "_STAGE.json"),
+        {
+            "status": "done",
+            "num_buckets": len(rows),
+            "num_docs": sum(int(r["num_docs"]) for r in rows),
+            "num_input_rows": sum(int(r["num_input_rows"]) for r in rows),
+            "refreshed_buckets": changed,
+        },
+    )
+    # final manifest is stale; stages B-D resume off the checkpoints
+    if os.path.exists(d["manifest"]):
+        os.unlink(d["manifest"])
+    return build_index(pages_path, index_dir, cfg)

@@ -107,7 +107,7 @@ class MinHashSignatures:
 
 def minhash_candidate_pairs(ds, *, num_perm=128, num_bands=16, shingle_n=3,
                             concurrency: int | None = 4, max_bucket: int = 64,
-                            num_parts: int = 32):
+                            num_parts: int = 32, dedup_stage: bool = True):
     """LSH candidate pairs: docs sharing any band bucket. Returns
     (doc_a, doc_b) with doc_a < doc_b, deduplicated across bands.
 
@@ -157,44 +157,125 @@ def minhash_candidate_pairs(ds, *, num_perm=128, num_bands=16, shingle_n=3,
     pairs = sig.map_batches(add_part, batch_format="pyarrow").groupby(
         "part"
     ).map_groups(part_pairs, batch_format="pandas")
+    if not dedup_stage:
+        # caller handles cross-band dedup (e.g. driver-side on the tiny
+        # collected pair list) — skips one all-to-all shuffle
+        return pairs
     # cross-band dedup: a pair can surface under several band hashes
     return pairs.groupby("part2").map_groups(dedup_part, batch_format="pandas")
 
 
 def minhash_dedup_pairs(ds, *, threshold: float = 0.8, num_perm=128,
-                        num_bands=16, shingle_n=3, concurrency: int = 4):
+                        num_bands=16, shingle_n=3, concurrency: int = 4,
+                        num_parts: int = 32):
     """Full near-dup: LSH candidates verified with EXACT n-gram Jaccard
-    >= threshold. The verify joins candidate pairs back to texts via a
-    broadcast dict (candidate sets are small; at fleet scale this
-    becomes a bucketed join on doc_id)."""
+    >= threshold.
+
+    The verify is a distributed two-stage hash-partition join — no
+    corpus data ever crosses the driver:
+
+      1. the candidate ID pairs (small: ints only) pick out the texts
+         they need via a DISTRIBUTED is_in filter over the corpus; the
+         filtered (doc_id, text) set is materialized once (it is
+         O(candidate docs), not O(corpus)) and reused by both join
+         stages;
+      2. stage 1 co-partitions candidates by doc_a % P with the texts
+         by doc_id % P and attaches text_a inside each partition task;
+      3. stage 2 re-partitions the (pair, text_a) rows by doc_b % P
+         against the same text set, attaches text_b, and computes the
+         exact shingle Jaccard in the task.
+
+    Only the qualifying (doc_a, doc_b, jaccard) rows return to the
+    driver. Text duplication across pairs is bounded by the candidate
+    generator's max_bucket cap."""
     import ray
 
     from rse_ray.functions.hashing import exact_jaccard
 
+    empty = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                          "doc_b": pd.array([], dtype="int64"),
+                          "jaccard": pd.array([], dtype="float64")})
     cands = minhash_candidate_pairs(
         ds, num_perm=num_perm, num_bands=num_bands, shingle_n=shingle_n,
-        concurrency=concurrency,
-    ).to_pandas()
+        concurrency=concurrency, dedup_stage=False,
+    ).to_pandas()  # ID pairs only — small by construction
     if cands.empty:
-        return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                             "doc_b": pd.array([], dtype="int64"),
-                             "jaccard": pd.array([], dtype="float64")})
-    needed = set(cands["doc_a"]) | set(cands["doc_b"])
-    texts = {}
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        for did, t in zip(batch.column("doc_id").to_pylist(),
-                          batch.column("text").to_pylist()):
-            if did in needed:
-                texts[did] = t
-    rows = []
-    for a, b in zip(cands["doc_a"], cands["doc_b"]):
-        j = exact_jaccard(texts[int(a)].split(), texts[int(b)].split(), shingle_n)
-        if j >= threshold:
-            rows.append((int(a), int(b), round(j, 6)))
-    rows.sort()
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
-        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        return empty
+    cands = cands.drop_duplicates(["doc_a", "doc_b"])  # cross-band dedup
+    P = num_parts
+    doc_a = cands["doc_a"].to_numpy().astype(np.int64)
+    doc_b = cands["doc_b"].to_numpy().astype(np.int64)
+    needed_ref = ray.put(np.unique(np.concatenate([doc_a, doc_b])))
+
+    # rows tagged b == -1 are text carriers: (part, a=doc_id, -1, text)
+    def pick_texts(batch: pa.Table) -> pa.Table:
+        need = ray.get(needed_ref)
+        vs = pa.array(need, type=batch.column("doc_id").type)
+        t = batch.filter(pc.is_in(batch.column("doc_id"), value_set=vs))
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {"part": pa.array((ids % P).astype(np.int32)),
+             "a": pa.array(ids),
+             "b": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+             "text": t.column("text").cast(pa.string())}
+        )
+
+    texts_ds = ds.map_batches(
+        pick_texts, batch_format="pyarrow"
+    ).materialize()  # small: candidate docs only
+
+    import ray.data as rd
+
+    cand_tbl = pa.table(
+        {"part": pa.array((doc_a % P).astype(np.int32)),
+         "a": pa.array(doc_a),
+         "b": pa.array(doc_b),
+         "text": pa.array([""] * len(doc_a), type=pa.string())}
     )
+
+    def attach_a(g: pd.DataFrame) -> pa.Table:
+        # arrow output: the result unions with texts_ds (arrow blocks)
+        # into another sort-shuffle, and Ray's sort can't mix block types
+        tx = g[g["b"] < 0]
+        lookup = dict(zip(tx["a"].astype("int64"), tx["text"]))
+        cd = g[g["b"] >= 0]
+        b = cd["b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"part": pa.array((b % P).astype(np.int32)),
+             "a": pa.array(cd["a"].to_numpy().astype(np.int64)),
+             "b": pa.array(b),
+             "text": pa.array([lookup[int(x)] for x in cd["a"]],
+                              type=pa.string())}
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        tx = g[g["b"] < 0]
+        lookup = dict(zip(tx["a"].astype("int64"), tx["text"]))
+        cd = g[g["b"] >= 0]
+        out_a, out_b, out_j = [], [], []
+        for a, b, ta in zip(cd["a"], cd["b"], cd["text"]):
+            j = exact_jaccard(ta.split(), lookup[int(b)].split(), shingle_n)
+            if j >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(round(j, 6))
+        return pd.DataFrame(
+            {"doc_a": pd.array(out_a, dtype="int64"),
+             "doc_b": pd.array(out_b, dtype="int64"),
+             "jaccard": pd.array(out_j, dtype="float64")}
+        )
+
+    stage1 = texts_ds.union(rd.from_arrow(cand_tbl)).groupby(
+        "part"
+    ).map_groups(attach_a, batch_format="pandas")
+    res = texts_ds.union(stage1).groupby("part").map_groups(
+        verify, batch_format="pandas"
+    ).to_pandas()
+    if res.empty:
+        return empty
+    return res.astype(
+        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+    ).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------

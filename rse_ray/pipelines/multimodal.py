@@ -2,13 +2,21 @@
 columns with typed metadata; decode / feature-extract / resize /
 frame-sample are actor-pool map_batches stages.
 
-The container has no media libraries (no PIL/ffmpeg/torchvision), so
-the DECODE KERNEL is stubbed: ``backend="stub"`` produces a
-deterministic fake decode (seeded from the payload bytes), and
-``backend="real"`` raises NotImplementedError at actor construction
-with the exact dependency needed. Everything AROUND the kernel — the
-schema contract, batch sizing for large binary payloads, actor
-signature, output layout — is real and tested (tests/test_multimodal).
+The container has no media libraries (no PIL/ffmpeg/torchvision).
+Two decode paths exist:
+
+  * ``backend="real"`` — an actual decode of uncompressed containers
+    with pure numpy (functions/media.py): 24-bit BMP images and PCM
+    s16 WAV audio. Bytes go in, pixel/sample arrays come out, and the
+    features are computed from the decoded arrays; a golden features
+    parquet written by the GENERATOR (from the raw arrays, pre-encode)
+    oracles the full encode->ship->decode->feature round trip.
+  * ``backend="stub"`` — a deterministic fake decode (byte histogram)
+    standing in for compressed formats (JPEG/MP3/H.264) whose codecs
+    aren't in the container; exercised for plumbing tests.
+
+Video decode remains stubbed (no pure-numpy container is honest for
+video); its frame-sample plumbing runs through the stub path.
 
 Schema contract:
 
@@ -39,10 +47,10 @@ class MediaDecoder:
     feature vectors + decoded metadata."""
 
     def __init__(self, backend: str = "stub", feature_dim: int = FEATURE_DIM):
-        if backend != "stub":
+        if backend not in ("stub",):
             raise NotImplementedError(
-                "real media decoding needs PIL/ffmpeg, which are not in "
-                "this environment; use backend='stub'"
+                "MediaDecoder is the stub path; use RealMediaDecoder / "
+                "media_features(backend='real') for BMP/WAV decode"
             )
         self.feature_dim = feature_dim
         # stand-in for model load: a fixed projection matrix
@@ -89,6 +97,63 @@ class MediaDecoder:
         )
 
 
+class RealMediaDecoder:
+    """Actor-pool REAL decode stage: BMP pixels / WAV samples out of
+    the payload bytes (functions/media.py), features computed from the
+    decoded arrays. Output schema is shared with the golden features
+    parquet the fixture generator writes."""
+
+    def __init__(self) -> None:
+        # decode kernels bound once per actor
+        from rse_ray.functions.media import (
+            decode_bmp,
+            decode_wav,
+            value_features,
+        )
+
+        self._decode_bmp = decode_bmp
+        self._decode_wav = decode_wav
+        self._features = value_features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        rows = {"media_id": [], "kind": [], "n_values": [], "v_mean": [],
+                "v_std": [], "v_min": [], "v_max": [], "width": [],
+                "height": []}
+        for mid, kind, payload in zip(ids, kinds, payloads):
+            if kind == "image":
+                px = self._decode_bmp(payload)
+                f = self._features(px)
+                w, h = px.shape[1], px.shape[0]
+            elif kind == "audio":
+                samples, _rate = self._decode_wav(payload)
+                f = self._features(samples)
+                w, h = -1, -1
+            else:
+                raise NotImplementedError(
+                    f"real decode for kind={kind!r} (use the stub path)"
+                )
+            rows["media_id"].append(int(mid))
+            rows["kind"].append(kind)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            for k, v in f.items():
+                rows[k].append(v)
+        return pa.table(
+            {"media_id": pa.array(rows["media_id"], type=pa.int64()),
+             "kind": pa.array(rows["kind"], type=pa.string()),
+             "n_values": pa.array(rows["n_values"], type=pa.int64()),
+             "v_mean": pa.array(rows["v_mean"], type=pa.float64()),
+             "v_std": pa.array(rows["v_std"], type=pa.float64()),
+             "v_min": pa.array(rows["v_min"], type=pa.int64()),
+             "v_max": pa.array(rows["v_max"], type=pa.int64()),
+             "width": pa.array(rows["width"], type=pa.int64()),
+             "height": pa.array(rows["height"], type=pa.int64())}
+        )
+
+
 def media_features(ds, *, concurrency: int = 2, batch_size: int = 32,
                    backend: str = "stub"):
     """media table -> feature table. Small batch_size: payloads are the
@@ -96,6 +161,13 @@ def media_features(ds, *, concurrency: int = 2, batch_size: int = 32,
     from rse_ray.util import clamp_pool
 
     concurrency = clamp_pool(concurrency)
+    if backend == "real":
+        return ds.map_batches(
+            RealMediaDecoder,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
         MediaDecoder,
         fn_constructor_kwargs={"backend": backend},
@@ -103,6 +175,91 @@ def media_features(ds, *, concurrency: int = 2, batch_size: int = 32,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def write_real_media_fixture(out_dir: str, *, n: int = 96,
+                             seed: int = 5) -> dict:
+    """Deterministic REAL media corpus: BMP images and WAV audio whose
+    payloads are actual encoded containers. Writes
+
+        out_dir/media.parquet            (media_id, kind, payload, meta)
+        out_dir/golden_features.parquet  features computed from the RAW
+                                         arrays BEFORE encoding
+
+    The pipeline decodes the payloads and recomputes the same features;
+    matching the golden parquet proves the encode->decode round trip
+    bit-exact (it is not circular: golden values never see the codec).
+    Idempotent via a _DONE marker."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rse_ray.functions.media import encode_bmp, encode_wav, value_features
+
+    marker = os.path.join(out_dir, "_DONE.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return _json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    media = {"media_id": [], "kind": [], "payload": [], "meta": []}
+    golden = {"media_id": [], "kind": [], "n_values": [], "v_mean": [],
+              "v_std": [], "v_min": [], "v_max": [], "width": [],
+              "height": []}
+    for i in range(n):
+        if i % 2 == 0:
+            h = int(rng.integers(8, 48))
+            w = int(rng.integers(8, 48))
+            px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            payload = encode_bmp(px)
+            feats = value_features(px)
+            kind, width, height = "image", w, h
+            meta = {"width": w, "height": h}
+        else:
+            ns = int(rng.integers(256, 4096))
+            samples = rng.integers(-32768, 32768, size=ns).astype(np.int16)
+            payload = encode_wav(samples, rate=8000)
+            feats = value_features(samples)
+            kind, width, height = "audio", -1, -1
+            meta = {"n_samples": ns, "rate": 8000}
+        media["media_id"].append(i)
+        media["kind"].append(kind)
+        media["payload"].append(payload)
+        media["meta"].append(_json.dumps(meta))
+        golden["media_id"].append(i)
+        golden["kind"].append(kind)
+        golden["width"].append(width)
+        golden["height"].append(height)
+        for k, v in feats.items():
+            golden[k].append(v)
+    pq.write_table(
+        pa.table(
+            {"media_id": pa.array(media["media_id"], type=pa.int64()),
+             "kind": pa.array(media["kind"], type=pa.string()),
+             "payload": pa.array(media["payload"], type=pa.binary()),
+             "meta": pa.array(media["meta"], type=pa.string())}
+        ),
+        os.path.join(out_dir, "media.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"media_id": pa.array(golden["media_id"], type=pa.int64()),
+             "kind": pa.array(golden["kind"], type=pa.string()),
+             "n_values": pa.array(golden["n_values"], type=pa.int64()),
+             "v_mean": pa.array(golden["v_mean"], type=pa.float64()),
+             "v_std": pa.array(golden["v_std"], type=pa.float64()),
+             "v_min": pa.array(golden["v_min"], type=pa.int64()),
+             "v_max": pa.array(golden["v_max"], type=pa.int64()),
+             "width": pa.array(golden["width"], type=pa.int64()),
+             "height": pa.array(golden["height"], type=pa.int64())}
+        ),
+        os.path.join(out_dir, "golden_features.parquet"),
+    )
+    meta_out = {"n": n, "seed": seed, "dir": out_dir}
+    with open(marker, "w") as f:
+        _json.dump(meta_out, f)
+    return meta_out
 
 
 def make_fake_media_table(n: int = 64, seed: int = 5) -> pa.Table:

@@ -233,3 +233,21 @@ def json_props_sum(events_ds):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def recency_filter(events_ds, *, as_of: str, revisit_delay_days: int,
+                   keep_cols: list[str] | None = None):
+    """M8 recency filter — the reference's shouldVisit revisit policy
+    (crawler/src/crawler/crawler/crawler.go:230-244, RevisitDelay at
+    crawler.go:30): a row is DUE FOR REVISIT iff its last-seen ts is
+    older than as_of - delay. Pure per-batch predicate scan (no
+    shuffle); at the fleet scale this is the filter that sizes the
+    incremental re-crawl frontier."""
+    cutoff = np.datetime64(as_of) - np.timedelta64(revisit_delay_days, "D")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy()
+        out = batch.filter(pa.array(ts < cutoff))
+        return out.select(keep_cols) if keep_cols else out
+
+    return events_ds.map_batches(fn, batch_format="pyarrow")

@@ -202,12 +202,19 @@ class LangId:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
-        hist = np.zeros((len(texts), 26), dtype=np.float64)
-        for i, t in enumerate(texts):
-            for ch in t:
-                o = ord(ch)
-                if 97 <= o <= 122:
-                    hist[i, o - 97] += 1.0
+        n = len(texts)
+        # one bincount over the whole batch: chars outside latin-1 can
+        # never be a-z, so encode(..., "ignore") drops them losslessly
+        # for the histogram (same counts as the per-char scan)
+        bufs = [t.encode("latin-1", "ignore") for t in texts]
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+        arr = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        valid = (arr >= 97) & (arr <= 122)
+        key = doc_idx[valid] * 26 + (arr[valid].astype(np.int64) - 97)
+        hist = np.bincount(key, minlength=n * 26).astype(
+            np.float64
+        ).reshape(n, 26)
         norm = np.linalg.norm(hist, axis=1, keepdims=True)
         hist /= np.where(norm == 0, 1, norm)
         sims = hist @ self.mat.T

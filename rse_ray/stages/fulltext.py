@@ -172,6 +172,9 @@ class DocBucketWriter:
             schema=DOCS_SCHEMA,
         )
         write_file_atomic(out_path, lambda tmp: pq.write_table(docs, tmp))
+        # watermark = newest warc_ts in the bucket: the M8 recency
+        # contract — refresh_index only re-feeds rows NEWER than this
+        wm = pc.max(docs.column("warc_ts")).as_py() if n_docs else None
         self.manifests.mark_done(
             key,
             bucket=bucket,
@@ -179,6 +182,7 @@ class DocBucketWriter:
             num_input_rows=n,
             path=out_path,
             bytes=os.path.getsize(out_path),
+            watermark=wm.isoformat() if wm is not None else None,
         )
         if self.segments_dir is not None:
             write_segment(bucket, out_path, self.segments_dir,
@@ -233,7 +237,10 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
 
     prev = read_json(manifests.path(key))
     if prev and prev.get("status") == "done":
-        return {k: prev[k] for k in
+        # .get: manifests written before the 'sampled' field existed
+        # must still resume cleanly (build.py falls back to a sampling
+        # pass when any manifest lacks samples)
+        return {k: prev.get(k) for k in
                 ("bucket", "num_docs", "num_tokens", "num_terms",
                  "payload_bytes", "path", "sampled")}
 
@@ -489,10 +496,18 @@ class ShardPartWriter:
     driver-side parquet-footer scan — the route comes back with the
     task, (b) gives the merge per-PART resume (a killed merge skips
     finished parts on re-run), matching the doc/segment stages'
-    checkpoint granularity."""
+    checkpoint granularity.
 
-    def __init__(self, shards_dir: str) -> None:
+    ``fingerprint`` identifies the merge configuration (range
+    boundaries, partition count, input segment set): a resumed merge
+    only reuses a done part whose manifest carries the SAME
+    fingerprint — a crash resumed with different merge_partitions or
+    changed segments rebuilds the part instead of silently splicing a
+    stale file keyed by the same part number."""
+
+    def __init__(self, shards_dir: str, fingerprint: str | None = None) -> None:
         self.shards_dir = shards_dir
+        self.fingerprint = fingerprint
         self.manifests = PartitionManifests(shards_dir)
         self.__name__ = "ShardPartWriter"
 
@@ -504,7 +519,8 @@ class ShardPartWriter:
         from rse_ray.state.manifest import read_json
 
         prev = read_json(self.manifests.path(key))
-        if prev and prev.get("status") == "done":
+        if (prev and prev.get("status") == "done"
+                and prev.get("fingerprint") == self.fingerprint):
             return self._route_row(prev["file"], prev["term_min"],
                                    prev["term_max"], prev["num_rows"])
         merged = merge_partition(group)
@@ -517,6 +533,7 @@ class ShardPartWriter:
         self.manifests.mark_done(
             key, part=part, file=fname, term_min=tmin, term_max=tmax,
             num_rows=merged.num_rows, bytes=os.path.getsize(out_path),
+            fingerprint=self.fingerprint,
         )
         return self._route_row(fname, tmin, tmax, merged.num_rows)
 

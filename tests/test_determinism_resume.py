@@ -150,3 +150,93 @@ def test_resume_after_partial_merge(ray_session, fixture_pages, tmp_path):
     # finished parts were skipped, not rewritten
     for f, mtime in survivors.items():
         assert os.path.getmtime(os.path.join(shards_dir, f)) == mtime
+
+
+def test_resume_with_changed_merge_config_rebuilds(ray_session, fixture_pages,
+                                                   tmp_path):
+    """A crashed merge resumed with DIFFERENT merge_partitions must not
+    reuse stale part files keyed by the same part numbers: the merge
+    fingerprint (reducer count + segment set) invalidates them and the
+    whole merge reruns (round-1 ADVICE: silent stale-part reuse)."""
+    full = str(tmp_path / "full")
+    crash = str(tmp_path / "crash")
+    _build(fixture_pages["pages_dir"], full, merge_partitions=8)
+    _build(fixture_pages["pages_dir"], crash, merge_partitions=32)
+
+    # crash mid-merge under the OLD config: part files + manifests stay,
+    # stage marker + final manifest are gone
+    shards_dir = os.path.join(crash, "shards")
+    os.unlink(os.path.join(shards_dir, "_STAGE.json"))
+    os.unlink(os.path.join(crash, "_MANIFEST.json"))
+
+    m = _build(fixture_pages["pages_dir"], crash, merge_partitions=8)
+    assert m["status"] == "done"
+    assert _logical_index(crash) == _logical_index(full)
+    # the 32-part leftovers (part_00008..) must have been deleted, not
+    # merged into the 8-part index
+    parts = [f for f in os.listdir(shards_dir) if f.endswith(".parquet")]
+    assert len(parts) <= 8
+
+
+def test_incremental_refresh_matches_full_rebuild(ray_session, tmp_path):
+    """M8 incremental re-index: refresh over a v2 batch (updates + new
+    urls + stale rows) == from-scratch build over the upserted corpus;
+    stale rows (older than the bucket watermark) are skipped and
+    untouched buckets' docs files are not rewritten."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rse_ray.pipelines.build import BuildConfig, build_index, refresh_index
+
+    def pages(rows):
+        return pa.table(
+            {"url": pa.array([r[0] for r in rows]),
+             "warc_ts": pa.array([r[1] for r in rows],
+                                 type=pa.timestamp("us")),
+             "text": pa.array([r[2] for r in rows])}
+        )
+
+    t0 = datetime(2025, 1, 1)
+    v1 = [(f"https://ex.com/{i}", t0 + timedelta(seconds=i),
+           f"alpha beta doc{i} common words here") for i in range(120)]
+    upd = [(f"https://ex.com/{i}", t0 + timedelta(days=1, seconds=i),
+            f"gamma delta doc{i} fresh") for i in range(3)]
+    new = [(f"https://ex.com/n{i}", t0 + timedelta(days=1, seconds=i),
+            f"epsilon doc n{i}") for i in range(2)]
+    stale = [(f"https://ex.com/{i}", t0 - timedelta(days=1),
+              "stale must not appear") for i in (40, 41)]
+
+    d1 = tmp_path / "v1"; d1.mkdir()
+    d2 = tmp_path / "v2"; d2.mkdir()
+    dall = tmp_path / "all"; dall.mkdir()
+    pq.write_table(pages(v1), str(d1 / "p.parquet"))
+    pq.write_table(pages(upd + new + stale), str(d2 / "p.parquet"))
+    pq.write_table(pages(v1 + upd + new + stale), str(dall / "p.parquet"))
+
+    cfg = BuildConfig(num_buckets=16, buckets_per_salt_group=4,
+                      from_html=False)
+    inc = str(tmp_path / "inc")
+    build_index(str(d1 / "p.parquet"), inc, cfg)
+    docs_dir = os.path.join(inc, "docs")
+    before = {
+        f: os.path.getmtime(os.path.join(docs_dir, f))
+        for f in os.listdir(docs_dir) if f.endswith(".parquet")
+    }
+
+    m = refresh_index(str(d2 / "p.parquet"), inc, cfg)
+    assert m["status"] == "done"
+
+    full = str(tmp_path / "full")
+    build_index(str(dall / "p.parquet"), full, cfg)
+    assert _logical_index(inc) == _logical_index(full)
+
+    # stale rows never entered; at least one untouched bucket was not
+    # rewritten (incremental, not a disguised full rebuild)
+    untouched = [
+        f for f, mt in before.items()
+        if os.path.exists(os.path.join(docs_dir, f))
+        and os.path.getmtime(os.path.join(docs_dir, f)) == mt
+    ]
+    assert untouched, "every bucket was rewritten — refresh is not incremental"

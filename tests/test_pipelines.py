@@ -227,3 +227,37 @@ def test_winnow_fingerprints_oracle(ray_session):
     a = set(rolling_fingerprint(t, window=64, mod_bits=4))
     b = set(rolling_fingerprint("PREFIX " * 3 + t, window=64, mod_bits=4))
     assert a & b
+
+
+def test_cosine_neardup_hot_label_chunked(ray_session):
+    """One hot label (every vector shares label 0) must not concentrate
+    an n x n matmul in one task: the chunk-pair grid splits it while
+    the pair set stays exactly equal to the single-matmul reference."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.ann import _normalize, cosine_neardup_pairs
+
+    rng = np.random.default_rng(8)
+    n, d = 3000, 16
+    base = rng.standard_normal((50, d))
+    mat32 = (base[rng.integers(0, 50, size=n)]
+             + 0.05 * rng.standard_normal((n, d))).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+         "embedding": pa.array(mat32.tolist(), type=pa.list_(pa.float32())),
+         "label": pa.array(np.zeros(n, dtype=np.int32))}
+    )
+    got = cosine_neardup_pairs(ray.data.from_arrow(tbl), threshold=0.98,
+                               max_bucket=256)
+    nm = _normalize(mat32.astype(np.float64))
+    sims = nm @ nm.T
+    iu, ju = np.triu_indices(n, k=1)
+    sel = sims[iu, ju] >= 0.98
+    want = pd.DataFrame(
+        {"vec_a": iu[sel].astype(np.int64), "vec_b": ju[sel].astype(np.int64),
+         "cos": np.round(sims[iu[sel], ju[sel]], 6)}
+    ).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    assert len(want) > 100, "fixture produced too few near-dup pairs"
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
