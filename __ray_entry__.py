@@ -134,6 +134,12 @@ def _q_bm25_topk(sf_dir: str):
     return _finalize(bm25_documents(sf_dir, BM25_QUERY, k=20))
 
 
+def _q_bm25_topk_distributed(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents_distributed
+
+    return _finalize(bm25_documents_distributed(sf_dir, BM25_QUERY, k=20))
+
+
 def _q_quality(sf_dir: str):
     from rse_ray.pipelines.text import quality_scores
 
@@ -659,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_scores": _q_bm25_scores,
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_distributed": _q_bm25_topk_distributed,
         # text analysis (training-data ops)
         "quality_scores": _q_quality,
         "doc_fingerprints": _q_fingerprint,
@@ -716,6 +723,11 @@ FROM dl""",
         "bm25_scores": _BM25_CTES + """
 SELECT doc_id, round(raw, 6) AS score FROM scores""",
         "bm25_topk": _BM25_CTES + """
+SELECT doc_id, round(raw, 6) AS score FROM scores
+ORDER BY raw DESC, doc_id LIMIT 20""",
+        # the scatter-gather + sharded-accumulator path must reproduce
+        # the exact same scores as the driver-side scorer
+        "bm25_topk_distributed": _BM25_CTES + """
 SELECT doc_id, round(raw, 6) AS score FROM scores
 ORDER BY raw DESC, doc_id LIMIT 20""",
         "quality_scores": _TOKS + """

@@ -108,6 +108,22 @@ def run_headline(num_cpus: int, n_rows: int) -> dict:
     def p(v, q):
         return sorted(v)[min(len(v) - 1, int(q * len(v)))]
 
+    # scatter-gather path (ST5): shard actors + sharded accumulators —
+    # the fleet-scale query deployment, latency-measured alongside the
+    # driver-side Searcher
+    from rse_ray.pipelines.search import DistributedSearcher
+
+    dsearch = DistributedSearcher(index_dir, num_actors=4,
+                                  accumulator_actors=4)
+    dist_queries = queries[::3]  # 20-query sample: bounds bench time
+    for q in dist_queries[:5]:
+        dsearch.search(q, k=10)
+    lat_dist = []
+    for q in dist_queries:
+        t = time.perf_counter()
+        dsearch.search(q, k=10)
+        lat_dist.append(time.perf_counter() - t)
+
     shutil.rmtree(index_dir, ignore_errors=True)
     return {
         "corpus_rows": n_rows,
@@ -119,6 +135,8 @@ def run_headline(num_cpus: int, n_rows: int) -> dict:
         "bm25_p95_ms": round(p(lat_bmw, 0.95) * 1e3, 3),
         "bm25_taat_p95_ms": round(p(lat_taat, 0.95) * 1e3, 3),
         "bm25_mean_ms": round(statistics.mean(lat_bmw) * 1e3, 3),
+        "bm25_dist_p50_ms": round(p(lat_dist, 0.50) * 1e3, 3),
+        "bm25_dist_p95_ms": round(p(lat_dist, 0.95) * 1e3, 3),
     }
 
 

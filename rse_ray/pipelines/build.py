@@ -45,6 +45,7 @@ from rse_ray.stages.fulltext import (
     make_add_range_part,
     make_add_salt,
     sample_terms,
+    segment_rows_batch_fn,
     segment_write_batch_fn,
     term_range_boundaries,
 )
@@ -70,6 +71,10 @@ class BuildConfig:
     # scales as a free task pool)
     fuse_segments: bool = False
     segment_concurrency: int | None = None   # kept for API-compat (unused)
+    # fresh builds chain dedup-reduce -> segment build -> merge in one
+    # streaming plan (no driver barriers, no segment re-read); False
+    # forces the staged per-checkpoint path even for fresh builds
+    chain_stages: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -127,63 +132,103 @@ def build_index(
     t0 = time.perf_counter()
     stage_secs: dict[str, float] = {}
 
-    # ---- Stage A: pages -> per-bucket deduped docs + partial segments ----
-    # (segment build is FUSED into the dedup reduce task: one task wave
-    # writes both checkpoints, no barrier or bucket re-read between them)
+    # ---- Stages A+B: pages -> per-bucket deduped docs + partial segments
+    #
+    # FRESH build (no checkpoints yet): one chained streaming execution —
+    # the bucket shuffle's reduce output (manifest rows) feeds straight
+    # into per-bucket segment-build tasks, which emit the segment TERM
+    # ROWS in-memory. No driver barrier between dedup and tokenize (a
+    # finished bucket's segment build starts while other buckets still
+    # reduce), and the merge later consumes the in-memory rows instead
+    # of re-listing + re-reading the segment files. Both checkpoints are
+    # still written (docs + segments parquet & manifests), so a crash
+    # anywhere resumes through the staged path below.
+    #
+    # RESUME (any checkpoint present): the round-1 staged path — stage A
+    # shuffle skipping done buckets, then a stage-B sweep task pool over
+    # pending buckets (LPT order).
     docs_manifests = PartitionManifests(d["docs"])
+    seg_manifests = PartitionManifests(d["segments"])
     stage_a = read_json(os.path.join(d["docs"], "_STAGE.json"))
-    if not (stage_a and stage_a.get("status") == "done"):
+    stage_a_done = bool(stage_a and stage_a.get("status") == "done")
+    fresh = (cfg.chain_stages and not stage_a_done
+             and not docs_manifests.has_any())
+    seg_rows_ds = None  # in-memory segment rows (chained path only)
+
+    if fresh:
         ds = _bucketed_pages(pages_path, cfg)
-        # the bucket shuffle: dedup + docID assignment + bucket file writes
         manifest_rows = ds.groupby("bucket").map_groups(
-            DocBucketWriter(
-                d["docs"],
-                d["segments"] if cfg.fuse_segments else None,
-                stem=cfg.stem,
-            ),
+            DocBucketWriter(d["docs"], None, stem=cfg.stem),
             batch_format="pyarrow",
         )
-        rows = manifest_rows.take_all()
-        stage_secs["A_docs_segments"] = time.perf_counter() - t0
+        seg_rows_ds = manifest_rows.map_batches(
+            segment_rows_batch_fn(d["segments"], stem=cfg.stem),
+            batch_size=1,
+            batch_format="numpy",
+        ).materialize()
+        stage_secs["AB_docs_segments"] = time.perf_counter() - t0
+        rows = docs_manifests.load_all()
         write_json_atomic(
             os.path.join(d["docs"], "_STAGE.json"),
             {
                 "status": "done",
                 "num_buckets": len(rows),
-                "num_docs": sum(r["num_docs"] for r in rows),
-                "num_input_rows": sum(r["num_input_rows"] for r in rows),
+                "num_docs": sum(int(r["num_docs"]) for r in rows),
+                "num_input_rows": sum(int(r["num_input_rows"]) for r in rows),
             },
         )
+    else:
+        if not stage_a_done:
+            ds = _bucketed_pages(pages_path, cfg)
+            # the bucket shuffle: dedup + docIDs + bucket file writes
+            manifest_rows = ds.groupby("bucket").map_groups(
+                DocBucketWriter(
+                    d["docs"],
+                    d["segments"] if cfg.fuse_segments else None,
+                    stem=cfg.stem,
+                ),
+                batch_format="pyarrow",
+            )
+            rows = manifest_rows.take_all()
+            stage_secs["A_docs_segments"] = time.perf_counter() - t0
+            write_json_atomic(
+                os.path.join(d["docs"], "_STAGE.json"),
+                {
+                    "status": "done",
+                    "num_buckets": len(rows),
+                    "num_docs": sum(r["num_docs"] for r in rows),
+                    "num_input_rows": sum(r["num_input_rows"] for r in rows),
+                },
+            )
 
-    # ---- Stage B sweep: segments for any bucket the fused stage missed
-    # (resume over a pre-fusion checkpoint layout; normally a no-op) ----
-    bucket_files = sorted(
-        f for f in os.listdir(d["docs"]) if f.endswith(".parquet")
-    )
-    items = []
-    for f in bucket_files:
-        bucket = int(f.split("_")[1].split(".")[0])
-        items.append({"bucket": bucket, "path": os.path.join(d["docs"], f)})
-    seg_manifests = PartitionManifests(d["segments"])
-    pending = [
-        it for it in items
-        if not seg_manifests.is_done(f"bucket_{it['bucket']:06d}")
-    ]
-    if pending:
-        # largest buckets first (LPT): shortens the last-wave straggler
-        # tail of the task pool
-        pending.sort(key=lambda it: -os.path.getsize(it["path"]))
-        # task form, not an actor pool: the worker-global stem cache
-        # (stages/fulltext._worker_stemmer) gives actor-grade state
-        # amortization while reusing the already-warm worker processes
-        ray.data.from_items(pending).map_batches(
-            segment_write_batch_fn(d["segments"], stem=cfg.stem),
-            batch_size=1,
-            batch_format="numpy",
-        ).take_all()
-        stage_secs["B_segment_sweep"] = (
-            time.perf_counter() - t0 - sum(stage_secs.values())
+        # stage B sweep: segments for buckets not yet built
+        bucket_files = sorted(
+            f for f in os.listdir(d["docs"]) if f.endswith(".parquet")
         )
+        items = []
+        for f in bucket_files:
+            bucket = int(f.split("_")[1].split(".")[0])
+            items.append({"bucket": bucket,
+                          "path": os.path.join(d["docs"], f)})
+        pending = [
+            it for it in items
+            if not seg_manifests.is_done(f"bucket_{it['bucket']:06d}")
+        ]
+        if pending:
+            # largest buckets first (LPT): shortens the last-wave
+            # straggler tail of the task pool
+            pending.sort(key=lambda it: -os.path.getsize(it["path"]))
+            # task form, not an actor pool: the worker-global stem cache
+            # (stages/fulltext._worker_stemmer) gives actor-grade state
+            # amortization on the already-warm worker processes
+            ray.data.from_items(pending).map_batches(
+                segment_write_batch_fn(d["segments"], stem=cfg.stem),
+                batch_size=1,
+                batch_format="numpy",
+            ).take_all()
+            stage_secs["B_segment_sweep"] = (
+                time.perf_counter() - t0 - sum(stage_secs.values())
+            )
     seg_stats_rows = seg_manifests.load_all()
 
     # ---- Stage D data (needed before C completes, cheap): global stats ---
@@ -241,9 +286,15 @@ def build_index(
         # cost grows with map-block count (M x R shuffle objects +
         # driver boundary machinery), and with range parts the reducers
         # are row-balanced already — more map blocks buys nothing
-        seg_ds = ray.data.read_parquet(
-            d["segments"], override_num_blocks=cfg.merge_partitions
-        )
+        if seg_rows_ds is not None:
+            # chained fresh build: merge straight from the in-memory
+            # segment rows (coalesced to the reducer count) — no file
+            # listing, no footer scan, no re-read
+            seg_ds = seg_rows_ds.repartition(cfg.merge_partitions)
+        else:
+            seg_ds = ray.data.read_parquet(
+                d["segments"], override_num_blocks=cfg.merge_partitions
+            )
         # content-determined range boundaries -> P vectorized partition
         # merges instead of |vocab|x|salts| per-group Python calls; range
         # (not hash) parts keep shard files term-contiguous for routing.

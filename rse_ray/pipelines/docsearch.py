@@ -59,6 +59,32 @@ def documents_index(sf_dir: str, *, stem: bool = False,
     return index_dir
 
 
+def bm25_documents_distributed(sf_dir: str, query: str, k: int = 20,
+                               *, stem: bool = False, round_to: int = 6,
+                               num_actors: int = 3,
+                               accumulator_actors: int = 3) -> pd.DataFrame:
+    """Same result contract as bm25_documents(k=...), served by the
+    fleet-scale query path: shard actors own term-range slices (ST5),
+    per-doc-range accumulator actors hold the sharded dense score
+    arrays, and the driver sees only dfs + k rows per range. The
+    DuckDB oracle is the same SQL as bm25_topk — the distributed path
+    must be rank- and score-identical to the driver-side scorer."""
+    from rse_ray.pipelines.search import DistributedSearcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=stem)
+    d = DistributedSearcher(index_dir, num_actors=num_actors,
+                            accumulator_actors=accumulator_actors)
+    hits = d.search(query, k=k)
+    rows = hydrate_urls(index_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            "score": [round(score, round_to) for _, score, _ in rows],
+        }
+    )
+
+
 def bm25_documents(sf_dir: str, query: str, k: int | None = None,
                    *, stem: bool = False, round_to: int = 6) -> pd.DataFrame:
     """-> (doc_id, score) for every document matching >= 1 query term

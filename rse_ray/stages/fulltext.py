@@ -217,7 +217,8 @@ def _worker_stemmer() -> StemCache:
 
 
 def write_segment(bucket: int, docs_path: str, segments_dir: str,
-                  *, stem: bool = True, docs_table: pa.Table | None = None) -> dict:
+                  *, stem: bool = True, docs_table: pa.Table | None = None,
+                  return_table: bool = False):
     """Build one bucket's partial segment: read the bucket docs parquet,
     tokenize (cached Porter), build term -> (docIDs, tfs, dls) posting
     runs (docs arrive in ascending doc_id order, so runs are born
@@ -240,9 +241,10 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
         # .get: manifests written before the 'sampled' field existed
         # must still resume cleanly (build.py falls back to a sampling
         # pass when any manifest lacks samples)
-        return {k: prev.get(k) for k in
-                ("bucket", "num_docs", "num_tokens", "num_terms",
-                 "payload_bytes", "path", "sampled")}
+        stats = {k: prev.get(k) for k in
+                 ("bucket", "num_docs", "num_tokens", "num_terms",
+                  "payload_bytes", "path", "sampled")}
+        return (stats, pq.read_table(seg_path)) if return_table else stats
 
     stemmer = _worker_stemmer() if stem else None
     docs = (docs_table if docs_table is not None
@@ -314,9 +316,10 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
         sampled=sampled,
         lineage=[docs_path],
     )
-    return {k: manifest[k] for k in
-            ("bucket", "num_docs", "num_tokens", "num_terms",
-             "payload_bytes", "path", "sampled")}
+    stats = {k: manifest[k] for k in
+             ("bucket", "num_docs", "num_tokens", "num_terms",
+              "payload_bytes", "path", "sampled")}
+    return (stats, seg) if return_table else stats
 
 
 def segment_write_batch_fn(segments_dir: str, *, stem: bool = True):
@@ -342,6 +345,26 @@ def segment_write_batch_fn(segments_dir: str, *, stem: bool = True):
                                     type=pa.list_(pa.string())),
             }
         )
+
+    return fn
+
+
+def segment_rows_batch_fn(segments_dir: str, *, stem: bool = True):
+    """Task-form map_batches fn over {bucket, path} work items that
+    emits the built segment's TERM ROWS (not just stats): the chained
+    fresh build feeds these in-memory rows straight into the merge
+    shuffle, so the segment parquet is written once (checkpoint) and
+    never re-listed or re-read within the same build."""
+
+    def fn(items: dict) -> pa.Table:
+        tables = []
+        for bucket, path in zip(items["bucket"], items["path"]):
+            _stats, seg = write_segment(int(bucket), str(path), segments_dir,
+                                        stem=stem, return_table=True)
+            tables.append(seg)
+        if not tables:
+            return SEGMENT_SCHEMA.empty_table()
+        return pa.concat_tables(tables)
 
     return fn
 

@@ -146,3 +146,19 @@ def test_empty_and_unknown_queries(built_index):
     assert s.search("", k=10) == []
     assert s.search("zzqx0unknown zzqy0missing", k=10) == []
     assert s.search_bmw("zzqx0unknown", k=10) == []
+
+
+def test_sharded_accumulator_searcher_matches(built_index, oracle,
+                                              fixture_pages, ray_session):
+    """Scatter-gather with per-doc-range accumulator actors: no O(N)
+    array on any process, postings never reach the driver — ranks and
+    scores must still equal the oracle exactly."""
+    from rse_ray.pipelines.search import DistributedSearcher
+
+    ds = DistributedSearcher(built_index["index_dir"], num_actors=3,
+                             accumulator_actors=3)
+    assert len(ds.accs) >= 2, "expected the accumulator to actually shard"
+    for q in fixture_pages["queries"][::7]:
+        got = ds.search(q["query"], k=10)
+        want = oracle.search(q["query"], k=10)
+        assert got == want, f"qid={q['qid']}"
