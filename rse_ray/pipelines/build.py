@@ -71,9 +71,10 @@ class BuildConfig:
     # scales as a free task pool)
     fuse_segments: bool = False
     segment_concurrency: int | None = None   # kept for API-compat (unused)
-    # fresh builds chain dedup-reduce -> segment build -> merge in one
-    # streaming plan (no driver barriers, no segment re-read); False
-    # forces the staged per-checkpoint path even for fresh builds
+    # fresh builds hand stage B's segment term rows to the merge
+    # IN-MEMORY (object store) instead of re-listing + re-reading the
+    # segment parquet; checkpoints are still written. False forces the
+    # file-based handoff even for fresh builds.
     chain_stages: bool = True
     extra: dict = field(default_factory=dict)
 
@@ -132,103 +133,77 @@ def build_index(
     t0 = time.perf_counter()
     stage_secs: dict[str, float] = {}
 
-    # ---- Stages A+B: pages -> per-bucket deduped docs + partial segments
-    #
-    # FRESH build (no checkpoints yet): one chained streaming execution —
-    # the bucket shuffle's reduce output (manifest rows) feeds straight
-    # into per-bucket segment-build tasks, which emit the segment TERM
-    # ROWS in-memory. No driver barrier between dedup and tokenize (a
-    # finished bucket's segment build starts while other buckets still
-    # reduce), and the merge later consumes the in-memory rows instead
-    # of re-listing + re-reading the segment files. Both checkpoints are
-    # still written (docs + segments parquet & manifests), so a crash
-    # anywhere resumes through the staged path below.
-    #
-    # RESUME (any checkpoint present): the round-1 staged path — stage A
-    # shuffle skipping done buckets, then a stage-B sweep task pool over
-    # pending buckets (LPT order).
+    # ---- Stage A: pages -> per-bucket deduped docs ------------------------
     docs_manifests = PartitionManifests(d["docs"])
     seg_manifests = PartitionManifests(d["segments"])
     stage_a = read_json(os.path.join(d["docs"], "_STAGE.json"))
-    stage_a_done = bool(stage_a and stage_a.get("status") == "done")
-    fresh = (cfg.chain_stages and not stage_a_done
-             and not docs_manifests.has_any())
-    seg_rows_ds = None  # in-memory segment rows (chained path only)
-
-    if fresh:
+    if not (stage_a and stage_a.get("status") == "done"):
         ds = _bucketed_pages(pages_path, cfg)
+        # the bucket shuffle: dedup + docIDs + bucket file writes
         manifest_rows = ds.groupby("bucket").map_groups(
-            DocBucketWriter(d["docs"], None, stem=cfg.stem),
+            DocBucketWriter(
+                d["docs"],
+                d["segments"] if cfg.fuse_segments else None,
+                stem=cfg.stem,
+            ),
             batch_format="pyarrow",
         )
-        seg_rows_ds = manifest_rows.map_batches(
-            segment_rows_batch_fn(d["segments"], stem=cfg.stem),
-            batch_size=1,
-            batch_format="numpy",
-        ).materialize()
-        stage_secs["AB_docs_segments"] = time.perf_counter() - t0
-        rows = docs_manifests.load_all()
+        rows = manifest_rows.take_all()
+        stage_secs["A_docs_segments"] = time.perf_counter() - t0
         write_json_atomic(
             os.path.join(d["docs"], "_STAGE.json"),
             {
                 "status": "done",
                 "num_buckets": len(rows),
-                "num_docs": sum(int(r["num_docs"]) for r in rows),
-                "num_input_rows": sum(int(r["num_input_rows"]) for r in rows),
+                "num_docs": sum(r["num_docs"] for r in rows),
+                "num_input_rows": sum(r["num_input_rows"] for r in rows),
             },
         )
-    else:
-        if not stage_a_done:
-            ds = _bucketed_pages(pages_path, cfg)
-            # the bucket shuffle: dedup + docIDs + bucket file writes
-            manifest_rows = ds.groupby("bucket").map_groups(
-                DocBucketWriter(
-                    d["docs"],
-                    d["segments"] if cfg.fuse_segments else None,
-                    stem=cfg.stem,
-                ),
-                batch_format="pyarrow",
-            )
-            rows = manifest_rows.take_all()
-            stage_secs["A_docs_segments"] = time.perf_counter() - t0
-            write_json_atomic(
-                os.path.join(d["docs"], "_STAGE.json"),
-                {
-                    "status": "done",
-                    "num_buckets": len(rows),
-                    "num_docs": sum(r["num_docs"] for r in rows),
-                    "num_input_rows": sum(r["num_input_rows"] for r in rows),
-                },
-            )
 
-        # stage B sweep: segments for buckets not yet built
-        bucket_files = sorted(
-            f for f in os.listdir(d["docs"]) if f.endswith(".parquet")
-        )
-        items = []
-        for f in bucket_files:
-            bucket = int(f.split("_")[1].split(".")[0])
-            items.append({"bucket": bucket,
-                          "path": os.path.join(d["docs"], f)})
-        pending = [
-            it for it in items
-            if not seg_manifests.is_done(f"bucket_{it['bucket']:06d}")
-        ]
-        if pending:
-            # largest buckets first (LPT): shortens the last-wave
-            # straggler tail of the task pool
-            pending.sort(key=lambda it: -os.path.getsize(it["path"]))
-            # task form, not an actor pool: the worker-global stem cache
-            # (stages/fulltext._worker_stemmer) gives actor-grade state
-            # amortization on the already-warm worker processes
+    # ---- Stage B: per-bucket partial segments -----------------------------
+    # A free task pool over {bucket, path} items (LPT order), NOT fused
+    # into the shuffle reduce (measured: fusing caps tokenize at the
+    # reduce slot count and its straggler tail loses at high CPU
+    # counts). When EVERY bucket is pending (fresh build) the tasks
+    # also emit the segment term rows in-memory, so stage C consumes
+    # them straight from the object store — no segment re-listing or
+    # re-read; the parquet checkpoints are still written for resume.
+    bucket_files = sorted(
+        f for f in os.listdir(d["docs"]) if f.endswith(".parquet")
+    )
+    items = []
+    for f in bucket_files:
+        bucket = int(f.split("_")[1].split(".")[0])
+        items.append({"bucket": bucket,
+                      "path": os.path.join(d["docs"], f)})
+    pending = [
+        it for it in items
+        if not seg_manifests.is_done(f"bucket_{it['bucket']:06d}")
+    ]
+    seg_rows_ds = None  # in-memory segment rows (fresh build only)
+    if pending:
+        # largest buckets first (LPT): shortens the last-wave straggler
+        # tail of the task pool
+        pending.sort(key=lambda it: -os.path.getsize(it["path"]))
+        handoff = cfg.chain_stages and len(pending) == len(items)
+        # task form, not an actor pool: the worker-global stem cache
+        # (stages/fulltext._worker_stemmer) gives actor-grade state
+        # amortization on the already-warm worker processes
+        if handoff:
+            seg_rows_ds = ray.data.from_items(pending).map_batches(
+                segment_rows_batch_fn(d["segments"], stem=cfg.stem),
+                batch_size=1,
+                batch_format="numpy",
+            ).materialize()
+        else:
             ray.data.from_items(pending).map_batches(
                 segment_write_batch_fn(d["segments"], stem=cfg.stem),
                 batch_size=1,
                 batch_format="numpy",
             ).take_all()
-            stage_secs["B_segment_sweep"] = (
-                time.perf_counter() - t0 - sum(stage_secs.values())
-            )
+        stage_secs["B_segment_sweep"] = (
+            time.perf_counter() - t0 - sum(stage_secs.values())
+        )
     seg_stats_rows = seg_manifests.load_all()
 
     # ---- Stage D data (needed before C completes, cheap): global stats ---
