@@ -30,6 +30,25 @@ KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.1
 COS_NEARDUP_THRESHOLD = 0.5
 
+# exact n-gram Jaccard pairs >= 0.5 over case-preserved whitespace
+# tokens — the verified-pair contract shared by the minhash / cluster /
+# keep-representative oracles
+_JACCARD_PAIRS_CTE = """dd AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> x <> '') AS arr FROM documents),
+sh AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+       FROM dd, unnest(range(1, len(arr) - 1)) AS t(i)),
+p AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM p GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS c
+          FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+vpairs AS (SELECT doc_a, doc_b,
+                  round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+           FROM inter JOIN sz sa ON doc_a = sa.doc_id
+                JOIN sz sb ON doc_b = sb.doc_id
+           WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5)"""
+
 # the tokenize CTE shared by every text oracle (matches
 # rse_ray tokenize(stem=False): lower -> whitespace split -> drop empty)
 _TOKS = """
@@ -204,6 +223,25 @@ def _q_minhash_pairs(sf_dir: str):
     return _finalize(
         minhash_dedup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
                             threshold=0.5)
+    )
+
+
+def _q_dup_clusters(sf_dir: str):
+    from rse_ray.pipelines.dedup import dup_clusters
+
+    return _finalize(
+        dup_clusters(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     threshold=0.5)
+    )
+
+
+def _q_keep_representative(sf_dir: str):
+    from rse_ray.pipelines.dedup import dedup_keep_representative
+
+    return _finalize(
+        dedup_keep_representative(
+            _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+        )
     )
 
 
@@ -677,6 +715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_last_writer": _q_last_writer,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_dedup_pairs": _q_minhash_pairs,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_keep_representative": _q_keep_representative,
         "simhash_dup_pairs": _q_simhash_pairs,
         # similarity search
         "knn_cosine": _q_knn,
@@ -774,21 +814,32 @@ WHERE c::DOUBLE / (sa.n + sb.n - c) >= {th}""".format(th=JACCARD_THRESHOLD),
         # knee (128 perms / 16 bands), the candidate set provably
         # contains every pair >= 0.5 — so exact-jaccard SQL is a sound
         # oracle (verified at sf0.01 and sf0.1; tests pin agreement)
-        "minhash_dedup_pairs": """
-WITH dd AS (SELECT doc_id,
-            list_filter(regexp_split_to_array(text, '\\s+'),
-                        x -> x <> '') AS arr FROM documents),
-sh AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
-       FROM dd, unnest(range(1, len(arr) - 1)) AS t(i)),
-p AS (SELECT DISTINCT doc_id, shingle FROM sh),
-sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM p GROUP BY 1),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS c
-          FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
-FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5""",
+        "minhash_dedup_pairs": (
+            "WITH " + _JACCARD_PAIRS_CTE
+            + "\nSELECT doc_a, doc_b, jaccard FROM vpairs"
+        ),
+        # connected components over the verified pair graph, in SQL via
+        # a recursive reachability CTE (pairs are few; UNION dedups, so
+        # the recursion terminates); cluster_id = component min
+        "dup_clusters": (
+            "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + """,
+e AS (SELECT doc_a AS a, doc_b AS b FROM vpairs
+      UNION SELECT doc_b, doc_a FROM vpairs),
+reach(a, b) AS (SELECT a, b FROM e
+                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+SELECT a::BIGINT AS doc_id, least(a, min(b))::BIGINT AS cluster_id
+FROM reach GROUP BY a"""
+        ),
+        "dedup_keep_representative": (
+            "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + """,
+e AS (SELECT doc_a AS a, doc_b AS b FROM vpairs
+      UNION SELECT doc_b, doc_a FROM vpairs),
+reach(a, b) AS (SELECT a, b FROM e
+                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+losers AS (SELECT a FROM reach GROUP BY a HAVING least(a, min(b)) < a)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT a FROM losers)"""
+        ),
         "simhash_dup_pairs": _simhash_sql(max_hamming=3),
         "winnow_fingerprints": _winnow_sql(window=64, mod_bits=4),
         "lang_id": _lang_id_sql(),

@@ -512,3 +512,81 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_n: int = 3,
     return rd.from_items(items).map_batches(
         block_pair, batch_format="pyarrow", batch_size=1
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate clusters + keep-one-representative (the dedup OUTPUT)
+# --------------------------------------------------------------------------
+
+def dup_clusters(ds, *, threshold: float = 0.8, num_perm=128, num_bands=16,
+                 shingle_n=3, concurrency: int = 4) -> pd.DataFrame:
+    """(doc_id, cluster_id) for every doc in >=1 verified near-dup pair:
+    connected components over the MinHash-verified pair graph, with
+    cluster_id = min doc_id in the component (the canonical
+    representative).
+
+    Scale shape: the expensive parts (LSH banding, exact-Jaccard
+    verify) are the distributed minhash_dedup_pairs pipeline; the
+    component step is union-find on the DRIVER over the pair list only
+    — O(dup pairs), never O(corpus). At fleet scale with billions of
+    pairs this becomes iterative label propagation (repeat
+    groupby(node).min(label) until fixpoint); the pair-list union-find
+    is the honest single-box shape for pair counts that fit one
+    process, which verified near-dup graphs overwhelmingly do."""
+    pairs = minhash_dedup_pairs(
+        ds, threshold=threshold, num_perm=num_perm, num_bands=num_bands,
+        shingle_n=shingle_n, concurrency=concurrency,
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a: int, b: int) -> None:
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        union(int(a), int(b))
+    roots: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        roots[r] = min(roots.get(r, r), v)
+    rows = sorted((v, roots[find(v)]) for v in parent)
+    return pd.DataFrame(
+        {"doc_id": pd.array([r[0] for r in rows], dtype="int64"),
+         "cluster_id": pd.array([r[1] for r in rows], dtype="int64")}
+    )
+
+
+def dedup_keep_representative(ds, *, threshold: float = 0.8, num_perm=128,
+                              num_bands=16, shingle_n=3,
+                              concurrency: int = 4):
+    """The actual dedup OUTPUT: every doc_id that survives near-dup
+    removal (cluster representatives = min doc_id per component, plus
+    all unpaired docs). The loser set is small (it is the dup surplus);
+    it broadcasts into a distributed is_in filter — the corpus streams,
+    only doc_ids come back."""
+    clusters = dup_clusters(
+        ds, threshold=threshold, num_perm=num_perm, num_bands=num_bands,
+        shingle_n=shingle_n, concurrency=concurrency,
+    )
+    losers = clusters.loc[
+        clusters["doc_id"] != clusters["cluster_id"], "doc_id"
+    ].to_numpy(dtype=np.int64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        vs = pa.array(losers, type=batch.column("doc_id").type)
+        m = pc.invert(pc.is_in(batch.column("doc_id"), value_set=vs))
+        return pa.table({"doc_id": batch.column("doc_id").filter(m)})
+
+    return ds.map_batches(keep, batch_format="pyarrow")

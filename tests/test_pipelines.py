@@ -261,3 +261,31 @@ def test_cosine_neardup_hot_label_chunked(ray_session):
     ).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     assert len(want) > 100, "fixture produced too few near-dup pairs"
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_dup_clusters_transitive_and_keep_representative(ray_session):
+    """a~b and b~c near-dups share one cluster (connected components),
+    and keep-representative retains exactly cluster minima + unpaired
+    docs."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.dedup import dedup_keep_representative, dup_clusters
+
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = {
+        0: base,
+        1: base + " x1",
+        2: base + " x1 x2",
+        50: "completely different text here " * 5,
+    }
+    tbl = pa.table({"doc_id": pa.array(list(docs), type=pa.int64()),
+                    "text": pa.array(list(docs.values()))})
+    cl = dup_clusters(ray.data.from_arrow(tbl), threshold=0.5)
+    got = dict(zip(cl["doc_id"], cl["cluster_id"]))
+    assert got.get(0) == got.get(1) == got.get(2) == 0
+    assert 50 not in got
+    kept = dedup_keep_representative(
+        ray.data.from_arrow(tbl), threshold=0.5
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 50]
