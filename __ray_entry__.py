@@ -272,6 +272,15 @@ def _q_lsh_knn(sf_dir: str):
     )
 
 
+def _q_ivf_knn(sf_dir: str):
+    from rse_ray.pipelines.ann import ivf_knn
+
+    return _finalize(
+        ivf_knn(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                KNN_QUERY_IDS, k=10, nlist=16, nprobe=4)
+    )
+
+
 def _q_centroids(sf_dir: str):
     from rse_ray.pipelines.ann import label_centroids
 
@@ -721,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_lsh_knn,
+        "knn_cosine_ivf": _q_ivf_knn,
         "embedding_centroids": _q_centroids,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
@@ -941,7 +951,8 @@ SELECT media_id, kind, n_values, v_mean, v_std, v_min, v_max,
 FROM read_parquet('{golden}')""".format(
             golden=os.path.join(MEDIA_DIR, "golden_features.parquet")
         ),
-        # rows-only (genuinely non-SQL-expressible): knn_cosine_lsh —
-        # an APPROXIMATE search whose probe set depends on seeded
-        # Gaussian hyperplanes (pytest recall oracle instead)
+        # rows-only (genuinely non-SQL-expressible): knn_cosine_lsh and
+        # knn_cosine_ivf — APPROXIMATE searches whose probe sets depend
+        # on seeded hyperplanes / trained centroids (pytest recall
+        # oracles instead)
     }

@@ -7,6 +7,9 @@
   * lsh_knn — scale path: random-hyperplane LSH buckets; queries probe
     only their own bucket(s). Recall/probe tradeoff documented; exact
     within probed buckets.
+  * ivf_knn — the other scale path: k-means coarse quantizer trained
+    on a bounded sample, vectors assigned to inverted lists by one
+    broadcast matmul, queries score only their nprobe nearest lists.
   * label_centroids — per-cluster mean embedding (the aggregate step of
     a k-means-ish pipeline), pre-summed per batch so the shuffle moves
     one partial (label, sum_vec, n) row per label per batch.
@@ -346,3 +349,115 @@ def cosine_neardup_pairs(ds, *, threshold: float = 0.8, by: str = "label",
     return out.astype({"vec_a": "int64", "vec_b": "int64"}).sort_values(
         ["vec_a", "vec_b"]
     ).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) approximate kNN — the centroid-bucketed scale path
+# --------------------------------------------------------------------------
+
+def train_ivf_centroids(ds, *, nlist: int = 16, iters: int = 5,
+                        sample_rows: int = 4096, seed: int = 23) -> np.ndarray:
+    """Coarse quantizer: k-means on a bounded sample. The sample is
+    collected via a distributed per-batch reservoir-ish head (first
+    sample_rows rows reach the driver, bounded regardless of corpus
+    size); Lloyd iterations run on the driver over that sample only —
+    at fleet scale this is the standard 'train on a sample, assign
+    distributed' IVF recipe."""
+    import ray  # noqa: F401  (ds is a Ray Dataset)
+
+    got = ds.limit(sample_rows).take_all()
+    mat = _normalize(np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in got]
+    ))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(nlist, len(mat)),
+                          replace=False)]
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_knn(ds, query_ids: list[int], k: int = 10, *, nlist: int = 16,
+            nprobe: int = 4, iters: int = 5, seed: int = 23) -> pd.DataFrame:
+    """Approximate cosine top-k via IVF: vectors are assigned to their
+    nearest (cosine) centroid by a broadcast-matmul map stage; each
+    query scores ONLY the nprobe nearest inverted lists (a
+    groupby(list) over the assigned corpus, same shape as the LSH
+    bucket path). Exact within probed lists; recall rises with nprobe
+    (nprobe = nlist degenerates to brute force). Returns (query_id,
+    neighbor_id, cos) with the same ordering contract as
+    brute_force_knn."""
+    import ray
+
+    cent = train_ivf_centroids(ds, nlist=nlist, iters=iters, seed=seed)
+    qvecs = _fetch_query_vectors(ds, query_ids)
+    q_ids = sorted(qvecs)
+    Q = _normalize(np.stack([qvecs[q] for q in q_ids]))
+    # probe sets: the nprobe nearest centroids per query
+    qsims = Q @ cent.T
+    probe = np.argsort(-qsims, axis=1)[:, :nprobe]
+    list_to_qidx: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in probe[qi]:
+            list_to_qidx.setdefault(int(c), []).append(qi)
+    ref = ray.put((q_ids, Q, list_to_qidx, cent))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        _, _, probes, cent_l = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        lists = np.argmax(_normalize(mat) @ cent_l.T, axis=1).astype(np.int32)
+        keep = np.fromiter((int(c) in probes for c in lists), dtype=bool,
+                           count=len(lists))
+        return pa.table(
+            {"vec_id": pa.array(ids[keep], type=pa.int64()),
+             "ivf_list": pa.array(lists[keep]),
+             "embedding": pc.take(batch.column("embedding"),
+                                  pa.array(np.flatnonzero(keep)))}
+        )
+
+    def list_knn(g: pd.DataFrame) -> pd.DataFrame:
+        q_ids_l, Q_l, probes, _ = ray.get(ref)
+        qidx = probes.get(int(g["ivf_list"].iloc[0]), [])
+        if not qidx:
+            return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                                 "neighbor_id": pd.array([], dtype="int64"),
+                                 "cos": pd.array([], dtype="float64")})
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        mat = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in g["embedding"]]
+        ))
+        sims = mat @ Q_l[qidx].T
+        out_q, out_n, out_c = [], [], []
+        for col, qi in enumerate(qidx):
+            qid = q_ids_l[qi]
+            cand = np.flatnonzero(ids != qid)
+            order = cand[np.lexsort((ids[cand], -sims[cand, col]))[:k]]
+            out_q.extend([qid] * len(order))
+            out_n.extend(int(i) for i in ids[order])
+            out_c.extend(round(float(s), 6) for s in sims[order, col])
+        return pd.DataFrame(
+            {"query_id": pd.array(out_q, dtype="int64"),
+             "neighbor_id": pd.array(out_n, dtype="int64"),
+             "cos": pd.array(out_c, dtype="float64")}
+        )
+
+    res = ds.map_batches(assign, batch_format="pyarrow").groupby(
+        "ivf_list"
+    ).map_groups(list_knn, batch_format="pandas").to_pandas()
+    if res.empty:
+        return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                             "neighbor_id": pd.array([], dtype="int64"),
+                             "cos": pd.array([], dtype="float64")})
+    res = res.astype({"query_id": "int64", "neighbor_id": "int64"})
+    res = (res.sort_values(["query_id", "cos", "neighbor_id"],
+                           ascending=[True, False, True])
+              .groupby("query_id", as_index=False).head(k))
+    return res.reset_index(drop=True)

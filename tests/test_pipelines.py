@@ -289,3 +289,26 @@ def test_dup_clusters_transitive_and_keep_representative(ray_session):
         ray.data.from_arrow(tbl), threshold=0.5
     ).to_pandas()
     assert sorted(kept["doc_id"]) == [0, 50]
+
+
+def test_ivf_knn_recall(ray_session):
+    """IVF top-k recall vs exact top-k; nprobe=nlist must be EXACT
+    (every list probed == brute force)."""
+    from rse_ray.pipelines.ann import brute_force_knn, ivf_knn
+
+    exact = brute_force_knn(_read("embeddings", ["vec_id", "embedding"]),
+                            [0, 1, 2, 3, 4], k=10)
+    full = ivf_knn(_read("embeddings", ["vec_id", "embedding"]),
+                   [0, 1, 2, 3, 4], k=10, nlist=8, nprobe=8)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), exact.reset_index(drop=True)
+    )
+    approx = ivf_knn(_read("embeddings", ["vec_id", "embedding"]),
+                     [0, 1, 2, 3, 4], k=10, nlist=16, nprobe=4)
+    hits = total = 0
+    for q in (0, 1, 2, 3, 4):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total > 0.3  # 4/16 lists probed
