@@ -4,7 +4,9 @@ entry()      — flagship: the full inverted-index build + BM25 top-k
                pipeline (html extract -> dedup -> segments -> merge ->
                search) over pages derived from sf0.001 documents.
 queries()    — one callable per implemented operator/pipeline
-               (SURVEY.md §2 + the training-data operator set).
+               (SURVEY.md §2 + the training-data operator set):
+               38 entries, 36 DuckDB-oracled (the two approximate ANN
+               paths carry pytest recall oracles instead).
 oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible entry;
                column names and rounding match the Ray results exactly.
 
