@@ -672,8 +672,12 @@ def make_accumulator_actor():
 
     @ray.remote
     class AccumulatorActor:
+        CACHE_POSTINGS_BUDGET = 16_000_000  # per range actor
+
         def __init__(self, offsets, bits: int, bucket_lo: int,
                      bucket_hi: int):
+            from collections import OrderedDict
+
             self.offsets = np.asarray(offsets, dtype=np.int64)
             self.bits = bits
             self.mask = (1 << bits) - 1
@@ -681,24 +685,49 @@ def make_accumulator_actor():
             self.hi = int(self.offsets[bucket_hi])
             self.acc = np.zeros(self.hi - self.lo, dtype=np.float64)
             self._touched: list[np.ndarray] = []
+            # term -> [(dense_ids, tf_part)]: a term's slice ships ONCE
+            # from the shard actors; warm queries send only (term, w)
+            self._terms: OrderedDict[str, list] = OrderedDict()
+            self._cached_postings = 0
 
-        def accumulate_and_topk(self, k: int, *weighted_parts):
-            """weighted_parts alternate (w, part): scatter-add each
-            term's contribution IN CALL ORDER (the driver passes them
-            sorted by term, so per-doc fp accumulation order matches
-            the TAAT oracle), then return this range's top-k and reset
-            only the touched cells."""
-            for i in range(0, len(weighted_parts), 2):
-                w, part = weighted_parts[i], weighted_parts[i + 1]
-                if part is None:
-                    continue
-                ids, tf_part = part
-                dense = (self.offsets[ids >> self.bits]
-                         + (ids & self.mask) - self.lo)
-                self.acc[dense] += w * tf_part
-                self._touched.append(dense)
+        def accumulate_and_topk(self, k: int, *ops):
+            """``ops`` is a flat [term, w, n, part_1..part_n, term, w,
+            n, ...] stream in sorted-term order (the per-doc fp
+            accumulation order must match the TAAT oracle). n=0 means
+            "use your cached slice" (warm fast path: no posting bytes
+            move). Freshly shipped slices are densified once and kept
+            if the postings budget allows — there is NO eviction, so a
+            stored term stays valid for the driver forever; the return
+            carries which terms were stored so the driver only marks
+            those as shipped. Returns (topk, stored_terms)."""
+            stored: list[str] = []
+            i = 0
+            while i < len(ops):
+                term, w, n = ops[i], ops[i + 1], int(ops[i + 2])
+                parts = ops[i + 3 : i + 3 + n]
+                i += 3 + n
+                got = self._terms.get(term)
+                if got is None:
+                    got = []
+                    added = 0
+                    for part in parts:
+                        if part is None:
+                            continue
+                        ids, tf_part = part
+                        dense = (self.offsets[ids >> self.bits]
+                                 + (ids & self.mask) - self.lo)
+                        got.append((dense, tf_part))
+                        added += len(dense)
+                    if (self._cached_postings + added
+                            <= self.CACHE_POSTINGS_BUDGET):
+                        self._terms[term] = got
+                        self._cached_postings += added
+                        stored.append(term)
+                for dense, tf_part in got:
+                    self.acc[dense] += w * tf_part
+                    self._touched.append(dense)
             if not self._touched:
-                return []
+                return [], stored
             t = np.unique(np.concatenate(self._touched))
             scores = self.acc[t].copy()
             # reset touched cells only: O(matched), not O(range)
@@ -708,7 +737,8 @@ def make_accumulator_actor():
             b = np.searchsorted(self.offsets, g, side="right") - 1
             docids = (b.astype(np.int64) << self.bits) | (g - self.offsets[b])
             order = np.lexsort((docids, -scores))[:k]
-            return [(int(docids[i]), float(scores[i])) for i in order]
+            return ([(int(docids[i]), float(scores[i])) for i in order],
+                    stored)
 
     return AccumulatorActor
 
@@ -756,6 +786,8 @@ class DistributedSearcher:
 
         self.accs = []
         self.bound_docs = None
+        self._term_df: dict[str, int] = {}   # global df per seen term
+        self._resident: set[str] = set()     # slices on EVERY accumulator
         if accumulator_actors > 0:
             from rse_ray.functions.ids import DOC_BUCKET_BITS
 
@@ -816,33 +848,58 @@ class DistributedSearcher:
         terms = _query_weights(query, self.stem)
         R = len(self.accs)
         bounds = self.bound_docs
-        calls = []  # (term_index, [df_ref, part_ref_0..R-1])
+        # resolve postings only for terms not yet resident on the
+        # accumulators: a term's slices ship ONCE; warm queries move
+        # no posting bytes at all (only (term, weight) pairs + top-k)
+        calls: list[tuple[int, tuple]] = []
         for ti, (term, _) in enumerate(terms):
+            if term in self._term_df:
+                continue
             for actor in self._actors_for(term):
                 refs = actor.term_partial_split.options(
                     num_returns=R + 1
                 ).remote(term, bounds)
                 calls.append((ti, refs))
-        # only the dfs come to the driver
-        dfs = ray.get([refs[0] for _, refs in calls])
-        per_term_df: dict[int, int] = {}
-        for (ti, _), df in zip(calls, dfs):
-            if df is not None:
-                per_term_df[ti] = per_term_df.get(ti, 0) + int(df)
-        # per accumulator: (w, slice_ref) pairs in sorted-term order
-        acc_args: list[list] = [[] for _ in range(R)]
-        for ti, refs in sorted(calls, key=lambda c: c[0]):
-            if ti not in per_term_df:
+        if calls:
+            dfs = ray.get([refs[0] for _, refs in calls])
+            fresh: dict[int, int] = {}
+            for (ti, _), df in zip(calls, dfs):
+                if df is not None:
+                    fresh[ti] = fresh.get(ti, 0) + int(df)
+            for ti, (term, _) in enumerate(terms):
+                if term not in self._term_df:
+                    self._term_df[term] = fresh.get(ti, 0)
+        per_ti_refs: dict[int, list] = {}
+        for ti, refs in calls:
+            per_ti_refs.setdefault(ti, []).append(refs)
+
+        acc_ops: list[list] = [[] for _ in range(R)]
+        for ti, (term, qtf) in enumerate(terms):  # sorted-term order
+            df = self._term_df.get(term, 0)
+            if df <= 0:
                 continue
-            w = terms[ti][1] * _idf(self.N, per_term_df[ti])
-            for j in range(R):
-                acc_args[j].extend((w, refs[1 + j]))
-        tops = ray.get([
-            acc.accumulate_and_topk.remote(k, *acc_args[j])
+            w = qtf * _idf(self.N, df)
+            if term in self._resident:
+                for j in range(R):
+                    acc_ops[j].extend((term, w, 0))
+            else:
+                refs_list = per_ti_refs.get(ti, [])
+                for j in range(R):
+                    parts = [refs[1 + j] for refs in refs_list]
+                    acc_ops[j].extend((term, w, len(parts), *parts))
+        results = ray.get([
+            acc.accumulate_and_topk.remote(k, *acc_ops[j])
             for j, acc in enumerate(self.accs)
         ])
+        stored_everywhere = None
+        for _, stored in results:
+            s = set(stored)
+            stored_everywhere = (s if stored_everywhere is None
+                                 else stored_everywhere & s)
+        if stored_everywhere:
+            self._resident |= stored_everywhere
         # ranges are disjoint: global top-k = best k of the union
-        merged = [t for part in tops for t in part]
+        merged = [t for part, _ in results for t in part]
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]
 
