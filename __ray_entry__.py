@@ -39,7 +39,10 @@ _JACCARD_PAIRS_CTE = """dd AS (SELECT doc_id,
             list_filter(regexp_split_to_array(text, '\\s+'),
                         x -> x <> '') AS arr FROM documents),
 sh AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
-       FROM dd, unnest(range(1, len(arr) - 1)) AS t(i)),
+       FROM dd, unnest(range(1, len(arr) - 1)) AS t(i)
+       UNION ALL  -- <3-token docs: one whole-doc shingle (hashing.shingles)
+       SELECT doc_id, array_to_string(arr, ' ') FROM dd
+       WHERE len(arr) BETWEEN 1 AND 2),
 p AS (SELECT DISTINCT doc_id, shingle FROM sh),
 sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM p GROUP BY 1),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS c
@@ -580,7 +583,12 @@ def _winnow_sql(window: int = 64, mod_bits: int = 4) -> str:
     Rabin-Karp window hash rewritten as its closed form — a 64-term
     weighted byte sum mod 2^31-1 (each term < 2^39, 64 terms < 2^45,
     safely inside BIGINT before the single mod). Short docs emit the
-    whole-document polynomial hash ungated."""
+    whole-document polynomial hash ungated.
+
+    ASCII contract: the Python side hashes UTF-8 BYTES while SQL sees
+    codepoints/char-lengths — identical only for ASCII text, which the
+    documents fixtures guarantee (the same caveat applies to every
+    text oracle's \\s+ splitting vs str.split())."""
     base, mod = 257, (1 << 31) - 1
     powers = ", ".join(
         f"({e}, {pow(base, e, mod)})" for e in range(window)
@@ -820,7 +828,10 @@ WITH dd AS (SELECT doc_id,
             list_filter(regexp_split_to_array(text, '\\s+'),
                         x -> x <> '') AS arr FROM documents),
 sh AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
-       FROM dd, unnest(range(1, len(arr) - 1)) AS t(i)),
+       FROM dd, unnest(range(1, len(arr) - 1)) AS t(i)
+       UNION ALL  -- <3-token docs: one whole-doc shingle (hashing.shingles)
+       SELECT doc_id, array_to_string(arr, ' ') FROM dd
+       WHERE len(arr) BETWEEN 1 AND 2),
 p AS (SELECT DISTINCT doc_id, shingle FROM sh),
 sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM p GROUP BY 1),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS c

@@ -277,22 +277,28 @@ def cosine_neardup_pairs(ds, *, threshold: float = 0.8, by: str = "label",
     """
     import math
 
-    # tiny pre-pass (label column only): bucket sizes -> chunk counts
+    # tiny pre-pass (label column only): bucket sizes -> chunk counts.
+    # Labels map to dense indices so ANY label type (string, big hash)
+    # works and the gkey packing cannot overflow.
     counts = {
-        int(r[by]): int(r["count()"])
+        r[by]: int(r["count()"])
         for r in ds.select_columns([by, "vec_id"]).groupby(by).count().take_all()
     }
+    lab_idx = {lab: i for i, lab in enumerate(sorted(counts, key=str))}
     nchunks = {lab: max(1, math.ceil(c / max_bucket))
                for lab, c in counts.items()}
     if nchunks and max(nchunks.values()) >= (1 << 11):
         raise ValueError("label too hot: >2^11 chunks; raise max_bucket")
+    if len(lab_idx) >= (1 << 41):
+        raise ValueError("too many distinct labels for gkey packing")
 
     def explode(batch: pa.Table) -> pa.Table:
-        labels = batch.column(by).to_numpy().astype(np.int64)
+        raw = batch.column(by).to_pylist()
+        labels = np.fromiter((lab_idx[l] for l in raw), dtype=np.int64,
+                             count=len(raw))
         ids = batch.column("vec_id").to_numpy().astype(np.int64)
         n = len(ids)
-        nc = np.fromiter((nchunks.get(int(l), 1) for l in labels),
-                         dtype=np.int64, count=n)
+        nc = np.fromiter((nchunks[l] for l in raw), dtype=np.int64, count=n)
         home = (
             (ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
             >> np.uint64(33)

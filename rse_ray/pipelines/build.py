@@ -235,7 +235,11 @@ def build_index(
             "salt": cfg.buckets_per_salt_group,
             "segments": sorted(
                 [str(r.get("partition")), int(r.get("num_terms", -1)),
-                 int(r.get("payload_bytes", -1))]
+                 int(r.get("payload_bytes", -1)),
+                 # content checksum: counts alone can collide (round-2
+                 # review) — a refreshed segment with identical sizes
+                 # but different postings must still invalidate parts
+                 int(r.get("content_crc") or -1)]
                 for r in seg_stats_rows
             ),
         },
@@ -345,20 +349,25 @@ def refresh_index(pages_path, index_dir: str,
     NEWER than their bucket's recorded watermark re-enter the pipeline.
 
       1. recency filter: fresh = rows with warc_ts > watermark[bucket]
-         (a bucket never seen before counts as all-fresh); the filter
-         is a per-batch predicate over the new pages source only.
+         (a bucket never seen before counts as all-fresh); rows at or
+         below the watermark may still be NEVER-SEEN urls (the bucket
+         watermark reflects other urls' recency), so stale candidates
+         are co-partitioned with their buckets' known urls (url column
+         only, pruned read) and the unknown ones re-enter — per-URL
+         shouldVisit semantics, not per-bucket.
       2. changed buckets re-run the dedup reduce over (their existing
          docs rows ∪ fresh rows) — last-writer-wins upsert semantics,
          exactly the full build's DocBucketWriter.
       3. changed buckets' segment checkpoints are invalidated; stage B
          rebuilds just those. The merge fingerprint then mismatches
-         (segment set changed), so stage C rebuilds its parts — the
-         same invalidation path a crashed merge uses.
+         (segment content changed), so stage C rebuilds its parts —
+         the same invalidation path a crashed merge uses.
 
     Untouched buckets keep their docs + segment files byte-identical;
-    the result equals a from-scratch build over (old ∪ fresh) as long
-    as fresh rows are genuinely newer than the watermark (stale rows
-    are dropped — that IS the recency semantics)."""
+    the result equals a from-scratch build over (old ∪ fresh) except
+    for KNOWN urls arriving with a timestamp at or below their
+    bucket's watermark, which are dropped unseen (that IS the recency
+    semantics — the reference skips recently-visited urls)."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -374,18 +383,89 @@ def refresh_index(pages_path, index_dir: str,
         b: np.datetime64(m["watermark"]) for b, m in prev.items()
         if m.get("watermark")
     }
+    floor = np.datetime64("1677-09-22")  # min datetime64[us] era
+
+    def _wm(batch: pa.Table) -> np.ndarray:
+        bk = batch.column("bucket").to_numpy()
+        return np.array([watermarks.get(int(x), floor) for x in bk])
 
     def keep_fresh(batch: pa.Table) -> pa.Table:
-        bk = batch.column("bucket").to_numpy()
-        ts = batch.column("warc_ts").to_numpy()
-        floor = np.datetime64("1677-09-22")  # min datetime64[us] era
-        wm = np.array([watermarks.get(int(x), floor) for x in bk])
-        return batch.filter(pa.array(ts > wm))
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(pa.array(
+            batch.column("warc_ts").to_numpy() > _wm(batch)
+        ))
 
-    # small by construction: the incremental batch, post-filter
-    fresh = _bucketed_pages(pages_path, cfg).map_batches(
-        keep_fresh, batch_format="pyarrow"
-    ).materialize()
+    def keep_stale(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(pa.array(
+            batch.column("warc_ts").to_numpy() <= _wm(batch)
+        ))
+
+    # the incremental batch, extracted once (small by construction)
+    bucketed = _bucketed_pages(pages_path, cfg).materialize()
+    fresh = bucketed.map_batches(keep_fresh, batch_format="pyarrow")
+
+    # per-URL shouldVisit semantics: a row older than its BUCKET
+    # watermark may still be a never-seen URL (the bucket watermark is
+    # other urls' recency). Those rows must index; only rows whose url
+    # already exists with a newer-or-equal ts are stale. Resolve by
+    # co-partitioning the stale candidates with their buckets' known
+    # urls (url column only — pruned read) and keeping unknown urls.
+    stale = bucketed.map_batches(keep_stale, batch_format="pyarrow")
+    novel = None
+    stale_buckets = sorted(int(b) for b in stale.unique("bucket"))
+    if stale_buckets:
+        known_files = [
+            prev[b]["path"] for b in stale_buckets
+            if b in prev and os.path.exists(prev[b].get("path", ""))
+        ]
+
+        def tag_stale(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "known", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+            )
+
+        from rse_ray.functions.ids import url_buckets
+
+        def tag_known(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {"url": batch.column("url").cast(pa.string()),
+                 "warc_ts": pa.nulls(n, pa.timestamp("us")),
+                 "text": pa.nulls(n, pa.string()),
+                 "bucket": pa.array(
+                     url_buckets(batch.column("url").to_pylist(),
+                                 cfg.num_buckets),
+                     type=pa.int32()),
+                 "known": pa.array(np.ones(n, dtype=np.int8))}
+            )
+
+        def unknown_only(g) -> pa.Table:
+            seen = set(g.loc[g["known"] == 1, "url"])
+            nw = g[(g["known"] == 0) & (~g["url"].isin(seen))]
+            return pa.table(
+                {"url": pa.array(nw["url"].tolist(), type=pa.string()),
+                 "warc_ts": pa.array(nw["warc_ts"].tolist(),
+                                     type=pa.timestamp("us")),
+                 "text": pa.array(nw["text"].tolist(), type=pa.string()),
+                 "bucket": pa.array(nw["bucket"].to_numpy(np.int32))}
+            )
+
+        cand = stale.map_batches(tag_stale, batch_format="pyarrow")
+        if known_files:
+            known_ds = ray.data.read_parquet(
+                known_files, columns=["url"]
+            ).map_batches(tag_known, batch_format="pyarrow")
+            cand = cand.union(known_ds)
+        novel = cand.groupby("bucket").map_groups(
+            unknown_only, batch_format="pandas"
+        ).materialize()
+        if novel.count() == 0:
+            novel = None
+
+    fresh = (fresh.union(novel) if novel is not None else fresh).materialize()
     changed = sorted(int(b) for b in fresh.unique("bucket"))
     if not changed:
         existing = read_json(d["manifest"])

@@ -254,7 +254,13 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, num_perm=128,
         cd = g[g["b"] >= 0]
         out_a, out_b, out_j = [], [], []
         for a, b, ta in zip(cd["a"], cd["b"], cd["text"]):
-            j = exact_jaccard(ta.split(), lookup[int(b)].split(), shingle_n)
+            tb = lookup[int(b)]
+            if not ta.split() and not tb.split():
+                # two empty docs are exact (not near-) duplicates —
+                # exact_dedup's territory; emitting jaccard 1.0 here
+                # would diverge from the shingle-based SQL oracle
+                continue
+            j = exact_jaccard(ta.split(), tb.split(), shingle_n)
             if j >= threshold:
                 out_a.append(int(a))
                 out_b.append(int(b))

@@ -675,9 +675,11 @@ def make_accumulator_actor():
         CACHE_POSTINGS_BUDGET = 16_000_000  # per range actor
 
         def __init__(self, offsets, bits: int, bucket_lo: int,
-                     bucket_hi: int):
+                     bucket_hi: int, budget: int | None = None):
             from collections import OrderedDict
 
+            if budget is not None:
+                self.CACHE_POSTINGS_BUDGET = budget
             self.offsets = np.asarray(offsets, dtype=np.int64)
             self.bits = bits
             self.mask = (1 << bits) - 1
@@ -707,7 +709,17 @@ def make_accumulator_actor():
                 parts = ops[i + 3 : i + 3 + n]
                 i += 3 + n
                 got = self._terms.get(term)
-                if got is None:
+                if got is not None:
+                    # already resident here; reporting it keeps the
+                    # driver's residency view converging even when the
+                    # first store only landed on some accumulators
+                    stored.append(term)
+                else:
+                    if n == 0:
+                        # defensive: a warm op for a term we never
+                        # stored must not fabricate (and cache) an
+                        # empty slice — contribute nothing
+                        continue
                     got = []
                     added = 0
                     for part in parts:
@@ -762,7 +774,8 @@ class DistributedSearcher:
     """
 
     def __init__(self, index_dir: str, num_actors: int = 4,
-                 accumulator_actors: int = 0) -> None:
+                 accumulator_actors: int = 0,
+                 acc_budget: int | None = None) -> None:
         import ray
 
         self.stats = read_json(os.path.join(index_dir, "stats.json"))
@@ -804,7 +817,8 @@ class DistributedSearcher:
             Acc = make_accumulator_actor()
             for lo_b, hi_b in zip(edges[:-1], edges[1:]):
                 self.accs.append(
-                    Acc.remote(dmap.offsets, DOC_BUCKET_BITS, lo_b, hi_b)
+                    Acc.remote(dmap.offsets, DOC_BUCKET_BITS, lo_b, hi_b,
+                               acc_budget)
                 )
             # split docIDs: first docID of each boundary bucket
             self.bound_docs = np.asarray(
@@ -851,10 +865,14 @@ class DistributedSearcher:
         # resolve postings only for terms not yet resident on the
         # accumulators: a term's slices ship ONCE; warm queries move
         # no posting bytes at all (only (term, weight) pairs + top-k)
+        # re-ship until RESIDENT (stored on every accumulator): keying
+        # on the df cache alone would send a warm n=0 op for a term a
+        # budget-full accumulator never stored, silently dropping its
+        # contribution for that doc range
         calls: list[tuple[int, tuple]] = []
         for ti, (term, _) in enumerate(terms):
-            if term in self._term_df:
-                continue
+            if term in self._resident or self._term_df.get(term) == 0:
+                continue  # resident, or known-absent from the index
             for actor in self._actors_for(term):
                 refs = actor.term_partial_split.options(
                     num_returns=R + 1
@@ -863,11 +881,12 @@ class DistributedSearcher:
         if calls:
             dfs = ray.get([refs[0] for _, refs in calls])
             fresh: dict[int, int] = {}
+            called = {ti for ti, _ in calls}
             for (ti, _), df in zip(calls, dfs):
                 if df is not None:
                     fresh[ti] = fresh.get(ti, 0) + int(df)
             for ti, (term, _) in enumerate(terms):
-                if term not in self._term_df:
+                if ti in called:
                     self._term_df[term] = fresh.get(ti, 0)
         per_ti_refs: dict[int, list] = {}
         for ti, refs in calls:

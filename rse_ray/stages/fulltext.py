@@ -274,6 +274,7 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
     rows = {k: [] for k in ("term", "bucket", "df", "min_doc", "max_doc",
                             "payload", "blockmeta")}
     payload_bytes = 0
+    content_crc = 0
     sampled = []
     for term in terms:
         ids, tfs, dls = runs[term]
@@ -282,6 +283,12 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
         dls_a = np.asarray(dls, dtype=np.int32)
         payload = encode_run(ids_a, tfs_a, dls_a)
         payload_bytes += len(payload)
+        # rolling content checksum (terms + payload bytes): the merge
+        # fingerprint must change whenever segment CONTENT changes,
+        # even at identical term/byte counts (e.g. two docs' texts
+        # swapped by an incremental refresh)
+        content_crc = zlib.crc32(term.encode("utf-8"), content_crc)
+        content_crc = zlib.crc32(payload, content_crc)
         if zlib.crc32(term.encode("utf-8") + b"#sample") % 61 == 0:
             sampled.append(term)
         rows["term"].append(term)
@@ -312,6 +319,7 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
         num_tokens=num_tokens,
         num_terms=len(terms),
         payload_bytes=payload_bytes,
+        content_crc=content_crc,
         path=seg_path,
         sampled=sampled,
         lineage=[docs_path],

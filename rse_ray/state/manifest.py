@@ -60,13 +60,6 @@ class PartitionManifests:
     def path(self, key: str) -> str:
         return os.path.join(self.dir, f"{key}.json")
 
-    def has_any(self) -> bool:
-        """Cheap existence probe: any manifest at all (used to pick the
-        fresh chained build path vs the per-stage resume path)."""
-        return os.path.isdir(self.dir) and any(
-            n.endswith(".json") for n in os.listdir(self.dir)
-        )
-
     def is_done(self, key: str) -> bool:
         m = read_json(self.path(key))
         return bool(m and m.get("status") == "done")

@@ -162,3 +162,21 @@ def test_sharded_accumulator_searcher_matches(built_index, oracle,
         got = ds.search(q["query"], k=10)
         want = oracle.search(q["query"], k=10)
         assert got == want, f"qid={q['qid']}"
+
+
+def test_sharded_accumulator_budget_reject_stays_correct(built_index, oracle,
+                                                         fixture_pages,
+                                                         ray_session):
+    """A postings budget too small to store ANY slice must never corrupt
+    results: non-resident terms re-ship every query and the warm n=0
+    fast path never engages for them (round-2 review finding)."""
+    from rse_ray.pipelines.search import DistributedSearcher
+
+    ds = DistributedSearcher(built_index["index_dir"], num_actors=2,
+                             accumulator_actors=2, acc_budget=0)
+    for _ in range(2):  # repeat: the second pass is where the bug bit
+        for q in fixture_pages["queries"][::11]:
+            got = ds.search(q["query"], k=10)
+            want = oracle.search(q["query"], k=10)
+            assert got == want, f"q={q['qid']}"
+    assert not ds._resident  # nothing can be stored at budget 0

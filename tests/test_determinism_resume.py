@@ -205,6 +205,10 @@ def test_incremental_refresh_matches_full_rebuild(ray_session, tmp_path):
             f"gamma delta doc{i} fresh") for i in range(3)]
     new = [(f"https://ex.com/n{i}", t0 + timedelta(days=1, seconds=i),
             f"epsilon doc n{i}") for i in range(2)]
+    # a NEVER-SEEN url whose ts is older than every bucket watermark:
+    # per-URL shouldVisit semantics require it to be indexed anyway
+    new_old = [("https://ex.com/old-new", t0 - timedelta(days=2),
+                "zeta unseen old doc")]
     stale = [(f"https://ex.com/{i}", t0 - timedelta(days=1),
               "stale must not appear") for i in (40, 41)]
 
@@ -212,8 +216,9 @@ def test_incremental_refresh_matches_full_rebuild(ray_session, tmp_path):
     d2 = tmp_path / "v2"; d2.mkdir()
     dall = tmp_path / "all"; dall.mkdir()
     pq.write_table(pages(v1), str(d1 / "p.parquet"))
-    pq.write_table(pages(upd + new + stale), str(d2 / "p.parquet"))
-    pq.write_table(pages(v1 + upd + new + stale), str(dall / "p.parquet"))
+    pq.write_table(pages(upd + new + new_old + stale), str(d2 / "p.parquet"))
+    pq.write_table(pages(v1 + upd + new + new_old + stale),
+                   str(dall / "p.parquet"))
 
     cfg = BuildConfig(num_buckets=16, buckets_per_salt_group=4,
                       from_html=False)
