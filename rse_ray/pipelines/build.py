@@ -349,12 +349,17 @@ def refresh_index(pages_path, index_dir: str,
     NEWER than their bucket's recorded watermark re-enter the pipeline.
 
       1. recency filter: fresh = rows with warc_ts > watermark[bucket]
-         (a bucket never seen before counts as all-fresh); rows at or
-         below the watermark may still be NEVER-SEEN urls (the bucket
-         watermark reflects other urls' recency), so stale candidates
-         are co-partitioned with their buckets' known urls (url column
-         only, pruned read) and the unknown ones re-enter — per-URL
-         shouldVisit semantics, not per-bucket.
+         or a null warc_ts (the keep-max reduce sorts nulls last, so a
+         full build treats null ts as newest — refresh agrees); a
+         bucket never seen before counts as all-fresh. Rows at or
+         below the watermark may still be NEVER-SEEN urls or
+         strictly-newer captures of known urls (the bucket watermark
+         reflects OTHER urls' recency), so stale candidates are
+         co-partitioned with their buckets' known (url, stored
+         warc_ts) pairs (pruned read) and re-enter when the url is
+         unknown OR the incoming ts is strictly newer than that url's
+         own stored ts — per-URL shouldVisit semantics
+         (crawler.go:230-244), not per-bucket.
       2. changed buckets re-run the dedup reduce over (their existing
          docs rows ∪ fresh rows) — last-writer-wins upsert semantics,
          exactly the full build's DocBucketWriter.
@@ -363,11 +368,21 @@ def refresh_index(pages_path, index_dir: str,
          (segment content changed), so stage C rebuilds its parts —
          the same invalidation path a crashed merge uses.
 
+    Crash safety: the docs checkpoints are never pre-deleted — the
+    reduce overwrites them atomically (tmp+rename), so the old docs
+    stay durable until their replacement lands. docs/_STAGE.json is
+    removed BEFORE the reduce and segment checkpoints are invalidated
+    only AFTER it completes, so an interrupted refresh can never be
+    mistaken for a finished stage A; re-running refresh_index (or a
+    full build over old ∪ fresh) recovers.
+
     Untouched buckets keep their docs + segment files byte-identical;
     the result equals a from-scratch build over (old ∪ fresh) except
-    for KNOWN urls arriving with a timestamp at or below their
-    bucket's watermark, which are dropped unseen (that IS the recency
-    semantics — the reference skips recently-visited urls)."""
+    for KNOWN urls arriving with a timestamp at or below their own
+    stored warc_ts, which are dropped unseen (that IS the recency
+    semantics — the reference skips recently-visited urls; a full
+    build's keep-max reduce would discard them anyway, so only exact
+    ts ties with differing text can diverge)."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -389,33 +404,42 @@ def refresh_index(pages_path, index_dir: str,
         bk = batch.column("bucket").to_numpy()
         return np.array([watermarks.get(int(x), floor) for x in bk])
 
+    def _fresh_mask(batch: pa.Table) -> np.ndarray:
+        # null warc_ts counts as FRESH: DocBucketWriter's keep-max sort
+        # places nulls last (Arrow at_end), i.e. a full build treats a
+        # null ts as the newest capture — refresh must agree, so null
+        # rows re-enter the reduce unconditionally rather than being
+        # dropped by both recency filters (NaT compares False both ways)
+        ts = batch.column("warc_ts").to_numpy()
+        return (ts > _wm(batch)) | np.isnat(ts)
+
     def keep_fresh(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        return batch.filter(pa.array(
-            batch.column("warc_ts").to_numpy() > _wm(batch)
-        ))
+        return batch.filter(pa.array(_fresh_mask(batch)))
 
     def keep_stale(batch: pa.Table) -> pa.Table:
+        # exact complement of keep_fresh
         if batch.num_rows == 0:
             return batch
-        return batch.filter(pa.array(
-            batch.column("warc_ts").to_numpy() <= _wm(batch)
-        ))
+        return batch.filter(pa.array(~_fresh_mask(batch)))
 
     # the incremental batch, extracted once (small by construction)
     bucketed = _bucketed_pages(pages_path, cfg).materialize()
     fresh = bucketed.map_batches(keep_fresh, batch_format="pyarrow")
 
     # per-URL shouldVisit semantics: a row older than its BUCKET
-    # watermark may still be a never-seen URL (the bucket watermark is
-    # other urls' recency). Those rows must index; only rows whose url
-    # already exists with a newer-or-equal ts are stale. Resolve by
-    # co-partitioning the stale candidates with their buckets' known
-    # urls (url column only — pruned read) and keeping unknown urls.
+    # watermark may still be a never-seen URL, or a known URL whose own
+    # stored capture is older (the bucket watermark is OTHER urls'
+    # recency). Those rows must index. Resolve by co-partitioning the
+    # stale candidates with their buckets' known (url, stored warc_ts)
+    # pairs (pruned read) and keeping rows that are unknown OR strictly
+    # newer than their own stored ts — the reference's per-URL
+    # last_visited policy (crawler.go:230-244).
     stale = bucketed.map_batches(keep_stale, batch_format="pyarrow")
     novel = None
-    stale_buckets = sorted(int(b) for b in stale.unique("bucket"))
+    # unique() returns None on an empty dataset (all rows fresh)
+    stale_buckets = sorted(int(b) for b in (stale.unique("bucket") or []))
     if stale_buckets:
         known_files = [
             prev[b]["path"] for b in stale_buckets
@@ -430,10 +454,12 @@ def refresh_index(pages_path, index_dir: str,
         from rse_ray.functions.ids import url_buckets
 
         def tag_known(batch: pa.Table) -> pa.Table:
+            # known rows carry their STORED warc_ts so the group fn can
+            # compare per-url, not per-bucket
             n = batch.num_rows
             return pa.table(
                 {"url": batch.column("url").cast(pa.string()),
-                 "warc_ts": pa.nulls(n, pa.timestamp("us")),
+                 "warc_ts": batch.column("warc_ts").cast(pa.timestamp("us")),
                  "text": pa.nulls(n, pa.string()),
                  "bucket": pa.array(
                      url_buckets(batch.column("url").to_pylist(),
@@ -442,9 +468,18 @@ def refresh_index(pages_path, index_dir: str,
                  "known": pa.array(np.ones(n, dtype=np.int8))}
             )
 
-        def unknown_only(g) -> pa.Table:
-            seen = set(g.loc[g["known"] == 1, "url"])
-            nw = g[(g["known"] == 0) & (~g["url"].isin(seen))]
+        def should_visit(g) -> pa.Table:
+            known = g[g["known"] == 1]
+            stored_ts = g["url"].map(
+                dict(zip(known["url"], known["warc_ts"]))
+            )
+            # keep: unknown url (or stored ts null) OR strictly newer
+            # than the url's own stored capture; NaT comparisons are
+            # False, so a null incoming ts only passes for unknown urls
+            keep = (g["known"] == 0) & (
+                stored_ts.isna() | (g["warc_ts"] > stored_ts)
+            )
+            nw = g[keep]
             return pa.table(
                 {"url": pa.array(nw["url"].tolist(), type=pa.string()),
                  "warc_ts": pa.array(nw["warc_ts"].tolist(),
@@ -456,17 +491,17 @@ def refresh_index(pages_path, index_dir: str,
         cand = stale.map_batches(tag_stale, batch_format="pyarrow")
         if known_files:
             known_ds = ray.data.read_parquet(
-                known_files, columns=["url"]
+                known_files, columns=["url", "warc_ts"]
             ).map_batches(tag_known, batch_format="pyarrow")
             cand = cand.union(known_ds)
         novel = cand.groupby("bucket").map_groups(
-            unknown_only, batch_format="pandas"
+            should_visit, batch_format="pandas"
         ).materialize()
         if novel.count() == 0:
             novel = None
 
     fresh = (fresh.union(novel) if novel is not None else fresh).materialize()
-    changed = sorted(int(b) for b in fresh.unique("bucket"))
+    changed = sorted(int(b) for b in (fresh.unique("bucket") or []))
     if not changed:
         existing = read_json(d["manifest"])
         if existing:
@@ -486,21 +521,35 @@ def refresh_index(pages_path, index_dir: str,
             make_add_bucket(cfg.num_buckets), batch_format="pyarrow"
         )
         union_in = fresh.union(old_ds)
-    # pin the inputs before invalidating the checkpoints they come from
+    # pin the inputs: the reduce below atomically REPLACES the same docs
+    # parquet files old_ds reads from
     union_in = union_in.materialize()
 
+    # crash safety (round-2 ADVICE): the docs checkpoints are never
+    # pre-deleted — DocBucketWriter(overwrite=True) replaces each via
+    # tmp+rename, so the old docs stay durable until their replacement
+    # lands. Drop the stage/final markers FIRST so an interrupted
+    # refresh can never read as a completed stage A, and invalidate
+    # only the DERIVED segment checkpoints (stage B rebuilds any bucket
+    # without a done segment manifest, so this is safe at any crash
+    # point).
+    stage_marker = os.path.join(d["docs"], "_STAGE.json")
+    if os.path.exists(stage_marker):
+        os.unlink(stage_marker)
+    if os.path.exists(d["manifest"]):
+        os.unlink(d["manifest"])
+    seg_manifests = PartitionManifests(d["segments"])
     for b in changed:
         key = f"bucket_{b:06d}"
-        for stage_dir in (d["docs"], d["segments"]):
-            mp = PartitionManifests(stage_dir).path(key)
-            if os.path.exists(mp):
-                os.unlink(mp)
-            fp = os.path.join(stage_dir, f"{key}.parquet")
-            if os.path.exists(fp):
-                os.unlink(fp)
+        mp = seg_manifests.path(key)
+        if os.path.exists(mp):
+            os.unlink(mp)
+        fp = os.path.join(d["segments"], f"{key}.parquet")
+        if os.path.exists(fp):
+            os.unlink(fp)
 
     union_in.groupby("bucket").map_groups(
-        DocBucketWriter(d["docs"], None, stem=cfg.stem),
+        DocBucketWriter(d["docs"], None, stem=cfg.stem, overwrite=True),
         batch_format="pyarrow",
     ).take_all()
 
@@ -515,7 +564,6 @@ def refresh_index(pages_path, index_dir: str,
             "refreshed_buckets": changed,
         },
     )
-    # final manifest is stale; stages B-D resume off the checkpoints
-    if os.path.exists(d["manifest"]):
-        os.unlink(d["manifest"])
+    # stale final manifest was already dropped pre-reduce; stages B-D
+    # resume off the checkpoints
     return build_index(pages_path, index_dir, cfg)

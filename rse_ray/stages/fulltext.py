@@ -121,10 +121,13 @@ class DocBucketWriter:
     no barrier, no bucket re-read, half the task scheduling."""
 
     def __init__(self, docs_dir: str, segments_dir: str | None = None,
-                 *, stem: bool = True) -> None:
+                 *, stem: bool = True, overwrite: bool = False) -> None:
         self.docs_dir = docs_dir
         self.segments_dir = segments_dir
         self.stem = stem
+        # refresh_index upserts over existing done buckets: the atomic
+        # tmp+rename write replaces them without any pre-delete window
+        self.overwrite = overwrite
         self.manifests = PartitionManifests(docs_dir)
         self.__name__ = "DocBucketWriter"  # map_groups wants a named fn
 
@@ -134,7 +137,7 @@ class DocBucketWriter:
         out_path = os.path.join(self.docs_dir, f"{key}.parquet")
         from rse_ray.state.manifest import read_json
 
-        prev = read_json(self.manifests.path(key))
+        prev = None if self.overwrite else read_json(self.manifests.path(key))
         if prev and prev.get("status") == "done":
             if self.segments_dir is not None:
                 write_segment(bucket, out_path, self.segments_dir,

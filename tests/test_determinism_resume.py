@@ -245,3 +245,156 @@ def test_incremental_refresh_matches_full_rebuild(ray_session, tmp_path):
         and os.path.getmtime(os.path.join(docs_dir, f)) == mt
     ]
     assert untouched, "every bucket was rewritten — refresh is not incremental"
+
+
+def test_refresh_per_url_and_null_ts_semantics(ray_session, tmp_path):
+    """Round-3 ADVICE closures: (a) a KNOWN url whose new capture is
+    strictly newer than its OWN stored warc_ts but at/below its bucket
+    watermark must update (per-URL shouldVisit, crawler.go:230-244);
+    (b) a null-warc_ts capture of a known url wins, matching the full
+    build's nulls-last keep-max; (c) a never-seen null-ts url indexes."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+
+    from rse_ray.functions.ids import url_bucket
+    from rse_ray.pipelines.build import BuildConfig, build_index, refresh_index
+
+    def pages(rows):
+        return pa.table(
+            {"url": pa.array([r[0] for r in rows]),
+             "warc_ts": pa.array([r[1] for r in rows],
+                                 type=pa.timestamp("us")),
+             "text": pa.array([r[2] for r in rows])}
+        )
+
+    t0 = datetime(2025, 1, 1)
+    nb = 16
+    urls = [f"https://ex.com/{i}" for i in range(120)]
+    v1 = [(u, t0 + timedelta(seconds=i), f"alpha doc{i} words")
+          for i, u in enumerate(urls)]
+
+    # pick a url that is NOT the newest of its bucket, so an update
+    # strictly between its own ts and the bucket watermark exercises
+    # the per-url path (it would be dropped by a per-bucket filter)
+    by_bucket = {}
+    for i, u in enumerate(urls):
+        by_bucket.setdefault(url_bucket(u, nb), []).append(i)
+    grp = next(v for v in by_bucket.values() if len(v) >= 2)
+    m, mx = min(grp), max(grp)
+    assert m < mx
+    mid_upd = (urls[m], t0 + timedelta(seconds=m, milliseconds=500),
+               "midwatermark update must appear")
+    # null-ts capture of a DIFFERENT known url: full build keeps it
+    # (nulls sort last in the keep-max reduce)
+    k = min(i for i in range(120) if i != m)
+    null_known = (urls[k], None, "null ts known url wins")
+    null_new = ("https://ex.com/null-new", None, "null ts brand new url")
+    v2 = [mid_upd, null_known, null_new]
+
+    d1 = tmp_path / "v1"; d1.mkdir()
+    d2 = tmp_path / "v2"; d2.mkdir()
+    dall = tmp_path / "all"; dall.mkdir()
+    pq.write_table(pages(v1), str(d1 / "p.parquet"))
+    pq.write_table(pages(v2), str(d2 / "p.parquet"))
+    pq.write_table(pages(v1 + v2), str(dall / "p.parquet"))
+
+    cfg = BuildConfig(num_buckets=nb, buckets_per_salt_group=4,
+                      from_html=False)
+    inc = str(tmp_path / "inc")
+    build_index(str(d1 / "p.parquet"), inc, cfg)
+    m_inc = refresh_index(str(d2 / "p.parquet"), inc, cfg)
+    assert m_inc["status"] == "done"
+
+    full = str(tmp_path / "full")
+    build_index(str(dall / "p.parquet"), full, cfg)
+    assert _logical_index(inc) == _logical_index(full)
+
+    # the three rows really are in the refreshed docs checkpoint
+    docs_dir = os.path.join(inc, "docs")
+    texts = {}
+    for f in os.listdir(docs_dir):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(docs_dir, f),
+                              columns=["url", "text"])
+            texts.update(zip(t.column("url").to_pylist(),
+                             t.column("text").to_pylist()))
+    assert texts[urls[m]] == mid_upd[2]
+    assert texts[urls[k]] == null_known[2]
+    assert texts[null_new[0]] == null_new[2]
+
+
+def test_refresh_crash_mid_reduce_keeps_docs_durable(ray_session, tmp_path):
+    """Round-3 ADVICE (high): a refresh that dies inside the dedup
+    reduce must leave every old docs checkpoint intact on disk and must
+    NOT leave docs/_STAGE.json claiming done; re-running refresh_index
+    then converges to the full-rebuild index."""
+    import hashlib
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+
+    import rse_ray.pipelines.build as build_mod
+    from rse_ray.pipelines.build import BuildConfig, build_index, refresh_index
+
+    def pages(rows):
+        return pa.table(
+            {"url": pa.array([r[0] for r in rows]),
+             "warc_ts": pa.array([r[1] for r in rows],
+                                 type=pa.timestamp("us")),
+             "text": pa.array([r[2] for r in rows])}
+        )
+
+    t0 = datetime(2025, 1, 1)
+    v1 = [(f"https://ex.com/{i}", t0 + timedelta(seconds=i),
+           f"alpha doc{i} words") for i in range(120)]
+    v2 = [(f"https://ex.com/{i}", t0 + timedelta(days=1, seconds=i),
+           f"beta doc{i} updated") for i in range(5)]
+
+    d1 = tmp_path / "v1"; d1.mkdir()
+    d2 = tmp_path / "v2"; d2.mkdir()
+    dall = tmp_path / "all"; dall.mkdir()
+    pq.write_table(pages(v1), str(d1 / "p.parquet"))
+    pq.write_table(pages(v2), str(d2 / "p.parquet"))
+    pq.write_table(pages(v1 + v2), str(dall / "p.parquet"))
+
+    cfg = BuildConfig(num_buckets=16, buckets_per_salt_group=4,
+                      from_html=False)
+    inc = str(tmp_path / "inc")
+    build_index(str(d1 / "p.parquet"), inc, cfg)
+    docs_dir = os.path.join(inc, "docs")
+
+    def _file_hashes():
+        out = {}
+        for f in sorted(os.listdir(docs_dir)):
+            if f.endswith(".parquet"):
+                with open(os.path.join(docs_dir, f), "rb") as fh:
+                    out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = _file_hashes()
+
+    class ExplodingWriter(build_mod.DocBucketWriter):
+        def __call__(self, group):
+            raise ValueError("simulated mid-reduce crash")
+
+    real = build_mod.DocBucketWriter
+    build_mod.DocBucketWriter = ExplodingWriter
+    try:
+        with pytest.raises(Exception):
+            refresh_index(str(d2 / "p.parquet"), inc, cfg)
+    finally:
+        build_mod.DocBucketWriter = real
+
+    # every old docs checkpoint survived byte-identical, and the crashed
+    # refresh cannot masquerade as a completed stage A
+    assert _file_hashes() == before
+    assert not os.path.exists(os.path.join(docs_dir, "_STAGE.json"))
+    assert not os.path.exists(os.path.join(inc, "_MANIFEST.json"))
+
+    # recovery: re-run the refresh for real
+    m = refresh_index(str(d2 / "p.parquet"), inc, cfg)
+    assert m["status"] == "done"
+    full = str(tmp_path / "full")
+    build_index(str(dall / "p.parquet"), full, cfg)
+    assert _logical_index(inc) == _logical_index(full)
