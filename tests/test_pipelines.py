@@ -312,3 +312,46 @@ def test_ivf_knn_recall(ray_session):
         hits += len(e & a)
         total += len(e)
     assert hits / total > 0.3  # 4/16 lists probed
+
+
+def test_ivf_quantizer_uniform_sample_on_sorted_corpus(ray_session):
+    """Round-3 fix: the coarse quantizer samples uniformly by
+    splitmix(vec_id), not the corpus HEAD — on a corpus SORTED by
+    cluster (the normal case at scale: ordered by source/date/topic) a
+    head sample sees one cluster and recall collapses; the uniform
+    sample must keep recall high. nprobe=nlist stays exact."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.ann import brute_force_knn, ivf_knn
+
+    rng = np.random.default_rng(7)
+    ncl, per, d = 8, 256, 16
+    centers = rng.standard_normal((ncl, d)) * 5.0
+    vecs = np.concatenate(
+        [centers[c] + 0.1 * rng.standard_normal((per, d)) for c in range(ncl)]
+    )
+    ids = np.arange(ncl * per, dtype=np.int64)  # label-sorted order
+    tbl = pa.table(
+        {"vec_id": pa.array(ids, type=pa.int64()),
+         "embedding": pa.array([v.tolist() for v in vecs],
+                               type=pa.list_(pa.float32()))}
+    )
+    ds = ray.data.from_arrow(tbl)
+    queries = [int(c * per + 5) for c in range(ncl)]  # one per cluster
+
+    exact = brute_force_knn(ds, queries, k=10)
+    approx = ivf_knn(ds, queries, k=10, nlist=8, nprobe=2,
+                     )
+    hits = total = 0
+    for q in queries:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total > 0.9, f"recall {hits}/{total} on sorted corpus"
+
+    full = ivf_knn(ds, queries, k=10, nlist=8, nprobe=8)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), exact.reset_index(drop=True)
+    )
