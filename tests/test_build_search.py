@@ -180,3 +180,55 @@ def test_sharded_accumulator_budget_reject_stays_correct(built_index, oracle,
             want = oracle.search(q["query"], k=10)
             assert got == want, f"q={q['qid']}"
     assert not ds._resident  # nothing can be stored at budget 0
+
+
+def test_accumulator_blockmax_pruning_exact_and_engaged(ray_session):
+    """Round-3: the accumulator's block-max pruned top-k must (a) equal
+    the exhaustive dense scatter-add exactly on a SKEWED corpus — the
+    case where pruning actually skips blocks — and (b) demonstrably
+    score fewer postings than the candidate total."""
+    import ray
+
+    from rse_ray.pipelines.search import make_accumulator_actor
+
+    rng = np.random.default_rng(11)
+    N = 400_000
+    bits = 20  # one bucket holds everything: doc_id == dense rank
+    offsets = np.array([0, N], dtype=np.int64)
+
+    ids_a = np.arange(N, dtype=np.int64)
+    tfp_a = np.full(N, 0.2)
+    # hot region CLUSTERED in a few blocks (docs sharing a shard often
+    # share length/tf statistics): this is the prunable shape
+    hot = np.arange(5_000, 5_200)
+    tfp_a[hot] = rng.uniform(2.0, 3.0, size=len(hot))
+    sel_b = np.sort(rng.choice(N, size=80_000, replace=False)).astype(np.int64)
+    tfp_b = rng.uniform(0.1, 0.4, size=len(sel_b))
+    tfp_b[:50] = 5.0  # head of term b is hot (first few blocks)
+    w_a, w_b = 1.7, 0.9
+
+    # expected: exhaustive scatter-add in sorted-term order
+    acc = np.zeros(N)
+    acc[ids_a] += w_a * tfp_a
+    acc[sel_b] += w_b * tfp_b
+    k = 10
+    order = np.lexsort((np.arange(N), -acc))[:k]
+    want = [(int(i), float(acc[i])) for i in order]
+
+    Acc = make_accumulator_actor()
+    actor = Acc.remote(offsets, bits, 0, 1)
+    got, stored = ray.get(actor.accumulate_and_topk.remote(
+        k, "a", w_a, 1, (ids_a, tfp_a), "b", w_b, 1, (sel_b, tfp_b)
+    ))
+    assert got == want
+    assert set(stored) == {"a", "b"}
+    stats = ray.get(actor.pruning_stats.remote())
+    assert stats["candidate_postings"] == N + len(sel_b)
+    assert stats["scored_postings"] < 0.3 * stats["candidate_postings"], stats
+
+    # warm repeat (n=0 ops) must reproduce the same result via the
+    # resident slices and keep pruning
+    got2, _ = ray.get(actor.accumulate_and_topk.remote(
+        k, "a", w_a, 0, "b", w_b, 0
+    ))
+    assert got2 == want
