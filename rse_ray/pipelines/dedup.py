@@ -107,7 +107,8 @@ class MinHashSignatures:
 
 def minhash_candidate_pairs(ds, *, num_perm=128, num_bands=16, shingle_n=3,
                             concurrency: int | None = 4, max_bucket: int = 64,
-                            num_parts: int = 32, dedup_stage: bool = True):
+                            num_parts: int | None = None,
+                            dedup_stage: bool = True):
     """LSH candidate pairs: docs sharing any band bucket. Returns
     (doc_a, doc_b) with doc_a < doc_b, deduplicated across bands.
 
@@ -115,10 +116,15 @@ def minhash_candidate_pairs(ds, *, num_perm=128, num_bands=16, shingle_n=3,
     doc_a % P for the cross-band dedup) and do all per-bucket pair
     generation inside the partition with one vectorized self-merge —
     grouping by the raw (band, band_hash) key would pay per-group
-    Python+Arrow overhead on ~|docs|x|bands| near-singleton groups."""
-    from rse_ray.util import clamp_pool
+    Python+Arrow overhead on ~|docs|x|bands| near-singleton groups.
+    ``num_parts`` defaults to ``parts_for(rows)`` — input-derived, so
+    an sf100 corpus fans out past 32 reduce slots; the pair SET is
+    invariant to it (buckets never straddle a part)."""
+    from rse_ray.util import clamp_pool, parts_for
 
     concurrency = clamp_pool(concurrency)
+    if num_parts is None:
+        num_parts = parts_for(ds.count())
 
     def add_part(batch: pa.Table) -> pa.Table:
         part = pc.cast(
@@ -167,7 +173,8 @@ def minhash_candidate_pairs(ds, *, num_perm=128, num_bands=16, shingle_n=3,
 
 def minhash_dedup_pairs(ds, *, threshold: float = 0.8, num_perm=128,
                         num_bands=16, shingle_n=3, concurrency: int = 4,
-                        num_parts: int = 32):
+                        num_parts: int | None = None,
+                        driver_pairs_threshold: int = 10_000_000):
     """Full near-dup: LSH candidates verified with EXACT n-gram Jaccard
     >= threshold.
 
@@ -187,25 +194,77 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, num_perm=128,
 
     Only the qualifying (doc_a, doc_b, jaccard) rows return to the
     driver. Text duplication across pairs is bounded by the candidate
-    generator's max_bucket cap."""
+    generator's max_bucket cap.
+
+    Cross-band candidate dedup is driver-side (``drop_duplicates`` on
+    the int-only pair list) below ``driver_pairs_threshold`` raw pairs,
+    and the DISTRIBUTED ``groupby(doc_a % P)`` dedup shuffle above it —
+    at 10^10 raw candidates the driver list would be the bottleneck
+    (round-2 VERDICT item 5); in that branch the candidate stream never
+    leaves the cluster (only the distinct doc-id array does, to drive
+    the is_in text filter)."""
     import ray
+
+    from rse_ray.util import parts_for
 
     from rse_ray.functions.hashing import exact_jaccard
 
     empty = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
                           "doc_b": pd.array([], dtype="int64"),
                           "jaccard": pd.array([], dtype="float64")})
-    cands = minhash_candidate_pairs(
-        ds, num_perm=num_perm, num_bands=num_bands, shingle_n=shingle_n,
-        concurrency=concurrency, dedup_stage=False,
-    ).to_pandas()  # ID pairs only — small by construction
-    if cands.empty:
-        return empty
-    cands = cands.drop_duplicates(["doc_a", "doc_b"])  # cross-band dedup
+    if num_parts is None:
+        num_parts = parts_for(ds.count())
     P = num_parts
-    doc_a = cands["doc_a"].to_numpy().astype(np.int64)
-    doc_b = cands["doc_b"].to_numpy().astype(np.int64)
-    needed_ref = ray.put(np.unique(np.concatenate([doc_a, doc_b])))
+    raw = minhash_candidate_pairs(
+        ds, num_perm=num_perm, num_bands=num_bands, shingle_n=shingle_n,
+        concurrency=concurrency, dedup_stage=False, num_parts=P,
+    ).materialize()  # ID pairs only (ints): bounded by bands*max_bucket²
+    cand_part_ds = None
+    if raw.count() <= driver_pairs_threshold:
+        cands = raw.to_pandas()
+        if cands.empty:
+            return empty
+        cands = cands.drop_duplicates(["doc_a", "doc_b"])  # cross-band dedup
+        doc_a = cands["doc_a"].to_numpy().astype(np.int64)
+        doc_b = cands["doc_b"].to_numpy().astype(np.int64)
+        needed = np.unique(np.concatenate([doc_a, doc_b]))
+    else:
+        def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
+        cands_ds = raw.groupby("part2").map_groups(
+            dedup_part, batch_format="pandas"
+        ).materialize()
+        if cands_ds.count() == 0:
+            return empty
+
+        def to_cand_rows(b: pa.Table) -> pa.Table:
+            a = b.column("doc_a").to_numpy().astype(np.int64)
+            bb = b.column("doc_b").to_numpy().astype(np.int64)
+            return pa.table(
+                {"part": pa.array((a % P).astype(np.int32)),
+                 "a": pa.array(a), "b": pa.array(bb),
+                 "text": pa.array([""] * len(a), type=pa.string())}
+            )
+
+        cand_part_ds = cands_ds.map_batches(to_cand_rows,
+                                            batch_format="pyarrow")
+
+        def ids_of(b: pa.Table) -> pa.Table:
+            u = np.unique(np.concatenate([
+                b.column("doc_a").to_numpy().astype(np.int64),
+                b.column("doc_b").to_numpy().astype(np.int64),
+            ]))
+            return pa.table({"doc_id": pa.array(u, type=pa.int64())})
+
+        # distinct doc ids: O(candidate docs) ints on the driver — the
+        # one thing the is_in broadcast genuinely needs
+        needed = np.unique(np.asarray(
+            cands_ds.map_batches(ids_of, batch_format="pyarrow")
+            .unique("doc_id"),
+            dtype=np.int64,
+        ))
+    needed_ref = ray.put(needed)
 
     # rows tagged b == -1 are text carriers: (part, a=doc_id, -1, text)
     def pick_texts(batch: pa.Table) -> pa.Table:
@@ -226,12 +285,13 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, num_perm=128,
 
     import ray.data as rd
 
-    cand_tbl = pa.table(
-        {"part": pa.array((doc_a % P).astype(np.int32)),
-         "a": pa.array(doc_a),
-         "b": pa.array(doc_b),
-         "text": pa.array([""] * len(doc_a), type=pa.string())}
-    )
+    if cand_part_ds is None:  # driver-dedup branch: pairs already local
+        cand_part_ds = rd.from_arrow(pa.table(
+            {"part": pa.array((doc_a % P).astype(np.int32)),
+             "a": pa.array(doc_a),
+             "b": pa.array(doc_b),
+             "text": pa.array([""] * len(doc_a), type=pa.string())}
+        ))
 
     def attach_a(g: pd.DataFrame) -> pa.Table:
         # arrow output: the result unions with texts_ds (arrow blocks)
@@ -271,7 +331,7 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, num_perm=128,
              "jaccard": pd.array(out_j, dtype="float64")}
         )
 
-    stage1 = texts_ds.union(rd.from_arrow(cand_tbl)).groupby(
+    stage1 = texts_ds.union(cand_part_ds).groupby(
         "part"
     ).map_groups(attach_a, batch_format="pandas")
     res = texts_ds.union(stage1).groupby("part").map_groups(
@@ -314,7 +374,8 @@ def _hamming64_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _POPCOUNT8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
 
 
-def simhash_dup_pairs(ds, *, max_hamming: int = 3, num_parts: int = 32):
+def simhash_dup_pairs(ds, *, max_hamming: int = 3,
+                      num_parts: int | None = None):
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found by the
     standard 4-table prefix trick: two 64-bit hashes within Hamming 3
     share at least one identical 16-bit quarter -> bucket by
@@ -323,7 +384,13 @@ def simhash_dup_pairs(ds, *, max_hamming: int = 3, num_parts: int = 32):
     Buckets are near-singletons, so the shuffle groups by a coarse
     partition of the quarter key and each partition does bucket pairing
     with one vectorized self-merge + LUT popcount (same pattern as
-    minhash_candidate_pairs)."""
+    minhash_candidate_pairs). ``num_parts`` defaults to the shared
+    input-derived ``parts_for(rows)``; the pair set is invariant to it
+    (a (quarter, value) bucket never straddles a part)."""
+    from rse_ray.util import parts_for
+
+    if num_parts is None:
+        num_parts = parts_for(ds.count())
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
@@ -387,7 +454,8 @@ def simhash_dup_pairs(ds, *, max_hamming: int = 3, num_parts: int = 32):
 # --------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_n: int = 3,
-                        max_bucket: int | None = None, num_blocks: int = 32):
+                        max_bucket: int | None = None,
+                        num_blocks: int | None = None):
     """Exact all-pairs n-gram Jaccard >= threshold, block-nested-loop.
 
     The naive distributed form (explode shingles -> groupby(shingle) ->
@@ -418,6 +486,14 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_n: int = 3,
     import zlib
 
     from rse_ray.functions.hashing import shingles
+    from rse_ray.util import parts_for
+
+    if num_blocks is None:
+        # B² /2 tasks: keep B modest — ~25k docs per block, capped so
+        # the grid stays under ~2k tasks (exact all-pairs is a ground-
+        # truth tool, not the scale path)
+        num_blocks = parts_for(ds.count(), rows_per_part=25_000,
+                               min_parts=8, max_parts=64, pow2=False)
 
     def make_sets(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()

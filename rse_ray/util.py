@@ -3,6 +3,23 @@
 from __future__ import annotations
 
 
+def parts_for(n_rows: int, *, rows_per_part: int = 50_000,
+              min_parts: int = 32, max_parts: int = 8192,
+              pow2: bool = True) -> int:
+    """Shuffle fan-out derived from INPUT SIZE, shared by the dedup/ANN
+    pipelines (round-2 VERDICT: fixed 32-part defaults funnel an sf100
+    shuffle into 32 reduce slots while the index build already derives
+    its bucket count from rows). ~``rows_per_part`` rows per reduce
+    slot, clamped to [min_parts, max_parts]; rounded up to a power of
+    two by default because several callers mask hashes with
+    ``& (parts - 1)``. Deterministic in the input, never CPU-derived —
+    the same dataset shuffles the same way on any cluster size."""
+    want = max(min_parts, min(max_parts, -(-int(n_rows) // rows_per_part)))
+    if pow2:
+        want = 1 << (want - 1).bit_length()
+    return min(want, max_parts)
+
+
 def clamp_pool(requested: int | None, *, reserve: int = 1, floor: int = 1) -> int:
     """Clamp an actor-pool size so at least ``reserve`` CPUs stay free
     for downstream task-pool / all-to-all operators.

@@ -355,3 +355,36 @@ def test_ivf_quantizer_uniform_sample_on_sorted_corpus(ray_session):
     pd.testing.assert_frame_equal(
         full.reset_index(drop=True), exact.reset_index(drop=True)
     )
+
+
+def test_parts_for_input_derived():
+    """Shared shuffle fan-out helper (round-3): power-of-two, clamped,
+    monotone in input size, never CPU-derived."""
+    from rse_ray.util import parts_for
+
+    assert parts_for(0) == 32
+    assert parts_for(500) == 32              # sf0.01 stays at the floor
+    assert parts_for(1_600_000) == 32
+    assert parts_for(3_200_000) == 64
+    assert parts_for(62_500_000) == 2048     # sf100-ish fans out
+    assert parts_for(10**12) == 8192         # hard cap
+    for n in (10, 10**5, 10**7, 10**9):
+        p = parts_for(n)
+        assert p & (p - 1) == 0              # power of two
+    assert parts_for(300_000, rows_per_part=25_000, min_parts=8,
+                     max_parts=64, pow2=False) == 12
+
+
+def test_minhash_distributed_cand_dedup_identical(ray_session):
+    """Forcing the distributed cross-band candidate dedup branch
+    (driver_pairs_threshold=0) must yield the identical verified pair
+    set as the driver-side drop_duplicates branch."""
+    from rse_ray.pipelines.dedup import minhash_dedup_pairs
+
+    a = minhash_dedup_pairs(_read("documents", ["doc_id", "text"]),
+                            threshold=0.5)
+    b = minhash_dedup_pairs(_read("documents", ["doc_id", "text"]),
+                            threshold=0.5, driver_pairs_threshold=0)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert len(a) > 0
