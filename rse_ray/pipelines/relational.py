@@ -27,6 +27,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+
+
+def _round_np(col, nd: int) -> pa.Array:
+    """Round a float column with NUMPY semantics (finish stages only —
+    tables are already tiny). pc.round lands 1 ULP away from np.round
+    for many .xx5-adjacent doubles, and the result contract hashes
+    exact float bits."""
+    return pa.array(np.round(col.to_numpy(), nd), type=pa.float64())
+
+
 def pricing_summary(lineitem_ds, *, cutoff: str = "1998-09-01"):
     """TPC-H Q1 shape: per (l_returnflag, l_linestatus): sum_qty,
     sum_base_price, sum_disc_price, count_order, avg_qty.
@@ -34,28 +44,29 @@ def pricing_summary(lineitem_ds, *, cutoff: str = "1998-09-01"):
     rows per batch."""
     from ray.data.aggregate import Sum
 
-    cutoff_ts = np.datetime64(cutoff)
+    cutoff_ts = np.datetime64(cutoff, "us")
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df[df["l_shipdate"] < cutoff_ts]
-        if df.empty:
-            return pa.table(
-                {"l_returnflag": pa.array([], type=pa.string()),
-                 "l_linestatus": pa.array([], type=pa.string()),
-                 "qty_p": pa.array([], type=pa.float64()),
-                 "base_p": pa.array([], type=pa.float64()),
-                 "disc_p": pa.array([], type=pa.float64()),
-                 "cnt_p": pa.array([], type=pa.int64())}
-            )
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            qty_p=("l_quantity", "sum"),
-            base_p=("l_extendedprice", "sum"),
-            disc_p=("disc_price", "sum"),
-            cnt_p=("l_quantity", "size"),
+        # zero-copy Arrow throughout (round-2 VERDICT: the pandas
+        # round-trip copied every batch for nothing)
+        t = batch.filter(pc.less(batch.column("l_shipdate"),
+                                 pa.scalar(cutoff_ts)))
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.append_column("disc_price", disc_price).group_by(
+            ["l_returnflag", "l_linestatus"]
+        ).aggregate([("l_quantity", "sum"), ("l_extendedprice", "sum"),
+                     ("disc_price", "sum"), ("l_quantity", "count")])
+        return pa.table(
+            {"l_returnflag": g.column("l_returnflag"),
+             "l_linestatus": g.column("l_linestatus"),
+             "qty_p": g.column("l_quantity_sum"),
+             "base_p": g.column("l_extendedprice_sum"),
+             "disc_p": g.column("disc_price_sum"),
+             "cnt_p": g.column("l_quantity_count")}
+        )
 
     agg = lineitem_ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["l_returnflag", "l_linestatus"]
@@ -67,12 +78,17 @@ def pricing_summary(lineitem_ds, *, cutoff: str = "1998-09-01"):
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(6)
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            df[c] = df[c].round(2)
-        df["count_order"] = df["count_order"].astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.table(
+            {"l_returnflag": batch.column("l_returnflag"),
+             "l_linestatus": batch.column("l_linestatus"),
+             "sum_qty": _round_np(batch.column("sum_qty"), 2),
+             "sum_base_price": _round_np(batch.column("sum_base_price"), 2),
+             "sum_disc_price": _round_np(batch.column("sum_disc_price"), 2),
+             "count_order": pc.cast(batch.column("count_order"), pa.int64()),
+             "avg_qty": pa.array(np.round(
+                 batch.column("sum_qty").to_numpy()
+                 / batch.column("count_order").to_numpy(), 6))}
+        )
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -146,17 +162,29 @@ def orders_by_segment(orders_ds, customer_ds):
     import ray
     from ray.data.aggregate import Sum
 
-    cust = customer_ds.select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    cust = customer_ds.select_columns(
+        ["c_custkey", "c_mktsegment"]
+    ).sort("c_custkey").to_arrow_refs()
+    cust_tbl = pa.concat_tables(ray.get(cust))
+    # broadcast as (sorted keys, segment array): the per-batch lookup is
+    # then one vectorized searchsorted + take, no python dict
+    lookup_ref = ray.put((cust_tbl.column("c_custkey").to_numpy(),
+                          cust_tbl.column("c_mktsegment").combine_chunks()))
 
     def partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        df = batch.to_pandas()
-        df["c_mktsegment"] = df["o_custkey"].map(lookup)
-        g = df.groupby("c_mktsegment", as_index=False).agg(
-            n_p=("o_orderkey", "size"), tot_p=("o_totalprice", "sum")
+        keys, segs = ray.get(lookup_ref)
+        idx = np.searchsorted(keys, batch.column("o_custkey").to_numpy())
+        g = pa.table(
+            {"c_mktsegment": segs.take(pa.array(idx, type=pa.int64())),
+             "o_totalprice": batch.column("o_totalprice")}
+        ).group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "count"), ("o_totalprice", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table(
+            {"c_mktsegment": g.column("c_mktsegment"),
+             "n_p": g.column("o_totalprice_count"),
+             "tot_p": g.column("o_totalprice_sum")}
+        )
 
     agg = orders_ds.map_batches(partial, batch_format="pyarrow").groupby(
         "c_mktsegment"
@@ -164,10 +192,11 @@ def orders_by_segment(orders_ds, customer_ds):
                 Sum("tot_p", alias_name="total_price"))
 
     def finish(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["n_orders"] = df["n_orders"].astype("int64")
-        df["total_price"] = df["total_price"].round(2)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.table(
+            {"c_mktsegment": batch.column("c_mktsegment"),
+             "n_orders": pc.cast(batch.column("n_orders"), pa.int64()),
+             "total_price": _round_np(batch.column("total_price"), 2)}
+        )
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -179,13 +208,23 @@ def window_agg(events_ds, *, window: str = "h"):
     computed window column (ray_guide streaming section)."""
     from ray.data.aggregate import Sum
 
+    unit = {"h": "hour", "d": "day", "min": "minute", "s": "second"}[window]
+
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["window_start"] = df["ts"].dt.floor(window)
-        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
-            n_p=("event_id", "size"), v_p=("value", "sum")
+        g = pa.table(
+            {"event_type": batch.column("event_type"),
+             "window_start": pc.floor_temporal(batch.column("ts"),
+                                               unit=unit),
+             "value": batch.column("value")}
+        ).group_by(["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table(
+            {"event_type": g.column("event_type"),
+             "window_start": g.column("window_start"),
+             "n_p": g.column("value_count"),
+             "v_p": g.column("value_sum")}
+        )
 
     agg = events_ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["event_type", "window_start"]
@@ -193,10 +232,12 @@ def window_agg(events_ds, *, window: str = "h"):
                 Sum("v_p", alias_name="sum_value"))
 
     def finish(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["n_events"] = df["n_events"].astype("int64")
-        df["sum_value"] = df["sum_value"].round(2)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "window_start": batch.column("window_start"),
+             "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+             "sum_value": _round_np(batch.column("sum_value"), 2)}
+        )
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -218,19 +259,29 @@ def json_props_sum(events_ds):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["k"] = [int(json.loads(p)["k"]) for p in df["props"]]
-        g = df.groupby("event_type", as_index=False).agg(k_p=("k", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # the json parse is inherently per-row; everything around it is
+        # Arrow (no pandas round-trip)
+        ks = np.fromiter(
+            (int(json.loads(p)["k"])
+             for p in batch.column("props").to_pylist()),
+            dtype=np.int64, count=len(batch),
+        )
+        g = pa.table(
+            {"event_type": batch.column("event_type"),
+             "k": pa.array(ks, type=pa.int64())}
+        ).group_by("event_type").aggregate([("k", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "k_p": g.column("k_sum")})
 
     agg = events_ds.map_batches(partial, batch_format="pyarrow").groupby(
         "event_type"
     ).aggregate(Sum("k_p", alias_name="sum_k"))
 
     def finish(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["sum_k"] = df["sum_k"].astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "sum_k": pc.cast(batch.column("sum_k"), pa.int64())}
+        )
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
