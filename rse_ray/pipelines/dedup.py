@@ -600,9 +600,93 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_n: int = 3,
 # duplicate clusters + keep-one-representative (the dedup OUTPUT)
 # --------------------------------------------------------------------------
 
+def _clusters_label_prop(pairs: pd.DataFrame,
+                         num_parts: int | None = None) -> pd.DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation — the fleet-scale form for pair lists too big for one
+    process: label(v) <- min(label(v), min label over neighbors),
+    repeated to fixpoint. Each round is two co-partitioned shuffles
+    (send every node's label along its out-edges, then per-node min);
+    the driver holds only iteration control and the converged (node,
+    label) table. Converges in O(component diameter) rounds; the label
+    sum is monotone nonincreasing, so an unchanged sum witnesses the
+    fixpoint."""
+    import ray.data as rd
+
+    from rse_ray.util import parts_for
+
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "cluster_id": pd.array([], dtype="int64")})
+    a = pairs["doc_a"].to_numpy().astype(np.int64)
+    b = pairs["doc_b"].to_numpy().astype(np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    P = num_parts or parts_for(len(src), rows_per_part=100_000,
+                               min_parts=8, max_parts=512)
+    edges_ds = rd.from_arrow(pa.table(
+        {"part": pa.array((src % P).astype(np.int32)),
+         "n": pa.array(src, type=pa.int64()),
+         "l": pa.array(dst, type=pa.int64()),
+         "kind": pa.array(np.ones(len(src), dtype=np.int8))}
+    )).materialize()
+    nodes = np.unique(src)
+    labels_ds = rd.from_arrow(pa.table(
+        {"part": pa.array((nodes % P).astype(np.int32)),
+         "n": pa.array(nodes, type=pa.int64()),
+         "l": pa.array(nodes, type=pa.int64()),
+         "kind": pa.array(np.zeros(len(nodes), dtype=np.int8))}
+    )).materialize()
+
+    def send(g: pd.DataFrame) -> pa.Table:
+        # arrow out: the result unions with arrow-block datasets into
+        # another sort-shuffle (Ray's sort can't mix block types)
+        lab = g[g["kind"] == 0].sort_values("n")
+        ed = g[g["kind"] == 1]
+        idx = np.searchsorted(lab["n"].to_numpy(), ed["n"].to_numpy())
+        out_n = np.concatenate([lab["n"].to_numpy(),
+                                ed["l"].to_numpy()])  # dst gets src's label
+        out_l = np.concatenate([lab["l"].to_numpy(),
+                                lab["l"].to_numpy()[idx]])
+        return pa.table(
+            {"part": pa.array((out_n % P).astype(np.int32)),
+             "n": pa.array(out_n, type=pa.int64()),
+             "l": pa.array(out_l, type=pa.int64())}
+        )
+
+    def reduce_min(g: pd.DataFrame) -> pa.Table:
+        r = g.groupby("n", as_index=False)["l"].min()
+        n = r["n"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"part": pa.array((n % P).astype(np.int32)),
+             "n": pa.array(n, type=pa.int64()),
+             "l": pa.array(r["l"].to_numpy().astype(np.int64)),
+             "kind": pa.array(np.zeros(len(n), dtype=np.int8))}
+        )
+
+    prev_sum = None
+    while True:
+        labels_ds = labels_ds.union(edges_ds).groupby("part").map_groups(
+            send, batch_format="pandas"
+        ).groupby("part").map_groups(
+            reduce_min, batch_format="pandas"
+        ).materialize()
+        s = labels_ds.sum("l")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    out = labels_ds.to_pandas().sort_values("n")
+    return pd.DataFrame(
+        {"doc_id": pd.array(out["n"].astype("int64"), dtype="int64"),
+         "cluster_id": pd.array(out["l"].astype("int64"), dtype="int64")}
+    ).reset_index(drop=True)
+
+
 def dup_clusters(ds=None, *, pairs: pd.DataFrame | None = None,
                  threshold: float = 0.8, num_perm=128, num_bands=16,
-                 shingle_n=3, concurrency: int = 4) -> pd.DataFrame:
+                 shingle_n=3, concurrency: int = 4,
+                 method: str = "union_find",
+                 num_parts: int | None = None) -> pd.DataFrame:
     """(doc_id, cluster_id) for every doc in >=1 verified near-dup pair:
     connected components over the MinHash-verified pair graph, with
     cluster_id = min doc_id in the component (the canonical
@@ -610,19 +694,28 @@ def dup_clusters(ds=None, *, pairs: pd.DataFrame | None = None,
 
     Scale shape: the expensive parts (LSH banding, exact-Jaccard
     verify) are the distributed minhash_dedup_pairs pipeline; the
-    component step is union-find on the DRIVER over the pair list only
-    — O(dup pairs), never O(corpus). At fleet scale with billions of
-    pairs this becomes iterative label propagation (repeat
-    groupby(node).min(label) until fixpoint); the pair-list union-find
-    is the honest single-box shape for pair counts that fit one
-    process, which verified near-dup graphs overwhelmingly do. Pass
-    ``pairs`` to reuse an already-computed verified pair list (skips
-    the whole MinHash pipeline)."""
+    component step has two forms behind ``method``:
+
+      * ``union_find`` (default) — driver-side over the pair list only,
+        O(dup pairs), never O(corpus); the honest single-box shape for
+        pair counts that fit one process, which verified near-dup
+        graphs overwhelmingly do.
+      * ``label_prop`` — distributed iterative min-label propagation
+        (two co-partitioned shuffles per round, O(diameter) rounds) for
+        pair lists that outgrow one process; identical clusters
+        (tests/test_pipelines.py asserts equality on the fixtures).
+
+    Pass ``pairs`` to reuse an already-computed verified pair list
+    (skips the whole MinHash pipeline)."""
     if pairs is None:
         pairs = minhash_dedup_pairs(
             ds, threshold=threshold, num_perm=num_perm, num_bands=num_bands,
             shingle_n=shingle_n, concurrency=concurrency,
         )
+    if method == "label_prop":
+        return _clusters_label_prop(pairs, num_parts)
+    if method != "union_find":
+        raise ValueError(f"unknown method {method!r}")
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

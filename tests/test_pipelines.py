@@ -388,3 +388,29 @@ def test_minhash_distributed_cand_dedup_identical(ray_session):
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
     assert len(a) > 0
+
+
+def test_dup_clusters_label_prop_equals_union_find(ray_session):
+    """The distributed min-label-propagation clustering must produce
+    exactly the driver union-find clusters — on the fixture pair graph
+    AND on a synthetic multi-hop chain graph (propagation needs
+    several rounds there; union-find gets it in one pass)."""
+    from rse_ray.pipelines.dedup import dup_clusters
+
+    docs = _read("documents", ["doc_id", "text"])
+    uf = dup_clusters(docs, threshold=0.5)
+    lp = dup_clusters(docs, threshold=0.5, method="label_prop")
+    pd.testing.assert_frame_equal(uf.reset_index(drop=True), lp)
+    assert len(uf) > 0
+
+    # chain 0-1-2-...-9 plus a disjoint triangle {100,101,102}: labels
+    # need ~5 rounds to reach the chain tail
+    pairs = pd.DataFrame(
+        {"doc_a": list(range(9)) + [100, 100, 101],
+         "doc_b": list(range(1, 10)) + [101, 102, 102]}
+    )
+    uf2 = dup_clusters(pairs=pairs)
+    lp2 = dup_clusters(pairs=pairs, method="label_prop")
+    pd.testing.assert_frame_equal(uf2.reset_index(drop=True), lp2)
+    assert set(lp2[lp2["doc_id"] >= 100]["cluster_id"]) == {100}
+    assert set(lp2[lp2["doc_id"] < 100]["cluster_id"]) == {0}
