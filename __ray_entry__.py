@@ -424,7 +424,7 @@ def _q_reference_relevance(sf_dir: str):
 
 
 LINKGRAPH_DIR = "/tmp/rse_ray_cache/linkgraph_pages_2000_g"
-MEDIA_DIR = "/tmp/rse_ray_cache/media_real_96"
+MEDIA_DIR = "/tmp/rse_ray_cache/media_real_v2_96"  # v2: +PNG rows
 
 
 def _linkgraph_corpus() -> str:
@@ -503,9 +503,9 @@ def _q_reference_rank(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """REAL multimodal decode over a deterministic BMP/WAV corpus (no
-    media tables exist in testdata): payloads are actual encoded
-    containers, the decode is pure numpy, and the features are oracled
+    """REAL multimodal decode over a deterministic BMP/PNG/WAV corpus
+    (no media tables exist in testdata): payloads are actual encoded
+    containers, the decode is pure numpy+zlib, and the features are oracled
     against the generator's golden parquet (computed from the raw
     arrays before encoding — the full round trip must be bit-exact)."""
     import ray.data

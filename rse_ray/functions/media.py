@@ -1,18 +1,21 @@
 """Pure-numpy media codecs for the multimodal pipeline: uncompressed
-24-bit BMP (image) and 16-bit PCM WAV (audio).
+24-bit BMP and COMPRESSED 8-bit RGB PNG (images), 16-bit PCM WAV
+(audio).
 
-The container has no media libraries, but these two containers are
-simple enough to en/decode exactly with struct + numpy — which makes
-the decode stage REAL (bytes in, pixel/sample arrays out) instead of a
-stub, while staying deterministic and dependency-free. Format layouts
-follow the public BMP (BITMAPFILEHEADER/BITMAPINFOHEADER, bottom-up
-BGR rows padded to 4 bytes) and RIFF/WAVE (fmt + data chunks, PCM
-s16le) specifications.
+The container has no media libraries, but these containers are
+decodable exactly with struct + numpy (+ stdlib zlib for PNG's
+DEFLATE) — which makes the decode stage REAL (bytes in, pixel/sample
+arrays out) instead of a stub, while staying deterministic and
+dependency-free. Format layouts follow the public BMP
+(BITMAPFILEHEADER/BITMAPINFOHEADER, bottom-up BGR rows padded to 4
+bytes), PNG (RFC 2083: chunk stream, scanline filters 0-4, zlib
+stream) and RIFF/WAVE (fmt + data chunks, PCM s16le) specifications.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -51,6 +54,163 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     raw = np.frombuffer(buf, dtype=np.uint8, count=row_size * h, offset=off)
     rows = raw.reshape(h, row_size)[:, : w * 3]
     return rows.reshape(h, w, 3)[::-1, :, ::-1]
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def _paeth_rows(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (RFC 2083 §6.6) over whole scanlines:
+    a=left, b=up, c=up-left, all uint8 arrays of equal length."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    da = np.abs(p - a)
+    db = np.abs(p - b)
+    dc = np.abs(p - c)
+    return np.where((da <= db) & (da <= dc), a,
+                    np.where(db <= dc, b, c)).astype(np.uint8)
+
+
+def _paeth_scalar(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+    if da <= db and da <= dc:
+        return a
+    return b if db <= dc else c
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 8-bit truecolor PNG bytes.
+
+    Scanline ``y`` uses filter type ``y % 5``, so every image taller
+    than 4 rows exercises ALL five RFC 2083 filters — the decoder's
+    unfilter paths get real coverage instead of the all-None stream a
+    lazy encoder would emit. Filtering is vectorized per scanline (the
+    encoder sees the full raw row, so even the left-referencing
+    filters are just shifted subtractions; uint8 wraps mod 256 as the
+    spec requires)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3)")
+    h, w, _ = pixels.shape
+    bpp = 3
+    raw = np.ascontiguousarray(pixels, dtype=np.uint8).reshape(h, w * bpp)
+    zero = np.zeros(w * bpp, dtype=np.uint8)
+    out = bytearray()
+    for y in range(h):
+        cur = raw[y]
+        prior = raw[y - 1] if y else zero
+        left = np.concatenate([zero[:bpp], cur[:-bpp]])
+        up_left = np.concatenate([zero[:bpp], prior[:-bpp]])
+        ft = y % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prior
+        elif ft == 3:
+            avg = ((left.astype(np.uint16) + prior) >> 1).astype(np.uint8)
+            filt = cur - avg
+        else:
+            filt = cur - _paeth_rows(left, prior, up_left)
+        out.append(ft)
+        out += filt.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """8-bit truecolor PNG bytes -> (h, w, 3) uint8 RGB.
+
+    Walks the chunk stream (CRC-verified), inflates the concatenated
+    IDAT zlib stream, and reverses scanline filters 0-4. Filters
+    0/1/2 unfilter fully vectorized (1 via per-channel cumsum — the
+    left-dependency chain steps by bpp, so ``reshape(w, 3)`` makes
+    each channel an independent prefix sum); 3/4 need the
+    reconstructed left byte and run as scalar loops over the ≤w*3-byte
+    scanline (images in this pipeline are thumbnails; payload decode
+    is an actor-pool stage, so the loop is per-scanline inside one
+    actor, never per-row-of-dataset)."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    at = 8
+    w = h = None
+    idat = bytearray()
+    while at + 8 <= len(buf):
+        (clen,) = struct.unpack_from(">I", buf, at)
+        ctype = buf[at + 4 : at + 8]
+        body = buf[at + 8 : at + 8 + clen]
+        (crc,) = struct.unpack_from(">I", buf, at + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color != 2 or comp != 0 or filt != 0 or ilace != 0:
+                raise ValueError(
+                    "unsupported PNG (need 8-bit truecolor, no interlace)"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        at += 12 + clen
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    stream = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = w * bpp
+    if len(stream) != h * (stride + 1):
+        raise ValueError("PNG scanline stream length mismatch")
+    lines = np.frombuffer(stream, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(lines[y, 0])
+        cur = lines[y, 1:]
+        prior = out[y - 1] if y else zero
+        if ft == 0:
+            rec = cur
+        elif ft == 1:
+            rec = (np.cumsum(cur.reshape(w, bpp), axis=0,
+                             dtype=np.int64) % 256).astype(np.uint8).ravel()
+        elif ft == 2:
+            rec = cur + prior
+        elif ft in (3, 4):
+            recl = cur.tolist()
+            prl = prior.tolist()
+            if ft == 3:
+                for x in range(stride):
+                    left = recl[x - bpp] if x >= bpp else 0
+                    recl[x] = (recl[x] + ((left + prl[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    left = recl[x - bpp] if x >= bpp else 0
+                    ul = prl[x - bpp] if x >= bpp else 0
+                    recl[x] = (recl[x] + _paeth_scalar(left, prl[x], ul)) & 0xFF
+            rec = np.array(recl, dtype=np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec
+    return out.reshape(h, w, bpp)
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Image bytes -> (h, w, 3) uint8 RGB, dispatched on the container
+    magic (BMP ``BM`` / PNG signature)."""
+    if buf[:8] == _PNG_SIG:
+        return decode_png(buf)
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    raise ValueError("unrecognized image container (need BMP or PNG)")
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:

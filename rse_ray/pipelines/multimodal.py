@@ -5,15 +5,16 @@ frame-sample are actor-pool map_batches stages.
 The container has no media libraries (no PIL/ffmpeg/torchvision).
 Two decode paths exist:
 
-  * ``backend="real"`` — an actual decode of uncompressed containers
-    with pure numpy (functions/media.py): 24-bit BMP images and PCM
-    s16 WAV audio. Bytes go in, pixel/sample arrays come out, and the
-    features are computed from the decoded arrays; a golden features
-    parquet written by the GENERATOR (from the raw arrays, pre-encode)
+  * ``backend="real"`` — an actual decode with pure numpy + stdlib
+    zlib (functions/media.py): 24-bit BMP and compressed 8-bit RGB
+    PNG images (dispatched on container magic) and PCM s16 WAV audio.
+    Bytes go in, pixel/sample arrays come out, and the features are
+    computed from the decoded arrays; a golden features parquet
+    written by the GENERATOR (from the raw arrays, pre-encode)
     oracles the full encode->ship->decode->feature round trip.
   * ``backend="stub"`` — a deterministic fake decode (byte histogram)
-    standing in for compressed formats (JPEG/MP3/H.264) whose codecs
-    aren't in the container; exercised for plumbing tests.
+    standing in for formats whose codecs aren't in the container
+    (JPEG/MP3/H.264); exercised for plumbing tests.
 
 Video decode remains stubbed (no pure-numpy container is honest for
 video); its frame-sample plumbing runs through the stub path.
@@ -98,20 +99,20 @@ class MediaDecoder:
 
 
 class RealMediaDecoder:
-    """Actor-pool REAL decode stage: BMP pixels / WAV samples out of
-    the payload bytes (functions/media.py), features computed from the
-    decoded arrays. Output schema is shared with the golden features
-    parquet the fixture generator writes."""
+    """Actor-pool REAL decode stage: BMP/PNG pixels / WAV samples out
+    of the payload bytes (functions/media.py), features computed from
+    the decoded arrays. Output schema is shared with the golden
+    features parquet the fixture generator writes."""
 
     def __init__(self) -> None:
         # decode kernels bound once per actor
         from rse_ray.functions.media import (
-            decode_bmp,
+            decode_image,
             decode_wav,
             value_features,
         )
 
-        self._decode_bmp = decode_bmp
+        self._decode_image = decode_image
         self._decode_wav = decode_wav
         self._features = value_features
 
@@ -124,7 +125,7 @@ class RealMediaDecoder:
                 "height": []}
         for mid, kind, payload in zip(ids, kinds, payloads):
             if kind == "image":
-                px = self._decode_bmp(payload)
+                px = self._decode_image(payload)
                 f = self._features(px)
                 w, h = px.shape[1], px.shape[0]
             elif kind == "audio":
@@ -179,8 +180,9 @@ def media_features(ds, *, concurrency: int = 2, batch_size: int = 32,
 
 def write_real_media_fixture(out_dir: str, *, n: int = 96,
                              seed: int = 5) -> dict:
-    """Deterministic REAL media corpus: BMP images and WAV audio whose
-    payloads are actual encoded containers. Writes
+    """Deterministic REAL media corpus: BMP + PNG images and WAV audio
+    whose payloads are actual encoded containers (rows cycle
+    BMP/WAV/PNG). Writes
 
         out_dir/media.parquet            (media_id, kind, payload, meta)
         out_dir/golden_features.parquet  features computed from the RAW
@@ -195,7 +197,12 @@ def write_real_media_fixture(out_dir: str, *, n: int = 96,
 
     import pyarrow.parquet as pq
 
-    from rse_ray.functions.media import encode_bmp, encode_wav, value_features
+    from rse_ray.functions.media import (
+        encode_bmp,
+        encode_png,
+        encode_wav,
+        value_features,
+    )
 
     marker = os.path.join(out_dir, "_DONE.json")
     if os.path.exists(marker):
@@ -208,14 +215,15 @@ def write_real_media_fixture(out_dir: str, *, n: int = 96,
               "v_std": [], "v_min": [], "v_max": [], "width": [],
               "height": []}
     for i in range(n):
-        if i % 2 == 0:
+        if i % 3 != 1:
             h = int(rng.integers(8, 48))
             w = int(rng.integers(8, 48))
             px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
-            payload = encode_bmp(px)
+            fmt = "bmp" if i % 3 == 0 else "png"
+            payload = encode_bmp(px) if fmt == "bmp" else encode_png(px)
             feats = value_features(px)
             kind, width, height = "image", w, h
-            meta = {"width": w, "height": h}
+            meta = {"width": w, "height": h, "format": fmt}
         else:
             ns = int(rng.integers(256, 4096))
             samples = rng.integers(-32768, 32768, size=ns).astype(np.int16)

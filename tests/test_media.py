@@ -17,6 +17,43 @@ def test_bmp_roundtrip():
         assert np.array_equal(decode_bmp(encode_bmp(px)), px)
 
 
+def test_png_roundtrip():
+    from rse_ray.functions.media import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    # >=5 rows hits every filter type (encoder uses filter y % 5);
+    # 1x1 / odd widths / tall-thin cover the edge geometry
+    for h, w in [(1, 1), (5, 3), (16, 16), (7, 31), (48, 2), (2, 48)]:
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+    # smooth gradients (the case filters exist for) must survive too
+    grad = np.arange(24 * 17 * 3, dtype=np.uint64).reshape(24, 17, 3)
+    px = (grad % 251).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_png_crc_and_magic_rejected():
+    from rse_ray.functions.media import decode_png, encode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"notapng!" * 8)
+    buf = bytearray(encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+    buf[-5] ^= 0xFF  # corrupt a byte inside IEND's CRC
+    with pytest.raises(ValueError):
+        decode_png(bytes(buf))
+
+
+def test_decode_image_dispatch():
+    from rse_ray.functions.media import decode_image, encode_bmp, encode_png
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, size=(9, 13, 3)).astype(np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(px)), px)
+    assert np.array_equal(decode_image(encode_png(px)), px)
+    with pytest.raises(ValueError):
+        decode_image(b"\x00" * 32)
+
+
 def test_wav_roundtrip():
     from rse_ray.functions.media import decode_wav, encode_wav
 
