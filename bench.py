@@ -222,13 +222,17 @@ def main_scaling() -> None:
     import ray
 
     ray.shutdown()
-    # two reps per level, best taken: first-touch runs pay cold page
-    # cache + writeback for the just-generated corpus (observed ~35%
-    # run-to-run swing), which is filesystem noise, not scaling signal
+    # N reps per level (RSE_BENCH_SCALING_REPS, default 2), best taken
+    # as the declared protocol: first-touch runs pay cold page cache +
+    # writeback for the just-generated corpus (observed ~35% run-to-run
+    # swing), which is filesystem noise, not scaling signal. Median is
+    # reported alongside so the robust statistic is visible too.
+    reps = int(os.environ.get("RSE_BENCH_SCALING_REPS", "2"))
     results = {}
+    all_reps = {}
     for cpus in (8, 32):
-        best = None
-        for rep in range(2):
+        runs = []
+        for rep in range(reps):
             out = os.path.join(CACHE, f"scaling_{cpus}_{rep}.json")
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
@@ -239,17 +243,25 @@ def main_scaling() -> None:
                 check=True, env=env, cwd=REPO,
             )
             with open(out) as f:
-                got = json.load(f)
-            if best is None or got["build_sec"] < best["build_sec"]:
-                best = got
-        results[cpus] = best
+                runs.append(json.load(f))
+        runs.sort(key=lambda g: g["build_sec"])
+        results[cpus] = runs[0]
+        all_reps[cpus] = [g["build_sec"] for g in runs]
     thr8 = results[8]["docs_per_sec"]
     thr32 = results[32]["docs_per_sec"]
     eff = thr32 / (4.0 * thr8)
+    # median-of-reps efficiency (runs are sorted by build_sec; median
+    # build time <=> median throughput at fixed rows)
+    med8 = all_reps[8][len(all_reps[8]) // 2]
+    med32 = all_reps[32][len(all_reps[32]) // 2]
+    eff_med = (rows / med32) / (4.0 * (rows / med8))
     out = {
         "metric": "scaling_efficiency_8_to_32_cpus",
         "value": round(eff, 4),
         "unit": "ratio",
+        "eff_median": round(eff_med, 4),
+        "reps": reps,
+        "build_sec_reps": all_reps,
         "throughput_docs_per_sec": {"cpus_8": thr8, "cpus_32": thr32},
         "build_sec": {"cpus_8": results[8]["build_sec"],
                       "cpus_32": results[32]["build_sec"]},
