@@ -659,7 +659,26 @@ def make_shard_searcher_actor():
                 prev = c
             return (df, *parts)
 
+        def term_directory(self, min_df: int = 1):
+            """-> [(term, df_partial)] over this actor's files: the
+            vocabulary with PARTIAL document frequencies (summed over a
+            term's salt-chunk rows within and across this actor's
+            files). Cheap — the (term, df) directory is already
+            actor-resident from _FileTermIndex.__init__; no payload
+            bytes are touched. DistributedSearcher.warmup sums these
+            across actors into global dfs and prefetches the head."""
+            agg: dict[str, int] = {}
+            for fi in self.indexes:
+                for term, rows in fi.by_term.items():
+                    agg[term] = agg.get(term, 0) + int(
+                        sum(fi.df[i] for i in rows)
+                    )
+            return [(t, d) for t, d in agg.items() if d >= min_df]
+
     return ShardSearcherActor
+
+
+ACC_POSTINGS_BUDGET_DEFAULT = 16_000_000  # per range-accumulator actor
 
 
 def make_accumulator_actor():
@@ -684,7 +703,7 @@ def make_accumulator_actor():
 
     @ray.remote
     class AccumulatorActor:
-        CACHE_POSTINGS_BUDGET = 16_000_000  # per range actor
+        CACHE_POSTINGS_BUDGET = ACC_POSTINGS_BUDGET_DEFAULT
         DENSE_BLOCK_BITS = 10               # 1024 dense docs per block
         CHUNK = 32                          # blocks scored per round
         BULK_AFTER = 4                      # rounds before bulk finish
@@ -771,6 +790,37 @@ def make_accumulator_actor():
                 if got:
                     entries.append((w, got))
             return self._topk_pruned(k, entries), stored
+
+        def store_terms(self, *ops):
+            """Residency-only ingest for warmup: ``ops`` is a flat
+            [term, n, part_1..part_n, ...] stream. Same densify +
+            budget logic as accumulate_and_topk's cold branch, no
+            scoring. Returns the terms resident here afterwards
+            (including ones that already were), so the driver's
+            residency view converges under the same protocol."""
+            stored: list[str] = []
+            i = 0
+            while i < len(ops):
+                term, n = ops[i], int(ops[i + 1])
+                parts = ops[i + 2 : i + 2 + n]
+                i += 2 + n
+                if term in self._terms:
+                    stored.append(term)
+                    continue
+                got = []
+                added = 0
+                for part in parts:
+                    if part is None:
+                        continue
+                    ids, tf_part = part
+                    got.append(self._part_meta(ids, tf_part))
+                    added += len(ids)
+                if (self._cached_postings + added
+                        <= self.CACHE_POSTINGS_BUDGET):
+                    self._terms[term] = got
+                    self._cached_postings += added
+                    stored.append(term)
+            return stored
 
         def _gather_chunk(self, entries, chunk):
             """Scatter-add every posting that falls in ``chunk``'s
@@ -932,6 +982,8 @@ class DistributedSearcher:
 
         self.accs = []
         self.bound_docs = None
+        self._acc_budget = (acc_budget if acc_budget is not None
+                            else ACC_POSTINGS_BUDGET_DEFAULT)
         self._term_df: dict[str, int] = {}   # global df per seen term
         self._resident: set[str] = set()     # slices on EVERY accumulator
         if accumulator_actors > 0:
@@ -962,6 +1014,77 @@ class DistributedSearcher:
         return [a for lo, hi, a in self.actor_ranges if lo <= term <= hi] or [
             a for _, _, a in self.actor_ranges
         ]
+
+    def warmup(self, top_n: int = 512, min_df: int = 2,
+               batch_terms: int = 64):
+        """Prefetch the head of the vocabulary into the accumulators so
+        first-touch queries skip the cold slice-shipping path (~2 s per
+        query on a 3.2M-doc index when each query ships its own
+        multi-MB head-term slices serially). Global dfs come from the
+        shard actors' term directories (already actor-resident, no
+        payload read); the ``top_n`` highest-df non-resident terms ship
+        through the same term_partial_split -> store path a cold query
+        uses, ALL shard actors decoding concurrently instead of
+        query-by-query. A budget-full accumulator simply doesn't store
+        and those terms stay non-resident, so correctness is unchanged
+        (the residency protocol below re-ships them per query).
+        Shipping stops once the accumulators' aggregate postings
+        capacity (R x per-actor budget, estimated by cumulative df —
+        a term's slices total exactly df postings) is reached: without
+        the cap, head terms past capacity are decoded and shipped only
+        to be rejected (measured: 2,000 shipped / 60 stored on the
+        3.17M index). Batched so at most ``batch_terms`` decoded
+        slices are in flight. Returns {considered, resident} counts;
+        no-op without accumulator actors."""
+        import ray
+
+        if not self.accs:
+            return {"considered": 0, "resident": 0}
+        dirs = ray.get([a.term_directory.remote(min_df)
+                        for _, _, a in self.actor_ranges])
+        df: dict[str, int] = {}
+        for d in dirs:
+            for term, pdf in d:
+                df[term] = df.get(term, 0) + int(pdf)
+        # directory dfs are already global (summed over every actor's
+        # partials), the same sums a cold query's df round produces
+        self._term_df.update(df)
+        head = sorted((t for t in df if t not in self._resident),
+                      key=lambda t: (-df[t], t))[:top_n]
+        capacity = len(self.accs) * self._acc_budget
+        todo = []
+        cum = 0
+        for t in head:
+            if cum + df[t] > capacity:
+                continue  # full slices would be rejected; smaller may fit
+            todo.append(t)
+            cum += df[t]
+        R = len(self.accs)
+        for at in range(0, len(todo), batch_terms):
+            batch = todo[at:at + batch_terms]
+            per_term_refs = []
+            for term in batch:
+                refs_list = [
+                    actor.term_partial_split.options(
+                        num_returns=R + 1
+                    ).remote(term, self.bound_docs)
+                    for actor in self._actors_for(term)
+                ]
+                per_term_refs.append((term, refs_list))
+            acc_ops: list[list] = [[] for _ in range(R)]
+            for term, refs_list in per_term_refs:
+                for j in range(R):
+                    parts = [refs[1 + j] for refs in refs_list]
+                    acc_ops[j].extend((term, len(parts), *parts))
+            results = ray.get([
+                acc.store_terms.remote(*acc_ops[j])
+                for j, acc in enumerate(self.accs)
+            ])
+            everywhere = set(results[0])
+            for stored in results[1:]:
+                everywhere &= set(stored)
+            self._resident |= everywhere
+        return {"considered": len(todo), "resident": len(self._resident)}
 
     def search(self, query: str, k: int = 10):
         import ray

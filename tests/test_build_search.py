@@ -182,6 +182,28 @@ def test_sharded_accumulator_budget_reject_stays_correct(built_index, oracle,
     assert not ds._resident  # nothing can be stored at budget 0
 
 
+def test_distributed_warmup_cold_queries_are_warm(built_index, oracle,
+                                                  fixture_pages, ray_session):
+    """warmup() prefetches head-term slices into the accumulators:
+    afterwards every indexed query term is already resident (so the
+    first query for it ships no posting bytes), and results still
+    match the oracle exactly."""
+    from rse_ray.pipelines.search import DistributedSearcher, _query_weights
+
+    ds = DistributedSearcher(built_index["index_dir"], num_actors=2,
+                             accumulator_actors=2)
+    info = ds.warmup(top_n=100_000, min_df=1)
+    assert info["resident"] > 0
+    resident_at_start = set(ds._resident)
+    for q in fixture_pages["queries"][::7]:
+        got = ds.search(q["query"], k=10)
+        want = oracle.search(q["query"], k=10)
+        assert got == want, f"qid={q['qid']}"
+        for term, _ in _query_weights(q["query"], ds.stem):
+            if ds._term_df.get(term, 0) > 0:
+                assert term in resident_at_start, term
+
+
 def test_accumulator_blockmax_pruning_exact_and_engaged(ray_session):
     """Round-3: the accumulator's block-max pruned top-k must (a) equal
     the exhaustive dense scatter-add exactly on a SKEWED corpus — the
