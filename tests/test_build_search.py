@@ -204,6 +204,24 @@ def test_distributed_warmup_cold_queries_are_warm(built_index, oracle,
                 assert term in resident_at_start, term
 
 
+def test_distributed_warmup_budget_zero_is_safe(built_index, oracle,
+                                                fixture_pages, ray_session):
+    """With a postings budget of 0 nothing can become resident: warmup
+    must ship nothing (capacity cap), mark nothing resident, and leave
+    query results exactly oracle-correct via the per-query re-ship
+    path."""
+    from rse_ray.pipelines.search import DistributedSearcher
+
+    ds = DistributedSearcher(built_index["index_dir"], num_actors=2,
+                             accumulator_actors=2, acc_budget=0)
+    info = ds.warmup(top_n=1000, min_df=1)
+    assert info["resident"] == 0 and not ds._resident
+    for q in fixture_pages["queries"][::11]:
+        got = ds.search(q["query"], k=10)
+        want = oracle.search(q["query"], k=10)
+        assert got == want, f"qid={q['qid']}"
+
+
 def test_accumulator_blockmax_pruning_exact_and_engaged(ray_session):
     """Round-3: the accumulator's block-max pruned top-k must (a) equal
     the exhaustive dense scatter-add exactly on a SKEWED corpus — the
