@@ -659,21 +659,32 @@ def make_shard_searcher_actor():
                 prev = c
             return (df, *parts)
 
-        def term_directory(self, min_df: int = 1):
+        def term_directory(self, min_df: int = 1,
+                           top_n: int | None = None):
             """-> [(term, df_partial)] over this actor's files: the
             vocabulary with PARTIAL document frequencies (summed over a
             term's salt-chunk rows within and across this actor's
             files). Cheap — the (term, df) directory is already
             actor-resident from _FileTermIndex.__init__; no payload
-            bytes are touched. DistributedSearcher.warmup sums these
-            across actors into global dfs and prefetches the head."""
+            bytes are touched. ``top_n`` truncates to the actor's
+            highest-df terms: shard actors own disjoint TERM RANGES
+            (a term spans two actors only at a file boundary), so
+            per-actor partial dfs ≈ global dfs and the union of
+            per-actor top-N supersets the global top-N — the driver
+            never receives the multi-million-term full vocabulary.
+            DistributedSearcher.warmup sums these across actors into
+            global dfs and prefetches the head."""
             agg: dict[str, int] = {}
             for fi in self.indexes:
                 for term, rows in fi.by_term.items():
                     agg[term] = agg.get(term, 0) + int(
                         sum(fi.df[i] for i in rows)
                     )
-            return [(t, d) for t, d in agg.items() if d >= min_df]
+            out = [(t, d) for t, d in agg.items() if d >= min_df]
+            if top_n is not None and len(out) > top_n:
+                out.sort(key=lambda td: (-td[1], td[0]))
+                out = out[:top_n]
+            return out
 
     return ShardSearcherActor
 
@@ -1040,15 +1051,18 @@ class DistributedSearcher:
 
         if not self.accs:
             return {"considered": 0, "resident": 0}
-        dirs = ray.get([a.term_directory.remote(min_df)
+        dirs = ray.get([a.term_directory.remote(min_df, top_n)
                         for _, _, a in self.actor_ranges])
         df: dict[str, int] = {}
         for d in dirs:
             for term, pdf in d:
                 df[term] = df.get(term, 0) + int(pdf)
-        # directory dfs are already global (summed over every actor's
-        # partials), the same sums a cold query's df round produces
-        self._term_df.update(df)
+        # NOTE these sums are only approximate under the top_n
+        # truncation (a file-boundary term can lose one actor's
+        # partial) — good enough to RANK the head, but not to score
+        # with: every shipped term's _term_df entry is overwritten
+        # below with the authoritative df from term_partial_split,
+        # and non-resident terms always re-resolve df at query time
         head = sorted((t for t in df if t not in self._resident),
                       key=lambda t: (-df[t], t))[:top_n]
         capacity = len(self.accs) * self._acc_budget
@@ -1080,6 +1094,16 @@ class DistributedSearcher:
                 acc.store_terms.remote(*acc_ops[j])
                 for j, acc in enumerate(self.accs)
             ])
+            # authoritative global dfs for the shipped terms (the
+            # directory ranking above may be partial for terms spanning
+            # a shard-actor file boundary; a resident term's weight
+            # comes from _term_df, so it must be exact)
+            for term, refs_list in per_term_refs:
+                true_df = sum(
+                    int(v) for v in ray.get([r[0] for r in refs_list])
+                    if v is not None
+                )
+                self._term_df[term] = true_df
             everywhere = set(results[0])
             for stored in results[1:]:
                 everywhere &= set(stored)
