@@ -32,6 +32,23 @@ def test_png_roundtrip():
     assert np.array_equal(decode_png(encode_png(px)), px)
 
 
+def test_png_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rse_ray.functions.media import decode_png, encode_png
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 24), st.integers(1, 24),
+           st.integers(0, 2**32 - 1))
+    def check(h, w, seed):
+        px = (np.random.default_rng(seed)
+              .integers(0, 256, size=(h, w, 3)).astype(np.uint8))
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+    check()
+
+
 def test_png_crc_and_magic_rejected():
     from rse_ray.functions.media import decode_png, encode_png
 
