@@ -1,0 +1,50 @@
+"""The ``python -m rse_ray`` job-submit surface: build, resume, search
+run as REAL subprocesses (each owns its own Ray session, exactly like a
+``ray job submit`` driver process would)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*argv: str) -> dict:
+    env = dict(os.environ)
+    env.setdefault("RAY_ADDRESS", "local")
+    out = subprocess.run(
+        [sys.executable, "-m", "rse_ray", *argv],
+        check=True, capture_output=True, text=True, cwd=REPO, env=env,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_build_search_resume(ray_session, tmp_path):
+    from rse_ray.sources.fixtures import generate_pages, generate_queries
+
+    pages = str(tmp_path / "pages")
+    idx = str(tmp_path / "idx")
+    generate_pages(pages, n_rows=400)
+
+    built = _run("build", "--input", pages, "--index-dir", idx,
+                 "--num-buckets", "16")
+    assert built["status"] == "done"
+    assert built["stats"]["num_docs"] > 0
+
+    # re-submitting the same job is a resume no-op onto the manifest
+    again = _run("build", "--input", pages, "--index-dir", idx,
+                 "--num-buckets", "16")
+    assert again["status"] == "done"
+
+    q = generate_queries(1)[0]["query"]
+    taat = _run("search", "--index-dir", idx, "--query", q, "-k", "5")
+    bmw = _run("search", "--index-dir", idx, "--query", q, "-k", "5",
+               "--bmw")
+    dist = _run("search", "--index-dir", idx, "--query", q, "-k", "5",
+                "--distributed", "--warmup", "50", "--num-actors", "2",
+                "--accumulators", "2")
+    assert taat["hits"], "fixture query should hit"
+    assert bmw["hits"] == taat["hits"] == dist["hits"]
+    for h in taat["hits"]:
+        assert h["url"].startswith("https://")
