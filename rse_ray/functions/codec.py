@@ -103,25 +103,33 @@ def varint_decode(buf: bytes, count: int) -> np.ndarray:
         # malformed streams (a multi-byte varint in a count-sized
         # buffer) on the validating path below, which raises.
         return b.astype(np.uint64)
-    is_last = (b & 0x80) == 0
-    if int(is_last.sum()) != count:
+    # length-grouped assembly: one pass over the BYTES finds value ends,
+    # then each extra byte-position pass touches only the values long
+    # enough to have one — a stream that is 99% single-byte (the normal
+    # posting shape: dense deltas with one absolute run-head varint per
+    # salt chunk) costs ~one gather, not a per-byte scatter over the
+    # whole stream (the previous kernel; 401 ms -> ~10 ms on a 1.4M-
+    # posting head term)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    if len(ends) != count:
         raise ValueError(
-            f"varint stream has {int(is_last.sum())} values, expected {count}"
+            f"varint stream has {len(ends)} values, expected {count}"
         )
-    # index of the value each byte belongs to
-    value_idx = np.zeros(len(b), dtype=np.int64)
-    np.cumsum(is_last[:-1], out=value_idx[1:])
-    # position of each byte within its value
-    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
-    lengths = np.diff(np.concatenate((starts, [len(b)])))
-    pos = np.arange(len(b), dtype=np.int64) - np.repeat(starts, lengths)
-    payload = (b & 0x7F).astype(np.uint64)
-    out = np.zeros(count, dtype=np.uint64)
-    for j in range(int(pos.max()) + 1):
-        sel = pos == j
-        # each value owns at most one byte at position j -> indices unique,
-        # so fancy-indexed |= is safe (no duplicate-scatter hazard)
-        out[value_idx[sel]] |= payload[sel] << _SHIFTS[j]
+    if ends[-1] != len(b) - 1:
+        raise ValueError("varint stream ends mid-value")
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    # gather-then-mask on the n first bytes (NOT a full-stream uint64
+    # payload cast — that copy was the next-largest decode cost); the
+    # continuation-bit mask is an identity on final bytes, so masking
+    # unconditionally is exact
+    out = (b[starts] & np.uint8(0x7F)).astype(np.uint64)
+    for j in range(1, int(lengths.max())):
+        has = np.flatnonzero(lengths > j)
+        out[has] += ((b[starts[has] + j] & np.uint8(0x7F))
+                     .astype(np.uint64) << _SHIFTS[j])
     return out
 
 
