@@ -29,6 +29,19 @@ def test_varint_empty():
     assert len(varint_decode(b"", 0)) == 0
 
 
+def test_varint_malformed_streams_rejected():
+    # a stream ending mid-value (trailing continuation byte) and a
+    # count mismatch must both raise, on the scalar AND vector paths
+    vals = np.arange(100, dtype=np.uint64) + 120  # mix of 1- and 2-byte
+    buf = varint_encode(vals)
+    with pytest.raises(ValueError):
+        varint_decode(buf + b"\x80", len(vals))  # vector path, mid-value
+    with pytest.raises(ValueError):
+        varint_decode(buf, len(vals) + 7)        # vector path, bad count
+    with pytest.raises((ValueError, IndexError)):
+        varint_decode(b"\x01\x02\x80", 3)        # scalar path, mid-value
+
+
 def test_varint_sizes():
     assert varint_encode(np.array([0])) == b"\x00"
     assert varint_encode(np.array([127])) == b"\x7f"
