@@ -558,9 +558,15 @@ class ShardPartWriter:
             return self._route_row(prev["file"], prev["term_min"],
                                    prev["term_max"], prev["num_rows"])
         merged = merge_partition(group)
+        # small row groups: the query path point-reads ONE term's
+        # payload via its row group (_FileTermIndex._payload_row), so
+        # the row group is the cold-IO unit — at 4096 rows/rg a single
+        # head-term lookup dragged the part's entire multi-MB payload
+        # column chunk; 256 keeps point reads ~KBs-to-1-term-sized at
+        # negligible metadata overhead
         write_file_atomic(
             out_path,
-            lambda tmp: pq.write_table(merged, tmp, row_group_size=4096),
+            lambda tmp: pq.write_table(merged, tmp, row_group_size=256),
         )
         tmin = merged.column("term")[0].as_py() if merged.num_rows else None
         tmax = merged.column("term")[-1].as_py() if merged.num_rows else None
