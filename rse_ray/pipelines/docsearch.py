@@ -68,12 +68,17 @@ def bm25_documents_distributed(sf_dir: str, query: str, k: int = 20,
     per-doc-range accumulator actors hold the sharded dense score
     arrays, and the driver sees only dfs + k rows per range. The
     DuckDB oracle is the same SQL as bm25_topk — the distributed path
-    must be rank- and score-identical to the driver-side scorer."""
+    must be rank- and score-identical to the driver-side scorer.
+    warmup() runs first, so the head-term prefetch path (directory
+    push-down + store_terms + authoritative dfs) is covered by the
+    driver's hash-green correctness gate, and the query itself takes
+    the resident fast path like a fleet deployment would."""
     from rse_ray.pipelines.search import DistributedSearcher, hydrate_urls
 
     index_dir = documents_index(sf_dir, stem=stem)
     d = DistributedSearcher(index_dir, num_actors=num_actors,
                             accumulator_actors=accumulator_actors)
+    d.warmup(top_n=256)
     hits = d.search(query, k=k)
     rows = hydrate_urls(index_dir, hits)
     return pd.DataFrame(
