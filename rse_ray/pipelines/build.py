@@ -342,6 +342,26 @@ def build_index(
     return manifest
 
 
+def _distinct_buckets(ds) -> list[int]:
+    """Sorted distinct bucket ids WITHOUT Dataset.unique(): Ray's
+    Unique aggregate merge intermittently fails combining scalar and
+    ndarray accumulators (`unhashable type: numpy.ndarray`). Per-batch
+    unique runs distributed; only the tiny int set reaches the driver."""
+    import numpy as np
+    import pyarrow as pa
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        u = np.unique(b.column("bucket").to_numpy())
+        return pa.table({"bucket": pa.array(u, type=pa.int32())})
+
+    got = ds.select_columns(["bucket"]).map_batches(
+        per_batch, batch_format="pyarrow"
+    ).to_pandas()
+    if got.empty:
+        return []
+    return sorted(int(x) for x in np.unique(got["bucket"].to_numpy()))
+
+
 def refresh_index(pages_path, index_dir: str,
                   cfg: BuildConfig | None = None) -> dict:
     """M8 incremental re-index — the reference's shouldVisit revisit
@@ -438,8 +458,7 @@ def refresh_index(pages_path, index_dir: str,
     # last_visited policy (crawler.go:230-244).
     stale = bucketed.map_batches(keep_stale, batch_format="pyarrow")
     novel = None
-    # unique() returns None on an empty dataset (all rows fresh)
-    stale_buckets = sorted(int(b) for b in (stale.unique("bucket") or []))
+    stale_buckets = _distinct_buckets(stale)
     if stale_buckets:
         known_files = [
             prev[b]["path"] for b in stale_buckets
@@ -501,7 +520,7 @@ def refresh_index(pages_path, index_dir: str,
             novel = None
 
     fresh = (fresh.union(novel) if novel is not None else fresh).materialize()
-    changed = sorted(int(b) for b in (fresh.unique("bucket") or []))
+    changed = _distinct_buckets(fresh)
     if not changed:
         existing = read_json(d["manifest"])
         if existing:

@@ -258,12 +258,16 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, num_perm=128,
             return pa.table({"doc_id": pa.array(u, type=pa.int64())})
 
         # distinct doc ids: O(candidate docs) ints on the driver — the
-        # one thing the is_in broadcast genuinely needs
-        needed = np.unique(np.asarray(
+        # one thing the is_in broadcast genuinely needs. Per-batch
+        # dedup distributed (ids_of), cross-batch dedup here; NOT
+        # Dataset.unique(), whose aggregate merge intermittently dies
+        # combining scalar and ndarray accumulators (`unhashable type:
+        # numpy.ndarray` — observed ~20% of runs at small block
+        # counts). Driver payload is identical either way.
+        needed = np.unique(
             cands_ds.map_batches(ids_of, batch_format="pyarrow")
-            .unique("doc_id"),
-            dtype=np.int64,
-        ))
+            .to_pandas()["doc_id"].to_numpy().astype(np.int64)
+        )
     needed_ref = ray.put(needed)
 
     # rows tagged b == -1 are text carriers: (part, a=doc_id, -1, text)
