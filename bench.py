@@ -250,10 +250,10 @@ def main_scaling() -> None:
     thr8 = results[8]["docs_per_sec"]
     thr32 = results[32]["docs_per_sec"]
     eff = thr32 / (4.0 * thr8)
-    # median-of-reps efficiency (runs are sorted by build_sec; median
-    # build time <=> median throughput at fixed rows)
-    med8 = all_reps[8][len(all_reps[8]) // 2]
-    med32 = all_reps[32][len(all_reps[32]) // 2]
+    # median-of-reps efficiency (true median: even rep counts average the
+    # middle pair rather than picking the worse of the two)
+    med8 = statistics.median(all_reps[8])
+    med32 = statistics.median(all_reps[32])
     eff_med = (rows / med32) / (4.0 * (rows / med8))
     out = {
         "metric": "scaling_efficiency_8_to_32_cpus",

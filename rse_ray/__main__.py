@@ -34,10 +34,12 @@ def _ray_session():
     return True
 
 
-def _cmd_build(args) -> dict:
-    from rse_ray.pipelines.build import BuildConfig, build_index
+def _cfg_from_args(args):
+    """One BuildConfig constructor for build AND refresh — a new flag
+    added to _add_build_args is threaded through exactly once."""
+    from rse_ray.pipelines.build import BuildConfig
 
-    cfg = BuildConfig(
+    return BuildConfig(
         num_buckets=args.num_buckets,
         buckets_per_salt_group=args.buckets_per_salt_group,
         merge_partitions=args.merge_partitions,
@@ -45,21 +47,18 @@ def _cmd_build(args) -> dict:
         from_html=not args.from_text,
         read_num_blocks=args.read_num_blocks,
     )
-    return build_index(args.input, args.index_dir, cfg)
+
+
+def _cmd_build(args) -> dict:
+    from rse_ray.pipelines.build import build_index
+
+    return build_index(args.input, args.index_dir, _cfg_from_args(args))
 
 
 def _cmd_refresh(args) -> dict:
-    from rse_ray.pipelines.build import BuildConfig, refresh_index
+    from rse_ray.pipelines.build import refresh_index
 
-    cfg = BuildConfig(
-        num_buckets=args.num_buckets,
-        buckets_per_salt_group=args.buckets_per_salt_group,
-        merge_partitions=args.merge_partitions,
-        stem=not args.no_stem,
-        from_html=not args.from_text,
-        read_num_blocks=args.read_num_blocks,
-    )
-    return refresh_index(args.input, args.index_dir, cfg)
+    return refresh_index(args.input, args.index_dir, _cfg_from_args(args))
 
 
 def _cmd_search(args) -> dict:

@@ -362,7 +362,8 @@ def cosine_neardup_pairs(ds, *, threshold: float = 0.8, by: str = "label",
 # --------------------------------------------------------------------------
 
 def train_ivf_centroids(ds, *, nlist: int = 16, iters: int = 5,
-                        sample_rows: int = 4096, seed: int = 23) -> np.ndarray:
+                        sample_rows: int = 4096, seed: int = 23,
+                        n_rows: int | None = None) -> np.ndarray:
     """Coarse quantizer: k-means on a bounded UNIFORM sample. The
     sample is content-determined — each task keeps rows where
     splitmix64(vec_id) % stride == 0 (stride = ceil(N / sample_rows)),
@@ -376,7 +377,10 @@ def train_ivf_centroids(ds, *, nlist: int = 16, iters: int = 5,
     recipe."""
     import ray  # noqa: F401  (ds is a Ray Dataset)
 
-    n = ds.count()
+    # ds.count() is metadata-only for a parquet read but executes a
+    # transformed pipeline; callers with expensive upstream stages pass
+    # n_rows to skip it
+    n = n_rows if n_rows is not None else ds.count()
     stride = np.uint64(max(1, -(-int(n) // sample_rows)))
 
     def keep_sample(batch: pa.Table) -> pa.Table:

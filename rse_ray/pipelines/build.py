@@ -343,23 +343,12 @@ def build_index(
 
 
 def _distinct_buckets(ds) -> list[int]:
-    """Sorted distinct bucket ids WITHOUT Dataset.unique(): Ray's
-    Unique aggregate merge intermittently fails combining scalar and
-    ndarray accumulators (`unhashable type: numpy.ndarray`). Per-batch
-    unique runs distributed; only the tiny int set reaches the driver."""
-    import numpy as np
-    import pyarrow as pa
+    """Sorted distinct bucket ids via the shared Dataset.unique()
+    workaround (util.distinct_ints — see its docstring for the Ray
+    Unique-aggregate bug it routes around)."""
+    from ..util import distinct_ints
 
-    def per_batch(b: pa.Table) -> pa.Table:
-        u = np.unique(b.column("bucket").to_numpy())
-        return pa.table({"bucket": pa.array(u, type=pa.int32())})
-
-    got = ds.select_columns(["bucket"]).map_batches(
-        per_batch, batch_format="pyarrow"
-    ).to_pandas()
-    if got.empty:
-        return []
-    return sorted(int(x) for x in np.unique(got["bucket"].to_numpy()))
+    return [int(x) for x in distinct_ints(ds, ["bucket"], dtype="int32")]
 
 
 def refresh_index(pages_path, index_dir: str,
@@ -391,10 +380,13 @@ def refresh_index(pages_path, index_dir: str,
     Crash safety: the docs checkpoints are never pre-deleted — the
     reduce overwrites them atomically (tmp+rename), so the old docs
     stay durable until their replacement lands. docs/_STAGE.json is
-    removed BEFORE the reduce and segment checkpoints are invalidated
-    only AFTER it completes, so an interrupted refresh can never be
-    mistaken for a finished stage A; re-running refresh_index (or a
-    full build over old ∪ fresh) recovers.
+    removed BEFORE the reduce, so an interrupted refresh can never be
+    mistaken for a finished stage A. The changed buckets' SEGMENT
+    checkpoints are also dropped before the reduce — they are derived
+    state (stage B rebuilds any bucket without a done segment
+    manifest), so deleting them early is safe at any crash point;
+    re-running refresh_index (or a full build over old ∪ fresh)
+    recovers.
 
     Untouched buckets keep their docs + segment files byte-identical;
     the result equals a from-scratch build over (old ∪ fresh) except

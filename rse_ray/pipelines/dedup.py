@@ -119,7 +119,10 @@ def minhash_candidate_pairs(ds, *, num_perm=128, num_bands=16, shingle_n=3,
     Python+Arrow overhead on ~|docs|x|bands| near-singleton groups.
     ``num_parts`` defaults to ``parts_for(rows)`` — input-derived, so
     an sf100 corpus fans out past 32 reduce slots; the pair SET is
-    invariant to it (buckets never straddle a part)."""
+    invariant to it (buckets never straddle a part). The default does
+    ``ds.count()`` — metadata-only for a parquet read, but it EXECUTES
+    a transformed pipeline once; pass ``num_parts`` explicitly when
+    ``ds`` carries expensive upstream stages."""
     from rse_ray.util import clamp_pool, parts_for
 
     concurrency = clamp_pool(concurrency)
@@ -250,24 +253,12 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, num_perm=128,
         cand_part_ds = cands_ds.map_batches(to_cand_rows,
                                             batch_format="pyarrow")
 
-        def ids_of(b: pa.Table) -> pa.Table:
-            u = np.unique(np.concatenate([
-                b.column("doc_a").to_numpy().astype(np.int64),
-                b.column("doc_b").to_numpy().astype(np.int64),
-            ]))
-            return pa.table({"doc_id": pa.array(u, type=pa.int64())})
-
         # distinct doc ids: O(candidate docs) ints on the driver — the
-        # one thing the is_in broadcast genuinely needs. Per-batch
-        # dedup distributed (ids_of), cross-batch dedup here; NOT
-        # Dataset.unique(), whose aggregate merge intermittently dies
-        # combining scalar and ndarray accumulators (`unhashable type:
-        # numpy.ndarray` — observed ~20% of runs at small block
-        # counts). Driver payload is identical either way.
-        needed = np.unique(
-            cands_ds.map_batches(ids_of, batch_format="pyarrow")
-            .to_pandas()["doc_id"].to_numpy().astype(np.int64)
-        )
+        # one thing the is_in broadcast genuinely needs. Shared
+        # Dataset.unique() workaround (util.distinct_ints).
+        from rse_ray.util import distinct_ints
+
+        needed = distinct_ints(cands_ds, ["doc_a", "doc_b"])
     needed_ref = ray.put(needed)
 
     # rows tagged b == -1 are text carriers: (part, a=doc_id, -1, text)

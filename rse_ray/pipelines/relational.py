@@ -58,14 +58,16 @@ def pricing_summary(lineitem_ds, *, cutoff: str = "1998-09-01"):
         g = t.append_column("disc_price", disc_price).group_by(
             ["l_returnflag", "l_linestatus"]
         ).aggregate([("l_quantity", "sum"), ("l_extendedprice", "sum"),
-                     ("disc_price", "sum"), ("l_quantity", "count")])
+                     ("disc_price", "sum"), ([], "count_all")])
+        # count_all = count(*) (rows, not non-null values) to match the
+        # SQL contract when an aggregated column carries nulls
         return pa.table(
             {"l_returnflag": g.column("l_returnflag"),
              "l_linestatus": g.column("l_linestatus"),
              "qty_p": g.column("l_quantity_sum"),
              "base_p": g.column("l_extendedprice_sum"),
              "disc_p": g.column("disc_price_sum"),
-             "cnt_p": g.column("l_quantity_count")}
+             "cnt_p": g.column("count_all")}
         )
 
     agg = lineitem_ds.map_batches(partial, batch_format="pyarrow").groupby(
@@ -164,25 +166,45 @@ def orders_by_segment(orders_ds, customer_ds):
 
     cust = customer_ds.select_columns(
         ["c_custkey", "c_mktsegment"]
-    ).sort("c_custkey").to_arrow_refs()
+    ).to_arrow_refs()
     cust_tbl = pa.concat_tables(ray.get(cust))
     # broadcast as (sorted keys, segment array): the per-batch lookup is
-    # then one vectorized searchsorted + take, no python dict
-    lookup_ref = ray.put((cust_tbl.column("c_custkey").to_numpy(),
-                          cust_tbl.column("c_mktsegment").combine_chunks()))
+    # then one vectorized searchsorted + take, no python dict. The dim
+    # side is small, so sort it here (numpy argsort) instead of paying a
+    # Ray all-to-all sort stage for it.
+    keys_np = cust_tbl.column("c_custkey").to_numpy()
+    order = np.argsort(keys_np, kind="stable")
+    lookup_ref = ray.put((
+        keys_np[order],
+        cust_tbl.column("c_mktsegment").combine_chunks().take(
+            pa.array(order, type=pa.int64())),
+    ))
 
     def partial(batch: pa.Table) -> pa.Table:
         keys, segs = ray.get(lookup_ref)
-        idx = np.searchsorted(keys, batch.column("o_custkey").to_numpy())
+        fk = batch.column("o_custkey").to_numpy()
+        if len(keys) == 0:
+            return pa.table({"c_mktsegment": pa.array([], type=pa.string()),
+                             "n_p": pa.array([], type=pa.int64()),
+                             "tot_p": pa.array([], type=pa.float64())})
+        idx = np.searchsorted(keys, fk)
+        # inner-join semantics: an o_custkey absent from the dim table is
+        # DROPPED, not misattributed to the next-larger key (and idx ==
+        # len(keys) would make take() raise)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        hit = keys[idx_c] == fk
+        if not hit.all():
+            batch = batch.filter(pa.array(hit))
+            idx_c = idx_c[hit]
         g = pa.table(
-            {"c_mktsegment": segs.take(pa.array(idx, type=pa.int64())),
+            {"c_mktsegment": segs.take(pa.array(idx_c, type=pa.int64())),
              "o_totalprice": batch.column("o_totalprice")}
         ).group_by("c_mktsegment").aggregate(
-            [("o_totalprice", "count"), ("o_totalprice", "sum")]
+            [([], "count_all"), ("o_totalprice", "sum")]
         )
         return pa.table(
             {"c_mktsegment": g.column("c_mktsegment"),
-             "n_p": g.column("o_totalprice_count"),
+             "n_p": g.column("count_all"),
              "tot_p": g.column("o_totalprice_sum")}
         )
 
@@ -208,21 +230,32 @@ def window_agg(events_ds, *, window: str = "h"):
     computed window column (ray_guide streaming section)."""
     from ray.data.aggregate import Sum
 
-    unit = {"h": "hour", "d": "day", "min": "minute", "s": "second"}[window]
+    import re
+
+    m = re.fullmatch(r"(\d*)\s*(h|hour|d|day|t|min|minute|s|sec|second)",
+                     window.strip(), re.IGNORECASE)
+    if not m:
+        raise ValueError(f"unsupported window spec {window!r}; use e.g. "
+                         "'h', 'd', '15min', '30s'")
+    multiple = int(m.group(1) or 1)
+    unit = {"h": "hour", "hour": "hour", "d": "day", "day": "day",
+            "t": "minute", "min": "minute", "minute": "minute",
+            "s": "second", "sec": "second", "second": "second"}[
+                m.group(2).lower()]
 
     def partial(batch: pa.Table) -> pa.Table:
         g = pa.table(
             {"event_type": batch.column("event_type"),
              "window_start": pc.floor_temporal(batch.column("ts"),
-                                               unit=unit),
+                                               multiple=multiple, unit=unit),
              "value": batch.column("value")}
         ).group_by(["event_type", "window_start"]).aggregate(
-            [("value", "count"), ("value", "sum")]
+            [([], "count_all"), ("value", "sum")]
         )
         return pa.table(
             {"event_type": g.column("event_type"),
              "window_start": g.column("window_start"),
-             "n_p": g.column("value_count"),
+             "n_p": g.column("count_all"),
              "v_p": g.column("value_sum")}
         )
 

@@ -756,6 +756,29 @@ def make_accumulator_actor():
             return (dense, tf_part, blocks[starts],
                     starts, ends, np.maximum.reduceat(tf_part, starts))
 
+        def _ingest(self, term, parts, stored):
+            """Densify a freshly shipped slice and keep it if the
+            postings budget allows (NO eviction — a stored term stays
+            valid for the driver forever). Appends to ``stored`` when
+            the term ends up resident; returns the densified slice
+            list for immediate scoring. The single ingest path for
+            both query-time cold ops and warmup store_terms, so the
+            residency/budget protocol cannot diverge between them."""
+            got = []
+            added = 0
+            for part in parts:
+                if part is None:
+                    continue
+                ids, tf_part = part
+                got.append(self._part_meta(ids, tf_part))
+                added += len(ids)
+            if (self._cached_postings + added
+                    <= self.CACHE_POSTINGS_BUDGET):
+                self._terms[term] = got
+                self._cached_postings += added
+                stored.append(term)
+            return got
+
         def accumulate_and_topk(self, k: int, *ops):
             """``ops`` is a flat [term, w, n, part_1..part_n, term, w,
             n, ...] stream in sorted-term order (the per-doc fp
@@ -785,19 +808,7 @@ def make_accumulator_actor():
                         # stored must not fabricate (and cache) an
                         # empty slice — contribute nothing
                         continue
-                    got = []
-                    added = 0
-                    for part in parts:
-                        if part is None:
-                            continue
-                        ids, tf_part = part
-                        got.append(self._part_meta(ids, tf_part))
-                        added += len(ids)
-                    if (self._cached_postings + added
-                            <= self.CACHE_POSTINGS_BUDGET):
-                        self._terms[term] = got
-                        self._cached_postings += added
-                        stored.append(term)
+                    got = self._ingest(term, parts, stored)
                 if got:
                     entries.append((w, got))
             return self._topk_pruned(k, entries), stored
@@ -818,19 +829,7 @@ def make_accumulator_actor():
                 if term in self._terms:
                     stored.append(term)
                     continue
-                got = []
-                added = 0
-                for part in parts:
-                    if part is None:
-                        continue
-                    ids, tf_part = part
-                    got.append(self._part_meta(ids, tf_part))
-                    added += len(ids)
-                if (self._cached_postings + added
-                        <= self.CACHE_POSTINGS_BUDGET):
-                    self._terms[term] = got
-                    self._cached_postings += added
-                    stored.append(term)
+                self._ingest(term, parts, stored)
             return stored
 
         def _gather_chunk(self, entries, chunk):

@@ -20,6 +20,34 @@ def parts_for(n_rows: int, *, rows_per_part: int = 50_000,
     return min(want, max_parts)
 
 
+def distinct_ints(ds, cols, *, dtype="int64"):
+    """Distinct values across integer column(s) WITHOUT
+    Dataset.unique(): Ray's Unique aggregate merge intermittently dies
+    combining scalar and ndarray accumulators (`unhashable type:
+    numpy.ndarray` — observed ~20% of runs at small block counts).
+    Per-batch np.unique runs distributed; only the per-batch-deduped
+    int set reaches the driver, where one final np.unique merges
+    batches — the driver payload is identical to Dataset.unique().
+    Returns a sorted np.ndarray of ``dtype``."""
+    import numpy as np
+    import pyarrow as pa
+
+    np_dtype = np.dtype(dtype)
+    pa_type = pa.from_numpy_dtype(np_dtype)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate(
+            [b.column(c).to_numpy().astype(np_dtype) for c in cols]))
+        return pa.table({"v": pa.array(u, type=pa_type)})
+
+    got = ds.select_columns(list(cols)).map_batches(
+        per_batch, batch_format="pyarrow"
+    ).to_pandas()
+    if got.empty:
+        return np.empty(0, dtype=np_dtype)
+    return np.unique(got["v"].to_numpy().astype(np_dtype))
+
+
 def clamp_pool(requested: int | None, *, reserve: int = 1, floor: int = 1) -> int:
     """Clamp an actor-pool size so at least ``reserve`` CPUs stay free
     for downstream task-pool / all-to-all operators.

@@ -414,3 +414,56 @@ def test_dup_clusters_label_prop_equals_union_find(ray_session):
     pd.testing.assert_frame_equal(uf2.reset_index(drop=True), lp2)
     assert set(lp2[lp2["doc_id"] >= 100]["cluster_id"]) == {100}
     assert set(lp2[lp2["doc_id"] < 100]["cluster_id"]) == {0}
+
+
+def test_orders_by_segment_drops_unmatched_custkeys(ray_session):
+    """Inner-join semantics (round-3 review): an o_custkey absent from
+    the customer table is DROPPED, not misattributed to the next-larger
+    key — and a key beyond max(c_custkey) must not crash the take()."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import orders_by_segment
+
+    customer = pd.DataFrame(
+        {"c_custkey": [10, 20, 30],
+         "c_mktsegment": ["A", "B", "C"]}
+    )
+    orders = pd.DataFrame(
+        # 15 falls between keys, 99 beyond the max, 10/20 match
+        {"o_custkey": [10, 15, 20, 99],
+         "o_totalprice": [100.0, 7.0, 50.0, 9.0]}
+    )
+    out = orders_by_segment(
+        ray.data.from_pandas(orders), ray.data.from_pandas(customer)
+    ).to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    assert list(out["c_mktsegment"]) == ["A", "B"]
+    assert list(out["n_orders"]) == [1, 1]
+    assert list(out["total_price"]) == [100.0, 50.0]
+
+
+def test_window_agg_accepts_multiple_windows(ray_session):
+    """Window specs like '15min'/'H'/'D' floor correctly (round-3
+    review: the unit map rejected everything but h/d/min/s)."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import window_agg
+
+    ev = pd.DataFrame(
+        {"event_type": ["x"] * 4,
+         "ts": pd.to_datetime(["2024-01-01 00:07", "2024-01-01 00:14",
+                               "2024-01-01 00:22", "2024-01-01 03:22"]),
+         "value": [1.0, 2.0, 4.0, 8.0]}
+    )
+    ds = ray.data.from_pandas(ev)
+    q = window_agg(ds, window="15min").to_pandas().sort_values(
+        "window_start").reset_index(drop=True)
+    assert list(q["n_events"]) == [2, 1, 1]
+    assert list(q["sum_value"]) == [3.0, 4.0, 8.0]
+    assert q["window_start"].iloc[0] == pd.Timestamp("2024-01-01 00:00")
+    assert q["window_start"].iloc[1] == pd.Timestamp("2024-01-01 00:15")
+
+    d = window_agg(ds, window="D").to_pandas()
+    assert list(d["n_events"]) == [4]
+
+    with pytest.raises(ValueError):
+        window_agg(ds, window="fortnight")
