@@ -385,6 +385,51 @@ def _q_window_agg(sf_dir: str):
                                       ["event_id", "ts", "event_type", "value"])))
 
 
+def _q_hopping_window_agg(sf_dir: str):
+    from rse_ray.pipelines.relational import hopping_window_agg
+
+    return _finalize(hopping_window_agg(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]),
+        window="3h", hop="h",
+    ))
+
+
+def _asof_inputs(sf_dir: str):
+    import pyarrow.compute as pc
+
+    left = _read(sf_dir, "events",
+                 ["event_id", "ts", "user_id", "event_type", "value"])
+    right = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])\
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("event_type"), "purchase"))
+                       .select(["user_id", "ts", "value"]),
+            batch_format="pyarrow",
+        )
+    return left, right
+
+
+def _q_asof_last_purchase(sf_dir: str):
+    from rse_ray.pipelines.relational import asof_join
+
+    left, right = _asof_inputs(sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id", value_col="value",
+                    out_col="last_purchase_value", strategy="broadcast")
+    return _finalize(out.select_columns(
+        ["event_id", "user_id", "event_type", "value",
+         "last_purchase_value"]))
+
+
+def _q_asof_last_purchase_partitioned(sf_dir: str):
+    from rse_ray.pipelines.relational import asof_join
+
+    left, right = _asof_inputs(sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id", value_col="value",
+                    out_col="last_purchase_value", strategy="partitioned")
+    return _finalize(out.select_columns(
+        ["event_id", "user_id", "event_type", "value",
+         "last_purchase_value"]))
+
+
 RECENCY_AS_OF = "2024-01-31"
 RECENCY_DELAY_DAYS = 14
 
@@ -775,6 +820,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_customers": _q_semi_join,
         "orders_by_segment": _q_orders_by_segment,
         "window_agg": _q_window_agg,
+        "hopping_window_agg": _q_hopping_window_agg,
+        "asof_last_purchase": _q_asof_last_purchase,
+        "asof_last_purchase_partitioned": _q_asof_last_purchase_partitioned,
         "recency_filter": _q_recency_filter,
         "distinct_lang_source": _q_distinct,
         "json_props_sum": _q_json_sum,
@@ -950,6 +998,29 @@ GROUP BY c_mktsegment""",
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "hopping_window_agg": """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+           FROM events),
+g AS (SELECT unnest(generate_series(
+          (SELECT lo FROM b) - INTERVAL 2 HOUR,
+          (SELECT hi FROM b), INTERVAL 1 HOUR)) AS window_start)
+SELECT e.event_type, g.window_start,
+       count(*)::BIGINT AS n_events, round(sum(e.value), 2) AS sum_value
+FROM events e JOIN g ON e.ts >= g.window_start
+                    AND e.ts < g.window_start + INTERVAL 3 HOUR
+GROUP BY e.event_type, g.window_start""",
+        "asof_last_purchase": """
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       p.value AS last_purchase_value
+FROM events e ASOF LEFT JOIN (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+        "asof_last_purchase_partitioned": """
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       p.value AS last_purchase_value
+FROM events e ASOF LEFT JOIN (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts >= p.ts""",
         "recency_filter": """
 SELECT event_id, ts, event_type FROM events
 WHERE ts < TIMESTAMP '{as_of}' - INTERVAL {days} DAY""".format(

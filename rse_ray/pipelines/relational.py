@@ -223,13 +223,12 @@ def orders_by_segment(orders_ds, customer_ds):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def window_agg(events_ds, *, window: str = "h"):
-    """§2.9: tumbling event-time windows as a grouped aggregate —
-    (event_type, window_start) -> n_events, sum_value. Ray Data has no
-    watermarks; bounded logs make windows a plain groupby over a
-    computed window column (ray_guide streaming section)."""
-    from ray.data.aggregate import Sum
+_WINDOW_UNIT_US = {"hour": 3_600_000_000, "day": 86_400_000_000,
+                   "minute": 60_000_000, "second": 1_000_000}
 
+
+def _parse_window(window: str) -> tuple[int, str, int]:
+    """'15min' / 'H' / '2d' -> (multiple, arrow unit name, microseconds)."""
     import re
 
     m = re.fullmatch(r"(\d*)\s*(h|hour|d|day|t|min|minute|s|sec|second)",
@@ -242,6 +241,17 @@ def window_agg(events_ds, *, window: str = "h"):
             "t": "minute", "min": "minute", "minute": "minute",
             "s": "second", "sec": "second", "second": "second"}[
                 m.group(2).lower()]
+    return multiple, unit, multiple * _WINDOW_UNIT_US[unit]
+
+
+def window_agg(events_ds, *, window: str = "h"):
+    """§2.9: tumbling event-time windows as a grouped aggregate —
+    (event_type, window_start) -> n_events, sum_value. Ray Data has no
+    watermarks; bounded logs make windows a plain groupby over a
+    computed window column (ray_guide streaming section)."""
+    from ray.data.aggregate import Sum
+
+    multiple, unit, _ = _parse_window(window)
 
     def partial(batch: pa.Table) -> pa.Table:
         g = pa.table(
@@ -317,6 +327,192 @@ def json_props_sum(events_ds):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_window_agg(events_ds, *, window: str = "3h", hop: str = "h"):
+    """Hopping (sliding) event-time windows: every ``hop`` a window of
+    length ``window`` opens, so each event lands in window/hop windows.
+    Result: (event_type, window_start) -> n_events, sum_value over the
+    non-empty windows — the overlap generalization of window_agg.
+
+    Per batch, the event's hop-aligned base start is computed with one
+    integer floor over the epoch-us timestamps and the window/hop
+    shifted copies are materialized vectorized (window/hop is small —
+    3-8 — so the fan-out is a few concats, not a row loop). The
+    shuffle then moves only per-batch partial aggregates, exactly like
+    window_agg: at fleet scale the all-to-all carries (type, start,
+    n, sum) rows, never the event fan-out."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    _, _, window_us = _parse_window(window)
+    _, _, hop_us = _parse_window(hop)
+    if window_us % hop_us != 0:
+        raise ValueError(f"window {window!r} must be a multiple of hop {hop!r}")
+    reps = window_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.timestamp("us")).to_numpy()\
+            .astype("datetime64[us]").astype(np.int64)
+        base = (ts_us // hop_us) * hop_us  # hop-aligned, epoch-anchored
+        types = batch.column("event_type")
+        vals = batch.column("value")
+        shifted = [
+            pa.table({"event_type": types,
+                      "window_start": pa.array(
+                          (base - k * hop_us).astype("datetime64[us]"),
+                          type=pa.timestamp("us")),
+                      "value": vals})
+            for k in range(reps)
+        ]
+        g = pa.concat_tables(shifted).group_by(
+            ["event_type", "window_start"]
+        ).aggregate([([], "count_all"), ("value", "sum")])
+        return pa.table(
+            {"event_type": g.column("event_type"),
+             "window_start": g.column("window_start"),
+             "n_p": g.column("count_all"),
+             "v_p": g.column("value_sum")}
+        )
+
+    agg = events_ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "window_start"]
+    ).aggregate(Sum("n_p", alias_name="n_events"),
+                Sum("v_p", alias_name="sum_value"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "window_start": batch.column("window_start"),
+             "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+             "sum_value": _round_np(batch.column("sum_value"), 2)}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def asof_join(left_ds, right_ds, *, on: str = "ts", by: str = "user_id",
+              value_col: str = "value", out_col: str = "asof_value",
+              strategy: str = "broadcast", num_parts: int | None = None):
+    """As-of join: each left row picks the right row with the largest
+    ``on`` <= its own, within the same ``by`` key (backward direction,
+    exact matches allowed) — DuckDB's ``ASOF LEFT JOIN l.on >= r.on``.
+    Unmatched left rows keep a null ``out_col``.
+
+    strategy='broadcast' (default): the right side is collected sorted
+    and broadcast once via ray.put; every batch runs pandas
+    merge_asof's compiled kernel against it — no shuffle, the right
+    side is a dimension table (the per-user latest-state lookup of a
+    training-data pipeline).
+
+    strategy='partitioned': both sides are hash-partitioned on ``by``
+    (one all-to-all each) and merge_asof runs inside each partition —
+    the large-large form; ``num_parts`` defaults to parts_for(left
+    rows). A ``by`` group never straddles a partition, so the result
+    is identical to the broadcast path."""
+    import ray
+
+    if strategy == "broadcast":
+        import numpy as np
+
+        rt = pa.concat_tables(ray.get(
+            right_ds.select_columns([by, on, value_col]).to_arrow_refs()
+        ))
+        rdf = rt.to_pandas().sort_values(on, kind="stable")
+        rdf = rdf.rename(columns={value_col: out_col})
+        right_ref = ray.put(rdf)
+
+        def per_batch(batch: pa.Table) -> pa.Table:
+            right = ray.get(right_ref)
+            df = batch.to_pandas()
+            if len(right) == 0:
+                out = df.copy()
+                out[out_col] = np.nan
+                return pa.Table.from_pandas(out, preserve_index=False)
+            order = np.argsort(df[on].to_numpy(), kind="stable")
+            joined = pd.merge_asof(
+                df.iloc[order], right, on=on, by=by,
+                direction="backward", allow_exact_matches=True,
+            )
+            # restore the batch's input order (merge_asof needs
+            # on-sorted input; callers keep their row order)
+            inv = np.empty(len(order), dtype=np.int64)
+            inv[order] = np.arange(len(order))
+            return pa.Table.from_pandas(joined.iloc[inv],
+                                        preserve_index=False)
+
+        return left_ds.map_batches(per_batch, batch_format="pyarrow")
+
+    if strategy != "partitioned":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    import numpy as np
+
+    from rse_ray.util import parts_for
+
+    P = num_parts if num_parts is not None else parts_for(left_ds.count())
+
+    # union needs ONE schema: left columns + the right-value carrier
+    # (rv) + routing columns; right rows null-pad the left-only columns
+    left_schema = left_ds.schema()
+    left_cols = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+
+    def _part_of(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+        keys = arr.to_numpy() if isinstance(arr, pa.Array) \
+            else arr.combine_chunks().to_numpy()
+        return pa.array((keys % P).astype(np.int32))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: batch.column(c) for c in left_cols}
+        cols["rv"] = pa.nulls(n, pa.float64())
+        t = pa.table(cols)
+        return t.append_column("part", _part_of(batch.column(by))) \
+                .append_column("side", pa.array(np.zeros(n, dtype=np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for c in left_cols:
+            if c == by:
+                cols[c] = batch.column(by)
+            elif c == on:
+                cols[c] = batch.column(on)
+            else:
+                cols[c] = pa.nulls(n, left_types[c])
+        cols["rv"] = batch.column(value_col).cast(pa.float64())
+        t = pa.table(cols)
+        return t.append_column("part", _part_of(batch.column(by))) \
+                .append_column("side", pa.array(np.ones(n, dtype=np.int8)))
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.select_columns([by, on, value_col]).map_batches(
+            tag_right, batch_format="pyarrow")
+    )
+
+    int_cols = [c for c in left_cols
+                if pa.types.is_integer(left_types[c])]
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][left_cols].sort_values(on, kind="stable")
+        # the right rows' null padding floats the int columns in the
+        # pandas group; the left slice is null-free, so cast them back
+        for c in int_cols:
+            left[c] = left[c].astype(left_types[c].to_pandas_dtype())
+        right = g[g["side"] == 1][[by, on, "rv"]].rename(
+            columns={"rv": out_col}).sort_values(on, kind="stable")
+        if len(right) == 0:
+            out = left.copy()
+            out[out_col] = np.nan
+            return out
+        right[by] = right[by].astype("int64")
+        return pd.merge_asof(left, right, on=on, by=by,
+                             direction="backward",
+                             allow_exact_matches=True)
+
+    return both.groupby("part").map_groups(join_part, batch_format="pandas")
 
 
 def recency_filter(events_ds, *, as_of: str, revisit_delay_days: int,

@@ -467,3 +467,67 @@ def test_window_agg_accepts_multiple_windows(ray_session):
 
     with pytest.raises(ValueError):
         window_agg(ds, window="fortnight")
+
+
+def test_asof_join_broadcast_equals_partitioned_and_sql(ray_session, duck):
+    """asof_join (backward, allow-exact) against DuckDB's ASOF LEFT
+    JOIN; broadcast and hash-partitioned strategies must agree with it
+    row-for-row (null last_purchase_value for users with no prior
+    purchase)."""
+    import ray.data
+    import pyarrow.compute as pc
+
+    from rse_ray.pipelines.relational import asof_join
+
+    left = _read("events", ["event_id", "ts", "user_id",
+                            "event_type", "value"])
+    right = _read("events", ["ts", "user_id", "event_type", "value"])\
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("event_type"), "purchase"))
+                       .select(["user_id", "ts", "value"]),
+            batch_format="pyarrow",
+        )
+    want = duck.sql("""
+        SELECT e.event_id, e.user_id, e.value, p.value AS asof_value
+        FROM events e ASOF LEFT JOIN (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ) p ON e.user_id = p.user_id AND e.ts >= p.ts""").df()
+
+    for strategy in ("broadcast", "partitioned"):
+        got = asof_join(left, right, on="ts", by="user_id",
+                        value_col="value", out_col="asof_value",
+                        strategy=strategy).to_pandas()[
+            ["event_id", "user_id", "value", "asof_value"]]
+        pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                      check_dtype=False)
+    assert want["asof_value"].notna().any()
+    assert want["asof_value"].isna().any()
+
+
+def test_hopping_window_each_event_in_window_over_hop_windows(ray_session):
+    """A 3h window hopping every 1h puts each event in exactly 3
+    windows; totals triple the tumbling equivalents and window starts
+    are hop-aligned."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import hopping_window_agg, window_agg
+
+    ev = pd.DataFrame(
+        {"event_type": ["x", "x", "y"],
+         "ts": pd.to_datetime(["2024-01-01 00:30", "2024-01-01 02:30",
+                               "2024-01-01 00:10"]),
+         "value": [1.0, 2.0, 8.0]}
+    )
+    ds = ray.data.from_pandas(ev)
+    hop = hopping_window_agg(ds, window="3h", hop="h").to_pandas()
+    assert int(hop["n_events"].sum()) == 9  # 3 events x 3 windows
+    # the x event at 00:30 and the one at 02:30 share exactly ONE
+    # window (00:00), where both count
+    x = hop[hop["event_type"] == "x"]
+    both = x[x["n_events"] == 2]
+    assert list(both["window_start"]) == [pd.Timestamp("2024-01-01 00:00")]
+    assert float(both["sum_value"].iloc[0]) == 3.0
+    # sum over all hopping windows == window/hop x tumbling sum
+    tum = window_agg(ds, window="h").to_pandas()
+    assert hop["sum_value"].sum() == 3 * tum["sum_value"].sum()
