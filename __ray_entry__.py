@@ -430,6 +430,19 @@ def _q_asof_last_purchase_partitioned(sf_dir: str):
          "last_purchase_value"]))
 
 
+def _q_orders_customer_join(sf_dir: str):
+    from rse_ray.pipelines.relational import hash_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return _finalize(hash_join(
+        orders, customer, left_on="o_custkey", right_on="c_custkey",
+        right_cols=["c_mktsegment"],
+    ).select_columns(["o_orderkey", "o_custkey", "o_totalprice",
+                      "c_mktsegment"]))
+
+
 RECENCY_AS_OF = "2024-01-31"
 RECENCY_DELAY_DAYS = 14
 
@@ -823,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_agg": _q_hopping_window_agg,
         "asof_last_purchase": _q_asof_last_purchase,
         "asof_last_purchase_partitioned": _q_asof_last_purchase_partitioned,
+        "orders_customer_join": _q_orders_customer_join,
         "recency_filter": _q_recency_filter,
         "distinct_lang_source": _q_distinct,
         "json_props_sum": _q_json_sum,
@@ -1021,6 +1035,9 @@ SELECT e.event_id, e.user_id, e.event_type, e.value,
 FROM events e ASOF LEFT JOIN (
     SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
 ) p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+        "orders_customer_join": """
+SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey""",
         "recency_filter": """
 SELECT event_id, ts, event_type FROM events
 WHERE ts < TIMESTAMP '{as_of}' - INTERVAL {days} DAY""".format(

@@ -29,6 +29,26 @@ import pyarrow.compute as pc
 
 
 
+def _arrow_types(schema) -> dict:
+    """Ray Schema -> {name: pa.DataType}. schema().types yields Arrow
+    types for Arrow-backed datasets but numpy dtypes / Python classes
+    for pandas-backed ones (from_pandas); normalize to Arrow."""
+    out = {}
+    for name, t in zip(schema.names, schema.types):
+        if isinstance(t, pa.DataType):
+            out[name] = t
+        elif t is str:
+            out[name] = pa.string()
+        elif t is bytes:
+            out[name] = pa.binary()
+        else:
+            dt = np.dtype(t)
+            # pandas object columns carry strings in this codebase
+            out[name] = pa.string() if dt == np.dtype("O") \
+                else pa.from_numpy_dtype(dt)
+    return out
+
+
 def _round_np(col, nd: int) -> pa.Array:
     """Round a float column with NUMPY semantics (finish stages only —
     tables are already tiny). pc.round lands 1 ULP away from np.round
@@ -457,7 +477,7 @@ def asof_join(left_ds, right_ds, *, on: str = "ts", by: str = "user_id",
     # (rv) + routing columns; right rows null-pad the left-only columns
     left_schema = left_ds.schema()
     left_cols = list(left_schema.names)
-    left_types = dict(zip(left_schema.names, left_schema.types))
+    left_types = _arrow_types(left_schema)
 
     def _part_of(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
         keys = arr.to_numpy() if isinstance(arr, pa.Array) \
@@ -511,6 +531,88 @@ def asof_join(left_ds, right_ds, *, on: str = "ts", by: str = "user_id",
         return pd.merge_asof(left, right, on=on, by=by,
                              direction="backward",
                              allow_exact_matches=True)
+
+    return both.groupby("part").map_groups(join_part, batch_format="pandas")
+
+
+def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
+              right_cols: list[str], num_parts: int | None = None):
+    """Distributed inner equality join for LARGE-large inputs: both
+    sides hash-partition on the join key (one all-to-all each) and a
+    pandas hash join runs inside every partition — the co-partitioned
+    complement of orders_by_segment's broadcast join, for when neither
+    side fits in a broadcast. A key group never straddles a partition,
+    so the union of the per-partition joins IS the join.
+
+    ``right_cols`` are the right-side payload columns carried into the
+    output (the right join key is consumed by the equality). Skewed
+    hot keys bound a partition at O(|hot left| x |hot right|) — the
+    same key-grouping floor any equi-join shuffle has; salt upstream
+    if a single key's product exceeds a task."""
+    import numpy as np
+
+    import ray  # noqa: F401
+
+    from rse_ray.util import parts_for
+
+    P = num_parts if num_parts is not None else parts_for(left_ds.count())
+
+    left_schema = left_ds.schema()
+    left_cols = list(left_schema.names)
+    left_types = _arrow_types(left_schema)
+    right_types = _arrow_types(right_ds.schema())
+    if set(right_cols) & set(left_cols):
+        raise ValueError("right_cols collide with left column names")
+
+    def _part_of(arr) -> pa.Array:
+        keys = arr.combine_chunks().to_numpy() \
+            if isinstance(arr, pa.ChunkedArray) else arr.to_numpy()
+        return pa.array((keys % P).astype(np.int32))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: batch.column(c) for c in left_cols}
+        cols["_rkey"] = pa.nulls(n, right_types[right_on])
+        for c in right_cols:
+            cols[c] = pa.nulls(n, right_types[c])
+        return pa.table(cols).append_column(
+            "part", _part_of(batch.column(left_on))).append_column(
+            "side", pa.array(np.zeros(n, dtype=np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: pa.nulls(n, left_types[c]) for c in left_cols}
+        cols["_rkey"] = batch.column(right_on)
+        for c in right_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols).append_column(
+            "part", _part_of(batch.column(right_on))).append_column(
+            "side", pa.array(np.ones(n, dtype=np.int8)))
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.select_columns([right_on] + right_cols).map_batches(
+            tag_right, batch_format="pyarrow")
+    )
+
+    int_left = [c for c in left_cols if pa.types.is_integer(left_types[c])]
+    out_cols = left_cols + right_cols
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["side"] == 0, left_cols].copy()
+        # null padding from the other side's rows floats int columns in
+        # the pandas group; each side's own slice is null-free
+        for c in int_left:
+            left[c] = left[c].astype(left_types[c].to_pandas_dtype())
+        right = g.loc[g["side"] == 1, ["_rkey"] + right_cols].copy()
+        if pa.types.is_integer(right_types[right_on]):
+            right["_rkey"] = right["_rkey"].astype(
+                right_types[right_on].to_pandas_dtype())
+        for c in right_cols:
+            if pa.types.is_integer(right_types[c]):
+                right[c] = right[c].astype(right_types[c].to_pandas_dtype())
+        out = left.merge(right, left_on=left_on, right_on="_rkey",
+                         how="inner")
+        return out[out_cols]
 
     return both.groupby("part").map_groups(join_part, batch_format="pandas")
 

@@ -531,3 +531,34 @@ def test_hopping_window_each_event_in_window_over_hop_windows(ray_session):
     # sum over all hopping windows == window/hop x tumbling sum
     tum = window_agg(ds, window="h").to_pandas()
     assert hop["sum_value"].sum() == 3 * tum["sum_value"].sum()
+
+
+def test_hash_join_partitioned_matches_sql(ray_session, duck):
+    """Co-partitioned large-large inner join == SQL JOIN, including
+    dropped unmatched keys on either side and dtype round-trip through
+    the null-padded union."""
+    from rse_ray.pipelines.relational import hash_join
+
+    orders = _read("orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = _read("customer", ["c_custkey", "c_mktsegment"])
+    got = hash_join(orders, customer, left_on="o_custkey",
+                    right_on="c_custkey", right_cols=["c_mktsegment"],
+                    num_parts=7).to_pandas()[
+        ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"]]
+    want = duck.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey""").df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                  check_dtype=False)
+    assert got["o_orderkey"].dtype.kind == "i"
+
+    # synthetic: keys on one side only are dropped (inner semantics)
+    import ray.data
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 9], "lv": [10.0, 20.0, 90.0]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"rk": [2, 3], "rv": ["b", "c"]}))
+    out = hash_join(left, right, left_on="k", right_on="rk",
+                    right_cols=["rv"], num_parts=4).to_pandas()
+    assert list(out["k"]) == [2] and list(out["rv"]) == ["b"]
