@@ -177,3 +177,42 @@ def test_decode_runs_joint_exact():
         assert (d == np.concatenate(all_ids)).all()
         assert (t == np.concatenate(all_tfs)).all()
         assert (l == np.concatenate(all_dls)).all()
+
+
+def test_encode_runs_batched_identical_to_per_run():
+    """encode_runs (one vectorized varint pass over every run) must be
+    byte-identical to encode_run applied per run, across the df mix a
+    real vocabulary has (singleton tail terms through multi-block head
+    terms), and round-trip through decode_run."""
+    import numpy as np
+
+    from rse_ray.functions.codec import decode_run, encode_run, encode_runs
+
+    rng = np.random.default_rng(23)
+    runs = []
+    for n in [1, 1, 2, 3, 5, 31, 32, 33, 40, 200, 1000]:
+        ids = np.cumsum(rng.integers(1, 100_000, n)).astype(np.int64)
+        tfs = rng.integers(1, 300, n).astype(np.int32)
+        dls = rng.integers(1, 5000, n).astype(np.int32)
+        runs.append((ids, tfs, dls))
+    ref = [encode_run(*r) for r in runs]
+    payload, off = encode_runs([r[0] for r in runs], [r[1] for r in runs],
+                               [r[2] for r in runs])
+    got = [payload[off[i]:off[i + 1]].tobytes() for i in range(len(runs))]
+    assert got == ref
+    for i, (ids, tfs, dls) in enumerate(runs):
+        d, t, l = decode_run(got[i])
+        assert (d == ids).all() and (t == tfs).all() and (l == dls).all()
+
+    # python-list inputs (the segment writer's shape) hit the same bytes
+    p2, o2 = encode_runs([list(r[0]) for r in runs],
+                         [list(r[1]) for r in runs],
+                         [list(r[2]) for r in runs])
+    assert (p2 == payload).all() and (o2 == off).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_runs([[3, 2]], [[1, 1]], [[1, 1]])
+    with pytest.raises(ValueError):
+        encode_runs([[]], [[]], [[]])
