@@ -195,15 +195,49 @@ def porter_stem(word: str) -> str:
     return w
 
 
+class _RawStemMap(dict):
+    """raw token -> stem(lower(token)), computed on miss. A dict
+    subclass so the hot path is ONE C-level ``cache[tok]`` per token —
+    no .lower() and no second list pass for the ~99% of tokens already
+    seen (vocabulary is Zipfian). Shares stems with the lowered cache
+    so query-side ``StemCache.__call__`` and build-side tokenize agree
+    byte-for-byte."""
+
+    __slots__ = ("_lower_cache",)
+    _MAX = 4_000_000  # fleet guard: raw web tokens (ids, urls, numbers)
+    #                   are unbounded; drop and refill past ~4M entries
+
+    def __init__(self, lower_cache: dict) -> None:
+        super().__init__()
+        self._lower_cache = lower_cache
+
+    def __missing__(self, tok: str) -> str:
+        lw = tok.lower()
+        c = self._lower_cache
+        s = c.get(lw)
+        if s is None:
+            s = porter_stem(lw)
+            if len(c) > self._MAX:
+                c.clear()
+            c[lw] = s
+        if len(self) > self._MAX:
+            self.clear()
+        self[tok] = s
+        return s
+
+
 class StemCache:
     """Memoizing wrapper around porter_stem for the hot path. Vocabulary
     is Zipfian so a plain dict cache hits ~99% of tokens; one instance
-    per tokenize actor/worker (actor-pool pattern, SURVEY §2.3 ST3)."""
+    per tokenize actor/worker (actor-pool pattern, SURVEY §2.3 ST3).
+    ``raw`` is the fused raw-token -> stemmed mapping tokenize's fast
+    path indexes directly."""
 
-    __slots__ = ("_cache",)
+    __slots__ = ("_cache", "raw")
 
     def __init__(self) -> None:
         self._cache: dict[str, str] = {}
+        self.raw = _RawStemMap(self._cache)
 
     def __call__(self, word: str) -> str:
         s = self._cache.get(word)
@@ -215,6 +249,9 @@ class StemCache:
 
 def tokenize(text: str, *, stem: bool = True, _stemmer=None) -> list[str]:
     """Reference tokenizer: whitespace split -> lower -> (Porter stem)."""
+    if stem and type(_stemmer) is StemCache:
+        rm = _stemmer.raw
+        return [rm[t] for t in text.split()]
     toks = [t.lower() for t in text.split()]
     if stem:
         st = _stemmer if _stemmer is not None else porter_stem

@@ -257,13 +257,13 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
 
     runs: dict[str, list[list[int]]] = {}
     num_tokens = 0
+    from collections import Counter
+
     for did, text in zip(doc_ids, texts):
         toks = tokenize(text, stem=stem, _stemmer=stemmer)
         num_tokens += len(toks)
         dl = len(toks)
-        counts: dict[str, int] = {}
-        for t in toks:
-            counts[t] = counts.get(t, 0) + 1
+        counts = Counter(toks)  # C-level counting
         for term, tf in counts.items():
             run = runs.get(term)
             if run is None:
