@@ -152,3 +152,29 @@ def test_stem_cache_matches():
     words = [w for w, _ in GOLDEN]
     assert [cache(w) for w in words] == [porter_stem(w) for w in words]
     assert [cache(w) for w in words] == [porter_stem(w) for w in words]  # warm
+
+
+def test_fused_raw_cache_path_equals_plain_path():
+    """The StemCache raw-token fast path must produce exactly the
+    plain lower->stem path's output, including unicode case folds,
+    case-variant collisions, and repeated tokens (cache hits)."""
+    from rse_ray.functions.tokenizer import StemCache, tokenize
+
+    texts = [
+        "Running RUNNING running runs ran",
+        "İstanbul STRASSE Straße ss SS İstanbul",
+        "Mixed-CASE mixed-case MIXED-case  \t tabs\nnewlines",
+        "ﬁ ﬂ ǅungla ǅUNGLA ǆungla",  # ligature / titlecase folds
+        "x" * 300 + " " + "X" * 300,
+        "",
+        "solo",
+    ]
+    sc = StemCache()
+    for text in texts:
+        fused = tokenize(text, stem=True, _stemmer=sc)
+        plain = tokenize(text, stem=True, _stemmer=None)
+        assert fused == plain, text
+    # second pass: all cache hits, still identical
+    for text in texts:
+        assert tokenize(text, stem=True, _stemmer=sc) == \
+            tokenize(text, stem=True, _stemmer=None)
