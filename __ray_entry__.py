@@ -443,6 +443,24 @@ def _q_orders_customer_join(sf_dir: str):
                       "c_mktsegment"]))
 
 
+def _q_train_val_split(sf_dir: str):
+    from rse_ray.pipelines.relational import train_val_split
+
+    return _finalize(train_val_split(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        key="doc_id", val_pct=10,
+    ))
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    from rse_ray.pipelines.relational import top_k_per_group
+
+    return _finalize(top_k_per_group(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        group="lang", order="n_chars", k=2, tie="doc_id",
+    ))
+
+
 RECENCY_AS_OF = "2024-01-31"
 RECENCY_DELAY_DAYS = 14
 
@@ -837,6 +855,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase": _q_asof_last_purchase,
         "asof_last_purchase_partitioned": _q_asof_last_purchase_partitioned,
         "orders_customer_join": _q_orders_customer_join,
+        "train_val_split": _q_train_val_split,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "recency_filter": _q_recency_filter,
         "distinct_lang_source": _q_distinct,
         "json_props_sum": _q_json_sum,
@@ -1038,6 +1058,15 @@ FROM events e ASOF LEFT JOIN (
         "orders_customer_join": """
 SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
 FROM orders JOIN customer ON o_custkey = c_custkey""",
+        "train_val_split": """
+SELECT doc_id, lang,
+       CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+            THEN 'val' ELSE 'train' END AS split
+FROM documents""",
+        "top_docs_per_lang": """
+SELECT doc_id, lang, n_chars FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 2""",
         "recency_filter": """
 SELECT event_id, ts, event_type FROM events
 WHERE ts < TIMESTAMP '{as_of}' - INTERVAL {days} DAY""".format(

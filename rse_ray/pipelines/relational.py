@@ -617,6 +617,56 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     return both.groupby("part").map_groups(join_part, batch_format="pandas")
 
 
+def train_val_split(ds, *, key: str = "doc_id", val_pct: int = 10,
+                    keep: str | None = None):
+    """Deterministic, content-keyed train/val split: a row is VAL iff
+    md5(str(key))'s upper-half little-endian uint64 (DuckDB's
+    ``md5_number_lower``) mod 100 < val_pct. Keyed on content, not
+    position, so the split is stable across reruns, repartitions and
+    cluster sizes — the property a training pipeline needs so val docs
+    never leak into train when the corpus is rebuilt. Pure per-batch
+    map (no shuffle). ``keep``: None adds a 'split' column; 'train' /
+    'val' filters to that side. The per-row md5 is a Python loop —
+    inherent to md5-of-strings (same trade as exact_dedup's key hash).
+    """
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = batch.column(key).to_pylist()
+        h = np.fromiter(
+            (struct.unpack(
+                "<Q", hashlib.md5(str(v).encode("utf-8")).digest()[8:])[0]
+             for v in vals),
+            dtype=np.uint64, count=len(vals))
+        is_val = (h % 100) < val_pct
+        if keep == "val":
+            return batch.filter(pa.array(is_val))
+        if keep == "train":
+            return batch.filter(pa.array(~is_val))
+        split = np.where(is_val, "val", "train")
+        return batch.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def top_k_per_group(ds, *, group: str, order: str, k: int = 2,
+                    tie: str | None = None, descending: bool = True):
+    """Top-k rows per group (the ROW_NUMBER() OVER (PARTITION BY ...)
+    <= k shape): groupby(group) shuffles each group to one task, the
+    head-k pick is vectorized pandas inside it. Tie-break ``tie``
+    ascending pins a total order so results are deterministic."""
+    cols = [order] + ([tie] if tie else [])
+    asc = [not descending] + ([True] if tie else [])
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(cols, ascending=asc, kind="stable").head(k)
+
+    return ds.groupby(group).map_groups(head, batch_format="pandas")
+
+
 def recency_filter(events_ds, *, as_of: str, revisit_delay_days: int,
                    keep_cols: list[str] | None = None):
     """M8 recency filter — the reference's shouldVisit revisit policy

@@ -562,3 +562,39 @@ def test_hash_join_partitioned_matches_sql(ray_session, duck):
     out = hash_join(left, right, left_on="k", right_on="rk",
                     right_cols=["rv"], num_parts=4).to_pandas()
     assert list(out["k"]) == [2] and list(out["rv"]) == ["b"]
+
+
+def test_train_val_split_content_keyed_stable(ray_session):
+    """The split must be a function of the KEY only: invariant under
+    repartitioning and row order, ~val_pct% sized, and filtering by
+    keep= agrees with the split column."""
+    from rse_ray.pipelines.relational import train_val_split
+
+    docs = _read("documents", ["doc_id", "lang"])
+    a = train_val_split(docs, val_pct=10).to_pandas()
+    b = train_val_split(docs.repartition(7), val_pct=10).to_pandas()
+    am = dict(zip(a["doc_id"], a["split"]))
+    bm = dict(zip(b["doc_id"], b["split"]))
+    assert am == bm
+    frac = (a["split"] == "val").mean()
+    assert 0.02 < frac < 0.25  # ~10% at small n
+    val_ids = set(train_val_split(docs, val_pct=10, keep="val")
+                  .to_pandas()["doc_id"])
+    assert val_ids == {d for d, s in am.items() if s == "val"}
+
+
+def test_top_k_per_group_deterministic_ties(ray_session):
+    """Equal order values resolve by the tie column, so the pick is a
+    total order, not arrival order."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import top_k_per_group
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"],
+                       "v": [5, 5, 5, 1, 9],
+                       "id": [4, 2, 3, 1, 7]})
+    out = top_k_per_group(ray.data.from_pandas(df), group="g", order="v",
+                          k=2, tie="id").to_pandas()
+    a = out[out["g"] == "a"].sort_values("id")
+    assert list(a["id"]) == [2, 3]  # the two smallest ids among the 5s
+    assert list(out[out["g"] == "b"]["id"]) == [7]
