@@ -536,7 +536,8 @@ def asof_join(left_ds, right_ds, *, on: str = "ts", by: str = "user_id",
 
 
 def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
-              right_cols: list[str], num_parts: int | None = None):
+              right_cols: list[str], num_parts: int | None = None,
+              hot_keys=None, salt: int = 8):
     """Distributed inner equality join for LARGE-large inputs: both
     sides hash-partition on the join key (one all-to-all each) and a
     pandas hash join runs inside every partition — the co-partitioned
@@ -545,10 +546,16 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     so the union of the per-partition joins IS the join.
 
     ``right_cols`` are the right-side payload columns carried into the
-    output (the right join key is consumed by the equality). Skewed
-    hot keys bound a partition at O(|hot left| x |hot right|) — the
-    same key-grouping floor any equi-join shuffle has; salt upstream
-    if a single key's product exceeds a task."""
+    output (the right join key is consumed by the equality).
+
+    Skew: a hot key bounds a partition at O(|hot left| x |hot right|).
+    Pass ``hot_keys`` (iterable of key values — e.g. from a cheap
+    count pre-pass) to SALT them: the hot keys' left rows spread over
+    ``salt`` dedicated partitions each and their right rows are
+    REPLICATED into all ``salt`` partitions, so no single task holds a
+    hot key's full left side. The result set is identical with or
+    without salting (tested); salting only reshapes the partitioning.
+    """
     import numpy as np
 
     import ray  # noqa: F401
@@ -564,10 +571,17 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     if set(right_cols) & set(left_cols):
         raise ValueError("right_cols collide with left column names")
 
-    def _part_of(arr) -> pa.Array:
-        keys = arr.combine_chunks().to_numpy() \
+    # hot key -> dense rank; hot key k's salted partitions are
+    # [P + rank(k)*salt, P + (rank(k)+1)*salt)
+    hot = {int(k): i for i, k in enumerate(sorted(set(hot_keys or ())))}
+    hot_ref = ray.put(hot) if hot else None
+
+    def _to_np(arr) -> np.ndarray:
+        return arr.combine_chunks().to_numpy() \
             if isinstance(arr, pa.ChunkedArray) else arr.to_numpy()
-        return pa.array((keys % P).astype(np.int32))
+
+    def _cold_parts(keys: np.ndarray) -> np.ndarray:
+        return (keys % P).astype(np.int32)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -575,8 +589,22 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
         cols["_rkey"] = pa.nulls(n, right_types[right_on])
         for c in right_cols:
             cols[c] = pa.nulls(n, right_types[c])
+        keys = _to_np(batch.column(left_on))
+        part = _cold_parts(keys)
+        if hot_ref is not None:
+            h = ray.get(hot_ref)
+            ranks = np.fromiter((h.get(int(k), -1) for k in keys),
+                                dtype=np.int64, count=n)
+            sel = ranks >= 0
+            if sel.any():
+                # spread a hot key's left rows over its salt slots;
+                # slot choice is load-balancing only (any slot joins
+                # against the same replicated right rows)
+                slot = (np.arange(n, dtype=np.int64)[sel]
+                        + keys[sel]) % salt
+                part[sel] = (P + ranks[sel] * salt + slot).astype(np.int32)
         return pa.table(cols).append_column(
-            "part", _part_of(batch.column(left_on))).append_column(
+            "part", pa.array(part)).append_column(
             "side", pa.array(np.zeros(n, dtype=np.int8)))
 
     def tag_right(batch: pa.Table) -> pa.Table:
@@ -585,9 +613,35 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
         cols["_rkey"] = batch.column(right_on)
         for c in right_cols:
             cols[c] = batch.column(c)
-        return pa.table(cols).append_column(
-            "part", _part_of(batch.column(right_on))).append_column(
+        keys = _to_np(batch.column(right_on))
+        t = pa.table(cols)
+        part = _cold_parts(keys)
+        out = t.append_column("part", pa.array(part)).append_column(
             "side", pa.array(np.ones(n, dtype=np.int8)))
+        if hot_ref is None:
+            return out
+        h = ray.get(hot_ref)
+        ranks = np.fromiter((h.get(int(k), -1) for k in keys),
+                            dtype=np.int64, count=n)
+        sel = ranks >= 0
+        if not sel.any():
+            return out
+        # cold rows keep one copy; hot rows are replaced by `salt`
+        # replicas, one per salted partition
+        cold = out.filter(pa.array(~sel))
+        hot_t = t.filter(pa.array(sel))
+        hot_ranks = ranks[sel]
+        replicas = [cold]
+        for s in range(salt):
+            replicas.append(
+                hot_t.append_column(
+                    "part", pa.array((P + hot_ranks * salt + s)
+                                     .astype(np.int32))
+                ).append_column(
+                    "side", pa.array(
+                        np.ones(hot_t.num_rows, dtype=np.int8)))
+            )
+        return pa.concat_tables(replicas)
 
     both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.select_columns([right_on] + right_cols).map_batches(

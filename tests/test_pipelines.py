@@ -598,3 +598,35 @@ def test_top_k_per_group_deterministic_ties(ray_session):
     a = out[out["g"] == "a"].sort_values("id")
     assert list(a["id"]) == [2, 3]  # the two smallest ids among the 5s
     assert list(out[out["g"] == "b"]["id"]) == [7]
+
+
+def test_hash_join_salted_hot_keys_identical_result(ray_session):
+    """Salting replicates hot right rows across salt partitions and
+    spreads hot left rows, but the JOIN RESULT must be exactly the
+    unsalted one — no lost pairs, no duplicates."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import hash_join
+
+    rng = np.random.default_rng(5)
+    # key 7 is hot on both sides
+    lk = np.concatenate([np.full(500, 7), rng.integers(0, 50, 300)])
+    left = pd.DataFrame({"k": lk.astype(np.int64),
+                         "lv": np.arange(len(lk), dtype=np.int64)})
+    rk = np.concatenate([np.full(4, 7), np.arange(0, 50, 2)])
+    right = pd.DataFrame({"rk": rk.astype(np.int64),
+                          "rv": np.arange(len(rk), dtype=np.int64) * 10})
+    lds = ray.data.from_pandas(left).repartition(5)
+    rds = ray.data.from_pandas(right).repartition(3)
+    plain = hash_join(lds, rds, left_on="k", right_on="rk",
+                      right_cols=["rv"], num_parts=8).to_pandas()
+    salted = hash_join(lds, rds, left_on="k", right_on="rk",
+                       right_cols=["rv"], num_parts=8,
+                       hot_keys=[7], salt=4).to_pandas()
+    key = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        plain[key].sort_values(key).reset_index(drop=True),
+        salted[key].sort_values(key).reset_index(drop=True),
+        check_dtype=False)
+    n_left7 = int((left["k"] == 7).sum())
+    assert (salted["k"] == 7).sum() == n_left7 * 4  # hot pairs once each
