@@ -30,11 +30,18 @@ import pyarrow.compute as pc
 
 
 def _arrow_types(schema) -> dict:
-    """Ray Schema -> {name: pa.DataType}. schema().types yields Arrow
-    types for Arrow-backed datasets but numpy dtypes / Python classes
-    for pandas-backed ones (from_pandas); normalize to Arrow."""
+    """Ray Schema -> {name: pa.DataType}. Arrow-backed datasets carry a
+    pa.Schema in base_schema; pandas-backed ones (from_pandas) carry a
+    PandasBlockSchema whose dtypes include extension types (Int64Dtype
+    etc. — Ray's own Schema.types maps those to None, so go to the
+    base). Extension dtypes resolve via their numpy_dtype; object
+    columns carry strings in this codebase."""
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return {f.name: f.type for f in base}
+    types = base.types if base is not None else schema.types
     out = {}
-    for name, t in zip(schema.names, schema.types):
+    for name, t in zip(schema.names, types):
         if isinstance(t, pa.DataType):
             out[name] = t
         elif t is str:
@@ -42,11 +49,24 @@ def _arrow_types(schema) -> dict:
         elif t is bytes:
             out[name] = pa.binary()
         else:
-            dt = np.dtype(t)
-            # pandas object columns carry strings in this codebase
+            nd = getattr(t, "numpy_dtype", None)  # pandas extension
+            dt = nd if nd is not None else np.dtype(t)
             out[name] = pa.string() if dt == np.dtype("O") \
                 else pa.from_numpy_dtype(dt)
     return out
+
+
+def _mod_parts(col, P: int) -> pa.Array:
+    """``key % P`` as int32 for partition routing; NULL keys route to
+    part -1 (the callers either drop that part — inner join — or pass
+    it through unmatched — as-of left join)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = col.is_valid().to_numpy(zero_copy_only=False)
+    keys = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+    part = (keys.astype(np.int64) % P).astype(np.int32)
+    part[~valid] = -1
+    return pa.array(part)
 
 
 def _round_np(col, nd: int) -> pa.Array:
@@ -430,36 +450,57 @@ def asof_join(left_ds, right_ds, *, on: str = "ts", by: str = "user_id",
     (one all-to-all each) and merge_asof runs inside each partition —
     the large-large form; ``num_parts`` defaults to parts_for(left
     rows). A ``by`` group never straddles a partition, so the result
-    is identical to the broadcast path."""
+    is identical to the broadcast path.
+
+    ``out_col`` is always float64 (unmatched rows are null, so the
+    column is nullable by contract, whatever the source value dtype).
+    Left rows with a null ``by``/``on`` pass through unmatched; right
+    rows with one are dropped (they can never win a comparison) —
+    DuckDB ASOF LEFT JOIN semantics."""
     import ray
 
-    if strategy == "broadcast":
-        import numpy as np
+    left_schema = left_ds.schema()
+    left_cols = list(left_schema.names)
+    left_types = _arrow_types(left_schema)
+    out_schema = pa.schema(
+        [(c, left_types[c]) for c in left_cols] + [(out_col, pa.float64())]
+    )
 
+    def _null_out(left_df: pd.DataFrame) -> pd.DataFrame:
+        out = left_df.copy()
+        out[out_col] = np.nan
+        return out
+
+    def _asof(left_df: pd.DataFrame, right_df: pd.DataFrame) -> pd.DataFrame:
+        """merge_asof with null-key left rows passed through unmatched.
+        Both frames carry their ORIGINAL dtypes (the callers split
+        sides in Arrow before converting, so no null-padding float)."""
+        ok = left_df[by].notna() & left_df[on].notna()
+        matched = left_df[ok].sort_values(on, kind="stable")
+        if len(right_df) == 0 or len(matched) == 0:
+            return _null_out(left_df)
+        joined = pd.merge_asof(matched, right_df, on=on, by=by,
+                               direction="backward",
+                               allow_exact_matches=True)
+        if ok.all():
+            return joined
+        return pd.concat([joined, _null_out(left_df[~ok])],
+                         ignore_index=True)
+
+    if strategy == "broadcast":
         rt = pa.concat_tables(ray.get(
             right_ds.select_columns([by, on, value_col]).to_arrow_refs()
         ))
-        rdf = rt.to_pandas().sort_values(on, kind="stable")
-        rdf = rdf.rename(columns={value_col: out_col})
+        rdf = rt.to_pandas()
+        rdf = rdf[rdf[by].notna() & rdf[on].notna()]
+        rdf = rdf.sort_values(on, kind="stable").rename(
+            columns={value_col: out_col})
+        rdf[out_col] = rdf[out_col].astype("float64")
         right_ref = ray.put(rdf)
 
         def per_batch(batch: pa.Table) -> pa.Table:
-            right = ray.get(right_ref)
-            df = batch.to_pandas()
-            if len(right) == 0:
-                out = df.copy()
-                out[out_col] = np.nan
-                return pa.Table.from_pandas(out, preserve_index=False)
-            order = np.argsort(df[on].to_numpy(), kind="stable")
-            joined = pd.merge_asof(
-                df.iloc[order], right, on=on, by=by,
-                direction="backward", allow_exact_matches=True,
-            )
-            # restore the batch's input order (merge_asof needs
-            # on-sorted input; callers keep their row order)
-            inv = np.empty(len(order), dtype=np.int64)
-            inv[order] = np.arange(len(order))
-            return pa.Table.from_pandas(joined.iloc[inv],
+            out = _asof(batch.to_pandas(), ray.get(right_ref))
+            return pa.Table.from_pandas(out, schema=out_schema,
                                         preserve_index=False)
 
         return left_ds.map_batches(per_batch, batch_format="pyarrow")
@@ -467,32 +508,27 @@ def asof_join(left_ds, right_ds, *, on: str = "ts", by: str = "user_id",
     if strategy != "partitioned":
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    import numpy as np
-
     from rse_ray.util import parts_for
 
     P = num_parts if num_parts is not None else parts_for(left_ds.count())
 
     # union needs ONE schema: left columns + the right-value carrier
-    # (rv) + routing columns; right rows null-pad the left-only columns
-    left_schema = left_ds.schema()
-    left_cols = list(left_schema.names)
-    left_types = _arrow_types(left_schema)
-
-    def _part_of(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-        keys = arr.to_numpy() if isinstance(arr, pa.Array) \
-            else arr.combine_chunks().to_numpy()
-        return pa.array((keys % P).astype(np.int32))
-
+    # (rv) + routing columns; right rows null-pad the left-only
+    # columns. The group splits sides back apart IN ARROW before any
+    # pandas conversion, so each side's own columns keep their exact
+    # dtypes (int64 payloads never round-trip through float64).
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         cols = {c: batch.column(c) for c in left_cols}
         cols["rv"] = pa.nulls(n, pa.float64())
         t = pa.table(cols)
-        return t.append_column("part", _part_of(batch.column(by))) \
+        return t.append_column("part", _mod_parts(batch.column(by), P)) \
                 .append_column("side", pa.array(np.zeros(n, dtype=np.int8)))
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column(by)),
+                       pc.is_valid(batch.column(on)))
+        batch = batch.filter(keep)
         n = batch.num_rows
         cols = {}
         for c in left_cols:
@@ -504,7 +540,7 @@ def asof_join(left_ds, right_ds, *, on: str = "ts", by: str = "user_id",
                 cols[c] = pa.nulls(n, left_types[c])
         cols["rv"] = batch.column(value_col).cast(pa.float64())
         t = pa.table(cols)
-        return t.append_column("part", _part_of(batch.column(by))) \
+        return t.append_column("part", _mod_parts(batch.column(by), P)) \
                 .append_column("side", pa.array(np.ones(n, dtype=np.int8)))
 
     both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
@@ -512,27 +548,17 @@ def asof_join(left_ds, right_ds, *, on: str = "ts", by: str = "user_id",
             tag_right, batch_format="pyarrow")
     )
 
-    int_cols = [c for c in left_cols
-                if pa.types.is_integer(left_types[c])]
+    def join_part(g: pa.Table) -> pa.Table:
+        side = g.column("side")
+        left = g.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+        right = g.filter(pc.equal(side, 1)).select([by, on, "rv"]) \
+                 .rename_columns([by, on, out_col]).to_pandas() \
+                 .sort_values(on, kind="stable")
+        return pa.Table.from_pandas(_asof(left, right), schema=out_schema,
+                                    preserve_index=False)
 
-    def join_part(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["side"] == 0][left_cols].sort_values(on, kind="stable")
-        # the right rows' null padding floats the int columns in the
-        # pandas group; the left slice is null-free, so cast them back
-        for c in int_cols:
-            left[c] = left[c].astype(left_types[c].to_pandas_dtype())
-        right = g[g["side"] == 1][[by, on, "rv"]].rename(
-            columns={"rv": out_col}).sort_values(on, kind="stable")
-        if len(right) == 0:
-            out = left.copy()
-            out[out_col] = np.nan
-            return out
-        right[by] = right[by].astype("int64")
-        return pd.merge_asof(left, right, on=on, by=by,
-                             direction="backward",
-                             allow_exact_matches=True)
-
-    return both.groupby("part").map_groups(join_part, batch_format="pandas")
+    return both.groupby("part").map_groups(join_part,
+                                           batch_format="pyarrow")
 
 
 def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
@@ -571,30 +597,36 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     if set(right_cols) & set(left_cols):
         raise ValueError("right_cols collide with left column names")
 
-    # hot key -> dense rank; hot key k's salted partitions are
-    # [P + rank(k)*salt, P + (rank(k)+1)*salt)
-    hot = {int(k): i for i, k in enumerate(sorted(set(hot_keys or ())))}
-    hot_ref = ray.put(hot) if hot else None
+    # hot key -> dense rank (vectorized searchsorted lookup); hot key
+    # k's salted partitions are [P + rank(k)*salt, P + (rank(k)+1)*salt)
+    hot_arr = np.array(sorted({int(k) for k in (hot_keys or ())}),
+                       dtype=np.int64)
+    hot_ref = ray.put(hot_arr) if len(hot_arr) else None
 
-    def _to_np(arr) -> np.ndarray:
-        return arr.combine_chunks().to_numpy() \
-            if isinstance(arr, pa.ChunkedArray) else arr.to_numpy()
+    def _hot_ranks(keys: np.ndarray, hot: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(hot, keys)
+        idx_c = np.minimum(idx, len(hot) - 1)
+        ranks = np.where(hot[idx_c] == keys, idx_c, -1)
+        return ranks
 
-    def _cold_parts(keys: np.ndarray) -> np.ndarray:
-        return (keys % P).astype(np.int32)
+    def _keys_np(batch: pa.Table, col: str) -> np.ndarray:
+        a = batch.column(col)
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        return a.to_numpy(zero_copy_only=False).astype(np.int64)
 
     def tag_left(batch: pa.Table) -> pa.Table:
+        # inner join: null keys can never match — drop at the tag
+        batch = batch.filter(pc.is_valid(batch.column(left_on)))
         n = batch.num_rows
         cols = {c: batch.column(c) for c in left_cols}
         cols["_rkey"] = pa.nulls(n, right_types[right_on])
         for c in right_cols:
             cols[c] = pa.nulls(n, right_types[c])
-        keys = _to_np(batch.column(left_on))
-        part = _cold_parts(keys)
+        keys = _keys_np(batch, left_on)
+        part = (keys % P).astype(np.int32)
         if hot_ref is not None:
-            h = ray.get(hot_ref)
-            ranks = np.fromiter((h.get(int(k), -1) for k in keys),
-                                dtype=np.int64, count=n)
+            ranks = _hot_ranks(keys, ray.get(hot_ref))
             sel = ranks >= 0
             if sel.any():
                 # spread a hot key's left rows over its salt slots;
@@ -608,21 +640,20 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
             "side", pa.array(np.zeros(n, dtype=np.int8)))
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(right_on)))
         n = batch.num_rows
         cols = {c: pa.nulls(n, left_types[c]) for c in left_cols}
         cols["_rkey"] = batch.column(right_on)
         for c in right_cols:
             cols[c] = batch.column(c)
-        keys = _to_np(batch.column(right_on))
+        keys = _keys_np(batch, right_on)
         t = pa.table(cols)
-        part = _cold_parts(keys)
+        part = (keys % P).astype(np.int32)
         out = t.append_column("part", pa.array(part)).append_column(
             "side", pa.array(np.ones(n, dtype=np.int8)))
         if hot_ref is None:
             return out
-        h = ray.get(hot_ref)
-        ranks = np.fromiter((h.get(int(k), -1) for k in keys),
-                            dtype=np.int64, count=n)
+        ranks = _hot_ranks(keys, ray.get(hot_ref))
         sel = ranks >= 0
         if not sel.any():
             return out
@@ -648,27 +679,28 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
             tag_right, batch_format="pyarrow")
     )
 
-    int_left = [c for c in left_cols if pa.types.is_integer(left_types[c])]
     out_cols = left_cols + right_cols
+    out_schema = pa.schema(
+        [(c, left_types[c]) for c in left_cols]
+        + [(c, right_types[c]) for c in right_cols]
+    )
 
-    def join_part(g: pd.DataFrame) -> pd.DataFrame:
-        left = g.loc[g["side"] == 0, left_cols].copy()
-        # null padding from the other side's rows floats int columns in
-        # the pandas group; each side's own slice is null-free
-        for c in int_left:
-            left[c] = left[c].astype(left_types[c].to_pandas_dtype())
-        right = g.loc[g["side"] == 1, ["_rkey"] + right_cols].copy()
-        if pa.types.is_integer(right_types[right_on]):
-            right["_rkey"] = right["_rkey"].astype(
-                right_types[right_on].to_pandas_dtype())
-        for c in right_cols:
-            if pa.types.is_integer(right_types[c]):
-                right[c] = right[c].astype(right_types[c].to_pandas_dtype())
+    def join_part(g: pa.Table) -> pa.Table:
+        # split sides IN ARROW before the pandas conversion: each
+        # side's own columns are null-free, so int64 keys/payloads
+        # never round-trip through float64 (values above 2^53 would
+        # silently corrupt on that path)
+        side = g.column("side")
+        left = g.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+        right = g.filter(pc.equal(side, 1)) \
+                 .select(["_rkey"] + right_cols).to_pandas()
         out = left.merge(right, left_on=left_on, right_on="_rkey",
                          how="inner")
-        return out[out_cols]
+        return pa.Table.from_pandas(out[out_cols], schema=out_schema,
+                                    preserve_index=False)
 
-    return both.groupby("part").map_groups(join_part, batch_format="pandas")
+    return both.groupby("part").map_groups(join_part,
+                                           batch_format="pyarrow")
 
 
 def train_val_split(ds, *, key: str = "doc_id", val_pct: int = 10,

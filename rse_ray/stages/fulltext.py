@@ -285,7 +285,10 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
         [r[2] for r in run_cols])
     payload_mv = memoryview(payload_buf)
     payload_bytes = int(payload_off[-1])
-    assert payload_bytes < 2**31, "bucket payload exceeds int32 offsets"
+    if payload_bytes >= 2**31:  # int32 offsets in the zero-copy column
+        raise ValueError(
+            f"bucket {bucket} payload is {payload_bytes} bytes, beyond "
+            "int32 binary offsets — lower num_buckets' docs per bucket")
 
     dfs = np.fromiter((len(r[0]) for r in run_cols), dtype=np.int64,
                       count=T)

@@ -630,3 +630,51 @@ def test_hash_join_salted_hot_keys_identical_result(ray_session):
         check_dtype=False)
     n_left7 = int((left["k"] == 7).sum())
     assert (salted["k"] == 7).sum() == n_left7 * 4  # hot pairs once each
+
+
+def test_joins_preserve_large_int64_and_drop_null_keys(ray_session):
+    """Regression (round-3 review): the co-partitioned union must not
+    round int64 values through float64 (ids above 2^53 corrupt
+    silently), and null join keys follow SQL semantics — dropped by
+    the inner hash join, passed through unmatched by the as-of left
+    join."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import asof_join, hash_join
+
+    big = 2**53 + 1  # not representable in float64
+    left = pd.DataFrame({
+        "k": pd.array([1, 1, 2, None], dtype="Int64"),
+        "payload": pd.array([big, big + 2, 5, 6], dtype="Int64"),
+    })
+    right = pd.DataFrame({
+        "rk": pd.array([1, None], dtype="Int64"),
+        "rv": pd.array([big + 4, 99], dtype="Int64"),
+    })
+    out = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    left_on="k", right_on="rk", right_cols=["rv"],
+                    num_parts=4).to_pandas()
+    assert len(out) == 2  # k=2 has no match; null keys dropped
+    assert sorted(out["payload"]) == [big, big + 2]  # exact, not rounded
+    assert set(out["rv"]) == {big + 4}
+
+    ev_left = pd.DataFrame({
+        "uid": pd.array([1, 1, None], dtype="Int64"),
+        "ts": pd.to_datetime(["2024-01-02", "2024-01-03", "2024-01-04"]),
+        "pay": pd.array([big, big + 2, 7], dtype="Int64"),
+    })
+    ev_right = pd.DataFrame({
+        "uid": pd.array([1, None], dtype="Int64"),
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+        "val": [10.0, 99.0],
+    })
+    for strategy in ("broadcast", "partitioned"):
+        got = asof_join(ray.data.from_pandas(ev_left),
+                        ray.data.from_pandas(ev_right),
+                        on="ts", by="uid", value_col="val",
+                        out_col="av", strategy=strategy).to_pandas()
+        assert len(got) == 3  # left join: null-key row retained
+        byuid = got.sort_values("ts").reset_index(drop=True)
+        assert sorted(got.loc[got["uid"].notna(), "pay"]) == [big, big + 2]
+        assert got.loc[got["uid"].isna(), "av"].isna().all()
+        assert (got.loc[got["uid"].notna(), "av"] == 10.0).all()
