@@ -314,32 +314,44 @@ def splice_runs(payloads: list[bytes], min_docs, max_docs) -> bytes:
     with decoding the runs separately and concatenating (tests/
     test_codec.py); the merge shuffle's reducer cost drops from
     decode+re-encode of every posting to O(#runs) header arithmetic."""
-    doc_parts: list[bytes] = []
-    tf_parts: list[bytes] = []
-    dl_parts: list[bytes] = []
+    doc_parts: list = []
+    tf_parts: list = []
+    dl_parts: list = []
     n_tot = 0
     prev_max = 0
     first = True
     for i, buf in enumerate(payloads):
         mv = memoryview(buf)
-        n, at = _read_varint(mv, 0)
-        ld, at = _read_varint(mv, at)
-        lt, at = _read_varint(mv, at)
-        ll, at = _read_varint(mv, at)
+        # inlined varint header reads with a 1-byte fast path (headers
+        # are almost always 1-2 bytes; the function-call version spent
+        # most of its time on call overhead in the merge hot loop)
+        vals = []
+        at = 0
+        for _ in range(4):
+            b0 = mv[at]
+            if b0 < 0x80:
+                vals.append(b0)
+                at += 1
+            else:
+                v, at = _read_varint(mv, at)
+                vals.append(v)
+        n, ld, lt, ll = vals
         if n == 0:
             continue
         doc_b = mv[at : at + ld]
-        tf_parts.append(bytes(mv[at + ld : at + ld + lt]))
-        dl_parts.append(bytes(mv[at + ld + lt : at + ld + lt + ll]))
+        tf_parts.append(mv[at + ld : at + ld + lt])
+        dl_parts.append(mv[at + ld + lt : at + ld + lt + ll])
         if first:
-            doc_parts.append(bytes(doc_b))
+            doc_parts.append(doc_b)
             first = False
         else:
             _, fe = _read_varint(doc_b, 0)  # skip the absolute first docID
             delta = int(min_docs[i]) - prev_max
-            doc_parts.append(_varint_one(delta) + bytes(doc_b[fe:]))
+            doc_parts.append(_varint_one(delta))
+            doc_parts.append(doc_b[fe:])
         prev_max = int(max_docs[i])
         n_tot += n
+    # bytes.join accepts memoryviews: one copy per stream total
     doc_bytes = b"".join(doc_parts)
     tf_bytes = b"".join(tf_parts)
     dl_bytes = b"".join(dl_parts)
@@ -421,17 +433,24 @@ def splice_block_meta(metas: list[bytes]) -> bytes:
     metadata is exact for WAND bounds."""
     n_tot = 0
     lasts, maxs, mins = [], [], []
+    hdr = _BLOCK_HDR.size
     for m in metas:
-        ld, mt, md = decode_block_meta(m)
-        n_tot += len(ld)
-        lasts.append(ld)
-        maxs.append(mt)
-        mins.append(md)
+        (nb,) = _BLOCK_HDR.unpack_from(m, 0)
+        n_tot += nb
+        mv = memoryview(m)
+        at = hdr
+        lasts.append(mv[at:at + 8 * nb])
+        at += 8 * nb
+        maxs.append(mv[at:at + 4 * nb])
+        at += 4 * nb
+        mins.append(mv[at:at + 4 * nb])
+    # the sections are already packed little-endian arrays — splice is
+    # pure byte concatenation, no numpy decode/re-encode round trip
     return (
         _BLOCK_HDR.pack(n_tot)
-        + np.concatenate(lasts).tobytes()
-        + np.concatenate(maxs).tobytes()
-        + np.concatenate(mins).tobytes()
+        + b"".join(lasts)
+        + b"".join(maxs)
+        + b"".join(mins)
     )
 
 

@@ -76,6 +76,12 @@ class BuildConfig:
     # segment parquet; checkpoints are still written. False forces the
     # file-based handoff even for fresh builds.
     chain_stages: bool = True
+    # merge exchange: "direct" slices every map block for every reducer
+    # using the manifest-carried range boundaries (M x R raw-task
+    # exchange, no boundary sampling / global sort); "sort" is the
+    # legacy Ray repartition + sort-groupby path. Outputs are
+    # byte-identical (merge_partition fully re-sorts each part).
+    merge_exchange: str = "direct"
     extra: dict = field(default_factory=dict)
 
 
@@ -261,19 +267,6 @@ def build_index(
                 if m.get("file") and os.path.exists(stale):
                     os.unlink(stale)
                 os.unlink(shard_manifests.path(m["partition"]))
-        # block count pinned to the reducer count: Ray's sort shuffle
-        # cost grows with map-block count (M x R shuffle objects +
-        # driver boundary machinery), and with range parts the reducers
-        # are row-balanced already — more map blocks buys nothing
-        if seg_rows_ds is not None:
-            # chained fresh build: merge straight from the in-memory
-            # segment rows (coalesced to the reducer count) — no file
-            # listing, no footer scan, no re-read
-            seg_ds = seg_rows_ds.repartition(cfg.merge_partitions)
-        else:
-            seg_ds = ray.data.read_parquet(
-                d["segments"], override_num_blocks=cfg.merge_partitions
-            )
         # content-determined range boundaries -> P vectorized partition
         # merges instead of |vocab|x|salts| per-group Python calls; range
         # (not hash) parts keep shard files term-contiguous for routing.
@@ -290,16 +283,75 @@ def build_index(
             ).map_batches(sample_terms, batch_format="pyarrow").take_all()
             sampled = [r["term"] for r in sample_rows]
         bounds = term_range_boundaries(sampled, cfg.merge_partitions)
-        seg_ds = seg_ds.map_batches(
-            make_add_salt(cfg.buckets_per_salt_group), batch_format="pyarrow"
-        ).map_batches(make_add_range_part(bounds), batch_format="pyarrow")
-        # each reduce task writes its own term-contiguous shard file
-        # (atomic + per-part manifest -> per-part resume) and returns its
-        # route row, so no driver-side footer scan is needed
-        route_rows = seg_ds.groupby("part").map_groups(
-            ShardPartWriter(d["shards"], fingerprint=merge_fp),
-            batch_format="pyarrow",
-        ).take_all()
+        writer = ShardPartWriter(d["shards"], fingerprint=merge_fp)
+        if cfg.merge_exchange == "direct":
+            # direct M x R exchange: boundaries are known BEFORE the
+            # exchange, so each map task slices its segment for every
+            # reducer and each reducer concats exactly its slices —
+            # no repartition pass, no sort-shuffle boundary sampling.
+            # (Measured: the sort path's C_merge was ~flat in CPU
+            # count — its fixed machinery capped scaling efficiency.)
+            from rse_ray.stages.fulltext import (
+                split_segments_for_merge,
+                write_merge_part,
+            )
+
+            R = cfg.merge_partitions
+            if seg_rows_ds is not None:
+                sources = seg_rows_ds.to_arrow_refs()
+            else:
+                sources = sorted(
+                    os.path.join(d["segments"], f)
+                    for f in os.listdir(d["segments"])
+                    if f.endswith(".parquet")
+                )
+            # group sources so the exchange is ~R x R objects (input-
+            # derived, never CPU-derived: outputs are identical for any
+            # grouping, but the JOB must be the same at every
+            # parallelism level)
+            n_map = min(len(sources), R)
+            groups = [sources[i::n_map] for i in range(n_map)]
+            split_remote = ray.remote(num_cpus=1)(split_segments_for_merge)
+            write_remote = ray.remote(num_cpus=1)(write_merge_part)
+            slice_refs = [
+                split_remote.options(num_returns=R).remote(
+                    bounds, cfg.buckets_per_salt_group, R, *grp)
+                for grp in groups
+            ]
+            if R == 1:  # num_returns=1 yields a bare ref, not a list
+                slice_refs = [[r] for r in slice_refs]
+            part_refs = [
+                write_remote.remote(writer, *[sr[p] for sr in slice_refs])
+                for p in range(R)
+            ]
+            route_rows = []
+            for t in ray.get(part_refs):
+                if t is not None:
+                    route_rows.append(
+                        {c: t.column(c)[0].as_py() for c in t.schema.names})
+        else:
+            # legacy sort-based exchange. Block count pinned to the
+            # reducer count: Ray's sort shuffle cost grows with
+            # map-block count, and with range parts the reducers are
+            # row-balanced already — more map blocks buys nothing
+            if seg_rows_ds is not None:
+                seg_ds = seg_rows_ds.repartition(cfg.merge_partitions)
+            else:
+                seg_ds = ray.data.read_parquet(
+                    d["segments"],
+                    override_num_blocks=cfg.merge_partitions,
+                )
+            seg_ds = seg_ds.map_batches(
+                make_add_salt(cfg.buckets_per_salt_group),
+                batch_format="pyarrow",
+            ).map_batches(make_add_range_part(bounds),
+                          batch_format="pyarrow")
+            # each reduce task writes its own term-contiguous shard
+            # file (atomic + per-part manifest -> per-part resume) and
+            # returns its route row — no driver-side footer scan
+            route_rows = seg_ds.groupby("part").map_groups(
+                writer, batch_format="pyarrow",
+            ).take_all()
         write_json_atomic(
             merge_marker,
             {"status": "done", "num_parts": len(route_rows),

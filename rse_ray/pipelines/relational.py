@@ -456,7 +456,9 @@ def asof_join(left_ds, right_ds, *, on: str = "ts", by: str = "user_id",
     column is nullable by contract, whatever the source value dtype).
     Left rows with a null ``by``/``on`` pass through unmatched; right
     rows with one are dropped (they can never win a comparison) —
-    DuckDB ASOF LEFT JOIN semantics."""
+    DuckDB ASOF LEFT JOIN semantics. Duplicate (by, on) pairs on the
+    right make the picked value engine-defined (here: last in stable
+    sort order) — dedup the right side first if that matters."""
     import ray
 
     left_schema = left_ds.schema()

@@ -452,6 +452,54 @@ def term_range_boundaries(sampled_terms: list[str], num_parts: int) -> list[str]
     return bounds
 
 
+def split_segments_for_merge(boundaries: list[str], buckets_per_group: int,
+                             num_parts: int, *srcs):
+    """Map side of the DIRECT merge exchange: salt + range-route a
+    GROUP of segments' term rows and return one table per merge part
+    (tuple of ``num_parts`` tables, empties included — Ray fans them
+    out via ``num_returns``). Replaces the repartition + sort-based
+    groupby all-to-all: the range boundaries are content-determined
+    and known BEFORE the exchange (they ride in the stage-B
+    manifests), so each map task can slice its rows for every reducer
+    directly and each reducer concatenates exactly its slices — no
+    boundary sampling, no global sort. Sources are grouped so the
+    exchange stays ~R x R objects (one table per source would put
+    |buckets| x R tiny objects through the store — measured slower
+    than the sort path at 512 buckets). merge_partition re-sorts each
+    part in full, so the output is invariant to slice arrival order
+    and to the grouping (proven by shard equality tests against the
+    sort path)."""
+    tables = [pq.read_table(s) if isinstance(s, str) else s for s in srcs]
+    t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+    t = make_add_salt(buckets_per_group)(t)
+    t = make_add_range_part(boundaries)(t)
+    part = t.column("part")
+    if isinstance(part, pa.ChunkedArray):
+        part = part.combine_chunks()
+    part_np = part.to_numpy()
+    order = np.argsort(part_np, kind="stable")
+    t2 = t.take(pa.array(order, type=pa.int64()))
+    # combine_chunks so each outgoing slice serializes only its own
+    # rows' buffers, not the whole concatenated table's
+    t2 = t2.combine_chunks()
+    cuts = np.searchsorted(part_np[order], np.arange(num_parts + 1))
+    return tuple(
+        t2.slice(int(cuts[p]), int(cuts[p + 1] - cuts[p]))
+        for p in range(num_parts)
+    )
+
+
+def write_merge_part(writer: "ShardPartWriter", *slices):
+    """Reduce side of the direct merge exchange: concat this part's
+    slices (Ray resolved the refs) and run the ordinary ShardPartWriter
+    (merge + atomic write + manifest). Returns its route-row table, or
+    None for an empty part."""
+    tables = [s for s in slices if s.num_rows]
+    if not tables:
+        return None
+    return writer(pa.concat_tables(tables))
+
+
 def make_add_range_part(boundaries: list[str]):
     """part = term's range bucket (binary search over the sampled
     boundaries). Range (not hash) partitioning keeps every output file
