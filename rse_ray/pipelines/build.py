@@ -188,21 +188,47 @@ def build_index(
     ]
     seg_rows_ds = None  # in-memory segment rows (fresh build only)
     if pending:
-        # largest buckets first (LPT): shortens the last-wave straggler
-        # tail of the task pool
+        # LPT-balanced task bins: from_items' default blocking slices
+        # the (size-desc-sorted) items CONSECUTIVELY into ~200 blocks,
+        # stacking the largest buckets into the same tasks — the worst
+        # grouping. Greedy smallest-bin assignment balances every task
+        # and one block per bin pins task granularity; the bin count is
+        # INPUT-derived (never CPU-derived) so the job is identical at
+        # every parallelism level, and the shard output is invariant to
+        # grouping anyway (the merge re-sorts each part).
         pending.sort(key=lambda it: -os.path.getsize(it["path"]))
+        n_bins = min(len(pending),
+                     max(cfg.merge_partitions, cfg.num_buckets // 4))
+        import heapq
+
+        heap = [(0, b) for b in range(n_bins)]
+        heapq.heapify(heap)
+        bins: list[dict] = [{"buckets": [], "paths": [], "load": 0}
+                            for _ in range(n_bins)]
+        for it in pending:
+            sz = os.path.getsize(it["path"])
+            load, b = heapq.heappop(heap)
+            bins[b]["buckets"].append(it["bucket"])
+            bins[b]["paths"].append(it["path"])
+            heapq.heappush(heap, (load + sz, b))
+        group_items = [{"buckets": g["buckets"], "paths": g["paths"]}
+                       for g in bins if g["buckets"]]
         handoff = cfg.chain_stages and len(pending) == len(items)
         # task form, not an actor pool: the worker-global stem cache
         # (stages/fulltext._worker_stemmer) gives actor-grade state
         # amortization on the already-warm worker processes
         if handoff:
-            seg_rows_ds = ray.data.from_items(pending).map_batches(
+            seg_rows_ds = ray.data.from_items(
+                group_items, override_num_blocks=len(group_items)
+            ).map_batches(
                 segment_rows_batch_fn(d["segments"], stem=cfg.stem),
                 batch_size=1,
                 batch_format="numpy",
             ).materialize()
         else:
-            ray.data.from_items(pending).map_batches(
+            ray.data.from_items(
+                group_items, override_num_blocks=len(group_items)
+            ).map_batches(
                 segment_write_batch_fn(d["segments"], stem=cfg.stem),
                 batch_size=1,
                 batch_format="numpy",

@@ -353,16 +353,19 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
 
 
 def segment_write_batch_fn(segments_dir: str, *, stem: bool = True):
-    """Task-form map_batches fn over {bucket, path} work items."""
+    """Task-form map_batches fn over {buckets, paths} work-item GROUPS
+    (one LPT-balanced bin of buckets per item)."""
 
     def fn(items: dict) -> pa.Table:
         out = {"bucket": [], "num_docs": [], "num_tokens": [],
                "num_terms": [], "payload_bytes": [], "path": [],
                "sampled": []}
-        for bucket, path in zip(items["bucket"], items["path"]):
-            m = write_segment(int(bucket), str(path), segments_dir, stem=stem)
-            for k in out:
-                out[k].append(m[k])
+        for buckets, paths in zip(items["buckets"], items["paths"]):
+            for bucket, path in zip(buckets, paths):
+                m = write_segment(int(bucket), str(path), segments_dir,
+                                  stem=stem)
+                for k in out:
+                    out[k].append(m[k])
         return pa.table(
             {
                 "bucket": pa.array(out["bucket"], type=pa.int32()),
@@ -388,10 +391,12 @@ def segment_rows_batch_fn(segments_dir: str, *, stem: bool = True):
 
     def fn(items: dict) -> pa.Table:
         tables = []
-        for bucket, path in zip(items["bucket"], items["path"]):
-            _stats, seg = write_segment(int(bucket), str(path), segments_dir,
-                                        stem=stem, return_table=True)
-            tables.append(seg)
+        for buckets, paths in zip(items["buckets"], items["paths"]):
+            for bucket, path in zip(buckets, paths):
+                _stats, seg = write_segment(int(bucket), str(path),
+                                            segments_dir, stem=stem,
+                                            return_table=True)
+                tables.append(seg)
         if not tables:
             return SEGMENT_SCHEMA.empty_table()
         return pa.concat_tables(tables)
