@@ -5,7 +5,7 @@ entry()      — flagship: the full inverted-index build + BM25 top-k
                search) over pages derived from sf0.001 documents.
 queries()    — one callable per implemented operator/pipeline
                (SURVEY.md §2 + the training-data operator set):
-               39 entries, 37 DuckDB-oracled (the two approximate ANN
+               49 entries, 47 DuckDB-oracled (the two approximate ANN
                paths carry pytest recall oracles instead;
                knn_cosine_ivf_exact runs IVF at nprobe=nlist, which is
                provably exact and shares the brute-force SQL oracle).
@@ -461,6 +461,55 @@ def _q_top_docs_per_lang(sf_dir: str):
     ))
 
 
+def _q_sessions(sf_dir: str):
+    from rse_ray.pipelines.relational import sessionize
+
+    return _finalize(sessionize(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]),
+        gap_minutes=1440,  # 24h: the fixture's users act daily
+    ))
+
+
+def _q_group_quantiles(sf_dir: str):
+    from rse_ray.pipelines.relational import group_quantiles
+
+    return _finalize(group_quantiles(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]),
+        group="l_returnflag", col="l_extendedprice",
+    ))
+
+
+BIG_ORDER_THRESHOLD = 300_000
+
+
+def _q_customers_without_orders(sf_dir: str):
+    """Customers with no order above the threshold — the co-partitioned
+    ANTI join (NOT EXISTS). The threshold filter runs inside the
+    orders read's batches (only keys ship into the exchange)."""
+    import pyarrow.compute as pc
+
+    from rse_ray.pipelines.relational import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda t: t.filter(pc.greater(t.column("o_totalprice"),
+                                          BIG_ORDER_THRESHOLD))
+                       .select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+    return _finalize(hash_join(cust, orders, left_on="c_custkey",
+                               right_on="o_custkey", right_cols=[],
+                               how="anti"))
+
+
+def _q_tfidf_topk(sf_dir: str):
+    from rse_ray.pipelines.text import tfidf_topk
+
+    return _finalize(tfidf_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=3))
+
+
 RECENCY_AS_OF = "2024-01-31"
 RECENCY_DELAY_DAYS = 14
 
@@ -857,6 +906,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": _q_orders_customer_join,
         "train_val_split": _q_train_val_split,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "sessions": _q_sessions,
+        "group_quantiles": _q_group_quantiles,
+        "customers_without_orders": _q_customers_without_orders,
+        "tfidf_topk": _q_tfidf_topk,
         "recency_filter": _q_recency_filter,
         "distinct_lang_source": _q_distinct,
         "json_props_sum": _q_json_sum,
@@ -1067,6 +1120,49 @@ FROM documents""",
 SELECT doc_id, lang, n_chars FROM documents
 QUALIFY row_number() OVER (
     PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 2""",
+        # gap-based sessionization: ORDER BY ts, event_id pins the tie
+        # order; only the first row of a tied-ts block can carry a
+        # session boundary (intra-block gaps are 0), so the grouping is
+        # order-invariant — the same argument that makes the Ray side's
+        # lexsort deterministic.
+        "sessions": """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 1440 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, sid""",
+        # quantile_cont == numpy's default linear-interpolation estimator
+        "group_quantiles": """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS q95
+FROM lineitem GROUP BY l_returnflag""",
+        "customers_without_orders": """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)""",
+        "tfidf_topk": _TOKS + """,
+p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+d AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+sc AS (SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS score
+       FROM p JOIN d USING (term) CROSS JOIN n)
+SELECT doc_id, term, score FROM sc
+QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) <= 3""",
         "recency_filter": """
 SELECT event_id, ts, event_type FROM events
 WHERE ts < TIMESTAMP '{as_of}' - INTERVAL {days} DAY""".format(

@@ -565,13 +565,27 @@ def asof_join(left_ds, right_ds, *, on: str = "ts", by: str = "user_id",
 
 def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
               right_cols: list[str], num_parts: int | None = None,
-              hot_keys=None, salt: int = 8):
-    """Distributed inner equality join for LARGE-large inputs: both
+              hot_keys=None, salt: int = 8, how: str = "inner"):
+    """Distributed equality join for LARGE-large inputs: both
     sides hash-partition on the join key (one all-to-all each) and a
     pandas hash join runs inside every partition — the co-partitioned
     complement of orders_by_segment's broadcast join, for when neither
     side fits in a broadcast. A key group never straddles a partition,
     so the union of the per-partition joins IS the join.
+
+    ``how``: 'inner' (default), 'semi' (left rows with >=1 right
+    match, left columns only, no duplication), or 'anti' (left rows
+    with NO right match — SQL NOT EXISTS; null left keys are kept,
+    since a null key matches nothing). semi/anti require
+    ``right_cols=[]``: the right side contributes only its key set,
+    so each partition ships just the keys. Both compose with salting
+    unchanged (right keys are replicated into every salt slot, so a
+    hot left row sees the full right key set wherever it lands).
+
+    Join keys may be int64 OR string: integer keys route by value mod
+    P, string keys by a stable vectorized siphash
+    (pd.util.hash_array, fixed key) — deterministic across processes
+    and cluster sizes.
 
     ``right_cols`` are the right-side payload columns carried into the
     output (the right join key is consumed by the equality).
@@ -590,6 +604,12 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
     from rse_ray.util import parts_for
 
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"how={how!r}")
+    if how != "inner" and right_cols:
+        raise ValueError("semi/anti joins carry no right payload — "
+                         "pass right_cols=[]")
+
     P = num_parts if num_parts is not None else parts_for(left_ds.count())
 
     left_schema = left_ds.schema()
@@ -599,10 +619,34 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     if set(right_cols) & set(left_cols):
         raise ValueError("right_cols collide with left column names")
 
+    key_is_str = pa.types.is_string(left_types[left_on]) or \
+        pa.types.is_large_string(left_types[left_on])
+
+    def _keys_np(batch: pa.Table, col: str) -> np.ndarray:
+        """Routing keys: int64 values, or a stable vectorized siphash
+        of string keys. NULLs route to slot 0 (match logic never sees
+        the routing value — pandas equality handles nulls)."""
+        a = batch.column(col)
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if key_is_str:
+            vals = pc.fill_null(a, "").to_numpy(zero_copy_only=False)
+            return pd.util.hash_array(vals.astype(object))
+        return pc.fill_null(a, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
     # hot key -> dense rank (vectorized searchsorted lookup); hot key
     # k's salted partitions are [P + rank(k)*salt, P + (rank(k)+1)*salt)
-    hot_arr = np.array(sorted({int(k) for k in (hot_keys or ())}),
-                       dtype=np.int64)
+    if hot_keys is not None and len(list(hot_keys)):
+        if key_is_str:
+            hot_arr = np.sort(pd.util.hash_array(
+                np.array(sorted({str(k) for k in hot_keys}),
+                         dtype=object)))
+        else:
+            hot_arr = np.array(sorted({int(k) for k in hot_keys}),
+                               dtype=np.int64)
+    else:
+        hot_arr = np.empty(0, dtype=np.int64)
     hot_ref = ray.put(hot_arr) if len(hot_arr) else None
 
     def _hot_ranks(keys: np.ndarray, hot: np.ndarray) -> np.ndarray:
@@ -611,15 +655,12 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
         ranks = np.where(hot[idx_c] == keys, idx_c, -1)
         return ranks
 
-    def _keys_np(batch: pa.Table, col: str) -> np.ndarray:
-        a = batch.column(col)
-        if isinstance(a, pa.ChunkedArray):
-            a = a.combine_chunks()
-        return a.to_numpy(zero_copy_only=False).astype(np.int64)
-
     def tag_left(batch: pa.Table) -> pa.Table:
-        # inner join: null keys can never match — drop at the tag
-        batch = batch.filter(pc.is_valid(batch.column(left_on)))
+        # inner/semi: null keys can never match — drop at the tag.
+        # anti KEEPS them (a null key matches nothing, so the row is
+        # in the NOT EXISTS output).
+        if how != "anti":
+            batch = batch.filter(pc.is_valid(batch.column(left_on)))
         n = batch.num_rows
         cols = {c: batch.column(c) for c in left_cols}
         cols["_rkey"] = pa.nulls(n, right_types[right_on])
@@ -634,8 +675,9 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
                 # spread a hot key's left rows over its salt slots;
                 # slot choice is load-balancing only (any slot joins
                 # against the same replicated right rows)
-                slot = (np.arange(n, dtype=np.int64)[sel]
-                        + keys[sel]) % salt
+                slot = ((np.arange(n, dtype=np.uint64)[sel]
+                         + keys[sel].astype(np.uint64))
+                        % np.uint64(salt)).astype(np.int64)
                 part[sel] = (P + ranks[sel] * salt + slot).astype(np.int32)
         return pa.table(cols).append_column(
             "part", pa.array(part)).append_column(
@@ -688,12 +730,26 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     )
 
     def join_part(g: pa.Table) -> pa.Table:
-        # split sides IN ARROW before the pandas conversion: each
+        # split sides IN ARROW before any pandas conversion: each
         # side's own columns are null-free, so int64 keys/payloads
         # never round-trip through float64 (values above 2^53 would
         # silently corrupt on that path)
         side = g.column("side")
-        left = g.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+        left_t = g.filter(pc.equal(side, 0)).select(left_cols)
+        if how != "inner":
+            # semi/anti stay fully Arrow: the right side contributed
+            # only its key set. fill_null(False) pins SQL semantics —
+            # a null left key EXISTS-matches nothing (semi drops it,
+            # anti keeps it).
+            rkeys = g.filter(pc.equal(side, 1)).column("_rkey")
+            if isinstance(rkeys, pa.ChunkedArray):
+                rkeys = rkeys.combine_chunks()
+            mask = pc.fill_null(
+                pc.is_in(left_t.column(left_on),
+                         value_set=rkeys.unique()), False)
+            return left_t.filter(mask if how == "semi"
+                                 else pc.invert(mask))
+        left = left_t.to_pandas()
         right = g.filter(pc.equal(side, 1)) \
                  .select(["_rkey"] + right_cols).to_pandas()
         out = left.merge(right, left_on=left_on, right_on="_rkey",
@@ -771,3 +827,146 @@ def recency_filter(events_ds, *, as_of: str, revisit_delay_days: int,
         return out.select(keep_cols) if keep_cols else out
 
     return events_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sessionize(events_ds, *, by: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value", gap_minutes: int = 30,
+               num_parts: int | None = None):
+    """Gap-based sessionization (§2.9 session windows): per ``by`` key,
+    a new session starts when the time since the previous event
+    exceeds ``gap_minutes``. Output: one row per session —
+    (by, session_start, session_end, n_events, total_value).
+
+    Scale shape: ONE hash exchange on the key (sessionization
+    inherently needs a key's events co-located), then everything
+    inside a partition is vectorized numpy — lexsort by (key, ts),
+    boundary flags from array diffs, per-session aggregates via
+    np.add.reduceat. No per-user task, no Python loop: a partition
+    with a million users costs three array passes. Session identity
+    is order-independent under ts ties (equal timestamps diff to 0,
+    which never exceeds the gap), so the result is deterministic
+    regardless of shuffle arrival order.
+    """
+    from rse_ray.util import parts_for
+
+    P = num_parts if num_parts is not None else parts_for(events_ds.count())
+    gap = np.timedelta64(gap_minutes * 60_000_000, "us")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.select([by, ts_col, value_col]).append_column(
+            "part", _mod_parts(batch.column(by), P))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        key = g.column(by).to_numpy()
+        ts = g.column(ts_col).to_numpy()
+        val = g.column(value_col).to_numpy()
+        n = len(key)
+        if n == 0:
+            return pa.table({by: pa.array([], pa.int64()),
+                             "session_start": pa.array([], pa.timestamp("us")),
+                             "session_end": pa.array([], pa.timestamp("us")),
+                             "n_events": pa.array([], pa.int64()),
+                             "total_value": pa.array([], pa.float64())})
+        order = np.lexsort((ts.view("i8"), key))
+        k, t, v = key[order], ts[order], val[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = (k[1:] != k[:-1]) | ((t[1:] - t[:-1]) > gap)
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [n]])
+        return pa.table({
+            by: pa.array(k[starts]),
+            "session_start": pa.array(t[starts]),
+            "session_end": pa.array(t[ends - 1]),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "total_value": pa.array(
+                np.round(np.add.reduceat(v, starts), 6)),
+        })
+
+    return events_ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("part").map_groups(per_part, batch_format="pyarrow") \
+        .select_columns([by, "session_start", "session_end",
+                         "n_events", "total_value"])
+
+
+def group_quantiles(ds, *, group: str, col: str,
+                    qs: tuple = (0.25, 0.5, 0.75, 0.95)):
+    """EXACT per-group quantiles (linear interpolation — numpy's
+    default and DuckDB's quantile_cont are the same estimator): one
+    groupby(group) shuffle, np.quantile inside each group task.
+
+    Exactness requires a group's values co-resident, so this is for
+    group domains like status flags where each group fits one task
+    (TPC-H Q1 shape). For groups that outgrow a task — or corpus-wide
+    percentiles at 10^12 rows — use approx_quantiles: a mergeable
+    histogram sketch whose driver payload is O(groups x bins),
+    independent of row count."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[col].to_numpy()
+        row = {group: [g[group].iloc[0]]}
+        for q in qs:
+            row[f"q{int(round(q * 100)):02d}"] = [
+                round(float(np.quantile(v, q)), 6)]
+        return pd.DataFrame(row)
+
+    return ds.groupby(group).map_groups(f, batch_format="pandas")
+
+
+def approx_quantiles(ds, *, group: str, col: str,
+                     qs: tuple = (0.25, 0.5, 0.75, 0.95),
+                     bins: int = 2048):
+    """Approximate per-group quantiles via a mergeable equi-width
+    histogram sketch — the fleet-scale path (group_quantiles docstring
+    has the exactness trade). Two metadata-light passes, NO shuffle:
+
+      1. per-batch (group, min, max) partials -> driver merge (rows =
+         batches x groups-in-batch, values only).
+      2. per-batch per-group bincount over the group's fixed global
+         [min, max] grid -> driver sums histograms (groups x bins
+         ints) and interpolates each quantile inside its bin.
+
+    Error is bounded by one bin width, (max-min)/bins per group; the
+    driver never holds corpus values, only sketches. Deterministic:
+    histogram sums are integer, interpolation is a closed form."""
+    sel = ds.select_columns([group, col])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(group, sort=False)[col].agg(["min", "max"])
+        return pa.table({group: pa.array(g.index.to_numpy()),
+                         "lo": pa.array(g["min"].to_numpy(np.float64)),
+                         "hi": pa.array(g["max"].to_numpy(np.float64))})
+
+    mm = sel.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    mm = mm.groupby(group).agg(lo=("lo", "min"), hi=("hi", "max"))
+    keys = mm.index.to_numpy()
+    lo = mm["lo"].to_numpy()
+    width = np.maximum(mm["hi"].to_numpy() - lo, 1e-300)
+    key_pos = {k: i for i, k in enumerate(keys)}
+    G = len(keys)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        gv = batch.column(group).to_pandas()
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        gi = gv.map(key_pos).to_numpy(dtype=np.int64)
+        b = np.clip(((v - lo[gi]) / width[gi] * bins).astype(np.int64),
+                    0, bins - 1)
+        flat = np.bincount(gi * bins + b, minlength=G * bins)
+        return pa.table({"h": pa.array(flat.astype(np.int64))})
+
+    parts = sel.map_batches(hist, batch_format="pyarrow").to_pandas()
+    h = parts["h"].to_numpy().reshape(-1, G * bins).sum(axis=0) \
+        .reshape(G, bins)
+    out = {group: keys}
+    cum = np.cumsum(h, axis=1).astype(np.float64)
+    total = cum[:, -1]
+    edges = lo[:, None] + width[:, None] * np.arange(bins + 1) / bins
+    for q in qs:
+        target = q * total
+        bi = np.minimum((cum < target[:, None]).sum(axis=1), bins - 1)
+        prev = np.where(bi > 0, cum[np.arange(G), bi - 1], 0.0)
+        cnt = np.maximum(h[np.arange(G), bi], 1)
+        frac = np.clip((target - prev) / cnt, 0.0, 1.0)
+        est = edges[np.arange(G), bi] + frac * width / bins
+        out[f"q{int(round(q * 100)):02d}"] = np.round(est, 6)
+    return pd.DataFrame(out)

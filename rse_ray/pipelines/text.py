@@ -288,3 +288,40 @@ def winnow_fingerprints(ds, *, window: int = 64, mod_bits: int = 4):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tfidf_topk(ds, *, k: int = 3, stem: bool = False,
+               num_parts: int | None = None):
+    """Top-k TF-IDF keywords per document: score = tf * ln(n_docs/df),
+    ranked per doc by (round(score, 6) DESC, term ASC) — the rounded
+    rank key pins ordering against last-ulp libm drift between
+    engines. Output: (doc_id, term, score).
+
+    Scale shape: postings (per-batch, shuffle-free) hash-join term_df
+    on the STRING term key via the co-partitioned hash_join (one
+    all-to-all per side — the df side at web scale is the built
+    index's term-sharded dictionary, already partitioned this way),
+    then one groupby(doc_id) top-k. n_docs is a scalar driver
+    aggregate. No broadcast of the vocabulary: a 10^9-term dictionary
+    never materializes on one process.
+    """
+    from rse_ray.pipelines.relational import hash_join, top_k_per_group
+
+    p = postings(ds, stem=stem)
+    d = term_df(ds, stem=stem).select_columns(["term", "df"])
+    n_docs = int(ds.count())
+
+    joined = hash_join(p, d, left_on="term", right_on="term",
+                       right_cols=["df"], num_parts=num_parts)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy().astype(np.float64)
+        df = batch.column("df").to_numpy().astype(np.float64)
+        s = np.round(tf * np.log(n_docs / df), 6)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "term": batch.column("term"),
+                         "score": pa.array(s, type=pa.float64())})
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return top_k_per_group(scored, group="doc_id", order="score",
+                           k=k, tie="term", descending=True)

@@ -678,3 +678,163 @@ def test_joins_preserve_large_int64_and_drop_null_keys(ray_session):
         assert sorted(got.loc[got["uid"].notna(), "pay"]) == [big, big + 2]
         assert got.loc[got["uid"].isna(), "av"].isna().all()
         assert (got.loc[got["uid"].notna(), "av"] == 10.0).all()
+
+
+def test_hash_join_semi_anti_and_string_keys(ray_session, duck):
+    """semi == EXISTS, anti == NOT EXISTS (null left keys kept by anti,
+    dropped by semi), and string join keys route through the stable
+    siphash partitioner — all against DuckDB on the same frames."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 9, None, 4],
+                         "lv": [10.0, 20.0, 21.0, 90.0, 5.0, 40.0]})
+    left["k"] = left["k"].astype("Int64")
+    right = pd.DataFrame({"rk": [2, 2, 3, 4], "rv": list("bbcd")})
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+
+    semi = hash_join(lds, rds, left_on="k", right_on="rk",
+                     right_cols=[], num_parts=4, how="semi").to_pandas()
+    # no duplication from the two matching right rows for k=2
+    assert sorted(semi["lv"]) == [20.0, 21.0, 40.0]
+
+    anti = hash_join(lds, rds, left_on="k", right_on="rk",
+                     right_cols=[], num_parts=4, how="anti").to_pandas()
+    # 9 has no match; the null key matches nothing -> kept
+    assert sorted(anti["lv"]) == [5.0, 10.0, 90.0]
+
+    # string keys, all three modes vs DuckDB
+    sl = pd.DataFrame({"name": ["ann", "bob", "cat", "dan", "ann"],
+                       "x": [1, 2, 3, 4, 5]})
+    sr = pd.DataFrame({"rname": ["ann", "cat", "zed"],
+                       "tag": ["A", "C", "Z"]})
+    slds, srds = ray.data.from_pandas(sl), ray.data.from_pandas(sr)
+    inner = hash_join(slds, srds, left_on="name", right_on="rname",
+                      right_cols=["tag"], num_parts=4).to_pandas()
+    want = sl.merge(sr, left_on="name", right_on="rname")[
+        ["name", "x", "tag"]]
+    pd.testing.assert_frame_equal(_norm(inner[["name", "x", "tag"]]),
+                                  _norm(want), check_dtype=False)
+    s_anti = hash_join(slds, srds, left_on="name", right_on="rname",
+                       right_cols=[], num_parts=4, how="anti").to_pandas()
+    assert sorted(s_anti["name"]) == ["bob", "dan"]
+
+    # semi over the real tables == the broadcast semi-join pipeline
+    # (same >min_total order filter applied on the right side)
+    import pyarrow.compute as pc
+
+    from rse_ray.pipelines.relational import semi_join_customers_with_orders
+    cust = _read("customer", ["c_custkey", "c_name"])
+    orders = _read("orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 400.0))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow")
+    got = hash_join(cust, orders, left_on="c_custkey",
+                    right_on="o_custkey", right_cols=[],
+                    how="semi").to_pandas()
+    want2 = semi_join_customers_with_orders(
+        _read("customer", ["c_custkey", "c_name"]),
+        _read("orders", ["o_custkey", "o_totalprice"]),
+        min_total=400.0).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want2),
+                                  check_dtype=False)
+
+
+def test_sessionize_matches_sql_and_edge_cases(ray_session, duck):
+    """Gap sessionization == the SQL lag/cumsum twin; boundary-on-tie
+    and exact-gap (NOT a boundary: strict >) cases pinned."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import sessionize
+
+    got = sessionize(_read("events", ["user_id", "ts", "value"]),
+                     gap_minutes=1440).to_pandas()
+    want = duck.sql("""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 1440 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, sid""").df()
+    got["total_value"] = got["total_value"].round(5)
+    want["total_value"] = want["total_value"].round(5)
+    pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                  check_dtype=False)
+
+    # exact gap == NOT a new session (strict >); tie ts stay together
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": [7, 7, 7, 7],
+        "ts": [t0, t0 + pd.Timedelta(minutes=30),
+               t0 + pd.Timedelta(minutes=90),
+               t0 + pd.Timedelta(minutes=90)],
+        "value": [1.0, 2.0, 4.0, 8.0]})
+    out = sessionize(ray.data.from_pandas(df), gap_minutes=30,
+                     num_parts=2).to_pandas().sort_values("session_start")
+    assert list(out["n_events"]) == [2, 2]
+    assert list(out["total_value"]) == [3.0, 12.0]
+
+
+def test_quantiles_exact_and_approx(ray_session, duck):
+    """group_quantiles == quantile_cont exactly; approx_quantiles lands
+    within one bin width of exact on every group/quantile."""
+    from rse_ray.pipelines.relational import approx_quantiles, group_quantiles
+
+    got = group_quantiles(
+        _read("lineitem", ["l_returnflag", "l_extendedprice"]),
+        group="l_returnflag", col="l_extendedprice").to_pandas()
+    want = duck.sql("""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS q95
+FROM lineitem GROUP BY l_returnflag""").df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                  check_dtype=False)
+
+    approx = approx_quantiles(
+        _read("lineitem", ["l_returnflag", "l_extendedprice"]),
+        group="l_returnflag", col="l_extendedprice", bins=512)
+    lo_hi = duck.sql("""SELECT l_returnflag, min(l_extendedprice) lo,
+        max(l_extendedprice) hi FROM lineitem GROUP BY 1""").df() \
+        .set_index("l_returnflag")
+    exact = want.set_index("l_returnflag")
+    approx = approx.set_index("l_returnflag")
+    for flag in exact.index:
+        tol = (lo_hi.loc[flag, "hi"] - lo_hi.loc[flag, "lo"]) / 512 + 1e-9
+        for c in ("q25", "q50", "q75", "q95"):
+            assert abs(approx.loc[flag, c] - exact.loc[flag, c]) <= tol, \
+                (flag, c, approx.loc[flag, c], exact.loc[flag, c], tol)
+
+
+def test_tfidf_topk_matches_sql(ray_session, duck):
+    from rse_ray.pipelines.text import tfidf_topk
+
+    got = tfidf_topk(_read("documents", ["doc_id", "text"]),
+                     k=3).to_pandas()
+    want = duck.sql("""
+WITH toks0 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+  FROM documents
+), toks AS (SELECT doc_id, term FROM toks0 WHERE term <> ''),
+p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+d AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+sc AS (SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS score
+       FROM p JOIN d USING (term) CROSS JOIN n)
+SELECT doc_id, term, score FROM sc
+QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) <= 3""").df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                  check_dtype=False)
