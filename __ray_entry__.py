@@ -5,7 +5,7 @@ entry()      — flagship: the full inverted-index build + BM25 top-k
                search) over pages derived from sf0.001 documents.
 queries()    — one callable per implemented operator/pipeline
                (SURVEY.md §2 + the training-data operator set):
-               49 entries, 47 DuckDB-oracled (the two approximate ANN
+               52 entries, 50 DuckDB-oracled (the two approximate ANN
                paths carry pytest recall oracles instead;
                knn_cosine_ivf_exact runs IVF at nprobe=nlist, which is
                provably exact and shares the brute-force SQL oracle).
@@ -510,6 +510,28 @@ def _q_tfidf_topk(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]), k=3))
 
 
+def _q_pack_sequences(sf_dir: str):
+    from rse_ray.pipelines.text import pack_sequences
+
+    return _finalize(pack_sequences(
+        _read(sf_dir, "documents", ["doc_id", "text"]), budget=512))
+
+
+def _q_bigram_counts(sf_dir: str):
+    from rse_ray.pipelines.text import bigram_counts
+
+    return _finalize(bigram_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"]), top_n=50))
+
+
+def _q_epoch_shuffle(sf_dir: str):
+    from rse_ray.pipelines.relational import epoch_shuffle
+
+    return _finalize(epoch_shuffle(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        key="doc_id", seed=3))
+
+
 RECENCY_AS_OF = "2024-01-31"
 RECENCY_DELAY_DAYS = 14
 
@@ -910,6 +932,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": _q_group_quantiles,
         "customers_without_orders": _q_customers_without_orders,
         "tfidf_topk": _q_tfidf_topk,
+        "pack_sequences": _q_pack_sequences,
+        "bigram_counts": _q_bigram_counts,
+        "epoch_shuffle": _q_epoch_shuffle,
         "recency_filter": _q_recency_filter,
         "distinct_lang_source": _q_distinct,
         "json_props_sum": _q_json_sum,
@@ -1163,6 +1188,32 @@ sc AS (SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS score
 SELECT doc_id, term, score FROM sc
 QUALIFY row_number() OVER (
     PARTITION BY doc_id ORDER BY score DESC, term) <= 3""",
+        # GPT-style sequence packing: global token prefix sum in doc_id
+        # order, sequence boundary every 512 tokens
+        "pack_sequences": _TOKS + """,
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS n_tokens
+       FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY 1),
+pre AS (SELECT doc_id, n_tokens,
+        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        FROM dl)
+SELECT doc_id, n_tokens, (st // 512)::BIGINT AS seq_id,
+       (st % 512)::BIGINT AS seq_offset FROM pre""",
+        "bigram_counts": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+bg AS (SELECT a[i] || ' ' || a[i+1] AS bigram
+       FROM arr, unnest(range(1, len(a))) AS t(i)),
+c AS (SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY 1)
+SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 50""",
+        # deterministic epoch shuffle: pos = rank of the md5 twin
+        "epoch_shuffle": """
+SELECT doc_id, lang,
+       (row_number() OVER (
+            ORDER BY md5_number_lower('3-' || CAST(doc_id AS VARCHAR)),
+                     doc_id) - 1)::BIGINT AS pos
+FROM documents""",
         "recency_filter": """
 SELECT event_id, ts, event_type FROM events
 WHERE ts < TIMESTAMP '{as_of}' - INTERVAL {days} DAY""".format(

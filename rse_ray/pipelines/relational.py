@@ -970,3 +970,68 @@ def approx_quantiles(ds, *, group: str, col: str,
         est = edges[np.arange(G), bi] + frac * width / bins
         out[f"q{int(round(q * 100)):02d}"] = np.round(est, 6)
     return pd.DataFrame(out)
+
+
+def epoch_shuffle(ds, *, key: str = "doc_id", seed: int = 0,
+                  out_col: str = "pos"):
+    """Deterministic epoch shuffle for training-data loaders: every row
+    gets a global shuffle position ``pos`` = rank of
+    md5(f"{seed}-{key}") (DuckDB's md5_number_lower of the same
+    string), ties pinned by key. Content-keyed and seed-parameterized:
+    epoch k's permutation is reproducible on any cluster size and any
+    input partitioning — the property that lets a resumed training run
+    re-derive exactly where epoch k's stream was.
+
+    Scale shape: one range exchange (sort by the hash — exactly the
+    all-to-all any true shuffle costs) followed by a two-pass
+    distributed prefix rank: per-block row counts -> driver block
+    offsets (O(blocks) ints) -> local arange + offset. The sorted
+    projection is materialized so both passes see identical blocks;
+    rows never collect on the driver."""
+    import hashlib
+    import struct
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        vals = batch.column(key).to_pylist()
+        h = np.fromiter(
+            (struct.unpack(
+                "<Q",
+                hashlib.md5(f"{seed}-{v}".encode("utf-8")).digest()[8:])[0]
+             for v in vals),
+            dtype=np.uint64, count=len(vals))
+        return batch.append_column("_h", pa.array(h, type=pa.uint64()))
+
+    ordered = ds.map_batches(add_hash, batch_format="pyarrow") \
+        .sort(["_h", key]).materialize()
+
+    def block_count(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h0": pa.array([], type=pa.uint64()),
+                             "k0": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        return pa.table({
+            "h0": pa.array([batch.column("_h")[0].as_py()],
+                           type=pa.uint64()),
+            "k0": pa.array([batch.column(key)[0].as_py()],
+                           type=pa.int64()),
+            "cnt": pa.array([batch.num_rows], type=pa.int64()),
+        })
+
+    totals = ordered.map_batches(
+        block_count, batch_size=None, batch_format="pyarrow").to_pandas()
+    totals = totals.sort_values(["h0", "k0"]).reset_index(drop=True)
+    offs = totals["cnt"].cumsum().shift(fill_value=0)
+    base = {(int(h), int(k)): int(o)
+            for h, k, o in zip(totals["h0"], totals["k0"], offs)}
+
+    def rank(batch: pa.Table) -> pa.Table:
+        out = batch.drop_columns(["_h"])
+        if batch.num_rows == 0:
+            return out.append_column(out_col, pa.array([], type=pa.int64()))
+        b = base[(int(batch.column("_h")[0].as_py()),
+                  int(batch.column(key)[0].as_py()))]
+        pos = np.arange(b, b + batch.num_rows, dtype=np.int64)
+        return out.append_column(out_col, pa.array(pos))
+
+    return ordered.map_batches(rank, batch_size=None,
+                               batch_format="pyarrow")

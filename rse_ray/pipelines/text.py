@@ -325,3 +325,100 @@ def tfidf_topk(ds, *, k: int = 3, stem: bool = False,
     scored = joined.map_batches(score, batch_format="pyarrow")
     return top_k_per_group(scored, group="doc_id", order="score",
                            k=k, tie="term", descending=True)
+
+
+def pack_sequences(ds, *, budget: int = 512, stem: bool = False):
+    """Sequence packing for LLM pretraining — concatenate the token
+    stream in doc_id order and cut a training sequence every ``budget``
+    tokens; each doc reports the sequence its first token lands in and
+    its offset inside it. Output: (doc_id, n_tokens, seq_id, seq_offset).
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, no shuffle of the docs:
+      1. per-batch token counts (map_batches) with a batch-order key;
+      2. per-block totals -> driver computes block prefix offsets
+         (O(blocks) ints on the driver, never rows);
+      3. second pass adds local cumsum + block offset per row.
+    Determinism: the stream order is doc_id (content), not arrival
+    order — a repartitioned corpus packs identically.
+    """
+    counted = doc_token_stats(ds, stem=stem).select_columns(
+        ["doc_id", "n_tokens"])
+
+    # the packing order is doc_id: range-partition by sorting (Ray's
+    # sort is a range exchange — each output block holds a contiguous
+    # doc_id range, which makes block-prefix offsets well-defined).
+    # MATERIALIZED so both prefix-sum passes see the SAME blocks: this
+    # pins the 16-bytes/doc counts projection, ~0.02% of the corpus —
+    # not the corpus itself.
+    ordered = counted.sort("doc_id").materialize()
+
+    # pass 1: per-block (min_doc, total_tokens) partials
+    def block_total(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "tok": pa.array([], type=pa.int64())})
+        nt = batch.column("n_tokens").to_numpy()
+        return pa.table({
+            "lo": pa.array([int(batch.column("doc_id")[0].as_py())],
+                           type=pa.int64()),
+            "tok": pa.array([int(nt.sum())], type=pa.int64()),
+        })
+
+    totals = ordered.map_batches(
+        block_total, batch_size=None, batch_format="pyarrow").to_pandas()
+    totals = totals.sort_values("lo").reset_index(drop=True)
+    offsets = totals["tok"].cumsum().shift(fill_value=0)
+    base = {int(lo): int(off) for lo, off in zip(totals["lo"], offsets)}
+
+    # pass 2: local cumsum + the block's global offset
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "seq_id": pa.array([], type=pa.int64()),
+                             "seq_offset": pa.array([], type=pa.int64())})
+        ids = batch.column("doc_id").to_numpy()
+        nt = batch.column("n_tokens").to_numpy()
+        start = np.cumsum(nt) - nt + base[int(ids[0])]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": batch.column("n_tokens"),
+            "seq_id": pa.array(start // budget, type=pa.int64()),
+            "seq_offset": pa.array(start % budget, type=pa.int64()),
+        })
+
+    return ordered.map_batches(assign, batch_size=None,
+                               batch_format="pyarrow")
+
+
+def bigram_counts(ds, *, top_n: int = 50, stem: bool = False):
+    """Corpus bigram counts (n-gram LM statistics), top-N by count with
+    (count DESC, bigram ASC) deterministic order. Pre-aggregated per
+    batch (Counter over the batch's bigrams) so the groupby shuffles
+    partial counts, not one row per token position."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = _tok(t, stem)
+            c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        grams = sorted(c)
+        return pa.table({
+            "bigram": pa.array(grams, type=pa.string()),
+            "c_p": pa.array([c[g] for g in grams], type=pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("c_p", alias_name="n"))
+
+    def to_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "bigram"],
+                              ascending=[False, True]).head(top_n)
+
+    # top-N finishes on the driver over the aggregated table (vocab^2
+    # bounded by the aggregate, not the corpus); at fleet scale chain
+    # a per-block head before collecting
+    out = agg.to_pandas()
+    return to_sorted(out).reset_index(drop=True)

@@ -838,3 +838,67 @@ QUALIFY row_number() OVER (
     PARTITION BY doc_id ORDER BY score DESC, term) <= 3""").df()
     pd.testing.assert_frame_equal(_norm(got), _norm(want),
                                   check_dtype=False)
+
+
+def test_pack_sequences_prefix_and_invariance(ray_session, duck):
+    """Global token prefix sum == the SQL running-sum twin, and the
+    packing is invariant to input partitioning (content order, not
+    arrival order)."""
+    from rse_ray.pipelines.text import pack_sequences
+
+    ds = _read("documents", ["doc_id", "text"])
+    got = pack_sequences(ds, budget=512).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = duck.sql("""
+WITH toks0 AS (SELECT doc_id,
+    unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+    FROM documents),
+toks AS (SELECT doc_id, term FROM toks0 WHERE term <> ''),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS n_tokens
+       FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY 1),
+pre AS (SELECT doc_id, n_tokens,
+        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        FROM dl)
+SELECT doc_id, n_tokens, (st // 512)::BIGINT AS seq_id,
+       (st % 512)::BIGINT AS seq_offset FROM pre ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got2 = pack_sequences(_read("documents", ["doc_id", "text"])
+                          .repartition(7), budget=512).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got2, check_dtype=False)
+
+    # a doc straddling a boundary starts in the sequence its first
+    # token lands in; offsets stay within budget
+    assert (got["seq_offset"] < 512).all() and (got["seq_offset"] >= 0).all()
+
+
+def test_epoch_shuffle_deterministic_permutation(ray_session, duck):
+    """pos is a permutation of [0, n); matches the md5_number_lower
+    rank twin; different seeds give different permutations; the same
+    seed is repartition-invariant."""
+    from rse_ray.pipelines.relational import epoch_shuffle
+
+    got = epoch_shuffle(_read("documents", ["doc_id", "lang"]),
+                        key="doc_id", seed=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    n = len(got)
+    assert sorted(got["pos"]) == list(range(n))
+    want = duck.sql("""
+SELECT doc_id, lang,
+       (row_number() OVER (
+            ORDER BY md5_number_lower('3-' || CAST(doc_id AS VARCHAR)),
+                     doc_id) - 1)::BIGINT AS pos
+FROM documents ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    other = epoch_shuffle(_read("documents", ["doc_id", "lang"]),
+                          key="doc_id", seed=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert not (other["pos"].to_numpy() == got["pos"].to_numpy()).all()
+
+    re = epoch_shuffle(_read("documents", ["doc_id", "lang"])
+                       .repartition(11), key="doc_id", seed=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, re, check_dtype=False)
