@@ -5,7 +5,7 @@ entry()      — flagship: the full inverted-index build + BM25 top-k
                search) over pages derived from sf0.001 documents.
 queries()    — one callable per implemented operator/pipeline
                (SURVEY.md §2 + the training-data operator set):
-               52 entries, 50 DuckDB-oracled (the two approximate ANN
+               54 entries, 52 DuckDB-oracled (the two approximate ANN
                paths carry pytest recall oracles instead;
                knn_cosine_ivf_exact runs IVF at nprobe=nlist, which is
                provably exact and shares the brute-force SQL oracle).
@@ -532,6 +532,32 @@ def _q_epoch_shuffle(sf_dir: str):
         key="doc_id", seed=3))
 
 
+def _q_decontaminate(sf_dir: str):
+    """Corpus = docs with doc_id % 25 != 0; benchmark = the rest (a
+    deterministic 4% 'eval set' carved from the same table)."""
+    from rse_ray.pipelines.dedup import decontaminate
+
+    def _part(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            m = pa.array((ids % 25 == 0) == keep_bench)
+            return t.filter(m)
+        return f
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(_part(False), batch_format="pyarrow")
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(_part(True), batch_format="pyarrow")
+    return _finalize(decontaminate(docs, bench, n=3))
+
+
+def _q_repetition_scores(sf_dir: str):
+    from rse_ray.pipelines.text import repetition_scores
+
+    return _finalize(repetition_scores(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
 RECENCY_AS_OF = "2024-01-31"
 RECENCY_DELAY_DAYS = 14
 
@@ -935,6 +961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "bigram_counts": _q_bigram_counts,
         "epoch_shuffle": _q_epoch_shuffle,
+        "decontaminate": _q_decontaminate,
+        "repetition_scores": _q_repetition_scores,
         "recency_filter": _q_recency_filter,
         "distinct_lang_source": _q_distinct,
         "json_props_sum": _q_json_sum,
@@ -1214,6 +1242,46 @@ SELECT doc_id, lang,
             ORDER BY md5_number_lower('3-' || CAST(doc_id AS VARCHAR)),
                      doc_id) - 1)::BIGINT AS pos
 FROM documents""",
+        # benchmark decontamination: distinct 3-gram shingles shared
+        # with the doc_id%25==0 'eval set' (same shingle convention as
+        # the Jaccard family: case-preserved, whole-doc when <3 tokens)
+        "decontaminate": """
+WITH dd AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> x <> '') AS arr FROM documents),
+sh AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+       FROM dd, unnest(range(1, len(arr) - 1)) AS t(i)
+       UNION ALL
+       SELECT doc_id, array_to_string(arr, ' ') FROM dd
+       WHERE len(arr) BETWEEN 1 AND 2),
+p AS (SELECT DISTINCT doc_id, shingle FROM sh),
+bench AS (SELECT DISTINCT shingle FROM p WHERE doc_id % 25 = 0),
+hits AS (SELECT c.doc_id, count(*)::BIGINT AS n_hits
+         FROM p c JOIN bench b USING (shingle)
+         WHERE c.doc_id % 25 <> 0 GROUP BY 1)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
+LEFT JOIN hits h USING (doc_id)""",
+        # Gopher-style repetition filters
+        "repetition_scores": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+bg AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS g
+       FROM arr, unnest(range(1, len(a))) AS t(i)),
+bc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+b AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+      FROM bc GROUP BY 1),
+tg AS (SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+       FROM arr, unnest(range(1, len(a) - 1)) AS t(i)),
+tt AS (SELECT doc_id,
+       round(1 - count(DISTINCT g)::DOUBLE / count(*), 6)
+           AS dup_trigram_frac
+       FROM tg GROUP BY 1)
+SELECT d.doc_id, coalesce(b.top_bigram_frac, 0) AS top_bigram_frac,
+       coalesce(tt.dup_trigram_frac, 0) AS dup_trigram_frac
+FROM documents d LEFT JOIN b USING (doc_id) LEFT JOIN tt USING (doc_id)""",
         "recency_filter": """
 SELECT event_id, ts, event_type FROM events
 WHERE ts < TIMESTAMP '{as_of}' - INTERVAL {days} DAY""".format(

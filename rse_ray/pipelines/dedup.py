@@ -765,3 +765,48 @@ def dedup_keep_representative(ds, *, pairs: pd.DataFrame | None = None,
         return pa.table({"doc_id": batch.column("doc_id").filter(m)})
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def decontaminate(docs_ds, benchmark_ds, *, n: int = 3,
+                  key: str = "doc_id", text_col: str = "text"):
+    """Benchmark decontamination — the training-data hygiene pass that
+    flags corpus docs sharing >=1 word n-gram with an evaluation set
+    (so benchmark answers can't leak into training). Output per corpus
+    doc: (key, n_hits = #distinct contaminated shingles, contaminated).
+
+    Scale shape: the benchmark side is inherently tiny (eval sets are
+    MBs against a 100 TB corpus), so its DISTINCT shingle set is built
+    once, ray.put once, and read zero-copy by every map_batches task —
+    a broadcast semi-join against shingle sets, NO shuffle of the
+    corpus. Shingles are exact byte strings (functions.hashing.shingles
+    — same convention as the n-gram Jaccard family, whole-doc shingle
+    for <n-token docs), not hashes: a contamination verdict must not
+    have collision false-positives."""
+    import ray
+
+    from rse_ray.functions.hashing import shingles
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        out: set = set()
+        for t in batch.column(text_col).to_pylist():
+            out.update(shingles(t.split(), n))
+        return pa.table({"s": pa.array(sorted(out), type=pa.binary())})
+
+    bench_parts = benchmark_ds.select_columns([text_col]).map_batches(
+        bench_shingles, batch_format="pyarrow").to_pandas()
+    bench_set = frozenset(bench_parts["s"])
+    bench_ref = ray.put(bench_set)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        ids = batch.column(key).to_numpy()
+        hits = np.empty(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            hits[i] = len(shingles(t.split(), n) & bset)
+        return pa.table({
+            key: pa.array(ids),
+            "n_hits": pa.array(hits),
+            "contaminated": pa.array((hits > 0).astype(np.int64)),
+        })
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow")

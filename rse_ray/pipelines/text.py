@@ -422,3 +422,35 @@ def bigram_counts(ds, *, top_n: int = 50, stem: bool = False):
     # a per-block head before collecting
     out = agg.to_pandas()
     return to_sorted(out).reset_index(drop=True)
+
+
+def repetition_scores(ds, *, stem: bool = False):
+    """Gopher/MassiveText-style repetition filters, per doc:
+    top_bigram_frac (count of the most frequent bigram / total
+    bigrams) and dup_trigram_frac (1 - distinct/total trigrams) —
+    the signals that catch boilerplate and degenerate repetition.
+    Per-batch Counter kernels, no shuffle; zero-gram docs score 0."""
+    from collections import Counter
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        top_bg = np.zeros(len(texts), dtype=np.float64)
+        dup_tg = np.zeros(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            toks = _tok(t, stem)
+            if len(toks) >= 2:
+                bc = Counter(zip(toks, toks[1:]))
+                total = len(toks) - 1
+                top_bg[i] = round(max(bc.values()) / total, 6)
+            if len(toks) >= 3:
+                tg = Counter(zip(toks, toks[1:], toks[2:]))
+                total3 = len(toks) - 2
+                dup_tg[i] = round(1.0 - len(tg) / total3, 6)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "top_bigram_frac": pa.array(top_bg),
+            "dup_trigram_frac": pa.array(dup_tg),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

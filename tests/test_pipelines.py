@@ -902,3 +902,47 @@ FROM documents ORDER BY doc_id""").df()
                        .repartition(11), key="doc_id", seed=3) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, re, check_dtype=False)
+
+
+def test_decontaminate_flags_shared_ngrams(ray_session):
+    """A corpus doc sharing a 3-gram with the benchmark is flagged
+    with the exact distinct-shingle hit count; clean docs are 0."""
+    import ray.data
+
+    from rse_ray.pipelines.dedup import decontaminate
+
+    bench = pd.DataFrame({
+        "doc_id": [1000],
+        "text": ["the quick brown fox jumps over the lazy dog"]})
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["we saw the quick brown fox yesterday",   # 2 shared 3-grams
+                 "completely unrelated words here",          # clean
+                 "quick brown fox jumps again"]})            # 2 shared
+    out = decontaminate(ray.data.from_pandas(docs),
+                        ray.data.from_pandas(bench), n=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_hits"]) == [2, 0, 2]
+    assert list(out["contaminated"]) == [1, 0, 1]
+
+
+def test_repetition_scores_degenerate_text(ray_session):
+    """Degenerate repetition maxes the scores; fully unique text
+    scores 0; short docs score 0 by definition."""
+    import ray.data
+
+    from rse_ray.pipelines.text import repetition_scores
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spam spam spam spam spam",
+                 "all words here are unique tokens",
+                 "single"]})
+    out = repetition_scores(ray.data.from_pandas(docs)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "top_bigram_frac"] == 1.0          # 4x same bigram
+    assert out.loc[0, "dup_trigram_frac"] == round(1 - 1 / 3, 6)
+    assert out.loc[1, "top_bigram_frac"] == round(1 / 5, 6)
+    assert out.loc[1, "dup_trigram_frac"] == 0.0
+    assert out.loc[2, "top_bigram_frac"] == 0.0
+    assert out.loc[2, "dup_trigram_frac"] == 0.0
