@@ -5,7 +5,7 @@ entry()      — flagship: the full inverted-index build + BM25 top-k
                search) over pages derived from sf0.001 documents.
 queries()    — one callable per implemented operator/pipeline
                (SURVEY.md §2 + the training-data operator set):
-               54 entries, 52 DuckDB-oracled (the two approximate ANN
+               56 entries, 54 DuckDB-oracled (the two approximate ANN
                paths carry pytest recall oracles instead;
                knn_cosine_ivf_exact runs IVF at nprobe=nlist, which is
                provably exact and shares the brute-force SQL oracle).
@@ -558,6 +558,24 @@ def _q_repetition_scores(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"])))
 
 
+def _q_approx_ndistinct_users(sf_dir: str):
+    from rse_ray.pipelines.sketch import approx_ndistinct
+
+    return _finalize(approx_ndistinct(
+        _read(sf_dir, "events", ["user_id"]), col="user_id"))
+
+
+HEAVY_HITTER_MIN_COUNT = 200
+
+
+def _q_heavy_hitter_terms(sf_dir: str):
+    from rse_ray.pipelines.sketch import heavy_hitters
+
+    return _finalize(heavy_hitters(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_count=HEAVY_HITTER_MIN_COUNT, capacity=4096))
+
+
 RECENCY_AS_OF = "2024-01-31"
 RECENCY_DELAY_DAYS = 14
 
@@ -963,6 +981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "decontaminate": _q_decontaminate,
         "repetition_scores": _q_repetition_scores,
+        "approx_ndistinct_users": _q_approx_ndistinct_users,
+        "heavy_hitter_terms": _q_heavy_hitter_terms,
         "recency_filter": _q_recency_filter,
         "distinct_lang_source": _q_distinct,
         "json_props_sum": _q_json_sum,
@@ -977,6 +997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from rse_ray.pipelines.sketch import hll_oracle_sql
+
     sql = {
         "doc_token_stats": _TOKS + """
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
@@ -1282,6 +1304,17 @@ tt AS (SELECT doc_id,
 SELECT d.doc_id, coalesce(b.top_bigram_frac, 0) AS top_bigram_frac,
        coalesce(tt.dup_trigram_frac, 0) AS dup_trigram_frac
 FROM documents d LEFT JOIN b USING (doc_id) LEFT JOIN tt USING (doc_id)""",
+        # the HLL twin is GENERATED from the estimator's own constants
+        # (pipelines/sketch.hll_oracle_sql) — same hash, same rank,
+        # same corrections, so the ESTIMATE matches exactly, not just
+        # approximately
+        "approx_ndistinct_users": hll_oracle_sql("user_id", "events"),
+        "heavy_hitter_terms": """
+WITH toks0 AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+'))
+                   AS term FROM documents),
+toks AS (SELECT term FROM toks0 WHERE term <> '')
+SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY 1
+HAVING count(*) >= 200 ORDER BY n DESC, term""",
         "recency_filter": """
 SELECT event_id, ts, event_type FROM events
 WHERE ts < TIMESTAMP '{as_of}' - INTERVAL {days} DAY""".format(

@@ -1,0 +1,190 @@
+"""Mergeable-sketch operators — the cardinality / frequency paths that
+replace full all-to-all shuffles at 10^12-row scale.
+
+HyperLogLog (approx distinct): per-batch register partials (4 KiB each)
+merged by elementwise max — the driver sees O(batches) sketches, never
+values. The hash is the repo's md5 twin (upper-half little-endian
+uint64 of md5, DuckDB `md5_number_lower`), so the WHOLE estimator —
+bucket index, trailing-zero rank, bias/linear-counting corrections —
+is reproducible in SQL and the estimate is DuckDB-oracle-exact, not
+just "close".
+
+Misra-Gries heavy hitters: per-batch bounded summaries (<= k entries)
+give a candidate superset (classic guarantee: any item with true count
+> N/k survives); a second exact counting pass over the broadcast
+candidate set makes the OUTPUT exact (count >= threshold), the same
+candidates-then-verify shape as the MinHash dedup family. The full
+vocabulary is never shuffled or collected.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+HLL_P = 12                      # 4096 registers
+HLL_M = 1 << HLL_P
+# bias constant for m >= 128 (Flajolet et al. 2007)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _md5_u64(vals) -> np.ndarray:
+    """The repo's deterministic string hash (train_val_split /
+    epoch_shuffle convention): upper-half little-endian uint64 of
+    md5(str(v)) == DuckDB md5_number_lower(CAST(v AS VARCHAR))."""
+    return np.fromiter(
+        (struct.unpack(
+            "<Q", hashlib.md5(str(v).encode("utf-8")).digest()[8:])[0]
+         for v in vals),
+        dtype=np.uint64, count=len(vals))
+
+
+def _hll_registers(h: np.ndarray) -> np.ndarray:
+    """h -> dense uint8 register array: bucket = top P bits, rank =
+    (#trailing zeros of the low 64-P bits) + 1. Trailing zeros (the
+    original Flajolet-Martin rho) instead of leading zeros because
+    log2(x & -x) is EXACT in doubles — the SQL twin computes the same
+    rank without bit-intrinsic functions."""
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    low = h & np.uint64((1 << (64 - HLL_P)) - 1)
+    rank = np.full(len(low), 64 - HLL_P + 1, dtype=np.int64)
+    nz = low != 0
+    lowbit = low[nz] & (~low[nz] + np.uint64(1))  # x & -x
+    rank[nz] = np.log2(lowbit.astype(np.float64)).astype(np.int64) + 1
+    reg = np.zeros(HLL_M, dtype=np.uint8)
+    np.maximum.at(reg, idx, rank.astype(np.uint8))
+    return reg
+
+
+def _hll_estimate(reg: np.ndarray) -> float:
+    zeros = int((reg == 0).sum())
+    e = HLL_ALPHA * HLL_M * HLL_M / float(
+        np.sum(np.power(2.0, -reg.astype(np.float64))))
+    if e <= 2.5 * HLL_M and zeros:
+        e = HLL_M * np.log(HLL_M / zeros)       # linear counting
+    return float(e)
+
+
+def approx_ndistinct(ds, *, col: str):
+    """HyperLogLog distinct-count of ``col``: one row
+    (est_ndistinct DOUBLE, rounded 6dp). Per-batch 4 KiB register
+    partials; the driver folds them with elementwise max — mergeable,
+    order-independent, identical on any partitioning."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg = _hll_registers(_md5_u64(batch.column(col).to_pylist()))
+        return pa.table({"reg": pa.array([reg.tobytes()], type=pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    reg = np.zeros(HLL_M, dtype=np.uint8)
+    for b in parts["reg"]:
+        reg = np.maximum(reg, np.frombuffer(b, dtype=np.uint8))
+    return pd.DataFrame({"est_ndistinct": [round(_hll_estimate(reg), 6)]})
+
+
+def hll_oracle_sql(col_expr: str, table: str) -> str:
+    """The exact SQL twin of approx_ndistinct (same hash, same rank,
+    same corrections) — generated so the constants can't drift from
+    the Python estimator."""
+    w = 64 - HLL_P
+    # lowest set bit as x - (x & (x-1)) — UBIGINT-safe (no ~ / negate)
+    return f"""
+WITH h AS (SELECT md5_number_lower(CAST({col_expr} AS VARCHAR))::UBIGINT
+               AS hv FROM {table}),
+lo AS (SELECT hv >> {w} AS idx, hv & {(1 << w) - 1} AS x FROM h),
+r AS (SELECT idx,
+             CASE WHEN x = 0 THEN {w + 1}
+                  ELSE (log2((x - (x & (x - 1)))::DOUBLE))::INT + 1
+             END AS rank
+      FROM lo),
+m AS (SELECT idx, max(rank) AS mr FROM r GROUP BY idx),
+s AS (SELECT count(*)::BIGINT AS nidx,
+             sum(power(2.0, -mr))::DOUBLE AS ssum FROM m),
+raw AS (SELECT nidx,
+        CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}e0 * {HLL_M}e0
+            / (ssum + ({HLL_M} - nidx)) AS e0 FROM s),
+est AS (SELECT CASE
+    WHEN e0 <= 2.5e0 * {HLL_M} AND nidx < {HLL_M}
+    THEN {HLL_M}e0 * ln({HLL_M}e0 / ({HLL_M} - nidx))
+    ELSE e0 END AS e FROM raw)
+SELECT round(e, 6) AS est_ndistinct FROM est"""
+
+
+def heavy_hitters(ds, *, text_col: str = "text", min_count: int,
+                  capacity: int = 4096, stem: bool = False):
+    """Terms with global count >= min_count, EXACT, without ever
+    shuffling the vocabulary: per-batch Misra-Gries summaries (bounded
+    at ``capacity`` entries) yield a candidate superset — the MG
+    guarantee keeps every term whose batch count exceeds
+    batch_tokens/capacity, so with min_count >= N/capacity no true
+    hitter is lost — then a broadcast exact-count pass verifies.
+    Output: (term, n) with true counts, sorted (n DESC, term ASC)."""
+    import ray
+
+    from rse_ray.pipelines.text import _tok
+
+    # per-batch Misra-Gries summary WITH residual counts: after the
+    # decrement, resid(t) >= count_b(t) - tokens_b/capacity. Summed
+    # over batches, resid_sum(t) >= count(t) - N/capacity — so any
+    # term with count >= min_count has resid_sum >= min_count -
+    # N/capacity, and filtering the merged summary at that bound is a
+    # guaranteed superset (union-of-term-SETS alone is NOT: a hitter
+    # spread thinly can be decremented away in every batch). The ""
+    # row carries tokens_b (real tokens are never empty), giving N
+    # from the same pass.
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        total = 0
+        for t in batch.column(text_col).to_pylist():
+            toks = _tok(t, stem)
+            total += len(toks)
+            c.update(toks)
+        if len(c) > capacity:
+            kth = sorted(c.values(), reverse=True)[capacity]
+            c = Counter({t: n - kth for t, n in c.items() if n > kth})
+        terms = sorted(c)
+        return pa.table({
+            "term": pa.array([""] + terms, type=pa.string()),
+            "r_p": pa.array([total] + [c[t] for t in terms],
+                            type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    summary = ds.map_batches(mg_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("r_p", alias_name="resid")) \
+        .to_pandas()
+    n_tokens = int(summary.loc[summary["term"] == "", "resid"].iloc[0])
+    bound = max(1, min_count - n_tokens // capacity)
+    cands = frozenset(
+        summary.loc[(summary["term"] != "")
+                    & (summary["resid"] >= bound), "term"])
+    cand_ref = ray.put(cands)
+
+    def exact_count(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        keep = ray.get(cand_ref)
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(w for w in _tok(t, stem) if w in keep)
+        terms = sorted(c)
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "c_p": pa.array([c[t] for t in terms],
+                                         type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(exact_count, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("c_p", alias_name="n")) \
+        .to_pandas()
+    out = agg[agg["n"] >= min_count] \
+        .sort_values(["n", "term"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out

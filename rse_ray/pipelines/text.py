@@ -413,15 +413,21 @@ def bigram_counts(ds, *, top_n: int = 50, stem: bool = False):
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("bigram").aggregate(Sum("c_p", alias_name="n"))
 
-    def to_sorted(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["n", "bigram"],
-                              ascending=[False, True]).head(top_n)
+    # per-block head BEFORE the collect: each aggregated block keeps
+    # its own top-N, so the driver sees at most blocks x N rows — the
+    # bigram vocabulary (corpus-sized at web scale) never lands on one
+    # process. A block-local head supersets the global head because
+    # groupby made bigrams unique across blocks.
+    def block_head(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["n", "bigram"], ascending=[False, True])
+              .head(top_n), preserve_index=False)
 
-    # top-N finishes on the driver over the aggregated table (vocab^2
-    # bounded by the aggregate, not the corpus); at fleet scale chain
-    # a per-block head before collecting
-    out = agg.to_pandas()
-    return to_sorted(out).reset_index(drop=True)
+    out = agg.map_batches(block_head, batch_size=None,
+                          batch_format="pyarrow").to_pandas()
+    return out.sort_values(["n", "bigram"], ascending=[False, True]) \
+        .head(top_n).reset_index(drop=True)
 
 
 def repetition_scores(ds, *, stem: bool = False):

@@ -946,3 +946,49 @@ def test_repetition_scores_degenerate_text(ray_session):
     assert out.loc[1, "dup_trigram_frac"] == 0.0
     assert out.loc[2, "top_bigram_frac"] == 0.0
     assert out.loc[2, "dup_trigram_frac"] == 0.0
+
+
+def test_hll_exact_sql_twin_and_merge_invariance(ray_session, duck):
+    """The HLL ESTIMATE (not just the ballpark) matches its generated
+    SQL twin, and the register fold is partitioning-invariant."""
+    from rse_ray.pipelines.sketch import approx_ndistinct, hll_oracle_sql
+
+    got = approx_ndistinct(_read("events", ["user_id"]), col="user_id")
+    want = duck.sql(hll_oracle_sql("user_id", "events")).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    exact = duck.sql(
+        "SELECT count(DISTINCT user_id) FROM events").fetchall()[0][0]
+    est = got.iloc[0, 0]
+    assert abs(est - exact) / exact < 0.05  # small-card: linear counting
+
+    re = approx_ndistinct(_read("events", ["user_id"]).repartition(9),
+                          col="user_id")
+    pd.testing.assert_frame_equal(got, re, check_dtype=False)
+
+
+def test_heavy_hitters_exact_even_when_spread_thin(ray_session, duck):
+    """Output == GROUP BY/HAVING exactly, and the merged-residual bound
+    recovers a hitter whose per-batch counts are individually below
+    every batch's Misra-Gries decrement (the union-of-term-sets
+    shortcut would lose it)."""
+    import ray.data
+
+    from rse_ray.pipelines.sketch import heavy_hitters
+
+    hh = heavy_hitters(_read("documents", ["doc_id", "text"]),
+                       min_count=200, capacity=256)
+    want = duck.sql("""
+WITH toks0 AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+'))
+                   AS term FROM documents),
+toks AS (SELECT term FROM toks0 WHERE term <> '')
+SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY 1
+HAVING count(*) >= 200 ORDER BY n DESC, term""").df()
+    pd.testing.assert_frame_equal(hh, want, check_dtype=False)
+
+    n = 400
+    texts = ["rare " + " ".join(f"w{(i * 31 + j) % 997}"
+                                for j in range(40)) for i in range(n)]
+    adv = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(n), "text": texts})).repartition(16)
+    out = heavy_hitters(adv, min_count=300, capacity=8)
+    assert int(out[out["term"] == "rare"]["n"].iloc[0]) == n
