@@ -5,7 +5,7 @@ entry()      — flagship: the full inverted-index build + BM25 top-k
                search) over pages derived from sf0.001 documents.
 queries()    — one callable per implemented operator/pipeline
                (SURVEY.md §2 + the training-data operator set):
-               56 entries, 54 DuckDB-oracled (the two approximate ANN
+               58 entries, 56 DuckDB-oracled (the two approximate ANN
                paths carry pytest recall oracles instead;
                knn_cosine_ivf_exact runs IVF at nprobe=nlist, which is
                provably exact and shares the brute-force SQL oracle).
@@ -576,6 +576,41 @@ def _q_heavy_hitter_terms(sf_dir: str):
         min_count=HEAVY_HITTER_MIN_COUNT, capacity=4096))
 
 
+VIDEO_DIR = "/tmp/rse_ray_cache/video_fixture_24"
+
+
+def _video_fixture_dir() -> str:
+    from rse_ray.pipelines.multimodal import write_video_fixture
+
+    write_video_fixture(VIDEO_DIR, n=24, seed=9, every_k=4,
+                        out_h=16, out_w=16)
+    return VIDEO_DIR
+
+
+def _q_video_frame_sample(sf_dir: str):
+    """Every-4th-frame sampling over the RVID corpus; golden features
+    computed from the raw frame arrays pre-encode."""
+    import ray.data
+
+    from rse_ray.pipelines.multimodal import sample_video_frames
+
+    d = _video_fixture_dir()
+    ds = ray.data.read_parquet(os.path.join(d, "videos.parquet"))
+    return _finalize(sample_video_frames(ds, every_k=4))
+
+
+def _q_image_resize(sf_dir: str):
+    """Nearest-neighbor 16x16 resize over the stills corpus; golden
+    features computed from resize of the raw arrays pre-encode."""
+    import ray.data
+
+    from rse_ray.pipelines.multimodal import resize_images
+
+    d = _video_fixture_dir()
+    ds = ray.data.read_parquet(os.path.join(d, "stills.parquet"))
+    return _finalize(resize_images(ds, out_h=16, out_w=16))
+
+
 RECENCY_AS_OF = "2024-01-31"
 RECENCY_DELAY_DAYS = 14
 
@@ -983,6 +1018,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
+        "video_frame_sample": _q_video_frame_sample,
+        "image_resize": _q_image_resize,
         "recency_filter": _q_recency_filter,
         "distinct_lang_source": _q_distinct,
         "json_props_sum": _q_json_sum,
@@ -1309,6 +1346,15 @@ FROM documents d LEFT JOIN b USING (doc_id) LEFT JOIN tt USING (doc_id)""",
         # same corrections, so the ESTIMATE matches exactly, not just
         # approximately
         "approx_ndistinct_users": hll_oracle_sql("user_id", "events"),
+        "video_frame_sample": """
+SELECT media_id, frame_idx, n_values, v_mean, v_std, v_min, v_max,
+       width, height
+FROM read_parquet('{golden}')""".format(
+            golden=os.path.join(VIDEO_DIR, "golden_frames.parquet")),
+        "image_resize": """
+SELECT media_id, n_values, v_mean, v_std, v_min, v_max, width, height
+FROM read_parquet('{golden}')""".format(
+            golden=os.path.join(VIDEO_DIR, "golden_resized.parquet")),
         "heavy_hitter_terms": """
 WITH toks0 AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+'))
                    AS term FROM documents),

@@ -260,3 +260,47 @@ def value_features(values: np.ndarray) -> dict:
         "v_min": int(v.min()) if v.size else 0,
         "v_max": int(v.max()) if v.size else 0,
     }
+
+
+# ---------------------------------------------------------------------------
+# video container (synthetic but REAL framing: length-prefixed BMP frames —
+# no video codecs exist in this container, so the interchange format is
+# ours, but every frame passes through the real image codec)
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"RVID"
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 frames -> RVID container: magic, uint32
+    frame count, then per frame uint32 length + BMP bytes."""
+    parts = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        b = encode_bmp(f)
+        parts.append(struct.pack("<I", len(b)))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def decode_video(buf: bytes) -> list[np.ndarray]:
+    """RVID container -> list of (h, w, 3) uint8 frames."""
+    if buf[:4] != VIDEO_MAGIC:
+        raise ValueError("not an RVID payload")
+    (n,) = struct.unpack_from("<I", buf, 4)
+    at = 8
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", buf, at)
+        at += 4
+        frames.append(decode_bmp(buf[at : at + ln]))
+        at += ln
+    return frames
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure index math — deterministic, no
+    interpolation-kernel ambiguity): source index = floor(i * in / out)."""
+    h, w = px.shape[0], px.shape[1]
+    ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[ri][:, ci]

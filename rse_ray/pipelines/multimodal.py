@@ -293,3 +293,202 @@ def make_fake_media_table(n: int = 64, seed: int = 5) -> pa.Table:
             "meta": pa.array(rows["meta"], type=pa.string()),
         }
     )
+
+
+class ImageResizer:
+    """Actor-pool resize stage (task-listed multimodal op): decode ->
+    nearest-neighbor resize to a fixed (out_h, out_w) -> features of
+    the RESIZED pixels. Nearest-neighbor because its index math is
+    deterministic across platforms — no interpolation-kernel drift to
+    un-oracle the golden parquet."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16) -> None:
+        from rse_ray.functions.media import (
+            decode_image,
+            resize_nearest,
+            value_features,
+        )
+
+        self.out_h, self.out_w = out_h, out_w
+        self._decode = decode_image
+        self._resize = resize_nearest
+        self._features = value_features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        rows = {"media_id": [], "n_values": [], "v_mean": [], "v_std": [],
+                "v_min": [], "v_max": [], "width": [], "height": []}
+        for mid, payload in zip(ids, payloads):
+            px = self._resize(self._decode(payload), self.out_h, self.out_w)
+            f = self._features(px)
+            rows["media_id"].append(int(mid))
+            rows["width"].append(self.out_w)
+            rows["height"].append(self.out_h)
+            for k, v in f.items():
+                rows[k].append(v)
+        return pa.table(
+            {"media_id": pa.array(rows["media_id"], type=pa.int64()),
+             "n_values": pa.array(rows["n_values"], type=pa.int64()),
+             "v_mean": pa.array(rows["v_mean"], type=pa.float64()),
+             "v_std": pa.array(rows["v_std"], type=pa.float64()),
+             "v_min": pa.array(rows["v_min"], type=pa.int64()),
+             "v_max": pa.array(rows["v_max"], type=pa.int64()),
+             "width": pa.array(rows["width"], type=pa.int64()),
+             "height": pa.array(rows["height"], type=pa.int64())}
+        )
+
+
+class VideoFrameSampler:
+    """Actor-pool frame-sampling stage (task-listed multimodal op):
+    decode the RVID container, keep every k-th frame, one output row
+    per SAMPLED frame with features of that frame. flat-map shape —
+    a video yields ceil(n_frames / k) rows."""
+
+    def __init__(self, every_k: int = 4) -> None:
+        from rse_ray.functions.media import decode_video, value_features
+
+        self.k = every_k
+        self._decode = decode_video
+        self._features = value_features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        rows = {"media_id": [], "frame_idx": [], "n_values": [],
+                "v_mean": [], "v_std": [], "v_min": [], "v_max": [],
+                "width": [], "height": []}
+        for mid, payload in zip(ids, payloads):
+            frames = self._decode(payload)
+            for fi in range(0, len(frames), self.k):
+                px = frames[fi]
+                f = self._features(px)
+                rows["media_id"].append(int(mid))
+                rows["frame_idx"].append(fi)
+                rows["width"].append(px.shape[1])
+                rows["height"].append(px.shape[0])
+                for k2, v in f.items():
+                    rows[k2].append(v)
+        return pa.table(
+            {"media_id": pa.array(rows["media_id"], type=pa.int64()),
+             "frame_idx": pa.array(rows["frame_idx"], type=pa.int64()),
+             "n_values": pa.array(rows["n_values"], type=pa.int64()),
+             "v_mean": pa.array(rows["v_mean"], type=pa.float64()),
+             "v_std": pa.array(rows["v_std"], type=pa.float64()),
+             "v_min": pa.array(rows["v_min"], type=pa.int64()),
+             "v_max": pa.array(rows["v_max"], type=pa.int64()),
+             "width": pa.array(rows["width"], type=pa.int64()),
+             "height": pa.array(rows["height"], type=pa.int64())}
+        )
+
+
+def resize_images(ds, *, out_h: int = 16, out_w: int = 16,
+                  concurrency: int = 2, batch_size: int = 32):
+    from rse_ray.util import clamp_pool
+
+    return ds.map_batches(
+        ImageResizer, fn_constructor_kwargs={"out_h": out_h, "out_w": out_w},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=clamp_pool(concurrency))
+
+
+def sample_video_frames(ds, *, every_k: int = 4, concurrency: int = 2,
+                        batch_size: int = 8):
+    """batch_size is SMALL: videos are the largest payloads in the
+    corpus and the batch x concurrency product must fit worker heaps."""
+    from rse_ray.util import clamp_pool
+
+    return ds.map_batches(
+        VideoFrameSampler, fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=clamp_pool(concurrency))
+
+
+def write_video_fixture(out_dir: str, *, n: int = 24, seed: int = 9,
+                        every_k: int = 4, out_h: int = 16,
+                        out_w: int = 16) -> dict:
+    """Deterministic RVID corpus + TWO goldens computed from the raw
+    frame arrays BEFORE encoding: golden_frames.parquet (every k-th
+    frame's features — the frame-sample oracle) and
+    golden_resized.parquet (nearest-neighbor-resized frame-0 features
+    — the resize oracle, treating frame 0 as a still image corpus).
+    Idempotent via _DONE marker."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rse_ray.functions.media import (
+        encode_bmp,
+        encode_video,
+        resize_nearest,
+        value_features,
+    )
+
+    marker = os.path.join(out_dir, "_DONE.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return _json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    vids = {"media_id": [], "kind": [], "payload": []}
+    stills = {"media_id": [], "kind": [], "payload": []}
+    gf = {"media_id": [], "frame_idx": [], "n_values": [], "v_mean": [],
+          "v_std": [], "v_min": [], "v_max": [], "width": [], "height": []}
+    gr = {"media_id": [], "n_values": [], "v_mean": [], "v_std": [],
+          "v_min": [], "v_max": [], "width": [], "height": []}
+    for i in range(n):
+        nf = int(rng.integers(3, 13))
+        h = int(rng.integers(8, 32))
+        w = int(rng.integers(8, 32))
+        frames = rng.integers(0, 256, size=(nf, h, w, 3)).astype(np.uint8)
+        vids["media_id"].append(i)
+        vids["kind"].append("video")
+        vids["payload"].append(encode_video(frames))
+        for fi in range(0, nf, every_k):
+            f = value_features(frames[fi])
+            gf["media_id"].append(i)
+            gf["frame_idx"].append(fi)
+            gf["width"].append(w)
+            gf["height"].append(h)
+            for k, v in f.items():
+                gf[k].append(v)
+        stills["media_id"].append(i)
+        stills["kind"].append("image")
+        stills["payload"].append(encode_bmp(frames[0]))
+        rf = value_features(resize_nearest(frames[0], out_h, out_w))
+        gr["media_id"].append(i)
+        gr["width"].append(out_w)
+        gr["height"].append(out_h)
+        for k, v in rf.items():
+            gr[k].append(v)
+
+    def _tbl(d, int_cols, float_cols):
+        cols = {}
+        for k, v in d.items():
+            if k in float_cols:
+                cols[k] = pa.array(v, type=pa.float64())
+            elif k in int_cols:
+                cols[k] = pa.array(v, type=pa.int64())
+            elif k == "payload":
+                cols[k] = pa.array(v, type=pa.binary())
+            else:
+                cols[k] = pa.array(v, type=pa.string())
+        return pa.table(cols)
+
+    ints = {"media_id", "frame_idx", "n_values", "v_min", "v_max",
+            "width", "height"}
+    floats = {"v_mean", "v_std"}
+    pq.write_table(_tbl(vids, ints, floats),
+                   os.path.join(out_dir, "videos.parquet"))
+    pq.write_table(_tbl(stills, ints, floats),
+                   os.path.join(out_dir, "stills.parquet"))
+    pq.write_table(_tbl(gf, ints, floats),
+                   os.path.join(out_dir, "golden_frames.parquet"))
+    pq.write_table(_tbl(gr, ints, floats),
+                   os.path.join(out_dir, "golden_resized.parquet"))
+    meta = {"n": n, "seed": seed, "every_k": every_k,
+            "out_h": out_h, "out_w": out_w, "dir": out_dir}
+    with open(marker, "w") as f:
+        _json.dump(meta, f)
+    return meta

@@ -123,3 +123,52 @@ def test_media_features_real_matches_golden(ray_session, tmp_path):
     )
     got = got[want.columns.tolist()]
     assert got.equals(want)
+
+
+def test_video_roundtrip_and_frame_sampling(ray_session):
+    """RVID encode/decode is frame-exact; the sampler emits every k-th
+    frame with features equal to the pre-encode golden."""
+    import os
+    import shutil
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.functions.media import decode_video, encode_video
+    from rse_ray.pipelines.multimodal import (
+        resize_images,
+        sample_video_frames,
+        write_video_fixture,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(7, 10, 12, 3)).astype(np.uint8)
+    back = decode_video(encode_video(frames))
+    assert len(back) == 7
+    assert all((a == b).all() for a, b in zip(frames, back))
+
+    d = "/tmp/rse_ray_cache/video_fixture_test"
+    shutil.rmtree(d, ignore_errors=True)
+    write_video_fixture(d, n=8, seed=2, every_k=3, out_h=12, out_w=20)
+    con = duckdb.connect()
+    got = sample_video_frames(
+        ray.data.read_parquet(os.path.join(d, "videos.parquet")),
+        every_k=3).to_pandas().sort_values(
+        ["media_id", "frame_idx"]).reset_index(drop=True)
+    want = con.sql(f"""SELECT * FROM
+        read_parquet('{os.path.join(d, "golden_frames.parquet")}')
+        ORDER BY media_id, frame_idx""").df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+    rgot = resize_images(
+        ray.data.read_parquet(os.path.join(d, "stills.parquet")),
+        out_h=12, out_w=20).to_pandas().sort_values(
+        "media_id").reset_index(drop=True)
+    rwant = con.sql(f"""SELECT * FROM
+        read_parquet('{os.path.join(d, "golden_resized.parquet")}')
+        ORDER BY media_id""").df()
+    pd.testing.assert_frame_equal(rgot[rwant.columns.tolist()], rwant,
+                                  check_dtype=False)
