@@ -5,7 +5,7 @@ entry()      — flagship: the full inverted-index build + BM25 top-k
                search) over pages derived from sf0.001 documents.
 queries()    — one callable per implemented operator/pipeline
                (SURVEY.md §2 + the training-data operator set):
-               58 entries, 56 DuckDB-oracled (the two approximate ANN
+               59 entries, 57 DuckDB-oracled (the two approximate ANN
                paths carry pytest recall oracles instead;
                knn_cosine_ivf_exact runs IVF at nprobe=nlist, which is
                provably exact and shares the brute-force SQL oracle).
@@ -441,6 +441,25 @@ def _q_orders_customer_join(sf_dir: str):
         right_cols=["c_mktsegment"],
     ).select_columns(["o_orderkey", "o_custkey", "o_totalprice",
                       "c_mktsegment"]))
+
+
+def _q_orders_customer_left_join(sf_dir: str):
+    """LEFT OUTER: only BUILDING-segment customers on the right, so a
+    large fraction of orders come back null-padded."""
+    import pyarrow.compute as pc
+
+    from rse_ray.pipelines.relational import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("c_mktsegment"),
+                                        "BUILDING")),
+            batch_format="pyarrow")
+    return _finalize(hash_join(
+        orders, customer, left_on="o_custkey", right_on="c_custkey",
+        right_cols=["c_mktsegment"], how="left",
+    ).select_columns(["o_orderkey", "o_custkey", "c_mktsegment"]))
 
 
 def _q_train_val_split(sf_dir: str):
@@ -1005,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase": _q_asof_last_purchase,
         "asof_last_purchase_partitioned": _q_asof_last_purchase_partitioned,
         "orders_customer_join": _q_orders_customer_join,
+        "orders_customer_left_join": _q_orders_customer_left_join,
         "train_val_split": _q_train_val_split,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "sessions": _q_sessions,
@@ -1223,6 +1243,11 @@ FROM events e ASOF LEFT JOIN (
         "orders_customer_join": """
 SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
 FROM orders JOIN customer ON o_custkey = c_custkey""",
+        "orders_customer_left_join": """
+SELECT o_orderkey, o_custkey, c.c_mktsegment
+FROM orders LEFT JOIN (SELECT * FROM customer
+                       WHERE c_mktsegment = 'BUILDING') c
+     ON o_custkey = c_custkey""",
         "train_val_split": """
 SELECT doc_id, lang,
        CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10

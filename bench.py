@@ -45,6 +45,18 @@ def _ray_init(num_cpus: int) -> None:
         )
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the host
+    co-tenant signal. The sandbox VM shows steal BURSTS that poison
+    whole 32-cpu reps; recording the per-rep steal fraction turns
+    'the box was noisy' from narrative into data."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = list(map(int, parts))
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 CORPUS_ROWS_PER_FILE = 50_000  # ~75 MB files: parquet metadata/listing
 # cost at read planning is per-FILE driver time (measured 6.8 s for the
 # 3.2M corpus at 2k rows/file vs <0.5 s at 50k rows/file)
@@ -90,6 +102,7 @@ def run_headline(num_cpus: int, n_rows: int) -> dict:
         lambda b: b
     ).take_all()
 
+    steal0, total0 = _cpu_times()
     t0 = time.perf_counter()
     # config derives only from the INPUT (never from num_cpus): the
     # N-vs-4N scaling criterion requires the identical job at both
@@ -105,6 +118,9 @@ def run_headline(num_cpus: int, n_rows: int) -> dict:
                     stem=True, from_html=True),
     )
     build_s = time.perf_counter() - t0
+    steal1, total1 = _cpu_times()
+    steal_pct = round(
+        100.0 * (steal1 - steal0) / max(1, total1 - total0), 2)
     n_docs = manifest["stats"]["num_docs"]
 
     searcher = Searcher(index_dir)
@@ -147,6 +163,7 @@ def run_headline(num_cpus: int, n_rows: int) -> dict:
         "corpus_rows": n_rows,
         "num_docs": n_docs,
         "build_sec": round(build_s, 3),
+        "steal_pct_during_build": steal_pct,
         "stage_seconds": manifest.get("stage_seconds", {}),
         "docs_per_sec": round(n_docs / build_s, 1),
         "bm25_p50_ms": round(p(lat_bmw, 0.50) * 1e3, 3),
@@ -247,6 +264,8 @@ def main_scaling() -> None:
         runs.sort(key=lambda g: g["build_sec"])
         results[cpus] = runs[0]
         all_reps[cpus] = [g["build_sec"] for g in runs]
+        all_reps[f"steal_pct_{cpus}"] = [
+            g.get("steal_pct_during_build") for g in runs]
     thr8 = results[8]["docs_per_sec"]
     thr32 = results[32]["docs_per_sec"]
     eff = thr32 / (4.0 * thr8)

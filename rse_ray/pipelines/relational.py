@@ -573,10 +573,13 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     side fits in a broadcast. A key group never straddles a partition,
     so the union of the per-partition joins IS the join.
 
-    ``how``: 'inner' (default), 'semi' (left rows with >=1 right
-    match, left columns only, no duplication), or 'anti' (left rows
-    with NO right match — SQL NOT EXISTS; null left keys are kept,
-    since a null key matches nothing). semi/anti require
+    ``how``: 'inner' (default), 'left' (LEFT OUTER — unmatched left
+    rows null-pad the right payload; integer columns ride pandas
+    nullable dtypes through the merge so int64 never degrades to
+    float64), 'semi' (left rows with >=1 right match, left columns
+    only, no duplication), or 'anti' (left rows with NO right match —
+    SQL NOT EXISTS; null left keys are kept, since a null key matches
+    nothing). semi/anti require
     ``right_cols=[]``: the right side contributes only its key set,
     so each partition ships just the keys. Both compose with salting
     unchanged (right keys are replicated into every salt slot, so a
@@ -604,9 +607,9 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
     from rse_ray.util import parts_for
 
-    if how not in ("inner", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"how={how!r}")
-    if how != "inner" and right_cols:
+    if how in ("semi", "anti") and right_cols:
         raise ValueError("semi/anti joins carry no right payload — "
                          "pass right_cols=[]")
 
@@ -625,10 +628,14 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     def _keys_np(batch: pa.Table, col: str) -> np.ndarray:
         """Routing keys: int64 values, or a stable vectorized siphash
         of string keys. NULLs route to slot 0 (match logic never sees
-        the routing value — pandas equality handles nulls)."""
+        the routing value — pandas equality handles nulls). An
+        all-null BLOCK arrives with Arrow `null` type (no values to
+        infer from) — route the whole block to slot 0."""
         a = batch.column(col)
         if isinstance(a, pa.ChunkedArray):
             a = a.combine_chunks()
+        if pa.types.is_null(a.type):
+            return np.zeros(len(a), dtype=np.int64)
         if key_is_str:
             vals = pc.fill_null(a, "").to_numpy(zero_copy_only=False)
             return pd.util.hash_array(vals.astype(object))
@@ -657,12 +664,20 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
     def tag_left(batch: pa.Table) -> pa.Table:
         # inner/semi: null keys can never match — drop at the tag.
-        # anti KEEPS them (a null key matches nothing, so the row is
-        # in the NOT EXISTS output).
-        if how != "anti":
+        # anti and left-outer KEEP them (a null key matches nothing:
+        # anti emits the row, left-outer emits it null-padded).
+        if how in ("inner", "semi"):
             batch = batch.filter(pc.is_valid(batch.column(left_on)))
         n = batch.num_rows
-        cols = {c: batch.column(c) for c in left_cols}
+        # an all-null BLOCK infers Arrow `null` type per column — cast
+        # to the dataset-level type so blocks union under one schema
+        cols = {}
+        for c in left_cols:
+            col = batch.column(c)
+            if pa.types.is_null(col.type) and \
+                    not pa.types.is_null(left_types[c]):
+                col = col.cast(left_types[c])
+            cols[c] = col
         cols["_rkey"] = pa.nulls(n, right_types[right_on])
         for c in right_cols:
             cols[c] = pa.nulls(n, right_types[c])
@@ -736,7 +751,7 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
         # silently corrupt on that path)
         side = g.column("side")
         left_t = g.filter(pc.equal(side, 0)).select(left_cols)
-        if how != "inner":
+        if how in ("semi", "anti"):
             # semi/anti stay fully Arrow: the right side contributed
             # only its key set. fill_null(False) pins SQL semantics —
             # a null left key EXISTS-matches nothing (semi drops it,
@@ -749,6 +764,24 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
                          value_set=rkeys.unique()), False)
             return left_t.filter(mask if how == "semi"
                                  else pc.invert(mask))
+        if how == "left":
+            # left-outer: unmatched rows null-pad the right payload, so
+            # integer columns must ride pandas NULLABLE Int dtypes end
+            # to end — the float64 NaN-padding path silently corrupts
+            # int64 above 2^53
+            left = left_t.to_pandas(types_mapper={
+                pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype(),
+            }.get)
+            right = g.filter(pc.equal(side, 1)) \
+                     .select(["_rkey"] + right_cols) \
+                     .to_pandas(types_mapper={
+                         pa.int64(): pd.Int64Dtype(),
+                         pa.int32(): pd.Int32Dtype(),
+                     }.get)
+            out = left.merge(right, left_on=left_on, right_on="_rkey",
+                             how="left")
+            return pa.Table.from_pandas(out[out_cols], schema=out_schema,
+                                        preserve_index=False)
         left = left_t.to_pandas()
         right = g.filter(pc.equal(side, 1)) \
                  .select(["_rkey"] + right_cols).to_pandas()

@@ -1,0 +1,136 @@
+"""Hypothesis property tests: the co-partitioned join family and
+sessionization against pure-pandas reference implementations over
+randomized frames (nulls, duplicate keys, ties included). Example
+counts are small — each example routes through a real Ray exchange."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+KEYS = st.one_of(st.none(), st.integers(min_value=-3, max_value=6))
+
+
+def _frames(draw):
+    n_left = draw(st.integers(1, 12))
+    n_right = draw(st.integers(0, 8))
+    left = pd.DataFrame({
+        "k": pd.array([draw(KEYS) for _ in range(n_left)], dtype="Int64"),
+        "lv": np.arange(n_left, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "rk": pd.array(
+            [draw(st.integers(min_value=-3, max_value=6))
+             for _ in range(n_right)], dtype="Int64"),
+        "rv": [f"r{i}" for i in range(n_right)],
+    })
+    return left, right
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_hash_join_modes_match_pandas_reference(ray_session, data):
+    import ray.data
+
+    from rse_ray.pipelines.relational import hash_join
+
+    left, right = _frames(data.draw)
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+
+    def norm(df, cols):
+        if df.empty:  # empty Ray results lose their column schema
+            return pd.DataFrame({c: [] for c in cols})
+        df = df[cols].copy().sort_values(cols).reset_index(drop=True)
+        return df
+
+    # inner
+    got = hash_join(lds, rds, left_on="k", right_on="rk",
+                    right_cols=["rv"], num_parts=3).to_pandas()
+    want = left.dropna(subset=["k"]).merge(
+        right, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+    if want.empty:
+        assert got.empty
+    else:
+        pd.testing.assert_frame_equal(
+            norm(got, ["k", "lv", "rv"]).astype({"k": "Int64"}),
+            norm(want, ["k", "lv", "rv"]).astype({"k": "Int64"}),
+            check_dtype=False)
+
+    # left outer: null keys kept null-padded; unmatched keys null-padded
+    got_l = hash_join(lds, rds, left_on="k", right_on="rk",
+                      right_cols=["rv"], num_parts=3,
+                      how="left").to_pandas()
+    want_l = left.merge(right, left_on="k", right_on="rk",
+                        how="left")[["k", "lv", "rv"]]
+    # a left row with key matching m right rows appears m times (or
+    # once null-padded) — same multiset
+    pd.testing.assert_frame_equal(
+        norm(got_l, ["k", "lv", "rv"]).astype({"k": "Int64"}),
+        norm(want_l, ["k", "lv", "rv"]).astype({"k": "Int64"}),
+        check_dtype=False)
+    assert len(got_l) >= len(left)  # every left row survives
+
+    # semi / anti: partition of the valid-key rows + null rows to anti
+    got_s = hash_join(lds, rds, left_on="k", right_on="rk",
+                      right_cols=[], num_parts=3, how="semi").to_pandas()
+    got_a = hash_join(lds, rds, left_on="k", right_on="rk",
+                      right_cols=[], num_parts=3, how="anti").to_pandas()
+    rset = set(right["rk"].dropna())
+    want_s = left[left["k"].isin(rset)]
+    want_a = left[~left["k"].isin(rset)]
+
+    def lvs(df):  # empty Ray results lose their column schema
+        return sorted(df["lv"]) if not df.empty else []
+
+    assert lvs(got_s) == sorted(want_s["lv"])
+    assert lvs(got_a) == sorted(want_a["lv"])
+    assert len(got_s) + len(got_a) == len(left)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_sessionize_matches_pandas_reference(ray_session, data):
+    import ray.data
+
+    from rse_ray.pipelines.relational import sessionize
+
+    n = data.draw(st.integers(1, 40))
+    users = [data.draw(st.integers(0, 4)) for _ in range(n)]
+    # minute offsets with many ties and exact-gap boundaries
+    offs = [data.draw(st.integers(0, 200)) for _ in range(n)]
+    base = pd.Timestamp("2024-02-01")
+    df = pd.DataFrame({
+        "user_id": pd.array(users, dtype="int64"),
+        "ts": [base + pd.Timedelta(minutes=o) for o in offs],
+        "value": np.arange(n, dtype=np.float64),
+    })
+    gap = 30
+
+    got = sessionize(ray.data.from_pandas(df), gap_minutes=gap,
+                     num_parts=3).to_pandas() \
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+    rows = []
+    for u, g in df.sort_values(["user_id", "ts"]).groupby("user_id"):
+        ts = g["ts"].to_numpy()
+        vals = g["value"].to_numpy()
+        start = 0
+        for i in range(1, len(g) + 1):
+            if i == len(g) or (ts[i] - ts[i - 1]) > np.timedelta64(
+                    gap * 60 * 1000000, "us"):
+                rows.append({
+                    "user_id": u, "session_start": ts[start],
+                    "session_end": ts[i - 1],
+                    "n_events": i - start,
+                    "total_value": round(float(vals[start:i].sum()), 6),
+                })
+                start = i
+    want = pd.DataFrame(rows).sort_values(
+        ["user_id", "session_start"]).reset_index(drop=True)
+    got["total_value"] = got["total_value"].round(5)
+    want["total_value"] = want["total_value"].round(5)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
