@@ -5,7 +5,7 @@ entry()      — flagship: the full inverted-index build + BM25 top-k
                search) over pages derived from sf0.001 documents.
 queries()    — one callable per implemented operator/pipeline
                (SURVEY.md §2 + the training-data operator set):
-               59 entries, 57 DuckDB-oracled (the two approximate ANN
+               60 entries, 58 DuckDB-oracled (the two approximate ANN
                paths carry pytest recall oracles instead;
                knn_cosine_ivf_exact runs IVF at nprobe=nlist, which is
                provably exact and shares the brute-force SQL oracle).
@@ -731,6 +731,16 @@ def _q_backlink_counts(sf_dir: str):
     return _finalize(backlink_counts(links))
 
 
+def _q_domain_counts(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import domain_counts
+
+    return _finalize(domain_counts(
+        ray.data.read_parquet(_linkgraph_pages_paths(),
+                              columns=["url", "html"])))
+
+
 def _q_reference_rank(sf_dir: str):
     import ray.data
 
@@ -1047,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reference_relevance": _q_reference_relevance,
         "link_extract": _q_link_extract,
         "backlink_counts": _q_backlink_counts,
+        "domain_counts": _q_domain_counts,
         "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
         "media_features": _q_media_features,
@@ -1416,6 +1427,11 @@ SELECT dst_url, count(*)::BIGINT AS n_backlinks
 FROM read_parquet('{links}') GROUP BY dst_url""".format(
             links=os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
         ),
+        "domain_counts": """
+SELECT split_part(url, '/', 3) AS host, count(*)::BIGINT AS n_pages,
+       sum(octet_length(html))::BIGINT AS html_bytes
+FROM read_parquet('{pages}') GROUP BY 1""".format(
+            pages=os.path.join(LINKGRAPH_DIR, "pages_*.parquet")),
         "reference_rank": _reference_rank_sql(),
         # real-decode round trip: golden features computed by the
         # generator from the raw arrays BEFORE encoding

@@ -193,3 +193,32 @@ def reference_search(pages_ds, links_ds, query: str, *,
     return out.sort_values(["rank", "url"], ascending=[False, True]).reset_index(
         drop=True
     )
+
+
+def domain_counts(pages_ds):
+    """Per-host page counts + total html bytes — the aggregation that
+    sizes crawl budgets and per-domain quality decisions at web scale
+    (the reference's frontier is URL-granular; host granularity is the
+    scale unit). Host = netloc via one vectorized pandas str.split per
+    batch; per-batch pre-aggregation so the groupby shuffles (host,
+    partials), never pages. Output: (host, n_pages, html_bytes),
+    deterministic."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("url").to_pandas()
+        host = s.str.split("/", n=3).str[2].fillna("")
+        sizes = pd.Series(
+            [len(b) for b in batch.column("html").to_pylist()],
+            index=host.index)
+        g = pd.DataFrame({"host": host, "b": sizes}).groupby(
+            "host", sort=False).agg(n_p=("b", "size"), b_p=("b", "sum"))
+        return pa.table({
+            "host": pa.array(g.index.to_numpy(), type=pa.string()),
+            "n_p": pa.array(g["n_p"].to_numpy(np.int64)),
+            "b_p": pa.array(g["b_p"].to_numpy(np.int64)),
+        })
+
+    return pages_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("host").aggregate(Sum("n_p", alias_name="n_pages"),
+                                   Sum("b_p", alias_name="html_bytes"))

@@ -307,8 +307,27 @@ def tfidf_topk(ds, *, k: int = 3, stem: bool = False,
     """
     from rse_ray.pipelines.relational import hash_join, top_k_per_group
 
-    p = postings(ds, stem=stem)
-    d = term_df(ds, stem=stem).select_columns(["term", "df"])
+    # MATERIALIZED: p feeds three consumers (the df aggregation, the
+    # join's count(), and the join itself) — without pinning, the lazy
+    # plan re-tokenizes the corpus once per consumer. The pinned blocks
+    # are the posting table itself (spillable), the thing any index
+    # build holds anyway.
+    p = postings(ds, stem=stem).materialize()
+    # df derived FROM the postings (one row per (term, doc), so df =
+    # row count per term) — the corpus is tokenized once, not twice.
+    # Per-batch pre-count so the groupby shuffles (term, partial) rows.
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        terms, counts = np.unique(
+            batch.column("term").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "df_p": pa.array(counts.astype(np.int64))})
+
+    d = p.select_columns(["term"]) \
+        .map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df_p", alias_name="df"))
     n_docs = int(ds.count())
 
     joined = hash_join(p, d, left_on="term", right_on="term",
