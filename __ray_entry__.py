@@ -107,7 +107,15 @@ def _finalize(result) -> Any:
     elif isinstance(result, pa.Table):
         t = result
     else:  # ray Dataset
-        t = pa.Table.from_pandas(result.to_pandas(), preserve_index=False)
+        df = result.to_pandas()
+        if df.empty and not len(df.columns):
+            # an empty Dataset loses its columns through to_pandas —
+            # rebuild the empty table from the Dataset's own schema so
+            # the driver's schema comparison still sees the contract
+            base = getattr(result.schema(), "base_schema", None)
+            if isinstance(base, pa.Schema):
+                return base.empty_table()
+        t = pa.Table.from_pandas(df, preserve_index=False)
     fields = []
     changed = False
     for f in t.schema:
