@@ -578,6 +578,16 @@ def _q_decontaminate(sf_dir: str):
     return _finalize(decontaminate(docs, bench, n=3))
 
 
+DUP_SPAN_K = 25
+
+
+def _q_dup_spans(sf_dir: str):
+    from rse_ray.pipelines.dedup import dup_spans
+
+    return _finalize(dup_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=DUP_SPAN_K))
+
+
 def _q_repetition_scores(sf_dir: str):
     from rse_ray.pipelines.text import repetition_scores
 
@@ -1053,6 +1063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": _q_bigram_counts,
         "epoch_shuffle": _q_epoch_shuffle,
         "decontaminate": _q_decontaminate,
+        "dup_spans": _q_dup_spans,
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
@@ -1366,6 +1377,34 @@ SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
 LEFT JOIN hits h USING (doc_id)""",
+        # duplicate-span detection (substring dedup, Lee et al. 2022
+        # shape): maximal spans whose k-char grams occur >=2 times in
+        # the corpus; islands merged when consecutive dup positions are
+        # <= k apart (adjacent/overlapping coverage windows)
+        "dup_spans": f"""
+WITH pos AS (
+  SELECT doc_id,
+         unnest(range(0, length(text) - {DUP_SPAN_K} + 1)) AS pos, text
+  FROM documents WHERE length(text) >= {DUP_SPAN_K}
+), g AS (
+  SELECT doc_id, pos,
+         substr(text, (pos + 1)::INT, {DUP_SPAN_K}) AS gram FROM pos
+), dup AS (
+  SELECT doc_id, pos FROM g
+  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  > {DUP_SPAN_K} THEN 1 ELSE 0 END AS brk
+  FROM dup
+), grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp_id
+  FROM isl
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + {DUP_SPAN_K} - min(pos))::BIGINT AS span_len
+FROM grp GROUP BY doc_id, grp_id""",
         # Gopher-style repetition filters
         "repetition_scores": """
 WITH arr AS (SELECT doc_id,

@@ -767,6 +767,129 @@ def dedup_keep_representative(ds, *, pairs: pd.DataFrame | None = None,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+_DS_MOD = (1 << 31) - 1  # Mersenne-31, matches functions.hashing.poly_hash
+_DS_BASE_A = 257
+_DS_BASE_B = 263
+
+
+def _gram_hashes(text: str, k: int, wa: np.ndarray,
+                 wb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Polynomial hashes of every length-k character gram of ``text``,
+    two independent bases, fully vectorized (no per-position Python).
+    Codepoints (UTF-32 view) x weight matrix, chunked so the n-by-k
+    intermediate stays bounded for megabyte documents. Overflow-safe:
+    cp < 2^21, weight < 2^31, k-term sum < k * 2^52 — inside uint64 for
+    any practical gram length (k <= 1024)."""
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.uint64)
+    n_pos = len(cps) - k + 1
+    ha = np.empty(n_pos, dtype=np.uint64)
+    hb = np.empty(n_pos, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(cps, k)
+    mod = np.uint64(_DS_MOD)
+    for s in range(0, n_pos, 65536):
+        e = min(s + 65536, n_pos)
+        ha[s:e] = (win[s:e] * wa[None, :]).sum(axis=1) % mod
+        hb[s:e] = (win[s:e] * wb[None, :]).sum(axis=1) % mod
+    return ha, hb
+
+
+def dup_spans(ds, *, k: int = 25, id_col: str = "doc_id",
+              text_col: str = "text", num_parts: int | None = None,
+              carry_gram: bool = True):
+    """Duplicate-SPAN detection — substring-level dedup in the shape of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): find every maximal character span whose length-``k`` grams
+    each occur >= 2 times across the corpus (any document, self-repeats
+    included), i.e. the text a suffix-array dedup pass would cut.
+    Output: one row per maximal span, (doc_id, span_start, span_len),
+    0-based character offsets. The reference has no analog (its dedup
+    is whole-URL, crawler.go visited set); this is the training-data
+    hygiene operator its corpus would need at scale.
+
+    Scale shape: docs explode to one (part, hash, doc_id, pos[, gram])
+    row per gram position — O(corpus chars) rows, the same order as the
+    postings explode the index build already does — then ONE
+    groupby(part) marks duplicated positions (hash-partitioned; within
+    a part, occurrence counting groups by the gram STRING, so hash
+    collisions cannot create false spans) and ONE groupby(doc_id)
+    merges overlapping dup positions into maximal spans. No driver
+    materialization at any point. ``carry_gram=False`` is the 100 TB
+    mode: grams are not shipped and counting keys on the (h_a, h_b)
+    62-bit hash pair instead (collision odds ~2^-62 per pair; the
+    shuffle drops from ~k+24 to 24 bytes/position). Partition fan-out
+    is input-derived: ~128 docs (~40k position rows at web page sizes)
+    per reduce slot via the shared parts_for rule."""
+    from rse_ray.util import parts_for
+
+    if num_parts is None:
+        num_parts = parts_for(ds.count(), rows_per_part=128)
+    P = np.uint64(num_parts)
+    wa = np.array([pow(_DS_BASE_A, k - 1 - j, _DS_MOD) for j in range(k)],
+                  dtype=np.uint64)
+    wb = np.array([pow(_DS_BASE_B, k - 1 - j, _DS_MOD) for j in range(k)],
+                  dtype=np.uint64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        a_id, a_pos, a_ha, a_hb, a_gram = [], [], [], [], []
+        for did, t in zip(ids, texts):
+            if t is None or len(t) < k:
+                continue
+            ha, hb = _gram_hashes(t, k, wa, wb)
+            n_pos = len(ha)
+            a_id.append(np.full(n_pos, did, dtype=np.int64))
+            a_pos.append(np.arange(n_pos, dtype=np.int64))
+            a_ha.append(ha)
+            a_hb.append(hb)
+            if carry_gram:
+                a_gram.extend(t[i:i + k] for i in range(n_pos))
+        if not a_id:
+            return pa.table(
+                {"part": pa.array([], type=pa.int32()),
+                 "h_a": pa.array([], type=pa.int64()),
+                 "h_b": pa.array([], type=pa.int64()),
+                 "doc_id": pa.array([], type=pa.int64()),
+                 "pos": pa.array([], type=pa.int64()),
+                 "gram": pa.array([], type=pa.string())})
+        ha = np.concatenate(a_ha)
+        hb = np.concatenate(a_hb)
+        return pa.table(
+            {"part": pa.array((ha % P).astype(np.int32)),
+             "h_a": pa.array(ha.astype(np.int64)),
+             "h_b": pa.array(hb.astype(np.int64)),
+             "doc_id": pa.array(np.concatenate(a_id)),
+             "pos": pa.array(np.concatenate(a_pos)),
+             "gram": pa.array(a_gram, type=pa.string()) if carry_gram
+             else pa.nulls(len(ha), pa.string())})
+
+    key_cols = ["gram"] if carry_gram else ["h_a", "h_b"]
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(key_cols, sort=False)[id_col] \
+            .transform("size")
+        return g.loc[cnt >= 2, [id_col, "pos"]]
+
+    def merge_spans(g: pd.DataFrame) -> pa.Table:
+        pos = np.sort(g["pos"].to_numpy(np.int64))
+        brk = np.flatnonzero(np.diff(pos) > k)
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk, [len(pos) - 1]))
+        return pa.table(
+            {id_col: pa.array(
+                np.full(len(starts), int(g[id_col].iloc[0]),
+                        dtype=np.int64)),
+             "span_start": pa.array(pos[starts]),
+             "span_len": pa.array(pos[ends] + k - pos[starts])})
+
+    dup_pos = ds.select_columns([id_col, text_col]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby("part").map_groups(mark_dups, batch_format="pandas")
+    return dup_pos.groupby(id_col).map_groups(
+        merge_spans, batch_format="pandas")
+
+
 def decontaminate(docs_ds, benchmark_ds, *, n: int = 3,
                   key: str = "doc_id", text_col: str = "text"):
     """Benchmark decontamination — the training-data hygiene pass that

@@ -926,6 +926,37 @@ def test_decontaminate_flags_shared_ngrams(ray_session):
     assert list(out["contaminated"]) == [1, 0, 1]
 
 
+def test_dup_spans_maximal_merged_spans(ray_session):
+    """Handcrafted corpus with known duplicate substrings: cross-doc
+    shares, a within-doc self-repeat, a clean doc, and two dup regions
+    separated by >k unique chars (must stay two spans, not merge)."""
+    import ray.data
+
+    from rse_ray.pipelines.dedup import dup_spans
+
+    X, Y = "redgreenblue", "cyanmagenta"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "ABCDEFGHIJzyxwv",            # shares ABCDEFGHIJ with doc 2
+            "mnopqrABCDEFGHIJ",           # ... at offset 6
+            "uuuuuuuu",                   # self-repeat (count>=2 in-doc)
+            "~!@#$%^&*()_",               # fully unique: no spans
+            X + "qwertyuiop[" + Y,        # two shared regions, 11-gap
+            X + "asdfghjkl;" + Y,         # same regions, 10-gap
+        ]})
+    for carry in (True, False):
+        out = dup_spans(ray.data.from_pandas(docs), k=5,
+                        carry_gram=carry).to_pandas()
+        got = set(map(tuple, out[["doc_id", "span_start",
+                                  "span_len"]].to_numpy()))
+        assert got == {
+            (1, 0, 10), (2, 6, 10), (3, 0, 8),
+            (5, 0, 12), (5, 23, 11),
+            (6, 0, 12), (6, 22, 11),
+        }, (carry, got)
+
+
 def test_repetition_scores_degenerate_text(ray_session):
     """Degenerate repetition maxes the scores; fully unique text
     scores 0; short docs score 0 by definition."""
