@@ -580,12 +580,88 @@ def _q_decontaminate(sf_dir: str):
 
 DUP_SPAN_K = 25
 
+# dup_spans DuckDB twin, shared by the dup_spans and dup_span_stats
+# oracles: mark every k-gram position whose gram occurs >=2 times
+# corpus-wide, then merge positions <= k apart into maximal spans
+_DUP_SPANS_SQL = f"""
+WITH pos AS (
+  SELECT doc_id,
+         unnest(range(0, length(text) - {DUP_SPAN_K} + 1)) AS pos, text
+  FROM documents WHERE length(text) >= {DUP_SPAN_K}
+), g AS (
+  SELECT doc_id, pos,
+         substr(text, (pos + 1)::INT, {DUP_SPAN_K}) AS gram FROM pos
+), dup AS (
+  SELECT doc_id, pos FROM g
+  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  > {DUP_SPAN_K} THEN 1 ELSE 0 END AS brk
+  FROM dup
+), grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp_id
+  FROM isl
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + {DUP_SPAN_K} - min(pos))::BIGINT AS span_len
+FROM grp GROUP BY doc_id, grp_id"""
+
 
 def _q_dup_spans(sf_dir: str):
     from rse_ray.pipelines.dedup import dup_spans
 
     return _finalize(dup_spans(
         _read(sf_dir, "documents", ["doc_id", "text"]), k=DUP_SPAN_K))
+
+
+def _q_dup_span_stats(sf_dir: str):
+    from rse_ray.pipelines.dedup import dup_span_stats
+
+    return _finalize(dup_span_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=DUP_SPAN_K))
+
+
+# pattern_scan oracle patterns: the PII presets (email/ipv4 — zero on
+# this corpus, the honest result) plus two that actually fire on the
+# word-salad fixture text, so the hash gate checks real counts. All
+# RE2-compatible and semantics-identical between Python re and DuckDB.
+SCAN_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "a_word": r"\b[a-z]*a[a-z]*\b",
+    "sk_word": r"\bs[a-z]+k\b",
+}
+
+
+def _q_pattern_scan(sf_dir: str):
+    from rse_ray.pipelines.text import pattern_scan
+
+    return _finalize(pattern_scan(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        patterns=SCAN_PATTERNS, redact=True))
+
+
+STRAT_RATES = {"en": 300, "fr": 800}
+STRAT_DEFAULT = 500
+
+
+def _q_stratified_sample(sf_dir: str):
+    from rse_ray.pipelines.relational import stratified_sample
+
+    return _finalize(stratified_sample(
+        _read(sf_dir, "documents"),
+        group="lang", key="doc_id", rates=STRAT_RATES,
+        default_permille=STRAT_DEFAULT))
+
+
+def _q_quality_rank(sf_dir: str):
+    from rse_ray.pipelines.relational import global_rank
+
+    return _finalize(global_rank(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        order="n_chars", key="doc_id", descending=True))
 
 
 def _q_repetition_scores(sf_dir: str):
@@ -1064,6 +1140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "decontaminate": _q_decontaminate,
         "dup_spans": _q_dup_spans,
+        "dup_span_stats": _q_dup_span_stats,
+        "pattern_scan": _q_pattern_scan,
+        "stratified_sample": _q_stratified_sample,
+        "quality_rank": _q_quality_rank,
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
@@ -1381,30 +1461,56 @@ LEFT JOIN hits h USING (doc_id)""",
         # shape): maximal spans whose k-char grams occur >=2 times in
         # the corpus; islands merged when consecutive dup positions are
         # <= k apart (adjacent/overlapping coverage windows)
-        "dup_spans": f"""
-WITH pos AS (
-  SELECT doc_id,
-         unnest(range(0, length(text) - {DUP_SPAN_K} + 1)) AS pos, text
-  FROM documents WHERE length(text) >= {DUP_SPAN_K}
-), g AS (
-  SELECT doc_id, pos,
-         substr(text, (pos + 1)::INT, {DUP_SPAN_K}) AS gram FROM pos
-), dup AS (
-  SELECT doc_id, pos FROM g
-  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
-), isl AS (
-  SELECT doc_id, pos,
-         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                  > {DUP_SPAN_K} THEN 1 ELSE 0 END AS brk
-  FROM dup
-), grp AS (
-  SELECT doc_id, pos,
-         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp_id
-  FROM isl
-)
-SELECT doc_id, min(pos)::BIGINT AS span_start,
-       (max(pos) + {DUP_SPAN_K} - min(pos))::BIGINT AS span_len
-FROM grp GROUP BY doc_id, grp_id""",
+        "dup_spans": _DUP_SPANS_SQL,
+        # per-doc duplicate coverage: sum of (disjoint) maximal span
+        # lengths, LEFT-joined back so clean docs report 0
+        "dup_span_stats": f"""
+SELECT d.doc_id, length(d.text)::BIGINT AS orig_len,
+       coalesce(s.dup_chars, 0)::BIGINT AS dup_chars,
+       (length(d.text) - coalesce(s.dup_chars, 0))::BIGINT AS clean_len
+FROM documents d
+LEFT JOIN (SELECT doc_id, sum(span_len)::BIGINT AS dup_chars
+           FROM ({_DUP_SPANS_SQL}) GROUP BY doc_id) s USING (doc_id)""",
+        # regex pattern scan (PII presets + two corpus-firing patterns);
+        # counts on the ORIGINAL text, redacted_len cascades replaces in
+        # sorted-name order (a_word, email, ipv4, sk_word) exactly as
+        # the Ray side does
+        "pattern_scan": f"""
+SELECT doc_id,
+  len(regexp_extract_all(coalesce(text, ''),
+      '{SCAN_PATTERNS["a_word"]}'))::BIGINT AS n_a_word,
+  len(regexp_extract_all(coalesce(text, ''),
+      '{SCAN_PATTERNS["email"]}'))::BIGINT AS n_email,
+  len(regexp_extract_all(coalesce(text, ''),
+      '{SCAN_PATTERNS["ipv4"]}'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(coalesce(text, ''),
+      '{SCAN_PATTERNS["sk_word"]}'))::BIGINT AS n_sk_word,
+  length(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(coalesce(text, ''),
+            '{SCAN_PATTERNS["a_word"]}', '<A_WORD>', 'g'),
+          '{SCAN_PATTERNS["email"]}', '<EMAIL>', 'g'),
+        '{SCAN_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+      '{SCAN_PATTERNS["sk_word"]}', '<SK_WORD>', 'g'))::BIGINT
+    AS redacted_len
+FROM documents""",
+        # deterministic per-stratum sampling: content-keyed md5 gate,
+        # per-language permille rates (en capped, fr boosted)
+        "stratified_sample": f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE lang IS NOT NULL AND
+      md5_number_lower('strat|' || lang || '|' ||
+                       CAST(doc_id AS VARCHAR)) % 1000 <
+      (CASE lang WHEN 'en' THEN {STRAT_RATES["en"]}
+                 WHEN 'fr' THEN {STRAT_RATES["fr"]}
+                 ELSE {STRAT_DEFAULT} END)""",
+        # exact global ranking by n_chars desc, doc_id tie-break
+        "quality_rank": """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id)::BIGINT AS rank
+FROM documents""",
         # Gopher-style repetition filters
         "repetition_scores": """
 WITH arr AS (SELECT doc_id,

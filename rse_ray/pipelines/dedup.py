@@ -890,6 +890,49 @@ def dup_spans(ds, *, k: int = 25, id_col: str = "doc_id",
         merge_spans, batch_format="pandas")
 
 
+def dup_span_stats(ds, *, k: int = 25, id_col: str = "doc_id",
+                   text_col: str = "text", num_parts: int | None = None):
+    """Per-document duplicate-coverage report — the decision table a
+    substring-dedup pass acts on: for EVERY document, how many of its
+    characters sit inside a corpus-duplicated span (``dup_spans``) and
+    how many would survive the cut. Output (id, orig_len, dup_chars,
+    clean_len); docs with no duplicated span report dup_chars = 0.
+
+    Scale shape: ``dup_spans`` (two shuffles, see its docstring) →
+    tiny per-doc span-length sum → distributed LEFT hash join against
+    the per-doc lengths (spans exist only for dup-bearing docs, so the
+    join's right side is the small one). Nothing touches the driver.
+    Maximal spans are disjoint by construction (merged islands are
+    separated by > k gap), so summing span_len never double-counts."""
+    import pyarrow.compute as pc
+
+    from rse_ray.pipelines.relational import hash_join
+
+    spans = dup_spans(ds, k=k, id_col=id_col, text_col=text_col,
+                      num_parts=num_parts)
+    sums = spans.groupby(id_col).sum("span_len").map_batches(
+        lambda b: b.rename_columns([id_col, "dup_chars"]),
+        batch_format="pyarrow")
+    lengths = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: pa.table(
+            {id_col: b.column(id_col),
+             "orig_len": pc.cast(pc.utf8_length(b.column(text_col)),
+                                 pa.int64())}),
+        batch_format="pyarrow")
+    joined = hash_join(lengths, sums, left_on=id_col, right_on=id_col,
+                       right_cols=["dup_chars"], how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        dup = pc.cast(pc.fill_null(b.column("dup_chars"), 0), pa.int64())
+        return pa.table(
+            {id_col: b.column(id_col),
+             "orig_len": b.column("orig_len"),
+             "dup_chars": dup,
+             "clean_len": pc.subtract(b.column("orig_len"), dup)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def decontaminate(docs_ds, benchmark_ds, *, n: int = 3,
                   key: str = "doc_id", text_col: str = "text"):
     """Benchmark decontamination — the training-data hygiene pass that

@@ -1068,3 +1068,87 @@ def epoch_shuffle(ds, *, key: str = "doc_id", seed: int = 0,
 
     return ordered.map_batches(rank, batch_size=None,
                                batch_format="pyarrow")
+
+
+def stratified_sample(ds, *, group: str, key: str,
+                      rates: dict[str, int] | None = None,
+                      default_permille: int = 0, salt: str = "strat"):
+    """Deterministic per-stratum downsampling — the corpus-rebalancing
+    primitive (e.g. cap English at 30%, keep all low-resource
+    languages): a row survives iff md5(f"{salt}|{group}|{key}") upper-
+    half little-endian uint64 (DuckDB's ``md5_number_lower`` of the
+    same string) mod 1000 < the stratum's permille rate. Content-
+    keyed like train_val_split: the SAME rows are picked on any
+    cluster size, partitioning or rerun, and re-running with a higher
+    rate yields a superset (nested samples). Null group/key rows drop,
+    matching SQL NULL comparison semantics. Pure per-batch filter, no
+    shuffle; the per-row md5 loop is inherent to md5-of-strings."""
+    import hashlib
+    import struct
+
+    rates = rates or {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        gs = batch.column(group).to_pylist()
+        ks = batch.column(key).to_pylist()
+        keep = np.zeros(len(gs), dtype=bool)
+        for i, (g, v) in enumerate(zip(gs, ks)):
+            if g is None or v is None:
+                continue
+            h = struct.unpack(
+                "<Q",
+                hashlib.md5(f"{salt}|{g}|{v}".encode("utf-8")).digest()[8:]
+            )[0]
+            keep[i] = (h % 1000) < rates.get(g, default_permille)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def global_rank(ds, *, order: str, key: str, descending: bool = True,
+                out_col: str = "rank", start: int = 1):
+    """Exact global ranking — SQL ROW_NUMBER() OVER (ORDER BY order
+    [DESC], key) — the operator behind percentile thresholding ("keep
+    the top 20% of docs by quality score") at corpus scale. Every row
+    gains ``out_col``; ties in ``order`` are pinned by ``key`` so the
+    rank is a total order and deterministic.
+
+    Scale shape (same two-pass prefix rank as epoch_shuffle): ONE
+    range exchange (the sort — exactly the all-to-all any exact global
+    rank requires) over the (order, key) projection-plus-payload, then
+    per-block row counts keyed by each block's first row -> O(blocks)
+    driver cumsum -> local arange + offset. The sorted dataset is
+    materialized so both passes see identical blocks; row data never
+    collects on the driver. (order, key) must be unique per row (key
+    unique suffices)."""
+    ordered = ds.sort([order, key],
+                      descending=[descending, False]).materialize()
+
+    def block_count(batch: pa.Table) -> pa.Table:
+        n = min(batch.num_rows, 1)
+        return pa.table({
+            "_o0": batch.column(order).slice(0, 1),
+            "_k0": batch.column(key).slice(0, 1),
+            "cnt": pa.array([batch.num_rows] * n, type=pa.int64()),
+        })
+
+    totals = ordered.map_batches(
+        block_count, batch_size=None, batch_format="pyarrow").to_pandas()
+    totals = totals.sort_values(["_o0", "_k0"],
+                                ascending=[not descending, True]) \
+        .reset_index(drop=True)
+    offs = totals["cnt"].cumsum().shift(fill_value=0) + start
+    base = {(o, k): int(off)
+            for o, k, off in zip(totals["_o0"], totals["_k0"], offs)}
+
+    def rank(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col,
+                                       pa.array([], type=pa.int64()))
+        b = base[(batch.column(order)[0].as_py(),
+                  batch.column(key)[0].as_py())]
+        pos = np.arange(b, b + batch.num_rows, dtype=np.int64)
+        return batch.append_column(out_col, pa.array(pos))
+
+    return ordered.map_batches(rank, batch_size=None,
+                               batch_format="pyarrow")

@@ -479,3 +479,57 @@ def repetition_scores(ds, *, stem: bool = False):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# PII presets for pattern_scan — RE2-compatible (no lookaround, no
+# backreferences) so the same pattern string runs identically under
+# Python re and DuckDB regexp_* for the oracle cross-check.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,14}\d",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pattern_scan(ds, *, patterns: dict[str, str] | None = None,
+                 redact: bool = False, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Per-document regex scan — the PII-detection / policy-filter
+    primitive of a training-data pipeline: for each named pattern,
+    count its non-overlapping matches per doc (``n_<name>`` columns);
+    with ``redact=True`` also report ``redacted_len``, the text length
+    after replacing every match with ``<NAME>`` (patterns applied in
+    sorted-name order, so the Ray and SQL sides agree on cascaded
+    replacements). Defaults to the ``PII_PATTERNS`` presets (email /
+    IPv4 / phone / SSN).
+
+    Scale shape: embarrassingly parallel per-batch map, no shuffle.
+    Patterns compile ONCE at the driver and ship as compiled objects
+    (re.Pattern pickles by source, recompiling once per worker — not
+    per batch, not per row). The findall loop is per-string — inherent
+    to regex scanning; the engine underneath is C."""
+    import re
+
+    pats = {name: re.compile(p)
+            for name, p in sorted((patterns or PII_PATTERNS).items())}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        out = {id_col: batch.column(id_col)}
+        for name, rx in pats.items():
+            out[f"n_{name}"] = pa.array(
+                [len(rx.findall(t)) if t else 0 for t in texts],
+                type=pa.int64())
+        if redact:
+            red = []
+            for t in texts:
+                if t:
+                    for name, rx in pats.items():
+                        t = rx.sub(f"<{name.upper()}>", t)
+                red.append(len(t) if t else 0)
+            out["redacted_len"] = pa.array(red, type=pa.int64())
+        return pa.table(out)
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(fn, batch_format="pyarrow")

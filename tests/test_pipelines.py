@@ -1023,3 +1023,79 @@ HAVING count(*) >= 200 ORDER BY n DESC, term""").df()
         pd.DataFrame({"doc_id": range(n), "text": texts})).repartition(16)
     out = heavy_hitters(adv, min_count=300, capacity=8)
     assert int(out[out["term"] == "rare"]["n"].iloc[0]) == n
+
+
+def test_pattern_scan_pii_counts_and_redaction(ray_session):
+    """Handcrafted PII-bearing docs: counts per preset pattern and the
+    cascaded redaction length."""
+    import ray.data
+
+    from rse_ray.pipelines.text import pattern_scan
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "mail me at bob@example.com or alice@test.org today",
+            "server 10.0.0.1 and 192.168.1.255, ssn 123-45-6789",
+            "no pii here at all",
+        ]})
+    out = pattern_scan(ray.data.from_pandas(docs), redact=True) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_email"]) == [2, 0, 0]
+    assert list(out["n_ipv4"]) == [0, 2, 0]
+    assert list(out["n_ssn"]) == [0, 1, 0]
+    # doc 3 untouched: redacted text == original text
+    assert out["redacted_len"][2] == len(docs["text"][2])
+    # doc 1: both emails -> <EMAIL> (7 chars each)
+    expect1 = len("mail me at <EMAIL> or <EMAIL> today")
+    assert out["redacted_len"][0] == expect1
+
+
+def test_stratified_sample_deterministic_and_nested(ray_session):
+    """Same rows on rerun; higher rate yields a superset; zero-rate
+    stratum and null group drop entirely."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import stratified_sample
+
+    docs = pd.DataFrame({
+        "doc_id": range(200),
+        "lang": (["en"] * 120 + ["fr"] * 60 + ["zz"] * 19 + [None]),
+    })
+    ds = ray.data.from_pandas(docs)
+
+    def pick(rates, default=0):
+        out = stratified_sample(ds, group="lang", key="doc_id",
+                                rates=rates, default_permille=default)
+        return set(out.to_pandas()["doc_id"])
+
+    lo = pick({"en": 200, "fr": 500})
+    lo2 = pick({"en": 200, "fr": 500})
+    hi = pick({"en": 600, "fr": 900})
+    assert lo == lo2
+    assert lo <= hi
+    assert lo  # nonempty at these rates
+    # zz stratum has rate 0 (default) and null lang always drops
+    zz = {d for d in hi if d >= 180}
+    assert not zz
+
+
+def test_global_rank_ties_and_order(ray_session):
+    """Exact ROW_NUMBER semantics: descending by score, ties pinned by
+    key ascending, ranks are 1..N with no gaps."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import global_rank
+
+    rng = np.random.default_rng(7)
+    scores = rng.integers(0, 5, size=300)  # heavy ties
+    df = pd.DataFrame({"k": np.arange(300), "s": scores})
+    out = global_rank(
+        ray.data.from_pandas(df).repartition(7),
+        order="s", key="k", descending=True) \
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    exp = df.sort_values(["s", "k"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    assert list(out["rank"]) == list(range(1, 301))
+    assert list(out["k"]) == list(exp["k"])
+    assert list(out["s"]) == list(exp["s"])
