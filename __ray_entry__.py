@@ -664,6 +664,13 @@ def _q_quality_rank(sf_dir: str):
         order="n_chars", key="doc_id", descending=True))
 
 
+def _q_doc_lm_score(sf_dir: str):
+    from rse_ray.pipelines.text import doc_lm_score
+
+    return _finalize(doc_lm_score(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
 def _q_repetition_scores(sf_dir: str):
     from rse_ray.pipelines.text import repetition_scores
 
@@ -1144,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_scan": _q_pattern_scan,
         "stratified_sample": _q_stratified_sample,
         "quality_rank": _q_quality_rank,
+        "doc_lm_score": _q_doc_lm_score,
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
@@ -1506,6 +1514,27 @@ WHERE lang IS NOT NULL AND
       (CASE lang WHEN 'en' THEN {STRAT_RATES["en"]}
                  WHEN 'fr' THEN {STRAT_RATES["fr"]}
                  ELSE {STRAT_DEFAULT} END)""",
+        # corpus-trained add-one bigram LM, per-doc cross entropy:
+        # P(w2|w1) = (c(w1 w2)+1)/(c_pred(w1)+V), V = distinct tokens
+        "doc_lm_score": """
+WITH dd AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '') AS arr
+     FROM documents),
+bg AS (SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+       FROM dd, unnest(range(1, len(arr))) AS t(i)),
+cb AS (SELECT w1, w2, count(*)::DOUBLE AS cb FROM bg GROUP BY 1, 2),
+cp AS (SELECT w1, count(*)::DOUBLE AS cp FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM
+      (SELECT unnest(arr) AS term FROM dd)),
+sc AS (SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+              round(avg(-ln((cb.cb + 1) / (cp.cp + v.v))), 6)
+                  AS cross_entropy
+       FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v
+       GROUP BY bg.doc_id)
+SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(sc.cross_entropy, 0)::DOUBLE AS cross_entropy
+FROM documents d LEFT JOIN sc USING (doc_id)""",
         # exact global ranking by n_chars desc, doc_id tie-break
         "quality_rank": """
 SELECT doc_id, n_chars,

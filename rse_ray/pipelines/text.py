@@ -533,3 +533,82 @@ def pattern_scan(ds, *, patterns: dict[str, str] | None = None,
 
     return ds.select_columns([id_col, text_col]) \
         .map_batches(fn, batch_format="pyarrow")
+
+
+def doc_lm_score(ds, *, stem: bool = False, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Corpus-trained bigram-LM cross-entropy per document — the
+    model-based quality signal (CCNet/KenLM shape): train add-one-
+    smoothed bigram statistics on the corpus itself, then score each
+    doc by the average negative log-likelihood of its bigrams,
+    P(w2|w1) = (c(w1 w2) + 1) / (c_pred(w1) + V) where c_pred counts
+    w1's appearances as a bigram predecessor and V is the corpus
+    distinct-token count. High cross-entropy = improbable word
+    sequences (gibberish/boilerplate candidates). Output
+    (id, n_bigrams, cross_entropy) with <2-token docs scoring 0.
+
+    Scale shape: pass 1 is the bigram_counts explode — per-batch
+    Counter partials, ONE groupby((w1, w2)) — with each token also
+    emitted once as a (w, NULL) row so the same shuffle yields the
+    vocabulary; the aggregated LM table (bigram vocab after the
+    count-aggregation, the standard n-gram-LM budget) is collected
+    and broadcast ONCE via ray.put. Pass 2 is a per-batch map:
+    token->id via the broadcast vocab, bigram counts looked up through
+    a packed-int64 key dict, numpy log/mean per doc."""
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    # unigram sentinel: w2 = "" (tokens are never empty post-filter),
+    # so Ray's groupby sort never compares None against str
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = _tok(t, stem)
+            c.update(zip(toks, toks[1:]))
+            c.update((w, "") for w in toks)
+        keys = sorted(c)
+        return pa.table({
+            "w1": pa.array([k[0] for k in keys], type=pa.string()),
+            "w2": pa.array([k[1] for k in keys], type=pa.string()),
+            "c_p": pa.array([c[k] for k in keys], type=pa.int64()),
+        })
+
+    lm = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("c_p", alias_name="n")) \
+        .to_pandas()
+
+    uni = lm[lm["w2"] == ""]
+    vocab = {w: i for i, w in enumerate(sorted(uni["w1"]))}
+    V = len(vocab)
+    big = lm[lm["w2"] != ""]
+    pred = big.groupby("w1")["n"].sum()
+    c_pred = np.zeros(V, dtype=np.float64)
+    for w, n in pred.items():
+        c_pred[vocab[w]] = float(n)
+    c_big = {vocab[r.w1] * V + vocab[r.w2]: float(r.n)
+             for r in big.itertuples()}
+    lm_ref = ray.put((vocab, V, c_pred, c_big))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, V, c_pred, c_big = ray.get(lm_ref)
+        ids = batch.column(id_col)
+        nb = np.zeros(batch.num_rows, dtype=np.int64)
+        ce = np.zeros(batch.num_rows, dtype=np.float64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            toks = _tok(t, stem)
+            if len(toks) < 2:
+                continue
+            tid = np.array([vocab[w] for w in toks], dtype=np.int64)
+            keys = tid[:-1] * V + tid[1:]
+            cb = np.array([c_big.get(int(k), 0.0) for k in keys])
+            p = (cb + 1.0) / (c_pred[tid[:-1]] + V)
+            nb[i] = len(keys)
+            ce[i] = round(float(np.mean(-np.log(p))), 6)
+        return pa.table({id_col: ids,
+                         "n_bigrams": pa.array(nb),
+                         "cross_entropy": pa.array(ce)})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(score, batch_format="pyarrow")

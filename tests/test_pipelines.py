@@ -1099,3 +1099,35 @@ def test_global_rank_ties_and_order(ray_session):
     assert list(out["rank"]) == list(range(1, 301))
     assert list(out["k"]) == list(exp["k"])
     assert list(out["s"]) == list(exp["s"])
+
+
+def test_doc_lm_score_matches_reference(ray_session):
+    """Add-one bigram LM cross-entropy against an independent
+    pure-Python computation; short docs score 0."""
+    from collections import Counter
+
+    import ray.data
+
+    from rse_ray.pipelines.text import doc_lm_score
+
+    texts = ["the cat sat on the mat",
+             "the cat ran",
+             "dog",
+             "mat on the cat"]
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": texts})
+    out = doc_lm_score(ray.data.from_pandas(docs).repartition(3)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    toks = [t.split() for t in texts]
+    cb = Counter(p for ts in toks for p in zip(ts, ts[1:]))
+    cp = Counter(p[0] for ts in toks for p in zip(ts, ts[1:]))
+    V = len({w for ts in toks for w in ts})
+    for i, ts in enumerate(toks):
+        pairs = list(zip(ts, ts[1:]))
+        if len(ts) < 2:
+            assert out["n_bigrams"][i] == 0 and out["cross_entropy"][i] == 0
+            continue
+        exp = np.mean([-np.log((cb[p] + 1) / (cp[p[0]] + V))
+                       for p in pairs])
+        assert out["n_bigrams"][i] == len(pairs)
+        assert abs(out["cross_entropy"][i] - exp) < 1e-6
