@@ -664,6 +664,32 @@ def _q_quality_rank(sf_dir: str):
         order="n_chars", key="doc_id", descending=True))
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Two snapshots derived deterministically from documents: new
+    gains doc_id%10==0, loses doc_id%10==1, and rewrites doc_id%7==0
+    texts — the add/remove/change mix a corpus refresh produces."""
+    from rse_ray.pipelines.relational import snapshot_diff
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def old_f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.filter(pa.array(ids % 10 != 0))
+
+    def new_f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        t = b.filter(pa.array(ids % 10 != 1))
+        ids2 = t.column("doc_id").to_numpy()
+        texts = [x + " v2" if i % 7 == 0 else x
+                 for i, x in zip(ids2, t.column("text").to_pylist())]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, type=pa.string())})
+
+    old = docs.map_batches(old_f, batch_format="pyarrow")
+    new = docs.map_batches(new_f, batch_format="pyarrow")
+    return _finalize(snapshot_diff(old, new))
+
+
 def _q_doc_lm_score(sf_dir: str):
     from rse_ray.pipelines.text import doc_lm_score
 
@@ -840,6 +866,49 @@ def _q_domain_counts(sf_dir: str):
     return _finalize(domain_counts(
         ray.data.read_parquet(_linkgraph_pages_paths(),
                               columns=["url", "html"])))
+
+
+def _q_pagerank(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import extract_links, pagerank
+
+    links = extract_links(ray.data.read_parquet(_linkgraph_pages_paths()))
+    return _finalize(pagerank(links, iters=PAGERANK_ITERS,
+                              damping=PAGERANK_DAMPING))
+
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def _pagerank_sql() -> str:
+    """Unrolled power-iteration twin over the generator's golden links
+    (DuckDB recursive CTEs disallow aggregates in the recursive term,
+    so the fixed iteration count is expanded as chained CTEs)."""
+    links = os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+    d = PAGERANK_DAMPING
+    parts = [f"""
+WITH edges AS (SELECT src_url AS src, dst_url AS dst
+               FROM read_parquet('{links}')),
+nodes AS (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::DOUBLE AS odeg FROM edges GROUP BY 1),
+ed AS (SELECT e.src, e.dst, deg.odeg FROM edges e JOIN deg USING (src)),
+r0 AS (SELECT url, 1.0/nn.n AS rank FROM nodes CROSS JOIN nn)"""]
+    for k in range(1, PAGERANK_ITERS + 1):
+        parts.append(f""",
+c{k} AS (SELECT ed.dst, sum(r.rank/ed.odeg) AS c FROM ed
+         JOIN r{k - 1} r ON ed.src = r.url GROUP BY 1),
+t{k} AS (SELECT coalesce(sum(c), 0) AS t FROM c{k}),
+r{k} AS (SELECT n.url,
+                (1-{d})/nn.n + {d}*(coalesce(c.c, 0) + (1-t{k}.t)/nn.n)
+                    AS rank
+         FROM nodes n LEFT JOIN c{k} c ON n.url = c.dst
+         CROSS JOIN nn CROSS JOIN t{k})""")
+    parts.append(
+        f"\nSELECT url, round(rank, 6) AS rank FROM r{PAGERANK_ITERS}")
+    return "".join(parts)
 
 
 def _q_reference_rank(sf_dir: str):
@@ -1152,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "quality_rank": _q_quality_rank,
         "doc_lm_score": _q_doc_lm_score,
+        "snapshot_diff": _q_snapshot_diff,
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
@@ -1164,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reference_relevance": _q_reference_relevance,
         "link_extract": _q_link_extract,
         "backlink_counts": _q_backlink_counts,
+        "pagerank": _q_pagerank,
         "domain_counts": _q_domain_counts,
         "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
@@ -1514,6 +1585,22 @@ WHERE lang IS NOT NULL AND
       (CASE lang WHEN 'en' THEN {STRAT_RATES["en"]}
                  WHEN 'fr' THEN {STRAT_RATES["fr"]}
                  ELSE {STRAT_DEFAULT} END)""",
+        # corpus-refresh diff between two derived snapshots (adds,
+        # removals, content rewrites); unchanged rows omitted
+        "snapshot_diff": """
+WITH old AS (SELECT doc_id, text, 1 AS has_o FROM documents
+             WHERE doc_id % 10 <> 0),
+new AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                   AS text, 1 AS has_n
+        FROM documents WHERE doc_id % 10 <> 1)
+SELECT doc_id,
+       CASE WHEN has_o IS NULL THEN 'added'
+            WHEN has_n IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n USING (doc_id)
+WHERE has_o IS NULL OR has_n IS NULL
+      OR coalesce(o.text, '') <> coalesce(n.text, '')""",
         # corpus-trained add-one bigram LM, per-doc cross entropy:
         # P(w2|w1) = (c(w1 w2)+1)/(c_pred(w1)+V), V = distinct tokens
         "doc_lm_score": """
@@ -1615,6 +1702,7 @@ SELECT split_part(url, '/', 3) AS host, count(*)::BIGINT AS n_pages,
 FROM read_parquet('{pages}') GROUP BY 1""".format(
             pages=os.path.join(LINKGRAPH_DIR, "pages_*.parquet")),
         "reference_rank": _reference_rank_sql(),
+        "pagerank": _pagerank_sql(),
         # real-decode round trip: golden features computed by the
         # generator from the raw arrays BEFORE encoding
         "media_features": """

@@ -222,3 +222,95 @@ def domain_counts(pages_ds):
     return pages_ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("host").aggregate(Sum("n_p", alias_name="n_pages"),
                                    Sum("b_p", alias_name="html_bytes"))
+
+
+def pagerank(links_ds, *, iters: int = 5, damping: float = 0.85,
+             src_col: str = "src_url", dst_col: str = "dst_url"):
+    """TRUE iterative PageRank over the link graph — the principled
+    version of the reference's degenerate rank loop (api/main.go rank
+    handler, mirrored by reference_search): power iteration with
+    damping and dangling-mass redistribution,
+    r_{t+1}(v) = (1-d)/N + d * (sum_{u->v} r_t(u)/odeg(u) + dang_t/N),
+    dang_t = 1 - sum(all contributions) (rank mass of sink nodes).
+    Output (url, rank) for every node (src ∪ dst), rank rounded 6dp.
+
+    Scale shape: nodes and out-degrees are computed once; every
+    iteration is ONE distributed hash join (edge src -> current rank),
+    ONE groupby(dst) contribution sum, and ONE left join back onto the
+    node set — all hash-partitioned, nothing driver-side except two
+    O(1) scalars (N, the contribution total). Each iteration's ranks
+    are materialized so iteration t+1 consumes blocks, not a t-deep
+    lazy lineage re-executed from scratch. Multi-edges count once per
+    occurrence, matching the SQL twin."""
+    import pyarrow.compute as pc
+
+    from rse_ray.pipelines.relational import hash_join
+    from rse_ray.util import parts_for
+
+    links = links_ds.map_batches(
+        lambda b: pa.table({"src": b.column(src_col),
+                            "dst": b.column(dst_col)}),
+        batch_format="pyarrow").materialize()
+    # one shared fan-out for every join/groupby in the loop, derived
+    # from the edge count ONCE (a per-join count() would add a full
+    # pass per iteration)
+    P = parts_for(links.count())
+
+    def halves(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": pa.concat_arrays([
+                b.column("src").combine_chunks().cast(pa.string()),
+                b.column("dst").combine_chunks().cast(pa.string())])})
+
+    nodes = links.map_batches(halves, batch_format="pyarrow") \
+        .groupby("url").count().drop_columns(["count()"]).materialize()
+    n_nodes = nodes.count()
+
+    deg = links.groupby("src").count()
+    edges = hash_join(links, deg.map_batches(
+        lambda b: b.rename_columns(["s2", "odeg"]), batch_format="pyarrow"),
+        left_on="src", right_on="s2", right_cols=["odeg"],
+        num_parts=P).materialize()
+
+    ranks = nodes.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array(np.full(b.num_rows, 1.0 / n_nodes))),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        joined = hash_join(
+            edges,
+            ranks.map_batches(
+                lambda b: b.rename_columns(["u2", "rank"]),
+                batch_format="pyarrow"),
+            left_on="src", right_on="u2", right_cols=["rank"],
+            num_parts=P)
+        contribs = joined.map_batches(
+            lambda b: pa.table(
+                {"dst": b.column("dst"),
+                 "c": pc.divide(b.column("rank"),
+                                pc.cast(b.column("odeg"), pa.float64()))}),
+            batch_format="pyarrow")
+        agg = contribs.groupby("dst").sum("c").map_batches(
+            lambda b: b.rename_columns(["d2", "csum"]),
+            batch_format="pyarrow").materialize()
+        # dangling mass from the AGGREGATED table (O(nodes) rows), not
+        # a second full pass over the per-edge contributions
+        tot = agg.sum("csum") or 0.0
+        dang_per_node = (1.0 - tot) / n_nodes
+        base = (1.0 - damping) / n_nodes
+
+        def step(b: pa.Table) -> pa.Table:
+            c = pc.fill_null(b.column("csum"), 0.0).to_numpy()
+            r = base + damping * (c + dang_per_node)
+            return pa.table({"url": b.column("url"), "rank": pa.array(r)})
+
+        ranks = hash_join(nodes, agg, left_on="url", right_on="d2",
+                          right_cols=["csum"], how="left", num_parts=P) \
+            .map_batches(step, batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "rank": pa.array(
+                                np.round(b.column("rank").to_numpy(), 6))}),
+        batch_format="pyarrow")

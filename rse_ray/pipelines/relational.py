@@ -1152,3 +1152,69 @@ def global_rank(ds, *, order: str, key: str, descending: bool = True,
 
     return ordered.map_batches(rank, batch_size=None,
                                batch_format="pyarrow")
+
+
+def snapshot_diff(old_ds, new_ds, *, key: str = "doc_id",
+                  cmp_col: str = "text", num_parts: int | None = None):
+    """Corpus-refresh diff — what changed between two snapshots of the
+    same table (the CommonCrawl-refresh / incremental-recrawl
+    bookkeeping step): emits (key, status) with status in
+    {'added', 'removed', 'changed'}; unchanged rows are omitted.
+    'changed' compares ``cmp_col`` by md5 content hash, so arbitrarily
+    large payloads diff without shipping both copies anywhere twice.
+
+    Scale shape: each side maps to (key, side, content-hash) — the
+    shuffle carries 17-byte rows, never payloads — then ONE
+    groupby(key) classifies each key from its tagged pair. No driver
+    materialization; fan-out is input-derived via parts_for."""
+    import hashlib
+
+    from rse_ray.util import parts_for
+
+    if num_parts is None:
+        num_parts = parts_for(old_ds.count() + new_ds.count())
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            texts = batch.column(cmp_col).to_pylist()
+            h = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5((t or "").encode("utf-8")).digest()[:8],
+                    "little") - (1 << 63)
+                 for t in texts),
+                dtype=np.int64, count=len(texts))
+            keys = batch.column(key).to_numpy()
+            return pa.table({
+                key: batch.column(key),
+                "part": pa.array(
+                    (keys % num_parts).astype(np.int32)),
+                "side": pa.array(
+                    np.full(batch.num_rows, side, dtype=np.int8)),
+                "h": pa.array(h),
+            })
+        return fn
+
+    both = old_ds.select_columns([key, cmp_col]) \
+        .map_batches(tag(0), batch_format="pyarrow") \
+        .union(new_ds.select_columns([key, cmp_col])
+               .map_batches(tag(1), batch_format="pyarrow"))
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.pivot_table(index=key, columns="side", values="h",
+                            aggfunc="first")
+        old_h = piv[0] if 0 in piv.columns else pd.Series(
+            np.nan, index=piv.index)
+        new_h = piv[1] if 1 in piv.columns else pd.Series(
+            np.nan, index=piv.index)
+        status = np.where(
+            old_h.isna(), "added",
+            np.where(new_h.isna(), "removed",
+                     np.where(old_h != new_h, "changed", "")))
+        out = pd.DataFrame({key: piv.index.to_numpy(),
+                            "status": status})
+        return out[out["status"] != ""]
+
+    # shuffle by hash partition, not by key: classify pivots EVERY key
+    # of a partition in one vectorized call (a per-key map_groups would
+    # schedule one task per document)
+    return both.groupby("part").map_groups(classify, batch_format="pandas")

@@ -1131,3 +1131,59 @@ def test_doc_lm_score_matches_reference(ray_session):
                        for p in pairs])
         assert out["n_bigrams"][i] == len(pairs)
         assert abs(out["cross_entropy"][i] - exp) < 1e-6
+
+
+def test_pagerank_matches_dense_power_iteration(ray_session):
+    """Small graph with real out-degree variation, a dangling node and
+    a multi-edge; compare against a dense numpy power iteration with
+    identical damping/dangling semantics."""
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c"), ("a", "b")]  # d has no in-links; e dangling
+    edges.append(("c", "e"))          # e: in-link but no out-links
+    links = pd.DataFrame({"src_url": [s for s, _ in edges],
+                          "dst_url": [t for _, t in edges]})
+    out = pagerank(ray.data.from_pandas(links), iters=5, damping=0.85) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    N = len(nodes)
+    M = np.zeros((N, N))
+    odeg = np.zeros(N)
+    for s, _ in edges:
+        odeg[idx[s]] += 1
+    for s, t in edges:
+        M[idx[t], idx[s]] += 1.0 / odeg[idx[s]]
+    r = np.full(N, 1.0 / N)
+    for _ in range(5):
+        contrib = M @ r
+        dang = 1.0 - contrib.sum()
+        r = (1 - 0.85) / N + 0.85 * (contrib + dang / N)
+    exp = np.round(r, 6)
+    assert list(out["url"]) == nodes
+    np.testing.assert_allclose(out["rank"].to_numpy(),
+                               exp, rtol=0, atol=2e-6)
+    # rank mass conserved
+    assert abs(out["rank"].sum() - 1.0) < 1e-4
+
+
+def test_snapshot_diff_classifies_adds_removes_changes(ray_session):
+    """Handcrafted snapshots: added, removed, changed, unchanged (and
+    unchanged is omitted from the output)."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import snapshot_diff
+
+    old = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                        "text": ["a", "b", "c", "d"]})
+    new = pd.DataFrame({"doc_id": [2, 3, 4, 5],
+                        "text": ["b", "CHANGED", "d", "e"]})
+    out = snapshot_diff(ray.data.from_pandas(old),
+                        ray.data.from_pandas(new)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = dict(zip(out["doc_id"], out["status"]))
+    assert got == {1: "removed", 3: "changed", 5: "added"}
