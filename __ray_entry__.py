@@ -664,6 +664,13 @@ def _q_quality_rank(sf_dir: str):
         order="n_chars", key="doc_id", descending=True))
 
 
+def _q_embedding_covariance(sf_dir: str):
+    from rse_ray.pipelines.ann import embedding_covariance
+
+    return _finalize(embedding_covariance(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])))
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Two snapshots derived deterministically from documents: new
     gains doc_id%10==0, loses doc_id%10==1, and rewrites doc_id%7==0
@@ -1222,6 +1229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_rank": _q_quality_rank,
         "doc_lm_score": _q_doc_lm_score,
         "snapshot_diff": _q_snapshot_diff,
+        "embedding_covariance": _q_embedding_covariance,
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
@@ -1585,6 +1593,18 @@ WHERE lang IS NOT NULL AND
       (CASE lang WHEN 'en' THEN {STRAT_RATES["en"]}
                  WHEN 'fr' THEN {STRAT_RATES["fr"]}
                  ELSE {STRAT_DEFAULT} END)""",
+        # population covariance of the embedding matrix, 1-based dims;
+        # FLOAT values promote to DOUBLE in both engines before the
+        # multiply, so E[xi*xj] agrees to rounding
+        "embedding_covariance": """
+WITH x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS xi
+           FROM embeddings, unnest(range(1, 65)) AS t(i)),
+m AS (SELECT i, avg(xi) AS mu FROM x GROUP BY 1),
+pairs AS (SELECT a.i AS i, b.i AS j, avg(a.xi * b.xi) AS exy
+          FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2)
+SELECT p.i::BIGINT AS i, p.j::BIGINT AS j,
+       round(p.exy - ma.mu * mb.mu, 6) AS cov
+FROM pairs p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i""",
         # corpus-refresh diff between two derived snapshots (adds,
         # removals, content rewrites); unchanged rows omitted
         "snapshot_diff": """

@@ -487,3 +487,51 @@ def ivf_knn(ds, query_ids: list[int], k: int = 10, *, nlist: int = 16,
                            ascending=[True, False, True])
               .groupby("query_id", as_index=False).head(k))
     return res.reset_index(drop=True)
+
+
+def embedding_covariance(ds, *, vec_col: str = "embedding",
+                         round_to: int = 6):
+    """Distributed population covariance of the embedding matrix — the
+    PCA / whitening prep step of an embedding pipeline, as the classic
+    partial-sum reduction: every batch contributes its X^T X outer
+    product, per-dimension sums and row count as (i, j, s) rows; ONE
+    groupby((i, j)) merges them; the final combine touches only the
+    O(d^2) aggregated table (independent of corpus size), never rows.
+    Output (i, j, cov), 1-based dims to match SQL array indexing,
+    cov = E[xi*xj] - E[xi]E[xj], rounded.
+
+    Scale shape: the shuffle carries d^2 + d + 1 rows PER BATCH
+    (d=64 -> ~4k), zero-copy numpy matmul per batch; embeddings are
+    promoted float32 -> float64 before multiplying, matching DuckDB's
+    FLOAT -> DOUBLE aggregate promotion exactly."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        n, d = X.shape
+        S = X.T @ X
+        ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
+                             indexing="ij")
+        i = np.concatenate([ii.ravel(), np.arange(1, d + 1),
+                            np.array([0])])
+        j = np.concatenate([jj.ravel(), np.zeros(d, dtype=np.int64),
+                            np.array([0])])
+        s = np.concatenate([S.ravel(), X.sum(axis=0),
+                            np.array([float(n)])])
+        return pa.table({"i": pa.array(i.astype(np.int64)),
+                         "j": pa.array(j.astype(np.int64)),
+                         "s": pa.array(s)})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["i", "j"]).aggregate(Sum("s", alias_name="s")) \
+        .to_pandas()  # O(d^2) rows — bounded by dimension, not corpus
+
+    n = float(agg.loc[(agg["i"] == 0) & (agg["j"] == 0), "s"].iloc[0])
+    mu = agg[(agg["j"] == 0) & (agg["i"] > 0)].set_index("i")["s"] / n
+    sq = agg[agg["j"] > 0]
+    cov = (sq["s"] / n
+           - sq["i"].map(mu).to_numpy() * sq["j"].map(mu).to_numpy())
+    out = pd.DataFrame({"i": sq["i"].to_numpy(),
+                        "j": sq["j"].to_numpy(),
+                        "cov": np.round(cov.to_numpy(), round_to)})
+    return out.sort_values(["i", "j"]).reset_index(drop=True)

@@ -1187,3 +1187,21 @@ def test_snapshot_diff_classifies_adds_removes_changes(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     got = dict(zip(out["doc_id"], out["status"]))
     assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    """Partial-sum distributed covariance equals np.cov(bias=True)."""
+    import ray.data
+
+    from rse_ray.pipelines.ann import embedding_covariance
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(120, 5)).astype(np.float32)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(120),
+        "embedding": [row for row in X],
+    })).repartition(4)
+    out = embedding_covariance(ds)
+    C = np.cov(X.astype(np.float64), rowvar=False, bias=True)
+    got = out.pivot(index="i", columns="j", values="cov").to_numpy()
+    np.testing.assert_allclose(got, np.round(C, 6), rtol=0, atol=2e-6)
