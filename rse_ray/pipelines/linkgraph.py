@@ -277,6 +277,16 @@ def pagerank(links_ds, *, iters: int = 5, damping: float = 0.85,
             "rank", pa.array(np.full(b.num_rows, 1.0 / n_nodes))),
         batch_format="pyarrow").materialize()
 
+    # zero-contribution seed rows — unioned into every iteration's
+    # groupby so EVERY node (including sinks with no in-links) comes
+    # out of the single shuffle, replacing a second left join per
+    # iteration; zeros are invisible to the dangling-mass total
+    zero_seed = nodes.map_batches(
+        lambda b: pa.table({"dst": b.column("url"),
+                            "c": pa.array(
+                                np.zeros(b.num_rows, dtype=np.float64))}),
+        batch_format="pyarrow").materialize()
+
     for _ in range(iters):
         joined = hash_join(
             edges,
@@ -291,23 +301,28 @@ def pagerank(links_ds, *, iters: int = 5, damping: float = 0.85,
                  "c": pc.divide(b.column("rank"),
                                 pc.cast(b.column("odeg"), pa.float64()))}),
             batch_format="pyarrow")
-        agg = contribs.groupby("dst").sum("c").map_batches(
-            lambda b: b.rename_columns(["d2", "csum"]),
-            batch_format="pyarrow").materialize()
+        # ONE shuffle per iteration beyond the join: groupby(dst) over
+        # contributions + zero seeds yields the full per-node table
+        agg = contribs.union(zero_seed).groupby("dst").sum("c") \
+            .materialize()
         # dangling mass from the AGGREGATED table (O(nodes) rows), not
         # a second full pass over the per-edge contributions
-        tot = agg.sum("csum") or 0.0
+        tot = agg.sum("sum(c)") or 0.0
         dang_per_node = (1.0 - tot) / n_nodes
         base = (1.0 - damping) / n_nodes
 
-        def step(b: pa.Table) -> pa.Table:
-            c = pc.fill_null(b.column("csum"), 0.0).to_numpy()
-            r = base + damping * (c + dang_per_node)
-            return pa.table({"url": b.column("url"), "rank": pa.array(r)})
+        # bind the scalars at def time: ranks is LAZY now, so `step`
+        # executes inside the NEXT iteration — late-binding closure
+        # cells would hand it that iteration's dangling mass
+        def step(b: pa.Table, *, base=base,
+                 dang=dang_per_node) -> pa.Table:
+            c = b.column("sum(c)").to_numpy()
+            r = base + damping * (c + dang)
+            return pa.table({"url": b.column("dst"), "rank": pa.array(r)})
 
-        ranks = hash_join(nodes, agg, left_on="url", right_on="d2",
-                          right_cols=["csum"], how="left", num_parts=P) \
-            .map_batches(step, batch_format="pyarrow").materialize()
+        # lazy: the rank update rides into the next iteration's join
+        # execution (agg is materialized, so nothing replays)
+        ranks = agg.map_batches(step, batch_format="pyarrow")
 
     return ranks.map_batches(
         lambda b: pa.table({"url": b.column("url"),
