@@ -225,7 +225,8 @@ def domain_counts(pages_ds):
 
 
 def pagerank(links_ds, *, iters: int = 5, damping: float = 0.85,
-             src_col: str = "src_url", dst_col: str = "dst_url"):
+             src_col: str = "src_url", dst_col: str = "dst_url",
+             engine: str = "pregel"):
     """TRUE iterative PageRank over the link graph — the principled
     version of the reference's degenerate rank loop (api/main.go rank
     handler, mirrored by reference_search): power iteration with
@@ -234,14 +235,31 @@ def pagerank(links_ds, *, iters: int = 5, damping: float = 0.85,
     dang_t = 1 - sum(all contributions) (rank mass of sink nodes).
     Output (url, rank) for every node (src ∪ dst), rank rounded 6dp.
 
-    Scale shape: nodes and out-degrees are computed once; every
-    iteration is ONE distributed hash join (edge src -> current rank),
-    ONE groupby(dst) contribution sum, and ONE left join back onto the
-    node set — all hash-partitioned, nothing driver-side except two
-    O(1) scalars (N, the contribution total). Each iteration's ranks
-    are materialized so iteration t+1 consumes blocks, not a t-deep
-    lazy lineage re-executed from scratch. Multi-edges count once per
-    occurrence, matching the SQL twin."""
+    ``engine='pregel'`` (default) runs the iteration as hash-sharded
+    actor supersteps (see ``_pagerank_pregel``) — the right engine for
+    an iterative algorithm, where per-iteration state must NOT re-enter
+    the full Dataset executor. ``engine='dataset'`` keeps the
+    Dataset-composed form (hash join + groupby per iteration) as the
+    reference implementation; the two are asserted equal in tests."""
+    if engine == "pregel":
+        return _pagerank_pregel(links_ds, iters=iters, damping=damping,
+                                src_col=src_col, dst_col=dst_col)
+    if engine != "dataset":
+        raise ValueError(f"engine={engine!r}")
+    return _pagerank_dataset(links_ds, iters=iters, damping=damping,
+                             src_col=src_col, dst_col=dst_col)
+
+
+def _pagerank_dataset(links_ds, *, iters: int, damping: float,
+                      src_col: str, dst_col: str):
+    """Dataset-composed power iteration (reference engine): every
+    iteration is ONE distributed hash join (edge src -> current rank)
+    and ONE groupby(dst) contribution sum (zero-seeded so the full
+    node set falls out of the shuffle) — all hash-partitioned, nothing
+    driver-side except two O(1) scalars. Correct and fully streaming,
+    but each iteration pays a full Dataset-executor launch, which is
+    why the pregel engine is the default for the iterate-k-times
+    shape."""
     import pyarrow.compute as pc
 
     from rse_ray.pipelines.relational import hash_join
@@ -329,3 +347,178 @@ def pagerank(links_ds, *, iters: int = 5, damping: float = 0.85,
                             "rank": pa.array(
                                 np.round(b.column("rank").to_numpy(), 6))}),
         batch_format="pyarrow")
+
+
+def _pr_url_hash(urls: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized url -> uint64 hash (same fixed-key
+    siphash hash_join routes string keys with), stable across
+    processes and cluster sizes."""
+    return pd.util.hash_array(urls.astype(object))
+
+
+def _pagerank_pregel(links_ds, *, iters: int, damping: float,
+                     src_col: str, dst_col: str,
+                     num_parts: int | None = None):
+    """Pregel-style PageRank: the graph is hash-partitioned ONCE by
+    node (shard(u) = siphash(u) mod P; every edge lives with its SRC,
+    so out-degrees are shard-local), each shard is an actor holding
+    its edge slice and rank vector, and an iteration is two actor
+    rounds: step() — every shard emits per-destination-shard
+    pre-aggregated contribution tables straight into the object store
+    (an M x R exchange, the same shape as the index build's merge
+    exchange) — then apply() folds the received tables plus the two
+    global scalars into the new rank vector. State stays resident in
+    the actors across supersteps: no Dataset-executor launch, no
+    re-shuffle of the edge set, per iteration — the property the
+    Dataset-composed engine can't offer, and why iterative graph
+    algorithms are the canonical raw-actor case.
+
+    Partitioning assumptions, explicit: (1) a node's full out-edge
+    list fits one shard (holds unless a single page has ~billions of
+    outlinks); (2) each shard's node set + edges fit actor memory —
+    P = parts_for(edges) grows with the graph, so shard size is
+    bounded by the same rows/part rule as every other exchange here.
+    The rank/contribution math is identical to _pagerank_dataset and
+    the SQL twin; the three agree to the 6dp output rounding."""
+    import ray
+
+    from rse_ray.util import parts_for
+
+    links = links_ds.map_batches(
+        lambda b: pa.table(
+            {"src": b.column(src_col).combine_chunks().cast(pa.string()),
+             "dst": b.column(dst_col).combine_chunks().cast(pa.string())}),
+        batch_format="pyarrow")
+    block_refs = links.to_arrow_refs()
+    M = len(block_refs)
+    if num_parts is None:
+        n_edges = links.count()
+        P = parts_for(n_edges, rows_per_part=200_000)
+
+    @ray.remote
+    def split_block(tbl: pa.Table, P: int):
+        """Map side of the exchange: route edges by hash(src) and dst
+        node stubs by hash(dst); returns 2P tables (edges then dsts)."""
+        src = tbl.column("src").to_numpy(zero_copy_only=False)
+        dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+        h_src = (_pr_url_hash(src) % P).astype(np.int64)
+        h_dst = (_pr_url_hash(dst) % P).astype(np.int64)
+        out = []
+        for p in range(P):
+            out.append(tbl.filter(pa.array(h_src == p)))
+        for p in range(P):
+            out.append(pa.table(
+                {"dst": tbl.column("dst").filter(pa.array(h_dst == p))}))
+        return out
+
+    # num_returns >= 2 always, so each entry is a list of 2P refs
+    parts = [split_block.options(num_returns=2 * P).remote(r, P)
+             for r in block_refs]
+
+    @ray.remote
+    class _PrShard:
+        def __init__(self, p: int, P: int, edge_refs, dst_refs):
+            self.p, self.P = p, P
+            edges = pa.concat_tables(ray.get(list(edge_refs)))
+            dsts = pa.concat_tables(ray.get(list(dst_refs)))
+            src = edges.column("src").to_numpy(zero_copy_only=False)
+            dst = edges.column("dst").to_numpy(zero_copy_only=False)
+            own_dst = dsts.column("dst").to_numpy(zero_copy_only=False)
+            # shard-local node set: own-hash srcs (by construction all
+            # of them) plus own-hash dst stubs
+            self.urls = np.array(
+                sorted(set(src.tolist()) | set(own_dst.tolist())),
+                dtype=object)
+            src_idx = np.searchsorted(self.urls, src)
+            # out-degree is exact shard-locally: ALL edges of a src
+            # live here
+            _, inv, cnt = np.unique(src_idx, return_inverse=True,
+                                    return_counts=True)
+            self.src_idx = src_idx
+            self.inv_odeg = (1.0 / cnt[inv]) if len(src) else \
+                np.empty(0, dtype=np.float64)
+            # pre-group outgoing edges by destination shard, and
+            # pre-aggregate within (dst, shard): contributions then
+            # reduce to one scatter-add per superstep
+            dshard = (_pr_url_hash(dst) % P).astype(np.int64) if len(dst) \
+                else np.empty(0, dtype=np.int64)
+            self.out = []
+            for q in range(P):
+                m = dshard == q
+                self.out.append((dst[m], src_idx[m],
+                                 self.inv_odeg[m]))
+            self.rank = None
+
+        def n_local(self) -> int:
+            return len(self.urls)
+
+        def init_ranks(self, n_nodes: int) -> None:
+            self.n_nodes = n_nodes
+            self.rank = np.full(len(self.urls), 1.0 / n_nodes)
+
+        def step(self):
+            """Superstep send half: per-destination-shard contribution
+            tables, pre-aggregated by dst; [0] is this shard's total
+            contribution mass (for the dangling term)."""
+            out = []
+            tot = 0.0
+            for q in range(self.P):
+                dst, src_idx, inv_odeg = self.out[q]
+                if len(dst) == 0:
+                    out.append(pa.table(
+                        {"dst": pa.array([], type=pa.string()),
+                         "c": pa.array([], type=pa.float64())}))
+                    continue
+                c = self.rank[src_idx] * inv_odeg
+                u, inv2 = np.unique(dst, return_inverse=True)
+                csum = np.zeros(len(u))
+                np.add.at(csum, inv2, c)
+                tot += float(csum.sum())
+                out.append(pa.table({"dst": pa.array(u, type=pa.string()),
+                                     "c": pa.array(csum)}))
+            return [tot] + out
+
+        def apply(self, base: float, damping: float,
+                  dang_per_node: float, *tables) -> None:
+            csum = np.zeros(len(self.urls))
+            for t in tables:
+                if t.num_rows == 0:
+                    continue
+                idx = np.searchsorted(
+                    self.urls, t.column("dst").to_numpy(
+                        zero_copy_only=False))
+                np.add.at(csum, idx, t.column("c").to_numpy())
+            self.rank = base + damping * (csum + dang_per_node)
+
+        def result(self) -> pa.Table:
+            return pa.table({"url": pa.array(self.urls, type=pa.string()),
+                             "rank": pa.array(np.round(self.rank, 6))})
+
+    shards = [
+        _PrShard.remote(
+            p, P,
+            [parts[m][p] for m in range(M)],
+            [parts[m][P + p] for m in range(M)])
+        for p in range(P)
+    ]
+    n_nodes = sum(ray.get([s.n_local.remote() for s in shards]))
+    ray.get([s.init_ranks.remote(n_nodes) for s in shards])
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        outs = [s.step.options(num_returns=P + 1).remote()
+                for s in shards]
+        tot = sum(ray.get([o[0] for o in outs]))
+        dang_per_node = (1.0 - tot) / n_nodes
+        ray.get([
+            s.apply.remote(base, damping, dang_per_node,
+                           *[outs[p][q + 1] for p in range(P)])
+            for q, s in enumerate(shards)
+        ])
+    import ray.data
+
+    res_refs = [s.result.remote() for s in shards]
+    # block until the result tables exist in the object store: the
+    # shard actors are released when this function returns, and a
+    # pending task on a dead actor would poison the refs
+    ray.wait(res_refs, num_returns=len(res_refs))
+    return ray.data.from_arrow_refs(res_refs)

@@ -1148,6 +1148,13 @@ def test_pagerank_matches_dense_power_iteration(ray_session):
                           "dst_url": [t for _, t in edges]})
     out = pagerank(ray.data.from_pandas(links), iters=5, damping=0.85) \
         .to_pandas().sort_values("url").reset_index(drop=True)
+    out_ds = pagerank(ray.data.from_pandas(links).repartition(3),
+                      iters=5, damping=0.85, engine="dataset") \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    # the pregel and dataset engines agree exactly at output rounding
+    assert list(out_ds["url"]) == list(out["url"])
+    np.testing.assert_allclose(out_ds["rank"].to_numpy(),
+                               out["rank"].to_numpy(), rtol=0, atol=2e-6)
 
     nodes = sorted({u for e in edges for u in e})
     idx = {u: i for i, u in enumerate(nodes)}
@@ -1205,3 +1212,24 @@ def test_embedding_covariance_matches_numpy(ray_session):
     C = np.cov(X.astype(np.float64), rowvar=False, bias=True)
     got = out.pivot(index="i", columns="j", values="cov").to_numpy()
     np.testing.assert_allclose(got, np.round(C, 6), rtol=0, atol=2e-6)
+
+
+def test_dup_span_stats_coverage_and_clean_docs(ray_session):
+    """Coverage sums the disjoint maximal spans; clean docs report 0;
+    clean_len + dup_chars == orig_len always."""
+    import ray.data
+
+    from rse_ray.pipelines.dedup import dup_span_stats
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "ABCDEFGHIJzyxwv",    # 10 dup chars (shared with doc 2)
+            "mnopqrABCDEFGHIJ",   # 10 dup chars at offset 6
+            "~!@#$%^&*()_",       # clean
+        ]})
+    out = dup_span_stats(ray.data.from_pandas(docs), k=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["dup_chars"]) == [10, 10, 0]
+    assert (out["orig_len"] == out["dup_chars"] + out["clean_len"]).all()
+    assert list(out["orig_len"]) == [15, 16, 12]
