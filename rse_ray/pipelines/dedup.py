@@ -907,7 +907,12 @@ def dup_span_stats(ds, *, k: int = 25, id_col: str = "doc_id",
     import pyarrow.compute as pc
 
     from rse_ray.pipelines.relational import hash_join
+    from rse_ray.util import parts_for
 
+    if num_parts is None:
+        # ONE count pass shared by dup_spans' explode fan-out and the
+        # join fan-out below (each would otherwise count on its own)
+        num_parts = parts_for(ds.count(), rows_per_part=128)
     spans = dup_spans(ds, k=k, id_col=id_col, text_col=text_col,
                       num_parts=num_parts)
     sums = spans.groupby(id_col).sum("span_len").map_batches(
@@ -920,7 +925,8 @@ def dup_span_stats(ds, *, k: int = 25, id_col: str = "doc_id",
                                  pa.int64())}),
         batch_format="pyarrow")
     joined = hash_join(lengths, sums, left_on=id_col, right_on=id_col,
-                       right_cols=["dup_chars"], how="left")
+                       right_cols=["dup_chars"], how="left",
+                       num_parts=num_parts)
 
     def finish(b: pa.Table) -> pa.Table:
         dup = pc.cast(pc.fill_null(b.column("dup_chars"), 0), pa.int64())

@@ -1172,7 +1172,9 @@ def snapshot_diff(old_ds, new_ds, *, key: str = "doc_id",
     from rse_ray.util import parts_for
 
     if num_parts is None:
-        num_parts = parts_for(old_ds.count() + new_ds.count())
+        # one count pass, not two: snapshots are the same table across
+        # a refresh, so 2x the old side sizes the exchange fine
+        num_parts = parts_for(2 * old_ds.count())
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
