@@ -388,12 +388,18 @@ def _pagerank_pregel(links_ds, *, iters: int, damping: float,
         lambda b: pa.table(
             {"src": b.column(src_col).combine_chunks().cast(pa.string()),
              "dst": b.column(dst_col).combine_chunks().cast(pa.string())}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()  # count + refs share blocks
     block_refs = links.to_arrow_refs()
     M = len(block_refs)
-    if num_parts is None:
-        n_edges = links.count()
-        P = parts_for(n_edges, rows_per_part=200_000)
+    n_edges = links.count()
+    P = num_parts if num_parts is not None else \
+        parts_for(n_edges, rows_per_part=200_000)
+    if M == 0 or n_edges == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], type=pa.string()),
+             "rank": pa.array([], type=pa.float64())}))
 
     @ray.remote
     def split_block(tbl: pa.Table, P: int):
