@@ -507,7 +507,13 @@ def embedding_covariance(ds, *, vec_col: str = "embedding",
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        X = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        vecs = [v for v in batch.column(vec_col).to_pylist()
+                if v is not None]
+        if not vecs:  # empty or all-null block: contribute nothing
+            return pa.table({"i": pa.array([], type=pa.int64()),
+                             "j": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64())})
+        X = np.stack(vecs).astype(np.float64)
         n, d = X.shape
         S = X.T @ X
         ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
@@ -526,6 +532,10 @@ def embedding_covariance(ds, *, vec_col: str = "embedding",
         .groupby(["i", "j"]).aggregate(Sum("s", alias_name="s")) \
         .to_pandas()  # O(d^2) rows — bounded by dimension, not corpus
 
+    if agg.empty:  # no vectors anywhere
+        return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                             "j": pd.Series([], dtype=np.int64),
+                             "cov": pd.Series([], dtype=np.float64)})
     n = float(agg.loc[(agg["i"] == 0) & (agg["j"] == 0), "s"].iloc[0])
     mu = agg[(agg["j"] == 0) & (agg["i"] > 0)].set_index("i")["s"] / n
     sq = agg[agg["j"] > 0]

@@ -909,10 +909,14 @@ def dup_span_stats(ds, *, k: int = 25, id_col: str = "doc_id",
     from rse_ray.pipelines.relational import hash_join
     from rse_ray.util import parts_for
 
+    # ONE count pass, TWO fan-outs: the gram explode sees ~text_len
+    # rows per doc (128 docs/part), the length join sees ONE row per
+    # doc — sharing the explode's fan-out would over-partition the
+    # join by ~400x at corpus scale
+    n_docs = ds.count()
     if num_parts is None:
-        # ONE count pass shared by dup_spans' explode fan-out and the
-        # join fan-out below (each would otherwise count on its own)
-        num_parts = parts_for(ds.count(), rows_per_part=128)
+        num_parts = parts_for(n_docs, rows_per_part=128)
+    join_parts = parts_for(n_docs)
     spans = dup_spans(ds, k=k, id_col=id_col, text_col=text_col,
                       num_parts=num_parts)
     sums = spans.groupby(id_col).sum("span_len").map_batches(
@@ -926,7 +930,7 @@ def dup_span_stats(ds, *, k: int = 25, id_col: str = "doc_id",
         batch_format="pyarrow")
     joined = hash_join(lengths, sums, left_on=id_col, right_on=id_col,
                        right_cols=["dup_chars"], how="left",
-                       num_parts=num_parts)
+                       num_parts=join_parts)
 
     def finish(b: pa.Table) -> pa.Table:
         dup = pc.cast(pc.fill_null(b.column("dup_chars"), 0), pa.int64())

@@ -283,6 +283,12 @@ def _pagerank_dataset(links_ds, *, iters: int, damping: float,
     nodes = links.map_batches(halves, batch_format="pyarrow") \
         .groupby("url").count().drop_columns(["count()"]).materialize()
     n_nodes = nodes.count()
+    if n_nodes == 0:  # edge-free graph: same empty result as pregel
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], type=pa.string()),
+             "rank": pa.array([], type=pa.float64())}))
 
     deg = links.groupby("src").count()
     edges = hash_join(links, deg.map_batches(

@@ -1125,28 +1125,46 @@ def global_rank(ds, *, order: str, key: str, descending: bool = True,
                       descending=[descending, False]).materialize()
 
     def block_count(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = min(batch.num_rows, 1)
+        o = batch.column(order)
+        if batch.num_rows == 0:
+            bad = 0
+        elif pa.types.is_floating(o.type) or pa.types.is_integer(o.type):
+            fin = pc.sum(pc.is_finite(pc.cast(o, pa.float64()))).as_py()
+            bad = batch.num_rows - (fin or 0)
+        else:
+            bad = o.null_count
         return pa.table({
-            "_o0": batch.column(order).slice(0, 1),
+            "_o0": o.slice(0, 1),
             "_k0": batch.column(key).slice(0, 1),
             "cnt": pa.array([batch.num_rows] * n, type=pa.int64()),
+            "bad": pa.array([bad or 0] * n, type=pa.int64()),
         })
 
     totals = ordered.map_batches(
         block_count, batch_size=None, batch_format="pyarrow").to_pandas()
+    if len(totals) and int(totals["bad"].sum()):
+        # null/NaN order values have no total order: Ray's sort and the
+        # driver cumsum would disagree on their placement — refuse
+        # rather than return silently wrong ranks
+        raise ValueError(
+            f"global_rank: {int(totals['bad'].sum())} null/NaN values "
+            f"in order column {order!r}; filter or impute them first")
     totals = totals.sort_values(["_o0", "_k0"],
                                 ascending=[not descending, True]) \
         .reset_index(drop=True)
     offs = totals["cnt"].cumsum().shift(fill_value=0) + start
-    base = {(o, k): int(off)
-            for o, k, off in zip(totals["_o0"], totals["_k0"], offs)}
+    # keyed by the (unique) tie-break key alone: first-row identity
+    # needs no float equality through the pandas round trip
+    base = {k: int(off) for k, off in zip(totals["_k0"], offs)}
 
     def rank(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column(out_col,
                                        pa.array([], type=pa.int64()))
-        b = base[(batch.column(order)[0].as_py(),
-                  batch.column(key)[0].as_py())]
+        b = base[batch.column(key)[0].as_py()]
         pos = np.arange(b, b + batch.num_rows, dtype=np.int64)
         return batch.append_column(out_col, pa.array(pos))
 
@@ -1185,7 +1203,18 @@ def snapshot_diff(old_ds, new_ds, *, key: str = "doc_id",
                     "little") - (1 << 63)
                  for t in texts),
                 dtype=np.int64, count=len(texts))
-            keys = batch.column(key).to_numpy()
+            ka = batch.column(key)
+            if isinstance(ka, pa.ChunkedArray):
+                ka = ka.combine_chunks()
+            if pa.types.is_string(ka.type) or \
+                    pa.types.is_large_string(ka.type):
+                # string keys (url-keyed snapshots) route via the same
+                # stable fixed-key siphash hash_join uses
+                keys = pd.util.hash_array(
+                    ka.to_numpy(zero_copy_only=False).astype(object)
+                ).astype(np.int64)
+            else:
+                keys = ka.to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table({
                 key: batch.column(key),
                 "part": pa.array(

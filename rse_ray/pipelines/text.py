@@ -535,6 +535,9 @@ def pattern_scan(ds, *, patterns: dict[str, str] | None = None,
         .map_batches(fn, batch_format="pyarrow")
 
 
+_LM_CACHE: dict = {}  # worker-global broadcast-LM cache (doc_lm_score)
+
+
 def doc_lm_score(ds, *, stem: bool = False, id_col: str = "doc_id",
                  text_col: str = "text"):
     """Corpus-trained bigram-LM cross-entropy per document — the
@@ -565,6 +568,8 @@ def doc_lm_score(ds, *, stem: bool = False, id_col: str = "doc_id",
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for t in batch.column(text_col).to_pylist():
+            if not t:  # null/empty text contributes nothing
+                continue
             toks = _tok(t, stem)
             c.update(zip(toks, toks[1:]))
             c.update((w, "") for w in toks)
@@ -587,22 +592,38 @@ def doc_lm_score(ds, *, stem: bool = False, id_col: str = "doc_id",
     c_pred = np.zeros(V, dtype=np.float64)
     for w, n in pred.items():
         c_pred[vocab[w]] = float(n)
-    c_big = {vocab[r.w1] * V + vocab[r.w2]: float(r.n)
-             for r in big.itertuples()}
-    lm_ref = ray.put((vocab, V, c_pred, c_big))
+    # bigram counts as SORTED packed-key + count numpy arrays (plasma
+    # zero-copy; a python dict would re-deserialize on every access)
+    pk = np.fromiter((vocab[r.w1] * V + vocab[r.w2]
+                      for r in big.itertuples()),
+                     dtype=np.int64, count=len(big))
+    cnt = big["n"].to_numpy(dtype=np.float64)
+    srt = np.argsort(pk)
+    lm_ref = ray.put((vocab, V, c_pred, pk[srt], cnt[srt]))
 
     def score(batch: pa.Table) -> pa.Table:
-        vocab, V, c_pred, c_big = ray.get(lm_ref)
+        # worker-global cache: ONE ray.get deserialization per worker
+        # process, not per batch (the vocab dict is not zero-copy)
+        lm = _LM_CACHE.get(lm_ref.hex())
+        if lm is None:
+            _LM_CACHE.clear()  # at most one resident LM per worker
+            lm = _LM_CACHE[lm_ref.hex()] = ray.get(lm_ref)
+        vocab, V, c_pred, big_keys, big_cnt = lm
         ids = batch.column(id_col)
         nb = np.zeros(batch.num_rows, dtype=np.int64)
         ce = np.zeros(batch.num_rows, dtype=np.float64)
         for i, t in enumerate(batch.column(text_col).to_pylist()):
-            toks = _tok(t, stem)
+            toks = _tok(t, stem) if t else []
             if len(toks) < 2:
                 continue
             tid = np.array([vocab[w] for w in toks], dtype=np.int64)
             keys = tid[:-1] * V + tid[1:]
-            cb = np.array([c_big.get(int(k), 0.0) for k in keys])
+            if len(big_keys):
+                idx = np.minimum(np.searchsorted(big_keys, keys),
+                                 len(big_keys) - 1)
+                cb = np.where(big_keys[idx] == keys, big_cnt[idx], 0.0)
+            else:
+                cb = np.zeros(len(keys))
             p = (cb + 1.0) / (c_pred[tid[:-1]] + V)
             nb[i] = len(keys)
             ce[i] = round(float(np.mean(-np.log(p))), 6)

@@ -1233,3 +1233,52 @@ def test_dup_span_stats_coverage_and_clean_docs(ray_session):
     assert list(out["dup_chars"]) == [10, 10, 0]
     assert (out["orig_len"] == out["dup_chars"] + out["clean_len"]).all()
     assert list(out["orig_len"]) == [15, 16, 12]
+
+
+def test_review_fixes_edge_cases(ray_session):
+    """Round-3 review regressions: empty graph on BOTH pagerank
+    engines, string-keyed snapshot_diff, covariance with an empty
+    block, doc_lm_score null text, global_rank NaN refusal."""
+    import pytest
+    import ray.data
+
+    from rse_ray.pipelines.ann import embedding_covariance
+    from rse_ray.pipelines.linkgraph import pagerank
+    from rse_ray.pipelines.relational import global_rank, snapshot_diff
+    from rse_ray.pipelines.text import doc_lm_score
+
+    empty_links = ray.data.from_pandas(pd.DataFrame(
+        {"src_url": pd.Series([], dtype=str),
+         "dst_url": pd.Series([], dtype=str)}))
+    for eng in ("pregel", "dataset"):
+        assert pagerank(empty_links, engine=eng).count() == 0
+
+    old = pd.DataFrame({"url": ["a", "b"], "text": ["x", "y"]})
+    new = pd.DataFrame({"url": ["b", "c"], "text": ["Y2", "z"]})
+    out = snapshot_diff(ray.data.from_pandas(old),
+                        ray.data.from_pandas(new), key="url") \
+        .to_pandas()
+    assert dict(zip(out["url"], out["status"])) == {
+        "a": "removed", "b": "changed", "c": "added"}
+
+    import pyarrow as pa
+
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+        "embedding": pa.array([[1.0, 1.0, 1.0], None, [0.0, 1.0, 2.0]],
+                              type=pa.list_(pa.float32()))})
+    cov = embedding_covariance(ray.data.from_arrow(emb).repartition(5))
+    assert len(cov) == 9  # null vec skipped, empty blocks tolerated
+
+    docs = pd.DataFrame({"doc_id": [1, 2],
+                         "text": [None, "a b a b"]})
+    lm = doc_lm_score(ray.data.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert lm["n_bigrams"][0] == 0 and lm["cross_entropy"][0] == 0
+    assert lm["n_bigrams"][1] == 3
+
+    nan_df = pd.DataFrame({"k": [1, 2, 3],
+                           "s": [1.0, float("nan"), 3.0]})
+    with pytest.raises(ValueError, match="null/NaN"):
+        global_rank(ray.data.from_pandas(nan_df),
+                    order="s", key="k").to_pandas()
