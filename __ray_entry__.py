@@ -5,7 +5,7 @@ entry()      — flagship: the full inverted-index build + BM25 top-k
                search) over pages derived from sf0.001 documents.
 queries()    — one callable per implemented operator/pipeline
                (SURVEY.md §2 + the training-data operator set):
-               69 entries, 67 DuckDB-oracled (the two approximate ANN
+               70 entries, 68 DuckDB-oracled (the two approximate ANN
                paths carry pytest recall oracles instead;
                knn_cosine_ivf_exact runs IVF at nprobe=nlist, which is
                provably exact and shares the brute-force SQL oracle).
@@ -887,6 +887,33 @@ def _q_pagerank(sf_dir: str):
 
 PAGERANK_ITERS = 5
 PAGERANK_DAMPING = 0.85
+CRAWL_SEED_MOD = 101  # seeds: md5_number_lower(url) % 101 == 0
+CRAWL_MAX_DEPTH = 32
+
+
+def _crawl_seed_pred(urls):
+    """Content-deterministic seed gate, the md5_number_lower twin."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    h = np.fromiter(
+        (struct.unpack(
+            "<Q", hashlib.md5(u.encode("utf-8")).digest()[8:])[0]
+         for u in urls),
+        dtype=np.uint64, count=len(urls))
+    return (h % CRAWL_SEED_MOD) == 0
+
+
+def _q_crawl_depth(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import crawl_depth, extract_links
+
+    links = extract_links(ray.data.read_parquet(_linkgraph_pages_paths()))
+    return _finalize(crawl_depth(links, seed_pred=_crawl_seed_pred,
+                                 max_depth=CRAWL_MAX_DEPTH))
 
 
 def _pagerank_sql() -> str:
@@ -1243,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_extract": _q_link_extract,
         "backlink_counts": _q_backlink_counts,
         "pagerank": _q_pagerank,
+        "crawl_depth": _q_crawl_depth,
         "domain_counts": _q_domain_counts,
         "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
@@ -1723,6 +1751,24 @@ FROM read_parquet('{pages}') GROUP BY 1""".format(
             pages=os.path.join(LINKGRAPH_DIR, "pages_*.parquet")),
         "reference_rank": _reference_rank_sql(),
         "pagerank": _pagerank_sql(),
+        # BFS min-hop depth from an md5-gated seed set; the recursive
+        # term is depth-capped so link cycles terminate, min() collapses
+        # revisits to the true BFS depth
+        "crawl_depth": """
+WITH RECURSIVE edges AS (SELECT src_url AS src, dst_url AS dst
+                         FROM read_parquet('{links}')),
+nodes AS (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
+seeds AS (SELECT url FROM nodes
+          WHERE md5_number_lower(url) % {mod} = 0),
+r(url, depth) AS (
+  SELECT url, 0 FROM seeds
+  UNION
+  SELECT e.dst, r.depth + 1 FROM r JOIN edges e ON e.src = r.url
+  WHERE r.depth < {maxd}
+)
+SELECT url, min(depth)::BIGINT AS depth FROM r GROUP BY url""".format(
+            links=os.path.join(LINKGRAPH_DIR, "golden_links.parquet"),
+            mod=CRAWL_SEED_MOD, maxd=CRAWL_MAX_DEPTH),
         # real-decode round trip: golden features computed by the
         # generator from the raw arrays BEFORE encoding
         "media_features": """

@@ -362,6 +362,52 @@ def _pr_url_hash(urls: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(urls.astype(object))
 
 
+def _route_links(tbl: pa.Table, P: int) -> list:
+    """Map side of the graph exchange: route edges by hash(src) and
+    dst node stubs by hash(dst); returns 2P tables (edges then
+    dsts)."""
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+    h_src = (_pr_url_hash(src) % P).astype(np.int64)
+    h_dst = (_pr_url_hash(dst) % P).astype(np.int64)
+    out = []
+    for p in range(P):
+        out.append(tbl.filter(pa.array(h_src == p)))
+    for p in range(P):
+        out.append(pa.table(
+            {"dst": tbl.column("dst").filter(pa.array(h_dst == p))}))
+    return out
+
+
+def _partition_graph(links_ds, src_col: str, dst_col: str,
+                     num_parts: int | None):
+    """Shared graph-sharding prologue for the pregel engines: project
+    to (src, dst), materialize once (count + block refs share blocks),
+    and run the M x R routing exchange. Returns (parts, M, P) where
+    parts[m] is the list of 2P refs from mapper m; M == 0 signals an
+    edge-free graph."""
+    import ray
+
+    from rse_ray.util import parts_for
+
+    links = links_ds.map_batches(
+        lambda b: pa.table(
+            {"src": b.column(src_col).combine_chunks().cast(pa.string()),
+             "dst": b.column(dst_col).combine_chunks().cast(pa.string())}),
+        batch_format="pyarrow").materialize()
+    block_refs = links.to_arrow_refs()
+    n_edges = links.count()
+    if len(block_refs) == 0 or n_edges == 0:
+        return [], 0, 1
+    P = num_parts if num_parts is not None else \
+        parts_for(n_edges, rows_per_part=200_000)
+    split = ray.remote(_route_links)
+    # num_returns >= 2 always, so each entry is a list of 2P refs
+    parts = [split.options(num_returns=2 * P).remote(r, P)
+             for r in block_refs]
+    return parts, len(block_refs), P
+
+
 def _pagerank_pregel(links_ds, *, iters: int, damping: float,
                      src_col: str, dst_col: str,
                      num_parts: int | None = None):
@@ -388,44 +434,13 @@ def _pagerank_pregel(links_ds, *, iters: int, damping: float,
     the SQL twin; the three agree to the 6dp output rounding."""
     import ray
 
-    from rse_ray.util import parts_for
-
-    links = links_ds.map_batches(
-        lambda b: pa.table(
-            {"src": b.column(src_col).combine_chunks().cast(pa.string()),
-             "dst": b.column(dst_col).combine_chunks().cast(pa.string())}),
-        batch_format="pyarrow").materialize()  # count + refs share blocks
-    block_refs = links.to_arrow_refs()
-    M = len(block_refs)
-    n_edges = links.count()
-    P = num_parts if num_parts is not None else \
-        parts_for(n_edges, rows_per_part=200_000)
-    if M == 0 or n_edges == 0:
+    parts, M, P = _partition_graph(links_ds, src_col, dst_col, num_parts)
+    if M == 0:
         import ray.data
 
         return ray.data.from_arrow(pa.table(
             {"url": pa.array([], type=pa.string()),
              "rank": pa.array([], type=pa.float64())}))
-
-    @ray.remote
-    def split_block(tbl: pa.Table, P: int):
-        """Map side of the exchange: route edges by hash(src) and dst
-        node stubs by hash(dst); returns 2P tables (edges then dsts)."""
-        src = tbl.column("src").to_numpy(zero_copy_only=False)
-        dst = tbl.column("dst").to_numpy(zero_copy_only=False)
-        h_src = (_pr_url_hash(src) % P).astype(np.int64)
-        h_dst = (_pr_url_hash(dst) % P).astype(np.int64)
-        out = []
-        for p in range(P):
-            out.append(tbl.filter(pa.array(h_src == p)))
-        for p in range(P):
-            out.append(pa.table(
-                {"dst": tbl.column("dst").filter(pa.array(h_dst == p))}))
-        return out
-
-    # num_returns >= 2 always, so each entry is a list of 2P refs
-    parts = [split_block.options(num_returns=2 * P).remote(r, P)
-             for r in block_refs]
 
     @ray.remote
     class _PrShard:
@@ -532,5 +547,126 @@ def _pagerank_pregel(links_ds, *, iters: int, damping: float,
     # block until the result tables exist in the object store: the
     # shard actors are released when this function returns, and a
     # pending task on a dead actor would poison the refs
+    ray.wait(res_refs, num_returns=len(res_refs))
+    return ray.data.from_arrow_refs(res_refs)
+
+
+def crawl_depth(links_ds, *, seed_pred, max_depth: int = 32,
+                src_col: str = "src_url", dst_col: str = "dst_url",
+                num_parts: int | None = None):
+    """BFS hop distance from a seed set over the directed link graph —
+    the reference's crawl-frontier notion made explicit (crawler.go's
+    queue discovers pages in exactly this breadth order from its seed
+    urls): depth(u) = min hops from any seed, computed as pregel
+    supersteps on the same shard layout as `pagerank`. Output
+    (url, depth) for nodes REACHABLE within ``max_depth``; unreachable
+    nodes are omitted. ``seed_pred(urls: np.ndarray) -> bool mask``
+    picks seeds from the node set content-deterministically (e.g. an
+    md5-mod gate), so the same seeds are chosen on any cluster size.
+
+    Each superstep: shards send the frontier's out-neighbors to their
+    owning shards (M x R object-store exchange of url lists, deduped
+    at the sender); a node settles at FIRST arrival — BFS order makes
+    that the minimum depth. The loop ends when no shard settles a new
+    node or at ``max_depth``, so cycles terminate naturally. State
+    (edges, depth vector) stays actor-resident across supersteps; the
+    same two partitioning assumptions as `pagerank` apply."""
+    import ray
+
+    parts, M, P = _partition_graph(links_ds, src_col, dst_col, num_parts)
+    if M == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], type=pa.string()),
+             "depth": pa.array([], type=pa.int64())}))
+
+    @ray.remote
+    class _BfsShard:
+        def __init__(self, p: int, P: int, edge_refs, dst_refs):
+            self.P = P
+            edges = pa.concat_tables(ray.get(list(edge_refs)))
+            dsts = pa.concat_tables(ray.get(list(dst_refs)))
+            src = edges.column("src").to_numpy(zero_copy_only=False)
+            dst = edges.column("dst").to_numpy(zero_copy_only=False)
+            own_dst = dsts.column("dst").to_numpy(zero_copy_only=False)
+            self.urls = np.array(
+                sorted(set(src.tolist()) | set(own_dst.tolist())),
+                dtype=object)
+            self.src_idx = np.searchsorted(self.urls, src)
+            self.dst = dst
+            self.dst_shard = (_pr_url_hash(dst) % P).astype(np.int64) \
+                if len(dst) else np.empty(0, dtype=np.int64)
+            self.depth = np.full(len(self.urls), -1, dtype=np.int64)
+
+        def n_local(self) -> int:
+            return len(self.urls)
+
+        def seed(self, pred) -> int:
+            if len(self.urls):
+                m = np.asarray(pred(self.urls), dtype=bool)
+                self.depth[m] = 0
+                return int(m.sum())
+            return 0
+
+        def step(self, d: int):
+            """Send half of superstep d: the out-neighbors of nodes at
+            depth d, one deduped url table per destination shard.
+            [0] is the local frontier edge count (keeps num_returns
+            >= 2, same convention as the pagerank shard)."""
+            frontier = self.depth[self.src_idx] == d
+            out = [int(frontier.sum())]
+            for q in range(self.P):
+                m = frontier & (self.dst_shard == q)
+                urls = np.unique(self.dst[m]) if m.any() else \
+                    np.empty(0, dtype=object)
+                out.append(pa.table(
+                    {"url": pa.array(urls, type=pa.string())}))
+            return out
+
+        def apply(self, d_new: int, *tables) -> int:
+            """Settle arrivals at depth d_new; returns #newly settled
+            (first arrival == min depth, by BFS order)."""
+            settled = 0
+            for t in tables:
+                if t.num_rows == 0:
+                    continue
+                idx = np.searchsorted(
+                    self.urls,
+                    t.column("url").to_numpy(zero_copy_only=False))
+                fresh = self.depth[idx] < 0
+                self.depth[idx[fresh]] = d_new
+                settled += int(fresh.sum())
+            return settled
+
+        def result(self) -> pa.Table:
+            m = self.depth >= 0
+            return pa.table(
+                {"url": pa.array(self.urls[m], type=pa.string()),
+                 "depth": pa.array(self.depth[m])})
+
+    shards = [
+        _BfsShard.remote(
+            p, P,
+            [parts[m][p] for m in range(M)],
+            [parts[m][P + p] for m in range(M)])
+        for p in range(P)
+    ]
+    n_seeded = sum(ray.get([s.seed.remote(seed_pred) for s in shards]))
+    d = 0
+    while n_seeded and d < max_depth:
+        outs = [s.step.options(num_returns=P + 1).remote(d)
+                for s in shards]
+        new = ray.get([
+            s.apply.remote(d + 1, *[outs[p][q + 1] for p in range(P)])
+            for q, s in enumerate(shards)
+        ])
+        if not sum(new):
+            break
+        d += 1
+
+    import ray.data
+
+    res_refs = [s.result.remote() for s in shards]
     ray.wait(res_refs, num_returns=len(res_refs))
     return ray.data.from_arrow_refs(res_refs)

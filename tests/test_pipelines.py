@@ -1282,3 +1282,40 @@ def test_review_fixes_edge_cases(ray_session):
     with pytest.raises(ValueError, match="null/NaN"):
         global_rank(ray.data.from_pandas(nan_df),
                     order="s", key="k").to_pandas()
+
+
+def test_crawl_depth_bfs_semantics(ray_session):
+    """Known graph: chain, branch, cycle, unreachable island; seeds
+    picked by predicate; multi-shard layout exercised explicitly."""
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import crawl_depth
+
+    edges = [("s", "a"), ("a", "b"), ("b", "c"), ("c", "a"),  # cycle
+             ("s", "b"),                                     # shortcut
+             ("x", "y")]                                     # island
+    links = pd.DataFrame({"src_url": [e[0] for e in edges],
+                          "dst_url": [e[1] for e in edges]})
+
+    def pred(urls):
+        return np.array([u == "s" for u in urls])
+
+    for parts in (None, 3):
+        out = crawl_depth(ray.data.from_pandas(links), seed_pred=pred,
+                          max_depth=10, num_parts=parts) \
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        got = dict(zip(out["url"], out["depth"]))
+        assert got == {"s": 0, "a": 1, "b": 1, "c": 2}, (parts, got)
+
+    # depth cap: a long chain stops at max_depth
+    chain = pd.DataFrame({
+        "src_url": [f"n{i}" for i in range(6)],
+        "dst_url": [f"n{i + 1}" for i in range(6)]})
+
+    def pred0(urls):
+        return np.array([u == "n0" for u in urls])
+
+    out = crawl_depth(ray.data.from_pandas(chain), seed_pred=pred0,
+                      max_depth=3).to_pandas()
+    assert dict(zip(out["url"], out["depth"])) == {
+        "n0": 0, "n1": 1, "n2": 2, "n3": 3}
