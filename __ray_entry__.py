@@ -551,6 +551,36 @@ def _q_bigram_counts(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]), top_n=50))
 
 
+def _q_token_entropy(sf_dir: str):
+    from rse_ray.pipelines.text import token_entropy
+
+    return _finalize(token_entropy(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _q_corpus_divergence(sf_dir: str):
+    from rse_ray.pipelines.text import corpus_divergence
+
+    return _finalize(corpus_divergence(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _q_skipgram_counts(sf_dir: str):
+    from rse_ray.pipelines.text import skipgram_counts
+
+    return _finalize(skipgram_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        window=2, top_n=50))
+
+
+def _q_pmi_topk(sf_dir: str):
+    from rse_ray.pipelines.text import pmi_topk
+
+    return _finalize(pmi_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_count=5, top_n=50))
+
+
 def _q_epoch_shuffle(sf_dir: str):
     from rse_ray.pipelines.relational import epoch_shuffle
 
@@ -1247,6 +1277,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "pack_sequences": _q_pack_sequences,
         "bigram_counts": _q_bigram_counts,
+        "token_entropy": _q_token_entropy,
+        "corpus_divergence": _q_corpus_divergence,
+        "skipgram_counts": _q_skipgram_counts,
+        "pmi_topk": _q_pmi_topk,
         "epoch_shuffle": _q_epoch_shuffle,
         "decontaminate": _q_decontaminate,
         "dup_spans": _q_dup_spans,
@@ -1544,6 +1578,70 @@ bg AS (SELECT a[i] || ' ' || a[i+1] AS bigram
        FROM arr, unnest(range(1, len(a))) AS t(i)),
 c AS (SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY 1)
 SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 50""",
+        # per-doc unigram Shannon entropy; LEFT JOIN keeps zero-token
+        # docs (entropy 0) that the toks CTE drops
+        "token_entropy": _TOKS + """
+, c AS (SELECT doc_id, term, count(*)::DOUBLE AS c FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1),
+e AS (SELECT c.doc_id, -sum((c.c / n.n) * ln(c.c / n.n)) AS ent
+      FROM c JOIN n USING (doc_id) GROUP BY 1)
+SELECT d.doc_id, coalesce(n.n, 0)::BIGINT AS n_tokens,
+       coalesce(round(e.ent, 6), 0.0) AS entropy
+FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
+                 LEFT JOIN e ON d.doc_id = e.doc_id""",
+        # per-doc KL(p_doc || p_corpus) over unigrams (DSIR-style)
+        "corpus_divergence": _TOKS + """
+, c AS (SELECT doc_id, term, count(*)::DOUBLE AS c FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1),
+g AS (SELECT term, count(*)::DOUBLE AS gc FROM toks GROUP BY 1),
+t AS (SELECT count(*)::DOUBLE AS total FROM toks),
+k AS (SELECT c.doc_id,
+             sum((c.c / n.n) * ln((c.c / n.n) / (g.gc / t.total))) AS kl
+      FROM c JOIN n USING (doc_id) JOIN g USING (term) CROSS JOIN t
+      GROUP BY 1)
+SELECT d.doc_id, coalesce(n.n, 0)::BIGINT AS n_tokens,
+       coalesce(round(k.kl, 6), 0.0) AS kl
+FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
+                 LEFT JOIN k ON d.doc_id = k.doc_id""",
+        # (center, context) pairs at distance 1..2, both directions
+        "skipgram_counts": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+pairs AS (
+  SELECT a[i] || ' ' || a[i+1] AS sg
+  FROM arr, unnest(range(1, len(a))) AS t(i)
+  UNION ALL
+  SELECT a[i+1] || ' ' || a[i]
+  FROM arr, unnest(range(1, len(a))) AS t(i)
+  UNION ALL
+  SELECT a[i] || ' ' || a[i+2]
+  FROM arr, unnest(range(1, len(a) - 1)) AS t(i)
+  UNION ALL
+  SELECT a[i+2] || ' ' || a[i]
+  FROM arr, unnest(range(1, len(a) - 1)) AS t(i))
+SELECT sg AS skipgram, count(*)::BIGINT AS n FROM pairs
+GROUP BY 1 ORDER BY n DESC, skipgram LIMIT 50""",
+        # Church & Hanks PMI over bigrams with a count floor; rank on
+        # the ROUNDED pmi so ties break identically on both sides
+        "pmi_topk": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+bg AS (SELECT a[i] AS w1, a[i+1] AS w2
+       FROM arr, unnest(range(1, len(a))) AS t(i)),
+cb AS (SELECT w1, w2, count(*)::BIGINT AS n FROM bg GROUP BY 1, 2),
+cu AS (SELECT unnest(a) AS w FROM arr),
+cuc AS (SELECT w, count(*)::DOUBLE AS c FROM cu GROUP BY 1),
+n1 AS (SELECT count(*)::DOUBLE AS n FROM cu),
+n2 AS (SELECT sum(n)::DOUBLE AS n FROM cb)
+SELECT cb.w1 || ' ' || cb.w2 AS bigram, cb.n AS n,
+       round(ln((cb.n / n2.n) / ((ua.c / n1.n) * (ub.c / n1.n))), 6)
+           AS pmi
+FROM cb JOIN cuc ua ON cb.w1 = ua.w JOIN cuc ub ON cb.w2 = ub.w
+CROSS JOIN n1 CROSS JOIN n2
+WHERE cb.n >= 5
+ORDER BY pmi DESC, bigram LIMIT 50""",
         # deterministic epoch shuffle: pos = rank of the md5 twin
         "epoch_shuffle": """
 SELECT doc_id, lang,

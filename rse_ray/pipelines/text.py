@@ -633,3 +633,244 @@ def doc_lm_score(ds, *, stem: bool = False, id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]) \
         .map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# token-distribution statistics: entropy / KL / collocations / skip-grams
+# --------------------------------------------------------------------------
+
+def token_entropy(ds, *, stem: bool = False, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Per-document Shannon entropy (nats) of the unigram token
+    distribution — a degenerate-text signal complementing the Gopher
+    repetition filters (a doc repeating one token has entropy ~0; rich
+    vocabulary pushes it toward ln(n_unique)). Output
+    (id, n_tokens, entropy) with zero-token docs scoring 0.
+
+    Scale shape: embarrassingly parallel per-batch map, no shuffle —
+    each doc's distribution is local to its row."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        ntok = np.zeros(batch.num_rows, dtype=np.int64)
+        ent = np.zeros(batch.num_rows, dtype=np.float64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            toks = _tok(t, stem) if t else []
+            if not toks:
+                continue
+            cnt = np.fromiter(Counter(toks).values(), dtype=np.float64)
+            p = cnt / cnt.sum()
+            ntok[i] = len(toks)
+            ent[i] = round(float(-(p * np.log(p)).sum()), 6)
+        return pa.table({id_col: ids,
+                         "n_tokens": pa.array(ntok),
+                         "entropy": pa.array(ent)})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+_BC_CACHE: dict = {}  # worker-global broadcast cache (corpus_divergence)
+
+
+def corpus_divergence(ds, *, stem: bool = False, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Per-document KL divergence KL(p_doc || p_corpus) over unigram
+    token distributions — the DSIR-style importance signal (Xie et al.
+    2023 select data by distributional closeness; here the 'target' is
+    the corpus itself, so high KL flags outlier documents). Output
+    (id, n_tokens, kl), zero-token docs scoring 0. Every doc token is
+    in the corpus vocabulary by construction, so the ratio is always
+    finite.
+
+    Scale shape: pass 1 builds corpus unigram counts with per-batch
+    Counter partials + ONE groupby(term) — vocabulary-sized output
+    (~10^7 entries for web corpora, the standard unigram-LM budget),
+    collected once and broadcast via ray.put. Pass 2 is a per-batch
+    map; the broadcast dict deserializes once per worker (module-global
+    cache keyed by object ref), not per batch."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            if t:
+                c.update(_tok(t, stem))
+        keys = sorted(c)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "c_p": pa.array([c[k] for k in keys], type=pa.int64()),
+        })
+
+    cu = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("c_p", alias_name="n")) \
+        .to_pandas()
+    total = float(cu["n"].sum())
+    log_pc = {w: float(np.log(n / total))
+              for w, n in zip(cu["term"], cu["n"])}
+    ref = ray.put(log_pc)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp = _BC_CACHE.get(ref.hex())
+        if lp is None:
+            _BC_CACHE.clear()  # at most one resident table per worker
+            lp = _BC_CACHE[ref.hex()] = ray.get(ref)
+        ids = batch.column(id_col)
+        ntok = np.zeros(batch.num_rows, dtype=np.int64)
+        kl = np.zeros(batch.num_rows, dtype=np.float64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            toks = _tok(t, stem) if t else []
+            if not toks:
+                continue
+            c = Counter(toks)
+            cnt = np.fromiter(c.values(), dtype=np.float64)
+            lpc = np.fromiter((lp[w] for w in c), dtype=np.float64,
+                              count=len(c))
+            p = cnt / cnt.sum()
+            ntok[i] = len(toks)
+            kl[i] = round(float((p * (np.log(p) - lpc)).sum()), 6)
+        return pa.table({id_col: ids,
+                         "n_tokens": pa.array(ntok),
+                         "kl": pa.array(kl)})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+def skipgram_counts(ds, *, window: int = 2, top_n: int = 50,
+                    stem: bool = False):
+    """Corpus (center, context) skip-gram pair counts within ``window``
+    token positions, both directions — the word2vec/GloVe co-occurrence
+    statistic. Ordered pairs: each position pair (i, i+d), d = 1..w,
+    contributes 'a b' AND 'b a'. Top-N by (count DESC, pair ASC).
+
+    Scale shape: same as bigram_counts — per-batch Counter partials,
+    ONE groupby(pair) over (pair, partial) rows, block-local head
+    before the driver head (groupby makes pairs block-unique, so a
+    block head supersets the global head)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if not t:
+                continue
+            toks = _tok(t, stem)
+            for d in range(1, window + 1):
+                c.update(f"{a} {b}" for a, b in zip(toks, toks[d:]))
+                c.update(f"{b} {a}" for a, b in zip(toks, toks[d:]))
+        keys = sorted(c)
+        return pa.table({
+            "skipgram": pa.array(keys, type=pa.string()),
+            "c_p": pa.array([c[k] for k in keys], type=pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("skipgram").aggregate(Sum("c_p", alias_name="n"))
+
+    def block_head(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["n", "skipgram"], ascending=[False, True])
+              .head(top_n), preserve_index=False)
+
+    out = agg.map_batches(block_head, batch_size=None,
+                          batch_format="pyarrow").to_pandas()
+    return out.sort_values(["n", "skipgram"], ascending=[False, True]) \
+        .head(top_n).reset_index(drop=True)
+
+
+def pmi_topk(ds, *, min_count: int = 5, top_n: int = 50,
+             stem: bool = False):
+    """Top-N collocations by pointwise mutual information:
+    pmi(x, y) = ln( p(x y) / (p(x) p(y)) ) with p(x y) = c_xy / N2
+    (N2 = total bigram count) and p(x) = c_x / N1 (N1 = total token
+    count), over bigrams with c_xy >= min_count (the classic
+    Church & Hanks 1990 statistic with a count floor). Output
+    (bigram, n, pmi), ordered (pmi DESC, bigram ASC), pmi rounded to
+    6 places before ranking so Ray and SQL tie-break identically.
+
+    Scale shape: ONE counting pass emits both bigram partials and
+    unigram partials (w2 = '' sentinel rows, the doc_lm_score trick)
+    through a single groupby((w1, w2)) — the aggregated table is
+    materialized (bigram-vocabulary-sized, far below corpus size).
+    Unigram counts (vocab-sized) are collected and broadcast once via
+    ray.put; the pmi map + block-local head run distributed over the
+    aggregated bigram blocks, so the full bigram vocabulary never
+    lands on the driver — it sees at most blocks x N rows."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if not t:
+                continue
+            toks = _tok(t, stem)
+            c.update(zip(toks, toks[1:]))
+            c.update((w, "") for w in toks)
+        keys = sorted(c)
+        return pa.table({
+            "w1": pa.array([k[0] for k in keys], type=pa.string()),
+            "w2": pa.array([k[1] for k in keys], type=pa.string()),
+            "c_p": pa.array([c[k] for k in keys], type=pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("c_p", alias_name="n")) \
+        .materialize()
+
+    # unigram side: vocab-sized collect -> broadcast
+    def only_uni(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("w2"), ""))
+
+    uni = agg.map_batches(only_uni, batch_format="pyarrow").to_pandas()
+    n1 = float(uni["n"].sum())
+    cx = dict(zip(uni["w1"], uni["n"].astype(float)))
+
+    # N2 = total bigram occurrences: tiny per-block partial sums
+    def part_n2(batch: pa.Table) -> pa.Table:
+        m = pc.invert(pc.equal(batch.column("w2"), ""))
+        s = pc.sum(pc.filter(batch.column("n"), m)).as_py() or 0
+        return pa.table({"s": pa.array([s], type=pa.int64())})
+
+    n2 = float(agg.map_batches(part_n2, batch_size=None,
+                               batch_format="pyarrow")
+               .to_pandas()["s"].sum())
+
+    ref = ray.put((cx, n1, n2))
+
+    def pmi_block(batch: pa.Table) -> pa.Table:
+        got = _BC_CACHE.get(ref.hex())
+        if got is None:
+            _BC_CACHE.clear()
+            got = _BC_CACHE[ref.hex()] = ray.get(ref)
+        cxd, n1_, n2_ = got
+        m = pc.and_(pc.invert(pc.equal(batch.column("w2"), "")),
+                    pc.greater_equal(batch.column("n"), min_count))
+        b = batch.filter(m)
+        if b.num_rows == 0:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "pmi": pa.array([], type=pa.float64())})
+        w1 = b.column("w1").to_pylist()
+        w2 = b.column("w2").to_pylist()
+        n = b.column("n").to_numpy().astype(np.float64)
+        ca = np.fromiter((cxd[w] for w in w1), dtype=np.float64,
+                         count=len(w1))
+        cb = np.fromiter((cxd[w] for w in w2), dtype=np.float64,
+                         count=len(w2))
+        pmi = np.round(np.log((n / n2_) / ((ca / n1_) * (cb / n1_))), 6)
+        df = pd.DataFrame({
+            "bigram": [f"{a} {b_}" for a, b_ in zip(w1, w2)],
+            "n": n.astype(np.int64), "pmi": pmi})
+        df = df.sort_values(["pmi", "bigram"], ascending=[False, True]) \
+            .head(top_n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = agg.map_batches(pmi_block, batch_size=None,
+                          batch_format="pyarrow").to_pandas()
+    return out.sort_values(["pmi", "bigram"], ascending=[False, True]) \
+        .head(top_n).reset_index(drop=True)

@@ -1319,3 +1319,98 @@ def test_crawl_depth_bfs_semantics(ray_session):
                       max_depth=3).to_pandas()
     assert dict(zip(out["url"], out["depth"])) == {
         "n0": 0, "n1": 1, "n2": 2, "n3": 3}
+
+
+def test_token_entropy_and_corpus_divergence(ray_session):
+    """Entropy/KL against independent pure-Python math; null/empty and
+    single-token docs score 0 entropy (and 0 KL only for zero tokens)."""
+    from collections import Counter
+
+    import ray.data
+
+    from rse_ray.pipelines.text import corpus_divergence, token_entropy
+
+    texts = ["the cat sat on the mat",
+             "cat cat cat cat",
+             "dog",
+             "",
+             None,
+             "mat on the cat runs far"]
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6], "text": texts})
+    ds = ray.data.from_pandas(docs).repartition(3)
+
+    ent = token_entropy(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    toks = [(t or "").lower().split() for t in texts]
+    for i, ts in enumerate(toks):
+        assert ent["n_tokens"][i] == len(ts)
+        if not ts:
+            assert ent["entropy"][i] == 0
+            continue
+        c = np.array(list(Counter(ts).values()), dtype=float)
+        p = c / c.sum()
+        assert abs(ent["entropy"][i] - (-(p * np.log(p)).sum())) < 1e-6
+    assert ent["entropy"][1] == 0  # single repeated token
+    assert ent["entropy"][2] == 0  # one token
+
+    kl = corpus_divergence(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    corpus = Counter(w for ts in toks for w in ts)
+    total = sum(corpus.values())
+    for i, ts in enumerate(toks):
+        if not ts:
+            assert kl["kl"][i] == 0
+            continue
+        c = Counter(ts)
+        exp = sum((n / len(ts))
+                  * np.log((n / len(ts)) / (corpus[w] / total))
+                  for w, n in c.items())
+        assert abs(kl["kl"][i] - exp) < 1e-6, (i, kl["kl"][i], exp)
+    assert (kl["kl"] >= 0).all()  # KL is non-negative
+
+
+def test_skipgram_and_pmi(ray_session):
+    """Skip-gram pair counts and PMI collocations vs brute force."""
+    from collections import Counter
+
+    import ray.data
+
+    from rse_ray.pipelines.text import pmi_topk, skipgram_counts
+
+    rng = np.random.RandomState(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(1, 30)))
+             for _ in range(40)] + ["", None, "zz"]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(docs).repartition(4)
+
+    out = skipgram_counts(ds, window=2, top_n=10)
+    exp: Counter = Counter()
+    for t in texts:
+        ts = (t or "").lower().split()
+        for d in (1, 2):
+            exp.update(f"{a} {b}" for a, b in zip(ts, ts[d:]))
+            exp.update(f"{b} {a}" for a, b in zip(ts, ts[d:]))
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(out["skipgram"], out["n"])) == want
+
+    out = pmi_topk(ds, min_count=2, top_n=15)
+    uni: Counter = Counter()
+    bg: Counter = Counter()
+    for t in texts:
+        ts = (t or "").lower().split()
+        uni.update(ts)
+        bg.update(f"{a} {b}" for a, b in zip(ts, ts[1:]))
+    n1 = sum(uni.values())
+    n2 = sum(bg.values())
+    rows = []
+    for g, n in bg.items():
+        if n < 2:
+            continue
+        a, b = g.split()
+        rows.append((g, n, round(
+            np.log((n / n2) / ((uni[a] / n1) * (uni[b] / n1))), 6)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    assert [tuple(r) for r in
+            out[["bigram", "n", "pmi"]].itertuples(index=False)] \
+        == rows[:15]
