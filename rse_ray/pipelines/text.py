@@ -758,11 +758,14 @@ def skipgram_counts(ds, *, window: int = 2, top_n: int = 50,
                 continue
             toks = _tok(t, stem)
             for d in range(1, window + 1):
-                c.update(f"{a} {b}" for a, b in zip(toks, toks[d:]))
-                c.update(f"{b} {a}" for a, b in zip(toks, toks[d:]))
+                # tuple keys: format once per DISTINCT pair at table
+                # build, not once per occurrence
+                c.update(zip(toks, toks[d:]))
+                c.update(zip(toks[d:], toks))
         keys = sorted(c)
         return pa.table({
-            "skipgram": pa.array(keys, type=pa.string()),
+            "skipgram": pa.array([f"{a} {b}" for a, b in keys],
+                                 type=pa.string()),
             "c_p": pa.array([c[k] for k in keys], type=pa.int64()),
         })
 
