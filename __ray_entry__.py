@@ -30,6 +30,12 @@ import pyarrow as pa
 
 BM25_QUERY = "spark window merge window"          # qtf: window=2
 BM25_QUERY_SQL_TERMS = "('merge', 1), ('spark', 1), ('window', 2)"
+PHRASE_QUERY = "hash join"                        # positional queries
+# conjunctive (AND) query: rare terms, so the all-terms doc set is a
+# STRICT subset of the top-20 OR result and the intersection path is
+# genuinely exercised (12-18 qualifying docs at sf0.001/0.01)
+CONJ_QUERY = "dup key line"
+CONJ_QUERY_SQL_TERMS = "('dup', 1), ('key', 1), ('line', 1)"
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.1
 COS_NEARDUP_THRESHOLD = 0.5
@@ -65,7 +71,7 @@ WITH toks0 AS (
 ), toks AS (SELECT doc_id, term FROM toks0 WHERE term <> '')
 """
 
-_BM25_CTES = (
+_BM25_CTES_TMPL = (
     _TOKS
     + """,
 p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
@@ -82,7 +88,9 @@ scores AS (
        JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN s
   GROUP BY p.doc_id)
 """
-).format(terms=BM25_QUERY_SQL_TERMS)
+)
+_BM25_CTES = _BM25_CTES_TMPL.format(terms=BM25_QUERY_SQL_TERMS)
+_BM25_CTES_CONJ = _BM25_CTES_TMPL.format(terms=CONJ_QUERY_SQL_TERMS)
 
 
 # ---------------------------------------------------------------------------
@@ -579,6 +587,27 @@ def _q_pmi_topk(sf_dir: str):
     return _finalize(pmi_topk(
         _read(sf_dir, "documents", ["doc_id", "text"]),
         min_count=5, top_n=50))
+
+
+def _q_bm25_conjunctive(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents
+
+    return _finalize(bm25_documents(sf_dir, CONJ_QUERY, k=20,
+                                    conjunctive=True))
+
+
+def _q_phrase_match(sf_dir: str):
+    from rse_ray.pipelines.text import phrase_match
+
+    return _finalize(phrase_match(
+        _read(sf_dir, "documents", ["doc_id", "text"]), PHRASE_QUERY))
+
+
+def _q_term_proximity(sf_dir: str):
+    from rse_ray.pipelines.text import term_proximity
+
+    return _finalize(term_proximity(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "hash", "join"))
 
 
 def _q_epoch_shuffle(sf_dir: str):
@@ -1277,6 +1306,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "pack_sequences": _q_pack_sequences,
         "bigram_counts": _q_bigram_counts,
+        "bm25_conjunctive": _q_bm25_conjunctive,
+        "phrase_match": _q_phrase_match,
+        "term_proximity": _q_term_proximity,
         "token_entropy": _q_token_entropy,
         "corpus_divergence": _q_corpus_divergence,
         "skipgram_counts": _q_skipgram_counts,
@@ -1578,6 +1610,36 @@ bg AS (SELECT a[i] || ' ' || a[i+1] AS bigram
        FROM arr, unnest(range(1, len(a))) AS t(i)),
 c AS (SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY 1)
 SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 50""",
+        # boolean-AND retrieval: same scores CTE, restricted to docs
+        # matching EVERY distinct query term
+        "bm25_conjunctive": _BM25_CTES_CONJ + """,
+hits AS (SELECT p.doc_id FROM p JOIN q USING (term)
+         GROUP BY 1
+         HAVING count(DISTINCT p.term) = (SELECT count(*) FROM q))
+SELECT s.doc_id, round(s.raw, 6) AS score
+FROM scores s JOIN hits USING (doc_id)
+ORDER BY s.raw DESC, s.doc_id LIMIT 20""",
+        # exact token-sequence occurrences (overlaps count); only docs
+        # with >= 1 match
+        "phrase_match": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents)
+SELECT doc_id, count(*)::BIGINT AS n_matches
+FROM arr, unnest(range(1, len(a))) AS t(i)
+WHERE a[i] = 'hash' AND a[i+1] = 'join'
+GROUP BY 1""",
+        # min |pos_a - pos_b| per doc containing both terms
+        "term_proximity": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+pos AS (SELECT doc_id, i, a[i] AS w
+        FROM arr, unnest(range(1, len(a) + 1)) AS t(i))
+SELECT pa.doc_id, min(abs(pa.i - pb.i))::BIGINT AS min_dist
+FROM pos pa JOIN pos pb ON pa.doc_id = pb.doc_id
+WHERE pa.w = 'hash' AND pb.w = 'join'
+GROUP BY 1""",
         # per-doc unigram Shannon entropy; LEFT JOIN keeps zero-token
         # docs (entropy 0) that the toks CTE drops
         "token_entropy": _TOKS + """

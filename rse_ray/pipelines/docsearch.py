@@ -91,14 +91,18 @@ def bm25_documents_distributed(sf_dir: str, query: str, k: int = 20,
 
 
 def bm25_documents(sf_dir: str, query: str, k: int | None = None,
-                   *, stem: bool = False, round_to: int = 6) -> pd.DataFrame:
+                   *, stem: bool = False, round_to: int = 6,
+                   conjunctive: bool = False) -> pd.DataFrame:
     """-> (doc_id, score) for every document matching >= 1 query term
-    (k=None), or the top-k. doc_id is the documents table's own id."""
+    (k=None), or the top-k. doc_id is the documents table's own id.
+    ``conjunctive=True`` = boolean-AND retrieval (only all-terms docs
+    are scored; see Searcher.search)."""
     from rse_ray.pipelines.search import Searcher, hydrate_urls
 
     index_dir = documents_index(sf_dir, stem=stem)
     s = Searcher(index_dir)
-    hits = s.search(query, k=k if k is not None else s.N)
+    hits = s.search(query, k=k if k is not None else s.N,
+                    conjunctive=conjunctive)
     rows = hydrate_urls(index_dir, hits)
     return pd.DataFrame(
         {

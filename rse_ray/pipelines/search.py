@@ -327,7 +327,13 @@ class Searcher:
             self.dmap = None  # index without docs checkpoint
 
     # ---- exhaustive TAAT (the rank-identity oracle-matching path) -------
-    def search(self, query: str, k: int = 10, *, mode: str = "taat"):
+    def search(self, query: str, k: int = 10, *, mode: str = "taat",
+               conjunctive: bool = False):
+        """``conjunctive=True`` is boolean-AND retrieval: only docs
+        containing EVERY distinct query term are scored (the same BM25
+        contributions, restricted to the posting-list intersection —
+        rank-identical to TAAT filtered to all-terms docs). A query
+        term absent from the index makes the result empty."""
         if mode == "bmw":
             return self.search_bmw(query, k)
         terms = _query_weights(query, self.stem)
@@ -335,12 +341,24 @@ class Searcher:
         for term, qtf in terms:
             got = self.reader.postings(term)
             if got is None:
+                if conjunctive:
+                    return []  # a missing term empties the AND result
                 continue
             ids, tfs, dls, df = got
             w = qtf * _idf(self.N, df)
             tf_part = (tfs * (K1 + 1)) / (tfs + K1 * (1 - B + B * dls / self.avgdl))
             id_parts.append(ids)
             contrib_parts.append(w * tf_part)
+        if conjunctive and id_parts:
+            # posting ids are unique per term; intersect then mask each
+            # term's rows down to the all-terms doc set
+            inter = id_parts[0]
+            for ids in id_parts[1:]:
+                inter = inter[np.isin(inter, ids, assume_unique=True)]
+            keep = [np.isin(ids, inter, assume_unique=True)
+                    for ids in id_parts]
+            id_parts = [ids[m] for ids, m in zip(id_parts, keep)]
+            contrib_parts = [c[m] for c, m in zip(contrib_parts, keep)]
         if self.dmap is not None:
             return _accumulate_topk_dense(id_parts, contrib_parts, k, self.dmap)
         return _accumulate_topk(id_parts, contrib_parts, k)

@@ -877,3 +877,89 @@ def pmi_topk(ds, *, min_count: int = 5, top_n: int = 50,
                           batch_format="pyarrow").to_pandas()
     return out.sort_values(["pmi", "bigram"], ascending=[False, True]) \
         .head(top_n).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# positional queries: exact phrase match / term proximity
+# --------------------------------------------------------------------------
+
+def phrase_match(ds, phrase: str, *, stem: bool = False,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """Exact token-sequence (phrase) occurrence count per document —
+    the positional-query capability of a fulltext engine, run as a
+    distributed scan (the right shape for one-off phrase analytics;
+    repeated phrase QUERIES would warrant a positional index). A match
+    at position i means tokens[i : i+k] equals the phrase's k tokens;
+    overlapping matches all count. Output (id, n_matches), only docs
+    with >= 1 match.
+
+    Scale shape: embarrassingly parallel per-batch map, no shuffle;
+    per doc the k-way comparison is a numpy shifted-AND, not a Python
+    position loop."""
+    ph = _tok(phrase, stem)
+    k = len(ph)
+    if k == 0:
+        raise ValueError("empty phrase")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        out_ids, out_n = [], []
+        for did, t in zip(ids, batch.column(text_col).to_pylist()):
+            toks = _tok(t, stem) if t else []
+            n = len(toks) - k + 1
+            if n <= 0:
+                continue
+            arr = np.asarray(toks, dtype=object)
+            m = arr[0:n] == ph[0]
+            for j in range(1, k):
+                m = m & (arr[j:n + j] == ph[j])
+            c = int(np.count_nonzero(m))
+            if c:
+                out_ids.append(did)
+                out_n.append(c)
+        return pa.table({id_col: pa.array(out_ids, type=pa.int64()),
+                         "n_matches": pa.array(out_n, type=pa.int64())})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+def term_proximity(ds, term_a: str, term_b: str, *, stem: bool = False,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Minimum token distance between two terms per document — the
+    proximity-ranking signal (NEAR/k retrieval). Output
+    (id, min_dist), only docs containing BOTH terms; min_dist is the
+    smallest |pos_a - pos_b| over all occurrence pairs.
+
+    Scale shape: per-batch map, no shuffle; per doc the nearest-pair
+    search is a sorted searchsorted merge, O((na+nb) log), never the
+    na x nb grid."""
+    wa = _tok(term_a, stem)[0]
+    wb = _tok(term_b, stem)[0]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        out_ids, out_d = [], []
+        for did, t in zip(ids, batch.column(text_col).to_pylist()):
+            toks = _tok(t, stem) if t else []
+            if not toks:
+                continue
+            arr = np.asarray(toks, dtype=object)
+            pa_ = np.flatnonzero(arr == wa)
+            pb_ = np.flatnonzero(arr == wb)
+            if not len(pa_) or not len(pb_):
+                continue
+            # for each a-position, the nearest b-position via insertion
+            j = np.searchsorted(pb_, pa_)
+            best = np.inf
+            lo = np.clip(j - 1, 0, len(pb_) - 1)
+            hi = np.clip(j, 0, len(pb_) - 1)
+            best = int(np.minimum(np.abs(pa_ - pb_[lo]),
+                                  np.abs(pa_ - pb_[hi])).min())
+            out_ids.append(did)
+            out_d.append(best)
+        return pa.table({id_col: pa.array(out_ids, type=pa.int64()),
+                         "min_dist": pa.array(out_d, type=pa.int64())})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(fn, batch_format="pyarrow")

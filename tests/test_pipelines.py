@@ -1414,3 +1414,75 @@ def test_skipgram_and_pmi(ray_session):
     assert [tuple(r) for r in
             out[["bigram", "n", "pmi"]].itertuples(index=False)] \
         == rows[:15]
+
+
+def test_phrase_match_and_term_proximity(ray_session):
+    """Positional queries vs hand-computed positions; overlapping
+    phrase matches count, docs missing a term are dropped."""
+    import ray.data
+
+    from rse_ray.pipelines.text import phrase_match, term_proximity
+
+    texts = ["a b a b a b",      # 'a b' x3 (overlap-adjacent runs)
+             "a a a a",          # 'a a' overlaps: 3 matches
+             "b b",              # no 'a'
+             "x a y y y b",      # a..b distance 4
+             "",
+             None,
+             "A B"]              # case folds
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(docs).repartition(3)
+
+    out = phrase_match(ds, "a b").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert dict(zip(out["doc_id"], out["n_matches"])) == {0: 3, 6: 1}
+
+    out = phrase_match(ds, "a a").to_pandas()
+    assert dict(zip(out["doc_id"], out["n_matches"])) == {1: 3}
+
+    out = term_proximity(ds, "a", "b").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert dict(zip(out["doc_id"], out["min_dist"])) == {0: 1, 3: 4, 6: 1}
+
+
+def test_bm25_conjunctive_subset_and_scores(ray_session, tmp_path):
+    """AND retrieval = TAAT restricted to all-terms docs: build a tiny
+    index where one rare term cuts the candidate set, check the result
+    is exactly the filtered TAAT ranking and that a missing term
+    empties the result."""
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import Searcher
+
+    texts = {
+        "u1": "apple banana cherry apple",
+        "u2": "apple banana banana",
+        "u3": "apple cherry cherry cherry",
+        "u4": "banana cherry",
+        "u5": "apple apple apple",
+    }
+    rows = pd.DataFrame({
+        "url": list(texts), "text": list(texts.values()),
+        "warc_ts": pd.Timestamp("2024-12-01")})
+    idx = str(tmp_path / "conj_idx")
+    build_index(ray.data.from_pandas(rows), idx,
+                BuildConfig(num_buckets=2, buckets_per_salt_group=2,
+                            stem=False, from_html=False))
+    s = Searcher(idx)
+
+    both = s.search("apple banana", k=10, conjunctive=True)
+    or_hits = s.search("apple banana", k=10)
+    want_docs = {d for d, _ in or_hits} & {
+        d for d, _ in s.search("apple", k=10)} & {
+        d for d, _ in s.search("banana", k=10)}
+    assert {d for d, _ in both} == want_docs and len(both) == 2
+    # scores equal the OR scores of the same docs (same contributions)
+    or_scores = dict(or_hits)
+    for d, sc in both:
+        assert abs(sc - or_scores[d]) < 1e-9
+    # AND with three terms: only u1 has apple+banana+cherry
+    tri = s.search("apple banana cherry", k=10, conjunctive=True)
+    assert len(tri) == 1
+    # a term absent from the corpus empties the result
+    assert s.search("apple zzz", k=10, conjunctive=True) == []
