@@ -36,6 +36,7 @@ PHRASE_QUERY = "hash join"                        # positional queries
 # genuinely exercised (12-18 qualifying docs at sf0.001/0.01)
 CONJ_QUERY = "dup key line"
 CONJ_QUERY_SQL_TERMS = "('dup', 1), ('key', 1), ('line', 1)"
+PREFIX_QUERY = "s"  # expands to {scan, slow, small, sort, spark, stream}
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.1
 COS_NEARDUP_THRESHOLD = 0.5
@@ -587,6 +588,12 @@ def _q_pmi_topk(sf_dir: str):
     return _finalize(pmi_topk(
         _read(sf_dir, "documents", ["doc_id", "text"]),
         min_count=5, top_n=50))
+
+
+def _q_prefix_search(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents_prefix
+
+    return _finalize(bm25_documents_prefix(sf_dir, PREFIX_QUERY, k=20))
 
 
 def _q_bm25_conjunctive(sf_dir: str):
@@ -1307,6 +1314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "bigram_counts": _q_bigram_counts,
         "bm25_conjunctive": _q_bm25_conjunctive,
+        "prefix_search": _q_prefix_search,
         "phrase_match": _q_phrase_match,
         "term_proximity": _q_term_proximity,
         "token_entropy": _q_token_entropy,
@@ -1619,6 +1627,26 @@ hits AS (SELECT p.doc_id FROM p JOIN q USING (term)
 SELECT s.doc_id, round(s.raw, 6) AS score
 FROM scores s JOIN hits USING (doc_id)
 ORDER BY s.raw DESC, s.doc_id LIMIT 20""",
+        # wildcard retrieval: q = every distinct corpus term LIKE
+        # '{p}%' with qtf=1 (the dictionary expansion the index-side
+        # range scan performs), then the standard BM25 scores CTE
+        "prefix_search": _TOKS + f""",
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+s AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+d AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+q AS (SELECT term, 1::BIGINT AS qtf FROM d
+      WHERE term LIKE '{PREFIX_QUERY}%'),
+scores AS (
+  SELECT p.doc_id,
+         sum(q.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             (p.tf * (1.2 + 1)) /
+             (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS raw
+  FROM p JOIN q USING (term) JOIN d USING (term)
+       JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY p.doc_id)
+SELECT doc_id, round(raw, 6) AS score
+FROM scores ORDER BY raw DESC, doc_id LIMIT 20""",
         # exact token-sequence occurrences (overlaps count); only docs
         # with >= 1 match
         "phrase_match": """

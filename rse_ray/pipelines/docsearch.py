@@ -90,6 +90,27 @@ def bm25_documents_distributed(sf_dir: str, query: str, k: int = 20,
     )
 
 
+def bm25_documents_prefix(sf_dir: str, prefix: str, k: int = 20,
+                          *, round_to: int = 6) -> pd.DataFrame:
+    """Wildcard retrieval (`pre*`) over the documents index: dictionary
+    range-scan expansion + OR-scored BM25 (qtf=1 per expanded term).
+    stem=False so the DuckDB twin (q = df-derived terms LIKE 'pre%')
+    reproduces the expansion exactly."""
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=False)
+    s = Searcher(index_dir)
+    hits = s.search_prefix(prefix, k=k)
+    rows = hydrate_urls(index_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            "score": [round(score, round_to) for _, score, _ in rows],
+        }
+    )
+
+
 def bm25_documents(sf_dir: str, query: str, k: int | None = None,
                    *, stem: bool = False, round_to: int = 6,
                    conjunctive: bool = False) -> pd.DataFrame:

@@ -99,6 +99,17 @@ class ShardFiles:
                 break
         return out[::-1]
 
+    def files_for_prefix(self, prefix: str) -> list[str]:
+        """Files whose term range can contain a term starting with
+        ``prefix`` — i.e. [term_min, term_max] intersects
+        [prefix, prefix + U+10FFFF). Shards are term-range partitioned,
+        so a prefix touches a CONTIGUOUS run of files; at fleet scale
+        this is the dictionary range scan, never a full-index sweep."""
+        hi_key = prefix + "\U0010ffff"
+        return [f for f, tmin, tmax
+                in zip(self.files, self.term_min, self.term_max)
+                if tmax >= prefix and tmin <= hi_key]
+
 
 class _FileTermIndex:
     """Postings lookup inside one shard file. Only the term directory
@@ -141,6 +152,17 @@ class _FileTermIndex:
             payload, bm = self._payload_row(i)
             out.append((int(self.min_doc[i]), payload, bm, int(self.df[i])))
         return out
+
+    def terms_with_prefix(self, prefix: str) -> list[str]:
+        """Distinct terms in this file's directory starting with
+        ``prefix``. The directory is term-sorted on disk (merge output),
+        so this is a bisect range scan, not a full directory sweep."""
+        if getattr(self, "_vocab", None) is None:
+            # sorted-unique view built lazily on first prefix query
+            self._vocab = sorted(self.by_term)
+        lo = bisect.bisect_left(self._vocab, prefix)
+        hi = bisect.bisect_right(self._vocab, prefix + "\U0010ffff")
+        return self._vocab[lo:hi]
 
 
 class IndexReader:
@@ -214,6 +236,16 @@ class IndexReader:
     def postings_with_blocks(self, term: str):
         """Like postings() but with the concatenated block metadata."""
         return self._decoded(term)
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """Sorted distinct index terms starting with ``prefix`` — the
+        wildcard-query dictionary expansion (`pre*`). Touches only the
+        shard files whose term range intersects the prefix interval and
+        bisects each file's sorted directory."""
+        out: set[str] = set()
+        for path in self.shards.files_for_prefix(prefix):
+            out.update(self._file(path).terms_with_prefix(prefix))
+        return sorted(out)
 
 
 # --------------------------------------------------------------------------
@@ -359,6 +391,28 @@ class Searcher:
                     for ids in id_parts]
             id_parts = [ids[m] for ids, m in zip(id_parts, keep)]
             contrib_parts = [c[m] for c, m in zip(contrib_parts, keep)]
+        if self.dmap is not None:
+            return _accumulate_topk_dense(id_parts, contrib_parts, k, self.dmap)
+        return _accumulate_topk(id_parts, contrib_parts, k)
+
+    # ---- wildcard / prefix retrieval -------------------------------------
+    def search_prefix(self, prefix: str, k: int = 10):
+        """Wildcard retrieval (`pre*`): expand the prefix against the
+        term dictionary (range scan over the term-sorted shard
+        directories), then score the expanded terms as an OR query with
+        qtf=1 each — per-doc score = sum over matching terms of
+        idf * tf_part, accumulated in sorted term order (same fp
+        contract as TAAT, so a SQL twin with round-6 agrees)."""
+        prefix = prefix.lower().strip()
+        if not prefix:
+            raise ValueError("empty prefix")
+        id_parts, contrib_parts = [], []
+        for term in self.reader.expand_prefix(prefix):
+            ids, tfs, dls, df = self.reader.postings(term)
+            w = _idf(self.N, df)
+            tf_part = (tfs * (K1 + 1)) / (tfs + K1 * (1 - B + B * dls / self.avgdl))
+            id_parts.append(ids)
+            contrib_parts.append(w * tf_part)
         if self.dmap is not None:
             return _accumulate_topk_dense(id_parts, contrib_parts, k, self.dmap)
         return _accumulate_topk(id_parts, contrib_parts, k)

@@ -1445,6 +1445,44 @@ def test_phrase_match_and_term_proximity(ray_session):
     assert dict(zip(out["doc_id"], out["min_dist"])) == {0: 1, 3: 4, 6: 1}
 
 
+def test_prefix_search_expansion_and_scores(ray_session, tmp_path):
+    """Wildcard retrieval: the dictionary expansion must be exactly the
+    prefix range, and scores must equal the OR query over the expanded
+    terms with qtf=1 each."""
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import Searcher
+
+    texts = {
+        "u1": "apple apricot banana",
+        "u2": "apple apple grape",
+        "u3": "banana grape",
+        "u4": "apex apple",
+        "u5": "zebra",
+    }
+    rows = pd.DataFrame({
+        "url": list(texts), "text": list(texts.values()),
+        "warc_ts": pd.Timestamp("2024-12-01")})
+    idx = str(tmp_path / "pfx_idx")
+    build_index(ray.data.from_pandas(rows), idx,
+                BuildConfig(num_buckets=2, buckets_per_salt_group=2,
+                            stem=False, from_html=False))
+    s = Searcher(idx)
+
+    assert s.reader.expand_prefix("ap") == ["apex", "apple", "apricot"]
+    assert s.reader.expand_prefix("banana") == ["banana"]
+    assert s.reader.expand_prefix("q") == []
+
+    hits = dict(s.search_prefix("ap", k=10))
+    # same docs + scores as the explicit OR query over the expansion
+    want = dict(s.search("apex apple apricot", k=10))
+    assert hits.keys() == want.keys() and len(hits) == 3
+    for d in hits:
+        assert abs(hits[d] - want[d]) < 1e-12
+    assert s.search_prefix("q", k=10) == []
+
+
 def test_bm25_conjunctive_subset_and_scores(ray_session, tmp_path):
     """AND retrieval = TAAT restricted to all-terms docs: build a tiny
     index where one rare term cuts the candidate set, check the result
