@@ -37,6 +37,10 @@ PHRASE_QUERY = "hash join"                        # positional queries
 CONJ_QUERY = "dup key line"
 CONJ_QUERY_SQL_TERMS = "('dup', 1), ('key', 1), ('line', 1)"
 PREFIX_QUERY = "s"  # expands to {scan, slow, small, sort, spark, stream}
+# typo probes for fuzzy dictionary lookup: one deletion, one insertion,
+# one substitution, one exact hit, one no-match
+FUZZY_PROBES = ["joinn", "hask", "qery", "sort", "zzz"]
+FUZZY_PROBES_SQL = "('joinn'), ('hask'), ('qery'), ('sort'), ('zzz')"
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.1
 COS_NEARDUP_THRESHOLD = 0.5
@@ -601,6 +605,13 @@ def _q_bm25_conjunctive(sf_dir: str):
 
     return _finalize(bm25_documents(sf_dir, CONJ_QUERY, k=20,
                                     conjunctive=True))
+
+
+def _q_fuzzy_terms(sf_dir: str):
+    from rse_ray.pipelines.text import fuzzy_term_match
+
+    return _finalize(fuzzy_term_match(
+        _read(sf_dir, "documents", ["text"]), FUZZY_PROBES, max_dist=1))
 
 
 def _q_phrase_match(sf_dir: str):
@@ -1316,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_conjunctive": _q_bm25_conjunctive,
         "prefix_search": _q_prefix_search,
         "phrase_match": _q_phrase_match,
+        "fuzzy_terms": _q_fuzzy_terms,
         "term_proximity": _q_term_proximity,
         "token_entropy": _q_token_entropy,
         "corpus_divergence": _q_corpus_divergence,
@@ -1647,6 +1659,15 @@ scores AS (
   GROUP BY p.doc_id)
 SELECT doc_id, round(raw, 6) AS score
 FROM scores ORDER BY raw DESC, doc_id LIMIT 20""",
+        # fuzzy dictionary lookup: vocabulary terms within edit
+        # distance 1 of each typo probe (the SQL form is the O(V x P)
+        # cross join the SymSpell deletion-key path avoids)
+        "fuzzy_terms": _TOKS + f""",
+v AS (SELECT DISTINCT term FROM toks),
+probes(probe) AS (VALUES {FUZZY_PROBES_SQL})
+SELECT probe, term, levenshtein(probe, term)::BIGINT AS dist
+FROM probes CROSS JOIN v
+WHERE levenshtein(probe, term) <= 1""",
         # exact token-sequence occurrences (overlaps count); only docs
         # with >= 1 match
         "phrase_match": """

@@ -879,6 +879,90 @@ def pmi_topk(ds, *, min_count: int = 5, top_n: int = 50,
         .head(top_n).reset_index(drop=True)
 
 
+def _lev_capped(a: str, b: str, cap: int) -> int:
+    """Levenshtein distance, early-exit > cap (returns cap + 1). Classic
+    banded DP — candidate sets are tiny after the deletion-key filter,
+    so per-pair cost is irrelevant; correctness is the contract."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        best = i
+        for j, cb in enumerate(b, 1):
+            c = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb))
+            cur.append(c)
+            best = min(best, c)
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
+def fuzzy_term_match(ds, probes: list[str], *, max_dist: int = 1,
+                     stem: bool = False, text_col: str = "text"):
+    """Fuzzy dictionary lookup (spell-correction candidates): for each
+    probe string, every corpus vocabulary term within Levenshtein
+    distance <= max_dist. Output (probe, term, dist).
+
+    Scale shape (SymSpell deletion-neighborhood): the probes' deletion
+    variants ({p} ∪ del_k(p)) are built ONCE on the driver and
+    broadcast; each batch intersects its own terms' deletion variants
+    against that dict — a map-side semi-join, NO vocabulary shuffle.
+    Candidates are verified with an exact capped DP in the same task;
+    only verified (probe, term, dist) rows — a near-empty stream —
+    reach the final dedup groupby. At a 10^8-term web vocabulary this
+    stays one pass over the corpus + a trivial shuffle, vs the O(V x P)
+    cross join a naive form would need."""
+    def _del_variants(w: str, k: int) -> set[str]:
+        out = {w}
+        frontier = {w}
+        for _ in range(k):
+            frontier = {v[:i] + v[i + 1:]
+                        for v in frontier for i in range(len(v))}
+            out |= frontier
+        return out
+
+    probe_of: dict[str, list[str]] = {}
+    for p in probes:
+        pl = p.lower()
+        for v in _del_variants(pl, max_dist):
+            probe_of.setdefault(v, []).append(pl)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        seen: set[str] = set()
+        for t in batch.column(text_col).to_pylist():
+            if t:
+                seen.update(_tok(t, stem))
+        out_p, out_t, out_d = [], [], []
+        for term in seen:
+            cands: set[str] = set()
+            for v in _del_variants(term, max_dist):
+                got = probe_of.get(v)
+                if got:
+                    cands.update(got)
+            for p in sorted(cands):
+                d = _lev_capped(p, term, max_dist)
+                if d <= max_dist:
+                    out_p.append(p)
+                    out_t.append(term)
+                    out_d.append(d)
+        return pa.table({"probe": pa.array(out_p, type=pa.string()),
+                         "term": pa.array(out_t, type=pa.string()),
+                         "dist": pa.array(out_d, type=pa.int64())})
+
+    from ray.data.aggregate import Min
+
+    # dedupe across batches (a term occurs in many blocks); dist is a
+    # function of (probe, term), so Min is just "pick the one value"
+    return ds.select_columns([text_col]) \
+        .map_batches(fn, batch_format="pyarrow") \
+        .groupby(["probe", "term"]).aggregate(Min("dist", alias_name="dist"))
+
+
 # --------------------------------------------------------------------------
 # positional queries: exact phrase match / term proximity
 # --------------------------------------------------------------------------

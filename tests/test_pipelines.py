@@ -1445,6 +1445,37 @@ def test_phrase_match_and_term_proximity(ray_session):
     assert dict(zip(out["doc_id"], out["min_dist"])) == {0: 1, 3: 4, 6: 1}
 
 
+def test_fuzzy_term_match(ray_session):
+    """SymSpell deletion-neighborhood vs brute-force Levenshtein over
+    the vocabulary — all edit kinds, cross-batch dedup, max_dist=2."""
+    import ray.data
+
+    from rse_ray.pipelines.text import _lev_capped, fuzzy_term_match
+
+    texts = ["apple maple ample app applesauce",
+             "apple banana bananas anana",   # apple repeats across rows
+             "grape grapes rape ripe"]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"text": texts})).repartition(3)
+
+    vocab = sorted({w for t in texts for w in t.split()})
+    probes = ["aple", "banana", "gripe", "zzz"]
+
+    for md in (1, 2):
+        got = fuzzy_term_match(ds, probes, max_dist=md).to_pandas()
+        got = {(r.probe, r.term): r.dist
+               for r in got.itertuples(index=False)}
+        want = {(p, t): _lev_capped(p, t, md)
+                for p in probes for t in vocab
+                if _lev_capped(p, t, md) <= md}
+        assert got == want and ("aple", "apple") in got
+    # transposition is distance 2, absent at max_dist=1
+    got1 = fuzzy_term_match(ds, ["applle"], max_dist=1).to_pandas()
+    assert {(r.probe, r.term, r.dist)
+            for r in got1.itertuples(index=False)} == {
+                ("applle", "apple", 1)}
+
+
 def test_prefix_search_expansion_and_scores(ray_session, tmp_path):
     """Wildcard retrieval: the dictionary expansion must be exactly the
     prefix range, and scores must equal the OR query over the expanded
