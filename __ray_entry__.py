@@ -621,6 +621,14 @@ def _q_phrase_match(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]), PHRASE_QUERY))
 
 
+def _q_kwic_snippets(sf_dir: str):
+    from rse_ray.pipelines.text import kwic_snippets
+
+    return _finalize(kwic_snippets(
+        _read(sf_dir, "documents", ["doc_id", "text"]), PHRASE_QUERY,
+        window=3))
+
+
 def _q_term_proximity(sf_dir: str):
     from rse_ray.pipelines.text import term_proximity
 
@@ -1329,6 +1337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": _q_phrase_match,
         "fuzzy_terms": _q_fuzzy_terms,
         "term_proximity": _q_term_proximity,
+        "kwic_snippets": _q_kwic_snippets,
         "token_entropy": _q_token_entropy,
         "corpus_divergence": _q_corpus_divergence,
         "skipgram_counts": _q_skipgram_counts,
@@ -1678,6 +1687,19 @@ SELECT doc_id, count(*)::BIGINT AS n_matches
 FROM arr, unnest(range(1, len(a))) AS t(i)
 WHERE a[i] = 'hash' AND a[i+1] = 'join'
 GROUP BY 1""",
+        # keyword-in-context: first query-term position (0-based) and
+        # the +-3-token window around it, space-joined; DuckDB slices
+        # are 1-based inclusive and clamp, matching the Python max/min
+        "kwic_snippets": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+hit AS (SELECT doc_id, min(i) AS i0
+        FROM arr, unnest(range(1, len(a) + 1)) AS t(i)
+        WHERE a[i] IN ('hash', 'join') GROUP BY 1)
+SELECT arr.doc_id, (i0 - 1)::BIGINT AS pos,
+       array_to_string(a[greatest(1, i0 - 3):(i0 + 3)], ' ') AS snippet
+FROM arr JOIN hit USING (doc_id)""",
         # min |pos_a - pos_b| per doc containing both terms
         "term_proximity": """
 WITH arr AS (SELECT doc_id,

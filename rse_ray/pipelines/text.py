@@ -963,6 +963,46 @@ def fuzzy_term_match(ds, probes: list[str], *, max_dist: int = 1,
         .groupby(["probe", "term"]).aggregate(Min("dist", alias_name="dist"))
 
 
+def kwic_snippets(ds, query: str, *, window: int = 3, stem: bool = False,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Keyword-in-context snippet generation — the result-page excerpt
+    a search engine shows under each hit. For every doc containing at
+    least one query term: pos = the FIRST token position (0-based)
+    holding any query term, snippet = the tokens within ``window`` of
+    it joined by single spaces. Output (id, pos, snippet).
+
+    Scale shape: per-batch map over the hit docs, no shuffle; in a
+    serving deployment this runs over only the top-k docs' texts
+    (hydrated from the doc store), here it is exposed as a corpus scan
+    so the oracle covers every matching doc."""
+    qterms = set(_tok(query, stem))
+    if not qterms:
+        raise ValueError("empty query")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        out_ids, out_pos, out_sn = [], [], []
+        for did, t in zip(ids, batch.column(text_col).to_pylist()):
+            toks = _tok(t, stem) if t else []
+            if not toks:
+                continue
+            hit = np.flatnonzero(np.isin(
+                np.asarray(toks, dtype=object), list(qterms)))
+            if not len(hit):
+                continue
+            i0 = int(hit[0])
+            lo = max(0, i0 - window)
+            out_ids.append(did)
+            out_pos.append(i0)
+            out_sn.append(" ".join(toks[lo:i0 + window + 1]))
+        return pa.table({id_col: pa.array(out_ids, type=pa.int64()),
+                         "pos": pa.array(out_pos, type=pa.int64()),
+                         "snippet": pa.array(out_sn, type=pa.string())})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # positional queries: exact phrase match / term proximity
 # --------------------------------------------------------------------------

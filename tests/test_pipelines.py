@@ -1445,6 +1445,32 @@ def test_phrase_match_and_term_proximity(ray_session):
     assert dict(zip(out["doc_id"], out["min_dist"])) == {0: 1, 3: 4, 6: 1}
 
 
+def test_kwic_snippets(ray_session):
+    """Snippet windows clamp at both text edges; pos is the FIRST
+    query-term occurrence; non-matching and empty docs are dropped."""
+    import ray.data
+
+    from rse_ray.pipelines.text import kwic_snippets
+
+    texts = ["hash at start of doc",            # clamps left
+             "one two three four five hash",    # clamps right
+             "a b c join d e f join g",         # first hit wins
+             "nothing here",
+             "",
+             None]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).repartition(3)
+
+    out = kwic_snippets(ds, "hash join", window=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (0, 0, "hash at start"),
+        (1, 5, "four five hash"),
+        (2, 3, "b c join d e"),
+    ]
+
+
 def test_fuzzy_term_match(ray_session):
     """SymSpell deletion-neighborhood vs brute-force Levenshtein over
     the vocabulary — all edit kinds, cross-batch dedup, max_dist=2."""
