@@ -621,6 +621,14 @@ def _q_phrase_match(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]), PHRASE_QUERY))
 
 
+def _q_facet_counts(sf_dir: str):
+    from rse_ray.pipelines.text import facet_counts
+
+    return _finalize(facet_counts(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"]),
+        PHRASE_QUERY))
+
+
 def _q_kwic_snippets(sf_dir: str):
     from rse_ray.pipelines.text import kwic_snippets
 
@@ -1338,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_terms": _q_fuzzy_terms,
         "term_proximity": _q_term_proximity,
         "kwic_snippets": _q_kwic_snippets,
+        "facet_counts": _q_facet_counts,
         "token_entropy": _q_token_entropy,
         "corpus_divergence": _q_corpus_divergence,
         "skipgram_counts": _q_skipgram_counts,
@@ -1687,6 +1696,13 @@ SELECT doc_id, count(*)::BIGINT AS n_matches
 FROM arr, unnest(range(1, len(a))) AS t(i)
 WHERE a[i] = 'hash' AND a[i+1] = 'join'
 GROUP BY 1""",
+        # faceted search: matching-doc counts per (lang, source)
+        "facet_counts": _TOKS + """,
+hits AS (SELECT DISTINCT doc_id FROM toks
+         WHERE term IN ('hash', 'join'))
+SELECT lang, source, count(*)::BIGINT AS n
+FROM documents JOIN hits USING (doc_id)
+GROUP BY 1, 2""",
         # keyword-in-context: first query-term position (0-based) and
         # the +-3-token window around it, space-joined; DuckDB slices
         # are 1-based inclusive and clamp, matching the Python max/min

@@ -963,6 +963,40 @@ def fuzzy_term_match(ds, probes: list[str], *, max_dist: int = 1,
         .groupby(["probe", "term"]).aggregate(Min("dist", alias_name="dist"))
 
 
+def facet_counts(ds, query: str, *, facets: tuple[str, ...] = ("lang",
+                 "source"), stem: bool = False, text_col: str = "text"):
+    """Faceted search: how the full result set of a query distributes
+    over attribute dimensions (the sidebar counts of a search UI).
+    Output (*facets, n) — matching docs (>= 1 query term, OR
+    semantics) counted per facet combination.
+
+    Scale shape: one pass over the corpus — per batch, the match mask
+    and a pa.Table.group_by partial count; only (facet-combo, partial)
+    rows reach the final groupby, so the shuffle is O(distinct facet
+    combos), not O(hits). A serving deployment would instead intersect
+    the posting union with a doc->facet columnstore; the scan form is
+    the batch-analytics twin of that and is what a 100 TB refresh job
+    would run."""
+    from ray.data.aggregate import Sum
+
+    qset = set(_tok(query, stem))
+    if not qset:
+        raise ValueError("empty query")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = [bool(t) and not qset.isdisjoint(_tok(t, stem))
+                for t in batch.column(text_col).to_pylist()]
+        sel = batch.filter(pa.array(mask, type=pa.bool_())) \
+            .select(list(facets))
+        return sel.group_by(list(facets)).aggregate([([], "count_all")]) \
+            .rename_columns(list(facets) + ["n_p"])
+
+    out = ds.select_columns(list(facets) + [text_col]) \
+        .map_batches(fn, batch_format="pyarrow") \
+        .groupby(list(facets)).aggregate(Sum("n_p", alias_name="n"))
+    return out
+
+
 def kwic_snippets(ds, query: str, *, window: int = 3, stem: bool = False,
                   id_col: str = "doc_id", text_col: str = "text"):
     """Keyword-in-context snippet generation — the result-page excerpt

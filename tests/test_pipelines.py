@@ -1445,6 +1445,24 @@ def test_phrase_match_and_term_proximity(ray_session):
     assert dict(zip(out["doc_id"], out["min_dist"])) == {0: 1, 3: 4, 6: 1}
 
 
+def test_facet_counts(ray_session):
+    """OR-match facet counts vs hand count; a doc matching BOTH query
+    terms counts once; null/empty texts never match."""
+    import ray.data
+
+    from rse_ray.pipelines.text import facet_counts
+
+    df = pd.DataFrame({
+        "text": ["hash x", "join y", "hash join z", "nope", "", None],
+        "lang": ["en", "en", "de", "en", "de", "en"],
+        "source": ["web", "web", "web", "web", "web", "web"],
+    })
+    out = facet_counts(ray.data.from_pandas(df).repartition(3),
+                       "hash join").to_pandas()
+    got = {(r.lang, r.source): r.n for r in out.itertuples(index=False)}
+    assert got == {("en", "web"): 2, ("de", "web"): 1}
+
+
 def test_kwic_snippets(ray_session):
     """Snippet windows clamp at both text edges; pos is the FIRST
     query-term occurrence; non-matching and empty docs are dropped."""
