@@ -637,6 +637,12 @@ def _q_kwic_snippets(sf_dir: str):
         window=3))
 
 
+def _q_phrase_match_indexed(sf_dir: str):
+    from rse_ray.pipelines.docsearch import phrase_documents
+
+    return _finalize(phrase_documents(sf_dir, PHRASE_QUERY))
+
+
 def _q_term_proximity(sf_dir: str):
     from rse_ray.pipelines.text import term_proximity
 
@@ -1344,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": _q_prefix_search,
         "phrase_match": _q_phrase_match,
         "fuzzy_terms": _q_fuzzy_terms,
+        "phrase_match_indexed": _q_phrase_match_indexed,
         "term_proximity": _q_term_proximity,
         "kwic_snippets": _q_kwic_snippets,
         "facet_counts": _q_facet_counts,
@@ -2032,4 +2039,7 @@ FROM read_parquet('{golden}')""".format(
     # IVF at nprobe=nlist probes every list -> provably exact: same
     # oracle as brute-force knn (round-2 VERDICT item #3)
     sql["knn_cosine_ivf_exact"] = sql["knn_cosine"]
+    # the positional-index phrase path must reproduce the corpus-scan
+    # phrase_match exactly — one oracle, two execution engines
+    sql["phrase_match_indexed"] = sql["phrase_match"]
     return sql

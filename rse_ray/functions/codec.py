@@ -463,3 +463,85 @@ def decode_block_meta(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     at += 4 * nblocks
     min_dl = np.frombuffer(buf, dtype=np.int32, count=nblocks, offset=at)
     return last_doc, max_tf, min_dl
+
+
+# --- positional payloads ----------------------------------------------------
+# Term positions for phrase/proximity queries (the positional-index
+# capability of a fulltext engine, e.g. Lucene's .pos files). Layout
+# per term run: ONE LEB128 stream of all positions in doc order, each
+# doc's first position absolute and the rest delta-coded — no header:
+# the doc boundaries are fully determined by the run's tf values, which
+# the main payload already carries. Because every doc's sub-stream is
+# self-contained, salt-chunk runs splice by PURE BYTE CONCATENATION in
+# min_doc order (cheaper than the main payload, which must re-code the
+# head varint), and a spliced stream decodes with the concatenated tfs.
+
+
+def encode_pos_runs(pos_lists, tfs_list):
+    """Batch-encode every term's positions with one vectorized varint
+    pass. ``pos_lists[i]`` is term i's positions flat-concatenated in
+    ascending-doc order; ``tfs_list[i]`` its per-doc tfs (so
+    sum(tfs_list[i]) == len(pos_lists[i])). Returns ``(payload uint8
+    array, offsets int64 array of len T+1)`` like encode_runs."""
+    from itertools import chain
+
+    T = len(pos_lists)
+    if T == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    lens = np.fromiter((len(p) for p in pos_lists), dtype=np.int64,
+                       count=T)
+    total = int(lens.sum())
+    term_starts = np.zeros(T, dtype=np.int64)
+    np.cumsum(lens[:-1], out=term_starts[1:])
+
+    all_pos = np.fromiter(chain.from_iterable(pos_lists), dtype=np.int64,
+                          count=total)
+    # first-position-of-doc boundaries: term start + exclusive cumsum
+    # of that term's tfs
+    bound_idx = np.concatenate([
+        term_starts[i] + np.concatenate(
+            ([0], np.cumsum(np.asarray(tfs_list[i], dtype=np.int64)[:-1])))
+        for i in range(T) if lens[i]
+    ]) if total else np.zeros(0, dtype=np.int64)
+    deltas = np.empty(total, dtype=np.int64)
+    if total:
+        deltas[0] = all_pos[0]
+        np.subtract(all_pos[1:], all_pos[:-1], out=deltas[1:])
+        boundary = np.zeros(total, dtype=bool)
+        boundary[bound_idx] = True
+        if (deltas[~boundary] <= 0).any():
+            raise ValueError("positions must be strictly increasing per doc")
+        deltas[bound_idx] = all_pos[bound_idx]
+
+    buf, nbytes = _varint_emit(deltas.astype(np.uint64))
+    out_off = np.zeros(T + 1, dtype=np.int64)
+    if total:
+        # cumsum-at-starts rather than reduceat: reduceat would fold a
+        # zero-length term's (empty) span into its neighbor
+        csum = np.concatenate(([0], np.cumsum(nbytes)))
+        out_off[1:] = csum[np.append(term_starts[1:], total)]
+    return buf, out_off
+
+
+def decode_pos_run(buf: bytes | memoryview, tfs: np.ndarray) -> np.ndarray:
+    """Decode one term's (possibly spliced) position stream back to
+    absolute positions, vectorized: a grouped cumsum where each doc's
+    first position is absolute. ``tfs`` are the per-doc tfs in the same
+    doc order the stream was encoded in."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    vals = varint_decode(bytes(buf), total).astype(np.int64)
+    if total == 0:
+        return vals
+    c = np.cumsum(vals)
+    doc_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    base = c[doc_starts] - vals[doc_starts]  # cumsum just before each doc
+    return c - np.repeat(base, tfs)
+
+
+def decode_pos_runs_joint(payloads: list[bytes], tfs: np.ndarray) -> np.ndarray:
+    """Decode doc-range-disjoint position runs (pre-sorted by min_doc,
+    matching decode_runs_joint's concatenated tfs) in one pass: runs
+    are independent byte streams, so their concatenation IS a valid
+    stream for the concatenated tfs."""
+    return decode_pos_run(b"".join(bytes(p) for p in payloads), tfs)

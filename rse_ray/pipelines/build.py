@@ -82,6 +82,10 @@ class BuildConfig:
     # legacy Ray repartition + sort-groupby path. Outputs are
     # byte-identical (merge_partition fully re-sorts each part).
     merge_exchange: str = "direct"
+    # carry token positions in the postings (pospayload column): the
+    # positional index that serves phrase / proximity queries. Off by
+    # default — default builds stay byte-identical to pre-positional.
+    positions: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -151,6 +155,7 @@ def build_index(
                 d["docs"],
                 d["segments"] if cfg.fuse_segments else None,
                 stem=cfg.stem,
+                positions=cfg.positions,
             ),
             batch_format="pyarrow",
         )
@@ -221,7 +226,8 @@ def build_index(
             seg_rows_ds = ray.data.from_items(
                 group_items, override_num_blocks=len(group_items)
             ).map_batches(
-                segment_rows_batch_fn(d["segments"], stem=cfg.stem),
+                segment_rows_batch_fn(d["segments"], stem=cfg.stem,
+                                      positions=cfg.positions),
                 batch_size=1,
                 batch_format="numpy",
             ).materialize()
@@ -229,7 +235,8 @@ def build_index(
             ray.data.from_items(
                 group_items, override_num_blocks=len(group_items)
             ).map_batches(
-                segment_write_batch_fn(d["segments"], stem=cfg.stem),
+                segment_write_batch_fn(d["segments"], stem=cfg.stem,
+                                       positions=cfg.positions),
                 batch_size=1,
                 batch_format="numpy",
             ).take_all()
@@ -250,6 +257,7 @@ def build_index(
         "num_buckets": cfg.num_buckets,
         "buckets_per_salt_group": cfg.buckets_per_salt_group,
         "stem": cfg.stem,
+        "positions": cfg.positions,
     }
     write_json_atomic(d["stats"], stats)
 
@@ -265,6 +273,7 @@ def build_index(
         {
             "merge_partitions": cfg.merge_partitions,
             "salt": cfg.buckets_per_salt_group,
+            "positions": cfg.positions,
             "segments": sorted(
                 [str(r.get("partition")), int(r.get("num_terms", -1)),
                  int(r.get("payload_bytes", -1)),
@@ -657,7 +666,8 @@ def refresh_index(pages_path, index_dir: str,
             os.unlink(fp)
 
     union_in.groupby("bucket").map_groups(
-        DocBucketWriter(d["docs"], None, stem=cfg.stem, overwrite=True),
+        DocBucketWriter(d["docs"], None, stem=cfg.stem, overwrite=True,
+                        positions=cfg.positions),
         batch_format="pyarrow",
     ).take_all()
     # drop the pinned datasets BEFORE the build below — their blocks

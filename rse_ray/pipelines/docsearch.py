@@ -35,16 +35,19 @@ def _wrap_documents(batch: pa.Table) -> pa.Table:
 
 
 def documents_index(sf_dir: str, *, stem: bool = False,
-                    num_buckets: int = 16) -> str:
+                    num_buckets: int = 16,
+                    positions: bool = False) -> str:
     """Build (or reuse) the index over {sf_dir}/documents.parquet;
-    returns the index dir."""
+    returns the index dir. ``positions=True`` builds the positional
+    variant (phrase/proximity queries) under its own cache key."""
     import ray.data
 
     from rse_ray.pipelines.build import BuildConfig, build_index
 
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.md5(
-        f"{os.path.abspath(src)}|stem={stem}|b={num_buckets}".encode()
+        f"{os.path.abspath(src)}|stem={stem}|b={num_buckets}"
+        f"{'|pos' if positions else ''}".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(_CACHE_ROOT, f"docidx_{key}")
     ds = ray.data.read_parquet(src, columns=["doc_id", "text"]).map_batches(
@@ -54,9 +57,30 @@ def documents_index(sf_dir: str, *, stem: bool = False,
         ds,
         index_dir,
         BuildConfig(num_buckets=num_buckets, buckets_per_salt_group=4,
-                    stem=stem, from_html=False),
+                    stem=stem, from_html=False, positions=positions),
     )
     return index_dir
+
+
+def phrase_documents(sf_dir: str, phrase: str) -> pd.DataFrame:
+    """Index-backed exact phrase search: build (or reuse) the
+    POSITIONAL documents index and serve the phrase from posting-list
+    + position intersections — the query-time twin of the corpus-scan
+    pipelines.text.phrase_match, sharing its (doc_id, n_matches)
+    contract and SQL oracle."""
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=False, positions=True)
+    s = Searcher(index_dir)
+    hits = s.search_phrase(phrase)
+    rows = hydrate_urls(index_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            "n_matches": pd.array([n for _, n, _ in rows], dtype="int64"),
+        }
+    )
 
 
 def bm25_documents_distributed(sf_dir: str, query: str, k: int = 20,

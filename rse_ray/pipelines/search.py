@@ -121,6 +121,7 @@ class _FileTermIndex:
 
     def __init__(self, path: str) -> None:
         self.pf = pq.ParquetFile(path)
+        self.has_pos = "pospayload" in self.pf.schema_arrow.names
         t = self.pf.read(columns=["term", "min_doc", "df"])
         self.terms = t.column("term").to_pylist()
         self.min_doc = t.column("min_doc").to_numpy()
@@ -135,22 +136,26 @@ class _FileTermIndex:
         )
         self._rg_cache: dict[int, tuple] = {}
 
-    def _payload_row(self, i: int) -> tuple[bytes, bytes]:
+    def _payload_row(self, i: int) -> tuple:
         rg = int(np.searchsorted(self._rg_starts, i, side="right")) - 1
         got = self._rg_cache.get(rg)
         if got is None:
-            t = self.pf.read_row_group(rg, columns=["payload", "blockmeta"])
-            got = (t.column("payload"), t.column("blockmeta"))
+            cols = ["payload", "blockmeta"] + (
+                ["pospayload"] if self.has_pos else [])
+            t = self.pf.read_row_group(rg, columns=cols)
+            got = tuple(t.column(c) for c in cols)
             self._rg_cache[rg] = got
         off = i - int(self._rg_starts[rg])
-        return got[0][off].as_py(), got[1][off].as_py()
+        return tuple(col[off].as_py() for col in got)
 
-    def runs(self, term: str) -> list[tuple[int, bytes, bytes, int]]:
-        """[(min_doc, payload, blockmeta, df)] for a term, unordered."""
+    def runs(self, term: str) -> list[tuple]:
+        """[(min_doc, payload, blockmeta, df[, pospayload])] for a
+        term, unordered; the 5th element only on positional indexes."""
         out = []
         for i in self.by_term.get(term, ()):
-            payload, bm = self._payload_row(i)
-            out.append((int(self.min_doc[i]), payload, bm, int(self.df[i])))
+            row = self._payload_row(i)
+            out.append((int(self.min_doc[i]), row[0], row[1],
+                        int(self.df[i]), *row[2:]))
         return out
 
     def terms_with_prefix(self, prefix: str) -> list[str]:
@@ -236,6 +241,28 @@ class IndexReader:
     def postings_with_blocks(self, term: str):
         """Like postings() but with the concatenated block metadata."""
         return self._decoded(term)
+
+    def positions(self, term: str):
+        """-> (ids, tfs, pos_flat) or None. pos_flat holds doc i's
+        positions at [cum_tf[i-1], cum_tf[i]) — decoded jointly across
+        salt chunks like the main payload (runs sorted by min_doc, so
+        the concatenated tfs drive one vectorized position decode).
+        Raises on an index built without positions=True."""
+        from rse_ray.functions.codec import decode_pos_runs_joint, decode_runs_joint
+
+        runs = []
+        for path in self.shards.files_for_term(term):
+            runs.extend(self._file(path).runs(term))
+        if not runs:
+            return None
+        if len(runs[0]) < 5:
+            raise ValueError(
+                "positional query on an index built without "
+                "BuildConfig(positions=True)")
+        runs.sort(key=lambda r: r[0])
+        ids, tfs, _dls = decode_runs_joint([r[1] for r in runs])
+        pos = decode_pos_runs_joint([r[4] for r in runs], tfs)
+        return ids, tfs, pos
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """Sorted distinct index terms starting with ``prefix`` — the
@@ -394,6 +421,50 @@ class Searcher:
         if self.dmap is not None:
             return _accumulate_topk_dense(id_parts, contrib_parts, k, self.dmap)
         return _accumulate_topk(id_parts, contrib_parts, k)
+
+    # ---- index-backed phrase retrieval -----------------------------------
+    def search_phrase(self, phrase: str):
+        """Exact phrase occurrences served from the POSITIONAL index
+        (BuildConfig(positions=True)): intersect the phrase terms'
+        posting lists, then count positions p with tokens[p+j] ==
+        phrase[j] for all j via per-doc sorted-array intersections.
+        Returns [(doc_id, n_matches)] in ascending doc_id, overlapping
+        matches counted — the same contract as the corpus-scan
+        pipelines.text.phrase_match, so the two share one oracle.
+        Repeated phrase terms decode once and intersect per occurrence
+        offset."""
+        toks = tokenize(phrase, stem=self.stem)
+        if not toks:
+            raise ValueError("empty phrase")
+        info: dict[str, tuple] = {}
+        for t in set(toks):
+            got = self.reader.positions(t)
+            if got is None:
+                return []
+            ids, tfs, pos = got
+            starts = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=starts[1:])
+            info[t] = (ids, starts, pos)
+        inter = info[toks[0]][0]
+        for t in set(toks[1:]):
+            inter = inter[np.isin(inter, info[t][0], assume_unique=True)]
+        out = []
+        # per-term row index of each intersected doc (posting ids are
+        # sorted + unique -> searchsorted)
+        row_of = {t: np.searchsorted(info[t][0], inter) for t in info}
+        for i, did in enumerate(inter.tolist()):
+            cand = None
+            for j, t in enumerate(toks):
+                ids, starts, pos = info[t]
+                r = row_of[t][i]
+                p = pos[starts[r]:starts[r + 1]] - j
+                cand = p if cand is None else np.intersect1d(
+                    cand, p, assume_unique=True)
+                if not len(cand):
+                    break
+            if cand is not None and len(cand):
+                out.append((int(did), int(len(cand))))
+        return out
 
     # ---- wildcard / prefix retrieval -------------------------------------
     def search_prefix(self, prefix: str, k: int = 10):

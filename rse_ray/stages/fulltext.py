@@ -45,7 +45,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from rse_ray.functions.codec import block_meta, encode_runs
+from rse_ray.functions.codec import block_meta, encode_pos_runs, encode_runs
 from rse_ray.functions.extract import extract
 from rse_ray.functions.ids import DOC_BUCKET_BITS, url_buckets
 from rse_ray.functions.tokenizer import StemCache, tokenize
@@ -85,6 +85,13 @@ SHARD_SCHEMA = pa.schema(
     ]
 )
 
+# positional variants (BuildConfig.positions=True): one extra binary
+# column holding each term run's encoded position stream (codec
+# encode_pos_runs). Kept as separate schemas so default builds stay
+# byte-identical to pre-positional ones.
+SEGMENT_SCHEMA_POS = SEGMENT_SCHEMA.append(pa.field("pospayload", pa.binary()))
+SHARD_SCHEMA_POS = SHARD_SCHEMA.append(pa.field("pospayload", pa.binary()))
+
 
 def extract_batch(batch: pa.Table) -> pa.Table:
     """M3/M4: html -> text. Stateless, zero-copy in; the html column is
@@ -121,10 +128,12 @@ class DocBucketWriter:
     no barrier, no bucket re-read, half the task scheduling."""
 
     def __init__(self, docs_dir: str, segments_dir: str | None = None,
-                 *, stem: bool = True, overwrite: bool = False) -> None:
+                 *, stem: bool = True, overwrite: bool = False,
+                 positions: bool = False) -> None:
         self.docs_dir = docs_dir
         self.segments_dir = segments_dir
         self.stem = stem
+        self.positions = positions
         # refresh_index upserts over existing done buckets: the atomic
         # tmp+rename write replaces them without any pre-delete window
         self.overwrite = overwrite
@@ -141,7 +150,8 @@ class DocBucketWriter:
         if prev and prev.get("status") == "done":
             if self.segments_dir is not None:
                 write_segment(bucket, out_path, self.segments_dir,
-                              stem=self.stem)  # no-op if its manifest is done
+                              stem=self.stem, positions=self.positions
+                              )  # no-op if its manifest is done
             return _manifest_row(
                 bucket, prev["num_docs"], prev["num_input_rows"], out_path
             )
@@ -189,7 +199,8 @@ class DocBucketWriter:
         )
         if self.segments_dir is not None:
             write_segment(bucket, out_path, self.segments_dir,
-                          stem=self.stem, docs_table=docs)
+                          stem=self.stem, docs_table=docs,
+                          positions=self.positions)
         return _manifest_row(bucket, n_docs, n, out_path)
 
 
@@ -221,7 +232,7 @@ def _worker_stemmer() -> StemCache:
 
 def write_segment(bucket: int, docs_path: str, segments_dir: str,
                   *, stem: bool = True, docs_table: pa.Table | None = None,
-                  return_table: bool = False):
+                  return_table: bool = False, positions: bool = False):
     """Build one bucket's partial segment: read the bucket docs parquet,
     tokenize (cached Porter), build term -> (docIDs, tfs, dls) posting
     runs (docs arrive in ascending doc_id order, so runs are born
@@ -263,6 +274,27 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
         toks = tokenize(text, stem=stem, _stemmer=stemmer)
         num_tokens += len(toks)
         dl = len(toks)
+        if positions:
+            # positional build: collect each term's token offsets; tf
+            # falls out as len(positions). A per-token Python loop —
+            # the cost of carrying positions, paid only when asked.
+            pos_in_doc: dict[str, list[int]] = {}
+            for i, tok in enumerate(toks):
+                got = pos_in_doc.get(tok)
+                if got is None:
+                    pos_in_doc[tok] = [i]
+                else:
+                    got.append(i)
+            for term, plist in pos_in_doc.items():
+                run = runs.get(term)
+                if run is None:
+                    run = [[], [], [], []]
+                    runs[term] = run
+                run[0].append(int(did))
+                run[1].append(len(plist))
+                run[2].append(dl)
+                run[3].extend(plist)
+            continue
         counts = Counter(toks)  # C-level counting
         for term, tf in counts.items():
             run = runs.get(term)
@@ -290,6 +322,20 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
             f"bucket {bucket} payload is {payload_bytes} bytes, beyond "
             "int32 binary offsets — lower num_buckets' docs per bucket")
 
+    pos_arr = None
+    if positions:
+        pos_buf, pos_off = encode_pos_runs(
+            [r[3] for r in run_cols], [r[1] for r in run_cols])
+        if int(pos_off[-1]) >= 2**31:
+            raise ValueError(
+                f"bucket {bucket} position payload beyond int32 offsets "
+                "— lower num_buckets' docs per bucket")
+        pos_arr = pa.BinaryArray.from_buffers(
+            pa.binary(), T,
+            [None, pa.py_buffer(pos_off.astype(np.int32)),
+             pa.py_buffer(pos_buf)])
+        pos_mv = memoryview(pos_buf)
+
     dfs = np.fromiter((len(r[0]) for r in run_cols), dtype=np.int64,
                       count=T)
     content_crc = 0
@@ -298,7 +344,7 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
     max_doc = np.zeros(T, dtype=np.int64)
     blockmeta = []
     for i, term in enumerate(terms):
-        ids, tfs, dls = run_cols[i]
+        ids, tfs, dls = run_cols[i][:3]
         ids_a = np.asarray(ids, dtype=np.int64)
         tfs_a = np.asarray(tfs, dtype=np.int32)
         dls_a = np.asarray(dls, dtype=np.int32)
@@ -309,6 +355,9 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
         content_crc = zlib.crc32(term.encode("utf-8"), content_crc)
         content_crc = zlib.crc32(
             payload_mv[payload_off[i]:payload_off[i + 1]], content_crc)
+        if positions:
+            content_crc = zlib.crc32(
+                pos_mv[pos_off[i]:pos_off[i + 1]], content_crc)
         if zlib.crc32(term.encode("utf-8") + b"#sample") % 61 == 0:
             sampled.append(term)
         min_doc[i] = ids_a[0]
@@ -321,18 +370,19 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
         pa.binary(), T,
         [None, pa.py_buffer(payload_off.astype(np.int32)),
          pa.py_buffer(payload_buf)])
-    seg = pa.table(
-        {
-            "term": pa.array(terms, type=pa.string()),
-            "bucket": pa.array(np.full(T, bucket, dtype=np.int32)),
-            "df": pa.array(dfs),
-            "min_doc": pa.array(min_doc),
-            "max_doc": pa.array(max_doc),
-            "payload": payload_arr,
-            "blockmeta": pa.array(blockmeta, type=pa.binary()),
-        },
-        schema=SEGMENT_SCHEMA,
-    )
+    cols = {
+        "term": pa.array(terms, type=pa.string()),
+        "bucket": pa.array(np.full(T, bucket, dtype=np.int32)),
+        "df": pa.array(dfs),
+        "min_doc": pa.array(min_doc),
+        "max_doc": pa.array(max_doc),
+        "payload": payload_arr,
+        "blockmeta": pa.array(blockmeta, type=pa.binary()),
+    }
+    if positions:
+        cols["pospayload"] = pos_arr
+    seg = pa.table(cols, schema=SEGMENT_SCHEMA_POS if positions
+                   else SEGMENT_SCHEMA)
     write_file_atomic(seg_path, lambda tmp: pq.write_table(seg, tmp))
     manifest = manifests.mark_done(
         key,
@@ -352,7 +402,8 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
     return (stats, seg) if return_table else stats
 
 
-def segment_write_batch_fn(segments_dir: str, *, stem: bool = True):
+def segment_write_batch_fn(segments_dir: str, *, stem: bool = True,
+                           positions: bool = False):
     """Task-form map_batches fn over {buckets, paths} work-item GROUPS
     (one LPT-balanced bin of buckets per item)."""
 
@@ -363,7 +414,7 @@ def segment_write_batch_fn(segments_dir: str, *, stem: bool = True):
         for buckets, paths in zip(items["buckets"], items["paths"]):
             for bucket, path in zip(buckets, paths):
                 m = write_segment(int(bucket), str(path), segments_dir,
-                                  stem=stem)
+                                  stem=stem, positions=positions)
                 for k in out:
                     out[k].append(m[k])
         return pa.table(
@@ -382,7 +433,8 @@ def segment_write_batch_fn(segments_dir: str, *, stem: bool = True):
     return fn
 
 
-def segment_rows_batch_fn(segments_dir: str, *, stem: bool = True):
+def segment_rows_batch_fn(segments_dir: str, *, stem: bool = True,
+                          positions: bool = False):
     """Task-form map_batches fn over {bucket, path} work items that
     emits the built segment's TERM ROWS (not just stats): the chained
     fresh build feeds these in-memory rows straight into the merge
@@ -395,10 +447,12 @@ def segment_rows_batch_fn(segments_dir: str, *, stem: bool = True):
             for bucket, path in zip(buckets, paths):
                 _stats, seg = write_segment(int(bucket), str(path),
                                             segments_dir, stem=stem,
-                                            return_table=True)
+                                            return_table=True,
+                                            positions=positions)
                 tables.append(seg)
         if not tables:
-            return SEGMENT_SCHEMA.empty_table()
+            return (SEGMENT_SCHEMA_POS if positions
+                    else SEGMENT_SCHEMA).empty_table()
         return pa.concat_tables(tables)
 
     return fn
@@ -410,8 +464,10 @@ class SegmentWriter:
     form segment_write_batch_fn + worker-global stem cache, which gives
     identical output without actor startup cost)."""
 
-    def __init__(self, segments_dir: str, *, stem: bool = True) -> None:
-        self._fn = segment_write_batch_fn(segments_dir, stem=stem)
+    def __init__(self, segments_dir: str, *, stem: bool = True,
+                 positions: bool = False) -> None:
+        self._fn = segment_write_batch_fn(segments_dir, stem=stem,
+                                          positions=positions)
 
     def __call__(self, items: dict) -> pa.Table:
         return self._fn(items)
@@ -549,6 +605,8 @@ def merge_partition(group: pa.Table) -> pa.Table:
     max_docs = g.column("max_doc").to_numpy()
     payloads = g.column("payload").to_pylist()
     metas = g.column("blockmeta").to_pylist()
+    has_pos = "pospayload" in g.schema.names
+    pos_payloads = g.column("pospayload").to_pylist() if has_pos else None
 
     # span boundaries where (term, salt_group) changes
     change = np.ones(n, dtype=bool)
@@ -561,6 +619,7 @@ def merge_partition(group: pa.Table) -> pa.Table:
     ends = np.append(starts[1:], n)
 
     o_term, o_salt, o_df, o_min, o_max, o_pay, o_meta = [], [], [], [], [], [], []
+    o_pos = [] if has_pos else None
     for s, e in zip(starts, ends):
         o_term.append(terms[s])
         o_salt.append(int(salts[s]))
@@ -570,6 +629,8 @@ def merge_partition(group: pa.Table) -> pa.Table:
             o_max.append(int(max_docs[s]))
             o_pay.append(payloads[s])
             o_meta.append(metas[s])
+            if has_pos:
+                o_pos.append(pos_payloads[s])
         else:
             o_df.append(int(dfs[s:e].sum()))
             o_min.append(int(min_docs[s]))
@@ -578,18 +639,23 @@ def merge_partition(group: pa.Table) -> pa.Table:
                 splice_runs(payloads[s:e], min_docs[s:e], max_docs[s:e])
             )
             o_meta.append(splice_block_meta(metas[s:e]))
-    return pa.table(
-        {
-            "term": pa.array(o_term, type=pa.string()),
-            "salt_group": pa.array(o_salt, type=pa.int32()),
-            "df": pa.array(o_df, type=pa.int64()),
-            "min_doc": pa.array(o_min, type=pa.int64()),
-            "max_doc": pa.array(o_max, type=pa.int64()),
-            "payload": pa.array(o_pay, type=pa.binary()),
-            "blockmeta": pa.array(o_meta, type=pa.binary()),
-        },
-        schema=SHARD_SCHEMA,
-    )
+            if has_pos:
+                # position streams have no cross-doc continuity: the
+                # doc-ascending sort order makes splice = concatenation
+                o_pos.append(b"".join(pos_payloads[s:e]))
+    cols = {
+        "term": pa.array(o_term, type=pa.string()),
+        "salt_group": pa.array(o_salt, type=pa.int32()),
+        "df": pa.array(o_df, type=pa.int64()),
+        "min_doc": pa.array(o_min, type=pa.int64()),
+        "max_doc": pa.array(o_max, type=pa.int64()),
+        "payload": pa.array(o_pay, type=pa.binary()),
+        "blockmeta": pa.array(o_meta, type=pa.binary()),
+    }
+    if has_pos:
+        cols["pospayload"] = pa.array(o_pos, type=pa.binary())
+    return pa.table(cols, schema=SHARD_SCHEMA_POS if has_pos
+                    else SHARD_SCHEMA)
 
 
 class ShardPartWriter:

@@ -272,3 +272,54 @@ def test_accumulator_blockmax_pruning_exact_and_engaged(ray_session):
         k, "a", w_a, 0, "b", w_b, 0
     ))
     assert got2 == want
+
+
+def test_positional_index_phrase_search(ray_session, tmp_path):
+    """BuildConfig(positions=True) end-to-end: multi-bucket build (so
+    the merge SPLICES position runs across salt chunks), then
+    search_phrase must equal the corpus-scan phrase_match on every
+    phrase shape — multi-token, overlapping, repeated-term, single
+    term (== tf), absent term."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import Searcher
+    from rse_ray.pipelines.text import phrase_match
+
+    texts = {
+        "u1": "a b a b a b",          # 'a b' x3
+        "u2": "a a a a",              # 'a a' overlaps x3
+        "u3": "x a y b",              # non-adjacent
+        "u4": "b a",                  # reversed
+        "u5": "c a b d a b",          # 'a b' x2 across the doc
+        "u6": "a",                    # too short for any bigram
+        "u7": "q r s a b",            # phrase at end
+        "u8": "a b",                  # exact doc == phrase
+    }
+    rows = pd.DataFrame({
+        "url": list(texts), "text": list(texts.values()),
+        "warc_ts": pd.Timestamp("2024-12-01")})
+    idx = str(tmp_path / "pos_idx")
+    build_index(ray.data.from_pandas(rows), idx,
+                BuildConfig(num_buckets=4, buckets_per_salt_group=2,
+                            stem=False, from_html=False, positions=True))
+    s = Searcher(idx)
+    assert s.reader.stats["positions"] is True
+
+    docs_ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": list(texts.values())}))
+    url_order = list(texts)
+
+    for phrase in ("a b", "a a", "a b a", "a", "z b"):
+        got = s.search_phrase(phrase)
+        # map index doc_ids -> urls -> fixture row order
+        from rse_ray.pipelines.search import hydrate_urls
+        by_url = {u: n for _, n, u in hydrate_urls(idx, got)}
+        want_df = phrase_match(docs_ds, phrase).to_pandas()
+        want = {url_order[int(r.doc_id)]: int(r.n_matches)
+                for r in want_df.itertuples(index=False)}
+        assert by_url == want, phrase
+
+    # an unindexed phrase term -> empty, not error
+    assert s.search_phrase("zz yy") == []

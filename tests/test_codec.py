@@ -216,3 +216,63 @@ def test_encode_runs_batched_identical_to_per_run():
         encode_runs([[3, 2]], [[1, 1]], [[1, 1]])
     with pytest.raises(ValueError):
         encode_runs([[]], [[]], [[]])
+
+
+# --- positional payloads ----------------------------------------------------
+
+def test_pos_runs_roundtrip_random():
+    """encode_pos_runs / decode_pos_run round-trip against randomized
+    per-doc position sets, and joint decode of spliced runs equals the
+    concatenation (the merge-stage contract: splice = byte concat)."""
+    import numpy as np
+
+    from rse_ray.functions.codec import (
+        decode_pos_run,
+        decode_pos_runs_joint,
+        encode_pos_runs,
+    )
+
+    rng = np.random.default_rng(7)
+    terms = []
+    for _ in range(40):
+        docs = rng.integers(1, 6)
+        flat, tfs = [], []
+        for _ in range(docs):
+            tf = int(rng.integers(1, 8))
+            pos = np.sort(rng.choice(2000, size=tf, replace=False))
+            flat.extend(int(x) for x in pos)
+            tfs.append(tf)
+        terms.append((flat, tfs))
+
+    buf, off = encode_pos_runs([t[0] for t in terms],
+                               [t[1] for t in terms])
+    for i, (flat, tfs) in enumerate(terms):
+        got = decode_pos_run(bytes(buf[off[i]:off[i + 1]]), tfs)
+        assert got.tolist() == flat
+
+    # splice two runs (doc-range disjoint by construction here): joint
+    # decode of concatenated bytes with concatenated tfs
+    (f0, t0), (f1, t1) = terms[0], terms[1]
+    p0 = bytes(buf[off[0]:off[1]])
+    p1 = bytes(buf[off[1]:off[2]])
+    got = decode_pos_runs_joint([p0, p1], np.array(t0 + t1))
+    assert got.tolist() == f0 + f1
+
+
+def test_pos_runs_edge_cases():
+    import numpy as np
+    import pytest
+
+    from rse_ray.functions.codec import decode_pos_run, encode_pos_runs
+
+    # position 0 encodes/decodes; single-doc single-pos terms
+    buf, off = encode_pos_runs([[0], [5, 0]], [[1], [1, 1]])
+    assert decode_pos_run(bytes(buf[off[0]:off[1]]), [1]).tolist() == [0]
+    assert decode_pos_run(bytes(buf[off[1]:off[2]]),
+                          [1, 1]).tolist() == [5, 0]
+    # empty input
+    buf, off = encode_pos_runs([], [])
+    assert len(buf) == 0 and off.tolist() == [0]
+    # non-increasing positions within a doc rejected
+    with pytest.raises(ValueError):
+        encode_pos_runs([[3, 3]], [[2]])
