@@ -643,6 +643,12 @@ def _q_phrase_match_indexed(sf_dir: str):
     return _finalize(phrase_documents(sf_dir, PHRASE_QUERY))
 
 
+def _q_term_proximity_indexed(sf_dir: str):
+    from rse_ray.pipelines.docsearch import proximity_documents
+
+    return _finalize(proximity_documents(sf_dir, "hash", "join"))
+
+
 def _q_term_proximity(sf_dir: str):
     from rse_ray.pipelines.text import term_proximity
 
@@ -1351,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": _q_phrase_match,
         "fuzzy_terms": _q_fuzzy_terms,
         "phrase_match_indexed": _q_phrase_match_indexed,
+        "term_proximity_indexed": _q_term_proximity_indexed,
         "term_proximity": _q_term_proximity,
         "kwic_snippets": _q_kwic_snippets,
         "facet_counts": _q_facet_counts,
@@ -2042,4 +2049,5 @@ FROM read_parquet('{golden}')""".format(
     # the positional-index phrase path must reproduce the corpus-scan
     # phrase_match exactly — one oracle, two execution engines
     sql["phrase_match_indexed"] = sql["phrase_match"]
+    sql["term_proximity_indexed"] = sql["term_proximity"]
     return sql

@@ -135,6 +135,25 @@ def bm25_documents_prefix(sf_dir: str, prefix: str, k: int = 20,
     )
 
 
+def proximity_documents(sf_dir: str, term_a: str, term_b: str) -> pd.DataFrame:
+    """Index-backed term proximity over the positional documents
+    index — the query-time twin of pipelines.text.term_proximity,
+    sharing its (doc_id, min_dist) contract and SQL oracle."""
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=False, positions=True)
+    s = Searcher(index_dir)
+    hits = s.search_proximity(term_a, term_b)
+    rows = hydrate_urls(index_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            "min_dist": pd.array([n for _, n, _ in rows], dtype="int64"),
+        }
+    )
+
+
 def bm25_documents(sf_dir: str, query: str, k: int | None = None,
                    *, stem: bool = False, round_to: int = 6,
                    conjunctive: bool = False) -> pd.DataFrame:

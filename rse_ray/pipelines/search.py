@@ -466,6 +466,42 @@ class Searcher:
                 out.append((int(did), int(len(cand))))
         return out
 
+    def search_proximity(self, term_a: str, term_b: str):
+        """Minimum token distance between two terms per doc, served
+        from the positional index (NEAR/k ranking signal). Returns
+        [(doc_id, min_dist)] ascending doc_id for docs holding BOTH
+        terms — the contract of pipelines.text.term_proximity, so the
+        two share one oracle. Per doc: sorted-positions searchsorted
+        merge, O((na+nb) log), never the na x nb grid."""
+        ta = tokenize(term_a, stem=self.stem)
+        tb = tokenize(term_b, stem=self.stem)
+        if len(ta) != 1 or len(tb) != 1:
+            raise ValueError("search_proximity takes single terms")
+        got_a = self.reader.positions(ta[0])
+        got_b = self.reader.positions(tb[0])
+        if got_a is None or got_b is None:
+            return []
+        ids_a, tfs_a, pos_a = got_a
+        ids_b, tfs_b, pos_b = got_b
+        starts_a = np.zeros(len(ids_a) + 1, dtype=np.int64)
+        np.cumsum(tfs_a, out=starts_a[1:])
+        starts_b = np.zeros(len(ids_b) + 1, dtype=np.int64)
+        np.cumsum(tfs_b, out=starts_b[1:])
+        inter = ids_a[np.isin(ids_a, ids_b, assume_unique=True)]
+        ra = np.searchsorted(ids_a, inter)
+        rb = np.searchsorted(ids_b, inter)
+        out = []
+        for i, did in enumerate(inter.tolist()):
+            pa_ = pos_a[starts_a[ra[i]]:starts_a[ra[i] + 1]]
+            pb_ = pos_b[starts_b[rb[i]]:starts_b[rb[i] + 1]]
+            j = np.searchsorted(pb_, pa_)
+            lo = np.clip(j - 1, 0, len(pb_) - 1)
+            hi = np.clip(j, 0, len(pb_) - 1)
+            best = int(np.minimum(np.abs(pa_ - pb_[lo]),
+                                  np.abs(pa_ - pb_[hi])).min())
+            out.append((int(did), best))
+        return out
+
     # ---- wildcard / prefix retrieval -------------------------------------
     def search_prefix(self, prefix: str, k: int = 10):
         """Wildcard retrieval (`pre*`): expand the prefix against the

@@ -323,3 +323,33 @@ def test_positional_index_phrase_search(ray_session, tmp_path):
 
     # an unindexed phrase term -> empty, not error
     assert s.search_phrase("zz yy") == []
+
+
+def test_positional_index_proximity(ray_session, tmp_path):
+    """search_proximity vs hand-computed min distances, including
+    multi-occurrence docs and a doc missing one term."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    texts = {
+        "u1": "a x x b",         # dist 3
+        "u2": "a b x a",         # dist 1 (first pair)
+        "u3": "b x x x a x b",   # dist 2 (a at 4, b at 6)
+        "u4": "a only here",
+        "u5": "b b b",
+    }
+    rows = pd.DataFrame({
+        "url": list(texts), "text": list(texts.values()),
+        "warc_ts": pd.Timestamp("2024-12-01")})
+    idx = str(tmp_path / "prox_idx")
+    build_index(ray.data.from_pandas(rows), idx,
+                BuildConfig(num_buckets=2, buckets_per_salt_group=2,
+                            stem=False, from_html=False, positions=True))
+    s = Searcher(idx)
+    got = {u: n for _, n, u in
+           hydrate_urls(idx, s.search_proximity("a", "b"))}
+    assert got == {"u1": 3, "u2": 1, "u3": 2}
+    assert s.search_proximity("a", "zz") == []
