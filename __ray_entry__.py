@@ -41,6 +41,8 @@ PREFIX_QUERY = "s"  # expands to {scan, slow, small, sort, spark, stream}
 # one substitution, one exact hit, one no-match
 FUZZY_PROBES = ["joinn", "hask", "qery", "sort", "zzz"]
 FUZZY_PROBES_SQL = "('joinn'), ('hask'), ('qery'), ('sort'), ('zzz')"
+DELETE_DOC_IDS = [1, 2, 3]      # tombstoned docs (Lucene delete semantics)
+FILTER_LANG = "en"              # attribute-filtered retrieval
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.1
 COS_NEARDUP_THRESHOLD = 0.5
@@ -592,6 +594,20 @@ def _q_pmi_topk(sf_dir: str):
     return _finalize(pmi_topk(
         _read(sf_dir, "documents", ["doc_id", "text"]),
         min_count=5, top_n=50))
+
+
+def _q_bm25_with_deletes(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents_with_deletes
+
+    return _finalize(bm25_documents_with_deletes(
+        sf_dir, BM25_QUERY, DELETE_DOC_IDS))
+
+
+def _q_bm25_filtered(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents_filtered
+
+    return _finalize(bm25_documents_filtered(
+        sf_dir, BM25_QUERY, lang=FILTER_LANG, k=20))
 
 
 def _q_prefix_search(sf_dir: str):
@@ -1354,6 +1370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": _q_bigram_counts,
         "bm25_conjunctive": _q_bm25_conjunctive,
         "prefix_search": _q_prefix_search,
+        "bm25_with_deletes": _q_bm25_with_deletes,
+        "bm25_filtered": _q_bm25_filtered,
         "phrase_match": _q_phrase_match,
         "fuzzy_terms": _q_fuzzy_terms,
         "phrase_match_indexed": _q_phrase_match_indexed,
@@ -1670,6 +1688,18 @@ hits AS (SELECT p.doc_id FROM p JOIN q USING (term)
          HAVING count(DISTINCT p.term) = (SELECT count(*) FROM q))
 SELECT s.doc_id, round(s.raw, 6) AS score
 FROM scores s JOIN hits USING (doc_id)
+ORDER BY s.raw DESC, s.doc_id LIMIT 20""",
+        # tombstone deletes (Lucene semantics): scores keep full-corpus
+        # stats; deleted docs are masked from the result set
+        "bm25_with_deletes": _BM25_CTES + f"""
+SELECT doc_id, round(raw, 6) AS score FROM scores
+WHERE doc_id NOT IN ({', '.join(str(i) for i in DELETE_DOC_IDS)})""",
+        # attribute-filtered top-k: full-corpus idf/avgdl, candidate
+        # set restricted by the attribute join
+        "bm25_filtered": _BM25_CTES + f"""
+SELECT s.doc_id, round(s.raw, 6) AS score
+FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+WHERE d.lang = '{FILTER_LANG}'
 ORDER BY s.raw DESC, s.doc_id LIMIT 20""",
         # wildcard retrieval: q = every distinct corpus term LIKE
         # '{p}%' with qtf=1 (the dictionary expansion the index-side

@@ -154,6 +154,96 @@ def proximity_documents(sf_dir: str, term_a: str, term_b: str) -> pd.DataFrame:
     )
 
 
+def bm25_documents_with_deletes(sf_dir: str, query: str,
+                                delete_doc_ids: list[int],
+                                *, round_to: int = 6) -> pd.DataFrame:
+    """BM25 over an index with TOMBSTONED docs (search.delete_urls):
+    deleted docs vanish from results while corpus stats stay stale
+    until the next build — Lucene delete semantics, which is exactly
+    what the SQL twin expresses (full-corpus scores CTE, final
+    doc_id NOT IN (...) filter). The tombstoned index is a one-time
+    copy of the cached documents index so sibling queries keep their
+    unmodified cache."""
+    import shutil
+
+    from rse_ray.pipelines.search import Searcher, delete_urls, hydrate_urls
+
+    base = documents_index(sf_dir, stem=False)
+    tag = hashlib.md5(
+        ",".join(str(i) for i in sorted(delete_doc_ids)).encode()
+    ).hexdigest()[:8]
+    del_dir = f"{base}_del_{tag}"
+    if not os.path.exists(del_dir):
+        tmp = del_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp)
+        delete_urls(tmp, [f"doc://{i:012d}" for i in delete_doc_ids])
+        os.rename(tmp, del_dir)
+    s = Searcher(del_dir)
+    hits = s.search(query, k=s.N)
+    rows = hydrate_urls(del_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            "score": [round(score, round_to) for _, score, _ in rows],
+        }
+    )
+
+
+def bm25_documents_filtered(sf_dir: str, query: str, *, lang: str,
+                            k: int = 20, round_to: int = 6) -> pd.DataFrame:
+    """Attribute-filtered top-k retrieval: only docs whose table
+    attribute matches are scored/ranked (the search-engine language /
+    date / site filter). The allowed set is computed DISTRIBUTED (the
+    attribute filter over the corpus table, ids only to the driver),
+    translated to index doc_ids by a broadcast semi-join over the
+    bucket docmap, and masked inside the scorer — scores keep
+    full-corpus idf/avgdl, which is what a serving engine does and
+    what the SQL twin (scores CTE + attribute JOIN) expresses. At
+    fleet scale the attribute column would live doc-resident next to
+    the docmap; the translation step IS that columnstore read."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=False)
+
+    allowed_tbl = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"],
+    ).filter(expr=f"lang == '{lang}'").select_columns(["doc_id"]) \
+        .to_pandas()["doc_id"].to_numpy()
+    ref = ray.put(np.sort(allowed_tbl.astype(np.int64)))
+
+    def to_index_ids(batch: pa.Table) -> pa.Table:
+        tids = np.array([int(u[len("doc://"):])
+                         for u in batch.column("url").to_pylist()],
+                        dtype=np.int64)
+        keep = np.isin(tids, ray.get(ref))
+        return pa.table({"doc_id": batch.column("doc_id")
+                        .filter(pa.array(keep))})
+
+    allowed_idx = ray.data.read_parquet(
+        os.path.join(index_dir, "docs"), columns=["doc_id", "url"]
+    ).map_batches(to_index_ids, batch_format="pyarrow") \
+        .to_pandas()["doc_id"].to_numpy()
+    allowed_idx = np.sort(allowed_idx.astype(np.int64))
+
+    s = Searcher(index_dir)
+    hits = s.search(query, k=k, allowed=allowed_idx)
+    rows = hydrate_urls(index_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            "score": [round(score, round_to) for _, score, _ in rows],
+        }
+    )
+
+
 def bm25_documents(sf_dir: str, query: str, k: int | None = None,
                    *, stem: bool = False, round_to: int = 6,
                    conjunctive: bool = False) -> pd.DataFrame:

@@ -374,6 +374,52 @@ def _accumulate_topk(id_parts, contrib_parts, k):
     return _rank_topk(uniq, acc, k)
 
 
+def delete_urls(index_dir: str, urls: list[str]) -> int:
+    """Tombstone deletes (the Lucene model): resolve each url to its
+    doc_id via the bucket-routed docmap (point lookups — crc32 names
+    the ONE bucket file per url, no docmap scan) and append to
+    ``tombstones.parquet`` atomically. Query paths mask tombstoned
+    docs out of every result; corpus stats (N, avgdl, df) stay stale
+    until the next full/refresh build, exactly like Lucene deletes
+    before a segment merge. Returns the total distinct tombstone
+    count after the append (re-deleting is a no-op)."""
+    import pyarrow as pa
+
+    from rse_ray.functions.ids import url_bucket
+    from rse_ray.state.manifest import write_file_atomic
+
+    stats = read_json(os.path.join(index_dir, "stats.json"))
+    nb = int(stats["num_buckets"])
+    docs_dir = os.path.join(index_dir, "docs")
+    by_bucket: dict[int, list[str]] = {}
+    for u in urls:
+        by_bucket.setdefault(url_bucket(u, nb), []).append(u)
+    got_urls, got_ids = [], []
+    for bucket, us in by_bucket.items():
+        path = os.path.join(docs_dir, f"bucket_{bucket:06d}.parquet")
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path, columns=["doc_id", "url"])
+        pos = {u: int(d) for d, u in zip(t.column("doc_id").to_numpy(),
+                                         t.column("url").to_pylist())}
+        for u in us:
+            if u in pos:
+                got_urls.append(u)
+                got_ids.append(pos[u])
+    ts_path = os.path.join(index_dir, "tombstones.parquet")
+    if os.path.exists(ts_path):
+        old = pq.read_table(ts_path)
+        got_urls = old.column("url").to_pylist() + got_urls
+        got_ids = old.column("doc_id").to_pylist() + got_ids
+    seen: dict[int, str] = dict(zip(got_ids, got_urls))
+    ids_sorted = sorted(seen)
+    t = pa.table({"url": pa.array([seen[i] for i in ids_sorted],
+                                  type=pa.string()),
+                  "doc_id": pa.array(ids_sorted, type=pa.int64())})
+    write_file_atomic(ts_path, lambda tmp: pq.write_table(t, tmp))
+    return len(seen)
+
+
 class Searcher:
     def __init__(self, index_dir: str) -> None:
         self.reader = IndexReader(index_dir)
@@ -384,16 +430,40 @@ class Searcher:
             self.dmap = _DenseDocMap(index_dir)
         except (FileNotFoundError, OSError):
             self.dmap = None  # index without docs checkpoint
+        ts_path = os.path.join(index_dir, "tombstones.parquet")
+        self.deleted = None  # sorted doc_ids masked from every result
+        if os.path.exists(ts_path):
+            d = pq.read_table(ts_path, columns=["doc_id"]) \
+                .column("doc_id").to_numpy()
+            if len(d):
+                self.deleted = np.sort(d.astype(np.int64))
+
+    def _keep_mask(self, ids: np.ndarray, allowed=None):
+        """Boolean keep-mask applying tombstones and (optionally) an
+        ``allowed`` sorted doc_id whitelist; None = keep everything."""
+        m = None
+        if self.deleted is not None:
+            m = ~np.isin(ids, self.deleted, assume_unique=True)
+        if allowed is not None:
+            ma = np.isin(ids, allowed, assume_unique=True)
+            m = ma if m is None else (m & ma)
+        return m
 
     # ---- exhaustive TAAT (the rank-identity oracle-matching path) -------
     def search(self, query: str, k: int = 10, *, mode: str = "taat",
-               conjunctive: bool = False):
+               conjunctive: bool = False, allowed=None):
         """``conjunctive=True`` is boolean-AND retrieval: only docs
         containing EVERY distinct query term are scored (the same BM25
         contributions, restricted to the posting-list intersection —
         rank-identical to TAAT filtered to all-terms docs). A query
-        term absent from the index makes the result empty."""
-        if mode == "bmw":
+        term absent from the index makes the result empty.
+
+        ``allowed`` (sorted doc_id array) is attribute-filtered
+        retrieval: only whitelisted docs are scored/ranked. Tombstoned
+        docs (delete_urls) are always masked. Either restriction forces
+        the TAAT path (BMW's block bounds describe the unmasked
+        lists)."""
+        if mode == "bmw" and self.deleted is None and allowed is None:
             return self.search_bmw(query, k)
         terms = _query_weights(query, self.stem)
         id_parts, contrib_parts = [], []
@@ -404,6 +474,13 @@ class Searcher:
                     return []  # a missing term empties the AND result
                 continue
             ids, tfs, dls, df = got
+            m = self._keep_mask(ids, allowed)
+            if m is not None:
+                ids, tfs, dls = ids[m], tfs[m], dls[m]
+                if not len(ids):
+                    if conjunctive:
+                        return []
+                    continue
             w = qtf * _idf(self.N, df)
             tf_part = (tfs * (K1 + 1)) / (tfs + K1 * (1 - B + B * dls / self.avgdl))
             id_parts.append(ids)
@@ -448,6 +525,9 @@ class Searcher:
         inter = info[toks[0]][0]
         for t in set(toks[1:]):
             inter = inter[np.isin(inter, info[t][0], assume_unique=True)]
+        m = self._keep_mask(inter)
+        if m is not None:
+            inter = inter[m]
         out = []
         # per-term row index of each intersected doc (posting ids are
         # sorted + unique -> searchsorted)
@@ -488,6 +568,9 @@ class Searcher:
         starts_b = np.zeros(len(ids_b) + 1, dtype=np.int64)
         np.cumsum(tfs_b, out=starts_b[1:])
         inter = ids_a[np.isin(ids_a, ids_b, assume_unique=True)]
+        m = self._keep_mask(inter)
+        if m is not None:
+            inter = inter[m]
         ra = np.searchsorted(ids_a, inter)
         rb = np.searchsorted(ids_b, inter)
         out = []
@@ -516,6 +599,11 @@ class Searcher:
         id_parts, contrib_parts = [], []
         for term in self.reader.expand_prefix(prefix):
             ids, tfs, dls, df = self.reader.postings(term)
+            m = self._keep_mask(ids)
+            if m is not None:
+                ids, tfs, dls = ids[m], tfs[m], dls[m]
+                if not len(ids):
+                    continue
             w = _idf(self.N, df)
             tf_part = (tfs * (K1 + 1)) / (tfs + K1 * (1 - B + B * dls / self.avgdl))
             id_parts.append(ids)

@@ -353,3 +353,71 @@ def test_positional_index_proximity(ray_session, tmp_path):
            hydrate_urls(idx, s.search_proximity("a", "b"))}
     assert got == {"u1": 3, "u2": 1, "u3": 2}
     assert s.search_proximity("a", "zz") == []
+
+
+def test_tombstone_deletes_and_filtered_search(ray_session, tmp_path):
+    """delete_urls masks docs from EVERY query path (TAAT, prefix,
+    phrase, proximity) without touching surviving docs' scores
+    (Lucene stale-stats semantics); the allowed whitelist restricts
+    top-k the same way."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import Searcher, delete_urls, hydrate_urls
+
+    texts = {
+        "u1": "apple banana apple",
+        "u2": "apple banana",
+        "u3": "banana apple cherry",
+        "u4": "apple",
+        "u5": "banana cherry",
+    }
+    rows = pd.DataFrame({
+        "url": list(texts), "text": list(texts.values()),
+        "warc_ts": pd.Timestamp("2024-12-01")})
+    idx = str(tmp_path / "del_idx")
+    build_index(ray.data.from_pandas(rows), idx,
+                BuildConfig(num_buckets=2, buckets_per_salt_group=2,
+                            stem=False, from_html=False, positions=True))
+
+    before = {u: sc for _, sc, u in
+              hydrate_urls(idx, Searcher(idx).search("apple banana", k=10))}
+    assert set(before) == {"u1", "u2", "u3", "u4", "u5"}
+
+    assert delete_urls(idx, ["u2", "u5", "nope://missing"]) == 2
+    s = Searcher(idx)
+    after = {u: sc for _, sc, u in
+             hydrate_urls(idx, s.search("apple banana", k=10))}
+    assert set(after) == {"u1", "u3", "u4"}
+    for u in after:   # survivors keep their exact stale-stats scores
+        assert abs(after[u] - before[u]) < 1e-12
+    # bmw mode transparently falls back to the masked TAAT path
+    assert s.search("apple banana", k=10, mode="bmw") == \
+        s.search("apple banana", k=10)
+    # every other query path masks too
+    assert {u for _, _, u in hydrate_urls(
+        idx, s.search_prefix("ba", k=10))} == {"u1", "u3"}
+    assert {u for _, _, u in hydrate_urls(
+        idx, s.search_phrase("apple banana"))} == {"u1"}
+    assert {u for _, _, u in hydrate_urls(
+        idx, s.search_proximity("banana", "cherry"))} == {"u3"}
+    # delete_urls is idempotent / cumulative
+    assert delete_urls(idx, ["u2", "u1"]) == 3
+    assert {u for _, _, u in hydrate_urls(
+        idx, Searcher(idx).search("apple", k=10))} == {"u3", "u4"}
+
+    # allowed whitelist on a fresh index
+    idx2 = str(tmp_path / "filt_idx")
+    build_index(ray.data.from_pandas(rows), idx2,
+                BuildConfig(num_buckets=2, buckets_per_salt_group=2,
+                            stem=False, from_html=False))
+    s2 = Searcher(idx2)
+    full = s2.search("apple banana", k=10)
+    import numpy as np
+    allowed = np.sort(np.array([d for d, _ in full[:2]], dtype=np.int64))
+    got = s2.search("apple banana", k=10, allowed=allowed)
+    assert [d for d, _ in got] == sorted(
+        allowed, key=lambda d: dict(full)[d], reverse=True)
+    for d, sc in got:
+        assert abs(sc - dict(full)[d]) < 1e-12
