@@ -603,6 +603,13 @@ def _q_bm25_with_deletes(sf_dir: str):
         sf_dir, BM25_QUERY, DELETE_DOC_IDS))
 
 
+def _q_bm25_after_compact(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents_after_compact
+
+    return _finalize(bm25_documents_after_compact(
+        sf_dir, BM25_QUERY, DELETE_DOC_IDS))
+
+
 def _q_bm25_filtered(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_documents_filtered
 
@@ -1371,6 +1378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_conjunctive": _q_bm25_conjunctive,
         "prefix_search": _q_prefix_search,
         "bm25_with_deletes": _q_bm25_with_deletes,
+        "bm25_after_compact": _q_bm25_after_compact,
         "bm25_filtered": _q_bm25_filtered,
         "phrase_match": _q_phrase_match,
         "fuzzy_terms": _q_fuzzy_terms,
@@ -1694,6 +1702,14 @@ ORDER BY s.raw DESC, s.doc_id LIMIT 20""",
         "bm25_with_deletes": _BM25_CTES + f"""
 SELECT doc_id, round(raw, 6) AS score FROM scores
 WHERE doc_id NOT IN ({', '.join(str(i) for i in DELETE_DOC_IDS)})""",
+        # compaction: deletes EXPUNGED, stats recomputed — the whole
+        # scores CTE re-derives from the filtered corpus (contrast
+        # bm25_with_deletes, where stats stay stale)
+        "bm25_after_compact": _BM25_CTES.replace(
+            "FROM documents",
+            "FROM (SELECT * FROM documents WHERE doc_id NOT IN "
+            f"({', '.join(str(i) for i in DELETE_DOC_IDS)}))") + """
+SELECT doc_id, round(raw, 6) AS score FROM scores""",
         # attribute-filtered top-k: full-corpus idf/avgdl, candidate
         # set restricted by the attribute join
         "bm25_filtered": _BM25_CTES + f"""

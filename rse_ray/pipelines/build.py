@@ -690,3 +690,123 @@ def refresh_index(pages_path, index_dir: str,
     # stale final manifest was already dropped pre-reduce; stages B-D
     # resume off the checkpoints
     return build_index(pages_path, index_dir, cfg)
+
+
+def compact_index(index_dir: str, cfg: BuildConfig | None = None) -> dict:
+    """Expunge tombstones (search.delete_urls) by INCREMENTALLY
+    re-indexing only the buckets that contain deleted docs — the
+    Lucene segment-merge analog of the tombstone model. Per affected
+    bucket the docs parquet is rewritten without the deleted urls and
+    doc ranks re-derive from the surviving sorted urls, so the
+    compacted index is IDENTICAL (shard-byte-identical, tested) to a
+    from-scratch build over the corpus minus the deleted urls; stats
+    (N, avgdl, df) come back exact. Untouched buckets' docs, segments
+    and checkpoints are reused as-is; only the merge re-runs globally
+    (its fingerprint covers every segment's content_crc).
+
+    Crash-safety follows refresh_index's order: the stage/final
+    markers drop FIRST (an interrupted compaction can never read as a
+    completed build), each docs parquet is replaced atomically via
+    tmp+rename, the tombstone file is removed only after the docs
+    stage is consistent, and stages B-D resume off checkpoints.
+    Re-running after any crash point is idempotent: filtering
+    already-compacted buckets is a no-op and re-ranking is stable.
+
+    ``cfg`` must match the original build's configuration (as with
+    refresh_index)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rse_ray.functions.ids import DOC_BUCKET_BITS
+    from rse_ray.stages.fulltext import DOCS_SCHEMA
+    from rse_ray.state.manifest import write_file_atomic
+
+    cfg = cfg or BuildConfig()
+    d = _dirs(index_dir)
+    ts_path = os.path.join(index_dir, "tombstones.parquet")
+    if not os.path.exists(ts_path):
+        existing = read_json(d["manifest"])
+        if existing and existing.get("status") == "done":
+            return existing
+        # crashed after tombstone removal: finish the resumed build
+        return build_index(None, index_dir, cfg)
+
+    ts = pq.read_table(ts_path)
+    dead_urls = set(ts.column("url").to_pylist())
+    changed = sorted({int(i) >> DOC_BUCKET_BITS
+                      for i in ts.column("doc_id").to_numpy()})
+
+    # 1. invalidate downstream FIRST (crash safety)
+    stage_marker = os.path.join(d["docs"], "_STAGE.json")
+    for p in (stage_marker, d["manifest"]):
+        if os.path.exists(p):
+            os.unlink(p)
+    seg_manifests = PartitionManifests(d["segments"])
+    for b in changed:
+        key = f"bucket_{b:06d}"
+        for p in (seg_manifests.path(key),
+                  os.path.join(d["segments"], f"{key}.parquet")):
+            if os.path.exists(p):
+                os.unlink(p)
+
+    # 2. rewrite each affected bucket's docs without the dead urls.
+    # Affected buckets are |tombstoned buckets| (few relative to the
+    # corpus); each rewrite is one column read + filter + atomic write,
+    # run driver-side here — at fleet scale this loop is one
+    # from_items().map_batches task wave, same shape as stage B.
+    docs_manifests = PartitionManifests(d["docs"])
+    for b in changed:
+        key = f"bucket_{b:06d}"
+        path = os.path.join(d["docs"], f"{key}.parquet")
+        t = pq.read_table(path)
+        keep = pa.array([u not in dead_urls
+                         for u in t.column("url").to_pylist()],
+                        type=pa.bool_())
+        g = t.filter(keep)
+        n = g.num_rows
+        # ranks re-derive from the surviving url order (already
+        # url-sorted by DocBucketWriter) — identical to a fresh build
+        doc_ids = (b << DOC_BUCKET_BITS) | np.arange(n, dtype=np.int64)
+        docs = pa.table(
+            {
+                "bucket": pa.array(np.full(n, b, dtype=np.int32)),
+                "doc_id": pa.array(doc_ids),
+                "url": g.column("url"),
+                "warc_ts": g.column("warc_ts"),
+                "text": g.column("text"),
+            },
+            schema=DOCS_SCHEMA,
+        )
+        write_file_atomic(path, lambda tmp: pq.write_table(docs, tmp))
+        import pyarrow.compute as pc
+
+        wm = pc.max(docs.column("warc_ts")).as_py() if n else None
+        prev_m = read_json(docs_manifests.path(key)) or {}
+        docs_manifests.mark_done(
+            key, bucket=b, num_docs=n,
+            num_input_rows=int(prev_m.get("num_input_rows", n)),
+            path=path, bytes=os.path.getsize(path),
+            watermark=wm.isoformat() if wm is not None else None,
+            compacted=True,
+        )
+
+    rows = docs_manifests.load_all()
+    write_json_atomic(
+        stage_marker,
+        {
+            "status": "done",
+            "num_buckets": len(rows),
+            "num_docs": sum(int(r["num_docs"]) for r in rows),
+            "num_input_rows": sum(int(r["num_input_rows"]) for r in rows),
+            "compacted_buckets": changed,
+        },
+    )
+    # 3. docs stage is consistent — retire the tombstones (their doc
+    # ids are about to be re-minted; leaving them would mask the WRONG
+    # docs on the rebuilt index)
+    os.unlink(ts_path)
+    # 4. stages B-D resume: only the invalidated buckets re-tokenize;
+    # the merge fingerprint (content_crc over every segment) re-runs
+    # the exchange
+    return build_index(None, index_dir, cfg)

@@ -191,6 +191,45 @@ def bm25_documents_with_deletes(sf_dir: str, query: str,
     )
 
 
+def bm25_documents_after_compact(sf_dir: str, query: str,
+                                 delete_doc_ids: list[int],
+                                 *, round_to: int = 6) -> pd.DataFrame:
+    """BM25 after delete_urls + compact_index: the deleted docs are
+    EXPUNGED and corpus stats (N, avgdl, df) recomputed exactly — the
+    semantic counterpart of bm25_documents_with_deletes' stale-stats
+    phase, whose SQL twin therefore recomputes the whole scores CTE
+    over the filtered corpus."""
+    import shutil
+
+    from rse_ray.pipelines.build import BuildConfig, compact_index
+    from rse_ray.pipelines.search import Searcher, delete_urls, hydrate_urls
+
+    base = documents_index(sf_dir, stem=False)
+    tag = hashlib.md5(
+        ("compact:" + ",".join(str(i) for i in sorted(delete_doc_ids))
+         ).encode()).hexdigest()[:8]
+    c_dir = f"{base}_cmp_{tag}"
+    if not os.path.exists(c_dir):
+        tmp = c_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp)
+        delete_urls(tmp, [f"doc://{i:012d}" for i in delete_doc_ids])
+        compact_index(tmp, BuildConfig(num_buckets=16,
+                                       buckets_per_salt_group=4,
+                                       stem=False, from_html=False))
+        os.rename(tmp, c_dir)
+    s = Searcher(c_dir)
+    hits = s.search(query, k=s.N)
+    rows = hydrate_urls(c_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            "score": [round(score, round_to) for _, score, _ in rows],
+        }
+    )
+
+
 def bm25_documents_filtered(sf_dir: str, query: str, *, lang: str,
                             k: int = 20, round_to: int = 6) -> pd.DataFrame:
     """Attribute-filtered top-k retrieval: only docs whose table

@@ -421,3 +421,66 @@ def test_tombstone_deletes_and_filtered_search(ray_session, tmp_path):
         allowed, key=lambda d: dict(full)[d], reverse=True)
     for d, sc in got:
         assert abs(sc - dict(full)[d]) < 1e-12
+
+
+def test_compact_index_equals_fresh_build(ray_session, tmp_path):
+    """compact_index after delete_urls must produce an index IDENTICAL
+    to a from-scratch build over the surviving corpus: byte-identical
+    shard files, equal stats, equal BM25 results — and exact
+    (recomputed) stats, unlike the stale-stats tombstone phase."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index, compact_index
+    from rse_ray.pipelines.search import Searcher, delete_urls, hydrate_urls
+    from rse_ray.state.manifest import read_json
+
+    rng = np.random.default_rng(3)
+    words = ["apple", "banana", "cherry", "dates", "elder", "fig"]
+    urls = [f"u{i:03d}" for i in range(30)]
+    texts = {u: " ".join(rng.choice(words, size=rng.integers(3, 12)))
+             for u in urls}
+    rows = pd.DataFrame({
+        "url": urls, "text": [texts[u] for u in urls],
+        "warc_ts": pd.Timestamp("2024-12-01")})
+    cfg = lambda: BuildConfig(num_buckets=4, buckets_per_salt_group=2,
+                              stem=False, from_html=False)
+
+    idx = str(tmp_path / "compact_idx")
+    build_index(ray.data.from_pandas(rows), idx, cfg())
+    dead = ["u003", "u007", "u019"]
+    delete_urls(idx, dead)
+    m = compact_index(idx, cfg())
+    assert m["status"] == "done"
+    assert not os.path.exists(os.path.join(idx, "tombstones.parquet"))
+
+    idx_fresh = str(tmp_path / "fresh_idx")
+    surviving = rows[~rows["url"].isin(dead)].reset_index(drop=True)
+    build_index(ray.data.from_pandas(surviving), idx_fresh, cfg())
+
+    # stats recomputed exactly
+    sa = read_json(os.path.join(idx, "stats.json"))
+    sb = read_json(os.path.join(idx_fresh, "stats.json"))
+    assert sa["num_docs"] == sb["num_docs"] == 27
+    assert sa["avgdl"] == sb["avgdl"]
+
+    # shard files byte-identical
+    fa = sorted(os.listdir(os.path.join(idx, "shards")))
+    fb = sorted(os.listdir(os.path.join(idx_fresh, "shards")))
+    shards_a = [f for f in fa if f.endswith(".parquet")]
+    assert shards_a == [f for f in fb if f.endswith(".parquet")]
+    for f in shards_a:
+        wa = open(os.path.join(idx, "shards", f), "rb").read()
+        wb = open(os.path.join(idx_fresh, "shards", f), "rb").read()
+        assert wa == wb, f
+
+    # query equality through urls (doc ids re-minted identically)
+    ha = {u: sc for _, sc, u in
+          hydrate_urls(idx, Searcher(idx).search("apple banana", k=30))}
+    hb = {u: sc for _, sc, u in
+          hydrate_urls(idx_fresh,
+                       Searcher(idx_fresh).search("apple banana", k=30))}
+    assert ha == hb and not set(dead) & set(ha)
+
+    # idempotent re-entry with no tombstones
+    assert compact_index(idx, cfg())["status"] == "done"
