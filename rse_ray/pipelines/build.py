@@ -187,10 +187,15 @@ def build_index(
         bucket = int(f.split("_")[1].split(".")[0])
         items.append({"bucket": bucket,
                       "path": os.path.join(d["docs"], f)})
-    pending = [
-        it for it in items
-        if not seg_manifests.is_done(f"bucket_{it['bucket']:06d}")
-    ]
+    def _seg_reusable(bucket: int) -> bool:
+        # a done segment is only reusable if it carries the SAME
+        # positions shape this build wants (write_segment enforces the
+        # same rule; checking here keeps the pending list honest)
+        m = read_json(seg_manifests.path(f"bucket_{bucket:06d}"))
+        return bool(m and m.get("status") == "done"
+                    and bool(m.get("positions", False)) == cfg.positions)
+
+    pending = [it for it in items if not _seg_reusable(it["bucket"])]
     seg_rows_ds = None  # in-memory segment rows (fresh build only)
     if pending:
         # LPT-balanced task bins: from_items' default blocking slices
@@ -704,13 +709,16 @@ def compact_index(index_dir: str, cfg: BuildConfig | None = None) -> dict:
     and checkpoints are reused as-is; only the merge re-runs globally
     (its fingerprint covers every segment's content_crc).
 
-    Crash-safety follows refresh_index's order: the stage/final
-    markers drop FIRST (an interrupted compaction can never read as a
-    completed build), each docs parquet is replaced atomically via
-    tmp+rename, the tombstone file is removed only after the docs
-    stage is consistent, and stages B-D resume off checkpoints.
-    Re-running after any crash point is idempotent: filtering
-    already-compacted buckets is a no-op and re-ranking is stable.
+    Crash-safety: the live tombstones.parquet is atomically RENAMED to
+    tombstones.compacting.parquet before anything else — readers never
+    apply old tombstone ids to a re-minted docmap — then the
+    stage/final markers drop (an interrupted compaction can never read
+    as a completed build), each docs parquet is replaced atomically via
+    tmp+rename, and stages B-D resume off checkpoints. The .compacting
+    file is the crash-resume signal: re-entering compact_index after
+    any crash point finishes the job idempotently (filtering
+    already-compacted buckets is a no-op, re-ranking is stable, and
+    bucket routing re-derives from urls so stale ids can't mislead).
 
     ``cfg`` must match the original build's configuration (as with
     refresh_index)."""
@@ -725,17 +733,39 @@ def compact_index(index_dir: str, cfg: BuildConfig | None = None) -> dict:
     cfg = cfg or BuildConfig()
     d = _dirs(index_dir)
     ts_path = os.path.join(index_dir, "tombstones.parquet")
-    if not os.path.exists(ts_path):
+    work_path = os.path.join(index_dir, "tombstones.compacting.parquet")
+    # move the LIVE tombstone file out of readers' view FIRST (atomic
+    # rename): the rewrites below re-mint doc ids, and a reader that
+    # still applied the old tombstone ids would mask the WRONG docs.
+    # The .compacting file doubles as the crash-resume signal — a
+    # killed compaction re-enters here and re-runs idempotently.
+    if os.path.exists(ts_path):
+        if os.path.exists(work_path):
+            # crashed between delete_urls and a previous compaction:
+            # merge both lists so neither delete set is lost
+            old = pq.read_table(work_path)
+            new = pq.read_table(ts_path)
+            merged = pa.concat_tables([old, new])
+            pq.write_table(merged, work_path + ".tmp")
+            os.rename(work_path + ".tmp", work_path)
+            os.unlink(ts_path)
+        else:
+            os.rename(ts_path, work_path)
+    if not os.path.exists(work_path):
         existing = read_json(d["manifest"])
         if existing and existing.get("status") == "done":
             return existing
-        # crashed after tombstone removal: finish the resumed build
+        # crashed after tombstone retirement: finish the resumed build
         return build_index(None, index_dir, cfg)
 
-    ts = pq.read_table(ts_path)
+    ts = pq.read_table(work_path)
     dead_urls = set(ts.column("url").to_pylist())
-    changed = sorted({int(i) >> DOC_BUCKET_BITS
-                      for i in ts.column("doc_id").to_numpy()})
+    # bucket set from the URLS, not the stored doc_ids: after a crashed
+    # partial compaction the ids may be stale (re-minted), but
+    # crc32(url) % num_buckets is the id-independent truth
+    from rse_ray.functions.ids import url_bucket
+
+    changed = sorted({url_bucket(u, cfg.num_buckets) for u in dead_urls})
 
     # 1. invalidate downstream FIRST (crash safety)
     stage_marker = os.path.join(d["docs"], "_STAGE.json")
@@ -802,10 +832,9 @@ def compact_index(index_dir: str, cfg: BuildConfig | None = None) -> dict:
             "compacted_buckets": changed,
         },
     )
-    # 3. docs stage is consistent — retire the tombstones (their doc
-    # ids are about to be re-minted; leaving them would mask the WRONG
-    # docs on the rebuilt index)
-    os.unlink(ts_path)
+    # 3. docs stage is consistent — drop the compacting file (the
+    # live tombstones.parquet was already retired by the rename above)
+    os.unlink(work_path)
     # 4. stages B-D resume: only the invalidated buckets re-tokenize;
     # the merge fingerprint (content_crc over every segment) re-runs
     # the exchange

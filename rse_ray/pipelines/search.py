@@ -122,6 +122,7 @@ class _FileTermIndex:
     def __init__(self, path: str) -> None:
         self.pf = pq.ParquetFile(path)
         self.has_pos = "pospayload" in self.pf.schema_arrow.names
+        self._pos_rg_cache: dict[int, object] = {}
         t = self.pf.read(columns=["term", "min_doc", "df"])
         self.terms = t.column("term").to_pylist()
         self.min_doc = t.column("min_doc").to_numpy()
@@ -136,27 +137,40 @@ class _FileTermIndex:
         )
         self._rg_cache: dict[int, tuple] = {}
 
-    def _payload_row(self, i: int) -> tuple:
+    def _payload_row(self, i: int) -> tuple[bytes, bytes]:
         rg = int(np.searchsorted(self._rg_starts, i, side="right")) - 1
         got = self._rg_cache.get(rg)
         if got is None:
-            cols = ["payload", "blockmeta"] + (
-                ["pospayload"] if self.has_pos else [])
-            t = self.pf.read_row_group(rg, columns=cols)
-            got = tuple(t.column(c) for c in cols)
+            t = self.pf.read_row_group(rg, columns=["payload", "blockmeta"])
+            got = (t.column("payload"), t.column("blockmeta"))
             self._rg_cache[rg] = got
         off = i - int(self._rg_starts[rg])
-        return tuple(col[off].as_py() for col in got)
+        return got[0][off].as_py(), got[1][off].as_py()
 
-    def runs(self, term: str) -> list[tuple]:
-        """[(min_doc, payload, blockmeta, df[, pospayload])] for a
-        term, unordered; the 5th element only on positional indexes."""
+    def _pos_row(self, i: int) -> bytes:
+        # position streams read + cache SEPARATELY from the main
+        # payload: a pure BM25 query over a positional index must not
+        # pay the (usually larger) pospayload bytes per row group
+        rg = int(np.searchsorted(self._rg_starts, i, side="right")) - 1
+        got = self._pos_rg_cache.get(rg)
+        if got is None:
+            got = self.pf.read_row_group(
+                rg, columns=["pospayload"]).column("pospayload")
+            self._pos_rg_cache[rg] = got
+        return got[i - int(self._rg_starts[rg])].as_py()
+
+    def runs(self, term: str) -> list[tuple[int, bytes, bytes, int]]:
+        """[(min_doc, payload, blockmeta, df)] for a term, unordered."""
         out = []
         for i in self.by_term.get(term, ()):
-            row = self._payload_row(i)
-            out.append((int(self.min_doc[i]), row[0], row[1],
-                        int(self.df[i]), *row[2:]))
+            payload, bm = self._payload_row(i)
+            out.append((int(self.min_doc[i]), payload, bm, int(self.df[i])))
         return out
+
+    def pos_runs(self, term: str) -> list[tuple[int, bytes]]:
+        """[(min_doc, pospayload)] for a term (positional indexes)."""
+        return [(int(self.min_doc[i]), self._pos_row(i))
+                for i in self.by_term.get(term, ())]
 
     def terms_with_prefix(self, prefix: str) -> list[str]:
         """Distinct terms in this file's directory starting with
@@ -189,6 +203,8 @@ class IndexReader:
         self._file_cache: dict[str, _FileTermIndex] = {}
         self._term_cache: OrderedDict[str, tuple] = OrderedDict()
         self._cache_postings = 0
+        self._pos_cache: OrderedDict[str, np.ndarray] = OrderedDict()
+        self._cache_positions = 0
 
     def _file(self, path: str) -> _FileTermIndex:
         fi = self._file_cache.get(path)
@@ -244,24 +260,38 @@ class IndexReader:
 
     def positions(self, term: str):
         """-> (ids, tfs, pos_flat) or None. pos_flat holds doc i's
-        positions at [cum_tf[i-1], cum_tf[i]) — decoded jointly across
-        salt chunks like the main payload (runs sorted by min_doc, so
-        the concatenated tfs drive one vectorized position decode).
-        Raises on an index built without positions=True."""
-        from rse_ray.functions.codec import decode_pos_runs_joint, decode_runs_joint
+        positions at [cum_tf[i-1], cum_tf[i]) — pos runs are sorted by
+        min_doc like the main payload's, so the (LRU-cached) _decoded
+        tfs drive one vectorized joint position decode. Decoded
+        position streams get their own LRU (warm phrase re-queries
+        skip the varint pass). Raises on an index built without
+        positions=True."""
+        from rse_ray.functions.codec import decode_pos_runs_joint
 
-        runs = []
-        for path in self.shards.files_for_term(term):
-            runs.extend(self._file(path).runs(term))
-        if not runs:
+        got = self._decoded(term)
+        if got is None:
             return None
-        if len(runs[0]) < 5:
-            raise ValueError(
-                "positional query on an index built without "
-                "BuildConfig(positions=True)")
-        runs.sort(key=lambda r: r[0])
-        ids, tfs, _dls = decode_runs_joint([r[1] for r in runs])
-        pos = decode_pos_runs_joint([r[4] for r in runs], tfs)
+        ids, tfs, _dls, _bm, _df = got
+        pos = self._pos_cache.get(term)
+        if pos is not None:
+            self._pos_cache.move_to_end(term)
+            return ids, tfs, pos
+        pruns = []
+        for path in self.shards.files_for_term(term):
+            fi = self._file(path)
+            if not fi.has_pos:
+                raise ValueError(
+                    "positional query on an index built without "
+                    "BuildConfig(positions=True)")
+            pruns.extend(fi.pos_runs(term))
+        pruns.sort(key=lambda r: r[0])
+        pos = decode_pos_runs_joint([r[1] for r in pruns], tfs)
+        self._pos_cache[term] = pos
+        self._cache_positions += len(pos)
+        while (self._cache_positions > self.CACHE_POSTINGS_BUDGET
+               and len(self._pos_cache) > 1):
+            _, old = self._pos_cache.popitem(last=False)
+            self._cache_positions -= len(old)
         return ids, tfs, pos
 
     def expand_prefix(self, prefix: str) -> list[str]:
@@ -463,7 +493,8 @@ class Searcher:
         docs (delete_urls) are always masked. Either restriction forces
         the TAAT path (BMW's block bounds describe the unmasked
         lists)."""
-        if mode == "bmw" and self.deleted is None and allowed is None:
+        if (mode == "bmw" and self.deleted is None and allowed is None
+                and not conjunctive):
             return self.search_bmw(query, k)
         terms = _query_weights(query, self.stem)
         id_parts, contrib_parts = [], []
@@ -859,12 +890,18 @@ def make_shard_searcher_actor():
         CACHE_POSTINGS_BUDGET = 32_000_000  # same rationale as IndexReader
 
         def __init__(self, index_dir: str, file_paths: list[str],
-                     N: int, avgdl: float):
+                     N: int, avgdl: float, deleted=None):
             from collections import OrderedDict
 
             self.indexes = [_FileTermIndex(p) for p in file_paths]
             self.N = N
             self.avgdl = avgdl
+            # tombstones (search.delete_urls): masked at decode so every
+            # downstream path (driver merge, accumulators) is clean —
+            # rank/score-identical to the driver Searcher's masking
+            self.deleted = (np.sort(np.asarray(deleted, dtype=np.int64))
+                            if deleted is not None and len(deleted)
+                            else None)
             self._cache: OrderedDict[str, tuple] = OrderedDict()
             self._cache_postings = 0
 
@@ -885,7 +922,11 @@ def make_shard_searcher_actor():
             from rse_ray.functions.codec import decode_runs_joint
 
             ids, tfs, dls = decode_runs_joint([r[1] for r in runs])
-            df = int(sum(r[3] for r in runs))
+            df = int(sum(r[3] for r in runs))  # stale across deletes,
+            # like the driver Searcher (Lucene semantics)
+            if self.deleted is not None:
+                keep = ~np.isin(ids, self.deleted, assume_unique=True)
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
             tf_part = (tfs * (K1 + 1)) / (
                 tfs + K1 * (1 - B + B * dls / self.avgdl)
             )
@@ -1245,6 +1286,12 @@ class DistributedSearcher:
         shards = ShardFiles(index_dir)
         files = shards.files
         num_actors = max(1, min(num_actors, len(files)))
+        ts_path = os.path.join(index_dir, "tombstones.parquet")
+        deleted = None
+        if os.path.exists(ts_path):
+            d = pq.read_table(ts_path, columns=["doc_id"]) \
+                .column("doc_id").to_numpy()
+            deleted = np.sort(d.astype(np.int64)) if len(d) else None
         Actor = make_shard_searcher_actor()
         self.actor_ranges = []  # (term_min, term_max, actor)
         per = (len(files) + num_actors - 1) // num_actors
@@ -1254,7 +1301,8 @@ class DistributedSearcher:
                 continue
             lo = shards.term_min[a * per]
             hi = shards.term_max[min(len(files), (a + 1) * per) - 1]
-            actor = Actor.remote(index_dir, chunk, self.N, self.avgdl)
+            actor = Actor.remote(index_dir, chunk, self.N, self.avgdl,
+                                 deleted)
             self.actor_ranges.append((lo, hi, actor))
 
         self.accs = []

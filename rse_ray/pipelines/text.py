@@ -1092,8 +1092,11 @@ def term_proximity(ds, term_a: str, term_b: str, *, stem: bool = False,
     Scale shape: per-batch map, no shuffle; per doc the nearest-pair
     search is a sorted searchsorted merge, O((na+nb) log), never the
     na x nb grid."""
-    wa = _tok(term_a, stem)[0]
-    wb = _tok(term_b, stem)[0]
+    ta = _tok(term_a, stem)
+    tb = _tok(term_b, stem)
+    if len(ta) != 1 or len(tb) != 1:
+        raise ValueError("term_proximity takes single terms")
+    wa, wb = ta[0], tb[0]
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -1109,7 +1112,6 @@ def term_proximity(ds, term_a: str, term_b: str, *, stem: bool = False,
                 continue
             # for each a-position, the nearest b-position via insertion
             j = np.searchsorted(pb_, pa_)
-            best = np.inf
             lo = np.clip(j - 1, 0, len(pb_) - 1)
             hi = np.clip(j, 0, len(pb_) - 1)
             best = int(np.minimum(np.abs(pa_ - pb_[lo]),

@@ -251,10 +251,15 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
     from rse_ray.state.manifest import read_json
 
     prev = read_json(manifests.path(key))
-    if prev and prev.get("status") == "done":
+    if (prev and prev.get("status") == "done"
+            and bool(prev.get("positions", False)) == positions):
         # .get: manifests written before the 'sampled' field existed
         # must still resume cleanly (build.py falls back to a sampling
-        # pass when any manifest lacks samples)
+        # pass when any manifest lacks samples). A positions-flag
+        # MISMATCH falls through to a rebuild: a resumed build whose
+        # config toggled positions must not reuse segments of the
+        # other shape (mixed schemas would break the merge, and a
+        # positional stats.json over positionless shards would lie).
         stats = {k: prev.get(k) for k in
                  ("bucket", "num_docs", "num_tokens", "num_terms",
                   "payload_bytes", "path", "sampled")}
@@ -394,6 +399,7 @@ def write_segment(bucket: int, docs_path: str, segments_dir: str,
         content_crc=content_crc,
         path=seg_path,
         sampled=sampled,
+        positions=positions,
         lineage=[docs_path],
     )
     stats = {k: manifest[k] for k in

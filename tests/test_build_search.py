@@ -484,3 +484,77 @@ def test_compact_index_equals_fresh_build(ray_session, tmp_path):
 
     # idempotent re-entry with no tombstones
     assert compact_index(idx, cfg())["status"] == "done"
+
+
+def test_review_fixes_positional_and_lifecycle(ray_session, tmp_path):
+    """Round-3 review fixes: (a) conjunctive never silently degrades
+    to OR under mode='bmw'; (b) a resumed build whose positions flag
+    flipped rebuilds segments instead of reusing the wrong shape;
+    (c) the distributed searcher masks tombstones identically to the
+    driver Searcher; (d) a compaction killed right after tombstone
+    retirement resumes idempotently from the .compacting file."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index, compact_index
+    from rse_ray.pipelines.search import (
+        DistributedSearcher,
+        Searcher,
+        delete_urls,
+        hydrate_urls,
+    )
+
+    texts = {f"u{i:02d}": t for i, t in enumerate(
+        ["apple banana", "apple apple cherry", "banana cherry apple",
+         "cherry", "apple banana banana", "banana", "apple cherry",
+         "apple banana cherry"])}
+    rows = pd.DataFrame({
+        "url": list(texts), "text": list(texts.values()),
+        "warc_ts": pd.Timestamp("2024-12-01")})
+    mkcfg = lambda pos: BuildConfig(num_buckets=2, buckets_per_salt_group=2,
+                                    stem=False, from_html=False,
+                                    positions=pos)
+
+    # (b) positions-flag flip on resume rebuilds segments
+    idx = str(tmp_path / "flip_idx")
+    build_index(ray.data.from_pandas(rows), idx, mkcfg(False))
+    os.unlink(os.path.join(idx, "_MANIFEST.json"))
+    build_index(ray.data.from_pandas(rows), idx, mkcfg(True))
+    s = Searcher(idx)
+    assert s.reader.stats["positions"] is True
+    got = {u: n for _, n, u in
+           hydrate_urls(idx, s.search_phrase("apple banana"))}
+    assert got == {"u00": 1, "u04": 1, "u07": 1}
+    # warm re-query hits the position LRU, identical result
+    assert {u: n for _, n, u in
+            hydrate_urls(idx, s.search_phrase("apple banana"))} == got
+
+    # (a) conjunctive via mode='bmw' == conjunctive TAAT (never OR)
+    conj = s.search("apple banana", k=10, conjunctive=True)
+    assert s.search("apple banana", k=10, mode="bmw",
+                    conjunctive=True) == conj
+    assert len(conj) < len(s.search("apple banana", k=10))
+
+    # (c) distributed searcher masks tombstones like the driver
+    delete_urls(idx, ["u07"])
+    s2 = Searcher(idx)
+    want = s2.search("apple banana", k=10)
+    ds = DistributedSearcher(idx, num_actors=2)
+    assert ds.search("apple banana", k=10) == want
+    assert "u07" not in {u for _, _, u in hydrate_urls(idx, want)}
+
+    # (d) crash right after tombstone retirement: the rename to
+    # .compacting already happened; compact_index must resume from it
+    os.rename(os.path.join(idx, "tombstones.parquet"),
+              os.path.join(idx, "tombstones.compacting.parquet"))
+    m = compact_index(idx, mkcfg(True))
+    assert m["status"] == "done"
+    assert not os.path.exists(
+        os.path.join(idx, "tombstones.compacting.parquet"))
+    s3 = Searcher(idx)
+    assert s3.N == 7 and s3.deleted is None
+    assert "u07" not in {u for _, _, u in hydrate_urls(
+        idx, s3.search("apple banana", k=10))}
+    # positional queries still work on the compacted positional index
+    assert {u for _, _, u in hydrate_urls(
+        idx, s3.search_phrase("apple banana"))} == {"u00", "u04"}
