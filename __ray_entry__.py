@@ -43,6 +43,7 @@ FUZZY_PROBES = ["joinn", "hask", "qery", "sort", "zzz"]
 FUZZY_PROBES_SQL = "('joinn'), ('hask'), ('qery'), ('sort'), ('zzz')"
 DELETE_DOC_IDS = [1, 2, 3]      # tombstoned docs (Lucene delete semantics)
 FILTER_LANG = "en"              # attribute-filtered retrieval
+MLT_DOC_ID = 0                  # more-like-this source document
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.1
 COS_NEARDUP_THRESHOLD = 0.5
@@ -608,6 +609,12 @@ def _q_bm25_after_compact(sf_dir: str):
 
     return _finalize(bm25_documents_after_compact(
         sf_dir, BM25_QUERY, DELETE_DOC_IDS))
+
+
+def _q_more_like_this(sf_dir: str):
+    from rse_ray.pipelines.docsearch import more_like_this_documents
+
+    return _finalize(more_like_this_documents(sf_dir, MLT_DOC_ID, m=5, k=20))
 
 
 def _q_bm25_filtered(sf_dir: str):
@@ -1380,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_with_deletes": _q_bm25_with_deletes,
         "bm25_after_compact": _q_bm25_after_compact,
         "bm25_filtered": _q_bm25_filtered,
+        "more_like_this": _q_more_like_this,
         "phrase_match": _q_phrase_match,
         "fuzzy_terms": _q_fuzzy_terms,
         "phrase_match_indexed": _q_phrase_match_indexed,
@@ -1717,6 +1725,31 @@ SELECT s.doc_id, round(s.raw, 6) AS score
 FROM scores s JOIN documents d ON s.doc_id = d.doc_id
 WHERE d.lang = '{FILTER_LANG}'
 ORDER BY s.raw DESC, s.doc_id LIMIT 20""",
+        # more-like-this: the source doc's top-5 tf*idf terms (ties by
+        # term asc) become an OR query with qtf=1; source doc excluded
+        "more_like_this": _TOKS + f""",
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+s AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+d AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+sel AS (SELECT p.term,
+               ROW_NUMBER() OVER (
+                 ORDER BY p.tf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                          DESC, p.term ASC) AS rn
+        FROM p JOIN d USING (term) CROSS JOIN s
+        WHERE p.doc_id = {MLT_DOC_ID}),
+q AS (SELECT term, 1::BIGINT AS qtf FROM sel WHERE rn <= 5),
+scores AS (
+  SELECT p.doc_id,
+         sum(q.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             (p.tf * (1.2 + 1)) /
+             (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS raw
+  FROM p JOIN q USING (term) JOIN d USING (term)
+       JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY p.doc_id)
+SELECT doc_id, round(raw, 6) AS score FROM scores
+WHERE doc_id <> {MLT_DOC_ID}
+ORDER BY raw DESC, doc_id LIMIT 20""",
         # wildcard retrieval: q = every distinct corpus term LIKE
         # '{p}%' with qtf=1 (the dictionary expansion the index-side
         # range scan performs), then the standard BM25 scores CTE

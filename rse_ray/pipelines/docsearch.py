@@ -230,6 +230,38 @@ def bm25_documents_after_compact(sf_dir: str, query: str,
     )
 
 
+def more_like_this_documents(sf_dir: str, doc_id: int, *, m: int = 5,
+                             k: int = 20,
+                             round_to: int = 6) -> pd.DataFrame:
+    """Related-document retrieval over the documents index: the source
+    doc's top-m tf-idf terms become an OR query (qtf=1), source doc
+    excluded — Searcher.more_like_this, mapped back to table ids."""
+    import pyarrow.parquet as pq
+
+    from rse_ray.functions.ids import url_bucket
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=False)
+    url = f"doc://{doc_id:012d}"
+    bucket = url_bucket(url, 16)   # documents_index num_buckets
+    t = pq.read_table(
+        os.path.join(index_dir, "docs", f"bucket_{bucket:06d}.parquet"),
+        columns=["doc_id", "url"])
+    idx_id = {u: int(d) for d, u in
+              zip(t.column("doc_id").to_numpy(),
+                  t.column("url").to_pylist())}[url]
+    s = Searcher(index_dir)
+    hits = s.more_like_this(idx_id, m=m, k=k)
+    rows = hydrate_urls(index_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            "score": [round(score, round_to) for _, score, _ in rows],
+        }
+    )
+
+
 def bm25_documents_filtered(sf_dir: str, query: str, *, lang: str,
                             k: int = 20, round_to: int = 6) -> pd.DataFrame:
     """Attribute-filtered top-k retrieval: only docs whose table

@@ -294,6 +294,17 @@ class IndexReader:
             self._cache_positions -= len(old)
         return ids, tfs, pos
 
+    def df(self, term: str) -> int:
+        """Global document frequency from the term DIRECTORIES alone —
+        no payload row-group read, so tf-idf term selection (e.g.
+        more-like-this) costs directory lookups only."""
+        total = 0
+        for path in self.shards.files_for_term(term):
+            fi = self._file(path)
+            for i in fi.by_term.get(term, ()):
+                total += int(fi.df[i])
+        return total
+
     def expand_prefix(self, prefix: str) -> list[str]:
         """Sorted distinct index terms starting with ``prefix`` — the
         wildcard-query dictionary expansion (`pre*`). Touches only the
@@ -615,6 +626,55 @@ class Searcher:
                                   np.abs(pa_ - pb_[hi])).min())
             out.append((int(did), best))
         return out
+
+    # ---- more-like-this (related docs) -----------------------------------
+    def more_like_this(self, doc_id: int, *, m: int = 5, k: int = 20):
+        """Related-document retrieval (the Lucene MoreLikeThis shape):
+        fetch the source doc's text from the bucket-routed docmap
+        (point lookup), rank its terms by tf * idf (ties by term asc),
+        and run the top-m as an OR query with qtf=1, excluding the
+        source doc. df comes from the term directories alone — no
+        posting decode during term selection."""
+        from rse_ray.functions.ids import DOC_BUCKET_BITS
+
+        docs_dir = os.path.join(self.reader.index_dir, "docs")
+        path = os.path.join(
+            docs_dir, f"bucket_{doc_id >> DOC_BUCKET_BITS:06d}.parquet")
+        t = pq.read_table(path, columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy()
+        row = int(np.searchsorted(ids, doc_id))
+        if row >= len(ids) or int(ids[row]) != doc_id:
+            raise KeyError(f"doc_id {doc_id} not in docmap")
+        toks = tokenize(t.column("text")[row].as_py() or "",
+                        stem=self.stem)
+        tf: dict[str, int] = {}
+        for tk in toks:
+            tf[tk] = tf.get(tk, 0) + 1
+        scored = sorted(
+            ((tfv * _idf(self.N, self.reader.df(term)), term)
+             for term, tfv in tf.items()),
+            key=lambda st: (-st[0], st[1]))
+        top_terms = [term for _, term in scored[:m]]
+        id_parts, contrib_parts = [], []
+        for term in sorted(top_terms):
+            got = self.reader.postings(term)
+            if got is None:
+                continue
+            ids_t, tfs, dls, df = got
+            keep = ids_t != doc_id
+            msk = self._keep_mask(ids_t)
+            if msk is not None:
+                keep &= msk
+            ids_t, tfs, dls = ids_t[keep], tfs[keep], dls[keep]
+            if not len(ids_t):
+                continue
+            w = _idf(self.N, df)
+            tf_part = (tfs * (K1 + 1)) / (tfs + K1 * (1 - B + B * dls / self.avgdl))
+            id_parts.append(ids_t)
+            contrib_parts.append(w * tf_part)
+        if self.dmap is not None:
+            return _accumulate_topk_dense(id_parts, contrib_parts, k, self.dmap)
+        return _accumulate_topk(id_parts, contrib_parts, k)
 
     # ---- wildcard / prefix retrieval -------------------------------------
     def search_prefix(self, prefix: str, k: int = 10):

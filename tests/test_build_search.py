@@ -558,3 +558,50 @@ def test_review_fixes_positional_and_lifecycle(ray_session, tmp_path):
     # positional queries still work on the compacted positional index
     assert {u for _, _, u in hydrate_urls(
         idx, s3.search_phrase("apple banana"))} == {"u00", "u04"}
+
+
+def test_more_like_this(ray_session, tmp_path):
+    """MLT term selection = top-m tf*idf with term-asc tie-break;
+    source doc excluded; equals the explicit OR query over the
+    selected terms."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    texts = {
+        "u1": "apple apple banana zebra",   # src: apple tf=2; zebra df=2
+        "u2": "apple banana cherry",
+        "u3": "cherry cherry",
+        "u4": "banana banana",
+        "u5": "apple zebra zebra",
+    }
+    rows = pd.DataFrame({
+        "url": list(texts), "text": list(texts.values()),
+        "warc_ts": pd.Timestamp("2024-12-01")})
+    idx = str(tmp_path / "mlt_idx")
+    build_index(ray.data.from_pandas(rows), idx,
+                BuildConfig(num_buckets=2, buckets_per_salt_group=2,
+                            stem=False, from_html=False))
+    s = Searcher(idx)
+    # resolve u1's index id via the docmap
+    import pyarrow.parquet as pq
+    import os as _os
+    ids = {}
+    for f in sorted(_os.listdir(_os.path.join(idx, "docs"))):
+        if f.endswith(".parquet"):
+            t = pq.read_table(_os.path.join(idx, "docs", f),
+                              columns=["doc_id", "url"])
+            ids.update({u: int(d) for d, u in
+                        zip(t.column("doc_id").to_numpy(),
+                            t.column("url").to_pylist())})
+    # m=2: top terms of u1 by tf*idf must be {apple, zebra} (tf 2 and
+    # the rarer term), not banana (tf 1, common)
+    hits = s.more_like_this(ids["u1"], m=2, k=10)
+    got = {u: sc for _, sc, u in hydrate_urls(idx, hits)}
+    assert "u1" not in got
+    want_full = {u: sc for _, sc, u in hydrate_urls(
+        idx, s.search("apple zebra", k=10))}
+    want = {u: sc for u, sc in want_full.items() if u != "u1"}
+    assert got == want
