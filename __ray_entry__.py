@@ -36,6 +36,10 @@ PHRASE_QUERY = "hash join"                        # positional queries
 # genuinely exercised (12-18 qualifying docs at sf0.001/0.01)
 CONJ_QUERY = "dup key line"
 CONJ_QUERY_SQL_TERMS = "('dup', 1), ('key', 1), ('line', 1)"
+# boolean-NOT retrieval: the OR query above, minus any doc containing
+# an excluded term ("hash" is frequent, so the top-20 genuinely shifts)
+NOT_TERMS = ["hash"]
+NOT_TERMS_SQL = "('hash')"
 PREFIX_QUERY = "s"  # expands to {scan, slow, small, sort, spark, stream}
 # typo probes for fuzzy dictionary lookup: one deletion, one insertion,
 # one substitution, one exact hit, one no-match
@@ -635,6 +639,13 @@ def _q_bm25_conjunctive(sf_dir: str):
 
     return _finalize(bm25_documents(sf_dir, CONJ_QUERY, k=20,
                                     conjunctive=True))
+
+
+def _q_bm25_not(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents
+
+    return _finalize(bm25_documents(sf_dir, BM25_QUERY, k=20,
+                                    excluded=NOT_TERMS))
 
 
 def _q_fuzzy_terms(sf_dir: str):
@@ -1383,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "bigram_counts": _q_bigram_counts,
         "bm25_conjunctive": _q_bm25_conjunctive,
+        "bm25_not": _q_bm25_not,
         "prefix_search": _q_prefix_search,
         "bm25_with_deletes": _q_bm25_with_deletes,
         "bm25_after_compact": _q_bm25_after_compact,
@@ -1704,6 +1716,14 @@ hits AS (SELECT p.doc_id FROM p JOIN q USING (term)
          HAVING count(DISTINCT p.term) = (SELECT count(*) FROM q))
 SELECT s.doc_id, round(s.raw, 6) AS score
 FROM scores s JOIN hits USING (doc_id)
+ORDER BY s.raw DESC, s.doc_id LIMIT 20""",
+        # boolean-NOT retrieval (MUST_NOT): same scores CTE, minus any
+        # doc containing an excluded term; idf/avgdl stay full-corpus
+        "bm25_not": _BM25_CTES + f""",
+nq(term) AS (VALUES {NOT_TERMS_SQL}),
+ex AS (SELECT DISTINCT toks.doc_id FROM toks JOIN nq USING (term))
+SELECT s.doc_id, round(s.raw, 6) AS score
+FROM scores s ANTI JOIN ex ON s.doc_id = ex.doc_id
 ORDER BY s.raw DESC, s.doc_id LIMIT 20""",
         # tombstone deletes (Lucene semantics): scores keep full-corpus
         # stats; deleted docs are masked from the result set

@@ -317,17 +317,20 @@ def bm25_documents_filtered(sf_dir: str, query: str, *, lang: str,
 
 def bm25_documents(sf_dir: str, query: str, k: int | None = None,
                    *, stem: bool = False, round_to: int = 6,
-                   conjunctive: bool = False) -> pd.DataFrame:
+                   conjunctive: bool = False,
+                   excluded: list[str] | None = None) -> pd.DataFrame:
     """-> (doc_id, score) for every document matching >= 1 query term
     (k=None), or the top-k. doc_id is the documents table's own id.
     ``conjunctive=True`` = boolean-AND retrieval (only all-terms docs
-    are scored; see Searcher.search)."""
+    are scored); ``excluded`` = boolean-NOT retrieval (docs containing
+    any excluded term are dropped before scoring; see
+    Searcher.search)."""
     from rse_ray.pipelines.search import Searcher, hydrate_urls
 
     index_dir = documents_index(sf_dir, stem=stem)
     s = Searcher(index_dir)
     hits = s.search(query, k=k if k is not None else s.N,
-                    conjunctive=conjunctive)
+                    conjunctive=conjunctive, excluded=excluded)
     rows = hydrate_urls(index_dir, hits)
     return pd.DataFrame(
         {

@@ -490,9 +490,26 @@ class Searcher:
             m = ma if m is None else (m & ma)
         return m
 
+    def _excluded_ids(self, excluded) -> np.ndarray | None:
+        """Sorted doc_id union of the posting lists of ``excluded``
+        (raw terms, tokenized with the index's stem setting) — the
+        boolean-NOT mask set. Terms absent from the index contribute
+        nothing."""
+        if not excluded:
+            return None
+        parts = []
+        for raw in excluded:
+            for t in set(tokenize(raw, stem=self.stem)):
+                got = self.reader.postings(t)
+                if got is not None:
+                    parts.append(got[0])
+        if not parts:
+            return None
+        return np.unique(np.concatenate(parts))
+
     # ---- exhaustive TAAT (the rank-identity oracle-matching path) -------
     def search(self, query: str, k: int = 10, *, mode: str = "taat",
-               conjunctive: bool = False, allowed=None):
+               conjunctive: bool = False, allowed=None, excluded=None):
         """``conjunctive=True`` is boolean-AND retrieval: only docs
         containing EVERY distinct query term are scored (the same BM25
         contributions, restricted to the posting-list intersection —
@@ -500,13 +517,17 @@ class Searcher:
         term absent from the index makes the result empty.
 
         ``allowed`` (sorted doc_id array) is attribute-filtered
-        retrieval: only whitelisted docs are scored/ranked. Tombstoned
-        docs (delete_urls) are always masked. Either restriction forces
-        the TAAT path (BMW's block bounds describe the unmasked
-        lists)."""
+        retrieval: only whitelisted docs are scored/ranked.
+        ``excluded`` (list of raw terms) is boolean-NOT retrieval: any
+        doc containing ANY excluded term is dropped before scoring
+        (Lucene MUST_NOT semantics — idf/avgdl stay full-corpus).
+        Tombstoned docs (delete_urls) are always masked. Any
+        restriction forces the TAAT path (BMW's block bounds describe
+        the unmasked lists)."""
         if (mode == "bmw" and self.deleted is None and allowed is None
-                and not conjunctive):
+                and not conjunctive and not excluded):
             return self.search_bmw(query, k)
+        excl = self._excluded_ids(excluded)
         terms = _query_weights(query, self.stem)
         id_parts, contrib_parts = [], []
         for term, qtf in terms:
@@ -517,6 +538,9 @@ class Searcher:
                 continue
             ids, tfs, dls, df = got
             m = self._keep_mask(ids, allowed)
+            if excl is not None:
+                me = ~np.isin(ids, excl, assume_unique=True)
+                m = me if m is None else (m & me)
             if m is not None:
                 ids, tfs, dls = ids[m], tfs[m], dls[m]
                 if not len(ids):

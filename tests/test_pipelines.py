@@ -1599,3 +1599,16 @@ def test_bm25_conjunctive_subset_and_scores(ray_session, tmp_path):
     assert len(tri) == 1
     # a term absent from the corpus empties the result
     assert s.search("apple zzz", k=10, conjunctive=True) == []
+
+    # ---- boolean NOT (MUST_NOT) on the same index --------------------
+    not_hits = s.search("apple banana", k=10, excluded=["cherry"])
+    # docs containing cherry (u1,u3,u4) are dropped; scores of the
+    # survivors are untouched (full-corpus idf/avgdl)
+    assert {d for d, _ in not_hits} == {
+        d for d, _ in or_hits} - {d for d, _ in s.search("cherry", k=10)}
+    for d, sc in not_hits:
+        assert abs(sc - or_scores[d]) < 1e-9
+    # excluding an absent term is a no-op; excluding a query term of
+    # every match empties the result
+    assert s.search("apple banana", k=10, excluded=["zzz"]) == or_hits
+    assert s.search("apple", k=10, excluded=["apple"]) == []
