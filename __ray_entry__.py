@@ -1091,6 +1091,47 @@ r{k} AS (SELECT n.url,
     return "".join(parts)
 
 
+CC_SQL_ITERS = 12  # golden-links graph converges in 6; 2x margin
+
+
+def _q_connected_components(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import (connected_components,
+                                             extract_links)
+
+    links = extract_links(ray.data.read_parquet(_linkgraph_pages_paths()))
+    return _finalize(connected_components(links))
+
+
+def _connected_components_sql() -> str:
+    """Unrolled min-label-propagation twin over the symmetrized golden
+    links (recursive CTEs disallow aggregates; CC_SQL_ITERS is 2x the
+    measured convergence depth, and past the fixpoint every extra
+    iteration is the identity)."""
+    links = os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+    parts = [f"""
+WITH edges AS (SELECT src_url AS src, dst_url AS dst
+               FROM read_parquet('{links}')
+               UNION
+               SELECT dst_url, src_url FROM read_parquet('{links}')),
+nodes AS (SELECT DISTINCT src AS url FROM edges),
+l0 AS (SELECT url, url AS lbl FROM nodes)"""]
+    for k in range(1, CC_SQL_ITERS + 1):
+        # MATERIALIZED: l{k-1} is referenced twice — without it DuckDB
+        # inlines the chain and the plan grows 2^k
+        parts.append(f""",
+l{k} AS MATERIALIZED (
+         SELECT p.url, least(p.lbl, coalesce(min(q.lbl), p.lbl)) AS lbl
+         FROM l{k - 1} p
+         LEFT JOIN edges e ON e.src = p.url
+         LEFT JOIN l{k - 1} q ON q.url = e.dst
+         GROUP BY p.url, p.lbl)""")
+    parts.append(
+        f"\nSELECT url, lbl AS component FROM l{CC_SQL_ITERS}")
+    return "".join(parts)
+
+
 def _q_reference_rank(sf_dir: str):
     import ray.data
 
@@ -1435,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backlink_counts": _q_backlink_counts,
         "pagerank": _q_pagerank,
         "crawl_depth": _q_crawl_depth,
+        "connected_components": _q_connected_components,
         "domain_counts": _q_domain_counts,
         "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
@@ -2111,6 +2153,7 @@ FROM read_parquet('{pages}') GROUP BY 1""".format(
             pages=os.path.join(LINKGRAPH_DIR, "pages_*.parquet")),
         "reference_rank": _reference_rank_sql(),
         "pagerank": _pagerank_sql(),
+        "connected_components": _connected_components_sql(),
         # BFS min-hop depth from an md5-gated seed set; the recursive
         # term is depth-capped so link cycles terminate, min() collapses
         # revisits to the true BFS depth

@@ -551,6 +551,133 @@ def _pagerank_pregel(links_ds, *, iters: int, damping: float,
     return ray.data.from_arrow_refs(res_refs)
 
 
+def connected_components(links_ds, *, max_iters: int = 128,
+                         src_col: str = "src_url", dst_col: str = "dst_url",
+                         num_parts: int | None = None):
+    """Undirected connected components over the link graph — "which
+    pages form one browsing island" (the reference's crawler reaches
+    exactly one component from its seed; this labels all of them).
+    Pregel min-label propagation on the SAME shard layout as
+    `pagerank`/`crawl_depth`: the edge set is symmetrized up front
+    (both directions emitted, so out-edge propagation == undirected),
+    every node starts labeled with its own url, and each superstep
+    sends min-label deltas along out-edges; a node adopts the minimum
+    label it has seen. Fixpoint = every node labeled with the
+    LEXICOGRAPHIC MIN URL of its component — a deterministic,
+    cluster-size-independent component id the SQL twin can reproduce.
+    Delta propagation: only nodes whose label changed last superstep
+    send, so total message volume is O(E * diameter) worst case but
+    O(E) per label-decrease in practice. Terminates at global
+    no-change (<= diameter supersteps) or ``max_iters``. The same two
+    partitioning assumptions as `pagerank` apply."""
+    import ray
+
+    sym = links_ds.map_batches(
+        lambda b, s=src_col, d=dst_col: pa.concat_tables([
+            pa.table({"src": b.column(s).cast(pa.string()),
+                      "dst": b.column(d).cast(pa.string())}),
+            pa.table({"src": b.column(d).cast(pa.string()),
+                      "dst": b.column(s).cast(pa.string())}),
+        ]),
+        batch_format="pyarrow")
+    parts, M, P = _partition_graph(sym, "src", "dst", num_parts)
+    if M == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], type=pa.string()),
+             "component": pa.array([], type=pa.string())}))
+
+    _SENTINEL = "\U0010ffff"  # > any real url, the scatter-min identity
+
+    @ray.remote
+    class _CcShard:
+        def __init__(self, p: int, P: int, edge_refs, dst_refs):
+            self.P = P
+            edges = pa.concat_tables(ray.get(list(edge_refs)))
+            dsts = pa.concat_tables(ray.get(list(dst_refs)))
+            src = edges.column("src").to_numpy(zero_copy_only=False)
+            dst = edges.column("dst").to_numpy(zero_copy_only=False)
+            own_dst = dsts.column("dst").to_numpy(zero_copy_only=False)
+            self.urls = np.array(
+                sorted(set(src.tolist()) | set(own_dst.tolist())),
+                dtype=object)
+            self.src_idx = np.searchsorted(self.urls, src)
+            self.dst = dst
+            self.dst_shard = (_pr_url_hash(dst) % P).astype(np.int64) \
+                if len(dst) else np.empty(0, dtype=np.int64)
+            self.label = self.urls.copy()
+            # every node is dirty before the first superstep
+            self.changed = np.ones(len(self.urls), dtype=bool)
+
+        def step(self):
+            """Send half: per-destination-shard (dst, min incoming
+            label) tables from edges whose SRC label changed last
+            superstep. [0] is the frontier edge count (num_returns >=
+            2 convention)."""
+            frontier = self.changed[self.src_idx] if len(self.src_idx) \
+                else np.empty(0, dtype=bool)
+            self.changed[:] = False
+            out = [int(frontier.sum())]
+            for q in range(self.P):
+                m = frontier & (self.dst_shard == q)
+                if not m.any():
+                    out.append(pa.table(
+                        {"dst": pa.array([], type=pa.string()),
+                         "lbl": pa.array([], type=pa.string())}))
+                    continue
+                lab = self.label[self.src_idx[m]]
+                u, inv = np.unique(self.dst[m], return_inverse=True)
+                mn = np.full(len(u), _SENTINEL, dtype=object)
+                np.minimum.at(mn, inv, lab)
+                out.append(pa.table({"dst": pa.array(u, type=pa.string()),
+                                     "lbl": pa.array(mn, type=pa.string())}))
+            return out
+
+        def apply(self, *tables) -> int:
+            """Scatter-min arrivals into the local labels; marks
+            lowered nodes dirty and returns how many changed."""
+            for t in tables:
+                if t.num_rows == 0:
+                    continue
+                idx = np.searchsorted(
+                    self.urls,
+                    t.column("dst").to_numpy(zero_copy_only=False))
+                lbl = t.column("lbl").to_numpy(zero_copy_only=False)
+                lower = lbl < self.label[idx]
+                self.label[idx[lower]] = lbl[lower]
+                self.changed[idx[lower]] = True
+            return int(self.changed.sum())
+
+        def result(self) -> pa.Table:
+            return pa.table(
+                {"url": pa.array(self.urls, type=pa.string()),
+                 "component": pa.array(self.label, type=pa.string())})
+
+    shards = [
+        _CcShard.remote(
+            p, P,
+            [parts[m][p] for m in range(M)],
+            [parts[m][P + p] for m in range(M)])
+        for p in range(P)
+    ]
+    for _ in range(max_iters):
+        outs = [s.step.options(num_returns=P + 1).remote()
+                for s in shards]
+        n_changed = sum(ray.get([
+            s.apply.remote(*[outs[p][q + 1] for p in range(P)])
+            for q, s in enumerate(shards)
+        ]))
+        if n_changed == 0:
+            break
+
+    import ray.data
+
+    res_refs = [s.result.remote() for s in shards]
+    ray.wait(res_refs, num_returns=len(res_refs))
+    return ray.data.from_arrow_refs(res_refs)
+
+
 def crawl_depth(links_ds, *, seed_pred, max_depth: int = 32,
                 src_col: str = "src_url", dst_col: str = "dst_url",
                 num_parts: int | None = None):

@@ -128,3 +128,53 @@ def test_reference_search_full_oracle(ray_session, link_corpus):
         .reset_index(drop=True))
     want["relevance"] = want["relevance"].astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_connected_components_union_find_oracle(ray_session):
+    """Pregel min-label CC == driver union-find on a handcrafted graph:
+    two multi-node components (one a cycle, one a chain with a
+    reversed edge) plus a self-loop singleton; component id is the
+    lexicographic min url."""
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import connected_components
+
+    edges = [
+        # component min=a1: cycle a1->a2->a3->a1
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+        # component min=b1: chain with one reversed edge b4->b3
+        ("b1", "b2"), ("b2", "b3"), ("b4", "b3"),
+        # self-loop singleton
+        ("z9", "z9"),
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["src_url", "dst_url"]))
+    got = connected_components(ds, num_parts=3).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        ra, rb = find(s), find(d)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for u in parent:
+        comp.setdefault(find(u), []).append(u)
+    want_rows = sorted(
+        (u, min(members))
+        for members in comp.values() for u in members)
+    want = pd.DataFrame(want_rows, columns=["url", "component"])
+    pd.testing.assert_frame_equal(got, want)
+    # an edge-free graph yields the empty (url, component) table
+    empty = connected_components(ray.data.from_pandas(pd.DataFrame(
+        {"src_url": pd.Series([], dtype=str),
+         "dst_url": pd.Series([], dtype=str)})))
+    assert empty.count() == 0
