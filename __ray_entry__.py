@@ -932,6 +932,13 @@ def _q_distinct(sf_dir: str):
                                                 ["lang", "source"])))
 
 
+def _q_rollup_counts(sf_dir: str):
+    from rse_ray.pipelines.relational import rollup_counts
+
+    return _finalize(rollup_counts(
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"])))
+
+
 def _q_json_sum(sf_dir: str):
     from rse_ray.pipelines.relational import json_props_sum
 
@@ -1469,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": _q_image_resize,
         "recency_filter": _q_recency_filter,
         "distinct_lang_source": _q_distinct,
+        "rollup_counts": _q_rollup_counts,
         "json_props_sum": _q_json_sum,
         # link graph (reference M5/A2/A3/A4 capability)
         "reference_relevance": _q_reference_relevance,
@@ -2122,6 +2130,14 @@ WHERE ts < TIMESTAMP '{as_of}' - INTERVAL {days} DAY""".format(
             as_of=RECENCY_AS_OF, days=RECENCY_DELAY_DAYS
         ),
         "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
+        # ROLLUP grains marked with the 'ALL' sentinel (GROUPING() — a
+        # real NULL key would not be conflated with a rollup row)
+        "rollup_counts": """
+SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+       CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY ROLLUP(lang, source)""",
         "json_props_sum": """
 SELECT event_type,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k

@@ -336,6 +336,49 @@ def distinct_lang_source(documents_ds):
     ).map_groups(first, batch_format="pandas")
 
 
+def rollup_counts(documents_ds, *, keys=("lang", "source"),
+                  val: str = "n_chars"):
+    """GROUP BY ROLLUP(lang, source): doc counts + value sums at the
+    (lang, source), (lang, ALL) and (ALL, ALL) grains. ONE distributed
+    shuffle at the finest grain (Arrow per-batch partial aggregation
+    -> small groupby); the coarser levels derive from the fine
+    aggregate on the driver — |langs| x |sources| rows, never the
+    corpus, so the rollup itself is free at any scale. Rollup markers
+    use the 'ALL' sentinel (not NULL) so the output sorts/hashes
+    uniformly everywhere."""
+    from ray.data.aggregate import Sum
+
+    k1, k2 = keys
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table(
+            {k1: batch.column(k1), k2: batch.column(k2),
+             "v": batch.column(val)}
+        ).group_by([k1, k2]).aggregate([([], "count_all"), ("v", "sum")])
+        return pa.table({k1: g.column(k1), k2: g.column(k2),
+                         "n_p": g.column("count_all"),
+                         "v_p": g.column("v_sum")})
+
+    fine = documents_ds.select_columns([k1, k2, val]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([k1, k2]) \
+        .aggregate(Sum("n_p", alias_name="n_docs"),
+                   Sum("v_p", alias_name="sum_chars")) \
+        .to_pandas()
+    fine["n_docs"] = fine["n_docs"].astype("int64")
+    fine["sum_chars"] = fine["sum_chars"].astype("int64")
+
+    lvl1 = fine.groupby(k1, as_index=False)[["n_docs", "sum_chars"]].sum()
+    lvl1[k2] = "ALL"
+    lvl0 = pd.DataFrame(
+        {k1: ["ALL"], k2: ["ALL"],
+         "n_docs": [fine["n_docs"].sum()],
+         "sum_chars": [fine["sum_chars"].sum()]})
+    cols = [k1, k2, "n_docs", "sum_chars"]
+    return pd.concat([fine[cols], lvl1[cols], lvl0[cols]],
+                     ignore_index=True)
+
+
 def json_props_sum(events_ds):
     """Scalar-function surface: extract props->k (JSON) per event,
     sum per event_type. JSON parse vectorized-ish per batch."""
