@@ -939,6 +939,13 @@ def _q_rollup_counts(sf_dir: str):
         _read(sf_dir, "documents", ["lang", "source", "n_chars"])))
 
 
+def _q_cube_counts(sf_dir: str):
+    from rse_ray.pipelines.relational import cube_counts
+
+    return _finalize(cube_counts(
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"])))
+
+
 def _q_json_sum(sf_dir: str):
     from rse_ray.pipelines.relational import json_props_sum
 
@@ -1109,6 +1116,25 @@ def _q_connected_components(sf_dir: str):
 
     links = extract_links(ray.data.read_parquet(_linkgraph_pages_paths()))
     return _finalize(connected_components(links))
+
+
+def _q_degree_distribution(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import (degree_distribution,
+                                             extract_links)
+
+    links = extract_links(ray.data.read_parquet(_linkgraph_pages_paths()))
+    return _finalize(degree_distribution(links))
+
+
+def _q_reciprocal_links(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import extract_links, reciprocal_links
+
+    links = extract_links(ray.data.read_parquet(_linkgraph_pages_paths()))
+    return _finalize(reciprocal_links(links))
 
 
 def _connected_components_sql() -> str:
@@ -1477,6 +1503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recency_filter": _q_recency_filter,
         "distinct_lang_source": _q_distinct,
         "rollup_counts": _q_rollup_counts,
+        "cube_counts": _q_cube_counts,
         "json_props_sum": _q_json_sum,
         # link graph (reference M5/A2/A3/A4 capability)
         "reference_relevance": _q_reference_relevance,
@@ -1485,6 +1512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "crawl_depth": _q_crawl_depth,
         "connected_components": _q_connected_components,
+        "degree_distribution": _q_degree_distribution,
+        "reciprocal_links": _q_reciprocal_links,
         "domain_counts": _q_domain_counts,
         "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
@@ -2138,6 +2167,12 @@ SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
        count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY ROLLUP(lang, source)""",
+        "cube_counts": """
+SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+       CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY CUBE(lang, source)""",
         "json_props_sum": """
 SELECT event_type,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
@@ -2170,6 +2205,25 @@ FROM read_parquet('{pages}') GROUP BY 1""".format(
         "reference_rank": _reference_rank_sql(),
         "pagerank": _pagerank_sql(),
         "connected_components": _connected_components_sql(),
+        # out-degree histogram over src ∪ dst (sink-only nodes are the
+        # degree-0 row)
+        "degree_distribution": f"""
+WITH links AS (SELECT src_url, dst_url
+               FROM read_parquet('{os.path.join(LINKGRAPH_DIR,
+                                                "golden_links.parquet")}')),
+nodes AS (SELECT src_url AS url FROM links UNION SELECT dst_url FROM links),
+deg AS (SELECT n.url, count(l.src_url)::BIGINT AS out_degree
+        FROM nodes n LEFT JOIN links l ON l.src_url = n.url GROUP BY 1)
+SELECT out_degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY 1""",
+        # mutual links: both directions present, self-loops excluded
+        "reciprocal_links": f"""
+WITH e AS (SELECT DISTINCT src_url, dst_url
+           FROM read_parquet('{os.path.join(LINKGRAPH_DIR,
+                                            "golden_links.parquet")}'))
+SELECT e1.src_url AS url_a, e1.dst_url AS url_b
+FROM e e1 JOIN e e2 ON e1.src_url = e2.dst_url
+                   AND e1.dst_url = e2.src_url
+WHERE e1.src_url < e1.dst_url""",
         # BFS min-hop depth from an md5-gated seed set; the recursive
         # term is depth-capped so link cycles terminate, min() collapses
         # revisits to the true BFS depth

@@ -38,6 +38,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 RANKER_CONSTANT = 0.85   # api/main.go:99
 RATING_FACTOR = 1.0      # api/main.go:98
@@ -549,6 +550,91 @@ def _pagerank_pregel(links_ds, *, iters: int, damping: float,
     # pending task on a dead actor would poison the refs
     ray.wait(res_refs, num_returns=len(res_refs))
     return ray.data.from_arrow_refs(res_refs)
+
+
+def degree_distribution(links_ds, *, src_col: str = "src_url",
+                        dst_col: str = "dst_url"):
+    """Out-degree histogram over the FULL node set (src ∪ dst):
+    (out_degree, n_nodes), including the degree-0 row for sink-only
+    nodes. Two small shuffles — per-batch partial counts -> per-node
+    degree -> histogram — plus one driver-side subtraction for the
+    zero row (|nodes| and |srcs| are scalars; no corpus
+    materialization)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"url": batch.column(src_col).cast(pa.string())}) \
+            .group_by("url").aggregate([([], "count_all")])
+        return pa.table({"url": g.column("url"),
+                         "c": g.column("count_all")})
+
+    deg = links_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("url").aggregate(Sum("c", alias_name="out_degree"))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"out_degree": pc.cast(batch.column("out_degree"),
+                                            pa.int64())}) \
+            .group_by("out_degree").aggregate([([], "count_all")])
+        return pa.table({"out_degree": g.column("out_degree"),
+                         "n": g.column("count_all")})
+
+    hist = deg.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("out_degree").aggregate(Sum("n", alias_name="n_nodes")) \
+        .to_pandas()
+    hist["n_nodes"] = hist["n_nodes"].astype("int64")
+    hist["out_degree"] = hist["out_degree"].astype("int64")
+
+    # degree-0 nodes = |src ∪ dst| − |distinct src| (both scalar
+    # aggregates; unique() is the one unavoidable node-set shuffle)
+    both = links_ds.map_batches(
+        lambda b: pa.table({"url": pa.concat_arrays(
+            [b.column(src_col).cast(pa.string()).combine_chunks(),
+             b.column(dst_col).cast(pa.string()).combine_chunks()])}),
+        batch_format="pyarrow")
+    n_nodes = len(both.unique("url"))
+    n_src = int(hist["n_nodes"].sum())
+    if n_nodes > n_src:
+        hist = pd.concat([hist, pd.DataFrame(
+            {"out_degree": [0], "n_nodes": [n_nodes - n_src]})],
+            ignore_index=True)
+    return hist.sort_values("out_degree").reset_index(drop=True)
+
+
+def reciprocal_links(links_ds, *, src_col: str = "src_url",
+                     dst_col: str = "dst_url"):
+    """Mutual-link pairs: (url_a, url_b), a < b, where BOTH a->b and
+    b->a exist (self-loops excluded, duplicate edges collapsed). One
+    shuffle on the canonical unordered pair key: per-batch partial
+    collapses each (min, max) pair to direction flags, the global
+    groupby ORs them, and a pair qualifies when both directions were
+    seen. Fully vectorized; no driver-side edge materialization."""
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).cast(pa.string())
+        d = batch.column(dst_col).cast(pa.string())
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        fwd = pc.cast(pc.equal(s, lo), pa.int64())  # lo->hi direction
+        g = pa.table({"url_a": lo, "url_b": hi, "f": fwd,
+                      "r": pc.subtract(pa.scalar(1, pa.int64()), fwd)}) \
+            .group_by(["url_a", "url_b"]) \
+            .aggregate([("f", "max"), ("r", "max")])
+        return pa.table({"url_a": g.column("url_a"),
+                         "url_b": g.column("url_b"),
+                         "f": g.column("f_max"), "r": g.column("r_max")})
+
+    both = links_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["url_a", "url_b"]) \
+        .aggregate(Max("f", alias_name="f"), Max("r", alias_name="r"))
+    return both.map_batches(
+        lambda b: b.filter(pc.and_(pc.equal(b.column("f"), 1),
+                                   pc.equal(b.column("r"), 1)))
+                   .select(["url_a", "url_b"]),
+        batch_format="pyarrow")
 
 
 def connected_components(links_ds, *, max_iters: int = 128,

@@ -379,6 +379,21 @@ def rollup_counts(documents_ds, *, keys=("lang", "source"),
                      ignore_index=True)
 
 
+def cube_counts(documents_ds, *, keys=("lang", "source"),
+                val: str = "n_chars"):
+    """GROUP BY CUBE(lang, source): the ROLLUP grains plus the
+    (ALL, source) slice. Same scale shape as `rollup_counts` — one
+    fine-grain shuffle, every coarser grain derived from the small
+    fine aggregate on the driver."""
+    k1, k2 = keys
+    fine = rollup_counts(documents_ds, keys=keys, val=val)
+    detail = fine[(fine[k1] != "ALL") & (fine[k2] != "ALL")]
+    lvl2 = detail.groupby(k2, as_index=False)[["n_docs", "sum_chars"]].sum()
+    lvl2[k1] = "ALL"
+    cols = [k1, k2, "n_docs", "sum_chars"]
+    return pd.concat([fine, lvl2[cols]], ignore_index=True)
+
+
 def json_props_sum(events_ds):
     """Scalar-function surface: extract props->k (JSON) per event,
     sum per event_type. JSON parse vectorized-ish per batch."""

@@ -178,3 +178,34 @@ def test_connected_components_union_find_oracle(ray_session):
         {"src_url": pd.Series([], dtype=str),
          "dst_url": pd.Series([], dtype=str)})))
     assert empty.count() == 0
+
+
+def test_degree_distribution_and_reciprocal_links(ray_session):
+    """Handcrafted graph: degrees {a:3 (dup edge collapses? no — raw
+    out-edges count), sink-only nodes get the 0 row; reciprocal pairs
+    detected across batches and self-loops/dups ignored."""
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import (degree_distribution,
+                                             reciprocal_links)
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),     # deg(a)=3
+        ("b", "a"),                             # reciprocal with a->b
+        ("c", "c"),                             # self-loop: ignored
+        ("d", "e"), ("e", "d"),                 # reciprocal pair
+        ("f", "g"),                             # one-way; g sink-only
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["src_url", "dst_url"])).repartition(3)
+
+    got_deg = degree_distribution(ds)
+    # degrees: a=3, b=1, c=1, d=1, e=1, f=1 ; sinks with 0: g
+    want_deg = pd.DataFrame({"out_degree": [0, 1, 3],
+                             "n_nodes": [1, 5, 1]})
+    pd.testing.assert_frame_equal(got_deg, want_deg)
+
+    got_rec = reciprocal_links(ds).to_pandas() \
+        .sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    want_rec = pd.DataFrame({"url_a": ["a", "d"], "url_b": ["b", "e"]})
+    pd.testing.assert_frame_equal(got_rec, want_rec)
