@@ -1118,23 +1118,45 @@ def _q_connected_components(sf_dir: str):
     return _finalize(connected_components(links))
 
 
+GRAPH_LINKS = "/tmp/rse_ray_cache/graph_600_v1/links.parquet"
+
+
+def _graph_links_path() -> str:
+    """Synthetic link graph with PLANTED triangles / mutual pairs /
+    hub / self-loops / duplicate edges — the crawler corpus's golden
+    links have none of those (0 triangles, 0 reciprocal pairs), so the
+    structural graph queries get their own deterministic fixture."""
+    from rse_ray.sources.fixtures import generate_graph
+
+    generate_graph(GRAPH_LINKS)
+    return GRAPH_LINKS
+
+
 def _q_degree_distribution(sf_dir: str):
     import ray.data
 
-    from rse_ray.pipelines.linkgraph import (degree_distribution,
-                                             extract_links)
+    from rse_ray.pipelines.linkgraph import degree_distribution
 
-    links = extract_links(ray.data.read_parquet(_linkgraph_pages_paths()))
-    return _finalize(degree_distribution(links))
+    return _finalize(degree_distribution(
+        ray.data.read_parquet(_graph_links_path())))
 
 
 def _q_reciprocal_links(sf_dir: str):
     import ray.data
 
-    from rse_ray.pipelines.linkgraph import extract_links, reciprocal_links
+    from rse_ray.pipelines.linkgraph import reciprocal_links
 
-    links = extract_links(ray.data.read_parquet(_linkgraph_pages_paths()))
-    return _finalize(reciprocal_links(links))
+    return _finalize(reciprocal_links(
+        ray.data.read_parquet(_graph_links_path())))
+
+
+def _q_triangle_count(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import triangle_count
+
+    return _finalize(triangle_count(
+        ray.data.read_parquet(_graph_links_path())))
 
 
 def _connected_components_sql() -> str:
@@ -1514,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_connected_components,
         "degree_distribution": _q_degree_distribution,
         "reciprocal_links": _q_reciprocal_links,
+        "triangle_count": _q_triangle_count,
         "domain_counts": _q_domain_counts,
         "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
@@ -2209,8 +2232,7 @@ FROM read_parquet('{pages}') GROUP BY 1""".format(
         # degree-0 row)
         "degree_distribution": f"""
 WITH links AS (SELECT src_url, dst_url
-               FROM read_parquet('{os.path.join(LINKGRAPH_DIR,
-                                                "golden_links.parquet")}')),
+               FROM read_parquet('{GRAPH_LINKS}')),
 nodes AS (SELECT src_url AS url FROM links UNION SELECT dst_url FROM links),
 deg AS (SELECT n.url, count(l.src_url)::BIGINT AS out_degree
         FROM nodes n LEFT JOIN links l ON l.src_url = n.url GROUP BY 1)
@@ -2218,12 +2240,21 @@ SELECT out_degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY 1""",
         # mutual links: both directions present, self-loops excluded
         "reciprocal_links": f"""
 WITH e AS (SELECT DISTINCT src_url, dst_url
-           FROM read_parquet('{os.path.join(LINKGRAPH_DIR,
-                                            "golden_links.parquet")}'))
+           FROM read_parquet('{GRAPH_LINKS}'))
 SELECT e1.src_url AS url_a, e1.dst_url AS url_b
 FROM e e1 JOIN e e2 ON e1.src_url = e2.dst_url
                    AND e1.dst_url = e2.src_url
 WHERE e1.src_url < e1.dst_url""",
+        # triangles in the undirected simple graph, each counted once
+        # via the canonical u < v < w edge triple
+        "triangle_count": f"""
+WITH ue AS (SELECT DISTINCT least(src_url, dst_url) AS u,
+                   greatest(src_url, dst_url) AS v
+            FROM read_parquet('{GRAPH_LINKS}')
+            WHERE src_url <> dst_url)
+SELECT count(*)::BIGINT AS n_triangles
+FROM ue e1 JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
+     JOIN ue e3 ON e3.u = e1.v AND e3.v = e2.v""",
         # BFS min-hop depth from an md5-gated seed set; the recursive
         # term is depth-capped so link cycles terminate, min() collapses
         # revisits to the true BFS depth

@@ -311,3 +311,45 @@ def generate_queries(n: int = 60, seed: int = 42, vocab_size: int = 10_000) -> l
         r1, r2 = int(rng.integers(0, 500)), int(rng.integers(0, vocab_size))
         queries.append(f"  {vocab[r1].upper()}\t {vocab[r2].capitalize()}  ")
     return [{"qid": i, "query": q} for i, q in enumerate(queries[:n])]
+
+
+def generate_graph(out_path: str, *, n_nodes: int = 600) -> None:
+    """Deterministic synthetic link graph with PLANTED structure the
+    crawler corpus lacks: ring connectivity, triangle closers (every
+    3rd node), mutual-link pairs (every 10th node), one 40-out-edge
+    hub, self-loops and duplicate edges. Formula-based (no RNG), so
+    the parquet is byte-stable across numpy versions. Exercises
+    triangle_count / reciprocal_links / degree_distribution with
+    non-empty results and every edge pathology at once."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    if os.path.exists(out_path):
+        return
+    u = [f"https://g{i}.example/" for i in range(n_nodes)]
+    src, dst = [], []
+
+    def add(a: int, b: int) -> None:
+        src.append(u[a % n_nodes])
+        dst.append(u[b % n_nodes])
+
+    for i in range(n_nodes):
+        add(i, i + 1)                     # ring
+        if i % 3 == 0:
+            add(i, i + 2)                 # closes triangle (i, i+1, i+2)
+        if i % 10 == 0:
+            add(i, i + 7)                 # mutual pair ...
+            add(i + 7, i)                 # ... both directions
+        if i % 97 == 0:
+            add(i, i)                     # self-loop (must be ignored)
+        if i % 50 == 0:
+            add(i, i + 1)                 # duplicate edge (must collapse)
+    for k in range(1, 41):
+        add(0, (13 * k) % n_nodes)        # hub with skewed out-degree
+    t = pa.table({"src_url": pa.array(src, type=pa.string()),
+                  "dst_url": pa.array(dst, type=pa.string())})
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp = out_path + ".tmp"
+    _pq.write_table(t, tmp)
+    os.replace(tmp, out_path)

@@ -209,3 +209,41 @@ def test_degree_distribution_and_reciprocal_links(ray_session):
         .sort_values(["url_a", "url_b"]).reset_index(drop=True)
     want_rec = pd.DataFrame({"url_a": ["a", "d"], "url_b": ["b", "e"]})
     pd.testing.assert_frame_equal(got_rec, want_rec)
+
+
+def test_triangle_count_bruteforce_oracle(ray_session):
+    """Actor-exchange triangle count == brute-force itertools count on
+    the planted fixture graph (hub skew, self-loops, duplicate and
+    reciprocal edges all present), at P=1 and P=4."""
+    from itertools import combinations
+
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import triangle_count
+    from rse_ray.sources.fixtures import generate_graph
+
+    path = "/tmp/rse_ray_cache/graph_600_v1/links.parquet"
+    generate_graph(path)
+    t = pq_.read_table(path)
+    adj = {}
+    for s, d in zip(t.column("src_url").to_pylist(),
+                    t.column("dst_url").to_pylist()):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    want = sum(
+        1 for u in adj for v, w in combinations(sorted(adj[u]), 2)
+        if u < v and w in adj[v]
+    )
+    assert want > 0  # the fixture plants real triangles
+    ds = ray.data.read_parquet(path)
+    for parts in (1, 4):
+        got = triangle_count(ds, num_parts=parts)
+        assert int(got["n_triangles"].iloc[0]) == want
+    # edge-free graph
+    empty = triangle_count(ray.data.from_pandas(pd.DataFrame(
+        {"src_url": pd.Series([], dtype=str),
+         "dst_url": pd.Series([], dtype=str)})))
+    assert int(empty["n_triangles"].iloc[0]) == 0
