@@ -641,6 +641,20 @@ def _q_bm25_conjunctive(sf_dir: str):
                                     conjunctive=True))
 
 
+def _q_vsm_cosine_topk(sf_dir: str):
+    from rse_ray.pipelines.text import vsm_cosine_topk
+
+    return _finalize(vsm_cosine_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]), BM25_QUERY, k=20))
+
+
+def _q_oov_rate(sf_dir: str):
+    from rse_ray.pipelines.text import oov_rate
+
+    return _finalize(oov_rate(
+        _read(sf_dir, "documents", ["doc_id", "text"]), vocab_n=20))
+
+
 def _q_bm25_not(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_documents
 
@@ -1491,6 +1505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": _q_bigram_counts,
         "bm25_conjunctive": _q_bm25_conjunctive,
         "bm25_not": _q_bm25_not,
+        "vsm_cosine_topk": _q_vsm_cosine_topk,
+        "oov_rate": _q_oov_rate,
         "prefix_search": _q_prefix_search,
         "bm25_with_deletes": _q_bm25_with_deletes,
         "bm25_after_compact": _q_bm25_after_compact,
@@ -1819,6 +1835,32 @@ hits AS (SELECT p.doc_id FROM p JOIN q USING (term)
 SELECT s.doc_id, round(s.raw, 6) AS score
 FROM scores s JOIN hits USING (doc_id)
 ORDER BY s.raw DESC, s.doc_id LIMIT 20""",
+        # classic VSM: tf·idf vectors, TRUE cosine (doc norm over ALL
+        # the doc's terms); w = tf * ln(N/df)
+        "vsm_cosine_topk": _TOKS + f""",
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+s AS (SELECT count(*)::DOUBLE AS n FROM documents),
+d AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+w AS MATERIALIZED (SELECT p.doc_id, p.term, p.tf * ln(s.n / d.df) AS w
+     FROM p JOIN d USING (term) CROSS JOIN s),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+q(term, qtf) AS (VALUES {BM25_QUERY_SQL_TERMS}),
+qw AS (SELECT q.term, q.qtf * ln(s.n / d.df) AS wq
+       FROM q JOIN d USING (term) CROSS JOIN s),
+qn AS (SELECT sqrt(sum(wq * wq)) AS qn FROM qw),
+dots AS (SELECT w.doc_id, sum(w.w * qw.wq) AS dot
+         FROM w JOIN qw USING (term) GROUP BY 1)
+SELECT dots.doc_id, round(dot / (nrm.nrm * qn.qn), 6) AS score
+FROM dots JOIN nrm USING (doc_id) CROSS JOIN qn
+ORDER BY score DESC, dots.doc_id LIMIT 20""",
+        # per-doc OOV rate vs the corpus top-20 terms by total tf
+        "oov_rate": _TOKS + """,
+tot AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+vocab AS (SELECT term FROM tot ORDER BY c DESC, term LIMIT 20)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(CASE WHEN term IN (SELECT term FROM vocab)
+                 THEN 0.0 ELSE 1.0 END), 6) AS oov_rate
+FROM toks GROUP BY 1""",
         # boolean-NOT retrieval (MUST_NOT): same scores CTE, minus any
         # doc containing an excluded term; idf/avgdl stay full-corpus
         "bm25_not": _BM25_CTES + f""",

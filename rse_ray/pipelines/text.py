@@ -16,11 +16,13 @@ calls); aggregations pre-reduce inside the batch and shuffle only
 from __future__ import annotations
 
 import hashlib
+import math
 from collections import Counter
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _tok(text: str, stem: bool) -> list[str]:
@@ -344,6 +346,160 @@ def tfidf_topk(ds, *, k: int = 3, stem: bool = False,
     scored = joined.map_batches(score, batch_format="pyarrow")
     return top_k_per_group(scored, group="doc_id", order="score",
                            k=k, tie="term", descending=True)
+
+
+def vsm_cosine_topk(ds, query: str, *, k: int = 20, stem: bool = False,
+                    num_parts: int | None = None):
+    """Classic vector-space-model retrieval (the pre-BM25 ranking the
+    reference's LIKE-scan search approximates): documents and query as
+    tf·idf vectors (w = tf * ln(N/df)), ranked by true cosine — the
+    doc norm runs over ALL the doc's terms, not just query terms, so
+    this is NOT a BM25 re-skin. Output: top-k (doc_id, score), ties
+    (round(score,6) DESC, doc_id ASC).
+
+    Scale shape mirrors tfidf_topk: postings -> df join (co-partitioned
+    hash join on term), per-doc norm via one groupby, query-term
+    contributions via an `is_in` filter (|q| terms — never a corpus
+    broadcast), final dot/norm join on doc_id, distributed sort +
+    limit(k)."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.functions.tokenizer import tokenize
+    from rse_ray.pipelines.relational import hash_join
+
+    p = postings(ds, stem=stem).materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        terms, counts = np.unique(
+            batch.column("term").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "df_p": pa.array(counts.astype(np.int64))})
+
+    d = p.select_columns(["term"]) \
+        .map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df_p", alias_name="df")) \
+        .materialize()
+    n_docs = int(ds.count())
+
+    w = hash_join(p, d, left_on="term", right_on="term",
+                  right_cols=["df"], num_parts=num_parts)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy().astype(np.float64)
+        df = batch.column("df").to_numpy().astype(np.float64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "term": batch.column("term"),
+                         "w": pa.array(tf * np.log(n_docs / df))})
+
+    w = w.map_batches(weigh, batch_format="pyarrow").materialize()
+
+    def norm_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"doc_id": batch.column("doc_id"),
+                      "w2": pc.multiply(batch.column("w"),
+                                        batch.column("w"))}) \
+            .group_by("doc_id").aggregate([("w2", "sum")])
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "s2": g.column("w2_sum")})
+
+    norms = w.map_batches(norm_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("s2", alias_name="norm2"))
+
+    # query vector: |q| rows of the df table reach the driver, nothing
+    # else does
+    from collections import Counter
+
+    qtf = Counter(tokenize(query, stem=stem))
+    qterms = sorted(qtf)
+    qdf = d.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("term"),
+                                    pa.array(qterms, type=pa.string()))),
+        batch_format="pyarrow").to_pandas()
+    qw = {t: qtf[t] * math.log(n_docs / df)
+          for t, df in zip(qdf["term"], qdf["df"])}
+    qnorm = math.sqrt(sum(v * v for v in qw.values()))
+    if not qw:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    qw_terms = np.array(sorted(qw), dtype=object)
+    qw_vals = np.array([qw[t] for t in qw_terms])
+
+    def dot_partial(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_numpy(zero_copy_only=False)
+        m = np.isin(terms, qw_terms)
+        if not m.any():
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "d_p": pa.array([], type=pa.float64())})
+        idx = np.searchsorted(qw_terms, terms[m])
+        contrib = batch.column("w").to_numpy()[m] * qw_vals[idx]
+        g = pa.table({"doc_id": batch.column("doc_id").filter(pa.array(m)),
+                      "c": pa.array(contrib)}) \
+            .group_by("doc_id").aggregate([("c", "sum")])
+        return pa.table({"doc_id": pc.cast(g.column("doc_id"), pa.int64()),
+                         "d_p": g.column("c_sum")})
+
+    dots = w.map_batches(dot_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("d_p", alias_name="dot"))
+
+    scored = hash_join(dots, norms, left_on="doc_id", right_on="doc_id",
+                       right_cols=["norm2"], num_parts=num_parts)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dot = batch.column("dot").to_numpy().astype(np.float64)
+        nrm = np.sqrt(batch.column("norm2").to_numpy().astype(np.float64))
+        s = np.round(dot / (nrm * qnorm), 6)
+        return pa.table({"doc_id": pc.cast(batch.column("doc_id"),
+                                           pa.int64()),
+                         "score": pa.array(s)})
+
+    top = scored.map_batches(finish, batch_format="pyarrow") \
+        .sort(["score", "doc_id"], descending=[True, False]) \
+        .limit(k).to_pandas()
+    return top
+
+
+def oov_rate(ds, *, vocab_n: int = 20, stem: bool = False):
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_n`` terms by TOTAL term frequency (ties term-asc) —
+    the vocabulary-coverage filter an LLM-data pipeline runs before
+    tokenizer training. Output (doc_id, n_tokens, oov_rate).
+
+    The vocabulary is a top-k over the aggregated term counts (small
+    by construction); it is np.isin-probed per batch from task-local
+    state — the corpus itself never funnels through a collect."""
+    from ray.data.aggregate import Sum
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        toks = [t for txt in batch.column("text").to_pylist()
+                for t in _tok(txt, stem)]
+        terms, counts = np.unique(np.array(toks, dtype=object),
+                                  return_counts=True)
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "c_p": pa.array(counts.astype(np.int64))})
+
+    tot = ds.map_batches(tf_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("c_p", alias_name="c")) \
+        .to_pandas()
+    tot = tot.sort_values(["c", "term"], ascending=[False, True],
+                          kind="stable").head(vocab_n)
+    vocab = np.sort(tot["term"].to_numpy().astype(object))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, n_toks, rates = [], [], []
+        for did, txt in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+            toks = np.array(_tok(txt, stem), dtype=object)
+            n = len(toks)
+            oov = float(np.count_nonzero(~np.isin(toks, vocab))) / n \
+                if n else 0.0
+            ids.append(did)
+            n_toks.append(n)
+            rates.append(round(oov, 6))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "n_tokens": pa.array(n_toks, type=pa.int64()),
+                         "oov_rate": pa.array(rates, type=pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def pack_sequences(ds, *, budget: int = 512, stem: bool = False):
