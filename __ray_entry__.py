@@ -188,6 +188,18 @@ def _q_bm25_topk(sf_dir: str):
     return _finalize(bm25_documents(sf_dir, BM25_QUERY, k=20))
 
 
+def _q_bm25_page2(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents_page
+
+    return _finalize(bm25_documents_page(sf_dir, BM25_QUERY, k=20, page=2))
+
+
+def _q_bm25_total_hits(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents_total
+
+    return _finalize(bm25_documents_total(sf_dir, BM25_QUERY))
+
+
 def _q_bm25_topk_distributed(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_documents_distributed
 
@@ -1462,6 +1474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25_scores,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_distributed": _q_bm25_topk_distributed,
+        "bm25_page2": _q_bm25_page2,
+        "bm25_total_hits": _q_bm25_total_hits,
         # text analysis (training-data ops)
         "quality_scores": _q_quality,
         "doc_fingerprints": _q_fingerprint,
@@ -1584,6 +1598,14 @@ SELECT doc_id, round(raw, 6) AS score FROM scores""",
         "bm25_topk": _BM25_CTES + """
 SELECT doc_id, round(raw, 6) AS score FROM scores
 ORDER BY raw DESC, doc_id LIMIT 20""",
+        # cursor pagination: page 2 == OFFSET over the same strict
+        # total order the cursor walks
+        "bm25_page2": _BM25_CTES + """
+SELECT doc_id, round(raw, 6) AS score FROM scores
+ORDER BY raw DESC, doc_id LIMIT 20 OFFSET 20""",
+        # the API's total-hit count: docs matching >= 1 query term
+        "bm25_total_hits": _BM25_CTES + """
+SELECT count(*)::BIGINT AS n_hits FROM scores""",
         # the scatter-gather + sharded-accumulator path must reproduce
         # the exact same scores as the driver-side scorer
         "bm25_topk_distributed": _BM25_CTES + """

@@ -315,6 +315,47 @@ def bm25_documents_filtered(sf_dir: str, query: str, *, lang: str,
     )
 
 
+def bm25_documents_page(sf_dir: str, query: str, *, k: int = 20,
+                        page: int = 2, stem: bool = False,
+                        round_to: int = 6) -> pd.DataFrame:
+    """Page ``page`` (1-based) of the ranking via REAL cursor
+    pagination: each page's last (score, doc_id) becomes the next
+    page's search_after cursor — the stateless deep-paging contract a
+    search API exposes (no server-side scroll state). Equals
+    OFFSET/LIMIT over the full ordering, which is what the SQL oracle
+    checks."""
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=stem)
+    s = Searcher(index_dir)
+    after = None
+    hits = s.search_after(query, k=k)
+    for _ in range(page - 1):
+        if not hits:
+            break
+        after = hits[-1][1], hits[-1][0]
+        hits = s.search_after(query, k=k, after=after)
+    rows = hydrate_urls(index_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            "score": [round(score, round_to) for _, score, _ in rows],
+        }
+    )
+
+
+def bm25_documents_total(sf_dir: str, query: str,
+                         *, stem: bool = False) -> pd.DataFrame:
+    """The API's total-hit count for a query (match >= 1 term, live
+    docs only) — no scoring, no ranking."""
+    from rse_ray.pipelines.search import Searcher
+
+    index_dir = documents_index(sf_dir, stem=stem)
+    return pd.DataFrame({"n_hits": pd.array(
+        [Searcher(index_dir).total_hits(query)], dtype="int64")})
+
+
 def bm25_documents(sf_dir: str, query: str, k: int | None = None,
                    *, stem: bool = False, round_to: int = 6,
                    conjunctive: bool = False,

@@ -565,6 +565,41 @@ class Searcher:
             return _accumulate_topk_dense(id_parts, contrib_parts, k, self.dmap)
         return _accumulate_topk(id_parts, contrib_parts, k)
 
+    def total_hits(self, query: str) -> int:
+        """The search API's `total` field: how many live docs match
+        >= 1 query term (posting-union cardinality, tombstones
+        masked) — computed without scoring or ranking anything."""
+        parts = []
+        for term, _ in _query_weights(query, self.stem):
+            got = self.reader.postings(term)
+            if got is not None:
+                parts.append(got[0])
+        if not parts:
+            return 0
+        ids = np.unique(np.concatenate(parts))
+        m = self._keep_mask(ids)
+        return int(len(ids) if m is None else m.sum())
+
+    def search_after(self, query: str, k: int = 10, after=None):
+        """Cursor pagination (Lucene search_after): return the next
+        ``k`` hits STRICTLY after the ``after`` cursor — a
+        (score, doc_id) pair from a previous page's last hit — in the
+        global (score desc, doc_id asc) order. Deep pagination stays
+        O(matching docs) per page here; at fleet scale the cursor
+        score doubles as a BMW threshold seed so later pages prune
+        MORE than page one, not less."""
+        full = self.search(query, k=self.N)
+        if after is None:
+            return full[:k]
+        a_score, a_doc = float(after[0]), int(after[1])
+        out = []
+        for d, s in full:
+            if s < a_score or (s == a_score and d > a_doc):
+                out.append((d, s))
+                if len(out) == k:
+                    break
+        return out
+
     # ---- index-backed phrase retrieval -----------------------------------
     def search_phrase(self, phrase: str):
         """Exact phrase occurrences served from the POSITIONAL index

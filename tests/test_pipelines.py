@@ -1612,3 +1612,43 @@ def test_bm25_conjunctive_subset_and_scores(ray_session, tmp_path):
     # every match empties the result
     assert s.search("apple banana", k=10, excluded=["zzz"]) == or_hits
     assert s.search("apple", k=10, excluded=["apple"]) == []
+
+
+def test_search_after_cursor_and_total_hits(ray_session, tmp_path):
+    """Cursor pagination == slicing the global ranking; the cursor is
+    strictly-after (its own hit never repeats); total_hits counts the
+    posting union without scoring."""
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import Searcher
+
+    texts = {f"u{i}": ("apple " * (i % 5 + 1)) + ("banana " * (i % 3))
+             for i in range(30)}
+    texts["zz"] = "cherry only"
+    rows = pd.DataFrame({
+        "url": list(texts), "text": list(texts.values()),
+        "warc_ts": pd.Timestamp("2024-12-01")})
+    idx = str(tmp_path / "page_idx")
+    build_index(ray.data.from_pandas(rows), idx,
+                BuildConfig(num_buckets=2, buckets_per_salt_group=2,
+                            stem=False, from_html=False))
+    s = Searcher(idx)
+
+    full = s.search("apple banana", k=s.N)
+    assert len(full) == 30  # zz matches neither term
+    assert s.total_hits("apple banana") == 30
+    assert s.total_hits("cherry") == 1
+    assert s.total_hits("zzz") == 0
+
+    # walk pages of 7 via cursors; concatenation == the full ranking
+    got, after = [], None
+    while True:
+        page = s.search_after("apple banana", k=7, after=after)
+        if not page:
+            break
+        got.extend(page)
+        after = (page[-1][1], page[-1][0])
+    assert got == full
+    # ties exist (texts repeat) — no hit may appear twice
+    assert len({d for d, _ in got}) == len(got)
