@@ -319,6 +319,15 @@ def _q_knn(sf_dir: str):
     )
 
 
+def _q_knn_sq(sf_dir: str):
+    from rse_ray.pipelines.ann import sq_knn
+
+    return _finalize(
+        sq_knn(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+               KNN_QUERY_IDS, k=10)
+    )
+
+
 def _q_lsh_knn(sf_dir: str):
     from rse_ray.pipelines.ann import lsh_knn
 
@@ -1492,6 +1501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _q_simhash_pairs,
         # similarity search
         "knn_cosine": _q_knn,
+        "knn_cosine_sq": _q_knn_sq,
         "knn_cosine_lsh": _q_lsh_knn,
         "knn_cosine_ivf": _q_ivf_knn,
         "knn_cosine_ivf_exact": _q_ivf_knn_exact,
@@ -1693,6 +1703,29 @@ WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
 c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
              list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS raw
       FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, round(raw, 6) AS cos FROM c
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY raw DESC, neighbor_id) <= 10""".format(
+            ids=", ".join(str(i) for i in KNN_QUERY_IDS)
+        ),
+        # int8 scalar quantization: per-dim corpus min/max, code =
+        # floor(t*255+0.5), queries score the RECONSTRUCTED vectors
+        "knn_cosine_sq": """
+WITH x AS (SELECT vec_id, unnest(range(1, 65))::BIGINT AS dim,
+                  unnest(CAST(embedding AS DOUBLE[])) AS v
+           FROM embeddings),
+st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1),
+rec AS (SELECT vec_id, x.dim,
+               CASE WHEN mx = mn THEN mn
+                    ELSE mn + floor((v - mn) / (mx - mn) * 255 + 0.5)
+                             * (mx - mn) / 255 END AS r
+        FROM x JOIN st USING (dim)),
+rl AS (SELECT vec_id, list(r ORDER BY dim) AS re FROM rec GROUP BY 1),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id IN ({ids})),
+c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qe, e.re) AS raw
+      FROM q, rl e WHERE e.vec_id <> q.query_id)
 SELECT query_id, neighbor_id, round(raw, 6) AS cos FROM c
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY raw DESC, neighbor_id) <= 10""".format(

@@ -115,6 +115,85 @@ def brute_force_knn(ds, query_ids: list[int], k: int = 10,
                            ascending=[True, False, True]).reset_index(drop=True)
 
 
+def sq_knn(ds, query_ids: list[int], k: int = 10,
+           *, round_to: int | None = 6) -> pd.DataFrame:
+    """Scalar-quantized (int8) kNN — the embedding-COMPRESSION scale
+    path: per-dimension corpus min/max (one tiny aggregate: 64 rows),
+    codes = floor((v-mn)/(mx-mn)*255 + 0.5) stored in 1/4 the bytes of
+    float32, queries scored against the RECONSTRUCTED vectors
+    (asymmetric: the query side stays float). Unlike LSH/IVF this path
+    is fully deterministic end-to-end, so the whole quantize ->
+    reconstruct -> rank pipeline is DuckDB-oracled, not just
+    recall-tested. At fleet scale the codes (+ the 2x64 stats row) are
+    what you persist; encode+score fuse into one pass here because the
+    fixture never re-queries.
+
+    -> (query_id, neighbor_id, cos) like brute_force_knn."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(batch)
+        d = mat.shape[1]
+        return pa.table({"dim": pa.array(np.arange(d, dtype=np.int64)),
+                         "mn_p": pa.array(mat.min(axis=0)),
+                         "mx_p": pa.array(mat.max(axis=0))})
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby("dim").aggregate(Min("mn_p", alias_name="mn"),
+                                  Max("mx_p", alias_name="mx")) \
+        .to_pandas().sort_values("dim")
+    mn = st["mn"].to_numpy(dtype=np.float64)
+    mx = st["mx"].to_numpy(dtype=np.float64)
+    span = mx - mn
+
+    qvecs = _fetch_query_vectors(ds, query_ids)
+    q_ids = sorted(qvecs)
+    Q = _normalize(np.stack([qvecs[q] for q in q_ids]))
+    q_ref = ray.put((q_ids, Q, mn, span))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids_l, Q_l, mn_l, span_l = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        safe = np.where(span_l == 0, 1.0, span_l)
+        codes = np.floor((mat - mn_l) / safe * 255 + 0.5)
+        codes = np.where(span_l == 0, 0.0, codes).astype(np.uint8)
+        rec = mn_l + codes.astype(np.float64) * span_l / 255
+        sims = _normalize(rec) @ Q_l.T
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(q_ids_l):
+            col = sims[:, qi]
+            cand_idx = np.flatnonzero(ids != qid)
+            take = min(k, len(cand_idx))
+            if take == 0:
+                continue
+            sub = cand_idx[np.lexsort((ids[cand_idx],
+                                       -col[cand_idx]))[:take]]
+            out_q.extend([qid] * len(sub))
+            out_n.extend(int(i) for i in ids[sub])
+            out_c.extend(float(c) for c in col[sub])
+        return pa.table(
+            {"query_id": pa.array(out_q, type=pa.int64()),
+             "neighbor_id": pa.array(out_n, type=pa.int64()),
+             "cos": pa.array(out_c, type=pa.float64())})
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    rows = []
+    for _, g in local.groupby("query_id"):
+        rows.append(g.sort_values(["cos", "neighbor_id"],
+                                  ascending=[False, True]).head(k))
+    if not rows:
+        return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                             "neighbor_id": pd.array([], dtype="int64"),
+                             "cos": pd.array([], dtype="float64")})
+    out = pd.concat(rows, ignore_index=True)
+    if round_to is not None:
+        out["cos"] = out["cos"].round(round_to)
+    return out.sort_values(["query_id", "cos", "neighbor_id"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
 class LshBucketer:
     """Random-hyperplane LSH: bucket = sign bits of (v @ H). Planes are
     seeded and built once per actor."""

@@ -1652,3 +1652,26 @@ def test_search_after_cursor_and_total_hits(ray_session, tmp_path):
     assert got == full
     # ties exist (texts repeat) — no hit may appear twice
     assert len({d for d, _ in got}) == len(got)
+
+
+def test_sq_knn_near_lossless(ray_session):
+    """int8 scalar quantization is near-lossless on the fixture
+    embeddings: per-query overlap with the exact top-10 stays high and
+    scores agree to ~1e-2 (64 dims x 1/255 resolution)."""
+    import ray.data
+
+    from rse_ray.pipelines.ann import brute_force_knn, sq_knn
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    qids = [0, 1, 2]
+    exact = brute_force_knn(ds, qids, k=10)
+    quant = sq_knn(ds, qids, k=10)
+    for q in qids:
+        a = set(exact[exact["query_id"] == q]["neighbor_id"])
+        b = set(quant[quant["query_id"] == q]["neighbor_id"])
+        assert len(a & b) >= 8  # recall@10 >= 0.8 per query
+    m = exact.merge(quant, on=["query_id", "neighbor_id"],
+                    suffixes=("_e", "_q"))
+    assert (m["cos_e"] - m["cos_q"]).abs().max() < 2e-2
