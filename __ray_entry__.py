@@ -967,6 +967,23 @@ def _q_distinct(sf_dir: str):
                                                 ["lang", "source"])))
 
 
+def _q_partitioned_sink(sf_dir: str):
+    """Write events hash-partitioned by user_id, then report each
+    partition's row count FROM THE MANIFESTS — the oracle checks the
+    sink's routing + accounting contract (int64 key: part = user_id
+    mod P), not a re-scan of the output."""
+    import tempfile
+
+    from rse_ray.sinks import partition_summary, write_partitioned
+
+    out = tempfile.mkdtemp(prefix="rse_sink_", dir="/tmp")
+    write_partitioned(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        out, key="user_id", num_parts=16)
+    s = partition_summary(out)[["partition", "rows"]]
+    return s.rename(columns={"rows": "n_rows"})
+
+
 def _q_rollup_counts(sf_dir: str):
     from rse_ray.pipelines.relational import rollup_counts
 
@@ -1565,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recency_filter": _q_recency_filter,
         "distinct_lang_source": _q_distinct,
         "rollup_counts": _q_rollup_counts,
+        "partitioned_sink": _q_partitioned_sink,
         "cube_counts": _q_cube_counts,
         "json_props_sum": _q_json_sum,
         # link graph (reference M5/A2/A3/A4 capability)
@@ -2279,6 +2297,14 @@ WHERE ts < TIMESTAMP '{as_of}' - INTERVAL {days} DAY""".format(
             as_of=RECENCY_AS_OF, days=RECENCY_DELAY_DAYS
         ),
         "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
+        # the sink's manifests must account for every event exactly
+        # once under part = user_id % 16 (empty partitions included)
+        "partitioned_sink": """
+WITH p AS (SELECT unnest(range(0, 16))::BIGINT AS partition),
+c AS (SELECT user_id % 16 AS part, count(*)::BIGINT AS n FROM events
+      GROUP BY 1)
+SELECT p.partition, coalesce(c.n, 0)::BIGINT AS n_rows
+FROM p LEFT JOIN c ON c.part = p.partition""",
         # ROLLUP grains marked with the 'ALL' sentinel (GROUPING() — a
         # real NULL key would not be conflated with a rollup row)
         "rollup_counts": """
