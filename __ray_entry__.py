@@ -328,6 +328,17 @@ def _q_knn_sq(sf_dir: str):
     )
 
 
+def _q_knn_pq(sf_dir: str):
+    """PQ is k-means-trained (lossy, sample-dependent) — recall-tested
+    in pytest like LSH/IVF, deliberately not SQL-oracled."""
+    from rse_ray.pipelines.ann import pq_knn
+
+    return _finalize(
+        pq_knn(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+               KNN_QUERY_IDS, k=10)
+    )
+
+
 def _q_lsh_knn(sf_dir: str):
     from rse_ray.pipelines.ann import lsh_knn
 
@@ -1519,6 +1530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": _q_knn,
         "knn_cosine_sq": _q_knn_sq,
+        "knn_cosine_pq": _q_knn_pq,
         "knn_cosine_lsh": _q_lsh_knn,
         "knn_cosine_ivf": _q_ivf_knn,
         "knn_cosine_ivf_exact": _q_ivf_knn_exact,

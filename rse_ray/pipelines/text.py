@@ -382,33 +382,11 @@ def vsm_cosine_topk(ds, query: str, *, k: int = 20, stem: bool = False,
         .materialize()
     n_docs = int(ds.count())
 
-    w = hash_join(p, d, left_on="term", right_on="term",
-                  right_cols=["df"], num_parts=num_parts)
-
-    def weigh(batch: pa.Table) -> pa.Table:
-        tf = batch.column("tf").to_numpy().astype(np.float64)
-        df = batch.column("df").to_numpy().astype(np.float64)
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "term": batch.column("term"),
-                         "w": pa.array(tf * np.log(n_docs / df))})
-
-    w = w.map_batches(weigh, batch_format="pyarrow").materialize()
-
-    def norm_partial(batch: pa.Table) -> pa.Table:
-        g = pa.table({"doc_id": batch.column("doc_id"),
-                      "w2": pc.multiply(batch.column("w"),
-                                        batch.column("w"))}) \
-            .group_by("doc_id").aggregate([("w2", "sum")])
-        return pa.table({"doc_id": g.column("doc_id"),
-                         "s2": g.column("w2_sum")})
-
-    norms = w.map_batches(norm_partial, batch_format="pyarrow") \
-        .groupby("doc_id").aggregate(Sum("s2", alias_name="norm2"))
+    joined = hash_join(p, d, left_on="term", right_on="term",
+                       right_cols=["df"], num_parts=num_parts)
 
     # query vector: |q| rows of the df table reach the driver, nothing
     # else does
-    from collections import Counter
-
     qtf = Counter(tokenize(query, stem=stem))
     qterms = sorted(qtf)
     qdf = d.map_batches(
@@ -418,33 +396,47 @@ def vsm_cosine_topk(ds, query: str, *, k: int = 20, stem: bool = False,
     qw = {t: qtf[t] * math.log(n_docs / df)
           for t, df in zip(qdf["term"], qdf["df"])}
     qnorm = math.sqrt(sum(v * v for v in qw.values()))
-    if not qw:
+    if not qw or qnorm == 0:
         return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                              "score": pd.array([], dtype="float64")})
     qw_terms = np.array(sorted(qw), dtype=object)
     qw_vals = np.array([qw[t] for t in qw_terms])
 
-    def dot_partial(batch: pa.Table) -> pa.Table:
+    # ONE pass over the weighted postings accumulates, per doc: the
+    # full norm (over ALL terms), the query dot, and a match flag —
+    # then a single groupby(doc_id) finishes. (The unfused shape — a
+    # norms groupby + a dots groupby + a doc_id join — costs two extra
+    # all-to-alls for identical output; measured 21 s -> this.)
+    def partial(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy().astype(np.float64)
+        df = batch.column("df").to_numpy().astype(np.float64)
+        w = tf * np.log(n_docs / df)
         terms = batch.column("term").to_numpy(zero_copy_only=False)
-        m = np.isin(terms, qw_terms)
-        if not m.any():
-            return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                             "d_p": pa.array([], type=pa.float64())})
-        idx = np.searchsorted(qw_terms, terms[m])
-        contrib = batch.column("w").to_numpy()[m] * qw_vals[idx]
-        g = pa.table({"doc_id": batch.column("doc_id").filter(pa.array(m)),
-                      "c": pa.array(contrib)}) \
-            .group_by("doc_id").aggregate([("c", "sum")])
+        hit = np.isin(terms, qw_terms)
+        dot = np.zeros(len(w))
+        idx = np.searchsorted(qw_terms, terms[hit])
+        dot[hit] = w[hit] * qw_vals[idx]
+        g = pa.table({"doc_id": batch.column("doc_id"),
+                      "w2": pa.array(w * w), "d": pa.array(dot),
+                      "m": pa.array(hit.astype(np.int64))}) \
+            .group_by("doc_id") \
+            .aggregate([("w2", "sum"), ("d", "sum"), ("m", "sum")])
         return pa.table({"doc_id": pc.cast(g.column("doc_id"), pa.int64()),
-                         "d_p": g.column("c_sum")})
+                         "s2_p": g.column("w2_sum"),
+                         "d_p": g.column("d_sum"),
+                         "m_p": g.column("m_sum")})
 
-    dots = w.map_batches(dot_partial, batch_format="pyarrow") \
-        .groupby("doc_id").aggregate(Sum("d_p", alias_name="dot"))
-
-    scored = hash_join(dots, norms, left_on="doc_id", right_on="doc_id",
-                       right_cols=["norm2"], num_parts=num_parts)
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("doc_id") \
+        .aggregate(Sum("s2_p", alias_name="norm2"),
+                   Sum("d_p", alias_name="dot"),
+                   Sum("m_p", alias_name="n_match"))
 
     def finish(batch: pa.Table) -> pa.Table:
+        # only docs matching >= 1 query term rank (the m flag, NOT
+        # dot > 0: a term with df == N has idf 0 yet still matches)
+        keep = pc.greater(batch.column("n_match"), 0)
+        batch = batch.filter(keep)
         dot = batch.column("dot").to_numpy().astype(np.float64)
         nrm = np.sqrt(batch.column("norm2").to_numpy().astype(np.float64))
         s = np.round(dot / (nrm * qnorm), 6)
@@ -452,10 +444,9 @@ def vsm_cosine_topk(ds, query: str, *, k: int = 20, stem: bool = False,
                                            pa.int64()),
                          "score": pa.array(s)})
 
-    top = scored.map_batches(finish, batch_format="pyarrow") \
+    return agg.map_batches(finish, batch_format="pyarrow") \
         .sort(["score", "doc_id"], descending=[True, False]) \
         .limit(k).to_pandas()
-    return top
 
 
 def oov_rate(ds, *, vocab_n: int = 20, stem: bool = False):

@@ -1675,3 +1675,35 @@ def test_sq_knn_near_lossless(ray_session):
     m = exact.merge(quant, on=["query_id", "neighbor_id"],
                     suffixes=("_e", "_q"))
     assert (m["cos_e"] - m["cos_q"]).abs().max() < 2e-2
+
+
+def test_pq_knn_recall_and_compression_contract(ray_session):
+    """PQ kNN: (a) decent recall@10 vs exact on the fixture at the
+    m=16, ksub=128 defaults (16x compression), (b) near-exact when every subspace gets
+    enough centroids to memorize the corpus (ksub >= n_vectors on a
+    tiny slice), (c) deterministic across runs."""
+    import ray.data
+
+    from rse_ray.pipelines.ann import brute_force_knn, pq_knn
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    qids = [0, 1, 2]
+    exact = brute_force_knn(ds, qids, k=10)
+    got = pq_knn(ds, qids, k=10)
+    got2 = pq_knn(ds, qids, k=10)
+    pd.testing.assert_frame_equal(got, got2)  # deterministic
+    recalls = []
+    for q in qids:
+        a = set(exact[exact["query_id"] == q]["neighbor_id"])
+        b = set(got[got["query_id"] == q]["neighbor_id"])
+        recalls.append(len(a & b) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    # memorization regime: 40 vectors, ksub = 64 >= n -> k-means can
+    # place a centroid on every subvector; ranking == exact
+    small = ds.limit(40).materialize()
+    e_s = brute_force_knn(small, [0, 1], k=5)
+    p_s = pq_knn(small, [0, 1], k=5, m=8, ksub=64, iters=25)
+    assert (e_s["neighbor_id"] == p_s["neighbor_id"]).mean() >= 0.8
