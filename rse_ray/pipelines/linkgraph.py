@@ -564,8 +564,12 @@ def degree_distribution(links_ds, *, src_col: str = "src_url",
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = pa.table({"url": batch.column(src_col).cast(pa.string())}) \
-            .group_by("url").aggregate([([], "count_all")])
+        # a row with EITHER endpoint null is no edge (consistent with
+        # the other graph ops), so it feeds neither degree nor nodes
+        t = pa.table({"url": batch.column(src_col).cast(pa.string()),
+                      "_d": batch.column(dst_col).cast(pa.string())}) \
+            .drop_null()
+        g = t.group_by("url").aggregate([([], "count_all")])
         return pa.table({"url": g.column("url"),
                          "c": g.column("count_all")})
 
@@ -587,11 +591,15 @@ def degree_distribution(links_ds, *, src_col: str = "src_url",
 
     # degree-0 nodes = |src ∪ dst| − |distinct src| (both scalar
     # aggregates; unique() is the one unavoidable node-set shuffle)
-    both = links_ds.map_batches(
-        lambda b: pa.table({"url": pa.concat_arrays(
-            [b.column(src_col).cast(pa.string()).combine_chunks(),
-             b.column(dst_col).cast(pa.string()).combine_chunks()])}),
-        batch_format="pyarrow")
+    def node_union(b: pa.Table) -> pa.Table:
+        t = pa.table({"s": b.column(src_col).cast(pa.string()),
+                      "d": b.column(dst_col).cast(pa.string())}) \
+            .drop_null()
+        return pa.table({"url": pa.concat_arrays(
+            [t.column("s").combine_chunks(),
+             t.column("d").combine_chunks()])})
+
+    both = links_ds.map_batches(node_union, batch_format="pyarrow")
     n_nodes = len(both.unique("url"))
     n_src = int(hist["n_nodes"].sum())
     if n_nodes > n_src:
@@ -612,8 +620,10 @@ def reciprocal_links(links_ds, *, src_col: str = "src_url",
     from ray.data.aggregate import Max
 
     def partial(batch: pa.Table) -> pa.Table:
-        s = batch.column(src_col).cast(pa.string())
-        d = batch.column(dst_col).cast(pa.string())
+        t = pa.table({"s": batch.column(src_col).cast(pa.string()),
+                      "d": batch.column(dst_col).cast(pa.string())}) \
+            .drop_null()  # a null endpoint is no edge
+        s, d = t.column("s"), t.column("d")
         keep = pc.not_equal(s, d)
         s, d = s.filter(keep), d.filter(keep)
         lo = pc.min_element_wise(s, d)
@@ -681,9 +691,10 @@ def triangle_count(links_ds, *, src_col: str = "src_url",
         parts_for(n_edges, rows_per_part=200_000)
 
     def route_pairs(tbl: pa.Table, P: int) -> list:
+        tbl = tbl.drop_null()  # a null endpoint is no edge
         s = tbl.column("src").to_numpy(zero_copy_only=False)
         d = tbl.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
+        keep = s != d  # self-loops close no triangle
         s, d = s[keep], d[keep]
         lo, hi = np.minimum(s, d), np.maximum(s, d)
         h_lo = (_pr_url_hash(lo) % P).astype(np.int64)
@@ -745,8 +756,9 @@ def triangle_count(links_ds, *, src_col: str = "src_url",
         def orient(self, *tables):
             """P2: attach deg(hi) (owned here), orient from the
             (deg, url)-smaller endpoint, route by hash(src)."""
-            t = pa.concat_tables([x for x in tables if x.num_rows])
-            if t.num_rows == 0:
+            live = [x for x in tables if x.num_rows]
+            t = pa.concat_tables(live) if live else None
+            if t is None:
                 empty = pa.table({"src": pa.array([], type=pa.string()),
                                   "dst": pa.array([], type=pa.string()),
                                   "dst_deg": pa.array([], type=pa.int64())})
@@ -774,7 +786,11 @@ def triangle_count(links_ds, *, src_col: str = "src_url",
             the (deg, url) half-filter); wedges AND this shard's
             oriented edges route onward by the (a, b) pair hash.
             Returns [count, w_0..w_{P-1}, e_0..e_{P-1}]."""
-            t = pa.concat_tables([x for x in tables if x.num_rows])
+            live = [x for x in tables if x.num_rows]
+            t = pa.concat_tables(live) if live else pa.table(
+                {"src": pa.array([], type=pa.string()),
+                 "dst": pa.array([], type=pa.string()),
+                 "dst_deg": pa.array([], type=pa.int64())})
             df = pd.DataFrame(
                 {"src": t.column("src").to_numpy(zero_copy_only=False),
                  "dst": t.column("dst").to_numpy(zero_copy_only=False),
@@ -862,7 +878,7 @@ def connected_components(links_ds, *, max_iters: int = 128,
                       "dst": b.column(d).cast(pa.string())}),
             pa.table({"src": b.column(d).cast(pa.string()),
                       "dst": b.column(s).cast(pa.string())}),
-        ]),
+        ]).drop_null(),  # a null endpoint is no edge
         batch_format="pyarrow")
     parts, M, P = _partition_graph(sym, "src", "dst", num_parts)
     if M == 0:

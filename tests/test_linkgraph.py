@@ -247,3 +247,32 @@ def test_triangle_count_bruteforce_oracle(ray_session):
         {"src_url": pd.Series([], dtype=str),
          "dst_url": pd.Series([], dtype=str)})))
     assert int(empty["n_triangles"].iloc[0]) == 0
+
+
+def test_graph_ops_tolerate_null_endpoints(ray_session):
+    """Null src/dst rows are 'no edge' in every structural graph op —
+    they feed neither degrees, nodes, pairs, components nor
+    triangles."""
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import (connected_components,
+                                             degree_distribution,
+                                             reciprocal_links,
+                                             triangle_count)
+
+    df = pd.DataFrame({
+        "src_url": ["a", "b", "c", None, "e", "a"],
+        "dst_url": ["b", "a", None, "d", "e", "c"],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    deg = degree_distribution(ds)
+    # live edges: a->b, b->a, a->c, e->e (self-loop counts for DEGREE);
+    # nodes {a,b,c,e}; degrees a=2, b=1, e=1, c=0
+    assert dict(zip(deg["out_degree"], deg["n_nodes"])) == {0: 1, 1: 2, 2: 1}
+    rec = reciprocal_links(ds).to_pandas()
+    assert rec.values.tolist() == [["a", "b"]]  # self-loop is NOT mutual
+    cc = connected_components(ds).to_pandas()
+    assert sorted(cc["url"]) == ["a", "b", "c", "e"]
+    assert dict(zip(cc["url"], cc["component"])) == {
+        "a": "a", "b": "a", "c": "a", "e": "e"}
+    assert int(triangle_count(ds)["n_triangles"].iloc[0]) == 0
