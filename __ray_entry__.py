@@ -1002,6 +1002,49 @@ def _q_rollup_counts(sf_dir: str):
         _read(sf_dir, "documents", ["lang", "source", "n_chars"])))
 
 
+def _q_full_outer_join(sf_dir: str):
+    """FULL OUTER reconciliation: per-user event activity vs the
+    even-custkey half of the customer dimension — both unmatched
+    directions are non-empty by construction (odd users have no dim
+    row; most even customers have no events). The right key rides
+    along as a payload copy so the coalesced join key survives the
+    equality."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    from rse_ray.pipelines.relational import hash_join
+
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("user_id").aggregate([([], "count_all")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "n_p": g.column("count_all")})
+
+    per_user = events.map_batches(cnt, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("n_p", alias_name="n_events"))
+    def even_with_key_copy(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_numpy()
+        b = b.filter(pa.array(keys % 2 == 0))
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "cust_key": b.column("c_custkey"),
+                         "c_acctbal": b.column("c_acctbal")})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
+        .map_batches(even_with_key_copy, batch_format="pyarrow")
+    j = hash_join(per_user, cust, left_on="user_id",
+                  right_on="c_custkey",
+                  right_cols=["cust_key", "c_acctbal"],
+                  how="outer").to_pandas()
+    j["join_key"] = j["user_id"].fillna(j["cust_key"]).astype("int64")
+    # nullable BIGINT comes back from DuckDB's .df() as float64+NaN;
+    # emit the same dtype so the hash comparator sees one shape
+    j["n_events"] = j["n_events"].astype("float64")
+    out = j[["join_key", "n_events", "c_acctbal"]] \
+        .sort_values("join_key").reset_index(drop=True)
+    return out
+
+
 def _q_cube_counts(sf_dir: str):
     from rse_ray.pipelines.relational import cube_counts
 
@@ -1596,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": _q_rollup_counts,
         "partitioned_sink": _q_partitioned_sink,
         "cube_counts": _q_cube_counts,
+        "user_customer_full_join": _q_full_outer_join,
         "json_props_sum": _q_json_sum,
         # link graph (reference M5/A2/A3/A4 capability)
         "reference_relevance": _q_reference_relevance,
@@ -2331,6 +2375,14 @@ SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
        count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY CUBE(lang, source)""",
+        # FULL OUTER with both unmatched directions non-empty
+        "user_customer_full_join": """
+WITH pu AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events
+            GROUP BY 1),
+c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0)
+SELECT coalesce(pu.user_id, c.c_custkey)::BIGINT AS join_key,
+       pu.n_events, c.c_acctbal
+FROM pu FULL OUTER JOIN c ON pu.user_id = c.c_custkey""",
         "json_props_sum": """
 SELECT event_type,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k

@@ -635,9 +635,12 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     rows null-pad the right payload; integer columns ride pandas
     nullable dtypes through the merge so int64 never degrades to
     float64), 'semi' (left rows with >=1 right match, left columns
-    only, no duplication), or 'anti' (left rows with NO right match —
+    only, no duplication), 'anti' (left rows with NO right match —
     SQL NOT EXISTS; null left keys are kept, since a null key matches
-    nothing). semi/anti require
+    nothing), or 'outer' (FULL OUTER — unmatched rows from EITHER side
+    null-pad the other side's columns; null keys on both sides emit as
+    unmatched, never equal to each other; does not compose with
+    hot-key salting). semi/anti require
     ``right_cols=[]``: the right side contributes only its key set,
     so each partition ships just the keys. Both compose with salting
     unchanged (right keys are replicated into every salt slot, so a
@@ -665,11 +668,16 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
     from rse_ray.util import parts_for
 
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "outer"):
         raise ValueError(f"how={how!r}")
     if how in ("semi", "anti") and right_cols:
         raise ValueError("semi/anti joins carry no right payload — "
                          "pass right_cols=[]")
+    if how == "outer" and hot_keys is not None:
+        # salting replicates hot RIGHT rows into every slot; an outer
+        # join would then emit each unmatched replica once per slot
+        raise ValueError("outer join does not compose with hot-key "
+                         "salting")
 
     P = num_parts if num_parts is not None else parts_for(left_ds.count())
 
@@ -757,7 +765,10 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
             "side", pa.array(np.zeros(n, dtype=np.int8)))
 
     def tag_right(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.is_valid(batch.column(right_on)))
+        # null right keys match nothing; only FULL OUTER must still
+        # carry them through (as unmatched output rows)
+        if how != "outer":
+            batch = batch.filter(pc.is_valid(batch.column(right_on)))
         n = batch.num_rows
         cols = {c: pa.nulls(n, left_types[c]) for c in left_cols}
         cols["_rkey"] = batch.column(right_on)
@@ -822,6 +833,29 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
                          value_set=rkeys.unique()), False)
             return left_t.filter(mask if how == "semi"
                                  else pc.invert(mask))
+        if how == "outer":
+            # FULL OUTER: nullable dtypes both ways. Null-key right
+            # rows are split out BEFORE the merge — pandas matches
+            # NaN keys to each other (non-SQL), so they must bypass
+            # the equality and emit directly as unmatched rows.
+            nullable = {pa.int64(): pd.Int64Dtype(),
+                        pa.int32(): pd.Int32Dtype()}.get
+            left = left_t.to_pandas(types_mapper=nullable)
+            rt = g.filter(pc.equal(side, 1)).select(["_rkey"] + right_cols)
+            r_valid = rt.filter(pc.is_valid(rt.column("_rkey"))) \
+                .to_pandas(types_mapper=nullable)
+            out = left.merge(r_valid, left_on=left_on, right_on="_rkey",
+                             how="outer")[out_cols]
+            r_null = rt.filter(pc.is_null(rt.column("_rkey")))
+            if r_null.num_rows:
+                pad = r_null.select(right_cols).to_pandas(
+                    types_mapper=nullable)
+                for c in left_cols:
+                    pad[c] = pd.Series([pd.NA] * len(pad),
+                                       dtype=left.dtypes.get(c, object))
+                out = pd.concat([out, pad[out_cols]], ignore_index=True)
+            return pa.Table.from_pandas(out, schema=out_schema,
+                                        preserve_index=False)
         if how == "left":
             # left-outer: unmatched rows null-pad the right payload, so
             # integer columns must ride pandas NULLABLE Int dtypes end

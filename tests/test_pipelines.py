@@ -1707,3 +1707,38 @@ def test_pq_knn_recall_and_compression_contract(ray_session):
     e_s = brute_force_knn(small, [0, 1], k=5)
     p_s = pq_knn(small, [0, 1], k=5, m=8, ksub=64, iters=25)
     assert (e_s["neighbor_id"] == p_s["neighbor_id"]).mean() >= 0.8
+
+
+def test_hash_join_full_outer_null_keys(ray_session):
+    """FULL OUTER: unmatched rows from both sides survive with null
+    padding; null keys on EITHER side never match each other (SQL
+    semantics — pandas alone would equate NaN keys); salting is
+    rejected."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import hash_join
+
+    left = pd.DataFrame({"k": pd.array([1, 2, None, 4], dtype="Int64"),
+                         "lv": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"k2": pd.array([2, None, 5], dtype="Int64"),
+                          "rv": [20.0, 30.0, 50.0]})
+    j = hash_join(ray.data.from_pandas(left).repartition(2),
+                  ray.data.from_pandas(right).repartition(2),
+                  left_on="k", right_on="k2", right_cols=["rv"],
+                  how="outer", num_parts=3).to_pandas()
+    # match: k=2. unmatched left: 1, None, 4. unmatched right: None, 5.
+    assert len(j) == 6
+    matched = j.dropna(subset=["lv", "rv"])
+    assert matched["k"].tolist() == [2] and matched["rv"].tolist() == [20.0]
+    assert sorted(j[j["rv"].isna()]["lv"]) == ["a", "c", "d"]
+    right_only = j[j["lv"].isna()]
+    assert sorted(right_only["rv"]) == [30.0, 50.0]
+    assert right_only["k"].isna().all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="salting"):
+        hash_join(ray.data.from_pandas(left),
+                  ray.data.from_pandas(right),
+                  left_on="k", right_on="k2", right_cols=["rv"],
+                  how="outer", hot_keys=[2])
