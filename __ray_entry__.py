@@ -1002,6 +1002,13 @@ def _q_rollup_counts(sf_dir: str):
         _read(sf_dir, "documents", ["lang", "source", "n_chars"])))
 
 
+def _q_user_window_funcs(sf_dir: str):
+    from rse_ray.pipelines.relational import user_window_funcs
+
+    return _finalize(user_window_funcs(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])))
+
+
 def _q_full_outer_join(sf_dir: str):
     """FULL OUTER reconciliation: per-user event activity vs the
     even-custkey half of the customer dimension — both unmatched
@@ -1640,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_sink": _q_partitioned_sink,
         "cube_counts": _q_cube_counts,
         "user_customer_full_join": _q_full_outer_join,
+        "user_window_funcs": _q_user_window_funcs,
         "json_props_sum": _q_json_sum,
         # link graph (reference M5/A2/A3/A4 capability)
         "reference_relevance": _q_reference_relevance,
@@ -2383,6 +2391,21 @@ c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0)
 SELECT coalesce(pu.user_id, c.c_custkey)::BIGINT AS join_key,
        pu.n_events, c.c_acctbal
 FROM pu FULL OUTER JOIN c ON pu.user_id = c.c_custkey""",
+        # row-frame window functions over each user's (ts, event_id)
+        # order; value_delta is null on each user's first row
+        "user_window_funcs": """
+SELECT user_id, event_id,
+       round(sum(value) OVER w, 6) AS cum_value,
+       round(avg(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             6) AS moving_avg3,
+       round(value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id),
+             6) AS value_delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)""",
         "json_props_sum": """
 SELECT event_type,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k

@@ -954,6 +954,41 @@ def recency_filter(events_ds, *, as_of: str, revisit_delay_days: int,
     return events_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def user_window_funcs(events_ds, *, by: str = "user_id",
+                      order: tuple[str, str] = ("ts", "event_id"),
+                      val: str = "value", window: int = 3):
+    """Row-frame window functions per key — the sliding-window family
+    `window_agg` (time buckets) and `hopping_window_agg` (overlapping
+    ranges) don't cover: per user, ordered by (ts, event_id),
+
+      * cum_value    — running SUM(value)
+      * moving_avg3  — AVG over ROWS BETWEEN window-1 PRECEDING AND
+                       CURRENT ROW
+      * value_delta  — value - LAG(value), null on each key's first row
+
+    One shuffle (groupby key), per-group work is vectorized pandas
+    rolling/cumsum/diff on small groups (a user's history). At fleet
+    scale a single user's history fitting one task is the same
+    assumption sessionize already documents."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order), kind="stable")
+        v = g[val].astype("float64")
+        out = pd.DataFrame({
+            by: g[by].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "cum_value": v.cumsum().round(6).to_numpy(),
+            f"moving_avg{window}": v.rolling(window, min_periods=1)
+                                    .mean().round(6).to_numpy(),
+            "value_delta": v.diff().round(6).to_numpy(),
+        })
+        return out
+
+    return events_ds.select_columns(
+        [by, "event_id", order[0], val]
+    ).groupby(by).map_groups(fn, batch_format="pandas")
+
+
 def sessionize(events_ds, *, by: str = "user_id", ts_col: str = "ts",
                value_col: str = "value", gap_minutes: int = 30,
                num_parts: int | None = None):
