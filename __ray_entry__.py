@@ -1002,6 +1002,13 @@ def _q_rollup_counts(sf_dir: str):
         _read(sf_dir, "documents", ["lang", "source", "n_chars"])))
 
 
+def _q_value_histogram(sf_dir: str):
+    from rse_ray.pipelines.relational import value_histogram
+
+    return _finalize(value_histogram(
+        _read(sf_dir, "events", ["value"]), lo=0.0, hi=500.0, bins=20))
+
+
 def _q_user_window_funcs(sf_dir: str):
     from rse_ray.pipelines.relational import user_window_funcs
 
@@ -1648,6 +1655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_counts": _q_cube_counts,
         "user_customer_full_join": _q_full_outer_join,
         "user_window_funcs": _q_user_window_funcs,
+        "value_histogram": _q_value_histogram,
         "json_props_sum": _q_json_sum,
         # link graph (reference M5/A2/A3/A4 capability)
         "reference_relevance": _q_reference_relevance,
@@ -2391,6 +2399,16 @@ c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0)
 SELECT coalesce(pu.user_id, c.c_custkey)::BIGINT AS join_key,
        pu.n_events, c.c_acctbal
 FROM pu FULL OUTER JOIN c ON pu.user_id = c.c_custkey""",
+        # fixed-bin histogram over [0, 500) in 20 bins; the top edge
+        # closes the last bin; empty bins emitted with n = 0
+        "value_histogram": """
+WITH b AS (SELECT unnest(range(0, 20))::BIGINT AS bin),
+c AS (SELECT least(floor(value / 25.0), 19)::BIGINT AS bin,
+             count(*)::BIGINT AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT b.bin, round(b.bin * 25.0, 6) AS bin_lo,
+       coalesce(c.n, 0)::BIGINT AS n
+FROM b LEFT JOIN c USING (bin)""",
         # row-frame window functions over each user's (ts, event_id)
         # order; value_delta is null on each user's first row
         "user_window_funcs": """

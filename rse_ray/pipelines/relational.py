@@ -954,6 +954,33 @@ def recency_filter(events_ds, *, as_of: str, revisit_delay_days: int,
     return events_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def value_histogram(ds, *, col: str = "value", lo: float = 0.0,
+                    hi: float = 1000.0, bins: int = 20):
+    """Fixed-bin numeric histogram: bin = floor((v - lo) / w) clamped
+    to [0, bins-1] (the top edge closes the last bin, SQL `least`
+    twin). Per-batch bincount partials -> one tiny groupby; empty bins
+    are emitted with n = 0 so the shape is always ``bins`` rows."""
+    from ray.data.aggregate import Sum
+
+    w = (hi - lo) / bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy().astype(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.clip(np.floor((v - lo) / w), 0, bins - 1).astype(np.int64)
+        counts = np.bincount(b, minlength=bins)
+        return pa.table({"bin": pa.array(np.arange(bins, dtype=np.int64)),
+                         "n_p": pa.array(counts.astype(np.int64))})
+
+    h = ds.select_columns([col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("n_p", alias_name="n")) \
+        .to_pandas().sort_values("bin").reset_index(drop=True)
+    h["n"] = h["n"].astype("int64")
+    h["bin_lo"] = (lo + h["bin"] * w).round(6)
+    return h[["bin", "bin_lo", "n"]]
+
+
 def user_window_funcs(events_ds, *, by: str = "user_id",
                       order: tuple[str, str] = ("ts", "event_id"),
                       val: str = "value", window: int = 3):
