@@ -2403,7 +2403,7 @@ FROM pu FULL OUTER JOIN c ON pu.user_id = c.c_custkey""",
         # closes the last bin; empty bins emitted with n = 0
         "value_histogram": """
 WITH b AS (SELECT unnest(range(0, 20))::BIGINT AS bin),
-c AS (SELECT least(floor(value / 25.0), 19)::BIGINT AS bin,
+c AS (SELECT least(greatest(floor(value / 25.0), 0), 19)::BIGINT AS bin,
              count(*)::BIGINT AS n
       FROM events WHERE value IS NOT NULL GROUP BY 1)
 SELECT b.bin, round(b.bin * 25.0, 6) AS bin_lo,

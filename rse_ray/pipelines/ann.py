@@ -311,20 +311,7 @@ def sq_knn(ds, query_ids: list[int], k: int = 10,
              "cos": pa.array(out_c, type=pa.float64())})
 
     local = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    rows = []
-    for _, g in local.groupby("query_id"):
-        rows.append(g.sort_values(["cos", "neighbor_id"],
-                                  ascending=[False, True]).head(k))
-    if not rows:
-        return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
-                             "neighbor_id": pd.array([], dtype="int64"),
-                             "cos": pd.array([], dtype="float64")})
-    out = pd.concat(rows, ignore_index=True)
-    if round_to is not None:
-        out["cos"] = out["cos"].round(round_to)
-    return out.sort_values(["query_id", "cos", "neighbor_id"],
-                           ascending=[True, False, True]) \
-        .reset_index(drop=True)
+    return _reduce_local_topk(local, k, round_to)
 
 
 class LshBucketer:

@@ -586,6 +586,9 @@ def degree_distribution(links_ds, *, src_col: str = "src_url",
     hist = deg.map_batches(hist_partial, batch_format="pyarrow") \
         .groupby("out_degree").aggregate(Sum("n", alias_name="n_nodes")) \
         .to_pandas()
+    if "n_nodes" not in hist.columns:  # edge-free (or all-null) graph
+        hist = pd.DataFrame({"out_degree": pd.array([], dtype="int64"),
+                             "n_nodes": pd.array([], dtype="int64")})
     hist["n_nodes"] = hist["n_nodes"].astype("int64")
     hist["out_degree"] = hist["out_degree"].astype("int64")
 
@@ -600,7 +603,8 @@ def degree_distribution(links_ds, *, src_col: str = "src_url",
              t.column("d").combine_chunks()])})
 
     both = links_ds.map_batches(node_union, batch_format="pyarrow")
-    n_nodes = len(both.unique("url"))
+    uniq = both.unique("url")  # None on a fully-empty dataset
+    n_nodes = len(uniq) if uniq is not None else 0
     n_src = int(hist["n_nodes"].sum())
     if n_nodes > n_src:
         hist = pd.concat([hist, pd.DataFrame(
@@ -795,7 +799,6 @@ def triangle_count(links_ds, *, src_col: str = "src_url",
                 {"src": t.column("src").to_numpy(zero_copy_only=False),
                  "dst": t.column("dst").to_numpy(zero_copy_only=False),
                  "deg": t.column("dst_deg").to_numpy()})
-            self.edges_df = df
             m = df.merge(df, on="src", suffixes=("_a", "_b"))
             keep = (m["deg_a"].to_numpy() < m["deg_b"].to_numpy()) | (
                 (m["deg_a"].to_numpy() == m["deg_b"].to_numpy())

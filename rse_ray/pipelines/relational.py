@@ -368,7 +368,10 @@ def rollup_counts(documents_ds, *, keys=("lang", "source"),
     fine["n_docs"] = fine["n_docs"].astype("int64")
     fine["sum_chars"] = fine["sum_chars"].astype("int64")
 
-    lvl1 = fine.groupby(k1, as_index=False)[["n_docs", "sum_chars"]].sum()
+    # dropna=False: a NULL key is a real group in SQL ROLLUP (it stays
+    # NULL at the fine grain and must roll up into (NULL, 'ALL') too)
+    lvl1 = fine.groupby(k1, as_index=False, dropna=False)[
+        ["n_docs", "sum_chars"]].sum()
     lvl1[k2] = "ALL"
     lvl0 = pd.DataFrame(
         {k1: ["ALL"], k2: ["ALL"],
@@ -388,7 +391,8 @@ def cube_counts(documents_ds, *, keys=("lang", "source"),
     k1, k2 = keys
     fine = rollup_counts(documents_ds, keys=keys, val=val)
     detail = fine[(fine[k1] != "ALL") & (fine[k2] != "ALL")]
-    lvl2 = detail.groupby(k2, as_index=False)[["n_docs", "sum_chars"]].sum()
+    lvl2 = detail.groupby(k2, as_index=False, dropna=False)[
+        ["n_docs", "sum_chars"]].sum()
     lvl2[k1] = "ALL"
     cols = [k1, k2, "n_docs", "sum_chars"]
     return pd.concat([fine, lvl2[cols]], ignore_index=True)
@@ -851,8 +855,9 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
                 pad = r_null.select(right_cols).to_pandas(
                     types_mapper=nullable)
                 for c in left_cols:
-                    pad[c] = pd.Series([pd.NA] * len(pad),
-                                       dtype=left.dtypes.get(c, object))
+                    # plain None survives every dtype (pd.NA raises on
+                    # float64/datetime); from_pandas + out_schema casts
+                    pad[c] = None
                 out = pd.concat([out, pad[out_cols]], ignore_index=True)
             return pa.Table.from_pandas(out, schema=out_schema,
                                         preserve_index=False)
@@ -1001,10 +1006,14 @@ def user_window_funcs(events_ds, *, by: str = "user_id",
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(order), kind="stable")
         v = g[val].astype("float64")
+        # SQL's running SUM skips NULL rows (returns the prior total);
+        # it is NULL only until the key's first non-null value
+        cum = v.fillna(0.0).cumsum()
+        cum[v.notna().cumsum() == 0] = np.nan
         out = pd.DataFrame({
             by: g[by].to_numpy(),
             "event_id": g["event_id"].to_numpy(),
-            "cum_value": v.cumsum().round(6).to_numpy(),
+            "cum_value": cum.round(6).to_numpy(),
             f"moving_avg{window}": v.rolling(window, min_periods=1)
                                     .mean().round(6).to_numpy(),
             "value_delta": v.diff().round(6).to_numpy(),

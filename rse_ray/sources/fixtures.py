@@ -350,6 +350,8 @@ def generate_graph(out_path: str, *, n_nodes: int = 600) -> None:
     t = pa.table({"src_url": pa.array(src, type=pa.string()),
                   "dst_url": pa.array(dst, type=pa.string())})
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    tmp = out_path + ".tmp"
-    _pq.write_table(t, tmp)
-    os.replace(tmp, out_path)
+    # pid-unique tmp name: bench and tests share this cache path and
+    # may race past the exists() check concurrently
+    from rse_ray.state.manifest import write_file_atomic
+
+    write_file_atomic(out_path, lambda tmp: _pq.write_table(t, tmp))

@@ -276,3 +276,8 @@ def test_graph_ops_tolerate_null_endpoints(ray_session):
     assert dict(zip(cc["url"], cc["component"])) == {
         "a": "a", "b": "a", "c": "a", "e": "e"}
     assert int(triangle_count(ds)["n_triangles"].iloc[0]) == 0
+    # edge-free graph: empty histogram, no crash
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {"src_url": pd.Series([], dtype=str),
+         "dst_url": pd.Series([], dtype=str)}))
+    assert len(degree_distribution(empty)) == 0

@@ -1719,7 +1719,8 @@ def test_hash_join_full_outer_null_keys(ray_session):
     from rse_ray.pipelines.relational import hash_join
 
     left = pd.DataFrame({"k": pd.array([1, 2, None, 4], dtype="Int64"),
-                         "lv": ["a", "b", "c", "d"]})
+                         "lv": ["a", "b", "c", "d"],
+                         "lf": [1.5, 2.5, 3.5, 4.5]})  # float64 pad path
     right = pd.DataFrame({"k2": pd.array([2, None, 5], dtype="Int64"),
                           "rv": [20.0, 30.0, 50.0]})
     j = hash_join(ray.data.from_pandas(left).repartition(2),
@@ -1734,6 +1735,7 @@ def test_hash_join_full_outer_null_keys(ray_session):
     right_only = j[j["lv"].isna()]
     assert sorted(right_only["rv"]) == [30.0, 50.0]
     assert right_only["k"].isna().all()
+    assert right_only["lf"].isna().all()  # float64 columns null-pad too
 
     import pytest as _pytest
 
