@@ -1002,6 +1002,16 @@ def _q_rollup_counts(sf_dir: str):
         _read(sf_dir, "documents", ["lang", "source", "n_chars"])))
 
 
+def _q_profile_events(sf_dir: str):
+    from rse_ray.pipelines.relational import profile_table
+
+    return _finalize(profile_table(
+        _read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type", "value"]),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+        numeric=["event_id", "user_id", "value"]))
+
+
 def _q_value_histogram(sf_dir: str):
     from rse_ray.pipelines.relational import value_histogram
 
@@ -1656,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_customer_full_join": _q_full_outer_join,
         "user_window_funcs": _q_user_window_funcs,
         "value_histogram": _q_value_histogram,
+        "profile_events": _q_profile_events,
         "json_props_sum": _q_json_sum,
         # link graph (reference M5/A2/A3/A4 capability)
         "reference_relevance": _q_reference_relevance,
@@ -2399,6 +2410,29 @@ c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0)
 SELECT coalesce(pu.user_id, c.c_custkey)::BIGINT AS join_key,
        pu.n_events, c.c_acctbal
 FROM pu FULL OUTER JOIN c ON pu.user_id = c.c_custkey""",
+        # long-format column profile; min/max only for numerics
+        "profile_events": """
+SELECT 'event_id' AS "column",
+       count(*) FILTER (event_id IS NULL)::BIGINT AS n_nulls,
+       count(DISTINCT event_id)::BIGINT AS n_distinct,
+       round(min(event_id)::DOUBLE, 6) AS min_val,
+       round(max(event_id)::DOUBLE, 6) AS max_val FROM events
+UNION ALL
+SELECT 'event_type', count(*) FILTER (event_type IS NULL)::BIGINT,
+       count(DISTINCT event_type)::BIGINT, NULL, NULL FROM events
+UNION ALL
+SELECT 'ts', count(*) FILTER (ts IS NULL)::BIGINT,
+       count(DISTINCT ts)::BIGINT, NULL, NULL FROM events
+UNION ALL
+SELECT 'user_id', count(*) FILTER (user_id IS NULL)::BIGINT,
+       count(DISTINCT user_id)::BIGINT,
+       round(min(user_id)::DOUBLE, 6), round(max(user_id)::DOUBLE, 6)
+FROM events
+UNION ALL
+SELECT 'value', count(*) FILTER (value IS NULL)::BIGINT,
+       count(DISTINCT value)::BIGINT,
+       round(min(value)::DOUBLE, 6), round(max(value)::DOUBLE, 6)
+FROM events""",
         # fixed-bin histogram over [0, 500) in 20 bins; the top edge
         # closes the last bin; empty bins emitted with n = 0
         "value_histogram": """

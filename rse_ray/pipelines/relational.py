@@ -959,6 +959,78 @@ def recency_filter(events_ds, *, as_of: str, revisit_delay_days: int,
     return events_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def profile_table(ds, *, columns: list[str],
+                  numeric: list[str] | None = None):
+    """Column-level data-quality profile: per column, null count,
+    EXACT distinct count, and (numeric columns) min/max. Long-format
+    output (column, n_nulls, n_distinct, min_val, max_val) so mixed
+    schemas stay tidy.
+
+    Scale shape: null counts and min/max are per-batch partials into
+    one tiny groupby; the exact distinct count shuffles one
+    (column, value) pair per DISTINCT value per batch — bounded by the
+    true cardinality, not the row count. For web-scale high-cardinality
+    columns use the HLL sketch (`approx_ndistinct_users`) instead; this
+    is the exact auditing face."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    numeric = list(numeric or [])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        cols, nulls, mins, maxs = [], [], [], []
+        for c in columns:
+            a = batch.column(c)
+            cols.append(c)
+            nulls.append(a.null_count)
+            if c in numeric and len(a) > a.null_count:
+                v = a.to_numpy(zero_copy_only=False).astype(np.float64)
+                mins.append(float(np.nanmin(v)))
+                maxs.append(float(np.nanmax(v)))
+            else:
+                mins.append(None)
+                maxs.append(None)
+        return pa.table({"column": pa.array(cols, type=pa.string()),
+                         "nn_p": pa.array(nulls, type=pa.int64()),
+                         "mn_p": pa.array(mins, type=pa.float64()),
+                         "mx_p": pa.array(maxs, type=pa.float64())})
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby("column") \
+        .aggregate(Sum("nn_p", alias_name="n_nulls"),
+                   Min("mn_p", alias_name="min_val"),
+                   Max("mx_p", alias_name="max_val")) \
+        .to_pandas()
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        cs, vs = [], []
+        for c in columns:
+            u = pc.unique(pc.drop_null(batch.column(c)))
+            cs.extend([c] * len(u))
+            vs.extend(str(x) for x in u.to_pylist())
+        return pa.table({"column": pa.array(cs, type=pa.string()),
+                         "v": pa.array(vs, type=pa.string())})
+
+    def count_per_col(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("column").aggregate([([], "count_all")])
+        return pa.table({"column": g.column("column"),
+                         "n_distinct": pc.cast(g.column("count_all"),
+                                               pa.int64())})
+
+    nd = ds.map_batches(distinct_partial, batch_format="pyarrow") \
+        .groupby(["column", "v"]).count() \
+        .map_batches(count_per_col, batch_format="pyarrow") \
+        .groupby("column").sum("n_distinct") \
+        .to_pandas().rename(columns={"sum(n_distinct)": "n_distinct"})
+
+    out = st.merge(nd, on="column", how="left")
+    out["n_nulls"] = out["n_nulls"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    out["min_val"] = out["min_val"].round(6)
+    out["max_val"] = out["max_val"].round(6)
+    return out[["column", "n_nulls", "n_distinct", "min_val", "max_val"]] \
+        .sort_values("column").reset_index(drop=True)
+
+
 def value_histogram(ds, *, col: str = "value", lo: float = 0.0,
                     hi: float = 1000.0, bins: int = 20):
     """Fixed-bin numeric histogram: bin = floor((v - lo) / w) clamped
