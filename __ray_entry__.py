@@ -1002,6 +1002,13 @@ def _q_rollup_counts(sf_dir: str):
         _read(sf_dir, "documents", ["lang", "source", "n_chars"])))
 
 
+def _q_event_pivot(sf_dir: str):
+    from rse_ray.pipelines.relational import pivot_counts
+
+    return _finalize(pivot_counts(
+        _read(sf_dir, "events", ["user_id", "event_type"])))
+
+
 def _q_profile_events(sf_dir: str):
     from rse_ray.pipelines.relational import profile_table
 
@@ -1667,6 +1674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_window_funcs": _q_user_window_funcs,
         "value_histogram": _q_value_histogram,
         "profile_events": _q_profile_events,
+        "event_type_pivot": _q_event_pivot,
         "json_props_sum": _q_json_sum,
         # link graph (reference M5/A2/A3/A4 capability)
         "reference_relevance": _q_reference_relevance,
@@ -2410,6 +2418,16 @@ c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0)
 SELECT coalesce(pu.user_id, c.c_custkey)::BIGINT AS join_key,
        pu.n_events, c.c_acctbal
 FROM pu FULL OUTER JOIN c ON pu.user_id = c.c_custkey""",
+        # PIVOT with a declared column set (CASE-sum form — stable
+        # schema regardless of which types appear)
+        "event_type_pivot": """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_view
+FROM events GROUP BY 1""",
         # long-format column profile; min/max only for numerics
         "profile_events": """
 SELECT 'event_id' AS "column",

@@ -959,6 +959,46 @@ def recency_filter(events_ds, *, as_of: str, revisit_delay_days: int,
     return events_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def pivot_counts(ds, *, index: str = "user_id",
+                 pivot: str = "event_type",
+                 values: tuple[str, ...] = ("click", "error", "purchase",
+                                            "signup", "view")):
+    """PIVOT: one row per ``index`` key, one count column per pivot
+    value (`n_<value>`; values outside the declared set are ignored —
+    the fixed column set is what makes a pivot a schema, not a map).
+    Per-batch partial: one small Arrow groupby emits the wide partial
+    counts, so the shuffle carries |keys-per-batch| rows of ints —
+    never the raw events."""
+    from ray.data.aggregate import Sum
+
+    vset = list(values)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pv = batch.column(pivot).to_numpy(zero_copy_only=False)
+        cols = {index: batch.column(index)}
+        for v in vset:
+            cols[f"p_{v}"] = pa.array((pv == v).astype(np.int64))
+        g = pa.table(cols).group_by(index).aggregate(
+            [(f"p_{v}", "sum") for v in vset])
+        out = {index: g.column(index)}
+        for v in vset:
+            out[f"p_{v}"] = g.column(f"p_{v}_sum")
+        return pa.table(out)
+
+    agg = ds.select_columns([index, pivot]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(index) \
+        .aggregate(*[Sum(f"p_{v}", alias_name=f"n_{v}") for v in vset])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = {index: batch.column(index)}
+        for v in vset:
+            out[f"n_{v}"] = pc.cast(batch.column(f"n_{v}"), pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def profile_table(ds, *, columns: list[str],
                   numeric: list[str] | None = None):
     """Column-level data-quality profile: per column, null count,
