@@ -1002,6 +1002,13 @@ def _q_rollup_counts(sf_dir: str):
         _read(sf_dir, "documents", ["lang", "source", "n_chars"])))
 
 
+def _q_pretrain_pack(sf_dir: str):
+    from rse_ray.pipelines.text import pretrain_pack
+
+    return _finalize(pretrain_pack(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])))
+
+
 def _q_event_pivot(sf_dir: str):
     from rse_ray.pipelines.relational import pivot_counts
 
@@ -1675,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "profile_events": _q_profile_events,
         "event_type_pivot": _q_event_pivot,
+        "pretrain_pack": _q_pretrain_pack,
         "json_props_sum": _q_json_sum,
         # link graph (reference M5/A2/A3/A4 capability)
         "reference_relevance": _q_reference_relevance,
@@ -2418,6 +2426,24 @@ c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0)
 SELECT coalesce(pu.user_id, c.c_custkey)::BIGINT AS join_key,
        pu.n_events, c.c_acctbal
 FROM pu FULL OUTER JOIN c ON pu.user_id = c.c_custkey""",
+        # composed pipeline: lang filter -> exact dedup (keep min id
+        # per text) -> 512-token sequence packing over survivors
+        "pretrain_pack": """
+WITH base AS (SELECT min(doc_id) AS doc_id
+              FROM documents WHERE lang = 'en' GROUP BY text),
+docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN base USING (doc_id)),
+toks0 AS (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+          FROM docs2),
+toks AS (SELECT doc_id, term FROM toks0 WHERE term <> ''),
+dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS n_tokens
+       FROM docs2 d LEFT JOIN toks t USING (doc_id) GROUP BY 1),
+pre AS (SELECT doc_id, n_tokens,
+        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        FROM dl)
+SELECT doc_id, n_tokens, (st // 512)::BIGINT AS seq_id,
+       (st % 512)::BIGINT AS seq_offset FROM pre""",
         # PIVOT with a declared column set (CASE-sum form — stable
         # schema regardless of which types appear)
         "event_type_pivot": """

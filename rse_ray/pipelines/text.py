@@ -557,6 +557,34 @@ def pack_sequences(ds, *, budget: int = 512, stem: bool = False):
                                batch_format="pyarrow")
 
 
+def pretrain_pack(documents_ds, *, lang: str = "en", budget: int = 512,
+                  stem: bool = False):
+    """END-TO-END pretraining-data prep — the composition proof that
+    the stages chain as one lazy pipeline: language filter -> exact
+    dedup (keep min doc_id per identical text) -> GPT-style sequence
+    packing. Three stages, three different scale shapes (stateless
+    filter, (hash, id) shuffle + semi-join, distributed prefix sum),
+    one Dataset flowing through; nothing materializes but the 16-byte
+    doc-count projection pack_sequences already pins. Output:
+    (doc_id, n_tokens, seq_id, seq_offset) for surviving docs."""
+    from rse_ray.pipelines.dedup import exact_dedup
+    from rse_ray.pipelines.relational import hash_join
+
+    kept_lang = documents_ds.select_columns(["doc_id", "text", "lang"]) \
+        .map_batches(
+            lambda b, lg=lang: b.filter(
+                pc.equal(b.column("lang"), lg)).select(["doc_id", "text"]),
+            batch_format="pyarrow").materialize()
+    # materialized: hash_join probes right_ds.schema() (one execution)
+    # before consuming it — pinning the id-only projection (8 B/doc)
+    # halves the dedup cost
+    survivors = exact_dedup(kept_lang).select_columns(["doc_id"]) \
+        .materialize()
+    kept = hash_join(kept_lang, survivors, left_on="doc_id",
+                     right_on="doc_id", right_cols=[], how="semi")
+    return pack_sequences(kept, budget=budget, stem=stem)
+
+
 def bigram_counts(ds, *, top_n: int = 50, stem: bool = False):
     """Corpus bigram counts (n-gram LM statistics), top-N by count with
     (count DESC, bigram ASC) deterministic order. Pre-aggregated per
