@@ -1002,6 +1002,13 @@ def _q_rollup_counts(sf_dir: str):
         _read(sf_dir, "documents", ["lang", "source", "n_chars"])))
 
 
+def _q_dense_window_agg(sf_dir: str):
+    from rse_ray.pipelines.relational import dense_window_agg
+
+    return _finalize(dense_window_agg(
+        _read(sf_dir, "events", ["ts", "value"])))
+
+
 def _q_pretrain_pack(sf_dir: str):
     from rse_ray.pipelines.text import pretrain_pack
 
@@ -1683,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": _q_profile_events,
         "event_type_pivot": _q_event_pivot,
         "pretrain_pack": _q_pretrain_pack,
+        "dense_window_agg": _q_dense_window_agg,
         "json_props_sum": _q_json_sum,
         # link graph (reference M5/A2/A3/A4 capability)
         "reference_relevance": _q_reference_relevance,
@@ -2426,6 +2434,19 @@ c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0)
 SELECT coalesce(pu.user_id, c.c_custkey)::BIGINT AS join_key,
        pu.n_events, c.c_acctbal
 FROM pu FULL OUTER JOIN c ON pu.user_id = c.c_custkey""",
+        # gap-filled hourly windows: every hour between min and max
+        # gets a row, empty ones zeroed
+        "dense_window_agg": """
+WITH rng AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                    date_trunc('hour', max(ts)) AS hi FROM events),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                 AS window_start FROM rng),
+c AS (SELECT date_trunc('hour', ts) AS window_start,
+             count(*)::BIGINT AS n, round(sum(value), 2) AS sv
+      FROM events GROUP BY 1)
+SELECT s.window_start, coalesce(c.n, 0)::BIGINT AS n_events,
+       coalesce(c.sv, 0.0) AS sum_value
+FROM spine s LEFT JOIN c USING (window_start)""",
         # composed pipeline: lang filter -> exact dedup (keep min id
         # per text) -> 512-token sequence packing over survivors
         "pretrain_pack": """

@@ -325,6 +325,50 @@ def window_agg(events_ds, *, window: str = "h"):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def dense_window_agg(events_ds, *, window: str = "h"):
+    """Gap-filled tumbling windows (NOT grouped by type): every window
+    between the corpus min and max gets a row, empty ones with
+    n_events = 0 — the dashboard/time-series contract `window_agg`
+    (sparse, per-type) doesn't give. The distributed part is the same
+    pre-aggregated groupby; the gap fill is a driver-side merge of two
+    SMALL aggregates (the window spine is bounded by the time range,
+    not the data)."""
+    from ray.data.aggregate import Sum
+
+    multiple, unit, _ = _parse_window(window)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"window_start": pc.floor_temporal(batch.column("ts"),
+                                               multiple=multiple,
+                                               unit=unit),
+             "value": batch.column("value")}
+        ).group_by("window_start").aggregate(
+            [([], "count_all"), ("value", "sum")])
+        return pa.table({"window_start": g.column("window_start"),
+                         "n_p": g.column("count_all"),
+                         "v_p": g.column("value_sum")})
+
+    got = events_ds.select_columns(["ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("window_start") \
+        .aggregate(Sum("n_p", alias_name="n_events"),
+                   Sum("v_p", alias_name="sum_value")) \
+        .to_pandas()
+    if got.empty:
+        return pd.DataFrame({"window_start": pd.array(
+            [], dtype="datetime64[us]"),
+            "n_events": pd.array([], dtype="int64"),
+            "sum_value": pd.array([], dtype="float64")})
+    freq = f"{multiple}{'h' if unit == 'hour' else unit[0]}"
+    spine = pd.DataFrame({"window_start": pd.date_range(
+        got["window_start"].min(), got["window_start"].max(), freq=freq)})
+    out = spine.merge(got, on="window_start", how="left")
+    out["n_events"] = out["n_events"].fillna(0).astype("int64")
+    out["sum_value"] = out["sum_value"].fillna(0.0).round(2)
+    return out
+
+
 def distinct_lang_source(documents_ds):
     """A5 DISTINCT: unique (lang, source) pairs via groupby."""
 
