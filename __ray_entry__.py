@@ -1002,6 +1002,14 @@ def _q_rollup_counts(sf_dir: str):
         _read(sf_dir, "documents", ["lang", "source", "n_chars"])))
 
 
+def _q_doc_chunks(sf_dir: str):
+    from rse_ray.pipelines.text import doc_chunks
+
+    return _finalize(doc_chunks(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        chunk=64, overlap=16))
+
+
 def _q_dense_window_agg(sf_dir: str):
     from rse_ray.pipelines.relational import dense_window_agg
 
@@ -1691,6 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": _q_event_pivot,
         "pretrain_pack": _q_pretrain_pack,
         "dense_window_agg": _q_dense_window_agg,
+        "doc_chunks": _q_doc_chunks,
         "json_props_sum": _q_json_sum,
         # link graph (reference M5/A2/A3/A4 capability)
         "reference_relevance": _q_reference_relevance,
@@ -2434,6 +2443,17 @@ c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0)
 SELECT coalesce(pu.user_id, c.c_custkey)::BIGINT AS join_key,
        pu.n_events, c.c_acctbal
 FROM pu FULL OUTER JOIN c ON pu.user_id = c.c_custkey""",
+        # within-doc chunk windows: size 64, stride 48, final partial
+        # chunk kept; zero-token docs emit nothing
+        "doc_chunks": _TOKS + """,
+dl AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+nc AS (SELECT doc_id, n,
+              greatest(ceil(greatest(n - 16, 1)::DOUBLE / 48),
+                       1)::BIGINT AS k
+       FROM dl)
+SELECT doc_id, i::BIGINT AS chunk_id, (i * 48)::BIGINT AS start_tok,
+       least(64, n - i * 48)::BIGINT AS n_tokens
+FROM nc, unnest(range(0, k)) AS t(i)""",
         # gap-filled hourly windows: every hour between min and max
         # gets a row, empty ones zeroed
         "dense_window_agg": """

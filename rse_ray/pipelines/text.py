@@ -557,6 +557,41 @@ def pack_sequences(ds, *, budget: int = 512, stem: bool = False):
                                batch_format="pyarrow")
 
 
+def doc_chunks(ds, *, chunk: int = 64, overlap: int = 16,
+               stem: bool = False):
+    """RAG-style WITHIN-doc chunking (the complement of cross-doc
+    `pack_sequences`): each doc's token stream splits into windows of
+    ``chunk`` tokens starting every ``chunk - overlap`` tokens; the
+    final partial window is kept (min 1 token). Output one row per
+    chunk: (doc_id, chunk_id, start_tok, n_tokens). Pure flat-map —
+    embarrassingly parallel, no shuffle."""
+    if overlap >= chunk:
+        raise ValueError("overlap must be < chunk")
+    stride = chunk - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d_ids, c_ids, starts, lens = [], [], [], []
+        for did, txt in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+            n = len(_tok(txt, stem))
+            if n == 0:
+                continue
+            n_chunks = max(1, -(-max(n - overlap, 1) // stride))
+            for c in range(n_chunks):
+                s = c * stride
+                d_ids.append(did)
+                c_ids.append(c)
+                starts.append(s)
+                lens.append(min(chunk, n - s))
+        return pa.table({"doc_id": pa.array(d_ids, type=pa.int64()),
+                         "chunk_id": pa.array(c_ids, type=pa.int64()),
+                         "start_tok": pa.array(starts, type=pa.int64()),
+                         "n_tokens": pa.array(lens, type=pa.int64())})
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
 def pretrain_pack(documents_ds, *, lang: str = "en", budget: int = 512,
                   stem: bool = False):
     """END-TO-END pretraining-data prep — the composition proof that
