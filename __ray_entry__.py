@@ -1002,6 +1002,13 @@ def _q_rollup_counts(sf_dir: str):
         _read(sf_dir, "documents", ["lang", "source", "n_chars"])))
 
 
+def _q_above_group_median(sf_dir: str):
+    from rse_ray.pipelines.relational import above_group_median
+
+    return _finalize(above_group_median(
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])))
+
+
 def _q_doc_chunks(sf_dir: str):
     from rse_ray.pipelines.text import doc_chunks
 
@@ -1700,6 +1707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretrain_pack": _q_pretrain_pack,
         "dense_window_agg": _q_dense_window_agg,
         "doc_chunks": _q_doc_chunks,
+        "above_group_median": _q_above_group_median,
         "json_props_sum": _q_json_sum,
         # link graph (reference M5/A2/A3/A4 capability)
         "reference_relevance": _q_reference_relevance,
@@ -2443,6 +2451,14 @@ c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0)
 SELECT coalesce(pu.user_id, c.c_custkey)::BIGINT AS join_key,
        pu.n_events, c.c_acctbal
 FROM pu FULL OUTER JOIN c ON pu.user_id = c.c_custkey""",
+        # adaptive per-source threshold: keep docs at/above their own
+        # source's median length (round-6 pins the interpolated median)
+        "above_group_median": """
+WITH m AS (SELECT source, round(quantile_cont(n_chars, 0.5), 6) AS med
+           FROM documents GROUP BY 1)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN m USING (source)
+WHERE d.n_chars >= m.med""",
         # within-doc chunk windows: size 64, stride 48, final partial
         # chunk kept; zero-token docs emit nothing
         "doc_chunks": _TOKS + """,

@@ -1264,6 +1264,33 @@ def group_quantiles(ds, *, group: str, col: str,
     return ds.groupby(group).map_groups(f, batch_format="pandas")
 
 
+def above_group_median(ds, *, group: str = "source",
+                       col: str = "n_chars"):
+    """Adaptive per-group threshold filter — the corpus-hygiene move
+    'keep docs at or above their own SOURCE's median length' (a fixed
+    global cutoff over/under-filters heterogeneous domains). Pass 1:
+    exact per-group medians (small — one row per group) broadcast as a
+    sorted-key lookup; pass 2: stateless vectorized filter. Output
+    (doc_id, source, n_chars) for survivors."""
+    med = group_quantiles(ds.select_columns([group, col]),
+                          group=group, col=col, qs=(0.5,)).to_pandas()
+    keys = med[group].to_numpy().astype(object)
+    order = np.argsort(keys)
+    keys = keys[order]
+    meds = med["q50"].to_numpy(dtype=np.float64)[order]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = batch.column(group).to_numpy(zero_copy_only=False)
+        v = batch.column(col).to_numpy().astype(np.float64)
+        idx = np.searchsorted(keys, g)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        keep = (keys[idx_c] == g) & (v >= meds[idx_c])
+        return batch.filter(pa.array(keep))
+
+    return ds.select_columns(["doc_id", group, col]).map_batches(
+        fn, batch_format="pyarrow")
+
+
 def approx_quantiles(ds, *, group: str, col: str,
                      qs: tuple = (0.25, 0.5, 0.75, 0.95),
                      bins: int = 2048):
