@@ -573,7 +573,7 @@ def doc_chunks(ds, *, chunk: int = 64, overlap: int = 16,
         d_ids, c_ids, starts, lens = [], [], [], []
         for did, txt in zip(batch.column("doc_id").to_pylist(),
                             batch.column("text").to_pylist()):
-            n = len(_tok(txt, stem))
+            n = len(_tok(txt, stem)) if txt is not None else 0
             if n == 0:
                 continue
             n_chunks = max(1, -(-max(n - overlap, 1) // stride))

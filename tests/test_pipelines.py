@@ -1744,3 +1744,50 @@ def test_hash_join_full_outer_null_keys(ray_session):
                   ray.data.from_pandas(right),
                   left_on="k", right_on="k2", right_cols=["rv"],
                   how="outer", hot_keys=[2])
+
+
+def test_utility_ops_edge_cases(ray_session):
+    """Null/empty hardening for the utility wave: nulls count in the
+    profiler, fall outside declared pivot columns, and zero-token docs
+    emit no chunks; dense windows on an empty table return the empty
+    frame."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import (dense_window_agg,
+                                              pivot_counts, profile_table)
+    from rse_ray.pipelines.text import doc_chunks
+
+    ev = pd.DataFrame({
+        "user_id": pd.array([1, 1, 2, None], dtype="Int64"),
+        "event_type": ["click", None, "view", "click"],
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 03:00",
+                              "2024-01-01 00:00", "2024-01-01 00:00"]),
+        "value": [1.0, None, 3.0, 4.0],
+    })
+    ds = ray.data.from_pandas(ev).repartition(2)
+    prof = profile_table(ds, columns=["user_id", "event_type", "value"],
+                         numeric=["user_id", "value"])
+    row = prof.set_index("column")
+    assert row.loc["event_type", "n_nulls"] == 1
+    assert row.loc["event_type", "n_distinct"] == 2
+    assert row.loc["value", "n_nulls"] == 1
+    assert row.loc["value", "min_val"] == 1.0
+    assert row.loc["value", "max_val"] == 4.0
+
+    piv = pivot_counts(ds, values=("click", "view")).to_pandas() \
+        .sort_values("user_id", na_position="last").reset_index(drop=True)
+    # null event_type lands in NO declared column; null user_id is its
+    # own key group
+    assert piv.loc[0, "n_click"] == 1 and piv.loc[0, "n_view"] == 0
+    assert piv.loc[1, "n_view"] == 1
+
+    dw = dense_window_agg(ds)
+    assert len(dw) == 4  # hours 00..03 inclusive, gaps zero-filled
+    assert dw["n_events"].tolist()[1:3] == [0, 0]
+
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a b c", "", None]}))
+    ch = doc_chunks(docs, chunk=2, overlap=1).to_pandas()
+    assert set(ch["doc_id"]) == {1}  # empty/null docs emit nothing
+    assert ch[["chunk_id", "start_tok", "n_tokens"]].values.tolist() == [
+        [0, 0, 2], [1, 1, 2]]
