@@ -856,6 +856,14 @@ def _q_quality_rank(sf_dir: str):
         order="n_chars", key="doc_id", descending=True))
 
 
+def _q_quality_ntile(sf_dir: str):
+    from rse_ray.pipelines.relational import ntile_rank
+
+    return _finalize(ntile_rank(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        order="n_chars", key="doc_id", n=4, descending=True))
+
+
 def _q_embedding_covariance(sf_dir: str):
     from rse_ray.pipelines.ann import embedding_covariance
 
@@ -1700,6 +1708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_scan": _q_pattern_scan,
         "stratified_sample": _q_stratified_sample,
         "quality_rank": _q_quality_rank,
+        "quality_ntile": _q_quality_ntile,
         "doc_lm_score": _q_doc_lm_score,
         "snapshot_diff": _q_snapshot_diff,
         "embedding_covariance": _q_embedding_covariance,
@@ -2390,6 +2399,11 @@ FROM documents d LEFT JOIN sc USING (doc_id)""",
 SELECT doc_id, n_chars,
        row_number() OVER (ORDER BY n_chars DESC, doc_id)::BIGINT AS rank
 FROM documents""",
+        "quality_ntile": """
+SELECT doc_id, n_chars,
+       row_number() OVER w::BIGINT AS rank,
+       ntile(4) OVER w::BIGINT AS tile
+FROM documents WINDOW w AS (ORDER BY n_chars DESC, doc_id)""",
         # Gopher-style repetition filters
         "repetition_scores": """
 WITH arr AS (SELECT doc_id,

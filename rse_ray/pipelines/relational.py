@@ -1451,6 +1451,27 @@ def stratified_sample(ds, *, group: str, key: str,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def ntile_rank(ds, *, order: str, key: str, n: int = 4,
+               descending: bool = True):
+    """SQL NTILE(n) over the exact global rank: the first N mod n
+    tiles get ceil(N/n) rows, the rest floor(N/n) — byte-identical to
+    the window function, derived from `global_rank`'s two-pass prefix
+    rank plus one scalar (N) on the driver. Output adds both `rank`
+    and `tile`."""
+    ranked = global_rank(ds, order=order, key=key, descending=descending)
+    total = ds.count()
+    q, rem = divmod(total, n)
+    cut = rem * (q + 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy()
+        t = np.where(r <= cut, (r - 1) // (q + 1) + 1,
+                     rem + (r - cut - 1) // max(q, 1) + 1)
+        return batch.append_column("tile", pa.array(t.astype(np.int64)))
+
+    return ranked.map_batches(fn, batch_format="pyarrow")
+
+
 def global_rank(ds, *, order: str, key: str, descending: bool = True,
                 out_col: str = "rank", start: int = 1):
     """Exact global ranking — SQL ROW_NUMBER() OVER (ORDER BY order
