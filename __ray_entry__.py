@@ -1209,17 +1209,24 @@ def _q_domain_counts(sf_dir: str):
                               columns=["url", "html"])))
 
 
-def _extracted_links(sf_dir_unused: str | None = None):
+EXTRACT_CACHE_VERSION = "v1"  # bump on ANY extract/resolve code change
+
+
+def _extracted_links():
     """Extract links from the fixture corpus ONCE and cache the result
     parquet — pagerank/crawl_depth/connected_components all consume the
     same extracted edge table, and re-running the extraction flat-map
     per query is pure repeated work (the extraction operator itself is
-    gated separately as `link_extract`)."""
+    gated separately as `link_extract`). The cache file is keyed by
+    EXTRACT_CACHE_VERSION so an extraction-code change cannot serve
+    stale edges."""
     import ray.data
 
     from rse_ray.pipelines.linkgraph import extract_links
 
-    out = os.path.join(_linkgraph_corpus(), "extracted_links.parquet")
+    out = os.path.join(
+        _linkgraph_corpus(),
+        f"extracted_links_{EXTRACT_CACHE_VERSION}.parquet")
     if not os.path.exists(out):
         import pyarrow.parquet as pq_
 

@@ -360,7 +360,10 @@ def dense_window_agg(events_ds, *, window: str = "h"):
             [], dtype="datetime64[us]"),
             "n_events": pd.array([], dtype="int64"),
             "sum_value": pd.array([], dtype="float64")})
-    freq = f"{multiple}{'h' if unit == 'hour' else unit[0]}"
+    # NB: unit[0] would map 'minute' -> pandas 'm' (MONTH-end) and
+    # silently empty the spine
+    freq = f"{multiple}" + {"hour": "h", "day": "D", "minute": "min",
+                            "second": "s"}[unit]
     spine = pd.DataFrame({"window_start": pd.date_range(
         got["window_start"].min(), got["window_start"].max(), freq=freq)})
     out = spine.merge(got, on="window_start", how="left")
@@ -1106,6 +1109,17 @@ def profile_table(ds, *, columns: list[str],
         .groupby("column").sum("n_distinct") \
         .to_pandas().rename(columns={"sum(n_distinct)": "n_distinct"})
 
+    # contract: ALWAYS one row per declared column — an empty input
+    # profiles as all-zeros (the SQL aggregate shape), not as no rows
+    spine = pd.DataFrame({"column": sorted(columns)})
+    if "column" not in st.columns:  # empty input: no partials ran
+        st = pd.DataFrame({"column": [], "n_nulls": [],
+                           "min_val": [], "max_val": []})
+    if "column" not in nd.columns:
+        nd = pd.DataFrame({"column": [], "n_distinct": []})
+    st = spine.merge(st, on="column", how="left")
+    st["n_nulls"] = st["n_nulls"].fillna(0)
+
     out = st.merge(nd, on="column", how="left")
     out["n_nulls"] = out["n_nulls"].astype("int64")
     out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
@@ -1271,9 +1285,15 @@ def above_group_median(ds, *, group: str = "source",
     global cutoff over/under-filters heterogeneous domains). Pass 1:
     exact per-group medians (small — one row per group) broadcast as a
     sorted-key lookup; pass 2: stateless vectorized filter. Output
-    (doc_id, source, n_chars) for survivors."""
-    med = group_quantiles(ds.select_columns([group, col]),
+    (doc_id, source, n_chars) for survivors. Null group keys match no
+    group (the SQL JOIN semantics) — those rows are dropped up front."""
+    clean = ds.select_columns(["doc_id", group, col]).map_batches(
+        lambda b: b.drop_null(), batch_format="pyarrow")
+    med = group_quantiles(clean.select_columns([group, col]),
                           group=group, col=col, qs=(0.5,)).to_pandas()
+    if med.empty:  # no non-null groups at all
+        return clean.map_batches(lambda b: b.slice(0, 0),
+                                 batch_format="pyarrow")
     keys = med[group].to_numpy().astype(object)
     order = np.argsort(keys)
     keys = keys[order]
@@ -1287,8 +1307,7 @@ def above_group_median(ds, *, group: str = "source",
         keep = (keys[idx_c] == g) & (v >= meds[idx_c])
         return batch.filter(pa.array(keep))
 
-    return ds.select_columns(["doc_id", group, col]).map_batches(
-        fn, batch_format="pyarrow")
+    return clean.map_batches(fn, batch_format="pyarrow")
 
 
 def approx_quantiles(ds, *, group: str, col: str,

@@ -599,9 +599,13 @@ def pretrain_pack(documents_ds, *, lang: str = "en", budget: int = 512,
     dedup (keep min doc_id per identical text) -> GPT-style sequence
     packing. Three stages, three different scale shapes (stateless
     filter, (hash, id) shuffle + semi-join, distributed prefix sum),
-    one Dataset flowing through; nothing materializes but the 16-byte
-    doc-count projection pack_sequences already pins. Output:
-    (doc_id, n_tokens, seq_id, seq_offset) for surviving docs."""
+    one Dataset flowing through. The filtered corpus is consumed three
+    times (dedup, join-left, join sizing) and deliberately
+    RE-EXECUTES the cheap read+filter each time rather than pinning
+    full text in the object store; the only pins are the id-only
+    survivor set (8 B/doc) and pack_sequences' 16 B/doc count
+    projection. Output: (doc_id, n_tokens, seq_id, seq_offset) for
+    surviving docs."""
     from rse_ray.pipelines.dedup import exact_dedup
     from rse_ray.pipelines.relational import hash_join
 
@@ -609,7 +613,7 @@ def pretrain_pack(documents_ds, *, lang: str = "en", budget: int = 512,
         .map_batches(
             lambda b, lg=lang: b.filter(
                 pc.equal(b.column("lang"), lg)).select(["doc_id", "text"]),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow")
     # materialized: hash_join probes right_ds.schema() (one execution)
     # before consuming it — pinning the id-only projection (8 B/doc)
     # halves the dedup cost

@@ -1791,3 +1791,46 @@ def test_utility_ops_edge_cases(ray_session):
     assert set(ch["doc_id"]) == {1}  # empty/null docs emit nothing
     assert ch[["chunk_id", "start_tok", "n_tokens"]].values.tolist() == [
         [0, 0, 2], [1, 1, 2]]
+
+
+def test_median_filter_ntile_profile_edge_cases(ray_session):
+    """Null group keys match no group in above_group_median; minute
+    windows produce a real spine (pandas 'm'='month' trap); an empty
+    input still profiles one row per declared column; ntile over fewer
+    rows than tiles."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import (above_group_median,
+                                              dense_window_agg,
+                                              ntile_rank, profile_table)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "source": ["a", "a", "a", None, "b"],
+        "n_chars": [10, 20, 30, 99, 7],
+    })
+    got = above_group_median(ray.data.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # medians: a=20, b=7; null-source row dropped
+    assert got["doc_id"].tolist() == [2, 3, 5]
+
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00:30",
+                              "2024-01-01 00:03:10"]),
+        "value": [1.0, 2.0]})
+    dw = dense_window_agg(ray.data.from_pandas(ev), window="min")
+    assert len(dw) == 4 and dw["n_events"].tolist() == [1, 0, 0, 1]
+
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {"x": pd.Series([], dtype="int64"),
+         "y": pd.Series([], dtype=str)}))
+    prof = profile_table(empty, columns=["x", "y"], numeric=["x"])
+    assert prof["column"].tolist() == ["x", "y"]
+    assert prof["n_nulls"].tolist() == [0, 0]
+    assert prof["n_distinct"].tolist() == [0, 0]
+
+    nt = ntile_rank(ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "n_chars": [5, 9]})),
+        order="n_chars", key="doc_id", n=4).to_pandas() \
+        .sort_values("rank")
+    assert nt["tile"].tolist() == [1, 2]  # N < n: one row per tile
