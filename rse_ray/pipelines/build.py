@@ -82,6 +82,12 @@ class BuildConfig:
     # legacy Ray repartition + sort-groupby path. Outputs are
     # byte-identical (merge_partition fully re-sorts each part).
     merge_exchange: str = "direct"
+    # CPU slots requested per merge split/write task: a RESOURCE hint,
+    # not job shape (outputs are grouping-invariant) — raising it
+    # throttles how many merge tasks touch the disk/object store at
+    # once on high-CPU single-disk boxes (stage-profiled: 32
+    # concurrent readers ran C SLOWER than 8)
+    merge_task_cpus: int = 1
     # carry token positions in the postings (pospayload column): the
     # positional index that serves phrase / proximity queries. Off by
     # default — default builds stay byte-identical to pre-positional.
@@ -351,8 +357,10 @@ def build_index(
             # parallelism level)
             n_map = min(len(sources), R)
             groups = [sources[i::n_map] for i in range(n_map)]
-            split_remote = ray.remote(num_cpus=1)(split_segments_for_merge)
-            write_remote = ray.remote(num_cpus=1)(write_merge_part)
+            split_remote = ray.remote(
+                num_cpus=cfg.merge_task_cpus)(split_segments_for_merge)
+            write_remote = ray.remote(
+                num_cpus=cfg.merge_task_cpus)(write_merge_part)
             slice_refs = [
                 split_remote.options(num_returns=R).remote(
                     bounds, cfg.buckets_per_salt_group, R, *grp)
