@@ -250,6 +250,13 @@ def main_scaling() -> None:
     for cpus in (8, 32):
         runs = []
         for rep in range(reps):
+            # flush dirty pages from the PREVIOUS rep's segment/index
+            # writes before the clock starts: one rep's deferred
+            # writeback otherwise lands inside the next rep's timed
+            # region (measured: 73% spread across 32-cpu reps at ZERO
+            # cpu steal — all filesystem state)
+            os.sync()
+            time.sleep(2)
             out = os.path.join(CACHE, f"scaling_{cpus}_{rep}.json")
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
