@@ -41,6 +41,16 @@ CONJ_QUERY_SQL_TERMS = "('dup', 1), ('key', 1), ('line', 1)"
 NOT_TERMS = ["hash"]
 NOT_TERMS_SQL = "('hash')"
 PREFIX_QUERY = "s"  # expands to {scan, slow, small, sort, spark, stream}
+# synonym-expanded retrieval: "merge scan" expands through SYN_MAP into
+# five OR terms; "seek" is absent from the corpus and must drop out of
+# both sides (scorer skips unknown terms, the oracle's df join prunes)
+SYN_QUERY = "merge scan"
+SYN_MAP = {"merge": ["join"], "scan": ["sort", "seek"]}
+SYN_SQL_TERMS = "('join', 1), ('merge', 1), ('scan', 1), ('seek', 1), ('sort', 1)"
+SUGGEST_K = 5   # 6 's'-terms exist, so the df-rank cut is genuine
+# BM25F field split: title = first 8 tokens at weight 2, body = rest
+BM25F_TITLE_LEN = 8
+BM25F_W_TITLE = 2.0
 # typo probes for fuzzy dictionary lookup: one deletion, one insertion,
 # one substitution, one exact hit, one no-match
 FUZZY_PROBES = ["joinn", "hask", "qery", "sort", "zzz"]
@@ -204,6 +214,27 @@ def _q_bm25_topk_distributed(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_documents_distributed
 
     return _finalize(bm25_documents_distributed(sf_dir, BM25_QUERY, k=20))
+
+
+def _q_bm25_synonyms(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents_synonyms
+
+    return _finalize(bm25_documents_synonyms(sf_dir, SYN_QUERY, SYN_MAP,
+                                             k=20))
+
+
+def _q_suggest_terms(sf_dir: str):
+    from rse_ray.pipelines.docsearch import suggest_terms
+
+    return _finalize(suggest_terms(sf_dir, PREFIX_QUERY, k=SUGGEST_K))
+
+
+def _q_bm25f_scores(sf_dir: str):
+    from rse_ray.pipelines.text import bm25f_scores
+
+    return _finalize(bm25f_scores(
+        _read(sf_dir, "documents", ["doc_id", "text"]), BM25_QUERY,
+        title_len=BM25F_TITLE_LEN, w_title=BM25F_W_TITLE))
 
 
 def _q_quality(sf_dir: str):
@@ -1645,6 +1676,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_distributed": _q_bm25_topk_distributed,
         "bm25_page2": _q_bm25_page2,
         "bm25_total_hits": _q_bm25_total_hits,
+        "bm25_synonyms": _q_bm25_synonyms,
+        "suggest_terms": _q_suggest_terms,
+        "bm25f_scores": _q_bm25f_scores,
         # text analysis (training-data ops)
         "quality_scores": _q_quality,
         "doc_fingerprints": _q_fingerprint,
@@ -1793,6 +1827,39 @@ SELECT count(*)::BIGINT AS n_hits FROM scores""",
         "bm25_topk_distributed": _BM25_CTES + """
 SELECT doc_id, round(raw, 6) AS score FROM scores
 ORDER BY raw DESC, doc_id LIMIT 20""",
+        # synonym expansion = the standard BM25 CTE over the EXPANDED
+        # (term, qtf) list; 'seek' (df 0) drops out via the df join
+        "bm25_synonyms": _BM25_CTES_TMPL.format(terms=SYN_SQL_TERMS) + """
+SELECT doc_id, round(raw, 6) AS score FROM scores
+ORDER BY raw DESC, doc_id LIMIT 20""",
+        # autocomplete: prefix completions ranked (df desc, term asc)
+        "suggest_terms": _TOKS + f"""
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks WHERE term LIKE '{PREFIX_QUERY}%' GROUP BY term
+ORDER BY df DESC, term LIMIT {SUGGEST_K}""",
+        # BM25F: one shared saturation over field-weighted tf~ and dl~
+        "bm25f_scores": f"""
+WITH dd AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS arr FROM documents),
+ft AS (SELECT doc_id, arr[i] AS term,
+              CASE WHEN i <= {BM25F_TITLE_LEN} THEN {BM25F_W_TITLE}
+                   ELSE 1.0 END AS w
+       FROM dd, unnest(range(1, len(arr) + 1)) AS t(i)),
+p AS (SELECT doc_id, term, sum(w)::DOUBLE AS wtf FROM ft GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(w)::DOUBLE AS wdl FROM ft GROUP BY 1),
+s AS (SELECT count(*)::DOUBLE AS n, sum(wdl) / count(*) AS avgdl FROM dl),
+q(term, qtf) AS (VALUES {BM25_QUERY_SQL_TERMS}),
+d AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+scores AS (
+  SELECT p.doc_id,
+         sum(q.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             (p.wtf * (1.2 + 1)) /
+             (p.wtf + 1.2 * (1 - 0.75 + 0.75 * dl.wdl / s.avgdl))) AS raw
+  FROM p JOIN q USING (term) JOIN d USING (term)
+       JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY p.doc_id)
+SELECT doc_id, round(raw, 6) AS score FROM scores""",
         "quality_scores": _TOKS + """
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
        round(count(DISTINCT term)::DOUBLE / count(*), 6) AS uniq_ratio,

@@ -263,3 +263,34 @@ def term_freqs(text: str, *, stem: bool = True, _stemmer=None) -> Counter:
     """(term -> tf) for one document, mirroring extractKeywords
     (reference: crawler/src/api/main.go:121-129)."""
     return Counter(tokenize(text, stem=stem, _stemmer=_stemmer))
+
+
+def expand_synonyms(query: str, synonyms: dict[str, list[str]], *,
+                    stem: bool = True, _stemmer=None) -> list[str]:
+    """Analyzer-level synonym expansion (Lucene SynonymFilter in its
+    flattened OR form): every query-token occurrence emits itself plus
+    each synonym its ANALYZED form maps to, so downstream qtf counting
+    treats a synonym hit exactly like a repeated user term. Both the
+    map's keys and its values pass through the same analyzer as the
+    query (lower [+ Porter]), so a map written in surface forms behaves
+    identically to one written in analyzed forms. Synonyms absent from
+    the index simply contribute nothing (the scorer drops unknown
+    terms), matching a SQL twin whose df join eliminates them."""
+    ana: dict[str, list[str]] = {}
+    for key, vals in synonyms.items():
+        kt = tokenize(key, stem=stem, _stemmer=_stemmer)
+        if len(kt) != 1:
+            raise ValueError(f"synonym key must analyze to one token: {key!r}")
+        out = []
+        for v in vals:
+            vt = tokenize(v, stem=stem, _stemmer=_stemmer)
+            if len(vt) != 1:
+                raise ValueError(
+                    f"synonym value must analyze to one token: {v!r}")
+            out.append(vt[0])
+        ana[kt[0]] = out
+    expanded: list[str] = []
+    for tok in tokenize(query, stem=stem, _stemmer=_stemmer):
+        expanded.append(tok)
+        expanded.extend(ana.get(tok, ()))
+    return expanded

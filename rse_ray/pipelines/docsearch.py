@@ -380,3 +380,59 @@ def bm25_documents(sf_dir: str, query: str, k: int | None = None,
             "score": [round(score, round_to) for _, score, _ in rows],
         }
     )
+
+
+def bm25_documents_synonyms(sf_dir: str, query: str,
+                            synonyms: dict[str, list[str]], k: int = 20,
+                            *, stem: bool = False,
+                            round_to: int = 6) -> pd.DataFrame:
+    """Synonym-expanded retrieval (Lucene SynonymFilter at query time):
+    the query passes through expand_synonyms before the standard
+    OR-scored BM25, so each synonym scores like a repeated user term
+    (qtf accumulates across original + synonym occurrences). The SQL
+    twin is the shared BM25 CTE over the EXPANDED (term, qtf) list —
+    synonyms missing from the corpus drop out of both sides (scorer
+    skips unknown terms; the oracle's df join eliminates them)."""
+    from rse_ray.functions.tokenizer import expand_synonyms
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=stem)
+    s = Searcher(index_dir)
+    expanded = " ".join(expand_synonyms(query, synonyms, stem=stem))
+    hits = s.search(expanded, k=k)
+    rows = hydrate_urls(index_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            "score": [round(score, round_to) for _, score, _ in rows],
+        }
+    )
+
+
+def suggest_terms(sf_dir: str, prefix: str, k: int = 5,
+                  *, stem: bool = False) -> pd.DataFrame:
+    """Search-as-you-type completion: expand ``prefix`` against the
+    index term dictionary (range scan over the term-sorted shard
+    directories) and rank completions by document frequency — the
+    suggest/autocomplete counterpart of wildcard retrieval, returning
+    (term, df) instead of documents. df comes from the shard
+    DIRECTORIES alone (IndexReader.df), so no posting payload is read.
+    Ties break (df desc, term asc), the deterministic order the SQL
+    twin expresses."""
+    from rse_ray.pipelines.search import Searcher
+
+    prefix = prefix.lower().strip()
+    if not prefix:
+        raise ValueError("empty prefix")
+    index_dir = documents_index(sf_dir, stem=stem)
+    s = Searcher(index_dir)
+    terms = s.reader.expand_prefix(prefix)
+    rows = sorted(((t, s.reader.df(t)) for t in terms),
+                  key=lambda td: (-td[1], td[0]))[:k]
+    return pd.DataFrame(
+        {
+            "term": pd.array([t for t, _ in rows], dtype="object"),
+            "df": pd.array([d for _, d in rows], dtype="int64"),
+        }
+    )

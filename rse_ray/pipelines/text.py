@@ -1337,3 +1337,111 @@ def term_proximity(ds, term_a: str, term_b: str, *, stem: bool = False,
 
     return ds.select_columns([id_col, text_col]) \
         .map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# field-weighted retrieval (BM25F)
+# --------------------------------------------------------------------------
+
+def bm25f_scores(ds, query: str, *, title_len: int = 8,
+                 w_title: float = 2.0, w_body: float = 1.0,
+                 k1: float = 1.2, b: float = 0.75, stem: bool = False,
+                 round_to: int = 6):
+    """BM25F field-weighted scoring (Robertson/Zaragoza's simple
+    weighted variant): each doc splits into a title field (first
+    ``title_len`` tokens) and a body field; per-term weighted tf
+    tf~ = w_title*tf_title + w_body*tf_body and weighted doc length
+    dl~ = w_title*|title| + w_body*|body| feed ONE shared saturation
+    (tf~*(k1+1)) / (tf~ + k1*(1-b+b*dl~/avg dl~)) with the corpus idf
+    ln(1+(N-df+.5)/(df+.5)) — so a title hit is worth w_title body
+    hits BEFORE saturation, which is what distinguishes BM25F from a
+    per-field score sum. Returns (doc_id, score) for every doc
+    matching >= 1 query term.
+
+    Scale shape: pass 1 pre-reduces (N, sum dl~, per-query-term df)
+    inside each batch and shuffles only (|q|+1) rows per block; pass 2
+    is map-only (a doc never spans batches, so its full score is
+    batch-local) — no posting shuffle, no driver materialization."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.functions.tokenizer import tokenize
+
+    qtf = Counter(tokenize(query, stem=stem))
+    qterms = sorted(qtf)
+    wt, wb = float(w_title), float(w_body)
+
+    def _fields(text: str):
+        toks = _tok(text, stem)
+        return toks[:title_len], toks[title_len:]
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        n = 0
+        swdl = 0.0
+        df_c = Counter()
+        for t in batch.column("text").to_pylist():
+            if t is None:
+                continue
+            title, body = _fields(t)
+            if not title:          # empty doc: outside N/avgdl (SQL dl CTE)
+                continue
+            n += 1
+            swdl += wt * len(title) + wb * len(body)
+            seen = set(title)
+            seen.update(body)
+            df_c.update(q for q in qterms if q in seen)
+        return pa.table(
+            {"term": pa.array([""] + qterms, type=pa.string()),
+             "df_p": pa.array([0] + [df_c[q] for q in qterms],
+                              type=pa.int64()),
+             "n_p": pa.array([n] + [0] * len(qterms), type=pa.int64()),
+             "wdl_p": pa.array([swdl] + [0.0] * len(qterms),
+                               type=pa.float64())}
+        )
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby("term") \
+        .aggregate(Sum("df_p", alias_name="df"),
+                   Sum("n_p", alias_name="n"),
+                   Sum("wdl_p", alias_name="wdl")).take_all()
+    n_docs = sum(int(r["n"]) for r in st)
+    sum_wdl = sum(float(r["wdl"]) for r in st)
+    df = {r["term"]: int(r["df"]) for r in st if r["term"]}
+    if n_docs == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "score": pa.array([], type=pa.float64())}))
+    avgdl = sum_wdl / n_docs
+    # (term, qtf*idf) for terms present in the corpus, sorted for a
+    # deterministic accumulation order
+    qw = [(t, qtf[t] * math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)))
+          for t in qterms if df.get(t, 0) > 0]
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        out_ids, out_scores = [], []
+        for did, t in zip(ids, batch.column("text").to_pylist()):
+            if t is None:
+                continue
+            title, body = _fields(t)
+            if not title:
+                continue
+            ct, cb = Counter(title), Counter(body)
+            wdl = wt * len(title) + wb * len(body)
+            norm = k1 * (1 - b + b * wdl / avgdl)
+            s = 0.0
+            hit = False
+            for term, w in qw:
+                wtf = wt * ct.get(term, 0) + wb * cb.get(term, 0)
+                if wtf > 0:
+                    hit = True
+                    s += w * (wtf * (k1 + 1)) / (wtf + norm)
+            if hit:
+                out_ids.append(int(did))
+                out_scores.append(round(s, round_to))
+        return pa.table(
+            {"doc_id": pa.array(out_ids, type=pa.int64()),
+             "score": pa.array(out_scores, type=pa.float64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1834,3 +1834,110 @@ def test_median_filter_ntile_profile_edge_cases(ray_session):
         order="n_chars", key="doc_id", n=4).to_pandas() \
         .sort_values("rank")
     assert nt["tile"].tolist() == [1, 2]  # N < n: one row per tile
+
+
+def test_synonym_expansion_and_bm25_equivalence(ray_session, tmp_path):
+    """expand_synonyms is analyzer-level (keys/values pass through the
+    same tokenizer) and synonym retrieval equals the explicit OR query
+    over the expanded terms."""
+    import pytest
+    import ray.data
+
+    from rse_ray.functions.tokenizer import expand_synonyms
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import Searcher
+
+    assert expand_synonyms("Merge scan", {"MERGE": ["Join"]},
+                           stem=False) == ["merge", "join", "scan"]
+    # qtf accumulates per occurrence: repeated token expands twice
+    assert expand_synonyms("a a", {"a": ["b"]}, stem=False) == \
+        ["a", "b", "a", "b"]
+    # stemmed analyzer: key written in surface form still matches
+    assert expand_synonyms("running", {"runs": ["jumped"]})[0] == \
+        expand_synonyms("run", {})[0]
+    with pytest.raises(ValueError):
+        expand_synonyms("x", {"two words": ["y"]}, stem=False)
+    with pytest.raises(ValueError):
+        expand_synonyms("x", {"y": ["two words"]}, stem=False)
+
+    texts = {
+        "u1": "car auto bike", "u2": "auto auto", "u3": "bike train",
+        "u4": "car car train", "u5": "boat",
+    }
+    rows = pd.DataFrame({
+        "url": list(texts), "text": list(texts.values()),
+        "warc_ts": pd.Timestamp("2024-12-01")})
+    idx = str(tmp_path / "syn_idx")
+    build_index(ray.data.from_pandas(rows), idx,
+                BuildConfig(num_buckets=2, buckets_per_salt_group=2,
+                            stem=False, from_html=False))
+    s = Searcher(idx)
+    syn = {"car": ["auto", "hovercraft"]}  # hovercraft: not in corpus
+    expanded = " ".join(expand_synonyms("car train", syn, stem=False))
+    got = dict(s.search(expanded, k=10))
+    want = dict(s.search("car auto train", k=10))
+    assert got.keys() == want.keys() and len(got) == 4  # u5 unmatched
+    for d in got:
+        assert abs(got[d] - want[d]) < 1e-12
+    # synonym hit scores: u2 (auto only) now matches the "car" concept
+    plain = dict(s.search("car train", k=10))
+    assert len(plain) == 3
+
+
+def test_suggest_terms_df_ranking(ray_session, tmp_path):
+    """Autocomplete completions come from the index dictionary, ranked
+    (df desc, term asc), k-cut."""
+    import pytest
+
+    from rse_ray.pipelines.docsearch import suggest_terms
+
+    sf = tmp_path / "sfsuggest"
+    sf.mkdir()
+    pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2, 3, 4], dtype="int64"),
+        "text": ["apple apricot", "apple apex", "apple banana",
+                 "apex zebra", "apricot apex"],
+    }).to_parquet(sf / "documents.parquet")
+    out = suggest_terms(str(sf), "ap", k=2)
+    # df: apex 3, apple 3, apricot 2 -> tie broken term asc, cut at 2
+    assert list(out["term"]) == ["apex", "apple"]
+    assert list(out["df"]) == [3, 3]
+    full = suggest_terms(str(sf), "ap", k=10)
+    assert list(full["term"]) == ["apex", "apple", "apricot"]
+    assert list(full["df"]) == [3, 3, 2]
+    assert suggest_terms(str(sf), "q", k=5).empty
+    with pytest.raises(ValueError):
+        suggest_terms(str(sf), "  ", k=5)
+
+
+def test_bm25f_field_weighting_and_edges(ray_session):
+    """BM25F: a title hit is worth w_title body hits BEFORE saturation;
+    null/empty docs are outside N/avgdl and never score."""
+    import math
+
+    import ray.data
+
+    from rse_ray.pipelines.text import bm25f_scores
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2, 3, 4, 5], dtype="int64"),
+        "text": ["q x y y",      # 1 title hit (w=2)
+                 "x y q q",      # 2 body hits (2*1) == same wtf
+                 "x y z z",      # no hit
+                 None,           # null: skipped entirely
+                 "",             # empty: outside N/avgdl
+                 "q q y y"],     # 2 title hits -> wtf 4
+    })
+    out = bm25f_scores(ray.data.from_pandas(docs), "q",
+                       title_len=2, w_title=2.0).to_pandas() \
+        .set_index("doc_id")["score"]
+    assert set(out.index) == {0, 1, 5}
+    # hand formula: N=4 (docs 0,1,2,5), df=3, wdl=6 for all, avgdl=6
+    idf = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+    exp = {0: idf * (2 * 2.2) / (2 + 1.2),
+           1: idf * (2 * 2.2) / (2 + 1.2),
+           5: idf * (4 * 2.2) / (4 + 1.2)}
+    for d, e in exp.items():
+        assert abs(out[d] - round(e, 6)) < 1e-9
+    assert out[0] == out[1]          # w_title*1 == w_body*2, same wtf
+    assert out[5] > out[0]           # more weighted tf, same dl~
