@@ -48,6 +48,15 @@ SYN_QUERY = "merge scan"
 SYN_MAP = {"merge": ["join"], "scan": ["sort", "seek"]}
 SYN_SQL_TERMS = "('join', 1), ('merge', 1), ('scan', 1), ('seek', 1), ('sort', 1)"
 SUGGEST_K = 5   # 6 's'-terms exist, so the df-rank cut is genuine
+# query-log replay through the actor-pool batch scorer; the last query
+# matches nothing and must contribute zero rows on both sides
+BATCH_QUERIES = ["spark window", "hash join", "dup key",
+                 "merge sort fast", "zzz nothing"]
+BATCH_QUERIES_SQL_TERMS = (
+    "(0, 'spark', 1), (0, 'window', 1), (1, 'hash', 1), (1, 'join', 1), "
+    "(2, 'dup', 1), (2, 'key', 1), (3, 'fast', 1), (3, 'merge', 1), "
+    "(3, 'sort', 1), (4, 'nothing', 1), (4, 'zzz', 1)")
+BATCH_K = 10
 # BM25F field split: title = first 8 tokens at weight 2, body = rest
 BM25F_TITLE_LEN = 8
 BM25F_W_TITLE = 2.0
@@ -235,6 +244,33 @@ def _q_bm25f_scores(sf_dir: str):
     return _finalize(bm25f_scores(
         _read(sf_dir, "documents", ["doc_id", "text"]), BM25_QUERY,
         title_len=BM25F_TITLE_LEN, w_title=BM25F_W_TITLE))
+
+
+def _q_batch_bm25_topk(sf_dir: str):
+    from rse_ray.pipelines.docsearch import batch_bm25_topk
+
+    return _finalize(batch_bm25_topk(sf_dir, BATCH_QUERIES, k=BATCH_K))
+
+
+def _q_normalize_text(sf_dir: str):
+    """Unicode normalization over a deterministically-accented corpus:
+    the fixture text is ASCII, so accents + messy whitespace are
+    PLANTED (same construction in the SQL twin) to make the oracle
+    check real normalization work, not an identity map."""
+    from rse_ray.pipelines.text import normalize_text
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        planted = [None if t is None else f"Café-{i}  RÉSUMÉ naïve\t{t}"
+                   for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(planted, type=pa.string())})
+
+    return _finalize(normalize_text(
+        docs.map_batches(plant, batch_format="pyarrow")))
 
 
 def _q_quality(sf_dir: str):
@@ -1679,6 +1715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonyms": _q_bm25_synonyms,
         "suggest_terms": _q_suggest_terms,
         "bm25f_scores": _q_bm25f_scores,
+        "batch_bm25_topk": _q_batch_bm25_topk,
+        "normalize_text": _q_normalize_text,
         # text analysis (training-data ops)
         "quality_scores": _q_quality,
         "doc_fingerprints": _q_fingerprint,
@@ -1837,6 +1875,36 @@ ORDER BY raw DESC, doc_id LIMIT 20""",
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df
 FROM toks WHERE term LIKE '{PREFIX_QUERY}%' GROUP BY term
 ORDER BY df DESC, term LIMIT {SUGGEST_K}""",
+        # query-log replay: one multi-query scores CTE, top-k per query
+        "batch_bm25_topk": _TOKS + f""",
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+s AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl
+      FROM dl),
+q(query_id, term, qtf) AS (VALUES {BATCH_QUERIES_SQL_TERMS}),
+d AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum(q.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             (p.tf * (1.2 + 1)) /
+             (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS raw
+  FROM p JOIN q USING (term) JOIN d USING (term)
+       JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, round(raw, 6) AS score FROM scores
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY raw DESC, doc_id) <= {BATCH_K}""",
+        # unicode cleanup over the planted-accent corpus (see
+        # _q_normalize_text); nfc_normalize/strip_accents parity with
+        # unicodedata verified over composed/decomposed samples
+        "normalize_text": r"""
+SELECT doc_id,
+       trim(regexp_replace(
+            lower(strip_accents(nfc_normalize(
+                'Café-' || CAST(doc_id AS VARCHAR) || '  RÉSUMÉ naïve'
+                || chr(9) || text))),
+            '\s+', ' ', 'g')) AS norm_text
+FROM documents""",
         # BM25F: one shared saturation over field-weighted tf~ and dl~
         "bm25f_scores": f"""
 WITH dd AS (SELECT doc_id,

@@ -436,3 +436,69 @@ def suggest_terms(sf_dir: str, prefix: str, k: int = 5,
             "df": pd.array([d for _, d in rows], dtype="int64"),
         }
     )
+
+
+def batch_bm25_topk(sf_dir: str, queries: list[str], k: int = 10,
+                    *, stem: bool = False, round_to: int = 6,
+                    concurrency: int = 2, batch_size: int = 64):
+    """Query-log replay as a Ray pipeline: a Dataset of queries flows
+    through an actor pool of Searchers (index opened ONCE per actor in
+    __init__ — the per-worker expensive-init pattern, ST3), each batch
+    scored independently -> (query_id, doc_id, score) top-k rows per
+    query. Unmatched queries contribute zero rows. Docmap buckets are
+    point-read and cached per actor (doc_id >> 40 names the file), so
+    hydration never scans the full docmap. This is the batch/offline
+    counterpart of the interactive Searcher and DistributedSearcher
+    paths: at fleet scale the same shape evaluates millions of logged
+    queries with actors co-resident with index shards."""
+    import ray.data
+
+    index_dir = documents_index(sf_dir, stem=stem)
+
+    class _QueryEval:
+        def __init__(self, index_dir: str, k: int, round_to: int):
+            from rse_ray.pipelines.search import Searcher
+
+            self.s = Searcher(index_dir)
+            self.k, self.round_to = k, round_to
+            self._buckets: dict[int, dict[int, str]] = {}
+
+        def _url(self, did: int) -> str:
+            import pyarrow.parquet as pq
+
+            from rse_ray.functions.ids import DOC_BUCKET_BITS
+
+            b = did >> DOC_BUCKET_BITS
+            m = self._buckets.get(b)
+            if m is None:
+                t = pq.read_table(
+                    os.path.join(self.s.reader.index_dir, "docs",
+                                 f"bucket_{b:06d}.parquet"),
+                    columns=["doc_id", "url"])
+                m = {int(d): u for d, u in
+                     zip(t.column("doc_id").to_numpy(),
+                         t.column("url").to_pylist())}
+                self._buckets[b] = m
+            return m[did]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qids, dids, scores = [], [], []
+            for qid, q in zip(batch.column("query_id").to_pylist(),
+                              batch.column("query").to_pylist()):
+                for d, sc in self.s.search(q, k=self.k):
+                    qids.append(int(qid))
+                    dids.append(int(self._url(d)[len("doc://"):]))
+                    scores.append(round(sc, self.round_to))
+            return pa.table(
+                {"query_id": pa.array(qids, type=pa.int64()),
+                 "doc_id": pa.array(dids, type=pa.int64()),
+                 "score": pa.array(scores, type=pa.float64())}
+            )
+
+    qt = pa.table(
+        {"query_id": pa.array(range(len(queries)), type=pa.int64()),
+         "query": pa.array(queries, type=pa.string())})
+    return ray.data.from_arrow(qt).map_batches(
+        _QueryEval, fn_constructor_args=(index_dir, k, round_to),
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")

@@ -1445,3 +1445,36 @@ def bm25f_scores(ds, query: str, *, title_len: int = 8,
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def normalize_text(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Unicode text normalization — the cleanup stage a web corpus runs
+    before tokenization/dedup: NFC-compose, strip combining accents
+    (NFD -> drop marks, the strip_accents contract), lowercase, and
+    collapse runs of whitespace to single spaces. Map-only, per-batch;
+    null text passes through as null (the cleanup must not invent
+    rows). The DuckDB twin is
+    trim(regexp_replace(lower(strip_accents(nfc_normalize(x))),
+    '\\s+', ' ', 'g')) — parity of nfc_normalize/strip_accents with
+    unicodedata verified over composed/decomposed/compat samples."""
+    import re
+    import unicodedata
+
+    ws = re.compile(r"\s+")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column(text_col).to_pylist():
+            if t is None:
+                out.append(None)
+                continue
+            s = unicodedata.normalize("NFC", t)
+            s = "".join(c for c in unicodedata.normalize("NFD", s)
+                        if not unicodedata.combining(c))
+            out.append(ws.sub(" ", s.lower()).strip())
+        return pa.table(
+            {id_col: batch.column(id_col),
+             "norm_text": pa.array(out, type=pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

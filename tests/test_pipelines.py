@@ -1941,3 +1941,55 @@ def test_bm25f_field_weighting_and_edges(ray_session):
         assert abs(out[d] - round(e, 6)) < 1e-9
     assert out[0] == out[1]          # w_title*1 == w_body*2, same wtf
     assert out[5] > out[0]           # more weighted tf, same dl~
+
+
+def test_batch_bm25_equals_interactive_searcher(ray_session, tmp_path):
+    """Query-log replay through the actor pool returns, per query,
+    exactly the interactive Searcher's top-k; unmatched queries emit
+    zero rows."""
+    from rse_ray.pipelines.docsearch import (batch_bm25_topk,
+                                             bm25_documents,
+                                             documents_index)
+
+    sf = tmp_path / "sfbatch"
+    sf.mkdir()
+    texts = ["car auto bike", "auto auto train", "bike train car",
+             "car car boat", "boat zebra", "train train train"]
+    pd.DataFrame({
+        "doc_id": pd.array(range(len(texts)), dtype="int64"),
+        "text": texts,
+    }).to_parquet(sf / "documents.parquet")
+    documents_index(str(sf))  # shared cache for both paths
+
+    queries = ["car train", "auto", "missingterm"]
+    out = batch_bm25_topk(str(sf), queries, k=3,
+                          batch_size=2).to_pandas()
+    assert set(out["query_id"]) == {0, 1}  # query 2 matched nothing
+    for qid, q in enumerate(queries[:2]):
+        got = out[out["query_id"] == qid].sort_values(
+            ["score", "doc_id"], ascending=[False, True])
+        want = bm25_documents(str(sf), q, k=3)
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["score"]) == list(want["score"])
+
+
+def test_normalize_text_unicode_and_whitespace(ray_session):
+    """NFC + accent strip + lower + whitespace collapse; null text
+    stays null."""
+    import ray.data
+
+    from rse_ray.pipelines.text import normalize_text
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2, 3], dtype="int64"),
+        "text": ["Café  RÉSUMÉ",   # decomposed accents
+                 "\tÅngström naïve  x ",
+                 None,
+                 "  already clean  "],
+    })
+    out = normalize_text(ray.data.from_pandas(docs)).to_pandas() \
+        .set_index("doc_id")["norm_text"]
+    assert out[0] == "cafe resume"
+    assert out[1] == "angstrom naive x"
+    assert out[2] is None or pd.isna(out[2])
+    assert out[3] == "already clean"
