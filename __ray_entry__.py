@@ -225,6 +225,16 @@ def _q_bm25_topk_distributed(sf_dir: str):
     return _finalize(bm25_documents_distributed(sf_dir, BM25_QUERY, k=20))
 
 
+LM_MU = 2000.0
+
+
+def _q_lm_dirichlet_scores(sf_dir: str):
+    from rse_ray.pipelines.docsearch import lm_dirichlet_documents
+
+    return _finalize(lm_dirichlet_documents(
+        sf_dir, BM25_QUERY, k=None, mu=LM_MU))
+
+
 def _q_bm25_synonyms(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_documents_synonyms
 
@@ -985,6 +995,14 @@ def _q_approx_ndistinct_users(sf_dir: str):
         _read(sf_dir, "events", ["user_id"]), col="user_id"))
 
 
+def _q_approx_ndistinct_by_type(sf_dir: str):
+    from rse_ray.pipelines.sketch import approx_ndistinct_by
+
+    return _finalize(approx_ndistinct_by(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        group="event_type", col="user_id"))
+
+
 HEAVY_HITTER_MIN_COUNT = 200
 
 
@@ -1111,6 +1129,31 @@ def _q_event_pivot(sf_dir: str):
 
     return _finalize(pivot_counts(
         _read(sf_dir, "events", ["user_id", "event_type"])))
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_event_unpivot(sf_dir: str):
+    """PIVOT -> UNPIVOT round trip: the wide per-user count table back
+    to tidy (user_id, event_type, n) — zero rows for declared-but-
+    absent combos survive, which is what distinguishes UNPIVOT of a
+    schema from a plain GROUP BY."""
+    from rse_ray.pipelines.relational import pivot_counts, unpivot
+
+    pv = pivot_counts(_read(sf_dir, "events", ["user_id", "event_type"]))
+    return _finalize(unpivot(
+        pv, id_cols=["user_id"],
+        value_cols={f"n_{v}": v for v in PIVOT_TYPES},
+        var_name="event_type", value_name="n"))
+
+
+def _q_rank_funcs(sf_dir: str):
+    from rse_ray.pipelines.relational import group_rank_funcs
+
+    return _finalize(group_rank_funcs(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        group="lang", order="n_chars", key="doc_id", descending=True))
 
 
 def _q_profile_events(sf_dir: str):
@@ -1715,6 +1758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonyms": _q_bm25_synonyms,
         "suggest_terms": _q_suggest_terms,
         "bm25f_scores": _q_bm25f_scores,
+        "lm_dirichlet_scores": _q_lm_dirichlet_scores,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "normalize_text": _q_normalize_text,
         # text analysis (training-data ops)
@@ -1793,6 +1837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,
+        "approx_ndistinct_by_type": _q_approx_ndistinct_by_type,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "video_frame_sample": _q_video_frame_sample,
         "image_resize": _q_image_resize,
@@ -1806,6 +1851,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "profile_events": _q_profile_events,
         "event_type_pivot": _q_event_pivot,
+        "event_type_unpivot": _q_event_unpivot,
+        "rank_funcs": _q_rank_funcs,
         "pretrain_pack": _q_pretrain_pack,
         "dense_window_agg": _q_dense_window_agg,
         "doc_chunks": _q_doc_chunks,
@@ -1829,7 +1876,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rse_ray.pipelines.sketch import hll_oracle_sql
+    from rse_ray.pipelines.sketch import (hll_group_oracle_sql,
+                                          hll_oracle_sql)
 
     sql = {
         "doc_token_stats": _TOKS + """
@@ -1865,6 +1913,25 @@ SELECT count(*)::BIGINT AS n_hits FROM scores""",
         "bm25_topk_distributed": _BM25_CTES + """
 SELECT doc_id, round(raw, 6) AS score FROM scores
 ORDER BY raw DESC, doc_id LIMIT 20""",
+        # Dirichlet query-likelihood: every >=1-term candidate pays
+        # each query term's smoothed contribution (tf=0 via the LEFT
+        # JOIN) — the per-doc dl coupling BM25's per-posting sum lacks
+        "lm_dirichlet_scores": _TOKS + f""",
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+tot AS (SELECT sum(dl)::DOUBLE AS t FROM dl),
+q(term, qtf) AS (VALUES {BM25_QUERY_SQL_TERMS}),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM p GROUP BY 1),
+cand AS (SELECT DISTINCT p.doc_id FROM p JOIN q USING (term)),
+scores AS (
+  SELECT cand.doc_id,
+         sum(q.qtf * ln((coalesce(pp.tf, 0) + {LM_MU!r} * cf.cf / tot.t)
+                        / (dl.dl + {LM_MU!r}))) AS raw
+  FROM cand CROSS JOIN q JOIN cf ON cf.term = q.term
+       LEFT JOIN p pp ON pp.doc_id = cand.doc_id AND pp.term = q.term
+       JOIN dl ON dl.doc_id = cand.doc_id CROSS JOIN tot
+  GROUP BY 1)
+SELECT doc_id, round(raw, 6) AS score FROM scores""",
         # synonym expansion = the standard BM25 CTE over the EXPANDED
         # (term, qtf) list; 'seek' (df 0) drops out via the df join
         "bm25_synonyms": _BM25_CTES_TMPL.format(terms=SYN_SQL_TERMS) + """
@@ -2570,6 +2637,8 @@ FROM documents d LEFT JOIN b USING (doc_id) LEFT JOIN tt USING (doc_id)""",
         # same corrections, so the ESTIMATE matches exactly, not just
         # approximately
         "approx_ndistinct_users": hll_oracle_sql("user_id", "events"),
+        "approx_ndistinct_by_type": hll_group_oracle_sql(
+            "event_type", "user_id", "events"),
         "video_frame_sample": """
 SELECT media_id, frame_idx, n_values, v_mean, v_std, v_min, v_max,
        width, height
@@ -2681,6 +2750,34 @@ SELECT user_id,
        count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
        count(*) FILTER (event_type = 'view')::BIGINT AS n_view
 FROM events GROUP BY 1""",
+        # PIVOT -> UNPIVOT round trip: ANSI form (declared-label cross
+        # join + CASE pick) so declared-but-absent combos keep their
+        # zero rows, exactly like the operator
+        "event_type_unpivot": """
+WITH pv AS (
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_view
+FROM events GROUP BY 1),
+m(name) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'),
+                   ('view'))
+SELECT pv.user_id, m.name AS event_type,
+       CASE m.name WHEN 'click' THEN n_click WHEN 'error' THEN n_error
+            WHEN 'purchase' THEN n_purchase WHEN 'signup' THEN n_signup
+            ELSE n_view END AS n
+FROM pv CROSS JOIN m""",
+        # ranking window-function family over the (group, value)
+        # histogram — ties share ranks exactly as the SQL definitions
+        "rank_funcs": """
+SELECT doc_id, lang, n_chars,
+       rank() OVER w AS "rank", dense_rank() OVER w AS dense_rank,
+       round(percent_rank() OVER w, 6) AS percent_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC)""",
         # long-format column profile; min/max only for numerics
         "profile_events": """
 SELECT 'event_id' AS "column",

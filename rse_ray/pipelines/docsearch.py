@@ -382,6 +382,29 @@ def bm25_documents(sf_dir: str, query: str, k: int | None = None,
     )
 
 
+def lm_dirichlet_documents(sf_dir: str, query: str,
+                           k: int | None = None, *, mu: float = 2000.0,
+                           stem: bool = False,
+                           round_to: int = 6) -> pd.DataFrame:
+    """-> (doc_id, score) under the Dirichlet-smoothed query-likelihood
+    model (Searcher.search_lm) over the same on-disk index BM25 serves
+    from — retrieval-model breadth on one index, not a second index.
+    k=None scores every candidate (the oracle-gate shape)."""
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=stem)
+    s = Searcher(index_dir)
+    hits = s.search_lm(query, k=k, mu=mu)
+    rows = hydrate_urls(index_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            "score": [round(score, round_to) for _, score, _ in rows],
+        }
+    )
+
+
 def bm25_documents_synonyms(sf_dir: str, query: str,
                             synonyms: dict[str, list[str]], k: int = 20,
                             *, stem: bool = False,

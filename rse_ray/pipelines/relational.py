@@ -1635,3 +1635,105 @@ def snapshot_diff(old_ds, new_ds, *, key: str = "doc_id",
     # of a partition in one vectorized call (a per-key map_groups would
     # schedule one task per document)
     return both.groupby("part").map_groups(classify, batch_format="pandas")
+
+
+def group_rank_funcs(ds, *, group: str, order: str, key: str,
+                     descending: bool = True, round_to: int = 6,
+                     max_rank_table: int = 50_000_000):
+    """SQL ranking window functions per partition — RANK(),
+    DENSE_RANK(), PERCENT_RANK(), CUME_DIST() OVER (PARTITION BY
+    ``group`` ORDER BY ``order`` [DESC]) — without sorting the rows.
+
+    Rank functions depend only on each row's (group, order-VALUE), so
+    the all-to-all this operator pays is a groupby over the
+    pre-aggregated (group, value, count) histogram — never the rows.
+    The per-value rank table (rank = 1 + #better rows, dense = 1 +
+    #better values, percent_rank = (rank-1)/(n-1), cume_dist =
+    #rows-at-or-better / n, ties sharing ranks exactly as SQL defines
+    them) is computed once on the driver, broadcast via ``ray.put``,
+    and merged back per batch — rows gain four columns in place.
+
+    Scale shape: |distinct (group, value)| bounds the shuffle and the
+    broadcast; for bounded-cardinality orders (lengths, binned scores)
+    that stays broadcastable at 10^12 rows. For unbounded float orders
+    use the sort-based ``global_rank`` instead — this operator raises
+    past ``max_rank_table`` distinct pairs rather than degrade
+    silently. Null/NaN order values have no total order and are
+    rejected, matching ``global_rank``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({group: batch.column(group),
+                      order: batch.column(order),
+                      "c": pa.array(np.ones(batch.num_rows,
+                                            dtype=np.int64))}) \
+            .group_by([group, order]).aggregate([("c", "sum")])
+        return g.rename_columns([group, order, "c"])
+
+    counts = ds.select_columns([group, order]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([group, order]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+    if len(counts) > max_rank_table:
+        raise ValueError(
+            f"group_rank_funcs: rank table has {len(counts)} distinct "
+            f"(group, value) pairs (> {max_rank_table}); use "
+            f"global_rank for unbounded orders")
+    if counts[group].isna().any() or counts[order].isna().any():
+        raise ValueError(
+            f"group_rank_funcs: null values in {group!r}/{order!r} "
+            f"have no total order; filter or impute them first")
+
+    counts = counts.sort_values([group, order],
+                                ascending=[True, not descending],
+                                kind="mergesort").reset_index(drop=True)
+    grp = counts.groupby(group, sort=False)
+    cum = grp["c"].cumsum()
+    n_g = grp["c"].transform("sum").to_numpy(dtype=np.float64)
+    before = (cum - counts["c"]).to_numpy(dtype=np.int64)
+    rank = before + 1
+    dense = grp.cumcount().to_numpy(dtype=np.int64) + 1
+    pct = np.where(n_g > 1, before / np.maximum(n_g - 1, 1), 0.0)
+    cume = cum.to_numpy(dtype=np.float64) / n_g
+    table = pd.DataFrame({
+        group: counts[group], order: counts[order],
+        "rank": rank, "dense_rank": dense,
+        "percent_rank": np.round(pct, round_to),
+        "cume_dist": np.round(cume, round_to),
+    })
+    ref = ray.put(table)
+
+    def attach(batch: pa.Table) -> pd.DataFrame:
+        t = ray.get(ref)
+        df = batch.select([key, group, order]).to_pandas()
+        return df.merge(t, on=[group, order], how="left")
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def unpivot(ds, *, id_cols: list[str], value_cols: dict[str, str],
+            var_name: str = "name", value_name: str = "value"):
+    """UNPIVOT / melt: one output row per (input row, value column),
+    with ``var_name`` holding the column's label (``value_cols`` maps
+    column -> emitted label) and ``value_name`` its value. The inverse
+    of ``pivot_counts`` — wide partials back to the tidy long format.
+
+    Scale shape: per-batch flat transform, no shuffle; output is
+    |value_cols| stacked zero-copy column selections per batch."""
+    cols = dict(value_cols)
+    if not cols:
+        raise ValueError("unpivot: value_cols is empty")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = []
+        for c, label in cols.items():
+            out = {ic: batch.column(ic) for ic in id_cols}
+            out[var_name] = pa.array(
+                np.full(n, label, dtype=object), type=pa.string())
+            out[value_name] = batch.column(c)
+            parts.append(pa.table(out))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -580,6 +580,60 @@ class Searcher:
         m = self._keep_mask(ids)
         return int(len(ids) if m is None else m.sum())
 
+    def search_lm(self, query: str, k: int | None = None, *,
+                  mu: float = 2000.0):
+        """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+        Lafferty 2004; mu=2000 is the classic default) — the standard
+        alternative to BM25 served from the SAME index arrays:
+
+            score(d) = sum_t qtf_t * ln((tf_td + mu*cf_t/T)
+                                        / (dl_d + mu))
+
+        over candidates = docs matching >= 1 query term, where cf_t is
+        the term's collection frequency (sum of tf over its full
+        posting list) and T the corpus token count (stats.json). Docs
+        lacking a term still pay its smoothed tf=0 contribution — the
+        per-doc dl coupling that makes LM scoring different from a
+        per-posting accumulate. Scores are negative log-likelihoods;
+        ranking is (score desc, doc_id asc). Tombstoned docs are
+        masked from candidates; cf/T stay full-corpus (idf-analog
+        stays stable under deletes, same policy as BM25's df)."""
+        T = float(self.reader.stats["num_tokens"])
+        posts = []
+        for term, qtf in _query_weights(query, self.stem):
+            got = self.reader.postings(term)
+            if got is None:
+                continue
+            ids, tfs, dls, _df = got
+            posts.append((qtf, ids, tfs, dls, float(tfs.sum())))
+        if not posts or T <= 0:
+            return []
+        cand = np.unique(np.concatenate([p[1] for p in posts]))
+        m = self._keep_mask(cand)
+        if m is not None:
+            cand = cand[m]
+        if not len(cand):
+            return []
+
+        def rows_in_cand(ids):
+            r = np.searchsorted(cand, ids)
+            ok = r < len(cand)
+            ok[ok] = cand[r[ok]] == ids[ok]
+            return r, ok
+
+        dl = np.zeros(len(cand), dtype=np.float64)
+        for _, ids, _, dls, _ in posts:
+            r, ok = rows_in_cand(ids)
+            dl[r[ok]] = dls[ok]
+        score = np.zeros(len(cand), dtype=np.float64)
+        denom = dl + mu
+        for qtf, ids, tfs, _, cf in posts:
+            tf_vec = np.zeros(len(cand), dtype=np.float64)
+            r, ok = rows_in_cand(ids)
+            tf_vec[r[ok]] = tfs[ok]
+            score += qtf * np.log((tf_vec + mu * (cf / T)) / denom)
+        return _rank_topk(cand, score, k if k is not None else len(cand))
+
     def search_after(self, query: str, k: int = 10, after=None):
         """Cursor pagination (Lucene search_after): return the next
         ``k`` hits STRICTLY after the ``after`` cursor — a

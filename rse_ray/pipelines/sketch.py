@@ -188,3 +188,67 @@ def heavy_hitters(ds, *, text_col: str = "text", min_count: int,
         .reset_index(drop=True)
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def approx_ndistinct_by(ds, *, group: str, col: str):
+    """Per-group HyperLogLog distinct-count: one row per ``group``
+    value (group, est_ndistinct DOUBLE rounded 6dp) — COUNT(DISTINCT
+    col) GROUP BY group without ever shuffling the values.
+
+    Scale shape: each batch emits one 4 KiB register sketch PER GROUP
+    PRESENT IN THE BATCH (bounded by |groups| x |batches|); the only
+    all-to-all is a groupby over those sketches, folded per group by
+    elementwise max in ``map_groups``. Mergeable and
+    partitioning-independent, so the estimate — like the global
+    ``approx_ndistinct`` — is byte-identical on any cluster size and
+    exactly reproducible by the SQL twin ``hll_group_oracle_sql``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gv = batch.column(group).to_numpy(zero_copy_only=False)
+        h = _md5_u64(batch.column(col).to_pylist())
+        groups, regs = [], []
+        for g in pd.unique(gv):
+            groups.append(g)
+            regs.append(_hll_registers(h[gv == g]).tobytes())
+        return pa.table({group: pa.array(groups),
+                         "reg": pa.array(regs, type=pa.binary())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        reg = np.zeros(HLL_M, dtype=np.uint8)
+        for b in g["reg"]:
+            reg = np.maximum(reg, np.frombuffer(b, dtype=np.uint8))
+        return pd.DataFrame({
+            group: [g[group].iloc[0]],
+            "est_ndistinct": [round(_hll_estimate(reg), 6)]})
+
+    return ds.select_columns([group, col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(group).map_groups(fold, batch_format="pandas")
+
+
+def hll_group_oracle_sql(group_expr: str, col_expr: str,
+                         table: str) -> str:
+    """Exact SQL twin of approx_ndistinct_by — the global oracle's
+    pipeline with every stage keyed by the group column."""
+    w = 64 - HLL_P
+    return f"""
+WITH h AS (SELECT {group_expr} AS grp,
+                  md5_number_lower(CAST({col_expr} AS VARCHAR))::UBIGINT
+                      AS hv FROM {table}),
+lo AS (SELECT grp, hv >> {w} AS idx, hv & {(1 << w) - 1} AS x FROM h),
+r AS (SELECT grp, idx,
+             CASE WHEN x = 0 THEN {w + 1}
+                  ELSE (log2((x - (x & (x - 1)))::DOUBLE))::INT + 1
+             END AS rank
+      FROM lo),
+m AS (SELECT grp, idx, max(rank) AS mr FROM r GROUP BY grp, idx),
+s AS (SELECT grp, count(*)::BIGINT AS nidx,
+             sum(power(2.0, -mr))::DOUBLE AS ssum FROM m GROUP BY grp),
+raw AS (SELECT grp, nidx,
+        CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}e0 * {HLL_M}e0
+            / (ssum + ({HLL_M} - nidx)) AS e0 FROM s),
+est AS (SELECT grp, CASE
+    WHEN e0 <= 2.5e0 * {HLL_M} AND nidx < {HLL_M}
+    THEN {HLL_M}e0 * ln({HLL_M}e0 / ({HLL_M} - nidx))
+    ELSE e0 END AS e FROM raw)
+SELECT grp AS {group_expr}, round(e, 6) AS est_ndistinct FROM est"""

@@ -1993,3 +1993,110 @@ def test_normalize_text_unicode_and_whitespace(ray_session):
     assert out[1] == "angstrom naive x"
     assert out[2] is None or pd.isna(out[2])
     assert out[3] == "already clean"
+
+
+def test_rank_funcs_ties_and_null_rejection(ray_session):
+    """RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST share ranks across ties
+    exactly as SQL defines them; a single-row group pins percent_rank
+    to 0; null order values are refused (no total order)."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import group_rank_funcs
+
+    df = pd.DataFrame({
+        "k": [1, 2, 3, 4, 5],
+        "g": ["a", "a", "a", "a", "b"],
+        "v": [10, 10, 7, 5, 3],
+    })
+    got = group_rank_funcs(ray.data.from_pandas(df), group="g",
+                           order="v", key="k").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert got["rank"].tolist() == [1, 1, 3, 4, 1]
+    assert got["dense_rank"].tolist() == [1, 1, 2, 3, 1]
+    assert got["percent_rank"].tolist() == [0.0, 0.0, round(2 / 3, 6),
+                                            1.0, 0.0]
+    assert got["cume_dist"].tolist() == [0.5, 0.5, 0.75, 1.0, 1.0]
+
+    bad = df.copy()
+    bad.loc[2, "v"] = np.nan
+    with pytest.raises(ValueError, match="null"):
+        group_rank_funcs(ray.data.from_pandas(bad), group="g",
+                         order="v", key="k").to_pandas()
+
+
+def test_unpivot_round_trip_keeps_zero_rows(ray_session):
+    """unpivot(pivot(x)) emits a row for every declared label per key —
+    including zero counts a GROUP BY would never produce."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import pivot_counts, unpivot
+
+    ev = pd.DataFrame({"user_id": [1, 1, 2],
+                       "event_type": ["click", "click", "view"]})
+    pv = pivot_counts(ray.data.from_pandas(ev))
+    up = unpivot(pv, id_cols=["user_id"],
+                 value_cols={f"n_{v}": v for v in
+                             ("click", "error", "purchase", "signup",
+                              "view")},
+                 var_name="event_type", value_name="n").to_pandas()
+    assert len(up) == 10  # 2 users x 5 declared labels
+    got = up.set_index(["user_id", "event_type"])["n"]
+    assert got[(1, "click")] == 2 and got[(2, "view")] == 1
+    assert got[(1, "purchase")] == 0 and got[(2, "error")] == 0
+
+
+def test_approx_ndistinct_by_matches_global_per_group(ray_session):
+    """Per-group HLL == running the global estimator on each group's
+    rows alone (mergeable partials are partitioning-independent), and
+    at fixture scale the estimate is within 5% of exact."""
+    import ray.data
+
+    from rse_ray.pipelines.sketch import approx_ndistinct, approx_ndistinct_by
+
+    ev = _read("events", ["event_type", "user_id"])
+    got = approx_ndistinct_by(ev, group="event_type",
+                              col="user_id").to_pandas() \
+        .set_index("event_type")["est_ndistinct"]
+    pdf = pd.read_parquet(f"{SF}/events.parquet",
+                          columns=["event_type", "user_id"])
+    for et, sub in pdf.groupby("event_type"):
+        solo = approx_ndistinct(
+            ray.data.from_pandas(sub[["user_id"]]), col="user_id")
+        assert got[et] == solo["est_ndistinct"].iloc[0]
+        exact = sub["user_id"].nunique()
+        assert abs(got[et] - exact) / exact < 0.05
+
+
+def test_lm_dirichlet_brute_force_equivalence(ray_session, duck):
+    """search_lm reproduces the definitional score: for every candidate
+    doc, sum over query terms of qtf*ln((tf + mu*cf/T)/(dl + mu)),
+    computed here by brute force over the raw tokenized corpus."""
+    import math
+
+    from rse_ray.functions.tokenizer import tokenize
+    from rse_ray.pipelines.docsearch import lm_dirichlet_documents
+
+    query, mu = "spark window merge window", 500.0
+    got = lm_dirichlet_documents(SF, query, k=None, mu=mu) \
+        .set_index("doc_id")["score"]
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = {r.doc_id: tokenize(r.text, stem=False)
+            for r in docs.itertuples()}
+    T = sum(len(t) for t in toks.values())
+    qtf: dict[str, int] = {}
+    for t in tokenize(query, stem=False):
+        qtf[t] = qtf.get(t, 0) + 1
+    cf = {t: sum(ts.count(t) for ts in toks.values()) for t in qtf}
+    want = {}
+    for did, ts in toks.items():
+        if not any(t in ts for t in qtf):
+            continue
+        s = sum(w * math.log((ts.count(t) + mu * cf[t] / T)
+                             / (len(ts) + mu))
+                for t, w in qtf.items() if cf[t] > 0)
+        want[did] = round(s, 6)
+    assert len(got) == len(want)
+    for did, s in want.items():
+        assert got[did] == pytest.approx(s, abs=2e-6)
