@@ -912,6 +912,43 @@ def _q_pattern_scan(sf_dir: str):
         patterns=SCAN_PATTERNS, redact=True))
 
 
+# 40-merge BPE vocabulary trained once on the sf0.001 documents fixture
+# (bpe_train, deterministic: exact counts + lexicographic tie-break).
+# Pinned so bpe_token_counts stays a FIXED-parameter operator the SQL
+# twin can replay via chained replaces; the trainer itself is gated by
+# bpe_train (rows-only here, exact-equality pytest oracles vs a
+# recount-from-scratch reference and across shard counts).
+BPE_PINNED_MERGES = (
+    ('e', 'r'), ('o', 'r'), ('i', 'n'), ('o', 'w'),
+    ('s', 't'), ('l', 'u'), ('a', 'r'), ('p', 'ar'),
+    ('m', 'er'), ('a', 't'), ('a', 'n'), ('c', 'an'),
+    ('s', 'can'), ('c', 'o'), ('co', 'lu'), ('colu', 'm'),
+    ('colum', 'n'), ('d', 'ow'), ('in', 'dow'), ('w', 'indow'),
+    ('d', 'er'), ('or', 'der'), ('or', 't'), ('s', 'ort'),
+    ('par', 't'), ('u', 'p'), ('a', 'g'), ('ag', 'g'),
+    ('a', 'lu'), ('alu', 'e'), ('v', 'alue'), ('in', 'e'),
+    ('l', 'ine'), ('e', 'y'), ('k', 'ey'), ('j', 'o'),
+    ('jo', 'in'), ('g', 'e'), ('mer', 'ge'), ('er', 'y'),
+)
+BPE_NUM_MERGES = 40
+
+
+def _q_bpe_train(sf_dir: str):
+    from rse_ray.pipelines.bpe import bpe_train
+
+    return _finalize(bpe_train(
+        _read(sf_dir, "documents", ["text"]),
+        num_merges=BPE_NUM_MERGES))
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    from rse_ray.pipelines.bpe import bpe_encode_counts
+
+    return _finalize(bpe_encode_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        list(BPE_PINNED_MERGES)))
+
+
 STRAT_RATES = {"en": 300, "fr": 800}
 STRAT_DEFAULT = 500
 
@@ -1825,6 +1862,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_counts": _q_skipgram_counts,
         "pmi_topk": _q_pmi_topk,
         "epoch_shuffle": _q_epoch_shuffle,
+        "bpe_train": _q_bpe_train,
+        "bpe_token_counts": _q_bpe_token_counts,
         "decontaminate": _q_decontaminate,
         "dup_spans": _q_dup_spans,
         "dup_span_stats": _q_dup_span_stats,
@@ -1876,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from rse_ray.pipelines.bpe import bpe_encode_oracle_sql
     from rse_ray.pipelines.sketch import (hll_group_oracle_sql,
                                           hll_oracle_sql)
 
@@ -2636,6 +2676,12 @@ FROM documents d LEFT JOIN b USING (doc_id) LEFT JOIN tt USING (doc_id)""",
         # (pipelines/sketch.hll_oracle_sql) — same hash, same rank,
         # same corrections, so the ESTIMATE matches exactly, not just
         # approximately
+        # BPE encode under the pinned merge list: one chained
+        # non-overlapping replace per merge over double-space-joined
+        # symbols == the left-to-right greedy merge pass (equivalence
+        # argument in rse_ray/pipelines/bpe.py)
+        "bpe_token_counts": bpe_encode_oracle_sql(
+            list(BPE_PINNED_MERGES)),
         "approx_ndistinct_users": hll_oracle_sql("user_id", "events"),
         "approx_ndistinct_by_type": hll_group_oracle_sql(
             "event_type", "user_id", "events"),

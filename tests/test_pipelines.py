@@ -2100,3 +2100,87 @@ def test_lm_dirichlet_brute_force_equivalence(ray_session, duck):
     assert len(got) == len(want)
     for did, s in want.items():
         assert got[did] == pytest.approx(s, abs=2e-6)
+
+
+def _bpe_reference_train(word_freq: dict, n: int):
+    """Recount-from-scratch BPE trainer — the obviously-correct oracle
+    for the incremental distributed trainer: same counting convention
+    (every adjacent occurrence), same tie-break (max count, then
+    lexicographically smallest pair), same greedy rewrite."""
+    from rse_ray.pipelines.bpe import _merge_word
+
+    syms = {w: tuple(w) for w in word_freq}
+    merges = []
+    for rank in range(n):
+        pc: dict = {}
+        for w, f in word_freq.items():
+            s = syms[w]
+            for p in zip(s, s[1:]):
+                pc[p] = pc.get(p, 0) + f
+        live = [(c, p) for p, c in pc.items() if c > 0]
+        if not live:
+            break
+        best = max(c for c, _ in live)
+        pair = min(p for c, p in live if c == best)
+        merges.append((rank, pair[0], pair[1], best))
+        for w in word_freq:
+            syms[w] = _merge_word(syms[w], pair)
+    return merges, syms
+
+
+def test_bpe_train_matches_reference_and_shard_counts(ray_session):
+    """The incremental actor-sharded trainer produces the EXACT merge
+    list (pairs, ranks, selection counts) of a recount-from-scratch
+    reference, and the list is identical at 2 and 5 shards — exact
+    global counts make the algorithm partitioning-independent."""
+    from collections import Counter
+
+    from rse_ray.pipelines.bpe import _words_of, bpe_train
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    wf: Counter = Counter()
+    for t in docs["text"]:
+        wf.update(_words_of(t))
+    want, _ = _bpe_reference_train(wf, 40)
+
+    ds = _read("documents", ["doc_id", "text"])
+    for shards in (2, 5):
+        got = bpe_train(ds, num_merges=40, num_shards=shards)
+        rows = list(zip(got["rank"], got["left"], got["right"],
+                        got["pair_count"]))
+        assert rows == want, f"shards={shards}"
+
+
+def test_bpe_encode_counts_matches_reference(ray_session, duck):
+    """Pipeline encode under a trained merge list == summing the
+    reference's final symbol lengths per document; with zero merges the
+    count degenerates to the raw character count of the words."""
+    from collections import Counter
+
+    from rse_ray.pipelines.bpe import (_words_of, bpe_encode_counts,
+                                       encode_word)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    wf: Counter = Counter()
+    for t in docs["text"]:
+        wf.update(_words_of(t))
+    merges, _ = _bpe_reference_train(wf, 30)
+    pairs = [(m[1], m[2]) for m in merges]
+
+    ds = _read("documents", ["doc_id", "text"])
+    got = bpe_encode_counts(ds, pairs).to_pandas() \
+        .set_index("doc_id")["n_tokens_bpe"]
+    want = {}
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        ws = _words_of(t)
+        if ws:
+            want[did] = sum(len(encode_word(w, pairs)) for w in ws)
+    assert dict(got) == want
+
+    plain = bpe_encode_counts(ds, []).to_pandas() \
+        .set_index("doc_id")["n_tokens_bpe"]
+    raw = {did: sum(len(w) for w in _words_of(t))
+           for did, t in zip(docs["doc_id"], docs["text"])
+           if _words_of(t)}
+    assert dict(plain) == raw
