@@ -454,6 +454,17 @@ def _q_centroids(sf_dir: str):
                                            ["vec_id", "embedding", "label"])))
 
 
+KMEANS_K, KMEANS_ITERS = 4, 3
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    from rse_ray.pipelines.ann import kmeans_fit_predict
+
+    return _finalize(kmeans_fit_predict(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=KMEANS_K, iters=KMEANS_ITERS))
+
+
 def _q_cos_neardup(sf_dir: str):
     from rse_ray.pipelines.ann import cosine_neardup_pairs
 
@@ -1820,6 +1831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf": _q_ivf_knn,
         "knn_cosine_ivf_exact": _q_ivf_knn_exact,
         "embedding_centroids": _q_centroids,
+        "kmeans_clusters": _q_kmeans_clusters,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
         "pricing_summary": _q_pricing,
@@ -1915,6 +1927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from rse_ray.pipelines.ann import kmeans_oracle_sql
     from rse_ray.pipelines.bpe import bpe_encode_oracle_sql
     from rse_ray.pipelines.sketch import (hll_group_oracle_sql,
                                           hll_oracle_sql)
@@ -2145,6 +2158,10 @@ QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY raw DESC, neighbor_id) <= 10""".format(
             ids=", ".join(str(i) for i in KNN_QUERY_IDS)
         ),
+        # full Lloyd k-means, SQL-unrolled: md5-twin init, argmin via
+        # QUALIFY, per-iteration centroid rounding pins the fp state
+        "kmeans_clusters": kmeans_oracle_sql(
+            k=KMEANS_K, iters=KMEANS_ITERS, dim=64),
         "embedding_centroids": """
 WITH x AS (SELECT label, unnest(range(1, 65))::BIGINT AS dim,
                   unnest(CAST(embedding AS DOUBLE[])) AS v

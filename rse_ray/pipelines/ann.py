@@ -744,3 +744,140 @@ def embedding_covariance(ds, *, vec_col: str = "embedding",
                         "j": sq["j"].to_numpy(),
                         "cov": np.round(cov.to_numpy(), round_to)})
     return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def kmeans_fit_predict(ds, *, k: int = 4, iters: int = 3,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       round_to: int = 9):
+    """Distributed Lloyd k-means over the embedding column ->
+    (vec_id, cluster), fully deterministic and SQL-replayable
+    (kmeans_oracle_sql):
+
+      * init: the ``k`` vectors with smallest (md5-twin(vec_id),
+        vec_id) — content-determined sampling (the IVF quantizer-
+        training rule), never the corpus head, reproducible as an
+        ORDER BY in SQL.
+      * each iteration: ONE streaming pass — centroids broadcast via
+        ``ray.put``, every batch assigns with a vectorized (x-c)^2
+        distance and emits k partial (sum_vec, count) rows; the driver
+        folds O(batches x k) partials and rounds new centroids to
+        ``round_to`` dp. The rounding is part of the contract: it pins
+        the fp state both engines iterate from, so summation-order
+        noise (~1e-16) cannot compound across iterations. Empty
+        clusters keep their previous centroid.
+      * final pass: assignment only. Ties (equidistant centroids) go
+        to the lowest cluster id on both sides.
+
+    Scale shape: per-iteration traffic is k x dim doubles down
+    (broadcast) and k x dim per batch up — never the vectors; the
+    projected input is materialized once and re-streamed per
+    iteration."""
+    import ray
+
+    from rse_ray.pipelines.sketch import _md5_u64
+
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        h = _md5_u64(ids)
+        take = np.lexsort((ids, h))[:k]
+        return pa.table({
+            "h": pa.array(h[take].astype(np.uint64)),
+            "id": pa.array(ids[take].astype(np.int64)),
+            "v": pa.array(list(mat[take])),
+        })
+
+    cand = proj.map_batches(candidates, batch_format="pyarrow") \
+        .to_pandas()  # <= k rows per batch
+    cand = cand.sort_values(["h", "id"]).head(k)
+    if len(cand) < k:
+        raise ValueError(f"kmeans: k={k} but only {len(cand)} vectors")
+    C = np.round(np.stack(cand["v"].to_numpy()).astype(np.float64),
+                 round_to)
+
+    def assign(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1)  # argmin takes the FIRST minimum
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cent = ray.get(ref)
+            _, mat = _batch_matrix(batch)
+            a = assign(mat, cent)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, a, mat)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cid": pa.array(np.arange(k, dtype=np.int64)),
+                "n": pa.array(counts),
+                "s": pa.array(list(sums)),
+            })
+
+        parts = proj.map_batches(partial, batch_format="pyarrow") \
+            .to_pandas()
+        newC = C.copy()
+        for cid in range(k):
+            rows = parts[parts["cid"] == cid]
+            n = int(rows["n"].sum())
+            if n:
+                s = np.sum(np.stack(rows["s"].to_numpy()), axis=0)
+                newC[cid] = np.round(s / n, round_to)
+        C = newC
+
+    ref = ray.put(C)
+
+    def label(batch: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64)),
+            "cluster": pa.array(assign(mat, cent).astype(np.int64)),
+        })
+
+    return proj.map_batches(label, batch_format="pyarrow")
+
+
+def kmeans_oracle_sql(*, k: int = 4, iters: int = 3, dim: int = 64,
+                      table: str = "embeddings",
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      round_to: int = 9) -> str:
+    """Exact SQL twin of kmeans_fit_predict: the same md5-twin init
+    ORDER BY, one cross-join + QUALIFY argmin per assignment, per-dim
+    avg rebuilt into a centroid list (rounded like the engine), empty
+    clusters inherited via LEFT JOIN — unrolled ``iters`` times."""
+    init = f"""
+e AS (SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS ev
+      FROM {table}),
+c0 AS (SELECT row_number() OVER (
+                  ORDER BY md5_number_lower(CAST(vid AS VARCHAR)), vid)
+              - 1 AS cid,
+              list_transform(ev, x -> round(x, {round_to})) AS ce
+       FROM e
+       ORDER BY md5_number_lower(CAST(vid AS VARCHAR)), vid LIMIT {k})"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+a{i} AS (SELECT vid, ev, cid FROM (
+    SELECT e.vid, e.ev, c.cid,
+           row_number() OVER (PARTITION BY e.vid
+               ORDER BY list_distance(e.ev, c.ce), c.cid) AS rn
+    FROM e CROSS JOIN c{i} c) WHERE rn = 1),
+m{i} AS (SELECT cid, list(m ORDER BY dim) AS ce FROM (
+    SELECT cid, dim, round(avg(v), {round_to}) AS m FROM (
+        SELECT a.cid, unnest(range(1, {dim + 1})) AS dim,
+               unnest(a.ev) AS v
+        FROM a{i} a) GROUP BY cid, dim) GROUP BY cid),
+c{i + 1} AS (SELECT c.cid, coalesce(nm.ce, c.ce) AS ce
+             FROM c{i} c LEFT JOIN m{i} nm USING (cid))""")
+    final = f"""
+SELECT vid AS {id_col}, cid AS cluster FROM (
+    SELECT e.vid, c.cid,
+           row_number() OVER (PARTITION BY e.vid
+               ORDER BY list_distance(e.ev, c.ce), c.cid) AS rn
+    FROM e CROSS JOIN c{iters} c) WHERE rn = 1"""
+    return "WITH " + init + "," + ",".join(steps) + final

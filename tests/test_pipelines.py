@@ -2184,3 +2184,33 @@ def test_bpe_encode_counts_matches_reference(ray_session, duck):
            for did, t in zip(docs["doc_id"], docs["text"])
            if _words_of(t)}
     assert dict(plain) == raw
+
+
+def test_kmeans_separates_planted_blobs_and_is_partition_invariant(
+        ray_session):
+    """Lloyd k-means recovers two well-separated planted blobs (every
+    blob lands in one cluster), and the assignment is identical across
+    block counts — centroid rounding pins the fp state so the result
+    is partitioning-independent."""
+    import ray.data
+
+    from rse_ray.pipelines.ann import kmeans_fit_predict
+
+    rng = np.random.RandomState(7)
+    a = rng.normal(0.0, 0.05, size=(60, 8))
+    b = rng.normal(5.0, 0.05, size=(40, 8))
+    df = pd.DataFrame({
+        "vec_id": pd.array(range(100), dtype="int64"),
+        "embedding": [r.astype(np.float32).tolist() for r in
+                      np.concatenate([a, b])],
+    })
+    outs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = kmeans_fit_predict(ds, k=2, iters=4).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    lab = outs[0]["cluster"].to_numpy()
+    assert len(set(lab[:60])) == 1 and len(set(lab[60:])) == 1
+    assert lab[0] != lab[60]
