@@ -225,6 +225,25 @@ def _q_bm25_topk_distributed(sf_dir: str):
     return _finalize(bm25_documents_distributed(sf_dir, BM25_QUERY, k=20))
 
 
+def _q_retrieval_metrics(sf_dir: str):
+    from rse_ray.pipelines.docsearch import retrieval_metrics
+
+    return _finalize(retrieval_metrics(sf_dir, BATCH_QUERIES,
+                                       k=BATCH_K))
+
+
+# cumulative binary-relevance ideal DCG, injected into the SQL twin so
+# both engines divide by the SAME constants (see retrieval_metrics)
+def _idcg_values_sql(k: int) -> str:
+    import math
+
+    vals, acc = [(0, 0.0)], 0.0
+    for i in range(1, k + 1):
+        acc += 1.0 / math.log2(i + 1)
+        vals.append((i, acc))
+    return ", ".join(f"({m}, {v!r})" for m, v in vals)
+
+
 LM_MU = 2000.0
 
 
@@ -1808,6 +1827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_scores": _q_bm25f_scores,
         "lm_dirichlet_scores": _q_lm_dirichlet_scores,
         "batch_bm25_topk": _q_batch_bm25_topk,
+        "retrieval_metrics": _q_retrieval_metrics,
         "normalize_text": _q_normalize_text,
         # text analysis (training-data ops)
         "quality_scores": _q_quality,
@@ -2014,6 +2034,51 @@ scores AS (
 SELECT query_id, doc_id, round(raw, 6) AS score FROM scores
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY raw DESC, doc_id) <= {BATCH_K}""",
+        # search-quality eval: MRR / nDCG@k of the BM25 top-k against
+        # the conjunctive (all-terms) relevance set; ideal-DCG
+        # constants injected so both engines divide identically
+        "retrieval_metrics": _TOKS + f""",
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+s AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl
+      FROM dl),
+q(query_id, term, qtf) AS (VALUES {BATCH_QUERIES_SQL_TERMS}),
+d AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum(q.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             (p.tf * (1.2 + 1)) /
+             (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS raw
+  FROM p JOIN q USING (term) JOIN d USING (term)
+       JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY 1, 2),
+top AS (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY raw DESC, doc_id) AS rnk
+        FROM scores QUALIFY rnk <= {BATCH_K}),
+nt AS (SELECT query_id, count(*)::BIGINT AS n FROM q GROUP BY 1),
+rel AS (SELECT q.query_id, p.doc_id
+        FROM p JOIN q USING (term) JOIN nt ON nt.query_id = q.query_id
+        GROUP BY q.query_id, p.doc_id, nt.n
+        HAVING count(DISTINCT term) = nt.n),
+rc AS (SELECT query_id, count(*)::BIGINT AS r FROM rel GROUP BY 1),
+hits AS (SELECT t.query_id, t.rnk,
+                CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+         FROM top t LEFT JOIN rel ON rel.query_id = t.query_id
+                                 AND rel.doc_id = t.doc_id),
+agg AS (SELECT query_id,
+               1.0 / min(rnk) FILTER (WHERE rel = 1) AS mrr,
+               sum(1.0 / log2(rnk + 1)) FILTER (WHERE rel = 1) AS dcg
+        FROM hits GROUP BY 1),
+ideal(m, idcg) AS (VALUES {_idcg_values_sql(BATCH_K)})
+SELECT nt.query_id,
+       round(coalesce(agg.mrr, 0), 6) AS mrr,
+       round(CASE WHEN i.idcg > 0
+                  THEN coalesce(agg.dcg, 0) / i.idcg ELSE 0 END,
+             6) AS ndcg
+FROM nt LEFT JOIN agg USING (query_id)
+     LEFT JOIN rc USING (query_id)
+     JOIN ideal i ON i.m = least({BATCH_K}, coalesce(rc.r, 0))""",
         # unicode cleanup over the planted-accent corpus (see
         # _q_normalize_text); nfc_normalize/strip_accents parity with
         # unicodedata verified over composed/decomposed samples

@@ -525,3 +525,87 @@ def batch_bm25_topk(sf_dir: str, queries: list[str], k: int = 10,
         _QueryEval, fn_constructor_args=(index_dir, k, round_to),
         concurrency=concurrency, batch_size=batch_size,
         batch_format="pyarrow")
+
+
+def retrieval_metrics(sf_dir: str, queries: list[str], k: int = 10,
+                      *, stem: bool = False, round_to: int = 6,
+                      concurrency: int = 2, batch_size: int = 64):
+    """Search-quality evaluation over a query log -> one row per query
+    (query_id, mrr, ndcg): MRR and nDCG@k of the BM25 top-k against a
+    deterministic graded-relevance oracle — rel(q, d) = 1 iff d
+    contains EVERY distinct query term (the conjunctive match set,
+    served exactly from the index's posting intersections). Queries
+    whose relevance set is empty score 0 on both metrics by
+    convention.
+
+    Scale shape: the same actor-pool query-log replay as
+    batch_bm25_topk (index opened once per actor); each query costs
+    one top-k search plus one posting-list intersection — no corpus
+    pass, no shuffle. At fleet scale this evaluates millions of logged
+    queries against relevance-judgment tables joined the same way."""
+    import math
+
+    import ray.data
+
+    from rse_ray.functions.tokenizer import tokenize
+
+    index_dir = documents_index(sf_dir, stem=stem)
+    # cumulative ideal-DCG table (binary relevance): idcg[m] for m
+    # relevant docs available, m clamped to k
+    idcg = [0.0]
+    for i in range(1, k + 1):
+        idcg.append(idcg[-1] + 1.0 / math.log2(i + 1))
+
+    class _MetricEval:
+        def __init__(self) -> None:
+            from rse_ray.pipelines.search import Searcher
+
+            self.s = Searcher(index_dir)
+
+        def _rel_set(self, query: str):
+            import numpy as np
+
+            inter = None
+            for t in set(tokenize(query, stem=self.s.stem)):
+                got = self.s.reader.postings(t)
+                if got is None:
+                    return np.array([], dtype=np.int64)
+                ids = got[0]
+                inter = ids if inter is None else \
+                    inter[np.isin(inter, ids, assume_unique=True)]
+            return inter if inter is not None else \
+                np.array([], dtype=np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            qids, mrrs, ndcgs = [], [], []
+            for qid, q in zip(batch.column("query_id").to_pylist(),
+                              batch.column("query").to_pylist()):
+                rel = self._rel_set(q)
+                hits = self.s.search(q, k=k)
+                hit_ids = np.array([d for d, _ in hits],
+                                   dtype=np.int64)
+                is_rel = np.isin(hit_ids, rel, assume_unique=True)
+                mrr = dcg = 0.0
+                for i, r in enumerate(is_rel, start=1):
+                    if r:
+                        if mrr == 0.0:
+                            mrr = 1.0 / i
+                        dcg += 1.0 / math.log2(i + 1)
+                denom = idcg[min(k, len(rel))]
+                qids.append(int(qid))
+                mrrs.append(round(mrr, round_to))
+                ndcgs.append(round(dcg / denom if denom else 0.0,
+                                   round_to))
+            return pa.table(
+                {"query_id": pa.array(qids, type=pa.int64()),
+                 "mrr": pa.array(mrrs, type=pa.float64()),
+                 "ndcg": pa.array(ndcgs, type=pa.float64())})
+
+    qt = pa.table(
+        {"query_id": pa.array(range(len(queries)), type=pa.int64()),
+         "query": pa.array(queries, type=pa.string())})
+    return ray.data.from_arrow(qt).map_batches(
+        _MetricEval, concurrency=(1, concurrency),
+        batch_size=batch_size, batch_format="pyarrow")

@@ -2214,3 +2214,19 @@ def test_kmeans_separates_planted_blobs_and_is_partition_invariant(
     lab = outs[0]["cluster"].to_numpy()
     assert len(set(lab[:60])) == 1 and len(set(lab[60:])) == 1
     assert lab[0] != lab[60]
+
+
+def test_retrieval_metrics_bounds_and_empty_relevance(ray_session):
+    """MRR/nDCG live in [0,1]; a query whose terms never co-occur (or
+    don't exist) has an empty conjunctive relevance set and scores 0/0
+    by convention; a single-term query that matches scores MRR=1 (its
+    top hit trivially contains all terms)."""
+    from rse_ray.pipelines.docsearch import retrieval_metrics
+
+    got = retrieval_metrics(
+        SF, ["window", "zzz nothing"], k=10).to_pandas() \
+        .set_index("query_id")
+    assert ((got[["mrr", "ndcg"]] >= 0).all().all()
+            and (got[["mrr", "ndcg"]] <= 1).all().all())
+    assert got.loc[0, "mrr"] == 1.0 and got.loc[0, "ndcg"] == 1.0
+    assert got.loc[1, "mrr"] == 0.0 and got.loc[1, "ndcg"] == 0.0
