@@ -552,6 +552,17 @@ def _q_window_agg(sf_dir: str):
                                       ["event_id", "ts", "event_type", "value"])))
 
 
+LATE_WINDOW, LATE_ALLOWED = "h", "5d"
+
+
+def _q_window_agg_late(sf_dir: str):
+    from rse_ray.pipelines.relational import window_agg_late
+
+    return _finalize(window_agg_late(
+        _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"]),
+        window=LATE_WINDOW, lateness=LATE_ALLOWED))
+
+
 def _q_hopping_window_agg(sf_dir: str):
     from rse_ray.pipelines.relational import hopping_window_agg
 
@@ -1860,6 +1871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_customers": _q_semi_join,
         "orders_by_segment": _q_orders_by_segment,
         "window_agg": _q_window_agg,
+        "window_agg_late": _q_window_agg_late,
         "hopping_window_agg": _q_hopping_window_agg,
         "asof_last_purchase": _q_asof_last_purchase,
         "asof_last_purchase_partitioned": _q_asof_last_purchase_partitioned,
@@ -2275,6 +2287,21 @@ GROUP BY c_mktsegment""",
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        # watermark semantics: md5-rank arrival replay, running-max
+        # watermark minus allowed lateness, closed-window rows dropped
+        "window_agg_late": """
+WITH o AS (SELECT event_id, ts, event_type, value,
+                  max(ts) OVER (
+                      ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)),
+                               event_id
+                      ROWS UNBOUNDED PRECEDING) AS wm_ts
+           FROM events WHERE ts IS NOT NULL),
+kept AS (SELECT * FROM o
+         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+               > wm_ts - INTERVAL 5 DAY)
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+FROM kept GROUP BY 1, 2""",
         "hopping_window_agg": """
 WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
            FROM events),

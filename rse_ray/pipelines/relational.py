@@ -1737,3 +1737,109 @@ def unpivot(ds, *, id_cols: list[str], value_cols: dict[str, str],
         return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def window_agg_late(events_ds, *, window: str = "h",
+                    lateness: str = "5d"):
+    """Tumbling event-time windows WITH watermark semantics — the §2.9
+    streaming contract window_agg (bounded-log groupby) cannot express:
+    events are replayed in a deterministic arrival order (the repo's
+    md5-rank permutation of event_id — the fixture's log is ts-sorted,
+    so physical order would make lateness vacuous); the watermark
+    trails the running max event time by ``lateness``; a row whose
+    window has already closed (window_end <= watermark at its arrival)
+    is DROPPED, exactly like a streaming engine discarding
+    allowed-lateness violators. Output is window_agg's contract over
+    the surviving rows.
+
+    Scale shape: ONE range exchange (sort by arrival key — the
+    all-to-all any global replay order costs), then the same two-pass
+    prefix trick as global_rank: per-block max-ts partials keyed by
+    the block's first row, an O(blocks) driver prefix-max, and a
+    per-block vectorized running max + filter. Timestamps compare in
+    integer microseconds, so engine and SQL twin agree exactly."""
+    import pyarrow.compute as _pc
+
+    from rse_ray.pipelines.sketch import _md5_u64
+
+    w_mult, w_unit, w_us = _parse_window(window)
+    _, _, late_us = _parse_window(lateness)
+
+    def key(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(_pc.is_valid(batch.column("ts")))
+        ids = batch.column("event_id").to_numpy()
+        return pa.table({
+            "h": pa.array(_md5_u64(ids)),
+            "event_id": batch.column("event_id"),
+            "ts": batch.column("ts"),
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+        })
+
+    ordered = events_ds \
+        .map_batches(key, batch_format="pyarrow") \
+        .sort(["h", "event_id"]).materialize()
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h0": pa.array([], type=pa.uint64()),
+                             "e0": pa.array([], type=pa.int64()),
+                             "mx": pa.array([], type=pa.int64())})
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table({"h0": batch.column("h").slice(0, 1),
+                         "e0": batch.column("event_id").slice(0, 1),
+                         "mx": pa.array([int(ts.max())],
+                                        type=pa.int64())})
+
+    blocks = ordered.map_batches(
+        block_max, batch_size=None, batch_format="pyarrow").to_pandas()
+    blocks = blocks.sort_values(["h0", "e0"]).reset_index(drop=True)
+    prefix = blocks["mx"].cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+    # keyed by the (unique) first event_id — same trick as global_rank
+    pre = {int(e): int(p) for e, p in zip(blocks["e0"], prefix)}
+
+    def late_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"event_type": batch.column("event_type"),
+                             "window_start": batch.column("ts"),
+                             "value": batch.column("value")})
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        run = np.maximum.accumulate(
+            np.maximum(ts, pre[batch.column("event_id")[0].as_py()]))
+        start = _pc.floor_temporal(batch.column("ts"),
+                                   multiple=w_mult, unit=w_unit)
+        end = start.cast(pa.int64()).to_numpy() + w_us
+        keep = pa.array(end > run - late_us)
+        f = batch.filter(keep)
+        return pa.table({
+            "event_type": f.column("event_type"),
+            "window_start": _pc.floor_temporal(
+                f.column("ts"), multiple=w_mult, unit=w_unit),
+            "value": f.column("value"),
+        })
+
+    kept = ordered.map_batches(late_filter, batch_size=None,
+                               batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "window_start"]).aggregate(
+            [([], "count_all"), ("value", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "window_start": g.column("window_start"),
+                         "n_p": g.column("count_all"),
+                         "v_p": g.column("value_sum")})
+
+    agg = kept.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]) \
+        .aggregate(Sum("n_p", alias_name="n_events"),
+                   Sum("v_p", alias_name="sum_value"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "window_start": batch.column("window_start"),
+             "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+             "sum_value": _round_np(batch.column("sum_value"), 2)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

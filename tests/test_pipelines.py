@@ -32,6 +32,10 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            # Arrow round trips can yield [s]/[ns] units; the driver's
+            # normalize compares at [us]
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -2230,3 +2234,39 @@ def test_retrieval_metrics_bounds_and_empty_relevance(ray_session):
             and (got[["mrr", "ndcg"]] <= 1).all().all())
     assert got.loc[0, "mrr"] == 1.0 and got.loc[0, "ndcg"] == 1.0
     assert got.loc[1, "mrr"] == 0.0 and got.loc[1, "ndcg"] == 0.0
+
+
+def test_window_agg_late_drops_and_partition_invariance(ray_session,
+                                                        duck):
+    """Watermark filtering really drops closed-window rows (output
+    strictly smaller than the unwatermarked aggregate), matches the
+    SQL running-max twin, and is identical across input block counts
+    (the prefix-max two-pass is partitioning-independent)."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import window_agg, window_agg_late
+
+    ds = _read("events", ["event_id", "ts", "event_type", "value"])
+    base = window_agg(ds).to_pandas()
+    outs = []
+    for blocks in (2, 9):
+        got = window_agg_late(ds.repartition(blocks),
+                              window="h", lateness="5d").to_pandas()
+        outs.append(_norm(got))
+    assert outs[0].equals(outs[1])
+    assert outs[0]["n_events"].sum() < base["n_events"].sum()
+
+    odf = duck.sql("""
+WITH o AS (SELECT event_id, ts, event_type, value,
+                  max(ts) OVER (
+                      ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)),
+                               event_id
+                      ROWS UNBOUNDED PRECEDING) AS wm_ts
+           FROM events WHERE ts IS NOT NULL),
+kept AS (SELECT * FROM o
+         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+               > wm_ts - INTERVAL 5 DAY)
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+FROM kept GROUP BY 1, 2""").df()
+    assert outs[0].equals(_norm(odf))
