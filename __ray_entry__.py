@@ -1960,6 +1960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rse_ray.pipelines.ann import kmeans_oracle_sql
+    from rse_ray.pipelines.relational import window_agg_late_oracle_sql
     from rse_ray.pipelines.bpe import bpe_encode_oracle_sql
     from rse_ray.pipelines.sketch import (hll_group_oracle_sql,
                                           hll_oracle_sql)
@@ -2288,20 +2289,10 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
         # watermark semantics: md5-rank arrival replay, running-max
-        # watermark minus allowed lateness, closed-window rows dropped
-        "window_agg_late": """
-WITH o AS (SELECT event_id, ts, event_type, value,
-                  max(ts) OVER (
-                      ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)),
-                               event_id
-                      ROWS UNBOUNDED PRECEDING) AS wm_ts
-           FROM events WHERE ts IS NOT NULL),
-kept AS (SELECT * FROM o
-         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
-               > wm_ts - INTERVAL 5 DAY)
-SELECT event_type, date_trunc('hour', ts) AS window_start,
-       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
-FROM kept GROUP BY 1, 2""",
+        # watermark minus allowed lateness, closed-window rows dropped;
+        # generated from the SAME specs the engine call uses
+        "window_agg_late": window_agg_late_oracle_sql(
+            window=LATE_WINDOW, lateness=LATE_ALLOWED),
         "hopping_window_agg": """
 WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
            FROM events),

@@ -780,6 +780,12 @@ def kmeans_fit_predict(ds, *, k: int = 4, iters: int = 3,
     proj = ds.select_columns([id_col, vec_col]).materialize()
 
     def candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "h": pa.array([], type=pa.uint64()),
+                "id": pa.array([], type=pa.int64()),
+                "v": pa.array([], type=pa.list_(pa.float64())),
+            })
         ids, mat = _batch_matrix(batch)
         h = _md5_u64(ids)
         take = np.lexsort((ids, h))[:k]
@@ -806,6 +812,12 @@ def kmeans_fit_predict(ds, *, k: int = 4, iters: int = 3,
 
         def partial(batch: pa.Table) -> pa.Table:
             cent = ray.get(ref)
+            if batch.num_rows == 0:
+                return pa.table({
+                    "cid": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.list_(pa.float64())),
+                })
             _, mat = _batch_matrix(batch)
             a = assign(mat, cent)
             sums = np.zeros_like(cent)
@@ -832,6 +844,11 @@ def kmeans_fit_predict(ds, *, k: int = 4, iters: int = 3,
 
     def label(batch: pa.Table) -> pa.Table:
         cent = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "cluster": pa.array([], type=pa.int64()),
+            })
         ids, mat = _batch_matrix(batch)
         return pa.table({
             id_col: pa.array(ids.astype(np.int64)),

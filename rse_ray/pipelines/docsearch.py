@@ -356,6 +356,23 @@ def bm25_documents_total(sf_dir: str, query: str,
         [Searcher(index_dir).total_hits(query)], dtype="int64")})
 
 
+def _score_frame(index_dir: str, hits, *, value_col: str = "score",
+                 round_to: int = 6) -> pd.DataFrame:
+    """Shared retrieval tail: hydrate index doc ids back to the
+    documents table's own ids and round the score column — one place
+    for the doc:// scheme and the rounding contract."""
+    from rse_ray.pipelines.search import hydrate_urls
+
+    rows = hydrate_urls(index_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            value_col: [round(v, round_to) for _, v, _ in rows],
+        }
+    )
+
+
 def bm25_documents(sf_dir: str, query: str, k: int | None = None,
                    *, stem: bool = False, round_to: int = 6,
                    conjunctive: bool = False,
@@ -366,20 +383,13 @@ def bm25_documents(sf_dir: str, query: str, k: int | None = None,
     are scored); ``excluded`` = boolean-NOT retrieval (docs containing
     any excluded term are dropped before scoring; see
     Searcher.search)."""
-    from rse_ray.pipelines.search import Searcher, hydrate_urls
+    from rse_ray.pipelines.search import Searcher
 
     index_dir = documents_index(sf_dir, stem=stem)
     s = Searcher(index_dir)
     hits = s.search(query, k=k if k is not None else s.N,
                     conjunctive=conjunctive, excluded=excluded)
-    rows = hydrate_urls(index_dir, hits)
-    return pd.DataFrame(
-        {
-            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
-                               dtype="int64"),
-            "score": [round(score, round_to) for _, score, _ in rows],
-        }
-    )
+    return _score_frame(index_dir, hits, round_to=round_to)
 
 
 def lm_dirichlet_documents(sf_dir: str, query: str,
@@ -390,19 +400,12 @@ def lm_dirichlet_documents(sf_dir: str, query: str,
     model (Searcher.search_lm) over the same on-disk index BM25 serves
     from — retrieval-model breadth on one index, not a second index.
     k=None scores every candidate (the oracle-gate shape)."""
-    from rse_ray.pipelines.search import Searcher, hydrate_urls
+    from rse_ray.pipelines.search import Searcher
 
     index_dir = documents_index(sf_dir, stem=stem)
     s = Searcher(index_dir)
     hits = s.search_lm(query, k=k, mu=mu)
-    rows = hydrate_urls(index_dir, hits)
-    return pd.DataFrame(
-        {
-            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
-                               dtype="int64"),
-            "score": [round(score, round_to) for _, score, _ in rows],
-        }
-    )
+    return _score_frame(index_dir, hits, round_to=round_to)
 
 
 def bm25_documents_synonyms(sf_dir: str, query: str,

@@ -1696,11 +1696,19 @@ def group_rank_funcs(ds, *, group: str, order: str, key: str,
     dense = grp.cumcount().to_numpy(dtype=np.int64) + 1
     pct = np.where(n_g > 1, before / np.maximum(n_g - 1, 1), 0.0)
     cume = cum.to_numpy(dtype=np.float64) / n_g
+
+    def round_half_away(x: np.ndarray) -> np.ndarray:
+        # SQL round() is half-away-from-zero; np.round is half-to-even
+        # and these ratios of small integers DO hit exact 6dp ties
+        # (1/128 = 0.0078125) — x is non-negative here
+        scale = 10.0 ** round_to
+        return np.floor(x * scale + 0.5) / scale
+
     table = pd.DataFrame({
         group: counts[group], order: counts[order],
         "rank": rank, "dense_rank": dense,
-        "percent_rank": np.round(pct, round_to),
-        "cume_dist": np.round(cume, round_to),
+        "percent_rank": round_half_away(pct),
+        "cume_dist": round_half_away(cume),
     })
     ref = ray.put(table)
 
@@ -1843,3 +1851,29 @@ def window_agg_late(events_ds, *, window: str = "h",
              "sum_value": _round_np(batch.column("sum_value"), 2)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def window_agg_late_oracle_sql(*, window: str = "h",
+                               lateness: str = "5d",
+                               table: str = "events") -> str:
+    """Exact SQL twin of window_agg_late, generated from the SAME
+    window/lateness specs the engine parses — constants can't drift."""
+    w_mult, w_unit, _ = _parse_window(window)
+    l_mult, l_unit, _ = _parse_window(lateness)
+    if w_mult != 1:
+        raise ValueError(
+            "window_agg_late_oracle_sql: date_trunc cannot express "
+            f"multi-unit windows ({window!r}); use a unit window")
+    return f"""
+WITH o AS (SELECT event_id, ts, event_type, value,
+                  max(ts) OVER (
+                      ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)),
+                               event_id
+                      ROWS UNBOUNDED PRECEDING) AS wm_ts
+           FROM {table} WHERE ts IS NOT NULL),
+kept AS (SELECT * FROM o
+         WHERE date_trunc('{w_unit}', ts) + INTERVAL {w_mult} {w_unit.upper()}
+               > wm_ts - INTERVAL {l_mult} {l_unit.upper()})
+SELECT event_type, date_trunc('{w_unit}', ts) AS window_start,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+FROM kept GROUP BY 1, 2"""

@@ -631,7 +631,9 @@ class Searcher:
             tf_vec = np.zeros(len(cand), dtype=np.float64)
             r, ok = rows_in_cand(ids)
             tf_vec[r[ok]] = tfs[ok]
-            score += qtf * np.log((tf_vec + mu * (cf / T)) / denom)
+            # (mu * cf) / T, matching the SQL twin's left-associative
+            # mu*cf/t — the two groupings differ in the last ulp
+            score += qtf * np.log((tf_vec + (mu * cf) / T) / denom)
         return _rank_topk(cand, score, k if k is not None else len(cand))
 
     def search_after(self, query: str, k: int = 10, after=None):

@@ -205,6 +205,12 @@ def approx_ndistinct_by(ds, *, group: str, col: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         gv = batch.column(group).to_numpy(zero_copy_only=False)
+        if pd.isna(gv).any():
+            # NaN != NaN would silently select empty hash sets; SQL
+            # groups NULLs — refuse divergence, like group_rank_funcs
+            raise ValueError(
+                f"approx_ndistinct_by: null values in group column "
+                f"{group!r}; filter or impute them first")
         h = _md5_u64(batch.column(col).to_pylist())
         groups, regs = [], []
         for g in pd.unique(gv):

@@ -2256,17 +2256,8 @@ def test_window_agg_late_drops_and_partition_invariance(ray_session,
     assert outs[0].equals(outs[1])
     assert outs[0]["n_events"].sum() < base["n_events"].sum()
 
-    odf = duck.sql("""
-WITH o AS (SELECT event_id, ts, event_type, value,
-                  max(ts) OVER (
-                      ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)),
-                               event_id
-                      ROWS UNBOUNDED PRECEDING) AS wm_ts
-           FROM events WHERE ts IS NOT NULL),
-kept AS (SELECT * FROM o
-         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
-               > wm_ts - INTERVAL 5 DAY)
-SELECT event_type, date_trunc('hour', ts) AS window_start,
-       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
-FROM kept GROUP BY 1, 2""").df()
+    from rse_ray.pipelines.relational import window_agg_late_oracle_sql
+
+    odf = duck.sql(window_agg_late_oracle_sql(window="h",
+                                              lateness="5d")).df()
     assert outs[0].equals(_norm(odf))
