@@ -667,6 +667,23 @@ def _q_sessions(sf_dir: str):
     ))
 
 
+def _q_session_attribution(sf_dir: str):
+    """Interval (containment) join: every event gains the
+    session_start of the session that contains it — sessions come from
+    the SAME gap-sessionization the `sessions` query gates, so the
+    oracle reuses that CTE plus a BETWEEN join."""
+    from rse_ray.pipelines.relational import interval_join, sessionize
+
+    spans = sessionize(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]),
+        gap_minutes=1440)
+    return _finalize(interval_join(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        spans, key="user_id", ts_col="ts",
+        lo_col="session_start", hi_col="session_end",
+        id_col="event_id"))
+
+
 def _q_group_quantiles(sf_dir: str):
     from rse_ray.pipelines.relational import group_quantiles
 
@@ -1880,6 +1897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": _q_train_val_split,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "sessions": _q_sessions,
+        "session_attribution": _q_session_attribution,
         "group_quantiles": _q_group_quantiles,
         "customers_without_orders": _q_customers_without_orders,
         "tfidf_topk": _q_tfidf_topk,
@@ -2354,6 +2372,28 @@ WITH o AS (
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
 FROM s GROUP BY user_id, sid""",
+        # containment join against the same session spans: BETWEEN on
+        # (key-matched) non-overlapping intervals
+        "session_attribution": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 1440 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), spans AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, sid
+)
+SELECT e.event_id, e.user_id, e.ts, sp.session_start
+FROM events e JOIN spans sp
+  ON e.user_id = sp.user_id
+ AND e.ts BETWEEN sp.session_start AND sp.session_end""",
         # quantile_cont == numpy's default linear-interpolation estimator
         "group_quantiles": """
 SELECT l_returnflag,

@@ -1877,3 +1877,87 @@ kept AS (SELECT * FROM o
 SELECT event_type, date_trunc('{w_unit}', ts) AS window_start,
        count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
 FROM kept GROUP BY 1, 2"""
+
+
+def interval_join(rows_ds, intervals_ds, *, key: str = "user_id",
+                  ts_col: str = "ts", lo_col: str = "session_start",
+                  hi_col: str = "session_end",
+                  id_col: str = "event_id", num_parts: int = 32):
+    """Non-equi CONTAINMENT join — attach to each row the interval
+    (per ``key``) whose [lo, hi] contains its timestamp, inner
+    semantics (uncontained rows drop). The classic session-attribution
+    / validity-range lookup SQL expresses as `JOIN ... ON r.key = i.key
+    AND r.ts BETWEEN i.lo AND i.hi`.
+
+    Scale shape: both sides co-partition by a splitmix hash of the key
+    (ONE shuffle each, rows never replicate); within a partition each
+    key's intervals sort once by ``lo`` and every row finds its
+    candidate via searchsorted — O(log I) per row instead of the
+    row x interval blowup a naive theta-join pays. Intervals must not
+    overlap per key (true for gap-sessionization output); the
+    containment check against the candidate's ``hi`` enforces inner
+    semantics either way."""
+
+    def tag(is_interval: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            k = batch.column(key).to_numpy().astype(np.int64)
+            part = ((k.view(np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15))
+                    >> np.uint64(33)) % np.uint64(num_parts)
+            null_ts = pa.nulls(n, pa.timestamp("us"))
+            return pa.table({
+                "part": pa.array(part.astype(np.int64)),
+                key: batch.column(key),
+                "side": pa.array(np.full(n, is_interval, dtype=np.int8)),
+                ts_col: (batch.column(ts_col).cast(pa.timestamp("us"))
+                         if not is_interval else null_ts),
+                id_col: (batch.column(id_col) if not is_interval
+                         else pa.nulls(n, pa.int64())),
+                lo_col: (batch.column(lo_col).cast(pa.timestamp("us"))
+                         if is_interval else null_ts),
+                hi_col: (batch.column(hi_col).cast(pa.timestamp("us"))
+                         if is_interval else null_ts),
+            })
+        return fn
+
+    both = rows_ds.select_columns([key, ts_col, id_col]) \
+        .map_batches(tag(0), batch_format="pyarrow") \
+        .union(intervals_ds.select_columns([key, lo_col, hi_col])
+               .map_batches(tag(1), batch_format="pyarrow"))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        iv = g[g["side"] == 1]
+        ev = g[g["side"] == 0]
+        outs = []
+        iv_by_key = {k: sub.sort_values(lo_col)
+                     for k, sub in iv.groupby(key, sort=False)}
+        for k, sub in ev.groupby(key, sort=False):
+            spans = iv_by_key.get(k)
+            if spans is None:
+                continue
+            lo = spans[lo_col].to_numpy()
+            hi = spans[hi_col].to_numpy()
+            ts = sub[ts_col].to_numpy()
+            idx = np.searchsorted(lo, ts, side="right") - 1
+            ok = idx >= 0
+            ok[ok] &= ts[ok] <= hi[idx[ok]]
+            hit = sub[ok]
+            outs.append(pd.DataFrame({
+                # the tag/union null-padding floats the id column in
+                # pandas blocks; the hits themselves are never null
+                id_col: hit[id_col].astype("int64").to_numpy(),
+                key: hit[key].to_numpy(),
+                ts_col: hit[ts_col].to_numpy(),
+                lo_col: lo[idx[ok]],
+            }))
+        if not outs:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                key: pd.Series([], dtype="int64"),
+                ts_col: pd.Series([], dtype="datetime64[us]"),
+                lo_col: pd.Series([], dtype="datetime64[us]"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    return both.groupby("part").map_groups(attach, batch_format="pandas")

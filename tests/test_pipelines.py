@@ -2261,3 +2261,34 @@ def test_window_agg_late_drops_and_partition_invariance(ray_session,
     odf = duck.sql(window_agg_late_oracle_sql(window="h",
                                               lateness="5d")).df()
     assert outs[0].equals(_norm(odf))
+
+
+def test_interval_join_containment_and_drops(ray_session):
+    """Containment semantics: rows inside an interval get its lo; rows
+    between intervals or for keys with no intervals drop (inner)."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import interval_join
+
+    t0 = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame({
+        "event_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+        "user_id": pd.array([7, 7, 7, 8, 9], dtype="int64"),
+        "ts": [t0 + pd.Timedelta(h, "h") for h in (1, 5, 12, 2, 2)],
+    })
+    iv = pd.DataFrame({
+        "user_id": pd.array([7, 7, 8], dtype="int64"),
+        "session_start": [t0, t0 + pd.Timedelta(10, "h"),
+                          t0 + pd.Timedelta(3, "h")],
+        "session_end": [t0 + pd.Timedelta(2, "h"),
+                        t0 + pd.Timedelta(13, "h"),
+                        t0 + pd.Timedelta(4, "h")],
+    })
+    got = interval_join(ray.data.from_pandas(ev),
+                        ray.data.from_pandas(iv)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    # event 2 (gap), event 4 (before its user's span), event 5 (no
+    # spans for user 9) all drop
+    assert got["event_id"].tolist() == [1, 3]
+    assert got["session_start"].tolist() == [
+        t0, t0 + pd.Timedelta(10, "h")]
