@@ -1020,6 +1020,38 @@ def _q_stratified_sample(sf_dir: str):
         default_permille=STRAT_DEFAULT))
 
 
+LANG_QUOTA = 60
+
+
+def _q_lang_quota_sample(sf_dir: str):
+    from rse_ray.pipelines.relational import group_quota_sample
+
+    return _finalize(group_quota_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        group="lang", key="doc_id", quota=LANG_QUOTA))
+
+
+def _q_incremental_dedup(sf_dir: str):
+    """Nightly-ingest shape: OLD = docs with doc_id % 10 != 0 (the
+    snapshot_diff convention), NEW = docs with doc_id % 3 == 0; a new
+    doc survives iff its text never appears in the old corpus."""
+    from rse_ray.pipelines.dedup import incremental_exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def old_f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.filter(pa.array(ids % 10 != 0))
+
+    def new_f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.filter(pa.array(ids % 3 == 0))
+
+    return _finalize(incremental_exact_dedup(
+        docs.map_batches(new_f, batch_format="pyarrow"),
+        docs.map_batches(old_f, batch_format="pyarrow")))
+
+
 def _q_quality_rank(sf_dir: str):
     from rse_ray.pipelines.relational import global_rank
 
@@ -1931,6 +1963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": _q_dup_span_stats,
         "pattern_scan": _q_pattern_scan,
         "stratified_sample": _q_stratified_sample,
+        "lang_quota_sample": _q_lang_quota_sample,
+        "incremental_dedup": _q_incremental_dedup,
         "quality_rank": _q_quality_rank,
         "quality_ntile": _q_quality_ntile,
         "doc_lm_score": _q_doc_lm_score,
@@ -2734,6 +2768,20 @@ WHERE lang IS NOT NULL AND
       (CASE lang WHEN 'en' THEN {STRAT_RATES["en"]}
                  WHEN 'fr' THEN {STRAT_RATES["fr"]}
                  ELSE {STRAT_DEFAULT} END)""",
+        # absolute per-group cap by md5-twin rank (nested samples)
+        "lang_quota_sample": f"""
+SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY md5_number_lower('quota|' || lang || '|' ||
+                              CAST(doc_id AS VARCHAR)), doc_id)
+    <= {LANG_QUOTA}""",
+        # cross-snapshot anti-join on text identity
+        "incremental_dedup": """
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 3 = 0
+  AND NOT EXISTS (SELECT 1 FROM documents o
+                  WHERE o.doc_id % 10 != 0 AND o.text = d.text)""",
         # population covariance of the embedding matrix, 1-based dims;
         # FLOAT values promote to DOUBLE in both engines before the
         # multiply, so E[xi*xj] agrees to rounding

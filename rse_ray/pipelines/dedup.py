@@ -986,3 +986,42 @@ def decontaminate(docs_ds, benchmark_ds, *, n: int = 3,
         })
 
     return docs_ds.map_batches(flag, batch_format="pyarrow")
+
+
+def incremental_exact_dedup(new_ds, old_ds, *, id_col: str = "doc_id",
+                            text_col: str = "text"):
+    """Cross-snapshot exact dedup — the nightly-ingest primitive: keep
+    only NEW docs whose text is absent from the OLD corpus, without
+    ever touching (or re-shuffling the text of) old rows. Both sides
+    reduce to (md5(text), id, side) triples per batch, so the single
+    all-to-all carries hashes and ids only; a per-hash group keeps the
+    new ids iff no old row shares the hash. New-side internal dups all
+    survive (they're deduped against the OLD corpus, not each other —
+    compose with exact_dedup for that)."""
+    import hashlib
+
+    def hasher(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            return pa.table({
+                "h": pa.array([hashlib.md5((t or "").encode()).hexdigest()
+                               for t in texts], type=pa.string()),
+                id_col: batch.column(id_col),
+                "side": pa.array(np.full(batch.num_rows, side,
+                                         dtype=np.int8)),
+            })
+        return fn
+
+    both = new_ds.select_columns([id_col, text_col]) \
+        .map_batches(hasher(0), batch_format="pyarrow") \
+        .union(old_ds.select_columns([id_col, text_col])
+               .map_batches(hasher(1), batch_format="pyarrow"))
+
+    def keep_new_only(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["side"] == 1).any():
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {id_col: g[id_col].astype("int64").sort_values().to_numpy()})
+
+    return both.groupby("h").map_groups(keep_new_only,
+                                        batch_format="pandas")

@@ -1882,7 +1882,8 @@ FROM kept GROUP BY 1, 2"""
 def interval_join(rows_ds, intervals_ds, *, key: str = "user_id",
                   ts_col: str = "ts", lo_col: str = "session_start",
                   hi_col: str = "session_end",
-                  id_col: str = "event_id", num_parts: int = 32):
+                  id_col: str = "event_id",
+                  num_parts: int | None = None):
     """Non-equi CONTAINMENT join — attach to each row the interval
     (per ``key``) whose [lo, hi] contains its timestamp, inner
     semantics (uncontained rows drop). The classic session-attribution
@@ -1896,7 +1897,15 @@ def interval_join(rows_ds, intervals_ds, *, key: str = "user_id",
     row x interval blowup a naive theta-join pays. Intervals must not
     overlap per key (true for gap-sessionization output); the
     containment check against the candidate's ``hi`` enforces inner
-    semantics either way."""
+    semantics either way.
+
+    ``num_parts`` defaults to ``parts_for(rows)`` — input-derived (the
+    round-2 rule: never a fixed 32); pass it explicitly when the row
+    side is a transformed pipeline whose count() re-executes work."""
+    from rse_ray.util import parts_for
+
+    if num_parts is None:
+        num_parts = parts_for(rows_ds.count())
 
     def tag(is_interval: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -1961,3 +1970,40 @@ def interval_join(rows_ds, intervals_ds, *, key: str = "user_id",
         return pd.concat(outs, ignore_index=True)
 
     return both.groupby("part").map_groups(attach, batch_format="pandas")
+
+
+def group_quota_sample(ds, *, group: str, key: str, quota: int,
+                       salt: str = "quota"):
+    """Cap each group at ``quota`` rows — the data-mixing primitive
+    ("at most N docs per language / domain") — picked by content-keyed
+    md5 rank (ORDER BY md5-twin('salt|group|key'), key), so the SAME
+    rows win on any cluster size, partitioning or rerun, and raising
+    the quota yields a superset (nested samples, like
+    stratified_sample's rate semantics but an absolute per-group cap,
+    which needs coordination a pure filter can't provide).
+
+    Scale shape: two-level top-N — each batch keeps at most ``quota``
+    rows per group it sees, so the only all-to-all carries
+    <= quota x batches (group, key, h) triples, never the corpus; a
+    groupby-map_groups takes the final quota per group."""
+    from rse_ray.pipelines.sketch import _md5_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gs = batch.column(group).to_pylist()
+        ks = batch.column(key).to_pylist()
+        h = _md5_u64([f"{salt}|{g}|{k}" for g, k in zip(gs, ks)])
+        df = pd.DataFrame({group: gs, key: ks, "h": h})
+        df = df[df[group].notna() & df[key].notna()]
+        df = df.sort_values(["h", key]).groupby(group, sort=False) \
+            .head(quota)
+        return pa.table({group: pa.array(df[group]),
+                         key: pa.array(df[key]),
+                         "h": pa.array(df["h"].to_numpy())})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        win = g.sort_values(["h", key]).head(quota)
+        return win[[key, group]].reset_index(drop=True)
+
+    return ds.select_columns([group, key]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(group).map_groups(final, batch_format="pandas")

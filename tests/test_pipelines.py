@@ -2292,3 +2292,38 @@ def test_interval_join_containment_and_drops(ray_session):
     assert got["event_id"].tolist() == [1, 3]
     assert got["session_start"].tolist() == [
         t0, t0 + pd.Timedelta(10, "h")]
+
+
+def test_group_quota_sample_nested_and_exact(ray_session):
+    """The per-group cap is exact, winners are content-keyed (same set
+    on any partitioning), and raising the quota yields a superset."""
+    from rse_ray.pipelines.relational import group_quota_sample
+
+    ds = _read("documents", ["doc_id", "lang"])
+    small = group_quota_sample(ds, group="lang", key="doc_id",
+                               quota=10).to_pandas()
+    big = group_quota_sample(ds.repartition(7), group="lang",
+                             key="doc_id", quota=25).to_pandas()
+    assert (small.groupby("lang").size() <= 10).all()
+    assert (big.groupby("lang").size() <= 25).all()
+    assert set(map(tuple, small.to_numpy())) <= \
+        set(map(tuple, big.to_numpy()))
+
+
+def test_incremental_exact_dedup_semantics(ray_session):
+    """Only new docs whose text is absent from the old corpus survive;
+    new-side internal duplicates all survive (deduped against OLD, not
+    each other)."""
+    import ray.data
+
+    from rse_ray.pipelines.dedup import incremental_exact_dedup
+
+    old = pd.DataFrame({"doc_id": pd.array([1, 2], dtype="int64"),
+                        "text": ["aaa", "bbb"]})
+    new = pd.DataFrame({"doc_id": pd.array([10, 11, 12, 13],
+                                           dtype="int64"),
+                        "text": ["aaa", "ccc", "ccc", "ddd"]})
+    got = incremental_exact_dedup(
+        ray.data.from_pandas(new), ray.data.from_pandas(old)) \
+        .to_pandas()["doc_id"].sort_values().tolist()
+    assert got == [11, 12, 13]
