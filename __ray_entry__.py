@@ -1020,6 +1020,49 @@ def _q_stratified_sample(sf_dir: str):
         default_permille=STRAT_DEFAULT))
 
 
+def _q_jsonl_source_counts(sf_dir: str):
+    """Layout-agnostic ingestion: the documents table served from
+    JSONL (ray.data.read_json) through a grouped count — the oracle
+    reads the Parquet twin, so a hash match proves the read path
+    (schema mapping, unicode round trip) end to end."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.sources.formats import documents_jsonl
+
+    ds = documents_jsonl(sf_dir)
+
+    def partial(batch):
+        g = batch.group_by(["lang", "source"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["lang", "source", "c"])
+
+    agg = ds.select_columns(["lang", "source"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "source"]) \
+        .aggregate(Sum("c", alias_name="n_docs"))
+
+    def finish(batch):
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "lang": batch.column("lang"),
+            "source": batch.column("source"),
+            "n_docs": pc.cast(batch.column("n_docs"), pa.int64()),
+        })
+
+    return _finalize(agg.map_batches(finish, batch_format="pyarrow"))
+
+
+def _q_csv_source_window_agg(sf_dir: str):
+    """The events table served from CSV (explicit Arrow schema,
+    pinned timestamp parser) through the standard tumbling window
+    aggregate — same oracle as window_agg over the Parquet twin."""
+    from rse_ray.pipelines.relational import window_agg
+    from rse_ray.sources.formats import events_csv
+
+    return _finalize(window_agg(events_csv(sf_dir)))
+
+
 LANG_QUOTA = 60
 
 
@@ -1965,6 +2008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "lang_quota_sample": _q_lang_quota_sample,
         "incremental_dedup": _q_incremental_dedup,
+        "jsonl_source_counts": _q_jsonl_source_counts,
+        "csv_source_window_agg": _q_csv_source_window_agg,
         "quality_rank": _q_quality_rank,
         "quality_ntile": _q_quality_ntile,
         "doc_lm_score": _q_doc_lm_score,
@@ -2776,6 +2821,15 @@ QUALIFY row_number() OVER (
     ORDER BY md5_number_lower('quota|' || lang || '|' ||
                               CAST(doc_id AS VARCHAR)), doc_id)
     <= {LANG_QUOTA}""",
+        # format-breadth reads: oracles run over the PARQUET twin, so
+        # a hash match proves the JSONL/CSV read path exactly
+        "jsonl_source_counts": """
+SELECT lang, source, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1, 2""",
+        "csv_source_window_agg": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
         # cross-snapshot anti-join on text identity
         "incremental_dedup": """
 SELECT d.doc_id FROM documents d
