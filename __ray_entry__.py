@@ -1584,6 +1584,54 @@ r{k} AS (SELECT n.url,
     return "".join(parts)
 
 
+HITS_ITERS = 5
+
+
+def _q_hits_scores(sf_dir: str):
+    from rse_ray.pipelines.linkgraph import hits_scores
+
+    return _finalize(hits_scores(_extracted_links(), iters=HITS_ITERS))
+
+
+def _hits_sql() -> str:
+    """Unrolled HITS twin over the generator's golden links — raw sums
+    and normalized scores round to 9dp each half-step exactly like the
+    engine, so the fp state both sides iterate from is pinned. Every
+    CTE is MATERIALIZED: DuckDB inlines multi-referenced CTEs by
+    default, and the doubly-referenced per-iteration chain re-expands
+    exponentially (verified: >7 min inlined vs 0.2 s materialized)."""
+    links = os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+    parts = [f"""
+WITH edges AS MATERIALIZED (SELECT src_url AS src, dst_url AS dst
+               FROM read_parquet('{links}')),
+nodes AS MATERIALIZED (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+h0 AS MATERIALIZED (SELECT url, round(1.0/sqrt(nn.n), 9) AS s
+       FROM nodes CROSS JOIN nn)"""]
+    for k in range(1, HITS_ITERS + 1):
+        parts.append(f""",
+ar{k} AS MATERIALIZED (SELECT n.url, round(coalesce(s.v, 0), 9) AS v
+          FROM nodes n LEFT JOIN
+               (SELECT e.dst AS url, sum(h.s) AS v FROM edges e
+                JOIN h{k - 1} h ON e.src = h.url GROUP BY 1) s
+               USING (url)),
+az{k} AS MATERIALIZED (SELECT sqrt(sum(v*v)) AS z FROM ar{k}),
+a{k} AS MATERIALIZED (SELECT url, CASE WHEN z > 0 THEN round(v/z, 9) ELSE 0 END AS s
+         FROM ar{k} CROSS JOIN az{k}),
+hr{k} AS MATERIALIZED (SELECT n.url, round(coalesce(s.v, 0), 9) AS v
+          FROM nodes n LEFT JOIN
+               (SELECT e.src AS url, sum(a.s) AS v FROM edges e
+                JOIN a{k} a ON e.dst = a.url GROUP BY 1) s
+               USING (url)),
+hz{k} AS MATERIALIZED (SELECT sqrt(sum(v*v)) AS z FROM hr{k}),
+h{k} AS MATERIALIZED (SELECT url, CASE WHEN z > 0 THEN round(v/z, 9) ELSE 0 END AS s
+         FROM hr{k} CROSS JOIN hz{k})""")
+    parts.append(f"""
+SELECT h.url, round(h.s, 6) AS hub, round(a.s, 6) AS authority
+FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a USING (url)""")
+    return "".join(parts)
+
+
 CC_SQL_ITERS = 12  # golden-links graph converges in 6; 2x margin
 
 
@@ -2043,6 +2091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_extract": _q_link_extract,
         "backlink_counts": _q_backlink_counts,
         "pagerank": _q_pagerank,
+        "hits_scores": _q_hits_scores,
         "crawl_depth": _q_crawl_depth,
         "connected_components": _q_connected_components,
         "degree_distribution": _q_degree_distribution,
@@ -3145,6 +3194,7 @@ FROM read_parquet('{pages}') GROUP BY 1""".format(
             pages=os.path.join(LINKGRAPH_DIR, "pages_*.parquet")),
         "reference_rank": _reference_rank_sql(),
         "pagerank": _pagerank_sql(),
+        "hits_scores": _hits_sql(),
         "connected_components": _connected_components_sql(),
         # out-degree histogram over src ∪ dst (sink-only nodes are the
         # degree-0 row)

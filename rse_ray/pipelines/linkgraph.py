@@ -1100,3 +1100,195 @@ def crawl_depth(links_ds, *, seed_pred, max_depth: int = 32,
     res_refs = [s.result.remote() for s in shards]
     ray.wait(res_refs, num_returns=len(res_refs))
     return ray.data.from_arrow_refs(res_refs)
+
+
+def _route_links_bidir(tbl: pa.Table, P: int) -> list:
+    """Map side of the BIDIRECTIONAL graph exchange (HITS needs both
+    pushes): route each edge by hash(src) AND by hash(dst); returns
+    2P edge tables (by-src then by-dst)."""
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+    h_src = (_pr_url_hash(src) % P).astype(np.int64)
+    h_dst = (_pr_url_hash(dst) % P).astype(np.int64)
+    out = []
+    for p in range(P):
+        out.append(tbl.filter(pa.array(h_src == p)))
+    for p in range(P):
+        out.append(tbl.filter(pa.array(h_dst == p)))
+    return out
+
+
+def _r9_half_away(x):
+    """Half-away-from-zero rounding at 9dp (SQL round semantics;
+    HITS scores are non-negative). Pins the fp state each half-step
+    so both engines iterate from identical values — the kmeans
+    trick."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e9 + 0.5) / 1e9
+
+
+def hits_scores(links_ds, *, iters: int = 5,
+                src_col: str = "src_url", dst_col: str = "dst_url",
+                round_to: int = 6,
+                num_parts: int | None = None):
+    """HITS (Kleinberg 1999) hubs-and-authorities over the link graph
+    -> (url, hub, authority), the classic query-independent relevance
+    pair next to PageRank. Each iteration: authority = in-edge sum of
+    hub scores, hub = out-edge sum of authority scores, each half-step
+    L2-normalized. Raw sums AND normalized scores round half-away to
+    9dp so distributed summation order cannot compound across
+    iterations and the unrolled SQL twin (_hits_sql) reproduces the
+    scores exactly.
+
+    Scale shape: the pregel shard engine (same as _pagerank_pregel —
+    a Dataset-composed version measured ~25x slower from executor
+    launches alone): edges partition ONCE in both directions
+    (hash(src) for the hub push, hash(dst) for the authority push —
+    2x edge memory buys locality for both traversal directions),
+    state stays actor-resident, and an iteration is four actor rounds
+    (push/fold per half-step) with per-destination-shard
+    pre-aggregated tables in the object store. The driver sees one
+    O(1) norm scalar per half-step."""
+    import ray
+
+    from rse_ray.util import parts_for
+
+    links = links_ds.map_batches(
+        lambda b: pa.table(
+            {"src": b.column(src_col).combine_chunks().cast(pa.string()),
+             "dst": b.column(dst_col).combine_chunks().cast(pa.string())}),
+        batch_format="pyarrow").materialize()
+    block_refs = links.to_arrow_refs()
+    n_edges = links.count()
+    if len(block_refs) == 0 or n_edges == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], type=pa.string()),
+             "hub": pa.array([], type=pa.float64()),
+             "authority": pa.array([], type=pa.float64())}))
+    P = num_parts if num_parts is not None else \
+        parts_for(n_edges, rows_per_part=200_000)
+    split = ray.remote(_route_links_bidir)
+    parts = [split.options(num_returns=2 * P).remote(r, P)
+             for r in block_refs]
+    M = len(block_refs)
+
+    @ray.remote
+    class _HitsShard:
+        def __init__(self, p: int, P: int, src_refs, dst_refs):
+            es = pa.concat_tables(ray.get(list(src_refs)))
+            ed = pa.concat_tables(ray.get(list(dst_refs)))
+            s_src = es.column("src").to_numpy(zero_copy_only=False)
+            s_dst = es.column("dst").to_numpy(zero_copy_only=False)
+            d_src = ed.column("src").to_numpy(zero_copy_only=False)
+            d_dst = ed.column("dst").to_numpy(zero_copy_only=False)
+            self.urls = np.array(
+                sorted(set(s_src.tolist()) | set(d_dst.tolist())),
+                dtype=object)
+            # forward push (hub -> authority): own-src edges grouped
+            # by destination shard
+            src_idx = np.searchsorted(self.urls, s_src)
+            qf = (_pr_url_hash(s_dst) % P).astype(np.int64) if len(s_dst) \
+                else np.empty(0, dtype=np.int64)
+            self.fwd = [(s_dst[qf == q], src_idx[qf == q])
+                        for q in range(P)]
+            # reverse push (authority -> hub): own-dst edges grouped
+            # by source shard
+            dst_idx = np.searchsorted(self.urls, d_dst)
+            qr = (_pr_url_hash(d_src) % P).astype(np.int64) if len(d_src) \
+                else np.empty(0, dtype=np.int64)
+            self.rev = [(d_src[qr == q], dst_idx[qr == q])
+                        for q in range(P)]
+            self.h = self.a = None
+            self._raw = None
+
+        def n_local(self) -> int:
+            return len(self.urls)
+
+        def init_scores(self, init: float) -> None:
+            self.h = np.full(len(self.urls), init)
+            self.a = np.zeros(len(self.urls))
+
+        def _push(self, groups, vec):
+            out = []
+            for keys, idx in groups:
+                if len(keys) == 0:
+                    out.append(pa.table(
+                        {"u": pa.array([], type=pa.string()),
+                         "c": pa.array([], type=pa.float64())}))
+                    continue
+                c = vec[idx]
+                u, inv = np.unique(keys, return_inverse=True)
+                csum = np.zeros(len(u))
+                np.add.at(csum, inv, c)
+                out.append(pa.table({"u": pa.array(u, type=pa.string()),
+                                     "c": pa.array(csum)}))
+            return out
+
+        def push_h(self):
+            return self._push(self.fwd, self.h)
+
+        def push_a(self):
+            return self._push(self.rev, self.a)
+
+        def fold(self, *tables) -> float:
+            """Scatter-add received contributions, round to 9dp, and
+            return this shard's sum of squares for the global norm."""
+            raw = np.zeros(len(self.urls))
+            # at P=1 a push ref wraps the whole 1-element list
+            tables = [t for item in tables
+                      for t in (item if isinstance(item, list) else [item])]
+            for t in tables:
+                if t.num_rows == 0:
+                    continue
+                idx = np.searchsorted(
+                    self.urls,
+                    t.column("u").to_numpy(zero_copy_only=False))
+                np.add.at(raw, idx, t.column("c").to_numpy())
+            self._raw = _r9_half_away(raw)
+            return float((self._raw ** 2).sum())
+
+        def norm_a(self, z: float) -> None:
+            self.a = _r9_half_away(self._raw / z) if z > 0 \
+                else np.zeros(len(self.urls))
+
+        def norm_h(self, z: float) -> None:
+            self.h = _r9_half_away(self._raw / z) if z > 0 \
+                else np.zeros(len(self.urls))
+
+        def result(self, round_to: int) -> pa.Table:
+            scale = 10.0 ** round_to
+            return pa.table(
+                {"url": pa.array(self.urls, type=pa.string()),
+                 "hub": pa.array(np.floor(self.h * scale + 0.5) / scale),
+                 "authority": pa.array(
+                     np.floor(self.a * scale + 0.5) / scale)})
+
+    shards = [
+        _HitsShard.remote(
+            p, P,
+            [parts[m][p] for m in range(M)],
+            [parts[m][P + p] for m in range(M)])
+        for p in range(P)
+    ]
+    n_nodes = sum(ray.get([s.n_local.remote() for s in shards]))
+    init = float(_r9_half_away(1.0 / np.sqrt(n_nodes))[()])
+    ray.get([s.init_scores.remote(init) for s in shards])
+    for _ in range(iters):
+        for push, norm in (("push_h", "norm_a"), ("push_a", "norm_h")):
+            # num_returns=1 yields a bare ref, not a 1-list
+            outs = [getattr(s, push).options(num_returns=P).remote()
+                    for s in shards]
+            if P == 1:
+                outs = [[o] for o in outs]
+            sq = ray.get([
+                s.fold.remote(*[outs[p][q] for p in range(P)])
+                for q, s in enumerate(shards)
+            ])
+            z = float(np.sqrt(sum(sq)))
+            ray.get([getattr(s, norm).remote(z) for s in shards])
+    import ray.data
+
+    res_refs = [s.result.remote(round_to) for s in shards]
+    ray.wait(res_refs, num_returns=len(res_refs))
+    return ray.data.from_arrow_refs(res_refs)

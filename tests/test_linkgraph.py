@@ -281,3 +281,32 @@ def test_graph_ops_tolerate_null_endpoints(ray_session):
         {"src_url": pd.Series([], dtype=str),
          "dst_url": pd.Series([], dtype=str)}))
     assert len(degree_distribution(empty)) == 0
+
+
+def test_hits_partition_invariance_and_star_graph(ray_session):
+    """HITS on a star graph: the center is the unique authority
+    (hub 0), leaves are pure hubs; scores are identical across shard
+    counts (9dp rounding pins the fp state per half-step)."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import hits_scores
+
+    leaves = [f"http://l{i}.test/" for i in range(8)]
+    edges = pd.DataFrame({
+        "src_url": leaves,
+        "dst_url": ["http://center.test/"] * len(leaves),
+    })
+    outs = []
+    for parts in (1, 4):
+        got = hits_scores(ray.data.from_pandas(edges), iters=3,
+                          num_parts=parts).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    got = outs[0].set_index("url")
+    assert got.loc["http://center.test/", "authority"] == 1.0
+    assert got.loc["http://center.test/", "hub"] == 0.0
+    for u in leaves:
+        assert got.loc[u, "authority"] == 0.0
+        assert got.loc[u, "hub"] > 0.35  # 1/sqrt(8) each
