@@ -1632,6 +1632,45 @@ FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a USING (url)""")
     return "".join(parts)
 
 
+def _q_related_pages(sf_dir: str):
+    from rse_ray.pipelines.linkgraph import related_pages
+
+    return _finalize(related_pages(_extracted_links()))
+
+
+def _related_pages_sql() -> str:
+    """Co-citation Jaccard twin over the golden links: same
+    informative-source window (distinct out-degree in [2, 100]) and
+    same kept-source in-degrees as the engine."""
+    links = os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT src_url AS src, dst_url AS dst
+    FROM read_parquet('{links}')
+    WHERE src_url IS NOT NULL AND dst_url IS NOT NULL),
+keep AS (SELECT src FROM e GROUP BY 1 HAVING count(*) BETWEEN 2 AND 100),
+ek AS MATERIALIZED (SELECT e.src, e.dst FROM e JOIN keep USING (src)),
+deg AS (SELECT dst, count(*) AS d FROM ek GROUP BY 1),
+pairs AS (SELECT a.dst AS url_a, b.dst AS url_b, count(*) AS common
+          FROM ek a JOIN ek b ON a.src = b.src AND a.dst < b.dst
+          GROUP BY 1, 2)
+SELECT url_a, url_b, common,
+       round(common::DOUBLE / (d1.d + d2.d - common), 6) AS jaccard
+FROM pairs JOIN deg d1 ON pairs.url_a = d1.dst
+           JOIN deg d2 ON pairs.url_b = d2.dst
+WHERE common >= 1"""
+
+
+def _q_bloom_semi_join(sf_dir: str):
+    from rse_ray.pipelines.relational import bloom_semi_join
+
+    orders = _read(sf_dir, "orders")
+    building = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'")
+    return _finalize(bloom_semi_join(
+        orders, building, left_on="o_custkey", right_on="c_custkey"))
+
+
 CC_SQL_ITERS = 12  # golden-links graph converges in 6; 2x margin
 
 
@@ -2092,6 +2131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backlink_counts": _q_backlink_counts,
         "pagerank": _q_pagerank,
         "hits_scores": _q_hits_scores,
+        "related_pages": _q_related_pages,
+        "bloom_semi_join": _q_bloom_semi_join,
         "crawl_depth": _q_crawl_depth,
         "connected_components": _q_connected_components,
         "degree_distribution": _q_degree_distribution,
@@ -3195,6 +3236,13 @@ FROM read_parquet('{pages}') GROUP BY 1""".format(
         "reference_rank": _reference_rank_sql(),
         "pagerank": _pagerank_sql(),
         "hits_scores": _hits_sql(),
+        "related_pages": _related_pages_sql(),
+        "bloom_semi_join": """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')""",
         "connected_components": _connected_components_sql(),
         # out-degree histogram over src ∪ dst (sink-only nodes are the
         # degree-0 row)

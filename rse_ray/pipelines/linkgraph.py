@@ -1292,3 +1292,106 @@ def hits_scores(links_ds, *, iters: int = 5,
     res_refs = [s.result.remote(round_to) for s in shards]
     ray.wait(res_refs, num_returns=len(res_refs))
     return ray.data.from_arrow_refs(res_refs)
+
+
+def related_pages(links_ds, *, src_col: str = "src_url",
+                  dst_col: str = "dst_url", max_out: int = 100,
+                  min_common: int = 1, round_to: int = 6):
+    """Co-citation related pages (Dean & Henzinger 1999 shape): two
+    pages are related when the same source links to both; the score is
+    the Jaccard of their in-neighbor sets, |in(a) & in(b)| /
+    |in(a) | in(b)|, restricted to INFORMATIVE sources — distinct
+    out-degree in [2, max_out]. A source with one link co-cites
+    nothing, and a mega-hub (directory page) co-cites everything, so
+    both are excluded deterministically; in-degrees are measured over
+    the same kept-source edge set, making the score self-consistent.
+
+    Output (url_a, url_b, common, jaccard), url_a < url_b,
+    common >= min_common.
+
+    Scale shape: ONE groupby(src) shuffle does global edge dedup +
+    the degree filter + pair generation (pair fan-out bounded at
+    max_out^2 per source); the pair stream pre-aggregates per batch
+    before the groupby(pair) count; in-degrees attach via two
+    co-partitioned hash joins (never a driver-side degree map — the
+    node set is corpus-sized). No stage materializes edges on the
+    driver."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from rse_ray.pipelines.relational import hash_join
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = pa.table({"src": batch.column(src_col).cast(pa.string()),
+                      "dst": batch.column(dst_col).cast(pa.string())}) \
+            .drop_null()
+        # per-batch partial dedup: shrinks the shuffle, groupby
+        # finishes it globally
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    def gen(g: pd.DataFrame) -> pd.DataFrame:
+        ds = np.unique(g["dst"].to_numpy())
+        n = len(ds)
+        if n < 2 or n > max_out:
+            return pd.DataFrame({"u1": pd.Series([], dtype=str),
+                                 "u2": pd.Series([], dtype=str)})
+        iu, ju = np.triu_indices(n, k=1)
+        pairs = pd.DataFrame({"u1": ds[iu], "u2": ds[ju]})
+        # degree rows ride the same output (u2 = NULL sentinel): one
+        # emission per kept (src, dst) edge
+        degs = pd.DataFrame({"u1": ds, "u2": pd.Series([None] * n,
+                                                       dtype=object)})
+        return pd.concat([pairs, degs], ignore_index=True)
+
+    emitted = links_ds.map_batches(clean, batch_format="pyarrow") \
+        .groupby("src").map_groups(gen, batch_format="pandas") \
+        .materialize()
+
+    def count_partial(cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(cols).aggregate([([], "count_all")])
+            return g.rename_columns(list(cols) + ["n"])
+        return fn
+
+    pairs = emitted.map_batches(
+            lambda b: b.filter(pc.is_valid(b.column("u2"))),
+            batch_format="pyarrow") \
+        .map_batches(count_partial(["u1", "u2"]), batch_format="pyarrow") \
+        .groupby(["u1", "u2"]).aggregate(Sum("n", alias_name="common"))
+    if min_common > 1:
+        pairs = pairs.filter(expr=f"common >= {min_common}")
+    deg = emitted.map_batches(
+            lambda b: b.filter(pc.is_null(b.column("u2")))
+                       .select(["u1"]),
+            batch_format="pyarrow") \
+        .map_batches(count_partial(["u1"]), batch_format="pyarrow") \
+        .groupby("u1").aggregate(Sum("n", alias_name="d")) \
+        .materialize()
+
+    d1 = deg.map_batches(
+        lambda b: pa.table({"url": b.column("u1"), "d1": b.column("d")}),
+        batch_format="pyarrow")
+    d2 = deg.map_batches(
+        lambda b: pa.table({"url": b.column("u1"), "d2": b.column("d")}),
+        batch_format="pyarrow")
+    joined = hash_join(pairs, d1, left_on="u1", right_on="url",
+                       right_cols=["d1"])
+    joined = hash_join(joined, d2, left_on="u2", right_on="url",
+                       right_cols=["d2"])
+
+    scale = 10.0 ** round_to
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("common").to_numpy().astype(np.float64)
+        d1v = batch.column("d1").to_numpy().astype(np.float64)
+        d2v = batch.column("d2").to_numpy().astype(np.float64)
+        j = c / (d1v + d2v - c)
+        return pa.table({
+            "url_a": batch.column("u1"),
+            "url_b": batch.column("u2"),
+            "common": batch.column("common").cast(pa.int64()),
+            "jaccard": pa.array(np.floor(j * scale + 0.5) / scale),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

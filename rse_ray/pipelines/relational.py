@@ -2007,3 +2007,113 @@ def group_quota_sample(ds, *, group: str, key: str, quota: int,
     return ds.select_columns([group, key]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby(group).map_groups(final, batch_format="pandas")
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants) —
+    full-avalanche uint64 mix for the Bloom probes."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _keys_u64(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Non-null key column -> uint64 hash inputs. Integers pass
+    through bit-identically; strings take the same stable siphash
+    (pd.util.hash_array, fixed key) hash_join routes by."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return pd.util.hash_array(
+            arr.to_numpy(zero_copy_only=False).astype(object))
+    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+        .astype(np.int64).view(np.uint64)
+
+
+def _bloom_probes(u: np.ndarray, m_bits: int, k: int):
+    """Kirsch-Mitzenmacher double hashing: probe_i = h1 + i*h2 (mod m,
+    m a power of two). Returns (n, k) word indices + bit masks."""
+    h1 = _mix64(u)
+    h2 = _mix64(u ^ np.uint64(0xD6E8FEB86659FD93)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    pos = (h1[:, None] + i * h2[:, None]) & np.uint64(m_bits - 1)
+    return (pos >> np.uint64(6)).astype(np.int64), \
+        np.uint64(1) << (pos & np.uint64(63))
+
+
+def bloom_semi_join(left_ds, right_keys_ds, *, left_on: str,
+                    right_on: str, bits_per_key: int = 16,
+                    n_hashes: int = 7, num_parts: int | None = None):
+    """Exact semi-join (left rows with >= 1 right-key match) with a
+    BLOOM-FILTER PREFILTER — the classic big-join optimization when
+    the key set is too large to broadcast exactly but a bitmap is
+    cheap: 16 bits/key keeps ~0.05% false-positive rate, so a 10^9-key
+    set broadcasts as a 2 GB bitmap instead of a multi-TB shuffle of
+    the whole left table.
+
+    Three stages, all content-determined:
+      1. build — each right block folds its keys into an m-bit bitmap
+         (splitmix64 double hashing, m = pow2(bits_per_key x n_keys));
+         bitmaps OR-merge in a fan-in tree of Ray tasks and the final
+         filter broadcasts ONCE via ray.put (workers map it zero-copy
+         from the object store).
+      2. prefilter — a stateless map over the left side tests each
+         batch's keys against the broadcast bitmap (vectorized word/
+         mask probes); only possible members survive, so the join
+         exchange that follows moves matches + ~fpp of the rest
+         instead of the whole left table.
+      3. verify — hash_join(how='semi') over the survivors removes
+         the false positives. Output == the exact SQL semi-join
+         (``WHERE left_on IN (SELECT right_on ...)``); the Bloom layer
+         only reshapes the traffic. Null left keys match nothing.
+    """
+    import ray
+
+    n_keys = right_keys_ds.count()
+    if n_keys == 0:
+        return left_ds.filter(lambda row: False)
+    want = max(1 << 13, int(n_keys) * bits_per_key)
+    m_bits = min(1 << (want - 1).bit_length(), 1 << 34)  # <= 2 GiB
+    n_words = m_bits // 64
+
+    right_keys = right_keys_ds.select_columns([right_on]).materialize()
+
+    @ray.remote
+    def block_bloom(tbl: pa.Table) -> np.ndarray:
+        bm = np.zeros(n_words, dtype=np.uint64)
+        col = tbl.column(right_on).combine_chunks().drop_null()
+        if len(col):
+            w, b = _bloom_probes(_keys_u64(col), m_bits, n_hashes)
+            np.bitwise_or.at(bm, w.ravel(), b.ravel())
+        return bm
+
+    @ray.remote
+    def or_merge(*bms: np.ndarray) -> np.ndarray:
+        out = bms[0].copy()
+        for b in bms[1:]:
+            np.bitwise_or(out, b, out=out)
+        return out
+
+    refs = [block_bloom.remote(r) for r in right_keys.to_arrow_refs()]
+    while len(refs) > 1:  # fan-in 8 tree: driver never sees >1 bitmap
+        refs = [or_merge.remote(*refs[i:i + 8])
+                for i in range(0, len(refs), 8)]
+    bloom_ref = refs[0]
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bloom_ref)  # plasma-local after first touch
+        col = batch.column(left_on)
+        valid = pc.is_valid(col)
+        u = _keys_u64(pc.drop_null(col))
+        if len(u) == 0:
+            return batch.slice(0, 0)
+        w, b = _bloom_probes(u, m_bits, n_hashes)
+        hit = ((bm[w] & b) == b).all(axis=1)
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        keep[valid.to_numpy(zero_copy_only=False)] = hit
+        return batch.filter(pa.array(keep))
+
+    survivors = left_ds.map_batches(prefilter, batch_format="pyarrow")
+    return hash_join(survivors, right_keys, left_on=left_on,
+                     right_on=right_on, right_cols=[], how="semi",
+                     num_parts=num_parts)

@@ -310,3 +310,35 @@ def test_hits_partition_invariance_and_star_graph(ray_session):
     for u in leaves:
         assert got.loc[u, "authority"] == 0.0
         assert got.loc[u, "hub"] > 0.35  # 1/sqrt(8) each
+
+
+def test_related_pages_cocitation_semantics(ray_session):
+    """Informative-source window: a single-link source and a mega-hub
+    (out-degree > max_out) contribute neither pairs nor degrees; the
+    Jaccard uses kept-source in-degrees."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import related_pages
+
+    hub_edges = [("http://hub.test/", f"http://t{i}.test/")
+                 for i in range(6)]
+    edges = pd.DataFrame(
+        [("http://s1.test/", "http://a.test/"),
+         ("http://s1.test/", "http://b.test/"),
+         ("http://s1.test/", "http://c.test/"),
+         ("http://s2.test/", "http://a.test/"),
+         ("http://s2.test/", "http://b.test/"),
+         ("http://s2.test/", "http://b.test/"),   # dup edge collapses
+         ("http://single.test/", "http://a.test/")] + hub_edges,
+        columns=["src_url", "dst_url"])
+    got = related_pages(ray.data.from_pandas(edges), max_out=5) \
+        .to_pandas().sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    # kept sources: s1 (3 links), s2 (2); single (1) and hub (6) drop.
+    # in-degrees over kept edges: a=2, b=2, c=1
+    by_pair = {(r.url_a, r.url_b): (r.common, r.jaccard)
+               for r in got.itertuples()}
+    assert by_pair[("http://a.test/", "http://b.test/")] == (2, round(2 / 2, 6))
+    assert by_pair[("http://a.test/", "http://c.test/")] == (1, round(1 / 2, 6))
+    assert by_pair[("http://b.test/", "http://c.test/")] == (1, round(1 / 2, 6))
+    assert len(got) == 3  # no hub-target pairs

@@ -2327,3 +2327,50 @@ def test_incremental_exact_dedup_semantics(ray_session):
         ray.data.from_pandas(new), ray.data.from_pandas(old)) \
         .to_pandas()["doc_id"].sort_values().tolist()
     assert got == [11, 12, 13]
+
+
+def test_bloom_semi_join_exact_and_actually_filters(ray_session):
+    """bloom_semi_join == exact semi-join (false positives verified
+    away) on int and string keys, with null left keys excluded; and
+    the Bloom layer itself admits every true member (no false
+    negatives by construction)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.relational import (_bloom_probes, _keys_u64,
+                                              bloom_semi_join)
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": pd.array([int(x) for x in rng.integers(0, 5000, 4000)]
+                      + [None] * 20, dtype="Int64"),
+        "payload": np.arange(4020),
+    })
+    right = pd.DataFrame({"rk": np.unique(rng.integers(0, 5000, 300))})
+    got = bloom_semi_join(
+        ray.data.from_pandas(left.astype({"k": "Int64"})),
+        ray.data.from_pandas(right),
+        left_on="k", right_on="rk").to_pandas()
+    exp = left[left["k"].isin(set(right["rk"]))]
+    assert sorted(got["payload"]) == sorted(exp["payload"])
+
+    # string keys
+    sleft = pd.DataFrame({"k": [f"u{i % 97}" for i in range(500)],
+                          "v": range(500)})
+    sright = pd.DataFrame({"rk": [f"u{i}" for i in range(0, 97, 3)]})
+    got_s = bloom_semi_join(ray.data.from_pandas(sleft),
+                            ray.data.from_pandas(sright),
+                            left_on="k", right_on="rk").to_pandas()
+    exp_s = sleft[sleft["k"].isin(set(sright["rk"]))]
+    assert sorted(got_s["v"]) == sorted(exp_s["v"])
+
+    # no false negatives at the bitmap level: every inserted key hits
+    m_bits, k = 1 << 13, 7
+    keys = _keys_u64(pa.array(right["rk"].to_numpy()))
+    bm = np.zeros(m_bits // 64, dtype=np.uint64)
+    w, b = _bloom_probes(keys, m_bits, k)
+    np.bitwise_or.at(bm, w.ravel(), b.ravel())
+    w2, b2 = _bloom_probes(keys, m_bits, k)
+    assert ((bm[w2] & b2) == b2).all()
