@@ -1111,6 +1111,48 @@ def _q_quality_ntile(sf_dir: str):
         order="n_chars", key="doc_id", n=4, descending=True))
 
 
+RP_D_IN, RP_D_OUT, RP_SEED = 64, 16, 17
+
+
+def _rp_matrix_path() -> str:
+    """Pin the deterministic projection matrix to a parquet the SQL
+    twin reads (the matrix itself is splitmix-generated, not random —
+    both sides could regenerate it; the parquet just makes it
+    SQL-visible). ALL entries ship, including the ~2/3 zeros, so every
+    (vec_id, dim) group exists on the SQL side too."""
+    import pyarrow.parquet as pq
+
+    from rse_ray.pipelines.ann import projection_matrix
+
+    import numpy as np
+
+    path = os.path.join(
+        "/tmp/rse_ray_cache",
+        f"rp_matrix_{RP_D_IN}x{RP_D_OUT}_s{RP_SEED}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        R = projection_matrix(RP_D_IN, RP_D_OUT, seed=RP_SEED)
+        i, j = np.meshgrid(np.arange(1, RP_D_IN + 1),
+                           np.arange(RP_D_OUT), indexing="ij")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({
+            "i": pa.array(i.ravel(), type=pa.int64()),
+            "j": pa.array(j.ravel(), type=pa.int64()),
+            "r": pa.array(R.ravel(), type=pa.float64()),
+        }), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _q_random_projection(sf_dir: str):
+    from rse_ray.pipelines.ann import projection_matrix, random_projection
+
+    _rp_matrix_path()
+    return _finalize(random_projection(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        projection_matrix(RP_D_IN, RP_D_OUT, seed=RP_SEED)))
+
+
 def _q_embedding_covariance(sf_dir: str):
     from rse_ray.pipelines.ann import embedding_covariance
 
@@ -2102,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": _q_doc_lm_score,
         "snapshot_diff": _q_snapshot_diff,
         "embedding_covariance": _q_embedding_covariance,
+        "random_projection": _q_random_projection,
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,
         "approx_ndistinct_by_type": _q_approx_ndistinct_by_type,
@@ -2929,6 +2972,15 @@ WHERE d.doc_id % 3 = 0
         # population covariance of the embedding matrix, 1-based dims;
         # FLOAT values promote to DOUBLE in both engines before the
         # multiply, so E[xi*xj] agrees to rounding
+        # JL sparse projection through the pinned splitmix matrix
+        # (_rp_matrix_path writes it; all 1024 entries ship so every
+        # (vec_id, dim) group exists even where r is 0)
+        "random_projection": f"""
+WITH r AS (SELECT i, j, r FROM read_parquet('{_rp_matrix_path()}')),
+x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS xi
+      FROM embeddings, unnest(range(1, {RP_D_IN + 1})) AS t(i))
+SELECT x.vec_id, r.j AS dim, round(sum(x.xi * r.r), 6) AS val
+FROM x JOIN r USING (i) GROUP BY 1, 2""",
         "embedding_covariance": """
 WITH x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS xi
            FROM embeddings, unnest(range(1, 65)) AS t(i)),

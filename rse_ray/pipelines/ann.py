@@ -898,3 +898,55 @@ SELECT vid AS {id_col}, cid AS cluster FROM (
                ORDER BY list_distance(e.ev, c.ce), c.cid) AS rn
     FROM e CROSS JOIN c{iters} c) WHERE rn = 1"""
     return "WITH " + init + "," + ",".join(steps) + final
+
+
+def projection_matrix(d_in: int, d_out: int, *, seed: int = 17) -> np.ndarray:
+    """Deterministic sparse random projection (Achlioptas 2003): entry
+    r_ij in {+s, 0, -s}, s = sqrt(3/d_out), with prob {1/6, 2/3, 1/6},
+    drawn from splitmix64(i*d_out + j + seed) — content-determined, no
+    RNG state, so every worker/process/cluster regenerates the
+    identical matrix and the oracle can read it from a pinned table."""
+    idx = (np.arange(d_in * d_out, dtype=np.uint64)
+           + np.uint64(seed) * np.uint64(0x100000001))
+    x = idx + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    u = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    s = np.sqrt(3.0 / d_out)
+    r = np.where(u < 1 / 6, s, np.where(u < 2 / 6, -s, 0.0))
+    return r.reshape(d_in, d_out)
+
+
+def random_projection(ds, R: np.ndarray, *, round_to: int = 6):
+    """Johnson-Lindenstrauss dimensionality reduction of the embedding
+    column: project each d_in vector through the fixed sparse matrix
+    ``R`` (see projection_matrix) to d_out dims — the standard cheap
+    prep before clustering/ANN at 100 TB (16 dims store and compare
+    4x cheaper than 64 while approximately preserving distances).
+
+    Output long-format (vec_id, dim, val), val rounded half-away at
+    ``round_to`` dp so the SQL twin's different summation order cannot
+    flip the printed value.
+
+    Scale shape: stateless map_batches — R rides into every task as a
+    closure constant (d_in x d_out floats, KBs), one BLAS matmul per
+    batch, no shuffle at all."""
+    d_in, d_out = R.shape
+    scale = 10.0 ** round_to
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        if mat.shape[1] != d_in:
+            raise ValueError(f"embedding dim {mat.shape[1]} != R rows {d_in}")
+        proj = mat @ R
+        proj = np.copysign(np.floor(np.abs(proj) * scale + 0.5), proj) / scale
+        n = len(ids)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids.astype(np.int64), d_out)),
+            "dim": pa.array(np.tile(np.arange(d_out, dtype=np.int64), n)),
+            "val": pa.array(proj.ravel()),
+        })
+
+    return ds.select_columns(["vec_id", "embedding"]) \
+        .map_batches(fn, batch_format="pyarrow")

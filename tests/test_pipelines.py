@@ -2374,3 +2374,39 @@ def test_bloom_semi_join_exact_and_actually_filters(ray_session):
     np.bitwise_or.at(bm, w.ravel(), b.ravel())
     w2, b2 = _bloom_probes(keys, m_bits, k)
     assert ((bm[w2] & b2) == b2).all()
+
+
+def test_random_projection_matches_numpy_and_preserves_distances(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.ann import projection_matrix, random_projection
+
+    rng = np.random.default_rng(5)
+    n, d_in, d_out = 200, 64, 16
+    X = rng.normal(size=(n, d_in))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([row.astype(np.float32) for row in X],
+                              type=pa.list_(pa.float32())),
+    })
+    R = projection_matrix(d_in, d_out, seed=17)
+    got = random_projection(ray.data.from_arrow(tbl), R).to_pandas() \
+        .sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    exp = X.astype(np.float32).astype(np.float64) @ R
+    exp = np.copysign(np.floor(np.abs(exp) * 1e6 + 0.5), exp) / 1e6
+    assert len(got) == n * d_out
+    assert np.array_equal(got["val"].to_numpy(), exp.ravel())
+
+    # JL sanity: projected pairwise distances stay within loose bounds
+    P = exp
+    for a, b in [(0, 1), (2, 3), (10, 99)]:
+        orig = np.linalg.norm(X[a] - X[b])
+        proj = np.linalg.norm(P[a] - P[b])
+        assert 0.4 * orig < proj < 1.8 * orig
+
+    # matrix is deterministic and has the Achlioptas support
+    assert np.array_equal(R, projection_matrix(d_in, d_out, seed=17))
+    s = np.sqrt(3.0 / d_out)
+    assert set(np.unique(np.abs(R))) <= {0.0, s}
