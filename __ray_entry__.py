@@ -1111,6 +1111,35 @@ def _q_quality_ntile(sf_dir: str):
         order="n_chars", key="doc_id", n=4, descending=True))
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _q_funnel_counts(sf_dir: str):
+    from rse_ray.pipelines.relational import funnel_counts
+
+    return _finalize(funnel_counts(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        steps=FUNNEL_STEPS))
+
+
+def _funnel_sql() -> str:
+    """Greedy earliest-match funnel twin: each step's reach time is
+    the min qualifying ts strictly after the previous step's."""
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = '{s1}' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = '{s2}' AND ts > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE event_type = '{s3}' AND ts > t2 GROUP BY 1)
+SELECT 0 AS step, '{s1}' AS event_type, (SELECT count(*) FROM s1) AS users
+UNION ALL
+SELECT 1, '{s2}', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 2, '{s3}', (SELECT count(*) FROM s3)"""
+
+
 RP_D_IN, RP_D_OUT, RP_SEED = 64, 16, 17
 
 
@@ -2145,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "embedding_covariance": _q_embedding_covariance,
         "random_projection": _q_random_projection,
+        "funnel_counts": _q_funnel_counts,
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,
         "approx_ndistinct_by_type": _q_approx_ndistinct_by_type,
@@ -2975,6 +3005,7 @@ WHERE d.doc_id % 3 = 0
         # JL sparse projection through the pinned splitmix matrix
         # (_rp_matrix_path writes it; all 1024 entries ship so every
         # (vec_id, dim) group exists even where r is 0)
+        "funnel_counts": _funnel_sql(),
         "random_projection": f"""
 WITH r AS (SELECT i, j, r FROM read_parquet('{_rp_matrix_path()}')),
 x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS xi

@@ -2117,3 +2117,75 @@ def bloom_semi_join(left_ds, right_keys_ds, *, left_on: str,
     return hash_join(survivors, right_keys, left_on=left_on,
                      right_on=right_on, right_cols=[], how="semi",
                      num_parts=num_parts)
+
+
+def funnel_counts(events_ds, *, steps: tuple = ("view", "click", "purchase"),
+                  ts_col: str = "ts", user_col: str = "user_id",
+                  type_col: str = "event_type"):
+    """Ordered funnel analysis: for each prefix of ``steps``, how many
+    users performed those event types IN ORDER (each step strictly
+    after the previous one's earliest qualifying time — the greedy
+    earliest-match funnel, which with no time window decides ordered-
+    subsequence reachability exactly). Output one row per step:
+    (step, event_type, users), users monotonically non-increasing.
+
+    Scale shape: the read ships only (user, ts, type) rows of the
+    step types (filter + projection before the shuffle); ONE
+    groupby(user) co-locates each user's events and a vectorized
+    greedy scan reduces every user to a single small int (steps
+    reached); per-batch bincount partials make the final exchange a
+    len(steps)-row histogram."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    step_list = list(steps)
+    n_steps = len(step_list)
+    type_set = set(step_list)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column(type_col),
+                        value_set=pa.array(step_list))
+        t = batch.filter(keep)
+        return pa.table({user_col: t.column(user_col),
+                         "ts": t.column(ts_col),
+                         "et": t.column(type_col)})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy()
+        et = g["et"].to_numpy()
+        reached, t = 0, None
+        for s in step_list:
+            mask = et == s
+            if t is not None:
+                mask &= ts > t
+            if not mask.any():
+                break
+            t = ts[mask].min()
+            reached += 1
+        return pd.DataFrame({"reached": [reached]})
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        r = batch.column("reached").to_numpy()
+        counts = np.zeros(n_steps, dtype=np.int64)
+        # a user at reached=k counts toward steps 0..k-1
+        bc = np.bincount(r, minlength=n_steps + 1)
+        counts = bc[::-1].cumsum()[::-1][1:]
+        return pa.table({"step": pa.array(np.arange(n_steps)),
+                         "n": pa.array(counts)})
+
+    agg = events_ds.map_batches(prune, batch_format="pyarrow") \
+        .groupby(user_col).map_groups(per_user, batch_format="pandas") \
+        .map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("step").aggregate(Sum("n", alias_name="users"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("step").to_numpy()
+        return pa.table({
+            "step": batch.column("step").cast(pa.int64()),
+            "event_type": pa.array([step_list[i] for i in s],
+                                   type=pa.string()),
+            "users": batch.column("users").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

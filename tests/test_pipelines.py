@@ -2410,3 +2410,32 @@ def test_random_projection_matches_numpy_and_preserves_distances(ray_session):
     assert np.array_equal(R, projection_matrix(d_in, d_out, seed=17))
     s = np.sqrt(3.0 / d_out)
     assert set(np.unique(np.abs(R))) <= {0.0, s}
+
+
+def test_funnel_counts_ordering_semantics(ray_session):
+    """Order matters: a purchase BEFORE the click doesn't convert;
+    same-timestamp events don't chain (strictly-after)."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.relational import funnel_counts
+
+    t = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta("1h")
+    ev = pd.DataFrame([
+        # u1 full ordered funnel
+        (1, t, "view"), (1, t + h, "click"), (1, t + 2 * h, "purchase"),
+        # u2: purchase precedes click -> stops at click
+        (2, t, "view"), (2, t + h, "purchase"), (2, t + 2 * h, "click"),
+        # u3: click at the SAME ts as view -> strictly-after fails
+        (3, t, "view"), (3, t, "click"),
+        # u4: no view at all -> reaches nothing
+        (4, t, "click"), (4, t + h, "purchase"),
+        # u5: later re-click after early purchase still can't convert
+        # (greedy earliest click = t+h, purchase must be > t+h: yes at 3h)
+        (5, t, "view"), (5, t + h, "click"), (5, t + 3 * h, "purchase"),
+    ], columns=["user_id", "ts", "event_type"])
+    got = funnel_counts(ray.data.from_pandas(ev)).to_pandas() \
+        .sort_values("step").reset_index(drop=True)
+    assert list(got["users"]) == [4, 3, 2]  # views: u1,u2,u3,u5
+    assert list(got["event_type"]) == ["view", "click", "purchase"]
