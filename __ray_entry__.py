@@ -1182,6 +1182,16 @@ def _q_random_projection(sf_dir: str):
         projection_matrix(RP_D_IN, RP_D_OUT, seed=RP_SEED)))
 
 
+def _q_pca_project(sf_dir: str):
+    # pytest-oracled (tests/test_pipelines.py): the d x d
+    # eigendecomposition has no SQL analog; the covariance it eats is
+    # the separately hash-gated embedding_covariance reduction
+    from rse_ray.pipelines.ann import pca_project
+
+    return _finalize(pca_project(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=4))
+
+
 def _q_embedding_covariance(sf_dir: str):
     from rse_ray.pipelines.ann import embedding_covariance
 
@@ -2174,6 +2184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "embedding_covariance": _q_embedding_covariance,
         "random_projection": _q_random_projection,
+        "pca_project": _q_pca_project,
         "funnel_counts": _q_funnel_counts,
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,

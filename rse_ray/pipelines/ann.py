@@ -703,6 +703,28 @@ def embedding_covariance(ds, *, vec_col: str = "embedding",
     (d=64 -> ~4k), zero-copy numpy matmul per batch; embeddings are
     promoted float32 -> float64 before multiplying, matching DuckDB's
     FLOAT -> DOUBLE aggregate promotion exactly."""
+    agg = _second_moment_table(ds, vec_col)
+
+    if agg.empty:  # no vectors anywhere
+        return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                             "j": pd.Series([], dtype=np.int64),
+                             "cov": pd.Series([], dtype=np.float64)})
+    n = float(agg.loc[(agg["i"] == 0) & (agg["j"] == 0), "s"].iloc[0])
+    mu = agg[(agg["j"] == 0) & (agg["i"] > 0)].set_index("i")["s"] / n
+    sq = agg[agg["j"] > 0]
+    cov = (sq["s"] / n
+           - sq["i"].map(mu).to_numpy() * sq["j"].map(mu).to_numpy())
+    out = pd.DataFrame({"i": sq["i"].to_numpy(),
+                        "j": sq["j"].to_numpy(),
+                        "cov": np.round(cov.to_numpy(), round_to)})
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def _second_moment_table(ds, vec_col: str) -> pd.DataFrame:
+    """The X^T X / column-sum / count partial-sum reduction shared by
+    embedding_covariance and pca_project: per-batch outer products as
+    (i, j, s) rows, ONE groupby((i, j)), O(d^2) aggregated rows back
+    on the driver. Row (0, 0) carries n; (i, 0) the column sums."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -727,23 +749,79 @@ def embedding_covariance(ds, *, vec_col: str = "embedding",
                          "j": pa.array(j.astype(np.int64)),
                          "s": pa.array(s)})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
+    return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["i", "j"]).aggregate(Sum("s", alias_name="s")) \
         .to_pandas()  # O(d^2) rows — bounded by dimension, not corpus
 
-    if agg.empty:  # no vectors anywhere
-        return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
-                             "j": pd.Series([], dtype=np.int64),
-                             "cov": pd.Series([], dtype=np.float64)})
+
+def pca_project(ds, *, k: int = 4, id_col: str = "vec_id",
+                vec_col: str = "embedding", round_to: int = 6):
+    """Top-k principal-component projection of the embedding column ->
+    long-format (vec_id, component, val) — the exact counterpart of
+    random_projection when the basis should be data-derived.
+
+    Decomposed for verifiability: the covariance comes from the SAME
+    rounded distributed reduction that the SQL-oracled
+    embedding_covariance emits (one pass, O(d^2) driver rows); the
+    d x d eigendecomposition is a driver-side LAPACK eigh (no SQL
+    analog — this operator is pytest-oracled against a whole-corpus
+    numpy reference instead); the projection is a stateless
+    map_batches with the (d, k) basis as a closure constant.
+    Determinism: the eigh input is the ROUNDED covariance (identical
+    across cluster sizes/partitionings by the embedding_covariance
+    contract), the mean is rounded at round_to+3, and each component
+    vector is sign-pinned (first largest-|coordinate| made positive),
+    so the projection is reproducible bit-for-bit across runs."""
+    agg = _second_moment_table(ds, vec_col)
+    if agg.empty:
+        return ds.map_batches(
+            lambda b: pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "component": pa.array([], type=pa.int64()),
+                "val": pa.array([], type=pa.float64())}),
+            batch_format="pyarrow")
     n = float(agg.loc[(agg["i"] == 0) & (agg["j"] == 0), "s"].iloc[0])
-    mu = agg[(agg["j"] == 0) & (agg["i"] > 0)].set_index("i")["s"] / n
-    sq = agg[agg["j"] > 0]
+    mu_s = agg[(agg["j"] == 0) & (agg["i"] > 0)].sort_values("i")
+    d = len(mu_s)
+    mu = np.round(mu_s["s"].to_numpy() / n, round_to + 3)
+    sq = agg[agg["j"] > 0].sort_values(["i", "j"])
+    mu_raw = mu_s.set_index("i")["s"] / n
     cov = (sq["s"] / n
-           - sq["i"].map(mu).to_numpy() * sq["j"].map(mu).to_numpy())
-    out = pd.DataFrame({"i": sq["i"].to_numpy(),
-                        "j": sq["j"].to_numpy(),
-                        "cov": np.round(cov.to_numpy(), round_to)})
-    return out.sort_values(["i", "j"]).reset_index(drop=True)
+           - sq["i"].map(mu_raw).to_numpy() * sq["j"].map(mu_raw).to_numpy())
+    C = np.round(cov.to_numpy(), round_to).reshape(d, d)
+
+    W = pca_basis(C, k)
+    scale = 10.0 ** round_to
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        proj = (mat - mu) @ W
+        proj = np.copysign(np.floor(np.abs(proj) * scale + 0.5), proj) / scale
+        m = len(ids)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids.astype(np.int64), W.shape[1])),
+            "component": pa.array(np.tile(
+                np.arange(W.shape[1], dtype=np.int64), m)),
+            "val": pa.array(proj.ravel()),
+        })
+
+    return ds.select_columns([id_col, vec_col]) \
+        .map_batches(project, batch_format="pyarrow")
+
+
+def pca_basis(C: np.ndarray, k: int) -> np.ndarray:
+    """(d, d) covariance -> (d, k) top-k eigenvector basis, columns in
+    descending-eigenvalue order, each sign-pinned: the first
+    largest-|coordinate| entry is made positive, so the basis is a
+    deterministic function of C alone."""
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order]
+    for c in range(W.shape[1]):
+        j = int(np.argmax(np.abs(W[:, c])))
+        if W[j, c] < 0:
+            W[:, c] = -W[:, c]
+    return W
 
 
 def kmeans_fit_predict(ds, *, k: int = 4, iters: int = 3,

@@ -2439,3 +2439,44 @@ def test_funnel_counts_ordering_semantics(ray_session):
         .sort_values("step").reset_index(drop=True)
     assert list(got["users"]) == [4, 3, 2]  # views: u1,u2,u3,u5
     assert list(got["event_type"]) == ["view", "click", "purchase"]
+
+
+def test_pca_project_matches_numpy_reference(ray_session):
+    """Engine PCA == whole-corpus numpy reference built from the SAME
+    rounded covariance + sign-pinned basis, across partitionings; and
+    the per-component variances come out in descending order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.ann import pca_basis, pca_project
+
+    rng = np.random.default_rng(9)
+    n, d, k = 300, 8, 3
+    # anisotropic data so the components are well separated
+    X = rng.normal(size=(n, d)) * np.array([5, 3, 2, 1, .5, .3, .2, .1])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r.astype(np.float32) for r in X],
+                              type=pa.list_(pa.float32())),
+    })
+    outs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        got = pca_project(ds, k=k).to_pandas() \
+            .sort_values(["vec_id", "component"]).reset_index(drop=True)
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+
+    Xf = X.astype(np.float32).astype(np.float64)
+    mu_raw = Xf.mean(axis=0)
+    C = np.round(Xf.T @ Xf / n - np.outer(mu_raw, mu_raw), 6)
+    W = pca_basis(C, k)
+    mu = np.round(mu_raw, 9)
+    exp = (Xf - mu) @ W
+    exp = np.copysign(np.floor(np.abs(exp) * 1e6 + 0.5), exp) / 1e6
+    got_m = outs[0]["val"].to_numpy().reshape(n, k)
+    assert np.abs(got_m - exp).max() <= 1e-6  # only rounding-edge slack
+
+    var = got_m.var(axis=0)
+    assert var[0] > var[1] > var[2]
