@@ -808,6 +808,13 @@ def _q_bm25_conjunctive(sf_dir: str):
                                     conjunctive=True))
 
 
+def _q_bm25_msm(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents
+
+    return _finalize(bm25_documents(sf_dir, CONJ_QUERY, k=20,
+                                    min_match=2))
+
+
 def _q_vsm_cosine_topk(sf_dir: str):
     from rse_ray.pipelines.text import vsm_cosine_topk
 
@@ -2147,6 +2154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "bigram_counts": _q_bigram_counts,
         "bm25_conjunctive": _q_bm25_conjunctive,
+        "bm25_msm": _q_bm25_msm,
         "bm25_not": _q_bm25_not,
         "vsm_cosine_topk": _q_vsm_cosine_topk,
         "oov_rate": _q_oov_rate,
@@ -2694,6 +2702,16 @@ SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 50""",
 hits AS (SELECT p.doc_id FROM p JOIN q USING (term)
          GROUP BY 1
          HAVING count(DISTINCT p.term) = (SELECT count(*) FROM q))
+SELECT s.doc_id, round(s.raw, 6) AS score
+FROM scores s JOIN hits USING (doc_id)
+ORDER BY s.raw DESC, s.doc_id LIMIT 20""",
+        # minimum-should-match: docs with >= 2 distinct query terms,
+        # scored by the contributions of the terms they have (the
+        # scores CTE already sums only present terms)
+        "bm25_msm": _BM25_CTES_CONJ + """,
+hits AS (SELECT p.doc_id FROM p JOIN q USING (term)
+         GROUP BY 1
+         HAVING count(DISTINCT p.term) >= 2)
 SELECT s.doc_id, round(s.raw, 6) AS score
 FROM scores s JOIN hits USING (doc_id)
 ORDER BY s.raw DESC, s.doc_id LIMIT 20""",

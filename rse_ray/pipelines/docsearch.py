@@ -376,19 +376,22 @@ def _score_frame(index_dir: str, hits, *, value_col: str = "score",
 def bm25_documents(sf_dir: str, query: str, k: int | None = None,
                    *, stem: bool = False, round_to: int = 6,
                    conjunctive: bool = False,
-                   excluded: list[str] | None = None) -> pd.DataFrame:
+                   excluded: list[str] | None = None,
+                   min_match: int | None = None) -> pd.DataFrame:
     """-> (doc_id, score) for every document matching >= 1 query term
     (k=None), or the top-k. doc_id is the documents table's own id.
     ``conjunctive=True`` = boolean-AND retrieval (only all-terms docs
     are scored); ``excluded`` = boolean-NOT retrieval (docs containing
-    any excluded term are dropped before scoring; see
-    Searcher.search)."""
+    any excluded term are dropped before scoring); ``min_match`` =
+    minimum-should-match (docs with >= m distinct query terms, scored
+    by the terms they have; see Searcher.search)."""
     from rse_ray.pipelines.search import Searcher
 
     index_dir = documents_index(sf_dir, stem=stem)
     s = Searcher(index_dir)
     hits = s.search(query, k=k if k is not None else s.N,
-                    conjunctive=conjunctive, excluded=excluded)
+                    conjunctive=conjunctive, excluded=excluded,
+                    min_match=min_match)
     return _score_frame(index_dir, hits, round_to=round_to)
 
 

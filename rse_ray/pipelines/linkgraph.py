@@ -1309,63 +1309,82 @@ def related_pages(links_ds, *, src_col: str = "src_url",
     Output (url_a, url_b, common, jaccard), url_a < url_b,
     common >= min_common.
 
-    Scale shape: ONE groupby(src) shuffle does global edge dedup +
-    the degree filter + pair generation (pair fan-out bounded at
-    max_out^2 per source); the pair stream pre-aggregates per batch
-    before the groupby(pair) count; in-degrees attach via two
-    co-partitioned hash joins (never a driver-side degree map — the
-    node set is corpus-sized). No stage materializes edges on the
-    driver."""
+    Scale shape: ONE hash(src)-partition shuffle co-locates each
+    source's edges; every partition task does global edge dedup, the
+    degree filter and VECTORIZED pair generation for its whole slice
+    of sources (pair fan-out bounded at max_out^2 per source), and
+    pre-aggregates its pair/degree counts before the groupby(pair)
+    exchange; in-degrees attach via two co-partitioned hash joins
+    (never a driver-side degree map — the node set is corpus-sized).
+    No stage materializes edges on the driver."""
     import pandas as pd
 
     from ray.data.aggregate import Sum
 
     from rse_ray.pipelines.relational import hash_join
+    from rse_ray.util import parts_for
+
+    P = parts_for(links_ds.count(), rows_per_part=200_000)
 
     def clean(batch: pa.Table) -> pa.Table:
         t = pa.table({"src": batch.column(src_col).cast(pa.string()),
                       "dst": batch.column(dst_col).cast(pa.string())}) \
             .drop_null()
-        # per-batch partial dedup: shrinks the shuffle, groupby
-        # finishes it globally
-        return t.group_by(["src", "dst"]).aggregate([])
+        # per-batch partial dedup shrinks the shuffle; the partition
+        # task finishes it globally (a src never straddles partitions)
+        t = t.group_by(["src", "dst"]).aggregate([])
+        part = (_pr_url_hash(t.column("src").to_numpy(
+            zero_copy_only=False)) % P).astype(np.int64)
+        return t.append_column("part", pa.array(part))
 
-    def gen(g: pd.DataFrame) -> pd.DataFrame:
-        ds = np.unique(g["dst"].to_numpy())
-        n = len(ds)
-        if n < 2 or n > max_out:
+    _triu_cache: dict = {}
+
+    def gen_part(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["src", "dst"]).sort_values(["src", "dst"])
+        dst = df["dst"].to_numpy()
+        _, starts, counts = np.unique(df["src"].to_numpy(),
+                                      return_index=True,
+                                      return_counts=True)
+        u1p, u2p, degp = [], [], []
+        for s0, c in zip(starts, counts):
+            if c < 2 or c > max_out:
+                continue
+            if c not in _triu_cache:
+                _triu_cache[c] = np.triu_indices(c, k=1)
+            iu, ju = _triu_cache[c]
+            sl = dst[s0:s0 + c]
+            u1p.append(sl[iu])
+            u2p.append(sl[ju])
+            degp.append(sl)
+        if not u1p:
             return pd.DataFrame({"u1": pd.Series([], dtype=str),
-                                 "u2": pd.Series([], dtype=str)})
-        iu, ju = np.triu_indices(n, k=1)
-        pairs = pd.DataFrame({"u1": ds[iu], "u2": ds[ju]})
-        # degree rows ride the same output (u2 = NULL sentinel): one
-        # emission per kept (src, dst) edge
-        degs = pd.DataFrame({"u1": ds, "u2": pd.Series([None] * n,
-                                                       dtype=object)})
-        return pd.concat([pairs, degs], ignore_index=True)
+                                 "u2": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        # partial counts INSIDE the partition: pair rows collapse by
+        # (u1, u2), degree rows (u2 = NULL sentinel) by node
+        pairs = pd.DataFrame({"u1": np.concatenate(u1p),
+                              "u2": np.concatenate(u2p)})
+        pc_ = pairs.groupby(["u1", "u2"], sort=False).size() \
+            .reset_index(name="n")
+        dn, dc = np.unique(np.concatenate(degp), return_counts=True)
+        degs = pd.DataFrame({"u1": dn, "u2": None, "n": dc})
+        return pd.concat([pc_, degs], ignore_index=True)
 
     emitted = links_ds.map_batches(clean, batch_format="pyarrow") \
-        .groupby("src").map_groups(gen, batch_format="pandas") \
+        .groupby("part").map_groups(gen_part, batch_format="pandas") \
         .materialize()
 
-    def count_partial(cols):
-        def fn(batch: pa.Table) -> pa.Table:
-            g = batch.group_by(cols).aggregate([([], "count_all")])
-            return g.rename_columns(list(cols) + ["n"])
-        return fn
-
     pairs = emitted.map_batches(
-            lambda b: b.filter(pc.is_valid(b.column("u2"))),
+            lambda b: b.filter(pc.is_valid(b.column("u2")))
+                       .select(["u1", "u2", "n"]),
             batch_format="pyarrow") \
-        .map_batches(count_partial(["u1", "u2"]), batch_format="pyarrow") \
         .groupby(["u1", "u2"]).aggregate(Sum("n", alias_name="common"))
     if min_common > 1:
         pairs = pairs.filter(expr=f"common >= {min_common}")
     deg = emitted.map_batches(
             lambda b: b.filter(pc.is_null(b.column("u2")))
-                       .select(["u1"]),
+                       .select(["u1", "n"]),
             batch_format="pyarrow") \
-        .map_batches(count_partial(["u1"]), batch_format="pyarrow") \
         .groupby("u1").aggregate(Sum("n", alias_name="d")) \
         .materialize()
 

@@ -509,7 +509,8 @@ class Searcher:
 
     # ---- exhaustive TAAT (the rank-identity oracle-matching path) -------
     def search(self, query: str, k: int = 10, *, mode: str = "taat",
-               conjunctive: bool = False, allowed=None, excluded=None):
+               conjunctive: bool = False, allowed=None, excluded=None,
+               min_match: int | None = None):
         """``conjunctive=True`` is boolean-AND retrieval: only docs
         containing EVERY distinct query term are scored (the same BM25
         contributions, restricted to the posting-list intersection —
@@ -521,11 +522,17 @@ class Searcher:
         ``excluded`` (list of raw terms) is boolean-NOT retrieval: any
         doc containing ANY excluded term is dropped before scoring
         (Lucene MUST_NOT semantics — idf/avgdl stay full-corpus).
+        ``min_match`` is minimum-should-match retrieval (Lucene
+        minimumShouldMatch): only docs containing >= min_match
+        DISTINCT query terms are scored, each by the contributions of
+        the terms it actually has — conjunctive is the
+        min_match = n_terms special case, plain OR is min_match = 1.
         Tombstoned docs (delete_urls) are always masked. Any
         restriction forces the TAAT path (BMW's block bounds describe
         the unmasked lists)."""
         if (mode == "bmw" and self.deleted is None and allowed is None
-                and not conjunctive and not excluded):
+                and not conjunctive and not excluded
+                and min_match is None):
             return self.search_bmw(query, k)
         excl = self._excluded_ids(excluded)
         terms = _query_weights(query, self.stem)
@@ -558,6 +565,16 @@ class Searcher:
             for ids in id_parts[1:]:
                 inter = inter[np.isin(inter, ids, assume_unique=True)]
             keep = [np.isin(ids, inter, assume_unique=True)
+                    for ids in id_parts]
+            id_parts = [ids[m] for ids, m in zip(id_parts, keep)]
+            contrib_parts = [c[m] for c, m in zip(contrib_parts, keep)]
+        if min_match is not None and min_match > 1 and id_parts:
+            # ids are unique within a term's postings, so per-doc
+            # multiplicity across parts == distinct matched terms
+            uniq, cnt = np.unique(np.concatenate(id_parts),
+                                  return_counts=True)
+            ok = uniq[cnt >= min_match]
+            keep = [np.isin(ids, ok, assume_unique=True)
                     for ids in id_parts]
             id_parts = [ids[m] for ids, m in zip(id_parts, keep)]
             contrib_parts = [c[m] for c, m in zip(contrib_parts, keep)]

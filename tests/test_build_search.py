@@ -605,3 +605,42 @@ def test_more_like_this(ray_session, tmp_path):
         idx, s.search("apple zebra", k=10))}
     want = {u: sc for u, sc in want_full.items() if u != "u1"}
     assert got == want
+
+
+def test_min_match_bridges_or_and_conjunctive(ray_session, tmp_path):
+    """min_match=1 == plain OR, min_match=n_terms == conjunctive, and
+    in between only docs with >= m distinct terms survive, scored by
+    the terms they have."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    rows = pd.DataFrame({
+        "url": [f"u{i}" for i in range(6)],
+        "text": ["apple banana cherry", "apple banana", "apple",
+                 "banana", "cherry apple", "durian"],
+        "warc_ts": pd.Timestamp("2024-12-01"),
+    })
+    idx = str(tmp_path / "msm_idx")
+    build_index(ray.data.from_pandas(rows), idx,
+                BuildConfig(num_buckets=2, buckets_per_salt_group=2,
+                            stem=False, from_html=False))
+    s = Searcher(idx)
+    q = "apple banana cherry"
+    assert s.search(q, k=10, min_match=1) == s.search(q, k=10)
+    assert s.search(q, k=10, min_match=3) == \
+        s.search(q, k=10, conjunctive=True)
+    m2 = {u for _, _, u in hydrate_urls(idx, s.search(q, k=10,
+                                                      min_match=2))}
+    assert m2 == {"u0", "u1", "u4"}
+    # scores = contributions of the PRESENT terms only: u1's 2-term
+    # score under min_match=2 equals its score in the plain OR run
+    or_scores = {u: sc for _, sc, u in
+                 hydrate_urls(idx, s.search(q, k=10))}
+    m2_scores = {u: sc for _, sc, u in
+                 hydrate_urls(idx, s.search(q, k=10, min_match=2))}
+    assert m2_scores["u1"] == or_scores["u1"]
+    # min_match above the found-term count empties the result
+    assert s.search(q, k=10, min_match=4) == []
