@@ -1147,6 +1147,14 @@ UNION ALL
 SELECT 2, '{s3}', (SELECT count(*) FROM s3)"""
 
 
+def _q_event_paths(sf_dir: str):
+    from rse_ray.pipelines.relational import event_paths
+
+    return _finalize(event_paths(
+        _read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type"]), first_k=5))
+
+
 RP_D_IN, RP_D_OUT, RP_SEED = 64, 16, 17
 
 
@@ -2194,6 +2202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_projection": _q_random_projection,
         "pca_project": _q_pca_project,
         "funnel_counts": _q_funnel_counts,
+        "event_paths": _q_event_paths,
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,
         "approx_ndistinct_by_type": _q_approx_ndistinct_by_type,
@@ -3035,6 +3044,17 @@ WHERE d.doc_id % 3 = 0
         # (_rp_matrix_path writes it; all 1024 entries ship so every
         # (vec_id, dim) group exists even where r is 0)
         "funnel_counts": _funnel_sql(),
+        # user-journey distribution: first-5 event-type path per user
+        # (ts then event_id as the total order), counted
+        "event_paths": """
+WITH ranked AS (SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events WHERE user_id IS NOT NULL),
+paths AS (SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM ranked WHERE rn <= 5 GROUP BY 1)
+SELECT path, count(*)::BIGINT AS n_users FROM paths GROUP BY 1""",
         "random_projection": f"""
 WITH r AS (SELECT i, j, r FROM read_parquet('{_rp_matrix_path()}')),
 x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS xi

@@ -2189,3 +2189,55 @@ def funnel_counts(events_ds, *, steps: tuple = ("view", "click", "purchase"),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def event_paths(events_ds, *, first_k: int = 5,
+                ts_col: str = "ts", user_col: str = "user_id",
+                type_col: str = "event_type", id_col: str = "event_id"):
+    """User-journey path analysis: each user's first ``first_k`` events
+    (ordered by ts, with id as the deterministic tie-break) join into
+    a '>'-separated path string; output the path distribution
+    (path, n_users). The complement of funnel_counts — funnels ask
+    about ONE ordered pattern, paths surface which patterns exist.
+
+    Scale shape: a per-batch partial keeps at most first_k earliest
+    rows per user it sees (two-level top-N), so the user shuffle moves
+    <= first_k x batches rows per user, never all events; the
+    hash(user)-partition stage assembles paths VECTORIZED (sort +
+    cumcount + grouped join, no per-user Python), emits per-partition
+    (path, n) partials, and one tiny groupby(path) finishes."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    P = parts_for(events_ds.count(), rows_per_part=500_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "u": batch.column(user_col),
+            "ts": batch.column(ts_col),
+            "eid": batch.column(id_col),
+            "et": batch.column(type_col),
+        }).to_pandas()
+        df = df[df["u"].notna()]
+        df = df.sort_values(["u", "ts", "eid"]).groupby("u", sort=False) \
+            .head(first_k)
+        part = ((df["u"].to_numpy(np.int64).view(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(P)
+        df = df.assign(part=part.astype(np.int64))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["u", "ts", "eid"])
+        d = d[d.groupby("u", sort=False).cumcount() < first_k]
+        paths = d.groupby("u", sort=False)["et"].agg(">".join)
+        out = paths.value_counts()
+        return pd.DataFrame({"path": out.index.to_numpy(),
+                             "n": out.to_numpy().astype(np.int64)})
+
+    return events_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(assemble, batch_format="pandas") \
+        .groupby("path").aggregate(Sum("n", alias_name="n_users"))

@@ -2480,3 +2480,30 @@ def test_pca_project_matches_numpy_reference(ray_session):
 
     var = got_m.var(axis=0)
     assert var[0] > var[1] > var[2]
+
+
+def test_event_paths_two_level_topn_and_ties(ray_session):
+    """The per-batch partial never loses a user's true first-k: events
+    arrive in adversarial batch order, and same-ts ties break by
+    event_id."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.relational import event_paths
+
+    t = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta("1h")
+    ev = pd.DataFrame([
+        # u1: 4 events, two at the same ts (ids 3 < 4 pin the order)
+        (4, t + h, 1, "b"), (3, t + h, 1, "a"),
+        (9, t + 3 * h, 1, "d"), (5, t + 2 * h, 1, "c"),
+        # u2: exactly first_k + extras beyond the cut
+        (1, t, 2, "x"), (2, t + h, 2, "y"), (7, t + 9 * h, 2, "z"),
+    ], columns=["event_id", "ts", "user_id", "event_type"])
+    # reversed row order + 4 tiny blocks: partials see users split up
+    ds = ray.data.from_pandas(ev.iloc[::-1].reset_index(drop=True)) \
+        .repartition(4)
+    got = event_paths(ds, first_k=3).to_pandas() \
+        .sort_values("path").reset_index(drop=True)
+    assert dict(zip(got["path"], got["n_users"])) == {
+        "a>b>c": 1, "x>y>z": 1}
