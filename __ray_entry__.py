@@ -1147,6 +1147,14 @@ UNION ALL
 SELECT 2, '{s3}', (SELECT count(*) FROM s3)"""
 
 
+def _q_weighted_sample(sf_dir: str):
+    from rse_ray.pipelines.relational import weighted_sample
+
+    return _finalize(weighted_sample(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        n=100, weight_col="n_chars"))
+
+
 def _q_event_paths(sf_dir: str):
     from rse_ray.pipelines.relational import event_paths
 
@@ -2203,6 +2211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": _q_pca_project,
         "funnel_counts": _q_funnel_counts,
         "event_paths": _q_event_paths,
+        "weighted_sample": _q_weighted_sample,
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,
         "approx_ndistinct_by_type": _q_approx_ndistinct_by_type,
@@ -3055,6 +3064,16 @@ paths AS (SELECT user_id,
                  string_agg(event_type, '>' ORDER BY rn) AS path
           FROM ranked WHERE rn <= 5 GROUP BY 1)
 SELECT path, count(*)::BIGINT AS n_users FROM paths GROUP BY 1""",
+        # Efraimidis-Spirakis weighted sample: race = ln(u)/w, u from
+        # the md5 twin hash, top-n race keys win (12dp + doc_id pin
+        # the order on both engines)
+        "weighted_sample": """
+WITH k AS (SELECT doc_id,
+       round(ln((CAST(md5_number_lower('ws0|' || CAST(doc_id AS VARCHAR))
+                      AS DOUBLE) + 1) / 18446744073709551616.0)
+             / n_chars, 12) AS race
+    FROM documents WHERE n_chars > 0)
+SELECT doc_id, race FROM k ORDER BY race DESC, doc_id LIMIT 100""",
         "random_projection": f"""
 WITH r AS (SELECT i, j, r FROM read_parquet('{_rp_matrix_path()}')),
 x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS xi

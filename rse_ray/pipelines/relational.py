@@ -2241,3 +2241,52 @@ def event_paths(events_ds, *, first_k: int = 5,
     return events_ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("part").map_groups(assemble, batch_format="pandas") \
         .groupby("path").aggregate(Sum("n", alias_name="n_users"))
+
+
+def weighted_sample(ds, *, n: int, weight_col: str,
+                    key_col: str = "doc_id", salt: str = "ws0"):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis 2006): each row draws u from the md5 twin
+    hash of (salt, key) and competes with race key ln(u)/weight —
+    the top-n race keys are a weighted sample, inclusion probability
+    proportional to weight. Content-keyed like train_val_split /
+    epoch_shuffle: the same rows win on any cluster size or
+    partitioning, and the SQL twin replays the identical race
+    (md5_number_lower + ln; the key is rounded at 12dp and tied by
+    key_col so both engines rank the same). Zero/negative/null
+    weights never win (excluded on both sides).
+
+    The canonical use: draw a training mix where long/high-quality
+    docs are proportionally likelier, reproducibly.
+
+    Scale shape: per-batch partials keep only their local top-n
+    (vectorized argpartition), so the final exchange sorts
+    <= n x batches rows, never the corpus."""
+    from rse_ray.pipelines.sketch import _md5_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ok = np.isfinite(w) & (w > 0)
+        keys = [k for k, o in zip(keys, ok) if o]
+        if not keys:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "race": pa.array([], type=pa.float64())})
+        w = w[ok]
+        h = _md5_u64([f"{salt}|{k}" for k in keys])
+        u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
+        race = np.round(np.log(u) / w, 12)
+        if len(race) > n:
+            idx = np.argpartition(-race, n - 1)[:n]
+        else:
+            idx = np.arange(len(race))
+        return pa.table({
+            key_col: pa.array([keys[i] for i in idx], type=pa.int64()),
+            "race": pa.array(race[idx]),
+        })
+
+    return ds.select_columns([key_col, weight_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .sort(["race", key_col], descending=[True, False]) \
+        .limit(n)

@@ -2507,3 +2507,42 @@ def test_event_paths_two_level_topn_and_ties(ray_session):
         .sort_values("path").reset_index(drop=True)
     assert dict(zip(got["path"], got["n_users"])) == {
         "a>b>c": 1, "x>y>z": 1}
+
+
+def test_weighted_sample_exactness_and_bias(ray_session):
+    """The two-level top-n returns EXACTLY the global race winners
+    (checked against a driver-side full computation) regardless of
+    partitioning, and across many salts heavier rows win more often."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.relational import weighted_sample
+    from rse_ray.pipelines.sketch import _md5_u64
+
+    rows = pd.DataFrame({
+        "doc_id": np.arange(400, dtype=np.int64),
+        "w": np.where(np.arange(400) < 200, 10.0, 1.0),
+    })
+
+    def reference(salt, n):
+        h = _md5_u64([f"{salt}|{k}" for k in rows["doc_id"]])
+        u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
+        race = np.round(np.log(u) / rows["w"].to_numpy(), 12)
+        order = np.lexsort((rows["doc_id"].to_numpy(), -race))
+        return set(rows["doc_id"].to_numpy()[order[:n]])
+
+    for blocks in (1, 8):
+        ds = ray.data.from_pandas(rows).repartition(blocks)
+        got = set(weighted_sample(ds, n=50, weight_col="w")
+                  .to_pandas()["doc_id"])
+        assert got == reference("ws0", 50)
+
+    heavy_wins = 0
+    ds = ray.data.from_pandas(rows)
+    for s in range(8):
+        got = weighted_sample(ds, n=50, weight_col="w",
+                              salt=f"s{s}").to_pandas()
+        heavy_wins += int((got["doc_id"] < 200).sum())
+    # 10x weight -> heavy half should dominate (expected ~45/50 each)
+    assert heavy_wins > 8 * 50 * 0.7
