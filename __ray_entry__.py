@@ -1147,6 +1147,14 @@ UNION ALL
 SELECT 2, '{s3}', (SELECT count(*) FROM s3)"""
 
 
+def _q_rolling_time_window(sf_dir: str):
+    from rse_ray.pipelines.relational import rolling_time_window
+
+    return _finalize(rolling_time_window(
+        _read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "value"]), hours=24))
+
+
 def _q_weighted_sample(sf_dir: str):
     from rse_ray.pipelines.relational import weighted_sample
 
@@ -2212,6 +2220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": _q_funnel_counts,
         "event_paths": _q_event_paths,
         "weighted_sample": _q_weighted_sample,
+        "rolling_time_window": _q_rolling_time_window,
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,
         "approx_ndistinct_by_type": _q_approx_ndistinct_by_type,
@@ -3074,6 +3083,19 @@ WITH k AS (SELECT doc_id,
              / n_chars, 12) AS race
     FROM documents WHERE n_chars > 0)
 SELECT doc_id, race FROM k ORDER BY race DESC, doc_id LIMIT 100""",
+        # time-RANGE rolling frame, cent-exact sum contract (values
+        # round half-away to int64 cents before summing on BOTH sides)
+        "rolling_time_window": """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS w_cents,
+       count(*) OVER w AS w_cnt
+FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL
+      AND user_id IS NOT NULL AND value IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                   AND CURRENT ROW)""",
         "random_projection": f"""
 WITH r AS (SELECT i, j, r FROM read_parquet('{_rp_matrix_path()}')),
 x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS xi

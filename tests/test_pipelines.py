@@ -2546,3 +2546,29 @@ def test_weighted_sample_exactness_and_bias(ray_session):
         heavy_wins += int((got["doc_id"] < 200).sum())
     # 10x weight -> heavy half should dominate (expected ~45/50 each)
     assert heavy_wins > 8 * 50 * 0.7
+
+
+def test_rolling_time_window_frame_edges(ray_session):
+    """RANGE-frame semantics: the trailing window includes the row
+    exactly `hours` back (closed lower edge) AND same-timestamp peers
+    ordered after the current row."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.relational import rolling_time_window
+
+    t = pd.Timestamp("2024-01-01 12:00:00")
+    h = pd.Timedelta("1h")
+    ev = pd.DataFrame([
+        (1, t, 7, 1.0),
+        (2, t + 24 * h, 7, 2.0),          # includes row 1 (edge is closed)
+        (3, t + 25 * h, 7, 4.0),          # row 1 now out, row 2 in
+        (4, t + 25 * h, 7, 8.0),          # PEER of row 3: both see both
+        (5, t + 100 * h, 7, 16.0),        # alone
+        (6, t, 8, 32.0),                  # other user untouched
+    ], columns=["event_id", "ts", "user_id", "value"])
+    got = rolling_time_window(ray.data.from_pandas(ev).repartition(3),
+                              hours=24).to_pandas() \
+        .set_index("event_id").sort_index()
+    assert list(got["w_cents"]) == [100, 300, 1400, 1400, 1600, 3200]
+    assert list(got["w_cnt"]) == [1, 2, 3, 3, 1, 1]
