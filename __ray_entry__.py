@@ -1696,6 +1696,49 @@ r{k} AS (SELECT n.url,
     return "".join(parts)
 
 
+def _q_pagerank_personalized(sf_dir: str):
+    from rse_ray.pipelines.linkgraph import pagerank
+
+    return _finalize(pagerank(_extracted_links(), iters=PAGERANK_ITERS,
+                              damping=PAGERANK_DAMPING,
+                              personalize_pred=_crawl_seed_pred))
+
+
+def _ppr_sql() -> str:
+    """Unrolled personalized-PageRank twin: teleport vector s uniform
+    over the md5-gated seed set (the crawl_depth gate), r0 = s,
+    r_k = (1-d)*s + d*(c + dang*s)."""
+    links = os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+    d = PAGERANK_DAMPING
+    parts = [f"""
+WITH edges AS MATERIALIZED (SELECT src_url AS src, dst_url AS dst
+               FROM read_parquet('{links}')),
+nodes AS MATERIALIZED (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
+seeds AS (SELECT url FROM nodes
+          WHERE md5_number_lower(url) % {CRAWL_SEED_MOD} = 0),
+ns AS (SELECT count(*)::DOUBLE AS n FROM seeds),
+s AS MATERIALIZED (
+    SELECT n.url, CASE WHEN sd.url IS NOT NULL THEN 1.0/ns.n
+                       ELSE 0 END AS sv
+    FROM nodes n LEFT JOIN seeds sd USING (url) CROSS JOIN ns),
+deg AS (SELECT src, count(*)::DOUBLE AS odeg FROM edges GROUP BY 1),
+ed AS MATERIALIZED (SELECT e.src, e.dst, deg.odeg
+                    FROM edges e JOIN deg USING (src)),
+r0 AS (SELECT url, sv AS rank FROM s)"""]
+    for k in range(1, PAGERANK_ITERS + 1):
+        parts.append(f""",
+c{k} AS (SELECT ed.dst, sum(r.rank/ed.odeg) AS c FROM ed
+         JOIN r{k - 1} r ON ed.src = r.url GROUP BY 1),
+t{k} AS (SELECT coalesce(sum(c), 0) AS t FROM c{k}),
+r{k} AS (SELECT s.url,
+                (1-{d})*s.sv + {d}*(coalesce(c.c, 0) + (1-t{k}.t)*s.sv)
+                    AS rank
+         FROM s LEFT JOIN c{k} c ON s.url = c.dst CROSS JOIN t{k})""")
+    parts.append(
+        f"\nSELECT url, round(rank, 6) AS rank FROM r{PAGERANK_ITERS}")
+    return "".join(parts)
+
+
 HITS_ITERS = 5
 
 
@@ -2250,6 +2293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backlink_counts": _q_backlink_counts,
         "pagerank": _q_pagerank,
         "hits_scores": _q_hits_scores,
+        "pagerank_personalized": _q_pagerank_personalized,
         "related_pages": _q_related_pages,
         "bloom_semi_join": _q_bloom_semi_join,
         "crawl_depth": _q_crawl_depth,
@@ -3409,6 +3453,7 @@ FROM read_parquet('{pages}') GROUP BY 1""".format(
         "reference_rank": _reference_rank_sql(),
         "pagerank": _pagerank_sql(),
         "hits_scores": _hits_sql(),
+        "pagerank_personalized": _ppr_sql(),
         "related_pages": _related_pages_sql(),
         "bloom_semi_join": """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -227,7 +227,7 @@ def domain_counts(pages_ds):
 
 def pagerank(links_ds, *, iters: int = 5, damping: float = 0.85,
              src_col: str = "src_url", dst_col: str = "dst_url",
-             engine: str = "pregel"):
+             engine: str = "pregel", personalize_pred=None):
     """TRUE iterative PageRank over the link graph — the principled
     version of the reference's degenerate rank loop (api/main.go rank
     handler, mirrored by reference_search): power iteration with
@@ -241,10 +241,21 @@ def pagerank(links_ds, *, iters: int = 5, damping: float = 0.85,
     an iterative algorithm, where per-iteration state must NOT re-enter
     the full Dataset executor. ``engine='dataset'`` keeps the
     Dataset-composed form (hash join + groupby per iteration) as the
-    reference implementation; the two are asserted equal in tests."""
+    reference implementation; the two are asserted equal in tests.
+
+    ``personalize_pred`` (urls ndarray -> bool mask) switches to
+    PERSONALIZED PageRank (topic-sensitive, Haveliwala 2002): the
+    teleport distribution s is uniform over the seed set instead of
+    uniform over all nodes — r_{t+1} = (1-d)·s + d·(A^T r_t +
+    dang_t·s), r_0 = s — ranking pages by proximity to the seeds.
+    Pregel engine only (the seed mask lives shard-local)."""
     if engine == "pregel":
         return _pagerank_pregel(links_ds, iters=iters, damping=damping,
-                                src_col=src_col, dst_col=dst_col)
+                                src_col=src_col, dst_col=dst_col,
+                                personalize_pred=personalize_pred)
+    if personalize_pred is not None:
+        raise ValueError("personalized PageRank runs on the pregel "
+                         "engine only")
     if engine != "dataset":
         raise ValueError(f"engine={engine!r}")
     return _pagerank_dataset(links_ds, iters=iters, damping=damping,
@@ -411,7 +422,8 @@ def _partition_graph(links_ds, src_col: str, dst_col: str,
 
 def _pagerank_pregel(links_ds, *, iters: int, damping: float,
                      src_col: str, dst_col: str,
-                     num_parts: int | None = None):
+                     num_parts: int | None = None,
+                     personalize_pred=None):
     """Pregel-style PageRank: the graph is hash-partitioned ONCE by
     node (shard(u) = siphash(u) mod P; every edge lives with its SRC,
     so out-degrees are shard-local), each shard is an actor holding
@@ -484,6 +496,30 @@ def _pagerank_pregel(links_ds, *, iters: int, damping: float,
             self.n_nodes = n_nodes
             self.rank = np.full(len(self.urls), 1.0 / n_nodes)
 
+        def count_seeds(self, pred) -> int:
+            """Personalization: mark this shard's seed nodes; the
+            driver sums the counts to normalize s."""
+            self.seed_mask = pred(self.urls) if len(self.urls) else \
+                np.zeros(0, dtype=bool)
+            return int(self.seed_mask.sum())
+
+        def init_ppr(self, n_seeds: int) -> None:
+            self.s = self.seed_mask.astype(np.float64) / n_seeds
+            self.rank = self.s.copy()
+
+        def apply_ppr(self, damping: float, dang_tot: float,
+                      *tables) -> None:
+            csum = np.zeros(len(self.urls))
+            for t in tables:
+                if t.num_rows == 0:
+                    continue
+                idx = np.searchsorted(
+                    self.urls, t.column("dst").to_numpy(
+                        zero_copy_only=False))
+                np.add.at(csum, idx, t.column("c").to_numpy())
+            self.rank = (1.0 - damping) * self.s \
+                + damping * (csum + dang_tot * self.s)
+
         def step(self):
             """Superstep send half: per-destination-shard contribution
             tables, pre-aggregated by dst; [0] is this shard's total
@@ -530,12 +566,26 @@ def _pagerank_pregel(links_ds, *, iters: int, damping: float,
         for p in range(P)
     ]
     n_nodes = sum(ray.get([s.n_local.remote() for s in shards]))
-    ray.get([s.init_ranks.remote(n_nodes) for s in shards])
+    if personalize_pred is not None:
+        n_seeds = sum(ray.get([s.count_seeds.remote(personalize_pred)
+                               for s in shards]))
+        if n_seeds == 0:
+            raise ValueError("personalize_pred selected no seed nodes")
+        ray.get([s.init_ppr.remote(n_seeds) for s in shards])
+    else:
+        ray.get([s.init_ranks.remote(n_nodes) for s in shards])
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
         outs = [s.step.options(num_returns=P + 1).remote()
                 for s in shards]
         tot = sum(ray.get([o[0] for o in outs]))
+        if personalize_pred is not None:
+            ray.get([
+                s.apply_ppr.remote(damping, 1.0 - tot,
+                                   *[outs[p][q + 1] for p in range(P)])
+                for q, s in enumerate(shards)
+            ])
+            continue
         dang_per_node = (1.0 - tot) / n_nodes
         ray.get([
             s.apply.remote(base, damping, dang_per_node,

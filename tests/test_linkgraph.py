@@ -342,3 +342,35 @@ def test_related_pages_cocitation_semantics(ray_session):
     assert by_pair[("http://a.test/", "http://c.test/")] == (1, round(1 / 2, 6))
     assert by_pair[("http://b.test/", "http://c.test/")] == (1, round(1 / 2, 6))
     assert len(got) == 3  # no hub-target pairs
+
+
+def test_personalized_pagerank_localizes_to_seeds(ray_session):
+    """PPR mass concentrates near the seed set: on two disconnected
+    stars, seeding only star A leaves every star-B node at rank 0;
+    ranks sum to 1; partition counts don't change the result."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import pagerank
+
+    a_edges = [("http://a.test/", f"http://a{i}.test/") for i in range(4)]
+    b_edges = [("http://b.test/", f"http://b{i}.test/") for i in range(4)]
+    edges = pd.DataFrame(a_edges + b_edges,
+                         columns=["src_url", "dst_url"])
+
+    def seed_a(urls):
+        return np.array([u == "http://a.test/" for u in urls])
+
+    outs = []
+    for parts in (1, 4):
+        got = pagerank(ray.data.from_pandas(edges), iters=4,
+                       personalize_pred=seed_a) \
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    r = outs[0].set_index("url")["rank"]
+    assert abs(r.sum() - 1.0) < 1e-4
+    assert all(r[u] == 0.0 for u in r.index if u.startswith("http://b"))
+    assert r["http://a.test/"] > 0.2          # teleport target
+    assert all(r[f"http://a{i}.test/"] > 0 for i in range(4))
