@@ -1135,7 +1135,8 @@ def _funnel_sql() -> str:
     s1, s2, s3 = FUNNEL_STEPS
     return f"""
 WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-            WHERE event_type = '{s1}' GROUP BY 1),
+            WHERE event_type = '{s1}' AND user_id IS NOT NULL
+              AND ts IS NOT NULL GROUP BY 1),
 s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
        WHERE event_type = '{s2}' AND ts > t1 GROUP BY 1),
 s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)

@@ -25,9 +25,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    ids = batch.column("vec_id").to_numpy()
-    emb = batch.column("embedding")
+def _batch_matrix(batch: pa.Table, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column(id_col).to_numpy()
+    emb = batch.column(vec_col)
     # list<float> -> (n, d) float64 without per-row python
     flat = emb.combine_chunks().flatten().to_numpy(zero_copy_only=False)
     n = len(ids)
@@ -709,15 +710,25 @@ def embedding_covariance(ds, *, vec_col: str = "embedding",
         return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
                              "j": pd.Series([], dtype=np.int64),
                              "cov": pd.Series([], dtype=np.float64)})
+    _n, _mu, out = _moments_to_cov(agg, round_to)
+    return out
+
+
+def _moments_to_cov(agg: pd.DataFrame, round_to: int):
+    """(i, j, s) second-moment table -> (n, mu_raw, cov_long) where
+    cov_long is the (i, j, cov) ROUNDED covariance sorted by (i, j).
+    The single source of truth for the moments->covariance assembly:
+    embedding_covariance and pca_project document that they produce
+    the IDENTICAL rounded matrix, so the math lives once."""
     n = float(agg.loc[(agg["i"] == 0) & (agg["j"] == 0), "s"].iloc[0])
-    mu = agg[(agg["j"] == 0) & (agg["i"] > 0)].set_index("i")["s"] / n
-    sq = agg[agg["j"] > 0]
+    mu_raw = agg[(agg["j"] == 0) & (agg["i"] > 0)].set_index("i")["s"] / n
+    sq = agg[agg["j"] > 0].sort_values(["i", "j"])
     cov = (sq["s"] / n
-           - sq["i"].map(mu).to_numpy() * sq["j"].map(mu).to_numpy())
+           - sq["i"].map(mu_raw).to_numpy() * sq["j"].map(mu_raw).to_numpy())
     out = pd.DataFrame({"i": sq["i"].to_numpy(),
                         "j": sq["j"].to_numpy(),
                         "cov": np.round(cov.to_numpy(), round_to)})
-    return out.sort_values(["i", "j"]).reset_index(drop=True)
+    return n, mu_raw, out.reset_index(drop=True)
 
 
 def _second_moment_table(ds, vec_col: str) -> pd.DataFrame:
@@ -776,30 +787,25 @@ def pca_project(ds, *, k: int = 4, id_col: str = "vec_id",
     if agg.empty:
         return ds.map_batches(
             lambda b: pa.table({
-                "vec_id": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
                 "component": pa.array([], type=pa.int64()),
                 "val": pa.array([], type=pa.float64())}),
             batch_format="pyarrow")
-    n = float(agg.loc[(agg["i"] == 0) & (agg["j"] == 0), "s"].iloc[0])
-    mu_s = agg[(agg["j"] == 0) & (agg["i"] > 0)].sort_values("i")
-    d = len(mu_s)
-    mu = np.round(mu_s["s"].to_numpy() / n, round_to + 3)
-    sq = agg[agg["j"] > 0].sort_values(["i", "j"])
-    mu_raw = mu_s.set_index("i")["s"] / n
-    cov = (sq["s"] / n
-           - sq["i"].map(mu_raw).to_numpy() * sq["j"].map(mu_raw).to_numpy())
-    C = np.round(cov.to_numpy(), round_to).reshape(d, d)
+    _n, mu_raw, cov_long = _moments_to_cov(agg, round_to)
+    d = len(mu_raw)
+    mu = np.round(mu_raw.sort_index().to_numpy(), round_to + 3)
+    C = cov_long["cov"].to_numpy().reshape(d, d)
 
     W = pca_basis(C, k)
     scale = 10.0 ** round_to
 
     def project(batch: pa.Table) -> pa.Table:
-        ids, mat = _batch_matrix(batch)
+        ids, mat = _batch_matrix(batch, id_col, vec_col)
         proj = (mat - mu) @ W
         proj = np.copysign(np.floor(np.abs(proj) * scale + 0.5), proj) / scale
         m = len(ids)
         return pa.table({
-            "vec_id": pa.array(np.repeat(ids.astype(np.int64), W.shape[1])),
+            id_col: pa.array(np.repeat(ids.astype(np.int64), W.shape[1])),
             "component": pa.array(np.tile(
                 np.arange(W.shape[1], dtype=np.int64), m)),
             "val": pa.array(proj.ravel()),

@@ -374,10 +374,11 @@ def _pr_url_hash(urls: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(urls.astype(object))
 
 
-def _route_links(tbl: pa.Table, P: int) -> list:
-    """Map side of the graph exchange: route edges by hash(src) and
-    dst node stubs by hash(dst); returns 2P tables (edges then
-    dsts)."""
+def _route_links(tbl: pa.Table, P: int, full_dst_rows: bool = False) -> list:
+    """Map side of the graph exchange: route edges by hash(src), and
+    by hash(dst) either as dst node stubs (PageRank/BFS/CC need only
+    the node id) or as full edge rows (HITS pushes in both
+    directions); returns 2P tables (by-src then by-dst)."""
     src = tbl.column("src").to_numpy(zero_copy_only=False)
     dst = tbl.column("dst").to_numpy(zero_copy_only=False)
     h_src = (_pr_url_hash(src) % P).astype(np.int64)
@@ -386,13 +387,15 @@ def _route_links(tbl: pa.Table, P: int) -> list:
     for p in range(P):
         out.append(tbl.filter(pa.array(h_src == p)))
     for p in range(P):
-        out.append(pa.table(
-            {"dst": tbl.column("dst").filter(pa.array(h_dst == p))}))
+        m = pa.array(h_dst == p)
+        out.append(tbl.filter(m) if full_dst_rows
+                   else pa.table({"dst": tbl.column("dst").filter(m)}))
     return out
 
 
 def _partition_graph(links_ds, src_col: str, dst_col: str,
-                     num_parts: int | None):
+                     num_parts: int | None,
+                     full_dst_rows: bool = False):
     """Shared graph-sharding prologue for the pregel engines: project
     to (src, dst), materialize once (count + block refs share blocks),
     and run the M x R routing exchange. Returns (parts, M, P) where
@@ -415,7 +418,7 @@ def _partition_graph(links_ds, src_col: str, dst_col: str,
         parts_for(n_edges, rows_per_part=200_000)
     split = ray.remote(_route_links)
     # num_returns >= 2 always, so each entry is a list of 2P refs
-    parts = [split.options(num_returns=2 * P).remote(r, P)
+    parts = [split.options(num_returns=2 * P).remote(r, P, full_dst_rows)
              for r in block_refs]
     return parts, len(block_refs), P
 
@@ -1152,22 +1155,6 @@ def crawl_depth(links_ds, *, seed_pred, max_depth: int = 32,
     return ray.data.from_arrow_refs(res_refs)
 
 
-def _route_links_bidir(tbl: pa.Table, P: int) -> list:
-    """Map side of the BIDIRECTIONAL graph exchange (HITS needs both
-    pushes): route each edge by hash(src) AND by hash(dst); returns
-    2P edge tables (by-src then by-dst)."""
-    src = tbl.column("src").to_numpy(zero_copy_only=False)
-    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
-    h_src = (_pr_url_hash(src) % P).astype(np.int64)
-    h_dst = (_pr_url_hash(dst) % P).astype(np.int64)
-    out = []
-    for p in range(P):
-        out.append(tbl.filter(pa.array(h_src == p)))
-    for p in range(P):
-        out.append(tbl.filter(pa.array(h_dst == p)))
-    return out
-
-
 def _r9_half_away(x):
     """Half-away-from-zero rounding at 9dp (SQL round semantics;
     HITS scores are non-negative). Pins the fp state each half-step
@@ -1200,28 +1187,15 @@ def hits_scores(links_ds, *, iters: int = 5,
     O(1) norm scalar per half-step."""
     import ray
 
-    from rse_ray.util import parts_for
-
-    links = links_ds.map_batches(
-        lambda b: pa.table(
-            {"src": b.column(src_col).combine_chunks().cast(pa.string()),
-             "dst": b.column(dst_col).combine_chunks().cast(pa.string())}),
-        batch_format="pyarrow").materialize()
-    block_refs = links.to_arrow_refs()
-    n_edges = links.count()
-    if len(block_refs) == 0 or n_edges == 0:
+    parts, M, P = _partition_graph(links_ds, src_col, dst_col, num_parts,
+                                   full_dst_rows=True)
+    if M == 0:
         import ray.data
 
         return ray.data.from_arrow(pa.table(
             {"url": pa.array([], type=pa.string()),
              "hub": pa.array([], type=pa.float64()),
              "authority": pa.array([], type=pa.float64())}))
-    P = num_parts if num_parts is not None else \
-        parts_for(n_edges, rows_per_part=200_000)
-    split = ray.remote(_route_links_bidir)
-    parts = [split.options(num_returns=2 * P).remote(r, P)
-             for r in block_refs]
-    M = len(block_refs)
 
     @ray.remote
     class _HitsShard:

@@ -2071,7 +2071,9 @@ def bloom_semi_join(left_ds, right_keys_ds, *, left_on: str,
 
     n_keys = right_keys_ds.count()
     if n_keys == 0:
-        return left_ds.filter(lambda row: False)
+        # empty right side -> empty result with the left schema; O(1),
+        # never a per-row scan of the (possibly huge) left table
+        return left_ds.limit(0)
     want = max(1 << 13, int(n_keys) * bits_per_key)
     m_bits = min(1 << (want - 1).bit_length(), 1 << 34)  # <= 2 GiB
     n_words = m_bits // 64
@@ -2129,54 +2131,71 @@ def funnel_counts(events_ds, *, steps: tuple = ("view", "click", "purchase"),
     subsequence reachability exactly). Output one row per step:
     (step, event_type, users), users monotonically non-increasing.
 
-    Scale shape: the read ships only (user, ts, type) rows of the
-    step types (filter + projection before the shuffle); ONE
-    groupby(user) co-locates each user's events and a vectorized
-    greedy scan reduces every user to a single small int (steps
-    reached); per-batch bincount partials make the final exchange a
-    len(steps)-row histogram."""
+    Scale shape: the read ships only non-null (user, ts, type) rows of
+    the step types (filter + projection before the shuffle); ONE
+    hash(user) partition exchange co-locates each user's events and a
+    per-partition scan reduces every user to a single small int (steps
+    reached) with len(steps) vectorized passes (np.minimum.at per
+    step, no per-user Python); each partition emits a len(steps)-row
+    histogram, and a zero-count seed dataset pins the output contract
+    (always one row per step, even on an empty funnel)."""
     import pandas as pd
+    import ray
 
     from ray.data.aggregate import Sum
 
+    from rse_ray.util import parts_for
+
     step_list = list(steps)
     n_steps = len(step_list)
-    type_set = set(step_list)
+
+    P = parts_for(events_ds.count(), rows_per_part=500_000)
 
     def prune(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch.column(type_col),
                         value_set=pa.array(step_list))
         t = batch.filter(keep)
-        return pa.table({user_col: t.column(user_col),
-                         "ts": t.column(ts_col),
-                         "et": t.column(type_col)})
+        t = pa.table({"u": t.column(user_col),
+                      "ts": t.column(ts_col),
+                      "et": t.column(type_col)}).drop_null()
+        part = ((t.column("u").to_numpy(zero_copy_only=False)
+                 .astype(np.int64).view(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(P)
+        return t.append_column("part", pa.array(part.astype(np.int64)))
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].to_numpy()
+    def scan_part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
         et = g["et"].to_numpy()
-        reached, t = 0, None
+        uniq, uidx = np.unique(u, return_inverse=True)
+        nu = len(uniq)
+        NEG, INF = np.int64(-2 ** 62), np.int64(2 ** 62)
+        prev = np.full(nu, NEG)          # step 0 has no time constraint
+        reached = np.zeros(nu, dtype=np.int64)
+        alive = np.ones(nu, dtype=bool)
         for s in step_list:
-            mask = et == s
-            if t is not None:
-                mask &= ts > t
-            if not mask.any():
-                break
-            t = ts[mask].min()
-            reached += 1
-        return pd.DataFrame({"reached": [reached]})
-
-    def hist_partial(batch: pa.Table) -> pa.Table:
-        r = batch.column("reached").to_numpy()
-        counts = np.zeros(n_steps, dtype=np.int64)
+            best = np.full(nu, INF)
+            m = (et == s) & alive[uidx] & (ts > prev[uidx])
+            np.minimum.at(best, uidx[m], ts[m])
+            alive = best < INF
+            reached[alive] += 1
+            prev = best
         # a user at reached=k counts toward steps 0..k-1
-        bc = np.bincount(r, minlength=n_steps + 1)
+        bc = np.bincount(reached, minlength=n_steps + 1)
         counts = bc[::-1].cumsum()[::-1][1:]
+        # arrow out so the union with the arrow seed stays one block type
         return pa.table({"step": pa.array(np.arange(n_steps)),
-                         "n": pa.array(counts)})
+                         "n": pa.array(counts.astype(np.int64))})
+
+    seed = ray.data.from_arrow(pa.table({
+        "step": pa.array(np.arange(n_steps)),
+        "n": pa.array(np.zeros(n_steps, dtype=np.int64)),
+    }))
 
     agg = events_ds.map_batches(prune, batch_format="pyarrow") \
-        .groupby(user_col).map_groups(per_user, batch_format="pandas") \
-        .map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(scan_part, batch_format="pandas") \
+        .union(seed) \
         .groupby("step").aggregate(Sum("n", alias_name="users"))
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -2276,14 +2295,19 @@ def weighted_sample(ds, *, n: int, weight_col: str,
         w = w[ok]
         h = _md5_u64([f"{salt}|{k}" for k in keys])
         u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
-        race = np.round(np.log(u) / w, 12)
-        if len(race) > n:
-            idx = np.argpartition(-race, n - 1)[:n]
-        else:
-            idx = np.arange(len(race))
+        raw = np.log(u) / w
+        # half-away-from-zero at 12dp — SQL round() semantics, same
+        # idiom as every other rounding pin in this repo (np.round is
+        # banker's and diverges on exact negative halves)
+        race = np.copysign(np.floor(np.abs(raw) * 1e12 + 0.5), raw) / 1e12
+        keys_np = np.asarray(keys, dtype=np.int64)
+        # local top-n under the CONTRACT order (race DESC, key ASC):
+        # argpartition alone breaks race ties arbitrarily, which can
+        # evict the true global winner at a partial's cutoff
+        order = np.lexsort((keys_np, -race))[:n]
         return pa.table({
-            key_col: pa.array([keys[i] for i in idx], type=pa.int64()),
-            "race": pa.array(race[idx]),
+            key_col: pa.array(keys_np[order]),
+            "race": pa.array(race[order]),
         })
 
     return ds.select_columns([key_col, weight_col]) \

@@ -532,7 +532,8 @@ class Searcher:
         the unmasked lists)."""
         if (mode == "bmw" and self.deleted is None and allowed is None
                 and not conjunctive and not excluded
-                and min_match is None):
+                and min_match in (None, 1)):
+            # min_match=1 IS plain OR retrieval — keep the BMW fast path
             return self.search_bmw(query, k)
         excl = self._excluded_ids(excluded)
         terms = _query_weights(query, self.stem)
