@@ -1164,6 +1164,13 @@ def _q_weighted_sample(sf_dir: str):
         n=100, weight_col="n_chars"))
 
 
+def _q_retention_cohorts(sf_dir: str):
+    from rse_ray.pipelines.relational import retention_cohorts
+
+    return _finalize(retention_cohorts(
+        _read(sf_dir, "events", ["user_id", "ts"])))
+
+
 def _q_event_paths(sf_dir: str):
     from rse_ray.pipelines.relational import event_paths
 
@@ -2262,6 +2269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_projection": _q_random_projection,
         "pca_project": _q_pca_project,
         "funnel_counts": _q_funnel_counts,
+        "retention_cohorts": _q_retention_cohorts,
         "event_paths": _q_event_paths,
         "weighted_sample": _q_weighted_sample,
         "rolling_time_window": _q_rolling_time_window,
@@ -3107,6 +3115,18 @@ WHERE d.doc_id % 3 = 0
         # (_rp_matrix_path writes it; all 1024 entries ship so every
         # (vec_id, dim) group exists even where r is 0)
         "funnel_counts": _funnel_sql(),
+        # cohort = Monday-truncated week of the user's first event;
+        # users = distinct users active `week_offset` weeks later
+        "retention_cohorts": """
+WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+             FROM events
+             WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+firsts AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY 1)
+SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+       CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+       count(*)::BIGINT AS users
+FROM act JOIN firsts USING (user_id)
+GROUP BY 1, 2""",
         # user-journey distribution: first-5 event-type path per user
         # (ts then event_id as the total order), counted
         "event_paths": """

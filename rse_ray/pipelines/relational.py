@@ -2210,6 +2210,76 @@ def funnel_counts(events_ds, *, steps: tuple = ("view", "click", "purchase"),
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def retention_cohorts(events_ds, *, ts_col: str = "ts",
+                      user_col: str = "user_id"):
+    """Cohort retention analysis: users cohort by the Monday-truncated
+    week of their FIRST event; for each (cohort, week_offset) count
+    the distinct users active offset weeks later — the classic
+    retention triangle. Output (cohort:timestamp, week_offset:int64,
+    users:int64); offset 0 rows equal the cohort sizes. Null user/ts
+    rows are excluded on both engines.
+
+    Scale shape: ONE hash(user) partition exchange co-locates each
+    user's events (first week and active weeks live together), each
+    partition reduces to distinct (user, week) pairs and emits
+    (cohort, offset, n) partial counts vectorized (unique + cumsum
+    group index, no per-user Python); the final groupby moves only
+    O(weeks^2) histogram rows, never users."""
+    import pandas as pd
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    P = parts_for(events_ds.count(), rows_per_part=500_000)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        t = pa.table({"u": batch.column(user_col),
+                      "ts": batch.column(ts_col)}).drop_null()
+        part = ((t.column("u").to_numpy(zero_copy_only=False)
+                 .astype(np.int64).view(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(P)
+        return t.append_column("part", pa.array(part.astype(np.int64)))
+
+    def scan_part(g: pd.DataFrame) -> pa.Table:
+        u = g["u"].to_numpy(np.int64)
+        days = g["ts"].to_numpy("datetime64[us]") \
+            .astype("datetime64[D]").astype(np.int64)
+        # Monday truncation: epoch day 0 (1970-01-01) was a Thursday,
+        # so weekday(Mon=0) = (days + 3) mod 7 — matches SQL
+        # date_trunc('week', ts)
+        monday = days - (days + 3) % 7
+        uw = np.unique(np.stack([u, monday], axis=1), axis=0)
+        uu, ww = uw[:, 0], uw[:, 1]
+        starts = np.r_[True, uu[1:] != uu[:-1]]
+        first = ww[starts]                    # per-user min week (sorted)
+        cohort = first[np.cumsum(starts) - 1]
+        offset = (ww - cohort) // 7
+        key = np.stack([cohort, offset], axis=1)
+        ukey, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table({"cohort_days": pa.array(ukey[:, 0]),
+                         "week_offset": pa.array(ukey[:, 1]),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = events_ds.map_batches(prune, batch_format="pyarrow") \
+        .groupby("part").map_groups(scan_part, batch_format="pandas") \
+        .groupby(["cohort_days", "week_offset"]) \
+        .aggregate(Sum("n", alias_name="users"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cohort = batch.column("cohort_days").to_numpy() \
+            .astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table({
+            "cohort": pa.array(cohort),
+            "week_offset": batch.column("week_offset").cast(pa.int64()),
+            "users": batch.column("users").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def event_paths(events_ds, *, first_k: int = 5,
                 ts_col: str = "ts", user_col: str = "user_id",
                 type_col: str = "event_type", id_col: str = "event_id"):

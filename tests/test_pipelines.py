@@ -2441,6 +2441,39 @@ def test_funnel_counts_ordering_semantics(ray_session):
     assert list(got["event_type"]) == ["view", "click", "purchase"]
 
 
+def test_retention_cohorts_semantics(ray_session):
+    """Cohort = Monday week of the first event; counts are DISTINCT
+    users per (cohort, offset); cross-Monday boundaries and multiple
+    events in one week collapse correctly."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.relational import retention_cohorts
+
+    mon = pd.Timestamp("2024-01-01")   # a Monday
+    d = pd.Timedelta("1d")
+    w = pd.Timedelta("7d")
+    ev = pd.DataFrame([
+        # u1: first on Sunday of week 0, active again week 1 (twice —
+        # must count once) and week 3
+        (1, mon + 6 * d), (1, mon + w), (1, mon + w + 2 * d),
+        (1, mon + 3 * w),
+        # u2: same cohort week (starts Monday), only week 0
+        (2, mon),
+        # u3: cohort week 1, active weeks 1 and 2
+        (3, mon + w + 3 * d), (3, mon + 2 * w),
+    ], columns=["user_id", "ts"])
+    got = retention_cohorts(ray.data.from_pandas(ev)).to_pandas() \
+        .sort_values(["cohort", "week_offset"]).reset_index(drop=True)
+    want = pd.DataFrame({
+        "cohort": pd.Series([mon, mon, mon, mon + w, mon + w],
+                            dtype="datetime64[us]"),
+        "week_offset": [0, 1, 3, 0, 1],
+        "users": [2, 1, 1, 1, 1],
+    })
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_pca_project_matches_numpy_reference(ray_session):
     """Engine PCA == whole-corpus numpy reference built from the SAME
     rounded covariance + sign-pinned basis, across partitionings; and
