@@ -65,6 +65,9 @@ BM25F_W_TITLE = 2.0
 FUZZY_PROBES = ["joinn", "hask", "qery", "sort", "zzz"]
 FUZZY_PROBES_SQL = "('joinn'), ('hask'), ('qery'), ('sort'), ('zzz')"
 DELETE_DOC_IDS = [1, 2, 3]      # tombstoned docs (Lucene delete semantics)
+# Rocchio pseudo-relevance feedback: top-10 hits assumed relevant,
+# 5 expansion terms re-enter the query at weight 0.5 (exact in fp)
+PRF_FB_DOCS, PRF_FB_TERMS, PRF_BETA = 10, 5, 0.5
 FILTER_LANG = "en"              # attribute-filtered retrieval
 MLT_DOC_ID = 0                  # more-like-this source document
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -217,6 +220,14 @@ def _q_bm25_total_hits(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_documents_total
 
     return _finalize(bm25_documents_total(sf_dir, BM25_QUERY))
+
+
+def _q_bm25_prf(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_documents_prf
+
+    return _finalize(bm25_documents_prf(
+        sf_dir, BM25_QUERY, k=20, fb_docs=PRF_FB_DOCS,
+        fb_terms=PRF_FB_TERMS, beta=PRF_BETA))
 
 
 def _q_bm25_topk_distributed(sf_dir: str):
@@ -2173,6 +2184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25_scores,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_distributed": _q_bm25_topk_distributed,
+        "bm25_prf": _q_bm25_prf,
         "bm25_page2": _q_bm25_page2,
         "bm25_total_hits": _q_bm25_total_hits,
         "bm25_synonyms": _q_bm25_synonyms,
@@ -2357,6 +2369,33 @@ SELECT count(*)::BIGINT AS n_hits FROM scores""",
         # the exact same scores as the driver-side scorer
         "bm25_topk_distributed": _BM25_CTES + """
 SELECT doc_id, round(raw, 6) AS score FROM scores
+ORDER BY raw DESC, doc_id LIMIT 20""",
+        # Rocchio PRF replayed end-to-end: round-1 scores CTE picks the
+        # feedback set, offer weight = sum_fb(tf) * idf ranks the
+        # expansion terms (query terms excluded, term-asc ties), and
+        # round 2 rescores the weighted expanded query
+        "bm25_prf": _BM25_CTES + f""",
+fb AS (SELECT doc_id FROM scores
+       ORDER BY raw DESC, doc_id LIMIT {PRF_FB_DOCS}),
+exp AS (SELECT p.term,
+               sum(p.tf)::DOUBLE *
+                   ln(1 + (any_value(s.n) - any_value(d.df) + 0.5)
+                      / (any_value(d.df) + 0.5)) AS w
+        FROM p JOIN fb USING (doc_id) JOIN d USING (term) CROSS JOIN s
+        WHERE p.term NOT IN (SELECT term FROM q)
+        GROUP BY p.term
+        ORDER BY w DESC, p.term LIMIT {PRF_FB_TERMS}),
+q1 AS (SELECT term, qtf::DOUBLE AS w FROM q
+       UNION ALL SELECT term, {PRF_BETA!r} FROM exp),
+scores1 AS (
+  SELECT p.doc_id,
+         sum(q1.w * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             (p.tf * (1.2 + 1)) /
+             (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS raw
+  FROM p JOIN q1 USING (term) JOIN d USING (term)
+       JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY p.doc_id)
+SELECT doc_id, round(raw, 6) AS score FROM scores1
 ORDER BY raw DESC, doc_id LIMIT 20""",
         # Dirichlet query-likelihood: every >=1-term candidate pays
         # each query term's smoothed contribution (tf=0 via the LEFT

@@ -395,6 +395,23 @@ def bm25_documents(sf_dir: str, query: str, k: int | None = None,
     return _score_frame(index_dir, hits, round_to=round_to)
 
 
+def bm25_documents_prf(sf_dir: str, query: str, k: int = 20, *,
+                       fb_docs: int = 10, fb_terms: int = 5,
+                       beta: float = 0.5,
+                       round_to: int = 6) -> pd.DataFrame:
+    """Rocchio pseudo-relevance-feedback retrieval over the documents
+    index: BM25 round 1 -> top-fb_docs feedback set -> offer-weighted
+    expansion terms at weight beta -> weighted BM25 round 2
+    (Searcher.search_prf), mapped back to table ids."""
+    from rse_ray.pipelines.search import Searcher
+
+    index_dir = documents_index(sf_dir, stem=False)
+    s = Searcher(index_dir)
+    hits = s.search_prf(query, k=k, fb_docs=fb_docs,
+                        fb_terms=fb_terms, beta=beta)
+    return _score_frame(index_dir, hits, round_to=round_to)
+
+
 def lm_dirichlet_documents(sf_dir: str, query: str,
                            k: int | None = None, *, mu: float = 2000.0,
                            stem: bool = False,

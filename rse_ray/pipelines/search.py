@@ -809,6 +809,77 @@ class Searcher:
             return _accumulate_topk_dense(id_parts, contrib_parts, k, self.dmap)
         return _accumulate_topk(id_parts, contrib_parts, k)
 
+    # ---- pseudo-relevance feedback (Rocchio) ------------------------------
+    def search_prf(self, query: str, k: int = 10, *, fb_docs: int = 10,
+                   fb_terms: int = 5, beta: float = 0.5):
+        """Rocchio pseudo-relevance feedback (two-round retrieval, the
+        classic query-expansion loop): round 1 is plain TAAT BM25; the
+        top ``fb_docs`` hits are ASSUMED relevant, their terms are
+        ranked by offer weight sum_fb(tf) * idf (query terms excluded,
+        ties by term asc), and the top ``fb_terms`` re-enter the query
+        at weight ``beta`` next to the original terms at their qtf —
+        round 2 scores the expanded weighted query. Fully
+        deterministic, so the whole loop is SQL-twinnable.
+
+        Scale shape: feedback texts are ``fb_docs`` point lookups via
+        the bucket-routed docmap (one bucket parquet read per distinct
+        bucket, never a corpus scan); expansion dfs come from the term
+        directories alone; round 2 is a normal OR query over
+        len(query terms) + fb_terms posting lists."""
+        from rse_ray.functions.ids import DOC_BUCKET_BITS
+
+        first = self.search(query, fb_docs)
+        if not first:
+            return []
+        qterms = dict(_query_weights(query, self.stem))
+        docs_dir = os.path.join(self.reader.index_dir, "docs")
+        by_bucket: dict[int, list[int]] = {}
+        for did, _score in first:
+            by_bucket.setdefault(did >> DOC_BUCKET_BITS, []).append(did)
+        tf_sum: dict[str, int] = {}
+        for b, dids in sorted(by_bucket.items()):
+            t = pq.read_table(
+                os.path.join(docs_dir, f"bucket_{b:06d}.parquet"),
+                columns=["doc_id", "text"])
+            ids = t.column("doc_id").to_numpy()
+            for did in dids:
+                row = int(np.searchsorted(ids, did))
+                for tk in tokenize(t.column("text")[row].as_py() or "",
+                                   stem=self.stem):
+                    tf_sum[tk] = tf_sum.get(tk, 0) + 1
+        # Rocchio offer weight: feedback-summed tf x idf
+        scored = sorted(
+            ((float(tfv) * _idf(self.N, self.reader.df(term)), term)
+             for term, tfv in tf_sum.items() if term not in qterms),
+            key=lambda st: (-st[0], st[1]))
+        weights = {t: float(q) for t, q in qterms.items()}
+        for _w, term in scored[:fb_terms]:
+            weights[term] = beta
+        return self._search_weighted(weights, k)
+
+    def _search_weighted(self, weights: dict[str, float], k: int):
+        """OR retrieval with explicit per-term query weights —
+        contributions accumulate in sorted-term order (the TAAT fp
+        contract), w = weight * idf."""
+        id_parts, contrib_parts = [], []
+        for term, wq in sorted(weights.items()):
+            got = self.reader.postings(term)
+            if got is None:
+                continue
+            ids, tfs, dls, df = got
+            m = self._keep_mask(ids)
+            if m is not None:
+                ids, tfs, dls = ids[m], tfs[m], dls[m]
+                if not len(ids):
+                    continue
+            w = wq * _idf(self.N, df)
+            tf_part = (tfs * (K1 + 1)) / (tfs + K1 * (1 - B + B * dls / self.avgdl))
+            id_parts.append(ids)
+            contrib_parts.append(w * tf_part)
+        if self.dmap is not None:
+            return _accumulate_topk_dense(id_parts, contrib_parts, k, self.dmap)
+        return _accumulate_topk(id_parts, contrib_parts, k)
+
     # ---- wildcard / prefix retrieval -------------------------------------
     def search_prefix(self, prefix: str, k: int = 10):
         """Wildcard retrieval (`pre*`): expand the prefix against the

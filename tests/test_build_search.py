@@ -607,6 +607,44 @@ def test_more_like_this(ray_session, tmp_path):
     assert got == want
 
 
+def test_prf_expands_query(ray_session, tmp_path):
+    """Rocchio PRF: expansion terms from the feedback docs pull in
+    documents sharing NO original query term; fb_terms=0 degenerates
+    to plain BM25; expansion weights follow beta."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    texts = {
+        "u1": "apple banana",            # feedback hit for 'apple'
+        "u2": "apple banana banana",     # feedback hit, banana-heavy
+        "u3": "banana banana cherry",    # NO query term — only PRF finds it
+        "u4": "cherry cherry",           # unreachable either way
+    }
+    rows = pd.DataFrame({
+        "url": list(texts), "text": list(texts.values()),
+        "warc_ts": pd.Timestamp("2024-12-01")})
+    idx = str(tmp_path / "prf_idx")
+    build_index(ray.data.from_pandas(rows), idx,
+                BuildConfig(num_buckets=2, buckets_per_salt_group=2,
+                            stem=False, from_html=False))
+    s = Searcher(idx)
+    plain = {u for _, _, u in hydrate_urls(idx, s.search("apple", k=10))}
+    assert plain == {"u1", "u2"}
+    # fb_terms=0: PRF degenerates to the plain query
+    got0 = hydrate_urls(idx, s.search_prf("apple", k=10, fb_docs=2,
+                                          fb_terms=0))
+    assert [(u, sc) for _, sc, u in got0] == \
+        [(u, sc) for _, sc, u in hydrate_urls(idx, s.search("apple", k=10))]
+    # fb_terms=1: 'banana' (top offer weight in u1+u2) expands the
+    # query and u3 becomes reachable; u4 (cherry only) stays out
+    got1 = {u for _, _, u in hydrate_urls(
+        idx, s.search_prf("apple", k=10, fb_docs=2, fb_terms=1))}
+    assert got1 == {"u1", "u2", "u3"}
+
+
 def test_min_match_bridges_or_and_conjunctive(ray_session, tmp_path):
     """min_match=1 == plain OR, min_match=n_terms == conjunctive, and
     in between only docs with >= m distinct terms survive, scored by
