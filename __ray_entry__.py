@@ -1855,6 +1855,10 @@ def _q_connected_components(sf_dir: str):
 
 
 GRAPH_LINKS = "/tmp/rse_ray_cache/graph_600_v1/links.parquet"
+GRAPH_CORE_LINKS = "/tmp/rse_ray_cache/graph_core_v1/links.parquet"
+# k-core SQL unroll bounds: fixture degeneracy is 7 (K8 clique) and no
+# level needs more than 3 peel rounds; extra rounds are the identity
+CORE_SQL_KMAX, CORE_SQL_ROUNDS = 8, 6
 
 
 def _graph_links_path() -> str:
@@ -1866,6 +1870,64 @@ def _graph_links_path() -> str:
 
     generate_graph(GRAPH_LINKS)
     return GRAPH_LINKS
+
+
+def _core_graph_links_path() -> str:
+    """Planted coreness-spectrum fixture (pendants=1, ring=2, K5=4,
+    K8=7, plus self-loops/dup edges) — generate_graph's fixture is
+    uniformly coreness 2, so k-core gets its own."""
+    from rse_ray.sources.fixtures import generate_core_graph
+
+    generate_core_graph(GRAPH_CORE_LINKS)
+    return GRAPH_CORE_LINKS
+
+
+def _q_coreness(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import coreness
+
+    return _finalize(coreness(
+        ray.data.read_parquet(_core_graph_links_path())))
+
+
+def _coreness_sql() -> str:
+    """Unrolled Matula-Beck peeling twin: for each level k, ROUNDS
+    simultaneous peel rounds (survivors = alive nodes with >= k alive
+    neighbors); coreness(v) = max level whose fixpoint contains v.
+    Extra rounds past a level's fixpoint are the identity, so the
+    static (KMAX x ROUNDS) unroll is exact once bounds cover the
+    fixture (asserted in tests against the engine)."""
+    links = GRAPH_CORE_LINKS
+    parts = [f"""
+WITH e0 AS (SELECT src_url AS src, dst_url AS dst
+            FROM read_parquet('{links}') WHERE src_url <> dst_url
+            UNION
+            SELECT dst_url, src_url
+            FROM read_parquet('{links}') WHERE src_url <> dst_url),
+nodes AS (SELECT DISTINCT src AS url FROM e0),
+r0_0 AS (SELECT url FROM nodes)"""]
+    prev = "r0_0"
+    finals = []
+    for k in range(1, CORE_SQL_KMAX + 1):
+        for r in range(1, CORE_SQL_ROUNDS + 1):
+            cur = f"r{k}_{r}"
+            parts.append(f""",
+{cur} AS MATERIALIZED (
+    SELECT e0.src AS url FROM e0
+    JOIN {prev} p ON e0.src = p.url
+    JOIN {prev} q ON e0.dst = q.url
+    GROUP BY e0.src HAVING count(*) >= {k})""")
+            prev = cur
+        finals.append((k, prev))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT url, {k} AS k FROM {name}" for k, name in finals)
+    parts.append(f""",
+lv AS ({unions})
+SELECT n.url, coalesce(m.c, 0) AS coreness
+FROM nodes n LEFT JOIN (SELECT url, max(k) AS c FROM lv GROUP BY 1) m
+     USING (url)""")
+    return "".join(parts)
 
 
 def _q_degree_distribution(sf_dir: str):
@@ -2322,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_distribution": _q_degree_distribution,
         "reciprocal_links": _q_reciprocal_links,
         "triangle_count": _q_triangle_count,
+        "coreness": _q_coreness,
         "domain_counts": _q_domain_counts,
         "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
@@ -3549,6 +3612,9 @@ WITH ue AS (SELECT DISTINCT least(src_url, dst_url) AS u,
 SELECT count(*)::BIGINT AS n_triangles
 FROM ue e1 JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
      JOIN ue e3 ON e3.u = e1.v AND e3.v = e2.v""",
+        # k-core decomposition: unrolled simultaneous-peel rounds per
+        # level over the planted coreness-spectrum fixture
+        "coreness": _coreness_sql(),
         # BFS min-hop depth from an md5-gated seed set; the recursive
         # term is depth-capped so link cycles terminate, min() collapses
         # revisits to the true BFS depth

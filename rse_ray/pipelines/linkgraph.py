@@ -1034,6 +1034,137 @@ def connected_components(links_ds, *, max_iters: int = 128,
     return ray.data.from_arrow_refs(res_refs)
 
 
+def coreness(links_ds, *, src_col: str = "src_url",
+             dst_col: str = "dst_url", num_parts: int | None = None):
+    """k-core decomposition over the UNDIRECTED simple link graph ->
+    (url, coreness): coreness(v) = the largest k such that v survives
+    iterative removal of all nodes with degree < k (Matula & Beck
+    1983 peeling) — the classic crawl-frontier density measure next
+    to PageRank/HITS. Self-loops and duplicate/reverse-duplicate
+    edges are ignored (simple-graph contract, like triangle_count).
+
+    Scale shape: the pregel shard layout shared with pagerank/CC —
+    edges symmetrize then partition ONCE by hash(src) (each node's
+    undirected degree is shard-local after dedup); a peel round at
+    level k kills local nodes with deg < k and ships one decrement
+    row per (killed edge, destination shard), pre-aggregated as
+    (dst, count) — every edge sends EXACTLY ONE decrement ever (at
+    its source's death), so total message volume is O(E) across the
+    whole run, and the driver sees only per-round removal counts.
+    Levels advance when a round removes nothing; the run ends when
+    no node is alive (k reaches the graph's degeneracy + 1)."""
+    import pandas as pd
+    import ray
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        t = pa.table({"src": b.column(src_col).cast(pa.string()),
+                      "dst": b.column(dst_col).cast(pa.string())}) \
+            .drop_null()
+        t = t.filter(pc.invert(pc.equal(t.column("src"),
+                                        t.column("dst"))))  # no self-loops
+        return pa.concat_tables([
+            t, pa.table({"src": t.column("dst"), "dst": t.column("src")})])
+
+    sym = links_ds.map_batches(symmetrize, batch_format="pyarrow")
+    parts, M, P = _partition_graph(sym, "src", "dst", num_parts)
+    if M == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], type=pa.string()),
+             "coreness": pa.array([], type=pa.int64())}))
+
+    @ray.remote
+    class _CoreShard:
+        def __init__(self, p: int, P: int, edge_refs, dst_refs):
+            self.P = P
+            edges = pa.concat_tables(ray.get(list(edge_refs)))
+            dsts = pa.concat_tables(ray.get(list(dst_refs)))
+            df = pd.DataFrame({
+                "src": edges.column("src").to_numpy(zero_copy_only=False),
+                "dst": edges.column("dst").to_numpy(zero_copy_only=False),
+            }).drop_duplicates()            # simple-graph dedup (local ==
+            src = df["src"].to_numpy()      # global: all of src's edges
+            dst = df["dst"].to_numpy()      # live in this shard)
+            own_dst = dsts.column("dst").to_numpy(zero_copy_only=False)
+            self.urls = np.array(
+                sorted(set(src.tolist()) | set(own_dst.tolist())),
+                dtype=object)
+            self.src_idx = np.searchsorted(self.urls, src)
+            self.dst = dst
+            self.dst_shard = (_pr_url_hash(dst) % P).astype(np.int64) \
+                if len(dst) else np.empty(0, dtype=np.int64)
+            # symmetrized + dedup'd: local out-degree == undirected degree
+            self.deg = np.bincount(self.src_idx,
+                                   minlength=len(self.urls)).astype(np.int64)
+            self.alive = np.ones(len(self.urls), dtype=bool)
+            self.core = np.zeros(len(self.urls), dtype=np.int64)
+
+        def n_nodes(self) -> int:
+            return len(self.urls)
+
+        def peel(self, k: int):
+            """Kill alive nodes with deg < k; [0] = kill count, then P
+            per-destination-shard (dst, c) decrement tables."""
+            rem = self.alive & (self.deg < k)
+            self.core[rem] = k - 1
+            self.alive[rem] = False
+            out = [int(rem.sum())]
+            m_edges = rem[self.src_idx] if len(self.src_idx) \
+                else np.empty(0, dtype=bool)
+            for q in range(self.P):
+                mq = m_edges & (self.dst_shard == q)
+                if not mq.any():
+                    out.append(pa.table(
+                        {"dst": pa.array([], type=pa.string()),
+                         "c": pa.array([], type=pa.int64())}))
+                    continue
+                u, cnt = np.unique(self.dst[mq], return_counts=True)
+                out.append(pa.table(
+                    {"dst": pa.array(u, type=pa.string()),
+                     "c": pa.array(cnt.astype(np.int64))}))
+            return out
+
+        def apply(self, *tables) -> None:
+            for t in tables:
+                if t.num_rows == 0:
+                    continue
+                idx = np.searchsorted(
+                    self.urls,
+                    t.column("dst").to_numpy(zero_copy_only=False))
+                self.deg[idx] -= t.column("c").to_numpy()
+
+        def result(self) -> pa.Table:
+            return pa.table(
+                {"url": pa.array(self.urls, type=pa.string()),
+                 "coreness": pa.array(self.core)})
+
+    shards = [
+        _CoreShard.remote(
+            p, P,
+            [parts[m][p] for m in range(M)],
+            [parts[m][P + p] for m in range(M)])
+        for p in range(P)
+    ]
+    n_alive = sum(ray.get([s.n_nodes.remote() for s in shards]))
+    k = 1
+    while n_alive > 0:
+        outs = [s.peel.options(num_returns=P + 1).remote(k)
+                for s in shards]
+        ray.get([s.apply.remote(*[outs[p][q + 1] for p in range(P)])
+                 for q, s in enumerate(shards)])
+        removed = sum(ray.get([outs[p][0] for p in range(P)]))
+        n_alive -= removed
+        if removed == 0:
+            k += 1      # level fixpoint -> next core level
+
+    import ray.data
+
+    res_refs = [s.result.remote() for s in shards]
+    ray.wait(res_refs, num_returns=len(res_refs))
+    return ray.data.from_arrow_refs(res_refs)
+
+
 def crawl_depth(links_ds, *, seed_pred, max_depth: int = 32,
                 src_col: str = "src_url", dst_col: str = "dst_url",
                 num_parts: int | None = None):

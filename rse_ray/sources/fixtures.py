@@ -313,6 +313,54 @@ def generate_queries(n: int = 60, seed: int = 42, vocab_size: int = 10_000) -> l
     return [{"qid": i, "query": q} for i, q in enumerate(queries[:n])]
 
 
+def generate_core_graph(out_path: str, *, n_ring: int = 200) -> None:
+    """Deterministic link graph with a PLANTED coreness spectrum (the
+    `generate_graph` fixture is uniformly coreness-2, useless for
+    k-core oracles): pendant chains (coreness 1) hang off a ring
+    (coreness 2), a K5 clique (coreness 4) and a K8 clique (coreness
+    7) attach by single bridges, plus self-loops / duplicate /
+    reverse-duplicate edges that the simple-graph contract must
+    ignore. Formula-based (no RNG), byte-stable."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    if os.path.exists(out_path):
+        return
+    src, dst = [], []
+
+    def add(a: int, b: int) -> None:
+        src.append(f"https://c{a}.example/")
+        dst.append(f"https://c{b}.example/")
+
+    for i in range(n_ring):
+        add(i, (i + 1) % n_ring)              # ring -> coreness 2
+    for i in range(0, n_ring, 10):            # pendant chains -> coreness 1
+        add(i, 1000 + i)
+        add(1000 + i, 1001 + i)
+        add(1001 + i, 1002 + i)
+    for a in range(200, 205):                 # K5 -> coreness 4
+        for b in range(a + 1, 205):
+            add(a, b)
+    add(200, 3)                               # bridge K5 -> ring
+    for a in range(210, 218):                 # K8 -> coreness 7
+        for b in range(a + 1, 218):
+            add(a, b)
+    add(210, 50)                              # bridge K8 -> ring
+    add(211, 201)                             # bridge K8 -> K5
+    # pathologies: self-loops, duplicate and reverse-duplicate edges
+    add(7, 7)
+    add(0, 1)
+    add(1, 0)
+    add(213, 213)
+    t = pa.table({"src_url": pa.array(src, type=pa.string()),
+                  "dst_url": pa.array(dst, type=pa.string())})
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    from rse_ray.state.manifest import write_file_atomic
+
+    write_file_atomic(out_path, lambda tmp: _pq.write_table(t, tmp))
+
+
 def generate_graph(out_path: str, *, n_nodes: int = 600) -> None:
     """Deterministic synthetic link graph with PLANTED structure the
     crawler corpus lacks: ring connectivity, triangle closers (every

@@ -130,6 +130,46 @@ def test_reference_search_full_oracle(ray_session, link_corpus):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_coreness_peeling_oracle(ray_session):
+    """Pregel k-core == driver peeling on a handcrafted graph: a
+    triangle (coreness 2) with a pendant tail (coreness 1), duplicate
+    + reverse-duplicate edges and a self-loop all ignored; multi-part
+    run matches the single-part run."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import coreness
+
+    edges = [
+        ("t1", "t2"), ("t2", "t3"), ("t3", "t1"),   # triangle -> 2
+        ("t1", "p1"), ("p1", "p2"),                 # pendant tail -> 1
+        ("t2", "t1"),                               # reverse duplicate
+        ("t1", "t2"),                               # duplicate
+        ("p2", "p2"),                               # self-loop
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["src_url", "dst_url"]))
+    want = {"t1": 2, "t2": 2, "t3": 2, "p1": 1, "p2": 1}
+    for parts in (1, 3):
+        got = coreness(ds, num_parts=parts).to_pandas()
+        assert dict(zip(got["url"], got["coreness"])) == want
+
+
+def test_coreness_planted_spectrum(ray_session):
+    """The planted core fixture decomposes into the designed spectrum:
+    pendants 1, ring 2, K5 clique 4, K8 clique 7."""
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import coreness
+    from rse_ray.sources.fixtures import generate_core_graph
+
+    path = "/tmp/rse_ray_cache/graph_core_v1/links.parquet"
+    generate_core_graph(path)
+    got = coreness(ray.data.read_parquet(path)).to_pandas()
+    hist = got["coreness"].value_counts().to_dict()
+    assert hist == {1: 60, 2: 200, 4: 5, 7: 8}
+
+
 def test_connected_components_union_find_oracle(ray_session):
     """Pregel min-label CC == driver union-find on a handcrafted graph:
     two multi-node components (one a cycle, one a chain with a
