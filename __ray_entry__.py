@@ -2016,6 +2016,40 @@ def _q_media_features(sf_dir: str):
     return _finalize(media_features(ds, backend="real"))
 
 
+PHASH_DIR = "/tmp/rse_ray_cache/phash_v1_48"
+PHASH_MAX_HAMMING = 3
+
+
+def _phash_fixture_dir() -> str:
+    from rse_ray.pipelines.multimodal import write_phash_fixture
+
+    write_phash_fixture(PHASH_DIR, n_base=48, seed=11)
+    return PHASH_DIR
+
+
+def _q_image_phash(sf_dir: str):
+    """Perceptual hashes over the planted near-dup image corpus —
+    decode (BMP/PNG) + DCT pHash, oracled against the generator's
+    golden parquet (hashes computed from raw pixels pre-encode)."""
+    import ray.data
+
+    from rse_ray.pipelines.multimodal import image_phash
+
+    d = _phash_fixture_dir()
+    ds = ray.data.read_parquet(os.path.join(d, "media.parquet"))
+    return _finalize(image_phash(ds))
+
+
+def _q_image_dup_pairs(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.multimodal import image_dup_pairs
+
+    d = _phash_fixture_dir()
+    ds = ray.data.read_parquet(os.path.join(d, "media.parquet"))
+    return _finalize(image_dup_pairs(ds, max_hamming=PHASH_MAX_HAMMING))
+
+
 # ---------------------------------------------------------------------------
 # generated oracle SQL (computed from the same constants the Ray side uses)
 # ---------------------------------------------------------------------------
@@ -2389,6 +2423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
         "media_features": _q_media_features,
+        "image_phash": _q_image_phash,
+        "image_dup_pairs": _q_image_dup_pairs,
     }
 
 
@@ -3640,6 +3676,22 @@ SELECT media_id, kind, n_values, v_mean, v_std, v_min, v_max,
        width, height
 FROM read_parquet('{golden}')""".format(
             golden=os.path.join(MEDIA_DIR, "golden_features.parquet")
+        ),
+        # decode->pHash must reproduce the pre-encode golden hashes
+        "image_phash": """
+SELECT media_id, phash FROM read_parquet('{golden}')""".format(
+            golden=os.path.join(PHASH_DIR, "golden_phash.parquet")
+        ),
+        # perceptual near-dup pairs: exact O(n^2) popcount over the
+        # golden hashes — the banded engine must find exactly these
+        "image_dup_pairs": """
+WITH g AS (SELECT media_id, phash FROM read_parquet('{golden}'))
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+FROM g a JOIN g b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {maxh}""".format(
+            golden=os.path.join(PHASH_DIR, "golden_phash.parquet"),
+            maxh=PHASH_MAX_HAMMING,
         ),
         # rows-only (genuinely non-SQL-expressible): knn_cosine_lsh and
         # knn_cosine_ivf — APPROXIMATE searches whose probe sets depend

@@ -297,6 +297,39 @@ def decode_video(buf: bytes) -> list[np.ndarray]:
     return frames
 
 
+_PHASH_N = 32
+# DCT-II basis, orthogonality constants irrelevant (median threshold is
+# scale-invariant per coefficient row/col pair)
+_DCT32 = np.cos(
+    np.pi * np.arange(_PHASH_N)[:, None]
+    * (2 * np.arange(_PHASH_N)[None, :] + 1) / (2 * _PHASH_N))
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (the classic pHash shape): integer
+    luma -> 32x32 nearest-neighbor downsample -> 2D DCT-II -> the
+    top-left 8x8 low-frequency block -> median threshold -> bit i set
+    iff coeff_i > median (row-major, bit 0 = MSB). Every step is
+    deterministic (integer luma, index-math resize, float64 matmul),
+    so the same pixels hash identically on any machine — the fixture
+    generator and the decode pipeline share this one kernel."""
+    if px.ndim == 3:
+        r = px[..., 0].astype(np.uint32)
+        g = px[..., 1].astype(np.uint32)
+        b = px[..., 2].astype(np.uint32)
+        luma = ((77 * r + 150 * g + 29 * b) >> 8).astype(np.float64)
+    else:
+        luma = px.astype(np.float64)
+    small = resize_nearest(luma, _PHASH_N, _PHASH_N)
+    coeffs = (_DCT32 @ small @ _DCT32.T)[:8, :8].ravel()
+    med = float(np.median(coeffs))
+    bits = coeffs > med
+    h = np.uint64(0)
+    for bit in bits:
+        h = (h << np.uint64(1)) | np.uint64(bool(bit))
+    return int(h)
+
+
 def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize (pure index math — deterministic, no
     interpolation-kernel ambiguity): source index = floor(i * in / out)."""

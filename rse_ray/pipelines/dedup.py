@@ -371,10 +371,24 @@ def _hamming64_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def simhash_dup_pairs(ds, *, max_hamming: int = 3,
                       num_parts: int | None = None):
-    """Near-dup pairs with Hamming(simhash) <= max_hamming, found by the
-    standard 4-table prefix trick: two 64-bit hashes within Hamming 3
-    share at least one identical 16-bit quarter -> bucket by
-    (quarter_idx, quarter_value), verify within buckets.
+    """Near-dup pairs with Hamming(simhash) <= max_hamming over the
+    text corpus — simhash signatures fed through the generic 64-bit
+    ``hash_dup_pairs`` banding engine (shared with the image
+    perceptual-hash dedup)."""
+    return hash_dup_pairs(simhash_signatures(ds),
+                          max_hamming=max_hamming, num_parts=num_parts)
+
+
+def hash_dup_pairs(sig_ds, *, id_col: str = "doc_id",
+                   sig_col: str = "simhash", max_hamming: int = 3,
+                   num_parts: int | None = None,
+                   out_cols: tuple = ("doc_a", "doc_b")):
+    """Generic 64-bit-signature near-dup pairs (Hamming <=
+    max_hamming) by the standard 4-table prefix trick: two 64-bit
+    hashes within Hamming 3 share at least one identical 16-bit
+    quarter -> bucket by (quarter_idx, quarter_value), verify within
+    buckets. The pigeonhole guarantee only covers max_hamming <= 3
+    with 4 bands — larger radii raise.
 
     Buckets are near-singletons, so the shuffle groups by a coarse
     partition of the quarter key and each partition does bucket pairing
@@ -384,12 +398,15 @@ def simhash_dup_pairs(ds, *, max_hamming: int = 3,
     (a (quarter, value) bucket never straddles a part)."""
     from rse_ray.util import parts_for
 
+    if max_hamming > 3:
+        raise ValueError("4x16-bit bands guarantee recall only for "
+                         "max_hamming <= 3")
     if num_parts is None:
-        num_parts = parts_for(ds.count())
+        num_parts = parts_for(sig_ds.count())
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        sigs = batch.column("simhash").to_numpy()
+        ids = batch.column(id_col).to_numpy()
+        sigs = batch.column(sig_col).to_numpy()
         n = len(ids)
         u = sigs.view(np.uint64)
         q_idx = np.tile(np.arange(4, dtype=np.int32), n)
@@ -431,13 +448,15 @@ def simhash_dup_pairs(ds, *, max_hamming: int = 3,
         out["part2"] = (out["doc_a"] % num_parts).astype("int32")
         return out
 
+    a_col, b_col = out_cols
+
     def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[
+        out = g.drop_duplicates(["doc_a", "doc_b"])[
             ["doc_a", "doc_b", "hamming"]
         ]
+        return out.rename(columns={"doc_a": a_col, "doc_b": b_col})
 
-    sig = simhash_signatures(ds)
-    pairs = sig.map_batches(explode, batch_format="pyarrow").groupby(
+    pairs = sig_ds.map_batches(explode, batch_format="pyarrow").groupby(
         "part"
     ).map_groups(part_pairs, batch_format="pandas")
     # a pair can match on several quarters -> cross-partition dedup

@@ -178,6 +178,124 @@ def media_features(ds, *, concurrency: int = 2, batch_size: int = 32,
     )
 
 
+class ImagePHasher:
+    """Actor-pool perceptual-hash stage: decode the image payload
+    (real BMP/PNG decode) and emit the 64-bit DCT pHash as
+    uint64-in-int64 bits. Non-image rows are dropped (phash is an
+    image notion). Decode + hash kernels bind once per actor."""
+
+    def __init__(self) -> None:
+        from rse_ray.functions.media import decode_image, phash64
+
+        self._decode = decode_image
+        self._phash = phash64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_ids, out_h = [], []
+        for mid, kind, payload in zip(ids, kinds, payloads):
+            if kind != "image":
+                continue
+            h = self._phash(self._decode(payload))
+            out_ids.append(int(mid))
+            out_h.append(np.int64(np.uint64(h)))
+        return pa.table({"media_id": pa.array(out_ids, type=pa.int64()),
+                         "phash": pa.array(out_h, type=pa.int64())})
+
+
+def image_phash(ds, *, concurrency: int = 2, batch_size: int = 32):
+    """media table -> (media_id, phash). Small batch_size: payloads
+    drive block size."""
+    from rse_ray.util import clamp_pool
+
+    return ds.map_batches(ImagePHasher, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=clamp_pool(concurrency))
+
+
+def image_dup_pairs(ds, *, max_hamming: int = 3,
+                    num_parts: int | None = None):
+    """Perceptual near-duplicate image pairs: pHash signatures fed
+    through the SAME generic 64-bit banding engine as the text
+    SimHash dedup (dedup.hash_dup_pairs — 4x16-bit prefix buckets,
+    vectorized bucket self-merge, LUT popcount verify). Output
+    (media_a, media_b, hamming), media_a < media_b."""
+    from rse_ray.pipelines.dedup import hash_dup_pairs
+
+    return hash_dup_pairs(image_phash(ds), id_col="media_id",
+                          sig_col="phash", max_hamming=max_hamming,
+                          num_parts=num_parts,
+                          out_cols=("media_a", "media_b"))
+
+
+def write_phash_fixture(out_dir: str, *, n_base: int = 48,
+                        seed: int = 11) -> dict:
+    """Deterministic image corpus with PLANTED perceptual near-dups:
+    every 4th base image also ships a +1-brightness-corner copy (id =
+    1000 + base id, pHash Hamming <= 2 — measured; distinct images
+    sit >= 20 apart). Writes
+
+        out_dir/media.parquet         (media_id, kind, payload, meta)
+        out_dir/golden_phash.parquet  pHash computed from the RAW
+                                      pixels BEFORE encoding
+
+    Golden hashes never see the codec, so matching them proves the
+    decode path; the planted pairs give the dup-pair query a
+    non-empty, fully characterized answer. Idempotent via _DONE."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rse_ray.functions.media import encode_bmp, encode_png, phash64
+
+    marker = os.path.join(out_dir, "_DONE.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return _json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    media = {"media_id": [], "kind": [], "payload": [], "meta": []}
+    golden = {"media_id": [], "phash": []}
+
+    def emit(mid: int, px: np.ndarray, fmt: str) -> None:
+        media["media_id"].append(mid)
+        media["kind"].append("image")
+        media["payload"].append(
+            encode_bmp(px) if fmt == "bmp" else encode_png(px))
+        media["meta"].append(_json.dumps(
+            {"width": px.shape[1], "height": px.shape[0], "format": fmt}))
+        golden["media_id"].append(mid)
+        golden["phash"].append(np.int64(np.uint64(phash64(px))))
+
+    for i in range(n_base):
+        h = int(rng.integers(16, 48))
+        w = int(rng.integers(16, 48))
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        emit(i, px, "bmp" if i % 2 == 0 else "png")
+        if i % 4 == 0:
+            px2 = px.copy()
+            px2[:3, :3] = np.minimum(
+                px2[:3, :3].astype(np.int16) + 1, 255).astype(np.uint8)
+            emit(1000 + i, px2, "png" if i % 2 == 0 else "bmp")
+    pq.write_table(
+        pa.table({"media_id": pa.array(media["media_id"], type=pa.int64()),
+                  "kind": pa.array(media["kind"], type=pa.string()),
+                  "payload": pa.array(media["payload"], type=pa.binary()),
+                  "meta": pa.array(media["meta"], type=pa.string())}),
+        os.path.join(out_dir, "media.parquet"))
+    pq.write_table(
+        pa.table({"media_id": pa.array(golden["media_id"], type=pa.int64()),
+                  "phash": pa.array(golden["phash"], type=pa.int64())}),
+        os.path.join(out_dir, "golden_phash.parquet"))
+    meta_out = {"n_base": n_base, "seed": seed, "dir": out_dir}
+    with open(marker, "w") as f:
+        _json.dump(meta_out, f)
+    return meta_out
+
+
 def write_real_media_fixture(out_dir: str, *, n: int = 96,
                              seed: int = 5) -> dict:
     """Deterministic REAL media corpus: BMP + PNG images and WAV audio

@@ -172,3 +172,60 @@ def test_video_roundtrip_and_frame_sampling(ray_session):
         ORDER BY media_id""").df()
     pd.testing.assert_frame_equal(rgot[rwant.columns.tolist()], rwant,
                                   check_dtype=False)
+
+
+def test_phash_invariances():
+    """pHash is brightness-perturbation tolerant (planted +1 corner
+    stays within Hamming 2) but separates distinct images; grayscale
+    and RGB paths agree on gray input."""
+    import numpy as np
+
+    from rse_ray.functions.media import phash64
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(24, 36, 3)).astype(np.uint8)
+    h0 = phash64(px)
+    px2 = px.copy()
+    px2[:3, :3] = np.minimum(px2[:3, :3].astype(np.int16) + 1,
+                             255).astype(np.uint8)
+    assert bin(h0 ^ phash64(px2)).count("1") <= 3
+    other = rng.integers(0, 256, size=(24, 36, 3)).astype(np.uint8)
+    assert bin(h0 ^ phash64(other)).count("1") > 10
+    # 2D (grayscale) input accepted
+    gray = px[..., 0]
+    assert isinstance(phash64(gray), int)
+
+
+def test_image_phash_pipeline_matches_golden(ray_session, tmp_path):
+    """Decode -> pHash reproduces the pre-encode golden hashes, and
+    the banded dup-pair engine finds exactly the planted pairs."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rse_ray.pipelines.multimodal import (
+        image_dup_pairs,
+        image_phash,
+        write_phash_fixture,
+    )
+
+    d = str(tmp_path / "phash_fx")
+    write_phash_fixture(d, n_base=16, seed=11)
+    ds = ray.data.read_parquet(os.path.join(d, "media.parquet"))
+    got = image_phash(ds).to_pandas().sort_values("media_id") \
+        .reset_index(drop=True)
+    want = pq.read_table(os.path.join(d, "golden_phash.parquet")) \
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert (got["media_id"] == want["media_id"]).all()
+    assert (got["phash"] == want["phash"]).all()
+
+    pairs = image_dup_pairs(ds, max_hamming=3).to_pandas()
+    planted = {(i, 1000 + i) for i in range(0, 16, 4)}
+    assert set(zip(pairs["media_a"], pairs["media_b"])) == planted
+    # exact ground truth: brute-force popcount over the golden hashes
+    h = want.set_index("media_id")["phash"].to_dict()
+    brute = {(a, b) for a in h for b in h if a < b
+             and bin((int(h[a]) ^ int(h[b])) & (2**64 - 1)).count("1") <= 3}
+    assert set(zip(pairs["media_a"], pairs["media_b"])) == brute
