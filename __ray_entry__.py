@@ -1872,6 +1872,44 @@ def _graph_links_path() -> str:
     return GRAPH_LINKS
 
 
+ROBOTS_DIR = "/tmp/rse_ray_cache/robots_v1"
+
+
+def _q_robots_filter(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import robots_filter
+    from rse_ray.sources.fixtures import generate_robots_fixture
+
+    generate_robots_fixture(ROBOTS_DIR)
+    return _finalize(robots_filter(
+        ray.data.read_parquet(os.path.join(ROBOTS_DIR, "urls.parquet")),
+        ray.data.read_parquet(os.path.join(ROBOTS_DIR, "rules.parquet"))))
+
+
+def _robots_sql() -> str:
+    """Longest-prefix robots precedence in SQL: rank matching rules
+    per url by (prefix length DESC, allow DESC — allow wins ties),
+    default allow when nothing matches."""
+    urls = os.path.join(ROBOTS_DIR, "urls.parquet")
+    rules = os.path.join(ROBOTS_DIR, "rules.parquet")
+    return f"""
+WITH u AS (SELECT url,
+             regexp_extract(url, '^https?://([^/?#]*)', 1) AS host,
+             coalesce(nullif(regexp_extract(
+                 url, '^https?://[^/?#]*([^#?]*)', 1), ''), '/') AS path
+           FROM read_parquet('{urls}')),
+m AS (SELECT u.url, r.allow, length(r.prefix) AS plen
+      FROM u JOIN read_parquet('{rules}') r
+        ON u.host = r.host AND starts_with(u.path, r.prefix)),
+ranked AS (SELECT url, allow,
+                  row_number() OVER (PARTITION BY url
+                                     ORDER BY plen DESC, allow DESC) AS rn
+           FROM m)
+SELECT u.url, coalesce(r.allow, TRUE) AS allowed
+FROM u LEFT JOIN ranked r ON r.url = u.url AND r.rn = 1"""
+
+
 def _core_graph_links_path() -> str:
     """Planted coreness-spectrum fixture (pendants=1, ring=2, K5=4,
     K8=7, plus self-loops/dup edges) — generate_graph's fixture is
@@ -2419,6 +2457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocal_links": _q_reciprocal_links,
         "triangle_count": _q_triangle_count,
         "coreness": _q_coreness,
+        "robots_filter": _q_robots_filter,
         "domain_counts": _q_domain_counts,
         "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
@@ -3651,6 +3690,8 @@ FROM ue e1 JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
         # k-core decomposition: unrolled simultaneous-peel rounds per
         # level over the planted coreness-spectrum fixture
         "coreness": _coreness_sql(),
+        # robots.txt precedence (longest prefix, allow wins ties)
+        "robots_filter": _robots_sql(),
         # BFS min-hop depth from an md5-gated seed set; the recursive
         # term is depth-capped so link cycles terminate, min() collapses
         # revisits to the true BFS depth

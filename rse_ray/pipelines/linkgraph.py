@@ -225,6 +225,53 @@ def domain_counts(pages_ds):
                                    Sum("b_p", alias_name="html_bytes"))
 
 
+def robots_filter(urls_ds, rules_ds, *, url_col: str = "url"):
+    """Batch analog of the reference's robots.txt gate (crawler.go:
+    351-383 fetches and tests one URL at a time; at batch scale the
+    crawl-policy table is a SMALL broadcast side): a url is allowed
+    iff the LONGEST matching path-prefix rule for its host allows it
+    — the Google robots.txt precedence spec (most specific rule wins,
+    allow wins an exact length tie), default ALLOW when no rule
+    matches (the reference fails open on robots errors too).
+    ``rules_ds``: (host, prefix, allow:bool). Output (url, allowed).
+
+    Scale shape: rules materialize ONCE into a per-host dict shipped
+    via ray.put (read from the object store in every task, never
+    re-serialized per batch); urls stream through a stateless
+    map_batches — no shuffle at all."""
+    import ray
+
+    by_host: dict[str, list] = {}
+    for r in rules_ds.take_all():     # small side by contract
+        by_host.setdefault(r["host"], []).append(
+            (r["prefix"], bool(r["allow"])))
+    for h in by_host:
+        # longest prefix first; allow before deny on equal length
+        by_host[h].sort(key=lambda pr: (-len(pr[0]), not pr[1]))
+    rules_ref = ray.put(by_host)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from urllib.parse import urlsplit
+
+        rules = ray.get(rules_ref)
+        urls = batch.column(url_col).to_pylist()
+        allowed = np.ones(len(urls), dtype=bool)
+        for i, u in enumerate(urls):
+            sp = urlsplit(u)
+            rl = rules.get(sp.netloc)
+            if not rl:
+                continue
+            path = sp.path or "/"
+            for prefix, allow in rl:
+                if path.startswith(prefix):
+                    allowed[i] = allow
+                    break
+        return pa.table({url_col: batch.column(url_col),
+                         "allowed": pa.array(allowed)})
+
+    return urls_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def pagerank(links_ds, *, iters: int = 5, damping: float = 0.85,
              src_col: str = "src_url", dst_col: str = "dst_url",
              engine: str = "pregel", personalize_pred=None):

@@ -313,6 +313,64 @@ def generate_queries(n: int = 60, seed: int = 42, vocab_size: int = 10_000) -> l
     return [{"qid": i, "query": q} for i, q in enumerate(queries[:n])]
 
 
+def generate_robots_fixture(out_dir: str) -> None:
+    """Deterministic crawl-policy fixture for the robots_filter batch
+    analog: urls.parquet (urls across four hosts, with query strings,
+    bare-host paths, nested paths) + rules.parquet (host, prefix,
+    allow) planting every precedence case — longest-prefix override
+    (allow under a denied subtree), root-deny host, exact-length
+    allow/deny tie (allow must win), and a rule-less host (default
+    allow). Formula-based, no RNG."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    if os.path.exists(os.path.join(out_dir, "urls.parquet")):
+        return
+    rules = [
+        # host a: deny /private/ subtree, re-allow /private/open
+        ("a.example", "/private/", False),
+        ("a.example", "/private/open", True),
+        ("a.example", "/tmp", False),
+        # exact-length tie: allow wins over deny
+        ("a.example", "/dup", False),
+        ("a.example", "/dup", True),
+        # host b: root deny, /public re-allowed
+        ("b.example", "/", False),
+        ("b.example", "/public", True),
+        # host d: root allow + a longer deny
+        ("d.example", "/", True),
+        ("d.example", "/admin", False),
+    ]
+    urls = []
+    for host in ("a.example", "b.example", "c.example", "d.example"):
+        urls += [
+            f"https://{host}",                      # bare host -> path "/"
+            f"https://{host}/",
+            f"https://{host}/index.html?q=1&utm=x",
+            f"https://{host}/private/x",
+            f"https://{host}/private/open/doc",
+            f"https://{host}/public/page",
+            f"https://{host}/tmp/file",
+            f"https://{host}/dup/zone",
+            f"https://{host}/admin/panel",
+            f"http://{host}/private/deep/nest?frag=1",
+        ]
+    os.makedirs(out_dir, exist_ok=True)
+    from rse_ray.state.manifest import write_file_atomic
+
+    rt = pa.table({
+        "host": pa.array([r[0] for r in rules], type=pa.string()),
+        "prefix": pa.array([r[1] for r in rules], type=pa.string()),
+        "allow": pa.array([r[2] for r in rules], type=pa.bool_()),
+    })
+    ut = pa.table({"url": pa.array(urls, type=pa.string())})
+    write_file_atomic(os.path.join(out_dir, "rules.parquet"),
+                      lambda tmp: _pq.write_table(rt, tmp))
+    write_file_atomic(os.path.join(out_dir, "urls.parquet"),
+                      lambda tmp: _pq.write_table(ut, tmp))
+
+
 def generate_core_graph(out_path: str, *, n_ring: int = 200) -> None:
     """Deterministic link graph with a PLANTED coreness spectrum (the
     `generate_graph` fixture is uniformly coreness-2, useless for

@@ -130,6 +130,37 @@ def test_reference_search_full_oracle(ray_session, link_corpus):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_robots_filter_precedence(ray_session):
+    """Robots precedence: longest prefix wins, allow beats deny on an
+    exact length tie, no-rule hosts and no-match paths default to
+    allow, bare-host urls normalize to path '/'."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import robots_filter
+
+    rules = pd.DataFrame([
+        ("a.example", "/private/", False),
+        ("a.example", "/private/open", True),
+        ("a.example", "/dup", False),
+        ("a.example", "/dup", True),
+        ("b.example", "/", False),
+    ], columns=["host", "prefix", "allow"])
+    urls = pd.DataFrame({"url": [
+        "https://a.example/private/x",        # denied subtree
+        "https://a.example/private/open/d",   # longer allow overrides
+        "https://a.example/dup/z",            # tie -> allow
+        "https://a.example/elsewhere",        # no match -> allow
+        "https://b.example",                  # bare host -> '/' -> denied
+        "https://c.example/anything",         # no rules host -> allow
+    ]})
+    got = robots_filter(ray.data.from_pandas(urls),
+                        ray.data.from_pandas(rules)).to_pandas()
+    want = [False, True, True, True, False, True]
+    assert dict(zip(got["url"], got["allowed"])) == \
+        dict(zip(urls["url"], want))
+
+
 def test_coreness_peeling_oracle(ray_session):
     """Pregel k-core == driver peeling on a handcrafted graph: a
     triangle (coreness 2) with a pendant tail (coreness 1), duplicate
