@@ -1547,7 +1547,7 @@ def _q_reference_relevance(sf_dir: str):
     )
 
 
-LINKGRAPH_DIR = "/tmp/rse_ray_cache/linkgraph_pages_2000_g"
+LINKGRAPH_DIR = "/tmp/rse_ray_cache/linkgraph_pages_2000_h"  # h: +anchor text
 MEDIA_DIR = "/tmp/rse_ray_cache/media_real_v2_96"  # v2: +PNG rows
 
 
@@ -1572,6 +1572,8 @@ def _linkgraph_corpus() -> str:
             pages_dir, n_rows=2000, n_dup_pairs=0, seed=11,
             rows_per_file=500,
             golden_links_path=os.path.join(pages_dir, "golden_links.parquet"),
+            golden_anchors_path=os.path.join(pages_dir,
+                                             "golden_anchors.parquet"),
         )
         with open(marker, "w") as f:
             json.dump(meta, f)
@@ -1608,6 +1610,18 @@ def _q_backlink_counts(sf_dir: str):
 
     links = extract_links(ray.data.read_parquet(_linkgraph_pages_paths()))
     return _finalize(backlink_counts(links))
+
+
+def _q_anchor_terms(sf_dir: str):
+    """Anchor-text index over the crawler corpus — extraction side is
+    the REAL html walk; the oracle tokenizes the generator's golden
+    (dst, anchor_text) rows (planted pre-html, non-circular)."""
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import anchor_terms
+
+    return _finalize(anchor_terms(
+        ray.data.read_parquet(_linkgraph_pages_paths())))
 
 
 def _q_domain_counts(sf_dir: str):
@@ -2446,6 +2460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reference_relevance": _q_reference_relevance,
         "link_extract": _q_link_extract,
         "backlink_counts": _q_backlink_counts,
+        "anchor_terms": _q_anchor_terms,
         "pagerank": _q_pagerank,
         "hits_scores": _q_hits_scores,
         "pagerank_personalized": _q_pagerank_personalized,
@@ -3642,6 +3657,17 @@ FROM read_parquet('{links}')""".format(
 SELECT dst_url, count(*)::BIGINT AS n_backlinks
 FROM read_parquet('{links}') GROUP BY dst_url""".format(
             links=os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+        ),
+        # anchor-text index: tokenize the generator's golden anchor
+        # rows (planted pre-html) with the query tokenizer contract
+        "anchor_terms": """
+WITH a AS (SELECT dst_url,
+             unnest(regexp_split_to_array(lower(anchor_text), '\\s+')) AS term
+           FROM read_parquet('{anchors}')),
+t AS (SELECT dst_url, term FROM a WHERE term <> '')
+SELECT dst_url, term, count(*)::BIGINT AS n_mentions
+FROM t GROUP BY 1, 2""".format(
+            anchors=os.path.join(LINKGRAPH_DIR, "golden_anchors.parquet")
         ),
         "domain_counts": """
 SELECT split_part(url, '/', 3) AS host, count(*)::BIGINT AS n_pages,

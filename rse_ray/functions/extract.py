@@ -54,10 +54,15 @@ class _Extractor(HTMLParser):
         self.description = ""
         self.paragraphs: list[str] = []
         self.hrefs: list[str] = []
+        # (href, text content) per href-bearing <a>, aligned with hrefs
+        self.anchors: list[tuple[str, str]] = []
         self._in_title = False
         self._title_buf: list[str] = []
         self._p_depth = 0
         self._p_buf: list[str] = []
+        self._in_a = False
+        self._a_href: str | None = None
+        self._a_buf: list[str] = []
 
     # -- tag handlers -------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
@@ -71,9 +76,15 @@ class _Extractor(HTMLParser):
         elif tag == "meta":
             self._handle_meta(attrs)
         elif tag == "a":
+            # a new <a> implicitly closes an open one (HTML5 behavior)
+            self._close_anchor()
+            self._in_a = True
+            self._a_href = None
+            self._a_buf = []
             for k, v in attrs:
                 if k == "href":  # first href attr only (crawler.go:313)
                     self.hrefs.append(v or "")
+                    self._a_href = v or ""
                     break
 
     def handle_startendtag(self, tag: str, attrs) -> None:
@@ -83,7 +94,16 @@ class _Extractor(HTMLParser):
             for k, v in attrs:
                 if k == "href":
                     self.hrefs.append(v or "")
+                    self.anchors.append((v or "", ""))  # self-closing: no text
                     break
+
+    def _close_anchor(self) -> None:
+        if self._in_a:
+            if self._a_href is not None:
+                self.anchors.append(
+                    (self._a_href,
+                     _htmlmod.unescape("".join(self._a_buf))))
+            self._in_a = False
 
     def _handle_meta(self, attrs) -> None:
         name = None
@@ -108,6 +128,8 @@ class _Extractor(HTMLParser):
             self._p_depth -= 1
             if self._p_depth == 0:
                 self.paragraphs.append("".join(self._p_buf))
+        elif tag == "a":
+            self._close_anchor()
 
     # -- text handlers ------------------------------------------------
     def handle_data(self, data: str) -> None:
@@ -115,6 +137,8 @@ class _Extractor(HTMLParser):
             self._title_buf.append(data)
         elif self._p_depth > 0:
             self._p_buf.append(data)
+        if self._in_a and not self._in_title:
+            self._a_buf.append(data)
 
     def handle_entityref(self, name: str) -> None:
         self.handle_data(f"&{name};")
@@ -131,9 +155,10 @@ def extract(html: bytes | str) -> dict:
     p = _Extractor()
     p.feed(html)
     p.close()
-    # close any unterminated <p>
+    # close any unterminated <p> / <a>
     if p._p_depth > 0:
         p.paragraphs.append("".join(p._p_buf))
+    p._close_anchor()
     body = " ".join(_htmlmod.unescape(s) for s in p.paragraphs)
     text = f"{p.title}\n{p.description}\n{body}"
     return {
@@ -142,27 +167,36 @@ def extract(html: bytes | str) -> dict:
         "body": body,
         "text": text,
         "hrefs": p.hrefs,
+        "anchors": p.anchors,
     }
 
 
+def resolve_one(base_url: str, href: str) -> str | None:
+    """Resolve + validate ONE href per the reference's
+    isValidURL/resolveURL (crawler.go:326-349): RFC 3986 resolution,
+    scheme must be http(s), fragment must be empty, host non-empty.
+    None = dropped."""
+    try:
+        absu = urljoin(base_url, href)
+        parts = urlsplit(absu)
+    except ValueError:
+        return None
+    if parts.scheme not in ("http", "https"):
+        return None
+    if parts.fragment != "":
+        return None
+    if parts.netloc == "":
+        return None
+    return absu
+
+
 def resolve_links(base_url: str, hrefs: list[str]) -> list[str]:
-    """Resolve + validate hrefs per the reference's isValidURL/resolveURL
-    (crawler.go:326-349): RFC 3986 resolution, scheme must be http(s),
-    fragment must be empty, host non-empty. Order-preserving; duplicates
-    kept (the reference pushes each onto the frontier; dedup happens at
-    the visited-set / D1 stage)."""
+    """Resolve + validate hrefs (resolve_one per href).
+    Order-preserving; duplicates kept (the reference pushes each onto
+    the frontier; dedup happens at the visited-set / D1 stage)."""
     out = []
     for href in hrefs:
-        try:
-            absu = urljoin(base_url, href)
-            parts = urlsplit(absu)
-        except ValueError:
-            continue
-        if parts.scheme not in ("http", "https"):
-            continue
-        if parts.fragment != "":
-            continue
-        if parts.netloc == "":
-            continue
-        out.append(absu)
+        absu = resolve_one(base_url, href)
+        if absu is not None:
+            out.append(absu)
     return out

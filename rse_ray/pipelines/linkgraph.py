@@ -72,6 +72,46 @@ def extract_links(pages_ds):
     )
 
 
+def anchor_terms(pages_ds):
+    """Anchor-text index -> (dst_url, term, n_mentions): the classic
+    ranking signal the reference's extractor almost exposes (it walks
+    every <a> for hrefs, crawler.go:294-324, and throws the text
+    away) — text ABOUT a page, written by the pages that link to it
+    (Brin & Page 1998). For each KEPT link (same resolve + validate
+    contract as extract_links / resolve_one), the anchor's text
+    content (depth-first concat under the <a>, getTextContent shape)
+    tokenizes with the query tokenizer (stem=False) and counts per
+    (dst, term). Pre-aggregated per batch so the shuffle moves
+    (dst, term, partial) rows, never raw anchors."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.functions.extract import extract, resolve_one
+    from rse_ray.functions.tokenizer import tokenize
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        c: Counter = Counter()
+        for u, h in zip(urls, htmls):
+            for href, atext in extract(h)["anchors"]:
+                link = resolve_one(u, href)
+                if link is None:
+                    continue
+                for term in tokenize(atext, stem=False):
+                    c[(link, term)] += 1
+        keys = sorted(c)
+        return pa.table({
+            "dst_url": pa.array([k[0] for k in keys], type=pa.string()),
+            "term": pa.array([k[1] for k in keys], type=pa.string()),
+            "n_p": pa.array([c[k] for k in keys], type=pa.int64()),
+        })
+
+    return pages_ds.select_columns(["url", "html"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["dst_url", "term"]).aggregate(
+        Sum("n_p", alias_name="n_mentions"))
+
+
 # --------------------------------------------------------------------------
 # A2 / J3: backlink counts (how many pages link to each target)
 # --------------------------------------------------------------------------

@@ -139,31 +139,41 @@ def _make_row(rng, vocab, hosts, row_idx: int, url: str):
         head.append(f'<meta name="description" content="{desc}">')
 
     # --- links ---
+    # anchor texts are FORMULA-based (row_idx/link-index arithmetic, no
+    # rng draws) so adding them never perturbs the corpus rng stream;
+    # anchors sit outside <p>, so golden `text` is untouched
     anchors = []
     golden_links = []
+    golden_anchor_texts = []
     n_links = int(rng.integers(0, 5))
     targets = [
         f"https://site{int(rng.integers(0, len(hosts)))}.example/p/{int(rng.integers(0, 10_000))}"
         for _ in range(n_links)
     ]
-    for t in targets:
-        anchors.append(f'<a href="{t}">a</a>')
+    for j, t in enumerate(targets):
+        atext = f"{vocab[(row_idx * 7 + j * 13) % len(vocab)]} l{j}"
+        anchors.append(f'<a href="{t}">{atext}</a>')
         golden_links.append(t)
+        golden_anchor_texts.append(atext)
     if case == 8:      # duplicate href attrs: first wins
-        anchors.append(f'<a href="{url}/first" href="{url}/second">a</a>')
+        atext = f"{vocab[(row_idx * 7 + 91) % len(vocab)]} dup"
+        anchors.append(f'<a href="{url}/first" href="{url}/second">{atext}</a>')
         golden_links.append(f"{url}/first")
+        golden_anchor_texts.append(atext)
     elif case == 9:    # relative link resolves against page url
-        anchors.append('<a href="/x/y">a</a>')
+        atext = f"{vocab[(row_idx * 7 + 92) % len(vocab)]} rel"
+        anchors.append(f'<a href="/x/y">{atext}</a>')
         scheme_host = url.split("/p/")[0]
         golden_links.append(f"{scheme_host}/x/y")
+        golden_anchor_texts.append(atext)
     elif case == 10:   # ftp scheme dropped
-        anchors.append('<a href="ftp://files.example/f">a</a>')
+        anchors.append('<a href="ftp://files.example/f">skip a</a>')
     elif case == 11:   # fragment-only dropped
-        anchors.append('<a href="#frag">a</a>')
+        anchors.append('<a href="#frag">skip b</a>')
     elif case == 12:   # url with fragment dropped
-        anchors.append('<a href="https://site0.example/p/1#frag">a</a>')
+        anchors.append('<a href="https://site0.example/p/1#frag">skip c</a>')
     elif case == 13:   # mailto dropped
-        anchors.append('<a href="mailto:x@example.com">a</a>')
+        anchors.append('<a href="mailto:x@example.com">skip d</a>')
 
     html = (
         "<!DOCTYPE html><html><head>"
@@ -174,7 +184,7 @@ def _make_row(rng, vocab, hosts, row_idx: int, url: str):
         + "</body></html>"
     )
     text = f"{golden_title}\n{golden_desc}\n{body}"
-    return html, text, golden_links
+    return html, text, golden_links, golden_anchor_texts
 
 
 PAGES_SCHEMA = pa.schema(
@@ -203,20 +213,21 @@ def _build_rows(urls_slice: list[str], start_idx: int, seed: int,
     row's RNG is seeded by its global index, so any chunking of the row
     space yields byte-identical output (chunk-parallel == serial)."""
     rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
-    links = {"src_url": [], "dst_url": []}
+    links = {"src_url": [], "dst_url": [], "anchor_text": []}
     for off, url in enumerate(urls_slice):
         i = start_idx + off
         row_rng = np.random.default_rng(seed * 1_000_003 + i)
-        html, text, glinks = _make_row(row_rng, vocab, hosts, i, url)
+        html, text, glinks, gatexts = _make_row(row_rng, vocab, hosts, i, url)
         rows["url"].append(url)
         rows["warc_ts"].append(EPOCH + timedelta(seconds=i))
         rows["html"].append(html.encode("utf-8"))
         rows["text"].append(text)
         h = zlib.crc32(url.encode()) % 100
         rows["lang"].append("en" if h < 95 else ("da" if h % 2 else "de"))
-        for dst in glinks:
+        for dst, atext in zip(glinks, gatexts):
             links["src_url"].append(url)
             links["dst_url"].append(dst)
+            links["anchor_text"].append(atext)
     return pa.Table.from_pydict(rows, schema=PAGES_SCHEMA), links
 
 
@@ -230,6 +241,7 @@ def generate_pages(
     vocab_size: int = 10_000,
     rows_per_file: int = 1000,
     golden_links_path: str | None = None,
+    golden_anchors_path: str | None = None,
 ) -> dict:
     """Write the pages corpus as Parquet files under ``pages_dir``.
     Returns summary metadata. Deterministic for a given seed; when a
@@ -272,7 +284,14 @@ def generate_pages(
         "dst_url": [u for p in link_parts for u in p["dst_url"]],
     }
     if golden_links_path:
+        # schema stays (src_url, dst_url) — every link-graph twin
+        # reads this file; anchors ship in their own parquet
         pq.write_table(pa.Table.from_pydict(links_rows), golden_links_path)
+    if golden_anchors_path:
+        pq.write_table(pa.Table.from_pydict({
+            **links_rows,
+            "anchor_text": [t for p in link_parts for t in p["anchor_text"]],
+        }), golden_anchors_path)
     return {
         "n_rows": n_rows,
         "n_unique_urls": n_rows - n_dup_pairs,

@@ -129,3 +129,33 @@ def test_bytes_input():
 def test_self_closing_meta():
     r = extract(page('<meta name="description" content="sc"/>'))
     assert r["description"] == "sc"
+
+
+def test_anchor_text_capture():
+    """Anchors pair the FIRST href with the <a>'s text content
+    (depth-first concat, entities decoded); nested <a> implicitly
+    closes; href-less and self-closing anchors behave; anchor text
+    inside <p> still reaches the paragraph."""
+    from rse_ray.functions.extract import extract
+
+    html = (
+        "<html><body>"
+        '<p>before <a href="/x">click &amp; go<b>!</b></a> after</p>'
+        '<a href="/dup" href="/other">dup</a>'
+        "<a>no href</a>"
+        '<a href="/open">open one<a href="/two">two</a>'
+        '<a href="/selfclosed"/>'
+        "</body></html>"
+    )
+    got = extract(html)
+    assert got["anchors"] == [
+        ("/x", "click & go!"),
+        ("/dup", "dup"),
+        ("/open", "open one"),
+        ("/two", "two"),
+        ("/selfclosed", ""),
+    ]
+    # hrefs list (the link_extract contract) is exactly the anchor hrefs
+    assert got["hrefs"] == [a for a, _ in got["anchors"]]
+    # anchor text still contributes to the enclosing paragraph
+    assert "before click & go! after" in got["body"]
