@@ -1887,6 +1887,48 @@ def _graph_links_path() -> str:
 
 
 ROBOTS_DIR = "/tmp/rse_ray_cache/robots_v1"
+CANON_URLS = "/tmp/rse_ray_cache/canon_v1/urls.parquet"
+
+
+def _q_canonical_urls(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import canonical_urls
+    from rse_ray.sources.fixtures import generate_canonical_fixture
+
+    generate_canonical_fixture(CANON_URLS)
+    return _finalize(canonical_urls(ray.data.read_parquet(CANON_URLS)))
+
+
+def _canonical_urls_sql() -> str:
+    """The canonicalization contract replayed with DuckDB string/list
+    kernels: lowercase scheme + host, strip www., drop default ports,
+    strip trailing slashes ('' -> '/'), drop fragment, filter empty +
+    tracking query params, sort the rest."""
+    return f"""
+WITH u AS (SELECT url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS hostport,
+    regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+  FROM read_parquet('{CANON_URLS}')),
+parts AS (SELECT url, scheme,
+    regexp_replace(regexp_extract(hostport, '^([^:]*)', 1),
+                   '^www\\.', '') AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+    array_to_string(list_sort(list_filter(str_split(rawq, '&'),
+        p -> p <> '' AND NOT regexp_matches(
+            p, '^(utm_|fbclid(=|$)|gclid(=|$)|ref(=|$))'))), '&') AS qs
+  FROM u)
+SELECT url, scheme || '://' || host ||
+       CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                 OR (scheme = 'https' AND port = '443')
+            THEN '' ELSE ':' || port END ||
+       path ||
+       CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+FROM parts"""
 
 
 def _q_robots_filter(sf_dir: str):
@@ -2473,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "coreness": _q_coreness,
         "robots_filter": _q_robots_filter,
+        "canonical_urls": _q_canonical_urls,
         "domain_counts": _q_domain_counts,
         "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
@@ -3718,6 +3761,8 @@ FROM ue e1 JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
         "coreness": _coreness_sql(),
         # robots.txt precedence (longest prefix, allow wins ties)
         "robots_filter": _robots_sql(),
+        # url canonicalization contract replayed with string/list ops
+        "canonical_urls": _canonical_urls_sql(),
         # BFS min-hop depth from an md5-gated seed set; the recursive
         # term is depth-capped so link cycles terminate, min() collapses
         # revisits to the true BFS depth

@@ -265,6 +265,64 @@ def domain_counts(pages_ds):
                                    Sum("b_p", alias_name="html_bytes"))
 
 
+_TRACKING_PARAM = ("utm_", "fbclid", "gclid", "ref")
+
+
+def _canonicalize_url(u: str) -> str:
+    """One url -> its canonical form. The PINNED contract (the SQL
+    twin replays it step for step):
+      scheme lowercase; host lowercase with a leading 'www.' stripped;
+      default ports dropped (http:80, https:443), others kept; path
+      trailing slashes stripped (empty path -> '/'); fragment dropped;
+      query params split on '&', empties and tracking params (utm_*,
+      fbclid, gclid, ref) removed, the rest SORTED lexicographically.
+    Userinfo/IPv6 netlocs are out of contract (treated as host[:port])."""
+    from urllib.parse import urlsplit
+
+    sp = urlsplit(u)
+    scheme = sp.scheme.lower()
+    hostport = sp.netloc.lower()
+    if ":" in hostport:
+        host, _, port = hostport.rpartition(":")
+    else:
+        host, port = hostport, ""
+    if host.startswith("www."):
+        host = host[4:]
+    if (scheme, port) in (("http", "80"), ("https", "443")) or port == "":
+        portpart = ""
+    else:
+        portpart = f":{port}"
+    path = sp.path.rstrip("/")
+    if path == "":
+        path = "/"
+    params = [p for p in sp.query.split("&")
+              if p != "" and not any(
+                  p == t or p.startswith(t + "=") or
+                  (t == "utm_" and p.startswith(t))
+                  for t in _TRACKING_PARAM)]
+    qs = "&".join(sorted(params))
+    return (f"{scheme}://{host}{portpart}{path}"
+            + (f"?{qs}" if qs else ""))
+
+
+def canonical_urls(urls_ds, *, url_col: str = "url"):
+    """URL canonicalization — the crawl-hygiene normalizer that turns
+    the reference's exact-string visited set (crawler.go:147-155,
+    which treats http://www.X/?utm=.. and https://x/ as different
+    pages) into a dedup-ready key. Output (url, canonical_url);
+    stateless map_batches, no shuffle — compose with exact_dedup on
+    the canonical column for visited-set semantics at scale."""
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        return pa.table({
+            url_col: batch.column(url_col),
+            "canonical_url": pa.array(
+                [_canonicalize_url(u) for u in urls], type=pa.string()),
+        })
+
+    return urls_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def robots_filter(urls_ds, rules_ds, *, url_col: str = "url"):
     """Batch analog of the reference's robots.txt gate (crawler.go:
     351-383 fetches and tests one URL at a time; at batch scale the

@@ -390,6 +390,48 @@ def generate_robots_fixture(out_dir: str) -> None:
                       lambda tmp: _pq.write_table(ut, tmp))
 
 
+def generate_canonical_fixture(out_path: str) -> None:
+    """Messy-URL fixture for canonical_urls: uppercase schemes/hosts,
+    www. prefixes, default and non-default ports, trailing slashes,
+    tracking params, reordered queries, fragments, bare hosts —
+    including groups that canonicalize to the SAME string. Static
+    list, byte-stable."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    if os.path.exists(out_path):
+        return
+    urls = [
+        "HTTP://WWW.Site.Example/Path/",
+        "http://site.example/Path",
+        "https://www.site.example:443/a/b/?utm_source=tw&q=1",
+        "https://site.example/a/b?q=1",
+        "https://site.example:8443/a/b?q=1",
+        "http://site.example:80/",
+        "http://site.example",
+        "https://shop.example/p?b=2&a=1&fbclid=xyz",
+        "https://shop.example/p?a=1&b=2",
+        "https://shop.example/p?a=1&b=2&gclid=99&ref=home",
+        "https://shop.example/p?referrer=keepme&a=1",
+        "https://news.example/story//",
+        "https://news.example/story#section",
+        "https://news.example/story?",
+        "https://news.example/story?utm_campaign=x&utm_medium=y",
+        "https://api.example/v1?utm_",
+        "https://api.example/v1?utm",
+    ]
+    # bulk rows so the op runs over more than a handful of strings
+    for i in range(200):
+        urls.append(f"https://bulk{i % 7}.example/item/{i}"
+                    f"?utm_source=s{i}&id={i}&z={i % 3}")
+    t = pa.table({"url": pa.array(urls, type=pa.string())})
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    from rse_ray.state.manifest import write_file_atomic
+
+    write_file_atomic(out_path, lambda tmp: _pq.write_table(t, tmp))
+
+
 def generate_core_graph(out_path: str, *, n_ring: int = 200) -> None:
     """Deterministic link graph with a PLANTED coreness spectrum (the
     `generate_graph` fixture is uniformly coreness-2, useless for

@@ -130,6 +130,28 @@ def test_reference_search_full_oracle(ray_session, link_corpus):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_canonical_urls_contract():
+    """Pin the canonicalization contract case by case."""
+    from rse_ray.pipelines.linkgraph import _canonicalize_url as c
+
+    assert c("HTTP://WWW.Site.Example/Path/") == "http://site.example/Path"
+    assert c("http://site.example:80/") == "http://site.example/"
+    assert c("https://www.site.example:443/a/b/?utm_source=t&q=1") == \
+        "https://site.example/a/b?q=1"
+    assert c("https://site.example:8443/x") == "https://site.example:8443/x"
+    assert c("http://site.example") == "http://site.example/"
+    # params sort; tracking params drop; 'referrer' is NOT 'ref'
+    assert c("https://s.example/p?b=2&a=1&fbclid=z&ref=h&gclid=9") == \
+        "https://s.example/p?a=1&b=2"
+    assert c("https://s.example/p?referrer=keep&a=1") == \
+        "https://s.example/p?a=1&referrer=keep"
+    assert c("https://n.example/story//") == "https://n.example/story"
+    assert c("https://n.example/story#sec") == "https://n.example/story"
+    assert c("https://n.example/story?") == "https://n.example/story"
+    assert c("https://a.example/v1?utm_") == "https://a.example/v1"
+    assert c("https://a.example/v1?utm") == "https://a.example/v1?utm"
+
+
 def test_robots_filter_precedence(ray_session):
     """Robots precedence: longest prefix wins, allow beats deny on an
     exact length tie, no-rule hosts and no-match paths default to
