@@ -198,6 +198,13 @@ def _q_corpus_stats(sf_dir: str):
     return _finalize(corpus_stats(_read(sf_dir, "documents", ["doc_id", "text"])))
 
 
+def _q_vocab_growth(sf_dir: str):
+    from rse_ray.pipelines.text import vocab_growth
+
+    return _finalize(vocab_growth(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
 def _q_bm25_scores(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_documents
 
@@ -2368,6 +2375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # fulltext core (tokenize -> postings -> stats -> BM25)
         "doc_token_stats": _q_doc_token_stats,
+        "vocab_growth": _q_vocab_growth,
         "postings": _q_postings,
         "term_df": _q_term_df,
         "corpus_stats": _q_corpus_stats,
@@ -2539,6 +2547,18 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM toks GROUP BY doc_id""",
         "postings": _TOKS + """
 SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY term, doc_id""",
+        # Heaps-law curve: cumulative tokens + cumulative distinct
+        # terms (a term counts at its FIRST doc) in doc_id order
+        "vocab_growth": _TOKS + """,
+nt AS (SELECT d.doc_id, count(t.term)::BIGINT AS nt
+       FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY 1),
+firsts AS (SELECT term, min(doc_id) AS fd FROM toks GROUP BY 1),
+nv AS (SELECT fd AS doc_id, count(*)::BIGINT AS nv FROM firsts GROUP BY 1)
+SELECT nt.doc_id,
+       CAST(sum(nt.nt) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(nv.nv, 0)) OVER w AS BIGINT) AS cum_vocab
+FROM nt LEFT JOIN nv USING (doc_id)
+WINDOW w AS (ORDER BY nt.doc_id ROWS UNBOUNDED PRECEDING)""",
         "term_df": _TOKS + """
 , p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf

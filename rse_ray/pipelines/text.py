@@ -493,6 +493,97 @@ def oov_rate(ds, *, vocab_n: int = 20, stem: bool = False):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def vocab_growth(ds, *, stem: bool = False):
+    """Heaps-law vocabulary growth curve: for each document (ascending
+    doc_id), the CUMULATIVE token count and cumulative distinct-term
+    count over docs 0..doc_id — the corpus-planning statistic (how
+    fast does vocabulary grow with data?). Output (doc_id,
+    cum_tokens, cum_vocab), one row per document, zero-token docs
+    included.
+
+    Scale shape: a term's contribution to the curve is decided by its
+    FIRST occurrence alone — one groupby(term).min (batch-level
+    pre-aggregation first, so the shuffle moves (term, min) partials,
+    never raw postings), reduced to per-doc new-term counts; the
+    per-doc token counts ride a union into the SAME groupby(doc_id);
+    the cumulative step is the two-pass block-offset prefix pattern
+    shared with global_rank/epoch_shuffle (O(blocks) driver rows, row
+    data never collects on the driver)."""
+    from ray.data.aggregate import Min, Sum
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        nt = np.array([len(_tok(t, stem)) for t in texts], dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids), "nt": pa.array(nt),
+                         "nv": pa.array(np.zeros(len(ids), np.int64))})
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        first: dict = {}
+        for did, t in zip(ids, texts):
+            d = int(did)
+            for term in set(_tok(t, stem)):
+                if term not in first or d < first[term]:
+                    first[term] = d
+        terms = sorted(first)
+        return pa.table(
+            {"term": pa.array(terms, type=pa.string()),
+             "d_p": pa.array([first[t] for t in terms], type=pa.int64())})
+
+    firsts = ds.map_batches(first_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Min("d_p", alias_name="first_doc"))
+
+    def new_counts(batch: pa.Table) -> pa.Table:
+        d = batch.column("first_doc").to_numpy()
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"doc_id": pa.array(u.astype(np.int64)),
+                         "nt": pa.array(np.zeros(len(u), np.int64)),
+                         "nv": pa.array(c.astype(np.int64))})
+
+    per_doc = ds.map_batches(tok_partial, batch_format="pyarrow") \
+        .union(firsts.map_batches(new_counts, batch_format="pyarrow")) \
+        .groupby("doc_id").aggregate(Sum("nt", alias_name="nt"),
+                                     Sum("nv", alias_name="nv"))
+
+    ordered = per_doc.sort("doc_id").materialize()
+
+    def block_tot(batch: pa.Table) -> pa.Table:
+        n = min(batch.num_rows, 1)
+        return pa.table({
+            "d0": batch.column("doc_id").slice(0, 1),
+            "snt": pa.array([int(pc.sum(batch.column("nt")).as_py() or 0)] * n,
+                            type=pa.int64()),
+            "snv": pa.array([int(pc.sum(batch.column("nv")).as_py() or 0)] * n,
+                            type=pa.int64()),
+        })
+
+    totals = ordered.map_batches(block_tot, batch_size=None,
+                                 batch_format="pyarrow").to_pandas() \
+        .sort_values("d0").reset_index(drop=True)
+    base = {int(d0): (int(ont), int(onv)) for d0, ont, onv in zip(
+        totals["d0"],
+        totals["snt"].cumsum().shift(fill_value=0),
+        totals["snv"].cumsum().shift(fill_value=0))}
+
+    def cum(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "cum_tokens": pa.array([], type=pa.int64()),
+                             "cum_vocab": pa.array([], type=pa.int64())})
+        ont, onv = base[int(batch.column("doc_id")[0].as_py())]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "cum_tokens": pa.array(
+                np.cumsum(batch.column("nt").to_numpy()) + ont),
+            "cum_vocab": pa.array(
+                np.cumsum(batch.column("nv").to_numpy()) + onv),
+        })
+
+    return ordered.map_batches(cum, batch_size=None, batch_format="pyarrow")
+
+
 def pack_sequences(ds, *, budget: int = 512, stem: bool = False):
     """Sequence packing for LLM pretraining — concatenate the token
     stream in doc_id order and cut a training sequence every ``budget``

@@ -2441,6 +2441,27 @@ def test_funnel_counts_ordering_semantics(ray_session):
     assert list(got["event_type"]) == ["view", "click", "purchase"]
 
 
+def test_vocab_growth_semantics(ray_session):
+    """Cumulative token/vocab counts: a term counts once at its FIRST
+    doc; zero-token docs get rows; repartitioning doesn't change the
+    curve."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.text import vocab_growth
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b a", "", "b c", "c a d"],
+    })
+    for parts in (1, 4):
+        got = vocab_growth(
+            ray.data.from_pandas(docs).repartition(parts)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert list(got["cum_tokens"]) == [3, 3, 5, 8]
+        assert list(got["cum_vocab"]) == [2, 2, 3, 4]
+
+
 def test_retention_cohorts_semantics(ray_session):
     """Cohort = Monday week of the first event; counts are DISTINCT
     users per (cohort, offset); cross-Monday boundaries and multiple
