@@ -68,6 +68,7 @@ DELETE_DOC_IDS = [1, 2, 3]      # tombstoned docs (Lucene delete semantics)
 # Rocchio pseudo-relevance feedback: top-10 hits assumed relevant,
 # 5 expansion terms re-enter the query at weight 0.5 (exact in fp)
 PRF_FB_DOCS, PRF_FB_TERMS, PRF_BETA = 10, 5, 0.5
+SNIPPET_WIDTH = 12              # best-window snippet width in tokens
 FILTER_LANG = "en"              # attribute-filtered retrieval
 MLT_DOC_ID = 0                  # more-like-this source document
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -235,6 +236,13 @@ def _q_bm25_prf(sf_dir: str):
     return _finalize(bm25_documents_prf(
         sf_dir, BM25_QUERY, k=20, fb_docs=PRF_FB_DOCS,
         fb_terms=PRF_FB_TERMS, beta=PRF_BETA))
+
+
+def _q_bm25_snippets(sf_dir: str):
+    from rse_ray.pipelines.docsearch import snippet_documents
+
+    return _finalize(snippet_documents(sf_dir, BM25_QUERY, k=10,
+                                       width=SNIPPET_WIDTH))
 
 
 def _q_bm25_topk_distributed(sf_dir: str):
@@ -2383,6 +2391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_distributed": _q_bm25_topk_distributed,
         "bm25_prf": _q_bm25_prf,
+        "bm25_snippets": _q_bm25_snippets,
         "bm25_page2": _q_bm25_page2,
         "bm25_total_hits": _q_bm25_total_hits,
         "bm25_synonyms": _q_bm25_synonyms,
@@ -2586,6 +2595,33 @@ SELECT count(*)::BIGINT AS n_hits FROM scores""",
         "bm25_topk_distributed": _BM25_CTES + """
 SELECT doc_id, round(raw, 6) AS score FROM scores
 ORDER BY raw DESC, doc_id LIMIT 20""",
+        # best-window snippets: for each top-k hit, the width-token
+        # window with the most DISTINCT query terms (ties earliest);
+        # snippet = the tokenizer's lowercased whitespace tokens
+        "bm25_snippets": _BM25_CTES + f""",
+topk AS (SELECT doc_id FROM scores ORDER BY raw DESC, doc_id LIMIT 10),
+arr AS (SELECT d.doc_id,
+          list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                      x -> x <> '') AS a
+        FROM documents d JOIN topk USING (doc_id)),
+meta AS (SELECT doc_id, a, len(a) AS n,
+                least({SNIPPET_WIDTH}, len(a)) AS w FROM arr),
+pos AS (SELECT doc_id, i, a[i] AS term
+        FROM meta, unnest(range(1, n + 1)) AS t(i)),
+qpos AS (SELECT doc_id, i, term FROM pos
+         WHERE term IN (SELECT term FROM q)),
+starts AS (SELECT doc_id, w, s
+           FROM meta, unnest(range(1, n - w + 2)) AS t(s)),
+wc AS (SELECT st.doc_id, st.s, st.w, count(DISTINCT p.term) AS c
+       FROM starts st LEFT JOIN qpos p
+         ON p.doc_id = st.doc_id AND p.i >= st.s AND p.i < st.s + st.w
+       GROUP BY 1, 2, 3),
+best AS (SELECT doc_id, s, w, c,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, s) AS rn FROM wc)
+SELECT b.doc_id, (b.s - 1)::BIGINT AS win_start, b.c::BIGINT AS n_terms,
+       array_to_string(m.a[b.s:b.s + b.w - 1], ' ') AS snippet
+FROM best b JOIN meta m USING (doc_id) WHERE rn = 1""",
         # Rocchio PRF replayed end-to-end: round-1 scores CTE picks the
         # feedback set, offer weight = sum_fb(tf) * idf ranks the
         # expansion terms (query terms excluded, term-asc ties), and

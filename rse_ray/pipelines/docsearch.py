@@ -412,6 +412,26 @@ def bm25_documents_prf(sf_dir: str, query: str, k: int = 20, *,
     return _score_frame(index_dir, hits, round_to=round_to)
 
 
+def snippet_documents(sf_dir: str, query: str, k: int = 10, *,
+                      width: int = 12) -> pd.DataFrame:
+    """Query-aware result snippets over the documents index
+    (Searcher.best_snippets): (doc_id, win_start, n_terms, snippet)
+    for each top-k hit, mapped back to table ids."""
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=False)
+    s = Searcher(index_dir)
+    rows = s.best_snippets(query, k=k, width=width)
+    urls = hydrate_urls(index_dir, [(d, 0.0) for d, *_ in rows])
+    return pd.DataFrame({
+        "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in urls],
+                           dtype="int64"),
+        "win_start": pd.array([r[1] for r in rows], dtype="int64"),
+        "n_terms": pd.array([r[2] for r in rows], dtype="int64"),
+        "snippet": [r[3] for r in rows],
+    })
+
+
 def lm_dirichlet_documents(sf_dir: str, query: str,
                            k: int | None = None, *, mu: float = 2000.0,
                            stem: bool = False,

@@ -415,6 +415,29 @@ def _accumulate_topk(id_parts, contrib_parts, k):
     return _rank_topk(uniq, acc, k)
 
 
+def fetch_doc_texts(index_dir: str, doc_ids) -> dict[int, str]:
+    """Point-lookup texts of a handful of docs via the bucket-routed
+    docmap: one bucket parquet read per distinct bucket, never a
+    corpus scan — the shared retrieval-tail helper behind PRF
+    expansion and snippet generation."""
+    from rse_ray.functions.ids import DOC_BUCKET_BITS
+
+    docs_dir = os.path.join(index_dir, "docs")
+    by_bucket: dict[int, list[int]] = {}
+    for did in doc_ids:
+        by_bucket.setdefault(int(did) >> DOC_BUCKET_BITS, []).append(int(did))
+    out: dict[int, str] = {}
+    for b, dids in sorted(by_bucket.items()):
+        t = pq.read_table(
+            os.path.join(docs_dir, f"bucket_{b:06d}.parquet"),
+            columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy()
+        for did in dids:
+            row = int(np.searchsorted(ids, did))
+            out[did] = t.column("text")[row].as_py() or ""
+    return out
+
+
 def delete_urls(index_dir: str, urls: list[str]) -> int:
     """Tombstone deletes (the Lucene model): resolve each url to its
     doc_id via the bucket-routed docmap (point lookups — crc32 names
@@ -826,27 +849,16 @@ class Searcher:
         bucket, never a corpus scan); expansion dfs come from the term
         directories alone; round 2 is a normal OR query over
         len(query terms) + fb_terms posting lists."""
-        from rse_ray.functions.ids import DOC_BUCKET_BITS
-
         first = self.search(query, fb_docs)
         if not first:
             return []
         qterms = dict(_query_weights(query, self.stem))
-        docs_dir = os.path.join(self.reader.index_dir, "docs")
-        by_bucket: dict[int, list[int]] = {}
-        for did, _score in first:
-            by_bucket.setdefault(did >> DOC_BUCKET_BITS, []).append(did)
+        texts = fetch_doc_texts(self.reader.index_dir,
+                                [did for did, _score in first])
         tf_sum: dict[str, int] = {}
-        for b, dids in sorted(by_bucket.items()):
-            t = pq.read_table(
-                os.path.join(docs_dir, f"bucket_{b:06d}.parquet"),
-                columns=["doc_id", "text"])
-            ids = t.column("doc_id").to_numpy()
-            for did in dids:
-                row = int(np.searchsorted(ids, did))
-                for tk in tokenize(t.column("text")[row].as_py() or "",
-                                   stem=self.stem):
-                    tf_sum[tk] = tf_sum.get(tk, 0) + 1
+        for text in texts.values():
+            for tk in tokenize(text, stem=self.stem):
+                tf_sum[tk] = tf_sum.get(tk, 0) + 1
         # Rocchio offer weight: feedback-summed tf x idf
         scored = sorted(
             ((float(tfv) * _idf(self.N, self.reader.df(term)), term)
@@ -879,6 +891,40 @@ class Searcher:
         if self.dmap is not None:
             return _accumulate_topk_dense(id_parts, contrib_parts, k, self.dmap)
         return _accumulate_topk(id_parts, contrib_parts, k)
+
+    # ---- query-aware snippets ---------------------------------------------
+    def best_snippets(self, query: str, k: int = 10, *, width: int = 12):
+        """Result-page snippet selection: for each top-k BM25 hit, the
+        ``width``-token window holding the MOST DISTINCT query terms
+        (ties -> earliest window; docs shorter than width are one
+        whole-doc window). Returns [(doc_id, win_start, n_terms,
+        snippet)]; snippet is the tokenizer's view (lowercased
+        whitespace tokens joined by ' ') so a SQL twin replays it.
+        Texts come as k bucket-routed point lookups (fetch_doc_texts);
+        per doc the window scan is len(query terms) prefix-sum passes,
+        O(n) each — never the n x width rescan."""
+        hits = self.search(query, k)
+        if not hits:
+            return []
+        qset = sorted({t for t, _ in _query_weights(query, self.stem)})
+        texts = fetch_doc_texts(self.reader.index_dir,
+                                [d for d, _ in hits])
+        out = []
+        for did, _score in hits:
+            toks = tokenize(texts[did], stem=self.stem)
+            n = len(toks)
+            if n == 0:
+                out.append((did, 0, 0, ""))
+                continue
+            w = min(width, n)
+            arr = np.array(toks, dtype=object)
+            counts = np.zeros(n - w + 1, dtype=np.int64)
+            for term in qset:
+                pref = np.r_[0, np.cumsum((arr == term).astype(np.int64))]
+                counts += (pref[w:] - pref[:-w] > 0)
+            s = int(np.argmax(counts))    # first max = earliest tie
+            out.append((did, s, int(counts[s]), " ".join(toks[s:s + w])))
+        return out
 
     # ---- wildcard / prefix retrieval -------------------------------------
     def search_prefix(self, prefix: str, k: int = 10):

@@ -645,6 +645,36 @@ def test_prf_expands_query(ray_session, tmp_path):
     assert got1 == {"u1", "u2", "u3"}
 
 
+def test_best_snippets_window_selection(ray_session, tmp_path):
+    """The selected window maximizes DISTINCT query terms (both terms
+    beat a repeat of one), ties pick the earliest window, short docs
+    yield one whole-doc window."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import Searcher
+
+    texts = {
+        # apple at 0 and 4, banana at 5: the width-3 window [3..5]
+        # ("x apple banana") holds BOTH terms; window [0..2] only one
+        "u1": "apple x y x apple banana z",
+        "u2": "apple pie",                  # shorter than width
+    }
+    rows = pd.DataFrame({
+        "url": list(texts), "text": list(texts.values()),
+        "warc_ts": pd.Timestamp("2024-12-01")})
+    idx = str(tmp_path / "snip_idx")
+    build_index(ray.data.from_pandas(rows), idx,
+                BuildConfig(num_buckets=2, buckets_per_salt_group=2,
+                            stem=False, from_html=False))
+    s = Searcher(idx)
+    got = {r[3]: (r[1], r[2])
+           for r in s.best_snippets("apple banana", k=10, width=3)}
+    assert got["x apple banana"] == (3, 2)
+    assert got["apple pie"] == (0, 1)
+
+
 def test_min_match_bridges_or_and_conjunctive(ray_session, tmp_path):
     """min_match=1 == plain OR, min_match=n_terms == conjunctive, and
     in between only docs with >= m distinct terms survive, scored by
