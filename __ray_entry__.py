@@ -1901,7 +1901,7 @@ def _graph_links_path() -> str:
     return GRAPH_LINKS
 
 
-ROBOTS_DIR = "/tmp/rse_ray_cache/robots_v1"
+ROBOTS_DIR = "/tmp/rse_ray_cache/robots_v2"  # v2: +frontier_rules
 CANON_URLS = "/tmp/rse_ray_cache/canon_v1/urls.parquet"
 
 
@@ -1913,6 +1913,51 @@ def _q_canonical_urls(sf_dir: str):
 
     generate_canonical_fixture(CANON_URLS)
     return _finalize(canonical_urls(ray.data.read_parquet(CANON_URLS)))
+
+
+def _q_frontier_prep(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import frontier_prep
+    from rse_ray.sources.fixtures import generate_robots_fixture
+
+    generate_robots_fixture(ROBOTS_DIR)
+    return _finalize(frontier_prep(
+        ray.data.read_parquet(_linkgraph_pages_paths()),
+        ray.data.read_parquet(
+            os.path.join(ROBOTS_DIR, "frontier_rules.parquet"))))
+
+
+def _frontier_prep_sql() -> str:
+    """The crawl-loop tail replayed: distinct golden link targets,
+    minus visited pages, robots precedence, per-host politeness
+    wave."""
+    links = os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+    pages = os.path.join(LINKGRAPH_DIR, "pages_*.parquet")
+    rules = os.path.join(ROBOTS_DIR, "frontier_rules.parquet")
+    return f"""
+WITH cand AS (SELECT DISTINCT dst_url AS url FROM read_parquet('{links}')),
+fresh AS (SELECT url FROM cand
+          WHERE url NOT IN (SELECT url FROM read_parquet('{pages}'))),
+u AS (SELECT url,
+        regexp_extract(url, '^https?://([^/?#]*)', 1) AS host,
+        coalesce(nullif(regexp_extract(
+            url, '^https?://[^/?#]*([^#?]*)', 1), ''), '/') AS path
+      FROM fresh),
+m AS (SELECT u.url, r.allow, length(r.prefix) AS plen
+      FROM u JOIN read_parquet('{rules}') r
+        ON u.host = r.host AND starts_with(u.path, r.prefix)),
+ranked AS (SELECT url, allow,
+                  row_number() OVER (PARTITION BY url
+                                     ORDER BY plen DESC, allow DESC) AS rn
+           FROM m),
+kept AS (SELECT u.url, u.host FROM u
+         LEFT JOIN ranked r ON r.url = u.url AND r.rn = 1
+         WHERE coalesce(r.allow, TRUE))
+SELECT url, host,
+       (row_number() OVER (PARTITION BY host ORDER BY url) - 1)::BIGINT
+           AS wave
+FROM kept"""
 
 
 def _canonical_urls_sql() -> str:
@@ -2533,6 +2578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreness": _q_coreness,
         "robots_filter": _q_robots_filter,
         "canonical_urls": _q_canonical_urls,
+        "frontier_prep": _q_frontier_prep,
         "domain_counts": _q_domain_counts,
         "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
@@ -3819,6 +3865,8 @@ FROM ue e1 JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
         "robots_filter": _robots_sql(),
         # url canonicalization contract replayed with string/list ops
         "canonical_urls": _canonical_urls_sql(),
+        # crawl-loop tail: links - visited, robots, politeness waves
+        "frontier_prep": _frontier_prep_sql(),
         # BFS min-hop depth from an md5-gated seed set; the recursive
         # term is depth-capped so link cycles terminate, min() collapses
         # revisits to the true BFS depth

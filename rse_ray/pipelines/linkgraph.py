@@ -265,6 +265,65 @@ def domain_counts(pages_ds):
                                    Sum("b_p", alias_name="html_bytes"))
 
 
+def frontier_prep(pages_ds, rules_ds, *, num_parts: int | None = None):
+    """The reference's crawl-loop tail restated as ONE lazy Dataset
+    chain (crawler.go fetch(): extractLinks -> resolve/validate ->
+    visited? -> robots? -> LPush): extract links from the fetched
+    pages, dedup targets (visited-set semantics, D1), drop urls the
+    corpus already holds (distributed ANTI join against the pages'
+    own urls — never a driver-side set), keep robots-allowed targets
+    (rules broadcast, robots_filter precedence), and assign each
+    survivor a politeness WAVE: its rank within its host by url
+    order — wave w holds at most one url per host, so draining waves
+    in order IS per-host round-robin crawl politeness (the scheduling
+    discipline the reference's unbounded-goroutine fan-out lacks).
+    Output (url, host, wave).
+
+    Scale shape: extract/validate are stateless map_batches; the
+    visited check is ONE hash co-partition anti join (hash_join
+    how='anti' — each side ships keys once); robots rules broadcast
+    via ray.put; the wave rank is one hash(host) exchange with a
+    per-partition sort + cumcount (no per-host Python)."""
+    from rse_ray.pipelines.relational import hash_join
+    from rse_ray.util import parts_for
+
+    cand = extract_links(pages_ds).map_batches(
+        lambda b: pa.table({"url": b.column("dst_url")}),
+        batch_format="pyarrow") \
+        .groupby("url").count().select_columns(["url"])
+    fresh = hash_join(cand, pages_ds.select_columns(["url"]),
+                      left_on="url", right_on="url", right_cols=[],
+                      num_parts=num_parts, how="anti")
+    kept = robots_filter(fresh, rules_ds).map_batches(
+        lambda b: b.filter(b.column("allowed")).select(["url"]),
+        batch_format="pyarrow")
+
+    P = num_parts if num_parts is not None else \
+        parts_for(pages_ds.count(), rows_per_part=200_000)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        host = pd.Series(urls.to_pandas()).str.split("/", n=3).str[2] \
+            .fillna("")
+        part = (_pr_url_hash(host.to_numpy(dtype=object)) % P) \
+            .astype(np.int64)
+        return pa.table({"url": urls,
+                         "host": pa.array(host.to_numpy(), type=pa.string()),
+                         "part": pa.array(part)})
+
+    def wave(g) -> pa.Table:
+        d = g.sort_values(["host", "url"])
+        w = d.groupby("host", sort=False).cumcount()
+        return pa.table({
+            "url": pa.array(d["url"].to_numpy(), type=pa.string()),
+            "host": pa.array(d["host"].to_numpy(), type=pa.string()),
+            "wave": pa.array(w.to_numpy(np.int64)),
+        })
+
+    return kept.map_batches(tag, batch_format="pyarrow") \
+        .groupby("part").map_groups(wave, batch_format="pandas")
+
+
 _TRACKING_PARAM = ("utm_", "fbclid", "gclid", "ref")
 
 

@@ -388,6 +388,19 @@ def generate_robots_fixture(out_dir: str) -> None:
                       lambda tmp: _pq.write_table(rt, tmp))
     write_file_atomic(os.path.join(out_dir, "urls.parquet"),
                       lambda tmp: _pq.write_table(ut, tmp))
+    # crawl-policy rules over the linkgraph corpus's site{i}.example
+    # hosts, for frontier_prep: every 5th site denies the /p/1 prefix
+    # (i.e. /p/1, /p/1x, /p/1xx...), site3 denies everything except a
+    # re-allowed /p/7 prefix
+    frules = [(f"site{i}.example", "/p/1", False) for i in range(0, 50, 5)]
+    frules += [("site3.example", "/", False), ("site3.example", "/p/7", True)]
+    ft = pa.table({
+        "host": pa.array([r[0] for r in frules], type=pa.string()),
+        "prefix": pa.array([r[1] for r in frules], type=pa.string()),
+        "allow": pa.array([r[2] for r in frules], type=pa.bool_()),
+    })
+    write_file_atomic(os.path.join(out_dir, "frontier_rules.parquet"),
+                      lambda tmp: _pq.write_table(ft, tmp))
 
 
 def generate_canonical_fixture(out_path: str) -> None:

@@ -130,6 +130,37 @@ def test_reference_search_full_oracle(ray_session, link_corpus):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_frontier_prep_composition(ray_session):
+    """links - visited, robots-filtered, per-host waves: each wave
+    holds at most one url per host and ranks follow url order."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import frontier_prep
+
+    def page(url, hrefs):
+        body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (url, f"<html><body>{body}</body></html>".encode())
+
+    pages = pd.DataFrame([
+        page("https://h1.ex/a", ["https://h1.ex/b", "https://h1.ex/c",
+                                 "https://h2.ex/z", "https://h1.ex/a"]),
+        page("https://h2.ex/z", ["https://h2.ex/blocked/x",
+                                 "https://h1.ex/b"]),
+    ], columns=["url", "html"])
+    rules = pd.DataFrame([("h2.ex", "/blocked", False)],
+                         columns=["host", "prefix", "allow"])
+    got = frontier_prep(ray.data.from_pandas(pages),
+                        ray.data.from_pandas(rules)).to_pandas() \
+        .sort_values(["host", "wave"]).reset_index(drop=True)
+    # visited (h1.ex/a, h2.ex/z) and robots-blocked urls are out;
+    # dups collapse; waves rank within host by url order
+    assert list(zip(got["url"], got["host"], got["wave"])) == [
+        ("https://h1.ex/b", "h1.ex", 0),
+        ("https://h1.ex/c", "h1.ex", 1),
+    ]
+
+
 def test_canonical_urls_contract():
     """Pin the canonicalization contract case by case."""
     from rse_ray.pipelines.linkgraph import _canonicalize_url as c
