@@ -1562,7 +1562,7 @@ def _q_reference_relevance(sf_dir: str):
     )
 
 
-LINKGRAPH_DIR = "/tmp/rse_ray_cache/linkgraph_pages_2000_h"  # h: +anchor text
+LINKGRAPH_DIR = "/tmp/rse_ray_cache/linkgraph_pages_2000_i"  # i: +DDL-wide rows
 MEDIA_DIR = "/tmp/rse_ray_cache/media_real_v2_96"  # v2: +PNG rows
 
 
@@ -1913,6 +1913,34 @@ def _q_canonical_urls(sf_dir: str):
 
     generate_canonical_fixture(CANON_URLS)
     return _finalize(canonical_urls(ray.data.read_parquet(CANON_URLS)))
+
+
+def _q_ddl_quarantine(sf_dir: str):
+    """Field-width quarantine over the crawler corpus — the oracle
+    reads extracted fields from the golden text column (title/desc =
+    lines 1/2 of the byte-exact extraction contract)."""
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import ddl_quarantine
+
+    return _finalize(ddl_quarantine(
+        ray.data.read_parquet(_linkgraph_pages_paths())))
+
+
+def _ddl_quarantine_sql() -> str:
+    pages = os.path.join(LINKGRAPH_DIR, "pages_*.parquet")
+    return f"""
+WITH f AS (SELECT url, split_part(text, chr(10), 1) AS title,
+                  split_part(text, chr(10), 2) AS description
+           FROM read_parquet('{pages}'))
+SELECT url, 'url' AS field, length(url)::BIGINT AS length,
+       8192::BIGINT AS limit_ FROM f WHERE length(url) > 8192
+UNION ALL
+SELECT url, 'title', length(title)::BIGINT, 256::BIGINT
+FROM f WHERE length(title) > 256
+UNION ALL
+SELECT url, 'description', length(description)::BIGINT, 1024::BIGINT
+FROM f WHERE length(description) > 1024"""
 
 
 def _q_frontier_prep(sf_dir: str):
@@ -2579,6 +2607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": _q_robots_filter,
         "canonical_urls": _q_canonical_urls,
         "frontier_prep": _q_frontier_prep,
+        "ddl_quarantine": _q_ddl_quarantine,
         "domain_counts": _q_domain_counts,
         "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
@@ -3867,6 +3896,8 @@ FROM ue e1 JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
         "canonical_urls": _canonical_urls_sql(),
         # crawl-loop tail: links - visited, robots, politeness waves
         "frontier_prep": _frontier_prep_sql(),
+        # DDL field-width quarantine (init_db.sql:4-7 limits)
+        "ddl_quarantine": _ddl_quarantine_sql(),
         # BFS min-hop depth from an md5-gated seed set; the recursive
         # term is depth-capped so link cycles terminate, min() collapses
         # revisits to the true BFS depth

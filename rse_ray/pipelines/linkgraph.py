@@ -265,6 +265,46 @@ def domain_counts(pages_ds):
                                    Sum("b_p", alias_name="html_bytes"))
 
 
+DDL_LIMITS = (("url", 8192), ("title", 256), ("description", 1024))
+
+
+def ddl_quarantine(pages_ds):
+    """The reference's schema enforces field widths (init_db.sql:4-7:
+    url VARCHAR(8192), title VARCHAR(256), description VARCHAR(1024))
+    and its upsert would ERROR mid-crawl on an oversized row. The
+    batch-scale shape is QUARANTINE-not-crash: run the REAL extraction
+    and emit one (url, field, length, limit_) row per violated limit —
+    the poison-row report a 100 TB ingest routes to a side sink while
+    clean rows flow on. Python len() counts characters like Postgres
+    VARCHAR(n). Stateless map_batches, no shuffle."""
+    from rse_ray.functions.extract import extract
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        out = {"url": [], "field": [], "length": [], "limit_": []}
+        for u, h in zip(urls, htmls):
+            ext = extract(h)
+            vals = {"url": u, "title": ext["title"],
+                    "description": ext["description"]}
+            for field, lim in DDL_LIMITS:
+                n = len(vals[field])
+                if n > lim:
+                    out["url"].append(u)
+                    out["field"].append(field)
+                    out["length"].append(n)
+                    out["limit_"].append(lim)
+        return pa.table({
+            "url": pa.array(out["url"], type=pa.string()),
+            "field": pa.array(out["field"], type=pa.string()),
+            "length": pa.array(out["length"], type=pa.int64()),
+            "limit_": pa.array(out["limit_"], type=pa.int64()),
+        })
+
+    return pages_ds.select_columns(["url", "html"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def frontier_prep(pages_ds, rules_ds, *, num_parts: int | None = None):
     """The reference's crawl-loop tail restated as ONE lazy Dataset
     chain (crawler.go fetch(): extractLinks -> resolve/validate ->

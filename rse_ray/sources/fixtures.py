@@ -134,6 +134,16 @@ def _make_row(rng, vocab, hosts, row_idx: int, url: str):
     elif case == 7:    # missing both
         golden_title = ""
         golden_desc = ""
+    elif case == 14:   # title wider than the DDL's VARCHAR(256)
+        golden_title = " ".join(
+            vocab[(row_idx * 3 + j) % len(vocab)] for j in range(60))
+        head.append(f"<title>{golden_title}</title>")
+        head.append(f'<meta name="description" content="{desc}">')
+    elif case == 15:   # description wider than VARCHAR(1024)
+        golden_desc = " ".join(
+            vocab[(row_idx * 5 + j) % len(vocab)] for j in range(220))
+        head.append(f"<title>{title}</title>")
+        head.append(f'<meta name="description" content="{golden_desc}">')
     else:
         head.append(f"<title>{title}</title>")
         head.append(f'<meta name="description" content="{desc}">')

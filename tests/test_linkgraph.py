@@ -130,6 +130,33 @@ def test_reference_search_full_oracle(ray_session, link_corpus):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_ddl_quarantine_limits(ray_session):
+    """One row per violated limit; clean rows emit nothing; limits
+    follow the reference DDL (title 256, description 1024, url 8192)."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import ddl_quarantine
+
+    big_t = "t" * 300
+    big_d = "d" * 1100
+    pages = pd.DataFrame([
+        ("https://ok.ex/a",
+         f"<html><head><title>fine</title></head></html>".encode()),
+        ("https://bad.ex/t",
+         f"<html><head><title>{big_t}</title>"
+         f'<meta name="description" content="{big_d}">'
+         "</head></html>".encode()),
+        ("https://" + "u" * 8200 + ".ex/",
+         b"<html><head><title>x</title></head></html>"),
+    ], columns=["url", "html"])
+    got = ddl_quarantine(ray.data.from_pandas(pages)).to_pandas() \
+        .sort_values(["url", "field"]).reset_index(drop=True)
+    assert list(zip(got["field"], got["length"], got["limit_"])) == [
+        ("description", 1100, 1024), ("title", 300, 256),
+        ("url", 8212, 8192)]
+
+
 def test_frontier_prep_composition(ray_session):
     """links - visited, robots-filtered, per-host waves: each wave
     holds at most one url per host and ranks follow url order."""
