@@ -1998,7 +1998,7 @@ WITH u AS (SELECT url,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
     lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS hostport,
     regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
-    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+    regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS rawq
   FROM read_parquet('{CANON_URLS}')),
 parts AS (SELECT url, scheme,
     regexp_replace(regexp_extract(hostport, '^([^:]*)', 1),

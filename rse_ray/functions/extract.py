@@ -91,11 +91,11 @@ class _Extractor(HTMLParser):
         if tag == "meta":
             self._handle_meta(attrs)
         elif tag == "a":
-            for k, v in attrs:
-                if k == "href":
-                    self.hrefs.append(v or "")
-                    self.anchors.append((v or "", ""))  # self-closing: no text
-                    break
+            # HTML5 ignores the trailing slash on non-void elements:
+            # <a/> IS an open tag — route through handle_starttag so
+            # anchors stay aligned with hrefs and following text
+            # attributes to this anchor
+            self.handle_starttag(tag, attrs)
 
     def _close_anchor(self) -> None:
         if self._in_a:

@@ -376,12 +376,14 @@ def simhash_dup_pairs(ds, *, max_hamming: int = 3,
     ``hash_dup_pairs`` banding engine (shared with the image
     perceptual-hash dedup)."""
     return hash_dup_pairs(simhash_signatures(ds),
-                          max_hamming=max_hamming, num_parts=num_parts)
+                          max_hamming=max_hamming, num_parts=num_parts,
+                          n_rows=ds.count())
 
 
 def hash_dup_pairs(sig_ds, *, id_col: str = "doc_id",
                    sig_col: str = "simhash", max_hamming: int = 3,
                    num_parts: int | None = None,
+                   n_rows: int | None = None,
                    out_cols: tuple = ("doc_a", "doc_b")):
     """Generic 64-bit-signature near-dup pairs (Hamming <=
     max_hamming) by the standard 4-table prefix trick: two 64-bit
@@ -402,7 +404,11 @@ def hash_dup_pairs(sig_ds, *, id_col: str = "doc_id",
         raise ValueError("4x16-bit bands guarantee recall only for "
                          "max_hamming <= 3")
     if num_parts is None:
-        num_parts = parts_for(sig_ds.count())
+        # n_rows hint: counting sig_ds would EXECUTE the signature
+        # pipeline a second time (for pHash, a full decode+DCT pass) —
+        # callers pass the cheap upstream row count instead
+        num_parts = parts_for(n_rows if n_rows is not None
+                              else sig_ds.count())
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()

@@ -342,13 +342,17 @@ def frontier_prep(pages_ds, rules_ds, *, num_parts: int | None = None):
         parts_for(pages_ds.count(), rows_per_part=200_000)
 
     def tag(batch: pa.Table) -> pa.Table:
+        from urllib.parse import urlsplit
+
         urls = batch.column("url")
-        host = pd.Series(urls.to_pandas()).str.split("/", n=3).str[2] \
-            .fillna("")
-        part = (_pr_url_hash(host.to_numpy(dtype=object)) % P) \
-            .astype(np.int64)
+        # urlsplit netloc — the SAME host notion robots_filter and the
+        # SQL twin use (a str.split('/')[2] would glue ?query onto the
+        # host for path-less urls and split the politeness bucket)
+        host = np.array([urlsplit(u).netloc for u in urls.to_pylist()],
+                        dtype=object)
+        part = (_pr_url_hash(host) % P).astype(np.int64)
         return pa.table({"url": urls,
-                         "host": pa.array(host.to_numpy(), type=pa.string()),
+                         "host": pa.array(host, type=pa.string()),
                          "part": pa.array(part)})
 
     def wave(g) -> pa.Table:

@@ -226,7 +226,7 @@ def image_dup_pairs(ds, *, max_hamming: int = 3,
 
     return hash_dup_pairs(image_phash(ds), id_col="media_id",
                           sig_col="phash", max_hamming=max_hamming,
-                          num_parts=num_parts,
+                          num_parts=num_parts, n_rows=ds.count(),
                           out_cols=("media_a", "media_b"))
 
 

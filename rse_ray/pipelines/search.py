@@ -434,6 +434,8 @@ def fetch_doc_texts(index_dir: str, doc_ids) -> dict[int, str]:
         ids = t.column("doc_id").to_numpy()
         for did in dids:
             row = int(np.searchsorted(ids, did))
+            if row >= len(ids) or int(ids[row]) != did:
+                raise KeyError(f"doc_id {did} not in docmap")
             out[did] = t.column("text")[row].as_py() or ""
     return out
 
@@ -791,18 +793,9 @@ class Searcher:
         and run the top-m as an OR query with qtf=1, excluding the
         source doc. df comes from the term directories alone — no
         posting decode during term selection."""
-        from rse_ray.functions.ids import DOC_BUCKET_BITS
-
-        docs_dir = os.path.join(self.reader.index_dir, "docs")
-        path = os.path.join(
-            docs_dir, f"bucket_{doc_id >> DOC_BUCKET_BITS:06d}.parquet")
-        t = pq.read_table(path, columns=["doc_id", "text"])
-        ids = t.column("doc_id").to_numpy()
-        row = int(np.searchsorted(ids, doc_id))
-        if row >= len(ids) or int(ids[row]) != doc_id:
-            raise KeyError(f"doc_id {doc_id} not in docmap")
-        toks = tokenize(t.column("text")[row].as_py() or "",
-                        stem=self.stem)
+        toks = tokenize(
+            fetch_doc_texts(self.reader.index_dir, [doc_id])[doc_id],
+            stem=self.stem)
         tf: dict[str, int] = {}
         for tk in toks:
             tf[tk] = tf.get(tk, 0) + 1

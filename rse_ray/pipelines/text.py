@@ -511,28 +511,42 @@ def vocab_growth(ds, *, stem: bool = False):
     data never collects on the driver)."""
     from ray.data.aggregate import Min, Sum
 
-    def tok_partial(batch: pa.Table) -> pa.Table:
+    def both_partial(batch: pa.Table) -> pa.Table:
+        """ONE tokenize pass emits a tagged union: per-doc token-count
+        rows (term null) AND per-term batch-local first-doc rows —
+        tokenization (the dominant cost) is paid once, not once per
+        downstream branch."""
         ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
-        nt = np.array([len(_tok(t, stem)) for t in texts], dtype=np.int64)
-        return pa.table({"doc_id": pa.array(ids), "nt": pa.array(nt),
-                         "nv": pa.array(np.zeros(len(ids), np.int64))})
-
-    def first_partial(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        texts = batch.column("text").to_pylist()
+        nt = np.empty(len(ids), dtype=np.int64)
         first: dict = {}
-        for did, t in zip(ids, texts):
+        for i, (did, t) in enumerate(zip(ids, texts)):
+            toks = _tok(t, stem)
+            nt[i] = len(toks)
             d = int(did)
-            for term in set(_tok(t, stem)):
+            for term in set(toks):
                 if term not in first or d < first[term]:
                     first[term] = d
         terms = sorted(first)
-        return pa.table(
-            {"term": pa.array(terms, type=pa.string()),
-             "d_p": pa.array([first[t] for t in terms], type=pa.int64())})
+        return pa.table({
+            "term": pa.array([None] * len(ids) + terms, type=pa.string()),
+            "doc_id": pa.array(np.concatenate(
+                [ids.astype(np.int64),
+                 np.fromiter((first[t] for t in terms), np.int64,
+                             len(terms))])),
+            "nt": pa.array(np.concatenate(
+                [nt, np.zeros(len(terms), np.int64)])),
+        })
 
-    firsts = ds.map_batches(first_partial, batch_format="pyarrow") \
+    tagged = ds.map_batches(both_partial,
+                            batch_format="pyarrow").materialize()
+
+    def first_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column("term")))
+        return pa.table({"term": t.column("term"),
+                         "d_p": t.column("doc_id")})
+
+    firsts = tagged.map_batches(first_rows, batch_format="pyarrow") \
         .groupby("term").aggregate(Min("d_p", alias_name="first_doc"))
 
     def new_counts(batch: pa.Table) -> pa.Table:
@@ -542,7 +556,12 @@ def vocab_growth(ds, *, stem: bool = False):
                          "nt": pa.array(np.zeros(len(u), np.int64)),
                          "nv": pa.array(c.astype(np.int64))})
 
-    per_doc = ds.map_batches(tok_partial, batch_format="pyarrow") \
+    def doc_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_null(b.column("term"))).drop_columns(["term"])
+        return t.append_column(
+            "nv", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    per_doc = tagged.map_batches(doc_rows, batch_format="pyarrow") \
         .union(firsts.map_batches(new_counts, batch_format="pyarrow")) \
         .groupby("doc_id").aggregate(Sum("nt", alias_name="nt"),
                                      Sum("nv", alias_name="nv"))

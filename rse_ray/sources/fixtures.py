@@ -354,7 +354,9 @@ def generate_robots_fixture(out_dir: str) -> None:
 
     import pyarrow.parquet as _pq
 
-    if os.path.exists(os.path.join(out_dir, "urls.parquet")):
+    # guard on the LAST artifact written, so a crash between writes
+    # can't leave a permanently half-built fixture
+    if os.path.exists(os.path.join(out_dir, "frontier_rules.parquet")):
         return
     rules = [
         # host a: deny /private/ subtree, re-allow /private/open
