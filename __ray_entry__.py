@@ -238,6 +238,19 @@ def _q_bm25_prf(sf_dir: str):
         fb_terms=PRF_FB_TERMS, beta=PRF_BETA))
 
 
+def _q_index_stats(sf_dir: str):
+    """Manifest-carried index metrics vs corpus ground truth: the
+    engine side reads ONLY stats.json + shard term directories; the
+    twin recounts everything from the documents table."""
+    import pandas as pd
+
+    from rse_ray.pipelines.docsearch import documents_index
+    from rse_ray.pipelines.search import index_stats
+
+    return _finalize(pd.DataFrame([index_stats(
+        documents_index(sf_dir, stem=False))]))
+
+
 def _q_bm25_snippets(sf_dir: str):
     from rse_ray.pipelines.docsearch import snippet_documents
 
@@ -2465,6 +2478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_distributed": _q_bm25_topk_distributed,
         "bm25_prf": _q_bm25_prf,
         "bm25_snippets": _q_bm25_snippets,
+        "index_stats": _q_index_stats,
         "bm25_page2": _q_bm25_page2,
         "bm25_total_hits": _q_bm25_total_hits,
         "bm25_synonyms": _q_bm25_synonyms,
@@ -2670,6 +2684,18 @@ SELECT count(*)::BIGINT AS n_hits FROM scores""",
         "bm25_topk_distributed": _BM25_CTES + """
 SELECT doc_id, round(raw, 6) AS score FROM scores
 ORDER BY raw DESC, doc_id LIMIT 20""",
+        # manifest metrics vs ground truth: docs/tokens/avgdl/terms/
+        # postings recounted from the corpus must equal what the
+        # build's counters and shard directories report
+        "index_stats": _TOKS + """,
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+p AS (SELECT DISTINCT term, doc_id FROM toks)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
+       (SELECT coalesce(sum(dl), 0) FROM dl)::BIGINT AS num_tokens,
+       round((SELECT coalesce(sum(dl), 0) FROM dl)::DOUBLE
+             / (SELECT count(*) FROM documents), 9) AS avgdl,
+       (SELECT count(DISTINCT term) FROM toks)::BIGINT AS num_terms,
+       (SELECT count(*) FROM p)::BIGINT AS num_postings""",
         # best-window snippets: for each top-k hit, the width-token
         # window with the most DISTINCT query terms (ties earliest);
         # snippet = the tokenizer's lowercased whitespace tokens

@@ -440,6 +440,36 @@ def fetch_doc_texts(index_dir: str, doc_ids) -> dict[int, str]:
     return out
 
 
+def index_stats(index_dir: str) -> dict:
+    """Index-level metrics from METADATA alone — the A6 doc/term/byte
+    counters surfaced as a queryable op, proven against corpus ground
+    truth by the driver's SQL twin: num_docs / num_tokens come from
+    stats.json (the build's segment counters — nothing is recomputed
+    from the corpus), num_terms / num_postings from the shard files'
+    term DIRECTORIES ((term, df) — a few bytes per dictionary entry;
+    posting payloads are never touched). avgdl is re-derived as
+    num_tokens/num_docs and rounded at 9dp so the SQL twin divides
+    identically. Driver-side dictionary aggregation is
+    metadata-scale (the term dictionary, not the corpus)."""
+    stats = read_json(os.path.join(index_dir, "stats.json"))
+    df_by_term: dict[str, int] = {}
+    for path in ShardFiles(index_dir).files:
+        t = pq.read_table(path, columns=["term", "df"])
+        for term, df in zip(t.column("term").to_pylist(),
+                            t.column("df").to_numpy()):
+            df_by_term[term] = df_by_term.get(term, 0) + int(df)
+    n_docs = int(stats["num_docs"])
+    n_tokens = int(stats["num_tokens"])
+    avgdl = round(n_tokens / n_docs, 9) if n_docs else 0.0
+    return {
+        "num_docs": n_docs,
+        "num_tokens": n_tokens,
+        "avgdl": avgdl,
+        "num_terms": len(df_by_term),
+        "num_postings": int(sum(df_by_term.values())),
+    }
+
+
 def delete_urls(index_dir: str, urls: list[str]) -> int:
     """Tombstone deletes (the Lucene model): resolve each url to its
     doc_id via the bucket-routed docmap (point lookups — crc32 names

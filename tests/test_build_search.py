@@ -645,6 +645,30 @@ def test_prf_expands_query(ray_session, tmp_path):
     assert got1 == {"u1", "u2", "u3"}
 
 
+def test_index_stats_metadata_only(ray_session, tmp_path):
+    """index_stats reads stats.json + shard directories only, and the
+    numbers equal hand counts over the corpus."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, build_index
+    from rse_ray.pipelines.search import index_stats
+
+    texts = {"u1": "a b a", "u2": "b c", "u3": ""}
+    rows = pd.DataFrame({
+        "url": list(texts), "text": list(texts.values()),
+        "warc_ts": pd.Timestamp("2024-12-01")})
+    idx = str(tmp_path / "stats_idx")
+    build_index(ray.data.from_pandas(rows), idx,
+                BuildConfig(num_buckets=2, buckets_per_salt_group=2,
+                            stem=False, from_html=False))
+    got = index_stats(idx)
+    assert got == {"num_docs": 3, "num_tokens": 5,
+                   "avgdl": round(5 / 3, 9),
+                   "num_terms": 3,        # a, b, c
+                   "num_postings": 4}     # a@u1 b@u1 b@u2 c@u2
+
+
 def test_best_snippets_window_selection(ray_session, tmp_path):
     """The selected window maximizes DISTINCT query terms (both terms
     beat a repeat of one), ties pick the earliest window, short docs
