@@ -1640,6 +1640,46 @@ def _q_backlink_counts(sf_dir: str):
     return _finalize(backlink_counts(links))
 
 
+def _q_anchor_boosted_rank(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import anchor_boosted_rank
+    from rse_ray.sources.fixtures import make_vocab
+
+    vocab = make_vocab(10_000, 11)
+    query = f"{vocab[0]} {vocab[2]} {vocab[0]}"   # qtf 2 / 1
+    return _finalize(anchor_boosted_rank(
+        ray.data.read_parquet(_linkgraph_pages_paths()), query,
+        w=0.25, stem=False))
+
+
+def _anchor_boost_sql() -> str:
+    """Content dot product from the golden text + anchor dot product
+    from the golden anchor rows, full-outer fused at w=0.25."""
+    from rse_ray.sources.fixtures import make_vocab
+
+    vocab = make_vocab(10_000, 11)
+    pages = os.path.join(LINKGRAPH_DIR, "pages_*.parquet")
+    anchors = os.path.join(LINKGRAPH_DIR, "golden_anchors.parquet")
+    return f"""
+WITH q(term, qtf) AS (VALUES ('{vocab[0]}', 2), ('{vocab[2]}', 1)),
+toks0 AS (SELECT url, unnest(regexp_split_to_array(lower(text), '\\s+'))
+              AS term FROM read_parquet('{pages}')),
+toks AS (SELECT url, term FROM toks0 WHERE term <> ''),
+rel AS (SELECT url, sum(qtf)::BIGINT AS relevance
+        FROM toks JOIN q USING (term) GROUP BY url),
+an0 AS (SELECT dst_url AS url,
+               unnest(regexp_split_to_array(lower(anchor_text), '\\s+'))
+                   AS term
+        FROM read_parquet('{anchors}')),
+an AS (SELECT url, sum(qtf)::BIGINT AS anchor
+       FROM an0 JOIN q USING (term) WHERE term <> '' GROUP BY url)
+SELECT url, coalesce(relevance, 0) AS relevance,
+       coalesce(anchor, 0) AS anchor,
+       coalesce(relevance, 0) + 0.25 * coalesce(anchor, 0) AS score
+FROM rel FULL OUTER JOIN an USING (url)"""
+
+
 def _q_anchor_terms(sf_dir: str):
     """Anchor-text index over the crawler corpus — extraction side is
     the REAL html walk; the oracle tokenizes the generator's golden
@@ -2607,6 +2647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_extract": _q_link_extract,
         "backlink_counts": _q_backlink_counts,
         "anchor_terms": _q_anchor_terms,
+        "anchor_boosted_rank": _q_anchor_boosted_rank,
         "pagerank": _q_pagerank,
         "hits_scores": _q_hits_scores,
         "pagerank_personalized": _q_pagerank_personalized,
@@ -3858,6 +3899,8 @@ SELECT dst_url, count(*)::BIGINT AS n_backlinks
 FROM read_parquet('{links}') GROUP BY dst_url""".format(
             links=os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
         ),
+        # content + anchor evidence fusion at w=0.25
+        "anchor_boosted_rank": _anchor_boost_sql(),
         # anchor-text index: tokenize the generator's golden anchor
         # rows (planted pre-html) with the query tokenizer contract
         "anchor_terms": """

@@ -265,6 +265,78 @@ def domain_counts(pages_ds):
                                    Sum("b_p", alias_name="html_bytes"))
 
 
+def anchor_boosted_rank(pages_ds, query: str, *, w: float = 0.25,
+                        stem: bool = False):
+    """Content + anchor evidence fusion — the classic web-ranking
+    upgrade the reference's relevance loop (api/main.go:86-95) is one
+    join away from: score(url) = content_relevance(url) +
+    w * anchor_relevance(url), where content relevance is the
+    reference's integer dot product over the page's OWN text and
+    anchor relevance is the same dot product over the anchor texts of
+    links POINTING AT the url (anchors describe the target — Brin &
+    Page 1998). Candidates = urls with either evidence kind (a page
+    can rank on anchors alone — how new/unfetched pages surface).
+    Output (url, relevance, anchor, score), w=0.25 exact in fp.
+
+    Scale shape: ONE extract+tokenize pass over the pages emits both
+    evidence kinds as tagged (url, rel, anc) partial rows — the page
+    row carries its own content score, each kept link carries its
+    anchor contribution to the TARGET — and ONE groupby(url) fuses.
+    The query rides as a closure constant; no broadcast table, no
+    second corpus pass, no join."""
+    from rse_ray.functions.extract import extract, resolve_one
+    from rse_ray.functions.tokenizer import tokenize
+
+    qtf = dict(Counter(tokenize(query, stem=stem)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        o_url, o_rel, o_anc = [], [], []
+        for u, h in zip(urls, htmls):
+            ext = extract(h)
+            tf = Counter(tokenize(ext["text"], stem=stem))
+            rel = sum(q * tf[t] for t, q in qtf.items() if t in tf)
+            if rel:
+                o_url.append(u)
+                o_rel.append(rel)
+                o_anc.append(0)
+            for href, atext in ext["anchors"]:
+                link = resolve_one(u, href)
+                if link is None:
+                    continue
+                c = Counter(tokenize(atext, stem=stem))
+                a = sum(q * c[t] for t, q in qtf.items() if t in c)
+                if a:
+                    o_url.append(link)
+                    o_rel.append(0)
+                    o_anc.append(a)
+        return pa.table({
+            "url": pa.array(o_url, type=pa.string()),
+            "rel": pa.array(o_rel, type=pa.int64()),
+            "anc": pa.array(o_anc, type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    comb = pages_ds.select_columns(["url", "html"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("url").aggregate(Sum("rel", alias_name="relevance"),
+                                  Sum("anc", alias_name="anchor"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        rel = batch.column("relevance").to_numpy().astype(np.int64)
+        anc = batch.column("anchor").to_numpy().astype(np.int64)
+        return pa.table({
+            "url": batch.column("url"),
+            "relevance": pa.array(rel),
+            "anchor": pa.array(anc),
+            "score": pa.array(rel + w * anc),
+        })
+
+    return comb.map_batches(score, batch_format="pyarrow")
+
+
 DDL_LIMITS = (("url", 8192), ("title", 256), ("description", 1024))
 
 

@@ -130,6 +130,32 @@ def test_reference_search_full_oracle(ray_session, link_corpus):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_anchor_boosted_rank_fusion(ray_session):
+    """Content-only, anchor-only and mixed-evidence urls all rank;
+    score = relevance + 0.25 * anchor."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import anchor_boosted_rank
+
+    pages = pd.DataFrame([
+        # p1: content 'apple apple' (rel=2 for q apple) + links to p9
+        # with anchor 'apple pie' (anc 1 -> p9)
+        ("https://e.ex/p1",
+         b'<html><body><p>apple apple</p>'
+         b'<a href="https://e.ex/p9">apple pie</a></body></html>'),
+        # p2: no content match, links to p1 with anchor 'apple'
+        ("https://e.ex/p2",
+         b'<html><body><p>nothing here</p>'
+         b'<a href="https://e.ex/p1">apple</a></body></html>'),
+    ], columns=["url", "html"])
+    got = anchor_boosted_rank(ray.data.from_pandas(pages), "apple",
+                              w=0.25).to_pandas().set_index("url")
+    assert got.loc["https://e.ex/p1"].tolist() == [2, 1, 2.25]
+    assert got.loc["https://e.ex/p9"].tolist() == [0, 1, 0.25]
+    assert "https://e.ex/p2" not in got.index   # no evidence either kind
+
+
 def test_ddl_quarantine_limits(ray_session):
     """One row per violated limit; clean rows emit nothing; limits
     follow the reference DDL (title 256, description 1024, url 8192)."""
