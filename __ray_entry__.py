@@ -1210,6 +1210,14 @@ def _q_retention_cohorts(sf_dir: str):
         _read(sf_dir, "events", ["user_id", "ts"])))
 
 
+def _q_weighted_sample_by_group(sf_dir: str):
+    from rse_ray.pipelines.relational import weighted_sample_by_group
+
+    return _finalize(weighted_sample_by_group(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        n=30, weight_col="n_chars", group_col="lang"))
+
+
 def _q_event_paths(sf_dir: str):
     from rse_ray.pipelines.relational import event_paths
 
@@ -2618,6 +2626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "event_paths": _q_event_paths,
         "weighted_sample": _q_weighted_sample,
+        "weighted_sample_by_group": _q_weighted_sample_by_group,
         "rolling_time_window": _q_rolling_time_window,
         "repetition_scores": _q_repetition_scores,
         "approx_ndistinct_users": _q_approx_ndistinct_users,
@@ -3581,6 +3590,16 @@ WITH k AS (SELECT doc_id,
              / n_chars, 12) AS race
     FROM documents WHERE n_chars > 0)
 SELECT doc_id, race FROM k ORDER BY race DESC, doc_id LIMIT 100""",
+        # the same race, run independently per language (top-30 each)
+        "weighted_sample_by_group": """
+WITH k AS (SELECT lang, doc_id,
+       round(ln((CAST(md5_number_lower('ws0|' || CAST(doc_id AS VARCHAR))
+                      AS DOUBLE) + 1) / 18446744073709551616.0)
+             / n_chars, 12) AS race
+    FROM documents WHERE n_chars > 0)
+SELECT lang, doc_id, race FROM k
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY race DESC, doc_id) <= 30""",
         # time-RANGE rolling frame, cent-exact sum contract (values
         # round half-away to int64 cents before summing on BOTH sides)
         "rolling_time_window": """

@@ -2351,26 +2351,8 @@ def weighted_sample(ds, *, n: int, weight_col: str,
     Scale shape: per-batch partials keep only their local top-n
     (vectorized argpartition), so the final exchange sorts
     <= n x batches rows, never the corpus."""
-    from rse_ray.pipelines.sketch import _md5_u64
-
     def partial(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
-        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        ok = np.isfinite(w) & (w > 0)
-        keys = [k for k, o in zip(keys, ok) if o]
-        if not keys:
-            return pa.table({key_col: pa.array([], type=pa.int64()),
-                             "race": pa.array([], type=pa.float64())})
-        w = w[ok]
-        h = _md5_u64([f"{salt}|{k}" for k in keys])
-        u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
-        raw = np.log(u) / w
-        # half-away-from-zero at 12dp — SQL round() semantics, same
-        # idiom as every other rounding pin in this repo (np.round is
-        # banker's and diverges on exact negative halves)
-        race = np.copysign(np.floor(np.abs(raw) * 1e12 + 0.5), raw) / 1e12
-        keys_np = np.asarray(keys, dtype=np.int64)
+        keys_np, race = _es_race(batch, key_col, weight_col, salt)
         # local top-n under the CONTRACT order (race DESC, key ASC):
         # argpartition alone breaks race ties arbitrarily, which can
         # evict the true global winner at a partial's cutoff
@@ -2384,6 +2366,71 @@ def weighted_sample(ds, *, n: int, weight_col: str,
         .map_batches(partial, batch_format="pyarrow") \
         .sort(["race", key_col], descending=[True, False]) \
         .limit(n)
+
+
+def _es_race(batch: pa.Table, key_col: str, weight_col: str,
+             salt: str) -> tuple[np.ndarray, np.ndarray]:
+    """The Efraimidis-Spirakis race key shared by weighted_sample and
+    weighted_sample_by_group: u from the md5 twin hash of (salt, key),
+    race = ln(u)/weight rounded half-away at 12dp (SQL round
+    semantics). Zero/negative/null weights are dropped."""
+    from rse_ray.pipelines.sketch import _md5_u64
+
+    keys = batch.column(key_col).to_pylist()
+    w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    ok = np.isfinite(w) & (w > 0)
+    keys = [k for k, o in zip(keys, ok) if o]
+    if not keys:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    w = w[ok]
+    h = _md5_u64([f"{salt}|{k}" for k in keys])
+    u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
+    raw = np.log(u) / w
+    race = np.copysign(np.floor(np.abs(raw) * 1e12 + 0.5), raw) / 1e12
+    return np.asarray(keys, dtype=np.int64), race
+
+
+def weighted_sample_by_group(ds, *, n: int, weight_col: str,
+                             group_col: str, key_col: str = "doc_id",
+                             salt: str = "ws0"):
+    """Per-group deterministic weighted sampling without replacement:
+    weighted_sample's Efraimidis-Spirakis race run INDEPENDENTLY in
+    every group — "draw n docs per language, likelihood proportional
+    to weight, reproducibly" (the training-mix curation step where
+    quotas and quality weighting combine). Same content-keyed race as
+    weighted_sample (identical salt -> a doc's race is the same in
+    both ops), so results are partition- and cluster-size-invariant.
+    Output (group, key, race).
+
+    Scale shape: per-batch partials keep each group's local top-n
+    (one vectorized lexsort + grouped cumcount, no per-group Python),
+    so the final per-group exchange moves <= n x batches rows per
+    group; ONE groupby(group) finishes."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys_np, race = _es_race(batch, key_col, weight_col, salt)
+        groups = batch.column(group_col).to_pylist()
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ok = np.isfinite(w) & (w > 0)
+        g = np.array([x for x, o in zip(groups, ok) if o], dtype=object)
+        df = pd.DataFrame({group_col: g, key_col: keys_np, "race": race})
+        df = df.sort_values([group_col, "race", key_col],
+                            ascending=[True, False, True])
+        df = df[df.groupby(group_col, sort=False).cumcount() < n]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([group_col, "race", key_col],
+                          ascending=[True, False, True])
+        return d[d.groupby(group_col, sort=False).cumcount() < n] \
+            .reset_index(drop=True)
+
+    return ds.select_columns([group_col, key_col, weight_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(finish, batch_format="pandas")
 
 
 def rolling_time_window(events_ds, *, hours: int = 24,

@@ -2441,6 +2441,33 @@ def test_funnel_counts_ordering_semantics(ray_session):
     assert list(got["event_type"]) == ["view", "click", "purchase"]
 
 
+def test_weighted_sample_by_group_invariance(ray_session):
+    """Per-group ES sample: n per group, identical winners across
+    partitionings, and a group's winners agree with the global race
+    restricted to that group."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.relational import weighted_sample_by_group
+
+    df = pd.DataFrame({
+        "doc_id": range(100),
+        "lang": ["en" if i % 3 else "da" for i in range(100)],
+        "n_chars": [10 + (i * 37) % 90 for i in range(100)],
+    })
+    outs = []
+    for parts in (1, 7):
+        got = weighted_sample_by_group(
+            ray.data.from_pandas(df).repartition(parts),
+            n=5, weight_col="n_chars", group_col="lang").to_pandas() \
+            .sort_values(["lang", "race", "doc_id"],
+                         ascending=[True, False, True]) \
+            .reset_index(drop=True)
+        assert got.groupby("lang").size().to_dict() == {"da": 5, "en": 5}
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 def test_vocab_growth_semantics(ray_session):
     """Cumulative token/vocab counts: a term counts once at its FIRST
     doc; zero-token docs get rows; repartitioning doesn't change the
