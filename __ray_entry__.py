@@ -199,6 +199,20 @@ def _q_corpus_stats(sf_dir: str):
     return _finalize(corpus_stats(_read(sf_dir, "documents", ["doc_id", "text"])))
 
 
+def _q_zipf_slope(sf_dir: str):
+    from rse_ray.pipelines.text import zipf_slope
+
+    return _finalize(zipf_slope(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _q_negative_sampling_table(sf_dir: str):
+    from rse_ray.pipelines.text import negative_sampling_table
+
+    return _finalize(negative_sampling_table(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
 def _q_vocab_growth(sf_dir: str):
     from rse_ray.pipelines.text import vocab_growth
 
@@ -2518,6 +2532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fulltext core (tokenize -> postings -> stats -> BM25)
         "doc_token_stats": _q_doc_token_stats,
         "vocab_growth": _q_vocab_growth,
+        "zipf_slope": _q_zipf_slope,
+        "negative_sampling_table": _q_negative_sampling_table,
         "postings": _q_postings,
         "term_df": _q_term_df,
         "corpus_stats": _q_corpus_stats,
@@ -2695,6 +2711,27 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM toks GROUP BY doc_id""",
         "postings": _TOKS + """
 SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY term, doc_id""",
+        # Zipf rank-frequency OLS fit over the term distribution
+        "zipf_slope": _TOKS + """,
+t AS (SELECT term, count(*)::BIGINT AS total_tf FROM toks GROUP BY 1),
+r AS (SELECT total_tf,
+             row_number() OVER (ORDER BY total_tf DESC, term) AS rank
+      FROM t),
+s AS (SELECT count(*)::DOUBLE AS n, sum(ln(rank)) AS sx,
+             sum(ln(total_tf)) AS sy, sum(ln(rank) * ln(total_tf)) AS sxy,
+             sum(ln(rank) * ln(rank)) AS sxx FROM r)
+SELECT n::BIGINT AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS intercept
+FROM s""",
+        # word2vec negative-sampling distribution: P(t) ~ tf^0.75
+        "negative_sampling_table": _TOKS + """,
+t AS (SELECT term, count(*)::BIGINT AS total_tf FROM toks GROUP BY 1)
+SELECT term, round(pow(total_tf, 0.75)
+                   / (SELECT sum(pow(total_tf, 0.75)) FROM t), 9)
+           AS weight
+FROM t""",
         # Heaps-law curve: cumulative tokens + cumulative distinct
         # terms (a term counts at its FIRST doc) in doc_id order
         "vocab_growth": _TOKS + """,

@@ -493,7 +493,81 @@ def oov_rate(ds, *, vocab_n: int = 20, stem: bool = False):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def vocab_growth(ds, *, stem: bool = False):
+def zipf_slope(ds, *, stem: bool = False, round_to: int = 6):
+    """Rank-frequency power-law fit over the term distribution (Zipf's
+    law — the corpus-planning statistic next to vocab_growth's Heaps
+    curve): OLS of ln(total_tf) on ln(rank), rank = exact global
+    ROW_NUMBER by (total_tf DESC, term). Output one row
+    (n_terms, slope, intercept), both rounded (distributed float
+    summation order differs from any serial oracle; the rounding IS
+    the contract, per the module-wide policy).
+
+    Scale shape: term_df pre-aggregates per batch; the rank is the
+    shared two-pass block-offset global_rank (one range exchange over
+    vocab-sized rows, never corpus rows); the regression reduces to
+    five scalar sums (per-batch partials, one tiny fold)."""
+    from rse_ray.pipelines.relational import global_rank
+
+    ranked = global_rank(term_df(ds, stem=stem), order="total_tf",
+                         key="term", descending=True, out_col="rank")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.log(batch.column("rank").to_numpy().astype(np.float64))
+        y = np.log(batch.column("total_tf").to_numpy().astype(np.float64))
+        return pa.table({
+            "n": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([float(x.sum())]),
+            "sy": pa.array([float(y.sum())]),
+            "sxy": pa.array([float((x * y).sum())]),
+            "sxx": pa.array([float((x * x).sum())]),
+        })
+
+    s = ranked.map_batches(partial, batch_format="pyarrow") \
+        .sum(["n", "sx", "sy", "sxy", "sxx"])
+    n = float(s["sum(n)"])
+    sx, sy = s["sum(sx)"], s["sum(sy)"]
+    sxy, sxx = s["sum(sxy)"], s["sum(sxx)"]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    scale = 10.0 ** round_to
+
+    def _r(v: float) -> float:   # half-away, SQL round semantics
+        return float(np.copysign(np.floor(abs(v) * scale + 0.5), v) / scale)
+
+    return pd.DataFrame({"n_terms": [int(n)],
+                         "slope": [_r(slope)],
+                         "intercept": [_r(intercept)]})
+
+
+def negative_sampling_table(ds, *, alpha: float = 0.75,
+                            stem: bool = False, round_to: int = 9):
+    """word2vec negative-sampling distribution (Mikolov et al. 2013):
+    P(term) proportional to total_tf^alpha (alpha=0.75 flattens the
+    head) -> (term, weight), weights rounded and summing to ~1. The
+    embedding-training prep step over the corpus unigram counts.
+
+    Scale shape: term_df partials -> one vocab-sized groupby; the
+    normalizer is one scalar fold of per-batch pow-sums; the weight
+    map is stateless with Z as a closure constant."""
+    tdf = term_df(ds, stem=stem)
+
+    def zpart(batch: pa.Table) -> pa.Table:
+        tf = batch.column("total_tf").to_numpy().astype(np.float64)
+        return pa.table({"z": pa.array([float((tf ** alpha).sum())])})
+
+    z = float(tdf.map_batches(zpart, batch_format="pyarrow").sum("z"))
+
+    def weight(batch: pa.Table) -> pa.Table:
+        tf = batch.column("total_tf").to_numpy().astype(np.float64)
+        # half-away rounding (weights are positive)
+        w = np.floor(tf ** alpha / z * 10.0 ** round_to + 0.5) \
+            / 10.0 ** round_to
+        return pa.table({
+            "term": batch.column("term"),
+            "weight": pa.array(w),
+        })
+
+    return tdf.map_batches(weight, batch_format="pyarrow")
     """Heaps-law vocabulary growth curve: for each document (ascending
     doc_id), the CUMULATIVE token count and cumulative distinct-term
     count over docs 0..doc_id — the corpus-planning statistic (how

@@ -2441,6 +2441,39 @@ def test_funnel_counts_ordering_semantics(ray_session):
     assert list(got["event_type"]) == ["view", "click", "purchase"]
 
 
+def test_zipf_and_sampling_table(ray_session):
+    """zipf_slope reproduces a numpy OLS over the exact ranked term
+    counts; the sampling table normalizes to ~1 and follows tf^0.75."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.text import negative_sampling_table, zipf_slope
+
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [" ".join(["the"] * 8 + ["of"] * 4 + [f"w{i}"])
+                 for i in range(40)],
+    })
+    ds = ray.data.from_pandas(docs)
+    got = zipf_slope(ds)
+    # numpy reference over the exact distribution
+    tf = pd.Series([" ".join(docs["text"]).split().count(w)
+                    for w in ["the", "of"] + [f"w{i}" for i in range(40)]],
+                   index=["the", "of"] + [f"w{i}" for i in range(40)])
+    r = tf.sort_values(ascending=False).to_frame("tf")
+    r["rank"] = range(1, len(r) + 1)
+    x, y = np.log(r["rank"].to_numpy(float)), np.log(r["tf"].to_numpy(float))
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(got["slope"][0] - slope) < 1e-6
+    assert got["n_terms"][0] == 42
+
+    w = negative_sampling_table(ds).to_pandas().set_index("term")["weight"]
+    assert abs(w.sum() - 1.0) < 1e-6
+    assert abs(w["the"] / w["of"]
+               - (tf["the"] / tf["of"]) ** 0.75) < 1e-6
+
+
 def test_weighted_sample_by_group_invariance(ray_session):
     """Per-group ES sample: n per group, identical winners across
     partitionings, and a group's winners agree with the global race
