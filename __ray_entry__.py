@@ -2311,6 +2311,16 @@ def _q_image_dup_pairs(sf_dir: str):
 # generated oracle SQL (computed from the same constants the Ray side uses)
 # ---------------------------------------------------------------------------
 
+def _q_image_dup_clusters(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.multimodal import image_dup_clusters
+
+    d = _phash_fixture_dir()
+    ds = ray.data.read_parquet(os.path.join(d, "media.parquet"))
+    return _finalize(image_dup_clusters(ds, max_hamming=PHASH_MAX_HAMMING))
+
+
 def _lang_id_sql() -> str:
     """DuckDB replica of pipelines/text.LangId: per-doc lowercase-letter
     counts (case-sensitive replace — the Ray histogram only counts
@@ -2694,6 +2704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "image_phash": _q_image_phash,
         "image_dup_pairs": _q_image_dup_pairs,
+        "image_dup_clusters": _q_image_dup_clusters,
     }
 
 
@@ -4053,6 +4064,21 @@ FROM read_parquet('{golden}')""".format(
         "image_phash": """
 SELECT media_id, phash FROM read_parquet('{golden}')""".format(
             golden=os.path.join(PHASH_DIR, "golden_phash.parquet")
+        ),
+        # connected components over the golden-phash pair graph
+        "image_dup_clusters": """
+WITH RECURSIVE g AS (SELECT media_id, phash FROM read_parquet('{golden}')),
+vpairs AS (SELECT a.media_id AS ma, b.media_id AS mb
+           FROM g a JOIN g b ON a.media_id < b.media_id
+           WHERE bit_count(xor(a.phash, b.phash)) <= {maxh}),
+e AS (SELECT ma AS a, mb AS b FROM vpairs
+      UNION SELECT mb, ma FROM vpairs),
+reach(a, b) AS (SELECT a, b FROM e
+                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+SELECT a::BIGINT AS media_id, least(a, min(b))::BIGINT AS cluster_id
+FROM reach GROUP BY a""".format(
+            golden=os.path.join(PHASH_DIR, "golden_phash.parquet"),
+            maxh=PHASH_MAX_HAMMING,
         ),
         # perceptual near-dup pairs: exact O(n^2) popcount over the
         # golden hashes — the banded engine must find exactly these

@@ -230,6 +230,29 @@ def image_dup_pairs(ds, *, max_hamming: int = 3,
                           out_cols=("media_a", "media_b"))
 
 
+def image_dup_clusters(ds, *, max_hamming: int = 3,
+                       num_parts: int | None = None,
+                       method: str = "union_find"):
+    """(media_id, cluster_id) connected components over the verified
+    pHash near-dup pair graph — the image-side twin of the text
+    corpus's dup_clusters, sharing its component machinery (driver
+    union-find over the PAIR LIST only, or distributed label_prop
+    past one-process pair counts). cluster_id = min media_id."""
+    import pandas as pd
+
+    from rse_ray.pipelines.dedup import dup_clusters
+
+    pairs = image_dup_pairs(ds, max_hamming=max_hamming,
+                            num_parts=num_parts).to_pandas() \
+        .rename(columns={"media_a": "doc_a", "media_b": "doc_b"})
+    out = dup_clusters(pairs=pairs, method=method, num_parts=num_parts)
+    if isinstance(out, pd.DataFrame):
+        return out.rename(columns={"doc_id": "media_id"})
+    return out.map_batches(
+        lambda b: b.rename_columns(["media_id", "cluster_id"]),
+        batch_format="pyarrow")
+
+
 def write_phash_fixture(out_dir: str, *, n_base: int = 48,
                         seed: int = 11) -> dict:
     """Deterministic image corpus with PLANTED perceptual near-dups:

@@ -229,3 +229,10 @@ def test_image_phash_pipeline_matches_golden(ray_session, tmp_path):
     brute = {(a, b) for a in h for b in h if a < b
              and bin((int(h[a]) ^ int(h[b])) & (2**64 - 1)).count("1") <= 3}
     assert set(zip(pairs["media_a"], pairs["media_b"])) == brute
+
+    from rse_ray.pipelines.multimodal import image_dup_clusters
+
+    cl = image_dup_clusters(ds, max_hamming=3)
+    assert set(zip(cl["media_id"], cl["cluster_id"])) == \
+        {(i, i) for i in range(0, 16, 4)} | \
+        {(1000 + i, i) for i in range(0, 16, 4)}
