@@ -199,6 +199,13 @@ def _q_corpus_stats(sf_dir: str):
     return _finalize(corpus_stats(_read(sf_dir, "documents", ["doc_id", "text"])))
 
 
+def _q_langid_confusion(sf_dir: str):
+    from rse_ray.pipelines.text import langid_confusion
+
+    return _finalize(langid_confusion(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])))
+
+
 def _q_zipf_slope(sf_dir: str):
     from rse_ray.pipelines.text import zipf_slope
 
@@ -2543,6 +2550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": _q_doc_token_stats,
         "vocab_growth": _q_vocab_growth,
         "zipf_slope": _q_zipf_slope,
+        "langid_confusion": _q_langid_confusion,
         "negative_sampling_table": _q_negative_sampling_table,
         "postings": _q_postings,
         "term_df": _q_term_df,
@@ -3051,6 +3059,12 @@ WHERE doc_id NOT IN (SELECT a FROM losers)"""
         "simhash_dup_pairs": _simhash_sql(max_hamming=3),
         "winnow_fingerprints": _winnow_sql(window=64, mod_bits=4),
         "lang_id": _lang_id_sql(),
+        # LangId predictions vs stored labels, per-cell counts
+        "langid_confusion": f"""
+WITH pred AS ({_lang_id_sql()})
+SELECT d.lang AS lang_true, p.lang_pred, count(*)::BIGINT AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2""",
         "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id IN ({ids})),

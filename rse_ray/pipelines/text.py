@@ -493,6 +493,43 @@ def oov_rate(ds, *, vocab_n: int = 20, stem: bool = False):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+class _LangIdConfusion:
+    """Actor-pool stage: score with the SAME LangId model (bound once
+    per actor) and reduce each batch to (lang_true, lang_pred, n)
+    partial counts."""
+
+    def __init__(self) -> None:
+        self._inner = LangId()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pred = self._inner(batch).column("lang_pred").to_pylist()
+        true = batch.column("lang").to_pylist()
+        c = Counter(zip(true, pred))
+        keys = sorted(c)
+        return pa.table({
+            "lang_true": pa.array([k[0] for k in keys], type=pa.string()),
+            "lang_pred": pa.array([k[1] for k in keys], type=pa.string()),
+            "n_p": pa.array([c[k] for k in keys], type=pa.int64()),
+        })
+
+
+def langid_confusion(ds, *, concurrency: int | None = 4):
+    """Language-ID evaluation: the confusion matrix (lang_true,
+    lang_pred, n) of the n-gram LangId model against the table's
+    stored labels — the model-eval step every labeling pipeline needs
+    before trusting predictions at corpus scale. ONE actor-pool pass
+    scores and carries the truth through; per-batch partials make the
+    final exchange a |langs|^2 histogram."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import clamp_pool
+
+    return ds.map_batches(_LangIdConfusion, batch_format="pyarrow",
+                          concurrency=clamp_pool(concurrency)) \
+        .groupby(["lang_true", "lang_pred"]) \
+        .aggregate(Sum("n_p", alias_name="n"))
+
+
 def zipf_slope(ds, *, stem: bool = False, round_to: int = 6):
     """Rank-frequency power-law fit over the term distribution (Zipf's
     law — the corpus-planning statistic next to vocab_growth's Heaps

@@ -2441,6 +2441,33 @@ def test_funnel_counts_ordering_semantics(ray_session):
     assert list(got["event_type"]) == ["view", "click", "purchase"]
 
 
+def test_langid_confusion_counts(ray_session):
+    """Confusion counts equal a per-doc cross-check of lang_id
+    against the stored labels."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.text import lang_id, langid_confusion
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["the quick brown fox and the lazy dog again",
+                 "der schnelle braune fuchs und der faule hund",
+                 "the cat sat on the mat with the hat",
+                 "und der hund war sehr schnell und braun",
+                 "xyz", ""],
+        "lang": ["en", "de", "en", "de", "en", "de"],
+    })
+    ds = ray.data.from_pandas(docs)
+    pred = lang_id(ds.select_columns(["doc_id", "text"])).to_pandas()
+    want = pd.merge(docs, pred, on="doc_id") \
+        .groupby(["lang", "lang_pred"]).size()
+    got = langid_confusion(ds).to_pandas() \
+        .set_index(["lang_true", "lang_pred"])["n"]
+    assert got.sort_index().to_dict() == want.sort_index().to_dict()
+    assert int(got.sum()) == 6
+
+
 def test_zipf_and_sampling_table(ray_session):
     """zipf_slope reproduces a numpy OLS over the exact ranked term
     counts; the sampling table normalizes to ~1 and follows tf^0.75."""
