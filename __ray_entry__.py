@@ -1224,6 +1224,20 @@ def _q_weighted_sample(sf_dir: str):
         n=100, weight_col="n_chars"))
 
 
+def _q_value_zscores(sf_dir: str):
+    from rse_ray.pipelines.relational import value_zscores
+
+    return _finalize(value_zscores(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])))
+
+
+def _q_weekly_churn(sf_dir: str):
+    from rse_ray.pipelines.relational import weekly_churn
+
+    return _finalize(weekly_churn(
+        _read(sf_dir, "events", ["user_id", "ts"])))
+
+
 def _q_retention_cohorts(sf_dir: str):
     from rse_ray.pipelines.relational import retention_cohorts
 
@@ -2658,6 +2672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": _q_pca_project,
         "funnel_counts": _q_funnel_counts,
         "retention_cohorts": _q_retention_cohorts,
+        "value_zscores": _q_value_zscores,
+        "weekly_churn": _q_weekly_churn,
         "event_paths": _q_event_paths,
         "weighted_sample": _q_weighted_sample,
         "weighted_sample_by_group": _q_weighted_sample_by_group,
@@ -3619,6 +3635,30 @@ WHERE d.doc_id % 3 = 0
         # (_rp_matrix_path writes it; all 1024 entries ship so every
         # (vec_id, dim) group exists even where r is 0)
         "funnel_counts": _funnel_sql(),
+        # per-group standardization, closed-form population std on
+        # both engines (not stddev_pop's streaming algorithm)
+        "value_zscores": """
+WITH e AS (SELECT event_id, event_type, value FROM events
+           WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+             AND value IS NOT NULL),
+m AS (SELECT event_type, count(*)::DOUBLE AS n, sum(value)::DOUBLE AS s,
+             sum(value * value)::DOUBLE AS ss FROM e GROUP BY 1),
+st AS (SELECT event_type, s / n AS mean,
+              sqrt(greatest(ss / n - (s / n) * (s / n), 0)) AS std FROM m)
+SELECT e.event_id, e.event_type,
+       round(CASE WHEN st.std > 0 THEN (e.value - st.mean) / st.std
+                  ELSE 0 END, 6) AS z
+FROM e JOIN st USING (event_type)""",
+        # weekly active users + churn vs the following week
+        "weekly_churn": """
+WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+             FROM events
+             WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT CAST(a.wk AS TIMESTAMP) AS week, count(*)::BIGINT AS active,
+       (count(*) FILTER (WHERE b.user_id IS NULL))::BIGINT AS churned
+FROM act a LEFT JOIN act b
+  ON b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+GROUP BY 1""",
         # cohort = Monday-truncated week of the user's first event;
         # users = distinct users active `week_offset` weeks later
         "retention_cohorts": """

@@ -2210,6 +2210,132 @@ def funnel_counts(events_ds, *, steps: tuple = ("view", "click", "purchase"),
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def value_zscores(events_ds, *, group_col: str = "event_type",
+                  value_col: str = "value", id_col: str = "event_id",
+                  round_to: int = 6):
+    """Per-group standardization: z = (v - mean_g) / std_g with the
+    POPULATION std — the feature-normalization step before anomaly
+    thresholds or model inputs. Output (event_id, event_type, z),
+    z rounded; zero-variance groups emit z = 0; null values dropped.
+    std is computed as sqrt(E[v^2] - E[v]^2) on BOTH engines (the SQL
+    twin uses the same closed form, not stddev_pop's streaming
+    algorithm), so only summation order differs and the rounding
+    absorbs it.
+
+    Scale shape: pass 1 reduces to (group, n, sum, sumsq) partials —
+    one tiny groupby; the per-group moments broadcast as a closure
+    dict (|groups| entries); pass 2 is a stateless map."""
+    from ray.data.aggregate import Sum
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch.column(id_col),
+                         "g": batch.column(group_col),
+                         "v": batch.column(value_col)}).drop_null()
+
+    src = events_ds.map_batches(prune, batch_format="pyarrow")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"g": batch.column("g").to_pylist(),
+                           "v": batch.column("v").to_numpy()})
+        agg = df.groupby("g", sort=True)["v"].agg(
+            n="size", s="sum", ss=lambda x: float((x ** 2).sum()))
+        return pa.table({
+            "g": pa.array(agg.index.to_numpy(), type=pa.string()),
+            "n": pa.array(agg["n"].to_numpy(np.int64)),
+            "s": pa.array(agg["s"].to_numpy(np.float64)),
+            "ss": pa.array(agg["ss"].to_numpy(np.float64)),
+        })
+
+    mom = src.map_batches(moments, batch_format="pyarrow") \
+        .groupby("g").aggregate(Sum("n", alias_name="n"),
+                                Sum("s", alias_name="s"),
+                                Sum("ss", alias_name="ss")).to_pandas()
+    stats = {}
+    for _, r in mom.iterrows():
+        mean = r["s"] / r["n"]
+        var = r["ss"] / r["n"] - mean * mean
+        stats[r["g"]] = (mean, float(np.sqrt(max(var, 0.0))))
+    scale = 10.0 ** round_to
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        gs = batch.column("g").to_pylist()
+        v = batch.column("v").to_numpy().astype(np.float64)
+        mean = np.array([stats[g][0] for g in gs])
+        std = np.array([stats[g][1] for g in gs])
+        z = np.where(std > 0, (v - mean) / np.where(std == 0, 1, std), 0.0)
+        z = np.copysign(np.floor(np.abs(z) * scale + 0.5), z) / scale
+        return pa.table({"event_id": batch.column("id"),
+                         "event_type": batch.column("g"),
+                         "z": pa.array(z)})
+
+    return src.map_batches(zmap, batch_format="pyarrow")
+
+
+def weekly_churn(events_ds, *, ts_col: str = "ts",
+                 user_col: str = "user_id"):
+    """Weekly activity + churn: for every Monday-truncated week,
+    active = distinct users with >= 1 event; churned = those active
+    users with NO event in the immediately following week (the last
+    data week therefore reports all its actives as churned — the
+    definition is data-relative on both engines). Output
+    (week, active, churned).
+
+    Scale shape: one hash(user) exchange co-locates each user's
+    events (shared idiom with retention_cohorts); a partition reduces
+    its users to distinct (user, week) pairs and next-week membership
+    with one vectorized isin probe, emitting per-week partial counts;
+    ONE tiny groupby(week) finishes."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    P = parts_for(events_ds.count(), rows_per_part=500_000)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        t = pa.table({"u": batch.column(user_col),
+                      "ts": batch.column(ts_col)}).drop_null()
+        part = ((t.column("u").to_numpy(zero_copy_only=False)
+                 .astype(np.int64).view(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(P)
+        return t.append_column("part", pa.array(part.astype(np.int64)))
+
+    def scan_part(g: pd.DataFrame) -> pa.Table:
+        u = g["u"].to_numpy(np.int64)
+        days = g["ts"].to_numpy("datetime64[us]") \
+            .astype("datetime64[D]").astype(np.int64)
+        monday = days - (days + 3) % 7
+        uw = np.unique(np.stack([u, monday], axis=1), axis=0)
+        # is (user, week+7) also active? one probe against the same set
+        key = uw[:, 0] * np.int64(1 << 20) + uw[:, 1] // 7
+        churn = ~np.isin(key + 1, key)
+        wk, inv = np.unique(uw[:, 1], return_inverse=True)
+        act = np.bincount(inv, minlength=len(wk))
+        ch = np.bincount(inv[churn], minlength=len(wk))
+        return pa.table({"wk_days": pa.array(wk),
+                         "a": pa.array(act.astype(np.int64)),
+                         "c": pa.array(ch.astype(np.int64))})
+
+    agg = events_ds.map_batches(prune, batch_format="pyarrow") \
+        .groupby("part").map_groups(scan_part, batch_format="pandas") \
+        .groupby("wk_days").aggregate(Sum("a", alias_name="active"),
+                                      Sum("c", alias_name="churned"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        wk = batch.column("wk_days").to_numpy() \
+            .astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table({
+            "week": pa.array(wk),
+            "active": batch.column("active").cast(pa.int64()),
+            "churned": batch.column("churned").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def retention_cohorts(events_ds, *, ts_col: str = "ts",
                       user_col: str = "user_id"):
     """Cohort retention analysis: users cohort by the Monday-truncated

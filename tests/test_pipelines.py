@@ -2549,6 +2549,42 @@ def test_vocab_growth_semantics(ray_session):
         assert list(got["cum_vocab"]) == [2, 2, 3, 4]
 
 
+def test_value_zscores_and_weekly_churn(ray_session):
+    """z-scores match a numpy reference per group (zero-variance
+    group pins z=0); churn counts users absent in the NEXT week."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.relational import value_zscores, weekly_churn
+
+    ev = pd.DataFrame({
+        "event_id": range(6),
+        "event_type": ["a", "a", "a", "b", "b", "c"],
+        "value": [1.0, 2.0, 3.0, 5.0, 9.0, 4.0],
+    })
+    got = value_zscores(ray.data.from_pandas(ev)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    a = np.array([1.0, 2.0, 3.0])
+    za = (a - a.mean()) / a.std()
+    assert np.allclose(got["z"][:3], np.round(za, 6))
+    assert np.allclose(got["z"][3:5], [-1.0, 1.0])
+    assert got["z"][5] == 0.0          # singleton group: std 0 -> z 0
+
+    mon = pd.Timestamp("2024-01-01")
+    w = pd.Timedelta("7d")
+    ch = pd.DataFrame({
+        "user_id": [1, 1, 2, 3, 3],
+        "ts": [mon, mon + w, mon, mon, mon + 2 * w],
+    })
+    got = weekly_churn(ray.data.from_pandas(ch)).to_pandas() \
+        .sort_values("week").reset_index(drop=True)
+    # week0: active {1,2,3}; churned {2,3} (1 returns in week1)
+    # week1: active {1}, churned {1}; week2: active {3}, churned {3}
+    assert list(got["active"]) == [3, 1, 1]
+    assert list(got["churned"]) == [2, 1, 1]
+
+
 def test_retention_cohorts_semantics(ray_session):
     """Cohort = Monday week of the first event; counts are DISTINCT
     users per (cohort, offset); cross-Monday boundaries and multiple
