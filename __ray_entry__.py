@@ -1224,6 +1224,14 @@ def _q_weighted_sample(sf_dir: str):
         n=100, weight_col="n_chars"))
 
 
+def _q_event_transitions(sf_dir: str):
+    from rse_ray.pipelines.relational import event_transitions
+
+    return _finalize(event_transitions(
+        _read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type"])))
+
+
 def _q_value_zscores(sf_dir: str):
     from rse_ray.pipelines.relational import value_zscores
 
@@ -2673,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": _q_funnel_counts,
         "retention_cohorts": _q_retention_cohorts,
         "value_zscores": _q_value_zscores,
+        "event_transitions": _q_event_transitions,
         "weekly_churn": _q_weekly_churn,
         "event_paths": _q_event_paths,
         "weighted_sample": _q_weighted_sample,
@@ -3635,6 +3644,17 @@ WHERE d.doc_id % 3 = 0
         # (_rp_matrix_path writes it; all 1024 entries ship so every
         # (vec_id, dim) group exists even where r is 0)
         "funnel_counts": _funnel_sql(),
+        # Markov transition counts over per-user event sequences
+        "event_transitions": """
+WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_id IS NOT NULL AND event_type IS NOT NULL),
+p AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM e)
+SELECT from_type, to_type, count(*)::BIGINT AS n
+FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2""",
         # per-group standardization, closed-form population std on
         # both engines (not stddev_pop's streaming algorithm)
         "value_zscores": """

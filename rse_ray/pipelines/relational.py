@@ -2210,6 +2210,70 @@ def funnel_counts(events_ds, *, steps: tuple = ("view", "click", "purchase"),
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def event_transitions(events_ds, *, ts_col: str = "ts",
+                      user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id"):
+    """First-order Markov transition counts over user journeys:
+    (from_type, to_type, n) for every CONSECUTIVE event pair within a
+    user (ordered by ts with event_id as the deterministic tie-break)
+    — the sequence-mining complement of event_paths (paths enumerate
+    whole journeys; transitions estimate the step model). Null
+    user/ts rows are excluded on both engines.
+
+    Scale shape: ONE hash(user) exchange (shared idiom with
+    event_paths / weekly_churn); inside a partition the pairs are a
+    shift-by-one against the (user, ts, id)-sorted arrays — no
+    per-user Python — and per-partition partial counts make the final
+    exchange a |types|^2 histogram."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    P = parts_for(events_ds.count(), rows_per_part=500_000)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        t = pa.table({"u": batch.column(user_col),
+                      "ts": batch.column(ts_col),
+                      "eid": batch.column(id_col),
+                      "et": batch.column(type_col)}).drop_null()
+        part = ((t.column("u").to_numpy(zero_copy_only=False)
+                 .astype(np.int64).view(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(P)
+        return t.append_column("part", pa.array(part.astype(np.int64)))
+
+    def scan_part(g: pd.DataFrame) -> pa.Table:
+        d = g.sort_values(["u", "ts", "eid"])
+        u = d["u"].to_numpy(np.int64)
+        et = d["et"].to_numpy()
+        same = u[1:] == u[:-1]          # consecutive rows, same user
+        frm, to = et[:-1][same], et[1:][same]
+        if not len(frm):
+            return pa.table({"f": pa.array([], type=pa.string()),
+                             "t": pa.array([], type=pa.string()),
+                             "n_p": pa.array([], type=pa.int64())})
+        df = pd.DataFrame({"f": frm, "t": to}).groupby(["f", "t"]) \
+            .size().reset_index(name="n_p")
+        return pa.table({
+            "f": pa.array(df["f"].to_numpy(), type=pa.string()),
+            "t": pa.array(df["t"].to_numpy(), type=pa.string()),
+            "n_p": pa.array(df["n_p"].to_numpy(np.int64)),
+        })
+
+    agg = events_ds.map_batches(prune, batch_format="pyarrow") \
+        .groupby("part").map_groups(scan_part, batch_format="pandas") \
+        .groupby(["f", "t"]).aggregate(Sum("n_p", alias_name="n"))
+
+    return agg.map_batches(
+        lambda b: pa.table({"from_type": b.column("f"),
+                            "to_type": b.column("t"),
+                            "n": b.column("n").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def value_zscores(events_ds, *, group_col: str = "event_type",
                   value_col: str = "value", id_col: str = "event_id",
                   round_to: int = 6):

@@ -2549,6 +2549,30 @@ def test_vocab_growth_semantics(ray_session):
         assert list(got["cum_vocab"]) == [2, 2, 3, 4]
 
 
+def test_event_transitions_pairs(ray_session):
+    """Transitions pair consecutive events WITHIN a user only, ordered
+    by (ts, event_id); counts aggregate across users."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.relational import event_transitions
+
+    t = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta("1h")
+    ev = pd.DataFrame([
+        (0, 1, t, "view"), (1, 1, t + h, "click"),
+        (2, 1, t + 2 * h, "purchase"),
+        (3, 2, t, "view"), (4, 2, t + h, "click"),
+        # same-ts tie within u3 ordered by event_id: view -> click
+        (5, 3, t, "view"), (6, 3, t, "click"),
+        (7, 4, t, "view"),                      # singleton: no pair
+    ], columns=["event_id", "user_id", "ts", "event_type"])
+    got = event_transitions(ray.data.from_pandas(ev)).to_pandas()
+    counts = {(f, to): n for f, to, n in
+              zip(got["from_type"], got["to_type"], got["n"])}
+    assert counts == {("view", "click"): 3, ("click", "purchase"): 1}
+
+
 def test_value_zscores_and_weekly_churn(ray_session):
     """z-scores match a numpy reference per group (zero-variance
     group pins z=0); churn counts users absent in the NEXT week."""
