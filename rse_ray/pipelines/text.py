@@ -605,6 +605,9 @@ def negative_sampling_table(ds, *, alpha: float = 0.75,
         })
 
     return tdf.map_batches(weight, batch_format="pyarrow")
+
+
+def vocab_growth(ds, *, stem: bool = False):
     """Heaps-law vocabulary growth curve: for each document (ascending
     doc_id), the CUMULATIVE token count and cumulative distinct-term
     count over docs 0..doc_id — the corpus-planning statistic (how
