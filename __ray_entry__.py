@@ -1361,6 +1361,14 @@ def _q_doc_lm_score(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"])))
 
 
+def _q_lm_quality_buckets(sf_dir: str):
+    from rse_ray.pipelines.text import lm_quality_buckets
+
+    return _finalize(lm_quality_buckets(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        n_buckets=3))
+
+
 def _q_repetition_scores(sf_dir: str):
     from rse_ray.pipelines.text import repetition_scores
 
@@ -2674,6 +2682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_rank": _q_quality_rank,
         "quality_ntile": _q_quality_ntile,
         "doc_lm_score": _q_doc_lm_score,
+        "lm_quality_buckets": _q_lm_quality_buckets,
         "snapshot_diff": _q_snapshot_diff,
         "embedding_covariance": _q_embedding_covariance,
         "random_projection": _q_random_projection,
@@ -3787,6 +3796,30 @@ sc AS (SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
 SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
        coalesce(sc.cross_entropy, 0)::DOUBLE AS cross_entropy
 FROM documents d LEFT JOIN sc USING (doc_id)""",
+        # CCNet-style per-language NTILE buckets over the LM score
+        "lm_quality_buckets": """
+WITH dd AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '') AS arr
+     FROM documents),
+bg AS (SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+       FROM dd, unnest(range(1, len(arr))) AS t(i)),
+cb AS (SELECT w1, w2, count(*)::DOUBLE AS cb FROM bg GROUP BY 1, 2),
+cp AS (SELECT w1, count(*)::DOUBLE AS cp FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM
+      (SELECT unnest(arr) AS term FROM dd)),
+sc AS (SELECT bg.doc_id,
+              round(avg(-ln((cb.cb + 1) / (cp.cp + v.v))), 6)
+                  AS cross_entropy
+       FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v
+       GROUP BY bg.doc_id),
+s AS (SELECT d.doc_id, d.lang,
+             coalesce(sc.cross_entropy, 0)::DOUBLE AS cross_entropy
+      FROM documents d LEFT JOIN sc USING (doc_id))
+SELECT doc_id, lang, cross_entropy,
+       row_number() OVER w::BIGINT AS rank,
+       ntile(3) OVER w::BIGINT AS bucket
+FROM s WINDOW w AS (PARTITION BY lang ORDER BY cross_entropy, doc_id)""",
         # exact global ranking by n_chars desc, doc_id tie-break
         "quality_rank": """
 SELECT doc_id, n_chars,

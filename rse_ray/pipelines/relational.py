@@ -1558,6 +1558,89 @@ def global_rank(ds, *, order: str, key: str, descending: bool = True,
                                batch_format="pyarrow")
 
 
+def group_rank(ds, *, group: str, order: str, key: str,
+               descending: bool = True, out_col: str = "rank",
+               start: int = 1):
+    """Exact per-group ranking — SQL ROW_NUMBER() OVER (PARTITION BY
+    group ORDER BY order [DESC], key) — the grouped generalization of
+    global_rank, same two-pass block-offset pattern: ONE range
+    exchange sorts by (group, order, key); pass 1 ships per-block
+    PER-GROUP counts keyed by the block's first (unique-key) row; the
+    driver orders blocks and prefix-sums counts per group (O(blocks x
+    groups-per-block) driver rows); pass 2 adds each block's grouped
+    cumcount to its group's offset. Row data never collects on the
+    driver. Returns (dataset_with_out_col, group_sizes dict) — sizes
+    fall out of the same prefix pass and feed NTILE-style bucketing
+    without another exchange."""
+    import pandas as pd
+
+    ordered = ds.sort([group, order, key],
+                      descending=[False, descending, False]).materialize()
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "_k0": pa.array([], type=batch.column(key).type),
+                "_g0": pa.array([], type=batch.column(group).type),
+                "_o0": pa.array([], type=batch.column(order).type),
+                "grp": pa.array([], type=batch.column(group).type),
+                "cnt": pa.array([], type=pa.int64()),
+                "bad": pa.array([], type=pa.int64()),
+            })
+        o = batch.column(order)
+        if pa.types.is_floating(o.type) or pa.types.is_integer(o.type):
+            fin = pc.sum(pc.is_finite(pc.cast(o, pa.float64()))).as_py()
+            bad = batch.num_rows - (fin or 0)
+        else:
+            bad = o.null_count
+        g = pd.Series(batch.column(group).to_pylist())
+        cnt = g.groupby(g, sort=True).size()
+        n = len(cnt)
+        return pa.table({
+            "_k0": pa.array([batch.column(key)[0].as_py()] * n,
+                            type=batch.column(key).type),
+            "_g0": pa.array([g.iloc[0]] * n,
+                            type=batch.column(group).type),
+            "_o0": pa.array([batch.column(order)[0].as_py()] * n,
+                            type=batch.column(order).type),
+            "grp": pa.array(cnt.index.to_numpy(),
+                            type=batch.column(group).type),
+            "cnt": pa.array(cnt.to_numpy(np.int64)),
+            "bad": pa.array([bad or 0] * n, type=pa.int64()),
+        })
+
+    totals = ordered.map_batches(block_counts, batch_size=None,
+                                 batch_format="pyarrow").to_pandas()
+    if len(totals) and int(totals["bad"].sum()):
+        raise ValueError(
+            f"group_rank: null/NaN values in order column {order!r}; "
+            f"filter or impute them first")
+    # reproduce the global block order from each block's first row
+    totals = totals.sort_values(["_g0", "_o0", "_k0"],
+                                ascending=[True, not descending, True],
+                                kind="mergesort")
+    offsets: dict = {}
+    running: dict = {}
+    for k0, grp, cnt in zip(totals["_k0"], totals["grp"], totals["cnt"]):
+        offsets.setdefault(k0, {})[grp] = running.get(grp, 0)
+        running[grp] = running.get(grp, 0) + int(cnt)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col,
+                                       pa.array([], type=pa.int64()))
+        base_map = offsets[batch.column(key)[0].as_py()]
+        g = pd.Series(batch.column(group).to_pylist())
+        cc = g.groupby(g, sort=False).cumcount().to_numpy()
+        base = g.map(base_map).to_numpy(np.int64)
+        return batch.append_column(
+            out_col, pa.array(start + base + cc))
+
+    return (ordered.map_batches(rank, batch_size=None,
+                                batch_format="pyarrow"),
+            {k: int(v) for k, v in running.items()})
+
+
 def snapshot_diff(old_ds, new_ds, *, key: str = "doc_id",
                   cmp_col: str = "text", num_parts: int | None = None):
     """Corpus-refresh diff — what changed between two snapshots of the

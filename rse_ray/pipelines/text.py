@@ -717,6 +717,52 @@ def vocab_growth(ds, *, stem: bool = False):
     return ordered.map_batches(cum, batch_size=None, batch_format="pyarrow")
 
 
+def lm_quality_buckets(ds, *, n_buckets: int = 3,
+                       lang_col: str = "lang"):
+    """CCNet-style per-language quality bucketing (Wenzek et al.
+    2020): every document ranks WITHIN ITS LANGUAGE by the
+    corpus-trained bigram-LM cross entropy (doc_lm_score; lower =
+    more fluent) and splits into NTILE(n_buckets) head/middle/tail
+    buckets — the standard pretraining-corpus triage. Output
+    (doc_id, lang, cross_entropy, rank, bucket).
+
+    Scale shape: the LM scoring is the oracled doc_lm_score pipeline;
+    the per-language ROW_NUMBER is the shared two-pass block-offset
+    group_rank (ONE range exchange, O(blocks x langs) driver rows);
+    group sizes fall out of the same pass, so the NTILE arithmetic is
+    a stateless map with a |langs| dict as closure constant. The lang
+    column rides a co-partitioned hash join onto the scores."""
+    from rse_ray.pipelines.relational import group_rank, hash_join
+
+    scored = doc_lm_score(ds.select_columns(["doc_id", "text"]))
+    joined = hash_join(
+        scored, ds.select_columns(["doc_id", lang_col]),
+        left_on="doc_id", right_on="doc_id", right_cols=[lang_col])
+    ranked, sizes = group_rank(joined, group=lang_col,
+                               order="cross_entropy", key="doc_id",
+                               descending=False, out_col="rank")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        langs = batch.column(lang_col).to_pylist()
+        rank = batch.column("rank").to_numpy().astype(np.int64)
+        n = np.array([sizes[g] for g in langs], dtype=np.int64)
+        q, r = n // n_buckets, n % n_buckets
+        head = (q + 1) * r                    # rows in the fat buckets
+        in_head = rank <= head
+        b = np.where(in_head,
+                     (rank - 1) // np.where(q + 1 == 0, 1, q + 1) + 1,
+                     r + (rank - head - 1) // np.where(q == 0, 1, q) + 1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column(lang_col),
+            "cross_entropy": batch.column("cross_entropy"),
+            "rank": pa.array(rank),
+            "bucket": pa.array(b.astype(np.int64)),
+        })
+
+    return ranked.map_batches(bucket, batch_format="pyarrow")
+
+
 def pack_sequences(ds, *, budget: int = 512, stem: bool = False):
     """Sequence packing for LLM pretraining — concatenate the token
     stream in doc_id order and cut a training sequence every ``budget``

@@ -2549,6 +2549,56 @@ def test_vocab_growth_semantics(ray_session):
         assert list(got["cum_vocab"]) == [2, 2, 3, 4]
 
 
+def test_group_rank_matches_pandas(ray_session):
+    """group_rank == ROW_NUMBER PARTITION BY group across
+    partitionings; sizes dict matches group counts."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.relational import group_rank
+
+    df = pd.DataFrame({
+        "g": ["a", "b"] * 50 + ["c"],
+        "v": [(i * 17) % 23 for i in range(101)],
+        "k": range(101),
+    })
+    want = df.assign(rank=df.sort_values(["v", "k"],
+                                         ascending=[False, True])
+                     .groupby("g").cumcount().add(1)) \
+        .sort_values("k").reset_index(drop=True)
+    for parts in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        ranked, sizes = group_rank(ds, group="g", order="v", key="k",
+                                   descending=True)
+        got = ranked.to_pandas().sort_values("k").reset_index(drop=True)
+        assert list(got["rank"]) == list(want["rank"])
+        assert sizes == {"a": 50, "b": 50, "c": 1}
+
+
+def test_lm_quality_buckets_shape(ray_session):
+    """Per-language NTILE: bucket sizes differ by at most one and
+    bucket order follows the cross-entropy rank."""
+    import pandas as pd
+    import ray.data
+
+    from rse_ray.pipelines.text import lm_quality_buckets
+
+    docs = pd.DataFrame({
+        "doc_id": range(20),
+        "text": [" ".join(f"w{(i * j) % 7}" for j in range(10))
+                 for i in range(20)],
+        "lang": ["en" if i % 2 else "da" for i in range(20)],
+    })
+    got = lm_quality_buckets(ray.data.from_pandas(docs),
+                             n_buckets=3).to_pandas()
+    for lang, g in got.groupby("lang"):
+        sizes = g["bucket"].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+        d = g.sort_values("rank")
+        assert d["bucket"].is_monotonic_increasing
+        assert d["cross_entropy"].is_monotonic_increasing
+
+
 def test_event_transitions_pairs(ray_session):
     """Transitions pair consecutive events WITHIN a user only, ordered
     by (ts, event_id); counts aggregate across users."""
