@@ -1635,7 +1635,7 @@ def _q_reference_relevance(sf_dir: str):
 
 
 LINKGRAPH_DIR = "/tmp/rse_ray_cache/linkgraph_pages_2000_i"  # i: +DDL-wide rows
-MEDIA_DIR = "/tmp/rse_ray_cache/media_real_v2_96"  # v2: +PNG rows
+MEDIA_DIR = "/tmp/rse_ray_cache/media_real_v3_96"  # v3: +RMS goldens
 
 
 def _linkgraph_corpus() -> str:
@@ -2358,6 +2358,18 @@ def _q_image_dup_clusters(sf_dir: str):
     return _finalize(image_dup_clusters(ds, max_hamming=PHASH_MAX_HAMMING))
 
 
+def _q_audio_rms(sf_dir: str):
+    """Framewise RMS over the real WAV decode — golden-oracled
+    pre-encode like media_features."""
+    import ray.data
+
+    from rse_ray.pipelines.multimodal import audio_rms_windows
+
+    d = _media_fixture_dir()
+    ds = ray.data.read_parquet(os.path.join(d, "media.parquet"))
+    return _finalize(audio_rms_windows(ds))
+
+
 def _lang_id_sql() -> str:
     """DuckDB replica of pipelines/text.LangId: per-doc lowercase-letter
     counts (case-sensitive replace — the Ray histogram only counts
@@ -2745,6 +2757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed decode kernel)
         "media_features": _q_media_features,
         "image_phash": _q_image_phash,
+        "audio_rms_windows": _q_audio_rms,
         "image_dup_pairs": _q_image_dup_pairs,
         "image_dup_clusters": _q_image_dup_clusters,
     }
@@ -4166,6 +4179,11 @@ SELECT media_id, kind, n_values, v_mean, v_std, v_min, v_max,
        width, height
 FROM read_parquet('{golden}')""".format(
             golden=os.path.join(MEDIA_DIR, "golden_features.parquet")
+        ),
+        # decode->RMS must reproduce the pre-encode golden frames
+        "audio_rms_windows": """
+SELECT media_id, frame_idx, rms FROM read_parquet('{golden}')""".format(
+            golden=os.path.join(MEDIA_DIR, "golden_rms.parquet")
         ),
         # decode->pHash must reproduce the pre-encode golden hashes
         "image_phash": """

@@ -297,6 +297,21 @@ def decode_video(buf: bytes) -> list[np.ndarray]:
     return frames
 
 
+def rms_frames(samples: np.ndarray, frame: int = 256,
+               hop: int = 128) -> np.ndarray:
+    """Framewise RMS energy: frames of ``frame`` samples every ``hop``
+    samples, trailing partial frame DROPPED (pinned contract), rms =
+    sqrt(mean(x^2)) in float64. Shared by the fixture generator
+    (pre-encode goldens) and the decode pipeline — deterministic, so
+    the encode->decode round trip must reproduce it bit-exact."""
+    x = samples.astype(np.float64)
+    n = (len(x) - frame) // hop + 1 if len(x) >= frame else 0
+    if n <= 0:
+        return np.empty(0, dtype=np.float64)
+    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+    return np.sqrt((x[idx] ** 2).mean(axis=1))
+
+
 _PHASH_N = 32
 # DCT-II basis, orthogonality constants irrelevant (median threshold is
 # scale-invariant per coefficient row/col pair)

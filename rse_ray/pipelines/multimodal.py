@@ -230,6 +230,58 @@ def image_dup_pairs(ds, *, max_hamming: int = 3,
                           out_cols=("media_a", "media_b"))
 
 
+class AudioRms:
+    """Actor-pool framewise-RMS stage: decode the WAV payload (real
+    RIFF parse) and emit one row per frame — the audio
+    feature-extract analog of ImageResizer. Kernels bind once per
+    actor; frames are one strided matrix per clip (no per-frame
+    Python)."""
+
+    def __init__(self, frame: int = 256, hop: int = 128,
+                 round_to: int = 6) -> None:
+        from rse_ray.functions.media import decode_wav, rms_frames
+
+        self._decode = decode_wav
+        self._rms = rms_frames
+        self.frame, self.hop = frame, hop
+        self.scale = 10.0 ** round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_id, o_fi, o_rms = [], [], []
+        for mid, kind, payload in zip(ids, kinds, payloads):
+            if kind != "audio":
+                continue
+            samples, _rate = self._decode(payload)
+            r = self._rms(samples, self.frame, self.hop)
+            r = np.floor(r * self.scale + 0.5) / self.scale  # rms >= 0
+            o_id.extend([int(mid)] * len(r))
+            o_fi.extend(range(len(r)))
+            o_rms.extend(r.tolist())
+        return pa.table({
+            "media_id": pa.array(o_id, type=pa.int64()),
+            "frame_idx": pa.array(o_fi, type=pa.int64()),
+            "rms": pa.array(o_rms, type=pa.float64()),
+        })
+
+
+def audio_rms_windows(ds, *, frame: int = 256, hop: int = 128,
+                      concurrency: int = 2, batch_size: int = 32):
+    """media table -> (media_id, frame_idx, rms): framewise RMS
+    energy over the REAL WAV decode — the first DSP step of an audio
+    pipeline (VAD/loudness gating). Golden-oracled pre-encode like
+    media_features; non-audio rows drop."""
+    from rse_ray.util import clamp_pool
+
+    return ds.map_batches(AudioRms, batch_format="pyarrow",
+                          fn_constructor_kwargs={"frame": frame,
+                                                 "hop": hop},
+                          batch_size=batch_size,
+                          concurrency=clamp_pool(concurrency))
+
+
 def image_dup_clusters(ds, *, max_hamming: int = 3,
                        num_parts: int | None = None,
                        method: str = "union_find"):
@@ -342,6 +394,7 @@ def write_real_media_fixture(out_dir: str, *, n: int = 96,
         encode_bmp,
         encode_png,
         encode_wav,
+        rms_frames,
         value_features,
     )
 
@@ -355,6 +408,7 @@ def write_real_media_fixture(out_dir: str, *, n: int = 96,
     golden = {"media_id": [], "kind": [], "n_values": [], "v_mean": [],
               "v_std": [], "v_min": [], "v_max": [], "width": [],
               "height": []}
+    grms = {"media_id": [], "frame_idx": [], "rms": []}
     for i in range(n):
         if i % 3 != 1:
             h = int(rng.integers(8, 48))
@@ -372,6 +426,12 @@ def write_real_media_fixture(out_dir: str, *, n: int = 96,
             feats = value_features(samples)
             kind, width, height = "audio", -1, -1
             meta = {"n_samples": ns, "rate": 8000}
+            # pre-encode framewise RMS goldens, rounded exactly like
+            # the AudioRms stage (floor half-away, rms >= 0)
+            r = np.floor(rms_frames(samples) * 1e6 + 0.5) / 1e6
+            grms["media_id"].extend([i] * len(r))
+            grms["frame_idx"].extend(range(len(r)))
+            grms["rms"].extend(r.tolist())
         media["media_id"].append(i)
         media["kind"].append(kind)
         media["payload"].append(payload)
@@ -404,6 +464,14 @@ def write_real_media_fixture(out_dir: str, *, n: int = 96,
              "height": pa.array(golden["height"], type=pa.int64())}
         ),
         os.path.join(out_dir, "golden_features.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"media_id": pa.array(grms["media_id"], type=pa.int64()),
+             "frame_idx": pa.array(grms["frame_idx"], type=pa.int64()),
+             "rms": pa.array(grms["rms"], type=pa.float64())}
+        ),
+        os.path.join(out_dir, "golden_rms.parquet"),
     )
     meta_out = {"n": n, "seed": seed, "dir": out_dir}
     with open(marker, "w") as f:

@@ -236,3 +236,34 @@ def test_image_phash_pipeline_matches_golden(ray_session, tmp_path):
     assert set(zip(cl["media_id"], cl["cluster_id"])) == \
         {(i, i) for i in range(0, 16, 4)} | \
         {(1000 + i, i) for i in range(0, 16, 4)}
+
+
+def test_audio_rms_windows(ray_session, tmp_path):
+    """Framewise RMS: decode reproduces pre-encode goldens; the frame
+    count follows the (len - frame) // hop + 1 contract and a
+    too-short clip yields no frames."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rse_ray.functions.media import rms_frames
+    from rse_ray.pipelines.multimodal import (
+        audio_rms_windows,
+        write_real_media_fixture,
+    )
+
+    assert len(rms_frames(np.zeros(255, dtype=np.int16))) == 0
+    assert len(rms_frames(np.zeros(256, dtype=np.int16))) == 1
+    assert len(rms_frames(np.zeros(512, dtype=np.int16))) == 3
+
+    d = str(tmp_path / "media_fx")
+    write_real_media_fixture(d, n=12, seed=5)
+    ds = ray.data.read_parquet(os.path.join(d, "media.parquet"))
+    got = audio_rms_windows(ds).to_pandas() \
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    want = pq.read_table(os.path.join(d, "golden_rms.parquet")) \
+        .to_pandas().sort_values(["media_id", "frame_idx"]) \
+        .reset_index(drop=True)
+    assert got.equals(want)
