@@ -75,6 +75,27 @@ KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.1
 COS_NEARDUP_THRESHOLD = 0.5
 
+# PII patterns are shared verbatim with the Ray operators (both engines
+# are RE2, so the literal string IS the cross-engine contract); the
+# plant CTE mirrors _pii_plant()'s doc_id formulas exactly
+from rse_ray.pipelines.text import (PII_EMAIL as _PII_EMAIL,  # noqa: E402
+                                    PII_IPV4 as _PII_IPV4,
+                                    PII_PHONE as _PII_PHONE)
+
+_PII_PLANT_CTE = """
+WITH planted AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 3 = 1 THEN
+      'Reach user' || doc_id || '@example.com or 10.' || (doc_id % 200)
+      || '.' || ((doc_id * 7) % 200) || '.' || ((doc_id * 13) % 200)
+      || ' now. ' || text
+    WHEN doc_id % 3 = 2 THEN
+      'Call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' and mail admin' || doc_id || '@test.org; ' || text
+    ELSE text END AS text
+  FROM documents)
+"""
+
 # exact n-gram Jaccard pairs >= 0.5 over case-preserved whitespace
 # tokens — the verified-pair contract shared by the minhash / cluster /
 # keep-representative oracles
@@ -373,6 +394,47 @@ def _q_fingerprint(sf_dir: str):
     from rse_ray.pipelines.text import fingerprints
 
     return _finalize(fingerprints(_read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _pii_plant(ds):
+    """Deterministically plant PII into ~2/3 of the docs (the fixture
+    corpus has none): doc_id%3==1 gets an e-mail + IPv4, %3==2 a phone
+    + e-mail, %3==0 stays clean so the zero path is exercised. Pure
+    doc_id formulas — the SQL twin rebuilds the identical strings."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if t is None:
+                out.append(None)
+            elif i % 3 == 1:
+                out.append(f"Reach user{i}@example.com or 10.{i % 200}."
+                           f"{(i * 7) % 200}.{(i * 13) % 200} now. {t}")
+            elif i % 3 == 2:
+                out.append(f"Call +1 555-{i % 10000:04d} and mail "
+                           f"admin{i}@test.org; {t}")
+            else:
+                out.append(t)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+def _q_pii_counts(sf_dir: str):
+    from rse_ray.pipelines.text import pii_counts
+
+    return _finalize(pii_counts(_pii_plant(
+        _read(sf_dir, "documents", ["doc_id", "text"]))))
+
+
+def _q_pii_redact(sf_dir: str):
+    from rse_ray.pipelines.text import pii_redact
+
+    return _finalize(pii_redact(_pii_plant(
+        _read(sf_dir, "documents", ["doc_id", "text"]))))
 
 
 def _q_regex_token_counts(sf_dir: str):
@@ -2614,6 +2676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         # text analysis (training-data ops)
         "quality_scores": _q_quality,
+        "pii_counts": _q_pii_counts,
+        "pii_redact": _q_pii_redact,
         "doc_fingerprints": _q_fingerprint,
         "regex_token_counts": _q_regex_token_counts,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -3037,6 +3101,19 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        round(sum(CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS stopword_ratio
 FROM toks GROUP BY doc_id""",
+        "pii_counts": _PII_PLANT_CTE + f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{_PII_IPV4}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phones
+FROM planted""",
+        "pii_redact": _PII_PLANT_CTE + f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g') AS red_text
+FROM planted""",
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
         "regex_token_counts": """
 SELECT doc_id,

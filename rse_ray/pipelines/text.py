@@ -1748,3 +1748,62 @@ def normalize_text(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# PII scan / redaction (training-data hygiene)
+# --------------------------------------------------------------------------
+
+# RE2 syntax on BOTH sides: pyarrow's count/replace_substring_regex and
+# DuckDB's regexp_* are all RE2, so one literal pattern string is the
+# whole cross-engine contract (no dialect translation layer needed).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# phones: optional +, then >=9 chars of digit/space/dash ending in a
+# digit. The class excludes '.' and '@' so IPv4s and e-mail local parts
+# can never be swallowed; greedy extension over spaces is identical in
+# both RE2 engines, so parity holds even on adjacent numbers.
+PII_PHONE = r"\+?\d[\d\-\s]{7,}\d"
+
+
+def pii_counts(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc PII hit counts: (doc_id, n_emails, n_ipv4, n_phones).
+
+    The scrubbing pass every LLM training corpus runs before release.
+    Pure zero-copy Arrow — pc.count_substring_regex is a vectorized RE2
+    scan per batch, no Python loop, no materialization. At 100 TB this
+    is a map-only stage: no shuffle, streams block by block.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_emails": pc.cast(pc.count_substring_regex(t, PII_EMAIL),
+                                pa.int64()),
+            "n_ipv4": pc.cast(pc.count_substring_regex(t, PII_IPV4),
+                              pa.int64()),
+            "n_phones": pc.cast(pc.count_substring_regex(t, PII_PHONE),
+                                pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pii_redact(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Replace PII spans with typed placeholders: (doc_id, red_text).
+
+    Replacement ORDER is part of the contract (email -> ipv4 -> phone):
+    once e-mails are gone the phone pattern cannot touch their digits,
+    and the IPv4 dots fence it off from addresses. The DuckDB twin
+    nests regexp_replace(..., 'g') in the same order.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        t = pc.replace_substring_regex(t, PII_EMAIL, "<EMAIL>")
+        t = pc.replace_substring_regex(t, PII_IPV4, "<IP>")
+        t = pc.replace_substring_regex(t, PII_PHONE, "<PHONE>")
+        return pa.table({id_col: batch.column(id_col), "red_text": t})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -2823,3 +2823,33 @@ def test_rolling_time_window_frame_edges(ray_session):
         .set_index("event_id").sort_index()
     assert list(got["w_cents"]) == [100, 300, 1400, 1400, 1600, 3200]
     assert list(got["w_cnt"]) == [1, 2, 3, 3, 1, 1]
+
+
+def test_pii_counts_and_redact(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import pii_counts, pii_redact
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "Reach user7@example.com or 10.1.2.3 now.",
+            "Call +1 555-0042 or 12345 123 456 today",
+            "no pii here 1.2 @ not-an-email",
+            None,
+        ]),
+    })
+    got = pii_counts(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_emails"].tolist()[:3] == [1, 0, 0]
+    assert got["n_ipv4"].tolist()[:3] == [1, 0, 0]
+    assert got["n_phones"].tolist()[:3] == [0, 2, 0]
+    assert got.iloc[3, 1:].isna().all()  # null text -> null counts
+
+    red = pii_redact(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert red["red_text"][0] == "Reach <EMAIL> or <IP> now."
+    assert red["red_text"][1] == "Call <PHONE> or <PHONE> today"
+    assert red["red_text"][2] == "no pii here 1.2 @ not-an-email"
+    assert red["red_text"][3] is None
