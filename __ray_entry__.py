@@ -326,6 +326,7 @@ def _idcg_values_sql(k: int) -> str:
 
 
 LM_MU = 2000.0
+LM_JM_LAMBDA = 0.1
 
 
 def _q_lm_dirichlet_scores(sf_dir: str):
@@ -333,6 +334,13 @@ def _q_lm_dirichlet_scores(sf_dir: str):
 
     return _finalize(lm_dirichlet_documents(
         sf_dir, BM25_QUERY, k=None, mu=LM_MU))
+
+
+def _q_lm_jm_scores(sf_dir: str):
+    from rse_ray.pipelines.docsearch import lm_jm_documents
+
+    return _finalize(lm_jm_documents(
+        sf_dir, BM25_QUERY, k=None, lam=LM_JM_LAMBDA))
 
 
 def _q_bm25_synonyms(sf_dir: str):
@@ -2671,6 +2679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": _q_suggest_terms,
         "bm25f_scores": _q_bm25f_scores,
         "lm_dirichlet_scores": _q_lm_dirichlet_scores,
+        "lm_jm_scores": _q_lm_jm_scores,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "retrieval_metrics": _q_retrieval_metrics,
         "normalize_text": _q_normalize_text,
@@ -2981,6 +2990,23 @@ scores AS (
   SELECT cand.doc_id,
          sum(q.qtf * ln((coalesce(pp.tf, 0) + {LM_MU!r} * cf.cf / tot.t)
                         / (dl.dl + {LM_MU!r}))) AS raw
+  FROM cand CROSS JOIN q JOIN cf ON cf.term = q.term
+       LEFT JOIN p pp ON pp.doc_id = cand.doc_id AND pp.term = q.term
+       JOIN dl ON dl.doc_id = cand.doc_id CROSS JOIN tot
+  GROUP BY 1)
+SELECT doc_id, round(raw, 6) AS score FROM scores""",
+        "lm_jm_scores": _TOKS + f""",
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+tot AS (SELECT sum(dl)::DOUBLE AS t FROM dl),
+q(term, qtf) AS (VALUES {BM25_QUERY_SQL_TERMS}),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM p GROUP BY 1),
+cand AS (SELECT DISTINCT p.doc_id FROM p JOIN q USING (term)),
+scores AS (
+  SELECT cand.doc_id,
+         sum(q.qtf * ln((1 - {LM_JM_LAMBDA!r}) *
+                        (coalesce(pp.tf, 0)::DOUBLE / dl.dl)
+                        + {LM_JM_LAMBDA!r} * cf.cf / tot.t)) AS raw
   FROM cand CROSS JOIN q JOIN cf ON cf.term = q.term
        LEFT JOIN p pp ON pp.doc_id = cand.doc_id AND pp.term = q.term
        JOIN dl ON dl.doc_id = cand.doc_id CROSS JOIN tot

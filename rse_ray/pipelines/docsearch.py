@@ -448,6 +448,22 @@ def lm_dirichlet_documents(sf_dir: str, query: str,
     return _score_frame(index_dir, hits, round_to=round_to)
 
 
+def lm_jm_documents(sf_dir: str, query: str,
+                    k: int | None = None, *, lam: float = 0.1,
+                    stem: bool = False,
+                    round_to: int = 6) -> pd.DataFrame:
+    """-> (doc_id, score) under Jelinek-Mercer query likelihood
+    (Searcher.search_lm_jm) over the shared on-disk index — third
+    retrieval model on one index (BM25, Dirichlet, JM). k=None scores
+    every candidate (the oracle-gate shape)."""
+    from rse_ray.pipelines.search import Searcher
+
+    index_dir = documents_index(sf_dir, stem=stem)
+    s = Searcher(index_dir)
+    hits = s.search_lm_jm(query, k=k, lam=lam)
+    return _score_frame(index_dir, hits, round_to=round_to)
+
+
 def bm25_documents_synonyms(sf_dir: str, query: str,
                             synonyms: dict[str, list[str]], k: int = 20,
                             *, stem: bool = False,

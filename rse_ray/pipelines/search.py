@@ -709,6 +709,57 @@ class Searcher:
             score += qtf * np.log((tf_vec + (mu * cf) / T) / denom)
         return _rank_topk(cand, score, k if k is not None else len(cand))
 
+    def search_lm_jm(self, query: str, k: int | None = None, *,
+                     lam: float = 0.1):
+        """Query-likelihood retrieval with Jelinek-Mercer smoothing
+        (Zhai & Lafferty 2004; lambda=0.1 is their short-query
+        default) — the fixed-interpolation sibling of search_lm:
+
+            score(d) = sum_t qtf_t * ln((1-lam) * tf_td / dl_d
+                                        + lam * cf_t / T)
+
+        Same candidate set, delete-masking, cf/T policy and
+        (score desc, doc_id asc) ranking as search_lm; only the
+        smoothing differs (document-length-independent mixture weight
+        instead of Dirichlet's mu/(dl+mu))."""
+        T = float(self.reader.stats["num_tokens"])
+        posts = []
+        for term, qtf in _query_weights(query, self.stem):
+            got = self.reader.postings(term)
+            if got is None:
+                continue
+            ids, tfs, dls, _df = got
+            posts.append((qtf, ids, tfs, dls, float(tfs.sum())))
+        if not posts or T <= 0:
+            return []
+        cand = np.unique(np.concatenate([p[1] for p in posts]))
+        m = self._keep_mask(cand)
+        if m is not None:
+            cand = cand[m]
+        if not len(cand):
+            return []
+
+        def rows_in_cand(ids):
+            r = np.searchsorted(cand, ids)
+            ok = r < len(cand)
+            ok[ok] = cand[r[ok]] == ids[ok]
+            return r, ok
+
+        dl = np.zeros(len(cand), dtype=np.float64)
+        for _, ids, _, dls, _ in posts:
+            r, ok = rows_in_cand(ids)
+            dl[r[ok]] = dls[ok]
+        score = np.zeros(len(cand), dtype=np.float64)
+        for qtf, ids, tfs, _, cf in posts:
+            tf_vec = np.zeros(len(cand), dtype=np.float64)
+            r, ok = rows_in_cand(ids)
+            tf_vec[r[ok]] = tfs[ok]
+            # groupings mirror the SQL twin's left-associativity:
+            # (1-lam)*(tf/dl) + (lam*cf)/T
+            score += qtf * np.log((1.0 - lam) * (tf_vec / dl)
+                                  + (lam * cf) / T)
+        return _rank_topk(cand, score, k if k is not None else len(cand))
+
     def search_after(self, query: str, k: int = 10, after=None):
         """Cursor pagination (Lucene search_after): return the next
         ``k`` hits STRICTLY after the ``after`` cursor — a

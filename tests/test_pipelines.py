@@ -2853,3 +2853,38 @@ def test_pii_counts_and_redact(ray_session):
     assert red["red_text"][1] == "Call <PHONE> or <PHONE> today"
     assert red["red_text"][2] == "no pii here 1.2 @ not-an-email"
     assert red["red_text"][3] is None
+
+
+def test_lm_jm_brute_force_equivalence(ray_session):
+    """search_lm_jm reproduces the definitional JM score: for every
+    candidate doc, sum over query terms of
+    qtf*ln((1-lam)*tf/dl + lam*cf/T), brute-forced over the corpus."""
+    import math
+
+    from rse_ray.functions.tokenizer import tokenize
+    from rse_ray.pipelines.docsearch import lm_jm_documents
+
+    query, lam = "spark window merge window", 0.25
+    got = lm_jm_documents(SF, query, k=None, lam=lam) \
+        .set_index("doc_id")["score"]
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = {r.doc_id: tokenize(r.text, stem=False)
+            for r in docs.itertuples()}
+    T = sum(len(t) for t in toks.values())
+    qtf: dict[str, int] = {}
+    for t in tokenize(query, stem=False):
+        qtf[t] = qtf.get(t, 0) + 1
+    cf = {t: sum(ts.count(t) for ts in toks.values()) for t in qtf}
+    want = {}
+    for did, ts in toks.items():
+        if not any(t in ts for t in qtf):
+            continue
+        s = sum(w * math.log((1 - lam) * ts.count(t) / len(ts)
+                             + lam * cf[t] / T)
+                for t, w in qtf.items() if cf[t] > 0)
+        want[did] = round(s, 6)
+    assert len(got) == len(want)
+    for did, s in want.items():
+        assert got[did] == pytest.approx(s, abs=2e-6)
