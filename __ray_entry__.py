@@ -343,6 +343,12 @@ def _q_lm_jm_scores(sf_dir: str):
         sf_dir, BM25_QUERY, k=None, lam=LM_JM_LAMBDA))
 
 
+def _q_ltr_features(sf_dir: str):
+    from rse_ray.pipelines.docsearch import ltr_features_documents
+
+    return _finalize(ltr_features_documents(sf_dir, BM25_QUERY))
+
+
 def _q_bm25_synonyms(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_documents_synonyms
 
@@ -2680,6 +2686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_scores": _q_bm25f_scores,
         "lm_dirichlet_scores": _q_lm_dirichlet_scores,
         "lm_jm_scores": _q_lm_jm_scores,
+        "ltr_features": _q_ltr_features,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "retrieval_metrics": _q_retrieval_metrics,
         "normalize_text": _q_normalize_text,
@@ -3012,6 +3019,28 @@ scores AS (
        JOIN dl ON dl.doc_id = cand.doc_id CROSS JOIN tot
   GROUP BY 1)
 SELECT doc_id, round(raw, 6) AS score FROM scores""",
+        "ltr_features": _TOKS + f""",
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+s AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl
+      FROM dl),
+q(term, qtf) AS (VALUES {BM25_QUERY_SQL_TERMS}),
+d AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+f AS (
+  SELECT p.doc_id,
+         sum(q.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             (p.tf * (1.2 + 1)) /
+             (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS raw,
+         count(*)::BIGINT AS n_match,
+         sum(p.tf)::BIGINT AS sum_tf,
+         max(p.tf)::BIGINT AS max_tf,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS raw_idf
+  FROM p JOIN q USING (term) JOIN d USING (term)
+       JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY p.doc_id)
+SELECT f.doc_id, round(raw, 6) AS bm25, dl.dl AS dl, n_match,
+       sum_tf, max_tf, round(raw_idf, 6) AS sum_idf
+FROM f JOIN dl ON f.doc_id = dl.doc_id""",
         # synonym expansion = the standard BM25 CTE over the EXPANDED
         # (term, qtf) list; 'seek' (df 0) drops out via the df join
         "bm25_synonyms": _BM25_CTES_TMPL.format(terms=SYN_SQL_TERMS) + """

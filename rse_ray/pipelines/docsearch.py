@@ -464,6 +464,30 @@ def lm_jm_documents(sf_dir: str, query: str,
     return _score_frame(index_dir, hits, round_to=round_to)
 
 
+def ltr_features_documents(sf_dir: str, query: str, *,
+                           stem: bool = False,
+                           round_to: int = 6) -> pd.DataFrame:
+    """-> (doc_id, bm25, dl, n_match, sum_tf, max_tf, sum_idf) for
+    every candidate of ``query`` — the offline LTR feature join
+    (Searcher.ltr_features) mapped back to table ids."""
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=stem)
+    s = Searcher(index_dir)
+    cand, feats = s.ltr_features(query)
+    rows = hydrate_urls(index_dir, [(int(d), 0.0) for d in cand])
+    return pd.DataFrame({
+        "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                           dtype="int64"),
+        "bm25": [round(v, round_to) for v in feats["bm25"]],
+        "dl": pd.array(feats["dl"], dtype="int64"),
+        "n_match": pd.array(feats["n_match"], dtype="int64"),
+        "sum_tf": pd.array(feats["sum_tf"], dtype="int64"),
+        "max_tf": pd.array(feats["max_tf"], dtype="int64"),
+        "sum_idf": [round(v, round_to) for v in feats["sum_idf"]],
+    })
+
+
 def bm25_documents_synonyms(sf_dir: str, query: str,
                             synonyms: dict[str, list[str]], k: int = 20,
                             *, stem: bool = False,

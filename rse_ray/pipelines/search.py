@@ -760,6 +760,61 @@ class Searcher:
                                   + (lam * cf) / T)
         return _rank_topk(cand, score, k if k is not None else len(cand))
 
+    def ltr_features(self, query: str):
+        """Learning-to-rank feature extraction served from the index:
+        for every candidate doc (>= 1 query term, tombstones masked)
+        return the classic LTR feature block — bm25 (the full qtf-
+        weighted score), dl, n_match (distinct query terms present),
+        sum_tf / max_tf over matched terms, and sum_idf of the matched
+        terms. One pass over the same posting arrays BM25 scores from;
+        this is the offline feature-join that feeds a downstream
+        ranker (LambdaMART et al.), so it returns EVERY candidate, not
+        a top-k. -> (cand_ids, {feature: np.ndarray})."""
+        posts = []
+        for term, qtf in _query_weights(query, self.stem):
+            got = self.reader.postings(term)
+            if got is None:
+                continue
+            ids, tfs, dls, df = got
+            posts.append((qtf, ids, tfs, dls, df))
+        if not posts:
+            return np.empty(0, dtype=np.int64), {}
+        cand = np.unique(np.concatenate([p[1] for p in posts]))
+        m = self._keep_mask(cand)
+        if m is not None:
+            cand = cand[m]
+        if not len(cand):
+            return cand, {}
+
+        def rows_in_cand(ids):
+            r = np.searchsorted(cand, ids)
+            ok = r < len(cand)
+            ok[ok] = cand[r[ok]] == ids[ok]
+            return r, ok
+
+        n = len(cand)
+        feats = {
+            "bm25": np.zeros(n, dtype=np.float64),
+            "dl": np.zeros(n, dtype=np.int64),
+            "n_match": np.zeros(n, dtype=np.int64),
+            "sum_tf": np.zeros(n, dtype=np.int64),
+            "max_tf": np.zeros(n, dtype=np.int64),
+            "sum_idf": np.zeros(n, dtype=np.float64),
+        }
+        for qtf, ids, tfs, dls, df in posts:
+            r, ok = rows_in_cand(ids)
+            rr = r[ok]
+            feats["dl"][rr] = dls[ok]
+            idf = _idf(self.N, df)
+            tf_part = (tfs * (K1 + 1)) / (
+                tfs + K1 * (1 - B + B * dls / self.avgdl))
+            feats["bm25"][rr] += qtf * idf * tf_part[ok]
+            feats["n_match"][rr] += 1
+            feats["sum_tf"][rr] += tfs[ok]
+            np.maximum.at(feats["max_tf"], rr, tfs[ok])
+            feats["sum_idf"][rr] += idf
+        return cand, feats
+
     def search_after(self, query: str, k: int = 10, after=None):
         """Cursor pagination (Lucene search_after): return the next
         ``k`` hits STRICTLY after the ``after`` cursor — a

@@ -2888,3 +2888,29 @@ def test_lm_jm_brute_force_equivalence(ray_session):
     assert len(got) == len(want)
     for did, s in want.items():
         assert got[did] == pytest.approx(s, abs=2e-6)
+
+
+def test_ltr_features_consistency(ray_session):
+    """Feature block agrees with the retrieval paths it summarizes:
+    bm25 equals bm25_documents' score per doc, n_match reaches the
+    distinct-term count on conjunctive hits, and dl matches the
+    tokenizer's count."""
+    from rse_ray.functions.tokenizer import tokenize
+    from rse_ray.pipelines.docsearch import (bm25_documents,
+                                             ltr_features_documents)
+
+    q = "spark window merge window"
+    feats = ltr_features_documents(SF, q).set_index("doc_id")
+    scores = bm25_documents(SF, q, k=None).set_index("doc_id")["score"]
+    assert len(feats) == len(scores)
+    assert (feats["bm25"] - scores).abs().max() <= 1e-9
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).set_index("doc_id")
+    for did in list(feats.index[:20]):
+        toks = tokenize(docs.loc[did, "text"], stem=False)
+        assert feats.loc[did, "dl"] == len(toks)
+        present = {t for t in ("spark", "window", "merge") if t in toks}
+        assert feats.loc[did, "n_match"] == len(present)
+        assert feats.loc[did, "sum_tf"] == sum(toks.count(t)
+                                               for t in present)
