@@ -437,6 +437,32 @@ def _pii_plant(ds):
     return ds.map_batches(plant, batch_format="pyarrow")
 
 
+def _para_plant(ds):
+    """Give each doc a 3-paragraph structure (the fixture is
+    single-line): a head paragraph shared across the doc_id%7 class, a
+    mostly-unique middle (first 80 chars), and a tail shared across
+    doc_id%3 — so cross-doc AND cross-position duplicates both occur.
+    Pure doc_id/text formulas, mirrored by _PARA_PLANT_CTE."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = [None if t is None else
+               f"common paragraph {i % 7}\n{t[:80]}\ncommon paragraph {i % 3}"
+               for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    from rse_ray.pipelines.dedup import paragraph_dedup
+
+    return _finalize(paragraph_dedup(_para_plant(
+        _read(sf_dir, "documents", ["doc_id", "text"]))))
+
+
 def _q_pii_counts(sf_dir: str):
     from rse_ray.pipelines.text import pii_counts
 
@@ -2700,6 +2726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         # dedup family
         "exact_dedup": _q_exact_dedup,
+        "paragraph_dedup": _q_paragraph_dedup,
         "dedup_last_writer": _q_last_writer,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_dedup_pairs": _q_minhash_pairs,
@@ -3182,6 +3209,24 @@ FROM documents""".format(pat=__import__("rse_ray.pipelines.text",
         "exact_dedup": """
 SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
 FROM documents GROUP BY text""",
+        "paragraph_dedup": """
+WITH planted AS (
+  SELECT doc_id,
+         'common paragraph ' || (doc_id % 7) || chr(10) ||
+         substr(text, 1, 80) || chr(10) ||
+         'common paragraph ' || (doc_id % 3) AS text
+  FROM documents),
+arrs AS (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS arr
+         FROM planted),
+paras AS (SELECT doc_id, i - 1 AS para_idx, arr[i] AS para
+          FROM arrs, unnest(range(1, len(arr) + 1)) AS t(i)),
+g AS (SELECT doc_id, para_idx, para,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, para_idx) AS rn,
+             count(*) OVER (PARTITION BY md5(para)) AS n_copies
+      FROM paras)
+SELECT doc_id, para_idx, para, n_copies::BIGINT AS n_copies
+FROM g WHERE rn = 1""",
         "dedup_last_writer": """
 SELECT user_id, event_id, ts, event_type, value FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id

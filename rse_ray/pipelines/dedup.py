@@ -1050,3 +1050,57 @@ def incremental_exact_dedup(new_ds, old_ds, *, id_col: str = "doc_id",
 
     return both.groupby("h").map_groups(keep_new_only,
                                         batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# paragraph-level exact dedup (CCNet shape)
+# --------------------------------------------------------------------------
+
+def paragraph_dedup(ds, *, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Exact paragraph-level dedup in the shape of CCNet (Wenzek et
+    al. 2020): split each doc on newlines, keep only the GLOBAL first
+    occurrence of every distinct paragraph (order: doc_id asc, then
+    position asc), and report its corpus-wide copy count. Output one
+    row per surviving paragraph: (doc_id, para_idx, para, n_copies).
+
+    Scale shape: one explode inside map_batches (doc -> paragraph rows
+    with an md5 content key) and ONE groupby(md5) shuffle in which each
+    paragraph's text travels exactly once — the same order of bytes the
+    corpus itself occupies, unavoidable because the survivor's text is
+    the output. Keying on the 128-bit digest (not the string) keeps
+    the hash-partition key fixed-width; both engines key on the SAME
+    digest, so semantics agree even under (cosmically unlikely)
+    collisions."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        o_id, o_idx, o_para, o_h = [], [], [], []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            for j, p in enumerate(t.split("\n")):
+                o_id.append(i)
+                o_idx.append(j)
+                o_para.append(p)
+                o_h.append(hashlib.md5(p.encode("utf-8")).hexdigest())
+        return pa.table({
+            "h": pa.array(o_h, type=pa.string()),
+            id_col: pa.array(o_id, type=pa.int64()),
+            "para_idx": pa.array(o_idx, type=pa.int64()),
+            "para": pa.array(o_para, type=pa.string()),
+        })
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "para_idx"])
+        out = g.head(1)[[id_col, "para_idx", "para"]].copy()
+        out["n_copies"] = np.int64(len(g))
+        return out
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(keep_first, batch_format="pandas")
+        .select_columns([id_col, "para_idx", "para", "n_copies"])
+    )

@@ -2914,3 +2914,30 @@ def test_ltr_features_consistency(ray_session):
         assert feats.loc[did, "n_match"] == len(present)
         assert feats.loc[did, "sum_tf"] == sum(toks.count(t)
                                                for t in present)
+
+
+def test_paragraph_dedup_global_first(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.dedup import paragraph_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([2, 0, 1, 3], type=pa.int64()),
+        "text": pa.array([
+            "dup\nunique-two",   # dup also heads doc 0: first is doc 0
+            "dup\nalpha\ndup",   # within-doc repeat: idx 0 wins over 2
+            "alpha\nbeta",       # alpha already owned by doc 0 idx 1
+            None,
+        ]),
+    })
+    got = paragraph_dedup(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values(["doc_id", "para_idx"]).reset_index(drop=True)
+    rows = {(r.doc_id, r.para_idx): (r.para, r.n_copies)
+            for r in got.itertuples()}
+    assert rows == {
+        (0, 0): ("dup", 3),          # global first of 'dup'
+        (0, 1): ("alpha", 2),
+        (1, 1): ("beta", 1),
+        (2, 1): ("unique-two", 1),
+    }
