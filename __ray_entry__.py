@@ -463,6 +463,25 @@ def _q_paragraph_dedup(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]))))
 
 
+def _q_gopher_rules(sf_dir: str):
+    from rse_ray.pipelines.text import gopher_rules
+
+    # plant junk into the doc_id%11 class so the alpha/symbol rules
+    # discriminate (the clean fixture is all-alphabetic)
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = [None if t is None else
+               (f"{t} 123 456 ### wait... no..." if i % 11 == 0 else t)
+               for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _finalize(gopher_rules(
+        docs.map_batches(plant, batch_format="pyarrow")))
+
+
 def _q_pii_counts(sf_dir: str):
     from rse_ray.pipelines.text import pii_counts
 
@@ -2718,6 +2737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         # text analysis (training-data ops)
         "quality_scores": _q_quality,
+        "gopher_rules": _q_gopher_rules,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
         "doc_fingerprints": _q_fingerprint,
@@ -3183,6 +3203,30 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        round(sum(CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS stopword_ratio
 FROM toks GROUP BY doc_id""",
+        "gopher_rules": """
+WITH planted AS (
+  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+         THEN text || ' 123 456 ### wait... no...' ELSE text END AS text
+  FROM documents),
+w AS (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS arr
+      FROM planted WHERE text IS NOT NULL),
+m AS (SELECT doc_id,
+             len(arr)::BIGINT AS n_words,
+             list_sum(list_transform(arr, x -> length(x)))::DOUBLE
+               / len(arr) AS mwl,
+             len(list_filter(arr, x -> regexp_matches(x, '[A-Za-z]')))
+               ::DOUBLE / len(arr) AS fa,
+             (len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE
+               / len(arr) AS sym
+      FROM w WHERE len(arr) > 0)
+SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+       round(fa, 6) AS frac_alpha_words, round(sym, 6) AS symbol_ratio,
+       (n_words BETWEEN 30 AND 90 AND mwl BETWEEN 4.0 AND 5.0
+        AND fa >= 0.8 AND sym <= 0.05) AS passes
+FROM m""",
         "pii_counts": _PII_PLANT_CTE + f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,

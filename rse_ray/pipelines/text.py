@@ -1807,3 +1807,76 @@ def pii_redact(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         return pa.table({id_col: batch.column(id_col), "red_text": t})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality filter rules
+# --------------------------------------------------------------------------
+
+# rule thresholds (Rae et al. 2021 'Gopher', Table A1 shape — bounds
+# tightened to discriminate on the synthetic corpus); shared verbatim
+# with the SQL twin
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MWL = 4.0
+GOPHER_MAX_MWL = 5.0
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MAX_SYMBOL = 0.05
+
+
+def gopher_rules(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc Gopher quality-rule evaluation: word-count bounds, mean
+    word length bounds, alphabetic-word fraction, and symbol-to-word
+    ratio ('#' plus '...' hits), with the conjunctive ``passes`` flag.
+    -> (doc_id, n_words, mean_word_len, frac_alpha_words,
+        symbol_ratio, passes).
+
+    Metrics are REPORTED at 6dp but ``passes`` is decided on the
+    unrounded doubles in both engines (sum-of-int/int divisions are
+    bit-identical IEEE, so the flag cannot straddle the rounding).
+    Zero-word docs are dropped (no denominators). Map-only; the
+    per-batch loop is the same split cost every text op here pays."""
+    import re
+
+    ell = re.compile(r"\.\.\.")
+    alpha = re.compile(r"[A-Za-z]")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        o_id, o_n, o_mwl, o_fa, o_sym, o_pass = [], [], [], [], [], []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            words = t.split()
+            n = len(words)
+            if n == 0:
+                continue
+            mwl = sum(len(w) for w in words) / n
+            fa = sum(1 for w in words if alpha.search(w)) / n
+            sym = (t.count("#") + len(ell.findall(t))) / n
+            o_id.append(i)
+            o_n.append(n)
+            o_mwl.append(mwl)
+            o_fa.append(fa)
+            o_sym.append(sym)
+            o_pass.append(
+                GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+                and GOPHER_MIN_MWL <= mwl <= GOPHER_MAX_MWL
+                and fa >= GOPHER_MIN_ALPHA
+                and sym <= GOPHER_MAX_SYMBOL)
+
+        def r6(vals):
+            a = np.asarray(vals, dtype=np.float64)
+            return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
+
+        return pa.table({
+            id_col: pa.array(o_id, type=pa.int64()),
+            "n_words": pa.array(o_n, type=pa.int64()),
+            "mean_word_len": pa.array(r6(o_mwl), type=pa.float64()),
+            "frac_alpha_words": pa.array(r6(o_fa), type=pa.float64()),
+            "symbol_ratio": pa.array(r6(o_sym), type=pa.float64()),
+            "passes": pa.array(o_pass, type=pa.bool_()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -2941,3 +2941,30 @@ def test_paragraph_dedup_global_first(ray_session):
         (1, 1): ("beta", 1),
         (2, 1): ("unique-two", 1),
     }
+
+
+def test_gopher_rules_boundaries(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import gopher_rules
+
+    word = "word "  # len-4 words -> mwl 4.0, alpha 1.0
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            word * 30,                 # exactly min words: passes
+            word * 29,                 # one short: fails word count
+            word * 30 + "### #",       # symbols: sym=4/32>0.05 fails
+            "",                        # zero words: dropped
+            None,                      # null: dropped
+        ]),
+    })
+    got = gopher_rules(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("doc_id")
+    assert sorted(got.index) == [0, 1, 2]
+    assert bool(got.loc[0, "passes"]) is True
+    assert got.loc[0, "mean_word_len"] == 4.0
+    assert bool(got.loc[1, "passes"]) is False
+    assert bool(got.loc[2, "passes"]) is False
+    assert got.loc[2, "symbol_ratio"] == round(4 / 32, 6)
