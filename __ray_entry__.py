@@ -48,6 +48,9 @@ SYN_QUERY = "merge scan"
 SYN_MAP = {"merge": ["join"], "scan": ["sort", "seek"]}
 SYN_SQL_TERMS = "('join', 1), ('merge', 1), ('scan', 1), ('seek', 1), ('sort', 1)"
 SUGGEST_K = 5   # 6 's'-terms exist, so the df-rank cut is genuine
+# wildcard dictionary probe: s?a* -> {scan, spark} on the fixture vocab
+WILDCARD_PATTERN = "s?a*"
+WILDCARD_LIKE = "s_a%"
 # query-log replay through the actor-pool batch scorer; the last query
 # matches nothing and must contribute zero rows on both sides
 BATCH_QUERIES = ["spark window", "hash join", "dup key",
@@ -349,6 +352,12 @@ def _q_ltr_features(sf_dir: str):
     return _finalize(ltr_features_documents(sf_dir, BM25_QUERY))
 
 
+def _q_wildcard_terms(sf_dir: str):
+    from rse_ray.pipelines.docsearch import wildcard_terms
+
+    return _finalize(wildcard_terms(sf_dir, WILDCARD_PATTERN, k=SUGGEST_K))
+
+
 def _q_bm25_synonyms(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_documents_synonyms
 
@@ -480,6 +489,16 @@ def _q_gopher_rules(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return _finalize(gopher_rules(
         docs.map_batches(plant, batch_format="pyarrow")))
+
+
+def _q_lineitem_corr(sf_dir: str):
+    from rse_ray.pipelines.relational import group_corr
+
+    return _finalize(group_corr(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_quantity", "l_extendedprice"]),
+        group="l_returnflag", x="l_quantity", y="l_extendedprice",
+        out_col="corr_qty_price"))
 
 
 def _q_pii_counts(sf_dir: str):
@@ -2728,6 +2747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_total_hits": _q_bm25_total_hits,
         "bm25_synonyms": _q_bm25_synonyms,
         "suggest_terms": _q_suggest_terms,
+        "wildcard_terms": _q_wildcard_terms,
         "bm25f_scores": _q_bm25f_scores,
         "lm_dirichlet_scores": _q_lm_dirichlet_scores,
         "lm_jm_scores": _q_lm_jm_scores,
@@ -2738,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (training-data ops)
         "quality_scores": _q_quality,
         "gopher_rules": _q_gopher_rules,
+        "lineitem_corr": _q_lineitem_corr,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
         "doc_fingerprints": _q_fingerprint,
@@ -3098,6 +3119,10 @@ ORDER BY raw DESC, doc_id LIMIT 20""",
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df
 FROM toks WHERE term LIKE '{PREFIX_QUERY}%' GROUP BY term
 ORDER BY df DESC, term LIMIT {SUGGEST_K}""",
+        "wildcard_terms": _TOKS + f"""
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks WHERE term LIKE '{WILDCARD_LIKE}' GROUP BY term
+ORDER BY df DESC, term LIMIT {SUGGEST_K}""",
         # query-log replay: one multi-query scores CTE, top-k per query
         "batch_bm25_topk": _TOKS + f""",
 p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
@@ -3203,6 +3228,10 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        round(sum(CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS stopword_ratio
 FROM toks GROUP BY doc_id""",
+        "lineitem_corr": """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag""",
         "gopher_rules": """
 WITH planted AS (
   SELECT doc_id, CASE WHEN doc_id % 11 = 0

@@ -544,6 +544,42 @@ def suggest_terms(sf_dir: str, prefix: str, k: int = 5,
     )
 
 
+def wildcard_terms(sf_dir: str, pattern: str, k: int = 5,
+                   *, stem: bool = False) -> pd.DataFrame:
+    """Wildcard dictionary lookup (Lucene WildcardQuery): ``*`` matches
+    any run, ``?`` exactly one char. The literal prefix before the
+    first wildcard bounds the term-dictionary range scan (only shard
+    directories intersecting the prefix interval are touched — the
+    same pruning suggest_terms rides); survivors are regex-filtered
+    and ranked (df desc, term asc) top-k -> (term, df). A leading
+    wildcard is rejected: without a literal prefix the scan is the
+    whole dictionary, which is the known Lucene anti-pattern (a
+    reversed-term field is the classic fix; out of scope here)."""
+    import re
+
+    from rse_ray.pipelines.search import Searcher
+
+    pattern = pattern.lower().strip()
+    cut = min((i for i, c in enumerate(pattern) if c in "*?"),
+              default=len(pattern))
+    if cut == 0:
+        raise ValueError("leading wildcard: give a literal prefix")
+    prefix = pattern[:cut]
+    rx = re.compile("".join(
+        ".*" if c == "*" else "." if c == "?" else re.escape(c)
+        for c in pattern))
+    index_dir = documents_index(sf_dir, stem=stem)
+    s = Searcher(index_dir)
+    terms = [t for t in s.reader.expand_prefix(prefix)
+             if rx.fullmatch(t)]
+    rows = sorted(((t, s.reader.df(t)) for t in terms),
+                  key=lambda td: (-td[1], td[0]))[:k]
+    return pd.DataFrame({
+        "term": pd.array([t for t, _ in rows], dtype="object"),
+        "df": pd.array([d for _, d in rows], dtype="int64"),
+    })
+
+
 def batch_bm25_topk(sf_dir: str, queries: list[str], k: int = 10,
                     *, stem: bool = False, round_to: int = 6,
                     concurrency: int = 2, batch_size: int = 64):

@@ -2968,3 +2968,42 @@ def test_gopher_rules_boundaries(ray_session):
     assert bool(got.loc[1, "passes"]) is False
     assert bool(got.loc[2, "passes"]) is False
     assert got.loc[2, "symbol_ratio"] == round(4 / 32, 6)
+
+
+def test_group_corr_edge_cases(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import group_corr
+
+    t = pa.table({
+        "g": ["a"] * 4 + ["b"] * 3 + ["c"] * 2 + ["d"] * 2,
+        "x": [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 5.0, 5.0, 1.0, None],
+        "y": [2.0, 4.0, 6.0, 8.0, 9.0, 5.0, 1.0, 7.0, 2.0, 3.0, 9.0],
+    })
+    got = group_corr(ray.data.from_arrow(t), group="g", x="x", y="y") \
+        .to_pandas().set_index("g")["corr_xy"]
+    assert got["a"] == 1.0          # perfectly linear
+    assert got["b"] == -1.0         # perfectly anti-linear
+    assert pd.isna(got["c"])        # zero x-variance -> null
+    assert pd.isna(got["d"])        # single surviving pair -> null
+
+    import duckdb
+    want = duckdb.sql(
+        "SELECT g, round(corr(x, y), 6) FROM t GROUP BY g ORDER BY g"
+    ).fetchall()
+    for g, w in want:
+        assert (pd.isna(got[g]) and w is None) or got[g] == w
+
+
+def test_wildcard_terms_semantics(ray_session):
+    from rse_ray.pipelines.docsearch import wildcard_terms
+
+    got = wildcard_terms(SF, "s?a*", k=5)
+    assert set(got["term"]) >= {"scan", "spark"}
+    assert all(t.startswith("s") and t[2:3] == "a" for t in got["term"])
+    # df-desc, term-asc ranking
+    dfs = got["df"].tolist()
+    assert dfs == sorted(dfs, reverse=True)
+    with pytest.raises(ValueError):
+        wildcard_terms(SF, "*tail")
