@@ -50,6 +50,7 @@ SYN_SQL_TERMS = "('join', 1), ('merge', 1), ('scan', 1), ('seek', 1), ('sort', 1
 SUGGEST_K = 5   # 6 's'-terms exist, so the df-rank cut is genuine
 # wildcard dictionary probe: s?a* -> {scan, spark} on the fixture vocab
 WILDCARD_PATTERN = "s?a*"
+CHAMP_M = 16    # champion-list length; head terms have df >> 16
 WILDCARD_LIKE = "s_a%"
 # query-log replay through the actor-pool batch scorer; the last query
 # matches nothing and must contribute zero rows on both sides
@@ -350,6 +351,13 @@ def _q_ltr_features(sf_dir: str):
     from rse_ray.pipelines.docsearch import ltr_features_documents
 
     return _finalize(ltr_features_documents(sf_dir, BM25_QUERY))
+
+
+def _q_bm25_champions(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_champions_documents
+
+    return _finalize(bm25_champions_documents(
+        sf_dir, BM25_QUERY, k=20, m=CHAMP_M))
 
 
 def _q_wildcard_terms(sf_dir: str):
@@ -2748,6 +2756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonyms": _q_bm25_synonyms,
         "suggest_terms": _q_suggest_terms,
         "wildcard_terms": _q_wildcard_terms,
+        "bm25_champions": _q_bm25_champions,
         "bm25f_scores": _q_bm25f_scores,
         "lm_dirichlet_scores": _q_lm_dirichlet_scores,
         "lm_jm_scores": _q_lm_jm_scores,
@@ -3119,6 +3128,26 @@ ORDER BY raw DESC, doc_id LIMIT 20""",
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df
 FROM toks WHERE term LIKE '{PREFIX_QUERY}%' GROUP BY term
 ORDER BY df DESC, term LIMIT {SUGGEST_K}""",
+        "bm25_champions": _TOKS + f""",
+p0 AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+s AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl
+      FROM dl),
+q(term, qtf) AS (VALUES {BM25_QUERY_SQL_TERMS}),
+d AS (SELECT term, count(*)::DOUBLE AS df FROM p0 GROUP BY 1),
+p AS (SELECT * FROM p0 QUALIFY
+        row_number() OVER (PARTITION BY term
+                           ORDER BY tf DESC, doc_id) <= {CHAMP_M}),
+scores AS (
+  SELECT p.doc_id,
+         sum(q.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             (p.tf * (1.2 + 1)) /
+             (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS raw
+  FROM p JOIN q USING (term) JOIN d USING (term)
+       JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY p.doc_id)
+SELECT doc_id, round(raw, 6) AS score FROM scores
+ORDER BY raw DESC, doc_id LIMIT 20""",
         "wildcard_terms": _TOKS + f"""
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df
 FROM toks WHERE term LIKE '{WILDCARD_LIKE}' GROUP BY term

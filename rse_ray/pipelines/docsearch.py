@@ -544,6 +544,19 @@ def suggest_terms(sf_dir: str, prefix: str, k: int = 5,
     )
 
 
+def bm25_champions_documents(sf_dir: str, query: str, k: int = 10,
+                              *, m: int = 16, stem: bool = False,
+                              round_to: int = 6) -> pd.DataFrame:
+    """-> (doc_id, score) top-k under champion-list pruned retrieval
+    (Searcher.search_champions), mapped back to table ids."""
+    from rse_ray.pipelines.search import Searcher
+
+    index_dir = documents_index(sf_dir, stem=stem)
+    s = Searcher(index_dir)
+    hits = s.search_champions(query, k=k, m=m)
+    return _score_frame(index_dir, hits, round_to=round_to)
+
+
 def wildcard_terms(sf_dir: str, pattern: str, k: int = 5,
                    *, stem: bool = False) -> pd.DataFrame:
     """Wildcard dictionary lookup (Lucene WildcardQuery): ``*`` matches

@@ -760,6 +760,44 @@ class Searcher:
                                   + (lam * cf) / T)
         return _rank_topk(cand, score, k if k is not None else len(cand))
 
+    def search_champions(self, query: str, k: int = 10, *, m: int = 16):
+        """Champion-list retrieval (static index pruning, Manning IR
+        ch.7): each term contributes only its top-``m`` postings by
+        (tf desc, doc_id asc) — the 'champion list' a pruned tier
+        would have precomputed — and docs are scored by the terms
+        whose champion list contains them. Approximate by design
+        (long-tail docs of head terms can't surface), but fully
+        deterministic: the champion cut, BM25 contributions (full-
+        corpus df/avgdl, like every pruned tier) and (score desc,
+        doc_id asc) ranking are all exactly reproducible, so the SQL
+        twin expresses the SAME pruned result, not a tolerance band.
+        Tombstones are masked BEFORE the cut (a deleted doc must not
+        eat a champion slot)."""
+        id_parts, contrib_parts = [], []
+        for term, qtf in _query_weights(query, self.stem):
+            got = self.reader.postings(term)
+            if got is None:
+                continue
+            ids, tfs, dls, df = got
+            mk = self._keep_mask(ids)
+            if mk is not None:
+                ids, tfs, dls = ids[mk], tfs[mk], dls[mk]
+                if not len(ids):
+                    continue
+            if len(ids) > m:
+                # exact (tf desc, doc_id asc) top-m (a real pruned tier
+                # precomputes this at BUILD time; doing it at query
+                # time keeps one index on disk while the cut semantics
+                # stay identical)
+                order = np.lexsort((ids, -tfs))[:m]
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+            w = qtf * _idf(self.N, df)
+            tf_part = (tfs * (K1 + 1)) / (
+                tfs + K1 * (1 - B + B * dls / self.avgdl))
+            id_parts.append(ids)
+            contrib_parts.append(w * tf_part)
+        return _accumulate_topk(id_parts, contrib_parts, k)
+
     def ltr_features(self, query: str):
         """Learning-to-rank feature extraction served from the index:
         for every candidate doc (>= 1 query term, tombstones masked)

@@ -3007,3 +3007,20 @@ def test_wildcard_terms_semantics(ray_session):
     assert dfs == sorted(dfs, reverse=True)
     with pytest.raises(ValueError):
         wildcard_terms(SF, "*tail")
+
+
+def test_bm25_champions_semantics(ray_session):
+    from rse_ray.pipelines.docsearch import (bm25_champions_documents,
+                                             bm25_documents)
+
+    q = "spark window merge window"
+    exact = bm25_documents(SF, q, k=None).set_index("doc_id")["score"]
+    # m >= any df: pruning is a no-op, top-k identical to exact
+    wide = bm25_champions_documents(SF, q, k=20, m=10**6)
+    top = exact.sort_values(ascending=False).iloc[:20]
+    assert wide["score"].tolist() == sorted(top.tolist(), reverse=True)
+    # tight m: every champion-scored doc is <= its exact score (a doc
+    # can only LOSE term contributions under pruning)
+    tight = bm25_champions_documents(SF, q, k=20, m=2)
+    for r in tight.itertuples():
+        assert r.score <= exact[r.doc_id] + 1e-9
