@@ -480,6 +480,13 @@ def _q_paragraph_dedup(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]))))
 
 
+def _q_mlm_mask_plan(sf_dir: str):
+    from rse_ray.pipelines.text import mlm_mask_plan
+
+    return _finalize(mlm_mask_plan(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
 def _q_gopher_rules(sf_dir: str):
     from rse_ray.pipelines.text import gopher_rules
 
@@ -2767,6 +2774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (training-data ops)
         "quality_scores": _q_quality,
         "gopher_rules": _q_gopher_rules,
+        "mlm_mask_plan": _q_mlm_mask_plan,
         "lineitem_corr": _q_lineitem_corr,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
@@ -3261,6 +3269,22 @@ FROM toks GROUP BY doc_id""",
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
 FROM lineitem GROUP BY l_returnflag""",
+        "mlm_mask_plan": """
+WITH dd AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x <> '') AS arr FROM documents),
+t AS (SELECT doc_id, i - 1 AS pos, arr[i] AS token, len(arr) AS dl, arr
+      FROM dd, unnest(range(1, len(arr) + 1)) AS u(i)),
+k AS (SELECT *, md5_number_lower(doc_id || ':' || pos) AS h FROM t)
+SELECT doc_id, pos, token,
+       CASE WHEN (h // 100) % 10 < 8 THEN 'mask'
+            WHEN (h // 100) % 10 = 8 THEN 'random'
+            ELSE 'keep' END AS action,
+       CASE WHEN (h // 100) % 10 < 8 THEN '[MASK]'
+            WHEN (h // 100) % 10 = 8
+              THEN arr[(((h // 1000) % dl))::BIGINT + 1]
+            ELSE token END AS replacement
+FROM k WHERE h % 100 < 15""",
         "gopher_rules": """
 WITH planted AS (
   SELECT doc_id, CASE WHEN doc_id % 11 = 0

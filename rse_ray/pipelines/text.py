@@ -1880,3 +1880,64 @@ def gopher_rules(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# MLM masking plan (BERT 80/10/10)
+# --------------------------------------------------------------------------
+
+def mlm_mask_plan(ds, *, rate_pct: int = 15, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Deterministic BERT-style masking plan: select ``rate_pct``% of
+    token positions and assign the classic 80/10/10 action split —
+    replace with [MASK], replace with another (deterministically
+    chosen) token from the same doc, or keep. Output one row per
+    SELECTED position: (doc_id, pos, token, action, replacement).
+
+    Selection/action keys on md5's high-8-bytes-little-endian of
+    "doc_id:pos" — DuckDB's md5_number_lower, the repo's pinned
+    content-hash convention (same as SimHash) — so the exact plan is
+    SQL-reproducible: h%100 < rate selects, (h//100)%10 buckets the
+    action (0-7 mask / 8 random / 9 keep), and the 'random' token is
+    the doc's own token at (h//1000) % dl. Per-token md5 is the only
+    per-row Python (the price of a hash both engines can compute; a
+    splitmix64 over (doc_id<<20|pos) is the vectorized variant when
+    SQL parity isn't needed). Map-only: the plan streams out block by
+    block, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        o_id, o_pos, o_tok, o_act, o_rep = [], [], [], [], []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            toks = [w for w in t.lower().split() if w]
+            dl = len(toks)
+            for p, tok in enumerate(toks):
+                h = int.from_bytes(
+                    hashlib.md5(f"{i}:{p}".encode()).digest()[8:],
+                    "little")
+                if h % 100 >= rate_pct:
+                    continue
+                bucket = (h // 100) % 10
+                if bucket < 8:
+                    act, rep = "mask", "[MASK]"
+                elif bucket == 8:
+                    act, rep = "random", toks[(h // 1000) % dl]
+                else:
+                    act, rep = "keep", tok
+                o_id.append(i)
+                o_pos.append(p)
+                o_tok.append(tok)
+                o_act.append(act)
+                o_rep.append(rep)
+        return pa.table({
+            id_col: pa.array(o_id, type=pa.int64()),
+            "pos": pa.array(o_pos, type=pa.int64()),
+            "token": pa.array(o_tok, type=pa.string()),
+            "action": pa.array(o_act, type=pa.string()),
+            "replacement": pa.array(o_rep, type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

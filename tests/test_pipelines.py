@@ -3024,3 +3024,32 @@ def test_bm25_champions_semantics(ray_session):
     tight = bm25_champions_documents(SF, q, k=20, m=2)
     for r in tight.itertuples():
         assert r.score <= exact[r.doc_id] + 1e-9
+
+
+def test_mlm_mask_plan_rates_and_determinism(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import mlm_mask_plan
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ds = ray.data.from_pandas(docs)
+    got = mlm_mask_plan(ds).to_pandas()
+    n_tokens = docs["text"].str.split().str.len().sum()
+    # ~15% selection, ~80/10/10 split (binomial tolerance)
+    assert abs(len(got) / n_tokens - 0.15) < 0.02
+    frac = got["action"].value_counts(normalize=True)
+    assert abs(frac["mask"] - 0.8) < 0.05
+    assert abs(frac.get("random", 0) - 0.1) < 0.04
+    assert abs(frac.get("keep", 0) - 0.1) < 0.04
+    # action semantics
+    m = got[got["action"] == "mask"]
+    assert (m["replacement"] == "[MASK]").all()
+    kp = got[got["action"] == "keep"]
+    assert (kp["replacement"] == kp["token"]).all()
+    # deterministic replay
+    again = mlm_mask_plan(ray.data.from_pandas(docs)).to_pandas()
+    a = got.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    assert a.equals(b)
