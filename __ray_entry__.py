@@ -353,6 +353,12 @@ def _q_ltr_features(sf_dir: str):
     return _finalize(ltr_features_documents(sf_dir, BM25_QUERY))
 
 
+def _q_bm25_plus(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_plus_documents
+
+    return _finalize(bm25_plus_documents(sf_dir, BM25_QUERY, k=None))
+
+
 def _q_bm25_champions(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_champions_documents
 
@@ -504,6 +510,12 @@ def _q_gopher_rules(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return _finalize(gopher_rules(
         docs.map_batches(plant, batch_format="pyarrow")))
+
+
+def _q_pushdown_scan(sf_dir: str):
+    from rse_ray.sources.formats import pushdown_scan
+
+    return _finalize(pushdown_scan(sf_dir))
 
 
 def _q_lineitem_corr(sf_dir: str):
@@ -2764,6 +2776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": _q_suggest_terms,
         "wildcard_terms": _q_wildcard_terms,
         "bm25_champions": _q_bm25_champions,
+        "bm25_plus_scores": _q_bm25_plus,
         "bm25f_scores": _q_bm25f_scores,
         "lm_dirichlet_scores": _q_lm_dirichlet_scores,
         "lm_jm_scores": _q_lm_jm_scores,
@@ -2776,6 +2789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _q_gopher_rules,
         "mlm_mask_plan": _q_mlm_mask_plan,
         "lineitem_corr": _q_lineitem_corr,
+        "pushdown_scan": _q_pushdown_scan,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
         "doc_fingerprints": _q_fingerprint,
@@ -3136,6 +3150,23 @@ ORDER BY raw DESC, doc_id LIMIT 20""",
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df
 FROM toks WHERE term LIKE '{PREFIX_QUERY}%' GROUP BY term
 ORDER BY df DESC, term LIMIT {SUGGEST_K}""",
+        "bm25_plus_scores": _TOKS + f""",
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+s AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl
+      FROM dl),
+q(term, qtf) AS (VALUES {BM25_QUERY_SQL_TERMS}),
+d AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+scores AS (
+  SELECT p.doc_id,
+         sum(q.qtf * ln((s.n + 1) / d.df) *
+             ((1.2 + 1) * (p.tf / (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) /
+              (1.2 + p.tf / (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+              + 1.0)) AS raw
+  FROM p JOIN q USING (term) JOIN d USING (term)
+       JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY p.doc_id)
+SELECT doc_id, round(raw, 6) AS score FROM scores""",
         "bm25_champions": _TOKS + f""",
 p0 AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
@@ -3265,6 +3296,9 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        round(sum(CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS stopword_ratio
 FROM toks GROUP BY doc_id""",
+        "pushdown_scan": """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'purchase' AND value >= 100.0""",
         "lineitem_corr": """
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price

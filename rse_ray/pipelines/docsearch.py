@@ -544,6 +544,20 @@ def suggest_terms(sf_dir: str, prefix: str, k: int = 5,
     )
 
 
+def bm25_plus_documents(sf_dir: str, query: str,
+                        k: int | None = None, *, delta: float = 1.0,
+                        stem: bool = False,
+                        round_to: int = 6) -> pd.DataFrame:
+    """-> (doc_id, score) under BM25+ (Searcher.search_bm25plus) over
+    the shared index; k=None scores every candidate (oracle shape)."""
+    from rse_ray.pipelines.search import Searcher
+
+    index_dir = documents_index(sf_dir, stem=stem)
+    s = Searcher(index_dir)
+    hits = s.search_bm25plus(query, k=k, delta=delta)
+    return _score_frame(index_dir, hits, round_to=round_to)
+
+
 def bm25_champions_documents(sf_dir: str, query: str, k: int = 10,
                               *, m: int = 16, stem: bool = False,
                               round_to: int = 6) -> pd.DataFrame:

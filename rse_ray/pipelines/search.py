@@ -798,6 +798,38 @@ class Searcher:
             contrib_parts.append(w * tf_part)
         return _accumulate_topk(id_parts, contrib_parts, k)
 
+    def search_bm25plus(self, query: str, k: int | None = None, *,
+                        delta: float = 1.0):
+        """BM25+ (Lv & Zhai, CIKM 2011): lower-bounds the term-
+        frequency normalization so very long docs can't zero out a
+        matched term's contribution —
+
+            score(d) = sum_t qtf_t * ln((N+1)/df_t) *
+                       ((k1+1)*tfn/(k1 + tfn) + delta),
+            tfn = tf / (1 - b + b*dl/avgdl)
+
+        over docs actually containing the term (the +delta applies to
+        MATCHED terms only, per the paper). Same k1/b, tombstone
+        masking and (score desc, doc_id asc) ranking as search()."""
+        id_parts, contrib_parts = [], []
+        for term, qtf in _query_weights(query, self.stem):
+            got = self.reader.postings(term)
+            if got is None:
+                continue
+            ids, tfs, dls, df = got
+            m = self._keep_mask(ids)
+            if m is not None:
+                ids, tfs, dls = ids[m], tfs[m], dls[m]
+                if not len(ids):
+                    continue
+            w = qtf * math.log((self.N + 1) / df)
+            tfn = tfs / (1 - B + B * dls / self.avgdl)
+            id_parts.append(ids)
+            contrib_parts.append(
+                w * ((K1 + 1) * tfn / (K1 + tfn) + delta))
+        n = self.N if k is None else k
+        return _accumulate_topk(id_parts, contrib_parts, n)
+
     def ltr_features(self, query: str):
         """Learning-to-rank feature extraction served from the index:
         for every candidate doc (>= 1 query term, tombstones masked)

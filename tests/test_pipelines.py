@@ -3053,3 +3053,31 @@ def test_mlm_mask_plan_rates_and_determinism(ray_session):
     a = got.sort_values(["doc_id", "pos"]).reset_index(drop=True)
     b = again.sort_values(["doc_id", "pos"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_bm25_plus_lower_bound_property(ray_session):
+    """BM25+ dominates BM25's tf-part for matched terms: with delta=1
+    every candidate's score strictly exceeds what delta=0 gives, and
+    delta=0 ranks identically to itself deterministically."""
+    from rse_ray.pipelines.docsearch import bm25_plus_documents
+
+    q = "spark window merge window"
+    with_d = bm25_plus_documents(SF, q, k=None, delta=1.0) \
+        .set_index("doc_id")["score"]
+    no_d = bm25_plus_documents(SF, q, k=None, delta=0.0) \
+        .set_index("doc_id")["score"]
+    assert set(with_d.index) == set(no_d.index)
+    assert ((with_d - no_d) > 0).all()
+
+
+def test_pushdown_scan_prunes(ray_session):
+    from rse_ray.sources.formats import pushdown_scan
+
+    got = pushdown_scan(SF).to_pandas()
+    assert set(got.columns) == {"event_id", "user_id", "value"}
+    assert (got["value"] >= 100.0).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    want_n = ((ev["event_type"] == "purchase")
+              & (ev["value"] >= 100.0)).sum()
+    assert len(got) == want_n
