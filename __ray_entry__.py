@@ -512,6 +512,15 @@ def _q_gopher_rules(sf_dir: str):
         docs.map_batches(plant, batch_format="pyarrow")))
 
 
+def _q_zorder_key(sf_dir: str):
+    from rse_ray.pipelines.relational import zorder_key
+
+    return _finalize(zorder_key(
+        _read(sf_dir, "events", ["event_id", "user_id"]),
+        x_col="user_id", y_col="event_id",
+        keep_cols=["event_id", "user_id"]))
+
+
 def _q_pushdown_scan(sf_dir: str):
     from rse_ray.sources.formats import pushdown_scan
 
@@ -2790,6 +2799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlm_mask_plan": _q_mlm_mask_plan,
         "lineitem_corr": _q_lineitem_corr,
         "pushdown_scan": _q_pushdown_scan,
+        "zorder_key": _q_zorder_key,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
         "doc_fingerprints": _q_fingerprint,
@@ -3296,6 +3306,10 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        round(sum(CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS stopword_ratio
 FROM toks GROUP BY doc_id""",
+        "zorder_key": """
+SELECT event_id, user_id,
+       ((((user_id >> 0) & 1) << 0) + (((event_id >> 0) & 1) << 1) + (((user_id >> 1) & 1) << 2) + (((event_id >> 1) & 1) << 3) + (((user_id >> 2) & 1) << 4) + (((event_id >> 2) & 1) << 5) + (((user_id >> 3) & 1) << 6) + (((event_id >> 3) & 1) << 7) + (((user_id >> 4) & 1) << 8) + (((event_id >> 4) & 1) << 9) + (((user_id >> 5) & 1) << 10) + (((event_id >> 5) & 1) << 11) + (((user_id >> 6) & 1) << 12) + (((event_id >> 6) & 1) << 13) + (((user_id >> 7) & 1) << 14) + (((event_id >> 7) & 1) << 15) + (((user_id >> 8) & 1) << 16) + (((event_id >> 8) & 1) << 17) + (((user_id >> 9) & 1) << 18) + (((event_id >> 9) & 1) << 19) + (((user_id >> 10) & 1) << 20) + (((event_id >> 10) & 1) << 21) + (((user_id >> 11) & 1) << 22) + (((event_id >> 11) & 1) << 23) + (((user_id >> 12) & 1) << 24) + (((event_id >> 12) & 1) << 25) + (((user_id >> 13) & 1) << 26) + (((event_id >> 13) & 1) << 27) + (((user_id >> 14) & 1) << 28) + (((event_id >> 14) & 1) << 29) + (((user_id >> 15) & 1) << 30) + (((event_id >> 15) & 1) << 31))::BIGINT AS zval
+FROM events""",
         "pushdown_scan": """
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase' AND value >= 100.0""",

@@ -2829,3 +2829,34 @@ def group_corr(ds, *, group: str, x: str, y: str,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def zorder_key(ds, *, x_col: str, y_col: str, bits: int = 16,
+               keep_cols: list[str] | None = None,
+               out_col: str = "zval"):
+    """Z-order (Morton) layout key: interleave the low ``bits`` bits
+    of two integer dimensions into one sort key, so sorting by it
+    co-locates rows that are close in BOTH dimensions — the layout
+    trick (Delta/Iceberg OPTIMIZE ZORDER) that lets min/max row-group
+    stats prune 2-D range predicates after the rewrite. This emits the
+    key (and keeps ``keep_cols``); the layout itself is then just
+    ``.sort(out_col)`` + a partitioned write, both existing stages.
+
+    Vectorized: the interleave is ``bits`` shift/or passes over whole
+    numpy columns, no per-row Python. Map-only, no shuffle (the sort
+    that follows is the point of the exercise and is priced
+    separately)."""
+    keep = keep_cols if keep_cols is not None else [x_col, y_col]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy().astype(np.int64)
+        y = batch.column(y_col).to_numpy().astype(np.int64)
+        z = np.zeros(len(x), dtype=np.int64)
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        cols = {c: batch.column(c) for c in keep}
+        cols[out_col] = pa.array(z, type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -3081,3 +3081,37 @@ def test_pushdown_scan_prunes(ray_session):
     want_n = ((ev["event_type"] == "purchase")
               & (ev["value"] >= 100.0)).sum()
     assert len(got) == want_n
+
+
+def test_zorder_key_locality_beats_single_dim_sort(ray_session):
+    """The point of the layout: blocks of a z-sorted table are touched
+    by a 2-D range predicate no more (and typically far less) often
+    than blocks of a one-dimension-sorted table."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import zorder_key
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id"])
+    z = zorder_key(ray.data.from_pandas(ev), x_col="user_id",
+                   y_col="event_id").to_pandas()
+    # definitional check on a few rows
+    for r in z.head(50).itertuples():
+        want = 0
+        for b in range(16):
+            want |= ((int(r.user_id) >> b) & 1) << (2 * b)
+            want |= ((int(r.event_id) >> b) & 1) << (2 * b + 1)
+        assert r.zval == want
+
+    ux, uy = ev["user_id"], ev["event_id"]
+    lox, hix = ux.quantile(0.4), ux.quantile(0.6)
+    loy, hiy = uy.quantile(0.4), uy.quantile(0.6)
+    hit = (ux.between(lox, hix) & uy.between(loy, hiy))
+
+    def blocks_touched(order):
+        blk = pd.Series(np.arange(len(ev)) // 256, index=order)
+        return blk[hit.reindex(order).values].nunique()
+
+    z_order = z.sort_values(["zval", "event_id"]).index
+    one_dim = ev.sort_values(["user_id", "event_id"]).index
+    assert blocks_touched(z_order) <= blocks_touched(one_dim)
