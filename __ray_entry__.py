@@ -521,6 +521,12 @@ def _q_zorder_key(sf_dir: str):
         keep_cols=["event_id", "user_id"]))
 
 
+def _q_warc_source_docs(sf_dir: str):
+    from rse_ray.sources.formats import documents_warc
+
+    return _finalize(documents_warc(sf_dir))
+
+
 def _q_pushdown_scan(sf_dir: str):
     from rse_ray.sources.formats import pushdown_scan
 
@@ -2799,6 +2805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlm_mask_plan": _q_mlm_mask_plan,
         "lineitem_corr": _q_lineitem_corr,
         "pushdown_scan": _q_pushdown_scan,
+        "warc_source_docs": _q_warc_source_docs,
         "zorder_key": _q_zorder_key,
         "pii_counts": _q_pii_counts,
         "pii_redact": _q_pii_redact,
@@ -3310,6 +3317,9 @@ FROM toks GROUP BY doc_id""",
 SELECT event_id, user_id,
        ((((user_id >> 0) & 1) << 0) + (((event_id >> 0) & 1) << 1) + (((user_id >> 1) & 1) << 2) + (((event_id >> 1) & 1) << 3) + (((user_id >> 2) & 1) << 4) + (((event_id >> 2) & 1) << 5) + (((user_id >> 3) & 1) << 6) + (((event_id >> 3) & 1) << 7) + (((user_id >> 4) & 1) << 8) + (((event_id >> 4) & 1) << 9) + (((user_id >> 5) & 1) << 10) + (((event_id >> 5) & 1) << 11) + (((user_id >> 6) & 1) << 12) + (((event_id >> 6) & 1) << 13) + (((user_id >> 7) & 1) << 14) + (((event_id >> 7) & 1) << 15) + (((user_id >> 8) & 1) << 16) + (((event_id >> 8) & 1) << 17) + (((user_id >> 9) & 1) << 18) + (((event_id >> 9) & 1) << 19) + (((user_id >> 10) & 1) << 20) + (((event_id >> 10) & 1) << 21) + (((user_id >> 11) & 1) << 22) + (((event_id >> 11) & 1) << 23) + (((user_id >> 12) & 1) << 24) + (((event_id >> 12) & 1) << 25) + (((user_id >> 13) & 1) << 26) + (((event_id >> 13) & 1) << 27) + (((user_id >> 14) & 1) << 28) + (((event_id >> 14) & 1) << 29) + (((user_id >> 15) & 1) << 30) + (((event_id >> 15) & 1) << 31))::BIGINT AS zval
 FROM events""",
+        "warc_source_docs": """
+SELECT doc_id, coalesce(text, '') AS text, lang, source
+FROM documents""",
         "pushdown_scan": """
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase' AND value >= 100.0""",

@@ -3115,3 +3115,27 @@ def test_zorder_key_locality_beats_single_dim_sort(ray_session):
     z_order = z.sort_values(["zval", "event_id"]).index
     one_dim = ev.sort_values(["user_id", "event_id"]).index
     assert blocks_touched(z_order) <= blocks_touched(one_dim)
+
+
+def test_warc_source_roundtrip_and_hostile_payloads(ray_session, tmp_path):
+    """Records are walked by Content-Length: payloads containing the
+    header terminator bytes must round-trip intact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rse_ray.sources.formats import documents_warc
+
+    hostile = "line1\r\n\r\nWARC/1.0 fake\r\nContent-Length: 3"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([hostile, "", "plain"]),
+        "lang": pa.array(["en", "de", "fr"]),
+        "source": pa.array(["a", "b", "c"]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = documents_warc(str(d), num_shards=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["text"].tolist() == [hostile, "", "plain"]
+    assert got["lang"].tolist() == ["en", "de", "fr"]
