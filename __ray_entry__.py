@@ -353,6 +353,16 @@ def _q_ltr_features(sf_dir: str):
     return _finalize(ltr_features_documents(sf_dir, BM25_QUERY))
 
 
+SPAN_SLOP = 3
+
+
+def _q_span_near(sf_dir: str):
+    from rse_ray.pipelines.docsearch import span_near_documents
+
+    a, b = PHRASE_QUERY.split()
+    return _finalize(span_near_documents(sf_dir, a, b, slop=SPAN_SLOP))
+
+
 def _q_bm25_plus(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_plus_documents
 
@@ -2792,6 +2802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_terms": _q_wildcard_terms,
         "bm25_champions": _q_bm25_champions,
         "bm25_plus_scores": _q_bm25_plus,
+        "span_near": _q_span_near,
         "bm25f_scores": _q_bm25f_scores,
         "lm_dirichlet_scores": _q_lm_dirichlet_scores,
         "lm_jm_scores": _q_lm_jm_scores,
@@ -3845,6 +3856,18 @@ hit AS (SELECT doc_id, min(i) AS i0
 SELECT arr.doc_id, (i0 - 1)::BIGINT AS pos,
        array_to_string(a[greatest(1, i0 - 3):(i0 + 3)], ' ') AS snippet
 FROM arr JOIN hit USING (doc_id)""",
+        # ordered span-near: a-positions with a b within slop gaps
+        "span_near": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+pos AS (SELECT doc_id, i, a[i] AS w
+        FROM arr, unnest(range(1, len(a) + 1)) AS t(i)),
+hits AS (SELECT DISTINCT pa.doc_id, pa.i
+         FROM pos pa JOIN pos pb ON pa.doc_id = pb.doc_id
+         WHERE pa.w = 'hash' AND pb.w = 'join'
+           AND pb.i > pa.i AND pb.i - pa.i <= 4)
+SELECT doc_id, count(*)::BIGINT AS n_spans FROM hits GROUP BY 1""",
         # min |pos_a - pos_b| per doc containing both terms
         "term_proximity": """
 WITH arr AS (SELECT doc_id,

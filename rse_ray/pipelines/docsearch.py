@@ -154,6 +154,26 @@ def proximity_documents(sf_dir: str, term_a: str, term_b: str) -> pd.DataFrame:
     )
 
 
+def span_near_documents(sf_dir: str, term_a: str, term_b: str,
+                        *, slop: int = 3) -> pd.DataFrame:
+    """Ordered span-near over the positional documents index
+    (Searcher.search_span_near): (doc_id, n_spans) for docs where
+    term_a is followed by term_b within ``slop`` intervening tokens."""
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=False, positions=True)
+    s = Searcher(index_dir)
+    hits = s.search_span_near(term_a, term_b, slop=slop)
+    rows = hydrate_urls(index_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
+                               dtype="int64"),
+            "n_spans": pd.array([n for _, n, _ in rows], dtype="int64"),
+        }
+    )
+
+
 def bm25_documents_with_deletes(sf_dir: str, query: str,
                                 delete_doc_ids: list[int],
                                 *, round_to: int = 6) -> pd.DataFrame:

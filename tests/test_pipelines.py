@@ -3139,3 +3139,26 @@ def test_warc_source_roundtrip_and_hostile_payloads(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert got["text"].tolist() == [hostile, "", "plain"]
     assert got["lang"].tolist() == ["en", "de", "fr"]
+
+
+def test_span_near_ordered_semantics(ray_session):
+    """Brute-force check: n_spans counts a-positions followed by a b
+    within slop gaps, ordered only (b before a never counts)."""
+    from rse_ray.functions.tokenizer import tokenize
+    from rse_ray.pipelines.docsearch import span_near_documents
+
+    slop = 3
+    got = span_near_documents(SF, "hash", "join", slop=slop) \
+        .set_index("doc_id")["n_spans"]
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    want = {}
+    for r in docs.itertuples():
+        toks = tokenize(r.text, stem=False)
+        pa_ = [i for i, t in enumerate(toks) if t == "hash"]
+        pb_ = [i for i, t in enumerate(toks) if t == "join"]
+        n = sum(1 for i in pa_
+                if any(i < j <= i + slop + 1 for j in pb_))
+        if n:
+            want[r.doc_id] = n
+    assert got.to_dict() == want
