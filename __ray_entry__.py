@@ -496,6 +496,13 @@ def _q_paragraph_dedup(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]))))
 
 
+def _q_codec_size_report(sf_dir: str):
+    from rse_ray.pipelines.text import codec_size_report
+
+    return _finalize(codec_size_report(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
 def _q_mlm_mask_plan(sf_dir: str):
     from rse_ray.pipelines.text import mlm_mask_plan
 
@@ -2814,6 +2821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "gopher_rules": _q_gopher_rules,
         "mlm_mask_plan": _q_mlm_mask_plan,
+        "codec_size_report": _q_codec_size_report,
         "lineitem_corr": _q_lineitem_corr,
         "pushdown_scan": _q_pushdown_scan,
         "warc_source_docs": _q_warc_source_docs,
@@ -3338,6 +3346,28 @@ WHERE event_type = 'purchase' AND value >= 100.0""",
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
 FROM lineitem GROUP BY l_returnflag""",
+        "codec_size_report": _TOKS + """,
+p AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+d AS (SELECT term, doc_id,
+        doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                                            ORDER BY doc_id), 0) AS delta,
+        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM p),
+vb AS (SELECT term, count(*)::BIGINT AS n,
+        sum(ceil(length(bin(delta)) / 7.0))::BIGINT AS varint_bytes
+       FROM d GROUP BY 1),
+blk AS (SELECT term, (rn - 1) // 128 AS b, count(*)::BIGINT AS cnt,
+         min(delta) AS base, max(delta) - min(delta) AS maxd
+        FROM d GROUP BY 1, 2),
+fb AS (SELECT term,
+        sum(ceil(length(bin(base)) / 7.0) + 1
+            + (cnt * (CASE WHEN maxd = 0 THEN 0
+                           ELSE length(bin(maxd)) END) + 7) // 8
+           )::BIGINT AS for_body
+       FROM blk GROUP BY 1)
+SELECT vb.term, vb.n AS n_postings, vb.varint_bytes,
+       (ceil(length(bin(vb.n)) / 7.0)::BIGINT + fb.for_body) AS for_bytes
+FROM vb JOIN fb USING (term)""",
         "mlm_mask_plan": """
 WITH dd AS (SELECT doc_id,
             list_filter(regexp_split_to_array(lower(text), '\s+'),

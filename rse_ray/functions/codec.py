@@ -545,3 +545,66 @@ def decode_pos_runs_joint(payloads: list[bytes], tfs: np.ndarray) -> np.ndarray:
     are independent byte streams, so their concatenation IS a valid
     stream for the concatenated tfs."""
     return decode_pos_run(b"".join(bytes(p) for p in payloads), tfs)
+
+
+# --------------------------------------------------------------------------
+# FOR-bitpacked block codec (second wire format)
+# --------------------------------------------------------------------------
+
+def for_encode(values: np.ndarray) -> bytes:
+    """Frame-of-reference bitpacking (the PForDelta family without the
+    patch list): per BLOCK_SIZE block store varint base (=min), one
+    width byte w = bit_length(max - base), then all (v - base) packed
+    w bits each, little-endian bit order, byte-aligned per block.
+    Constant-width blocks decode with pure shifts (no data-dependent
+    byte walk like varint), the classic trade: slightly larger tails,
+    faster scans. Layout: varint n, then blocks."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    out = bytearray(_varint_one(len(v)))
+    for s in range(0, len(v), BLOCK_SIZE):
+        blk = v[s:s + BLOCK_SIZE]
+        base = int(blk.min())
+        d = blk - np.uint64(base)
+        w = int(d.max()).bit_length()
+        out += _varint_one(base)
+        out.append(w)
+        if w:
+            bitidx = np.arange(len(d), dtype=np.int64) * w
+            packed = np.zeros((len(d) * w + 7) // 8, dtype=np.uint8)
+            for j in range(w):
+                gi = bitidx + j
+                bits = ((d >> np.uint64(j)) & np.uint64(1)).astype(np.uint8)
+                np.bitwise_or.at(
+                    packed, gi >> 3,
+                    bits << (gi & 7).astype(np.uint8))
+            out += packed.tobytes()
+    return bytes(out)
+
+
+def for_decode(buf: bytes | memoryview) -> np.ndarray:
+    """Inverse of for_encode; returns uint64 values."""
+    mv = memoryview(buf)
+    n, at = _read_varint(mv, 0)
+    out = np.empty(n, dtype=np.uint64)
+    got = 0
+    while got < n:
+        cnt = min(BLOCK_SIZE, n - got)
+        base, at = _read_varint(mv, at)
+        w = mv[at]
+        at += 1
+        if w == 0:
+            out[got:got + cnt] = base
+        else:
+            nbytes = (cnt * w + 7) // 8
+            packed = np.frombuffer(mv[at:at + nbytes], dtype=np.uint8)
+            at += nbytes
+            d = np.zeros(cnt, dtype=np.uint64)
+            bitidx = np.arange(cnt, dtype=np.int64) * w
+            for j in range(w):
+                gi = bitidx + j
+                bits = (packed[gi >> 3] >> (gi & 7).astype(np.uint8)) \
+                    & np.uint8(1)
+                d |= bits.astype(np.uint64) << np.uint64(j)
+            out[got:got + cnt] = d + np.uint64(base)
+        got += cnt
+    return out

@@ -1941,3 +1941,31 @@ def mlm_mask_plan(ds, *, rate_pct: int = 15, id_col: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def codec_size_report(ds, *, stem: bool = False):
+    """Per-term wire-size comparison of the two posting codecs over
+    the REAL encoders: sort each term's doc_ids, delta them (first
+    value absolute), and report len(varint_encode(deltas)) vs
+    len(for_encode(deltas)) -> (term, n_postings, varint_bytes,
+    for_bytes). The numbers come from encoding, not from a size
+    formula, so the SQL twin (closed-form byte counts from bin()
+    widths) independently cross-checks the byte layout itself — a
+    format-stability oracle, not just a size estimate. One
+    groupby(term) shuffle of (term, doc_id) rows."""
+    from rse_ray.functions.codec import for_encode, varint_encode
+    from rse_ray.pipelines.text import postings as _postings
+
+    p = _postings(ds, stem=stem).select_columns(["term", "doc_id"])
+
+    def report(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64)).astype(np.uint64)
+        deltas = np.diff(ids, prepend=np.uint64(0))
+        return pd.DataFrame({
+            "term": [g["term"].iloc[0]],
+            "n_postings": [np.int64(len(ids))],
+            "varint_bytes": [np.int64(len(varint_encode(deltas)))],
+            "for_bytes": [np.int64(len(for_encode(deltas)))],
+        })
+
+    return p.groupby("term").map_groups(report, batch_format="pandas")

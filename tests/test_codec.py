@@ -276,3 +276,37 @@ def test_pos_runs_edge_cases():
     # non-increasing positions within a doc rejected
     with pytest.raises(ValueError):
         encode_pos_runs([[3, 3]], [[2]])
+
+
+def test_for_codec_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rse_ray.functions.codec import for_decode, for_encode
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                    max_size=400))
+    def rt(vals):
+        a = np.array(vals, dtype=np.uint64)
+        assert for_decode(for_encode(a)).tolist() == vals
+
+    rt()
+
+
+def test_for_codec_edges_and_density():
+    import numpy as np
+
+    from rse_ray.functions.codec import for_decode, for_encode
+
+    # all-equal block packs to width 0 (header-only)
+    a = np.full(300, 7, dtype=np.uint64)
+    enc = for_encode(a)
+    assert len(enc) < 20
+    assert for_decode(enc).tolist() == a.tolist()
+    # dense deltas beat varint's 1-byte/value floor
+    from rse_ray.functions.codec import varint_encode
+
+    dense = np.ones(1024, dtype=np.uint64)
+    assert len(for_encode(dense)) < len(varint_encode(dense))
