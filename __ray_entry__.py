@@ -496,6 +496,17 @@ def _q_paragraph_dedup(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]))))
 
 
+BLOCK_PHRASES = ["merge join", "hash table", "fast scan", "dup key",
+                 "window merge"]
+
+
+def _q_phrase_scan(sf_dir: str):
+    from rse_ray.pipelines.text import phrase_scan
+
+    return _finalize(phrase_scan(
+        _read(sf_dir, "documents", ["doc_id", "text"]), BLOCK_PHRASES))
+
+
 def _q_codec_size_report(sf_dir: str):
     from rse_ray.pipelines.text import codec_size_report
 
@@ -2822,6 +2833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _q_gopher_rules,
         "mlm_mask_plan": _q_mlm_mask_plan,
         "codec_size_report": _q_codec_size_report,
+        "phrase_scan": _q_phrase_scan,
         "lineitem_corr": _q_lineitem_corr,
         "pushdown_scan": _q_pushdown_scan,
         "warc_source_docs": _q_warc_source_docs,
@@ -3346,6 +3358,12 @@ WHERE event_type = 'purchase' AND value >= 100.0""",
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
 FROM lineitem GROUP BY l_returnflag""",
+        "phrase_scan": """
+WITH ph(phrase) AS (VALUES ('merge join'), ('hash table'), ('fast scan'), ('dup key'), ('window merge')),
+hits AS (SELECT d.doc_id, ph.phrase,
+                len(regexp_extract_all(d.text, ph.phrase))::BIGINT AS n
+         FROM documents d CROSS JOIN ph WHERE d.text IS NOT NULL)
+SELECT doc_id, phrase, n FROM hits WHERE n > 0""",
         "codec_size_report": _TOKS + """,
 p AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
 d AS (SELECT term, doc_id,

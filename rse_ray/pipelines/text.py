@@ -1969,3 +1969,100 @@ def codec_size_report(ds, *, stem: bool = False):
         })
 
     return p.groupby("term").map_groups(report, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Aho-Corasick multi-phrase scan (blocklist matching)
+# --------------------------------------------------------------------------
+
+class PhraseScanner:
+    """Actor-pool stage: count occurrences of a fixed phrase list in
+    every doc with one Aho-Corasick pass — the blocklist/compliance
+    scan a corpus release runs, where the phrase list is thousands of
+    entries and per-phrase rescanning (p regex passes per doc) is the
+    anti-pattern. The automaton (goto/fail/output tables) is built
+    ONCE per actor in __init__ (the per-worker expensive-init
+    discipline, ST3); __call__ streams batches through it. Emits one
+    row per (doc, phrase) with >= 1 hit: (doc_id, phrase, n).
+
+    Matches are counted at every end position (AC's native semantics).
+    For phrase lists whose entries cannot self-overlap (e.g.
+    multi-word phrases with distinct words) this equals the per-phrase
+    non-overlapping count, which is what the SQL twin
+    (len(regexp_extract_all(text, lit))) expresses — the fixture list
+    keeps that property and the pytest pins the overlap behavior."""
+
+    def __init__(self, phrases: list[str]) -> None:
+        self.phrases = list(phrases)
+        # build goto / fail / output (classic AC over dict transitions)
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[int]] = [[]]
+        for pi, p in enumerate(self.phrases):
+            s = 0
+            for ch in p:
+                nxt = self.goto[s].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append([])
+                    nxt = len(self.goto) - 1
+                    self.goto[s][ch] = nxt
+                s = nxt
+            self.out[s].append(pi)
+        self.fail = [0] * len(self.goto)
+        from collections import deque
+
+        q = deque()
+        for s in self.goto[0].values():
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, s in self.goto[r].items():
+                q.append(s)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[s] = self.goto[f].get(ch, 0)
+                if self.fail[s] == s:
+                    self.fail[s] = 0
+                self.out[s] = self.out[s] + self.out[self.fail[s]]
+
+    def _scan(self, text: str, counts: np.ndarray) -> None:
+        s = 0
+        goto, fail, out = self.goto, self.fail, self.out
+        for ch in text:
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            if out[s]:
+                for pi in out[s]:
+                    counts[pi] += 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_ph, o_n = [], [], []
+        counts = np.zeros(len(self.phrases), dtype=np.int64)
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            counts[:] = 0
+            self._scan(t, counts)
+            for pi in np.flatnonzero(counts):
+                o_id.append(i)
+                o_ph.append(self.phrases[pi])
+                o_n.append(int(counts[pi]))
+        return pa.table({
+            "doc_id": pa.array(o_id, type=pa.int64()),
+            "phrase": pa.array(o_ph, type=pa.string()),
+            "n": pa.array(o_n, type=pa.int64()),
+        })
+
+
+def phrase_scan(ds, phrases: list[str], *, concurrency: int = 4,
+                batch_size: int = 256):
+    """Blocklist scan over the corpus: actor pool of PhraseScanner
+    (automaton built once per actor), map-only, no shuffle."""
+    return ds.map_batches(
+        PhraseScanner, fn_constructor_args=(phrases,),
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")

@@ -3162,3 +3162,27 @@ def test_span_near_ordered_semantics(ray_session):
         if n:
             want[r.doc_id] = n
     assert got.to_dict() == want
+
+
+def test_phrase_scanner_overlap_and_failure_links(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import PhraseScanner, phrase_scan
+
+    # native AC semantics: counts at every end position, including a
+    # pattern inside another pattern's match ('ab' inside 'aab')
+    sc = PhraseScanner(["ab", "aab", "bc"])
+    counts = np.zeros(3, dtype=np.int64)
+    sc._scan("xaabc aab", counts)
+    assert counts.tolist() == [2, 2, 1]
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["merge join then merge join", "no hits", None]),
+    })
+    got = phrase_scan(ray.data.from_arrow(t),
+                      ["merge join", "hash table"],
+                      concurrency=2).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0].tolist() == [0, "merge join", 2]
