@@ -498,6 +498,7 @@ def _q_paragraph_dedup(sf_dir: str):
 
 BLOCK_PHRASES = ["merge join", "hash table", "fast scan", "dup key",
                  "window merge"]
+CMS_PROBES = ["spark", "window", "hash", "the", "zzznope"]
 
 
 def _q_phrase_scan(sf_dir: str):
@@ -505,6 +506,13 @@ def _q_phrase_scan(sf_dir: str):
 
     return _finalize(phrase_scan(
         _read(sf_dir, "documents", ["doc_id", "text"]), BLOCK_PHRASES))
+
+
+def _q_cms_term_counts(sf_dir: str):
+    from rse_ray.pipelines.sketch import cms_term_counts
+
+    return _finalize(cms_term_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"]), CMS_PROBES))
 
 
 def _q_codec_size_report(sf_dir: str):
@@ -2834,6 +2842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlm_mask_plan": _q_mlm_mask_plan,
         "codec_size_report": _q_codec_size_report,
         "phrase_scan": _q_phrase_scan,
+        "cms_term_counts": _q_cms_term_counts,
         "lineitem_corr": _q_lineitem_corr,
         "pushdown_scan": _q_pushdown_scan,
         "warc_source_docs": _q_warc_source_docs,
@@ -3358,6 +3367,18 @@ WHERE event_type = 'purchase' AND value >= 100.0""",
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
 FROM lineitem GROUP BY l_returnflag""",
+        "cms_term_counts": _TOKS + """,
+tc AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+pr(term) AS (VALUES ('spark'), ('window'), ('hash'), ('the'), ('zzznope')),
+dep(dd) AS (VALUES (0), (1), (2), (3)),
+sums AS (SELECT pr.term, dep.dd,
+           sum(CASE WHEN md5_number_lower(dep.dd || ':' || tc.term) % 16
+                       = md5_number_lower(dep.dd || ':' || pr.term) % 16
+                    THEN tc.n ELSE 0 END) AS s
+         FROM pr CROSS JOIN dep CROSS JOIN tc GROUP BY 1, 2),
+est AS (SELECT term, min(s)::BIGINT AS cms_n FROM sums GROUP BY 1)
+SELECT pr.term, coalesce(tc.n, 0)::BIGINT AS exact_n, est.cms_n
+FROM pr LEFT JOIN tc USING (term) JOIN est USING (term)""",
         "phrase_scan": """
 WITH ph(phrase) AS (VALUES ('merge join'), ('hash table'), ('fast scan'), ('dup key'), ('window merge')),
 hits AS (SELECT d.doc_id, ph.phrase,

@@ -258,3 +258,84 @@ est AS (SELECT grp, CASE
     THEN {HLL_M}e0 * ln({HLL_M}e0 / ({HLL_M} - nidx))
     ELSE e0 END AS e FROM raw)
 SELECT grp AS {group_expr}, round(e, 6) AS est_ndistinct FROM est"""
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (bounded-memory frequency estimation)
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 16
+
+
+def _cms_bucket(terms, d: int) -> np.ndarray:
+    """Row-d bucket per term: md5_number_lower(d || ':' || term) %
+    CMS_WIDTH — the same cross-engine hash convention as HLL, so the
+    twin recomputes the identical sketch in SQL."""
+    return (_md5_u64([f"{d}:{t}" for t in terms])
+            % np.uint64(CMS_WIDTH)).astype(np.int64)
+
+
+def cms_term_counts(ds, probes: list[str], *, stem: bool = False):
+    """Count-Min frequency estimation over the corpus term stream
+    (Cormode & Muthukrishnan 2005): per batch, count terms locally and
+    scatter-add into a CMS_DEPTH x CMS_WIDTH counter grid; the shuffle
+    then merges sketches as (slot, cnt) rows — counter sums commute,
+    so the merged sketch is independent of batch/merge order and the
+    result is EXACTLY reproducible (estimate = min over rows of the
+    probe's slot), not a tolerance band. The driver folds 256 slot
+    rows + one exact-count row per probe; the vocabulary itself is
+    never collected. Width 16 is deliberately small so collisions are
+    real against the fixture's ~31-term vocabulary and the (always >=)
+    overestimate is genuinely exercised.
+    -> (term, exact_n, cms_n) for each probe term present or not."""
+    from collections import Counter
+
+    from rse_ray.functions.tokenizer import tokenize
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        c: Counter = Counter()
+        for t in texts:
+            if t is not None:
+                c.update(tokenize(t, stem=stem))
+        terms = list(c.keys())
+        cnts = np.fromiter(c.values(), dtype=np.int64, count=len(terms))
+        slots, vals = [], []
+        for d in range(CMS_DEPTH):
+            grid = np.zeros(CMS_WIDTH, dtype=np.int64)
+            np.add.at(grid, _cms_bucket(terms, d), cnts)
+            nz = np.flatnonzero(grid)
+            slots.append(nz + d * CMS_WIDTH)
+            vals.append(grid[nz])
+        # exact counts for probe terms ride along as negative slots
+        # (-1-i for probe i), so ONE shuffle carries both
+        pc_ = np.array([c.get(p, 0) for p in probes], dtype=np.int64)
+        slots.append(-1 - np.arange(len(probes), dtype=np.int64))
+        vals.append(pc_)
+        return pa.table({
+            "slot": pa.array(np.concatenate(slots), type=pa.int64()),
+            "cnt": pa.array(np.concatenate(vals), type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("slot").aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    grid = np.zeros(CMS_DEPTH * CMS_WIDTH, dtype=np.int64)
+    exact = np.zeros(len(probes), dtype=np.int64)
+    for r in merged.itertuples():
+        if r.slot >= 0:
+            grid[r.slot] = r.cnt
+        else:
+            exact[-1 - r.slot] = r.cnt
+    est = np.empty(len(probes), dtype=np.int64)
+    for i, p in enumerate(probes):
+        est[i] = min(grid[d * CMS_WIDTH + int(_cms_bucket([p], d)[0])]
+                     for d in range(CMS_DEPTH))
+    return pd.DataFrame({
+        "term": pd.array(probes, dtype="object"),
+        "exact_n": pd.array(exact, dtype="int64"),
+        "cms_n": pd.array(est, dtype="int64"),
+    })

@@ -3186,3 +3186,24 @@ def test_phrase_scanner_overlap_and_failure_links(ray_session):
                       concurrency=2).to_pandas()
     assert len(got) == 1
     assert got.iloc[0].tolist() == [0, "merge join", 2]
+
+
+def test_cms_overestimates_and_merge_order_invariance(ray_session):
+    import ray.data
+
+    from rse_ray.pipelines.sketch import cms_term_counts
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    probes = ["spark", "window", "hash", "the", "zzznope"]
+    got = cms_term_counts(ray.data.from_pandas(docs), probes) \
+        .set_index("term")
+    # CMS never underestimates
+    assert (got["cms_n"] >= got["exact_n"]).all()
+    # width 16 vs ~31 terms: at least one probe strictly overestimates
+    assert (got["cms_n"] > got["exact_n"]).any()
+    # counter sums commute: a different batch layout -> same sketch
+    again = cms_term_counts(
+        ray.data.from_pandas(docs).repartition(13), probes) \
+        .set_index("term")
+    assert got.equals(again)
