@@ -499,6 +499,8 @@ def _q_paragraph_dedup(sf_dir: str):
 BLOCK_PHRASES = ["merge join", "hash table", "fast scan", "dup key",
                  "window merge"]
 CMS_PROBES = ["spark", "window", "hash", "the", "zzznope"]
+PSL_RULES = ["com", "uk", "co.uk", "io", "github.io", "*.ck", "!www.ck"]
+PSL_HOSTS = "/tmp/rse_ray_cache/psl_v1/hosts.parquet"
 
 
 def _q_phrase_scan(sf_dir: str):
@@ -506,6 +508,17 @@ def _q_phrase_scan(sf_dir: str):
 
     return _finalize(phrase_scan(
         _read(sf_dir, "documents", ["doc_id", "text"]), BLOCK_PHRASES))
+
+
+def _q_registrable_domains(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import registrable_domains
+    from rse_ray.sources.fixtures import generate_psl_fixture
+
+    generate_psl_fixture(PSL_HOSTS)
+    return _finalize(registrable_domains(
+        ray.data.read_parquet(PSL_HOSTS), PSL_RULES))
 
 
 def _q_cms_term_counts(sf_dir: str):
@@ -2843,6 +2856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "codec_size_report": _q_codec_size_report,
         "phrase_scan": _q_phrase_scan,
         "cms_term_counts": _q_cms_term_counts,
+        "registrable_domains": _q_registrable_domains,
         "lineitem_corr": _q_lineitem_corr,
         "pushdown_scan": _q_pushdown_scan,
         "warc_source_docs": _q_warc_source_docs,
@@ -3367,6 +3381,33 @@ WHERE event_type = 'purchase' AND value >= 100.0""",
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
 FROM lineitem GROUP BY l_returnflag""",
+        "registrable_domains": f"""
+WITH hosts AS (SELECT host FROM read_parquet('{PSL_HOSTS}')),
+r(rule, wild, exc) AS (VALUES ('com', false, false), ('uk', false, false), ('co.uk', false, false), ('io', false, false), ('github.io', false, false), ('ck', true, false), ('www.ck', false, true)),
+h AS (SELECT host, string_split(lower(host), '.') AS hl
+      FROM hosts WHERE host IS NOT NULL),
+m AS (SELECT h.host, h.hl, r.exc,
+        len(string_split(r.rule, '.'))
+          + CASE WHEN r.wild THEN 1 ELSE 0 END AS n
+      FROM h JOIN r ON
+        len(h.hl) >= len(string_split(r.rule, '.'))
+                     + CASE WHEN r.wild THEN 1 ELSE 0 END
+        AND array_to_string(
+              h.hl[len(h.hl) - len(string_split(r.rule, '.')) + 1
+                   : len(h.hl)], '.') = r.rule),
+best AS (SELECT host, CASE WHEN exc THEN n - 1 ELSE n END AS ps
+         FROM m QUALIFY row_number() OVER (PARTITION BY host
+             ORDER BY exc DESC,
+                      CASE WHEN exc THEN n ELSE -n END) = 1),
+fin AS (SELECT h.host, h.hl, coalesce(b.ps, 1) AS ps
+        FROM h LEFT JOIN best b USING (host))
+SELECT host,
+       CASE WHEN len(hl) > ps
+            THEN array_to_string(hl[len(hl) - ps : len(hl)], '.')
+            ELSE NULL END AS registrable
+FROM fin
+UNION ALL
+SELECT host, NULL AS registrable FROM hosts WHERE host IS NULL""",
         "cms_term_counts": _TOKS + """,
 tc AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY 1),
 pr(term) AS (VALUES ('spark'), ('window'), ('hash'), ('the'), ('zzznope')),

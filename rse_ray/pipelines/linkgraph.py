@@ -1889,3 +1889,70 @@ def related_pages(links_ds, *, src_col: str = "src_url",
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# public-suffix registrable domains
+# --------------------------------------------------------------------------
+
+def registrable_domains(hosts_ds, rules: list[str], *,
+                        host_col: str = "host"):
+    """Registrable-domain (eTLD+1) extraction under the Public Suffix
+    List ALGORITHM (publicsuffix.org/list): rules are plain suffixes,
+    ``*.x`` wildcards (the * consumes exactly one label) or ``!y``
+    exceptions (public suffix = the exception rule minus its first
+    label); among matching rules an exception wins, else the one with
+    most labels; no match falls back to the implicit ``*`` rule (last
+    label). registrable = public suffix + one more label, or null when
+    the host IS a public suffix. This is the host -> site grouping
+    every per-site crawl policy (politeness, dedup, quotas) keys on —
+    naive 'last two labels' grouping breaks on co.uk-style suffixes.
+
+    The rule list is broadcast inside the map function's closure
+    (compiled once per task; at fleet scale, ray.put the compiled
+    table) — map-only, no shuffle."""
+    parsed = []
+    for r in rules:
+        exc = r.startswith("!")
+        base = r[1:] if exc else (r[2:] if r.startswith("*.") else r)
+        wild = r.startswith("*.")
+        parsed.append((tuple(base.split(".")), wild, exc))
+
+    def ps_labels(hl: tuple[str, ...]) -> int:
+        best = 1          # implicit '*' rule
+        best_exc = None
+        for base, wild, exc in parsed:
+            nb = len(base)
+            if wild:
+                if len(hl) >= nb + 1 and tuple(hl[-nb:]) == base:
+                    n = nb + 1
+                else:
+                    continue
+            else:
+                if len(hl) >= nb and tuple(hl[-nb:]) == base:
+                    n = nb
+                else:
+                    continue
+            if exc:
+                best_exc = n - 1 if best_exc is None else min(best_exc,
+                                                              n - 1)
+            else:
+                best = max(best, n)
+        return best_exc if best_exc is not None else best
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hosts = batch.column(host_col).to_pylist()
+        out = []
+        for h in hosts:
+            if h is None:
+                out.append(None)
+                continue
+            hl = tuple(h.lower().split("."))
+            n = ps_labels(hl)
+            out.append(".".join(hl[-(n + 1):]) if len(hl) > n else None)
+        return pa.table({
+            host_col: batch.column(host_col),
+            "registrable": pa.array(out, type=pa.string()),
+        })
+
+    return hosts_ds.map_batches(fn, batch_format="pyarrow")

@@ -547,3 +547,45 @@ def generate_graph(out_path: str, *, n_nodes: int = 600) -> None:
     from rse_ray.state.manifest import write_file_atomic
 
     write_file_atomic(out_path, lambda tmp: _pq.write_table(t, tmp))
+
+
+def generate_psl_fixture(out_path: str) -> None:
+    """Host fixture for registrable_domains: plain TLDs, multi-label
+    suffixes (co.uk vs uk — longest must win), wildcard (*.ck) with
+    its exception (!www.ck), private-registry suffixes (github.io),
+    unknown TLDs (implicit * rule), hosts that ARE public suffixes
+    (-> null), and deep subdomains. Static list, byte-stable."""
+    import os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    if os.path.exists(out_path):
+        return
+    hosts = [
+        "example.com",
+        "a.b.example.com",
+        "Example.CO.UK",
+        "sub.example.co.uk",
+        "uk",
+        "co.uk",
+        "parliament.uk",
+        "www.parliament.uk",
+        "foo.github.io",
+        "deep.foo.github.io",
+        "github.io",
+        "example.zz",
+        "a.example.zz",
+        "zz",
+        "anything.ck",
+        "www.anything.ck",
+        "www.ck",
+        "sub.www.ck",
+        "ck",
+        None,
+    ]
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp = out_path + ".tmp"
+    _pq.write_table(
+        _pa.table({"host": _pa.array(hosts, type=_pa.string())}), tmp)
+    os.rename(tmp, out_path)

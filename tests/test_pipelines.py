@@ -3207,3 +3207,29 @@ def test_cms_overestimates_and_merge_order_invariance(ray_session):
         ray.data.from_pandas(docs).repartition(13), probes) \
         .set_index("term")
     assert got.equals(again)
+
+
+def test_registrable_domains_psl_algorithm(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import registrable_domains
+
+    rules = ["com", "uk", "co.uk", "io", "github.io", "*.ck", "!www.ck"]
+    cases = {
+        "a.b.example.com": "example.com",     # longest normal rule
+        "Example.CO.UK": "example.co.uk",     # co.uk beats uk; lowered
+        "co.uk": None,                        # host IS a public suffix
+        "example.zz": "example.zz",           # implicit * rule
+        "zz": None,
+        "anything.ck": None,                  # *.ck: PS eats one label
+        "www.anything.ck": "www.anything.ck",
+        "sub.www.ck": "www.ck",               # !www.ck exception
+        "deep.foo.github.io": "foo.github.io",
+    }
+    t = pa.table({"host": pa.array(list(cases), type=pa.string())})
+    got = registrable_domains(ray.data.from_arrow(t), rules) \
+        .to_pandas().set_index("host")["registrable"]
+    for h, want in cases.items():
+        g = got[h]
+        assert (g is None or pd.isna(g)) if want is None else g == want
