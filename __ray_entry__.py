@@ -510,6 +510,13 @@ def _q_phrase_scan(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]), BLOCK_PHRASES))
 
 
+def _q_content_chunks(sf_dir: str):
+    from rse_ray.pipelines.text import content_chunks
+
+    return _finalize(content_chunks(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
 def _q_registrable_domains(sf_dir: str):
     import ray.data
 
@@ -2857,6 +2864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_scan": _q_phrase_scan,
         "cms_term_counts": _q_cms_term_counts,
         "registrable_domains": _q_registrable_domains,
+        "content_chunks": _q_content_chunks,
         "lineitem_corr": _q_lineitem_corr,
         "pushdown_scan": _q_pushdown_scan,
         "warc_source_docs": _q_warc_source_docs,
@@ -3381,6 +3389,33 @@ WHERE event_type = 'purchase' AND value >= 100.0""",
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
 FROM lineitem GROUP BY l_returnflag""",
+        "content_chunks": """
+WITH pw(e, w) AS (VALUES (0, 1), (1, 257), (2, 66049), (3, 16974593), (4, 67503107), (5, 168429323), (6, 336663071), (7, 623063367), (8, 1213495441), (9, 483199522), (10, 1775709275), (11, 1090750511), (12, 1150007217), (13, 1346595130), (14, 330081243), (15, 1079017218)),
+ex AS (
+  SELECT doc_id, length(text) AS L,
+         unnest(range(1, length(text) + 1)) AS i, text
+  FROM documents WHERE text IS NOT NULL
+), byte AS (
+  SELECT doc_id, L, i, unicode(substr(text, i::INT, 1))::BIGINT AS v FROM ex
+), win AS (
+  SELECT a.doc_id, a.i, (sum(b.v * pw.w) % 2147483647) AS hv
+  FROM byte a
+  JOIN byte b ON b.doc_id = a.doc_id
+             AND b.i BETWEEN a.i - 15 AND a.i
+  JOIN pw ON pw.e = a.i - b.i
+  WHERE a.L >= 16 AND a.i >= 16
+  GROUP BY a.doc_id, a.i
+), cuts AS (
+  SELECT doc_id, i FROM win WHERE (hv & 31) = 0
+  UNION
+  SELECT doc_id, L AS i FROM byte WHERE L > 0 GROUP BY doc_id, L
+), seq AS (
+  SELECT doc_id, i,
+         coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS ci
+  FROM cuts)
+SELECT doc_id, ci AS chunk_idx, s AS start, (i - s)::BIGINT AS length
+FROM seq""",
         "registrable_domains": f"""
 WITH hosts AS (SELECT host FROM read_parquet('{PSL_HOSTS}')),
 r(rule, wild, exc) AS (VALUES ('com', false, false), ('uk', false, false), ('co.uk', false, false), ('io', false, false), ('github.io', false, false), ('ck', true, false), ('www.ck', false, true)),

@@ -167,3 +167,32 @@ def rolling_fingerprint(text: str, window: int = 64, mod_bits: int = 6) -> list[
         if i >= window - 1 and (h & mask) == 0:
             out.append(h)
     return out
+
+
+def cdc_boundaries(data: bytes, window: int = 16,
+                   mod_bits: int = 5) -> list[int]:
+    """Content-defined chunk cut points (FastCDC/LBFS family, gear
+    replaced by the repo's Rabin-Karp convention so the SQL twin can
+    recompute it closed-form): cut AFTER byte i (1-based) whenever the
+    window hash ending at i is 0 mod 2^mod_bits; EOF always closes the
+    last chunk. Because boundaries depend only on local content, an
+    insertion resynchronizes within one window — the property that
+    makes chunk-level dedup robust to edits, unlike fixed-size blocks.
+    Docs shorter than the window yield the single whole-doc chunk."""
+    n = len(data)
+    if n == 0:
+        return []
+    cuts: list[int] = []
+    if n >= window:
+        h = 0
+        pw = pow(_RK_BASE, window - 1, _RK_MOD)
+        mask = (1 << mod_bits) - 1
+        for i, byte in enumerate(data):
+            if i >= window:
+                h = (h - data[i - window] * pw) % _RK_MOD
+            h = (h * _RK_BASE + byte) % _RK_MOD
+            if i >= window - 1 and (h & mask) == 0:
+                cuts.append(i + 1)
+    if not cuts or cuts[-1] != n:
+        cuts.append(n)
+    return cuts

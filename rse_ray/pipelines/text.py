@@ -2066,3 +2066,39 @@ def phrase_scan(ds, phrases: list[str], *, concurrency: int = 4,
         PhraseScanner, fn_constructor_args=(phrases,),
         concurrency=concurrency, batch_size=batch_size,
         batch_format="pyarrow")
+
+
+def content_chunks(ds, *, window: int = 16, mod_bits: int = 5,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Content-defined chunking of each doc's byte stream
+    (hashing.cdc_boundaries): -> (doc_id, chunk_idx, start, length),
+    0-based byte offsets. The storage-dedup shape: identical text runs
+    produce identical chunks regardless of their position, so a
+    downstream exact dedup on (md5 of chunk) dedupes at sub-document
+    granularity. Map-only explode; chunk boundaries are local, so the
+    operator shards perfectly."""
+    from rse_ray.functions.hashing import cdc_boundaries
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        o_id, o_idx, o_start, o_len = [], [], [], []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            prev = 0
+            for j, cut in enumerate(cdc_boundaries(
+                    t.encode("utf-8"), window, mod_bits)):
+                o_id.append(i)
+                o_idx.append(j)
+                o_start.append(prev)
+                o_len.append(cut - prev)
+                prev = cut
+        return pa.table({
+            id_col: pa.array(o_id, type=pa.int64()),
+            "chunk_idx": pa.array(o_idx, type=pa.int64()),
+            "start": pa.array(o_start, type=pa.int64()),
+            "length": pa.array(o_len, type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -3233,3 +3233,32 @@ def test_registrable_domains_psl_algorithm(ray_session):
     for h, want in cases.items():
         g = got[h]
         assert (g is None or pd.isna(g)) if want is None else g == want
+
+
+def test_cdc_chunks_resync_on_insertion(ray_session):
+    """The CDC property: inserting bytes near the head only changes
+    chunking locally — boundaries resynchronize within a window, so
+    the tail chunks (as byte strings) are identical."""
+    from rse_ray.functions.hashing import cdc_boundaries
+
+    base = ("key agg row scan slow fast table value part hash value "
+            "table part a row fast merge batch part value fast spark "
+            "a a the line sort table window table table key") * 3
+    edited = base[:40] + "INSERTED BYTES " + base[40:]
+
+    def chunks(s):
+        data = s.encode()
+        prev, out = 0, []
+        for c in cdc_boundaries(data):
+            out.append(data[prev:c])
+            prev = c
+        assert b"".join(out) == data  # partition covers the doc
+        return out
+
+    a, b = chunks(base), chunks(edited)
+    # a long common tail of identical chunks survives the edit
+    n_common = 0
+    while (n_common < min(len(a), len(b))
+           and a[-1 - n_common] == b[-1 - n_common]):
+        n_common += 1
+    assert n_common >= len(a) // 2
