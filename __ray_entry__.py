@@ -517,6 +517,13 @@ def _q_content_chunks(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"])))
 
 
+def _q_dup_chunks(sf_dir: str):
+    from rse_ray.pipelines.text import dup_chunks
+
+    return _finalize(dup_chunks(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
 def _q_registrable_domains(sf_dir: str):
     import ray.data
 
@@ -2865,6 +2872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts": _q_cms_term_counts,
         "registrable_domains": _q_registrable_domains,
         "content_chunks": _q_content_chunks,
+        "dup_chunks": _q_dup_chunks,
         "lineitem_corr": _q_lineitem_corr,
         "pushdown_scan": _q_pushdown_scan,
         "warc_source_docs": _q_warc_source_docs,
@@ -3389,6 +3397,44 @@ WHERE event_type = 'purchase' AND value >= 100.0""",
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
 FROM lineitem GROUP BY l_returnflag""",
+        "dup_chunks": """
+WITH pw(e, w) AS (VALUES (0, 1), (1, 257), (2, 66049), (3, 16974593), (4, 67503107), (5, 168429323), (6, 336663071), (7, 623063367), (8, 1213495441), (9, 483199522), (10, 1775709275), (11, 1090750511), (12, 1150007217), (13, 1346595130), (14, 330081243), (15, 1079017218)),
+ex AS (
+  SELECT doc_id, length(text) AS L,
+         unnest(range(1, length(text) + 1)) AS i, text
+  FROM documents WHERE text IS NOT NULL
+), byte AS (
+  SELECT doc_id, L, i, unicode(substr(text, i::INT, 1))::BIGINT AS v,
+         text FROM ex
+), win AS (
+  SELECT a.doc_id, a.i, (sum(b.v * pw.w) % 2147483647) AS hv
+  FROM byte a
+  JOIN byte b ON b.doc_id = a.doc_id
+             AND b.i BETWEEN a.i - 15 AND a.i
+  JOIN pw ON pw.e = a.i - b.i
+  WHERE a.L >= 16 AND a.i >= 16
+  GROUP BY a.doc_id, a.i
+), cuts AS (
+  SELECT doc_id, i FROM win WHERE (hv & 31) = 0
+  UNION
+  SELECT doc_id, L AS i FROM byte WHERE L > 0 GROUP BY doc_id, L
+), seq AS (
+  SELECT doc_id, i,
+         coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS ci
+  FROM cuts
+), ch AS (
+  SELECT seq.doc_id, seq.ci,
+         md5(substr(d.text, (seq.s + 1)::INT, (seq.i - seq.s)::INT)) AS h
+  FROM seq JOIN documents d ON d.doc_id = seq.doc_id)
+SELECT doc_id AS rep_doc_id, ci AS rep_chunk_idx,
+       n_copies::BIGINT AS n_copies
+FROM (SELECT doc_id, ci,
+             count(*) OVER (PARTITION BY h) AS n_copies,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY doc_id, ci) AS rn
+      FROM ch)
+WHERE n_copies >= 2 AND rn = 1""",
         "content_chunks": """
 WITH pw(e, w) AS (VALUES (0, 1), (1, 257), (2, 66049), (3, 16974593), (4, 67503107), (5, 168429323), (6, 336663071), (7, 623063367), (8, 1213495441), (9, 483199522), (10, 1775709275), (11, 1090750511), (12, 1150007217), (13, 1346595130), (14, 330081243), (15, 1079017218)),
 ex AS (

@@ -2102,3 +2102,52 @@ def content_chunks(ds, *, window: int = 16, mod_bits: int = 5,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dup_chunks(ds, *, window: int = 16, mod_bits: int = 5,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """Chunk-level exact dedup — the payoff of content_chunks: md5
+    each CDC chunk's bytes and report every chunk CONTENT that occurs
+    more than once corpus-wide, with its first owner:
+    (rep_doc_id, rep_chunk_idx, n_copies), order (doc_id, chunk_idx).
+    One explode + one groupby(md5) shuffle of (hash, doc, idx) rows —
+    chunk text itself never travels (the representative is named by
+    position, not by payload), so the shuffle is fixed-width no matter
+    how large chunks are."""
+    from rse_ray.functions.hashing import cdc_boundaries
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        o_h, o_id, o_idx = [], [], []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            data = t.encode("utf-8")
+            prev = 0
+            for j, cut in enumerate(cdc_boundaries(data, window,
+                                                   mod_bits)):
+                o_h.append(hashlib.md5(data[prev:cut]).hexdigest())
+                o_id.append(i)
+                o_idx.append(j)
+                prev = cut
+        return pa.table({
+            "h": pa.array(o_h, type=pa.string()),
+            id_col: pa.array(o_id, type=pa.int64()),
+            "chunk_idx": pa.array(o_idx, type=pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"rep_doc_id": pd.array([], dtype="int64"),
+                                 "rep_chunk_idx": pd.array([], dtype="int64"),
+                                 "n_copies": pd.array([], dtype="int64")})
+        g = g.sort_values([id_col, "chunk_idx"])
+        return pd.DataFrame({
+            "rep_doc_id": [int(g[id_col].iloc[0])],
+            "rep_chunk_idx": [int(g["chunk_idx"].iloc[0])],
+            "n_copies": [np.int64(len(g))],
+        })
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("h").map_groups(fold, batch_format="pandas"))

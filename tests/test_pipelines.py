@@ -3262,3 +3262,23 @@ def test_cdc_chunks_resync_on_insertion(ray_session):
            and a[-1 - n_common] == b[-1 - n_common]):
         n_common += 1
     assert n_common >= len(a) // 2
+
+
+def test_dup_chunks_cross_doc(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import dup_chunks
+
+    shared = "key agg row scan slow fast table value part hash " * 4
+    t = pa.table({
+        "doc_id": pa.array([5, 1, 9], type=pa.int64()),
+        "text": pa.array([f"AAA {shared}", f"BBBBB {shared}",
+                          "totally unlike the others"]),
+    })
+    got = dup_chunks(ray.data.from_arrow(t)).to_pandas()
+    # the shared run produces >= 1 duplicated chunk, owned by doc 1
+    assert len(got) >= 1
+    assert (got["n_copies"] >= 2).all()
+    assert (got["rep_doc_id"] != 9).all()
+    assert 1 in set(got["rep_doc_id"])  # min doc_id wins representative
