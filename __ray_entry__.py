@@ -376,6 +376,13 @@ def _q_bm25_champions(sf_dir: str):
         sf_dir, BM25_QUERY, k=20, m=CHAMP_M))
 
 
+def _q_hybrid_rrf(sf_dir: str):
+    from rse_ray.pipelines.docsearch import hybrid_rrf_documents
+
+    return _finalize(hybrid_rrf_documents(sf_dir, BM25_QUERY,
+                                          KNN_QUERY_IDS[0]))
+
+
 def _q_wildcard_terms(sf_dir: str):
     from rse_ray.pipelines.docsearch import wildcard_terms
 
@@ -2853,6 +2860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonyms": _q_bm25_synonyms,
         "suggest_terms": _q_suggest_terms,
         "wildcard_terms": _q_wildcard_terms,
+        "hybrid_rrf": _q_hybrid_rrf,
         "bm25_champions": _q_bm25_champions,
         "bm25_plus_scores": _q_bm25_plus,
         "span_near": _q_span_near,
@@ -3254,6 +3262,25 @@ scores AS (
        JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN s
   GROUP BY p.doc_id)
 SELECT doc_id, round(raw, 6) AS score FROM scores""",
+        "hybrid_rrf": _BM25_CTES_TMPL.format(
+            terms=BM25_QUERY_SQL_TERMS) + f""",
+lex AS (SELECT doc_id,
+               row_number() OVER (ORDER BY raw DESC, doc_id) AS r
+        FROM scores QUALIFY r <= 50),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+       WHERE vec_id = {KNN_QUERY_IDS[0]}),
+vec AS (SELECT e.vec_id AS doc_id,
+               row_number() OVER (ORDER BY list_cosine_similarity(
+                   qv.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                   e.vec_id) AS r
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id <> {KNN_QUERY_IDS[0]} QUALIFY r <= 50),
+f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + l.r), 0)
+             + coalesce(1.0 / (60 + v.r), 0) AS raw_rrf
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+SELECT doc_id, round(raw_rrf, 6) AS rrf FROM f
+ORDER BY raw_rrf DESC, doc_id LIMIT 20""",
         "bm25_champions": _TOKS + f""",
 p0 AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),

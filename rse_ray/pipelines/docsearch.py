@@ -591,6 +591,47 @@ def bm25_champions_documents(sf_dir: str, query: str, k: int = 10,
     return _score_frame(index_dir, hits, round_to=round_to)
 
 
+def hybrid_rrf_documents(sf_dir: str, query: str, query_vec_id: int,
+                         *, k_each: int = 50, k: int = 20,
+                         rrf_k: int = 60,
+                         round_to: int = 6) -> pd.DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    (Cormack et al. 2009): BM25 top-k_each from the shared index and
+    exact-cosine top-k_each against one query embedding (vec_id keys
+    align with doc_id by fixture contract), fused as
+    rrf = 1/(rrf_k + rank_lex) + 1/(rrf_k + rank_vec) with a missing
+    side contributing 0, ranked (rrf desc, doc_id asc) top-k. Ranks
+    come from each list's own deterministic order (score desc, id
+    asc), so the fusion — the shape every modern RAG stack runs — is
+    exactly reproducible. -> (doc_id, rrf)."""
+    import os
+
+    import ray.data
+
+    from rse_ray.pipelines.ann import brute_force_knn
+
+    lex = bm25_documents(sf_dir, query, k=k_each)
+    lex_rank = {int(d): r + 1 for r, d in enumerate(lex["doc_id"])}
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    vec = brute_force_knn(emb, [query_vec_id], k=k_each,
+                          round_to=None)
+    vec_rank = {int(d): r + 1
+                for r, d in enumerate(vec["neighbor_id"])}
+    fused = []
+    for d in sorted(set(lex_rank) | set(vec_rank)):
+        s = ((1.0 / (rrf_k + lex_rank[d]) if d in lex_rank else 0.0)
+             + (1.0 / (rrf_k + vec_rank[d]) if d in vec_rank else 0.0))
+        fused.append((d, s))
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    fused = fused[:k]
+    return pd.DataFrame({
+        "doc_id": pd.array([d for d, _ in fused], dtype="int64"),
+        "rrf": [round(s, round_to) for _, s in fused],
+    })
+
+
 def wildcard_terms(sf_dir: str, pattern: str, k: int = 5,
                    *, stem: bool = False) -> pd.DataFrame:
     """Wildcard dictionary lookup (Lucene WildcardQuery): ``*`` matches

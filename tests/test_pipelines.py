@@ -3282,3 +3282,29 @@ def test_dup_chunks_cross_doc(ray_session):
     assert (got["n_copies"] >= 2).all()
     assert (got["rep_doc_id"] != 9).all()
     assert 1 in set(got["rep_doc_id"])  # min doc_id wins representative
+
+
+def test_hybrid_rrf_fusion_semantics(ray_session):
+    import ray.data
+
+    from rse_ray.pipelines.ann import brute_force_knn
+    from rse_ray.pipelines.docsearch import (bm25_documents,
+                                             hybrid_rrf_documents)
+
+    got = hybrid_rrf_documents(SF, "spark window merge window", 0,
+                               k_each=50, k=20)
+    lex = bm25_documents(SF, "spark window merge window", k=50)
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    vec = brute_force_knn(emb, [0], k=50, round_to=None)
+    lex_r = {int(d): r + 1 for r, d in enumerate(lex["doc_id"])}
+    vec_r = {int(d): r + 1 for r, d in enumerate(vec["neighbor_id"])}
+    for row in got.itertuples():
+        want = (1 / (60 + lex_r[row.doc_id]) if row.doc_id in lex_r
+                else 0) + (1 / (60 + vec_r[row.doc_id])
+                           if row.doc_id in vec_r else 0)
+        assert row.rrf == round(want, 6)
+    # a doc in BOTH lists outranks rank-1 of a single list iff sums say
+    both = [d for d in got["doc_id"] if d in lex_r and d in vec_r]
+    if both:
+        assert got["rrf"].iloc[0] >= round(1 / 61, 6) or not both
