@@ -376,6 +376,20 @@ def _q_bm25_champions(sf_dir: str):
         sf_dir, BM25_QUERY, k=20, m=CHAMP_M))
 
 
+def _q_knn_cosine_sq_rerank(sf_dir: str):
+    import os
+
+    import ray.data
+
+    from rse_ray.pipelines.ann import sq_rerank_knn
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    return _finalize(sq_rerank_knn(emb, KNN_QUERY_IDS, k=10,
+                                   shortlist=40))
+
+
 def _q_hybrid_rrf(sf_dir: str):
     from rse_ray.pipelines.docsearch import hybrid_rrf_documents
 
@@ -2861,6 +2875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": _q_suggest_terms,
         "wildcard_terms": _q_wildcard_terms,
         "hybrid_rrf": _q_hybrid_rrf,
+        "knn_cosine_sq_rerank": _q_knn_cosine_sq_rerank,
         "bm25_champions": _q_bm25_champions,
         "bm25_plus_scores": _q_bm25_plus,
         "span_near": _q_span_near,
@@ -3732,6 +3747,34 @@ c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
              list_cosine_similarity(q.qe, e.re) AS raw
       FROM q, rl e WHERE e.vec_id <> q.query_id)
 SELECT query_id, neighbor_id, round(raw, 6) AS cos FROM c
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY raw DESC, neighbor_id) <= 10""".format(
+            ids=", ".join(str(i) for i in KNN_QUERY_IDS)
+        ),
+        "knn_cosine_sq_rerank": """
+WITH x AS (SELECT vec_id, unnest(range(1, 65))::BIGINT AS dim,
+                  unnest(CAST(embedding AS DOUBLE[])) AS v
+           FROM embeddings),
+st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1),
+rec AS (SELECT vec_id, x.dim,
+               CASE WHEN mx = mn THEN mn
+                    ELSE mn + floor((v - mn) / (mx - mn) * 255 + 0.5)
+                             * (mx - mn) / 255 END AS r
+        FROM x JOIN st USING (dim)),
+rl AS (SELECT vec_id, list(r ORDER BY dim) AS re FROM rec GROUP BY 1),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id IN ({ids})),
+sl AS (SELECT q.query_id, e.vec_id AS neighbor_id
+       FROM q, rl e WHERE e.vec_id <> q.query_id
+       QUALIFY row_number() OVER (PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qe, e.re) DESC,
+                    e.vec_id) <= 40),
+ex AS (SELECT sl.query_id, sl.neighbor_id,
+              list_cosine_similarity(q.qe,
+                  CAST(e.embedding AS DOUBLE[])) AS raw
+       FROM sl JOIN q USING (query_id)
+            JOIN embeddings e ON e.vec_id = sl.neighbor_id)
+SELECT query_id, neighbor_id, round(raw, 6) AS cos FROM ex
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY raw DESC, neighbor_id) <= 10""".format(
             ids=", ".join(str(i) for i in KNN_QUERY_IDS)

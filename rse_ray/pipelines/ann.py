@@ -1034,3 +1034,43 @@ def random_projection(ds, R: np.ndarray, *, round_to: int = 6):
 
     return ds.select_columns(["vec_id", "embedding"]) \
         .map_batches(fn, batch_format="pyarrow")
+
+
+def sq_rerank_knn(ds, query_ids: list[int], k: int = 10, *,
+                  shortlist: int = 40,
+                  round_to: int | None = 6) -> pd.DataFrame:
+    """Two-stage retrieval — the pattern every production vector store
+    runs at scale: a cheap scan over COMPRESSED codes (sq_knn's int8
+    reconstruction) produces a ``shortlist`` per query, then only the
+    shortlisted raw vectors are fetched (distributed is_in filter —
+    O(shortlist) rows leave the corpus, never a full scan) and scored
+    exactly. Both stages are deterministic, so unlike LSH/IVF this
+    approximate path is fully DuckDB-oracled end to end. Final order
+    (exact cos desc, neighbor_id asc) top-k.
+    -> (query_id, neighbor_id, cos)."""
+    short = sq_knn(ds, query_ids, k=shortlist, round_to=None)
+    need = sorted(set(int(n) for n in short["neighbor_id"])
+                  | set(int(q) for q in query_ids))
+    vecs = _fetch_query_vectors(ds, need)
+    out_q, out_n, out_c = [], [], []
+    for qid in sorted(set(int(q) for q in query_ids)):
+        qv = _normalize(vecs[qid][None, :])[0]
+        cands = np.array(sorted(
+            int(n) for n in short.loc[short["query_id"] == qid,
+                                      "neighbor_id"]), dtype=np.int64)
+        if not len(cands):
+            continue
+        M = _normalize(np.stack([vecs[int(c)] for c in cands]))
+        cos = M @ qv
+        keep = np.lexsort((cands, -cos))[:k]
+        out_q.extend([qid] * len(keep))
+        out_n.extend(int(c) for c in cands[keep])
+        out_c.extend(float(c) for c in cos[keep])
+    out = pd.DataFrame({
+        "query_id": pd.array(out_q, dtype="int64"),
+        "neighbor_id": pd.array(out_n, dtype="int64"),
+        "cos": pd.array(out_c, dtype="float64"),
+    })
+    if round_to is not None:
+        out["cos"] = out["cos"].round(round_to)
+    return out

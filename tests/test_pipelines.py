@@ -3308,3 +3308,29 @@ def test_hybrid_rrf_fusion_semantics(ray_session):
     both = [d for d in got["doc_id"] if d in lex_r and d in vec_r]
     if both:
         assert got["rrf"].iloc[0] >= round(1 / 61, 6) or not both
+
+
+def test_sq_rerank_recall_dominates_sq(ray_session):
+    """The rerank stage can only help: recall@10 vs exact brute force
+    is >= plain SQ's recall, and with a 40-deep shortlist it is near 1."""
+    import ray.data
+
+    from rse_ray.pipelines.ann import brute_force_knn, sq_knn, sq_rerank_knn
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    qids = [0, 1, 2, 3, 4]
+    exact = brute_force_knn(emb, qids, k=10)
+    sq = sq_knn(emb, qids, k=10)
+    rr = sq_rerank_knn(emb, qids, k=10, shortlist=40)
+
+    def recall(df):
+        r = 0.0
+        for q in qids:
+            e = set(exact.loc[exact["query_id"] == q, "neighbor_id"])
+            g = set(df.loc[df["query_id"] == q, "neighbor_id"])
+            r += len(e & g) / len(e)
+        return r / len(qids)
+
+    assert recall(rr) >= recall(sq)
+    assert recall(rr) >= 0.9
