@@ -531,6 +531,20 @@ def _q_phrase_scan(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]), BLOCK_PHRASES))
 
 
+def _q_mix_plan(sf_dir: str):
+    from rse_ray.pipelines.text import mix_plan
+
+    return _finalize(mix_plan(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"])))
+
+
+def _q_mix_epochs(sf_dir: str):
+    from rse_ray.pipelines.text import mix_epochs
+
+    return _finalize(mix_epochs(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"])))
+
+
 def _q_content_chunks(sf_dir: str):
     from rse_ray.pipelines.text import content_chunks
 
@@ -2895,6 +2909,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_counts": _q_cms_term_counts,
         "registrable_domains": _q_registrable_domains,
         "content_chunks": _q_content_chunks,
+        "mix_plan": _q_mix_plan,
+        "mix_epochs": _q_mix_epochs,
         "dup_chunks": _q_dup_chunks,
         "lineitem_corr": _q_lineitem_corr,
         "pushdown_scan": _q_pushdown_scan,
@@ -3477,6 +3493,41 @@ FROM (SELECT doc_id, ci,
                                 ORDER BY doc_id, ci) AS rn
       FROM ch)
 WHERE n_copies >= 2 AND rn = 1""",
+        "mix_plan": _TOKS + """,
+nd AS (SELECT source, count(*)::BIGINT AS n_docs
+       FROM documents GROUP BY 1),
+nt AS (SELECT d.source, count(*)::BIGINT AS n_tokens
+       FROM toks t JOIN documents d USING (doc_id) GROUP BY 1),
+j AS (SELECT nd.source, nd.n_docs, coalesce(nt.n_tokens, 0) AS n_tokens,
+             1.0 + (CAST(substr(nd.source, 4) AS BIGINT) % 4) AS w
+      FROM nd LEFT JOIN nt USING (source)),
+jj AS (SELECT * FROM j WHERE n_tokens > 0),
+s AS (SELECT sum(w) AS sw, sum(n_tokens)::DOUBLE AS T FROM jj)
+SELECT source, n_docs, n_tokens,
+       round(w / s.sw, 6) AS target_share,
+       round(w / s.sw * s.T / n_tokens, 6) AS repeat_factor
+FROM jj CROSS JOIN s""",
+        "mix_epochs": _TOKS + """,
+nd AS (SELECT source, count(*)::BIGINT AS n_docs
+       FROM documents GROUP BY 1),
+nt AS (SELECT d.source, count(*)::BIGINT AS n_tokens
+       FROM toks t JOIN documents d USING (doc_id) GROUP BY 1),
+j AS (SELECT nd.source, nd.n_docs, coalesce(nt.n_tokens, 0) AS n_tokens,
+             1.0 + (CAST(substr(nd.source, 4) AS BIGINT) % 4) AS w
+      FROM nd LEFT JOIN nt USING (source)),
+jj AS (SELECT * FROM j WHERE n_tokens > 0),
+s AS (SELECT sum(w) AS sw, sum(n_tokens)::DOUBLE AS T FROM jj),
+rp AS (SELECT source, w / s.sw * s.T / n_tokens AS r
+       FROM jj CROSS JOIN s)
+SELECT d.doc_id,
+       (CASE WHEN rp.r IS NULL THEN 0
+             ELSE floor(rp.r)
+                  + CASE WHEN md5_number_lower('mix:' || d.doc_id)
+                              % 1000000
+                           < floor((rp.r - floor(rp.r)) * 1000000 + 0.5)
+                         THEN 1 ELSE 0 END
+        END)::BIGINT AS n_repeats
+FROM documents d LEFT JOIN rp USING (source)""",
         "content_chunks": """
 WITH pw(e, w) AS (VALUES (0, 1), (1, 257), (2, 66049), (3, 16974593), (4, 67503107), (5, 168429323), (6, 336663071), (7, 623063367), (8, 1213495441), (9, 483199522), (10, 1775709275), (11, 1090750511), (12, 1150007217), (13, 1346595130), (14, 330081243), (15, 1079017218)),
 ex AS (

@@ -2151,3 +2151,105 @@ def dup_chunks(ds, *, window: int = 16, mod_bits: int = 5,
 
     return (ds.map_batches(explode, batch_format="pyarrow")
             .groupby("h").map_groups(fold, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# training-mix planning (LLaMA-style source reweighting)
+# --------------------------------------------------------------------------
+
+def _mix_weights(sources: list[str]) -> dict[str, float]:
+    """Pinned source weights: 1 + (numeric suffix % 4) — deterministic
+    from the name, mirrored literally in the SQL twin."""
+    return {s: 1.0 + (int(s[3:]) % 4) for s in sources}
+
+
+def mix_plan(ds, *, id_col: str = "doc_id", text_col: str = "text",
+             source_col: str = "source", round_to: int = 6):
+    """Training-mix plan: given per-source sampling weights, compute
+    each source's target token share and the repetition factor that
+    realizes it over this corpus — the 'epochs per source' table a
+    LLaMA-style data recipe publishes. repeat_factor_s =
+    (w_s / sum w) * T / tokens_s, so sum_s(repeat * tokens) == T: the
+    plan reshapes the mix at constant total token budget.
+    -> (source, n_docs, n_tokens, target_share, repeat_factor).
+    Shuffle: one (source, n_docs, n_tokens) row per batch-source."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs = batch.column(source_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        agg: dict[str, list[int]] = {}
+        for s, t in zip(srcs, texts):
+            a = agg.setdefault(s, [0, 0])
+            a[0] += 1
+            a[1] += 0 if t is None else len(
+                [w for w in t.lower().split() if w])
+        ks = sorted(agg)
+        return pa.table({
+            source_col: pa.array(ks, type=pa.string()),
+            "nd": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+            "nt": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+        })
+
+    g = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(source_col).aggregate(
+            Sum("nd", alias_name="n_docs"),
+            Sum("nt", alias_name="n_tokens")).to_pandas() \
+        .sort_values(source_col).reset_index(drop=True)
+    g = g[g["n_tokens"] > 0]
+    w = _mix_weights(list(g[source_col]))
+    sw = sum(w[s] for s in g[source_col])
+    T = float(g["n_tokens"].sum())
+    share = np.array([w[s] / sw for s in g[source_col]])
+    rep = share * T / g["n_tokens"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({
+        "source": g[source_col],
+        "n_docs": g["n_docs"].astype("int64"),
+        "n_tokens": g["n_tokens"].astype("int64"),
+        "target_share": np.round(share, round_to),
+        "repeat_factor": np.round(rep, round_to),
+    })
+
+
+def mix_epochs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               source_col: str = "source"):
+    """Materialization plan for mix_plan: per doc, the integer number
+    of times it enters the training stream — floor(repeat_factor) plus
+    one with probability frac(repeat_factor), decided by the
+    md5_number_lower('mix:'||doc_id) hash so the stochastic rounding
+    is exactly reproducible (and unbiased across docs).
+    -> (doc_id, n_repeats). The plan row set is tiny (one per source)
+    and broadcast into the map closure."""
+    import struct
+
+    plan = mix_plan(ds, id_col=id_col, text_col=text_col,
+                    source_col=source_col)
+    # recompute UNROUNDED factors (the plan's 6dp column is for
+    # reporting; the repeat decision pins on the raw double)
+    w = _mix_weights(list(plan["source"]))
+    sw = sum(w.values())
+    T = float(plan["n_tokens"].sum())
+    rep = {s: (w[s] / sw) * T / nt
+           for s, nt in zip(plan["source"], plan["n_tokens"])}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        srcs = batch.column(source_col).to_pylist()
+        out = []
+        for i, s in zip(ids, srcs):
+            r = rep.get(s)
+            if r is None:
+                out.append(0)
+                continue
+            base = int(np.floor(r))
+            thr = int(np.floor((r - base) * 1_000_000 + 0.5))
+            h = struct.unpack(
+                "<Q", hashlib.md5(f"mix:{i}".encode()).digest()[8:])[0]
+            out.append(base + (1 if h % 1_000_000 < thr else 0))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_repeats": pa.array(out, type=pa.int64()),
+        })
+
+    return ds.select_columns([id_col, source_col]) \
+        .map_batches(fn, batch_format="pyarrow")

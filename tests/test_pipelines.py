@@ -3334,3 +3334,31 @@ def test_sq_rerank_recall_dominates_sq(ray_session):
 
     assert recall(rr) >= recall(sq)
     assert recall(rr) >= 0.9
+
+
+def test_mix_plan_token_budget_invariant(ray_session):
+    import ray.data
+
+    from rse_ray.pipelines.text import mix_epochs, mix_plan
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    plan = mix_plan(ray.data.from_pandas(docs))
+    # the plan reshapes the mix at constant total token budget
+    total = plan["n_tokens"].sum()
+    realized = (plan["repeat_factor"] * plan["n_tokens"]).sum()
+    assert abs(realized - total) / total < 1e-4
+    assert abs(plan["target_share"].sum() - 1.0) < 1e-4
+    # weights 1..4 by suffix: src3 gets 4x the share of src0
+    s = plan.set_index("source")["target_share"]
+    assert abs(s["src3"] / s["src0"] - 4.0) < 1e-3
+
+    reps = mix_epochs(ray.data.from_pandas(docs)).to_pandas()
+    assert len(reps) == len(docs)
+    m = reps.merge(docs[["doc_id", "source"]], on="doc_id")
+    pf = plan.set_index("source")["repeat_factor"]
+    for src, g in m.groupby("source"):
+        r = pf[src]
+        # integer repeats bracket the factor and average near it
+        assert g["n_repeats"].between(np.floor(r), np.ceil(r)).all()
+        assert abs(g["n_repeats"].mean() - r) < 0.35
