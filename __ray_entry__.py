@@ -363,6 +363,12 @@ def _q_span_near(sf_dir: str):
     return _finalize(span_near_documents(sf_dir, a, b, slop=SPAN_SLOP))
 
 
+def _q_bm25_maxscore(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_maxscore_documents
+
+    return _finalize(bm25_maxscore_documents(sf_dir, BM25_QUERY, k=20))
+
+
 def _q_bm25_plus(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_plus_documents
 
@@ -2892,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_sq_rerank": _q_knn_cosine_sq_rerank,
         "bm25_champions": _q_bm25_champions,
         "bm25_plus_scores": _q_bm25_plus,
+        "bm25_topk_maxscore": _q_bm25_maxscore,
         "span_near": _q_span_near,
         "bm25f_scores": _q_bm25f_scores,
         "lm_dirichlet_scores": _q_lm_dirichlet_scores,
@@ -4924,4 +4931,6 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {maxh}""".format(
     # phrase_match exactly — one oracle, two execution engines
     sql["phrase_match_indexed"] = sql["phrase_match"]
     sql["term_proximity_indexed"] = sql["term_proximity"]
+    # MaxScore is rank/score-identical to the exhaustive top-k scorer
+    sql["bm25_topk_maxscore"] = sql["bm25_topk"]
     return sql

@@ -564,6 +564,20 @@ def suggest_terms(sf_dir: str, prefix: str, k: int = 5,
     )
 
 
+def bm25_maxscore_documents(sf_dir: str, query: str, k: int = 20,
+                            *, stem: bool = False,
+                            round_to: int = 6) -> pd.DataFrame:
+    """-> (doc_id, score) top-k via MaxScore dynamic pruning
+    (Searcher.search_maxscore) — rank- and score-identical to the
+    exhaustive scorer, so it shares bm25_topk's SQL oracle."""
+    from rse_ray.pipelines.search import Searcher
+
+    index_dir = documents_index(sf_dir, stem=stem)
+    s = Searcher(index_dir)
+    hits = s.search_maxscore(query, k=k)
+    return _score_frame(index_dir, hits, round_to=round_to)
+
+
 def bm25_plus_documents(sf_dir: str, query: str,
                         k: int | None = None, *, delta: float = 1.0,
                         stem: bool = False,

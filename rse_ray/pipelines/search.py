@@ -760,6 +760,77 @@ class Searcher:
                                   + (lam * cf) / T)
         return _rank_topk(cand, score, k if k is not None else len(cand))
 
+    def search_maxscore(self, query: str, k: int = 10, *,
+                        stats: dict | None = None):
+        """MaxScore dynamic pruning (Turtle & Flood 1995, TAAT form):
+        rank-identical to exhaustive search() (scores agree up to fp
+        re-association — terms accumulate in ub order here, term order
+        there — which the 6dp result contract absorbs), but term lists are
+        processed in DESCENDING max-contribution order and (a) docs
+        whose partial score plus the remaining terms' summed upper
+        bounds cannot reach the running k-th score are dropped, (b)
+        once the remaining bound itself falls below the threshold, new
+        docs stop being admitted — later (cheaper) lists only update
+        already-admitted docs. The other classic pruning family next
+        to the block-max WAND path (search_bmw): WAND skips inside
+        lists, MaxScore skips whole tails of the term set. Exactness
+        argument: scores only grow, so the k-th largest partial is a
+        valid lower bound on the final k-th score; a doc is dropped
+        (or never admitted) only when even its full remaining upper
+        bound cannot cross that lower bound. ``stats`` (optional dict)
+        receives admitted/pruned/skipped counters for tests."""
+        posts = []
+        for term, qtf in _query_weights(query, self.stem):
+            got = self.reader.postings(term)
+            if got is None:
+                continue
+            ids, tfs, dls, df = got
+            m = self._keep_mask(ids)
+            if m is not None:
+                ids, tfs, dls = ids[m], tfs[m], dls[m]
+                if not len(ids):
+                    continue
+            w = qtf * _idf(self.N, df)
+            contrib = w * (tfs * (K1 + 1)) / (
+                tfs + K1 * (1 - B + B * dls / self.avgdl))
+            posts.append((float(contrib.max()), ids, contrib))
+        if not posts:
+            return []
+        posts.sort(key=lambda p: -p[0])
+        ubs = np.array([p[0] for p in posts])
+        remaining = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:],
+                                    [0.0]])
+        cand = np.empty(0, dtype=np.int64)
+        score = np.empty(0, dtype=np.float64)
+        theta = -np.inf
+        admitted = pruned = skipped_new = 0
+        for j, (ub, ids, contrib) in enumerate(posts):
+            pos = np.searchsorted(cand, ids)
+            pos_c = np.clip(pos, 0, max(len(cand) - 1, 0))
+            known = np.zeros(len(ids), dtype=bool)
+            if len(cand):
+                known = cand[pos_c] == ids
+            np.add.at(score, pos_c[known], contrib[known])
+            new = ~known
+            if new.any():
+                if ub + remaining[j] >= theta or len(cand) < k:
+                    order = np.argsort(
+                        np.concatenate([cand, ids[new]]), kind="stable")
+                    cand = np.concatenate([cand, ids[new]])[order]
+                    score = np.concatenate([score, contrib[new]])[order]
+                    admitted += int(new.sum())
+                else:
+                    skipped_new += int(new.sum())
+            if len(score) >= k:
+                theta = np.partition(score, len(score) - k)[len(score) - k]
+                keep = score + remaining[j] >= theta
+                pruned += int(len(keep) - keep.sum())
+                cand, score = cand[keep], score[keep]
+        if stats is not None:
+            stats.update(admitted=admitted, pruned=pruned,
+                         skipped_new=skipped_new)
+        return _rank_topk(cand, score, k)
+
     def search_champions(self, query: str, k: int = 10, *, m: int = 16):
         """Champion-list retrieval (static index pruning, Manning IR
         ch.7): each term contributes only its top-``m`` postings by

@@ -3362,3 +3362,25 @@ def test_mix_plan_token_budget_invariant(ray_session):
         # integer repeats bracket the factor and average near it
         assert g["n_repeats"].between(np.floor(r), np.ceil(r)).all()
         assert abs(g["n_repeats"].mean() - r) < 0.35
+
+
+def test_maxscore_rank_identity_and_engagement(ray_session):
+    from rse_ray.pipelines.docsearch import documents_index
+    from rse_ray.pipelines.search import Searcher
+
+    s = Searcher(documents_index(SF, stem=False))
+    queries = ["spark window merge window", "hash join", "dup key line",
+               "the a table", "zzz nothing", "sort"]
+    engaged = False
+    for q in queries:
+        stats: dict = {}
+        got = s.search_maxscore(q, k=10, stats=stats)
+        want = s.search(q, k=10, mode="taat")
+        # rank-identical; scores agree to fp re-association (MaxScore
+        # accumulates terms in ub order, TAAT in term order)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, a), (_, b) in zip(got, want):
+            assert abs(a - b) <= 1e-9
+        if stats and (stats["pruned"] or stats["skipped_new"]):
+            engaged = True
+    assert engaged  # pruning actually fires on head-term queries
