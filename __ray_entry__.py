@@ -537,6 +537,14 @@ def _q_phrase_scan(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]), BLOCK_PHRASES))
 
 
+def _q_corpus_release(sf_dir: str):
+    from rse_ray.pipelines.text import corpus_release
+
+    return _finalize(corpus_release(
+        _read(sf_dir, "documents",
+              ["doc_id", "text", "lang", "source"])))
+
+
 def _q_mix_plan(sf_dir: str):
     from rse_ray.pipelines.text import mix_plan
 
@@ -2917,6 +2925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registrable_domains": _q_registrable_domains,
         "content_chunks": _q_content_chunks,
         "mix_plan": _q_mix_plan,
+        "corpus_release": _q_corpus_release,
         "mix_epochs": _q_mix_epochs,
         "dup_chunks": _q_dup_chunks,
         "lineitem_corr": _q_lineitem_corr,
@@ -3500,6 +3509,51 @@ FROM (SELECT doc_id, ci,
                                 ORDER BY doc_id, ci) AS rn
       FROM ch)
 WHERE n_copies >= 2 AND rn = 1""",
+        "corpus_release": """
+WITH w0 AS (SELECT doc_id, text, lang, source,
+            list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> x <> '') AS arr
+      FROM documents WHERE text IS NOT NULL),
+m AS (SELECT doc_id, text, lang, source,
+             len(arr)::BIGINT AS n_words,
+             list_sum(list_transform(arr, x -> length(x)))::DOUBLE
+               / len(arr) AS mwl,
+             len(list_filter(arr, x -> regexp_matches(x, '[A-Za-z]')))
+               ::DOUBLE / len(arr) AS fa,
+             (len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE
+               / len(arr) AS sym
+      FROM w0 WHERE len(arr) > 0),
+surv AS (SELECT doc_id, text, lang, source, n_words FROM m
+         WHERE n_words BETWEEN 30 AND 90 AND mwl BETWEEN 4.0 AND 5.0
+           AND fa >= 0.8 AND sym <= 0.05),
+ded AS (SELECT * FROM surv
+        QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) = 1),
+t0 AS (SELECT doc_id,
+              unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+       FROM ded),
+t AS (SELECT doc_id, term FROM t0 WHERE term <> ''),
+nt AS (SELECT d.source, count(*)::BIGINT AS n_tokens
+       FROM t JOIN ded d USING (doc_id) GROUP BY 1),
+j AS (SELECT source, n_tokens,
+             1.0 + (CAST(substr(source, 4) AS BIGINT) % 4) AS w
+      FROM nt WHERE n_tokens > 0),
+s AS (SELECT sum(w) AS sw, sum(n_tokens)::DOUBLE AS T FROM j),
+rp AS (SELECT source, w / s.sw * s.T / n_tokens AS r
+       FROM j CROSS JOIN s),
+reps AS (SELECT ded.doc_id,
+           (CASE WHEN rp.r IS NULL THEN 0
+                 ELSE floor(rp.r)
+                      + CASE WHEN md5_number_lower('mix:' || ded.doc_id)
+                                  % 1000000
+                               < floor((rp.r - floor(rp.r)) * 1000000
+                                       + 0.5)
+                             THEN 1 ELSE 0 END
+            END)::BIGINT AS n_repeats
+         FROM ded LEFT JOIN rp USING (source))
+SELECT ded.doc_id, ded.lang, ded.source, ded.n_words, reps.n_repeats
+FROM ded JOIN reps USING (doc_id) WHERE reps.n_repeats >= 1""",
         "mix_plan": _TOKS + """,
 nd AS (SELECT source, count(*)::BIGINT AS n_docs
        FROM documents GROUP BY 1),

@@ -2253,3 +2253,73 @@ def mix_epochs(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.select_columns([id_col, source_col]) \
         .map_batches(fn, batch_format="pyarrow")
+
+
+def corpus_release(ds):
+    """The end-to-end training-corpus release pipeline, composed from
+    this module's verified stages — the chain a real 100 TB release
+    runs, here as ONE lazy Dataset graph:
+
+        quality gate (gopher_rules.passes)
+          -> exact text dedup (keep min doc_id)
+          -> PII redaction (typed placeholders, text path)
+          -> mix_epochs repetition factors RECOMPUTED over survivors
+
+    Output: (doc_id, lang, source, n_words, n_repeats) for surviving
+    docs with n_repeats >= 1. Every attach is a co-partitioned
+    hash_join (never a driver-side map), so the composition keeps the
+    scale shape end to end: three shuffles total — the quality-flag
+    join, the dedup groupby, and the repeats join (mix_plan's source
+    aggregate is a tiny fourth) — with ONE checkpoint after dedup
+    where the graph fans out into three consumers. The redacted text is produced and
+    immediately projected away here (the gate hashes metadata;
+    pii_redact's own oracle owns the text contract) — at a real
+    release it would be the written payload."""
+    from rse_ray.pipelines.relational import hash_join
+
+    flags = gopher_rules(ds).map_batches(
+        lambda b: b.filter(b.column("passes")).select(
+            ["doc_id", "n_words"]),
+        batch_format="pyarrow")
+    survivors = hash_join(ds, flags, left_on="doc_id",
+                          right_on="doc_id", right_cols=["n_words"])
+    # checkpoint the dedup output: three downstream branches (redact,
+    # mix stats, repeats join) would otherwise re-execute the
+    # join+groupby chain once EACH (Datasets don't cache shared
+    # prefixes across branches). At 100 TB this is the natural
+    # write_parquet checkpoint; in-memory materialize is its
+    # single-node stand-in and pins only the survivor set.
+    deduped = exact_dedup_keep(survivors).materialize()
+    red = pii_redact(deduped, text_col="text").select_columns(
+        ["doc_id", "red_text"])
+    meta = hash_join(deduped.select_columns(
+        ["doc_id", "lang", "source", "text", "n_words"]), red,
+        left_on="doc_id", right_on="doc_id",
+        right_cols=["red_text"]).materialize()
+    reps = mix_epochs(meta).map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_repeats"),
+                                            pa.scalar(1))),
+        batch_format="pyarrow")
+    out = hash_join(meta, reps, left_on="doc_id", right_on="doc_id",
+                    right_cols=["n_repeats"])
+    return out.select_columns(
+        ["doc_id", "lang", "source", "n_words", "n_repeats"])
+
+
+def exact_dedup_keep(ds, *, key_col: str = "text",
+                     id_col: str = "doc_id"):
+    """exact_dedup's keep-min-id rule, but returning the surviving
+    FULL rows (not the (id, n_copies) report): one groupby(text-hash)
+    shuffle, survivors keep every column."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        vals = batch.column(key_col).to_pylist()
+        hs = [hashlib.md5(str(v).encode("utf-8")).hexdigest()
+              for v in vals]
+        return batch.append_column("_h", pa.array(hs, type=pa.string()))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1).drop(columns=["_h"])
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+            .groupby("_h").map_groups(keep_first, batch_format="pandas"))

@@ -3384,3 +3384,26 @@ def test_maxscore_rank_identity_and_engagement(ray_session):
         if stats and (stats["pruned"] or stats["skipped_new"]):
             engaged = True
     assert engaged  # pruning actually fires on head-term queries
+
+
+def test_corpus_release_composition(ray_session):
+    import ray.data
+
+    from rse_ray.pipelines.text import corpus_release, gopher_rules
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+    got = corpus_release(ray.data.from_pandas(docs)).to_pandas()
+    # every survivor passed the quality gate
+    flags = gopher_rules(ray.data.from_pandas(docs)).to_pandas() \
+        .set_index("doc_id")
+    assert flags.loc[got["doc_id"], "passes"].all()
+    # no two survivors share a text; survivor is the min doc_id copy
+    texts = docs.set_index("doc_id").loc[got["doc_id"], "text"]
+    assert texts.is_unique
+    dup_groups = docs[docs["text"].isin(texts)].groupby("text")
+    for _, g in dup_groups:
+        keep = set(g["doc_id"]) & set(got["doc_id"])
+        if keep:
+            assert min(g["doc_id"]) in keep
+    assert (got["n_repeats"] >= 1).all()
