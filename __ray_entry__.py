@@ -537,6 +537,17 @@ def _q_phrase_scan(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]), BLOCK_PHRASES))
 
 
+CONTAIN_THRESHOLD = 0.7
+
+
+def _q_containment_pairs(sf_dir: str):
+    from rse_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return _finalize(ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=CONTAIN_THRESHOLD, measure="containment"))
+
+
 def _q_corpus_release(sf_dir: str):
     from rse_ray.pipelines.text import corpus_release
 
@@ -2926,6 +2937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_chunks": _q_content_chunks,
         "mix_plan": _q_mix_plan,
         "corpus_release": _q_corpus_release,
+        "containment_pairs": _q_containment_pairs,
         "mix_epochs": _q_mix_epochs,
         "dup_chunks": _q_dup_chunks,
         "lineitem_corr": _q_lineitem_corr,
@@ -3509,6 +3521,27 @@ FROM (SELECT doc_id, ci,
                                 ORDER BY doc_id, ci) AS rn
       FROM ch)
 WHERE n_copies >= 2 AND rn = 1""",
+        "containment_pairs": """
+WITH dd AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> x <> '') AS arr FROM documents),
+sh AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+       FROM dd, unnest(range(1, len(arr) - 1)) AS t(i)
+       UNION ALL
+       SELECT doc_id, array_to_string(arr, ' ') FROM dd
+       WHERE len(arr) BETWEEN 1 AND 2),
+p AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM p GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*)::BIGINT AS c
+          FROM p a JOIN p b ON a.shingle = b.shingle
+                            AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(c::DOUBLE / least(sa.n, sb.n), 6) AS containment
+FROM inter JOIN sz sa ON doc_a = sa.doc_id
+     JOIN sz sb ON doc_b = sb.doc_id
+WHERE c::DOUBLE / least(sa.n, sb.n) >= 0.7""",
         "corpus_release": """
 WITH w0 AS (SELECT doc_id, text, lang, source,
             list_filter(regexp_split_to_array(text, '\\s+'),

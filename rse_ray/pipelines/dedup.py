@@ -475,7 +475,8 @@ def hash_dup_pairs(sig_ds, *, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_n: int = 3,
                         max_bucket: int | None = None,
-                        num_blocks: int | None = None):
+                        num_blocks: int | None = None,
+                        measure: str = "jaccard"):
     """Exact all-pairs n-gram Jaccard >= threshold, block-nested-loop.
 
     The naive distributed form (explode shingles -> groupby(shingle) ->
@@ -548,7 +549,12 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_n: int = 3,
 
     def _explode(tbl: pa.Table):
         """block table -> (doc_ids, set sizes, flat shingle array,
-        doc index per flat row)."""
+        doc index per flat row). An EMPTY repartition block arrives
+        schema-less (Ray Data drops the schema with the rows), so the
+        missing-column case means 'no docs here', not an error."""
+        if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z, z
         ids = tbl.column("doc_id").to_numpy()
         lists = tbl.column("sh")
         flat = lists.combine_chunks().flatten().to_numpy() if isinstance(
@@ -587,7 +593,13 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_n: int = 3,
             uk, counts = np.unique(keys, return_counts=True)
             pa_idx = uk // len(ids_b)
             pb_idx = uk % len(ids_b)
-            jac = counts / (na[pa_idx] + nb[pb_idx] - counts)
+            if measure == "containment":
+                # containment of the smaller set in the larger: the
+                # quote/subset-detection measure (Broder 1997), which
+                # Jaccard misses when |A| << |B|
+                jac = counts / np.minimum(na[pa_idx], nb[pb_idx])
+            else:
+                jac = counts / (na[pa_idx] + nb[pb_idx] - counts)
             keep = jac >= threshold
             if not keep.any():
                 continue
@@ -600,12 +612,12 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_n: int = 3,
             return pa.table(
                 {"doc_a": pa.array([], type=pa.int64()),
                  "doc_b": pa.array([], type=pa.int64()),
-                 "jaccard": pa.array([], type=pa.float64())}
+                 measure: pa.array([], type=pa.float64())}
             )
         return pa.table(
             {"doc_a": pa.array(np.concatenate(out_a)),
              "doc_b": pa.array(np.concatenate(out_b)),
-             "jaccard": pa.array(np.concatenate(out_j))}
+             measure: pa.array(np.concatenate(out_j))}
         )
 
     items = [{"i": i, "j": j} for i in range(B) for j in range(i, B)]

@@ -3407,3 +3407,26 @@ def test_corpus_release_composition(ray_session):
         if keep:
             assert min(g["doc_id"]) in keep
     assert (got["n_repeats"] >= 1).all()
+
+
+def test_containment_vs_jaccard_asymmetry(ray_session):
+    """A short doc fully quoted inside a long one: containment ~1,
+    jaccard small — only the containment measure finds the pair."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = ("one two three four five six seven eight nine ten " * 6
+            + short)
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([short, long]),
+    })
+    cont = ngram_jaccard_pairs(ray.data.from_arrow(t), threshold=0.9,
+                               measure="containment").to_pandas()
+    jac = ngram_jaccard_pairs(ray.data.from_arrow(t),
+                              threshold=0.5).to_pandas()
+    assert len(cont) == 1 and cont["containment"].iloc[0] >= 0.9
+    assert len(jac) == 0
