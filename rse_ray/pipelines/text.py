@@ -1990,7 +1990,14 @@ class PhraseScanner:
     multi-word phrases with distinct words) this equals the per-phrase
     non-overlapping count, which is what the SQL twin
     (len(regexp_extract_all(text, lit))) expresses — the fixture list
-    keeps that property and the pytest pins the overlap behavior."""
+    keeps that property and the pytest pins the overlap behavior.
+
+    The per-character transition loop is Python (this container has no
+    C automaton lib); at fleet scale you swap pyahocorasick/hyperscan
+    in behind the SAME actor interface — the distribution shape
+    (build-once actor pool, map-only streaming) is the part this
+    operator pins, and it already beats p sequential regex passes once
+    the phrase list outgrows a handful."""
 
     def __init__(self, phrases: list[str]) -> None:
         self.phrases = list(phrases)
