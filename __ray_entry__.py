@@ -556,6 +556,20 @@ def _q_corpus_release(sf_dir: str):
               ["doc_id", "text", "lang", "source"])))
 
 
+def _q_feature_hashing(sf_dir: str):
+    from rse_ray.pipelines.text import feature_hashing
+
+    return _finalize(feature_hashing(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _q_freq_spectrum(sf_dir: str):
+    from rse_ray.pipelines.text import freq_spectrum
+
+    return _finalize(freq_spectrum(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
 def _q_mix_plan(sf_dir: str):
     from rse_ray.pipelines.text import mix_plan
 
@@ -2936,6 +2950,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registrable_domains": _q_registrable_domains,
         "content_chunks": _q_content_chunks,
         "mix_plan": _q_mix_plan,
+        "freq_spectrum": _q_freq_spectrum,
+        "feature_hashing": _q_feature_hashing,
         "corpus_release": _q_corpus_release,
         "containment_pairs": _q_containment_pairs,
         "mix_epochs": _q_mix_epochs,
@@ -3587,6 +3603,20 @@ reps AS (SELECT ded.doc_id,
          FROM ded LEFT JOIN rp USING (source))
 SELECT ded.doc_id, ded.lang, ded.source, ded.n_words, reps.n_repeats
 FROM ded JOIN reps USING (doc_id) WHERE reps.n_repeats >= 1""",
+        "feature_hashing": _TOKS + """,
+tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY 1, 2),
+hb AS (SELECT doc_id, term, tf,
+              md5_number_lower('fh:' || term) AS h FROM tc),
+fv AS (SELECT doc_id, (h % 64)::BIGINT AS dim,
+              sum(CASE WHEN (h // 64) % 2 = 1 THEN tf
+                       ELSE -tf END)::BIGINT AS value
+       FROM hb GROUP BY 1, 2)
+SELECT doc_id, dim, value FROM fv WHERE value <> 0""",
+        "freq_spectrum": _TOKS + """,
+tc AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY 1)
+SELECT n AS n_occurrences, count(*)::BIGINT AS n_types
+FROM tc GROUP BY 1""",
         "mix_plan": _TOKS + """,
 nd AS (SELECT source, count(*)::BIGINT AS n_docs
        FROM documents GROUP BY 1),

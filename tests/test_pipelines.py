@@ -3430,3 +3430,35 @@ def test_containment_vs_jaccard_asymmetry(ray_session):
                               threshold=0.5).to_pandas()
     assert len(cont) == 1 and cont["containment"].iloc[0] >= 0.9
     assert len(jac) == 0
+
+
+def test_freq_spectrum_and_feature_hashing(ray_session, duck):
+    import ray.data
+
+    from rse_ray.pipelines.text import feature_hashing, freq_spectrum
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    spec = freq_spectrum(ray.data.from_pandas(docs)).to_pandas()
+    # sum(r * N_r) == total tokens; sum(N_r) == vocab size
+    toks = docs["text"].str.lower().str.split().explode()
+    toks = toks[toks != ""]
+    assert (spec["n_occurrences"] * spec["n_types"]).sum() == len(toks)
+    assert spec["n_types"].sum() == toks.nunique()
+
+    fh = feature_hashing(ray.data.from_pandas(docs)).to_pandas()
+    # one doc recomputed by hand through the same hash convention
+    import hashlib as hl
+    import struct
+
+    did = int(docs["doc_id"].iloc[0])
+    words = [w for w in docs["text"].iloc[0].lower().split() if w]
+    vec = np.zeros(64, dtype=np.int64)
+    for w in set(words):
+        h = struct.unpack(
+            "<Q", hl.md5(f"fh:{w}".encode()).digest()[8:])[0]
+        sign = 1 if (h // 64) % 2 == 1 else -1
+        vec[h % 64] += sign * words.count(w)
+    mine = fh[fh["doc_id"] == did].set_index("dim")["value"]
+    for d in range(64):
+        assert vec[d] == mine.get(d, 0)
