@@ -598,6 +598,16 @@ def _q_dup_chunks(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"])))
 
 
+def _q_canonical_dedup(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import canonical_dedup
+    from rse_ray.sources.fixtures import generate_canonical_fixture
+
+    generate_canonical_fixture(CANON_URLS)
+    return _finalize(canonical_dedup(ray.data.read_parquet(CANON_URLS)))
+
+
 def _q_registrable_domains(sf_dir: str):
     import ray.data
 
@@ -2948,6 +2958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_scan": _q_phrase_scan,
         "cms_term_counts": _q_cms_term_counts,
         "registrable_domains": _q_registrable_domains,
+        "canonical_dedup": _q_canonical_dedup,
         "content_chunks": _q_content_chunks,
         "mix_plan": _q_mix_plan,
         "freq_spectrum": _q_freq_spectrum,
@@ -5050,4 +5061,9 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {maxh}""".format(
     sql["term_proximity_indexed"] = sql["term_proximity"]
     # MaxScore is rank/score-identical to the exhaustive top-k scorer
     sql["bm25_topk_maxscore"] = sql["bm25_topk"]
+    sql["canonical_dedup"] = ("WITH c AS (" + _canonical_urls_sql()
+                              + ") SELECT canonical_url, "
+                              "min(url) AS rep_url, "
+                              "count(*)::BIGINT AS n_variants "
+                              "FROM c GROUP BY 1")
     return sql

@@ -1956,3 +1956,23 @@ def registrable_domains(hosts_ds, rules: list[str], *,
         })
 
     return hosts_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def canonical_dedup(urls_ds, *, url_col: str = "url"):
+    """The visited-set composition canonical_urls' docstring promises:
+    group by canonical form, keep the lexicographically smallest
+    variant as representative -> (canonical_url, rep_url, n_variants).
+    One groupby(canonical) shuffle of (canonical, url) rows — exactly
+    the reference's Redis visited set, but canonicalization-aware and
+    hash-partitioned instead of a single shared set."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "canonical_url": [g["canonical_url"].iloc[0]],
+            "rep_url": [g[url_col].min()],
+            "n_variants": [np.int64(len(g))],
+        })
+
+    return (canonical_urls(urls_ds, url_col=url_col)
+            .groupby("canonical_url")
+            .map_groups(fold, batch_format="pandas"))

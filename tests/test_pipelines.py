@@ -3462,3 +3462,23 @@ def test_freq_spectrum_and_feature_hashing(ray_session, duck):
     mine = fh[fh["doc_id"] == did].set_index("dim")["value"]
     for d in range(64):
         assert vec[d] == mine.get(d, 0)
+
+
+def test_canonical_dedup_groups_variants(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import canonical_dedup
+
+    t = pa.table({"url": pa.array([
+        "HTTP://WWW.Site.Example/Path/",
+        "http://site.example/Path",
+        "https://shop.example/p?b=2&a=1&fbclid=xyz",
+        "https://shop.example/p?a=1&b=2",
+    ])})
+    got = canonical_dedup(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("canonical_url")
+    assert got.loc["http://site.example/Path", "n_variants"] == 2
+    assert got.loc["http://site.example/Path", "rep_url"] \
+        == "HTTP://WWW.Site.Example/Path/"
+    assert got.loc["https://shop.example/p?a=1&b=2", "n_variants"] == 2
