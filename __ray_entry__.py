@@ -680,6 +680,13 @@ def _q_pushdown_scan(sf_dir: str):
     return _finalize(pushdown_scan(sf_dir))
 
 
+def _q_skew_report(sf_dir: str):
+    from rse_ray.pipelines.relational import skew_report
+
+    return _finalize(skew_report(
+        _read(sf_dir, "events", ["event_type"]), key="event_type"))
+
+
 def _q_lineitem_corr(sf_dir: str):
     from rse_ray.pipelines.relational import group_corr
 
@@ -2968,6 +2975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_epochs": _q_mix_epochs,
         "dup_chunks": _q_dup_chunks,
         "lineitem_corr": _q_lineitem_corr,
+        "skew_report": _q_skew_report,
         "pushdown_scan": _q_pushdown_scan,
         "warc_source_docs": _q_warc_source_docs,
         "zorder_key": _q_zorder_key,
@@ -3506,6 +3514,20 @@ FROM documents""",
         "pushdown_scan": """
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase' AND value >= 100.0""",
+        "skew_report": """
+WITH c AS (SELECT coalesce(event_type, chr(0) || 'NULL') AS k,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+s AS (SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
+             max(n)::BIGINT AS max_count,
+             round(quantile_cont(n, 0.5), 6) AS p50,
+             round(quantile_cont(n, 0.99), 6) AS p99
+      FROM c),
+t AS (SELECT k AS top_key FROM c ORDER BY n DESC, k LIMIT 1)
+SELECT s.n_keys, s.n_rows, s.max_count, s.p50, s.p99, t.top_key,
+       round(s.max_count::DOUBLE / (s.n_rows::DOUBLE / s.n_keys), 6)
+         AS skew_ratio
+FROM s CROSS JOIN t""",
         "lineitem_corr": """
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price

@@ -2860,3 +2860,49 @@ def zorder_key(ds, *, x_col: str, y_col: str, bits: int = 16,
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def skew_report(ds, *, key: str):
+    """Key-skew diagnostic for shuffle planning — the first thing to
+    run before any groupby/join at 100 TB decides whether it needs
+    salting: per-key counts (one groupby of (key, partial) rows), then
+    a single stats row over the count DISTRIBUTION:
+    (n_keys, n_rows, max_count, p50, p99, top_key, skew_ratio) where
+    skew_ratio = max_count / (n_rows / n_keys) — the hot key's
+    multiple of a perfectly even spread. Quantiles use the repo's
+    pinned quantile_cont (linear interpolation) convention. Null keys
+    count as a key of their own (they land in one partition too —
+    exactly why they matter for skew). The counts table is one row per
+    DISTINCT key; folding it on the driver is fine for label-like
+    keys, and the docstring contract (not a silent cap) says so."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(key).to_pylist()
+        c: dict = {}
+        for v in vals:
+            kk = "\x00NULL" if v is None else str(v)
+            c[kk] = c.get(kk, 0) + 1
+        ks = sorted(c)
+        return pa.table({
+            "k": pa.array(ks, type=pa.string()),
+            "n": pa.array([c[x] for x in ks], type=pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n", alias_name="n")).to_pandas()
+    n = counts["n"].to_numpy(dtype=np.int64)
+    n_rows = int(n.sum())
+    n_keys = len(n)
+    top = counts.sort_values(["n", "k"],
+                             ascending=[False, True]).iloc[0]
+    mean = n_rows / n_keys
+    return pd.DataFrame({
+        "n_keys": pd.array([n_keys], dtype="int64"),
+        "n_rows": pd.array([n_rows], dtype="int64"),
+        "max_count": pd.array([int(n.max())], dtype="int64"),
+        "p50": [round(float(np.quantile(n, 0.5)), 6)],
+        "p99": [round(float(np.quantile(n, 0.99)), 6)],
+        "top_key": [str(top["k"])],
+        "skew_ratio": [round(float(n.max()) / mean, 6)],
+    })

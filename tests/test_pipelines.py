@@ -3482,3 +3482,18 @@ def test_canonical_dedup_groups_variants(ray_session):
     assert got.loc["http://site.example/Path", "rep_url"] \
         == "HTTP://WWW.Site.Example/Path/"
     assert got.loc["https://shop.example/p?a=1&b=2", "n_variants"] == 2
+
+
+def test_skew_report_with_nulls_and_hot_key(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import skew_report
+
+    t = pa.table({"k": pa.array(["hot"] * 90 + ["a"] * 5 + ["b"] * 4
+                                + [None])})
+    got = skew_report(ray.data.from_arrow(t), key="k")
+    r = got.iloc[0]
+    assert r["n_keys"] == 4 and r["n_rows"] == 100
+    assert r["max_count"] == 90 and r["top_key"] == "hot"
+    assert r["skew_ratio"] == round(90 / 25, 6)
