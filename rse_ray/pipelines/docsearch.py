@@ -495,6 +495,18 @@ def ltr_features_documents(sf_dir: str, query: str, *,
     index_dir = documents_index(sf_dir, stem=stem)
     s = Searcher(index_dir)
     cand, feats = s.ltr_features(query)
+    if not len(cand):
+        # no posting matched (or all candidates tombstoned): empty
+        # frame with the full schema, like every sibling wrapper
+        return pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "bm25": pd.array([], dtype="float64"),
+            "dl": pd.array([], dtype="int64"),
+            "n_match": pd.array([], dtype="int64"),
+            "sum_tf": pd.array([], dtype="int64"),
+            "max_tf": pd.array([], dtype="int64"),
+            "sum_idf": pd.array([], dtype="float64"),
+        })
     rows = hydrate_urls(index_dir, [(int(d), 0.0) for d in cand])
     return pd.DataFrame({
         "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],

@@ -1890,8 +1890,9 @@ def mlm_mask_plan(ds, *, rate_pct: int = 15, id_col: str = "doc_id",
                   text_col: str = "text"):
     """Deterministic BERT-style masking plan: select ``rate_pct``% of
     token positions and assign the classic 80/10/10 action split —
-    replace with [MASK], replace with another (deterministically
-    chosen) token from the same doc, or keep. Output one row per
+    replace with [MASK], replace with a deterministically chosen
+    token from the same doc (which, as in BERT's uniform draw, may
+    coincide with the original), or keep. Output one row per
     SELECTED position: (doc_id, pos, token, action, replacement).
 
     Selection/action keys on md5's high-8-bytes-little-endian of
@@ -2218,6 +2219,31 @@ def mix_plan(ds, *, id_col: str = "doc_id", text_col: str = "text",
     })
 
 
+def _unrounded_factors(plan) -> dict[str, float]:
+    """plan -> per-source UNROUNDED repeat factor (the plan's 6dp
+    column is for reporting; repeat decisions pin on the raw double)."""
+    w = _mix_weights(list(plan["source"]))
+    sw = sum(w.values())
+    T = float(plan["n_tokens"].sum())
+    return {s: (w[s] / sw) * T / nt
+            for s, nt in zip(plan["source"], plan["n_tokens"])}
+
+
+def _repeat_count(r: float | None, doc_id: int) -> int:
+    """floor(r) + 1 with probability frac(r), decided by
+    md5_number_lower('mix:'||doc_id) — the single rounding convention
+    both mix_epochs and corpus_release (and their SQL twins) share."""
+    import struct
+
+    if r is None:
+        return 0
+    base = int(np.floor(r))
+    thr = int(np.floor((r - base) * 1_000_000 + 0.5))
+    h = struct.unpack(
+        "<Q", hashlib.md5(f"mix:{doc_id}".encode()).digest()[8:])[0]
+    return base + (1 if h % 1_000_000 < thr else 0)
+
+
 def mix_epochs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                source_col: str = "source"):
     """Materialization plan for mix_plan: per doc, the integer number
@@ -2227,32 +2253,14 @@ def mix_epochs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     is exactly reproducible (and unbiased across docs).
     -> (doc_id, n_repeats). The plan row set is tiny (one per source)
     and broadcast into the map closure."""
-    import struct
-
     plan = mix_plan(ds, id_col=id_col, text_col=text_col,
                     source_col=source_col)
-    # recompute UNROUNDED factors (the plan's 6dp column is for
-    # reporting; the repeat decision pins on the raw double)
-    w = _mix_weights(list(plan["source"]))
-    sw = sum(w.values())
-    T = float(plan["n_tokens"].sum())
-    rep = {s: (w[s] / sw) * T / nt
-           for s, nt in zip(plan["source"], plan["n_tokens"])}
+    rep = _unrounded_factors(plan)
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         srcs = batch.column(source_col).to_pylist()
-        out = []
-        for i, s in zip(ids, srcs):
-            r = rep.get(s)
-            if r is None:
-                out.append(0)
-                continue
-            base = int(np.floor(r))
-            thr = int(np.floor((r - base) * 1_000_000 + 0.5))
-            h = struct.unpack(
-                "<Q", hashlib.md5(f"mix:{i}".encode()).digest()[8:])[0]
-            out.append(base + (1 if h % 1_000_000 < thr else 0))
+        out = [_repeat_count(rep.get(s), i) for i, s in zip(ids, srcs)]
         return pa.table({
             id_col: batch.column(id_col),
             "n_repeats": pa.array(out, type=pa.int64()),
@@ -2331,37 +2339,17 @@ def corpus_release(ds):
 
     # per-source repeat factors over the SURVIVOR set (tiny aggregate,
     # genuinely broadcast-safe: one row per source)
-    plan = mix_plan(deduped)
-    w = _mix_weights(list(plan["source"]))
-    sw = sum(w.values())
-    T = float(plan["n_tokens"].sum())
-    rep = {s: (w[s] / sw) * T / nt
-           for s, nt in zip(plan["source"], plan["n_tokens"])}
+    rep = _unrounded_factors(mix_plan(deduped))
 
     def finish(b: pa.Table) -> pa.Table:
-        import struct
-
-        t = b.column("text")
-        t = pc.replace_substring_regex(t, PII_EMAIL, "<EMAIL>")
-        t = pc.replace_substring_regex(t, PII_IPV4, "<IP>")
-        t = pc.replace_substring_regex(t, PII_PHONE, "<PHONE>")
-        # red text produced then projected away: the gate hashes
-        # metadata; pii_redact's own oracle owns the text contract.
-        # At a real release this column is the written payload.
-        del t
+        # redaction (pii_redact) belongs to the payload WRITE, which
+        # this metadata gate doesn't perform — running the three RE2
+        # replaces here and discarding them would be three wasted
+        # corpus scans; pii_redact's own oracle owns that contract
         ids = b.column("doc_id").to_pylist()
         srcs = b.column("source").to_pylist()
-        nrep = []
-        for i, s in zip(ids, srcs):
-            r = rep.get(s)
-            if r is None:
-                nrep.append(0)
-                continue
-            base = int(np.floor(r))
-            thr = int(np.floor((r - base) * 1_000_000 + 0.5))
-            h = struct.unpack(
-                "<Q", hashlib.md5(f"mix:{i}".encode()).digest()[8:])[0]
-            nrep.append(base + (1 if h % 1_000_000 < thr else 0))
+        nrep = [_repeat_count(rep.get(s), i)
+                for i, s in zip(ids, srcs)]
         out = pa.table({
             "doc_id": b.column("doc_id"),
             "lang": b.column("lang"),
@@ -2383,7 +2371,10 @@ def exact_dedup_keep(ds, *, key_col: str = "text",
 
     def add_hash(batch: pa.Table) -> pa.Table:
         vals = batch.column(key_col).to_pylist()
-        hs = [hashlib.md5(str(v).encode("utf-8")).hexdigest()
+        # null keys group TOGETHER but never with the literal string
+        # "None" (SQL's PARTITION BY md5(text) groups NULLs likewise)
+        hs = ["\x00NULL" if v is None else
+              hashlib.md5(v.encode("utf-8")).hexdigest()
               for v in vals]
         return batch.append_column("_h", pa.array(hs, type=pa.string()))
 

@@ -584,8 +584,7 @@ def generate_psl_fixture(out_path: str) -> None:
         "ck",
         None,
     ]
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    tmp = out_path + ".tmp"
-    _pq.write_table(
-        _pa.table({"host": _pa.array(hosts, type=_pa.string())}), tmp)
-    os.rename(tmp, out_path)
+    from rse_ray.state.manifest import write_file_atomic
+
+    write_file_atomic(out_path, lambda tmp: _pq.write_table(
+        _pa.table({"host": _pa.array(hosts, type=_pa.string())}), tmp))

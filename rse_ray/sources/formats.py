@@ -138,7 +138,7 @@ def documents_warc(sf_dir: str, *, num_shards: int = 4):
 
     src = os.path.join(sf_dir, "documents.parquet")
     key = __import__("hashlib").md5(
-        os.path.abspath(src).encode()).hexdigest()[:12]
+        f"{os.path.abspath(src)}|s={num_shards}".encode()).hexdigest()[:12]
     shard_dir = os.path.join(_CACHE_ROOT, f"documents_warc_{key}")
 
     if not os.path.exists(shard_dir):

@@ -3497,3 +3497,24 @@ def test_skew_report_with_nulls_and_hot_key(ray_session):
     assert r["n_keys"] == 4 and r["n_rows"] == 100
     assert r["max_count"] == 90 and r["top_key"] == "hot"
     assert r["skew_ratio"] == round(90 / 25, 6)
+
+
+def test_review_fixes_ltr_empty_and_null_dedup(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.docsearch import ltr_features_documents
+    from rse_ray.pipelines.text import exact_dedup_keep
+
+    empty = ltr_features_documents(SF, "zzznope qqq")
+    assert len(empty) == 0
+    assert list(empty.columns) == ["doc_id", "bm25", "dl", "n_match",
+                                   "sum_tf", "max_tf", "sum_idf"]
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([None, "None", None, "x"]),
+    })
+    kept = exact_dedup_keep(ray.data.from_arrow(t)).to_pandas()
+    # nulls group together (doc 0 survives), distinct from "None"
+    assert sorted(kept["doc_id"]) == [0, 1, 3]
