@@ -680,6 +680,21 @@ def _q_pushdown_scan(sf_dir: str):
     return _finalize(pushdown_scan(sf_dir))
 
 
+def _q_grouping_sets(sf_dir: str):
+    from rse_ray.pipelines.relational import grouping_sets_counts
+
+    return _finalize(grouping_sets_counts(
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"])))
+
+
+def _q_ttl_dedup(sf_dir: str):
+    from rse_ray.pipelines.relational import ttl_dedup
+
+    return _finalize(ttl_dedup(
+        _read(sf_dir, "events",
+              ["user_id", "event_type", "ts", "event_id"])))
+
+
 def _q_skew_report(sf_dir: str):
     from rse_ray.pipelines.relational import skew_report
 
@@ -2976,6 +2991,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_chunks": _q_dup_chunks,
         "lineitem_corr": _q_lineitem_corr,
         "skew_report": _q_skew_report,
+        "grouping_sets_counts": _q_grouping_sets,
+        "ttl_dedup": _q_ttl_dedup,
         "pushdown_scan": _q_pushdown_scan,
         "warc_source_docs": _q_warc_source_docs,
         "zorder_key": _q_zorder_key,
@@ -3514,6 +3531,18 @@ FROM documents""",
         "pushdown_scan": """
 SELECT event_id, user_id, value FROM events
 WHERE event_type = 'purchase' AND value >= 100.0""",
+        "grouping_sets_counts": """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY GROUPING SETS ((lang), (source))""",
+        "ttl_dedup": """
+SELECT user_id, event_type, ts, event_id FROM events
+QUALIFY lag(ts) OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) IS NULL
+     OR ts - lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id)
+        > INTERVAL 60 MINUTE""",
         "skew_report": """
 WITH c AS (SELECT coalesce(event_type, chr(0) || 'NULL') AS k,
                   count(*)::BIGINT AS n

@@ -2906,3 +2906,49 @@ def skew_report(ds, *, key: str):
         "top_key": [str(top["k"])],
         "skew_ratio": [round(float(n.max()) / mean, 6)],
     })
+
+
+def grouping_sets_counts(documents_ds, *, keys=("lang", "source"),
+                         val: str = "n_chars"):
+    """GROUP BY GROUPING SETS ((lang), (source)) — the third member of
+    the rollup/cube family: ONLY the two single-key grains, no detail
+    grain, no grand total. Derived from the same one-shuffle fine
+    aggregate as rollup/cube; absent keys surface as 'ALL'."""
+    k1, k2 = keys
+    fine = rollup_counts(documents_ds, keys=keys, val=val)
+    detail = fine[(fine[k1] != "ALL") & (fine[k2] != "ALL")]
+    lvl1 = detail.groupby(k1, as_index=False, dropna=False)[
+        ["n_docs", "sum_chars"]].sum()
+    lvl1[k2] = "ALL"
+    lvl2 = detail.groupby(k2, as_index=False, dropna=False)[
+        ["n_docs", "sum_chars"]].sum()
+    lvl2[k1] = "ALL"
+    cols = [k1, k2, "n_docs", "sum_chars"]
+    return pd.concat([lvl1[cols], lvl2[cols]], ignore_index=True)
+
+
+def ttl_dedup(events_ds, *, key_cols=("user_id", "event_type"),
+              ts_col: str = "ts", id_col: str = "event_id",
+              ttl_minutes: int = 60):
+    """TTL-windowed dedup — the streaming visited set with expiring
+    state: a row is a duplicate iff the SAME key occurred within the
+    previous ``ttl_minutes`` (by event time; ties broken by id). Kept
+    rows = first occurrence, plus re-occurrences after a quiet gap —
+    exactly the at-most-once-per-TTL suppression an alerting/ingest
+    pipeline runs, with state that expires instead of growing forever
+    (the scale difference from the reference's unbounded Redis set).
+    One groupby(key) shuffle; per group it's one sorted diff against
+    the PREVIOUS occurrence (sliding semantics: a suppressed row still
+    arms the window for its successors, matching lag() in SQL)."""
+    keys = list(key_cols)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        prev = g[ts_col].shift(1)
+        gap = (g[ts_col] - prev).dt.total_seconds()
+        keep = prev.isna() | (gap > ttl_minutes * 60)
+        return g[keep]
+
+    return (events_ds.select_columns(keys + [ts_col, id_col])
+            .groupby(keys)
+            .map_groups(fold, batch_format="pandas"))

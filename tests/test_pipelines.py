@@ -3518,3 +3518,25 @@ def test_review_fixes_ltr_empty_and_null_dedup(ray_session):
     kept = exact_dedup_keep(ray.data.from_arrow(t)).to_pandas()
     # nulls group together (doc 0 survives), distinct from "None"
     assert sorted(kept["doc_id"]) == [0, 1, 3]
+
+
+def test_ttl_dedup_sliding_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import ttl_dedup
+
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:30",
+                         "2024-01-01 00:59", "2024-01-01 02:30",
+                         "2024-01-01 00:10"])
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "event_type": ["a"] * 5,
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_id": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+    })
+    got = ttl_dedup(ray.data.from_arrow(t), ttl_minutes=60).to_pandas()
+    # 00:00 kept; 00:30 suppressed; 00:59 suppressed (29min since
+    # 00:30 — the SUPPRESSED row armed the window: sliding semantics);
+    # 02:30 kept (91min gap); user 2's first kept
+    assert sorted(got["event_id"]) == [10, 13, 14]
