@@ -563,6 +563,34 @@ def _q_feature_hashing(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"])))
 
 
+def _q_auto_stopwords(sf_dir: str):
+    from rse_ray.pipelines.text import auto_stopwords
+
+    return _finalize(auto_stopwords(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _q_sentence_split(sf_dir: str):
+    from rse_ray.pipelines.text import sentence_split
+
+    # plant sentence terminators (the fixture is punctuation-free):
+    # pure substring formulas, mirrored in the SQL twin
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = [None if t is None else
+               f"{t[:40]}. {t[40:80]}! What now? {t[80:100]}"
+               for t in texts]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    from rse_ray.pipelines.text import sentence_split as _ss
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _finalize(_ss(docs.map_batches(plant,
+                                          batch_format="pyarrow")))
+
+
 def _q_freq_spectrum(sf_dir: str):
     from rse_ray.pipelines.text import freq_spectrum
 
@@ -2984,6 +3012,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_chunks": _q_content_chunks,
         "mix_plan": _q_mix_plan,
         "freq_spectrum": _q_freq_spectrum,
+        "auto_stopwords": _q_auto_stopwords,
+        "sentence_split": _q_sentence_split,
         "feature_hashing": _q_feature_hashing,
         "corpus_release": _q_corpus_release,
         "containment_pairs": _q_containment_pairs,
@@ -3675,6 +3705,27 @@ fv AS (SELECT doc_id, (h % 64)::BIGINT AS dim,
                        ELSE -tf END)::BIGINT AS value
        FROM hb GROUP BY 1, 2)
 SELECT doc_id, dim, value FROM fv WHERE value <> 0""",
+        "auto_stopwords": _TOKS + """,
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+      FROM toks GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS nd FROM documents
+      WHERE text IS NOT NULL)
+SELECT term, df, round(df / n.nd, 6) AS df_ratio
+FROM d CROSS JOIN n WHERE df / n.nd >= 0.5""",
+        "sentence_split": """
+WITH p AS (SELECT doc_id,
+             substr(text, 1, 40) || '. ' || substr(text, 41, 40)
+             || '! What now? ' || substr(text, 81, 20) AS text
+           FROM documents WHERE text IS NOT NULL),
+m AS (SELECT doc_id,
+             regexp_extract_all(text, '[^.!?]+[.!?]*') AS l FROM p),
+x AS (SELECT doc_id, i, trim(l[i]) AS sentence
+      FROM m, unnest(range(1, len(l) + 1)) AS t(i)),
+y AS (SELECT doc_id, sentence,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+               AS sent_idx
+      FROM x WHERE sentence <> '')
+SELECT doc_id, sent_idx, sentence FROM y""",
         "freq_spectrum": _TOKS + """,
 tc AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY 1)
 SELECT n AS n_occurrences, count(*)::BIGINT AS n_types

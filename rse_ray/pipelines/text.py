@@ -2468,3 +2468,91 @@ def feature_hashing(ds, *, dim: int = 64, stem: bool = False):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def auto_stopwords(ds, *, ratio: float = 0.5, stem: bool = False):
+    """Corpus-derived stopword detection: terms whose document
+    frequency exceeds ``ratio`` of the corpus (the collection-specific
+    stopword list Lucene's commongrams / SEO pipelines compute, rather
+    than a hand-curated one). -> (term, df, df_ratio) for qualifying
+    terms. Pre-aggregated (term, doc_id) dedup inside batches, one
+    groupby(term) shuffle, then a tiny N-broadcast finish."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.functions.tokenizer import tokenize
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        seen: set = set()
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            for w in set(tokenize(t, stem=stem)):
+                seen.add((w, i))
+        terms = sorted({w for w, _ in seen})
+        cnt = {w: 0 for w in terms}
+        for w, _ in seen:
+            cnt[w] += 1
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "df_p": pa.array([cnt[w] for w in terms], type=pa.int64()),
+        })
+
+    df = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df_p", alias_name="df"))
+    n_docs = ds.map_batches(
+        lambda b: pa.table({"n": pa.array(
+            [sum(1 for t in b.column("text").to_pylist()
+                 if t is not None)], type=pa.int64())}),
+        batch_format="pyarrow").sum("n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("df").to_numpy()
+        r = d / float(n_docs)
+        keep = r >= ratio
+        return pa.table({
+            "term": batch.column("term").filter(pa.array(keep)),
+            "df": pa.array(d[keep], type=pa.int64()),
+            "df_ratio": pa.array(np.round(r[keep], 6),
+                                 type=pa.float64()),
+        })
+
+    return df.map_batches(finish, batch_format="pyarrow")
+
+
+def sentence_split(ds, *, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Sentence segmentation under a pinned RE2-safe contract (no
+    lookbehind in RE2, so the rule is 'a sentence is a maximal run of
+    non-terminators followed by >=1 terminator', trailing fragment
+    included): sentences = regexp matches of [^.!?]+[.!?]* with
+    whitespace trimmed, empties dropped. -> (doc_id, sent_idx,
+    sentence). Map-only explode; both engines run the SAME pattern."""
+    import re
+
+    rx = re.compile(r"[^.!?]+[.!?]*")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        o_id, o_idx, o_s = [], [], []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            j = 0
+            for m in rx.finditer(t):
+                s = m.group(0).strip()
+                if not s:
+                    continue
+                o_id.append(i)
+                o_idx.append(j)
+                o_s.append(s)
+                j += 1
+        return pa.table({
+            id_col: pa.array(o_id, type=pa.int64()),
+            "sent_idx": pa.array(o_idx, type=pa.int64()),
+            "sentence": pa.array(o_s, type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

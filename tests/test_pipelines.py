@@ -3540,3 +3540,27 @@ def test_ttl_dedup_sliding_semantics(ray_session):
     # 00:30 — the SUPPRESSED row armed the window: sliding semantics);
     # 02:30 kept (91min gap); user 2's first kept
     assert sorted(got["event_id"]) == [10, 13, 14]
+
+
+def test_auto_stopwords_and_sentence_split(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import auto_stopwords, sentence_split
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["the cat", "the dog", "the bird", "fish"]),
+    })
+    sw = auto_stopwords(ray.data.from_arrow(t), ratio=0.5).to_pandas()
+    assert sw["term"].tolist() == ["the"]
+    assert sw["df"].tolist() == [3] and sw["df_ratio"].tolist() == [0.75]
+
+    t2 = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["One two. Three!  Four? tail frag", None]),
+    })
+    got = sentence_split(ray.data.from_arrow(t2)).to_pandas()
+    assert got["sentence"].tolist() == ["One two.", "Three!", "Four?",
+                                        "tail frag"]
+    assert got["sent_idx"].tolist() == [0, 1, 2, 3]
