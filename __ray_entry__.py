@@ -1177,6 +1177,38 @@ def _q_bigram_counts(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]), top_n=50))
 
 
+def _q_significant_terms(sf_dir: str):
+    from rse_ray.pipelines.text import significant_terms
+
+    return _finalize(significant_terms(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        fg_lang="en"))
+
+
+def _q_llr_bigrams(sf_dir: str):
+    from rse_ray.pipelines.text import llr_bigrams
+
+    return _finalize(llr_bigrams(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_count=5, top_n=50))
+
+
+def _q_group_ols(sf_dir: str):
+    from rse_ray.pipelines.relational import group_ols
+
+    return _finalize(group_ols(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_quantity", "l_extendedprice"]),
+        group="l_returnflag", x="l_quantity", y="l_extendedprice"))
+
+
+def _q_fuzzy_pairs(sf_dir: str):
+    from rse_ray.pipelines.dedup import fuzzy_pairs
+
+    return _finalize(fuzzy_pairs(
+        _read(sf_dir, "customer", ["c_name"]), col="c_name"))
+
+
 def _q_token_entropy(sf_dir: str):
     from rse_ray.pipelines.text import token_entropy
 
@@ -3014,6 +3046,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_spectrum": _q_freq_spectrum,
         "auto_stopwords": _q_auto_stopwords,
         "sentence_split": _q_sentence_split,
+        "significant_terms": _q_significant_terms,
+        "llr_bigrams": _q_llr_bigrams,
+        "group_ols": _q_group_ols,
+        "fuzzy_pairs": _q_fuzzy_pairs,
         "feature_hashing": _q_feature_hashing,
         "corpus_release": _q_corpus_release,
         "containment_pairs": _q_containment_pairs,
@@ -3591,6 +3627,71 @@ FROM s CROSS JOIN t""",
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
 FROM lineitem GROUP BY l_returnflag""",
+        # sum-form OLS (NOT regr_slope) so both engines share one
+        # float contract; see group_ols docstring for the 4dp pin
+        "group_ols": """
+WITH s AS (SELECT l_returnflag,
+             count(*)::DOUBLE AS n,
+             sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+             sum(l_quantity * l_quantity) AS sxx,
+             sum(l_quantity * l_extendedprice) AS sxy
+           FROM lineitem GROUP BY 1)
+SELECT l_returnflag, n::BIGINT AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 4) AS intercept
+FROM s""",
+        "significant_terms": _TOKS + """,
+dt AS (SELECT DISTINCT term, doc_id FROM toks),
+d AS (SELECT term, count(*)::BIGINT AS df_all FROM dt GROUP BY 1),
+f AS (SELECT term, count(*)::BIGINT AS df_fg
+      FROM dt JOIN documents USING (doc_id)
+      WHERE lang = 'en' GROUP BY 1),
+nn AS (SELECT count(*)::DOUBLE AS n_all,
+              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+                AS n_fg
+       FROM documents WHERE text IS NOT NULL)
+SELECT d.term, f.df_fg, d.df_all,
+       round((f.df_fg / nn.n_fg - d.df_all / nn.n_all)
+             * ((f.df_fg / nn.n_fg) / (d.df_all / nn.n_all)), 6)
+         AS score
+FROM d JOIN f USING (term) CROSS JOIN nn""",
+        # Dunning LLR with the zero-cell convention 0*ln(0/e) = 0
+        "llr_bigrams": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+bg AS (SELECT a[i] AS w1, a[i+1] AS w2
+       FROM arr, unnest(range(1, len(a))) AS t(i)),
+cb AS (SELECT w1, w2, count(*)::BIGINT AS n FROM bg GROUP BY 1, 2),
+r AS (SELECT w1, sum(n)::DOUBLE AS r1 FROM cb GROUP BY 1),
+c AS (SELECT w2, sum(n)::DOUBLE AS c1 FROM cb GROUP BY 1),
+nt AS (SELECT sum(n)::DOUBLE AS nn FROM cb),
+k AS (SELECT cb.w1, cb.w2, cb.n, n::DOUBLE AS k11,
+             r.r1 - n AS k12, c.c1 - n AS k21,
+             nt.nn - r.r1 - c.c1 + n AS k22, r.r1, c.c1, nt.nn
+      FROM cb JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN nt
+      WHERE cb.n >= 5),
+sc AS (SELECT w1 || ' ' || w2 AS bigram, n,
+         round(2 * (
+           (CASE WHEN k11 > 0
+                 THEN k11 * ln(k11 / (r1 * c1 / nn)) ELSE 0 END)
+         + (CASE WHEN k12 > 0
+                 THEN k12 * ln(k12 / (r1 * (nn - c1) / nn)) ELSE 0 END)
+         + (CASE WHEN k21 > 0
+                 THEN k21 * ln(k21 / ((nn - r1) * c1 / nn)) ELSE 0 END)
+         + (CASE WHEN k22 > 0
+                 THEN k22 * ln(k22 / ((nn - r1) * (nn - c1) / nn))
+                 ELSE 0 END)), 6) AS llr
+       FROM k)
+SELECT bigram, n, llr FROM sc ORDER BY llr DESC, bigram LIMIT 50""",
+        # the O(rows^2) cross-join ground truth for the SymSpell index
+        "fuzzy_pairs": """
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM customer a, customer b
+WHERE a.c_name < b.c_name
+  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) = 1""",
         "dup_chunks": """
 WITH pw(e, w) AS (VALUES (0, 1), (1, 257), (2, 66049), (3, 16974593), (4, 67503107), (5, 168429323), (6, 336663071), (7, 623063367), (8, 1213495441), (9, 483199522), (10, 1775709275), (11, 1090750511), (12, 1150007217), (13, 1346595130), (14, 330081243), (15, 1079017218)),
 ex AS (

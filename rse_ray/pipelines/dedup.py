@@ -1116,3 +1116,96 @@ def paragraph_dedup(ds, *, id_col: str = "doc_id",
         .map_groups(keep_first, batch_format="pandas")
         .select_columns([id_col, "para_idx", "para", "n_copies"])
     )
+
+
+def _edit_distance_le1(a: str, b: str) -> bool:
+    """Exact 'Levenshtein(a, b) <= 1' check in O(len) with early exit
+    (never builds the DP table — distance-1 verification only needs
+    the first mismatch position)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        # 0 or 1 substitutions
+        diff = 0
+        for ca, cb in zip(a, b):
+            if ca != cb:
+                diff += 1
+                if diff > 1:
+                    return False
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # lb == la + 1: one insertion — skip the first mismatch in b
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_pairs(ds, *, col: str = "c_name", max_bucket: int = 10_000):
+    """All distinct value pairs within Levenshtein distance 1, found
+    with the SymSpell deletion-neighborhood index (Garbe's symmetric
+    delete trick): every value emits itself plus each single-character
+    deletion as candidate keys; two values at distance exactly 1 are
+    GUARANTEED to share a key (substitution -> the delete at the
+    differing position; insertion/deletion -> the shorter string is
+    itself a delete of the longer), so one groupby(key) co-locates
+    every true pair and candidate generation is O(rows x len) keys
+    instead of the O(rows^2) cross join the SQL twin runs. Shared
+    keys can also join distance-2 strings (e.g. 'ab'/'ba' share 'a'),
+    so each candidate pair is verified with an exact distance check.
+    -> (name_a, name_b), name_a < name_b.
+
+    Scale shape: flat-map key explosion -> ONE groupby(key) shuffle ->
+    in-bucket pair generation (bucket = values sharing one specific
+    delete string; bounded by alphabet size for real data, ``max_bucket``
+    caps adversarial keys like minhash's band cap) -> groupby(pair)
+    dedup (pairs found under several shared keys) -> verify map. No
+    stage materializes the corpus."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        keys, names = [], []
+        for v in vals:
+            if v is None:
+                continue
+            keys.append(v)
+            names.append(v)
+            for i in range(len(v)):
+                keys.append(v[:i] + v[i + 1:])
+                names.append(v)
+        return pa.table({"key": pa.array(keys, type=pa.string()),
+                         "name": pa.array(names, type=pa.string())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        names = sorted(set(group.column("name").to_pylist()))
+        if len(names) > max_bucket:
+            names = names[:max_bucket]
+        a_out, b_out = [], []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                a_out.append(names[i])
+                b_out.append(names[j])
+        return pa.table({"name_a": pa.array(a_out, type=pa.string()),
+                         "name_b": pa.array(b_out, type=pa.string())})
+
+    def first_row(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if "name_a" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"name_a": pa.array([], type=pa.string()),
+                             "name_b": pa.array([], type=pa.string())})
+        a = batch.column("name_a").to_pylist()
+        b = batch.column("name_b").to_pylist()
+        keep = pa.array([_edit_distance_le1(x, y)
+                         for x, y in zip(a, b)])
+        return batch.filter(keep)
+
+    pairs = ds.select_columns([col]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby("key").map_groups(bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["name_a", "name_b"]) \
+        .map_groups(first_row, batch_format="pyarrow") \
+        .map_batches(verify, batch_format="pyarrow")

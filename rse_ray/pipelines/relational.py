@@ -2952,3 +2952,68 @@ def ttl_dedup(events_ds, *, key_cols=("user_id", "event_type"),
     return (events_ds.select_columns(keys + [ts_col, id_col])
             .groupby(keys)
             .map_groups(fold, batch_format="pandas"))
+
+
+def group_ols(lineitem_ds, *, group: str = "l_returnflag",
+              x: str = "l_quantity", y: str = "l_extendedprice"):
+    """Per-group ordinary-least-squares line fit (the distributed
+    regr_slope/regr_intercept aggregate): for each group,
+
+        slope     = (n * Sxy - Sx * Sy) / (n * Sxx - Sx^2)
+        intercept = (Sy - slope * Sx) / n
+
+    computed from per-batch partial sufficient statistics (n, Sx, Sy,
+    Sxx, Sxy) — the textbook combiner form, so the shuffle moves five
+    doubles per (batch, group) instead of the rows. Output (group, n,
+    slope, intercept) rounded to 4 places. The SQL twin spells out the
+    SAME sum formula (not regr_slope) so both engines share one float
+    contract; 4 places (not the usual 6) because n*Sxy - Sx*Sy is a
+    cancelling difference of ~1e16-scale sums accumulated in different
+    orders by the two engines — the residual is ~1e-6 absolute, well
+    inside a 5e-5 boundary but not a 5e-7 one."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xs = batch.column(x)
+        ys = batch.column(y)
+        t = pa.table({
+            group: batch.column(group),
+            "_x": xs, "_y": ys,
+            "_xx": pc.multiply(xs, xs),
+            "_xy": pc.multiply(xs, ys),
+        })
+        g = t.group_by([group]).aggregate(
+            [("_x", "sum"), ("_y", "sum"), ("_xx", "sum"),
+             ("_xy", "sum"), ([], "count_all")])
+        return pa.table({
+            group: g.column(group),
+            "sx_p": g.column("_x_sum"), "sy_p": g.column("_y_sum"),
+            "sxx_p": g.column("_xx_sum"), "sxy_p": g.column("_xy_sum"),
+            "n_p": g.column("count_all"),
+        })
+
+    agg = lineitem_ds.select_columns([group, x, y]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(group).aggregate(
+            Sum("sx_p", alias_name="sx"), Sum("sy_p", alias_name="sy"),
+            Sum("sxx_p", alias_name="sxx"),
+            Sum("sxy_p", alias_name="sxy"),
+            Sum("n_p", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.float64)
+        sx = batch.column("sx").to_numpy()
+        sy = batch.column("sy").to_numpy()
+        sxx = batch.column("sxx").to_numpy()
+        sxy = batch.column("sxy").to_numpy()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pa.table({
+            group: batch.column(group),
+            "n": pc.cast(batch.column("n"), pa.int64()),
+            "slope": pa.array(np.round(slope, 4), type=pa.float64()),
+            "intercept": pa.array(np.round(intercept, 4),
+                                  type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

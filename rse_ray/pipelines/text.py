@@ -2556,3 +2556,184 @@ def sentence_split(ds, *, id_col: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def significant_terms(ds, *, fg_lang: str = "en", stem: bool = False):
+    """Elasticsearch-style significant-terms aggregation: terms that
+    are over-represented in a foreground subset (here: docs with
+    lang == ``fg_lang``) relative to the whole corpus, scored with the
+    JLH heuristic score = (fg_pct - bg_pct) * (fg_pct / bg_pct) where
+    fg_pct = df_fg / n_fg and bg_pct = df_all / n_all (the background
+    is the SUPERSET, the ES convention). -> (term, df_fg, df_all,
+    score) for terms with df_fg > 0, score rounded to 6 places.
+
+    Scale shape: one counting pass emits per-batch (term, df_fg
+    partial, df_all partial) rows (distinct doc per term inside the
+    batch; doc_ids never repeat across batches so partials sum
+    exactly); ONE groupby(term) shuffle; the two corpus sizes are tiny
+    scalar aggregates broadcast into the finish map."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        fg: Counter = Counter()
+        allc: Counter = Counter()
+        for _i, t, lg in zip(ids, texts, langs):
+            if t is None:
+                continue
+            terms = set(_tok(t, stem))
+            allc.update(terms)
+            if lg == fg_lang:
+                fg.update(terms)
+        keys = sorted(allc)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "f_p": pa.array([fg.get(k, 0) for k in keys],
+                            type=pa.int64()),
+            "a_p": pa.array([allc[k] for k in keys], type=pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("f_p", alias_name="df_fg"),
+                                   Sum("a_p", alias_name="df_all"))
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        langs = batch.column("lang")
+        ok = pc.is_valid(texts)
+        n_all = int(pc.sum(ok.cast(pa.int64())).as_py() or 0)
+        isfg = pc.and_(ok, pc.equal(langs, fg_lang))
+        n_fg = int(pc.sum(isfg.cast(pa.int64())).as_py() or 0)
+        return pa.table({"n_all": pa.array([n_all], type=pa.int64()),
+                         "n_fg": pa.array([n_fg], type=pa.int64())})
+
+    tot = ds.map_batches(sizes, batch_format="pyarrow")
+    n_all = float(tot.sum("n_all"))
+    n_fg = float(tot.sum("n_fg"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if "term" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "df_fg": pa.array([], type=pa.int64()),
+                             "df_all": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        dfg = batch.column("df_fg").to_numpy().astype(np.float64)
+        dall = batch.column("df_all").to_numpy().astype(np.float64)
+        keep = dfg > 0
+        fg_pct = dfg[keep] / n_fg
+        bg_pct = dall[keep] / n_all
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        k = pa.array(keep)
+        return pa.table({
+            "term": batch.column("term").filter(k),
+            "df_fg": batch.column("df_fg").filter(k),
+            "df_all": batch.column("df_all").filter(k),
+            "score": pa.array(np.round(score, 6), type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def llr_bigrams(ds, *, min_count: int = 5, top_n: int = 50,
+                stem: bool = False):
+    """Top-N collocations by Dunning's log-likelihood ratio (Dunning
+    1993, the statistic Mahout/ES used for collocation mining; unlike
+    PMI it does not over-reward rare pairs). For bigram (a b) with
+    contingency k11 = c(a b), k12 = c(a *) - k11, k21 = c(* b) - k11,
+    k22 = N - k11 - k12 - k21:
+
+        llr = 2 * sum_ij [ k_ij * ln(k_ij / e_ij) ]   (0 ln 0 := 0)
+
+    with e_ij the independence expectation row_i * col_j / N. Output
+    (bigram, n, llr), llr rounded to 6 places BEFORE ranking, ordered
+    (llr DESC, bigram ASC), bigrams with n >= min_count.
+
+    Scale shape: identical to pmi_topk — one counting pass, ONE
+    groupby((w1, w2)) shuffle producing the bigram-vocabulary-sized
+    aggregate; the positional marginals c(a *) / c(* b) are derived
+    FROM that aggregate by two vocab-sized groupby sums, collected and
+    broadcast (vocab << corpus); scoring + block-local head run
+    distributed over the aggregated blocks, so at most blocks x N rows
+    reach the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if not t:
+                continue
+            toks = _tok(t, stem)
+            c.update(zip(toks, toks[1:]))
+        keys = sorted(c)
+        return pa.table({
+            "w1": pa.array([k[0] for k in keys], type=pa.string()),
+            "w2": pa.array([k[1] for k in keys], type=pa.string()),
+            "c_p": pa.array([c[k] for k in keys], type=pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("c_p", alias_name="n")) \
+        .materialize()
+
+    # positional marginals from the aggregate itself: vocab-sized
+    r_df = agg.groupby("w1").aggregate(Sum("n", alias_name="r")) \
+        .to_pandas()
+    c_df = agg.groupby("w2").aggregate(Sum("n", alias_name="c")) \
+        .to_pandas()
+    row_of = dict(zip(r_df["w1"], r_df["r"].astype(np.float64)))
+    col_of = dict(zip(c_df["w2"], c_df["c"].astype(np.float64)))
+    n_tot = float(r_df["r"].sum())
+
+    def score(batch: pa.Table) -> pa.Table:
+        if "w1" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "llr": pa.array([], type=pa.float64())})
+        w1 = batch.column("w1").to_pylist()
+        w2 = batch.column("w2").to_pylist()
+        n = batch.column("n").to_numpy().astype(np.float64)
+        keep = n >= min_count
+        if not keep.any():
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "llr": pa.array([], type=pa.float64())})
+        k11 = n[keep]
+        r1 = np.array([row_of[w] for w, k in zip(w1, keep) if k])
+        c1 = np.array([col_of[w] for w, k in zip(w2, keep) if k])
+        k12 = r1 - k11
+        k21 = c1 - k11
+        k22 = n_tot - r1 - c1 + k11
+
+        def term(k: np.ndarray, e: np.ndarray) -> np.ndarray:
+            out = np.zeros_like(k)
+            pos = k > 0
+            out[pos] = k[pos] * np.log(k[pos] / e[pos])
+            return out
+
+        e11 = r1 * c1 / n_tot
+        e12 = r1 * (n_tot - c1) / n_tot
+        e21 = (n_tot - r1) * c1 / n_tot
+        e22 = (n_tot - r1) * (n_tot - c1) / n_tot
+        llr = 2.0 * (term(k11, e11) + term(k12, e12)
+                     + term(k21, e21) + term(k22, e22))
+        grams = [f"{a} {b}" for a, b, k in zip(w1, w2, keep) if k]
+        return pa.table({
+            "bigram": pa.array(grams, type=pa.string()),
+            "n": pa.array(k11.astype(np.int64), type=pa.int64()),
+            "llr": pa.array(np.round(llr, 6), type=pa.float64()),
+        })
+
+    def block_head(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["llr", "bigram"], ascending=[False, True])
+              .head(top_n), preserve_index=False)
+
+    out = agg.map_batches(score, batch_format="pyarrow") \
+        .map_batches(block_head, batch_size=None,
+                     batch_format="pyarrow").to_pandas()
+    return out.sort_values(["llr", "bigram"],
+                           ascending=[False, True]) \
+        .head(top_n).reset_index(drop=True)

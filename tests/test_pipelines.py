@@ -3564,3 +3564,91 @@ def test_auto_stopwords_and_sentence_split(ray_session):
     assert got["sentence"].tolist() == ["One two.", "Three!", "Four?",
                                         "tail frag"]
     assert got["sent_idx"].tolist() == [0, 1, 2, 3]
+
+
+def test_significant_terms_jlh(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import significant_terms
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["cat dog", "cat", "dog", "dog"]),
+        "lang": pa.array(["en", "en", "de", "de"]),
+    })
+    got = significant_terms(ray.data.from_arrow(t), fg_lang="en") \
+        .to_pandas().set_index("term")
+    # cat: fg 2/2 vs bg 2/4 -> (1-0.5)*(1/0.5) = 1.0
+    assert got.loc["cat", "score"] == 1.0
+    assert got.loc["cat", "df_fg"] == 2 and got.loc["cat", "df_all"] == 2
+    # dog: fg 1/2 vs bg 3/4 -> (0.5-0.75)*(0.5/0.75)
+    assert got.loc["dog", "score"] == round((0.5 - 0.75) * (0.5 / 0.75), 6)
+
+
+def test_llr_bigrams_contingency(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import llr_bigrams
+
+    # 6 bigrams total: "a b" x3, "a c" x2, "c b" x1
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b a c", "a b a c", "a b c b"]),
+    })
+    got = llr_bigrams(ray.data.from_arrow(t), min_count=1, top_n=50)
+    # hand-check "a b": count each bigram from the three docs:
+    # doc0/1: (a b), (b a), (a c); doc2: (a b), (b c), (c b) -> N=9
+    # k11(a b)=3, row(a *)=a b x3 + a c x2 =5, col(* b)=a b 3 + c b 1=4
+    k11, r1, c1, N = 3.0, 5.0, 4.0, 9.0
+    k12, k21, k22 = r1 - k11, c1 - k11, N - r1 - c1 + k11
+
+    def term(k, e):
+        return k * math.log(k / e) if k > 0 else 0.0
+
+    want = 2 * (term(k11, r1 * c1 / N) + term(k12, r1 * (N - c1) / N)
+                + term(k21, (N - r1) * c1 / N)
+                + term(k22, (N - r1) * (N - c1) / N))
+    row = got[got["bigram"] == "a b"].iloc[0]
+    assert row["n"] == 3
+    assert abs(row["llr"] - round(want, 6)) < 1e-9
+
+
+def test_group_ols_exact_line(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import group_ols
+
+    # group g: y = 3x + 2 exactly; group h: y = -x + 10
+    t = pa.table({
+        "g": pa.array(["g", "g", "g", "h", "h", "h"]),
+        "x": pa.array([1.0, 2.0, 3.0, 1.0, 2.0, 4.0]),
+        "y": pa.array([5.0, 8.0, 11.0, 9.0, 8.0, 6.0]),
+    })
+    got = group_ols(ray.data.from_arrow(t), group="g", x="x", y="y") \
+        .to_pandas().set_index("g")
+    assert got.loc["g", "slope"] == 3.0 and got.loc["g", "intercept"] == 2.0
+    assert got.loc["h", "slope"] == -1.0 and got.loc["h", "intercept"] == 10.0
+    assert got["n"].tolist() == [3, 3]
+
+
+def test_fuzzy_pairs_symspell(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.dedup import _edit_distance_le1, fuzzy_pairs
+
+    # ab/ba share delete key 'a' AND 'b' but are distance 2 (must be
+    # verified away); cat/cut substitution; cat/cats insertion;
+    # dog unrelated
+    t = pa.table({"c_name": pa.array(
+        ["ab", "ba", "cat", "cut", "cats", "dog", None])})
+    got = fuzzy_pairs(ray.data.from_arrow(t), col="c_name").to_pandas()
+    pairs = sorted(map(tuple, got[["name_a", "name_b"]].values))
+    assert pairs == [("cat", "cats"), ("cat", "cut")]
+    assert not _edit_distance_le1("ab", "ba")
+    assert _edit_distance_le1("x", "x") and _edit_distance_le1("", "x")
