@@ -1209,6 +1209,37 @@ def _q_fuzzy_pairs(sf_dir: str):
         _read(sf_dir, "customer", ["c_name"]), col="c_name"))
 
 
+def _q_market_basket(sf_dir: str):
+    from rse_ray.pipelines.relational import market_basket
+
+    return _finalize(market_basket(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        min_pair=2))
+
+
+def _q_trending_event_types(sf_dir: str):
+    from rse_ray.pipelines.relational import trending_event_types
+
+    return _finalize(trending_event_types(
+        _read(sf_dir, "events", ["ts", "event_type"]), window_days=7))
+
+
+def _q_ab_test_welch(sf_dir: str):
+    from rse_ray.pipelines.relational import ab_test_welch
+
+    return _finalize(ab_test_welch(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        group_a="click", group_b="purchase"))
+
+
+def _q_mmr_rerank(sf_dir: str):
+    from rse_ray.pipelines.ann import mmr_rerank
+
+    return _finalize(mmr_rerank(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        KNN_QUERY_IDS[0], pool=20, k=5, lam=0.7))
+
+
 def _q_token_entropy(sf_dir: str):
     from rse_ray.pipelines.text import token_entropy
 
@@ -3050,6 +3081,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llr_bigrams": _q_llr_bigrams,
         "group_ols": _q_group_ols,
         "fuzzy_pairs": _q_fuzzy_pairs,
+        "market_basket": _q_market_basket,
+        "trending_event_types": _q_trending_event_types,
+        "ab_test_welch": _q_ab_test_welch,
+        "mmr_rerank": _q_mmr_rerank,
         "feature_hashing": _q_feature_hashing,
         "corpus_release": _q_corpus_release,
         "containment_pairs": _q_containment_pairs,
@@ -3685,6 +3720,104 @@ sc AS (SELECT w1 || ' ' || w2 AS bigram, n,
                  ELSE 0 END)), 6) AS llr
        FROM k)
 SELECT bigram, n, llr FROM sc ORDER BY llr DESC, bigram LIMIT 50""",
+        "market_basket": """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+             count(*)::BIGINT AS n_pair
+      FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                       AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2),
+m AS (SELECT l_partkey, count(*)::BIGINT AS nm FROM b GROUP BY 1),
+t AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS nb FROM lineitem)
+SELECT pa AS part_a, pb AS part_b, n_pair,
+       ma.nm AS n_a, mb.nm AS n_b,
+       round(n_pair * t.nb / (ma.nm * mb.nm), 6) AS lift
+FROM p JOIN m ma ON pa = ma.l_partkey
+       JOIN m mb ON pb = mb.l_partkey CROSS JOIN t
+WHERE n_pair >= 2""",
+        "trending_event_types": """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+c AS (SELECT event_type,
+        sum(CASE WHEN ts > m - INTERVAL 7 DAY
+                 THEN 1 ELSE 0 END)::BIGINT AS n_cur,
+        sum(CASE WHEN ts <= m - INTERVAL 7 DAY
+                  AND ts > m - INTERVAL 14 DAY
+                 THEN 1 ELSE 0 END)::BIGINT AS n_prev
+      FROM events CROSS JOIN mx GROUP BY 1)
+SELECT event_type, n_cur, n_prev,
+       round((n_cur + 1.0) / (n_prev + 1.0), 6) AS lift FROM c""",
+        # same sum-form sufficient statistics as the Ray side
+        "ab_test_welch": """
+WITH s AS (SELECT event_type AS g, count(*)::DOUBLE AS n,
+                  sum(value) AS sx, sum(value * value) AS sxx
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1),
+st AS (SELECT g, n, sx / n AS m,
+              (sxx - sx * sx / n) / (n - 1.0) AS s2 FROM s),
+a AS (SELECT * FROM st WHERE g = 'click'),
+b AS (SELECT * FROM st WHERE g = 'purchase')
+SELECT 'click' AS group_a, 'purchase' AS group_b,
+       a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
+       round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+       round((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n), 6) AS t_stat,
+       round(pow(a.s2 / a.n + b.s2 / b.n, 2)
+             / (pow(a.s2 / a.n, 2) / (a.n - 1.0)
+                + pow(b.s2 / b.n, 2) / (b.n - 1.0)), 6) AS df
+FROM a CROSS JOIN b""",
+        # greedy MMR unrolled to k=5 steps (each step = one argmax CTE
+        # over the pool, penalty via correlated max over the selected
+        # set); constants written as (1.0 - 0.7) so both engines fold
+        # the identical double
+        "mmr_rerank": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = {qid}),
+cand AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve,
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       q.qe) AS rel
+         FROM embeddings e, q WHERE e.vec_id <> {qid}
+         QUALIFY row_number() OVER (ORDER BY rel DESC, e.vec_id)
+                 <= 20),
+p1 AS (SELECT vec_id, ve, rel, rel AS mmr FROM cand
+       ORDER BY rel DESC, vec_id LIMIT 1),
+s1 AS (SELECT vec_id, ve FROM p1),
+p2 AS (SELECT c.vec_id, c.ve, c.rel,
+              0.7 * c.rel - (1.0 - 0.7) *
+                (SELECT max(list_cosine_similarity(c.ve, s.ve))
+                 FROM s1 s) AS mmr
+       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+       ORDER BY mmr DESC, c.vec_id LIMIT 1),
+s2 AS (SELECT vec_id, ve FROM s1
+       UNION ALL SELECT vec_id, ve FROM p2),
+p3 AS (SELECT c.vec_id, c.ve, c.rel,
+              0.7 * c.rel - (1.0 - 0.7) *
+                (SELECT max(list_cosine_similarity(c.ve, s.ve))
+                 FROM s2 s) AS mmr
+       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s2)
+       ORDER BY mmr DESC, c.vec_id LIMIT 1),
+s3 AS (SELECT vec_id, ve FROM s2
+       UNION ALL SELECT vec_id, ve FROM p3),
+p4 AS (SELECT c.vec_id, c.ve, c.rel,
+              0.7 * c.rel - (1.0 - 0.7) *
+                (SELECT max(list_cosine_similarity(c.ve, s.ve))
+                 FROM s3 s) AS mmr
+       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s3)
+       ORDER BY mmr DESC, c.vec_id LIMIT 1),
+s4 AS (SELECT vec_id, ve FROM s3
+       UNION ALL SELECT vec_id, ve FROM p4),
+p5 AS (SELECT c.vec_id, c.ve, c.rel,
+              0.7 * c.rel - (1.0 - 0.7) *
+                (SELECT max(list_cosine_similarity(c.ve, s.ve))
+                 FROM s4 s) AS mmr
+       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s4)
+       ORDER BY mmr DESC, c.vec_id LIMIT 1)
+SELECT 0::BIGINT AS rank, vec_id AS neighbor_id,
+       round(rel, 6) AS rel, round(mmr, 6) AS mmr FROM p1
+UNION ALL SELECT 1, vec_id, round(rel, 6), round(mmr, 6) FROM p2
+UNION ALL SELECT 2, vec_id, round(rel, 6), round(mmr, 6) FROM p3
+UNION ALL SELECT 3, vec_id, round(rel, 6), round(mmr, 6) FROM p4
+UNION ALL SELECT 4, vec_id, round(rel, 6), round(mmr, 6) FROM p5""".format(
+            qid=KNN_QUERY_IDS[0]
+        ),
         # the O(rows^2) cross-join ground truth for the SymSpell index
         "fuzzy_pairs": """
 SELECT a.c_name AS name_a, b.c_name AS name_b

@@ -1074,3 +1074,57 @@ def sq_rerank_knn(ds, query_ids: list[int], k: int = 10, *,
     if round_to is not None:
         out["cos"] = out["cos"].round(round_to)
     return out
+
+
+def mmr_rerank(ds, query_id: int, *, pool: int = 20, k: int = 5,
+               lam: float = 0.7) -> pa.Table:
+    """Maximal-marginal-relevance diversified re-rank (Carbonell &
+    Goldstein, SIGIR 1998): from the exact cosine top-``pool``
+    candidates of ``query_id``, greedily select ``k`` results by
+
+        mmr(c) = lam * cos(q, c) - (1 - lam) * max_{s in S} cos(c, s)
+
+    (first pick = highest relevance; ties broken by neighbor_id asc;
+    selection compares UNROUNDED scores, outputs round to 6 places,
+    matching the knn_cosine convention). -> (rank, neighbor_id, rel,
+    mmr).
+
+    Scale shape: the candidate pool comes from the distributed
+    brute-force top-k (per-batch local top-k, driver reduce of
+    blocks x k rows); candidate vectors are fetched with the
+    distributed is_in point lookup; the greedy loop then runs on a
+    pool x pool similarity matrix — O(k * pool) driver work on a
+    k-bounded pool, independent of corpus size by construction."""
+    qv = _fetch_query_vectors(ds, [query_id])[int(query_id)]
+    cand = brute_force_knn(ds, [int(query_id)], k=pool, round_to=None)
+    cand_ids = [int(i) for i in cand["neighbor_id"]]
+    vecs = _fetch_query_vectors(ds, cand_ids)
+    C = _normalize(np.stack([vecs[i] for i in cand_ids]))
+    q = qv / (np.linalg.norm(qv) or 1.0)
+    rel = C @ q
+    sim = C @ C.T
+    ids = np.array(cand_ids, dtype=np.int64)
+
+    selected: list[int] = []
+    out_rank, out_id, out_rel, out_mmr = [], [], [], []
+    remaining = list(range(len(ids)))
+    for rank in range(min(k, len(ids))):
+        if not selected:
+            scores = rel[remaining]
+        else:
+            penal = sim[np.ix_(remaining, selected)].max(axis=1)
+            scores = lam * rel[remaining] - (1.0 - lam) * penal
+        order = np.lexsort((ids[remaining], -scores))
+        pick = remaining[order[0]]
+        out_rank.append(rank)
+        out_id.append(int(ids[pick]))
+        out_rel.append(float(rel[pick]))
+        out_mmr.append(float(scores[order[0]]))
+        selected.append(pick)
+        remaining.remove(pick)
+    return pa.table({
+        "rank": pa.array(out_rank, type=pa.int64()),
+        "neighbor_id": pa.array(out_id, type=pa.int64()),
+        "rel": pa.array(np.round(out_rel, 6), type=pa.float64()),
+        "mmr": pa.array(np.round(out_mmr, 6), type=pa.float64()),
+    })

@@ -19,6 +19,7 @@ of the declared result contract.
 
 from __future__ import annotations
 
+import math
 import json
 
 import numpy as np
@@ -3017,3 +3018,203 @@ def group_ols(lineitem_ds, *, group: str = "l_returnflag",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def market_basket(lineitem_ds, *, min_pair: int = 2):
+    """Frequent-itemset pair mining (market-basket co-occurrence with
+    lift): baskets = orders, items = distinct parts in the order.
+    -> (part_a, part_b, n_pair, n_a, n_b, lift) for pairs co-occurring
+    in >= ``min_pair`` baskets, with lift = n_pair * n_baskets /
+    (n_a * n_b) rounded to 6 places (all inputs integer counts, so the
+    double is identical on both engines).
+
+    Scale shape: ONE groupby(l_orderkey) shuffle co-locates each
+    basket; pair generation is O(basket_size^2) per order (baskets are
+    small by nature — the classic a-priori blowup is bounded by order
+    width, not corpus size); the same pass emits per-part membership
+    rows and a per-basket sentinel row, so pair counts, item supports
+    and the basket total all come out of ONE groupby((a, b)) count.
+    Item supports (part-vocabulary-sized, << corpus) are collected and
+    broadcast into the finish map; at 1e8+ distinct items swap the
+    broadcast for the repo's hash_join on part_a/part_b."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def pairgen(group: pa.Table) -> pa.Table:
+        parts = sorted(set(group.column("l_partkey").to_pylist()))
+        a_out, b_out = [], []
+        for i, p in enumerate(parts):
+            a_out.append(p)           # membership sentinel
+            b_out.append(-1)
+            for q in parts[i + 1:]:
+                a_out.append(p)
+                b_out.append(q)
+        a_out.append(-2)              # basket sentinel
+        b_out.append(-2)
+        return pa.table({"part_a": pa.array(a_out, type=pa.int64()),
+                         "part_b": pa.array(b_out, type=pa.int64())})
+
+    agg = lineitem_ds.select_columns(["l_orderkey", "l_partkey"]) \
+        .groupby("l_orderkey").map_groups(pairgen,
+                                          batch_format="pyarrow") \
+        .groupby(["part_a", "part_b"]).aggregate(Count()) \
+        .materialize()
+
+    def only_meta(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("part_b"),
+                                    pa.scalar(0, pa.int64())))
+
+    meta = agg.map_batches(only_meta, batch_format="pyarrow") \
+        .to_pandas()
+    n_baskets = float(meta.loc[meta["part_a"] == -2, "count()"].sum())
+    support = dict(zip(meta.loc[meta["part_a"] >= 0, "part_a"],
+                       meta.loc[meta["part_a"] >= 0, "count()"]
+                       .astype(np.int64)))
+    sup_ref = ray.put(support)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "part_a": pa.array([], type=pa.int64()),
+            "part_b": pa.array([], type=pa.int64()),
+            "n_pair": pa.array([], type=pa.int64()),
+            "n_a": pa.array([], type=pa.int64()),
+            "n_b": pa.array([], type=pa.int64()),
+            "lift": pa.array([], type=pa.float64()),
+        })
+        if "part_a" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        sup = ray.get(sup_ref)
+        pa_ = batch.column("part_a").to_numpy()
+        pb_ = batch.column("part_b").to_numpy()
+        n = batch.column("count()").to_numpy().astype(np.int64)
+        keep = (pb_ >= 0) & (n >= min_pair)
+        if not keep.any():
+            return empty
+        pa_, pb_, n = pa_[keep], pb_[keep], n[keep]
+        na = np.array([sup[p] for p in pa_], dtype=np.int64)
+        nb = np.array([sup[p] for p in pb_], dtype=np.int64)
+        lift = n.astype(np.float64) * n_baskets \
+            / (na.astype(np.float64) * nb.astype(np.float64))
+        return pa.table({
+            "part_a": pa.array(pa_, type=pa.int64()),
+            "part_b": pa.array(pb_, type=pa.int64()),
+            "n_pair": pa.array(n, type=pa.int64()),
+            "n_a": pa.array(na, type=pa.int64()),
+            "n_b": pa.array(nb, type=pa.int64()),
+            "lift": pa.array(np.round(lift, 6), type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def trending_event_types(events_ds, *, window_days: int = 7):
+    """Window-over-window trend detection: per event_type, event count
+    in the trailing ``window_days`` window (anchored at the corpus max
+    timestamp) vs the window before it, with the add-one-smoothed lift
+    (n_cur + 1) / (n_prev + 1) rounded to 6 places — the ES
+    significant-terms-over-time / trending-topics shape.
+    -> (event_type, n_cur, n_prev, lift).
+
+    Scale shape: one tiny max(ts) scalar pass, then per-batch partial
+    counts (two ints per (batch, type)) through ONE groupby."""
+    from ray.data.aggregate import Sum
+
+    anchor = events_ds.max("ts")
+    anchor64 = np.datetime64(anchor, "us")
+    lo_cur = anchor64 - np.timedelta64(window_days, "D")
+    lo_prev = anchor64 - np.timedelta64(2 * window_days, "D")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy()
+        et = batch.column("event_type")
+        cur = ts > lo_cur
+        prev = (ts > lo_prev) & ~cur
+        t = pa.table({
+            "event_type": et,
+            "c_p": pa.array(cur.astype(np.int64)),
+            "p_p": pa.array(prev.astype(np.int64)),
+        })
+        g = t.group_by(["event_type"]).aggregate(
+            [("c_p", "sum"), ("p_p", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "c_p": g.column("c_p_sum"),
+                         "p_p": g.column("p_p_sum")})
+
+    agg = events_ds.select_columns(["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("c_p", alias_name="n_cur"),
+            Sum("p_p", alias_name="n_prev"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_cur").to_numpy().astype(np.float64)
+        np_ = batch.column("n_prev").to_numpy().astype(np.float64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_cur": pc.cast(batch.column("n_cur"), pa.int64()),
+            "n_prev": pc.cast(batch.column("n_prev"), pa.int64()),
+            "lift": pa.array(np.round((nc + 1.0) / (np_ + 1.0), 6),
+                             type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def ab_test_welch(events_ds, *, group_col: str = "event_type",
+                  val_col: str = "value", group_a: str = "click",
+                  group_b: str = "purchase"):
+    """Welch's unequal-variance t-test between two groups' value
+    distributions — the A/B-test aggregate, computed from per-batch
+    partial sufficient statistics (n, Sx, Sxx per group; three doubles
+    per batch-group cross the shuffle):
+
+        t  = (m_a - m_b) / sqrt(s2_a/n_a + s2_b/n_b)
+        df = (s2_a/n_a + s2_b/n_b)^2
+             / ((s2_a/n_a)^2/(n_a-1) + (s2_b/n_b)^2/(n_b-1))
+
+    with s2 the sample variance (Sxx - Sx^2/n) / (n - 1). One-row
+    output (group_a, group_b, n_a, n_b, mean_a, mean_b, t_stat, df),
+    floats rounded to 6 places; the SQL twin spells the same sum
+    formula."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        v = batch.column(val_col)
+        keep = pc.or_(pc.equal(g, group_a), pc.equal(g, group_b))
+        t = pa.table({"g": g, "v": v,
+                      "vv": pc.multiply(v, v)}).filter(keep)
+        gg = t.group_by(["g"]).aggregate(
+            [("v", "sum"), ("vv", "sum"), ([], "count_all")])
+        return pa.table({"g": gg.column("g"),
+                         "sx_p": gg.column("v_sum"),
+                         "sxx_p": gg.column("vv_sum"),
+                         "n_p": gg.column("count_all")})
+
+    agg = events_ds.select_columns([group_col, val_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("g").aggregate(Sum("sx_p", alias_name="sx"),
+                                Sum("sxx_p", alias_name="sxx"),
+                                Sum("n_p", alias_name="n")).to_pandas()
+
+    stats = {}
+    for _, r in agg.iterrows():
+        n = float(r["n"])
+        m = r["sx"] / n
+        s2 = (r["sxx"] - r["sx"] * r["sx"] / n) / (n - 1.0)
+        stats[r["g"]] = (n, m, s2)
+    na, ma, s2a = stats[group_a]
+    nb, mb, s2b = stats[group_b]
+    se2 = s2a / na + s2b / nb
+    t_stat = (ma - mb) / math.sqrt(se2)
+    df = se2 * se2 / ((s2a / na) ** 2 / (na - 1.0)
+                      + (s2b / nb) ** 2 / (nb - 1.0))
+    return pa.table({
+        "group_a": pa.array([group_a]), "group_b": pa.array([group_b]),
+        "n_a": pa.array([int(na)], type=pa.int64()),
+        "n_b": pa.array([int(nb)], type=pa.int64()),
+        "mean_a": pa.array([np.round(ma, 6)], type=pa.float64()),
+        "mean_b": pa.array([np.round(mb, 6)], type=pa.float64()),
+        "t_stat": pa.array([np.round(t_stat, 6)], type=pa.float64()),
+        "df": pa.array([np.round(df, 6)], type=pa.float64()),
+    })

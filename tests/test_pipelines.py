@@ -3652,3 +3652,90 @@ def test_fuzzy_pairs_symspell(ray_session):
     assert pairs == [("cat", "cats"), ("cat", "cut")]
     assert not _edit_distance_le1("ab", "ba")
     assert _edit_distance_le1("x", "x") and _edit_distance_le1("", "x")
+
+
+def test_market_basket_lift(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import market_basket
+
+    # 4 baskets: {1,2} x3, {1,3} x1 -> pair (1,2) n=3, (1,3) n=1
+    t = pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 11, 12, 12, 13, 13, 13],
+                               type=pa.int64()),
+        "l_partkey": pa.array([1, 2, 1, 2, 1, 2, 1, 3, 3],
+                              type=pa.int64()),
+    })
+    got = market_basket(ray.data.from_arrow(t), min_pair=2).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["part_a"], r["part_b"], r["n_pair"]) == (1, 2, 3)
+    assert (r["n_a"], r["n_b"]) == (4, 3)
+    # lift = 3 * 4 / (4 * 3) = 1.0
+    assert r["lift"] == 1.0
+
+
+def test_trending_event_types_windows(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import trending_event_types
+
+    base = np.datetime64("2024-01-31T00:00:00", "us")
+    ts = [base, base - np.timedelta64(3, "D"),          # cur x2
+          base - np.timedelta64(8, "D"),                # prev
+          base - np.timedelta64(20, "D")]               # neither
+    t = pa.table({
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_type": pa.array(["a", "a", "a", "a"]),
+    })
+    got = trending_event_types(ray.data.from_arrow(t)).to_pandas()
+    r = got.iloc[0]
+    assert (r["n_cur"], r["n_prev"]) == (2, 1)
+    assert r["lift"] == 1.5
+
+
+def test_ab_test_welch_known(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import ab_test_welch
+
+    t = pa.table({
+        "event_type": pa.array(["x"] * 3 + ["y"] * 3),
+        "value": pa.array([1.0, 2.0, 3.0, 2.0, 4.0, 6.0]),
+    })
+    got = ab_test_welch(ray.data.from_arrow(t), group_a="x",
+                        group_b="y").to_pandas().iloc[0]
+    # means 2 and 4, s2 = 1 and 4 -> t = -2/sqrt(1/3+4/3) = -sqrt(2.4)
+    assert got["mean_a"] == 2.0 and got["mean_b"] == 4.0
+    assert abs(got["t_stat"] - round(-((2.4) ** 0.5) * 2 / 2, 6)) < 1e-9
+    # df = (5/3)^2 / ((1/3)^2/2 + (4/3)^2/2)
+    assert abs(got["df"] - round((25 / 9) / ((1 / 9) / 2 + (16 / 9) / 2),
+                                 6)) < 1e-9
+
+
+def test_mmr_rerank_diversifies(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.ann import mmr_rerank
+
+    # query (id 0) at e0; ids 1,2 nearly duplicate e0; id 3 at 60deg
+    # (moderate relevance, low redundancy); pure relevance order is
+    # 1,2,3 — diversity-heavy MMR (lam=0.2) must pick 3 before the
+    # near-duplicate 2: score(2) ~ 0.2*1.0 - 0.8*1.0 = -0.6 while
+    # score(3) ~ 0.2*0.5 - 0.8*0.51 = -0.31
+    vecs = [[1.0, 0.0], [0.999, 0.01], [0.998, 0.02], [0.5, 0.866]]
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+    })
+    got = mmr_rerank(ray.data.from_arrow(t), 0, pool=3, k=3,
+                     lam=0.2).to_pandas()
+    assert got["neighbor_id"].tolist() == [1, 3, 2]
+    assert got["rank"].tolist() == [0, 1, 2]
+    assert got["rel"].iloc[0] > 0.99
