@@ -1240,6 +1240,31 @@ def _q_mmr_rerank(sf_dir: str):
         KNN_QUERY_IDS[0], pool=20, k=5, lam=0.7))
 
 
+BOOL_QUERY = "(key AND table) OR (fast AND NOT slow)"
+
+
+def _q_bool_query(sf_dir: str):
+    from rse_ray.pipelines.text import bool_query_match
+
+    return _finalize(bool_query_match(
+        _read(sf_dir, "documents", ["doc_id", "text"]), BOOL_QUERY))
+
+
+def _q_mad_outliers(sf_dir: str):
+    from rse_ray.pipelines.relational import mad_outliers
+
+    return _finalize(mad_outliers(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])))
+
+
+def _q_user_ewma(sf_dir: str):
+    from rse_ray.pipelines.relational import user_ewma
+
+    return _finalize(user_ewma(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "value"]), alpha=0.3))
+
+
 def _q_token_entropy(sf_dir: str):
     from rse_ray.pipelines.text import token_entropy
 
@@ -3085,6 +3110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_event_types": _q_trending_event_types,
         "ab_test_welch": _q_ab_test_welch,
         "mmr_rerank": _q_mmr_rerank,
+        "bool_query": _q_bool_query,
+        "mad_outliers": _q_mad_outliers,
+        "user_ewma": _q_user_ewma,
         "feature_hashing": _q_feature_hashing,
         "corpus_release": _q_corpus_release,
         "containment_pairs": _q_containment_pairs,
@@ -3818,6 +3846,38 @@ UNION ALL SELECT 3, vec_id, round(rel, 6), round(mmr, 6) FROM p4
 UNION ALL SELECT 4, vec_id, round(rel, 6), round(mmr, 6) FROM p5""".format(
             qid=KNN_QUERY_IDS[0]
         ),
+        # '(key AND table) OR (fast AND NOT slow)' as presence flags
+        "bool_query": _TOKS + """,
+d AS (SELECT doc_id,
+        bool_or(term = 'key') AS t_key,
+        bool_or(term = 'table') AS t_table,
+        bool_or(term = 'fast') AS t_fast,
+        bool_or(term = 'slow') AS t_slow
+      FROM toks GROUP BY 1)
+SELECT doc_id FROM d
+WHERE (t_key AND t_table) OR (t_fast AND NOT t_slow)""",
+        "mad_outliers": """
+WITH s1 AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1),
+s2 AS (SELECT e.event_type,
+              quantile_cont(abs(e.value - s1.med), 0.5) AS mad
+       FROM events e JOIN s1 USING (event_type) GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN s1 USING (event_type) JOIN s2 USING (event_type)
+WHERE abs(e.value - s1.med) > 3.0 * 1.4826 * s2.mad""",
+        # closed-form EWMA (same float contract as the Ray fold)
+        "user_ewma": """
+WITH o AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM events)
+SELECT user_id, max(n)::BIGINT AS n_events,
+       round(sum(CASE WHEN i = 1
+                      THEN pow(1.0 - 0.3, n - 1) * value
+                      ELSE 0.3 * pow(1.0 - 0.3, n - i) * value END),
+             6) AS ewma
+FROM o GROUP BY 1""",
         # the O(rows^2) cross-join ground truth for the SymSpell index
         "fuzzy_pairs": """
 SELECT a.c_name AS name_a, b.c_name AS name_b

@@ -3218,3 +3218,84 @@ def ab_test_welch(events_ds, *, group_col: str = "event_type",
         "t_stat": pa.array([np.round(t_stat, 6)], type=pa.float64()),
         "df": pa.array([np.round(df, 6)], type=pa.float64()),
     })
+
+
+def mad_outliers(events_ds, *, group: str = "event_type",
+                 col: str = "value", id_col: str = "event_id",
+                 k: float = 3.0):
+    """Robust per-group outlier detection by median absolute
+    deviation: a row is an outlier when
+
+        |v - median(v)| > k * 1.4826 * median(|v - median(v)|)
+
+    (1.4826 = the consistency constant making MAD estimate sigma for
+    normal data). -> (event_id, event_type, value) of outliers.
+
+    Scale shape: ONE groupby(group) shuffle computes (median, mad)
+    per group exactly (np.quantile == quantile_cont interpolation,
+    the group_quantiles contract — groups must fit a task; use the
+    histogram-sketch approx_quantiles beyond that); the tiny
+    per-group stats table is broadcast into a stateless filter map
+    over the full stream."""
+    import ray
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[col].to_numpy()
+        med = float(np.quantile(v, 0.5))
+        mad = float(np.quantile(np.abs(v - med), 0.5))
+        return pd.DataFrame({group: [g[group].iloc[0]],
+                             "med": [med], "mad": [mad]})
+
+    st = events_ds.select_columns([group, col]) \
+        .groupby(group).map_groups(stats, batch_format="pandas") \
+        .to_pandas()
+    thr = {r[group]: (r["med"], k * 1.4826 * r["mad"])
+           for _, r in st.iterrows()}
+    thr_ref = ray.put(thr)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        g = batch.column(group).to_pylist()
+        v = batch.column(col).to_numpy()
+        med = np.array([t[x][0] for x in g])
+        lim = np.array([t[x][1] for x in g])
+        keep = pa.array(np.abs(v - med) > lim)
+        return pa.table({
+            id_col: batch.column(id_col).filter(keep),
+            group: batch.column(group).filter(keep),
+            col: batch.column(col).filter(keep),
+        })
+
+    return events_ds.select_columns([id_col, group, col]) \
+        .map_batches(pick, batch_format="pyarrow")
+
+
+def user_ewma(events_ds, *, by: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id", col: str = "value",
+              alpha: float = 0.3):
+    """Final exponentially-weighted moving average per user over the
+    (ts, event_id)-ordered event stream: e_1 = v_1, e_i = alpha * v_i
+    + (1 - alpha) * e_{i-1}. Both engines evaluate the CLOSED FORM
+
+        e_n = (1-a)^(n-1) v_1 + sum_{i=2..n} a (1-a)^(n-i) v_i
+
+    (one shared float contract — the recursion would accumulate in a
+    different order than SQL can express). -> (user_id, n_events,
+    ewma) with ewma rounded to 6 places. One groupby(user) shuffle;
+    each group folds locally."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[id_col].to_numpy(), g[ts_col].to_numpy()))
+        v = g[col].to_numpy()[order]
+        n = len(v)
+        i = np.arange(1, n + 1, dtype=np.float64)
+        w = alpha * np.power(1.0 - alpha, n - i)
+        w[0] = np.power(1.0 - alpha, n - 1)
+        return pd.DataFrame({
+            by: [g[by].iloc[0]],
+            "n_events": np.array([n], dtype=np.int64),
+            "ewma": [round(float(np.sum(w * v)), 6)],
+        })
+
+    return events_ds.select_columns([by, ts_col, id_col, col]) \
+        .groupby(by).map_groups(fold, batch_format="pandas")

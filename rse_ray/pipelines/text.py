@@ -2737,3 +2737,58 @@ def llr_bigrams(ds, *, min_count: int = 5, top_n: int = 50,
     return out.sort_values(["llr", "bigram"],
                            ascending=[False, True]) \
         .head(top_n).reset_index(drop=True)
+
+
+def bool_query_match(ds, query: str, *, stem: bool = False):
+    """Boolean retrieval under the functions.queryparse DSL
+    (TERM / AND / OR / NOT / parens, NOT > AND > OR): docs whose
+    token SET satisfies the expression. -> (doc_id) of matches; docs
+    with null text never match (they have no token set to test).
+
+    Scale shape: embarrassingly parallel — the expression is compiled
+    once on the driver; each batch builds one boolean presence array
+    per distinct query term (vectorized set membership) and evaluates
+    the tree ONCE over arrays with & | ~, so cost is O(tokens +
+    q_terms * docs) per batch with no shuffle at all. (An index-backed
+    variant for selective conjunctions is bm25_conjunctive — this is
+    the scan path a query planner falls back to.)"""
+    from rse_ray.functions.queryparse import parse, query_terms
+
+    ast = parse(query, stem=stem)
+    qterms = sorted(query_terms(ast))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        pres = {t: np.zeros(n, dtype=bool) for t in qterms}
+        valid = np.zeros(n, dtype=bool)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            valid[i] = True
+            toks = set(_tok(t, stem))
+            for q in qterms:
+                if q in toks:
+                    pres[q][i] = True
+
+        def ev(node) -> np.ndarray:
+            kind = node[0]
+            if kind == "term":
+                return pres[node[1]]
+            if kind == "not":
+                return ~ev(node[1])
+            if kind == "and":
+                out = ev(node[1][0])
+                for child in node[1][1:]:
+                    out = out & ev(child)
+                return out
+            out = ev(node[1][0])
+            for child in node[1][1:]:
+                out = out | ev(child)
+            return out
+
+        keep = ev(ast) & valid
+        return pa.table({"doc_id": batch.column("doc_id")
+                         .filter(pa.array(keep))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

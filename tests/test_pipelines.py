@@ -3739,3 +3739,61 @@ def test_mmr_rerank_diversifies(ray_session):
     assert got["neighbor_id"].tolist() == [1, 3, 2]
     assert got["rank"].tolist() == [0, 1, 2]
     assert got["rel"].iloc[0] > 0.99
+
+
+def test_bool_query_parser_and_match(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from rse_ray.functions.queryparse import QueryParseError, parse
+    from rse_ray.pipelines.text import bool_query_match
+
+    # precedence: NOT > AND > OR
+    assert parse("a OR b AND NOT c") == \
+        ("or", [("term", "a"),
+                ("and", [("term", "b"), ("not", ("term", "c"))])])
+    # strict grammar: adjacent terms without an operator are an error
+    for bad in ["a AND", "(a OR b", "NOT", "", "x and y"]:
+        with pytest.raises(QueryParseError):
+            parse(bad)
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["big cat", "big dog", "cat dog",
+                          None, "bird"]),
+    })
+    got = bool_query_match(ray.data.from_arrow(t),
+                           "(big AND cat) OR (dog AND NOT big)") \
+        .to_pandas()
+    assert sorted(got["doc_id"]) == [0, 2]
+
+
+def test_mad_outliers_and_user_ewma(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import mad_outliers, user_ewma
+
+    t = pa.table({
+        "event_id": pa.array(list(range(7)), type=pa.int64()),
+        "event_type": pa.array(["a"] * 7),
+        "value": pa.array([10.0, 11.0, 9.0, 10.0, 12.0, 8.0, 100.0]),
+    })
+    got = mad_outliers(ray.data.from_arrow(t)).to_pandas()
+    assert got["event_id"].tolist() == [6]  # only the 100.0 spike
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    e = pa.table({
+        "user_id": pa.array([1, 1, 1], type=pa.int64()),
+        "ts": pa.array([base, base + np.timedelta64(1, "h"),
+                        base + np.timedelta64(2, "h")],
+                       type=pa.timestamp("us")),
+        "event_id": pa.array([0, 1, 2], type=pa.int64()),
+        "value": pa.array([10.0, 20.0, 30.0]),
+    })
+    got = user_ewma(ray.data.from_arrow(e), alpha=0.5).to_pandas()
+    # e = 10 -> 15 -> 22.5
+    assert got["ewma"].tolist() == [22.5]
+    assert got["n_events"].tolist() == [3]
