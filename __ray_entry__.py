@@ -2643,6 +2643,27 @@ def _core_graph_links_path() -> str:
     return GRAPH_CORE_LINKS
 
 
+GRAPH_SCC_LINKS = "/tmp/rse_ray_cache/graph_scc_v1/links.parquet"
+
+
+def _scc_graph_links_path() -> str:
+    """Planted SCC-spectrum fixture (the crawl-graph fixture is one
+    giant SCC): 4-cycles in a shallow DAG + singleton sources/sinks +
+    a self-loop."""
+    from rse_ray.sources.fixtures import generate_scc_graph
+
+    generate_scc_graph(GRAPH_SCC_LINKS)
+    return GRAPH_SCC_LINKS
+
+
+def _q_scc(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import scc
+
+    return _finalize(scc(ray.data.read_parquet(_scc_graph_links_path())))
+
+
 def _q_coreness(sf_dir: str):
     import ray.data
 
@@ -3262,6 +3283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocal_links": _q_reciprocal_links,
         "triangle_count": _q_triangle_count,
         "coreness": _q_coreness,
+        "scc": _q_scc,
         "robots_filter": _q_robots_filter,
         "canonical_urls": _q_canonical_urls,
         "frontier_prep": _q_frontier_prep,
@@ -5373,6 +5395,19 @@ FROM ue e1 JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
         # k-core decomposition: unrolled simultaneous-peel rounds per
         # level over the planted coreness-spectrum fixture
         "coreness": _coreness_sql(),
+        # ground truth: transitive closure both ways, scc_id = min
+        # mutual-reachability witness (reach includes (v, v))
+        "scc": f"""
+WITH RECURSIVE e AS (SELECT DISTINCT src_url AS src, dst_url AS dst
+                     FROM read_parquet('{GRAPH_SCC_LINKS}')),
+nodes AS (SELECT src AS url FROM e UNION SELECT dst FROM e),
+reach(a, b) AS (
+  SELECT url, url FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+SELECT r1.a AS url, min(r1.b) AS scc_id
+FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+GROUP BY 1""",
         # robots.txt precedence (longest prefix, allow wins ties)
         "robots_filter": _robots_sql(),
         # url canonicalization contract replayed with string/list ops

@@ -1976,3 +1976,175 @@ def canonical_dedup(urls_ds, *, url_col: str = "url"):
     return (canonical_urls(urls_ds, url_col=url_col)
             .groupby("canonical_url")
             .map_groups(fold, batch_format="pandas"))
+
+
+def scc(links_ds, *, max_rounds: int = 64, max_iters: int = 128,
+        src_col: str = "src_url", dst_col: str = "dst_url",
+        num_parts: int | None = None):
+    """Strongly connected components of the DIRECTED link graph by
+    forward-backward coloring (Orzan's distributed SCC: the
+    MapReduce/Pregel-standard algorithm — Tarjan is inherently
+    sequential): repeat on the still-unassigned subgraph
+
+      1. fwd(v) = min url over alive ancestors of v (min-label
+         propagation along edge direction, same delta-propagation
+         engine as connected_components),
+      2. bwd(v) = min url over alive descendants (same, reversed),
+      3. every v with fwd(v) == bwd(v) == x is assigned scc_id = x —
+         sound in EVERY round (x reaches v and v reaches x), and each
+         round assigns at least SCC(min alive url), so rounds <=
+         #SCCs (shallow in practice: the peel order follows the
+         condensation DAG, not component count).
+
+    -> (url, scc_id) with scc_id = LEXICOGRAPHIC MIN member url, the
+    same deterministic component id contract as connected_components.
+
+    Scale shape: the graph is hash-partitioned ONCE (edges live with
+    their src for the forward pass and with their dst — full rows,
+    ``full_dst_rows`` — for the backward pass, so BOTH directions
+    propagate without re-shuffling); labels/alive masks stay resident
+    in the shard actors across all rounds; each superstep is the same
+    M x R pre-aggregated exchange as pagerank. Dead (assigned) nodes
+    stop sending and receiving, so later rounds touch only the
+    shrinking frontier subgraph. Partitioning assumptions identical
+    to pagerank (per-node edge lists fit a shard)."""
+    import ray
+
+    parts, M, P = _partition_graph(links_ds, src_col, dst_col,
+                                   num_parts, full_dst_rows=True)
+    import ray.data
+
+    empty = pa.table({"url": pa.array([], type=pa.string()),
+                      "scc_id": pa.array([], type=pa.string())})
+    if M == 0:
+        return ray.data.from_arrow(empty)
+
+    _SENT = "\U0010ffff"  # > any real url: the scatter-min identity
+
+    @ray.remote
+    class _SccShard:
+        def __init__(self, p: int, P: int, src_refs, dst_refs):
+            self.P = P
+            fe = pa.concat_tables(ray.get(list(src_refs)))
+            be = pa.concat_tables(ray.get(list(dst_refs)))
+            f_src = fe.column("src").to_numpy(zero_copy_only=False)
+            f_dst = fe.column("dst").to_numpy(zero_copy_only=False)
+            b_src = be.column("src").to_numpy(zero_copy_only=False)
+            b_dst = be.column("dst").to_numpy(zero_copy_only=False)
+            # owned nodes: hash-p urls seen as src (src-routed rows)
+            # or as dst (dst-routed rows)
+            self.urls = np.array(
+                sorted(set(f_src.tolist()) | set(b_dst.tolist())),
+                dtype=object)
+            n = len(self.urls)
+            # forward: propagate src -> dst along src-routed edges
+            self.f_idx = np.searchsorted(self.urls, f_src)
+            self.f_to = f_dst
+            self.f_shard = (_pr_url_hash(f_dst) % P).astype(np.int64) \
+                if len(f_dst) else np.empty(0, dtype=np.int64)
+            # backward: propagate dst -> src along dst-routed edges
+            self.b_idx = np.searchsorted(self.urls, b_dst)
+            self.b_to = b_src
+            self.b_shard = (_pr_url_hash(b_src) % P).astype(np.int64) \
+                if len(b_src) else np.empty(0, dtype=np.int64)
+            self.alive = np.ones(n, dtype=bool)
+            self.lf = self.urls.copy()
+            self.lb = self.urls.copy()
+            self.cf = self.alive.copy()
+            self.cb = self.alive.copy()
+
+        def reset(self) -> None:
+            self.lf = np.where(self.alive, self.urls, _SENT)
+            self.lb = np.where(self.alive, self.urls, _SENT)
+            self.cf = self.alive.copy()
+            self.cb = self.alive.copy()
+
+        def _step(self, idx, to, to_shard, label, changed):
+            frontier = (changed[idx] & self.alive[idx]) if len(idx) \
+                else np.empty(0, dtype=bool)
+            changed[:] = False
+            out = [int(frontier.sum())]
+            for q in range(self.P):
+                m = frontier & (to_shard == q)
+                if not m.any():
+                    out.append(pa.table(
+                        {"to": pa.array([], type=pa.string()),
+                         "lbl": pa.array([], type=pa.string())}))
+                    continue
+                lab = label[idx[m]]
+                u, inv = np.unique(to[m], return_inverse=True)
+                mn = np.full(len(u), _SENT, dtype=object)
+                np.minimum.at(mn, inv, lab)
+                out.append(pa.table(
+                    {"to": pa.array(u, type=pa.string()),
+                     "lbl": pa.array(mn, type=pa.string())}))
+            return out
+
+        def _apply(self, tables, label, changed) -> int:
+            for t in tables:
+                if t.num_rows == 0:
+                    continue
+                idx = np.searchsorted(
+                    self.urls,
+                    t.column("to").to_numpy(zero_copy_only=False))
+                lbl = t.column("lbl").to_numpy(zero_copy_only=False)
+                lower = (lbl < label[idx]) & self.alive[idx]
+                label[idx[lower]] = lbl[lower]
+                changed[idx[lower]] = True
+            return int(changed.sum())
+
+        def step_f(self):
+            return self._step(self.f_idx, self.f_to, self.f_shard,
+                              self.lf, self.cf)
+
+        def apply_f(self, *tables) -> int:
+            return self._apply(tables, self.lf, self.cf)
+
+        def step_b(self):
+            return self._step(self.b_idx, self.b_to, self.b_shard,
+                              self.lb, self.cb)
+
+        def apply_b(self, *tables) -> int:
+            return self._apply(tables, self.lb, self.cb)
+
+        def harvest(self):
+            """Assign fwd==bwd alive nodes; returns (assigned table,
+            remaining alive count)."""
+            m = self.alive & (self.lf == self.lb)
+            tbl = pa.table(
+                {"url": pa.array(self.urls[m], type=pa.string()),
+                 "scc_id": pa.array(self.lf[m], type=pa.string())})
+            self.alive[m] = False
+            return tbl, int(self.alive.sum())
+
+    shards = [
+        _SccShard.remote(p, P,
+                         [parts[m][p] for m in range(M)],
+                         [parts[m][P + p] for m in range(M)])
+        for p in range(P)
+    ]
+
+    def fixpoint(step_name: str, apply_name: str) -> None:
+        for _ in range(max_iters):
+            outs = [getattr(s, step_name)
+                    .options(num_returns=P + 1).remote()
+                    for s in shards]
+            n = sum(ray.get([
+                getattr(s, apply_name)
+                .remote(*[outs[p][q + 1] for p in range(P)])
+                for q, s in enumerate(shards)
+            ]))
+            if n == 0:
+                return
+
+    out_refs = []
+    for _ in range(max_rounds):
+        ray.get([s.reset.remote() for s in shards])
+        fixpoint("step_f", "apply_f")
+        fixpoint("step_b", "apply_b")
+        res = [s.harvest.options(num_returns=2).remote()
+               for s in shards]
+        out_refs.extend(r[0] for r in res)
+        if sum(ray.get([r[1] for r in res])) == 0:
+            break
+    return ray.data.from_arrow_refs(out_refs)

@@ -588,3 +588,50 @@ def generate_psl_fixture(out_path: str) -> None:
 
     write_file_atomic(out_path, lambda tmp: _pq.write_table(
         _pa.table({"host": _pa.array(hosts, type=_pa.string())}), tmp))
+
+
+def generate_scc_graph(out_path: str) -> None:
+    """Deterministic DIRECTED graph with a planted SCC spectrum for
+    the forward-backward coloring oracle (the crawl-graph fixture is
+    one giant SCC — useless for SCC tests): twelve 4-cycles (SCCs of
+    size 4) arranged in a shallow DAG (block 0 fans out to every
+    other block; block 1 additionally feeds block 2, forcing a third
+    peel round), ten pure-source nodes feeding block 0, ten
+    pure-sink nodes fed from block 0 (singleton SCCs), one isolated
+    self-loop node, plus duplicate edges the engine must tolerate.
+    Formula-based (no RNG), byte-stable."""
+    import os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    if os.path.exists(out_path):
+        return
+    src, dst = [], []
+
+    def b(k: int, j: int) -> str:
+        return f"https://scc.example/b{k:02d}/n{j}"
+
+    def add(a: str, c: str) -> None:
+        src.append(a)
+        dst.append(c)
+
+    for k in range(12):                     # 4-cycles: SCCs of size 4
+        for j in range(4):
+            add(b(k, j), b(k, (j + 1) % 4))
+    for k in range(1, 12):                  # star DAG out of block 0
+        add(b(0, 0), b(k, 0))
+    add(b(1, 1), b(2, 1))                   # chain edge: 3rd peel round
+    for i in range(10):                     # pure sources (singletons)
+        add(f"https://scc.example/t{i}", b(0, 0))
+    for i in range(10):                     # pure sinks (singletons)
+        add(b(0, 1), f"https://scc.example/u{i}")
+    add("https://scc.example/v-loop", "https://scc.example/v-loop")
+    add(b(3, 0), b(3, 1))                   # duplicate edge
+    add(b(0, 0), b(5, 0))                   # duplicate DAG edge
+
+    from rse_ray.state.manifest import write_file_atomic
+
+    write_file_atomic(out_path, lambda tmp: _pq.write_table(
+        _pa.table({"src_url": _pa.array(src, type=_pa.string()),
+                   "dst_url": _pa.array(dst, type=_pa.string())}), tmp))

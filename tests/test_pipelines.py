@@ -3797,3 +3797,24 @@ def test_mad_outliers_and_user_ewma(ray_session):
     # e = 10 -> 15 -> 22.5
     assert got["ewma"].tolist() == [22.5]
     assert got["n_events"].tolist() == [3]
+
+
+def test_scc_forward_backward(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import scc
+
+    # a<->b<->c is one SCC (two overlapping 2-cycles); d is reachable
+    # from it but never returns (singleton); e->a feeds in (singleton);
+    # f has only a self-loop (singleton)
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+             ("c", "d"), ("e", "a"), ("f", "f")]
+    t = pa.table({
+        "src_url": pa.array([x for x, _ in edges]),
+        "dst_url": pa.array([y for _, y in edges]),
+    })
+    got = scc(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("url")["scc_id"].to_dict()
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "d", "e": "e", "f": "f"}
