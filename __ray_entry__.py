@@ -1242,6 +1242,74 @@ def _q_mmr_rerank(sf_dir: str):
 
 BOOL_QUERY = "(key AND table) OR (fast AND NOT slow)"
 
+# the registered percolator bank (fixture-vocab terms), shared by the
+# Ray pipeline and the generated SQL twin
+PERC_QUERIES = [
+    "key AND table",
+    "fast AND NOT slow",
+    "(big OR small) AND vector",
+    "dup",
+    "NOT the",
+    "stream AND window AND NOT batch",
+    "(join AND hash) OR (sort AND merge)",
+    "query AND NOT (slow OR fast)",
+]
+
+
+def _bool_expr_sql(node) -> str:
+    """Compile a queryparse AST to a SQL boolean over t_<term> flags
+    (same tree the Ray evaluator runs — one shared contract)."""
+    kind = node[0]
+    if kind == "term":
+        return f"t_{node[1]}"
+    if kind == "not":
+        return f"(NOT {_bool_expr_sql(node[1])})"
+    op = " AND " if kind == "and" else " OR "
+    return "(" + op.join(_bool_expr_sql(c) for c in node[1]) + ")"
+
+
+def _percolate_sql() -> str:
+    from rse_ray.functions.queryparse import parse, query_terms
+
+    asts = [parse(q) for q in PERC_QUERIES]
+    terms = sorted(set().union(*(query_terms(a) for a in asts)))
+    flags = ",\n        ".join(
+        f"bool_or(term = '{t}') AS t_{t}" for t in terms)
+    coal = ", ".join(f"coalesce(d.t_{t}, FALSE) AS t_{t}" for t in terms)
+    arms = "\nUNION ALL ".join(
+        f"SELECT doc_id, {qi}::BIGINT AS query_id FROM f "
+        f"WHERE {_bool_expr_sql(a)}"
+        for qi, a in enumerate(asts))
+    return (_TOKS + f""",
+d AS (SELECT doc_id,
+        {flags}
+      FROM toks GROUP BY 1),
+u AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+f AS (SELECT u.doc_id, {coal} FROM u LEFT JOIN d USING (doc_id))
+{arms}""")
+
+
+def _q_lsa_power_iteration(sf_dir: str):
+    from rse_ray.pipelines.text import lsa_power_iteration
+
+    return _finalize(lsa_power_iteration(
+        _read(sf_dir, "documents", ["doc_id", "text"]), iters=3))
+
+
+def _q_percolate(sf_dir: str):
+    from rse_ray.pipelines.text import percolate
+
+    return _finalize(percolate(
+        _read(sf_dir, "documents", ["doc_id", "text"]), PERC_QUERIES))
+
+
+def _q_scd2_intervals(sf_dir: str):
+    from rse_ray.pipelines.relational import scd2_intervals
+
+    return _finalize(scd2_intervals(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"])))
+
 
 def _q_bool_query(sf_dir: str):
     from rse_ray.pipelines.text import bool_query_match
@@ -3134,6 +3202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_query": _q_bool_query,
         "mad_outliers": _q_mad_outliers,
         "user_ewma": _q_user_ewma,
+        "percolate": _q_percolate,
+        "scd2_intervals": _q_scd2_intervals,
+        "lsa_power_iteration": _q_lsa_power_iteration,
         "feature_hashing": _q_feature_hashing,
         "corpus_release": _q_corpus_release,
         "containment_pairs": _q_containment_pairs,
@@ -3868,6 +3939,49 @@ UNION ALL SELECT 3, vec_id, round(rel, 6), round(mmr, 6) FROM p4
 UNION ALL SELECT 4, vec_id, round(rel, 6), round(mmr, 6) FROM p5""".format(
             qid=KNN_QUERY_IDS[0]
         ),
+        "percolate": _percolate_sql(),
+        # 3 unrolled x_k = A^T(A x_{k-1}) steps, normalize at the end
+        "lsa_power_iteration": _TOKS + """,
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents
+       WHERE text IS NOT NULL),
+w AS (SELECT doc_id, tf.term, tf * ln(1 + nn.n / df.df) AS w
+      FROM tf JOIN df USING (term) CROSS JOIN nn),
+y1 AS (SELECT doc_id, sum(w * 1.0) AS y FROM w GROUP BY 1),
+x1 AS (SELECT term, sum(w.w * y1.y) AS x
+       FROM w JOIN y1 USING (doc_id) GROUP BY 1),
+y2 AS (SELECT doc_id, sum(w.w * x1.x) AS y
+       FROM w JOIN x1 USING (term) GROUP BY 1),
+x2 AS (SELECT term, sum(w.w * y2.y) AS x
+       FROM w JOIN y2 USING (doc_id) GROUP BY 1),
+y3 AS (SELECT doc_id, sum(w.w * x2.x) AS y
+       FROM w JOIN x2 USING (term) GROUP BY 1),
+x3 AS (SELECT term, sum(w.w * y3.y) AS x
+       FROM w JOIN y3 USING (doc_id) GROUP BY 1),
+nrm AS (SELECT sqrt(sum(x * x)) AS s FROM x3)
+SELECT term, round(x / nrm.s, 6) AS loading
+FROM x3 CROSS JOIN nrm""",
+        "scd2_intervals": """
+WITH o AS (SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w
+                       IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM o),
+g AS (SELECT user_id, event_type, run, min(ts) AS valid_from,
+             count(*)::BIGINT AS n_events
+      FROM r GROUP BY 1, 2, 3)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from) AS valid_to,
+       n_events
+FROM g""",
         # '(key AND table) OR (fast AND NOT slow)' as presence flags
         "bool_query": _TOKS + """,
 d AS (SELECT doc_id,

@@ -3299,3 +3299,40 @@ def user_ewma(events_ds, *, by: str = "user_id", ts_col: str = "ts",
 
     return events_ds.select_columns([by, ts_col, id_col, col]) \
         .groupby(by).map_groups(fold, batch_format="pandas")
+
+
+def scd2_intervals(events_ds, *, by: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   state_col: str = "event_type"):
+    """Slowly-changing-dimension (type 2) interval build: collapse
+    each user's (ts, event_id)-ordered event stream into state
+    validity intervals — a row per RUN of equal ``state_col`` values,
+    with valid_from = first ts of the run and valid_to = first ts of
+    the next run (null for the current state). The classic CDC ->
+    dimension-table ETL. -> (user_id, event_type, valid_from,
+    valid_to, n_events).
+
+    Scale shape: ONE groupby(user) shuffle; each group folds locally
+    with vectorized run-length encoding (no Python per-row)."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[id_col].to_numpy(), g[ts_col].to_numpy()))
+        st = g[state_col].to_numpy()[order]
+        ts = g[ts_col].to_numpy()[order]
+        new_run = np.ones(len(st), dtype=bool)
+        new_run[1:] = st[1:] != st[:-1]
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(st))
+        valid_to = np.append(ts[starts[1:]],
+                             np.array([np.datetime64("NaT")],
+                                      dtype=ts.dtype))
+        return pd.DataFrame({
+            by: g[by].iloc[0],
+            state_col: st[starts],
+            "valid_from": ts[starts],
+            "valid_to": valid_to,
+            "n_events": (ends - starts).astype(np.int64),
+        })
+
+    return events_ds.select_columns([by, ts_col, id_col, state_col]) \
+        .groupby(by).map_groups(fold, batch_format="pandas")

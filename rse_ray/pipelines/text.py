@@ -2792,3 +2792,157 @@ def bool_query_match(ds, query: str, *, stem: bool = False):
                          .filter(pa.array(keep))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def percolate(ds, queries: list[str], *, stem: bool = False):
+    """Reverse search (the Elasticsearch percolator): a BANK of
+    boolean DSL queries is registered up front; each incoming doc is
+    matched against every query. -> (doc_id, query_id) for each
+    (doc, query) match, query_id = position in ``queries``.
+
+    Scale shape: the bank is compiled ONCE on the driver and shipped
+    in the task closure; per batch, each doc's token set is built
+    once and one presence array per DISTINCT term across the whole
+    bank is shared by all query evaluations (the percolator's
+    amortization: q queries cost O(tokens + distinct_terms * docs +
+    q * nodes), not q tokenizations). Map-only — no shuffle. A bank
+    too big for a closure becomes the actor-pool variant (bank in
+    __init__), same math."""
+    from rse_ray.functions.queryparse import parse, query_terms
+
+    asts = [parse(q, stem=stem) for q in queries]
+    all_terms = sorted(set().union(*(query_terms(a) for a in asts)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        pres = {t: np.zeros(n, dtype=bool) for t in all_terms}
+        valid = np.zeros(n, dtype=bool)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            valid[i] = True
+            toks = set(_tok(t, stem))
+            for q in all_terms:
+                if q in toks:
+                    pres[q][i] = True
+
+        def ev(node) -> np.ndarray:
+            kind = node[0]
+            if kind == "term":
+                return pres[node[1]]
+            if kind == "not":
+                return ~ev(node[1])
+            if kind == "and":
+                out = ev(node[1][0])
+                for child in node[1][1:]:
+                    out = out & ev(child)
+                return out
+            out = ev(node[1][0])
+            for child in node[1][1:]:
+                out = out | ev(child)
+            return out
+
+        out_doc, out_q = [], []
+        for qi, ast in enumerate(asts):
+            hit = ev(ast) & valid
+            matched = ids[hit]
+            out_doc.append(matched)
+            out_q.append(np.full(len(matched), qi, dtype=np.int64))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_doc)
+                               if out_doc else [], type=pa.int64()),
+            "query_id": pa.array(np.concatenate(out_q)
+                                 if out_q else [], type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lsa_power_iteration(ds, *, iters: int = 3, stem: bool = False):
+    """Dominant latent-semantic direction of the corpus: power
+    iteration on the Gram matrix of the tf-idf doc-term matrix A
+    (w = tf * ln(1 + N/df)), x_k = A^T (A x_{k-1}) from x_0 = all
+    ones, WITHOUT intermediate normalization (both engines then share
+    one float contract; magnitudes stay < ~1e13 for realistic shapes
+    and doubles carry that exactly enough for the 6dp output pin).
+    -> (term, loading) with loading = x_iters / ||x_iters||, the
+    corpus's first right singular direction — the LSA topic axis.
+
+    Scale shape: per iteration ONE distributed pass over documents —
+    each batch tokenizes its docs once, computes y_d = sum_t w_dt x_t
+    with the broadcast vocab vector, immediately accumulates the
+    per-batch partial x'_t = sum_d w_dt y_d, and ships (term, partial)
+    rows through a vocab-sized groupby(term); the driver only ever
+    holds vocab-sized vectors (the same contract as pmi's unigram
+    broadcast). df/N come from one prior counting pass."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    # pass 0: document frequencies + corpus size
+    def dfp(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        n = 0
+        for t in batch.column("text").to_pylist():
+            if t is None:
+                continue
+            n += 1
+            c.update(set(_tok(t, stem)))
+        keys = sorted(c)
+        return pa.table({
+            "term": pa.array(keys + ["\x00N"], type=pa.string()),
+            "c_p": pa.array([c[k] for k in keys] + [n],
+                            type=pa.int64()),
+        })
+
+    dfa = ds.map_batches(dfp, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("c_p", alias_name="c")) \
+        .to_pandas()
+    n_docs = float(dfa.loc[dfa["term"] == "\x00N", "c"].iloc[0])
+    dfm = dfa[dfa["term"] != "\x00N"]
+    idf = {t: math.log(1.0 + n_docs / float(d))
+           for t, d in zip(dfm["term"], dfm["c"])}
+    x = {t: 1.0 for t in idf}
+
+    for _ in range(iters):
+        # one object-store broadcast per iteration (vocab-sized);
+        # tasks read it zero-copy instead of re-shipping per closure
+        x_ref = ray.put((idf, x))
+
+        def it(batch: pa.Table, _xr=x_ref) -> pa.Table:
+            idf_v, xv = ray.get(_xr)
+            acc: dict[str, float] = {}
+            for t in batch.column("text").to_pylist():
+                if t is None:
+                    continue
+                tfc = Counter(_tok(t, stem))
+                y = 0.0
+                for term, tf in tfc.items():
+                    y += tf * idf_v[term] * xv[term]
+                for term, tf in tfc.items():
+                    acc[term] = acc.get(term, 0.0) \
+                        + tf * idf_v[term] * y
+            keys = sorted(acc)
+            return pa.table({
+                "term": pa.array(keys, type=pa.string()),
+                "v_p": pa.array([acc[k] for k in keys],
+                                type=pa.float64()),
+            })
+
+        nx = ds.map_batches(it, batch_format="pyarrow") \
+            .groupby("term").aggregate(Sum("v_p", alias_name="v")) \
+            .to_pandas()
+        x = dict(zip(nx["term"], nx["v"].astype(float)))
+        # terms absent from x (df == 0 impossible; but keep total map)
+        for t in idf:
+            x.setdefault(t, 0.0)
+
+    keys = sorted(x)
+    vec = np.array([x[k] for k in keys], dtype=np.float64)
+    nrm = math.sqrt(float(np.sum(vec * vec)))
+    return pa.table({
+        "term": pa.array(keys, type=pa.string()),
+        "loading": pa.array(np.round(vec / nrm, 6),
+                            type=pa.float64()),
+    })

@@ -3818,3 +3818,62 @@ def test_scc_forward_backward(ray_session):
         .set_index("url")["scc_id"].to_dict()
     assert got == {"a": "a", "b": "a", "c": "a",
                    "d": "d", "e": "e", "f": "f"}
+
+
+def test_percolate_bank(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import percolate
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["cat dog", "cat", None]),
+    })
+    got = percolate(ray.data.from_arrow(t),
+                    ["cat AND dog", "cat AND NOT dog", "bird OR dog"]) \
+        .to_pandas()
+    pairs = sorted(map(tuple, got[["doc_id", "query_id"]].values))
+    assert pairs == [(0, 0), (0, 2), (1, 1)]
+
+
+def test_scd2_intervals_runs(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import scd2_intervals
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    hh = np.timedelta64(1, "h")
+    t = pa.table({
+        "user_id": pa.array([1] * 5, type=pa.int64()),
+        "ts": pa.array([base + i * hh for i in range(5)],
+                       type=pa.timestamp("us")),
+        "event_id": pa.array(list(range(5)), type=pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "b", "a"]),
+    })
+    got = scd2_intervals(ray.data.from_arrow(t)).to_pandas()
+    assert got["event_type"].tolist() == ["a", "b", "a"]
+    assert got["n_events"].tolist() == [2, 2, 1]
+    assert got["valid_from"].tolist()[1] == got["valid_to"].tolist()[0]
+    assert pd.isna(got["valid_to"].iloc[2])
+
+
+def test_lsa_power_iteration_direction(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import lsa_power_iteration
+
+    # two docs about 'cat', one about 'dog' -> the dominant axis
+    # loads more on cat-cluster terms than the dog term
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["cat cat purr", "cat purr", "dog bark"]),
+    })
+    got = lsa_power_iteration(ray.data.from_arrow(t), iters=3) \
+        .to_pandas().set_index("term")["loading"]
+    assert got["cat"] > got["dog"]
+    # unit norm
+    assert abs((got ** 2).sum() - 1.0) < 1e-4
