@@ -1289,6 +1289,40 @@ f AS (SELECT u.doc_id, {coal} FROM u LEFT JOIN d USING (doc_id))
 {arms}""")
 
 
+def _q_shipping_priority(sf_dir: str):
+    from rse_ray.pipelines.relational import shipping_priority
+
+    return _finalize(shipping_priority(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount",
+               "l_shipdate"])))
+
+
+def _q_winsorized_mean(sf_dir: str):
+    from rse_ray.pipelines.relational import winsorized_mean
+
+    return _finalize(winsorized_mean(
+        _read(sf_dir, "events", ["event_type", "value"])))
+
+
+def _q_consistent_hash_moves(sf_dir: str):
+    from rse_ray.pipelines.relational import consistent_hash_moves
+
+    return _finalize(consistent_hash_moves(
+        _read(sf_dir, "documents", ["doc_id"])))
+
+
+def _q_rag_chunk_search(sf_dir: str):
+    from rse_ray.pipelines.text import rag_chunk_search
+
+    return _finalize(rag_chunk_search(
+        _read(sf_dir, "documents", ["doc_id", "text"]), 0,
+        dim=64, chunk=8, overlap=2, k=10))
+
+
 def _q_lsa_power_iteration(sf_dir: str):
     from rse_ray.pipelines.text import lsa_power_iteration
 
@@ -3205,6 +3239,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": _q_percolate,
         "scd2_intervals": _q_scd2_intervals,
         "lsa_power_iteration": _q_lsa_power_iteration,
+        "shipping_priority": _q_shipping_priority,
+        "winsorized_mean": _q_winsorized_mean,
+        "consistent_hash_moves": _q_consistent_hash_moves,
+        "rag_chunk_search": _q_rag_chunk_search,
         "feature_hashing": _q_feature_hashing,
         "corpus_release": _q_corpus_release,
         "containment_pairs": _q_containment_pairs,
@@ -3940,6 +3978,105 @@ UNION ALL SELECT 4, vec_id, round(rel, 6), round(mmr, 6) FROM p5""".format(
             qid=KNN_QUERY_IDS[0]
         ),
         "percolate": _percolate_sql(),
+        "shipping_priority": """
+SELECT o.o_orderkey, o.o_orderdate,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY 1, 2
+ORDER BY sum(l.l_extendedprice * (1.0 - l.l_discount)) DESC,
+         o.o_orderdate, o.o_orderkey
+LIMIT 10""",
+        "winsorized_mean": """
+WITH b AS (SELECT event_type,
+             quantile_cont(value, 0.05) AS q_lo,
+             quantile_cont(value, 0.95) AS q_hi
+           FROM events GROUP BY 1)
+SELECT e.event_type, count(*)::BIGINT AS n,
+       round(b.q_lo, 6) AS q_lo, round(b.q_hi, 6) AS q_hi,
+       round(sum(least(greatest(e.value, b.q_lo), b.q_hi))
+             / count(*), 6) AS wins_mean
+FROM events e JOIN b USING (event_type)
+GROUP BY 1, b.q_lo, b.q_hi""",
+        # ring points at md5('ring:<shard>:<vnode>'); a key belongs to
+        # the first point >= its hash, wrapping to the ring minimum
+        "consistent_hash_moves": """
+WITH rb AS (SELECT s, md5_number_lower('ring:' || s || ':' || v) AS pt
+            FROM (SELECT unnest(range(0, 8)) AS s),
+                 (SELECT unnest(range(0, 32)) AS v)),
+ra AS (SELECT s, md5_number_lower('ring:' || s || ':' || v) AS pt
+       FROM (SELECT unnest(range(0, 9)) AS s),
+            (SELECT unnest(range(0, 32)) AS v)),
+k AS (SELECT doc_id, md5_number_lower('key:' || doc_id) AS h
+      FROM documents),
+asg AS (SELECT doc_id,
+          coalesce((SELECT s FROM rb WHERE pt >= h
+                    ORDER BY pt, s LIMIT 1),
+                   (SELECT s FROM rb ORDER BY pt, s LIMIT 1))
+            AS shard_before,
+          coalesce((SELECT s FROM ra WHERE pt >= h
+                    ORDER BY pt, s LIMIT 1),
+                   (SELECT s FROM ra ORDER BY pt, s LIMIT 1))
+            AS shard_after
+        FROM k)
+SELECT shard_before::BIGINT AS shard_before,
+       shard_after::BIGINT AS shard_after,
+       count(*)::BIGINT AS n_keys
+FROM asg GROUP BY 1, 2""",
+        # chunk -> feature-hash -> cosine composition; integer dots,
+        # rank on the raw double, round after
+        "rag_chunk_search": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a
+  FROM documents WHERE text IS NOT NULL),
+n AS (SELECT doc_id, len(a) AS n FROM arr WHERE len(a) > 0),
+nc AS (SELECT doc_id,
+         greatest(1, (greatest(n - 2, 1) + 5) // 6)::BIGINT AS kk
+       FROM n),
+ch AS (SELECT doc_id, unnest(range(0, kk)) AS chunk_id FROM nc),
+tok AS (SELECT doc_id, i - 1 AS p, a[i] AS term
+        FROM arr, unnest(range(1, len(a) + 1)) AS t(i)),
+ct AS (SELECT c.doc_id, c.chunk_id, t.term
+       FROM ch c JOIN tok t ON t.doc_id = c.doc_id
+            AND t.p >= c.chunk_id * 6 AND t.p < c.chunk_id * 6 + 8),
+tc AS (SELECT doc_id, chunk_id, term, count(*)::BIGINT AS tf
+       FROM ct GROUP BY 1, 2, 3),
+hb AS (SELECT doc_id, chunk_id, tf,
+              md5_number_lower('fh:' || term) AS h FROM tc),
+cv AS (SELECT doc_id, chunk_id, (h % 64)::BIGINT AS dim,
+              sum(CASE WHEN (h // 64) % 2 = 1 THEN tf
+                       ELSE -tf END)::BIGINT AS value
+       FROM hb GROUP BY 1, 2, 3),
+cvz AS (SELECT * FROM cv WHERE value <> 0),
+qtc AS (SELECT term, count(*)::BIGINT AS tf FROM tok
+        WHERE doc_id = 0 GROUP BY 1),
+qhb AS (SELECT tf, md5_number_lower('fh:' || term) AS h FROM qtc),
+qv AS (SELECT (h % 64)::BIGINT AS dim,
+              sum(CASE WHEN (h // 64) % 2 = 1 THEN tf
+                       ELSE -tf END)::BIGINT AS value
+       FROM qhb GROUP BY 1 HAVING sum(CASE WHEN (h // 64) % 2 = 1
+                                          THEN tf ELSE -tf END) <> 0),
+qq AS (SELECT sqrt(sum(value * value)) AS q FROM qv),
+dots AS (SELECT c.doc_id, c.chunk_id,
+                sum(c.value * q.value)::BIGINT AS dot
+         FROM cvz c JOIN qv q USING (dim) GROUP BY 1, 2),
+norms AS (SELECT doc_id, chunk_id,
+                 sum(value * value)::BIGINT AS cc
+          FROM cvz GROUP BY 1, 2),
+sc AS (SELECT nm.doc_id, nm.chunk_id,
+              coalesce(d.dot, 0) / (qq.q * sqrt(nm.cc)) AS raw
+       FROM norms nm LEFT JOIN dots d USING (doc_id, chunk_id)
+            CROSS JOIN qq
+       WHERE nm.doc_id <> 0)
+SELECT doc_id, chunk_id, round(raw, 6) AS cos FROM sc
+QUALIFY row_number() OVER (ORDER BY raw DESC, doc_id, chunk_id)
+        <= 10""",
         # 3 unrolled x_k = A^T(A x_{k-1}) steps, normalize at the end
         "lsa_power_iteration": _TOKS + """,
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf

@@ -3336,3 +3336,216 @@ def scd2_intervals(events_ds, *, by: str = "user_id",
 
     return events_ds.select_columns([by, ts_col, id_col, state_col]) \
         .groupby(by).map_groups(fold, batch_format="pandas")
+
+
+def shipping_priority(customer_ds, orders_ds, lineitem_ds, *,
+                      segment: str = "BUILDING",
+                      cutoff: str = "1995-03-15", k: int = 10):
+    """TPC-H Q3 shape (the canonical 3-way join): unshipped-revenue
+    top-k — customers of one market segment, orders placed before
+    ``cutoff``, line items shipped after it; revenue =
+    sum(l_extendedprice * (1 - l_discount)) per order. -> (o_orderkey,
+    o_orderdate, revenue) ordered (revenue DESC, o_orderdate ASC,
+    o_orderkey ASC) LIMIT k, revenue rounded to 2 places after
+    ranking on the raw double (the pricing_summary convention).
+
+    Scale shape: the segment filter runs AT the customer scan; the
+    customer->orders step is a SEMI hash join (only the key set
+    ships); orders->lineitem is a co-partitioned inner hash join;
+    revenue partials pre-aggregate inside each batch before the final
+    small groupby; the top-k cut is block-local head then driver
+    reduce of blocks x k rows."""
+    from ray.data.aggregate import Sum
+
+    cut = np.datetime64(cutoff, "us")
+
+    cust = customer_ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), segment))
+        .select(["c_custkey"]),
+        batch_format="pyarrow")
+    orders = orders_ds.map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"),
+                                   pa.scalar(cut)))
+        .select(["o_orderkey", "o_custkey", "o_orderdate"]),
+        batch_format="pyarrow")
+    # semi join: orders of segment customers (key set only ships)
+    o_seg = hash_join(orders, cust, left_on="o_custkey",
+                      right_on="c_custkey", right_cols=[], how="semi")
+    li = lineitem_ds.map_batches(
+        lambda b: b.filter(pc.greater(b.column("l_shipdate"),
+                                      pa.scalar(cut)))
+        .select(["l_orderkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow")
+    joined = hash_join(li, o_seg, left_on="l_orderkey",
+                       right_on="o_orderkey",
+                       right_cols=["o_orderdate"], how="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        g = batch.append_column("rev", rev) \
+            .group_by(["l_orderkey", "o_orderdate"]) \
+            .aggregate([("rev", "sum")])
+        return pa.table({"o_orderkey": g.column("l_orderkey"),
+                         "o_orderdate": g.column("o_orderdate"),
+                         "rev_p": g.column("rev_sum")})
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["o_orderkey", "o_orderdate"]) \
+        .aggregate(Sum("rev_p", alias_name="revenue"))
+
+    def block_head(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                           ascending=[False, True, True]).head(k),
+            preserve_index=False)
+
+    out = agg.map_batches(block_head, batch_size=None,
+                          batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True]) \
+        .head(k).reset_index(drop=True)
+    out["revenue"] = out["revenue"].round(2)
+    return out[["o_orderkey", "o_orderdate", "revenue"]]
+
+
+def winsorized_mean(events_ds, *, group: str = "event_type",
+                    col: str = "value", lo: float = 0.05,
+                    hi: float = 0.95):
+    """Robust per-group mean with winsorization: values are CLIPPED
+    to the group's [q_lo, q_hi] quantiles (np.quantile linear ==
+    quantile_cont) before averaging — the outlier-insensitive KPI
+    aggregate. -> (group, n, q_lo, q_hi, wins_mean), floats rounded
+    to 6 places.
+
+    Scale shape: ONE groupby(group) shuffle computes the two
+    quantiles exactly per group (same co-residence contract as
+    group_quantiles); the tiny bounds table broadcasts into a
+    clip-and-partial-sum map, then a second small groupby sums. Two
+    passes, no row-level data on the driver."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def bounds(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[col].to_numpy()
+        return pd.DataFrame({
+            group: [g[group].iloc[0]],
+            "q_lo": [float(np.quantile(v, lo))],
+            "q_hi": [float(np.quantile(v, hi))],
+        })
+
+    b = events_ds.select_columns([group, col]) \
+        .groupby(group).map_groups(bounds, batch_format="pandas") \
+        .to_pandas()
+    bmap = {r[group]: (r["q_lo"], r["q_hi"]) for _, r in b.iterrows()}
+    b_ref = ray.put(bmap)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bm = ray.get(b_ref)
+        g = batch.column(group).to_pylist()
+        v = batch.column(col).to_numpy()
+        lo_a = np.array([bm[x][0] for x in g])
+        hi_a = np.array([bm[x][1] for x in g])
+        w = np.minimum(np.maximum(v, lo_a), hi_a)
+        t = pa.table({group: batch.column(group),
+                      "w": pa.array(w, type=pa.float64())})
+        gg = t.group_by([group]).aggregate(
+            [("w", "sum"), ([], "count_all")])
+        return pa.table({group: gg.column(group),
+                         "s_p": gg.column("w_sum"),
+                         "n_p": gg.column("count_all")})
+
+    agg = events_ds.select_columns([group, col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(group).aggregate(Sum("s_p", alias_name="s"),
+                                  Sum("n_p", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        bm = ray.get(b_ref)
+        g = batch.column(group).to_pylist()
+        n = batch.column("n").to_numpy().astype(np.float64)
+        s = batch.column("s").to_numpy()
+        return pa.table({
+            group: batch.column(group),
+            "n": pc.cast(batch.column("n"), pa.int64()),
+            "q_lo": pa.array(np.round([bm[x][0] for x in g], 6),
+                             type=pa.float64()),
+            "q_hi": pa.array(np.round([bm[x][1] for x in g], 6),
+                             type=pa.float64()),
+            "wins_mean": pa.array(np.round(s / n, 6),
+                                  type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def consistent_hash_moves(ds, *, id_col: str = "doc_id",
+                          n_before: int = 8, n_after: int = 9,
+                          vnodes: int = 32):
+    """Consistent-hash ring resharding audit — how much data moves
+    when the shard count grows from ``n_before`` to ``n_after``
+    (the reason the ring beats mod-N at fleet scale: ~1/N moves, not
+    (N-1)/N): each shard projects ``vnodes`` ring points at
+    md5('ring:<shard>:<vnode>'); a key at md5('key:<id>') belongs to
+    the first ring point clockwise (wrap to the ring minimum). ->
+    one row per (shard_before, shard_after) flow with its key count
+    — the movement matrix (diagonal = stayed).
+
+    Scale shape: both rings are tiny (shards x vnodes) and broadcast
+    as sorted arrays; assignment is a vectorized searchsorted per
+    batch; ONE groupby((before, after)) on pre-aggregated partials.
+    The same md5_number_lower twin convention as every content hash
+    here."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.pipelines.sketch import _md5_u64
+
+    def ring(n: int) -> tuple[np.ndarray, np.ndarray]:
+        pts, owner = [], []
+        for s in range(n):
+            for v in range(vnodes):
+                pts.append(f"ring:{s}:{v}")
+                owner.append(s)
+        h = _md5_u64(pts)
+        order = np.argsort(h, kind="stable")
+        return h[order], np.array(owner, dtype=np.int64)[order]
+
+    r_b, o_b = ring(n_before)
+    r_a, o_a = ring(n_after)
+
+    def assign(h: np.ndarray, pts: np.ndarray,
+               own: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(pts, h, side="left")
+        idx = np.where(idx == len(pts), 0, idx)  # wrap past the top
+        return own[idx]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        h = _md5_u64([f"key:{i}" for i in ids])
+        sb = assign(h, r_b, o_b)
+        sa = assign(h, r_a, o_a)
+        t = pa.table({"shard_before": pa.array(sb, type=pa.int64()),
+                      "shard_after": pa.array(sa, type=pa.int64())})
+        g = t.group_by(["shard_before", "shard_after"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"shard_before": g.column("shard_before"),
+                         "shard_after": g.column("shard_after"),
+                         "n_p": g.column("count_all")})
+
+    agg = ds.select_columns([id_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["shard_before", "shard_after"]) \
+        .aggregate(Sum("n_p", alias_name="n_keys"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "shard_before": batch.column("shard_before"),
+            "shard_after": batch.column("shard_after"),
+            "n_keys": pc.cast(batch.column("n_keys"), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2946,3 +2946,94 @@ def lsa_power_iteration(ds, *, iters: int = 3, stem: bool = False):
         "loading": pa.array(np.round(vec / nrm, 6),
                             type=pa.float64()),
     })
+
+
+def rag_chunk_search(ds, query_id: int = 0, *, dim: int = 64,
+                     chunk: int = 8, overlap: int = 2, k: int = 10,
+                     stem: bool = False):
+    """End-to-end RAG retrieval composition: chunk every doc with the
+    doc_chunks token-window rule (windows of ``chunk`` tokens every
+    ``chunk - overlap``), embed each chunk AND the query doc's full
+    text with the exact feature-hashing vectorizer (sign-weighted
+    integer counts — no vocabulary state), and return the top-k
+    chunks by cosine. Dot products and squared norms stay INTEGERS,
+    so ranking ties are exact and broken by (doc_id, chunk_id); cos =
+    dot / (sqrt(qq) * sqrt(cc)) rounded to 6 places. The query doc's
+    own chunks are excluded. -> (doc_id, chunk_id, cos).
+
+    Scale shape: query vector via the distributed is_in fetch; one
+    map-only pass chunks + embeds + scores each batch against the
+    broadcast dim-sized query vector and keeps a block-local top-k;
+    the driver reduces blocks x k rows (the brute_force_knn shape —
+    an IVF-bucketed variant drops in when chunk count outgrows the
+    scan)."""
+    from rse_ray.pipelines.sketch import _md5_u64
+
+    if overlap >= chunk:
+        raise ValueError("overlap must be < chunk")
+    stride = chunk - overlap
+
+    def hash_vec(tokens: list[str]) -> np.ndarray:
+        vec = np.zeros(dim, dtype=np.int64)
+        if not tokens:
+            return vec
+        c = Counter(tokens)
+        terms = sorted(c)
+        h = _md5_u64([f"fh:{w}" for w in terms])
+        bucket = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where(((h // np.uint64(dim))
+                         % np.uint64(2)) == 1, 1, -1)
+        tf = np.fromiter((c[w] for w in terms), dtype=np.int64,
+                         count=len(terms))
+        np.add.at(vec, bucket, sign * tf)
+        return vec
+
+    # query vector: distributed point fetch of the query doc's text
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("doc_id"),
+                                     pa.scalar(query_id, pa.int64())))
+
+    qt = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    if not qt or qt[0]["text"] is None:
+        raise ValueError(f"query doc {query_id} not found / null")
+    qv = hash_vec(_tok(qt[0]["text"], stem))
+    qq = float(np.sqrt(float(np.dot(qv, qv))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        o_doc, o_chunk, o_cos = [], [], []
+        rows = []
+        for did, txt in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+            if txt is None or did == query_id:
+                continue
+            toks = _tok(txt, stem)
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = max(1, -(-max(n - overlap, 1) // stride))
+            for c in range(n_chunks):
+                s = c * stride
+                cv = hash_vec(toks[s:s + chunk])
+                cc = float(np.dot(cv, cv))
+                if cc == 0.0:
+                    continue
+                dot = float(np.dot(qv, cv))
+                cos = dot / (qq * np.sqrt(cc))
+                rows.append((cos, did, c))
+        rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+        for cos, did, c in rows[:k]:
+            o_doc.append(did)
+            o_chunk.append(c)
+            o_cos.append(cos)
+        return pa.table({
+            "doc_id": pa.array(o_doc, type=pa.int64()),
+            "chunk_id": pa.array(o_chunk, type=pa.int64()),
+            "cos": pa.array(o_cos, type=pa.float64()),
+        })
+
+    local = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = local.sort_values(["cos", "doc_id", "chunk_id"],
+                            ascending=[False, True, True]) \
+        .head(k).reset_index(drop=True)
+    out["cos"] = out["cos"].round(6)
+    return out

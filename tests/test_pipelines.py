@@ -3877,3 +3877,85 @@ def test_lsa_power_iteration_direction(ray_session):
     assert got["cat"] > got["dog"]
     # unit norm
     assert abs((got ** 2).sum() - 1.0) < 1e-4
+
+
+def test_shipping_priority_q3(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import shipping_priority
+
+    d0 = np.datetime64("1995-03-01", "us")
+    d1 = np.datetime64("1995-04-01", "us")
+    cust = pa.table({"c_custkey": pa.array([1, 2], type=pa.int64()),
+                     "c_mktsegment": pa.array(["BUILDING", "AUTO"])})
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11, 12], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], type=pa.int64()),
+        "o_orderdate": pa.array([d0, d1, d0],
+                                type=pa.timestamp("us")),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 12], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0, 400.0]),
+        "l_discount": pa.array([0.1, 0.0, 0.0, 0.0]),
+        "l_shipdate": pa.array([d1, d1, d1, d1],
+                               type=pa.timestamp("us")),
+    })
+    got = shipping_priority(ray.data.from_arrow(cust),
+                            ray.data.from_arrow(orders),
+                            ray.data.from_arrow(li))
+    # order 11 fails the orderdate filter; order 12 is AUTO; order 10
+    # revenue = 100*0.9 + 200 = 290
+    assert got["o_orderkey"].tolist() == [10]
+    assert got["revenue"].tolist() == [290.0]
+
+
+def test_winsorized_and_hash_moves(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import (consistent_hash_moves,
+                                              winsorized_mean)
+
+    vals = list(map(float, range(1, 101)))
+    t = pa.table({"event_type": pa.array(["a"] * 100),
+                  "value": pa.array(vals)})
+    got = winsorized_mean(ray.data.from_arrow(t)).to_pandas().iloc[0]
+    # q05 = 5.95, q95 = 95.05 (linear interpolation on 1..100)
+    assert got["q_lo"] == 5.95 and got["q_hi"] == 95.05
+    lo, hi = 5.95, 95.05
+    want = sum(min(max(v, lo), hi) for v in vals) / 100
+    assert abs(got["wins_mean"] - round(want, 6)) < 1e-9
+
+    d = pa.table({"doc_id": pa.array(list(range(1000)),
+                                     type=pa.int64())})
+    mv = consistent_hash_moves(ray.data.from_arrow(d)).to_pandas()
+    assert mv["n_keys"].sum() == 1000
+    stayed = mv.loc[mv["shard_before"] == mv["shard_after"],
+                    "n_keys"].sum()
+    # consistent hashing moves ~1/9 of keys on 8 -> 9 growth, far
+    # from mod-N's ~8/9; allow a loose band
+    assert stayed > 700
+
+
+def test_rag_chunk_search_selfsim(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import rag_chunk_search
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["red fish blue fish",
+                          "red fish blue fish swims deep",
+                          "totally unrelated words here now"]),
+    })
+    got = rag_chunk_search(ray.data.from_arrow(t), 0, dim=64,
+                           chunk=8, overlap=2, k=3)
+    # doc 1's first chunk contains the query doc verbatim -> top hit
+    assert got.iloc[0]["doc_id"] == 1
+    assert got.iloc[0]["cos"] > 0.8
+    # the query doc itself is excluded
+    assert (got["doc_id"] != 0).all()
