@@ -1323,6 +1323,25 @@ def _q_rag_chunk_search(sf_dir: str):
         dim=64, chunk=8, overlap=2, k=10))
 
 
+DYM_QUERIES = ["tablz", "quer", "streamm", "vector", "zzzzz"]
+
+
+def _q_did_you_mean(sf_dir: str):
+    from rse_ray.pipelines.text import did_you_mean
+
+    return _finalize(did_you_mean(
+        _read(sf_dir, "documents", ["doc_id", "text"]), DYM_QUERIES))
+
+
+def _q_condensation_layers(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import condensation_layers
+
+    return _finalize(condensation_layers(
+        ray.data.read_parquet(_scc_graph_links_path())))
+
+
 def _q_lsa_power_iteration(sf_dir: str):
     from rse_ray.pipelines.text import lsa_power_iteration
 
@@ -3243,6 +3262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean": _q_winsorized_mean,
         "consistent_hash_moves": _q_consistent_hash_moves,
         "rag_chunk_search": _q_rag_chunk_search,
+        "did_you_mean": _q_did_you_mean,
+        "condensation_layers": _q_condensation_layers,
         "feature_hashing": _q_feature_hashing,
         "corpus_release": _q_corpus_release,
         "containment_pairs": _q_containment_pairs,
@@ -4119,6 +4140,44 @@ SELECT user_id, event_type, valid_from,
                               ORDER BY valid_from) AS valid_to,
        n_events
 FROM g""",
+        "did_you_mean": _TOKS + """,
+dt AS (SELECT DISTINCT term, doc_id FROM toks),
+d AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1),
+q(query) AS (VALUES ('tablz'), ('quer'), ('streamm'), ('vector'),
+                    ('zzzzz')),
+c AS (SELECT q.query, d.term AS suggestion,
+             levenshtein(q.query, d.term)::BIGINT AS dist, d.df
+      FROM q CROSS JOIN d
+      WHERE abs(length(q.query) - length(d.term)) <= 1
+        AND levenshtein(q.query, d.term) <= 1)
+SELECT query, suggestion, dist, df FROM c
+QUALIFY row_number() OVER (PARTITION BY query
+                           ORDER BY dist, df DESC, suggestion) <= 1""",
+        # condensation of the SCC contraction + recursive longest path
+        "condensation_layers": f"""
+WITH RECURSIVE e AS (SELECT DISTINCT src_url AS src, dst_url AS dst
+                     FROM read_parquet('{GRAPH_SCC_LINKS}')),
+nodes AS (SELECT src AS url FROM e UNION SELECT dst FROM e),
+reach(a, b) AS (
+  SELECT url, url FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+sccm AS (SELECT r1.a AS url, min(r1.b) AS scc_id
+         FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+         GROUP BY 1),
+cond AS (SELECT DISTINCT s1.scc_id AS src, s2.scc_id AS dst
+         FROM e JOIN sccm s1 ON e.src = s1.url
+                JOIN sccm s2 ON e.dst = s2.url
+         WHERE s1.scc_id <> s2.scc_id),
+walk(s, d) AS (
+  SELECT scc_id, 0 FROM (SELECT DISTINCT scc_id FROM sccm)
+  UNION ALL
+  SELECT c.dst, w.d + 1 FROM walk w JOIN cond c ON c.src = w.s),
+lay AS (SELECT s AS scc_id, max(d)::BIGINT AS layer
+        FROM walk GROUP BY 1),
+mem AS (SELECT scc_id, count(*)::BIGINT AS n_members
+        FROM sccm GROUP BY 1)
+SELECT scc_id, layer, n_members FROM lay JOIN mem USING (scc_id)""",
         # '(key AND table) OR (fast AND NOT slow)' as presence flags
         "bool_query": _TOKS + """,
 d AS (SELECT doc_id,

@@ -2148,3 +2148,198 @@ def scc(links_ds, *, max_rounds: int = 64, max_iters: int = 128,
         if sum(ray.get([r[1] for r in res])) == 0:
             break
     return ray.data.from_arrow_refs(out_refs)
+
+
+def condensation_layers(links_ds, *, max_depth: int = 256,
+                        src_col: str = "src_url",
+                        dst_col: str = "dst_url",
+                        num_parts: int | None = None):
+    """Topological LAYERING of the SCC condensation — the DAG view a
+    crawl scheduler / incremental recompute planner needs (everything
+    in layer k depends only on layers < k): contract each SCC (via
+    ``scc``) to one node, drop intra-SCC edges, and assign each
+    condensation node its LONGEST-path depth from any source
+    (layer(v) = 0 for sources, else 1 + max over predecessors).
+    -> (scc_id, layer, n_members).
+
+    Scale shape: scc ids attach to both edge endpoints by
+    co-partitioned hash_join (never a broadcast of the node map) and
+    the distinct cross-SCC edge set materializes ONCE; the layer
+    sweep then runs on RESIDENT shard actors (the pagerank/scc
+    engine): every scc node lives on shard hash(scc_id), edges live
+    with their src, and a superstep is one pre-aggregated max
+    exchange — so the per-round cost is actor messaging, not a fresh
+    Dataset execution per round (a first draft that re-joined
+    layers each round spent ~10 Dataset executions x depth; this
+    spends ~10 total + depth actor rounds). Max-propagation over a
+    DAG is monotone and bounded by depth, so fixpoint = a round with
+    no raises; ``max_depth`` is the runaway cap (a cycle would mean
+    scc() was wrong)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from rse_ray.pipelines.relational import hash_join
+    from rse_ray.util import parts_for
+
+    sccs = scc(links_ds, src_col=src_col, dst_col=dst_col,
+               num_parts=num_parts).materialize()
+    n_nodes = sccs.count()
+    empty = pa.table({"scc_id": pa.array([], type=pa.string()),
+                      "layer": pa.array([], type=pa.int64()),
+                      "n_members": pa.array([], type=pa.int64())})
+    if n_nodes == 0:
+        return ray.data.from_arrow(empty)
+    P = num_parts if num_parts is not None \
+        else parts_for(n_nodes, rows_per_part=200_000)
+
+    members = sccs.groupby("scc_id").aggregate(Count()).materialize()
+
+    edges = links_ds.map_batches(
+        lambda b: pa.table(
+            {"src": b.column(src_col).cast(pa.string()),
+             "dst": b.column(dst_col).cast(pa.string())}).drop_null(),
+        batch_format="pyarrow").materialize()
+    e1 = hash_join(edges, sccs, left_on="src", right_on="url",
+                   right_cols=["scc_id"], how="inner",
+                   num_parts=P).map_batches(
+        lambda b: (pa.table({"dst": b.column("dst"),
+                             "src_scc": b.column("scc_id")})
+                   if "dst" in b.column_names else
+                   pa.table({"dst": pa.array([], type=pa.string()),
+                             "src_scc": pa.array([],
+                                                 type=pa.string())})),
+        batch_format="pyarrow")
+    e2 = hash_join(e1.materialize(), sccs, left_on="dst",
+                   right_on="url", right_cols=["scc_id"], how="inner",
+                   num_parts=P)
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        if "src_scc" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"src": pa.array([], type=pa.string()),
+                             "dst": pa.array([], type=pa.string())})
+        t = pa.table({"src": batch.column("src_scc"),
+                      "dst": batch.column("scc_id")})
+        return t.filter(pc.invert(pc.equal(t.column("src"),
+                                           t.column("dst"))))
+
+    def first_row(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    cond = e2.map_batches(cross_only, batch_format="pyarrow") \
+        .groupby(["src", "dst"]) \
+        .map_groups(first_row, batch_format="pyarrow").materialize()
+
+    # route members by hash(scc_id), cond edges by hash(src)
+    def route_members(tbl: pa.Table, P: int) -> list:
+        if "scc_id" not in tbl.column_names:
+            e = pa.table({"scc_id": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+            return [e] * P
+        t = pa.table({"scc_id": tbl.column("scc_id"),
+                      "n": pc.cast(tbl.column("count()"), pa.int64())})
+        h = (_pr_url_hash(t.column("scc_id")
+                          .to_numpy(zero_copy_only=False))
+             % P).astype(np.int64)
+        return [t.filter(pa.array(h == p)) for p in range(P)]
+
+    def route_cond(tbl: pa.Table, P: int) -> list:
+        if "src" not in tbl.column_names:
+            e = pa.table({"src": pa.array([], type=pa.string()),
+                          "dst": pa.array([], type=pa.string())})
+            return [e] * P
+        h = (_pr_url_hash(tbl.column("src")
+                          .to_numpy(zero_copy_only=False))
+             % P).astype(np.int64)
+        return [tbl.filter(pa.array(h == p)) for p in range(P)]
+
+    rm = ray.remote(route_members)
+    rc = ray.remote(route_cond)
+    mem_parts = [rm.options(num_returns=P).remote(r, P)
+                 for r in members.to_arrow_refs()]
+    cond_parts = [rc.options(num_returns=P).remote(r, P)
+                  for r in cond.to_arrow_refs()]
+    if P == 1:
+        mem_parts = [[r] for r in mem_parts]
+        cond_parts = [[r] for r in cond_parts]
+
+    @ray.remote
+    class _LayerShard:
+        def __init__(self, p: int, P: int, mem_refs, edge_refs):
+            self.P = P
+            mem = pa.concat_tables(ray.get(list(mem_refs)))
+            ed = pa.concat_tables(ray.get(list(edge_refs)))
+            self.ids = mem.column("scc_id") \
+                .to_numpy(zero_copy_only=False)
+            order = np.argsort(self.ids, kind="stable")
+            self.ids = self.ids[order]
+            self.n_members = mem.column("n") \
+                .to_numpy(zero_copy_only=False)[order]
+            src = ed.column("src").to_numpy(zero_copy_only=False)
+            dst = ed.column("dst").to_numpy(zero_copy_only=False)
+            self.src_idx = np.searchsorted(self.ids, src)
+            self.dst = dst
+            self.dst_shard = (_pr_url_hash(dst) % P).astype(np.int64) \
+                if len(dst) else np.empty(0, dtype=np.int64)
+            self.layer = np.zeros(len(self.ids), dtype=np.int64)
+            self.changed = np.ones(len(self.ids), dtype=bool)
+
+        def step(self):
+            frontier = self.changed[self.src_idx] if len(self.src_idx) \
+                else np.empty(0, dtype=bool)
+            self.changed[:] = False
+            out = [int(frontier.sum())]
+            for q in range(self.P):
+                m = frontier & (self.dst_shard == q)
+                if not m.any():
+                    out.append(pa.table(
+                        {"to": pa.array([], type=pa.string()),
+                         "cand": pa.array([], type=pa.int64())}))
+                    continue
+                cand = self.layer[self.src_idx[m]] + 1
+                u, inv = np.unique(self.dst[m], return_inverse=True)
+                mx = np.zeros(len(u), dtype=np.int64)
+                np.maximum.at(mx, inv, cand)
+                out.append(pa.table(
+                    {"to": pa.array(u, type=pa.string()),
+                     "cand": pa.array(mx, type=pa.int64())}))
+            return out
+
+        def apply(self, *tables) -> int:
+            for t in tables:
+                if t.num_rows == 0:
+                    continue
+                idx = np.searchsorted(
+                    self.ids,
+                    t.column("to").to_numpy(zero_copy_only=False))
+                cand = t.column("cand").to_numpy()
+                raise_ = cand > self.layer[idx]
+                self.layer[idx[raise_]] = cand[raise_]
+                self.changed[idx[raise_]] = True
+            return int(self.changed.sum())
+
+        def result(self) -> pa.Table:
+            return pa.table(
+                {"scc_id": pa.array(self.ids, type=pa.string()),
+                 "layer": pa.array(self.layer, type=pa.int64()),
+                 "n_members": pa.array(self.n_members,
+                                       type=pa.int64())})
+
+    shards = [
+        _LayerShard.remote(p, P,
+                           [mp[p] for mp in mem_parts],
+                           [cp[p] for cp in cond_parts])
+        for p in range(P)
+    ]
+    for _ in range(max_depth):
+        outs = [s.step.options(num_returns=P + 1).remote()
+                for s in shards]
+        n = sum(ray.get([
+            s.apply.remote(*[outs[p][q + 1] for p in range(P)])
+            for q, s in enumerate(shards)
+        ]))
+        if n == 0:
+            break
+    res_refs = [s.result.remote() for s in shards]
+    ray.wait(res_refs, num_returns=len(res_refs))
+    return ray.data.from_arrow_refs(res_refs)

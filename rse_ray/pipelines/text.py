@@ -3037,3 +3037,80 @@ def rag_chunk_search(ds, query_id: int = 0, *, dim: int = 64,
         .head(k).reset_index(drop=True)
     out["cos"] = out["cos"].round(6)
     return out
+
+
+def did_you_mean(ds, queries: list[str], *, stem: bool = False):
+    """Search-box spell correction (the ES term suggester contract):
+    for each query word, the best vocabulary term within Levenshtein
+    distance 1, ranked (distance ASC, document frequency DESC, term
+    ASC) — an exact correctly-spelled hit always wins, otherwise the
+    most attested near-miss. -> (query, suggestion, dist, df); a
+    query with NO candidate within distance 1 emits no row.
+
+    Scale shape: the vocabulary (term, df) aggregate is computed with
+    the usual pre-deduped partials + ONE groupby(term); the tiny query
+    list rides the task closure and every vocab block scores its own
+    terms against all queries (O(vocab x queries) distance checks,
+    distributed over blocks); each block keeps at most one candidate
+    per query, so the driver reduces blocks x queries rows."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.pipelines.dedup import _edit_distance_le1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen: dict[str, int] = {}
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if t is None:
+                continue
+            for w in set(_tok(t, stem)):
+                seen[w] = seen.get(w, 0) + 1
+        keys = sorted(seen)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "df_p": pa.array([seen[k] for k in keys],
+                             type=pa.int64()),
+        })
+
+    vocab = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df_p", alias_name="df"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query": pa.array([], type=pa.string()),
+                          "suggestion": pa.array([], type=pa.string()),
+                          "dist": pa.array([], type=pa.int64()),
+                          "df": pa.array([], type=pa.int64())})
+        if "term" not in batch.column_names or batch.num_rows == 0:
+            return empty
+        terms = batch.column("term").to_pylist()
+        dfs = batch.column("df").to_pylist()
+        o_q, o_s, o_d, o_f = [], [], [], []
+        for q in queries:
+            best = None
+            for t, f in zip(terms, dfs):
+                if not _edit_distance_le1(q, t):
+                    continue
+                d = 0 if q == t else 1
+                key = (d, -f, t)
+                if best is None or key < best[0]:
+                    best = (key, t, d, f)
+            if best is not None:
+                o_q.append(q)
+                o_s.append(best[1])
+                o_d.append(best[2])
+                o_f.append(best[3])
+        return pa.table({
+            "query": pa.array(o_q, type=pa.string()),
+            "suggestion": pa.array(o_s, type=pa.string()),
+            "dist": pa.array(o_d, type=pa.int64()),
+            "df": pa.array(o_f, type=pa.int64()),
+        })
+
+    local = vocab.map_batches(score, batch_format="pyarrow") \
+        .to_pandas()
+    if local.empty:
+        return local
+    local = local.sort_values(["query", "dist", "df", "suggestion"],
+                              ascending=[True, True, False, True])
+    return local.groupby("query", as_index=False).head(1) \
+        .reset_index(drop=True)

@@ -3959,3 +3959,46 @@ def test_rag_chunk_search_selfsim(ray_session):
     assert got.iloc[0]["cos"] > 0.8
     # the query doc itself is excluded
     assert (got["doc_id"] != 0).all()
+
+
+def test_did_you_mean_ranking(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import did_you_mean
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["cat cot", "cat", "dog"]),
+    })
+    got = did_you_mean(ray.data.from_arrow(t),
+                       ["cat", "cut", "zebra"]) \
+        .set_index("query")
+    # exact hit wins at dist 0
+    assert got.loc["cat", "suggestion"] == "cat"
+    assert got.loc["cat", "dist"] == 0
+    # cut -> cat (df 2) beats cot (df 1) at equal dist 1
+    assert got.loc["cut", "suggestion"] == "cat"
+    assert got.loc["cut", "df"] == 2
+    # no candidate within distance 1
+    assert "zebra" not in got.index
+
+
+def test_condensation_layers_depth(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import condensation_layers
+
+    # SCC {a,b} -> c -> d and {a,b} -> d directly: layers 0, 1, 2
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"),
+             ("b", "d")]
+    t = pa.table({
+        "src_url": pa.array([x for x, _ in edges]),
+        "dst_url": pa.array([y for _, y in edges]),
+    })
+    got = condensation_layers(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("scc_id")
+    assert got.loc["a", "layer"] == 0 and got.loc["a", "n_members"] == 2
+    assert got.loc["c", "layer"] == 1
+    assert got.loc["d", "layer"] == 2
