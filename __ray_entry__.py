@@ -1342,6 +1342,68 @@ def _q_condensation_layers(sf_dir: str):
         ray.data.read_parquet(_scc_graph_links_path())))
 
 
+SPEC_DIR = "/tmp/rse_ray_cache/media_spec_v1"
+
+
+def _q_group_moments(sf_dir: str):
+    from rse_ray.pipelines.relational import group_moments
+
+    return _finalize(group_moments(
+        _read(sf_dir, "events", ["event_type", "value"])))
+
+
+def _q_hill_tail_index(sf_dir: str):
+    from rse_ray.pipelines.text import hill_tail_index
+
+    return _finalize(hill_tail_index(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=20))
+
+
+def _q_arrow_ipc_counts(sf_dir: str):
+    """Arrow IPC (Feather v2) source: shard documents into .arrow
+    files, read back via read_binary_files + per-file IPC decode, and
+    aggregate — proves the interchange-format path end to end."""
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    from rse_ray.sources.formats import documents_arrow_ipc
+
+    ds = documents_arrow_ipc(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate(
+            [("n_chars", "sum"), ([], "count_all")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "nc_p": g.column("n_chars_sum"),
+                         "n_p": g.column("count_all")})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "source"]).aggregate(
+            Sum("nc_p", alias_name="sum_chars"),
+            Sum("n_p", alias_name="n_docs"))
+    return _finalize(agg.map_batches(
+        lambda b: pa.table({
+            "lang": b.column("lang"), "source": b.column("source"),
+            "sum_chars": _pc.cast(b.column("sum_chars"), pa.int64()),
+            "n_docs": _pc.cast(b.column("n_docs"), pa.int64()),
+        }), batch_format="pyarrow"))
+
+
+def _q_audio_spectrogram(sf_dir: str):
+    """Framewise banded spectrogram over the real WAV decode —
+    golden-oracled pre-encode like audio_rms_windows."""
+    import ray.data
+
+    from rse_ray.pipelines.multimodal import (audio_spectrogram,
+                                              write_spectrogram_fixture)
+
+    write_spectrogram_fixture(SPEC_DIR)
+    ds = ray.data.read_parquet(os.path.join(SPEC_DIR, "media.parquet"))
+    return _finalize(audio_spectrogram(ds))
+
+
 def _q_lsa_power_iteration(sf_dir: str):
     from rse_ray.pipelines.text import lsa_power_iteration
 
@@ -3264,6 +3326,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_chunk_search": _q_rag_chunk_search,
         "did_you_mean": _q_did_you_mean,
         "condensation_layers": _q_condensation_layers,
+        "group_moments": _q_group_moments,
+        "hill_tail_index": _q_hill_tail_index,
+        "arrow_ipc_counts": _q_arrow_ipc_counts,
+        "audio_spectrogram": _q_audio_spectrogram,
         "feature_hashing": _q_feature_hashing,
         "corpus_release": _q_corpus_release,
         "containment_pairs": _q_containment_pairs,
@@ -4140,6 +4206,47 @@ SELECT user_id, event_type, valid_from,
                               ORDER BY valid_from) AS valid_to,
        n_events
 FROM g""",
+        # population moments spelled as the same power-sum formula
+        # (DuckDB's skewness()/kurtosis() are sample-corrected)
+        "group_moments": """
+WITH s AS (SELECT event_type, count(*)::DOUBLE AS n,
+             sum(value) AS s1, sum(value * value) AS s2,
+             sum(value * value * value) AS s3,
+             sum(value * value * value * value) AS s4
+           FROM events GROUP BY 1),
+m AS (SELECT event_type, n, s1 / n AS m1,
+        s2 / n - (s1 / n) * (s1 / n) AS m2,
+        s3 / n - 3.0 * (s1 / n) * (s2 / n)
+          + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        s4 / n - 4.0 * (s1 / n) * (s3 / n)
+          + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+          - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s)
+SELECT event_type, n::BIGINT AS n, round(m1, 6) AS mean,
+       round(m3 / pow(m2, 1.5), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+FROM m""",
+        "hill_tail_index": _TOKS + """,
+tc AS (SELECT term, count(*)::DOUBLE AS n FROM toks GROUP BY 1),
+o AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r
+      FROM tc),
+ref AS (SELECT n AS nk FROM o WHERE r = 21),
+h AS (SELECT sum(ln(o.n / ref.nk)) / 20.0 AS hill
+      FROM o CROSS JOIN ref WHERE r <= 20)
+SELECT 20::BIGINT AS k, round(hill, 6) AS hill,
+       round(1.0 / hill, 6) AS alpha FROM h""",
+        # the IPC shards were derived from documents, so the parquet
+        # view recomputes the same aggregate
+        "arrow_ipc_counts": """
+SELECT lang, source, sum(n_chars)::BIGINT AS sum_chars,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1, 2""",
+        # decode->spectrogram must reproduce the pre-encode goldens
+        "audio_spectrogram": """
+SELECT media_id, frame_idx, band, mag
+FROM read_parquet('{golden}')""".format(
+            golden=os.path.join(SPEC_DIR, "golden_spec.parquet")
+        ),
         "did_you_mean": _TOKS + """,
 dt AS (SELECT DISTINCT term, doc_id FROM toks),
 d AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1),

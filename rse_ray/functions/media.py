@@ -352,3 +352,30 @@ def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
     ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
     return px[ri][:, ci]
+
+
+def spectrogram_frames(samples: np.ndarray, frame: int = 256,
+                       hop: int = 128,
+                       n_bins: int = 16) -> np.ndarray:
+    """Coarse magnitude spectrogram: the rms_frames windowing contract
+    (frames of ``frame`` every ``hop``, trailing partial DROPPED),
+    each frame rFFT'd (no window function — pinned) and its magnitude
+    spectrum mean-pooled into ``n_bins`` equal bands of the frame//2+1
+    rfft bins (remainder bins join the LAST band). Returns an
+    (n_frames, n_bins) float64 matrix. Shared by the fixture
+    generator (pre-encode goldens) and the decode pipeline, so the
+    encode->decode round trip must reproduce it bit-exact."""
+    x = samples.astype(np.float64)
+    n = (len(x) - frame) // hop + 1 if len(x) >= frame else 0
+    if n <= 0:
+        return np.empty((0, n_bins), dtype=np.float64)
+    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+    mag = np.abs(np.fft.rfft(x[idx], axis=1))
+    nb = mag.shape[1]
+    per = nb // n_bins
+    out = np.empty((n, n_bins), dtype=np.float64)
+    for b in range(n_bins):
+        lo = b * per
+        hi = (b + 1) * per if b < n_bins - 1 else nb
+        out[:, b] = mag[:, lo:hi].mean(axis=1)
+    return out

@@ -701,3 +701,128 @@ def write_video_fixture(out_dir: str, *, n: int = 24, seed: int = 9,
     with open(marker, "w") as f:
         _json.dump(meta, f)
     return meta
+
+
+class AudioSpectrogram:
+    """Actor-pool spectrogram stage: decode the WAV payload and emit
+    one row per (frame, band) from the coarse magnitude spectrogram
+    (spectrogram_frames: rFFT per frame, mean-pooled bands) — the
+    feature layer under audio fingerprinting / VAD models. Kernels
+    bind once per actor; each clip is one strided-matrix FFT, no
+    per-frame Python."""
+
+    def __init__(self, frame: int = 256, hop: int = 128,
+                 n_bins: int = 16, round_to: int = 6) -> None:
+        from rse_ray.functions.media import (decode_wav,
+                                             spectrogram_frames)
+
+        self._decode = decode_wav
+        self._spec = spectrogram_frames
+        self.frame, self.hop, self.n_bins = frame, hop, n_bins
+        self.scale = 10.0 ** round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_id, o_fi, o_bi, o_m = [], [], [], []
+        for mid, kind, payload in zip(ids, kinds, payloads):
+            if kind != "audio":
+                continue
+            samples, _rate = self._decode(payload)
+            m = self._spec(samples, self.frame, self.hop, self.n_bins)
+            m = np.floor(m * self.scale + 0.5) / self.scale  # mag >= 0
+            nf, nb = m.shape
+            fi = np.repeat(np.arange(nf), nb)
+            bi = np.tile(np.arange(nb), nf)
+            o_id.extend([int(mid)] * (nf * nb))
+            o_fi.extend(fi.tolist())
+            o_bi.extend(bi.tolist())
+            o_m.extend(m.ravel().tolist())
+        return pa.table({
+            "media_id": pa.array(o_id, type=pa.int64()),
+            "frame_idx": pa.array(o_fi, type=pa.int64()),
+            "band": pa.array(o_bi, type=pa.int64()),
+            "mag": pa.array(o_m, type=pa.float64()),
+        })
+
+
+def audio_spectrogram(ds, *, frame: int = 256, hop: int = 128,
+                      n_bins: int = 16, concurrency: int = 2,
+                      batch_size: int = 32):
+    """media table -> (media_id, frame_idx, band, mag): coarse
+    magnitude spectrogram over the REAL WAV decode. Golden-oracled
+    pre-encode like audio_rms_windows; non-audio rows drop."""
+    from rse_ray.util import clamp_pool
+
+    return ds.map_batches(AudioSpectrogram, batch_format="pyarrow",
+                          fn_constructor_kwargs={"frame": frame,
+                                                 "hop": hop,
+                                                 "n_bins": n_bins},
+                          batch_size=batch_size,
+                          concurrency=clamp_pool(concurrency))
+
+
+def write_spectrogram_fixture(out_dir: str, *, n: int = 32,
+                              seed: int = 17) -> dict:
+    """Deterministic WAV corpus for the spectrogram oracle: pure
+    tones + noise mixes (planted band structure), goldens computed
+    from the RAW samples BEFORE encoding (same non-circularity
+    argument as write_real_media_fixture). Writes media.parquet and
+    golden_spec.parquet. Idempotent via _DONE."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rse_ray.functions.media import encode_wav, spectrogram_frames
+
+    marker = os.path.join(out_dir, "_DONE.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return _json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    media = {"media_id": [], "kind": [], "payload": [], "meta": []}
+    gold = {"media_id": [], "frame_idx": [], "band": [], "mag": []}
+    for i in range(n):
+        ns = int(rng.integers(512, 2048))
+        t = np.arange(ns, dtype=np.float64)
+        freq = 0.02 + 0.4 * (i % 8) / 8.0          # cycles/sample
+        tone = 12000.0 * np.sin(2 * np.pi * freq * t)
+        noise = rng.normal(0.0, 2000.0, size=ns)
+        samples = np.clip(tone + noise, -32768, 32767).astype(np.int16)
+        payload = encode_wav(samples, rate=8000)
+        media["media_id"].append(i)
+        media["kind"].append("audio")
+        media["payload"].append(payload)
+        media["meta"].append(_json.dumps({"n_samples": ns,
+                                          "rate": 8000}))
+        m = spectrogram_frames(samples)
+        m = np.floor(m * 1e6 + 0.5) / 1e6
+        nf, nb = m.shape
+        gold["media_id"].extend([i] * (nf * nb))
+        gold["frame_idx"].extend(np.repeat(np.arange(nf), nb).tolist())
+        gold["band"].extend(np.tile(np.arange(nb), nf).tolist())
+        gold["mag"].extend(m.ravel().tolist())
+    pq.write_table(
+        pa.table({"media_id": pa.array(media["media_id"],
+                                       type=pa.int64()),
+                  "kind": pa.array(media["kind"], type=pa.string()),
+                  "payload": pa.array(media["payload"],
+                                      type=pa.binary()),
+                  "meta": pa.array(media["meta"], type=pa.string())}),
+        os.path.join(out_dir, "media.parquet"))
+    pq.write_table(
+        pa.table({"media_id": pa.array(gold["media_id"],
+                                       type=pa.int64()),
+                  "frame_idx": pa.array(gold["frame_idx"],
+                                        type=pa.int64()),
+                  "band": pa.array(gold["band"], type=pa.int64()),
+                  "mag": pa.array(gold["mag"], type=pa.float64())}),
+        os.path.join(out_dir, "golden_spec.parquet"))
+    info = {"n": n, "seed": seed}
+    from rse_ray.state.manifest import write_json_atomic
+
+    write_json_atomic(marker, info)
+    return info

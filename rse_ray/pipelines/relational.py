@@ -3549,3 +3549,69 @@ def consistent_hash_moves(ds, *, id_col: str = "doc_id",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def group_moments(events_ds, *, group: str = "event_type",
+                  col: str = "value"):
+    """Per-group higher-moment shape statistics — POPULATION skewness
+    and excess kurtosis from raw power sums (the mergeable form:
+    per-batch partials ship five doubles per group):
+
+        m  = s1/n,  m2 = s2/n - m*m
+        m3 = s3/n - 3*m*(s2/n) + 2*m^3
+        m4 = s4/n - 4*m*(s3/n) + 6*m^2*(s2/n) - 3*m^4
+        skew = m3 / m2^1.5,  kurtosis = m4 / m2^2 - 3
+
+    -> (group, n, mean, skewness, kurtosis) rounded to 6 places. The
+    SQL twin spells the SAME expressions (DuckDB's built-in
+    skewness()/kurtosis() apply sample corrections — a different
+    statistic)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        v2 = pc.multiply(v, v)
+        t = pa.table({group: batch.column(group), "v": v, "v2": v2,
+                      "v3": pc.multiply(v2, v),
+                      "v4": pc.multiply(v2, v2)})
+        g = t.group_by([group]).aggregate(
+            [("v", "sum"), ("v2", "sum"), ("v3", "sum"),
+             ("v4", "sum"), ([], "count_all")])
+        return pa.table({group: g.column(group),
+                         "s1_p": g.column("v_sum"),
+                         "s2_p": g.column("v2_sum"),
+                         "s3_p": g.column("v3_sum"),
+                         "s4_p": g.column("v4_sum"),
+                         "n_p": g.column("count_all")})
+
+    agg = events_ds.select_columns([group, col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(group).aggregate(
+            Sum("s1_p", alias_name="s1"), Sum("s2_p", alias_name="s2"),
+            Sum("s3_p", alias_name="s3"), Sum("s4_p", alias_name="s4"),
+            Sum("n_p", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.float64)
+        s1 = batch.column("s1").to_numpy()
+        s2 = batch.column("s2").to_numpy()
+        s3 = batch.column("s3").to_numpy()
+        s4 = batch.column("s4").to_numpy()
+        m = s1 / n
+        m2 = s2 / n - m * m
+        m3 = s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m
+        m4 = s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) \
+            - 3.0 * m * m * m * m
+        skew = m3 / np.power(m2, 1.5)
+        kurt = m4 / (m2 * m2) - 3.0
+        return pa.table({
+            group: batch.column(group),
+            "n": pc.cast(batch.column("n"), pa.int64()),
+            "mean": pa.array(np.round(m, 6), type=pa.float64()),
+            "skewness": pa.array(np.round(skew, 6),
+                                 type=pa.float64()),
+            "kurtosis": pa.array(np.round(kurt, 6),
+                                 type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -3114,3 +3114,57 @@ def did_you_mean(ds, queries: list[str], *, stem: bool = False):
                               ascending=[True, True, False, True])
     return local.groupby("query", as_index=False).head(1) \
         .reset_index(drop=True)
+
+
+def hill_tail_index(ds, *, k: int = 20, stem: bool = False):
+    """Hill estimator of the term-frequency power-law tail (the
+    quantitative companion to zipf_slope): over the corpus term
+    counts' top ``k`` order statistics n_1 >= ... >= n_k with
+    reference n_{k+1},
+
+        hill = (1/k) * sum_i ln(n_i / n_{k+1}),  alpha = 1 / hill
+
+    Count ties make the top-k VALUE multiset unique even when the
+    term order isn't, so the statistic is deterministic. -> one row
+    (k, hill, alpha), rounded to 6 places.
+
+    Scale shape: term counts pre-aggregate per batch through ONE
+    groupby(term); each aggregated block keeps a local top-(k+1)
+    head, so the driver reduces blocks x (k+1) rows — the
+    bigram_counts cut."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if t:
+                c.update(_tok(t, stem))
+        keys = sorted(c)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "c_p": pa.array([c[w] for w in keys], type=pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("c_p", alias_name="n"))
+
+    def block_head(batch: pa.Table) -> pa.Table:
+        if "n" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"n": pa.array([], type=pa.int64())})
+        df = batch.to_pandas().nlargest(k + 1, "n")
+        return pa.table({"n": pa.array(df["n"].to_numpy(),
+                                       type=pa.int64())})
+
+    top = agg.map_batches(block_head, batch_size=None,
+                          batch_format="pyarrow").to_pandas()
+    ns = np.sort(top["n"].to_numpy())[::-1]
+    if len(ns) < k + 1:
+        raise ValueError(f"vocabulary smaller than k+1={k + 1}")
+    ref = float(ns[k])
+    hill = float(np.sum(np.log(ns[:k] / ref))) / float(k)
+    return pa.table({
+        "k": pa.array([k], type=pa.int64()),
+        "hill": pa.array([np.round(hill, 6)], type=pa.float64()),
+        "alpha": pa.array([np.round(1.0 / hill, 6)],
+                          type=pa.float64()),
+    })

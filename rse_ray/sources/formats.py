@@ -199,3 +199,56 @@ def documents_warc(sf_dir: str, *, num_shards: int = 4):
 
     return ray.data.read_binary_files(shard_dir).map_batches(
         parse, batch_format="numpy")
+
+
+def documents_arrow_ipc(sf_dir: str, *, num_shards: int = 4):
+    """documents.parquet -> Arrow IPC (Feather v2) shard files, read
+    back as a Dataset: ray.data.read_binary_files over the shard dir,
+    then a per-file IPC decode inside map_batches — the zero-copy
+    interchange format a Ray-Data-native engine should speak natively
+    alongside parquet/jsonl/csv/WARC. Rows shard by doc_id % shards
+    (deterministic, order-stable within a shard). Returns the lazy
+    parsed Dataset with the documents schema."""
+    import hashlib
+
+    import pyarrow.ipc as ipc
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{num_shards}".encode()
+    ).hexdigest()[:12]
+    shard_dir = os.path.join(_CACHE_ROOT, f"ipc_docs_{key}_v1")
+
+    done = os.path.join(shard_dir, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(shard_dir, exist_ok=True)
+        t = pq.read_table(src)
+        ids = t.column("doc_id").to_numpy()
+        for s in range(num_shards):
+            part = t.filter(pa.array(ids % num_shards == s))
+            tmp = os.path.join(shard_dir, f"shard_{s:03d}.arrow.tmp")
+            with ipc.new_file(tmp, part.schema) as w:
+                w.write_table(part)
+            os.rename(tmp,
+                      os.path.join(shard_dir, f"shard_{s:03d}.arrow"))
+        with open(done + ".tmp", "w") as f:
+            f.write("done")
+        os.rename(done + ".tmp", done)
+
+    def parse(batch) -> pa.Table:
+        tables = []
+        for payload in batch["bytes"]:
+            buf = pa.BufferReader(payload.tobytes()
+                                  if hasattr(payload, "tobytes")
+                                  else bytes(payload))
+            tables.append(ipc.open_file(buf).read_all())
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables)
+
+    shards = sorted(
+        os.path.join(shard_dir, f) for f in os.listdir(shard_dir)
+        if f.endswith(".arrow"))
+    return ray.data.read_binary_files(shards) \
+        .map_batches(parse, batch_format="numpy")

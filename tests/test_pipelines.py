@@ -4002,3 +4002,76 @@ def test_condensation_layers_depth(ray_session):
     assert got.loc["a", "layer"] == 0 and got.loc["a", "n_members"] == 2
     assert got.loc["c", "layer"] == 1
     assert got.loc["d", "layer"] == 2
+
+
+def test_group_moments_and_hill(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import group_moments
+    from rse_ray.pipelines.text import hill_tail_index
+
+    # symmetric values -> skew 0; uniform two-point -> kurtosis -2
+    t = pa.table({"event_type": pa.array(["a"] * 4),
+                  "value": pa.array([1.0, 1.0, 3.0, 3.0])})
+    got = group_moments(ray.data.from_arrow(t)).to_pandas().iloc[0]
+    assert got["mean"] == 2.0
+    assert got["skewness"] == 0.0
+    assert got["kurtosis"] == -2.0
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(30)), type=pa.int64()),
+        # rank-r term appears 60 // r times (Zipf alpha ~ 1)
+        "text": pa.array([" ".join(f"w{r}" for r in range(1, 31)
+                                   if 60 // r > i) for i in range(30)]),
+    })
+    h = hill_tail_index(ray.data.from_arrow(docs), k=5).to_pandas()
+    assert h["k"].iloc[0] == 5
+    assert 0.5 < h["alpha"].iloc[0] < 3.0  # sane power-law range
+
+
+def test_arrow_ipc_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rse_ray.sources.formats import documents_arrow_ipc
+
+    src = pa.table({
+        "doc_id": pa.array(list(range(10)), type=pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(10)]),
+        "lang": pa.array(["en"] * 10),
+        "source": pa.array(["s"] * 10),
+        "n_chars": pa.array([2] * 10, type=pa.int64()),
+    })
+    pq.write_table(src, str(tmp_path / "documents.parquet"))
+    ds = documents_arrow_ipc(str(tmp_path))
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == list(range(10))
+    assert got["text"].tolist() == [f"t{i}" for i in range(10)]
+
+
+def test_audio_spectrogram_golden(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rse_ray.pipelines.multimodal import (audio_spectrogram,
+                                              write_spectrogram_fixture)
+
+    d = str(tmp_path / "spec")
+    write_spectrogram_fixture(d, n=6, seed=3)
+    ds = ray.data.read_parquet(d + "/media.parquet")
+    got = audio_spectrogram(ds).to_pandas() \
+        .sort_values(["media_id", "frame_idx", "band"]) \
+        .reset_index(drop=True)
+    want = pq.read_table(d + "/golden_spec.parquet").to_pandas() \
+        .sort_values(["media_id", "frame_idx", "band"]) \
+        .reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    assert np.array_equal(got["mag"].to_numpy(),
+                          want["mag"].to_numpy())
+    # planted tone: the dominant band varies with the clip's frequency
+    dom = got.groupby("media_id").apply(
+        lambda g: g.loc[g["mag"].idxmax(), "band"])
+    assert dom.nunique() > 1
