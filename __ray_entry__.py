@@ -1404,6 +1404,21 @@ def _q_audio_spectrogram(sf_dir: str):
     return _finalize(audio_spectrogram(ds))
 
 
+def _q_textrank_keywords(sf_dir: str):
+    from rse_ray.pipelines.text import textrank_keywords
+
+    return _finalize(textrank_keywords(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        iters=3, top_n=20))
+
+
+def _q_user_burstiness(sf_dir: str):
+    from rse_ray.pipelines.relational import user_burstiness
+
+    return _finalize(user_burstiness(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"])))
+
+
 def _q_lsa_power_iteration(sf_dir: str):
     from rse_ray.pipelines.text import lsa_power_iteration
 
@@ -3330,6 +3345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hill_tail_index": _q_hill_tail_index,
         "arrow_ipc_counts": _q_arrow_ipc_counts,
         "audio_spectrogram": _q_audio_spectrogram,
+        "textrank_keywords": _q_textrank_keywords,
+        "user_burstiness": _q_user_burstiness,
         "feature_hashing": _q_feature_hashing,
         "corpus_release": _q_corpus_release,
         "containment_pairs": _q_containment_pairs,
@@ -4247,6 +4264,57 @@ SELECT media_id, frame_idx, band, mag
 FROM read_parquet('{golden}')""".format(
             golden=os.path.join(SPEC_DIR, "golden_spec.parquet")
         ),
+        # 3 unrolled TextRank iterations over the undirected window-1
+        # co-occurrence graph; rank on the ROUNDED score (pmi cut)
+        "textrank_keywords": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+bgp AS (SELECT a[i] AS x, a[i+1] AS y
+        FROM arr, unnest(range(1, len(a))) AS t(i)
+        WHERE a[i] <> a[i+1]),
+e AS (SELECT least(x, y) AS u, greatest(x, y) AS v,
+             count(*)::DOUBLE AS w FROM bgp GROUP BY 1, 2),
+ed AS (SELECT u AS src, v AS dst, w FROM e
+       UNION ALL SELECT v, u, w FROM e),
+ow AS (SELECT src AS t, sum(w) AS ow FROM ed GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM ow),
+r0 AS (SELECT t, 1.0 / n.n AS r FROM ow CROSS JOIN n),
+f1 AS (SELECT ed.dst AS t, sum(ed.w / ow.ow * r0.r) AS fl
+       FROM ed JOIN ow ON ed.src = ow.t JOIN r0 ON ed.src = r0.t
+       GROUP BY 1),
+r1 AS (SELECT ow.t, (1.0 - 0.85) / n.n
+                    + 0.85 * coalesce(f1.fl, 0) AS r
+       FROM ow LEFT JOIN f1 USING (t) CROSS JOIN n),
+f2 AS (SELECT ed.dst AS t, sum(ed.w / ow.ow * r1.r) AS fl
+       FROM ed JOIN ow ON ed.src = ow.t JOIN r1 ON ed.src = r1.t
+       GROUP BY 1),
+r2 AS (SELECT ow.t, (1.0 - 0.85) / n.n
+                    + 0.85 * coalesce(f2.fl, 0) AS r
+       FROM ow LEFT JOIN f2 USING (t) CROSS JOIN n),
+f3 AS (SELECT ed.dst AS t, sum(ed.w / ow.ow * r2.r) AS fl
+       FROM ed JOIN ow ON ed.src = ow.t JOIN r2 ON ed.src = r2.t
+       GROUP BY 1),
+r3 AS (SELECT ow.t, (1.0 - 0.85) / n.n
+                    + 0.85 * coalesce(f3.fl, 0) AS r
+       FROM ow LEFT JOIN f3 USING (t) CROSS JOIN n),
+rr AS (SELECT t AS term, round(r, 6) AS score FROM r3)
+SELECT term, score FROM rr ORDER BY score DESC, term LIMIT 20""",
+        "user_burstiness": """
+WITH g AS (SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+           FROM events),
+gg AS (SELECT user_id, d / 1000000.0 AS gap FROM g
+       WHERE d IS NOT NULL),
+s AS (SELECT user_id, count(*)::BIGINT AS n_gaps, sum(gap) AS s1,
+             sum(gap * gap) AS s2 FROM gg GROUP BY 1)
+SELECT user_id, n_gaps, round(s1 / n_gaps, 6) AS mean_gap_s,
+       round(CASE WHEN s1 / n_gaps = 0 THEN 0
+                  ELSE sqrt(greatest(s2 / n_gaps
+                            - (s1 / n_gaps) * (s1 / n_gaps), 0))
+                       / (s1 / n_gaps) END, 6) AS cv
+FROM s""",
         "did_you_mean": _TOKS + """,
 dt AS (SELECT DISTINCT term, doc_id FROM toks),
 d AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1),

@@ -3615,3 +3615,40 @@ def group_moments(events_ds, *, group: str = "event_type",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def user_burstiness(events_ds, *, by: str = "user_id",
+                    ts_col: str = "ts", id_col: str = "event_id"):
+    """Inter-arrival burstiness per user: the coefficient of
+    variation of the gaps between consecutive events (CV = 1 for a
+    Poisson process, > 1 bursty, < 1 regular — the standard traffic /
+    bot-detection shape statistic). Gaps in seconds over the
+    (ts, event_id) order; population moments; users with fewer than 2
+    events drop. -> (user_id, n_gaps, mean_gap_s, cv), rounded to 6
+    places; an all-equal-timestamp user pins cv = 0.
+
+    Scale shape: ONE groupby(user) shuffle, vectorized diff inside
+    each group."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({by: [], "n_gaps": [],
+                                 "mean_gap_s": [], "cv": []})
+        order = np.lexsort((g[id_col].to_numpy(), g[ts_col].to_numpy()))
+        ts = g[ts_col].to_numpy()[order].astype("datetime64[us]")
+        gaps = np.diff(ts).astype(np.int64).astype(np.float64) / 1e6
+        n = float(len(gaps))
+        s1 = float(np.sum(gaps))
+        s2 = float(np.sum(gaps * gaps))
+        mean = s1 / n
+        var = max(s2 / n - mean * mean, 0.0)
+        cv = 0.0 if mean == 0 else math.sqrt(var) / mean
+        return pd.DataFrame({
+            by: [g[by].iloc[0]],
+            "n_gaps": np.array([int(n)], dtype=np.int64),
+            "mean_gap_s": [round(mean, 6)],
+            "cv": [round(cv, 6)],
+        })
+
+    return events_ds.select_columns([by, ts_col, id_col]) \
+        .groupby(by).map_groups(fold, batch_format="pandas")

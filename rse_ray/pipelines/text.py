@@ -3168,3 +3168,103 @@ def hill_tail_index(ds, *, k: int = 20, stem: bool = False):
         "alpha": pa.array([np.round(1.0 / hill, 6)],
                           type=pa.float64()),
     })
+
+
+def textrank_keywords(ds, *, iters: int = 3, damping: float = 0.85,
+                      top_n: int = 20, stem: bool = False):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the UNDIRECTED word co-occurrence graph (window 1 — adjacent
+    token pairs; self-loops dropped; edge weight = total adjacency
+    count in either direction):
+
+        r_{k+1}(v) = (1-d)/N + d * sum_u w(u,v)/outw(u) * r_k(u)
+
+    from the uniform r_0 = 1/N over N = terms that appear in at least
+    one edge. -> top ``top_n`` keywords by (score DESC, term ASC),
+    score rounded to 6 places BEFORE ranking (the pmi convention).
+
+    Scale shape: edge weights are bigram partials through ONE
+    groupby((u, v)); the rank vector is vocab-sized and broadcast per
+    iteration (the lsa_power_iteration contract); each iteration is
+    one distributed pass over the aggregated edge blocks emitting
+    (v, partial) rows into a vocab-sized groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if not t:
+                continue
+            toks = _tok(t, stem)
+            for a, b in zip(toks, toks[1:]):
+                if a == b:
+                    continue
+                # undirected: store each adjacency under sorted key
+                key = (a, b) if a < b else (b, a)
+                c[key] += 1
+        keys = sorted(c)
+        return pa.table({
+            "u": pa.array([k[0] for k in keys], type=pa.string()),
+            "v": pa.array([k[1] for k in keys], type=pa.string()),
+            "w_p": pa.array([c[k] for k in keys], type=pa.int64()),
+        })
+
+    edges = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["u", "v"]).aggregate(Sum("w_p", alias_name="w")) \
+        .materialize()
+
+    # out-weights per node (vocab-sized): sum over both endpoints
+    def both(batch: pa.Table) -> pa.Table:
+        if "u" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"t": pa.array([], type=pa.string()),
+                             "ow_p": pa.array([], type=pa.int64())})
+        return pa.table({
+            "t": pa.concat_arrays([
+                batch.column("u").combine_chunks(),
+                batch.column("v").combine_chunks()]),
+            "ow_p": pa.concat_arrays([
+                batch.column("w").combine_chunks(),
+                batch.column("w").combine_chunks()]),
+        })
+
+    ow = edges.map_batches(both, batch_format="pyarrow") \
+        .groupby("t").aggregate(Sum("ow_p", alias_name="ow")) \
+        .to_pandas()
+    outw = dict(zip(ow["t"], ow["ow"].astype(np.float64)))
+    n_nodes = float(len(outw))
+    rank = {t: 1.0 / n_nodes for t in outw}
+
+    for _ in range(iters):
+        r_ref = ray.put((outw, rank))
+
+        def it(batch: pa.Table, _rr=r_ref) -> pa.Table:
+            ow_v, rk = ray.get(_rr)
+            acc: dict[str, float] = {}
+            if "u" in batch.column_names:
+                us = batch.column("u").to_pylist()
+                vs = batch.column("v").to_pylist()
+                ws = batch.column("w").to_numpy()
+                for u, v, w in zip(us, vs, ws):
+                    w = float(w)
+                    acc[v] = acc.get(v, 0.0) + w / ow_v[u] * rk[u]
+                    acc[u] = acc.get(u, 0.0) + w / ow_v[v] * rk[v]
+            keys = sorted(acc)
+            return pa.table({
+                "t": pa.array(keys, type=pa.string()),
+                "p": pa.array([acc[k] for k in keys],
+                              type=pa.float64()),
+            })
+
+        nx = edges.map_batches(it, batch_format="pyarrow") \
+            .groupby("t").aggregate(Sum("p", alias_name="p")) \
+            .to_pandas()
+        flow = dict(zip(nx["t"], nx["p"].astype(np.float64)))
+        rank = {t: (1.0 - damping) / n_nodes
+                + damping * flow.get(t, 0.0) for t in outw}
+
+    out = pd.DataFrame({"term": sorted(rank)})
+    out["score"] = np.round([rank[t] for t in out["term"]], 6)
+    return out.sort_values(["score", "term"],
+                           ascending=[False, True]) \
+        .head(top_n).reset_index(drop=True)

@@ -4075,3 +4075,37 @@ def test_audio_spectrogram_golden(ray_session, tmp_path):
     dom = got.groupby("media_id").apply(
         lambda g: g.loc[g["mag"].idxmax(), "band"])
     assert dom.nunique() > 1
+
+
+def test_textrank_and_burstiness(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import user_burstiness
+    from rse_ray.pipelines.text import textrank_keywords
+
+    # 'hub' is adjacent to every other word -> highest TextRank
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["hub aa hub bb", "hub cc hub dd",
+                          "aa hub ee"]),
+    })
+    got = textrank_keywords(ray.data.from_arrow(t), top_n=3)
+    assert got["term"].iloc[0] == "hub"
+    assert got["score"].iloc[0] > got["score"].iloc[1]
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    sec = np.timedelta64(1, "s")
+    # user 1: perfectly regular gaps (cv 0); user 2: bursty 1s,1s,58s
+    ts = [base, base + 10 * sec, base + 20 * sec,
+          base, base + sec, base + 2 * sec, base + 60 * sec]
+    e = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 2, 2], type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_id": pa.array(list(range(7)), type=pa.int64()),
+    })
+    got = user_burstiness(ray.data.from_arrow(e)).to_pandas() \
+        .set_index("user_id")
+    assert got.loc[1, "cv"] == 0.0 and got.loc[1, "mean_gap_s"] == 10.0
+    assert got.loc[2, "cv"] > 1.0 and got.loc[2, "n_gaps"] == 3
