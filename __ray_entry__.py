@@ -1404,6 +1404,30 @@ def _q_audio_spectrogram(sf_dir: str):
     return _finalize(audio_spectrogram(ds))
 
 
+def _q_fk_violations(sf_dir: str):
+    from rse_ray.pipelines.relational import fk_violations
+
+    return _finalize(fk_violations(
+        _read(sf_dir, "customer", ["c_custkey"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "lineitem", ["l_orderkey"])))
+
+
+def _q_conversion_latency(sf_dir: str):
+    from rse_ray.pipelines.relational import conversion_latency
+
+    return _finalize(conversion_latency(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"])))
+
+
+def _q_user_growth_curve(sf_dir: str):
+    from rse_ray.pipelines.relational import user_growth_curve
+
+    return _finalize(user_growth_curve(
+        _read(sf_dir, "events", ["user_id", "ts"])))
+
+
 def _q_textrank_keywords(sf_dir: str):
     from rse_ray.pipelines.text import textrank_keywords
 
@@ -3347,6 +3371,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_spectrogram": _q_audio_spectrogram,
         "textrank_keywords": _q_textrank_keywords,
         "user_burstiness": _q_user_burstiness,
+        "fk_violations": _q_fk_violations,
+        "conversion_latency": _q_conversion_latency,
+        "user_growth_curve": _q_user_growth_curve,
         "feature_hashing": _q_feature_hashing,
         "corpus_release": _q_corpus_release,
         "containment_pairs": _q_containment_pairs,
@@ -4300,6 +4327,42 @@ r3 AS (SELECT ow.t, (1.0 - 0.85) / n.n
        FROM ow LEFT JOIN f3 USING (t) CROSS JOIN n),
 rr AS (SELECT t AS term, round(r, 6) AS score FROM r3)
 SELECT term, score FROM rr ORDER BY score DESC, term LIMIT 20""",
+        # anti-join orphan audit == NOT EXISTS (null FKs orphan on
+        # both engines: a null key matches nothing)
+        "fk_violations": """
+SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+       (SELECT count(*) FROM lineitem)::BIGINT AS n_rows,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+         AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       (SELECT count(*) FROM orders)::BIGINT,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))::BIGINT""",
+        "conversion_latency": """
+WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s.t0 GROUP BY 1),
+l AS (SELECT (epoch_us(t1) - epoch_us(s.t0)) / 1000000.0 AS lat
+      FROM p JOIN s USING (user_id))
+SELECT count(*)::BIGINT AS n_converted,
+       round(quantile_cont(lat, 0.5), 6) AS q50_s,
+       round(quantile_cont(lat, 0.9), 6) AS q90_s
+FROM l""",
+        "user_growth_curve": """
+WITH f AS (SELECT user_id, min(ts) AS t FROM events GROUP BY 1),
+d AS (SELECT strftime(t, '%Y-%m-%d') AS day,
+             count(*)::BIGINT AS new_users FROM f GROUP BY 1)
+SELECT day, new_users,
+       sum(new_users) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS cum_users
+FROM d""",
         "user_burstiness": """
 WITH g AS (SELECT user_id,
              epoch_us(ts) - lag(epoch_us(ts))

@@ -3652,3 +3652,116 @@ def user_burstiness(events_ds, *, by: str = "user_id",
 
     return events_ds.select_columns([by, ts_col, id_col]) \
         .groupby(by).map_groups(fold, batch_format="pandas")
+
+
+def fk_violations(customer_ds, orders_ds, lineitem_ds):
+    """Referential-integrity audit (the warehouse-ingest data-quality
+    gate): orphan counts per foreign-key relationship — lineitems
+    whose l_orderkey has no order, orders whose o_custkey has no
+    customer. -> (relationship, n_rows, n_orphans).
+
+    Scale shape: each relationship is one ANTI hash join (only the
+    parent KEY SET ships — hash_join semi/anti contract) plus one
+    tiny count; nothing materializes beyond scalars."""
+    import pandas as pd
+
+    def count(ds) -> int:
+        return int(ds.count())
+
+    li_orphans = hash_join(
+        lineitem_ds.select_columns(["l_orderkey"]),
+        orders_ds.select_columns(["o_orderkey"]),
+        left_on="l_orderkey", right_on="o_orderkey",
+        right_cols=[], how="anti")
+    ord_orphans = hash_join(
+        orders_ds.select_columns(["o_custkey"]),
+        customer_ds.select_columns(["c_custkey"]),
+        left_on="o_custkey", right_on="c_custkey",
+        right_cols=[], how="anti")
+    return pd.DataFrame({
+        "relationship": ["lineitem.l_orderkey -> orders",
+                         "orders.o_custkey -> customer"],
+        "n_rows": np.array([count(lineitem_ds), count(orders_ds)],
+                           dtype=np.int64),
+        "n_orphans": np.array([count(li_orphans), count(ord_orphans)],
+                              dtype=np.int64),
+    })
+
+
+def conversion_latency(events_ds, *, from_type: str = "signup",
+                       to_type: str = "purchase",
+                       qs: tuple = (0.5, 0.9)):
+    """Funnel latency distribution: per user, the time from the FIRST
+    ``from_type`` event to the FIRST ``to_type`` event at-or-after it;
+    summarized as converter count plus exact quantiles of the latency
+    in seconds (np.quantile linear == quantile_cont). -> one row
+    (n_converted, q50_s, q90_s).
+
+    Scale shape: ONE groupby(user) shuffle; each group folds to at
+    most one latency scalar; the quantile runs over the
+    converter-count-sized collect (users who converted — a bounded
+    funnel output, not the event stream)."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts"].to_numpy()))
+        et = g["event_type"].to_numpy()[order]
+        ts = g["ts"].to_numpy()[order].astype("datetime64[us]")
+        src = np.flatnonzero(et == from_type)
+        if len(src) == 0:
+            return pd.DataFrame({"lat_s": []})
+        t0 = ts[src[0]]
+        dst = np.flatnonzero((et == to_type) & (ts >= t0))
+        if len(dst) == 0:
+            return pd.DataFrame({"lat_s": []})
+        lat = (ts[dst[0]] - t0).astype(np.int64) / 1e6
+        return pd.DataFrame({"lat_s": [float(lat)]})
+
+    lats = events_ds \
+        .select_columns(["user_id", "ts", "event_id", "event_type"]) \
+        .groupby("user_id").map_groups(fold, batch_format="pandas") \
+        .to_pandas()
+    v = lats["lat_s"].to_numpy()
+    row = {"n_converted": np.array([len(v)], dtype=np.int64)}
+    for q in qs:
+        row[f"q{int(round(q * 100)):02d}_s"] = [
+            round(float(np.quantile(v, q)), 6)] if len(v) else [None]
+    return pd.DataFrame(row)
+
+
+def user_growth_curve(events_ds, *, by: str = "user_id",
+                      ts_col: str = "ts"):
+    """Cumulative-distinct-user growth curve by day: each user counts
+    on their FIRST-seen day; the curve is the running sum — the
+    classic DAU-acquisition report, computed without any
+    distinct-over-window. -> (day, new_users, cum_users).
+
+    Scale shape: groupby(user).min(ts) is ONE shuffle of (user, ts)
+    pairs; per-day new-user counts pre-aggregate per batch; the final
+    cumulative sum runs over the DAY domain (bounded by calendar
+    days, not users) on the driver."""
+    from ray.data.aggregate import Min, Sum
+
+    first = events_ds.select_columns([by, ts_col]) \
+        .groupby(by).aggregate(Min(ts_col, alias_name="first_ts"))
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        if "first_ts" not in batch.column_names \
+                or batch.num_rows == 0:
+            return pa.table({"day": pa.array([], type=pa.string()),
+                             "n_p": pa.array([], type=pa.int64())})
+        d = batch.column("first_ts").to_numpy() \
+            .astype("datetime64[D]").astype(str)
+        t = pa.table({"day": pa.array(d, type=pa.string())})
+        g = t.group_by(["day"]).aggregate([([], "count_all")])
+        return pa.table({"day": g.column("day"),
+                         "n_p": g.column("count_all")})
+
+    per_day = first.map_batches(to_day, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("n_p", alias_name="new_users")) \
+        .to_pandas()
+    per_day = per_day.sort_values("day").reset_index(drop=True)
+    per_day["new_users"] = per_day["new_users"].astype(np.int64)
+    per_day["cum_users"] = per_day["new_users"].cumsum() \
+        .astype(np.int64)
+    return per_day

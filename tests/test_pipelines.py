@@ -4109,3 +4109,55 @@ def test_textrank_and_burstiness(ray_session):
         .set_index("user_id")
     assert got.loc[1, "cv"] == 0.0 and got.loc[1, "mean_gap_s"] == 10.0
     assert got.loc[2, "cv"] > 1.0 and got.loc[2, "n_gaps"] == 3
+
+
+def test_fk_conversion_growth(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import (conversion_latency,
+                                              fk_violations,
+                                              user_growth_curve)
+
+    cust = pa.table({"c_custkey": pa.array([1], type=pa.int64())})
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11], type=pa.int64()),
+        "o_custkey": pa.array([1, 99], type=pa.int64()),  # 99 orphan
+    })
+    li = pa.table({"l_orderkey": pa.array([10, 10, 77],
+                                          type=pa.int64())})
+    got = fk_violations(ray.data.from_arrow(cust),
+                        ray.data.from_arrow(orders),
+                        ray.data.from_arrow(li)) \
+        .set_index("relationship")
+    assert got.loc["lineitem.l_orderkey -> orders",
+                   "n_orphans"] == 1
+    assert got.loc["orders.o_custkey -> customer", "n_orphans"] == 1
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mn = np.timedelta64(1, "m")
+    e = pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 3], type=pa.int64()),
+        "ts": pa.array([base, base + 5 * mn,          # converts in 5m
+                        base, base + 10 * mn,         # converts in 10m
+                        base], type=pa.timestamp("us")),
+        "event_id": pa.array(list(range(5)), type=pa.int64()),
+        "event_type": pa.array(["signup", "purchase",
+                                "signup", "purchase", "signup"]),
+    })
+    lat = conversion_latency(ray.data.from_arrow(e))
+    assert lat["n_converted"].iloc[0] == 2
+    assert lat["q50_s"].iloc[0] == 450.0  # median of 300, 600
+
+    day = np.timedelta64(1, "D")
+    g = pa.table({
+        "user_id": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "ts": pa.array([base, base + day, base + day, base + 2 * day],
+                       type=pa.timestamp("us")),
+    })
+    curve = user_growth_curve(ray.data.from_arrow(g))
+    assert curve["day"].tolist() == ["2024-01-01", "2024-01-02",
+                                     "2024-01-03"]
+    assert curve["new_users"].tolist() == [1, 1, 1]
+    assert curve["cum_users"].tolist() == [1, 2, 3]
