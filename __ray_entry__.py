@@ -1428,6 +1428,13 @@ def _q_user_growth_curve(sf_dir: str):
         _read(sf_dir, "events", ["user_id", "ts"])))
 
 
+def _q_rake_phrases(sf_dir: str):
+    from rse_ray.pipelines.text import rake_phrases
+
+    return _finalize(rake_phrases(
+        _read(sf_dir, "documents", ["doc_id", "text"]), top_n=15))
+
+
 def _q_textrank_keywords(sf_dir: str):
     from rse_ray.pipelines.text import textrank_keywords
 
@@ -3372,6 +3379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": _q_textrank_keywords,
         "user_burstiness": _q_user_burstiness,
         "fk_violations": _q_fk_violations,
+        "rake_phrases": _q_rake_phrases,
         "conversion_latency": _q_conversion_latency,
         "user_growth_curve": _q_user_growth_curve,
         "feature_hashing": _q_feature_hashing,
@@ -4363,6 +4371,35 @@ SELECT day, new_users,
                             ROWS UNBOUNDED PRECEDING)::BIGINT
          AS cum_users
 FROM d""",
+        # RAKE: stopword-delimited phrases, word score = degree/freq
+        "rake_phrases": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+tok AS (SELECT doc_id, i AS p, a[i] AS term
+        FROM arr, unnest(range(1, len(a) + 1)) AS t(i)),
+fl AS (SELECT doc_id, p, term,
+         CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0 END AS stop
+       FROM tok),
+ph AS (SELECT doc_id, p, term, stop,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS UNBOUNDED PRECEDING) AS pid
+       FROM fl),
+pw AS (SELECT doc_id, pid, p, term FROM ph WHERE stop = 0),
+plen AS (SELECT doc_id, pid, count(*)::BIGINT AS L
+         FROM pw GROUP BY 1, 2),
+wstat AS (SELECT term, count(*)::DOUBLE AS f, sum(L)::DOUBLE AS d
+          FROM pw JOIN plen USING (doc_id, pid) GROUP BY 1),
+pscore AS (SELECT pw.doc_id, pw.pid,
+             string_agg(pw.term, ' ' ORDER BY pw.p) AS phrase,
+             sum(w.d / w.f) AS raw
+           FROM pw JOIN wstat w ON pw.term = w.term GROUP BY 1, 2),
+dd AS (SELECT phrase, round(raw, 6) AS score,
+         row_number() OVER (PARTITION BY phrase
+                            ORDER BY phrase) AS rn
+       FROM pscore)
+SELECT phrase, score FROM dd WHERE rn = 1
+ORDER BY score DESC, phrase LIMIT 15""",
         "user_burstiness": """
 WITH g AS (SELECT user_id,
              epoch_us(ts) - lag(epoch_us(ts))

@@ -3268,3 +3268,108 @@ def textrank_keywords(ds, *, iters: int = 3, damping: float = 0.85,
     return out.sort_values(["score", "term"],
                            ascending=[False, True]) \
         .head(top_n).reset_index(drop=True)
+
+
+RAKE_STOPWORDS = ("the", "a")
+
+
+def rake_phrases(ds, *, stopwords: tuple = RAKE_STOPWORDS,
+                 top_n: int = 15, stem: bool = False):
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free token runs; each word scores
+    degree/frequency where frequency = occurrences of the word in
+    candidate phrases and degree = sum of the lengths of the phrases
+    it occurs in (co-occurrence degree including itself); a phrase
+    scores the sum of its words' scores. -> top ``top_n`` DISTINCT
+    phrases by (score DESC, phrase ASC), score rounded to 6 places
+    before ranking.
+
+    Scale shape: pass 1 emits per-batch (word, freq, degree) partials
+    (phrases never leave the batch) through ONE groupby(word); the
+    vocab-sized stats broadcast into pass 2, which scores each
+    batch's phrases, dedups them through a groupby(phrase) keep-first
+    (same text => same score, so 'first' is value-stable), and keeps
+    a block-local head — the driver reduces blocks x N rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    stop = set(stopwords)
+
+    def doc_phrases(text: str) -> list[list[str]]:
+        out, cur = [], []
+        for w in _tok(text, stem):
+            if w in stop:
+                if cur:
+                    out.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            out.append(cur)
+        return out
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        freq: Counter = Counter()
+        deg: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if not t:
+                continue
+            for ph in doc_phrases(t):
+                ln = len(ph)
+                for w in ph:
+                    freq[w] += 1
+                    deg[w] += ln
+        keys = sorted(freq)
+        return pa.table({
+            "word": pa.array(keys, type=pa.string()),
+            "f_p": pa.array([freq[k] for k in keys], type=pa.int64()),
+            "d_p": pa.array([deg[k] for k in keys], type=pa.int64()),
+        })
+
+    ws = ds.map_batches(pass1, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("f_p", alias_name="f"),
+                                   Sum("d_p", alias_name="d")) \
+        .to_pandas()
+    wscore = {w: float(d) / float(f)
+              for w, f, d in zip(ws["word"], ws["f"], ws["d"])}
+    ws_ref = ray.put(wscore)
+
+    def pass2(batch: pa.Table, _wr=ws_ref) -> pa.Table:
+        sc = ray.get(_wr)
+        phrases: dict[str, float] = {}
+        for t in batch.column("text").to_pylist():
+            if not t:
+                continue
+            for ph in doc_phrases(t):
+                key = " ".join(ph)
+                if key not in phrases:
+                    phrases[key] = sum(sc[w] for w in ph)
+        keys = sorted(phrases)
+        return pa.table({
+            "phrase": pa.array(keys, type=pa.string()),
+            "score": pa.array(
+                np.round([phrases[k] for k in keys], 6),
+                type=pa.float64()),
+        })
+
+    def first_row(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    def block_head(batch: pa.Table) -> pa.Table:
+        if "phrase" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"phrase": pa.array([], type=pa.string()),
+                             "score": pa.array([], type=pa.float64())})
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["score", "phrase"],
+                           ascending=[False, True]).head(top_n),
+            preserve_index=False)
+
+    out = ds.map_batches(pass2, batch_format="pyarrow") \
+        .groupby("phrase").map_groups(first_row,
+                                      batch_format="pyarrow") \
+        .map_batches(block_head, batch_size=None,
+                     batch_format="pyarrow").to_pandas()
+    return out.sort_values(["score", "phrase"],
+                           ascending=[False, True]) \
+        .head(top_n).reset_index(drop=True)

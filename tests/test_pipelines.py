@@ -4161,3 +4161,25 @@ def test_fk_conversion_growth(ray_session):
                                      "2024-01-03"]
     assert curve["new_users"].tolist() == [1, 1, 1]
     assert curve["cum_users"].tolist() == [1, 2, 3]
+
+
+def test_rake_phrases_scoring(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import rake_phrases
+
+    # phrases: [deep learning], [deep learning systems], [fun]
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["deep learning the deep learning systems",
+                          "a fun the deep learning"]),
+    })
+    got = rake_phrases(ray.data.from_arrow(t), top_n=10)
+    # word stats: deep f=3 d=3+2+2? phrases: [deep learning] x2 (len 2),
+    # [deep learning systems] (len 3), [fun] (len 1)
+    # deep: f=3, d=2+3+2=7 -> 7/3; learning same; systems f=1 d=3
+    # [deep learning systems] = 7/3+7/3+3 = 23/3 -> top phrase
+    assert got["phrase"].iloc[0] == "deep learning systems"
+    assert abs(got["score"].iloc[0] - round(23 / 3, 6)) < 1e-9
+    assert "fun" in got["phrase"].tolist()
