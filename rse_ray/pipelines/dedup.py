@@ -1143,26 +1143,39 @@ def _edit_distance_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
-def fuzzy_pairs(ds, *, col: str = "c_name", max_bucket: int = 10_000):
+def fuzzy_pairs(ds, *, col: str = "c_name",
+                max_bucket: int = 10_000,
+                num_parts: int | None = None):
     """All distinct value pairs within Levenshtein distance 1, found
     with the SymSpell deletion-neighborhood index (Garbe's symmetric
     delete trick): every value emits itself plus each single-character
     deletion as candidate keys; two values at distance exactly 1 are
     GUARANTEED to share a key (substitution -> the delete at the
     differing position; insertion/deletion -> the shorter string is
-    itself a delete of the longer), so one groupby(key) co-locates
-    every true pair and candidate generation is O(rows x len) keys
-    instead of the O(rows^2) cross join the SQL twin runs. Shared
-    keys can also join distance-2 strings (e.g. 'ab'/'ba' share 'a'),
-    so each candidate pair is verified with an exact distance check.
-    -> (name_a, name_b), name_a < name_b.
+    itself a delete of the longer), so co-locating keys finds every
+    true pair with O(rows x len) candidate keys instead of the
+    O(rows^2) cross join the SQL twin runs. Shared keys can also join
+    distance-2 strings (e.g. 'ab'/'ba' share 'a'), so candidates are
+    verified with an exact distance check. -> (name_a, name_b),
+    name_a < name_b.
 
-    Scale shape: flat-map key explosion -> ONE groupby(key) shuffle ->
-    in-bucket pair generation (bucket = values sharing one specific
-    delete string; bounded by alphabet size for real data, ``max_bucket``
-    caps adversarial keys like minhash's band cap) -> groupby(pair)
-    dedup (pairs found under several shared keys) -> verify map. No
-    stage materializes the corpus."""
+    Scale shape: TWO hash-partition shuffles, each processed by P
+    partition TASKS (the related_pages idiom — a first draft ran one
+    map_groups call per key / per pair and drowned in per-group
+    overhead): (1) exploded keys partition by hash(key); each task
+    sorts once, run-detects key buckets (``max_bucket`` caps
+    adversarial keys), generates pairs vectorized and dedups them
+    in-partition; (2) pairs partition by hash(name_a) — every copy of
+    a pair lands together, so in-partition drop_duplicates IS the
+    global dedup — and the exact verify runs vectorized over the
+    partition's surviving pairs."""
+    import pandas as pd
+
+    from rse_ray.pipelines.linkgraph import _pr_url_hash
+    from rse_ray.util import parts_for
+
+    P = num_parts if num_parts is not None else \
+        parts_for(ds.count(), rows_per_part=100_000)
 
     def explode(batch: pa.Table) -> pa.Table:
         vals = batch.column(col).to_pylist()
@@ -1175,37 +1188,58 @@ def fuzzy_pairs(ds, *, col: str = "c_name", max_bucket: int = 10_000):
             for i in range(len(v)):
                 keys.append(v[:i] + v[i + 1:])
                 names.append(v)
+        part = (_pr_url_hash(np.array(keys, dtype=object)) % P) \
+            .astype(np.int64) if keys else np.empty(0, dtype=np.int64)
         return pa.table({"key": pa.array(keys, type=pa.string()),
-                         "name": pa.array(names, type=pa.string())})
+                         "name": pa.array(names, type=pa.string()),
+                         "part": pa.array(part)})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        names = sorted(set(group.column("name").to_pylist()))
-        if len(names) > max_bucket:
-            names = names[:max_bucket]
-        a_out, b_out = [], []
-        for i in range(len(names)):
-            for j in range(i + 1, len(names)):
-                a_out.append(names[i])
-                b_out.append(names[j])
-        return pa.table({"name_a": pa.array(a_out, type=pa.string()),
-                         "name_b": pa.array(b_out, type=pa.string())})
+    _triu_cache: dict = {}
 
-    def first_row(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    def gen_part(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["key", "name"]) \
+            .sort_values(["key", "name"])
+        names = df["name"].to_numpy()
+        _, starts, counts = np.unique(df["key"].to_numpy(),
+                                      return_index=True,
+                                      return_counts=True)
+        a_p, b_p = [], []
+        for s0, c in zip(starts, counts):
+            if c < 2:
+                continue
+            c = min(c, max_bucket)
+            if c not in _triu_cache:
+                _triu_cache[c] = np.triu_indices(c, k=1)
+            iu, ju = _triu_cache[c]
+            sl = names[s0:s0 + c]
+            a_p.append(sl[iu])
+            b_p.append(sl[ju])
+        if not a_p:
+            return pd.DataFrame({"name_a": pd.Series([], dtype=str),
+                                 "name_b": pd.Series([], dtype=str)})
+        return pd.DataFrame({"name_a": np.concatenate(a_p),
+                             "name_b": np.concatenate(b_p)}) \
+            .drop_duplicates()
 
-    def verify(batch: pa.Table) -> pa.Table:
+    def repart(batch: pa.Table) -> pa.Table:
         if "name_a" not in batch.column_names or batch.num_rows == 0:
             return pa.table({"name_a": pa.array([], type=pa.string()),
-                             "name_b": pa.array([], type=pa.string())})
-        a = batch.column("name_a").to_pylist()
-        b = batch.column("name_b").to_pylist()
-        keep = pa.array([_edit_distance_le1(x, y)
-                         for x, y in zip(a, b)])
-        return batch.filter(keep)
+                             "name_b": pa.array([], type=pa.string()),
+                             "part": pa.array([], type=pa.int64())})
+        part = (_pr_url_hash(batch.column("name_a")
+                             .to_numpy(zero_copy_only=False)) % P) \
+            .astype(np.int64)
+        return batch.append_column("part", pa.array(part))
 
-    pairs = ds.select_columns([col]) \
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["name_a", "name_b"])
+        keep = [_edit_distance_le1(x, y)
+                for x, y in zip(df["name_a"], df["name_b"])]
+        return df.loc[keep, ["name_a", "name_b"]]
+
+    return ds.select_columns([col]) \
         .map_batches(explode, batch_format="pyarrow") \
-        .groupby("key").map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["name_a", "name_b"]) \
-        .map_groups(first_row, batch_format="pyarrow") \
-        .map_batches(verify, batch_format="pyarrow")
+        .groupby("part").map_groups(gen_part, batch_format="pandas") \
+        .map_batches(repart, batch_format="pyarrow") \
+        .groupby("part").map_groups(verify_part,
+                                    batch_format="pandas")

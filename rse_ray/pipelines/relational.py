@@ -3020,7 +3020,8 @@ def group_ols(lineitem_ds, *, group: str = "l_returnflag",
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def market_basket(lineitem_ds, *, min_pair: int = 2):
+def market_basket(lineitem_ds, *, min_pair: int = 2,
+                  num_parts: int | None = None):
     """Frequent-itemset pair mining (market-basket co-occurrence with
     lift): baskets = orders, items = distinct parts in the order.
     -> (part_a, part_b, n_pair, n_a, n_b, lift) for pairs co-occurring
@@ -3028,36 +3029,88 @@ def market_basket(lineitem_ds, *, min_pair: int = 2):
     (n_a * n_b) rounded to 6 places (all inputs integer counts, so the
     double is identical on both engines).
 
-    Scale shape: ONE groupby(l_orderkey) shuffle co-locates each
-    basket; pair generation is O(basket_size^2) per order (baskets are
-    small by nature — the classic a-priori blowup is bounded by order
-    width, not corpus size); the same pass emits per-part membership
-    rows and a per-basket sentinel row, so pair counts, item supports
-    and the basket total all come out of ONE groupby((a, b)) count.
-    Item supports (part-vocabulary-sized, << corpus) are collected and
-    broadcast into the finish map; at 1e8+ distinct items swap the
-    broadcast for the repo's hash_join on part_a/part_b."""
+    Scale shape: ONE hash(orderkey)-partition shuffle co-locates each
+    basket (the related_pages idiom — P partition tasks, not one
+    map_groups call per order); every partition task run-detects its
+    baskets after one sort, generates pairs vectorized (triu per
+    basket, fan-out bounded by basket width), and PRE-AGGREGATES pair
+    counts, per-part memberships and its basket count before the
+    final groupby((a, b)) exchange. Item supports (vocabulary-sized,
+    << corpus) broadcast into the finish map; at 1e8+ distinct items
+    swap the broadcast for the repo's hash_join."""
     import ray
-    from ray.data.aggregate import Count
 
-    def pairgen(group: pa.Table) -> pa.Table:
-        parts = sorted(set(group.column("l_partkey").to_pylist()))
-        a_out, b_out = [], []
-        for i, p in enumerate(parts):
-            a_out.append(p)           # membership sentinel
-            b_out.append(-1)
-            for q in parts[i + 1:]:
-                a_out.append(p)
-                b_out.append(q)
-        a_out.append(-2)              # basket sentinel
-        b_out.append(-2)
-        return pa.table({"part_a": pa.array(a_out, type=pa.int64()),
-                         "part_b": pa.array(b_out, type=pa.int64())})
+    from rse_ray.util import parts_for
 
-    agg = lineitem_ds.select_columns(["l_orderkey", "l_partkey"]) \
-        .groupby("l_orderkey").map_groups(pairgen,
-                                          batch_format="pyarrow") \
-        .groupby(["part_a", "part_b"]).aggregate(Count()) \
+    P = num_parts if num_parts is not None else \
+        parts_for(lineitem_ds.count(), rows_per_part=500_000)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = batch.select(["l_orderkey", "l_partkey"]) \
+            .group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return t.append_column(
+            "part", _mod_parts(t.column("l_orderkey"), P))
+
+    _triu_cache: dict = {}
+
+    def gen_part(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["l_orderkey", "l_partkey"]) \
+            .sort_values(["l_orderkey", "l_partkey"])
+        items = df["l_partkey"].to_numpy()
+        _, starts, counts = np.unique(df["l_orderkey"].to_numpy(),
+                                      return_index=True,
+                                      return_counts=True)
+        n_baskets = len(starts)
+        a_p, b_p = [], []
+        for s0, c in zip(starts, counts):
+            if c < 2:
+                continue
+            if c not in _triu_cache:
+                _triu_cache[c] = np.triu_indices(c, k=1)
+            iu, ju = _triu_cache[c]
+            sl = items[s0:s0 + c]
+            a_p.append(sl[iu])
+            b_p.append(sl[ju])
+        rows = []
+        if a_p:
+            pairs = pd.DataFrame({"part_a": np.concatenate(a_p),
+                                  "part_b": np.concatenate(b_p)})
+            rows.append(pairs.groupby(["part_a", "part_b"],
+                                      sort=False).size()
+                        .reset_index(name="n"))
+        mn, mc = np.unique(items, return_counts=True)
+        rows.append(pd.DataFrame(
+            {"part_a": mn, "part_b": np.int64(-1), "n": mc}))
+        rows.append(pd.DataFrame({"part_a": [np.int64(-2)],
+                                  "part_b": [np.int64(-2)],
+                                  "n": [np.int64(n_baskets)]}))
+        out = pd.concat(rows, ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def repart2(batch: pa.Table) -> pa.Table:
+        # second partition pass: all copies of a (part_a, *) row land
+        # together, so an in-partition pandas sum IS the global merge
+        # (Ray's own multi-key Aggregate walks ~1e5 group boundaries
+        # per block far slower than one vectorized groupby per task)
+        if "part_a" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"part_a": pa.array([], type=pa.int64()),
+                             "part_b": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "p2": pa.array([], type=pa.int64())})
+        return batch.append_column(
+            "p2", _mod_parts(batch.column("part_a"), P))
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["part_a", "part_b"], sort=False)["n"] \
+            .sum().reset_index(name="n_pair")
+        out["n_pair"] = out["n_pair"].astype(np.int64)
+        return out
+
+    agg = lineitem_ds.map_batches(clean, batch_format="pyarrow") \
+        .groupby("part").map_groups(gen_part, batch_format="pandas") \
+        .map_batches(repart2, batch_format="pyarrow") \
+        .groupby("p2").map_groups(merge_part, batch_format="pandas") \
         .materialize()
 
     def only_meta(batch: pa.Table) -> pa.Table:
@@ -3066,9 +3119,9 @@ def market_basket(lineitem_ds, *, min_pair: int = 2):
 
     meta = agg.map_batches(only_meta, batch_format="pyarrow") \
         .to_pandas()
-    n_baskets = float(meta.loc[meta["part_a"] == -2, "count()"].sum())
+    n_baskets = float(meta.loc[meta["part_a"] == -2, "n_pair"].sum())
     support = dict(zip(meta.loc[meta["part_a"] >= 0, "part_a"],
-                       meta.loc[meta["part_a"] >= 0, "count()"]
+                       meta.loc[meta["part_a"] >= 0, "n_pair"]
                        .astype(np.int64)))
     sup_ref = ray.put(support)
 
@@ -3086,7 +3139,7 @@ def market_basket(lineitem_ds, *, min_pair: int = 2):
         sup = ray.get(sup_ref)
         pa_ = batch.column("part_a").to_numpy()
         pb_ = batch.column("part_b").to_numpy()
-        n = batch.column("count()").to_numpy().astype(np.int64)
+        n = batch.column("n_pair").to_numpy().astype(np.int64)
         keep = (pb_ >= 0) & (n >= min_pair)
         if not keep.any():
             return empty
@@ -3765,3 +3818,162 @@ def user_growth_curve(events_ds, *, by: str = "user_id",
     per_day["cum_users"] = per_day["new_users"].cumsum() \
         .astype(np.int64)
     return per_day
+
+
+def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
+                          supplier_ds, nation_ds, region_ds, *,
+                          region: str = "ASIA",
+                          date_lo: str = "1995-01-01",
+                          date_hi: str = "1996-01-01"):
+    """TPC-H Q5 shape (the 6-way join): revenue by nation from line
+    items where the SUPPLIER sits in the same nation as the ordering
+    customer, restricted to one region and one order-date year.
+    revenue = sum(l_extendedprice * (1 - l_discount)). -> (n_name,
+    revenue) rounded to 2 places after aggregation.
+
+    Scale shape: region->nation is a tiny dimension chain collected
+    once and broadcast (the star-schema treatment); customers filter
+    AT the scan against the broadcast nation set; the two big joins
+    (orders->customer, lineitem->orders) are co-partitioned hash
+    joins carrying only c_nationkey; the supplier nation lookup is a
+    broadcast dict applied inside the revenue partial (suppliers are
+    a dimension here — swap for a third hash_join when they outgrow
+    a broadcast); revenue pre-aggregates per batch per nation."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    nat = nation_ds.to_pandas()
+    reg = region_ds.to_pandas()
+    rk = set(reg.loc[reg["r_name"] == region, "r_regionkey"]
+             .astype(int))
+    nat = nat[nat["n_regionkey"].astype(int).isin(rk)]
+    nation_name = {int(k): v for k, v in zip(nat["n_nationkey"],
+                                             nat["n_name"])}
+    sup = supplier_ds.to_pandas()
+    sup_nation = {int(k): int(v) for k, v in
+                  zip(sup["s_suppkey"], sup["s_nationkey"])}
+    nset = set(nation_name)
+    sup_ref = ray.put(sup_nation)
+
+    cust = customer_ds.map_batches(
+        lambda b: pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_nationkey": pc.cast(b.column("c_nationkey"),
+                                   pa.int64()),
+        }).filter(pc.is_in(
+            pc.cast(b.column("c_nationkey"), pa.int64()),
+            value_set=pa.array(sorted(nset), type=pa.int64()))),
+        batch_format="pyarrow")
+    orders = orders_ds.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(b.column("o_orderdate"), pa.scalar(hi))))
+        .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    o_c = hash_join(orders, cust, left_on="o_custkey",
+                    right_on="c_custkey",
+                    right_cols=["c_nationkey"], how="inner")
+    o_c = o_c.map_batches(
+        lambda b: (b.select(["o_orderkey", "c_nationkey"])
+                   if "o_orderkey" in b.column_names else
+                   pa.table({"o_orderkey": pa.array([],
+                                                    type=pa.int64()),
+                             "c_nationkey": pa.array(
+                                 [], type=pa.int64())})),
+        batch_format="pyarrow").materialize()
+    li = lineitem_ds.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    j = hash_join(li, o_c, left_on="l_orderkey",
+                  right_on="o_orderkey",
+                  right_cols=["c_nationkey"], how="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"n_key": pa.array([], type=pa.int64()),
+                          "rev_p": pa.array([], type=pa.float64())})
+        if "l_suppkey" not in batch.column_names \
+                or batch.num_rows == 0:
+            return empty
+        sn = ray.get(sup_ref)
+        sk = batch.column("l_suppkey").to_numpy()
+        cn = batch.column("c_nationkey").to_numpy()
+        s_nat = np.array([sn.get(int(k), -1) for k in sk],
+                         dtype=np.int64)
+        keep = s_nat == cn
+        if not keep.any():
+            return empty
+        t = batch.filter(pa.array(keep))
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        g = pa.table({"n_key": t.column("c_nationkey"), "rev": rev}) \
+            .group_by(["n_key"]).aggregate([("rev", "sum")])
+        return pa.table({"n_key": g.column("n_key"),
+                         "rev_p": g.column("rev_sum")})
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_key").aggregate(Sum("rev_p", alias_name="revenue"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keys = batch.column("n_key").to_pylist()
+        return pa.table({
+            "n_name": pa.array([nation_name[int(k)] for k in keys],
+                               type=pa.string()),
+            "revenue": _round_np(batch.column("revenue"), 2),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def quality_threshold_sweep(ds, *, cutoffs: int = 9,
+                            stem: bool = False):
+    """Corpus-planning sweep: for each uniqueness-ratio cutoff c =
+    i/10 (i = 1..``cutoffs``), how many docs and tokens survive the
+    filter uniq_ratio >= c — the curve a data-mix designer reads
+    before pinning a quality gate. -> (cutoff, n_docs, n_tokens).
+    uniq_ratio uses the quality_scores contract (round 6 of exact
+    int/int), so both engines compare identical doubles.
+
+    Scale shape: ONE pass; each batch evaluates every cutoff on its
+    per-doc stats and ships (cutoff, partials) rows into a
+    cutoffs-sized groupby."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.pipelines.text import _tok
+
+    cuts = [round((i + 1) / 10.0, 1) for i in range(cutoffs)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ur, nt = [], []
+        for t in texts:
+            toks = _tok(t, stem) if t is not None else []
+            n = len(toks)
+            nt.append(n)
+            ur.append(round(len(set(toks)) / n, 6) if n else 0.0)
+        ur_a = np.array(ur)
+        nt_a = np.array(nt, dtype=np.int64)
+        o_c, o_d, o_t = [], [], []
+        for c in cuts:
+            keep = ur_a >= c
+            o_c.append(c)
+            o_d.append(int(keep.sum()))
+            o_t.append(int(nt_a[keep].sum()))
+        return pa.table({
+            "cutoff": pa.array(o_c, type=pa.float64()),
+            "d_p": pa.array(o_d, type=pa.int64()),
+            "t_p": pa.array(o_t, type=pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("cutoff").aggregate(
+            Sum("d_p", alias_name="n_docs"),
+            Sum("t_p", alias_name="n_tokens")) \
+        .map_batches(
+            lambda b: pa.table({
+                "cutoff": b.column("cutoff"),
+                "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+                "n_tokens": pc.cast(b.column("n_tokens"), pa.int64()),
+            }), batch_format="pyarrow")
