@@ -1428,6 +1428,30 @@ def _q_user_growth_curve(sf_dir: str):
         _read(sf_dir, "events", ["user_id", "ts"])))
 
 
+def _q_local_supplier_volume(sf_dir: str):
+    from rse_ray.pipelines.relational import local_supplier_volume
+
+    return _finalize(local_supplier_volume(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice",
+               "l_discount"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation",
+              ["n_nationkey", "n_name", "n_regionkey"]),
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]),
+        region="ASIA"))
+
+
+def _q_quality_threshold_sweep(sf_dir: str):
+    from rse_ray.pipelines.relational import quality_threshold_sweep
+
+    return _finalize(quality_threshold_sweep(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
 def _q_rake_phrases(sf_dir: str):
     from rse_ray.pipelines.text import rake_phrases
 
@@ -3380,6 +3404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_burstiness": _q_user_burstiness,
         "fk_violations": _q_fk_violations,
         "rake_phrases": _q_rake_phrases,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "quality_threshold_sweep": _q_quality_threshold_sweep,
         "conversion_latency": _q_conversion_latency,
         "user_growth_curve": _q_user_growth_curve,
         "feature_hashing": _q_feature_hashing,
@@ -4400,6 +4426,41 @@ dd AS (SELECT phrase, round(raw, 6) AS score,
        FROM pscore)
 SELECT phrase, score FROM dd WHERE rn = 1
 ORDER BY score DESC, phrase LIMIT 15""",
+        "local_supplier_volume": """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY 1""",
+        # uniq_ratio follows the quality_scores 6dp contract, so both
+        # engines compare identical doubles against i/10.0 cutoffs
+        "quality_threshold_sweep": """
+WITH q AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS a
+           FROM documents WHERE text IS NOT NULL),
+st AS (SELECT doc_id, len(a)::BIGINT AS n_tokens,
+              CASE WHEN len(a) = 0 THEN 0.0
+                   ELSE round(len(list_distinct(a))::DOUBLE / len(a),
+                              6) END AS ur
+       FROM q),
+cuts AS (SELECT round(i / 10.0, 1) AS cutoff
+         FROM (SELECT unnest(range(1, 10)) AS i))
+SELECT c.cutoff,
+       sum(CASE WHEN st.ur >= c.cutoff THEN 1 ELSE 0 END)::BIGINT
+         AS n_docs,
+       sum(CASE WHEN st.ur >= c.cutoff THEN st.n_tokens
+                ELSE 0 END)::BIGINT AS n_tokens
+FROM cuts c CROSS JOIN st GROUP BY 1""",
         "user_burstiness": """
 WITH g AS (SELECT user_id,
              epoch_us(ts) - lag(epoch_us(ts))

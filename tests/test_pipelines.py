@@ -4183,3 +4183,54 @@ def test_rake_phrases_scoring(ray_session):
     assert got["phrase"].iloc[0] == "deep learning systems"
     assert abs(got["score"].iloc[0] - round(23 / 3, 6)) < 1e-9
     assert "fun" in got["phrase"].tolist()
+
+
+def test_q5_and_threshold_sweep(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import (local_supplier_volume,
+                                              quality_threshold_sweep)
+
+    d = np.datetime64("1995-06-01", "us")
+    cust = pa.table({"c_custkey": pa.array([1, 2], type=pa.int64()),
+                     "c_nationkey": pa.array([0, 1], type=pa.int32())})
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11], type=pa.int64()),
+        "o_custkey": pa.array([1, 2], type=pa.int64()),
+        "o_orderdate": pa.array([d, d], type=pa.timestamp("us")),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([10, 10, 11], type=pa.int64()),
+        "l_suppkey": pa.array([100, 101, 100], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0]),
+        "l_discount": pa.array([0.0, 0.5, 0.0]),
+    })
+    sup = pa.table({"s_suppkey": pa.array([100, 101],
+                                          type=pa.int64()),
+                    "s_nationkey": pa.array([0, 1], type=pa.int32())})
+    nat = pa.table({"n_nationkey": pa.array([0, 1], type=pa.int32()),
+                    "n_name": pa.array(["N0", "N1"]),
+                    "n_regionkey": pa.array([0, 1], type=pa.int32())})
+    reg = pa.table({"r_regionkey": pa.array([0, 1], type=pa.int32()),
+                    "r_name": pa.array(["ASIA", "EUROPE"])})
+    got = local_supplier_volume(
+        ray.data.from_arrow(cust), ray.data.from_arrow(orders),
+        ray.data.from_arrow(li), ray.data.from_arrow(sup),
+        ray.data.from_arrow(nat), ray.data.from_arrow(reg),
+        region="ASIA").to_pandas()
+    # only order 10 x supplier 100 matches (same nation 0, ASIA):
+    # revenue = 100; the 200*0.5 line has supplier nation 1
+    assert got["n_name"].tolist() == ["N0"]
+    assert got["revenue"].tolist() == [100.0]
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        # ur = 1.0 and 0.5
+        "text": pa.array(["a b c d", "x x y y"]),
+    })
+    sw = quality_threshold_sweep(ray.data.from_arrow(docs)) \
+        .to_pandas().sort_values("cutoff").reset_index(drop=True)
+    assert sw["n_docs"].tolist() == [2, 2, 2, 2, 2, 1, 1, 1, 1]
+    assert sw["n_tokens"].tolist() == [8, 8, 8, 8, 8, 4, 4, 4, 4]
