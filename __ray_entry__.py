@@ -1452,6 +1452,23 @@ def _q_quality_threshold_sweep(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"])))
 
 
+SCENE_DIR = "/tmp/rse_ray_cache/video_cuts_v1"
+
+
+def _q_video_scene_cuts(sf_dir: str):
+    """Shot-boundary detection over the real RVID decode —
+    golden-oracled pre-encode like the other media kernels."""
+    import ray.data
+
+    from rse_ray.pipelines.multimodal import (video_scene_cuts,
+                                              write_scene_video_fixture)
+
+    write_scene_video_fixture(SCENE_DIR)
+    ds = ray.data.read_parquet(os.path.join(SCENE_DIR,
+                                            "media.parquet"))
+    return _finalize(video_scene_cuts(ds))
+
+
 def _q_rake_phrases(sf_dir: str):
     from rse_ray.pipelines.text import rake_phrases
 
@@ -3406,6 +3423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_phrases": _q_rake_phrases,
         "local_supplier_volume": _q_local_supplier_volume,
         "quality_threshold_sweep": _q_quality_threshold_sweep,
+        "video_scene_cuts": _q_video_scene_cuts,
         "conversion_latency": _q_conversion_latency,
         "user_growth_curve": _q_user_growth_curve,
         "feature_hashing": _q_feature_hashing,
@@ -4319,6 +4337,12 @@ SELECT 20::BIGINT AS k, round(hill, 6) AS hill,
 SELECT lang, source, sum(n_chars)::BIGINT AS sum_chars,
        count(*)::BIGINT AS n_docs
 FROM documents GROUP BY 1, 2""",
+        # decode->frame-diff must reproduce the pre-encode goldens
+        "video_scene_cuts": """
+SELECT media_id, frame_idx, diff, is_cut
+FROM read_parquet('{golden}')""".format(
+            golden=os.path.join(SCENE_DIR, "golden_cuts.parquet")
+        ),
         # decode->spectrogram must reproduce the pre-encode goldens
         "audio_spectrogram": """
 SELECT media_id, frame_idx, band, mag

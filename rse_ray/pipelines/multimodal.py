@@ -826,3 +826,140 @@ def write_spectrogram_fixture(out_dir: str, *, n: int = 32,
 
     write_json_atomic(marker, info)
     return info
+
+
+class SceneCutDetector:
+    """Actor-pool shot-boundary stage: decode the RVID payload and
+    emit one row per consecutive-frame transition with its mean
+    absolute pixel difference and the cut flag (diff > threshold) —
+    the frame-sampling front end of a video training-data pipeline
+    (sample one frame per shot instead of every k-th). Kernels bind
+    once per actor; each transition is one vectorized array diff."""
+
+    def __init__(self, threshold: float = 12.0,
+                 round_to: int = 6) -> None:
+        from rse_ray.functions.media import decode_video
+
+        self._decode = decode_video
+        self.threshold = threshold
+        self.scale = 10.0 ** round_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_id, o_fi, o_d, o_c = [], [], [], []
+        for mid, kind, payload in zip(ids, kinds, payloads):
+            if kind != "video":
+                continue
+            frames = self._decode(payload)
+            for i in range(1, len(frames)):
+                d = float(np.mean(np.abs(
+                    frames[i].astype(np.float64)
+                    - frames[i - 1].astype(np.float64))))
+                d = float(np.floor(d * self.scale + 0.5) / self.scale)
+                o_id.append(int(mid))
+                o_fi.append(i)
+                o_d.append(d)
+                o_c.append(d > self.threshold)
+        return pa.table({
+            "media_id": pa.array(o_id, type=pa.int64()),
+            "frame_idx": pa.array(o_fi, type=pa.int64()),
+            "diff": pa.array(o_d, type=pa.float64()),
+            "is_cut": pa.array(o_c, type=pa.bool_()),
+        })
+
+
+def video_scene_cuts(ds, *, threshold: float = 12.0,
+                     concurrency: int = 2, batch_size: int = 16):
+    """media table -> (media_id, frame_idx, diff, is_cut): shot
+    boundaries over the REAL RVID decode. Golden-oracled pre-encode;
+    non-video rows drop."""
+    from rse_ray.util import clamp_pool
+
+    return ds.map_batches(SceneCutDetector, batch_format="pyarrow",
+                          fn_constructor_kwargs={
+                              "threshold": threshold},
+                          batch_size=batch_size,
+                          concurrency=clamp_pool(concurrency))
+
+
+def write_scene_video_fixture(out_dir: str, *, n: int = 12,
+                              seed: int = 23, frames: int = 20,
+                              h: int = 12, w: int = 12,
+                              threshold: float = 12.0) -> dict:
+    """Deterministic RVID corpus with PLANTED scene structure: each
+    video is 2-4 scenes; frames within a scene are the scene's base
+    image plus small per-frame jitter (diff ~ 2-3 gray levels), scene
+    changes swap the base entirely (diff >> threshold). Goldens
+    (golden_cuts.parquet) computed from the RAW frames BEFORE
+    encoding — matching them proves the decode path. Idempotent via
+    _DONE."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rse_ray.functions.media import encode_video
+
+    marker = os.path.join(out_dir, "_DONE.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return _json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    media = {"media_id": [], "kind": [], "payload": [], "meta": []}
+    gold = {"media_id": [], "frame_idx": [], "diff": [],
+            "is_cut": []}
+    for i in range(n):
+        n_scenes = 2 + i % 3
+        cuts = sorted(rng.choice(np.arange(4, frames - 2),
+                                 size=n_scenes - 1, replace=False)
+                      .tolist())
+        bases = [rng.integers(0, 256, size=(h, w, 3))
+                 .astype(np.uint8) for _ in range(n_scenes)]
+        vid = np.empty((frames, h, w, 3), dtype=np.uint8)
+        scene = 0
+        for f in range(frames):
+            if scene < len(cuts) and f == cuts[scene]:
+                scene += 1
+            jitter = rng.integers(-2, 3, size=(h, w, 3))
+            vid[f] = np.clip(bases[scene].astype(np.int16) + jitter,
+                             0, 255).astype(np.uint8)
+        payload = encode_video(vid)
+        media["media_id"].append(i)
+        media["kind"].append("video")
+        media["payload"].append(payload)
+        media["meta"].append(_json.dumps(
+            {"frames": frames, "h": h, "w": w, "cuts": cuts}))
+        for f in range(1, frames):
+            d = float(np.mean(np.abs(vid[f].astype(np.float64)
+                                     - vid[f - 1]
+                                     .astype(np.float64))))
+            d = float(np.floor(d * 1e6 + 0.5) / 1e6)
+            gold["media_id"].append(i)
+            gold["frame_idx"].append(f)
+            gold["diff"].append(d)
+            gold["is_cut"].append(d > threshold)
+    pq.write_table(
+        pa.table({"media_id": pa.array(media["media_id"],
+                                       type=pa.int64()),
+                  "kind": pa.array(media["kind"], type=pa.string()),
+                  "payload": pa.array(media["payload"],
+                                      type=pa.binary()),
+                  "meta": pa.array(media["meta"], type=pa.string())}),
+        os.path.join(out_dir, "media.parquet"))
+    pq.write_table(
+        pa.table({"media_id": pa.array(gold["media_id"],
+                                       type=pa.int64()),
+                  "frame_idx": pa.array(gold["frame_idx"],
+                                        type=pa.int64()),
+                  "diff": pa.array(gold["diff"], type=pa.float64()),
+                  "is_cut": pa.array(gold["is_cut"],
+                                     type=pa.bool_())}),
+        os.path.join(out_dir, "golden_cuts.parquet"))
+    info = {"n": n, "seed": seed, "threshold": threshold}
+    from rse_ray.state.manifest import write_json_atomic
+
+    write_json_atomic(marker, info)
+    return info

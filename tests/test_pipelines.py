@@ -4234,3 +4234,30 @@ def test_q5_and_threshold_sweep(ray_session):
         .to_pandas().sort_values("cutoff").reset_index(drop=True)
     assert sw["n_docs"].tolist() == [2, 2, 2, 2, 2, 1, 1, 1, 1]
     assert sw["n_tokens"].tolist() == [8, 8, 8, 8, 8, 4, 4, 4, 4]
+
+
+def test_video_scene_cuts(ray_session, tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rse_ray.pipelines.multimodal import (video_scene_cuts,
+                                              write_scene_video_fixture)
+
+    d = str(tmp_path / "vid")
+    write_scene_video_fixture(d, n=4, seed=7)
+    ds = ray.data.read_parquet(d + "/media.parquet")
+    got = video_scene_cuts(ds).to_pandas() \
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    want = pq.read_table(d + "/golden_cuts.parquet").to_pandas() \
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert got["diff"].tolist() == want["diff"].tolist()
+    assert got["is_cut"].tolist() == want["is_cut"].tolist()
+    # detected cuts land exactly on the PLANTED scene boundaries
+    meta = pq.read_table(d + "/media.parquet").to_pandas()
+    for _, row in meta.iterrows():
+        cuts = json.loads(row["meta"])["cuts"]
+        det = got.loc[(got["media_id"] == row["media_id"])
+                      & got["is_cut"], "frame_idx"].tolist()
+        assert det == cuts
