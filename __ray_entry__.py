@@ -1469,6 +1469,30 @@ def _q_video_scene_cuts(sf_dir: str):
     return _finalize(video_scene_cuts(ds))
 
 
+def _q_small_quantity_revenue(sf_dir: str):
+    from rse_ray.pipelines.relational import small_quantity_revenue
+
+    return _finalize(small_quantity_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"])))
+
+
+def _q_daily_anomalies(sf_dir: str):
+    from rse_ray.pipelines.relational import daily_anomalies
+
+    return _finalize(daily_anomalies(
+        _read(sf_dir, "events", ["event_type", "ts"])))
+
+
+def _q_hard_negatives(sf_dir: str):
+    from rse_ray.pipelines.ann import hard_negative_mining
+
+    return _finalize(hard_negative_mining(
+        _read(sf_dir, "embeddings",
+              ["vec_id", "embedding", "label"]),
+        KNN_QUERY_IDS, k=5))
+
+
 def _q_rake_phrases(sf_dir: str):
     from rse_ray.pipelines.text import rake_phrases
 
@@ -3424,6 +3448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "quality_threshold_sweep": _q_quality_threshold_sweep,
         "video_scene_cuts": _q_video_scene_cuts,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "daily_anomalies": _q_daily_anomalies,
+        "hard_negatives": _q_hard_negatives,
         "conversion_latency": _q_conversion_latency,
         "user_growth_curve": _q_user_growth_curve,
         "feature_hashing": _q_feature_hashing,
@@ -4450,6 +4477,45 @@ dd AS (SELECT phrase, round(raw, 6) AS score,
        FROM pscore)
 SELECT phrase, score FROM dd WHERE rn = 1
 ORDER BY score DESC, phrase LIMIT 15""",
+        # threshold = 0.2 * (sum/count): exact-integer sums make it
+        # bit-identical on both engines (see small_quantity_revenue)
+        "small_quantity_revenue": """
+WITH pa AS (SELECT l_partkey,
+              0.2 * (sum(l_quantity) / count(*)) AS lim
+            FROM lineitem GROUP BY 1)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < pa.lim""",
+        # integer daily counts -> exact moment sums -> identical
+        # mean/std on both engines
+        "daily_anomalies": """
+WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, count(*)::DOUBLE AS nd, sum(n) AS s1,
+             sum(n * n) AS s2 FROM d GROUP BY 1),
+st AS (SELECT event_type, s1 / nd AS mean,
+              sqrt(greatest(s2 / nd - (s1 / nd) * (s1 / nd), 0))
+                AS std
+       FROM s)
+SELECT d.event_type, d.day, d.n,
+       round((d.n - st.mean) / st.std, 6) AS zscore
+FROM d JOIN st USING (event_type)
+WHERE st.std > 0 AND abs(d.n - st.mean) > 2.0 * st.std""",
+        "hard_negatives": """
+WITH q AS (SELECT vec_id AS query_id,
+                  CAST(embedding AS DOUBLE[]) AS qe, label AS ql
+           FROM embeddings WHERE vec_id IN ({ids})),
+c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             e.label::BIGINT AS label,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    q.qe) AS raw
+      FROM q, embeddings e WHERE e.label <> q.ql)
+SELECT query_id, neighbor_id, label, round(raw, 6) AS cos FROM c
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY raw DESC, neighbor_id) <= 5""".format(
+            ids=", ".join(str(i) for i in KNN_QUERY_IDS)
+        ),
         "local_supplier_volume": """
 SELECT n.n_name,
        round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)

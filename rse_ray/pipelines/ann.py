@@ -1128,3 +1128,81 @@ def mmr_rerank(ds, query_id: int, *, pool: int = 20, k: int = 5,
         "rel": pa.array(np.round(out_rel, 6), type=pa.float64()),
         "mmr": pa.array(np.round(out_mmr, 6), type=pa.float64()),
     })
+
+
+def hard_negative_mining(ds, query_ids: list[int], k: int = 5,
+                         *, round_to: int = 6) -> pd.DataFrame:
+    """Triplet-training hard-negative mining: for each anchor vector,
+    the top-k most cosine-similar vectors whose LABEL differs from
+    the anchor's (the negatives a contrastive loss learns most from).
+    -> (query_id, neighbor_id, label, cos), per-anchor order
+    (cos DESC, neighbor_id ASC).
+
+    Scale shape: identical to brute_force_knn (per-batch matmul
+    against the broadcast anchor matrix + block-local top-k), with
+    the label inequality applied as a vectorized mask before the
+    local cut; the IVF/LSH bucketed variants drop in the same way
+    they do for plain kNN."""
+    import ray
+
+    wanted = sorted({int(q) for q in query_ids})
+
+    def pick(batch: pa.Table) -> pa.Table:
+        vs = pa.array(wanted, type=batch.column("vec_id").type)
+        return batch.filter(pc.is_in(batch.column("vec_id"),
+                                     value_set=vs))
+
+    anchors: dict[int, tuple[np.ndarray, int]] = {}
+    for b in ds.map_batches(pick,
+                            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        ids, mat = _batch_matrix(b)
+        labels = b.column("label").to_numpy()
+        for i, vid in enumerate(ids):
+            anchors[int(vid)] = (mat[i], int(labels[i]))
+    q_ids = sorted(anchors)
+    Q = _normalize(np.stack([anchors[q][0] for q in q_ids]))
+    q_labels = np.array([anchors[q][1] for q in q_ids])
+    q_ref = ray.put((q_ids, Q, q_labels))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids_l, Q_l, q_lab = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        labels = batch.column("label").to_numpy()
+        sims = _normalize(mat) @ Q_l.T
+        out_q, out_n, out_l, out_c = [], [], [], []
+        for qi, qid in enumerate(q_ids_l):
+            col = sims[:, qi]
+            mask = labels != q_lab[qi]
+            cand = np.flatnonzero(mask)
+            take = min(k, len(cand))
+            if take == 0:
+                continue
+            sub = cand[np.lexsort((ids[cand], -col[cand]))[:take]]
+            out_q.extend([qid] * len(sub))
+            out_n.extend(int(i) for i in ids[sub])
+            out_l.extend(int(x) for x in labels[sub])
+            out_c.extend(float(c) for c in col[sub])
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "label": pa.array(out_l, type=pa.int64()),
+            "cos": pa.array(out_c, type=pa.float64()),
+        })
+
+    local = ds.map_batches(local_topk,
+                           batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, g in local.groupby("query_id"):
+        rows.append(g.sort_values(["cos", "neighbor_id"],
+                                  ascending=[False, True]).head(k))
+    if not rows:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                             "label": [], "cos": []})
+    out = pd.concat(rows, ignore_index=True)
+    out["cos"] = out["cos"].round(round_to)
+    return out.sort_values(["query_id", "cos", "neighbor_id"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)

@@ -3977,3 +3977,120 @@ def quality_threshold_sweep(ds, *, cutoffs: int = 9,
                 "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
                 "n_tokens": pc.cast(b.column("n_tokens"), pa.int64()),
             }), batch_format="pyarrow")
+
+
+def small_quantity_revenue(lineitem_ds):
+    """TPC-H Q17 shape (the decorrelated correlated subquery):
+    average yearly revenue lost if small orders stop — line items
+    with l_quantity below 0.2 x their part's mean quantity,
+    avg_yearly = sum(l_extendedprice) / 7. The per-part threshold is
+    sum/count in BOTH engines (quantities are small integers, so the
+    sums are exact doubles in any order and the threshold is
+    bit-identical). -> one row (avg_yearly) rounded to 2 places.
+
+    Scale shape: per-part (sum, count) partials through ONE
+    groupby(l_partkey); the per-part limit table re-attaches by
+    co-partitioned hash_join (parts are corpus-scale — never a
+    broadcast); the revenue partial pre-aggregates per batch."""
+    from ray.data.aggregate import Sum
+
+    def qpart(batch: pa.Table) -> pa.Table:
+        g = batch.select(["l_partkey", "l_quantity"]) \
+            .group_by(["l_partkey"]).aggregate(
+                [("l_quantity", "sum"), ([], "count_all")])
+        return pa.table({"l_partkey": g.column("l_partkey"),
+                         "s_p": g.column("l_quantity_sum"),
+                         "n_p": g.column("count_all")})
+
+    lim = lineitem_ds.select_columns(["l_partkey", "l_quantity"]) \
+        .map_batches(qpart, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("s_p", alias_name="s"),
+                                        Sum("n_p", alias_name="n"))
+
+    def to_lim(batch: pa.Table) -> pa.Table:
+        if "l_partkey" not in batch.column_names \
+                or batch.num_rows == 0:
+            return pa.table({"pk": pa.array([], type=pa.int64()),
+                             "lim": pa.array([], type=pa.float64())})
+        s = batch.column("s").to_numpy()
+        n = batch.column("n").to_numpy().astype(np.float64)
+        return pa.table({
+            "pk": batch.column("l_partkey"),
+            "lim": pa.array(0.2 * (s / n), type=pa.float64()),
+        })
+
+    lim_t = lim.map_batches(to_lim, batch_format="pyarrow") \
+        .materialize()
+    j = hash_join(
+        lineitem_ds.select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice"]),
+        lim_t, left_on="l_partkey", right_on="pk",
+        right_cols=["lim"], how="inner")
+
+    def rev(batch: pa.Table) -> pa.Table:
+        if "l_quantity" not in batch.column_names \
+                or batch.num_rows == 0:
+            return pa.table({"r_p": pa.array([], type=pa.float64())})
+        keep = pc.less(batch.column("l_quantity"),
+                       batch.column("lim"))
+        t = batch.filter(keep)
+        tot = pc.sum(t.column("l_extendedprice")).as_py() or 0.0
+        return pa.table({"r_p": pa.array([float(tot)],
+                                         type=pa.float64())})
+
+    total = j.map_batches(rev, batch_format="pyarrow").sum("r_p")
+    return pa.table({
+        "avg_yearly": pa.array(
+            [float(np.round((total or 0.0) / 7.0, 2))],
+            type=pa.float64()),
+    })
+
+
+def daily_anomalies(events_ds, *, group: str = "event_type",
+                    ts_col: str = "ts", z: float = 2.0):
+    """Seasonal-naive volume anomaly detection: daily event counts
+    per type, flagged where |count - mean| > z * std over that type's
+    days (population std; daily counts are integers, so the moment
+    sums are exact and both engines compute identical statistics).
+    -> (event_type, day, n, zscore) for flagged days, zscore rounded
+    to 6 places.
+
+    Scale shape: per-batch (type, day) partial counts through ONE
+    groupby; the per-type stats table is day-domain-sized and the
+    flagging map is stateless."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column(ts_col).to_numpy() \
+            .astype("datetime64[D]").astype(str)
+        t = pa.table({group: batch.column(group),
+                      "day": pa.array(d, type=pa.string())})
+        g = t.group_by([group, "day"]).aggregate([([], "count_all")])
+        return pa.table({group: g.column(group),
+                         "day": g.column("day"),
+                         "n_p": g.column("count_all")})
+
+    daily = events_ds.select_columns([group, ts_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([group, "day"]) \
+        .aggregate(Sum("n_p", alias_name="n")).to_pandas()
+    daily["n"] = daily["n"].astype(np.int64)
+    out = []
+    for g, sub in daily.groupby(group):
+        c = sub["n"].to_numpy().astype(np.float64)
+        n = float(len(c))
+        mean = float(np.sum(c)) / n
+        var = float(np.sum(c * c)) / n - mean * mean
+        std = math.sqrt(max(var, 0.0))
+        if std == 0:
+            continue
+        zs = (c - mean) / std
+        keep = np.abs(c - mean) > z * std
+        s = sub.loc[keep].copy()
+        s["zscore"] = np.round(zs[keep], 6)
+        out.append(s)
+    if not out:
+        return pd.DataFrame({group: [], "day": [], "n": [],
+                             "zscore": []})
+    return pd.concat(out, ignore_index=True)[
+        [group, "day", "n", "zscore"]]

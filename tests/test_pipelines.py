@@ -4261,3 +4261,49 @@ def test_video_scene_cuts(ray_session, tmp_path):
         det = got.loc[(got["media_id"] == row["media_id"])
                       & got["is_cut"], "frame_idx"].tolist()
         assert det == cuts
+
+
+def test_q17_anomalies_hard_negatives(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.ann import hard_negative_mining
+    from rse_ray.pipelines.relational import (daily_anomalies,
+                                              small_quantity_revenue)
+
+    li = pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 1], type=pa.int64()),
+        "l_quantity": pa.array([10.0, 10.0, 10.0, 10.0, 1.0]),
+        "l_extendedprice": pa.array([0.0, 0.0, 0.0, 0.0, 70.0]),
+    })
+    # mean qty 8.2, lim 1.64 -> only the qty-1 row qualifies: 70/7=10
+    got = small_quantity_revenue(ray.data.from_arrow(li)).to_pandas()
+    assert got["avg_yearly"].tolist() == [10.0]
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    day = np.timedelta64(1, "D")
+    # 9 quiet days of 1 event, one day with 20 -> flagged
+    ts, et = [], []
+    for d in range(9):
+        ts.append(base + d * day)
+        et.append("a")
+    ts.extend([base + 9 * day] * 20)
+    et.extend(["a"] * 20)
+    e = pa.table({"event_type": pa.array(et),
+                  "ts": pa.array(ts, type=pa.timestamp("us"))})
+    an = daily_anomalies(ray.data.from_arrow(e))
+    assert an["day"].tolist() == ["2024-01-10"]
+    assert an["n"].tolist() == [20]
+
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.99, 0.1],
+                               [0.98, 0.2], [0.0, 1.0]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([7, 7, 8, 8], type=pa.int32()),
+    })
+    hn = hard_negative_mining(ray.data.from_arrow(emb), [0], k=2)
+    # nearest different-label vec to anchor 0 (label 7) is 2, then 3
+    assert hn["neighbor_id"].tolist() == [2, 3]
+    assert (hn["label"] == 8).all()
