@@ -1493,6 +1493,12 @@ def _q_hard_negatives(sf_dir: str):
         KNN_QUERY_IDS, k=5))
 
 
+def _q_deterministic_walks(sf_dir: str):
+    from rse_ray.pipelines.linkgraph import deterministic_walks
+
+    return _finalize(deterministic_walks(_extracted_links(), steps=3))
+
+
 def _q_rake_phrases(sf_dir: str):
     from rse_ray.pipelines.text import rake_phrases
 
@@ -3449,6 +3455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_threshold_sweep": _q_quality_threshold_sweep,
         "video_scene_cuts": _q_video_scene_cuts,
         "small_quantity_revenue": _q_small_quantity_revenue,
+        "deterministic_walks": _q_deterministic_walks,
         "daily_anomalies": _q_daily_anomalies,
         "hard_negatives": _q_hard_negatives,
         "conversion_latency": _q_conversion_latency,
@@ -4477,6 +4484,32 @@ dd AS (SELECT phrase, round(raw, 6) AS score,
        FROM pscore)
 SELECT phrase, score FROM dd WHERE rn = 1
 ORDER BY score DESC, phrase LIMIT 15""",
+        # replayable hash-seeded walks over the generator-golden edges
+        "deterministic_walks": """
+WITH e AS (SELECT DISTINCT src_url AS src, dst_url AS dst
+           FROM read_parquet('{links}')
+           WHERE src_url IS NOT NULL AND dst_url IS NOT NULL),
+nodes AS (SELECT DISTINCT u FROM (SELECT src AS u FROM e
+                                  UNION SELECT dst FROM e)),
+n1 AS (SELECT src, dst FROM (
+         SELECT src, dst, row_number() OVER (PARTITION BY src
+           ORDER BY md5_number_lower('walk:1:' || src || '>' || dst),
+                    dst) AS rn FROM e) WHERE rn = 1),
+n2 AS (SELECT src, dst FROM (
+         SELECT src, dst, row_number() OVER (PARTITION BY src
+           ORDER BY md5_number_lower('walk:2:' || src || '>' || dst),
+                    dst) AS rn FROM e) WHERE rn = 1),
+n3 AS (SELECT src, dst FROM (
+         SELECT src, dst, row_number() OVER (PARTITION BY src
+           ORDER BY md5_number_lower('walk:3:' || src || '>' || dst),
+                    dst) AS rn FROM e) WHERE rn = 1)
+SELECT nodes.u AS start_url, n1.dst AS hop_1, n2.dst AS hop_2,
+       n3.dst AS hop_3
+FROM nodes LEFT JOIN n1 ON nodes.u = n1.src
+           LEFT JOIN n2 ON n1.dst = n2.src
+           LEFT JOIN n3 ON n2.dst = n3.src""".format(
+            links=os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+        ),
         # threshold = 0.2 * (sum/count): exact-integer sums make it
         # bit-identical on both engines (see small_quantity_revenue)
         "small_quantity_revenue": """

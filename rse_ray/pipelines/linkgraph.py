@@ -2343,3 +2343,92 @@ def condensation_layers(links_ds, *, max_depth: int = 256,
     res_refs = [s.result.remote() for s in shards]
     ray.wait(res_refs, num_returns=len(res_refs))
     return ray.data.from_arrow_refs(res_refs)
+
+
+def deterministic_walks(links_ds, *, steps: int = 3,
+                        src_col: str = "src_url",
+                        dst_col: str = "dst_url",
+                        num_parts: int | None = None):
+    """Hash-seeded graph walk sampling (the node2vec/DeepWalk corpus
+    generator, made REPRODUCIBLE): from every node, walk ``steps``
+    hops where hop k moves from u to the out-neighbor v minimizing
+    md5('walk:k:u>v') — a content-determined 'random' choice both
+    engines can replay exactly (tie-break v ASC; a walk ending at a
+    sink pads the remaining hops with nulls). -> (start_url, hop_1..
+    hop_k).
+
+    Scale shape: hop k's next-hop table N_k(src -> argmin-hash dst)
+    is computed by the hash(src)-partition idiom (one sort + one
+    vectorized in-partition argmin per task); the walk then composes
+    by ``steps`` co-partitioned LEFT hash joins (current frontier x
+    next-hop table) — never a broadcast of the edge set. Total cost:
+    steps x (one partition pass + one join)."""
+    import pandas as pd
+
+    from rse_ray.pipelines.relational import hash_join
+    from rse_ray.pipelines.sketch import _md5_u64
+    from rse_ray.util import parts_for
+
+    edges = links_ds.map_batches(
+        lambda b: pa.table(
+            {"src": b.column(src_col).cast(pa.string()),
+             "dst": b.column(dst_col).cast(pa.string())}).drop_null(),
+        batch_format="pyarrow").materialize()
+    P = num_parts if num_parts is not None else \
+        parts_for(edges.count(), rows_per_part=500_000)
+
+    def parted(batch: pa.Table) -> pa.Table:
+        part = (_pr_url_hash(batch.column("src")
+                             .to_numpy(zero_copy_only=False)) % P) \
+            .astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    edges_p = edges.map_batches(parted,
+                                batch_format="pyarrow").materialize()
+
+    def next_hop(step: int):
+        def gen(g: pd.DataFrame) -> pd.DataFrame:
+            df = g.drop_duplicates(["src", "dst"])
+            h = _md5_u64([f"walk:{step}:{s}>{d}"
+                          for s, d in zip(df["src"], df["dst"])])
+            df = df.assign(h=h).sort_values(["src", "h", "dst"])
+            keep = df.groupby("src", sort=False).head(1)
+            return keep[["src", "dst"]].rename(
+                columns={"src": f"cur{step}", "dst": f"nxt{step}"})
+
+        return edges_p.groupby("part").map_groups(
+            gen, batch_format="pandas").materialize()
+
+    # start frontier: every distinct node (srcs ∪ dsts)
+    def nodes(batch: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([
+            batch.column("src").combine_chunks(),
+            batch.column("dst").combine_chunks()])
+        return pa.table({"start_url": u}) \
+            .group_by(["start_url"]).aggregate([])
+
+    walk = edges.map_batches(nodes, batch_format="pyarrow") \
+        .groupby("start_url").map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow") \
+        .materialize()
+
+    cur = "start_url"
+    for k in range(1, steps + 1):
+        nh = next_hop(k)
+        walk = hash_join(walk, nh, left_on=cur,
+                         right_on=f"cur{k}",
+                         right_cols=[f"nxt{k}"], how="left")
+        walk = walk.map_batches(
+            lambda b, _k=k: b.rename_columns(
+                [f"hop_{_k}" if c == f"nxt{_k}" else c
+                 for c in b.column_names]),
+            batch_format="pyarrow").materialize()
+        cur = f"hop_{k}"
+
+    cols = ["start_url"] + [f"hop_{k}" for k in range(1, steps + 1)]
+    return walk.map_batches(
+        lambda b: (b.select(cols) if set(cols)
+                   <= set(b.column_names) else
+                   pa.table({c: pa.array([], type=pa.string())
+                             for c in cols})),
+        batch_format="pyarrow")

@@ -4307,3 +4307,31 @@ def test_q17_anomalies_hard_negatives(ray_session):
     # nearest different-label vec to anchor 0 (label 7) is 2, then 3
     assert hn["neighbor_id"].tolist() == [2, 3]
     assert (hn["label"] == 8).all()
+
+
+def test_deterministic_walks(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import deterministic_walks
+    from rse_ray.pipelines.sketch import _md5_u64
+
+    # a has two out-neighbors; the hash argmin decides which; b is a
+    # sink (walk pads nulls); the whole walk is replayable
+    edges = [("a", "b"), ("a", "c"), ("c", "a")]
+    t = pa.table({
+        "src_url": pa.array([x for x, _ in edges]),
+        "dst_url": pa.array([y for _, y in edges]),
+    })
+    got = deterministic_walks(ray.data.from_arrow(t), steps=2) \
+        .to_pandas().set_index("start_url").sort_index()
+    ha = {d: _md5_u64([f"walk:1:a>{d}"])[0] for d in ("b", "c")}
+    first = min(("b", "c"), key=lambda d: (ha[d], d))
+    assert got.loc["a", "hop_1"] == first
+    assert got.loc["b", "hop_1"] is None \
+        or pd.isna(got.loc["b", "hop_1"])
+    assert got.loc["c", "hop_1"] == "a"
+    # replay: same input -> identical walks
+    again = deterministic_walks(ray.data.from_arrow(t), steps=2) \
+        .to_pandas().set_index("start_url").sort_index()
+    assert got.equals(again)
