@@ -3410,7 +3410,13 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, *,
     reduce of blocks x k rows."""
     from ray.data.aggregate import Sum
 
+    from rse_ray.util import parts_for
+
     cut = np.datetime64(cutoff, "us")
+    # input-derived partition count from the cheap metadata row count
+    # (hash_join's internal default would count() the lazy FILTER
+    # chain, re-executing it)
+    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
 
     cust = customer_ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("c_mktsegment"), segment))
@@ -3423,7 +3429,8 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, *,
         batch_format="pyarrow")
     # semi join: orders of segment customers (key set only ships)
     o_seg = hash_join(orders, cust, left_on="o_custkey",
-                      right_on="c_custkey", right_cols=[], how="semi")
+                      right_on="c_custkey", right_cols=[], how="semi",
+                      num_parts=P)
     li = lineitem_ds.map_batches(
         lambda b: b.filter(pc.greater(b.column("l_shipdate"),
                                       pa.scalar(cut)))
@@ -3431,7 +3438,8 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, *,
         batch_format="pyarrow")
     joined = hash_join(li, o_seg, left_on="l_orderkey",
                        right_on="o_orderkey",
-                       right_cols=["o_orderdate"], how="inner")
+                       right_cols=["o_orderdate"], how="inner",
+                       num_parts=P)
 
     def partial(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -3842,8 +3850,11 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
     import ray
     from ray.data.aggregate import Sum
 
+    from rse_ray.util import parts_for
+
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
+    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
 
     nat = nation_ds.to_pandas()
     reg = region_ds.to_pandas()
@@ -3875,7 +3886,8 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
         batch_format="pyarrow")
     o_c = hash_join(orders, cust, left_on="o_custkey",
                     right_on="c_custkey",
-                    right_cols=["c_nationkey"], how="inner")
+                    right_cols=["c_nationkey"], how="inner",
+                    num_parts=P)
     o_c = o_c.map_batches(
         lambda b: (b.select(["o_orderkey", "c_nationkey"])
                    if "o_orderkey" in b.column_names else
@@ -3888,7 +3900,8 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     j = hash_join(li, o_c, left_on="l_orderkey",
                   right_on="o_orderkey",
-                  right_cols=["c_nationkey"], how="inner")
+                  right_cols=["c_nationkey"], how="inner",
+                  num_parts=P)
 
     def partial(batch: pa.Table) -> pa.Table:
         empty = pa.table({"n_key": pa.array([], type=pa.int64()),
@@ -3994,6 +4007,10 @@ def small_quantity_revenue(lineitem_ds):
     broadcast); the revenue partial pre-aggregates per batch."""
     from ray.data.aggregate import Sum
 
+    from rse_ray.util import parts_for
+
+    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+
     def qpart(batch: pa.Table) -> pa.Table:
         g = batch.select(["l_partkey", "l_quantity"]) \
             .group_by(["l_partkey"]).aggregate(
@@ -4025,7 +4042,7 @@ def small_quantity_revenue(lineitem_ds):
         lineitem_ds.select_columns(
             ["l_partkey", "l_quantity", "l_extendedprice"]),
         lim_t, left_on="l_partkey", right_on="pk",
-        right_cols=["lim"], how="inner")
+        right_cols=["lim"], how="inner", num_parts=P)
 
     def rev(batch: pa.Table) -> pa.Table:
         if "l_quantity" not in batch.column_names \
