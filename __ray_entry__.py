@@ -1499,6 +1499,25 @@ def _q_deterministic_walks(sf_dir: str):
     return _finalize(deterministic_walks(_extracted_links(), steps=3))
 
 
+EXPLAIN_DOC_IDS = [0, 1, 2, 3, 4]
+
+
+def _q_bm25_explain(sf_dir: str):
+    from rse_ray.pipelines.text import bm25_explain
+
+    return _finalize(bm25_explain(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        BM25_QUERY, EXPLAIN_DOC_IDS))
+
+
+def _q_nearest_centroid_eval(sf_dir: str):
+    from rse_ray.pipelines.ann import nearest_centroid_eval
+
+    return _finalize(nearest_centroid_eval(
+        _read(sf_dir, "embeddings",
+              ["vec_id", "embedding", "label"])))
+
+
 def _q_rake_phrases(sf_dir: str):
     from rse_ray.pipelines.text import rake_phrases
 
@@ -3456,6 +3475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_scene_cuts": _q_video_scene_cuts,
         "small_quantity_revenue": _q_small_quantity_revenue,
         "deterministic_walks": _q_deterministic_walks,
+        "bm25_explain": _q_bm25_explain,
+        "nearest_centroid_eval": _q_nearest_centroid_eval,
         "daily_anomalies": _q_daily_anomalies,
         "hard_negatives": _q_hard_negatives,
         "conversion_latency": _q_conversion_latency,
@@ -4484,6 +4505,53 @@ dd AS (SELECT phrase, round(raw, 6) AS score,
        FROM pscore)
 SELECT phrase, score FROM dd WHERE rn = 1
 ORDER BY score DESC, phrase LIMIT 15""",
+        # the per-term breakdown bm25_scores sums — same CTE formula
+        "bm25_explain": _TOKS + """,
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+      FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+s AS (SELECT count(*)::DOUBLE AS n,
+             sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+q(term, qtf) AS (VALUES {qvals}),
+d AS (SELECT q.term, count(DISTINCT p.doc_id)::DOUBLE AS df
+      FROM q JOIN p USING (term) GROUP BY 1)
+SELECT p.doc_id, p.term, q.qtf::BIGINT AS qtf, p.tf,
+       d.df::BIGINT AS df,
+       round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6) AS idf,
+       round(q.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             (p.tf * (1.2 + 1)) /
+             (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+         AS term_score
+FROM p JOIN q USING (term) JOIN d USING (term)
+     JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN s
+WHERE p.doc_id IN ({dids})""".format(
+            qvals=", ".join(
+                f"('{t}', {c})"
+                for t, c in sorted(__import__("collections")
+                                   .Counter(BM25_QUERY.lower()
+                                            .split()).items())),
+            dids=", ".join(str(i) for i in EXPLAIN_DOC_IDS),
+        ),
+        # UNROUNDED centroids on both engines; argmax tie-break =
+        # smaller label (cluster margins make ulp flips a non-issue)
+        "nearest_centroid_eval": """
+WITH x AS (SELECT label, unnest(range(1, 65))::BIGINT AS dim,
+                  unnest(CAST(embedding AS DOUBLE[])) AS v
+           FROM embeddings),
+c AS (SELECT label AS clabel, dim, sum(v) / count(*) AS cv
+      FROM x GROUP BY 1, 2),
+cl AS (SELECT clabel, list(cv ORDER BY dim) AS cvec FROM c
+       GROUP BY 1),
+sims AS (SELECT e.vec_id, e.label::BIGINT AS label,
+                cl.clabel::BIGINT AS pred,
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       cvec) AS s
+         FROM embeddings e CROSS JOIN cl),
+best AS (SELECT vec_id, label, pred FROM sims
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, pred) = 1)
+SELECT label, pred AS pred_label, count(*)::BIGINT AS n
+FROM best GROUP BY 1, 2""",
         # replayable hash-seeded walks over the generator-golden edges
         "deterministic_walks": """
 WITH e AS (SELECT DISTINCT src_url AS src, dst_url AS dst

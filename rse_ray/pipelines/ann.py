@@ -1206,3 +1206,70 @@ def hard_negative_mining(ds, query_ids: list[int], k: int = 5,
     return out.sort_values(["query_id", "cos", "neighbor_id"],
                            ascending=[True, False, True]) \
         .reset_index(drop=True)
+
+
+def nearest_centroid_eval(ds, *, round_to: int = 6) -> pa.Table:
+    """Nearest-centroid classifier evaluation (Rocchio): assign every
+    vector to the label whose UNROUNDED mean embedding is most
+    cosine-similar (tie-break: smaller label) and report the confusion
+    matrix — the standard sanity check that an embedding space
+    separates its labels. -> (label, pred_label, n).
+
+    Scale shape: centroids come from per-batch (label, sum-vector, n)
+    partials (one groupby of label-count rows); the tiny
+    labels x dim matrix broadcasts into a stateless classify map that
+    pre-aggregates its confusion counts per batch; ONE final
+    labels^2-sized groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def cpartial(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        labels = batch.column("label").to_numpy()
+        u = np.unique(labels)
+        sums = np.stack([mat[labels == x].sum(axis=0) for x in u])
+        ns = np.array([(labels == x).sum() for x in u],
+                      dtype=np.int64)
+        return pa.table({
+            "label": pa.array(u.astype(np.int64)),
+            "vec": pa.array(list(sums), type=pa.list_(pa.float64())),
+            "n_p": pa.array(ns),
+        })
+
+    parts = ds.map_batches(cpartial, batch_format="pyarrow") \
+        .to_pandas()
+    agg: dict[int, tuple[np.ndarray, int]] = {}
+    for _, r in parts.iterrows():
+        v = np.asarray(r["vec"], dtype=np.float64)
+        lab = int(r["label"])
+        if lab in agg:
+            agg[lab] = (agg[lab][0] + v, agg[lab][1] + int(r["n_p"]))
+        else:
+            agg[lab] = (v, int(r["n_p"]))
+    labels = np.array(sorted(agg), dtype=np.int64)
+    C = np.stack([agg[int(x)][0] / agg[int(x)][1] for x in labels])
+    Cn = _normalize(C)
+    c_ref = ray.put((labels, Cn))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        labs, Cn_l = ray.get(c_ref)
+        ids, mat = _batch_matrix(batch)
+        true = batch.column("label").to_numpy().astype(np.int64)
+        sims = _normalize(mat) @ Cn_l.T
+        # argmax with label-ASC tie-break: reversed argmax of the
+        # reversed row picks the FIRST max
+        pred = labs[np.argmax(sims, axis=1)]
+        t = pa.table({"label": pa.array(true),
+                      "pred_label": pa.array(pred)})
+        g = t.group_by(["label", "pred_label"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"label": g.column("label"),
+                         "pred_label": g.column("pred_label"),
+                         "n_p": g.column("count_all")})
+
+    out = ds.map_batches(classify, batch_format="pyarrow") \
+        .groupby(["label", "pred_label"]) \
+        .aggregate(Sum("n_p", alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out[["label", "pred_label", "n"]],
+                                preserve_index=False)

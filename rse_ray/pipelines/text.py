@@ -3373,3 +3373,98 @@ def rake_phrases(ds, *, stopwords: tuple = RAKE_STOPWORDS,
     return out.sort_values(["score", "phrase"],
                            ascending=[False, True]) \
         .head(top_n).reset_index(drop=True)
+
+
+def bm25_explain(ds, query: str, doc_ids: list[int], *,
+                 k1: float = 1.2, b: float = 0.75,
+                 stem: bool = False):
+    """Lucene-style score EXPLAIN: for each requested doc and each
+    distinct query term, the full BM25 evidence — tf, df, idf =
+    ln(1 + (N - df + 0.5)/(df + 0.5)), and the term's score
+    contribution qtf * idf * tf(k1+1)/(tf + k1(1-b+b*dl/avgdl)) —
+    exactly the per-term breakdown the bm25_scores sum is made of.
+    -> (doc_id, term, qtf, tf, df, idf, term_score), floats rounded
+    to 6 places; (doc, term) pairs with tf = 0 emit no row.
+
+    Scale shape: query-term dfs come from a distributed partial count
+    restricted to the query terms (a handful of (term, partial)
+    rows); corpus N/avgdl are two scalar aggregates; the target docs
+    fetch via the distributed is_in point lookup. The driver only
+    ever assembles |docs| x |terms| rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from rse_ray.functions.tokenizer import tokenize
+
+    qtoks = tokenize(query, stem=stem)
+    qtf = Counter(qtoks)
+    qterms = sorted(qtf)
+    wanted = sorted({int(d) for d in doc_ids})
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_docs = 0
+        n_toks = 0
+        dfs = Counter()
+        for t in batch.column("text").to_pylist():
+            if t is None:
+                continue
+            toks = _tok(t, stem)
+            if not toks:
+                continue
+            n_docs += 1
+            n_toks += len(toks)
+            for w in set(toks) & set(qterms):
+                dfs[w] += 1
+        keys = ["\x00N", "\x00T"] + qterms
+        vals = [n_docs, n_toks] + [dfs.get(w, 0) for w in qterms]
+        return pa.table({"key": pa.array(keys, type=pa.string()),
+                         "v_p": pa.array(vals, type=pa.int64())})
+
+    st = ds.map_batches(stats, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("v_p", alias_name="v")) \
+        .to_pandas().set_index("key")["v"]
+    n = float(st["\x00N"])
+    avgdl = float(st["\x00T"]) / n
+    df_of = {w: float(st.get(w, 0)) for w in qterms}
+
+    def pick(batch: pa.Table) -> pa.Table:
+        vs = pa.array(wanted, type=batch.column("doc_id").type)
+        return batch.filter(pc.is_in(batch.column("doc_id"),
+                                     value_set=vs))
+
+    rows = {"doc_id": [], "term": [], "qtf": [], "tf": [], "df": [],
+            "idf": [], "term_score": []}
+    for bt in ds.map_batches(pick, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for did, txt in zip(bt.column("doc_id").to_pylist(),
+                            bt.column("text").to_pylist()):
+            if txt is None:
+                continue
+            toks = _tok(txt, stem)
+            dl = float(len(toks))
+            tfs = Counter(toks)
+            for w in qterms:
+                tf = float(tfs.get(w, 0))
+                if tf == 0 or df_of[w] == 0:
+                    continue
+                idf = math.log(1 + (n - df_of[w] + 0.5)
+                               / (df_of[w] + 0.5))
+                score = qtf[w] * idf * (tf * (k1 + 1)) \
+                    / (tf + k1 * (1 - b + b * dl / avgdl))
+                rows["doc_id"].append(did)
+                rows["term"].append(w)
+                rows["qtf"].append(qtf[w])
+                rows["tf"].append(int(tf))
+                rows["df"].append(int(df_of[w]))
+                rows["idf"].append(round(idf, 6))
+                rows["term_score"].append(round(score, 6))
+    return pa.table({
+        "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+        "term": pa.array(rows["term"], type=pa.string()),
+        "qtf": pa.array(rows["qtf"], type=pa.int64()),
+        "tf": pa.array(rows["tf"], type=pa.int64()),
+        "df": pa.array(rows["df"], type=pa.int64()),
+        "idf": pa.array(rows["idf"], type=pa.float64()),
+        "term_score": pa.array(rows["term_score"],
+                               type=pa.float64()),
+    })

@@ -4335,3 +4335,53 @@ def test_deterministic_walks(ray_session):
     again = deterministic_walks(ray.data.from_arrow(t), steps=2) \
         .to_pandas().set_index("start_url").sort_index()
     assert got.equals(again)
+
+
+def test_bm25_explain_sums_to_score(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import bm25_explain
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["cat dog cat", "dog mouse", "bird"]),
+    })
+    ds = ray.data.from_arrow(t)
+    exp = bm25_explain(ds, "cat dog", [0, 1, 2]).to_pandas()
+    # doc 2 has no query terms -> no rows
+    assert 2 not in set(exp["doc_id"])
+    r = exp.set_index(["doc_id", "term"])
+    assert r.loc[(0, "cat"), "tf"] == 2
+    assert r.loc[(0, "cat"), "df"] == 1
+    # hand-check: N=3, avgdl=2, idf(cat)=ln(1+2.5/1.5), tf=2, dl=3
+    idf = math.log(1 + 2.5 / 1.5)
+    want = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 2))
+    assert abs(r.loc[(0, "cat"), "term_score"] - round(want, 6)) < 1e-9
+    assert r.loc[(0, "cat"), "idf"] == round(idf, 6)
+    # dog appears in docs 0 and 1 -> df 2 everywhere
+    assert set(r.xs("dog", level="term")["df"]) == {2}
+
+
+def test_nearest_centroid_eval(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.ann import nearest_centroid_eval
+
+    # two tight clusters + one vector planted INSIDE the other cluster
+    vecs = [[1.0, 0.0], [0.98, 0.02], [0.0, 1.0], [0.02, 0.98],
+            [0.01, 0.99]]
+    labels = [1, 1, 2, 2, 1]   # last one mislabeled -> confusion cell
+    t = pa.table({
+        "vec_id": pa.array(list(range(5)), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    })
+    got = nearest_centroid_eval(ray.data.from_arrow(t)).to_pandas()
+    m = {(r["label"], r["pred_label"]): r["n"]
+         for _, r in got.iterrows()}
+    assert m[(1, 1)] == 2 and m[(2, 2)] == 2
+    assert m[(1, 2)] == 1  # the planted stray lands in cluster 2
