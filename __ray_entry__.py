@@ -1502,6 +1502,20 @@ def _q_deterministic_walks(sf_dir: str):
 EXPLAIN_DOC_IDS = [0, 1, 2, 3, 4]
 
 
+def _q_time_rollup_counts(sf_dir: str):
+    from rse_ray.pipelines.relational import time_rollup_counts
+
+    return _finalize(time_rollup_counts(
+        _read(sf_dir, "events", ["ts", "value"])))
+
+
+def _q_benford_prices(sf_dir: str):
+    from rse_ray.pipelines.relational import benford_prices
+
+    return _finalize(benford_prices(
+        _read(sf_dir, "orders", ["o_totalprice"])))
+
+
 def _q_bm25_explain(sf_dir: str):
     from rse_ray.pipelines.text import bm25_explain
 
@@ -3477,6 +3491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_walks": _q_deterministic_walks,
         "bm25_explain": _q_bm25_explain,
         "nearest_centroid_eval": _q_nearest_centroid_eval,
+        "time_rollup_counts": _q_time_rollup_counts,
+        "benford_prices": _q_benford_prices,
         "daily_anomalies": _q_daily_anomalies,
         "hard_negatives": _q_hard_negatives,
         "conversion_latency": _q_conversion_latency,
@@ -4505,6 +4521,29 @@ dd AS (SELECT phrase, round(raw, 6) AS score,
        FROM pscore)
 SELECT phrase, score FROM dd WHERE rn = 1
 ORDER BY score DESC, phrase LIMIT 15""",
+        "time_rollup_counts": """
+WITH b AS (SELECT strftime(ts, '%Y-%m') AS month,
+                  strftime(ts, '%Y-%m-%d') AS day, value
+           FROM events),
+r AS (SELECT coalesce(month, 'ALL') AS month,
+             CASE WHEN grouping(day) = 1 THEN 'ALL' ELSE day END
+               AS day,
+             count(*)::BIGINT AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM b GROUP BY ROLLUP (month, day))
+SELECT CASE WHEN month IS NULL THEN 'ALL' ELSE month END AS month,
+       day, n_events, sum_value
+FROM r""",
+        "benford_prices": """
+WITH v AS (SELECT floor(o_totalprice)::BIGINT AS ip FROM orders
+           WHERE o_totalprice >= 1),
+d AS (SELECT CAST(substr(CAST(ip AS VARCHAR), 1, 1) AS BIGINT)
+        AS digit FROM v),
+c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n)::DOUBLE AS nt FROM c)
+SELECT c.digit, c.n, round(c.n / t.nt, 6) AS frac,
+       round(log10(1.0 + 1.0 / c.digit), 6) AS benford
+FROM c CROSS JOIN t""",
         # the per-term breakdown bm25_scores sums — same CTE formula
         "bm25_explain": _TOKS + """,
 p AS (SELECT term, doc_id, count(*)::BIGINT AS tf

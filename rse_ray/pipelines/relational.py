@@ -4111,3 +4111,85 @@ def daily_anomalies(events_ds, *, group: str = "event_type",
                              "zscore": []})
     return pd.concat(out, ignore_index=True)[
         [group, "day", "n", "zscore"]]
+
+
+def time_rollup_counts(events_ds, *, ts_col: str = "ts",
+                       val: str = "value"):
+    """GROUP BY ROLLUP over the TIME hierarchy (month, day): event
+    counts + value sums at (month, day), (month, ALL) and (ALL, ALL)
+    — the calendar cube every BI layer asks of an event stream. Same
+    contract as rollup_counts ('ALL' sentinel, ONE fine-grain
+    shuffle, coarser grains derived from the |days|-sized aggregate
+    on the driver); sums rounded to 2 places (double values).
+    -> (month, day, n_events, sum_value)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column(ts_col).to_numpy()
+        day = d.astype("datetime64[D]").astype(str)
+        month = d.astype("datetime64[M]").astype(str)
+        g = pa.table({
+            "month": pa.array(month, type=pa.string()),
+            "day": pa.array(day, type=pa.string()),
+            "v": batch.column(val),
+        }).group_by(["month", "day"]).aggregate(
+            [([], "count_all"), ("v", "sum")])
+        return pa.table({"month": g.column("month"),
+                         "day": g.column("day"),
+                         "n_p": g.column("count_all"),
+                         "v_p": g.column("v_sum")})
+
+    fine = events_ds.select_columns([ts_col, val]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["month", "day"]) \
+        .aggregate(Sum("n_p", alias_name="n_events"),
+                   Sum("v_p", alias_name="sum_value")).to_pandas()
+    fine["n_events"] = fine["n_events"].astype(np.int64)
+    lvl1 = fine.groupby("month", as_index=False)[
+        ["n_events", "sum_value"]].sum()
+    lvl1["day"] = "ALL"
+    total = pd.DataFrame({
+        "month": ["ALL"], "day": ["ALL"],
+        "n_events": [fine["n_events"].sum()],
+        "sum_value": [fine["sum_value"].sum()],
+    })
+    out = pd.concat([fine, lvl1, total], ignore_index=True)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(2)
+    return out[["month", "day", "n_events", "sum_value"]]
+
+
+def benford_prices(orders_ds, *, col: str = "o_totalprice"):
+    """Benford's-law first-digit audit (the classic fabricated-data
+    screen): distribution of the leading digit of the integer part of
+    ``col`` (values < 1 drop) next to the Benford expectation
+    log10(1 + 1/d). -> (digit, n, frac, benford), fractions rounded
+    to 6 places.
+
+    Scale shape: per-batch digit counts (ONE 9-row partial per
+    batch), one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy()
+        v = v[v >= 1.0]
+        ip = np.floor(v).astype(np.int64).astype(str)
+        first = np.array([s[0] for s in ip], dtype=object) \
+            if len(ip) else np.array([], dtype=object)
+        d, c = np.unique(first.astype(np.int64)
+                         if len(first) else
+                         np.array([], dtype=np.int64),
+                         return_counts=True)
+        return pa.table({"digit": pa.array(d, type=pa.int64()),
+                         "n_p": pa.array(c, type=pa.int64())})
+
+    agg = orders_ds.select_columns([col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("digit").aggregate(Sum("n_p", alias_name="n")) \
+        .to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    nt = float(agg["n"].sum())
+    agg["frac"] = np.round(agg["n"].to_numpy() / nt, 6)
+    agg["benford"] = np.round(
+        np.log10(1.0 + 1.0 / agg["digit"].to_numpy()), 6)
+    return agg[["digit", "n", "frac", "benford"]]

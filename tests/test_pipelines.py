@@ -4385,3 +4385,35 @@ def test_nearest_centroid_eval(ray_session):
          for _, r in got.iterrows()}
     assert m[(1, 1)] == 2 and m[(2, 2)] == 2
     assert m[(1, 2)] == 1  # the planted stray lands in cluster 2
+
+
+def test_time_rollup_and_benford(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import (benford_prices,
+                                              time_rollup_counts)
+
+    base = np.datetime64("2024-01-31T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    e = pa.table({
+        "ts": pa.array([base, base, base + day],
+                       type=pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0]),
+    })
+    got = time_rollup_counts(ray.data.from_arrow(e))
+    r = {(x["month"], x["day"]): (x["n_events"], x["sum_value"])
+         for _, x in got.iterrows()}
+    assert r[("2024-01", "2024-01-31")] == (2, 3.0)
+    assert r[("2024-02", "2024-02-01")] == (1, 4.0)
+    assert r[("2024-01", "ALL")] == (2, 3.0)
+    assert r[("ALL", "ALL")] == (3, 7.0)
+
+    o = pa.table({"o_totalprice": pa.array(
+        [1.5, 19.0, 150.0, 0.5, 92.0, 110.0])})
+    b = benford_prices(ray.data.from_arrow(o)).set_index("digit")
+    # digits: 1 (x4: 1.5, 19, 150, 110), 9 (92); 0.5 drops
+    assert b.loc[1, "n"] == 4 and b.loc[9, "n"] == 1
+    assert b.loc[1, "frac"] == 0.8
+    assert b.loc[1, "benford"] == round(np.log10(2.0), 6)
