@@ -1516,6 +1516,50 @@ def _q_benford_prices(sf_dir: str):
         _read(sf_dir, "orders", ["o_totalprice"])))
 
 
+def _q_returned_item_revenue(sf_dir: str):
+    from rse_ray.pipelines.relational import returned_item_revenue
+
+    return _finalize(returned_item_revenue(
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]),
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount",
+               "l_returnflag"]),
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"])))
+
+
+def _q_promo_revenue(sf_dir: str):
+    from rse_ray.pipelines.relational import promo_revenue
+
+    return _finalize(promo_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]),
+        _read(sf_dir, "part", ["p_partkey", "p_type"])))
+
+
+def _q_discounted_revenue(sf_dir: str):
+    from rse_ray.pipelines.relational import discounted_revenue
+
+    return _finalize(discounted_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice",
+               "l_discount"]),
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])))
+
+
+def _q_top_supplier_revenue(sf_dir: str):
+    from rse_ray.pipelines.relational import top_supplier_revenue
+
+    return _finalize(top_supplier_revenue(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])))
+
+
 def _q_bm25_explain(sf_dir: str):
     from rse_ray.pipelines.text import bm25_explain
 
@@ -3493,6 +3537,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_centroid_eval": _q_nearest_centroid_eval,
         "time_rollup_counts": _q_time_rollup_counts,
         "benford_prices": _q_benford_prices,
+        "returned_item_revenue": _q_returned_item_revenue,
+        "promo_revenue": _q_promo_revenue,
+        "discounted_revenue": _q_discounted_revenue,
+        "top_supplier_revenue": _q_top_supplier_revenue,
         "daily_anomalies": _q_daily_anomalies,
         "hard_negatives": _q_hard_negatives,
         "conversion_latency": _q_conversion_latency,
@@ -4544,6 +4592,86 @@ t AS (SELECT sum(n)::DOUBLE AS nt FROM c)
 SELECT c.digit, c.n, round(c.n / t.nt, 6) AS frac,
        round(log10(1.0 + 1.0 / c.digit), 6) AS benford
 FROM c CROSS JOIN t""",
+        # TPC-H Q10 shape; revenue rounded BEFORE the ordering cut so
+        # both engines cut the same top-20 set (ties on c_custkey)
+        "returned_item_revenue": """
+WITH a AS (
+  SELECT o.o_custkey AS c_custkey,
+         round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+           AS revenue
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT a.c_custkey::BIGINT AS c_custkey, c.c_name, a.revenue,
+       c.c_acctbal, n.n_name
+FROM a
+JOIN customer c ON c.c_custkey = a.c_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY a.revenue DESC, a.c_custkey
+LIMIT 20""",
+        # TPC-H Q14 shape over one ship-date month
+        "promo_revenue": """
+WITH w AS (SELECT l_partkey,
+                  l_extendedprice * (1.0 - l_discount) AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+             AND l_shipdate < TIMESTAMP '1996-10-01'),
+j AS (SELECT w.rev, (p.p_type = 'PROMO') AS is_promo
+      FROM w JOIN part p ON p.p_partkey = w.l_partkey)
+SELECT round(100.0 * coalesce(sum(rev) FILTER (WHERE is_promo),
+                              0.0) / sum(rev), 6) AS promo_pct,
+       round(coalesce(sum(rev) FILTER (WHERE is_promo), 0.0), 2)
+         AS promo_revenue,
+       round(sum(rev), 2) AS total_revenue
+FROM j""",
+        # TPC-H Q19 shape: three brand/size/quantity arms + the
+        # disjunction total under arm = -1 (arms always emit, 0s kept)
+        "discounted_revenue": """
+WITH j AS (SELECT l.l_quantity AS qty,
+                  l.l_extendedprice * (1.0 - l.l_discount) AS rev,
+                  p.p_brand AS brand, p.p_size AS size
+           FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey),
+u AS (SELECT rev,
+        (brand = 'Brand#12' AND size BETWEEN 1 AND 5
+         AND qty BETWEEN 1 AND 11) AS m0,
+        (brand = 'Brand#23' AND size BETWEEN 1 AND 10
+         AND qty BETWEEN 10 AND 20) AS m1,
+        (brand = 'Brand#24' AND size BETWEEN 1 AND 15
+         AND qty BETWEEN 20 AND 30) AS m2
+      FROM j)
+SELECT 0::BIGINT AS arm,
+       count(*) FILTER (WHERE m0)::BIGINT AS n_items,
+       round(coalesce(sum(rev) FILTER (WHERE m0), 0.0), 2)
+         AS revenue FROM u
+UNION ALL
+SELECT 1::BIGINT, count(*) FILTER (WHERE m1)::BIGINT,
+       round(coalesce(sum(rev) FILTER (WHERE m1), 0.0), 2) FROM u
+UNION ALL
+SELECT 2::BIGINT, count(*) FILTER (WHERE m2)::BIGINT,
+       round(coalesce(sum(rev) FILTER (WHERE m2), 0.0), 2) FROM u
+UNION ALL
+SELECT -1::BIGINT, count(*) FILTER (WHERE m0 OR m1 OR m2)::BIGINT,
+       round(coalesce(sum(rev) FILTER (WHERE m0 OR m1 OR m2), 0.0),
+             2) FROM u""",
+        # TPC-H Q15 shape: max-revenue supplier(s), ties surface;
+        # revenue rounded BEFORE the max comparison on both engines
+        "top_supplier_revenue": """
+WITH r AS (SELECT l_suppkey AS s_suppkey,
+                  round(sum(l_extendedprice * (1.0 - l_discount)),
+                        2) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1),
+m AS (SELECT max(total_revenue) AS best FROM r)
+SELECT r.s_suppkey::BIGINT AS s_suppkey, s.s_name,
+       r.total_revenue
+FROM r JOIN m ON r.total_revenue = m.best
+JOIN supplier s ON s.s_suppkey = r.s_suppkey
+ORDER BY r.s_suppkey""",
         # the per-term breakdown bm25_scores sums — same CTE formula
         "bm25_explain": _TOKS + """,
 p AS (SELECT term, doc_id, count(*)::BIGINT AS tf

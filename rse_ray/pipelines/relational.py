@@ -4193,3 +4193,299 @@ def benford_prices(orders_ds, *, col: str = "o_totalprice"):
     agg["benford"] = np.round(
         np.log10(1.0 + 1.0 / agg["digit"].to_numpy()), 6)
     return agg[["digit", "n", "frac", "benford"]]
+
+
+def returned_item_revenue(customer_ds, orders_ds, lineitem_ds,
+                          nation_ds, *,
+                          date_lo: str = "1996-01-01",
+                          date_hi: str = "1996-04-01",
+                          k: int = 20):
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    lineitems with l_returnflag = 'R' whose order falls in one
+    quarter, revenue summed per customer, top-``k`` customers with
+    name / account balance / nation attached. -> (c_custkey, c_name,
+    revenue, c_acctbal, n_name), revenue rounded to 2 places AFTER
+    aggregation and BEFORE the ordering cut (ties break on
+    c_custkey asc), so both engines cut the same set.
+
+    Scale shape: orders filter to one quarter at the scan, ONE
+    co-partitioned hash join attaches o_custkey to the returned
+    lineitems, revenue pre-aggregates per batch per custkey before
+    the small groupby; the customer attribute attach joins only the
+    per-customer AGGREGATE (|customers-with-returns| rows, not
+    lineitems); nation is a broadcast dict. The top-k cut runs
+    distributed (Dataset.sort().limit())."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+
+    nat = nation_ds.to_pandas()
+    nation_name = {int(a): b for a, b in zip(nat["n_nationkey"],
+                                             nat["n_name"])}
+    nat_ref = ray.put(nation_name)
+
+    orders = orders_ds.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(b.column("o_orderdate"), pa.scalar(hi))))
+        .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    li = lineitem_ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("l_returnflag"),
+                                    pa.scalar("R")))
+        .select(["l_orderkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow")
+    j = hash_join(li, orders, left_on="l_orderkey",
+                  right_on="o_orderkey", right_cols=["o_custkey"],
+                  how="inner", num_parts=P)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"c_custkey": pa.array([], type=pa.int64()),
+                          "rev_p": pa.array([], type=pa.float64())})
+        if "o_custkey" not in batch.column_names \
+                or batch.num_rows == 0:
+            return empty
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        g = pa.table({"c_custkey": pc.cast(batch.column("o_custkey"),
+                                           pa.int64()),
+                      "rev": rev}) \
+            .group_by(["c_custkey"]).aggregate([("rev", "sum")])
+        return pa.table({"c_custkey": g.column("c_custkey"),
+                         "rev_p": g.column("rev_sum")})
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("rev_p",
+                                            alias_name="revenue"))
+    agg = agg.map_batches(
+        lambda b: pa.table({"c_custkey": b.column("c_custkey"),
+                            "revenue": _round_np(b.column("revenue"),
+                                                 2)}),
+        batch_format="pyarrow")
+    cust = customer_ds.select_columns(
+        ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    out = hash_join(agg, cust, left_on="c_custkey",
+                    right_on="c_custkey",
+                    right_cols=["c_name", "c_acctbal", "c_nationkey"],
+                    how="inner", num_parts=max(1, P // 4))
+    top = out.sort(["revenue", "c_custkey"],
+                   descending=[True, False]).limit(k).to_pandas()
+
+    nn = nation_name
+    top["n_name"] = top["c_nationkey"].map(
+        lambda x: nn.get(int(x), ""))
+    del nat_ref
+    top["c_custkey"] = top["c_custkey"].astype(np.int64)
+    return top[["c_custkey", "c_name", "revenue", "c_acctbal",
+                "n_name"]]
+
+
+def promo_revenue(lineitem_ds, part_ds, *,
+                  date_lo: str = "1996-09-01",
+                  date_hi: str = "1996-10-01"):
+    """TPC-H Q14 shape: share of one month's revenue that came from
+    promotional parts. -> ONE row (promo_pct, promo_revenue,
+    total_revenue); pct rounded to 6, money to 2.
+
+    Scale shape: part is the dimension side — its partkey->is_promo
+    flag broadcasts ONCE as a dense numpy bool array (ray.put), each
+    lineitem batch filters the ship-date window at the scan and
+    accumulates two doubles; the reduce is a 2-number sum. No
+    shuffle at all."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    pt = part_ds.select_columns(["p_partkey", "p_type"]).to_pandas()
+    keys = pt["p_partkey"].to_numpy().astype(np.int64)
+    promo = np.zeros(int(keys.max()) + 1, dtype=bool)
+    promo[keys] = (pt["p_type"] == "PROMO").to_numpy()
+    promo_ref = ray.put(promo)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").to_numpy()
+        keep = (sd >= lo) & (sd < hi)
+        t = batch.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], type=pa.int64()),
+                             "promo_p": pa.array([],
+                                                 type=pa.float64()),
+                             "total_p": pa.array([],
+                                                 type=pa.float64())})
+        flag = ray.get(promo_ref)
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        is_promo = np.zeros(len(pk), dtype=bool)
+        in_range = pk < len(flag)
+        is_promo[in_range] = flag[pk[in_range]]
+        rev = (t.column("l_extendedprice").to_numpy()
+               * (1.0 - t.column("l_discount").to_numpy()))
+        return pa.table({
+            "g": pa.array([0], type=pa.int64()),
+            "promo_p": pa.array([float(rev[is_promo].sum())]),
+            "total_p": pa.array([float(rev.sum())]),
+        })
+
+    agg = lineitem_ds.select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount",
+         "l_shipdate"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("g").aggregate(Sum("promo_p", alias_name="promo"),
+                                Sum("total_p", alias_name="total")) \
+        .to_pandas()
+    pr = float(agg["promo"].iloc[0]) if len(agg) else 0.0
+    tr = float(agg["total"].iloc[0]) if len(agg) else 0.0
+    return pd.DataFrame({
+        "promo_pct": [round(100.0 * pr / tr, 6) if tr else 0.0],
+        "promo_revenue": [round(pr, 2)],
+        "total_revenue": [round(tr, 2)],
+    })
+
+
+DISCOUNT_ARMS = (
+    {"brand": "Brand#12", "size_hi": 5, "qty_lo": 1, "qty_hi": 11},
+    {"brand": "Brand#23", "size_hi": 10, "qty_lo": 10, "qty_hi": 20},
+    {"brand": "Brand#24", "size_hi": 15, "qty_lo": 20, "qty_hi": 30},
+)
+
+
+def discounted_revenue(lineitem_ds, part_ds, *, arms=DISCOUNT_ARMS):
+    """TPC-H Q19 shape (adapted to this schema's columns): revenue
+    from lineitems matching ANY of three brand/size/quantity arms —
+    arm i keeps rows where part.p_brand = brand_i, 1 <= p_size <=
+    size_hi_i and qty_lo_i <= l_quantity <= qty_hi_i. -> one row per
+    arm (arm, n_items, revenue) + the disjunction total under arm =
+    -1, money rounded to 2.
+
+    Scale shape: part attributes broadcast once as dense numpy
+    arrays (brand code int8 + size int32 indexed by partkey); every
+    arm evaluates vectorized inside the same single pass over
+    lineitem; the reduce is a |arms|+1-row groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    pt = part_ds.select_columns(
+        ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    keys = pt["p_partkey"].to_numpy().astype(np.int64)
+    n = int(keys.max()) + 1
+    brand_names = sorted(set(a["brand"] for a in arms))
+    brand_code = {b: i for i, b in enumerate(brand_names)}
+    codes = np.full(n, -1, dtype=np.int8)
+    codes[keys] = pt["p_brand"].map(
+        lambda b: brand_code.get(b, -1)).to_numpy().astype(np.int8)
+    sizes = np.zeros(n, dtype=np.int32)
+    sizes[keys] = pt["p_size"].to_numpy().astype(np.int32)
+    ref = ray.put((codes, sizes))
+    arm_specs = [(brand_code[a["brand"]], int(a["size_hi"]),
+                  float(a["qty_lo"]), float(a["qty_hi"]))
+                 for a in arms]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codes_a, sizes_a = ray.get(ref)
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        qty = batch.column("l_quantity").to_numpy()
+        rev = (batch.column("l_extendedprice").to_numpy()
+               * (1.0 - batch.column("l_discount").to_numpy()))
+        ok = pk < len(codes_a)
+        bc = np.where(ok, codes_a[np.minimum(pk, len(codes_a) - 1)],
+                      -1)
+        sz = np.where(ok, sizes_a[np.minimum(pk, len(sizes_a) - 1)],
+                      0)
+        o_arm, o_n, o_rev = [], [], []
+        any_mask = np.zeros(len(pk), dtype=bool)
+        for i, (code, size_hi, qlo, qhi) in enumerate(arm_specs):
+            m = ((bc == code) & (sz >= 1) & (sz <= size_hi)
+                 & (qty >= qlo) & (qty <= qhi))
+            any_mask |= m
+            o_arm.append(i)
+            o_n.append(int(m.sum()))
+            o_rev.append(float(rev[m].sum()))
+        o_arm.append(-1)
+        o_n.append(int(any_mask.sum()))
+        o_rev.append(float(rev[any_mask].sum()))
+        return pa.table({"arm": pa.array(o_arm, type=pa.int64()),
+                         "n_p": pa.array(o_n, type=pa.int64()),
+                         "rev_p": pa.array(o_rev,
+                                           type=pa.float64())})
+
+    agg = lineitem_ds.select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice",
+         "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("arm").aggregate(Sum("n_p", alias_name="n_items"),
+                                  Sum("rev_p", alias_name="revenue"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "arm": b.column("arm"),
+            "n_items": pc.cast(b.column("n_items"), pa.int64()),
+            "revenue": _round_np(b.column("revenue"), 2),
+        }), batch_format="pyarrow")
+
+
+def top_supplier_revenue(lineitem_ds, supplier_ds, *,
+                         date_lo: str = "1997-01-01",
+                         date_hi: str = "1997-04-01"):
+    """TPC-H Q15 shape: the supplier(s) with the MAXIMUM revenue over
+    one quarter — ties all surface, like the spec's correlated
+    max-subquery. -> (s_suppkey, s_name, total_revenue) rounded to 2
+    places BEFORE the max comparison so both engines agree on ties.
+
+    Scale shape: revenue pre-aggregates per batch per suppkey (ONE
+    supplier-cardinality groupby — suppliers are a dimension);
+    the max/tie cut runs on the dimension-sized aggregate; names
+    attach from the supplier table collected once."""
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").to_numpy()
+        t = batch.filter(pa.array((sd >= lo) & (sd < hi)))
+        if t.num_rows == 0:
+            return pa.table({"s_suppkey": pa.array([],
+                                                   type=pa.int64()),
+                             "rev_p": pa.array([],
+                                               type=pa.float64())})
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        g = pa.table({"s_suppkey": pc.cast(t.column("l_suppkey"),
+                                           pa.int64()),
+                      "rev": rev}) \
+            .group_by(["s_suppkey"]).aggregate([("rev", "sum")])
+        return pa.table({"s_suppkey": g.column("s_suppkey"),
+                         "rev_p": g.column("rev_sum")})
+
+    agg = lineitem_ds.select_columns(
+        ["l_suppkey", "l_extendedprice", "l_discount",
+         "l_shipdate"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("s_suppkey") \
+        .aggregate(Sum("rev_p", alias_name="total_revenue")) \
+        .to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([],
+                                                    dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_revenue": pd.Series(
+                                 [], dtype=np.float64)})
+    agg["total_revenue"] = agg["total_revenue"].round(2)
+    best = agg["total_revenue"].max()
+    top = agg[agg["total_revenue"] == best].copy()
+    sup = supplier_ds.select_columns(
+        ["s_suppkey", "s_name"]).to_pandas()
+    names = {int(a): b for a, b in zip(sup["s_suppkey"],
+                                       sup["s_name"])}
+    top["s_suppkey"] = top["s_suppkey"].astype(np.int64)
+    top["s_name"] = top["s_suppkey"].map(
+        lambda x: names.get(int(x), ""))
+    return top.sort_values("s_suppkey")[
+        ["s_suppkey", "s_name", "total_revenue"]]

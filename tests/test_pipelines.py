@@ -4417,3 +4417,93 @@ def test_time_rollup_and_benford(ray_session):
     assert b.loc[1, "n"] == 4 and b.loc[9, "n"] == 1
     assert b.loc[1, "frac"] == 0.8
     assert b.loc[1, "benford"] == round(np.log10(2.0), 6)
+
+
+def test_tpch_q10_q14_q19_q15_shapes(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import (discounted_revenue,
+                                              promo_revenue,
+                                              returned_item_revenue,
+                                              top_supplier_revenue)
+
+    ts = lambda s: np.datetime64(s, "us")  # noqa: E731
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "l_partkey": pa.array([10, 11, 10, 12], type=pa.int64()),
+        "l_suppkey": pa.array([5, 6, 5, 6], type=pa.int64()),
+        "l_quantity": pa.array([3.0, 15.0, 25.0, 40.0]),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0, 50.0]),
+        "l_discount": pa.array([0.0, 0.1, 0.0, 0.5]),
+        "l_returnflag": pa.array(["R", "N", "R", "R"]),
+        "l_shipdate": pa.array([ts("1996-09-10"), ts("1996-09-20"),
+                                ts("1997-02-01"), ts("1997-03-01")],
+                               type=pa.timestamp("us")),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "o_custkey": pa.array([7, 8, 7], type=pa.int64()),
+        "o_orderdate": pa.array(
+            [ts("1996-02-01"), ts("1996-03-01"), ts("1995-01-01")],
+            type=pa.timestamp("us")),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([7, 8], type=pa.int64()),
+        "c_name": pa.array(["Customer#7", "Customer#8"]),
+        "c_acctbal": pa.array([12.5, -3.0]),
+        "c_nationkey": pa.array([0, 1], type=pa.int64()),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_name": pa.array(["ALGERIA", "BRAZIL"]),
+    })
+    part = pa.table({
+        "p_partkey": pa.array([10, 11, 12], type=pa.int64()),
+        "p_type": pa.array(["PROMO", "LARGE", "PROMO"]),
+        "p_brand": pa.array(["Brand#12", "Brand#23", "Brand#24"]),
+        "p_size": pa.array([3, 8, 12], type=pa.int32()),
+    })
+    sup = pa.table({
+        "s_suppkey": pa.array([5, 6], type=pa.int64()),
+        "s_name": pa.array(["Supplier#5", "Supplier#6"]),
+    })
+    D = ray.data.from_arrow
+
+    # Q10: orders 1 and 2 are in-window; returned items are rows
+    # 0 (order 1, cust 7, rev 100) and 2 (order 2, cust 8, rev 300);
+    # order 3's 'R' row is out-of-window.
+    q10 = returned_item_revenue(D(cust), D(orders), D(li), D(nation))
+    got = {r["c_custkey"]: (r["revenue"], r["n_name"])
+           for _, r in q10.iterrows()}
+    assert got == {7: (100.0, "ALGERIA"), 8: (300.0, "BRAZIL")}
+
+    # Q14: Sep-1996 rows are 0 (part 10, PROMO, 100) and 1 (part 11,
+    # not promo, 180) -> pct = 100*100/280.
+    q14 = promo_revenue(D(li), D(part))
+    assert q14["promo_revenue"].iloc[0] == 100.0
+    assert q14["total_revenue"].iloc[0] == 280.0
+    assert q14["promo_pct"].iloc[0] == round(100.0 * 100 / 280, 6)
+
+    # Q19: arm 0 = Brand#12/size<=5/qty 1-11 -> row 0 (rev 100);
+    # arm 1 = Brand#23/size<=10/qty 10-20 -> row 1 (rev 180);
+    # arm 2 = Brand#24/size<=15/qty 20-30 -> row 3 fails (qty 40),
+    # row 2 is Brand#12 (qty 25 out of arm 0's range) -> empty.
+    q19 = discounted_revenue(D(li), D(part)).to_pandas() \
+        .set_index("arm")
+    assert (q19.loc[0, "n_items"], q19.loc[0, "revenue"]) == (1,
+                                                              100.0)
+    assert (q19.loc[1, "n_items"], q19.loc[1, "revenue"]) == (1,
+                                                              180.0)
+    assert (q19.loc[2, "n_items"], q19.loc[2, "revenue"]) == (0, 0.0)
+    assert (q19.loc[-1, "n_items"],
+            q19.loc[-1, "revenue"]) == (2, 280.0)
+
+    # Q15: Q1-1997 revenue — supplier 5 ships 300 (row 2), supplier 6
+    # ships 25 (row 3, 50% discount) -> supplier 5 wins alone.
+    q15 = top_supplier_revenue(D(li), D(sup))
+    assert len(q15) == 1
+    assert q15["s_suppkey"].iloc[0] == 5
+    assert q15["s_name"].iloc[0] == "Supplier#5"
+    assert q15["total_revenue"].iloc[0] == 300.0
