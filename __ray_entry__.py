@@ -1550,6 +1550,35 @@ def _q_discounted_revenue(sf_dir: str):
         _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])))
 
 
+def _q_host_pagerank(sf_dir: str):
+    from rse_ray.pipelines.linkgraph import host_pagerank
+
+    return _finalize(host_pagerank(_extracted_links(),
+                                   iters=PAGERANK_ITERS,
+                                   damping=PAGERANK_DAMPING))
+
+
+def _q_readability_scores(sf_dir: str):
+    from rse_ray.pipelines.text import readability_scores
+
+    return _finalize(readability_scores(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _q_source_lang_entropy(sf_dir: str):
+    from rse_ray.pipelines.relational import source_lang_entropy
+
+    return _finalize(source_lang_entropy(
+        _read(sf_dir, "documents", ["source", "lang"])))
+
+
+def _q_cusum_drift(sf_dir: str):
+    from rse_ray.pipelines.relational import cusum_drift
+
+    return _finalize(cusum_drift(
+        _read(sf_dir, "events", ["event_type", "ts"])))
+
+
 def _q_top_supplier_revenue(sf_dir: str):
     from rse_ray.pipelines.relational import top_supplier_revenue
 
@@ -2671,15 +2700,21 @@ def _q_crawl_depth(sf_dir: str):
                                  max_depth=CRAWL_MAX_DEPTH))
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(edges_cte: str | None = None,
+                  out_col: str = "url") -> str:
     """Unrolled power-iteration twin over the generator's golden links
     (DuckDB recursive CTEs disallow aggregates in the recursive term,
-    so the fixed iteration count is expanded as chained CTEs)."""
+    so the fixed iteration count is expanded as chained CTEs).
+    ``edges_cte`` overrides the edge-table SQL (must end in a CTE
+    named ``edges`` with columns src, dst) — host_pagerank passes the
+    host-collapsed form; ``out_col`` renames the node column."""
     links = os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
     d = PAGERANK_DAMPING
-    parts = [f"""
+    default_edges = f"""
 WITH edges AS (SELECT src_url AS src, dst_url AS dst
-               FROM read_parquet('{links}')),
+               FROM read_parquet('{links}')),"""
+    parts = [(edges_cte if edges_cte is not None else default_edges)
+             + """
 nodes AS (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
 nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
 deg AS (SELECT src, count(*)::DOUBLE AS odeg FROM edges GROUP BY 1),
@@ -2696,8 +2731,31 @@ r{k} AS (SELECT n.url,
          FROM nodes n LEFT JOIN c{k} c ON n.url = c.dst
          CROSS JOIN nn CROSS JOIN t{k})""")
     parts.append(
-        f"\nSELECT url, round(rank, 6) AS rank FROM r{PAGERANK_ITERS}")
+        f"\nSELECT url AS {out_col}, round(rank, 6) AS rank "
+        f"FROM r{PAGERANK_ITERS}")
     return "".join(parts)
+
+
+def _host_pagerank_sql() -> str:
+    """host_pagerank twin: the same unrolled power iteration over the
+    host-collapsed edge table (lower authority, strip userinfo/:port,
+    drop self-loops, DISTINCT) — RE2 patterns shared with
+    rse_ray.pipelines.linkgraph.host_edges."""
+    links = os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+    strip = ("regexp_replace(regexp_replace({c}, '^[^@]*@', ''), "
+             "':[0-9]+$', '')")
+    edges = f"""
+WITH pl AS (SELECT
+    lower(regexp_extract(src_url,
+          '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/]+)', 1)) AS sh,
+    lower(regexp_extract(dst_url,
+          '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/]+)', 1)) AS dh
+  FROM read_parquet('{links}')),
+st AS (SELECT {strip.format(c='sh')} AS src,
+              {strip.format(c='dh')} AS dst
+       FROM pl WHERE sh <> '' AND dh <> ''),
+edges AS (SELECT DISTINCT src, dst FROM st WHERE src <> dst),"""
+    return _pagerank_sql(edges_cte=edges, out_col="host")
 
 
 def _q_pagerank_personalized(sf_dir: str):
@@ -3541,6 +3599,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "discounted_revenue": _q_discounted_revenue,
         "top_supplier_revenue": _q_top_supplier_revenue,
+        "host_pagerank": _q_host_pagerank,
+        "readability_scores": _q_readability_scores,
+        "source_lang_entropy": _q_source_lang_entropy,
+        "cusum_drift": _q_cusum_drift,
         "daily_anomalies": _q_daily_anomalies,
         "hard_negatives": _q_hard_negatives,
         "conversion_latency": _q_conversion_latency,
@@ -4592,6 +4654,54 @@ t AS (SELECT sum(n)::DOUBLE AS nt FROM c)
 SELECT c.digit, c.n, round(c.n / t.nt, 6) AS frac,
        round(log10(1.0 + 1.0 / c.digit), 6) AS benford
 FROM c CROSS JOIN t""",
+        # three vectorized RE2 counts; the vowel-group syllable
+        # estimator and max(1, sentence runs) are part of the contract
+        "readability_scores": """
+WITH c AS (SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z]+'))::DOUBLE AS w,
+    len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::DOUBLE AS s,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE
+      AS sent
+  FROM documents)
+SELECT doc_id, w::BIGINT AS n_words, s::BIGINT AS n_syllables,
+       sent::BIGINT AS n_sentences,
+       CASE WHEN w > 0
+            THEN round(206.835 - 1.015*(w/sent) - 84.6*(s/w), 4)
+            ELSE 0.0 END AS flesch
+FROM c""",
+        "source_lang_entropy": """
+WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT source, sum(n)::BIGINT AS n_docs,
+             count(*)::BIGINT AS n_langs FROM c GROUP BY 1),
+e AS (SELECT c.source,
+             sum(-(c.n::DOUBLE / t.n_docs)
+                 * log2(c.n::DOUBLE / t.n_docs)) AS ent
+      FROM c JOIN t USING (source) GROUP BY 1),
+top AS (SELECT source, lang AS top_lang FROM c
+        QUALIFY row_number() OVER (PARTITION BY source
+                                   ORDER BY n DESC, lang) = 1)
+SELECT t.source, t.n_docs, t.n_langs, top.top_lang,
+       round(e.ent, 6) AS entropy
+FROM t JOIN e USING (source) JOIN top USING (source)""",
+        # |cusum| rounded to 6 BEFORE the argmax; remaining ties
+        # break day-asc — both engines cut identically
+        "cusum_drift": """
+WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, avg(n::DOUBLE) AS mu,
+             count(*)::BIGINT AS n_days FROM d GROUP BY 1),
+c AS (SELECT d.event_type, d.day,
+             round(abs(sum(d.n - m.mu) OVER (
+                 PARTITION BY d.event_type ORDER BY d.day)), 6)
+               AS a
+      FROM d JOIN m USING (event_type))
+SELECT c.event_type, m.n_days, c.a AS max_abs_cusum,
+       c.day AS peak_day
+FROM c JOIN m USING (event_type)
+QUALIFY row_number() OVER (PARTITION BY c.event_type
+                           ORDER BY c.a DESC, c.day) = 1""",
         # TPC-H Q10 shape; revenue rounded BEFORE the ordering cut so
         # both engines cut the same top-20 set (ties on c_custkey)
         "returned_item_revenue": """
@@ -6359,6 +6469,7 @@ FROM read_parquet('{pages}') GROUP BY 1""".format(
             pages=os.path.join(LINKGRAPH_DIR, "pages_*.parquet")),
         "reference_rank": _reference_rank_sql(),
         "pagerank": _pagerank_sql(),
+        "host_pagerank": _host_pagerank_sql(),
         "hits_scores": _hits_sql(),
         "pagerank_personalized": _ppr_sql(),
         "related_pages": _related_pages_sql(),

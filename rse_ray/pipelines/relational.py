@@ -4489,3 +4489,83 @@ def top_supplier_revenue(lineitem_ds, supplier_ds, *,
         lambda x: names.get(int(x), ""))
     return top.sort_values("s_suppkey")[
         ["s_suppkey", "s_name", "total_revenue"]]
+
+
+def source_lang_entropy(documents_ds):
+    """Per-source language-mix audit: Shannon entropy (bits) of the
+    lang distribution, the dominant lang (ties break lang-asc), and
+    the lang count — the table a multilingual-corpus curator reads to
+    spot mislabeled or mixed sources. -> (source, n_docs, n_langs,
+    top_lang, entropy) with entropy rounded to 6.
+
+    Scale shape: per-batch (source, lang) partial counts, ONE tiny
+    groupby (|sources| x |langs| rows), entropy computed on the
+    dimension-sized aggregate with a lang-sorted summation order so
+    the float sum is deterministic."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "lang"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "lang": g.column("lang"),
+                         "n_p": g.column("count_all")})
+
+    agg = documents_ds.select_columns(["source", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]) \
+        .aggregate(Sum("n_p", alias_name="n")).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    out = []
+    for src, g in agg.groupby("source"):
+        g = g.sort_values("lang")
+        n = g["n"].to_numpy().astype(np.float64)
+        nt = n.sum()
+        p = n / nt
+        ent = float(-(p * np.log2(p)).sum())
+        top = g.sort_values(["n", "lang"],
+                            ascending=[False, True])["lang"].iloc[0]
+        out.append((src, int(nt), len(g), top, round(ent, 6)))
+    return pd.DataFrame(out, columns=["source", "n_docs", "n_langs",
+                                      "top_lang", "entropy"])
+
+
+def cusum_drift(events_ds, *, group: str = "event_type",
+                ts_col: str = "ts"):
+    """CUSUM drift screen over each group's DAILY event counts: with
+    mu = mean daily count, cusum_k = sum_{d<=k}(n_d - mu); report the
+    day where |cusum| peaks (the classic changepoint locator) and the
+    peak magnitude. -> (event_type, n_days, max_abs_cusum, peak_day);
+    magnitudes rounded to 6 BEFORE the argmax so both engines pick
+    the same peak (remaining ties break day-asc).
+
+    Scale shape: daily counts pre-aggregate per batch into ONE
+    (groups x days)-sized groupby; the sequential cusum scan runs on
+    that dimension-sized table, never on raw events."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column(ts_col).to_numpy() \
+            .astype("datetime64[D]").astype(str)
+        g = pa.table({group: batch.column(group),
+                      "day": pa.array(day, type=pa.string())}) \
+            .group_by([group, "day"]).aggregate([([], "count_all")])
+        return pa.table({group: g.column(group),
+                         "day": g.column("day"),
+                         "n_p": g.column("count_all")})
+
+    daily = events_ds.select_columns([group, ts_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([group, "day"]) \
+        .aggregate(Sum("n_p", alias_name="n")).to_pandas()
+    daily["n"] = daily["n"].astype(np.int64)
+    out = []
+    for key, g in daily.groupby(group):
+        g = g.sort_values("day")
+        n = g["n"].to_numpy().astype(np.float64)
+        mu = n.mean()
+        cus = np.round(np.abs(np.cumsum(n - mu)), 6)
+        i = int(np.lexsort((g["day"].to_numpy(), -cus))[0])
+        out.append((key, len(g), cus[i], g["day"].iloc[i]))
+    return pd.DataFrame(out, columns=[group, "n_days",
+                                      "max_abs_cusum", "peak_day"])

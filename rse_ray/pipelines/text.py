@@ -3468,3 +3468,40 @@ def bm25_explain(ds, query: str, doc_ids: list[int], *,
         "term_score": pa.array(rows["term_score"],
                                type=pa.float64()),
     })
+
+
+def readability_scores(ds):
+    """Flesch reading-ease per doc from three vectorized RE2 counts
+    (the shared RE2-contract with the DuckDB twin — both engines run
+    the SAME patterns): words = '[A-Za-z]+' matches, syllables =
+    '[aeiouyAEIOUY]+' vowel-group matches (the classic cheap syllable
+    estimator — a whitespace or consonant boundary ends a group, so
+    the corpus-wide count equals the per-word sum), sentences =
+    '[.!?]+' runs floored at 1. flesch = 206.835 - 1.015*(words /
+    sentences) - 84.6*(syllables/words), 0 when wordless. ->
+    (doc_id, n_words, n_syllables, n_sentences, flesch) rounded 4.
+
+    Scale shape: three pc.count_substring_regex kernels per batch —
+    zero-copy Arrow, no Python loop, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        w = pc.count_substring_regex(t, "[A-Za-z]+").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        s = pc.count_substring_regex(t, "[aeiouyAEIOUY]+").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sent = pc.count_substring_regex(t, "[.!?]+").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sent = np.maximum(sent, 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fl = 206.835 - 1.015 * (w / sent) - 84.6 * (s / w)
+        fl = np.where(w > 0, fl, 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(w.astype(np.int64)),
+            "n_syllables": pa.array(s.astype(np.int64)),
+            "n_sentences": pa.array(sent.astype(np.int64)),
+            "flesch": pa.array(np.round(fl, 4)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -4507,3 +4507,74 @@ def test_tpch_q10_q14_q19_q15_shapes(ray_session):
     assert q15["s_suppkey"].iloc[0] == 5
     assert q15["s_name"].iloc[0] == "Supplier#5"
     assert q15["total_revenue"].iloc[0] == 300.0
+
+
+def test_host_edges_and_readability_entropy_cusum(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import host_edges
+    from rse_ray.pipelines.relational import (cusum_drift,
+                                              source_lang_entropy)
+    from rse_ray.pipelines.text import readability_scores
+
+    links = pa.table({
+        "src_url": pa.array([
+            "https://A.example/p/1",          # case-folds to a.example
+            "https://a.example:8080/p/2",     # port strips
+            "https://u:pw@b.example/p/3",     # userinfo strips
+            "https://c.example/x",            # self-loop after collapse
+            "not-a-url",                      # no authority -> drops
+        ]),
+        "dst_url": pa.array([
+            "https://b.example/p/9",
+            "https://b.example/p/8",          # dup edge after collapse
+            "https://c.example/",
+            "https://c.example/y",
+            "https://d.example/",
+        ]),
+    })
+    he = host_edges(ray.data.from_arrow(links)).to_pandas()
+    got = set(map(tuple, he[["src_host", "dst_host"]].to_numpy()))
+    assert got == {("a.example", "b.example"),
+                   ("b.example", "c.example")}
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["Hello world. Bye!", "", "xyz qqq"]),
+    })
+    r = readability_scores(ray.data.from_arrow(docs)).to_pandas() \
+        .set_index("doc_id")
+    # doc 0: words 4 (Hello world Bye -> 3? 'Hello','world','Bye' = 3)
+    assert r.loc[0, "n_words"] == 3
+    assert r.loc[0, "n_sentences"] == 2
+    assert r.loc[0, "n_syllables"] == 4  # He-llo:2, world:1, Bye:1
+    assert r.loc[1, "flesch"] == 0.0     # wordless floor
+    assert r.loc[2, "n_syllables"] == 1  # xyz: 'y'; qqq: none
+
+    d = pa.table({
+        "source": pa.array(["s0", "s0", "s0", "s1"]),
+        "lang": pa.array(["en", "en", "de", "fr"]),
+    })
+    ent = source_lang_entropy(ray.data.from_arrow(d)) \
+        .set_index("source")
+    h = -(2 / 3) * np.log2(2 / 3) - (1 / 3) * np.log2(1 / 3)
+    assert ent.loc["s0", "entropy"] == round(h, 6)
+    assert ent.loc["s0", "top_lang"] == "en"
+    assert ent.loc["s1", "n_langs"] == 1
+    assert ent.loc["s1", "entropy"] == 0.0
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    day = np.timedelta64(1, "D")
+    # counts per day: 1, 3, 1 -> mu = 5/3; cusum = -2/3, 2/3, 0
+    ts = [base, base + day, base + day, base + day, base + 2 * day]
+    ev = pa.table({
+        "event_type": pa.array(["a"] * 5),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    })
+    cd = cusum_drift(ray.data.from_arrow(ev))
+    assert cd["n_days"].iloc[0] == 3
+    assert cd["max_abs_cusum"].iloc[0] == round(2 / 3, 6)
+    # |−2/3| on 03-01 ties |2/3| on 03-02 after rounding -> day asc
+    assert cd["peak_day"].iloc[0] == "2024-03-01"
