@@ -1579,6 +1579,20 @@ def _q_cusum_drift(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "ts"])))
 
 
+def _q_rfm_segments(sf_dir: str):
+    from rse_ray.pipelines.relational import rfm_segments
+
+    return _finalize(rfm_segments(
+        _read(sf_dir, "events", ["user_id", "ts", "value"])))
+
+
+def _q_boilerplate_ngrams(sf_dir: str):
+    from rse_ray.pipelines.text import boilerplate_ngrams
+
+    return _finalize(boilerplate_ngrams(
+        _read(sf_dir, "documents", ["source", "text"])))
+
+
 def _q_top_supplier_revenue(sf_dir: str):
     from rse_ray.pipelines.relational import top_supplier_revenue
 
@@ -3603,6 +3617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_scores": _q_readability_scores,
         "source_lang_entropy": _q_source_lang_entropy,
         "cusum_drift": _q_cusum_drift,
+        "rfm_segments": _q_rfm_segments,
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
         "daily_anomalies": _q_daily_anomalies,
         "hard_negatives": _q_hard_negatives,
         "conversion_latency": _q_conversion_latency,
@@ -4702,6 +4718,41 @@ SELECT c.event_type, m.n_days, c.a AS max_abs_cusum,
 FROM c JOIN m USING (event_type)
 QUALIFY row_number() OVER (PARTITION BY c.event_type
                            ORDER BY c.a DESC, c.day) = 1""",
+        # exact NTILE codes; monetary rounded 6 BEFORE the tile
+        # ordering, ties pinned on user_id — identical quartile cuts
+        "rfm_segments": """
+WITH u AS (SELECT user_id, max(ts) AS last_ts,
+                  count(*)::BIGINT AS freq,
+                  round(sum(value), 6) AS monetary
+           FROM events GROUP BY 1),
+a AS (SELECT max(ts) AS as_of FROM events),
+r AS (SELECT user_id,
+             datediff('day', cast(last_ts AS DATE),
+                      cast(as_of AS DATE))::BIGINT AS recency_days,
+             freq, monetary
+      FROM u CROSS JOIN a),
+tiles AS (SELECT user_id, monetary,
+   ntile(4) OVER (ORDER BY recency_days, user_id) AS r_tile,
+   ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_tile,
+   ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_tile
+   FROM r)
+SELECT r_tile::BIGINT AS r_tile, f_tile::BIGINT AS f_tile,
+       m_tile::BIGINT AS m_tile, count(*)::BIGINT AS n_users,
+       round(sum(monetary), 2) AS sum_monetary
+FROM tiles GROUP BY 1, 2, 3""",
+        # per-doc-deduped whitespace bigrams of lower(text), kept
+        # when seen in >= 3 distinct docs of the same source
+        "boilerplate_ngrams": """
+WITH arr AS (SELECT source, doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a
+  FROM documents WHERE text IS NOT NULL),
+g AS (SELECT DISTINCT source, doc_id,
+             a[i] || ' ' || a[i+1] AS shingle
+      FROM arr, unnest(range(1, len(a))) AS t(i)),
+d AS (SELECT source, shingle, count(*)::BIGINT AS n_docs
+      FROM g GROUP BY 1, 2)
+SELECT source, shingle, n_docs FROM d WHERE n_docs >= 3""",
         # TPC-H Q10 shape; revenue rounded BEFORE the ordering cut so
         # both engines cut the same top-20 set (ties on c_custkey)
         "returned_item_revenue": """

@@ -3505,3 +3505,52 @@ def readability_scores(ds):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def boilerplate_ngrams(ds, *, n: int = 2, min_docs: int = 3,
+                       group_col: str = "source"):
+    """Per-source boilerplate screen: whitespace ``n``-gram shingles
+    of lower(text) that appear in >= ``min_docs`` DISTINCT docs of
+    the SAME source — the template/navigation chrome a webtext
+    cleaner strips before training. -> (source, shingle, n_docs).
+
+    Scale shape: each batch explodes docs into per-doc-DEDUPED
+    (source, shingle) rows (a shingle repeated inside one doc ships
+    once), then ONE groupby(source, shingle) count with the >= cut
+    applied in the reduce output. At fleet scale the shuffle carries
+    each distinct (doc, shingle) pair exactly once — the same order
+    of bytes as the corpus itself, unavoidable because surviving
+    shingle TEXT is the output."""
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        srcs = batch.column(group_col).to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_s, o_g = [], []
+        for s, t in zip(srcs, texts):
+            if t is None:
+                continue
+            toks = t.lower().split()
+            if len(toks) < n:
+                continue
+            seen = {" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+            o_s.extend([s] * len(seen))
+            o_g.extend(sorted(seen))
+        return pa.table({group_col: pa.array(o_s, type=pa.string()),
+                         "shingle": pa.array(o_g, type=pa.string()),
+                         "d_p": pa.array(np.ones(len(o_s),
+                                                 dtype=np.int64))})
+
+    agg = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby([group_col, "shingle"]) \
+        .aggregate(Sum("d_p", alias_name="n_docs"))
+    return agg.map_batches(
+        lambda b: (lambda t: t.filter(
+            pc.greater_equal(pc.cast(t.column("n_docs"), pa.int64()),
+                             pa.scalar(min_docs))))(
+            pa.table({group_col: b.column(group_col),
+                      "shingle": b.column("shingle"),
+                      "n_docs": pc.cast(b.column("n_docs"),
+                                        pa.int64())})),
+        batch_format="pyarrow")

@@ -4578,3 +4578,50 @@ def test_host_edges_and_readability_entropy_cusum(ray_session):
     assert cd["max_abs_cusum"].iloc[0] == round(2 / 3, 6)
     # |−2/3| on 03-01 ties |2/3| on 03-02 after rounding -> day asc
     assert cd["peak_day"].iloc[0] == "2024-03-01"
+
+
+def test_rfm_segments_and_boilerplate(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import rfm_segments
+    from rse_ray.pipelines.text import boilerplate_ngrams
+
+    base = np.datetime64("2024-06-01T00:00:00", "us")
+    day = np.timedelta64(1, "D")
+    # 4 users: u1 recent+frequent+rich, u4 stale+rare+poor
+    rows = [
+        ("u1", base + 9 * day, 10.0), ("u1", base + 8 * day, 10.0),
+        ("u1", base + 7 * day, 10.0), ("u1", base + 6 * day, 10.0),
+        ("u2", base + 5 * day, 5.0), ("u2", base + 4 * day, 5.0),
+        ("u2", base + 3 * day, 5.0),
+        ("u3", base + 2 * day, 2.0), ("u3", base + 1 * day, 2.0),
+        ("u4", base, 1.0),
+    ]
+    ev = pa.table({
+        "user_id": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows],
+                       type=pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows]),
+    })
+    got = rfm_segments(ray.data.from_arrow(ev)).to_pandas()
+    cells = {(r.r_tile, r.f_tile, r.m_tile):
+             (r.n_users, r.sum_monetary) for r in got.itertuples()}
+    # u1: most recent (r=1), most frequent (f=1), monetary 40 (m=1)
+    # u2: r=2, f=2, m=15 (m=2); u3: r=3, f=3, m=4 (m=3); u4: 4,4,4
+    assert cells == {(1, 1, 1): (1, 40.0), (2, 2, 2): (1, 15.0),
+                     (3, 3, 3): (1, 4.0), (4, 4, 4): (1, 1.0)}
+
+    docs = pa.table({
+        "source": pa.array(["s", "s", "s", "t"]),
+        "text": pa.array([
+            "click here now",        # 'click here' in 3 s-docs
+            "please Click Here today please",
+            "click here click here",  # in-doc dup ships once
+            "click here",             # other source: own count
+        ]),
+    })
+    bp = boilerplate_ngrams(ray.data.from_arrow(docs),
+                            min_docs=3).to_pandas()
+    assert set(map(tuple, bp.to_numpy())) == {("s", "click here", 3)}
