@@ -1593,6 +1593,20 @@ def _q_boilerplate_ngrams(sf_dir: str):
         _read(sf_dir, "documents", ["source", "text"])))
 
 
+def _q_tokenizer_fertility(sf_dir: str):
+    from rse_ray.pipelines.text import tokenizer_fertility
+
+    return _finalize(tokenizer_fertility(
+        _read(sf_dir, "documents", ["lang", "text"])))
+
+
+def _q_source_overlap_matrix(sf_dir: str):
+    from rse_ray.pipelines.text import source_overlap_matrix
+
+    return _finalize(source_overlap_matrix(
+        _read(sf_dir, "documents", ["source", "text"])))
+
+
 def _q_top_supplier_revenue(sf_dir: str):
     from rse_ray.pipelines.relational import top_supplier_revenue
 
@@ -3619,6 +3633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_drift": _q_cusum_drift,
         "rfm_segments": _q_rfm_segments,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "source_overlap_matrix": _q_source_overlap_matrix,
         "daily_anomalies": _q_daily_anomalies,
         "hard_negatives": _q_hard_negatives,
         "conversion_latency": _q_conversion_latency,
@@ -4718,6 +4734,38 @@ SELECT c.event_type, m.n_days, c.a AS max_abs_cusum,
 FROM c JOIN m USING (event_type)
 QUALIFY row_number() OVER (PARTITION BY c.event_type
                            ORDER BY c.a DESC, c.day) = 1""",
+        # regex_token_counts' two counters aggregated per lang
+        "tokenizer_fertility": """
+WITH c AS (SELECT lang,
+    (CASE WHEN trim(text) = '' THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+     END)::BIGINT AS w,
+    len(regexp_extract_all(text, '{pat}'))::BIGINT AS b
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(w)::BIGINT AS n_ws_tokens,
+       sum(b)::BIGINT AS n_bpe_tokens,
+       CASE WHEN sum(w) > 0
+            THEN round(sum(b)::DOUBLE / sum(w), 6)
+            ELSE 0.0 END AS fertility
+FROM c GROUP BY 1""".format(
+            pat=__import__("rse_ray.pipelines.text",
+                           fromlist=["BPE_PATTERN"])
+            .BPE_PATTERN.replace("'", "''")),
+        # distinct whitespace trigrams per source, pair counts via
+        # self-join on the shingle (diagonal = own distinct count)
+        "source_overlap_matrix": """
+WITH arr AS (SELECT source, doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a
+  FROM documents WHERE text IS NOT NULL),
+g AS (SELECT DISTINCT source,
+             a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS sh
+      FROM arr, unnest(range(1, len(a) - 1)) AS t(i))
+SELECT g1.source AS source_a, g2.source AS source_b,
+       count(*)::BIGINT AS n_shared
+FROM g g1 JOIN g g2 ON g1.sh = g2.sh
+GROUP BY 1, 2""",
         # exact NTILE codes; monetary rounded 6 BEFORE the tile
         # ordering, ties pinned on user_id — identical quartile cuts
         "rfm_segments": """

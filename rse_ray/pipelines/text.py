@@ -3554,3 +3554,135 @@ def boilerplate_ngrams(ds, *, n: int = 2, min_docs: int = 3,
                       "n_docs": pc.cast(b.column("n_docs"),
                                         pa.int64())})),
         batch_format="pyarrow")
+
+
+def tokenizer_fertility(ds):
+    """Per-language tokenizer-fertility audit: how many BPE-ish
+    pretokens the tokenizer spends per whitespace word in each lang —
+    the number a multilingual-mix designer watches because a
+    high-fertility language burns training budget. Counts reuse the
+    regex_token_counts contract (BPE_PATTERN pretokens; whitespace
+    words of trim(text)). -> (lang, n_docs, n_ws_tokens,
+    n_bpe_tokens, fertility) with fertility = bpe/ws rounded 6.
+
+    Scale shape: ONE vectorized-regex pass, per-batch partial sums,
+    |langs|-sized groupby."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    pat = re.compile(BPE_PATTERN)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        ws = np.empty(len(texts), dtype=np.int64)
+        bpe = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws[i] = len(t.split()) if t else 0
+            bpe[i] = len(pat.findall(t)) if t else 0
+        g = pa.table({
+            "lang": pa.array(langs, type=pa.string()),
+            "d": pa.array(np.ones(len(texts), dtype=np.int64)),
+            "w": pa.array(ws), "b": pa.array(bpe),
+        }).group_by(["lang"]).aggregate(
+            [("d", "sum"), ("w", "sum"), ("b", "sum")])
+        return pa.table({"lang": g.column("lang"),
+                         "d_p": g.column("d_sum"),
+                         "w_p": g.column("w_sum"),
+                         "b_p": g.column("b_sum")})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("d_p", alias_name="n_docs"),
+            Sum("w_p", alias_name="n_ws_tokens"),
+            Sum("b_p", alias_name="n_bpe_tokens"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        w = b.column("n_ws_tokens").to_numpy().astype(np.float64)
+        bp = b.column("n_bpe_tokens").to_numpy().astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = np.where(w > 0, np.round(bp / w, 6), 0.0)
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+            "n_ws_tokens": pc.cast(b.column("n_ws_tokens"),
+                                   pa.int64()),
+            "n_bpe_tokens": pc.cast(b.column("n_bpe_tokens"),
+                                    pa.int64()),
+            "fertility": pa.array(f),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def source_overlap_matrix(ds, *, n: int = 3):
+    """Cross-source contamination matrix: for every ordered source
+    pair (a, b), how many of a's DISTINCT whitespace ``n``-grams of
+    lower(text) also occur in b — the decontamination screen run
+    between corpus slices rather than train/test. Diagonal rows carry
+    each source's own distinct-shingle count, so containment ratios
+    are computable from the output. -> (source_a, source_b,
+    n_shared).
+
+    Scale shape: docs explode to (shingle, source) rows deduped per
+    doc; ONE groupby dedupes them per source; the pair expansion is a
+    co-partitioned hash self-join on the shingle (vectorized pandas
+    merge inside each partition — NOT a per-key map_groups, which
+    walks group boundaries in Python), emitting <= |sources|^2 rows
+    per shingle; the final |sources|^2 groupby sums. No stage ever
+    holds more than a partition of the shingle table."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.pipelines.relational import hash_join
+    from rse_ray.util import parts_for
+
+    def explode(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_g, o_s = [], []
+        for s, t in zip(srcs, texts):
+            if t is None:
+                continue
+            toks = t.lower().split()
+            grams = {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)}
+            o_g.extend(grams)
+            o_s.extend([s] * len(grams))
+        return pa.table({"shingle": pa.array(o_g, type=pa.string()),
+                         "source": pa.array(o_s, type=pa.string())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    dist = exploded.groupby(["shingle", "source"]).count() \
+        .drop_columns(["count()"]).materialize()
+    P = parts_for(dist.count(), rows_per_part=500_000)
+    right = dist.map_batches(
+        lambda b: b.rename_columns(["sh2", "source_b"]),
+        batch_format="pyarrow")
+    paired = hash_join(dist, right, left_on="shingle",
+                       right_on="sh2", right_cols=["source_b"],
+                       num_parts=P)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if "source" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({
+                "source_a": pa.array([], type=pa.string()),
+                "source_b": pa.array([], type=pa.string()),
+                "c_p": pa.array([], type=pa.int64())})
+        g = pa.table({"source_a": batch.column("source"),
+                      "source_b": batch.column("source_b")}) \
+            .group_by(["source_a", "source_b"]).aggregate(
+                [([], "count_all")])
+        return pa.table({"source_a": g.column("source_a"),
+                         "source_b": g.column("source_b"),
+                         "c_p": g.column("count_all")})
+
+    agg = paired.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source_a", "source_b"]) \
+        .aggregate(Sum("c_p", alias_name="n_shared"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source_a": b.column("source_a"),
+            "source_b": b.column("source_b"),
+            "n_shared": pc.cast(b.column("n_shared"), pa.int64()),
+        }), batch_format="pyarrow")

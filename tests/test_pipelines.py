@@ -4625,3 +4625,42 @@ def test_rfm_segments_and_boilerplate(ray_session):
     bp = boilerplate_ngrams(ray.data.from_arrow(docs),
                             min_docs=3).to_pandas()
     assert set(map(tuple, bp.to_numpy())) == {("s", "click here", 3)}
+
+
+def test_fertility_and_overlap_matrix(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import (source_overlap_matrix,
+                                        tokenizer_fertility)
+
+    docs = pa.table({
+        "lang": pa.array(["en", "en", "de"]),
+        "text": pa.array(["hello world", "it's fine", ""]),
+    })
+    f = tokenizer_fertility(ray.data.from_arrow(docs)).to_pandas() \
+        .set_index("lang")
+    # en: ws = 2 + 2 = 4; bpe: 'hello','world' -> 2;
+    # "it's fine" -> 'it', ''s', ' fine' -> 3; total 5
+    assert f.loc["en", "n_ws_tokens"] == 4
+    assert f.loc["en", "n_bpe_tokens"] == 5
+    assert f.loc["en", "fertility"] == round(5 / 4, 6)
+    assert f.loc["de", "n_ws_tokens"] == 0
+    assert f.loc["de", "fertility"] == 0.0
+
+    d2 = pa.table({
+        "source": pa.array(["a", "a", "b", "c"]),
+        "text": pa.array([
+            "x y z w",        # a: {x y z, y z w}
+            "x y z",          # a: {x y z} (dedup)
+            "x y z q",        # b: {x y z, y z q}
+            "n o p",          # c: {n o p}
+        ]),
+    })
+    m = source_overlap_matrix(ray.data.from_arrow(d2)).to_pandas()
+    got = {(r.source_a, r.source_b): r.n_shared
+           for r in m.itertuples()}
+    assert got[("a", "a")] == 2 and got[("b", "b")] == 2
+    assert got[("a", "b")] == 1 and got[("b", "a")] == 1
+    assert got[("c", "c")] == 1
+    assert ("a", "c") not in got  # no shared trigram -> no row
