@@ -363,6 +363,17 @@ def _q_span_near(sf_dir: str):
     return _finalize(span_near_documents(sf_dir, a, b, slop=SPAN_SLOP))
 
 
+PHRASE_GAP = 1
+
+
+def _q_phrase_gap(sf_dir: str):
+    from rse_ray.pipelines.docsearch import phrase_gap_documents
+
+    a, b = PHRASE_QUERY.split()
+    return _finalize(phrase_gap_documents(sf_dir, a, b,
+                                          gap=PHRASE_GAP))
+
+
 def _q_bm25_maxscore(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_maxscore_documents
 
@@ -3565,6 +3576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_plus_scores": _q_bm25_plus,
         "bm25_topk_maxscore": _q_bm25_maxscore,
         "span_near": _q_span_near,
+        "phrase_gap": _q_phrase_gap,
         "bm25f_scores": _q_bm25f_scores,
         "lm_dirichlet_scores": _q_lm_dirichlet_scores,
         "lm_jm_scores": _q_lm_jm_scores,
@@ -5945,6 +5957,18 @@ hits AS (SELECT DISTINCT pa.doc_id, pa.i
          FROM pos pa JOIN pos pb ON pa.doc_id = pb.doc_id
          WHERE pa.w = 'hash' AND pb.w = 'join'
            AND pb.i > pa.i AND pb.i - pa.i <= 4)
+SELECT doc_id, count(*)::BIGINT AS n_spans FROM hits GROUP BY 1""",
+        # wildcard-slot phrase "a * b": b exactly gap+1 = 2 ahead of a
+        "phrase_gap": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+pos AS (SELECT doc_id, i, a[i] AS w
+        FROM arr, unnest(range(1, len(a) + 1)) AS t(i)),
+hits AS (SELECT pa.doc_id, pa.i
+         FROM pos pa JOIN pos pb ON pa.doc_id = pb.doc_id
+         WHERE pa.w = 'hash' AND pb.w = 'join'
+           AND pb.i = pa.i + 2)
 SELECT doc_id, count(*)::BIGINT AS n_spans FROM hits GROUP BY 1""",
         # min |pos_a - pos_b| per doc containing both terms
         "term_proximity": """

@@ -842,3 +842,24 @@ def retrieval_metrics(sf_dir: str, queries: list[str], k: int = 10,
     return ray.data.from_arrow(qt).map_batches(
         _MetricEval, concurrency=(1, concurrency),
         batch_size=batch_size, batch_format="pyarrow")
+
+
+def phrase_gap_documents(sf_dir: str, term_a: str, term_b: str,
+                         *, gap: int = 1) -> pd.DataFrame:
+    """Wildcard-slot phrase ("a * b", exactly ``gap`` tokens between)
+    over the positional documents index
+    (Searcher.search_phrase_gap): (doc_id, n_spans)."""
+    from rse_ray.pipelines.search import Searcher, hydrate_urls
+
+    index_dir = documents_index(sf_dir, stem=False, positions=True)
+    s = Searcher(index_dir)
+    hits = s.search_phrase_gap(term_a, term_b, gap=gap)
+    rows = hydrate_urls(index_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):])
+                                for _, _, u in rows], dtype="int64"),
+            "n_spans": pd.array([n for _, n, _ in rows],
+                                dtype="int64"),
+        }
+    )

@@ -1103,6 +1103,48 @@ class Searcher:
                 out.append((int(did), n))
         return out
 
+    def search_phrase_gap(self, term_a: str, term_b: str, *,
+                          gap: int = 1):
+        """Wildcard-slot phrase query ("a * b" with exactly ``gap``
+        wildcard tokens between): per doc, count positions of
+        ``term_a`` whose matching ``term_b`` sits at EXACTLY
+        pos_a + gap + 1 — the fixed-distance sibling of
+        search_span_near's <= slop window. Returns [(doc_id,
+        n_spans)] ascending doc_id for docs with >= 1 span. One
+        searchsorted equality probe per a-position."""
+        ta = tokenize(term_a, stem=self.stem)
+        tb = tokenize(term_b, stem=self.stem)
+        if len(ta) != 1 or len(tb) != 1:
+            raise ValueError("search_phrase_gap takes single terms")
+        got_a = self.reader.positions(ta[0])
+        got_b = self.reader.positions(tb[0])
+        if got_a is None or got_b is None:
+            return []
+        ids_a, tfs_a, pos_a = got_a
+        ids_b, tfs_b, pos_b = got_b
+        starts_a = np.zeros(len(ids_a) + 1, dtype=np.int64)
+        np.cumsum(tfs_a, out=starts_a[1:])
+        starts_b = np.zeros(len(ids_b) + 1, dtype=np.int64)
+        np.cumsum(tfs_b, out=starts_b[1:])
+        inter = ids_a[np.isin(ids_a, ids_b, assume_unique=True)]
+        m = self._keep_mask(inter)
+        if m is not None:
+            inter = inter[m]
+        ra = np.searchsorted(ids_a, inter)
+        rb = np.searchsorted(ids_b, inter)
+        out = []
+        for i, did in enumerate(inter.tolist()):
+            pa_ = pos_a[starts_a[ra[i]]:starts_a[ra[i] + 1]]
+            pb_ = pos_b[starts_b[rb[i]]:starts_b[rb[i] + 1]]
+            want = pa_ + gap + 1
+            j = np.searchsorted(pb_, want)
+            ok = (j < len(pb_)) & (pb_[np.minimum(j, len(pb_) - 1)]
+                                   == want)
+            n = int(np.count_nonzero(ok))
+            if n:
+                out.append((int(did), n))
+        return out
+
     # ---- more-like-this (related docs) -----------------------------------
     def more_like_this(self, doc_id: int, *, m: int = 5, k: int = 20):
         """Related-document retrieval (the Lucene MoreLikeThis shape):

@@ -3164,6 +3164,30 @@ def test_span_near_ordered_semantics(ray_session):
     assert got.to_dict() == want
 
 
+def test_phrase_gap_exact_distance_semantics(ray_session):
+    """Brute-force check: n_spans counts a-positions with a b at
+    EXACTLY pos_a + gap + 1 (the "a * b" wildcard-slot phrase)."""
+    from rse_ray.functions.tokenizer import tokenize
+    from rse_ray.pipelines.docsearch import phrase_gap_documents
+
+    gap = 1
+    got = phrase_gap_documents(SF, "hash", "join", gap=gap) \
+        .set_index("doc_id")["n_spans"]
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    want = {}
+    for r in docs.itertuples():
+        toks = tokenize(r.text, stem=False)
+        pb_ = {i for i, t in enumerate(toks) if t == "join"}
+        n = sum(1 for i, t in enumerate(toks)
+                if t == "hash" and i + gap + 1 in pb_)
+        if n:
+            want[r.doc_id] = n
+    assert got.to_dict() == want
+    # exact distance only: a doc where b trails a by gap+2 never hits
+    assert all(v >= 1 for v in got.to_dict().values())
+
+
 def test_phrase_scanner_overlap_and_failure_links(ray_session):
     import pyarrow as pa
     import ray.data
