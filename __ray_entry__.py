@@ -3548,6 +3548,67 @@ def entry() -> Any:
     )
 
 
+def _q_late_shipment_priority(sf_dir: str):
+    from rse_ray.pipelines.relational import late_shipment_priority
+
+    return _finalize(late_shipment_priority(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])))
+
+
+def _q_priority_line_counts(sf_dir: str):
+    from rse_ray.pipelines.relational import priority_line_counts
+
+    return _finalize(priority_line_counts(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_shipdate"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])))
+
+
+def _q_customer_order_distribution(sf_dir: str):
+    from rse_ray.pipelines.relational import (
+        customer_order_distribution)
+
+    return _finalize(customer_order_distribution(
+        _read(sf_dir, "customer", ["c_custkey"]),
+        _read(sf_dir, "orders", ["o_custkey"])))
+
+
+def _q_large_volume_customers(sf_dir: str):
+    from rse_ray.pipelines.relational import large_volume_customers
+
+    return _finalize(large_volume_customers(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate",
+               "o_totalprice"]),
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        min_qty=300.0, k=100))
+
+
+def _q_idle_rich_customers(sf_dir: str):
+    from rse_ray.pipelines.relational import idle_rich_customers
+
+    return _finalize(idle_rich_customers(
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_nationkey", "c_acctbal"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])))
+
+
+def _q_nation_trade_volume(sf_dir: str):
+    from rse_ray.pipelines.relational import nation_trade_volume
+
+    return _finalize(nation_trade_volume(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice",
+               "l_discount", "l_shipdate"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"])))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # fulltext core (tokenize -> postings -> stats -> BM25)
@@ -3644,6 +3705,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": _q_source_lang_entropy,
         "cusum_drift": _q_cusum_drift,
         "rfm_segments": _q_rfm_segments,
+        "late_shipment_priority": _q_late_shipment_priority,
+        "priority_line_counts": _q_priority_line_counts,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "large_volume_customers": _q_large_volume_customers,
+        "idle_rich_customers": _q_idle_rich_customers,
+        "nation_trade_volume": _q_nation_trade_volume,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "source_overlap_matrix": _q_source_overlap_matrix,
@@ -4778,6 +4845,76 @@ SELECT g1.source AS source_a, g2.source AS source_b,
        count(*)::BIGINT AS n_shared
 FROM g g1 JOIN g g2 ON g1.sh = g2.sh
 GROUP BY 1, 2""",
+        # Q4 shape: lateness is shipdate > orderdate + 90d (this
+        # corpus has no l_commitdate / l_receiptdate)
+        "late_shipment_priority": """
+SELECT o.o_orderpriority,
+       count(DISTINCT o.o_orderkey)::BIGINT AS order_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-04-01'
+  AND o.o_orderdate < TIMESTAMP '1995-07-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1""",
+        # Q12 shape on l_returnflag (no l_shipmode in this corpus)
+        "priority_line_counts": """
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1""",
+        "customer_order_distribution": """
+WITH co AS (SELECT c.c_custkey,
+              count(o.o_custkey)::BIGINT AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1)
+SELECT c_count, count(*)::BIGINT AS custdist FROM co GROUP BY 1""",
+        # quantity sums are integer-valued doubles, so the HAVING cut
+        # and the 2dp rounding agree across summation orders
+        "large_volume_customers": """
+WITH q AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+           FROM lineitem GROUP BY 1
+           HAVING sum(l_quantity) > 300.0)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, round(q.sum_qty, 2) AS sum_qty
+FROM q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100""",
+        # acctbal has 2 decimals; the scalar mean differs between
+        # engines only at ~1e-10, far below any comparison boundary
+        "idle_rich_customers": """
+WITH a AS (SELECT avg(c_acctbal) AS ab FROM customer
+           WHERE c_acctbal > 0.0)
+SELECT c.c_nationkey, count(*)::BIGINT AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c, a
+WHERE c.c_acctbal > a.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1""",
+        "nation_trade_volume": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS l_year,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3""",
         # exact NTILE codes; monetary rounded 6 BEFORE the tile
         # ordering, ties pinned on user_id — identical quartile cuts
         "rfm_segments": """

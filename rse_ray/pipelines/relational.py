@@ -4665,3 +4665,476 @@ def rfm_segments(events_ds, *, tiles: int = 4):
             "n_users": pc.cast(b.column("n_users"), pa.int64()),
             "sum_monetary": _round_np(b.column("sum_monetary"), 2),
         }), batch_format="pyarrow")
+
+
+def late_shipment_priority(orders_ds, lineitem_ds, *,
+                           date_lo: str = "1995-04-01",
+                           date_hi: str = "1995-07-01",
+                           grace_days: int = 90):
+    """TPC-H Q4 shape (EXISTS semi-join with a per-pair predicate):
+    count orders per o_orderpriority, placed in one quarter, that
+    have AT LEAST ONE line item shipped more than ``grace_days``
+    after the order date (this corpus carries no l_commitdate /
+    l_receiptdate, so lateness is l_shipdate > o_orderdate + grace).
+    -> (o_orderpriority, order_count).
+
+    Scale shape: orders prune to the quarter AT the scan and ship
+    only (key, date, priority); the lineitem side ships (key,
+    shipdate) into ONE co-partitioned hash join; the EXISTS collapses
+    inside each join partition (a key group never straddles
+    partitions, so per-batch distinct-orderkey is exact after an
+    in-partition groupby); only per-priority partial counts reach the
+    final 5-row groupby."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    grace_us = np.int64(grace_days) * 86_400_000_000
+    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+
+    orders = orders_ds.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(b.column("o_orderdate"), pa.scalar(hi))))
+        .select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow")
+    li = lineitem_ds.select_columns(["l_orderkey", "l_shipdate"])
+    j = hash_join(li, orders, left_on="l_orderkey",
+                  right_on="o_orderkey",
+                  right_cols=["o_orderdate", "o_orderpriority"],
+                  how="inner", num_parts=P)
+
+    def late_orders(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "o_orderpriority": pa.array([], type=pa.string())})
+        if batch.num_rows == 0 \
+                or "o_orderdate" not in batch.column_names:
+            return empty
+        ship = batch.column("l_shipdate").cast(pa.int64())
+        odate = batch.column("o_orderdate").cast(pa.int64())
+        late = pc.greater(ship, pc.add(odate, pa.scalar(grace_us)))
+        b = batch.filter(late)
+        # key groups are partition-local after the hash join, so this
+        # per-batch distinct IS the global EXISTS collapse
+        g = pa.table({
+            "o_orderkey": pc.cast(b.column("l_orderkey"), pa.int64()),
+            "o_orderpriority": b.column("o_orderpriority"),
+        }).group_by(["o_orderkey", "o_orderpriority"]).aggregate([])
+        return g
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "o_orderpriority": pa.array([], type=pa.string()),
+                "n_p": pa.array([], type=pa.int64())})
+        g = batch.group_by(["o_orderpriority"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"o_orderpriority": g.column("o_orderpriority"),
+                         "n_p": pc.cast(g.column("count_all"),
+                                        pa.int64())})
+
+    agg = j.map_batches(late_orders, batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("n_p", alias_name="order_count"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "order_count": pc.cast(b.column("order_count"),
+                                   pa.int64())}),
+        batch_format="pyarrow")
+
+
+def priority_line_counts(lineitem_ds, orders_ds, *,
+                         date_lo: str = "1996-01-01",
+                         date_hi: str = "1997-01-01"):
+    """TPC-H Q12 shape (join + conditional aggregation): per
+    l_returnflag (this corpus's stand-in for l_shipmode), among lines
+    shipped inside one year, count lines whose order is high priority
+    ('1-URGENT' / '2-HIGH') vs not. -> (l_returnflag,
+    high_line_count, low_line_count).
+
+    Scale shape: lineitem prunes to the year at the scan; ONE
+    co-partitioned hash join attaches o_orderpriority; the CASE
+    aggregation pre-collapses per batch (3 groups) so the final
+    groupby moves a handful of rows."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+
+    li = lineitem_ds.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+            pc.less(b.column("l_shipdate"), pa.scalar(hi))))
+        .select(["l_orderkey", "l_returnflag"]),
+        batch_format="pyarrow")
+    orders = orders_ds.select_columns(["o_orderkey",
+                                       "o_orderpriority"])
+    j = hash_join(li, orders, left_on="l_orderkey",
+                  right_on="o_orderkey",
+                  right_cols=["o_orderpriority"], how="inner",
+                  num_parts=P)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "l_returnflag": pa.array([], type=pa.string()),
+            "hi_p": pa.array([], type=pa.int64()),
+            "lo_p": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0 \
+                or "o_orderpriority" not in batch.column_names:
+            return empty
+        pr = batch.column("o_orderpriority")
+        high = pc.or_(pc.equal(pr, pa.scalar("1-URGENT")),
+                      pc.equal(pr, pa.scalar("2-HIGH")))
+        hi8 = pc.cast(high, pa.int64())
+        lo8 = pc.subtract(pa.scalar(1, type=pa.int64()), hi8)
+        g = pa.table({"l_returnflag": batch.column("l_returnflag"),
+                      "hi": hi8, "lo": lo8}) \
+            .group_by(["l_returnflag"]) \
+            .aggregate([("hi", "sum"), ("lo", "sum")])
+        return pa.table({"l_returnflag": g.column("l_returnflag"),
+                         "hi_p": g.column("hi_sum"),
+                         "lo_p": g.column("lo_sum")})
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_returnflag").aggregate(
+            Sum("hi_p", alias_name="high_line_count"),
+            Sum("lo_p", alias_name="low_line_count"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "high_line_count": pc.cast(b.column("high_line_count"),
+                                       pa.int64()),
+            "low_line_count": pc.cast(b.column("low_line_count"),
+                                      pa.int64())}),
+        batch_format="pyarrow")
+
+
+def customer_order_distribution(customer_ds, orders_ds):
+    """TPC-H Q13 shape (left join + double aggregation): the
+    distribution of orders per customer INCLUDING zero-order
+    customers — count orders per customer via a left outer join, then
+    histogram the counts. -> (c_count, custdist).
+
+    Scale shape: orders pre-collapse to (custkey, count) partials per
+    batch before a groupby whose output is |customers| rows max; the
+    LEFT join then moves only per-customer aggregates (never order
+    rows); the final histogram pre-collapses per batch again so the
+    last groupby sees ~tens of distinct counts."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    P = parts_for(customer_ds.count(), rows_per_part=500_000)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["o_custkey"]).group_by(["o_custkey"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"o_custkey": g.column("o_custkey"),
+                         "n_p": pc.cast(g.column("count_all"),
+                                        pa.int64())})
+
+    counts = orders_ds.select_columns(["o_custkey"]) \
+        .map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("n_p",
+                                            alias_name="c_count"))
+    cust = customer_ds.select_columns(["c_custkey"])
+    j = hash_join(cust, counts, left_on="c_custkey",
+                  right_on="o_custkey", right_cols=["c_count"],
+                  how="left", num_parts=P)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"c_count": pa.array([], type=pa.int64()),
+                             "d_p": pa.array([], type=pa.int64())})
+        cc = pc.fill_null(pc.cast(batch.column("c_count"),
+                                  pa.int64()), 0)
+        g = pa.table({"c_count": cc}).group_by(["c_count"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"c_count": g.column("c_count"),
+                         "d_p": pc.cast(g.column("count_all"),
+                                        pa.int64())})
+
+    agg = j.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Sum("d_p",
+                                          alias_name="custdist"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "c_count": pc.cast(b.column("c_count"), pa.int64()),
+            "custdist": pc.cast(b.column("custdist"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def large_volume_customers(customer_ds, orders_ds, lineitem_ds, *,
+                           min_qty: float = 300.0, k: int = 100):
+    """TPC-H Q18 shape (HAVING-filtered semi-join): orders whose
+    total line quantity exceeds ``min_qty``, with customer name and
+    order attributes attached, top-``k`` by (o_totalprice DESC,
+    o_orderdate ASC, o_orderkey ASC). -> (c_name, c_custkey,
+    o_orderkey, o_orderdate, o_totalprice, sum_qty).
+
+    Scale shape: quantity pre-sums per batch per orderkey before the
+    groupby; the HAVING cut happens ON the aggregate (qualifying
+    orders are rare by construction), and only that tiny qualifying
+    set
+    is broadcast (ray.put) into the orders scan — no second shuffle
+    of the orders table; the customer attach joins |qualifying| rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_orderkey"]).aggregate(
+            [("l_quantity", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "q_p": g.column("l_quantity_sum")})
+
+    qty = lineitem_ds.select_columns(["l_orderkey", "l_quantity"]) \
+        .map_batches(qty_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("q_p",
+                                             alias_name="sum_qty"))
+    big = qty.map_batches(
+        lambda b: b.filter(pc.greater(b.column("sum_qty"),
+                                      pa.scalar(float(min_qty)))),
+        batch_format="pyarrow")
+    # HAVING output is rare by construction -> broadcast, not shuffle
+    big_tbl = pa.concat_tables(
+        [b for b in big.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"l_orderkey": pa.array([], type=pa.int64()),
+                      "sum_qty": pa.array([], type=pa.float64())})])
+    qkeys = big_tbl.column("l_orderkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    qvals = big_tbl.column("sum_qty").to_numpy(zero_copy_only=False)
+    order_ = np.argsort(qkeys)
+    qkeys, qvals = qkeys[order_], qvals[order_]
+    qref = ray.put((qkeys, qvals))
+
+    def pick_orders(batch: pa.Table) -> pa.Table:
+        qk, qv = ray.get(qref)
+        keys = batch.column("o_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(qk) == 0:
+            return batch.slice(0, 0).append_column(
+                "sum_qty", pa.array([], type=pa.float64()))
+        idx = np.searchsorted(qk, keys)
+        idx_c = np.minimum(idx, len(qk) - 1)
+        mask = qk[idx_c] == keys
+        b = batch.filter(pa.array(mask))
+        return b.append_column(
+            "sum_qty", pa.array(qv[idx_c[mask]], type=pa.float64()))
+
+    orders = orders_ds.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(pick_orders, batch_format="pyarrow")
+    out = hash_join(orders, customer_ds.select_columns(
+        ["c_custkey", "c_name"]), left_on="o_custkey",
+        right_on="c_custkey", right_cols=["c_name"], how="inner",
+        num_parts=max(32, P // 16))
+    df = out.to_pandas()
+    df = df.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                        ascending=[False, True, True]).head(k) \
+        .reset_index(drop=True)
+    df["c_custkey"] = df["o_custkey"].astype(np.int64)
+    df["o_orderkey"] = df["o_orderkey"].astype(np.int64)
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+               "o_totalprice", "sum_qty"]]
+
+
+def idle_rich_customers(customer_ds, orders_ds, *,
+                        idle_since: str = "2000-01-01"):
+    """TPC-H Q22 shape (scalar subquery + anti join): customers whose
+    account balance exceeds the mean POSITIVE balance and who have
+    placed NO orders since ``idle_since``, counted and summed per
+    nation. -> (c_nationkey, numcust, totacctbal).
+
+    Scale shape: the scalar mean is a tree aggregate (one number to
+    the driver); the NOT-EXISTS is a hash-partitioned ANTI join
+    shipping only the RECENT orders' key set (pruned at the scan);
+    per-nation partials collapse in each batch before the 25-row
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    P = parts_for(customer_ds.count(), rows_per_part=500_000)
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        pos = batch.filter(pc.greater(batch.column("c_acctbal"),
+                                      pa.scalar(0.0)))
+        return pa.table({
+            "s": pa.array([pc.sum(pos.column("c_acctbal")).as_py()
+                           or 0.0], type=pa.float64()),
+            "n": pa.array([pos.num_rows], type=pa.int64())})
+
+    tots = customer_ds.select_columns(["c_acctbal"]) \
+        .map_batches(bal_partial, batch_format="pyarrow") \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    avg_bal = (tots["s"] or 0.0) / max(int(tots["n"] or 0), 1)
+
+    rich = customer_ds.map_batches(
+        lambda b: b.filter(pc.greater(b.column("c_acctbal"),
+                                      pa.scalar(float(avg_bal))))
+        .select(["c_custkey", "c_nationkey", "c_acctbal"]),
+        batch_format="pyarrow")
+    since = np.datetime64(idle_since, "us")
+    recent = orders_ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("o_orderdate"),
+                                            pa.scalar(since)))
+        .select(["o_custkey"]),
+        batch_format="pyarrow")
+    idle = hash_join(rich, recent,
+                     left_on="c_custkey", right_on="o_custkey",
+                     right_cols=[], how="anti", num_parts=P)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "c_nationkey": pa.array([], type=pa.int64()),
+                "n_p": pa.array([], type=pa.int64()),
+                "b_p": pa.array([], type=pa.float64())})
+        g = batch.group_by(["c_nationkey"]).aggregate(
+            [([], "count_all"), ("c_acctbal", "sum")])
+        return pa.table({
+            "c_nationkey": pc.cast(g.column("c_nationkey"),
+                                   pa.int64()),
+            "n_p": pc.cast(g.column("count_all"), pa.int64()),
+            "b_p": g.column("c_acctbal_sum")})
+
+    agg = idle.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_nationkey").aggregate(
+            Sum("n_p", alias_name="numcust"),
+            Sum("b_p", alias_name="totacctbal"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "c_nationkey": pc.cast(b.column("c_nationkey"),
+                                   pa.int64()),
+            "numcust": pc.cast(b.column("numcust"), pa.int64()),
+            "totacctbal": _round_np(b.column("totacctbal"), 2)}),
+        batch_format="pyarrow")
+
+
+def nation_trade_volume(customer_ds, orders_ds, lineitem_ds,
+                        supplier_ds, nation_ds, *,
+                        nation_a: str = "NATION_1",
+                        nation_b: str = "NATION_2",
+                        date_lo: str = "1995-01-01",
+                        date_hi: str = "1997-01-01"):
+    """TPC-H Q7 shape (two-nation trade volume): revenue shipped
+    between a pair of nations, in both directions, per shipment
+    year — supplier nation from l_suppkey, customer nation through
+    the order. -> (supp_nation, cust_nation, l_year, revenue).
+
+    Scale shape: lineitem prunes to the ship window at the scan;
+    supplier and nation are BROADCAST lookups (ray.put once, numpy
+    take per batch — never a shuffle); the one big exchange is the
+    co-partitioned lineitem<-orders join, where orders arrive already
+    annotated with c_nationkey from an orders<-customer join that
+    moves only (orderkey, nationkey) pairs; the pair filter runs
+    vectorized BEFORE revenue partials, so the final groupby sees
+    (2 directions x years) rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+
+    nat = nation_ds.to_pandas()
+    name_of = {int(a): str(b) for a, b in zip(nat["n_nationkey"],
+                                              nat["n_name"])}
+    key_a = [k for k, v in name_of.items() if v == nation_a]
+    key_b = [k for k, v in name_of.items() if v == nation_b]
+    if not key_a or not key_b:
+        raise ValueError("unknown nation name")
+    ka, kb = key_a[0], key_b[0]
+
+    sup = supplier_ds.select_columns(
+        ["s_suppkey", "s_nationkey"]).to_pandas()
+    smax = int(sup["s_suppkey"].max()) if len(sup) else 0
+    slook = np.full(smax + 1, -1, dtype=np.int64)
+    slook[sup["s_suppkey"].to_numpy()] = \
+        sup["s_nationkey"].to_numpy()
+    sref = ray.put(slook)
+
+    ords = hash_join(
+        orders_ds.select_columns(["o_orderkey", "o_custkey"]),
+        customer_ds.select_columns(["c_custkey", "c_nationkey"]),
+        left_on="o_custkey", right_on="c_custkey",
+        right_cols=["c_nationkey"], how="inner",
+        num_parts=max(32, P // 8))
+    li = lineitem_ds.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+            pc.less(b.column("l_shipdate"), pa.scalar(hi))))
+        .select(["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"]),
+        batch_format="pyarrow")
+    j = hash_join(li, ords.select_columns(["o_orderkey",
+                                           "c_nationkey"]),
+                  left_on="l_orderkey", right_on="o_orderkey",
+                  right_cols=["c_nationkey"], how="inner",
+                  num_parts=P)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "sn": pa.array([], type=pa.int64()),
+            "cn": pa.array([], type=pa.int64()),
+            "l_year": pa.array([], type=pa.int64()),
+            "rev_p": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0 \
+                or "c_nationkey" not in batch.column_names:
+            return empty
+        sl = ray.get(sref)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        sn = sl[np.clip(sk, 0, len(sl) - 1)]
+        cn = batch.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = ((sn == ka) & (cn == kb)) | ((sn == kb) & (cn == ka))
+        if not keep.any():
+            return empty
+        b = batch.filter(pa.array(keep))
+        sn, cn = sn[keep], cn[keep]
+        yr = b.column("l_shipdate").to_pandas().dt.year \
+            .to_numpy(dtype=np.int64)
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount"))) \
+            .to_numpy(zero_copy_only=False)
+        g = pa.table({"sn": sn, "cn": cn, "l_year": yr, "rev": rev}) \
+            .group_by(["sn", "cn", "l_year"]) \
+            .aggregate([("rev", "sum")])
+        return pa.table({"sn": g.column("sn"), "cn": g.column("cn"),
+                         "l_year": g.column("l_year"),
+                         "rev_p": g.column("rev_sum")})
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["sn", "cn", "l_year"]) \
+        .aggregate(Sum("rev_p", alias_name="revenue"))
+    df = agg.to_pandas()
+    if df.empty:
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype=np.int64),
+            "revenue": pd.Series([], dtype=np.float64)})
+    df["supp_nation"] = df["sn"].map(lambda x: name_of[int(x)])
+    df["cust_nation"] = df["cn"].map(lambda x: name_of[int(x)])
+    df["revenue"] = df["revenue"].round(2)
+    df["l_year"] = df["l_year"].astype(np.int64)
+    return df[["supp_nation", "cust_nation", "l_year",
+               "revenue"]].sort_values(
+        ["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)

@@ -4688,3 +4688,103 @@ def test_fertility_and_overlap_matrix(ray_session):
     assert got[("a", "b")] == 1 and got[("b", "a")] == 1
     assert got[("c", "c")] == 1
     assert ("a", "c") not in got  # no shared trigram -> no row
+
+
+def test_tpch_q4_q12_q13_q18_q22_q7_shapes(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import (
+        customer_order_distribution, idle_rich_customers,
+        large_volume_customers, late_shipment_priority,
+        nation_trade_volume, priority_line_counts)
+
+    ts = lambda s: np.datetime64(s, "us")  # noqa: E731
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_custkey": pa.array([7, 8, 7, 9], type=pa.int64()),
+        "o_orderdate": pa.array(
+            [ts("1995-05-01"), ts("1995-06-15"), ts("1996-06-01"),
+             ts("2001-05-01")], type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "5-LOW", "2-HIGH", "3-MEDIUM"]),
+        "o_totalprice": pa.array([500.0, 800.0, 300.0, 900.0]),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3, 4], type=pa.int64()),
+        "l_suppkey": pa.array([5, 6, 6, 6, 5], type=pa.int64()),
+        "l_quantity": pa.array([200.0, 150.0, 100.0, 500.0, 10.0]),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0, 50.0,
+                                     70.0]),
+        "l_discount": pa.array([0.0, 0.1, 0.0, 0.0, 0.0]),
+        "l_returnflag": pa.array(["A", "N", "A", "R", "R"]),
+        "l_shipdate": pa.array(
+            [ts("1995-09-01"), ts("1995-06-01"), ts("1995-07-01"),
+             ts("1996-06-20"), ts("1996-03-01")],
+            type=pa.timestamp("us")),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([7, 8, 9, 10], type=pa.int64()),
+        "c_name": pa.array(["Customer#7", "Customer#8", "Customer#9",
+                            "Customer#10"]),
+        "c_nationkey": pa.array([1, 0, 0, 1], type=pa.int64()),
+        "c_acctbal": pa.array([100.0, 50.0, 200.0, 300.0]),
+    })
+    sup = pa.table({
+        "s_suppkey": pa.array([5, 6], type=pa.int64()),
+        "s_nationkey": pa.array([0, 1], type=pa.int64()),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_name": pa.array(["NATION_1", "NATION_2"]),
+    })
+    D = ray.data.from_arrow
+
+    # Q4: window holds orders 1, 2; order 1 is late via its first
+    # line (1995-05-01 + 90d = 1995-07-30 < 1995-09-01), order 2's
+    # only line ships inside its grace.
+    q4 = late_shipment_priority(D(orders), D(li)).to_pandas()
+    assert dict(zip(q4["o_orderpriority"],
+                    q4["order_count"])) == {"1-URGENT": 1}
+
+    # Q12: 1996 shipments are rows 3 (order 3, 2-HIGH -> high) and
+    # 4 (order 4, 3-MEDIUM -> low), both flagged 'R'.
+    q12 = priority_line_counts(D(li), D(orders)).to_pandas()
+    assert len(q12) == 1
+    assert q12["l_returnflag"].iloc[0] == "R"
+    assert q12["high_line_count"].iloc[0] == 1
+    assert q12["low_line_count"].iloc[0] == 1
+
+    # Q13: order counts 7->2, 8->1, 9->1, 10->0.
+    q13 = customer_order_distribution(D(cust), D(orders)) \
+        .to_pandas()
+    assert dict(zip(q13["c_count"], q13["custdist"])) == \
+        {2: 1, 1: 2, 0: 1}
+
+    # Q18: per-order quantity sums 1->350, 2->100, 3->500, 4->10;
+    # qualifying (>300) are orders 1 and 3, both customer 7, ordered
+    # by o_totalprice desc (500 before 300).
+    q18 = large_volume_customers(D(cust), D(orders), D(li),
+                                 min_qty=300.0, k=10)
+    assert list(q18["o_orderkey"]) == [1, 3]
+    assert list(q18["sum_qty"]) == [350.0, 500.0]
+    assert set(q18["c_name"]) == {"Customer#7"}
+
+    # Q22: mean positive balance = 162.5; rich = customers 9 (200)
+    # and 10 (300); 9 ordered in 2001 (recent), 10 never ordered.
+    q22 = idle_rich_customers(D(cust), D(orders)).to_pandas()
+    assert len(q22) == 1
+    assert q22["c_nationkey"].iloc[0] == 1
+    assert q22["numcust"].iloc[0] == 1
+    assert q22["totacctbal"].iloc[0] == 300.0
+
+    # Q7: in-window cross-nation lines are row 0 (supp 5=NATION_1 ->
+    # cust 7=NATION_2, rev 100) and row 2 (supp 6=NATION_2 ->
+    # cust 8=NATION_1, rev 300), both shipped 1995.
+    q7 = nation_trade_volume(D(cust), D(orders), D(li), D(sup),
+                             D(nation))
+    rows = {(r["supp_nation"], r["cust_nation"], r["l_year"]):
+            r["revenue"] for _, r in q7.iterrows()}
+    assert rows == {("NATION_1", "NATION_2", 1995): 100.0,
+                    ("NATION_2", "NATION_1", 1995): 300.0}
