@@ -340,6 +340,13 @@ def _q_lm_dirichlet_scores(sf_dir: str):
         sf_dir, BM25_QUERY, k=None, mu=LM_MU))
 
 
+def _q_dfr_pl2_scores(sf_dir: str):
+    from rse_ray.pipelines.docsearch import dfr_pl2_documents
+
+    return _finalize(dfr_pl2_documents(sf_dir, BM25_QUERY, k=None,
+                                       c=1.0))
+
+
 def _q_lm_jm_scores(sf_dir: str):
     from rse_ray.pipelines.docsearch import lm_jm_documents
 
@@ -3548,6 +3555,57 @@ def entry() -> Any:
     )
 
 
+def _q_adamic_adar(sf_dir: str):
+    from rse_ray.pipelines.linkgraph import adamic_adar
+
+    return _finalize(adamic_adar(_extracted_links()))
+
+
+def _adamic_adar_sql() -> str:
+    """AA twin over the golden links: same informative-source window
+    (distinct out-degree in [2, 100]) as related_pages, weights
+    1/ln(out_degree), already-linked pairs excluded over the full
+    distinct undirected edge set."""
+    links = os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT src_url AS src, dst_url AS dst
+    FROM read_parquet('{links}')
+    WHERE src_url IS NOT NULL AND dst_url IS NOT NULL),
+keep AS (SELECT src, count(*)::DOUBLE AS c FROM e GROUP BY 1
+         HAVING count(*) BETWEEN 2 AND 100),
+ek AS MATERIALIZED (SELECT e.src, e.dst, k.c
+                    FROM e JOIN keep k USING (src)),
+pairs AS (SELECT a.dst AS url_a, b.dst AS url_b,
+                 count(*)::BIGINT AS common,
+                 sum(1.0 / ln(a.c)) AS aa
+          FROM ek a JOIN ek b ON a.src = b.src AND a.dst < b.dst
+          GROUP BY 1, 2),
+ue AS (SELECT DISTINCT least(src_url, dst_url) AS u,
+              greatest(src_url, dst_url) AS v
+       FROM read_parquet('{links}')
+       WHERE src_url IS NOT NULL AND dst_url IS NOT NULL
+         AND src_url <> dst_url)
+SELECT url_a, url_b, common, round(aa, 6) AS aa
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM ue
+                  WHERE ue.u = p.url_a AND ue.v = p.url_b)"""
+
+
+def _q_chi_square_lang_source(sf_dir: str):
+    from rse_ray.pipelines.relational import chi_square_independence
+
+    return _finalize(chi_square_independence(
+        _read(sf_dir, "documents", ["lang", "source"])))
+
+
+def _q_mann_whitney_u(sf_dir: str):
+    from rse_ray.pipelines.relational import mann_whitney_u
+
+    return _finalize(mann_whitney_u(
+        _read(sf_dir, "events", ["event_type", "value"])))
+
+
 def _q_late_shipment_priority(sf_dir: str):
     from rse_ray.pipelines.relational import late_shipment_priority
 
@@ -3641,6 +3699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_scores": _q_bm25f_scores,
         "lm_dirichlet_scores": _q_lm_dirichlet_scores,
         "lm_jm_scores": _q_lm_jm_scores,
+        "dfr_pl2_scores": _q_dfr_pl2_scores,
         "ltr_features": _q_ltr_features,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "retrieval_metrics": _q_retrieval_metrics,
@@ -3705,6 +3764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": _q_source_lang_entropy,
         "cusum_drift": _q_cusum_drift,
         "rfm_segments": _q_rfm_segments,
+        "chi_square_lang_source": _q_chi_square_lang_source,
+        "mann_whitney_u": _q_mann_whitney_u,
         "late_shipment_priority": _q_late_shipment_priority,
         "priority_line_counts": _q_priority_line_counts,
         "customer_order_distribution": _q_customer_order_distribution,
@@ -3860,6 +3921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits_scores,
         "pagerank_personalized": _q_pagerank_personalized,
         "related_pages": _q_related_pages,
+        "adamic_adar": _q_adamic_adar,
         "bloom_semi_join": _q_bloom_semi_join,
         "crawl_depth": _q_crawl_depth,
         "connected_components": _q_connected_components,
@@ -4059,6 +4121,26 @@ scores AS (
        JOIN dl ON dl.doc_id = cand.doc_id CROSS JOIN tot
   GROUP BY 1)
 SELECT doc_id, round(raw, 6) AS score FROM scores""",
+        # DFR PL2 (Amati & van Rijsbergen 2002): tfn-normalized
+        # Poisson divergence with Laplace after-effect; avgdl follows
+        # the index's 9dp-rounded stats convention
+        "dfr_pl2_scores": _TOKS + f""",
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+s AS (SELECT count(*)::DOUBLE AS n,
+             round(sum(dl)::DOUBLE / count(*), 9) AS avgdl FROM dl),
+q(term, qtf) AS (VALUES {BM25_QUERY_SQL_TERMS}),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM p GROUP BY 1),
+t AS (SELECT p.doc_id, q.qtf, cf.cf / s.n AS lam,
+             p.tf * log2(1 + (1.0 * s.avgdl) / dl.dl) AS tfn
+      FROM p JOIN q USING (term) JOIN cf USING (term)
+           JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN s),
+sc AS (SELECT doc_id,
+         sum(qtf * (tfn * log2(tfn / lam)
+                    + (lam - tfn) * log2(exp(1))
+                    + 0.5 * log2(2 * pi() * tfn)) / (tfn + 1)) AS raw
+       FROM t GROUP BY 1)
+SELECT doc_id, round(raw, 6) AS score FROM sc""",
         "ltr_features": _TOKS + f""",
 p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
@@ -4845,6 +4927,57 @@ SELECT g1.source AS source_a, g2.source AS source_b,
        count(*)::BIGINT AS n_shared
 FROM g g1 JOIN g g2 ON g1.sh = g2.sh
 GROUP BY 1, 2""",
+        # chi2 over the FULL marginal grid (zero cells pay their
+        # expected count)
+        "chi_square_lang_source": """
+WITH c AS (SELECT lang AS r, source AS c2, count(*)::DOUBLE AS n
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1, 2),
+rt AS (SELECT r, sum(n) AS rn FROM c GROUP BY 1),
+ct AS (SELECT c2, sum(n) AS cn FROM c GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM c),
+grid AS (SELECT rt.r, ct.c2, rt.rn * ct.cn / t.tot AS e
+         FROM rt CROSS JOIN ct CROSS JOIN t),
+x AS (SELECT sum((coalesce(c.n, 0) - g.e) * (coalesce(c.n, 0) - g.e)
+                 / g.e) AS chi2
+      FROM grid g LEFT JOIN c ON c.r = g.r AND c.c2 = g.c2)
+SELECT (SELECT tot FROM t)::BIGINT AS n,
+       (SELECT count(*) FROM rt)::BIGINT AS n_rows,
+       (SELECT count(*) FROM ct)::BIGINT AS n_cols,
+       ((SELECT count(*) FROM rt) - 1)
+         * ((SELECT count(*) FROM ct) - 1) AS dof,
+       round(x.chi2, 6) AS chi2,
+       round(sqrt(x.chi2 / ((SELECT tot FROM t)
+             * least((SELECT count(*) FROM rt) - 1,
+                     (SELECT count(*) FROM ct) - 1))), 6)
+         AS cramers_v
+FROM x""",
+        # rank sums are integer-plus-half values, exact in doubles —
+        # the two engines agree bit-for-bit before the final z
+        "mann_whitney_u": """
+WITH s AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+             AS ia, value
+           FROM events
+           WHERE event_type IN ('click', 'view')
+             AND value IS NOT NULL),
+v AS (SELECT value, sum(ia)::DOUBLE AS na, count(*)::DOUBLE AS nt
+      FROM s GROUP BY 1),
+o AS (SELECT value, na, nt,
+        coalesce(sum(nt) OVER (ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cb
+      FROM v),
+agg AS (SELECT sum(na * (cb + (nt + 1) / 2)) AS ra, sum(na) AS n1,
+               sum(nt) - sum(na) AS n2,
+               sum(nt * nt * nt - nt) AS ties, sum(nt) AS n
+        FROM o)
+SELECT n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+       round(ra - n1 * (n1 + 1) / 2, 6) AS u_a,
+       round((ra - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+             / sqrt(n1 * n2 / 12
+                    * ((n + 1) - ties / (n * (n - 1)))), 6) AS z
+FROM agg""",
         # Q4 shape: lateness is shipdate > orderdate + 90d (this
         # corpus has no l_commitdate / l_receiptdate)
         "late_shipment_priority": """
@@ -6733,6 +6866,7 @@ FROM read_parquet('{pages}') GROUP BY 1""".format(
         "hits_scores": _hits_sql(),
         "pagerank_personalized": _ppr_sql(),
         "related_pages": _related_pages_sql(),
+        "adamic_adar": _adamic_adar_sql(),
         "bloom_semi_join": """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        o_orderdate, o_orderpriority

@@ -484,6 +484,22 @@ def lm_jm_documents(sf_dir: str, query: str,
     return _score_frame(index_dir, hits, round_to=round_to)
 
 
+def dfr_pl2_documents(sf_dir: str, query: str,
+                      k: int | None = None, *, c: float = 1.0,
+                      stem: bool = False,
+                      round_to: int = 6) -> pd.DataFrame:
+    """-> (doc_id, score) under the DFR PL2 model
+    (Searcher.search_dfr_pl2) over the shared on-disk index — fourth
+    retrieval family on one index. k=None scores every candidate
+    (the oracle-gate shape)."""
+    from rse_ray.pipelines.search import Searcher
+
+    index_dir = documents_index(sf_dir, stem=stem)
+    s = Searcher(index_dir)
+    hits = s.search_dfr_pl2(query, k=k, c=c)
+    return _score_frame(index_dir, hits, round_to=round_to)
+
+
 def ltr_features_documents(sf_dir: str, query: str, *,
                            stem: bool = False,
                            round_to: int = 6) -> pd.DataFrame:

@@ -33,6 +33,8 @@ reference too) and never moves the full link table to the driver.
 
 from __future__ import annotations
 
+import math
+
 from collections import Counter
 
 import numpy as np
@@ -2487,3 +2489,125 @@ def host_pagerank(links_ds, *, iters: int = 5,
     return ranks.map_batches(
         lambda b: b.rename_columns(["host", "rank"]),
         batch_format="pyarrow")
+
+
+def adamic_adar(links_ds, *, src_col: str = "src_url",
+                dst_col: str = "dst_url", max_out: int = 100,
+                round_to: int = 6):
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over the
+    co-citation graph: for every NON-adjacent page pair (a, b), the
+    score sums 1/ln(out_degree(v)) over common in-linkers v — rare
+    co-citers count more than directory hubs. Sources are windowed to
+    distinct out-degree in [2, max_out] exactly like related_pages
+    (a 1-link source co-cites nothing; a mega-hub's 1/ln(d) weight is
+    noise that costs d^2 pairs to compute). Pairs that ARE already
+    linked (either direction, over the full distinct edge set) are
+    excluded — those aren't predictions. Output (url_a, url_b,
+    common, aa), url_a < url_b, aa rounded to ``round_to``.
+
+    Scale shape: the same ONE hash(src)-partition shuffle as
+    related_pages; the weight 1/ln(deg(src)) is known INSIDE the
+    partition task (deg = the source's own distinct fan-out), so
+    pairs carry pre-summed (weight, count) partials into the
+    groupby(pair) exchange — no degree join at all; the
+    already-linked exclusion is a hash-partitioned ANTI join against
+    the undirected edge key set. Nothing touches the driver."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from rse_ray.pipelines.relational import hash_join
+    from rse_ray.util import parts_for
+
+    P = parts_for(links_ds.count(), rows_per_part=200_000)
+    SEP = "\x1f"
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = pa.table({"src": batch.column(src_col).cast(pa.string()),
+                      "dst": batch.column(dst_col).cast(pa.string())}) \
+            .drop_null()
+        t = t.group_by(["src", "dst"]).aggregate([])
+        part = (_pr_url_hash(t.column("src").to_numpy(
+            zero_copy_only=False)) % P).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    _triu_cache: dict = {}
+
+    def gen_part(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["src", "dst"]).sort_values(
+            ["src", "dst"])
+        dst = df["dst"].to_numpy()
+        _, starts, counts = np.unique(df["src"].to_numpy(),
+                                      return_index=True,
+                                      return_counts=True)
+        u1p, u2p, wp = [], [], []
+        for s0, c in zip(starts, counts):
+            if c < 2 or c > max_out:
+                continue
+            if c not in _triu_cache:
+                _triu_cache[c] = np.triu_indices(c, k=1)
+            iu, ju = _triu_cache[c]
+            sl = dst[s0:s0 + c]
+            u1p.append(sl[iu])
+            u2p.append(sl[ju])
+            wp.append(np.full(len(iu), 1.0 / math.log(c)))
+        if not u1p:
+            return pd.DataFrame({"u1": pd.Series([], dtype=str),
+                                 "u2": pd.Series([], dtype=str),
+                                 "w": pd.Series([], dtype=np.float64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        pairs = pd.DataFrame({"u1": np.concatenate(u1p),
+                              "u2": np.concatenate(u2p),
+                              "w": np.concatenate(wp)})
+        out = pairs.groupby(["u1", "u2"], sort=False).agg(
+            w=("w", "sum"), n=("w", "size")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    pairs = links_ds.map_batches(clean, batch_format="pyarrow") \
+        .groupby("part").map_groups(gen_part, batch_format="pandas") \
+        .groupby(["u1", "u2"]).aggregate(
+            Sum("w", alias_name="aa_raw"),
+            Sum("n", alias_name="common"))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch.column("u1").cast(pa.string()),
+            batch.column("u2").cast(pa.string()), SEP)
+        return batch.append_column("pair_key", key)
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        t = pa.table({"s": batch.column(src_col).cast(pa.string()),
+                      "d": batch.column(dst_col).cast(pa.string())}) \
+            .drop_null()
+        t = t.filter(pc.invert(pc.equal(t.column("s"),
+                                        t.column("d"))))
+        lo = pc.min_element_wise(t.column("s"), t.column("d"))
+        hi = pc.max_element_wise(t.column("s"), t.column("d"))
+        k = pc.binary_join_element_wise(lo, hi, SEP)
+        return pa.table({"pair_key": pc.unique(k)})
+
+    edges = links_ds.map_batches(edge_keys, batch_format="pyarrow")
+    unlinked = hash_join(
+        pairs.map_batches(keyed, batch_format="pyarrow"), edges,
+        left_on="pair_key", right_on="pair_key", right_cols=[],
+        how="anti", num_parts=P)
+
+    scale = 10.0 ** round_to
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 \
+                or "aa_raw" not in batch.column_names:
+            return pa.table({
+                "url_a": pa.array([], type=pa.string()),
+                "url_b": pa.array([], type=pa.string()),
+                "common": pa.array([], type=pa.int64()),
+                "aa": pa.array([], type=pa.float64())})
+        w = batch.column("aa_raw").to_numpy()
+        return pa.table({
+            "url_a": batch.column("u1"),
+            "url_b": batch.column("u2"),
+            "common": batch.column("common").cast(pa.int64()),
+            "aa": pa.array(np.floor(w * scale + 0.5) / scale)})
+
+    return unlinked.map_batches(finish, batch_format="pyarrow")

@@ -5138,3 +5138,154 @@ def nation_trade_volume(customer_ds, orders_ds, lineitem_ds,
                "revenue"]].sort_values(
         ["supp_nation", "cust_nation", "l_year"]) \
         .reset_index(drop=True)
+
+
+def chi_square_independence(ds, *, row_col: str = "lang",
+                            col_col: str = "source"):
+    """Pearson chi-square test of independence over a contingency
+    table of two categorical columns (the corpus-audit question "is
+    language distribution independent of source?"). -> one row
+    (n, n_rows, n_cols, dof, chi2, cramers_v), chi2 summed over the
+    FULL marginal grid (zero cells pay their expected count), both
+    stats rounded to 6 places.
+
+    Scale shape: per-batch partial counts collapse each batch to its
+    distinct (row, col) cells before the groupby, so the exchange
+    moves O(cells) rows per block; the contingency table itself is
+    |rows| x |cols| (tiny by construction for categorical columns)
+    and the grid arithmetic runs once on the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"r": batch.column(row_col),
+                      "c": batch.column(col_col)}).drop_null()
+        g = t.group_by(["r", "c"]).aggregate([([], "count_all")])
+        return pa.table({"r": g.column("r"), "c": g.column("c"),
+                         "n_p": pc.cast(g.column("count_all"),
+                                        pa.int64())})
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["r", "c"]).aggregate(Sum("n_p", alias_name="n")) \
+        .to_pandas()
+    if cells.empty:
+        return pd.DataFrame({
+            "n": pd.Series([0], dtype=np.int64),
+            "n_rows": pd.Series([0], dtype=np.int64),
+            "n_cols": pd.Series([0], dtype=np.int64),
+            "dof": pd.Series([0], dtype=np.int64),
+            "chi2": pd.Series([0.0]),
+            "cramers_v": pd.Series([0.0])})
+    piv = cells.pivot_table(index="r", columns="c", values="n",
+                            fill_value=0, aggfunc="sum")
+    obs = piv.to_numpy(dtype=np.float64)
+    tot = obs.sum()
+    exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / tot
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    r, c = obs.shape
+    dof = (r - 1) * (c - 1)
+    v = math.sqrt(chi2 / (tot * min(r - 1, c - 1))) \
+        if min(r - 1, c - 1) > 0 else 0.0
+    return pd.DataFrame({
+        "n": pd.Series([int(tot)], dtype=np.int64),
+        "n_rows": pd.Series([r], dtype=np.int64),
+        "n_cols": pd.Series([c], dtype=np.int64),
+        "dof": pd.Series([dof], dtype=np.int64),
+        "chi2": pd.Series([round(chi2, 6)]),
+        "cramers_v": pd.Series([round(v, 6)])})
+
+
+def mann_whitney_u(events_ds, *, group_col: str = "event_type",
+                   a: str = "click", b: str = "view",
+                   value_col: str = "value"):
+    """Mann-Whitney U rank-sum test between two groups' value
+    distributions (the nonparametric sibling of ab_test_welch):
+    average ranks over the pooled sample with exact tie handling,
+    U_a = R_a - n_a(n_a+1)/2, and the tie-corrected normal
+    approximation z. -> one row (n_a, n_b, u_a, z), both stats
+    rounded to 6 places.
+
+    Scale shape: the pooled sample collapses to DISTINCT values first
+    (per-batch partials, then one groupby(value)); ranking is the
+    shared two-pass block-offset prefix pattern over the sorted
+    distinct-value table (vocab_growth / global_rank idiom) — the
+    driver sees O(blocks) boundary rows plus one final scalar row,
+    never the data. Rank sums are integer-plus-half values, exact in
+    doubles below 2^52, so both engines agree bit-for-bit before the
+    final float z."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        keep = pc.or_(pc.equal(g, pa.scalar(a)),
+                      pc.equal(g, pa.scalar(b)))
+        t = batch.filter(keep)
+        ia = pc.cast(pc.equal(t.column(group_col), pa.scalar(a)),
+                     pa.int64())
+        tt = pa.table({"value": t.column(value_col), "ia": ia}) \
+            .drop_null()
+        g2 = tt.group_by(["value"]).aggregate(
+            [("ia", "sum"), ([], "count_all")])
+        return pa.table({"value": g2.column("value"),
+                         "na_p": g2.column("ia_sum"),
+                         "nt_p": pc.cast(g2.column("count_all"),
+                                         pa.int64())})
+
+    dist = events_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("value").aggregate(Sum("na_p", alias_name="na"),
+                                    Sum("nt_p", alias_name="nt")) \
+        .sort("value").materialize()
+
+    def block_tot(batch: pa.Table) -> pa.Table:
+        n = min(batch.num_rows, 1)
+        return pa.table({
+            "v0": batch.column("value").slice(0, 1),
+            "snt": pa.array([int(pc.sum(batch.column("nt")).as_py()
+                             or 0)] * n, type=pa.int64())})
+
+    tots = dist.map_batches(block_tot, batch_size=None,
+                            batch_format="pyarrow").to_pandas() \
+        .sort_values("v0").reset_index(drop=True)
+    if tots.empty:
+        return pd.DataFrame({
+            "n_a": pd.Series([0], dtype=np.int64),
+            "n_b": pd.Series([0], dtype=np.int64),
+            "u_a": pd.Series([0.0]), "z": pd.Series([0.0])})
+    offset = {float(v0): int(o) for v0, o in zip(
+        tots["v0"], tots["snt"].cumsum().shift(fill_value=0))}
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"ra": pa.array([], type=pa.float64()),
+                             "n1": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "ties": pa.array([], type=pa.float64())})
+        na = batch.column("na").to_numpy().astype(np.float64)
+        nt = batch.column("nt").to_numpy().astype(np.float64)
+        off = offset[float(batch.column("value")[0].as_py())]
+        cb = off + np.cumsum(nt) - nt
+        ra = float((na * (cb + (nt + 1.0) / 2.0)).sum())
+        return pa.table({
+            "ra": pa.array([ra], type=pa.float64()),
+            "n1": pa.array([int(na.sum())], type=pa.int64()),
+            "n": pa.array([int(nt.sum())], type=pa.int64()),
+            "ties": pa.array([float((nt ** 3 - nt).sum())],
+                             type=pa.float64())})
+
+    parts = dist.map_batches(block_stats, batch_size=None,
+                             batch_format="pyarrow").to_pandas()
+    ra = float(parts["ra"].sum())
+    n1 = float(parts["n1"].sum())
+    n = float(parts["n"].sum())
+    ties = float(parts["ties"].sum())
+    n2 = n - n1
+    u_a = ra - n1 * (n1 + 1.0) / 2.0
+    if n1 > 0 and n2 > 0 and n > 1:
+        var = n1 * n2 / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0)))
+        z = (u_a - n1 * n2 / 2.0) / math.sqrt(var) if var > 0 else 0.0
+    else:
+        z = 0.0
+    return pd.DataFrame({
+        "n_a": pd.Series([int(n1)], dtype=np.int64),
+        "n_b": pd.Series([int(n2)], dtype=np.int64),
+        "u_a": pd.Series([round(u_a, 6)]),
+        "z": pd.Series([round(z, 6)])})

@@ -760,6 +760,53 @@ class Searcher:
                                   + (lam * cf) / T)
         return _rank_topk(cand, score, k if k is not None else len(cand))
 
+    def search_dfr_pl2(self, query: str, k: int | None = None, *,
+                       c: float = 1.0):
+        """Divergence-from-randomness retrieval, PL2 model (Amati &
+        van Rijsbergen 2002; Terrier's default DFR instance) — a
+        FOURTH scoring family on the same index arrays (BM25,
+        Dirichlet LM, JM LM, DFR):
+
+            tfn      = tf * log2(1 + c * avgdl / dl)
+            lambda_t = cf_t / N          (mean term freq per doc)
+            score(d) = sum_t qtf_t * (1 / (tfn + 1)) *
+                       (tfn * log2(tfn / lambda_t)
+                        + (lambda_t - tfn) * log2(e)
+                        + 0.5 * log2(2 * pi * tfn))
+
+        Unlike the LM scorers, an absent term contributes 0 (tf = 0
+        never enters), so this is a per-posting accumulate like BM25.
+        Candidates, delete-masking, cf policy and (score desc,
+        doc_id asc) ranking follow the sibling scorers; cf/N stay
+        full-corpus under deletes (the stable-idf policy)."""
+        log2e = np.log2(np.e)
+        two_pi = 2.0 * np.pi
+        id_parts, contrib_parts = [], []
+        for term, qtf in _query_weights(query, self.stem):
+            got = self.reader.postings(term)
+            if got is None:
+                continue
+            ids, tfs, dls, _df = got
+            lam = float(tfs.sum()) / self.N
+            m = self._keep_mask(ids)
+            if m is not None:
+                ids, tfs, dls = ids[m], tfs[m], dls[m]
+                if not len(ids):
+                    continue
+            tfn = tfs * np.log2(1.0 + (c * self.avgdl) / dls)
+            gain = (tfn * np.log2(tfn / lam)
+                    + (lam - tfn) * log2e
+                    + 0.5 * np.log2(two_pi * tfn))
+            id_parts.append(ids)
+            contrib_parts.append(qtf * gain / (tfn + 1.0))
+        if not id_parts:
+            return []
+        cand = np.unique(np.concatenate(id_parts))
+        score = np.zeros(len(cand), dtype=np.float64)
+        for ids, contrib in zip(id_parts, contrib_parts):
+            score[np.searchsorted(cand, ids)] += contrib
+        return _rank_topk(cand, score, k if k is not None else len(cand))
+
     def search_maxscore(self, query: str, k: int = 10, *,
                         stats: dict | None = None):
         """MaxScore dynamic pruning (Turtle & Flood 1995, TAAT form):

@@ -4788,3 +4788,66 @@ def test_tpch_q4_q12_q13_q18_q22_q7_shapes(ray_session):
             r["revenue"] for _, r in q7.iterrows()}
     assert rows == {("NATION_1", "NATION_2", 1995): 100.0,
                     ("NATION_2", "NATION_1", 1995): 300.0}
+
+
+def test_chi_square_and_mann_whitney(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import (chi_square_independence,
+                                              mann_whitney_u)
+
+    # 2x2 contingency: rows en/fr x cols web/books, counts
+    # [[10, 20], [20, 10]] -> chi2 = 60*(10*10-20*20)^2/(30*30*30*30)
+    docs = pa.table({
+        "lang": pa.array(["en"] * 30 + ["fr"] * 30),
+        "source": pa.array(["web"] * 10 + ["books"] * 20
+                           + ["web"] * 20 + ["books"] * 10),
+    })
+    got = chi_square_independence(ray.data.from_arrow(docs))
+    exp_chi2 = 60 * (10 * 10 - 20 * 20) ** 2 / (30 * 30 * 30 * 30)
+    assert got["n"].iloc[0] == 60
+    assert got["dof"].iloc[0] == 1
+    assert got["chi2"].iloc[0] == round(float(exp_chi2), 6)
+    assert got["cramers_v"].iloc[0] == round(
+        float(np.sqrt(exp_chi2 / 60)), 6)
+
+    # pooled sample a={1,2,2}, b={2,3}: ranks 1, 3, 3, 3, 5 (average
+    # ranks over the tie block) -> R_a = 7, U_a = 7 - 6 = 1
+    ev = pa.table({
+        "event_type": pa.array(["click", "click", "click", "view",
+                                "view"]),
+        "value": pa.array([1.0, 2.0, 2.0, 2.0, 3.0]),
+    })
+    mw = mann_whitney_u(ray.data.from_arrow(ev))
+    assert mw["n_a"].iloc[0] == 3 and mw["n_b"].iloc[0] == 2
+    assert mw["u_a"].iloc[0] == 1.0
+    # z = (1 - 3) / sqrt(3*2/12 * (6 - 24/20))
+    assert mw["z"].iloc[0] == round(
+        (1.0 - 3.0) / np.sqrt(0.5 * (6.0 - 24.0 / 20.0)), 6)
+
+
+def test_adamic_adar(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import adamic_adar
+
+    # s1 -> {a, b, c}; s2 -> {a, b}; s3 -> {b} (degree-1, excluded);
+    # edge a -> b exists, so the (a, b) prediction is suppressed.
+    links = pa.table({
+        "src_url": pa.array(["s1", "s1", "s1", "s2", "s2", "s3",
+                             "a"]),
+        "dst_url": pa.array(["a", "b", "c", "a", "b", "b", "b"]),
+    })
+    got = adamic_adar(ray.data.from_arrow(links)).to_pandas()
+    rows = {(r["url_a"], r["url_b"]): (r["common"], r["aa"])
+            for _, r in got.iterrows()}
+    w3 = 1.0 / math.log(3)
+    # (a, c) and (b, c) each co-cited only by s1 (deg 3); (a, b) is
+    # an existing edge -> excluded despite weight w3 + 1/ln(2)
+    assert rows == {("a", "c"): (1, round(w3, 6)),
+                    ("b", "c"): (1, round(w3, 6))}
