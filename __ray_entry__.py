@@ -3555,6 +3555,48 @@ def entry() -> Any:
     )
 
 
+def _q_market_share(sf_dir: str):
+    from rse_ray.pipelines.relational import market_share
+
+    return _finalize(market_share(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation", ["n_nationkey", "n_name",
+                                 "n_regionkey"]),
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]),
+        _read(sf_dir, "part", ["p_partkey", "p_type"])))
+
+
+def _q_product_profit(sf_dir: str):
+    from rse_ray.pipelines.relational import product_profit
+
+    return _finalize(product_profit(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+               "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+        _read(sf_dir, "part",
+              ["p_partkey", "p_name", "p_retailprice"])))
+
+
+DSIR_TARGET = "src0"
+
+
+def _q_dsir_weights(sf_dir: str):
+    from rse_ray.pipelines.text import dsir_weights
+
+    return _finalize(dsir_weights(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        target_source=DSIR_TARGET))
+
+
 def _q_adamic_adar(sf_dir: str):
     from rse_ray.pipelines.linkgraph import adamic_adar
 
@@ -3764,6 +3806,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": _q_source_lang_entropy,
         "cusum_drift": _q_cusum_drift,
         "rfm_segments": _q_rfm_segments,
+        "market_share": _q_market_share,
+        "product_profit": _q_product_profit,
+        "dsir_weights": _q_dsir_weights,
         "chi_square_lang_source": _q_chi_square_lang_source,
         "mann_whitney_u": _q_mann_whitney_u,
         "late_shipment_priority": _q_late_shipment_priority,
@@ -4927,6 +4972,83 @@ SELECT g1.source AS source_a, g2.source AS source_b,
        count(*)::BIGINT AS n_shared
 FROM g g1 JOIN g g2 ON g1.sh = g2.sh
 GROUP BY 1, 2""",
+        # Q8 shape: ASIA-region customers, PROMO parts, share from
+        # NATION_5 suppliers; share computed on the raw sums
+        "market_share": """
+SELECT year(o.o_orderdate)::BIGINT AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                      THEN l.l_extendedprice * (1.0 - l.l_discount)
+                      ELSE 0 END), 2) AS nation_revenue,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+         AS total_revenue,
+       round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                      THEN l.l_extendedprice * (1.0 - l.l_discount)
+                      ELSE 0 END)
+             / sum(l.l_extendedprice * (1.0 - l.l_discount)), 6)
+         AS mkt_share
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = cn.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1""",
+        # Q9 shape adapted: unit cost = 0.6 * p_retailprice (no
+        # partsupp table in this corpus)
+        "product_profit": """
+SELECT n.n_name, year(o.o_orderdate)::BIGINT AS o_year,
+       (CASE WHEN sum(round(l.l_extendedprice * (1.0 - l.l_discount)
+                            * 10000)::BIGINT
+                     - round(0.6 * p.p_retailprice * l.l_quantity
+                             * 10000)::BIGINT) >= 0
+             THEN (sum(round(l.l_extendedprice * (1.0 - l.l_discount)
+                             * 10000)::BIGINT
+                       - round(0.6 * p.p_retailprice * l.l_quantity
+                               * 10000)::BIGINT) + 50) // 100
+             ELSE -((-sum(round(l.l_extendedprice
+                                * (1.0 - l.l_discount)
+                                * 10000)::BIGINT
+                          - round(0.6 * p.p_retailprice
+                                  * l.l_quantity
+                                  * 10000)::BIGINT) + 50) // 100)
+        END) / 100.0 AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2""",
+        # DSIR: hashed-unigram likelihood ratio, add-1 smoothing over
+        # the 1024-bucket space; docs with no tokens emit no row
+        "dsir_weights": _TOKS + """,
+tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY 1, 2),
+db AS (SELECT doc_id,
+              (md5_number_lower('dsir:' || term) % 1024)::BIGINT
+                AS bucket,
+              sum(tf)::BIGINT AS n
+       FROM tc GROUP BY 1, 2),
+sd AS (SELECT d.doc_id, d.bucket, d.n,
+              doc.source = 'src0' AS is_tgt
+       FROM db d JOIN documents doc USING (doc_id)),
+ct AS (SELECT bucket,
+              sum(CASE WHEN is_tgt THEN n ELSE 0 END)::DOUBLE AS ct,
+              sum(CASE WHEN is_tgt THEN 0 ELSE n END)::DOUBLE AS cs
+       FROM sd GROUP BY 1),
+tot AS (SELECT sum(ct) AS st, sum(cs) AS ss FROM ct),
+lam AS (SELECT bucket,
+               ln((ct + 1.0) / (st + 1024.0))
+                 - ln((cs + 1.0) / (ss + 1024.0)) AS lam
+        FROM ct CROSS JOIN tot),
+w AS (SELECT sd.doc_id, sum(sd.n * lam.lam) AS lw
+      FROM sd JOIN lam USING (bucket) GROUP BY 1)
+SELECT doc_id, round(lw, 6) AS log_weight FROM w""",
         # chi2 over the FULL marginal grid (zero cells pay their
         # expected count)
         "chi_square_lang_source": """

@@ -5289,3 +5289,261 @@ def mann_whitney_u(events_ds, *, group_col: str = "event_type",
         "n_b": pd.Series([int(n2)], dtype=np.int64),
         "u_a": pd.Series([round(u_a, 6)]),
         "z": pd.Series([round(z, 6)])})
+
+
+def market_share(customer_ds, orders_ds, lineitem_ds, supplier_ds,
+                 nation_ds, region_ds, part_ds, *,
+                 region: str = "ASIA",
+                 supp_nation: str = "NATION_5",
+                 p_type: str = "PROMO",
+                 date_lo: str = "1995-01-01",
+                 date_hi: str = "1997-01-01"):
+    """TPC-H Q8 shape (national market share): within one region's
+    customers and one part type, the share of yearly revenue supplied
+    by one nation. -> (o_year, nation_revenue, total_revenue,
+    mkt_share); money rounded to 2, share to 6, share computed on the
+    RAW sums before rounding.
+
+    Scale shape: region->nation, part->type and supplier->nation are
+    all BROADCAST lookups (dense numpy arrays via ray.put — dimension
+    tables never shuffle); orders prune to the window at the scan and
+    semi-reduce to region customers with ONE co-partitioned hash
+    join; the only big exchange is lineitem<-orders; per-batch
+    partials collapse to (year, is_nation) pairs so the final groupby
+    sees a handful of rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+
+    nat = nation_ds.to_pandas()
+    reg = region_ds.to_pandas()
+    rkeys = set(reg[reg["r_name"] == region]["r_regionkey"])
+    region_nations = set(
+        int(k) for k, rk in zip(nat["n_nationkey"], nat["n_regionkey"])
+        if int(rk) in rkeys)
+    sn_keys = [int(k) for k, nm in zip(nat["n_nationkey"],
+                                       nat["n_name"])
+               if str(nm) == supp_nation]
+    if not sn_keys:
+        raise ValueError("unknown supplier nation")
+    sn_key = sn_keys[0]
+
+    sup = supplier_ds.select_columns(
+        ["s_suppkey", "s_nationkey"]).to_pandas()
+    smax = int(sup["s_suppkey"].max()) if len(sup) else 0
+    s_is_nation = np.zeros(smax + 1, dtype=bool)
+    s_is_nation[sup["s_suppkey"].to_numpy()] = \
+        (sup["s_nationkey"].to_numpy() == sn_key)
+    sref = ray.put(s_is_nation)
+
+    pt = part_ds.select_columns(["p_partkey", "p_type"]).to_pandas()
+    pmax = int(pt["p_partkey"].max()) if len(pt) else 0
+    p_keep = np.zeros(pmax + 1, dtype=bool)
+    p_keep[pt["p_partkey"].to_numpy()] = \
+        (pt["p_type"] == p_type).to_numpy()
+    pref = ray.put(p_keep)
+
+    rn = np.array(sorted(region_nations), dtype=np.int64)
+
+    def region_cust(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(np.isin(ck, rn))) \
+            .select(["c_custkey"])
+
+    cust = customer_ds.map_batches(region_cust,
+                                   batch_format="pyarrow")
+    orders = orders_ds.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(b.column("o_orderdate"), pa.scalar(hi))))
+        .select(["o_orderkey", "o_custkey", "o_orderdate"]),
+        batch_format="pyarrow")
+    o_reg = hash_join(orders, cust, left_on="o_custkey",
+                      right_on="c_custkey", right_cols=[],
+                      how="semi", num_parts=max(32, P // 8))
+
+    def li_filter(batch: pa.Table) -> pa.Table:
+        keep_flags = ray.get(pref)
+        pk = batch.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = np.zeros(len(pk), dtype=bool)
+        in_r = pk < len(keep_flags)
+        m[in_r] = keep_flags[pk[in_r]]
+        return batch.filter(pa.array(m)) \
+            .select(["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"])
+
+    li = lineitem_ds.map_batches(li_filter, batch_format="pyarrow")
+    j = hash_join(li, o_reg.select_columns(["o_orderkey",
+                                            "o_orderdate"]),
+                  left_on="l_orderkey", right_on="o_orderkey",
+                  right_cols=["o_orderdate"], how="inner",
+                  num_parts=P)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "o_year": pa.array([], type=pa.int64()),
+            "nat_p": pa.array([], type=pa.float64()),
+            "tot_p": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0 \
+                or "o_orderdate" not in batch.column_names:
+            return empty
+        flag = ray.get(sref)
+        sk = batch.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        is_n = np.zeros(len(sk), dtype=bool)
+        in_r = sk < len(flag)
+        is_n[in_r] = flag[sk[in_r]]
+        yr = batch.column("o_orderdate").to_pandas().dt.year \
+            .to_numpy(dtype=np.int64)
+        rev = (batch.column("l_extendedprice").to_numpy()
+               * (1.0 - batch.column("l_discount").to_numpy()))
+        g = pa.table({"o_year": yr,
+                      "nat": np.where(is_n, rev, 0.0),
+                      "tot": rev}) \
+            .group_by(["o_year"]) \
+            .aggregate([("nat", "sum"), ("tot", "sum")])
+        return pa.table({"o_year": g.column("o_year"),
+                         "nat_p": g.column("nat_sum"),
+                         "tot_p": g.column("tot_sum")})
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_year").aggregate(
+            Sum("nat_p", alias_name="nat"),
+            Sum("tot_p", alias_name="tot")).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({
+            "o_year": pd.Series([], dtype=np.int64),
+            "nation_revenue": pd.Series([], dtype=np.float64),
+            "total_revenue": pd.Series([], dtype=np.float64),
+            "mkt_share": pd.Series([], dtype=np.float64)})
+    out = pd.DataFrame({
+        "o_year": agg["o_year"].astype(np.int64),
+        "nation_revenue": agg["nat"].round(2),
+        "total_revenue": agg["tot"].round(2),
+        "mkt_share": (agg["nat"] / agg["tot"]).round(6)})
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def product_profit(orders_ds, lineitem_ds, supplier_ds, nation_ds,
+                   part_ds, *, name_token: str = "widget",
+                   cost_factor: float = 0.6):
+    """TPC-H Q9 shape (product-type profit), adapted to this corpus's
+    reduced schema: for parts whose name contains ``name_token``,
+    profit = l_extendedprice * (1 - l_discount) -
+    cost_factor * p_retailprice * l_quantity (no partsupp table, so
+    unit cost is a fixed fraction of the part's retail price),
+    grouped by the SUPPLIER's nation and the order year. ->
+    (n_name, o_year, profit), money rounded to 2.
+
+    Exactness: prices and discounts carry <= 2 decimals, so per-row
+    profit x 10^4 is a TRUE integer; both engines round the float to
+    that integer and sum in int64 — profit sums are order-free and
+    bit-exact (a float-summed draft differed from the oracle on a
+    group landing exactly on a half-cent boundary).
+
+    Scale shape: part (name match + retail price) and
+    supplier->nation broadcast as dense arrays; lineitem prunes to
+    matching parts at the scan; ONE co-partitioned hash join attaches
+    o_orderdate; partials collapse to (nation, year) cells per
+    batch."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+
+    nat = nation_ds.to_pandas()
+    name_of = {int(a): str(b) for a, b in zip(nat["n_nationkey"],
+                                              nat["n_name"])}
+    sup = supplier_ds.select_columns(
+        ["s_suppkey", "s_nationkey"]).to_pandas()
+    smax = int(sup["s_suppkey"].max()) if len(sup) else 0
+    s_nat = np.full(smax + 1, -1, dtype=np.int64)
+    s_nat[sup["s_suppkey"].to_numpy()] = \
+        sup["s_nationkey"].to_numpy()
+    sref = ray.put(s_nat)
+
+    pt = part_ds.select_columns(
+        ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    pmax = int(pt["p_partkey"].max()) if len(pt) else 0
+    p_price = np.full(pmax + 1, np.nan, dtype=np.float64)
+    match = pt["p_name"].str.contains(name_token, regex=False)
+    p_price[pt["p_partkey"].to_numpy()[match.to_numpy()]] = \
+        pt["p_retailprice"].to_numpy()[match.to_numpy()]
+    pref = ray.put(p_price)
+
+    def li_filter(batch: pa.Table) -> pa.Table:
+        price = ray.get(pref)
+        pk = batch.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        unit = np.full(len(pk), np.nan)
+        in_r = pk < len(price)
+        unit[in_r] = price[pk[in_r]]
+        m = ~np.isnan(unit)
+        t = batch.filter(pa.array(m))
+        return t.append_column("p_retailprice",
+                               pa.array(unit[m], type=pa.float64()))
+
+    li = lineitem_ds.select_columns(
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"]) \
+        .map_batches(li_filter, batch_format="pyarrow")
+    j = hash_join(li, orders_ds.select_columns(["o_orderkey",
+                                                "o_orderdate"]),
+                  left_on="l_orderkey", right_on="o_orderkey",
+                  right_cols=["o_orderdate"], how="inner",
+                  num_parts=P)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "nk": pa.array([], type=pa.int64()),
+            "o_year": pa.array([], type=pa.int64()),
+            "pr_p": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0 \
+                or "o_orderdate" not in batch.column_names:
+            return empty
+        snat = ray.get(sref)
+        sk = batch.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nk = snat[np.clip(sk, 0, len(snat) - 1)]
+        yr = batch.column("o_orderdate").to_pandas().dt.year \
+            .to_numpy(dtype=np.int64)
+        rev4 = np.rint(batch.column("l_extendedprice").to_numpy()
+                       * (1.0 - batch.column("l_discount").to_numpy())
+                       * 10_000.0).astype(np.int64)
+        cost4 = np.rint(cost_factor
+                        * batch.column("p_retailprice").to_numpy()
+                        * batch.column("l_quantity").to_numpy()
+                        * 10_000.0).astype(np.int64)
+        g = pa.table({"nk": nk, "o_year": yr, "pr": rev4 - cost4}) \
+            .group_by(["nk", "o_year"]).aggregate([("pr", "sum")])
+        return pa.table({"nk": g.column("nk"),
+                         "o_year": g.column("o_year"),
+                         "pr_p": g.column("pr_sum")})
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["nk", "o_year"]) \
+        .aggregate(Sum("pr_p", alias_name="profit")).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({
+            "n_name": pd.Series([], dtype=object),
+            "o_year": pd.Series([], dtype=np.int64),
+            "profit": pd.Series([], dtype=np.float64)})
+    out = pd.DataFrame({
+        "n_name": agg["nk"].map(lambda x: name_of.get(int(x), "")),
+        "o_year": agg["o_year"].astype(np.int64),
+        # 1e-4-unit int -> cents with half-away-from-zero rounding,
+        # all in int64 (float round(x, 2) is half-even in numpy but
+        # half-away in the oracle; integers sidestep the disagreement)
+        "profit": (np.sign(agg["profit"].to_numpy())
+                   * ((np.abs(agg["profit"].to_numpy()) + 50) // 100)
+                   ) / 100.0})
+    return out.sort_values(["n_name", "o_year"]).reset_index(drop=True)

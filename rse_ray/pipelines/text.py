@@ -3686,3 +3686,124 @@ def source_overlap_matrix(ds, *, n: int = 3):
             "source_b": b.column("source_b"),
             "n_shared": pc.cast(b.column("n_shared"), pa.int64()),
         }), batch_format="pyarrow")
+
+
+def dsir_weights(ds, *, target_source: str = "books",
+                 dim: int = 1024, stem: bool = False,
+                 round_to: int = 6):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-unigram features are under the
+    TARGET distribution (docs from ``target_source``) than under the
+    source distribution (all other docs) —
+    log w(d) = sum_f n_f(d) * (ln p_tgt(f) - ln p_src(f)), features
+    hashed to ``dim`` buckets (md5 'dsir:'||term % dim, the repo's
+    md5_number_lower convention), both distributions add-1 smoothed
+    over the bucket space. Output (doc_id, log_weight); resampling is
+    then weighted_sample with exp(log_weight) — this operator is the
+    scoring pass. Docs with no tokens emit no row (no features, no
+    evidence).
+
+    Scale shape: ONE tokenize pass explodes to (doc_id, bucket, n,
+    is_target) rows, materialized once and consumed twice: (a)
+    per-batch bucket partials -> a dim-row groupby -> the two count
+    vectors (dim doubles to the driver, data never); (b) the same
+    exploded rows re-scored against the BROADCAST lambda vector
+    (ray.put once) with per-batch per-doc partials before the
+    groupby(doc_id) sum. The vocabulary never ships; everything
+    downstream of tokenize is O(tokens) -> O(dim) -> O(docs)."""
+    import ray
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from rse_ray.functions.tokenizer import tokenize
+    from rse_ray.pipelines.sketch import _md5_u64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        o_id, o_b, o_n, o_t = [], [], [], []
+        for i, t, s in zip(ids, texts, srcs):
+            if t is None:
+                continue
+            c = Counter(tokenize(t, stem=stem))
+            if not c:
+                continue
+            terms = sorted(c)
+            b = (_md5_u64([f"dsir:{w}" for w in terms])
+                 % np.uint64(dim)).astype(np.int64)
+            tf = np.fromiter((c[w] for w in terms), dtype=np.int64,
+                             count=len(terms))
+            vec = np.zeros(dim, dtype=np.int64)
+            np.add.at(vec, b, tf)
+            nz = np.flatnonzero(vec)
+            o_id.extend([i] * len(nz))
+            o_b.extend(int(x) for x in nz)
+            o_n.extend(int(v) for v in vec[nz])
+            o_t.extend([s == target_source] * len(nz))
+        return pa.table({
+            "doc_id": pa.array(o_id, type=pa.int64()),
+            "bucket": pa.array(o_b, type=pa.int64()),
+            "n": pa.array(o_n, type=pa.int64()),
+            "is_tgt": pa.array(o_t, type=pa.bool_())})
+
+    feats = ds.map_batches(explode, batch_format="pyarrow") \
+        .materialize()
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        tgt = pc.if_else(batch.column("is_tgt"), batch.column("n"),
+                         pa.scalar(0, type=pa.int64()))
+        src = pc.if_else(batch.column("is_tgt"),
+                         pa.scalar(0, type=pa.int64()),
+                         batch.column("n"))
+        g = pa.table({"bucket": batch.column("bucket"),
+                      "ct": tgt, "cs": src}) \
+            .group_by(["bucket"]) \
+            .aggregate([("ct", "sum"), ("cs", "sum")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "ct_p": g.column("ct_sum"),
+                         "cs_p": g.column("cs_sum")})
+
+    counts = feats.map_batches(bucket_partial,
+                               batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("ct_p", alias_name="ct"),
+                                     Sum("cs_p", alias_name="cs")) \
+        .to_pandas()
+    ct = np.zeros(dim, dtype=np.float64)
+    cs = np.zeros(dim, dtype=np.float64)
+    if len(counts):
+        bk = counts["bucket"].to_numpy(dtype=np.int64)
+        ct[bk] = counts["ct"].to_numpy(dtype=np.float64)
+        cs[bk] = counts["cs"].to_numpy(dtype=np.float64)
+    st, ss = float(ct.sum()), float(cs.sum())
+    lam = (np.log((ct + 1.0) / (st + float(dim)))
+           - np.log((cs + 1.0) / (ss + float(dim))))
+    lam_ref = ray.put(lam)
+
+    def weight_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "w_p": pa.array([], type=pa.float64())})
+        lv = ray.get(lam_ref)
+        n = batch.column("n").to_numpy().astype(np.float64)
+        b = batch.column("bucket").to_numpy()
+        g = pa.table({"doc_id": batch.column("doc_id"),
+                      "w": n * lv[b]}) \
+            .group_by(["doc_id"]).aggregate([("w", "sum")])
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "w_p": g.column("w_sum")})
+
+    out = feats.map_batches(weight_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("w_p",
+                                         alias_name="log_weight"))
+    scale = 10.0 ** round_to
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "log_weight": pa.array(np.floor(
+                b.column("log_weight").to_numpy() * scale + 0.5)
+                / scale)}),
+        batch_format="pyarrow")

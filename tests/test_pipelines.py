@@ -4851,3 +4851,85 @@ def test_adamic_adar(ray_session):
     # an existing edge -> excluded despite weight w3 + 1/ln(2)
     assert rows == {("a", "c"): (1, round(w3, 6)),
                     ("b", "c"): (1, round(w3, 6))}
+
+
+def test_market_share_product_profit_dsir(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import (market_share,
+                                              product_profit)
+    from rse_ray.pipelines.text import dsir_weights
+
+    ts = lambda s: np.datetime64(s, "us")  # noqa: E731
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_name": pa.array(["NATION_5", "NATION_6"]),
+        "n_regionkey": pa.array([0, 0], type=pa.int64()),
+    })
+    region = pa.table({
+        "r_regionkey": pa.array([0], type=pa.int64()),
+        "r_name": pa.array(["ASIA"]),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([7], type=pa.int64()),
+        "c_nationkey": pa.array([0], type=pa.int64()),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], type=pa.int64()),
+        "o_custkey": pa.array([7, 7], type=pa.int64()),
+        "o_orderdate": pa.array([ts("1995-03-01"), ts("1996-03-01")],
+                                type=pa.timestamp("us")),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2], type=pa.int64()),
+        "l_partkey": pa.array([10, 10, 10], type=pa.int64()),
+        "l_suppkey": pa.array([5, 6, 5], type=pa.int64()),
+        "l_quantity": pa.array([1.0, 2.0, 3.0]),
+        "l_extendedprice": pa.array([100.0, 300.0, 50.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.5]),
+    })
+    sup = pa.table({
+        "s_suppkey": pa.array([5, 6], type=pa.int64()),
+        "s_nationkey": pa.array([0, 1], type=pa.int64()),
+    })
+    part = pa.table({
+        "p_partkey": pa.array([10], type=pa.int64()),
+        "p_type": pa.array(["PROMO"]),
+        "p_name": pa.array(["red widget"]),
+        "p_retailprice": pa.array([10.0]),
+    })
+    D = ray.data.from_arrow
+
+    # 1995: NATION_5 supplies 100 of 400; 1996: 25 of 25.
+    q8 = market_share(D(cust), D(orders), D(li), D(sup), D(nation),
+                      D(region), D(part))
+    rows = {int(r["o_year"]): (r["nation_revenue"],
+                               r["total_revenue"], r["mkt_share"])
+            for _, r in q8.iterrows()}
+    assert rows == {1995: (100.0, 400.0, 0.25),
+                    1996: (25.0, 25.0, 1.0)}
+
+    # Q9: profit rows — (100 - 6) NATION_5/1995, (300 - 12)
+    # NATION_6/1995, (25 - 18) NATION_5/1996 (cost = 0.6*10*qty).
+    q9 = product_profit(D(orders), D(li), D(sup), D(nation), D(part))
+    prows = {(r["n_name"], int(r["o_year"])): r["profit"]
+             for _, r in q9.iterrows()}
+    assert prows == {("NATION_5", 1995): 94.0,
+                     ("NATION_6", 1995): 288.0,
+                     ("NATION_5", 1996): 7.0}
+
+    # DSIR: a doc made of target-exclusive terms must outscore a doc
+    # made of source-exclusive terms.
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["alpha alpha beta", "alpha beta",
+                          "gamma delta", "gamma gamma delta"]),
+        "source": pa.array(["tgt", "tgt", "other", "other"]),
+    })
+    w = dsir_weights(D(docs), target_source="tgt").to_pandas() \
+        .set_index("doc_id")["log_weight"]
+    assert len(w) == 4
+    assert w[0] > w[2] and w[1] > w[3]
+    assert w[0] > 0 and w[2] < 0
