@@ -77,7 +77,12 @@ FILTER_LANG = "en"              # attribute-filtered retrieval
 MLT_DOC_ID = 0                  # more-like-this source document
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 JACCARD_THRESHOLD = 0.1
-COS_NEARDUP_THRESHOLD = 0.5
+# 0.3, not 0.5: the synthetic embeddings' global max pairwise cosine is
+# ~0.479, so 0.5 made cosine_neardup_pairs/semdedup vacuous 0-row/-drop
+# oracles; at 0.3 the closest pair to the boundary is >=5.8e-7 away at
+# every sf, so numpy-vs-DuckDB last-ulp summation differences can't
+# flip membership
+COS_NEARDUP_THRESHOLD = 0.3
 
 # PII patterns are shared verbatim with the Ray operators (both engines
 # are RE2, so the literal string IS the cross-engine contract); the
@@ -939,6 +944,15 @@ def _q_kmeans_clusters(sf_dir: str):
     return _finalize(kmeans_fit_predict(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
         k=KMEANS_K, iters=KMEANS_ITERS))
+
+
+def _q_semdedup(sf_dir: str):
+    from rse_ray.pipelines.ann import semdedup
+
+    return _finalize(semdedup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=KMEANS_K, iters=KMEANS_ITERS,
+        threshold=COS_NEARDUP_THRESHOLD))
 
 
 def _q_cos_neardup(sf_dir: str):
@@ -3860,6 +3874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf_exact": _q_ivf_knn_exact,
         "embedding_centroids": _q_centroids,
         "kmeans_clusters": _q_kmeans_clusters,
+        "semdedup": _q_semdedup,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
         "pricing_summary": _q_pricing,
@@ -3991,7 +4006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from rse_ray.pipelines.ann import kmeans_oracle_sql
+    from rse_ray.pipelines.ann import kmeans_oracle_sql, semdedup_oracle_sql
     from rse_ray.pipelines.relational import window_agg_late_oracle_sql
     from rse_ray.pipelines.bpe import bpe_encode_oracle_sql
     from rse_ray.pipelines.sketch import (hll_group_oracle_sql,
@@ -6004,6 +6019,11 @@ QUALIFY row_number() OVER (PARTITION BY query_id
         # QUALIFY, per-iteration centroid rounding pins the fp state
         "kmeans_clusters": kmeans_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS, dim=64),
+        # SemDeDup: k-means oracle nested as a CTE + within-cluster
+        # exact-cosine pair join; keep = never the greater id of a pair
+        "semdedup": semdedup_oracle_sql(
+            k=KMEANS_K, iters=KMEANS_ITERS,
+            threshold=COS_NEARDUP_THRESHOLD, dim=64),
         "embedding_centroids": """
 WITH x AS (SELECT label, unnest(range(1, 65))::BIGINT AS dim,
                   unnest(CAST(embedding AS DOUBLE[])) AS v

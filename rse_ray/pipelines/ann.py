@@ -859,9 +859,41 @@ def kmeans_fit_predict(ds, *, k: int = 4, iters: int = 3,
     iteration."""
     import ray
 
-    from rse_ray.pipelines.sketch import _md5_u64
-
     proj = ds.select_columns([id_col, vec_col]).materialize()
+    C = _kmeans_centroids(proj, k=k, iters=iters, round_to=round_to)
+
+    ref = ray.put(C)
+
+    def label(batch: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "cluster": pa.array([], type=pa.int64()),
+            })
+        ids, mat = _batch_matrix(batch)
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64)),
+            "cluster": pa.array(
+                _kmeans_assign(mat, cent).astype(np.int64)),
+        })
+
+    return proj.map_batches(label, batch_format="pyarrow")
+
+
+def _kmeans_assign(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1)  # argmin takes the FIRST minimum
+
+
+def _kmeans_centroids(proj, *, k: int, iters: int,
+                      round_to: int = 9) -> np.ndarray:
+    """Lloyd trainer over a materialized (id, vector) projection ->
+    (k x dim) centroid matrix; see kmeans_fit_predict for the
+    determinism contract (md5-twin init, per-iteration rounding)."""
+    import ray
+
+    from rse_ray.pipelines.sketch import _md5_u64
 
     def candidates(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -887,9 +919,7 @@ def kmeans_fit_predict(ds, *, k: int = 4, iters: int = 3,
     C = np.round(np.stack(cand["v"].to_numpy()).astype(np.float64),
                  round_to)
 
-    def assign(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
-        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        return d2.argmin(axis=1)  # argmin takes the FIRST minimum
+    assign = _kmeans_assign
 
     for _ in range(iters):
         ref = ray.put(C)
@@ -924,22 +954,75 @@ def kmeans_fit_predict(ds, *, k: int = 4, iters: int = 3,
                 newC[cid] = np.round(s / n, round_to)
         C = newC
 
-    ref = ray.put(C)
+    return C
 
-    def label(batch: pa.Table) -> pa.Table:
-        cent = ray.get(ref)
+
+def semdedup(ds, *, k: int = 4, iters: int = 3, threshold: float = 0.5,
+             max_bucket: int = 2048, id_col: str = "vec_id",
+             vec_col: str = "embedding", round_to: int = 9):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic dedup
+    composition -> (vec_id, cluster, keep):
+
+      1. k-means over the embedding column (the shared deterministic
+         Lloyd trainer, _kmeans_centroids) partitions the corpus into
+         k semantic clusters;
+      2. WITHIN each cluster only, all-pairs cosine via
+         cosine_neardup_pairs(by="cluster") — the chunk-pair grid caps
+         every task's matmul at max_bucket^2, so a hot cluster never
+         concentrates an unbounded n^2 in one task;
+      3. keep-representative: for every near-dup pair (cos >=
+         threshold) the LOWER vec_id survives; a vector is dropped iff
+         some same-cluster neighbor with a smaller id sits within the
+         threshold. Deterministic, order-free, and exactly the
+         pair-list's vec_b set.
+
+    The dropped-id set is O(#near-duplicate docs), broadcast once via
+    ``ray.put`` and probed with np.isin per batch; at fleet scale
+    (dropped set >> driver heap) swap the probe for the
+    hash-partitioned anti-join used by minhash_dedup_pairs'
+    dedup_stage. Semantic work (k x dim iterations + capped
+    per-cluster matmuls) never ships raw vectors through a shuffle
+    wider than the chunk-pair grid."""
+    import ray
+
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+    C = _kmeans_centroids(proj, k=k, iters=iters, round_to=round_to)
+    cref = ray.put(C)
+
+    def label_with_vec(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cref)
         if batch.num_rows == 0:
             return pa.table({
                 id_col: pa.array([], type=pa.int64()),
+                vec_col: pa.array([], type=pa.list_(pa.float64())),
                 "cluster": pa.array([], type=pa.int64()),
             })
         ids, mat = _batch_matrix(batch)
         return pa.table({
             id_col: pa.array(ids.astype(np.int64)),
-            "cluster": pa.array(assign(mat, cent).astype(np.int64)),
+            vec_col: batch.column(vec_col),
+            "cluster": pa.array(
+                _kmeans_assign(mat, cent).astype(np.int64)),
         })
 
-    return proj.map_batches(label, batch_format="pyarrow")
+    labeled = proj.map_batches(label_with_vec, batch_format="pyarrow")
+    pairs = cosine_neardup_pairs(labeled, threshold=threshold,
+                                 by="cluster", max_bucket=max_bucket)
+    dropped = (np.unique(pairs["vec_b"].to_numpy().astype(np.int64))
+               if len(pairs) else np.array([], dtype=np.int64))
+    dref = ray.put(dropped)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        drop = ray.get(dref)
+        ids = (batch.column(id_col).to_numpy().astype(np.int64)
+               if batch.num_rows else np.array([], dtype=np.int64))
+        return pa.table({
+            id_col: pa.array(ids),
+            "cluster": batch.column("cluster").cast(pa.int64()),
+            "keep": pa.array(~np.isin(ids, drop)),
+        })
+
+    return labeled.map_batches(finalize, batch_format="pyarrow")
 
 
 def kmeans_oracle_sql(*, k: int = 4, iters: int = 3, dim: int = 64,
@@ -982,6 +1065,32 @@ SELECT vid AS {id_col}, cid AS cluster FROM (
                ORDER BY list_distance(e.ev, c.ce), c.cid) AS rn
     FROM e CROSS JOIN c{iters} c) WHERE rn = 1"""
     return "WITH " + init + "," + ",".join(steps) + final
+
+
+def semdedup_oracle_sql(*, k: int = 4, iters: int = 3,
+                        threshold: float = 0.5, dim: int = 64,
+                        table: str = "embeddings",
+                        round_to: int = 9) -> str:
+    """Exact SQL twin of semdedup: the full unrolled k-means oracle
+    (kmeans_oracle_sql) supplies the cluster assignment as a nested
+    CTE; within-cluster near-dup pairs are the exact self-join
+    (a.vec_id < b.vec_id, cosine >= threshold) and a vector is kept
+    iff it is never the GREATER id of such a pair — the same
+    keep-representative rule the engine applies to vec_b."""
+    asg = kmeans_oracle_sql(k=k, iters=iters, dim=dim, table=table,
+                            round_to=round_to)
+    return f"""
+WITH asg AS ({asg}),
+ev AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS evec
+       FROM {table}),
+drp AS (SELECT DISTINCT b.vec_id AS vid
+        FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN ev ea ON ea.vid = a.vec_id
+        JOIN ev eb ON eb.vid = b.vec_id
+        WHERE list_cosine_similarity(ea.evec, eb.evec) >= {threshold})
+SELECT a.vec_id, a.cluster, (d.vid IS NULL) AS keep
+FROM asg a LEFT JOIN drp d ON d.vid = a.vec_id"""
 
 
 def projection_matrix(d_in: int, d_out: int, *, seed: int = 17) -> np.ndarray:

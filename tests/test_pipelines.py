@@ -4933,3 +4933,43 @@ def test_market_share_product_profit_dsir(ray_session):
     assert len(w) == 4
     assert w[0] > w[2] and w[1] > w[3]
     assert w[0] > 0 and w[2] < 0
+
+
+def test_semdedup_keep_representative(ray_session):
+    """SemDeDup: k-means clusters the corpus, within-cluster cosine
+    pairs >= threshold drop the GREATER vec_id; verify against a
+    brute-force reference that reuses the engine's own deterministic
+    centroid trainer but computes pairs/keeps with one dense matmul."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.ann import (_kmeans_assign, _kmeans_centroids,
+                                       _normalize, semdedup)
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 16
+    base = rng.standard_normal((8, d))
+    mat32 = (base[rng.integers(0, 8, size=n)]
+             + 0.08 * rng.standard_normal((n, d))).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+         "embedding": pa.array(mat32.tolist(), type=pa.list_(pa.float32()))}
+    )
+    th = 0.95
+    got = semdedup(ray.data.from_arrow(tbl), k=3, iters=2,
+                   threshold=th, max_bucket=128).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    proj = ray.data.from_arrow(tbl).materialize()
+    C = _kmeans_centroids(proj, k=3, iters=2, round_to=9)
+    mat = mat32.astype(np.float64)
+    lab = _kmeans_assign(mat, C)
+    nm = _normalize(mat)
+    sims = nm @ nm.T
+    iu, ju = np.triu_indices(n, k=1)
+    sel = (sims[iu, ju] >= th) & (lab[iu] == lab[ju])
+    dropped = np.unique(ju[sel])
+    assert 0 < len(dropped) < n, "fixture must drop some but not all"
+    assert got["cluster"].tolist() == lab.astype(int).tolist()
+    assert got["keep"].tolist() == (~np.isin(np.arange(n), dropped)).tolist()
