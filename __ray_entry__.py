@@ -3600,6 +3600,62 @@ def _q_product_profit(sf_dir: str):
               ["p_partkey", "p_name", "p_retailprice"])))
 
 
+def _q_waiting_suppliers(sf_dir: str):
+    from rse_ray.pipelines.relational import waiting_suppliers
+
+    return _finalize(waiting_suppliers(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderdate", "o_orderstatus"]),
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate"])))
+
+
+def _q_min_cost_supplier(sf_dir: str):
+    from rse_ray.pipelines.relational import min_cost_supplier
+
+    return _finalize(min_cost_supplier(
+        _read(sf_dir, "part", ["p_partkey", "p_size", "p_type"]),
+        _read(sf_dir, "supplier",
+              ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]),
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice",
+               "l_quantity"]),
+        _read(sf_dir, "nation"),
+        _read(sf_dir, "region")))
+
+
+def _q_important_parts(sf_dir: str):
+    from rse_ray.pipelines.relational import important_parts
+
+    return _finalize(important_parts(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice",
+               "l_discount"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])))
+
+
+def _q_supplier_part_counts(sf_dir: str):
+    from rse_ray.pipelines.relational import supplier_part_counts
+
+    return _finalize(supplier_part_counts(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        _read(sf_dir, "part",
+              ["p_partkey", "p_brand", "p_type", "p_size"]),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])))
+
+
+def _q_promotion_suppliers(sf_dir: str):
+    from rse_ray.pipelines.relational import promotion_suppliers
+
+    return _finalize(promotion_suppliers(
+        _read(sf_dir, "part", ["p_partkey", "p_name"]),
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]),
+        _read(sf_dir, "supplier",
+              ["s_suppkey", "s_name", "s_acctbal"])))
+
+
 DSIR_TARGET = "src0"
 
 
@@ -3822,6 +3878,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm_segments,
         "market_share": _q_market_share,
         "product_profit": _q_product_profit,
+        "waiting_suppliers": _q_waiting_suppliers,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "important_parts": _q_important_parts,
+        "supplier_part_counts": _q_supplier_part_counts,
+        "promotion_suppliers": _q_promotion_suppliers,
         "dsir_weights": _q_dsir_weights,
         "chi_square_lang_source": _q_chi_square_lang_source,
         "mann_whitney_u": _q_mann_whitney_u,
@@ -5015,6 +5076,85 @@ WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
 GROUP BY 1""",
         # Q9 shape adapted: unit cost = 0.6 * p_retailprice (no
         # partsupp table in this corpus)
+        # Q21 shape: late = shipdate > orderdate + 60d (no
+        # commit/receipt dates in this corpus)
+        "waiting_suppliers": """
+WITH lo AS (SELECT l.l_orderkey, l.l_suppkey,
+                   max(CASE WHEN l.l_shipdate >
+                                 o.o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY 1, 2),
+st AS (SELECT l_orderkey, count(*) AS nsupp, sum(late) AS nlate
+       FROM lo GROUP BY 1),
+w AS (SELECT lo.l_suppkey, count(*)::BIGINT AS numwait
+      FROM lo JOIN st USING (l_orderkey)
+      WHERE lo.late = 1 AND st.nsupp >= 2 AND st.nlate = 1
+      GROUP BY 1)
+SELECT s.s_name, w.numwait
+FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+ORDER BY w.numwait DESC, s.s_name LIMIT 100""",
+        # Q2 shape: offer price = min unit price over lineitems (no
+        # partsupp in this corpus)
+        "min_cost_supplier": """
+WITH offers AS (
+    SELECT l.l_partkey AS p_partkey, l.l_suppkey AS s_suppkey,
+           min(l.l_extendedprice / l.l_quantity) AS cost
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+      AND r.r_name = 'EUROPE'
+    GROUP BY 1, 2)
+SELECT s.s_acctbal, s.s_name, n.n_name, o.p_partkey,
+       round(o.cost, 6) AS cost
+FROM offers o
+JOIN supplier s ON s.s_suppkey = o.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE o.cost = (SELECT min(o2.cost) FROM offers o2
+                WHERE o2.p_partkey = o.p_partkey)
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, o.p_partkey
+LIMIT 100""",
+        # Q11 shape: integer 10^-4-unit revenue, exact HAVING
+        # (value * 5000 > total) against the scalar subquery
+        "important_parts": """
+WITH v AS (SELECT l.l_partkey,
+                  sum(round(l.l_extendedprice * (1.0 - l.l_discount)
+                            * 10000)::BIGINT) AS v
+           FROM lineitem l
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           WHERE s.s_nationkey = 3
+           GROUP BY 1)
+SELECT l_partkey, v / 10000.0 AS value FROM v
+WHERE v * 5000 > (SELECT sum(v) FROM v)""",
+        # Q16 shape: negative-acctbal suppliers are the complaints
+        # NOT-IN analog; lineitem pairs stand in for partsupp
+        "supplier_part_counts": """
+SELECT p.p_brand, p.p_type, p.p_size::BIGINT AS p_size,
+       count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size <= 25
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
+        # Q20 shape: shipped-qty threshold stands in for the
+        # availqty > half-shipped test (no partsupp)
+        "promotion_suppliers": """
+WITH q AS (SELECT l.l_suppkey, sum(l.l_quantity) AS qty
+           FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE p.p_name LIKE '%widget%'
+             AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l.l_shipdate < TIMESTAMP '1996-01-01'
+           GROUP BY 1)
+SELECT s.s_name, s.s_acctbal
+FROM q JOIN supplier s ON s.s_suppkey = q.l_suppkey
+WHERE q.qty > 400.0 ORDER BY s.s_name""",
         "product_profit": """
 SELECT n.n_name, year(o.o_orderdate)::BIGINT AS o_year,
        (CASE WHEN sum(round(l.l_extendedprice * (1.0 - l.l_discount)

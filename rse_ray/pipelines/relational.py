@@ -5547,3 +5547,419 @@ def product_profit(orders_ds, lineitem_ds, supplier_ds, nation_ds,
                    * ((np.abs(agg["profit"].to_numpy()) + 50) // 100)
                    ) / 100.0})
     return out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+
+
+def waiting_suppliers(supplier_ds, orders_ds, lineitem_ds, *,
+                      grace_days: int = 60, top: int = 100):
+    """TPC-H Q21 shape (suppliers who kept orders waiting — the
+    EXISTS + NOT EXISTS double self-join): for finished orders
+    ('F') served by AT LEAST TWO distinct suppliers, count per
+    supplier the orders where that supplier shipped late and NO
+    other supplier did (this corpus carries no l_commitdate /
+    l_receiptdate, so late = l_shipdate > o_orderdate + grace, the
+    same convention as late_shipment_priority). ->
+    (s_name, numwait), numwait desc / s_name asc, top ``top``.
+
+    Scale shape: orders prune to status 'F' at the scan and ship
+    (key, date) into ONE co-partitioned hash join with (orderkey,
+    suppkey, shipdate); an orderkey group never straddles a join
+    partition, so the whole EXISTS/NOT-EXISTS collapse — per-pair
+    late flag, per-order supplier/late-supplier counts, the
+    exactly-one-late-and-it-is-you selection — runs vectorized
+    INSIDE each partition batch; only per-supplier partial counts
+    reach the final |suppliers|-row groupby, and only that result
+    (bounded by the supplier table) reaches the driver for the
+    name attach + top-k."""
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    grace_us = np.int64(grace_days) * 86_400_000_000
+    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+
+    orders = orders_ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderstatus"),
+                                    pa.scalar("F")))
+        .select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow")
+    li = lineitem_ds.select_columns(
+        ["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = hash_join(li, orders, left_on="l_orderkey",
+                  right_on="o_orderkey", right_cols=["o_orderdate"],
+                  how="inner", num_parts=P)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "l_suppkey": pa.array([], type=pa.int64()),
+            "w_p": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0 \
+                or "o_orderdate" not in batch.column_names:
+            return empty
+        ship = batch.column("l_shipdate").cast(pa.int64())
+        odate = batch.column("o_orderdate").cast(pa.int64())
+        late = pc.cast(pc.greater(ship, pc.add(odate,
+                                               pa.scalar(grace_us))),
+                       pa.int64())
+        # per (order, supplier): did this supplier ship late at all
+        pair = pa.table({
+            "ok": pc.cast(batch.column("l_orderkey"), pa.int64()),
+            "sk": pc.cast(batch.column("l_suppkey"), pa.int64()),
+            "late": late,
+        }).group_by(["ok", "sk"]).aggregate([("late", "max")])
+        # per order: distinct suppliers and how many of them were late
+        st = pair.group_by(["ok"]).aggregate(
+            [([], "count_all"), ("late_max", "sum")])
+        nsupp = dict(zip(st.column("ok").to_pylist(),
+                         st.column("count_all").to_pylist()))
+        nlate = dict(zip(st.column("ok").to_pylist(),
+                         st.column("late_max_sum").to_pylist()))
+        ok = pair.column("ok").to_numpy()
+        lt = pair.column("late_max").to_numpy()
+        ns = np.fromiter((nsupp[o] for o in ok), dtype=np.int64,
+                         count=len(ok))
+        nl = np.fromiter((nlate[o] for o in ok), dtype=np.int64,
+                         count=len(ok))
+        keep = (lt == 1) & (ns >= 2) & (nl == 1)
+        if not keep.any():
+            return empty
+        g = pair.filter(pa.array(keep)).group_by(["sk"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "l_suppkey": pc.cast(g.column("sk"), pa.int64()),
+            "w_p": pc.cast(g.column("count_all"), pa.int64())})
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_suppkey") \
+        .aggregate(Sum("w_p", alias_name="numwait")).to_pandas()
+    names = supplier_ds.select_columns(
+        ["s_suppkey", "s_name"]).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"s_name": pd.Series([], dtype=object),
+                             "numwait": pd.Series([], dtype=np.int64)})
+    out = agg.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out = pd.DataFrame({"s_name": out["s_name"],
+                        "numwait": out["numwait"].astype(np.int64)})
+    return out.sort_values(["numwait", "s_name"],
+                           ascending=[False, True]) \
+        .head(top).reset_index(drop=True)
+
+
+def min_cost_supplier(part_ds, supplier_ds, lineitem_ds, nation_ds,
+                      region_ds, *, region: str = "EUROPE",
+                      max_size: int = 10, ptype: str = "STANDARD",
+                      top: int = 100):
+    """TPC-H Q2 shape (correlated min subquery): for every part of
+    the requested type with size <= max_size, find the supplier(s)
+    in ``region`` offering the MINIMUM unit price for that part
+    (this corpus has no partsupp, so a pair's offer price is the
+    minimum l_extendedprice / l_quantity over its lineitems), and
+    report them ordered s_acctbal desc / n_name / s_name /
+    p_partkey, top ``top``. -> (s_acctbal, s_name, n_name,
+    p_partkey, cost).
+
+    Scale shape: part predicate and the region's supplier->nation
+    map broadcast as a partkey set + suppkey lookup (part and
+    supplier are the TINY dimension tables); lineitem prunes to
+    qualifying (part, supplier) rows at the scan and collapses to
+    per-batch (partkey, suppkey) min partials, so the only shuffle
+    is a groupby over qualifying PAIRS (bounded by
+    |parts| x |region suppliers|, corpus-size-independent); the
+    correlated per-part min + equality selection runs on that
+    pair table driver-side."""
+    import ray
+    from ray.data.aggregate import Min
+
+    nat = nation_ds.to_pandas()
+    reg = region_ds.to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"]
+                .astype(int))
+    nat_in = nat[nat["n_regionkey"].astype(int).isin(rkeys)]
+    name_of = {int(a): str(b) for a, b in zip(nat_in["n_nationkey"],
+                                              nat_in["n_name"])}
+    sup = supplier_ds.select_columns(
+        ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].astype(int).isin(name_of)]
+    sset = set(sup["s_suppkey"].astype(int))
+    parts = part_ds.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.less_equal(b.column("p_size"), pa.scalar(max_size)),
+            pc.equal(b.column("p_type"), pa.scalar(ptype))))
+        .select(["p_partkey"]), batch_format="pyarrow").to_pandas()
+    pset = set(parts["p_partkey"].astype(int))
+    pref = ray.put((pset, sset))
+
+    def offer_partial(batch: pa.Table) -> pa.Table:
+        ps, ss = ray.get(pref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = (np.fromiter((p in ps for p in pk), dtype=bool,
+                            count=len(pk))
+                & np.fromiter((s in ss for s in sk), dtype=bool,
+                              count=len(sk)))
+        if not keep.any():
+            return pa.table({
+                "p_partkey": pa.array([], type=pa.int64()),
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "c_p": pa.array([], type=pa.float64())})
+        b = batch.filter(pa.array(keep))
+        cost = (b.column("l_extendedprice").to_numpy()
+                / b.column("l_quantity").to_numpy())
+        g = pa.table({
+            "p_partkey": pc.cast(b.column("l_partkey"), pa.int64()),
+            "s_suppkey": pc.cast(b.column("l_suppkey"), pa.int64()),
+            "cost": pa.array(cost),
+        }).group_by(["p_partkey", "s_suppkey"]).aggregate(
+            [("cost", "min")])
+        return g.rename_columns(["p_partkey", "s_suppkey", "c_p"])
+
+    offers = lineitem_ds.select_columns(
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]) \
+        .map_batches(offer_partial, batch_format="pyarrow") \
+        .groupby(["p_partkey", "s_suppkey"]) \
+        .aggregate(Min("c_p", alias_name="cost")).to_pandas()
+    if offers.empty:
+        return pd.DataFrame({
+            "s_acctbal": pd.Series([], dtype=np.float64),
+            "s_name": pd.Series([], dtype=object),
+            "n_name": pd.Series([], dtype=object),
+            "p_partkey": pd.Series([], dtype=np.int64),
+            "cost": pd.Series([], dtype=np.float64)})
+    best = offers.groupby("p_partkey")["cost"].transform("min")
+    win = offers[offers["cost"] == best].merge(
+        sup, left_on="s_suppkey", right_on="s_suppkey")
+    out = pd.DataFrame({
+        "s_acctbal": win["s_acctbal"].astype(np.float64),
+        "s_name": win["s_name"],
+        "n_name": win["s_nationkey"].map(
+            lambda k: name_of[int(k)]),
+        "p_partkey": win["p_partkey"].astype(np.int64),
+        # half-AWAY at 6 dp (costs are non-negative): unit prices are
+        # often exact binary halves (ext / 2^k quantities), where
+        # np.round's half-even and the oracle's half-away disagree
+        "cost": np.floor(win["cost"].to_numpy() * 1e6 + 0.5) / 1e6})
+    return out.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True]) \
+        .head(top).reset_index(drop=True)
+
+
+def important_parts(lineitem_ds, supplier_ds, *,
+                    nation_key: int = 3, denom: int = 5000):
+    """TPC-H Q11 shape (GROUP BY + HAVING against a scalar
+    subquery): per part, the revenue contributed by suppliers of
+    one nation, keeping parts whose share exceeds 1/denom of that
+    nation's total (no partsupp here, so 'value' is lineitem
+    revenue rather than supplycost x availqty). ->
+    (l_partkey, value).
+
+    Exactness: revenue x 10^4 is a true integer (2-dp prices x
+    2-dp discounts), so partials sum in int64 and the HAVING
+    comparison is exact integer arithmetic (value * denom > total)
+    — no float-order-dependent threshold flips.
+
+    Scale shape: the nation's supplier set broadcasts (tiny);
+    lineitem prunes to that set at the scan, collapses to per-batch
+    (partkey, int-revenue) partials, one groupby over per-part
+    cells; the scalar total is a Sum aggregate (one number), and
+    the HAVING filter runs distributed with the broadcast scalar."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    sup = supplier_ds.select_columns(
+        ["s_suppkey", "s_nationkey"]).to_pandas()
+    sset = set(sup.loc[sup["s_nationkey"].astype(int) == nation_key,
+                       "s_suppkey"].astype(int))
+    sref = ray.put(sset)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ss = ray.get(sref)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = np.fromiter((s in ss for s in sk), dtype=bool,
+                           count=len(sk))
+        if not keep.any():
+            return pa.table({
+                "l_partkey": pa.array([], type=pa.int64()),
+                "v_p": pa.array([], type=pa.int64())})
+        b = batch.filter(pa.array(keep))
+        ext = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        cents = np.round(ext * (1.0 - disc) * 10_000.0).astype(np.int64)
+        g = pa.table({
+            "l_partkey": pc.cast(b.column("l_partkey"), pa.int64()),
+            "v": pa.array(cents),
+        }).group_by(["l_partkey"]).aggregate([("v", "sum")])
+        return g.rename_columns(["l_partkey", "v_p"])
+
+    vals = lineitem_ds.select_columns(
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("v_p", alias_name="v"))
+    tot = vals.aggregate(Sum("v", alias_name="t"))
+    total = int(tot["t"] or 0)
+    if total == 0:
+        # all-empty aggregates lose their schema in Ray; pin it
+        return pd.DataFrame({
+            "l_partkey": pd.Series([], dtype=np.int64),
+            "value": pd.Series([], dtype=np.float64)})
+
+    def having(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = v * denom > total
+        b = batch.filter(pa.array(keep))
+        vv = b.column("v").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "l_partkey": pc.cast(b.column("l_partkey"), pa.int64()),
+            "value": pa.array(vv / 10_000.0)})
+
+    return vals.map_batches(having, batch_format="pyarrow")
+
+
+def supplier_part_counts(lineitem_ds, part_ds, supplier_ds, *,
+                         exclude_brand: str = "Brand#1",
+                         exclude_type: str = "PROMO",
+                         max_size: int = 25):
+    """TPC-H Q16 shape (relationship distinct-count with a NOT-IN
+    side filter): per (p_brand, p_type, p_size), the number of
+    DISTINCT suppliers that shipped that part, where the part is
+    not the excluded brand/type and sizes <= max_size, and
+    suppliers with negative account balance are excluded (the
+    'customer complaints' NOT IN analog; no partsupp here, so the
+    part-supplier relation is distinct lineitem pairs). ->
+    (p_brand, p_type, p_size, supplier_cnt).
+
+    Scale shape: part attributes and the bad-supplier set broadcast
+    (dimension tables); lineitem collapses per batch to distinct
+    annotated (brand, type, size, suppkey) rows, ONE groupby
+    de-dupes pairs globally, and the count collapses per group —
+    nothing bigger than the distinct pair set ever shuffles."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = part_ds.select_columns(
+        ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    part = part[(part["p_brand"] != exclude_brand)
+                & (part["p_type"] != exclude_type)
+                & (part["p_size"].astype(int) <= max_size)]
+    pmap = {int(k): (str(b), str(t), int(s))
+            for k, b, t, s in zip(part["p_partkey"], part["p_brand"],
+                                  part["p_type"], part["p_size"])}
+    sup = supplier_ds.select_columns(
+        ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = set(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].astype(int))
+    ref = ray.put((pmap, bad))
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        pm, bd = ray.get(ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (p in pm and s not in bd for p, s in zip(pk, sk)),
+            dtype=bool, count=len(pk))
+        if not keep.any():
+            return pa.table({
+                "p_brand": pa.array([], type=pa.string()),
+                "p_type": pa.array([], type=pa.string()),
+                "p_size": pa.array([], type=pa.int64()),
+                "s_suppkey": pa.array([], type=pa.int64())})
+        pk, sk = pk[keep], sk[keep]
+        attrs = [pm[int(p)] for p in pk]
+        return pa.table({
+            "p_brand": pa.array([a[0] for a in attrs]),
+            "p_type": pa.array([a[1] for a in attrs]),
+            "p_size": pa.array([a[2] for a in attrs],
+                               type=pa.int64()),
+            "s_suppkey": pa.array(sk.astype(np.int64)),
+        }).group_by(["p_brand", "p_type", "p_size",
+                     "s_suppkey"]).aggregate([])
+
+    pairs = lineitem_ds.select_columns(["l_partkey", "l_suppkey"]) \
+        .map_batches(annotate, batch_format="pyarrow") \
+        .groupby(["p_brand", "p_type", "p_size", "s_suppkey"]) \
+        .count()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["p_brand", "p_type", "p_size"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "p_brand": g.column("p_brand"),
+            "p_type": g.column("p_type"),
+            "p_size": pc.cast(g.column("p_size"), pa.int64()),
+            "c_p": pc.cast(g.column("count_all"), pa.int64())})
+
+    agg = pairs.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(["p_brand", "p_type", "p_size"]) \
+        .aggregate(Sum("c_p", alias_name="supplier_cnt"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "p_brand": b.column("p_brand"),
+            "p_type": b.column("p_type"),
+            "p_size": pc.cast(b.column("p_size"), pa.int64()),
+            "supplier_cnt": pc.cast(b.column("supplier_cnt"),
+                                    pa.int64())}),
+        batch_format="pyarrow")
+
+
+def promotion_suppliers(part_ds, lineitem_ds, supplier_ds, *,
+                        token: str = "widget", year: int = 1995,
+                        qty_threshold: float = 400.0):
+    """TPC-H Q20 shape (nested IN-chain semi-joins): suppliers whose
+    total shipped quantity of parts named like ``token`` during
+    ``year`` exceeds ``qty_threshold`` (the availqty > 0.5 x
+    shipped-qty test, inverted for a corpus without partsupp). ->
+    (s_name, s_acctbal), s_name asc.
+
+    Exactness: quantities are whole numbers, so float partial sums
+    are exact integers well under 2^53 and the threshold compare
+    cannot flip on summation order.
+
+    Scale shape: the token partkey set broadcasts; lineitem prunes
+    to (part set x ship-year) at the scan and collapses to
+    per-batch per-supplier quantity partials; one groupby over
+    |suppliers| cells; only qualifying suppkeys (bounded by the
+    supplier dimension table) reach the driver for the name
+    attach."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+    parts = part_ds.select_columns(["p_partkey", "p_name"]).to_pandas()
+    pset = set(parts.loc[parts["p_name"].str.contains(token,
+                                                      regex=False),
+                         "p_partkey"].astype(int))
+    pref = ray.put(pset)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ps = ray.get(pref)
+        b = batch.filter(pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"),
+                             pa.scalar(lo)),
+            pc.less(batch.column("l_shipdate"), pa.scalar(hi))))
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        keep = np.fromiter((p in ps for p in pk), dtype=bool,
+                           count=len(pk))
+        if not keep.any():
+            return pa.table({
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "q_p": pa.array([], type=pa.float64())})
+        b = b.filter(pa.array(keep))
+        g = pa.table({
+            "s_suppkey": pc.cast(b.column("l_suppkey"), pa.int64()),
+            "q": b.column("l_quantity"),
+        }).group_by(["s_suppkey"]).aggregate([("q", "sum")])
+        return g.rename_columns(["s_suppkey", "q_p"])
+
+    qty = lineitem_ds.select_columns(
+        ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("s_suppkey") \
+        .aggregate(Sum("q_p", alias_name="qty")).to_pandas()
+    names = supplier_ds.select_columns(
+        ["s_suppkey", "s_name", "s_acctbal"]).to_pandas()
+    hit = qty[qty["qty"] > qty_threshold].merge(names, on="s_suppkey")
+    out = pd.DataFrame({
+        "s_name": hit["s_name"],
+        "s_acctbal": hit["s_acctbal"].astype(np.float64)})
+    return out.sort_values("s_name").reset_index(drop=True)

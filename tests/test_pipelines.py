@@ -4973,3 +4973,134 @@ def test_semdedup_keep_representative(ray_session):
     assert 0 < len(dropped) < n, "fixture must drop some but not all"
     assert got["cluster"].tolist() == lab.astype(int).tolist()
     assert got["keep"].tolist() == (~np.isin(np.arange(n), dropped)).tolist()
+
+
+def test_tpch_q21_q2_q11_q16_q20_shapes(ray_session):
+    """Hand-computable fixtures for the five remaining TPC-H shapes:
+    Q21 waiting suppliers (exactly-one-late on multi-supplier 'F'
+    orders), Q2 correlated-min supplier, Q11 HAVING vs scalar
+    subquery, Q16 distinct supplier counts with NOT-IN, Q20 nested
+    semi-join chain."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import (
+        important_parts, min_cost_supplier, promotion_suppliers,
+        supplier_part_counts, waiting_suppliers)
+
+    D = ray.data.from_arrow
+    ts = lambda s: np.datetime64(s, "us")  # noqa: E731
+
+    # --- Q21: order 1 (F): supp 5 late, supp 6 on time -> 5 waits;
+    # order 2 (F): both late -> nobody; order 3 (F): single-supplier
+    # -> nobody; order 4 (O): not finished -> ignored.
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_orderdate": pa.array([ts("1995-01-01")] * 4,
+                                type=pa.timestamp("us")),
+        "o_orderstatus": pa.array(["F", "F", "F", "O"]),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 4, 4],
+                               type=pa.int64()),
+        "l_suppkey": pa.array([5, 6, 5, 6, 5, 5, 6],
+                              type=pa.int64()),
+        "l_shipdate": pa.array(
+            [ts("1995-06-01"), ts("1995-01-15"), ts("1995-06-01"),
+             ts("1995-06-01"), ts("1995-06-01"), ts("1995-06-01"),
+             ts("1995-06-01")], type=pa.timestamp("us")),
+    })
+    sup = pa.table({
+        "s_suppkey": pa.array([5, 6], type=pa.int64()),
+        "s_name": pa.array(["S5", "S6"]),
+        "s_acctbal": pa.array([10.0, -3.0]),
+        "s_nationkey": pa.array([0, 1], type=pa.int64()),
+    })
+    w = waiting_suppliers(D(sup), D(orders), D(li), grace_days=60)
+    assert dict(zip(w["s_name"], w["numwait"])) == {"S5": 1}
+
+    # --- Q2: part 100 offered by supp 5 (unit 2.0) and supp 6
+    # (unit 1.5) -> supp 6 wins; part 200 only supp 5. Both suppliers
+    # in-region.
+    part = pa.table({
+        "p_partkey": pa.array([100, 200, 300], type=pa.int64()),
+        "p_size": pa.array([5, 5, 99], type=pa.int64()),
+        "p_type": pa.array(["STANDARD", "STANDARD", "STANDARD"]),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1], type=pa.int64()),
+        "n_name": pa.array(["N0", "N1"]),
+        "n_regionkey": pa.array([0, 0], type=pa.int64()),
+    })
+    region = pa.table({
+        "r_regionkey": pa.array([0], type=pa.int64()),
+        "r_name": pa.array(["EUROPE"]),
+    })
+    li2 = pa.table({
+        "l_partkey": pa.array([100, 100, 200, 300],
+                              type=pa.int64()),
+        "l_suppkey": pa.array([5, 6, 5, 5], type=pa.int64()),
+        "l_extendedprice": pa.array([20.0, 15.0, 30.0, 10.0]),
+        "l_quantity": pa.array([10.0, 10.0, 10.0, 10.0]),
+    })
+    mc = min_cost_supplier(D(part), D(sup), D(li2), D(nation),
+                           D(region), region="EUROPE", max_size=10,
+                           ptype="STANDARD")
+    got = {(r["p_partkey"], r["s_name"]): r["cost"]
+           for _, r in mc.iterrows()}
+    assert got == {(100, "S6"): 1.5, (200, "S5"): 3.0}
+
+    # --- Q11: nation 0 = supp 5 only; part 100 revenue 50,
+    # part 200 revenue 1.0 -> with denom 10, only part 100 passes
+    # (50*10 > 51; 1*10 <= 51).
+    li3 = pa.table({
+        "l_partkey": pa.array([100, 200], type=pa.int64()),
+        "l_suppkey": pa.array([5, 5], type=pa.int64()),
+        "l_extendedprice": pa.array([50.0, 1.0]),
+        "l_discount": pa.array([0.0, 0.0]),
+    })
+    ip = important_parts(D(li3), D(sup), nation_key=0, denom=10)
+    if not isinstance(ip, pd.DataFrame):
+        ip = ip.to_pandas()
+    assert dict(zip(ip["l_partkey"], ip["value"])) == {100: 50.0}
+
+    # --- Q16: supp 6 has negative acctbal -> excluded; part 300
+    # size 99 > max_size -> excluded.
+    part16 = pa.table({
+        "p_partkey": pa.array([100, 200, 300], type=pa.int64()),
+        "p_brand": pa.array(["Brand#2", "Brand#2", "Brand#2"]),
+        "p_type": pa.array(["STANDARD", "LARGE", "STANDARD"]),
+        "p_size": pa.array([5, 7, 99], type=pa.int64()),
+    })
+    sc = supplier_part_counts(D(li2), D(part16), D(sup),
+                              exclude_brand="Brand#1",
+                              exclude_type="PROMO", max_size=25) \
+        .to_pandas()
+    got = {(r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
+           for _, r in sc.iterrows()}
+    assert got == {("Brand#2", "STANDARD", 5): 1,
+                   ("Brand#2", "LARGE", 7): 1}
+
+    # --- Q20: widget parts = {100}; supp 5 shipped 10 units in 1995
+    # -> passes threshold 5, fails 15.
+    part20 = pa.table({
+        "p_partkey": pa.array([100, 200], type=pa.int64()),
+        "p_name": pa.array(["red widget", "blue bolt"]),
+    })
+    li4 = pa.table({
+        "l_partkey": pa.array([100, 100, 200], type=pa.int64()),
+        "l_suppkey": pa.array([5, 6, 5], type=pa.int64()),
+        "l_quantity": pa.array([10.0, 3.0, 50.0]),
+        "l_shipdate": pa.array(
+            [ts("1995-03-01"), ts("1996-03-01"), ts("1995-03-01")],
+            type=pa.timestamp("us")),
+    })
+    pr = promotion_suppliers(D(part20), D(li4), D(sup),
+                             token="widget", year=1995,
+                             qty_threshold=5.0)
+    assert pr["s_name"].tolist() == ["S5"]
+    pr2 = promotion_suppliers(D(part20), D(li4), D(sup),
+                              token="widget", year=1995,
+                              qty_threshold=15.0)
+    assert pr2.empty
