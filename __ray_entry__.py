@@ -955,6 +955,13 @@ def _q_semdedup(sf_dir: str):
         threshold=COS_NEARDUP_THRESHOLD))
 
 
+def _q_nb_classify(sf_dir: str):
+    from rse_ray.pipelines.text import nb_classify
+
+    return _finalize(nb_classify(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"])))
+
+
 def _q_cos_neardup(sf_dir: str):
     from rse_ray.pipelines.ann import cosine_neardup_pairs
 
@@ -3936,6 +3943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_centroids,
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup": _q_semdedup,
+        "nb_classify": _q_nb_classify,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
         "pricing_summary": _q_pricing,
@@ -6164,6 +6172,33 @@ QUALIFY row_number() OVER (PARTITION BY query_id
         "semdedup": semdedup_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS,
             threshold=COS_NEARDUP_THRESHOLD, dim=64),
+        # multinomial NB self-classification: add-1 smoothing over the
+        # corpus vocabulary, argmax tie-break by label asc
+        "nb_classify": _TOKS + """,
+dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY 1, 2),
+lab AS (SELECT doc_id, source FROM documents),
+cnt AS (SELECT l.source, t.term, count(*)::BIGINT AS c
+        FROM toks t JOIN lab l USING (doc_id) GROUP BY 1, 2),
+ctot AS (SELECT source, sum(c)::DOUBLE AS n FROM cnt GROUP BY 1),
+vv AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM toks),
+pri AS (SELECT source, count(*)::BIGINT AS dc
+        FROM documents GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+sc AS (SELECT dt.doc_id, ct.source,
+              ln(pri.dc / nd.n)
+              + sum(dt.tf * ln((coalesce(cnt.c, 0) + 1.0)
+                               / (ct.n + vv.v))) AS score
+       FROM dt CROSS JOIN ctot ct
+       LEFT JOIN cnt ON cnt.source = ct.source
+                    AND cnt.term = dt.term
+       JOIN pri ON pri.source = ct.source
+       CROSS JOIN vv CROSS JOIN nd
+       GROUP BY dt.doc_id, ct.source, ct.n, pri.dc, nd.n)
+SELECT doc_id, source AS predicted, round(score, 6) AS score
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, source) = 1""",
         "embedding_centroids": """
 WITH x AS (SELECT label, unnest(range(1, 65))::BIGINT AS dim,
                   unnest(CAST(embedding AS DOUBLE[])) AS v

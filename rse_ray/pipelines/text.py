@@ -3807,3 +3807,115 @@ def dsir_weights(ds, *, target_source: str = "books",
                 b.column("log_weight").to_numpy() * scale + 0.5)
                 / scale)}),
         batch_format="pyarrow")
+
+
+def nb_classify(ds, *, alpha: float = 1.0, stem: bool = False,
+                id_col: str = "doc_id", text_col: str = "text",
+                label_col: str = "source"):
+    """Multinomial Naive Bayes self-classification — the classic
+    large-scale text categorizer (McCallum & Nigam 1998): train
+    add-``alpha``-smoothed per-class token statistics on the corpus's
+    own labels, then score every document,
+
+        score(d, c) = ln(N_c / N)
+                    + sum_w tf(w, d) * ln((cnt(w, c) + alpha)
+                                          / (tok_c + alpha * V)),
+
+    where V is the corpus distinct-vocabulary size, and emit the
+    argmax class (ties broken by label asc). Documents with zero
+    tokens are skipped (no evidence). -> (doc_id, predicted, score),
+    score rounded to 6 places.
+
+    Scale shape: pass 1 is a per-batch (label, term) Counter partial
+    collapsed by ONE groupby — the aggregated model table is
+    O(classes x vocab), the standard NB model budget (same contract
+    as doc_lm_score's bigram LM), collected once and broadcast via
+    ``ray.put`` as a term -> per-class log-prob matrix; pass 2 is an
+    embarrassingly-parallel map over batches (Counter per doc,
+    vectorized class-score accumulation, one argmax per doc). No
+    per-doc shuffle anywhere."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    proj = ds.select_columns([id_col, text_col, label_col])
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        docs: Counter = Counter()
+        for lab, t in zip(batch.column(label_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            docs[lab] += 1
+            if not t:
+                continue
+            for w in _tok(t, stem):
+                c[(lab, w)] += 1
+        keys = sorted(c)
+        # doc-count rows ride the same shuffle under term = "" (tokens
+        # are never empty post-filter)
+        return pa.table({
+            "lab": pa.array([k[0] for k in keys]
+                            + sorted(docs), type=pa.string()),
+            "term": pa.array([k[1] for k in keys]
+                             + [""] * len(docs), type=pa.string()),
+            "c_p": pa.array([c[k] for k in keys]
+                            + [docs[k] for k in sorted(docs)],
+                            type=pa.int64()),
+        })
+
+    model = proj.map_batches(train_partial, batch_format="pyarrow") \
+        .groupby(["lab", "term"]).aggregate(Sum("c_p", alias_name="n")) \
+        .to_pandas()
+    is_doc = model["term"] == ""
+    doc_counts = dict(zip(model.loc[is_doc, "lab"],
+                          model.loc[is_doc, "n"].astype(int)))
+    tc = model[~is_doc]
+    labels = sorted(doc_counts)
+    lab_ix = {c: i for i, c in enumerate(labels)}
+    C = len(labels)
+    n_docs = sum(doc_counts.values())
+    vocab = sorted(tc["term"].unique())
+    term_ix = {w: i for i, w in enumerate(vocab)}
+    V = len(vocab)
+    tok_c = np.zeros(C, dtype=np.float64)
+    cnt = np.zeros((len(vocab), C), dtype=np.float64)
+    li = tc["lab"].map(lab_ix).to_numpy(dtype=np.int64)
+    ti = tc["term"].map(term_ix).to_numpy(dtype=np.int64)
+    nn = tc["n"].to_numpy(dtype=np.float64)
+    np.add.at(tok_c, li, nn)
+    cnt[ti, li] = nn
+    # per-term per-class log P(w|c); row for unseen-in-class handled
+    # by the alpha in the numerator (cnt 0)
+    logp = np.log((cnt + alpha) / (tok_c + alpha * V))
+    prior = np.log(np.array([doc_counts[c] for c in labels],
+                            dtype=np.float64) / float(n_docs))
+    mref = ray.put((term_ix, logp, prior, labels))
+
+    def predict(batch: pa.Table) -> pa.Table:
+        tix, lp, pr, labs = ray.get(mref)
+        ids, preds, scores = [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            if not t:
+                continue
+            toks = _tok(t, stem)
+            if not toks:
+                continue
+            c = Counter(toks)
+            terms = sorted(c)
+            rows = np.fromiter((tix[w] for w in terms),
+                               dtype=np.int64, count=len(terms))
+            tf = np.fromiter((c[w] for w in terms),
+                             dtype=np.float64, count=len(terms))
+            s = pr + tf @ lp[rows]
+            best = int(np.argmax(s))  # first max = label-asc tie-break
+            ids.append(int(did))
+            preds.append(labs[best])
+            scores.append(float(s[best]))
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "predicted": pa.array(preds, type=pa.string()),
+            "score": pa.array(np.round(np.array(scores,
+                                                dtype=np.float64), 6)),
+        })
+
+    return proj.map_batches(predict, batch_format="pyarrow")

@@ -5104,3 +5104,30 @@ def test_tpch_q21_q2_q11_q16_q20_shapes(ray_session):
                               token="widget", year=1995,
                               qty_threshold=15.0)
     assert pr2.empty
+
+
+def test_nb_classify_planted(ray_session):
+    """Two classes with (mostly) disjoint vocabularies: every doc must
+    self-classify to its own class, and a mixed doc leans toward the
+    class contributing more of its tokens."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import nb_classify
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "apple banana apple cherry",
+            "apple cherry banana banana",
+            "stone iron copper stone",
+            "iron copper copper stone",
+            "apple apple apple iron",   # leans fruit
+        ]),
+        "source": pa.array(["fruit", "fruit", "metal", "metal",
+                            "fruit"]),
+    })
+    out = nb_classify(ray.data.from_arrow(docs)).to_pandas() \
+        .set_index("doc_id")["predicted"]
+    assert out[0] == out[1] == out[4] == "fruit"
+    assert out[2] == out[3] == "metal"
