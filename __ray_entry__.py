@@ -426,6 +426,19 @@ def _q_hybrid_rrf(sf_dir: str):
                                           KNN_QUERY_IDS[0]))
 
 
+def _q_hybrid_combsum(sf_dir: str):
+    from rse_ray.pipelines.docsearch import hybrid_combsum_documents
+
+    return _finalize(hybrid_combsum_documents(sf_dir, BM25_QUERY,
+                                              KNN_QUERY_IDS[0]))
+
+
+def _q_query_clarity(sf_dir: str):
+    from rse_ray.pipelines.docsearch import query_clarity
+
+    return _finalize(query_clarity(sf_dir, BM25_QUERY))
+
+
 def _q_wildcard_terms(sf_dir: str):
     from rse_ray.pipelines.docsearch import wildcard_terms
 
@@ -3809,6 +3822,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": _q_suggest_terms,
         "wildcard_terms": _q_wildcard_terms,
         "hybrid_rrf": _q_hybrid_rrf,
+        "hybrid_combsum": _q_hybrid_combsum,
+        "query_clarity": _q_query_clarity,
         "knn_cosine_sq_rerank": _q_knn_cosine_sq_rerank,
         "bm25_champions": _q_bm25_champions,
         "bm25_plus_scores": _q_bm25_plus,
@@ -4338,6 +4353,64 @@ f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
       FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
 SELECT doc_id, round(raw_rrf, 6) AS rrf FROM f
 ORDER BY raw_rrf DESC, doc_id LIMIT 20""",
+        # CombSUM/CombMNZ fusion: min-max over each list's RAW scores,
+        # missing side contributes 0, MNZ multiplies by list count
+        "hybrid_combsum": _BM25_CTES_TMPL.format(
+            terms=BM25_QUERY_SQL_TERMS) + f""",
+lex AS (SELECT doc_id, raw FROM scores
+        QUALIFY row_number() OVER (ORDER BY raw DESC, doc_id) <= 50),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+       WHERE vec_id = {KNN_QUERY_IDS[0]}),
+vec AS (SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(
+                   qv.qe, CAST(e.embedding AS DOUBLE[])) AS raw
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id <> {KNN_QUERY_IDS[0]}
+        QUALIFY row_number() OVER (ORDER BY raw DESC, e.vec_id)
+                <= 50),
+lnorm AS (SELECT doc_id,
+                 CASE WHEN max(raw) OVER () = min(raw) OVER ()
+                      THEN 0.0
+                      ELSE (raw - min(raw) OVER ())
+                           / (max(raw) OVER () - min(raw) OVER ())
+                 END AS n
+          FROM lex),
+vnorm AS (SELECT doc_id,
+                 CASE WHEN max(raw) OVER () = min(raw) OVER ()
+                      THEN 0.0
+                      ELSE (raw - min(raw) OVER ())
+                           / (max(raw) OVER () - min(raw) OVER ())
+                 END AS n
+          FROM vec),
+f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             coalesce(l.n, 0) + coalesce(v.n, 0) AS cs,
+             (coalesce(l.n, 0) + coalesce(v.n, 0))
+             * ((l.doc_id IS NOT NULL)::INT
+                + (v.doc_id IS NOT NULL)::INT) AS mnz
+      FROM lnorm l FULL OUTER JOIN vnorm v ON l.doc_id = v.doc_id)
+SELECT doc_id, round(cs, 6) AS combsum, round(mnz, 6) AS combmnz
+FROM f ORDER BY mnz DESC, doc_id LIMIT 20""",
+        # clarity = KL(topk-concatenation LM || collection LM) over the
+        # top-k vocabulary
+        "query_clarity": _BM25_CTES_TMPL.format(
+            terms=BM25_QUERY_SQL_TERMS) + """,
+topd AS (SELECT doc_id FROM scores
+         QUALIFY row_number() OVER (ORDER BY raw DESC, doc_id)
+                 <= 10),
+qt AS (SELECT t.term, count(*)::BIGINT AS c
+       FROM toks t JOIN topd USING (doc_id) GROUP BY 1),
+qtot AS (SELECT sum(c)::DOUBLE AS t FROM qt),
+ctot AS (SELECT count(*)::DOUBLE AS t FROM toks),
+cf AS (SELECT t.term, count(*)::BIGINT AS cf
+       FROM toks t JOIN (SELECT DISTINCT term FROM qt) v
+            USING (term)
+       GROUP BY 1)
+SELECT round(sum((qt.c / qtot.t)
+                 * ln((qt.c / qtot.t) / (cf.cf / ctot.t))), 6)
+           AS clarity,
+       count(*)::BIGINT AS n_terms,
+       (SELECT count(*) FROM topd)::BIGINT AS n_docs
+FROM qt JOIN cf USING (term) CROSS JOIN qtot CROSS JOIN ctot""",
         "bm25_champions": _TOKS + f""",
 p0 AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),

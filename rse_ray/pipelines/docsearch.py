@@ -17,6 +17,7 @@ from datetime import datetime
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _CACHE_ROOT = "/tmp/rse_ray_cache"
 _EPOCH = datetime(2024, 12, 1)
@@ -377,18 +378,23 @@ def bm25_documents_total(sf_dir: str, query: str,
 
 
 def _score_frame(index_dir: str, hits, *, value_col: str = "score",
-                 round_to: int = 6) -> pd.DataFrame:
+                 round_to: int | None = 6) -> pd.DataFrame:
     """Shared retrieval tail: hydrate index doc ids back to the
     documents table's own ids and round the score column — one place
-    for the doc:// scheme and the rounding contract."""
+    for the doc:// scheme and the rounding contract. ``round_to=None``
+    keeps raw scores (for downstream fusion that must normalize
+    UNROUNDED values, matching its SQL twin)."""
     from rse_ray.pipelines.search import hydrate_urls
 
     rows = hydrate_urls(index_dir, hits)
+    vals = [v for _, v, _ in rows]
+    if round_to is not None:
+        vals = [round(v, round_to) for v in vals]
     return pd.DataFrame(
         {
             "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
                                dtype="int64"),
-            value_col: [round(v, round_to) for _, v, _ in rows],
+            value_col: vals,
         }
     )
 
@@ -672,6 +678,144 @@ def hybrid_rrf_documents(sf_dir: str, query: str, query_vec_id: int,
         "doc_id": pd.array([d for d, _ in fused], dtype="int64"),
         "rrf": [round(s, round_to) for _, s in fused],
     })
+
+
+def hybrid_combsum_documents(sf_dir: str, query: str,
+                             query_vec_id: int, *, k_each: int = 50,
+                             k: int = 20,
+                             round_to: int = 6) -> pd.DataFrame:
+    """Hybrid lexical+vector fusion by CombSUM / CombMNZ (Fox & Shaw,
+    TREC-2 1994) — the score-based complement of hybrid_rrf: each
+    list's raw scores are min-max normalized WITHIN the list (raw,
+    unrounded scores, so the normalization matches the SQL twin
+    bit-for-bit up to the shared rounding contract),
+
+        combsum(d) = norm_lex(d) + norm_vec(d)   (missing side = 0)
+        combmnz(d) = combsum(d) * |lists containing d|
+
+    ranked (combmnz desc, doc_id asc) top-k. ->
+    (doc_id, combsum, combmnz)."""
+    import os
+
+    import ray.data
+
+    from rse_ray.pipelines.ann import brute_force_knn
+
+    lex = bm25_documents(sf_dir, query, k=k_each, round_to=None)
+    lex_s = {int(d): float(s)
+             for d, s in zip(lex["doc_id"], lex["score"])}
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    vec = brute_force_knn(emb, [query_vec_id], k=k_each,
+                          round_to=None)
+    vec = vec[vec["neighbor_id"] != query_vec_id]
+    vec_s = {int(d): float(c)
+             for d, c in zip(vec["neighbor_id"], vec["cos"])}
+
+    def norm(scores: dict) -> dict:
+        if not scores:
+            return {}
+        lo, hi = min(scores.values()), max(scores.values())
+        rng = hi - lo
+        if rng == 0:
+            return {d: 0.0 for d in scores}
+        return {d: (v - lo) / rng for d, v in scores.items()}
+
+    nl, nv = norm(lex_s), norm(vec_s)
+    fused = []
+    for d in sorted(set(nl) | set(nv)):
+        cs = nl.get(d, 0.0) + nv.get(d, 0.0)
+        mnz = cs * ((d in nl) + (d in nv))
+        fused.append((d, cs, mnz))
+    fused.sort(key=lambda t: (-t[2], t[0]))
+    fused = fused[:k]
+    return pd.DataFrame({
+        "doc_id": pd.array([d for d, _, _ in fused], dtype="int64"),
+        "combsum": [round(c, round_to) for _, c, _ in fused],
+        "combmnz": [round(m, round_to) for _, _, m in fused],
+    })
+
+
+def query_clarity(sf_dir: str, query: str, *, k: int = 10,
+                  round_to: int = 6) -> pd.DataFrame:
+    """Query clarity score (Cronen-Townsend, Zhou & Croft, SIGIR
+    2002) — the classic query-performance predictor: KL divergence
+    between the query language model (MLE over the CONCATENATION of
+    the BM25 top-``k`` documents) and the collection model,
+
+        clarity = sum_w P(w|Q) * ln(P(w|Q) / P(w|C)),
+
+    summed over the top-k docs' vocabulary, P(w|C) = cf(w) / |C|.
+    High clarity = the query's result set speaks a focused sublanguage
+    (an unambiguous query); near zero = results look like the corpus
+    (an ambiguous one). -> one row (clarity, n_terms, n_docs).
+
+    Scale shape: top-k comes from the shared index; only the k
+    documents' texts are fetched (distributed is_in point lookup);
+    collection frequencies for EXACTLY the top-k vocabulary are a
+    broadcast-filtered map_batches partial + one tiny groupby (the
+    corpus-wide token total rides the same pass), so corpus work is
+    one streaming scan with a vocab-bounded shuffle."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from rse_ray.functions.tokenizer import tokenize
+
+    top = bm25_documents(sf_dir, query, k=k, round_to=None)
+    ids = set(int(d) for d in top["doc_id"])
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    idref = ray.put(pa.array(sorted(ids), type=pa.int64()))
+    picked = docs.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("doc_id"),
+                                    value_set=ray.get(idref))),
+        batch_format="pyarrow").to_pandas()
+    from collections import Counter
+
+    qc: Counter = Counter()
+    for t in picked["text"]:
+        if t:
+            qc.update(tokenize(t, stem=False))
+    q_total = sum(qc.values())
+    vocab = set(qc)
+    vref = ray.put(vocab)
+
+    def cf_partial(batch: pa.Table) -> pa.Table:
+        vs = ray.get(vref)
+        c: Counter = Counter()
+        total = 0
+        for t in batch.column("text").to_pylist():
+            if not t:
+                continue
+            toks = tokenize(t, stem=False)
+            total += len(toks)
+            c.update(w for w in toks if w in vs)
+        keys = sorted(c)
+        return pa.table({
+            "term": pa.array(keys + [""], type=pa.string()),
+            "c_p": pa.array([c[w] for w in keys] + [total],
+                            type=pa.int64())})
+
+    cf = docs.map_batches(cf_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("c_p", alias_name="cf")) \
+        .to_pandas()
+    coll_total = int(cf.loc[cf["term"] == "", "cf"].iloc[0])
+    cf_of = dict(zip(cf["term"], cf["cf"].astype(int)))
+    terms = sorted(vocab)
+    pq = np.array([qc[w] / q_total for w in terms])
+    pcoll = np.array([cf_of[w] / coll_total for w in terms])
+    clarity = float(np.sum(pq * np.log(pq / pcoll)))
+    return pd.DataFrame({
+        "clarity": [round(clarity, round_to)],
+        "n_terms": pd.array([len(terms)], dtype="int64"),
+        "n_docs": pd.array([len(picked)], dtype="int64")})
 
 
 def wildcard_terms(sf_dir: str, pattern: str, k: int = 5,

@@ -5131,3 +5131,39 @@ def test_nb_classify_planted(ray_session):
         .set_index("doc_id")["predicted"]
     assert out[0] == out[1] == out[4] == "fruit"
     assert out[2] == out[3] == "metal"
+
+
+def test_hybrid_combsum_and_clarity(ray_session):
+    """CombSUM/CombMNZ internal consistency against the two source
+    lists, and clarity is positive (top-k sublanguage is more focused
+    than the corpus) with the right vocabulary size."""
+    from rse_ray.pipelines.ann import brute_force_knn
+    from rse_ray.pipelines.docsearch import (bm25_documents,
+                                             hybrid_combsum_documents,
+                                             query_clarity)
+    import os
+
+    import ray.data
+
+    q = "spark window merge window"
+    out = hybrid_combsum_documents(SF, q, 0, k_each=50, k=20)
+    assert len(out) == 20
+    # MNZ doubles combsum exactly for docs present in both lists
+    lex = set(bm25_documents(SF, q, k=50)["doc_id"].astype(int))
+    emb = ray.data.read_parquet(
+        os.path.join(SF, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    vec = set(brute_force_knn(emb, [0], k=50)["neighbor_id"]
+              .astype(int))
+    for _, r in out.iterrows():
+        n_lists = (int(r["doc_id"]) in lex) + (int(r["doc_id"]) in vec)
+        assert r["combmnz"] == pytest.approx(
+            r["combsum"] * n_lists, abs=2e-6)
+    # normalized scores bound combsum to [0, 2]
+    assert out["combsum"].between(0, 2).all()
+
+    c = query_clarity(SF, q, k=10)
+    assert len(c) == 1
+    assert c["clarity"].iloc[0] > 0
+    assert c["n_docs"].iloc[0] == 10
+    assert c["n_terms"].iloc[0] > 10
