@@ -3620,6 +3620,20 @@ def _q_product_profit(sf_dir: str):
               ["p_partkey", "p_name", "p_retailprice"])))
 
 
+def _q_ks_test(sf_dir: str):
+    from rse_ray.pipelines.relational import ks_test
+
+    return _finalize(ks_test(
+        _read(sf_dir, "events", ["event_type", "value"])))
+
+
+def _q_spearman_corr(sf_dir: str):
+    from rse_ray.pipelines.relational import spearman_corr
+
+    return _finalize(spearman_corr(
+        _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])))
+
+
 def _q_waiting_suppliers(sf_dir: str):
     from rse_ray.pipelines.relational import waiting_suppliers
 
@@ -3901,6 +3915,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": _q_market_share,
         "product_profit": _q_product_profit,
         "waiting_suppliers": _q_waiting_suppliers,
+        "ks_test": _q_ks_test,
+        "spearman_corr": _q_spearman_corr,
         "min_cost_supplier": _q_min_cost_supplier,
         "important_parts": _q_important_parts,
         "supplier_part_counts": _q_supplier_part_counts,
@@ -5157,6 +5173,49 @@ WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
 GROUP BY 1""",
         # Q9 shape adapted: unit cost = 0.6 * p_retailprice (no
         # partsupp table in this corpus)
+        # KS two-sample: CDF gap over pooled distinct values in float
+        # (identical IEEE expression both sides)
+        "ks_test": """
+WITH src AS (SELECT value,
+                    (event_type = 'click')::BIGINT AS ia
+             FROM events WHERE event_type IN ('click', 'view')
+               AND value IS NOT NULL),
+d AS (SELECT value, sum(ia)::BIGINT AS na,
+             (count(*) - sum(ia))::BIGINT AS nb
+      FROM src GROUP BY 1),
+t AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM d),
+c AS (SELECT sum(na) OVER (ORDER BY value) AS ca,
+             sum(nb) OVER (ORDER BY value) AS cb
+      FROM d)
+SELECT t.ta AS n_a, t.tb AS n_b,
+       round(max(abs(c.ca / (t.ta * 1.0)
+                     - c.cb / (t.tb * 1.0))), 6) AS d_stat,
+       round(max(abs(c.ca / (t.ta * 1.0) - c.cb / (t.tb * 1.0)))
+             * sqrt(t.ta * t.tb / (t.ta * 1.0 + t.tb)), 6) AS ks_z
+FROM c CROSS JOIN t GROUP BY t.ta, t.tb""",
+        # Spearman: Pearson over CENTERED average ranks (exact halves,
+        # no big-minus-big cancellation)
+        "spearman_corr": """
+WITH src AS (SELECT l_quantity AS x, l_extendedprice AS y
+             FROM lineitem
+             WHERE l_quantity IS NOT NULL
+               AND l_extendedprice IS NOT NULL),
+nn AS (SELECT count(*)::BIGINT AS n FROM src),
+xr AS (SELECT x, cum - cnt + (cnt + 1) / 2.0 AS r FROM (
+    SELECT x, count(*)::BIGINT AS cnt,
+           sum(count(*)) OVER (ORDER BY x) AS cum
+    FROM src GROUP BY x)),
+yr AS (SELECT y, cum - cnt + (cnt + 1) / 2.0 AS r FROM (
+    SELECT y, count(*)::BIGINT AS cnt,
+           sum(count(*)) OVER (ORDER BY y) AS cum
+    FROM src GROUP BY y)),
+j AS (SELECT xr.r - (nn.n + 1) / 2.0 AS crx,
+             yr.r - (nn.n + 1) / 2.0 AS cry
+      FROM src s JOIN xr ON xr.x = s.x JOIN yr ON yr.y = s.y
+      CROSS JOIN nn)
+SELECT nn.n, round(sum(crx * cry)
+                   / sqrt(sum(crx * crx) * sum(cry * cry)), 6) AS rho
+FROM j CROSS JOIN nn GROUP BY nn.n""",
         # Q21 shape: late = shipdate > orderdate + 60d (no
         # commit/receipt dates in this corpus)
         "waiting_suppliers": """

@@ -5963,3 +5963,224 @@ def promotion_suppliers(part_ds, lineitem_ds, supplier_ds, *,
         "s_name": hit["s_name"],
         "s_acctbal": hit["s_acctbal"].astype(np.float64)})
     return out.sort_values("s_name").reset_index(drop=True)
+
+
+def ks_test(events_ds, *, group_col: str = "event_type",
+            a: str = "click", b: str = "view",
+            value_col: str = "value"):
+    """Two-sample Kolmogorov-Smirnov test between two groups' value
+    distributions: D = max_v |F_a(v) - F_b(v)| over the pooled
+    distinct values, plus the asymptotic statistic
+    z = D * sqrt(n_a n_b / (n_a + n_b)). -> one row
+    (n_a, n_b, d_stat, ks_z), floats rounded to 6.
+
+    Scale shape: mann_whitney_u's distinct-value idiom — per-batch
+    (value, count_a, count_total) partials, ONE groupby(value), sort,
+    then the two-pass block-offset prefix: pass 1 ships one boundary
+    row per block to the driver (cumulative offsets), pass 2 computes
+    each block's local max |CDF gap| with vectorized prefix sums; the
+    driver reduces O(blocks) scalars. The CDF gap is evaluated in
+    float (counts / totals) so cumulative counts near 10^12 never
+    overflow an int64 cross-product; both engines evaluate the
+    identical IEEE expression on identical integers."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        keep = pc.or_(pc.equal(g, pa.scalar(a)),
+                      pc.equal(g, pa.scalar(b)))
+        t = batch.filter(keep)
+        ia = pc.cast(pc.equal(t.column(group_col), pa.scalar(a)),
+                     pa.int64())
+        tt = pa.table({"value": t.column(value_col), "ia": ia}) \
+            .drop_null()
+        g2 = tt.group_by(["value"]).aggregate(
+            [("ia", "sum"), ([], "count_all")])
+        return pa.table({"value": g2.column("value"),
+                         "na_p": g2.column("ia_sum"),
+                         "nt_p": pc.cast(g2.column("count_all"),
+                                         pa.int64())})
+
+    dist = events_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("value").aggregate(Sum("na_p", alias_name="na"),
+                                    Sum("nt_p", alias_name="nt")) \
+        .sort("value").materialize()
+
+    def block_tot(batch: pa.Table) -> pa.Table:
+        n = min(batch.num_rows, 1)
+        na = batch.column("na").to_numpy()
+        nt = batch.column("nt").to_numpy()
+        return pa.table({
+            "v0": batch.column("value").slice(0, 1),
+            "sa": pa.array([int(na.sum())] * n, type=pa.int64()),
+            "sb": pa.array([int((nt - na).sum())] * n,
+                           type=pa.int64())})
+
+    tots = dist.map_batches(block_tot, batch_size=None,
+                            batch_format="pyarrow").to_pandas() \
+        .sort_values("v0").reset_index(drop=True)
+    if tots.empty:
+        return pd.DataFrame({
+            "n_a": pd.Series([0], dtype=np.int64),
+            "n_b": pd.Series([0], dtype=np.int64),
+            "d_stat": pd.Series([0.0]), "ks_z": pd.Series([0.0])})
+    ta = int(tots["sa"].sum())
+    tb = int(tots["sb"].sum())
+    off_a = {float(v): int(o) for v, o in zip(
+        tots["v0"], tots["sa"].cumsum().shift(fill_value=0))}
+    off_b = {float(v): int(o) for v, o in zip(
+        tots["v0"], tots["sb"].cumsum().shift(fill_value=0))}
+    if ta == 0 or tb == 0:
+        return pd.DataFrame({
+            "n_a": pd.Series([ta], dtype=np.int64),
+            "n_b": pd.Series([tb], dtype=np.int64),
+            "d_stat": pd.Series([0.0]), "ks_z": pd.Series([0.0])})
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"d": pa.array([], type=pa.float64())})
+        na = batch.column("na").to_numpy().astype(np.int64)
+        nb = (batch.column("nt").to_numpy().astype(np.int64) - na)
+        v0 = float(batch.column("value")[0].as_py())
+        ca = off_a[v0] + np.cumsum(na)
+        cb = off_b[v0] + np.cumsum(nb)
+        d = np.abs(ca / float(ta) - cb / float(tb)).max()
+        return pa.table({"d": pa.array([float(d)],
+                                       type=pa.float64())})
+
+    parts = dist.map_batches(block_max, batch_size=None,
+                             batch_format="pyarrow").to_pandas()
+    d = float(parts["d"].max())
+    ks_z = d * math.sqrt(ta * tb / float(ta + tb))
+    return pd.DataFrame({
+        "n_a": pd.Series([ta], dtype=np.int64),
+        "n_b": pd.Series([tb], dtype=np.int64),
+        "d_stat": pd.Series([round(d, 6)]),
+        "ks_z": pd.Series([round(ks_z, 6)])})
+
+
+def spearman_corr(lineitem_ds, *, x_col: str = "l_quantity",
+                  y_col: str = "l_extendedprice"):
+    """Spearman rank correlation between two columns with exact
+    average-rank tie handling: Pearson over CENTERED average ranks,
+
+        rho = sum(crx * cry) / sqrt(sum(crx^2) * sum(cry^2)),
+        cr  = avg_rank(v) - (n + 1) / 2.
+
+    Centering is exact (ranks and the mean are halves), so every
+    product is computed on exact doubles and the only float error is
+    the final summation — bounded far below the 6-dp rounding
+    contract even at 10^12 rows (no big-minus-big cancellation, which
+    the uncentered n*Sxy - Sx*Sy form would hit). -> one row
+    (n, rho).
+
+    Scale shape: each column's avg-rank table comes from the
+    distinct-value sort + block-offset prefix idiom (driver sees one
+    boundary row per block); the x side (low-cardinality by
+    assumption, e.g. integer quantities) broadcasts, while the
+    y-rank table attaches to the distinct (x, y) PAIR table via the
+    co-partitioned hash join — no per-row rank map ever leaves the
+    cluster; the Pearson moments collapse to per-batch partials."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from rse_ray.util import parts_for
+
+    src = lineitem_ds.select_columns([x_col, y_col])
+
+    # distinct (x, y) pairs with multiplicity — the only row-scale
+    # shuffle, bounded by the distinct pair count
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = batch.drop_null().group_by([x_col, y_col]).aggregate(
+            [([], "count_all")])
+        return pa.table({"x": g.column(x_col), "y": g.column(y_col),
+                         "c_p": pc.cast(g.column("count_all"),
+                                        pa.int64())})
+
+    pairs = src.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["x", "y"]).aggregate(Sum("c_p", alias_name="cnt")) \
+        .materialize()
+
+    def rank_table(col: str) -> pd.DataFrame:
+        """(value, cnt) distinct table -> (value, avg_rank), via the
+        sorted block-offset prefix pattern."""
+        agg = "x" if col == x_col else "y"
+        d = pairs.map_batches(
+            lambda b, a=agg: pa.table({
+                "value": b.column(a),
+                "c_p": b.column("cnt")})
+            .group_by(["value"]).aggregate([("c_p", "sum")])
+            .rename_columns(["value", "c_p"]),
+            batch_format="pyarrow") \
+            .groupby("value").aggregate(Sum("c_p", alias_name="cnt")) \
+            .sort("value").materialize()
+
+        def block_tot(batch: pa.Table) -> pa.Table:
+            n = min(batch.num_rows, 1)
+            return pa.table({
+                "v0": batch.column("value").slice(0, 1),
+                "s": pa.array(
+                    [int(batch.column("cnt").to_numpy().sum())] * n,
+                    type=pa.int64())})
+
+        tots = d.map_batches(block_tot, batch_size=None,
+                             batch_format="pyarrow").to_pandas() \
+            .sort_values("v0").reset_index(drop=True)
+        off = {float(v): int(o) for v, o in zip(
+            tots["v0"], tots["s"].cumsum().shift(fill_value=0))}
+
+        def block_rank(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({
+                    "value": pa.array([], type=pa.float64()),
+                    "r": pa.array([], type=pa.float64())})
+            cnt = batch.column("cnt").to_numpy().astype(np.int64)
+            v0 = float(batch.column("value")[0].as_py())
+            cum = off[v0] + np.cumsum(cnt)
+            r = cum - cnt + (cnt + 1) / 2.0
+            return pa.table({"value": batch.column("value"),
+                             "r": pa.array(r)})
+
+        return d.map_batches(block_rank, batch_size=None,
+                             batch_format="pyarrow").to_pandas()
+
+    xr = rank_table(x_col)
+    yr = rank_table(y_col)
+    n = int(pairs.aggregate(Sum("cnt", alias_name="n"))["n"] or 0)
+    if n < 2:
+        return pd.DataFrame({"n": pd.Series([n], dtype=np.int64),
+                             "rho": pd.Series([0.0])})
+    mean = (n + 1) / 2.0
+    x_rank = {float(v): float(r) - mean
+              for v, r in zip(xr["value"], xr["r"])}
+    xref = ray.put(x_rank)
+    yrank_ds = ray.data.from_pandas(
+        pd.DataFrame({"y": yr["value"],
+                      "ry": yr["r"].to_numpy() - mean}))
+    P = parts_for(pairs.count(), rows_per_part=500_000)
+    j = hash_join(pairs, yrank_ds, left_on="y", right_on="y",
+                  right_cols=["ry"], how="inner", num_parts=P)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ry" not in batch.column_names:
+            z = pa.array([], type=pa.float64())
+            return pa.table({"sxy": z, "sxx": z, "syy": z})
+        xm = ray.get(xref)
+        xv = batch.column("x").to_numpy(zero_copy_only=False)
+        crx = np.fromiter((xm[float(v)] for v in xv),
+                          dtype=np.float64, count=len(xv))
+        cry = batch.column("ry").to_numpy(zero_copy_only=False)
+        c = batch.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "sxy": pa.array([float((c * crx * cry).sum())]),
+            "sxx": pa.array([float((c * crx * crx).sum())]),
+            "syy": pa.array([float((c * cry * cry).sum())])})
+
+    m = j.map_batches(moments, batch_format="pyarrow") \
+        .to_pandas().sum()
+    denom = math.sqrt(float(m["sxx"]) * float(m["syy"]))
+    rho = float(m["sxy"]) / denom if denom > 0 else 0.0
+    return pd.DataFrame({"n": pd.Series([n], dtype=np.int64),
+                         "rho": pd.Series([round(rho, 6)])})

@@ -5167,3 +5167,41 @@ def test_hybrid_combsum_and_clarity(ray_session):
     assert c["clarity"].iloc[0] > 0
     assert c["n_docs"].iloc[0] == 10
     assert c["n_terms"].iloc[0] > 10
+
+
+def test_ks_and_spearman_known_values(ray_session):
+    """Hand-computed fixtures: KS D between {1,2,3} and {3,4,5,6} is
+    3/4 (at v=3: 1 - 1/4); Spearman is exactly +1 on a monotone pair,
+    -1 on an antitone pair, and matches the tie-adjusted closed form
+    on a small mixed sample."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import ks_test, spearman_corr
+
+    ev = pa.table({
+        "event_type": pa.array(["click"] * 3 + ["view"] * 4),
+        "value": pa.array([1.0, 2.0, 3.0, 3.0, 4.0, 5.0, 6.0]),
+    })
+    out = ks_test(ray.data.from_arrow(ev))
+    assert out["n_a"].iloc[0] == 3 and out["n_b"].iloc[0] == 4
+    assert out["d_stat"].iloc[0] == pytest.approx(0.75, abs=1e-6)
+    assert out["ks_z"].iloc[0] == pytest.approx(
+        0.75 * np.sqrt(12 / 7), abs=1e-6)
+
+    def sp(x, y):
+        t = pa.table({"l_quantity": pa.array(x, type=pa.float64()),
+                      "l_extendedprice": pa.array(y,
+                                                  type=pa.float64())})
+        return spearman_corr(ray.data.from_arrow(t))["rho"].iloc[0]
+
+    assert sp([1, 2, 3, 4], [10, 20, 30, 40]) == pytest.approx(1.0)
+    assert sp([1, 2, 3, 4], [40, 30, 20, 10]) == pytest.approx(-1.0)
+    # mixed with ties: x = [1,1,2,3], y = [2,1,4,3]
+    # rx = [1.5,1.5,3,4], ry = [2,1,4,3]; centered (n=4, mean 2.5):
+    # crx=[-1,-1,.5,1.5], cry=[-.5,-1.5,1.5,.5]
+    # sxy=.5+1.5+.75+.75=3.5, sxx=1+1+.25+2.25=4.5, syy=5
+    want = 3.5 / np.sqrt(4.5 * 5.0)
+    assert sp([1, 1, 2, 3], [2, 1, 4, 3]) == pytest.approx(
+        want, abs=1e-6)
