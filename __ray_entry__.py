@@ -3620,6 +3620,14 @@ def _q_product_profit(sf_dir: str):
               ["p_partkey", "p_name", "p_retailprice"])))
 
 
+def _q_bm25_pruned(sf_dir: str):
+    from rse_ray.pipelines.text import bm25_pruned
+
+    return _finalize(bm25_pruned(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        BM25_QUERY, keep_pct=50, k=20))
+
+
 def _q_ks_test(sf_dir: str):
     from rse_ray.pipelines.relational import ks_test
 
@@ -3916,6 +3924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": _q_product_profit,
         "waiting_suppliers": _q_waiting_suppliers,
         "ks_test": _q_ks_test,
+        "bm25_pruned": _q_bm25_pruned,
         "spearman_corr": _q_spearman_corr,
         "min_cost_supplier": _q_min_cost_supplier,
         "important_parts": _q_important_parts,
@@ -5173,6 +5182,32 @@ WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
 GROUP BY 1""",
         # Q9 shape adapted: unit cost = 0.6 * p_retailprice (no
         # partsupp table in this corpus)
+        # static pruning: per query term keep ceil(50% x df) postings
+        # (tf desc, doc_id asc), score with FULL stats
+        "bm25_pruned": _TOKS + f""",
+p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+      FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+s AS (SELECT count(*)::DOUBLE AS n,
+             sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+q(term, qtf) AS (VALUES {BM25_QUERY_SQL_TERMS}),
+d AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY 1),
+pruned AS (SELECT p.term, p.doc_id, p.tf
+           FROM p JOIN q USING (term) JOIN d USING (term)
+           QUALIFY row_number() OVER (PARTITION BY p.term
+               ORDER BY p.tf DESC, p.doc_id)
+               <= (d.df * 50 + 99) // 100),
+scores AS (
+  SELECT pr.doc_id,
+         sum(q.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             (pr.tf * (1.2 + 1)) /
+             (pr.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+             AS raw
+  FROM pruned pr JOIN q USING (term) JOIN d USING (term)
+       JOIN dl ON pr.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY pr.doc_id)
+SELECT doc_id, round(raw, 6) AS score FROM scores
+ORDER BY raw DESC, doc_id LIMIT 20""",
         # KS two-sample: CDF gap over pooled distinct values in float
         # (identical IEEE expression both sides)
         "ks_test": """

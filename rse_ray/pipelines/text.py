@@ -3919,3 +3919,127 @@ def nb_classify(ds, *, alpha: float = 1.0, stem: bool = False,
         })
 
     return proj.map_batches(predict, batch_format="pyarrow")
+
+
+def bm25_pruned(ds, query: str, *, keep_pct: int = 50, k: int = 20,
+                stem: bool = False):
+    """Static index pruning (Carmel et al., SIGIR 2001): per query
+    term keep only the ceil(keep_pct% x df) highest-impact postings
+    (tf desc, doc_id asc — the static top-fraction an impact-ordered
+    index would store), then score BM25 with the FULL collection
+    statistics (N, avgdl, unpruned df), top-k (raw desc, doc_id). ->
+    (doc_id, score), score rounded to 6.
+
+    The kept-count is exact integer arithmetic
+    ((df * keep_pct + 99) // 100), so both engines prune the
+    identical posting set. In production the truncation happens at
+    INDEX BUILD time (impact-ordered posting lists, one sort per term
+    inside the segment writer); this query-time form exists to make
+    the recall/latency trade measurable against the exact scorer on
+    the same corpus.
+
+    Scale shape: one stats pass (per-batch partials -> driver
+    scalars: N, avgdl, per-query-term df); one postings pass
+    RESTRICTED to query terms (term, doc_id, tf, dl); per-term
+    truncation via groupby(term).map_groups (bounded by |query terms|
+    groups); scoring is vectorized per batch with broadcast stats and
+    the final top-k is a driver reduce of per-batch heads."""
+    import math as _math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    q_counts = Counter(_tok(query, stem))
+    q_terms = sorted(q_counts)
+    if not q_terms:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    qref = ray.put(set(q_terms))
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        qs = ray.get(qref)
+        texts = batch.column("text").to_pylist()
+        n, dl_sum = 0, 0
+        df_c: Counter = Counter()
+        for t in texts:
+            toks = _tok(t, stem)
+            n += 1
+            dl_sum += len(toks)
+            df_c.update(set(toks) & qs)
+        terms = sorted(df_c)
+        return pa.table({
+            "term": pa.array(terms + [""], type=pa.string()),
+            "df_p": pa.array([df_c[t] for t in terms] + [n],
+                             type=pa.int64()),
+            "dl_p": pa.array([0] * len(terms) + [dl_sum],
+                             type=pa.int64())})
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df_p", alias_name="df"),
+                                   Sum("dl_p", alias_name="dl")) \
+        .to_pandas()
+    N = int(st.loc[st["term"] == "", "df"].iloc[0])
+    avgdl = int(st.loc[st["term"] == "", "dl"].iloc[0]) / N
+    df_of = {t: int(v) for t, v in zip(st["term"], st["df"])
+             if t != ""}
+
+    def post_partial(batch: pa.Table) -> pa.Table:
+        qs = ray.get(qref)
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        terms, dids, tfs, dls = [], [], [], []
+        for did, t in zip(ids, texts):
+            toks = _tok(t, stem)
+            c = Counter(toks)
+            for term in qs.intersection(c):
+                terms.append(term)
+                dids.append(int(did))
+                tfs.append(c[term])
+                dls.append(len(toks))
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "tf": pa.array(tfs, type=pa.int64()),
+            "dl": pa.array(dls, type=pa.int64())})
+
+    def truncate(g: pd.DataFrame) -> pd.DataFrame:
+        df = df_of.get(str(g["term"].iloc[0]), 0)
+        keep = (df * keep_pct + 99) // 100
+        return g.sort_values(["tf", "doc_id"],
+                             ascending=[False, True]).head(keep)
+
+    pruned = ds.map_batches(post_partial, batch_format="pyarrow") \
+        .groupby("term").map_groups(truncate, batch_format="pandas")
+
+    idf = {t: _math.log(1.0 + (N - df_of[t] + 0.5)
+                        / (df_of[t] + 0.5))
+           for t in q_terms if t in df_of}
+    iref = ray.put((idf, dict(q_counts), float(avgdl)))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        idf_l, qtf_l, avg = ray.get(iref)
+        if batch.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "s_p": pa.array([], type=pa.float64())})
+        terms = batch.column("term").to_pylist()
+        tf = batch.column("tf").to_numpy().astype(np.float64)
+        dl = batch.column("dl").to_numpy().astype(np.float64)
+        w = np.fromiter((idf_l[t] * qtf_l[t] for t in terms),
+                        dtype=np.float64, count=len(terms))
+        s = w * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
+        g = pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "s": pa.array(s)}).group_by(["doc_id"]) \
+            .aggregate([("s", "sum")])
+        return g.rename_columns(["doc_id", "s_p"])
+
+    agg = pruned.map_batches(score_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("s_p", alias_name="raw")) \
+        .to_pandas()
+    agg = agg.sort_values(["raw", "doc_id"],
+                          ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "doc_id": agg["doc_id"].astype(np.int64).to_numpy(),
+        "score": np.round(agg["raw"].to_numpy(dtype=np.float64), 6),
+    }).reset_index(drop=True)

@@ -5205,3 +5205,31 @@ def test_ks_and_spearman_known_values(ray_session):
     want = 3.5 / np.sqrt(4.5 * 5.0)
     assert sp([1, 1, 2, 3], [2, 1, 4, 3]) == pytest.approx(
         want, abs=1e-6)
+
+
+def test_bm25_pruned_extremes(ray_session):
+    """keep_pct=100 must equal the exact scorer's top-k set and
+    scores; keep_pct=50 must still overlap heavily (the static-pruning
+    recall trade is mild on tf-skewed corpora)."""
+    import os
+
+    import ray.data
+
+    from rse_ray.pipelines.text import bm25_pruned
+
+    docs = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "text"])
+    q = "spark window merge window"
+    full = bm25_pruned(docs, q, keep_pct=100, k=20)
+    from rse_ray.pipelines.docsearch import bm25_documents
+
+    want = bm25_documents(SF, q, k=20)
+    # the two scorers sum in different orders, so ulp-level ties can
+    # swap adjacent ranks — compare the (rounded score, doc) sets
+    got_set = sorted(zip(full["score"].round(5), full["doc_id"]))
+    want_set = sorted(zip(want["score"].round(5), want["doc_id"]))
+    assert got_set == want_set
+    half = bm25_pruned(docs, q, keep_pct=50, k=20)
+    overlap = len(set(half["doc_id"]) & set(full["doc_id"])) / 20
+    assert overlap >= 0.5
