@@ -433,6 +433,12 @@ def _q_hybrid_combsum(sf_dir: str):
                                               KNN_QUERY_IDS[0]))
 
 
+def _q_bm25_topk_diverse(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_topk_diverse
+
+    return _finalize(bm25_topk_diverse(sf_dir, BM25_QUERY))
+
+
 def _q_query_clarity(sf_dir: str):
     from rse_ray.pipelines.docsearch import query_clarity
 
@@ -3846,6 +3852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "hybrid_combsum": _q_hybrid_combsum,
         "query_clarity": _q_query_clarity,
+        "bm25_topk_diverse": _q_bm25_topk_diverse,
         "knn_cosine_sq_rerank": _q_knn_cosine_sq_rerank,
         "bm25_champions": _q_bm25_champions,
         "bm25_plus_scores": _q_bm25_plus,
@@ -4415,6 +4422,20 @@ f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
       FROM lnorm l FULL OUTER JOIN vnorm v ON l.doc_id = v.doc_id)
 SELECT doc_id, round(cs, 6) AS combsum, round(mnz, 6) AS combmnz
 FROM f ORDER BY mnz DESC, doc_id LIMIT 20""",
+        # source-diversified top-k: per-source quota window then
+        # overall top-k window (order-equivalent to greedy skip-full)
+        "bm25_topk_diverse": _BM25_CTES_TMPL.format(
+            terms=BM25_QUERY_SQL_TERMS) + """,
+pool AS (SELECT doc_id, raw FROM scores
+         QUALIFY row_number() OVER (ORDER BY raw DESC, doc_id)
+                 <= 50),
+ann AS (SELECT p.doc_id, d.source, p.raw,
+               row_number() OVER (PARTITION BY d.source
+                   ORDER BY p.raw DESC, p.doc_id) AS sr
+        FROM pool p JOIN documents d USING (doc_id))
+SELECT doc_id, source, round(raw, 6) AS score FROM ann
+WHERE sr <= 2
+QUALIFY row_number() OVER (ORDER BY raw DESC, doc_id) <= 10""",
         # clarity = KL(topk-concatenation LM || collection LM) over the
         # top-k vocabulary
         "query_clarity": _BM25_CTES_TMPL.format(

@@ -737,6 +737,47 @@ def hybrid_combsum_documents(sf_dir: str, query: str,
     })
 
 
+def bm25_topk_diverse(sf_dir: str, query: str, *, pool: int = 50,
+                      per_source: int = 2, k: int = 10,
+                      round_to: int = 6) -> pd.DataFrame:
+    """Source-diversified top-k (the xQuAD-style quota rerank a
+    federated index runs so one crawl source cannot flood page one):
+    from the BM25 top-``pool``, keep each document only if its rank
+    WITHIN its source is <= ``per_source`` (ranks by raw score desc,
+    doc_id asc), then take the overall top-``k`` of the survivors.
+    Greedy skip-if-quota-full selection is order-equivalent to this
+    two-window form, which is why the SQL twin is two QUALIFY
+    windows. -> (doc_id, source, score).
+
+    Scale shape: the pool comes from the index searcher; only pool
+    rows' sources are fetched (distributed is_in point lookup);
+    the quota logic runs on pool rows driver-side."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    top = bm25_documents(sf_dir, query, k=pool, round_to=None)
+    ids = [int(d) for d in top["doc_id"]]
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"])
+    idref = ray.put(pa.array(sorted(ids), type=pa.int64()))
+    src = docs.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("doc_id"),
+                                    value_set=ray.get(idref))),
+        batch_format="pyarrow").to_pandas()
+    j = top.merge(src, on="doc_id")
+    j = j.sort_values(["score", "doc_id"],
+                      ascending=[False, True]).reset_index(drop=True)
+    j["src_rank"] = j.groupby("source").cumcount() + 1
+    kept = j[j["src_rank"] <= per_source].head(k)
+    return pd.DataFrame({
+        "doc_id": kept["doc_id"].astype("int64").to_numpy(),
+        "source": kept["source"].to_numpy(),
+        "score": np.round(kept["score"].to_numpy(dtype=np.float64),
+                          round_to)})
+
+
 def query_clarity(sf_dir: str, query: str, *, k: int = 10,
                   round_to: int = 6) -> pd.DataFrame:
     """Query clarity score (Cronen-Townsend, Zhou & Croft, SIGIR

@@ -3428,7 +3428,7 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, *,
         .select(["o_orderkey", "o_custkey", "o_orderdate"]),
         batch_format="pyarrow")
     # semi join: orders of segment customers (key set only ships)
-    o_seg = hash_join(orders, cust, left_on="o_custkey",
+    o_seg = auto_join(orders, cust, left_on="o_custkey",
                       right_on="c_custkey", right_cols=[], how="semi",
                       num_parts=P)
     li = lineitem_ds.map_batches(
@@ -3436,7 +3436,7 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, *,
                                       pa.scalar(cut)))
         .select(["l_orderkey", "l_extendedprice", "l_discount"]),
         batch_format="pyarrow")
-    joined = hash_join(li, o_seg, left_on="l_orderkey",
+    joined = auto_join(li, o_seg, left_on="l_orderkey",
                        right_on="o_orderkey",
                        right_cols=["o_orderdate"], how="inner",
                        num_parts=P)
@@ -3729,12 +3729,12 @@ def fk_violations(customer_ds, orders_ds, lineitem_ds):
     def count(ds) -> int:
         return int(ds.count())
 
-    li_orphans = hash_join(
+    li_orphans = auto_join(
         lineitem_ds.select_columns(["l_orderkey"]),
         orders_ds.select_columns(["o_orderkey"]),
         left_on="l_orderkey", right_on="o_orderkey",
         right_cols=[], how="anti")
-    ord_orphans = hash_join(
+    ord_orphans = auto_join(
         orders_ds.select_columns(["o_custkey"]),
         customer_ds.select_columns(["c_custkey"]),
         left_on="o_custkey", right_on="c_custkey",
@@ -3884,7 +3884,7 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
             pc.less(b.column("o_orderdate"), pa.scalar(hi))))
         .select(["o_orderkey", "o_custkey"]),
         batch_format="pyarrow")
-    o_c = hash_join(orders, cust, left_on="o_custkey",
+    o_c = auto_join(orders, cust, left_on="o_custkey",
                     right_on="c_custkey",
                     right_cols=["c_nationkey"], how="inner",
                     num_parts=P)
@@ -3898,7 +3898,7 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
         batch_format="pyarrow").materialize()
     li = lineitem_ds.select_columns(
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    j = hash_join(li, o_c, left_on="l_orderkey",
+    j = auto_join(li, o_c, left_on="l_orderkey",
                   right_on="o_orderkey",
                   right_cols=["c_nationkey"], how="inner",
                   num_parts=P)
@@ -4038,7 +4038,7 @@ def small_quantity_revenue(lineitem_ds):
 
     lim_t = lim.map_batches(to_lim, batch_format="pyarrow") \
         .materialize()
-    j = hash_join(
+    j = auto_join(
         lineitem_ds.select_columns(
             ["l_partkey", "l_quantity", "l_extendedprice"]),
         lim_t, left_on="l_partkey", right_on="pk",
@@ -4240,7 +4240,7 @@ def returned_item_revenue(customer_ds, orders_ds, lineitem_ds,
                                     pa.scalar("R")))
         .select(["l_orderkey", "l_extendedprice", "l_discount"]),
         batch_format="pyarrow")
-    j = hash_join(li, orders, left_on="l_orderkey",
+    j = auto_join(li, orders, left_on="l_orderkey",
                   right_on="o_orderkey", right_cols=["o_custkey"],
                   how="inner", num_parts=P)
 
@@ -4270,7 +4270,7 @@ def returned_item_revenue(customer_ds, orders_ds, lineitem_ds,
         batch_format="pyarrow")
     cust = customer_ds.select_columns(
         ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
-    out = hash_join(agg, cust, left_on="c_custkey",
+    out = auto_join(agg, cust, left_on="c_custkey",
                     right_on="c_custkey",
                     right_cols=["c_name", "c_acctbal", "c_nationkey"],
                     how="inner", num_parts=max(1, P // 4))
@@ -4632,9 +4632,9 @@ def rfm_segments(events_ds, *, tiles: int = 4):
                             "monetary": b.column("monetary"),
                             "m_tile": b.column("tile")}),
         batch_format="pyarrow")
-    j = hash_join(m, r, left_on="user_id", right_on="u_r",
+    j = auto_join(m, r, left_on="user_id", right_on="u_r",
                   right_cols=["r_tile"], num_parts=P)
-    j = hash_join(j, f, left_on="user_id", right_on="u_f",
+    j = auto_join(j, f, left_on="user_id", right_on="u_f",
                   right_cols=["f_tile"], num_parts=P)
 
     def cell(batch: pa.Table) -> pa.Table:
@@ -4701,7 +4701,7 @@ def late_shipment_priority(orders_ds, lineitem_ds, *,
         .select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
         batch_format="pyarrow")
     li = lineitem_ds.select_columns(["l_orderkey", "l_shipdate"])
-    j = hash_join(li, orders, left_on="l_orderkey",
+    j = auto_join(li, orders, left_on="l_orderkey",
                   right_on="o_orderkey",
                   right_cols=["o_orderdate", "o_orderpriority"],
                   how="inner", num_parts=P)
@@ -4777,7 +4777,7 @@ def priority_line_counts(lineitem_ds, orders_ds, *,
         batch_format="pyarrow")
     orders = orders_ds.select_columns(["o_orderkey",
                                        "o_orderpriority"])
-    j = hash_join(li, orders, left_on="l_orderkey",
+    j = auto_join(li, orders, left_on="l_orderkey",
                   right_on="o_orderkey",
                   right_cols=["o_orderpriority"], how="inner",
                   num_parts=P)
@@ -4846,7 +4846,7 @@ def customer_order_distribution(customer_ds, orders_ds):
         .groupby("o_custkey").aggregate(Sum("n_p",
                                             alias_name="c_count"))
     cust = customer_ds.select_columns(["c_custkey"])
-    j = hash_join(cust, counts, left_on="c_custkey",
+    j = auto_join(cust, counts, left_on="c_custkey",
                   right_on="o_custkey", right_cols=["c_count"],
                   how="left", num_parts=P)
 
@@ -4936,7 +4936,7 @@ def large_volume_customers(customer_ds, orders_ds, lineitem_ds, *,
     orders = orders_ds.select_columns(
         ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
         .map_batches(pick_orders, batch_format="pyarrow")
-    out = hash_join(orders, customer_ds.select_columns(
+    out = auto_join(orders, customer_ds.select_columns(
         ["c_custkey", "c_name"]), left_on="o_custkey",
         right_on="c_custkey", right_cols=["c_name"], how="inner",
         num_parts=max(32, P // 16))
@@ -4993,7 +4993,7 @@ def idle_rich_customers(customer_ds, orders_ds, *,
                                             pa.scalar(since)))
         .select(["o_custkey"]),
         batch_format="pyarrow")
-    idle = hash_join(rich, recent,
+    idle = auto_join(rich, recent,
                      left_on="c_custkey", right_on="o_custkey",
                      right_cols=[], how="anti", num_parts=P)
 
@@ -5069,7 +5069,7 @@ def nation_trade_volume(customer_ds, orders_ds, lineitem_ds,
         sup["s_nationkey"].to_numpy()
     sref = ray.put(slook)
 
-    ords = hash_join(
+    ords = auto_join(
         orders_ds.select_columns(["o_orderkey", "o_custkey"]),
         customer_ds.select_columns(["c_custkey", "c_nationkey"]),
         left_on="o_custkey", right_on="c_custkey",
@@ -5082,7 +5082,7 @@ def nation_trade_volume(customer_ds, orders_ds, lineitem_ds,
         .select(["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount", "l_shipdate"]),
         batch_format="pyarrow")
-    j = hash_join(li, ords.select_columns(["o_orderkey",
+    j = auto_join(li, ords.select_columns(["o_orderkey",
                                            "c_nationkey"]),
                   left_on="l_orderkey", right_on="o_orderkey",
                   right_cols=["c_nationkey"], how="inner",
@@ -5364,7 +5364,7 @@ def market_share(customer_ds, orders_ds, lineitem_ds, supplier_ds,
             pc.less(b.column("o_orderdate"), pa.scalar(hi))))
         .select(["o_orderkey", "o_custkey", "o_orderdate"]),
         batch_format="pyarrow")
-    o_reg = hash_join(orders, cust, left_on="o_custkey",
+    o_reg = auto_join(orders, cust, left_on="o_custkey",
                       right_on="c_custkey", right_cols=[],
                       how="semi", num_parts=max(32, P // 8))
 
@@ -5380,7 +5380,7 @@ def market_share(customer_ds, orders_ds, lineitem_ds, supplier_ds,
                      "l_discount"])
 
     li = lineitem_ds.map_batches(li_filter, batch_format="pyarrow")
-    j = hash_join(li, o_reg.select_columns(["o_orderkey",
+    j = auto_join(li, o_reg.select_columns(["o_orderkey",
                                             "o_orderdate"]),
                   left_on="l_orderkey", right_on="o_orderkey",
                   right_cols=["o_orderdate"], how="inner",
@@ -5496,7 +5496,7 @@ def product_profit(orders_ds, lineitem_ds, supplier_ds, nation_ds,
         ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
          "l_extendedprice", "l_discount"]) \
         .map_batches(li_filter, batch_format="pyarrow")
-    j = hash_join(li, orders_ds.select_columns(["o_orderkey",
+    j = auto_join(li, orders_ds.select_columns(["o_orderkey",
                                                 "o_orderdate"]),
                   left_on="l_orderkey", right_on="o_orderkey",
                   right_cols=["o_orderdate"], how="inner",
@@ -5584,7 +5584,7 @@ def waiting_suppliers(supplier_ds, orders_ds, lineitem_ds, *,
         batch_format="pyarrow")
     li = lineitem_ds.select_columns(
         ["l_orderkey", "l_suppkey", "l_shipdate"])
-    j = hash_join(li, orders, left_on="l_orderkey",
+    j = auto_join(li, orders, left_on="l_orderkey",
                   right_on="o_orderkey", right_cols=["o_orderdate"],
                   how="inner", num_parts=P)
 
@@ -6159,7 +6159,7 @@ def spearman_corr(lineitem_ds, *, x_col: str = "l_quantity",
         pd.DataFrame({"y": yr["value"],
                       "ry": yr["r"].to_numpy() - mean}))
     P = parts_for(pairs.count(), rows_per_part=500_000)
-    j = hash_join(pairs, yrank_ds, left_on="y", right_on="y",
+    j = auto_join(pairs, yrank_ds, left_on="y", right_on="y",
                   right_cols=["ry"], how="inner", num_parts=P)
 
     def moments(batch: pa.Table) -> pa.Table:
@@ -6184,3 +6184,107 @@ def spearman_corr(lineitem_ds, *, x_col: str = "l_quantity",
     rho = float(m["sxy"]) / denom if denom > 0 else 0.0
     return pd.DataFrame({"n": pd.Series([n], dtype=np.int64),
                          "rho": pd.Series([round(rho, 6)])})
+
+
+def auto_join(left_ds, right_ds, *, left_on: str, right_on: str,
+              right_cols: list[str], how: str = "inner",
+              num_parts: int | None = None, hot_keys=None,
+              salt: int = 8,
+              broadcast_threshold_rows: int = 2_000_000):
+    """Adaptive join strategy — the planner decision every distributed
+    engine makes: if the RIGHT side's row count (cheap Parquet
+    metadata / block-count lookup) fits under
+    ``broadcast_threshold_rows``, run a BROADCAST join (right side
+    ray.put once, vectorized per-batch probe — zero shuffle, the left
+    side never moves); otherwise fall back to the co-partitioned
+    hash_join (two all-to-all exchanges). Result sets are identical by
+    construction across both paths (property-tested for every
+    ``how``), so the choice only reshapes the execution plan:
+    dimension tables broadcast at any corpus size, fact-fact joins
+    shuffle.
+
+    semi/anti broadcast as a key SET probed with pyarrow is_in;
+    inner/left broadcast the (key, payload) frame and merge per batch
+    with pandas, preserving hash_join's null contracts (null keys
+    match nothing; anti and left-outer KEEP null-key left rows;
+    left-outer int payloads ride nullable dtypes). FULL OUTER always
+    shuffles (its unmatched-right output is not expressible as a
+    per-batch map over the left)."""
+    import ray
+
+    if how == "outer" or hot_keys is not None:
+        return hash_join(left_ds, right_ds, left_on=left_on,
+                         right_on=right_on, right_cols=right_cols,
+                         how=how, num_parts=num_parts,
+                         hot_keys=hot_keys, salt=salt)
+    # pin the right side once: the count probe AND the collect (or the
+    # fallback shuffle) read the same blocks instead of re-executing
+    # the right pipeline. A join consumes its right side fully on
+    # either path, so this costs one object-store copy that the
+    # shuffle would have written anyway (and spills the same way).
+    right_ds = right_ds.select_columns(
+        [right_on] + list(right_cols)).materialize()
+    n_right = right_ds.count()
+    if n_right > broadcast_threshold_rows:
+        return hash_join(left_ds, right_ds, left_on=left_on,
+                         right_on=right_on, right_cols=right_cols,
+                         how=how, num_parts=num_parts, salt=salt)
+
+    left_types = _arrow_types(left_ds.schema())
+    right_t = right_ds.select_columns([right_on] + right_cols) \
+        .to_pandas()
+
+    if how in ("semi", "anti"):
+        if right_cols:
+            raise ValueError("semi/anti joins carry no right payload")
+        keys = pa.array(right_t[right_on].dropna().unique())
+        kref = ray.put(keys)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            if len(ks) == 0:
+                mask = pa.array(np.zeros(batch.num_rows, dtype=bool))
+            else:
+                mask = pc.fill_null(
+                    pc.is_in(batch.column(left_on), value_set=ks),
+                    False)
+            return batch.filter(mask if how == "semi"
+                                else pc.invert(mask))
+
+        return left_ds.map_batches(filt, batch_format="pyarrow")
+
+    # inner / left broadcast: per-batch pandas merge against the
+    # pinned right frame (dup right keys fan out exactly as in the
+    # partitioned merge)
+    right_t = right_t[right_t[right_on].notna()] \
+        .rename(columns={right_on: "_rkey"})
+    if how == "left":
+        # unmatched left rows null-pad the right payload: int columns
+        # must ride nullable dtypes or they degrade to float64
+        for c in right_t.columns:
+            if right_t[c].dtype == np.int64:
+                right_t[c] = right_t[c].astype(pd.Int64Dtype())
+            elif right_t[c].dtype == np.int32:
+                right_t[c] = right_t[c].astype(pd.Int32Dtype())
+    rref = ray.put(right_t)
+    out_schema = pa.schema(
+        [(c, left_types[c]) for c in left_ds.schema().names]
+        + [(c, _arrow_types(right_ds.schema())[c])
+           for c in right_cols])
+    left_cols = list(left_ds.schema().names)
+    nullable = {pa.int64(): pd.Int64Dtype(),
+                pa.int32(): pd.Int32Dtype()}.get
+
+    def merge(batch: pa.Table) -> pa.Table:
+        r = ray.get(rref)
+        if how == "inner":
+            batch = batch.filter(pc.is_valid(batch.column(left_on)))
+            left = batch.to_pandas()
+        else:
+            left = batch.to_pandas(types_mapper=nullable)
+        out = left.merge(r, left_on=left_on, right_on="_rkey",
+                         how=how)[left_cols + right_cols]
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+
+    return left_ds.map_batches(merge, batch_format="pyarrow")

@@ -5233,3 +5233,74 @@ def test_bm25_pruned_extremes(ray_session):
     half = bm25_pruned(docs, q, keep_pct=50, k=20)
     overlap = len(set(half["doc_id"]) & set(full["doc_id"])) / 20
     assert overlap >= 0.5
+
+
+def test_auto_join_broadcast_equals_hash_join(ray_session):
+    """auto_join's broadcast path must produce exactly hash_join's
+    result set for every how, including null keys (match nothing;
+    anti/left keep them), duplicate right keys (fan out), and string
+    keys; above the threshold it must fall back to hash_join."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import auto_join, hash_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 2, None, 5], type=pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"]),
+    })
+    right = pa.table({
+        "rk": pa.array([2, 2, 5, None, 7], type=pa.int64()),
+        "rv": pa.array([10, 20, 50, 99, 70], type=pa.int64()),
+    })
+
+    def norm(ds):
+        df = ds.to_pandas()
+        df = df.sort_values(list(df.columns)).reset_index(drop=True)
+        # NaN != NaN breaks record equality — nulls become None
+        return df.astype(object).where(df.notna(), None) \
+            .to_dict("records")
+
+    for how in ("inner", "left", "semi", "anti"):
+        cols = [] if how in ("semi", "anti") else ["rv"]
+        a = auto_join(ray.data.from_arrow(left),
+                      ray.data.from_arrow(right),
+                      left_on="k", right_on="rk", right_cols=cols,
+                      how=how)
+        h = hash_join(ray.data.from_arrow(left),
+                      ray.data.from_arrow(right),
+                      left_on="k", right_on="rk", right_cols=cols,
+                      how=how, num_parts=4)
+        assert norm(a) == norm(h), how
+        # forced fallback: threshold 0 -> both are hash joins
+        f = auto_join(ray.data.from_arrow(left),
+                      ray.data.from_arrow(right),
+                      left_on="k", right_on="rk", right_cols=cols,
+                      how=how, broadcast_threshold_rows=0)
+        assert norm(f) == norm(h), how
+
+    # string keys through the broadcast probe
+    ls = pa.table({"k": pa.array(["x", "y", None]),
+                   "lv": pa.array([1, 2, 3], type=pa.int64())})
+    rs = pa.table({"rk": pa.array(["y", "z"]),
+                   "rv": pa.array([7, 8], type=pa.int64())})
+    a = auto_join(ray.data.from_arrow(ls), ray.data.from_arrow(rs),
+                  left_on="k", right_on="rk", right_cols=["rv"],
+                  how="inner")
+    assert norm(a) == [{"k": "y", "lv": 2, "rv": 7}]
+
+
+def test_bm25_topk_diverse_quota(ray_session):
+    """No source exceeds the per-source quota, results are a subset of
+    the undiversified pool, and scores stay rank-sorted."""
+    from rse_ray.pipelines.docsearch import (bm25_documents,
+                                             bm25_topk_diverse)
+
+    q = "spark window merge window"
+    out = bm25_topk_diverse(SF, q, pool=50, per_source=2, k=10)
+    assert len(out) == 10
+    assert out.groupby("source").size().max() <= 2
+    pool = set(bm25_documents(SF, q, k=50)["doc_id"].astype(int))
+    assert set(out["doc_id"].astype(int)) <= pool
+    assert (out["score"].to_numpy()[:-1]
+            >= out["score"].to_numpy()[1:]).all()
