@@ -974,6 +974,22 @@ def _q_semdedup(sf_dir: str):
         threshold=COS_NEARDUP_THRESHOLD))
 
 
+def _q_webdataset_shards(sf_dir: str):
+    import hashlib
+    import os
+
+    from rse_ray.pipelines.text import pd  # noqa: F401  (pandas)
+    from rse_ray.sinks import write_webdataset
+
+    out = os.path.join(
+        "/tmp/rse_ray_cache",
+        "wds_" + hashlib.md5(os.path.abspath(sf_dir).encode())
+        .hexdigest()[:12])
+    return _finalize(write_webdataset(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        out, num_shards=8))
+
+
 def _q_nb_classify(sf_dir: str):
     from rse_ray.pipelines.text import nb_classify
 
@@ -3991,6 +4007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup": _q_semdedup,
         "nb_classify": _q_nb_classify,
+        "webdataset_shards": _q_webdataset_shards,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
         "pricing_summary": _q_pricing,
@@ -6360,6 +6377,12 @@ QUALIFY row_number() OVER (PARTITION BY query_id
         "semdedup": semdedup_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS,
             threshold=COS_NEARDUP_THRESHOLD, dim=64),
+        # WebDataset sink stats: the routed content per tar shard
+        "webdataset_shards": """
+SELECT (doc_id % 8)::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(length(coalesce(text, '')))::BIGINT AS n_text_chars
+FROM documents GROUP BY 1""",
         # multinomial NB self-classification: add-1 smoothing over the
         # corpus vocabulary, argmax tie-break by label asc
         "nb_classify": _TOKS + """,

@@ -133,3 +133,62 @@ def partition_summary(out_dir: str) -> pd.DataFrame:
          "rows": pd.array([int(m["rows"]) for m in rows], dtype="int64"),
          "fingerprint": pd.array([int(m["fingerprint"]) for m in rows],
                                  dtype="uint64")})
+
+
+def write_webdataset(ds, out_dir: str, *, num_shards: int = 8,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> pd.DataFrame:
+    """WebDataset-layout tar shards — the de-facto large-scale
+    training-data container (one `{key}.txt` member per sample,
+    samples grouped into fixed-count shards, shard-local ordering by
+    key): shard = doc_id % num_shards (the same deterministic routing
+    every pipeline here uses), one `shard-{s:06d}.tar` per shard,
+    members named `{doc_id:012d}.txt`, written atomically
+    (tmp + rename) so a re-run simply overwrites byte-identical
+    shards. Returns the per-shard stats table
+    (shard, n_docs, n_text_chars) — hashes against the SQL twin, so
+    the routed CONTENT (not just file presence) is oracle-checked.
+
+    Scale shape: one groupby(shard) shuffle, one writer task per
+    shard streaming its members into the tar; the driver sees only
+    the stats rows. Shard count is the parallelism knob a loader
+    fleet consumes (each trainer rank reads a disjoint shard
+    subset)."""
+    import io
+    import tarfile
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            text_col: batch.column(text_col),
+            "__shard": pa.array(ids % num_shards)})
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = int(g["__shard"].iloc[0])
+        g = g.sort_values(id_col)
+        path = os.path.join(out_dir, f"shard-{s:06d}.tar")
+        tmp = path + ".tmp"
+        n_chars = 0
+        with tarfile.open(tmp, "w") as tf:
+            for did, text in zip(g[id_col], g[text_col]):
+                data = ("" if text is None else str(text)) \
+                    .encode("utf-8")
+                n_chars += 0 if text is None else len(str(text))
+                info = tarfile.TarInfo(name=f"{int(did):012d}.txt")
+                info.size = len(data)
+                info.mtime = 0  # deterministic bytes
+                tf.addfile(info, io.BytesIO(data))
+        os.replace(tmp, path)
+        return pd.DataFrame({
+            "shard": pd.array([s], dtype="int64"),
+            "n_docs": pd.array([len(g)], dtype="int64"),
+            "n_text_chars": pd.array([n_chars], dtype="int64")})
+
+    out = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__shard") \
+        .map_groups(write_shard, batch_format="pandas").to_pandas()
+    return out.sort_values("shard").reset_index(drop=True)
