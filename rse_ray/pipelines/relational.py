@@ -4701,7 +4701,10 @@ def late_shipment_priority(orders_ds, lineitem_ds, *,
         .select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
         batch_format="pyarrow")
     li = lineitem_ds.select_columns(["l_orderkey", "l_shipdate"])
-    j = auto_join(li, orders, left_on="l_orderkey",
+    # MUST stay a partitioned hash join: the per-batch EXISTS
+    # collapse below depends on every orderkey group landing in
+    # ONE batch — auto_join's broadcast path does not co-partition
+    j = hash_join(li, orders, left_on="l_orderkey",
                   right_on="o_orderkey",
                   right_cols=["o_orderdate", "o_orderpriority"],
                   how="inner", num_parts=P)
@@ -5584,7 +5587,10 @@ def waiting_suppliers(supplier_ds, orders_ds, lineitem_ds, *,
         batch_format="pyarrow")
     li = lineitem_ds.select_columns(
         ["l_orderkey", "l_suppkey", "l_shipdate"])
-    j = auto_join(li, orders, left_on="l_orderkey",
+    # MUST stay a partitioned hash join: the per-batch EXISTS
+    # collapse below depends on every orderkey group landing in
+    # ONE batch — auto_join's broadcast path does not co-partition
+    j = hash_join(li, orders, left_on="l_orderkey",
                   right_on="o_orderkey", right_cols=["o_orderdate"],
                   how="inner", num_parts=P)
 
@@ -6199,9 +6205,16 @@ def auto_join(left_ds, right_ds, *, left_on: str, right_on: str,
     side never moves); otherwise fall back to the co-partitioned
     hash_join (two all-to-all exchanges). Result sets are identical by
     construction across both paths (property-tested for every
-    ``how``), so the choice only reshapes the execution plan:
-    dimension tables broadcast at any corpus size, fact-fact joins
-    shuffle.
+    ``how``): dimension tables broadcast at any corpus size,
+    fact-fact joins shuffle.
+
+    NOT preserved by the broadcast path: hash_join's OUTPUT
+    PARTITIONING. After a partitioned hash join every join-key group
+    lands in one batch, and some consumers (the per-batch EXISTS
+    collapses in late_shipment_priority / waiting_suppliers) depend
+    on that invariant — those call sites keep hash_join explicitly.
+    Use auto_join only where downstream work re-groups globally
+    (groupby/aggregate) or is per-row.
 
     semi/anti broadcast as a key SET probed with pyarrow is_in;
     inner/left broadcast the (key, payload) frame and merge per batch
