@@ -2665,6 +2665,16 @@ def _q_link_extract(sf_dir: str):
     return _finalize(extract_links(ray.data.read_parquet(_linkgraph_pages_paths())))
 
 
+def _q_url_templates(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import url_templates
+
+    return _finalize(url_templates(
+        ray.data.read_parquet(_linkgraph_pages_paths(),
+                              columns=["url"])))
+
+
 def _q_backlink_counts(sf_dir: str):
     import ray.data
 
@@ -4107,6 +4117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link graph (reference M5/A2/A3/A4 capability)
         "reference_relevance": _q_reference_relevance,
         "link_extract": _q_link_extract,
+        "url_templates": _q_url_templates,
         "backlink_counts": _q_backlink_counts,
         "anchor_terms": _q_anchor_terms,
         "anchor_boosted_rank": _q_anchor_boosted_rank,
@@ -7370,6 +7381,13 @@ SELECT dst_url, count(*)::BIGINT AS n_backlinks
 FROM read_parquet('{links}') GROUP BY dst_url""".format(
             links=os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
         ),
+        # URL template mining: path-segment digit runs collapse to
+        # {{n}} (hosts keep their names)
+        "url_templates": """
+SELECT regexp_replace(url, '/[0-9]+', '/{{n}}', 'g') AS template,
+       count(*)::BIGINT AS n_urls, min(url) AS example
+FROM read_parquet({pages})
+GROUP BY 1""".format(pages=repr(_linkgraph_pages_paths())),
         # content + anchor evidence fusion at w=0.25
         "anchor_boosted_rank": _anchor_boost_sql(),
         # anchor-text index: tokenize the generator's golden anchor

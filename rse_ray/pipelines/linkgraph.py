@@ -2611,3 +2611,36 @@ def adamic_adar(links_ds, *, src_col: str = "src_url",
             "aa": pa.array(np.floor(w * scale + 0.5) / scale)})
 
     return unlinked.map_batches(finish, batch_format="pyarrow")
+
+
+def url_templates(pages_ds, *, url_col: str = "url"):
+    """URL template mining — the crawl-scale structure discovery that
+    decides which URL patterns are worth frontier budget: every
+    path segment digit run collapses to ``{n}`` (so /p/17 and
+    /p/2041 share one template while the host keeps its name),
+    templates are counted and carry their
+    lexicographically-first example. -> (template, n_urls, example).
+
+    Scale shape: one vectorized regex per batch
+    (pc.replace_substring_regex, compiled once by Arrow), per-batch
+    (template, count, min-example) partials, ONE groupby over the
+    template space — templates number in the thousands where URLs
+    number in the billions, so the shuffle is tiny by construction."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col)
+        tmpl = pc.replace_substring_regex(urls, r"/[0-9]+", "/{n}")
+        g = pa.table({"template": tmpl, "url": urls}) \
+            .group_by(["template"]) \
+            .aggregate([([], "count_all"), ("url", "min")])
+        return pa.table({
+            "template": g.column("template"),
+            "c_p": pc.cast(g.column("count_all"), pa.int64()),
+            "e_p": g.column("url_min")})
+
+    return pages_ds.select_columns([url_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("template") \
+        .aggregate(Sum("c_p", alias_name="n_urls"),
+                   Min("e_p", alias_name="example"))
