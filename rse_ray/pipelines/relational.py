@@ -731,6 +731,18 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
         raise ValueError("outer join does not compose with hot-key "
                          "salting")
 
+    if isinstance(hot_keys, str) and hot_keys == "auto":
+        # automatic skew detection: an exact keys-only count pre-pass
+        # (per-batch partials, one (key, count) shuffle — never the
+        # payload) surfaces keys whose left-side row count would
+        # dominate a partition; those get salted exactly as
+        # explicitly-passed hot keys would. The threshold is the
+        # partition budget the caller already chose via rows_per_part,
+        # so "hot" means "this one key alone would fill a reduce
+        # slot". Results are identical with or without salting
+        # (tested); detection only reshapes the partitioning.
+        hot_keys = detect_hot_keys(left_ds, left_on)
+
     P = num_parts if num_parts is not None else parts_for(left_ds.count())
 
     left_schema = left_ds.schema()
@@ -6301,3 +6313,52 @@ def auto_join(left_ds, right_ds, *, left_on: str, right_on: str,
                                     preserve_index=False)
 
     return left_ds.map_batches(merge, batch_format="pyarrow")
+
+
+def detect_hot_keys(ds, key_col: str, *,
+                    hot_threshold: int = 500_000,
+                    max_hot: int = 1024) -> list:
+    """Exact hot-key detection for skew-aware shuffles: per-batch
+    (key, count) partials collapse in each batch before ONE tiny
+    groupby over distinct keys — the payload never moves — and keys
+    whose total exceeds ``hot_threshold`` (the single-reduce-slot
+    budget) come back to the driver, capped at ``max_hot``
+    (descending by count, then key, so the cap is deterministic).
+    Feed the result to hash_join(hot_keys=...) — or pass
+    hot_keys="auto" and hash_join calls this itself."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type) or batch.num_rows == 0:
+            return pa.table({
+                "k": pa.array([], type=pa.string()),
+                "c_p": pa.array([], type=pa.int64())})
+        g = pa.table({"k": pc.cast(col, pa.string())}) \
+            .drop_null().group_by(["k"]).aggregate([([], "count_all")])
+        return pa.table({
+            "k": g.column("k"),
+            "c_p": pc.cast(g.column("count_all"), pa.int64())})
+
+    counts = ds.select_columns([key_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("c_p", alias_name="n"))
+
+    def over(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch.column("n"),
+                          pa.scalar(hot_threshold))
+        return batch.filter(mask)
+
+    hot = counts.map_batches(over, batch_format="pyarrow").to_pandas()
+    if hot.empty:
+        return []
+    hot = hot.sort_values(["n", "k"],
+                          ascending=[False, True]).head(max_hot)
+    # keys went through a string cast for the shuffle; ints come back
+    ks = hot["k"].tolist()
+    try:
+        return [int(k) for k in ks]
+    except ValueError:
+        return ks

@@ -5338,3 +5338,48 @@ def test_webdataset_sink_roundtrip(ray_session, tmp_path):
     h2 = hashlib.md5(
         open(f"{out}/shard-000001.tar", "rb").read()).hexdigest()
     assert h1 == h2
+
+
+def test_hash_join_auto_hot_keys(ray_session):
+    """hot_keys='auto' detects the planted hot key via the exact
+    count pre-pass and produces the identical result set to the
+    unsalted join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import detect_hot_keys, hash_join
+
+    n = 5000
+    keys = np.where(np.arange(n) % 2 == 0, 7,
+                    np.arange(n) % 50 + 100).astype(np.int64)
+    left = pa.table({"k": pa.array(keys),
+                     "lv": pa.array(np.arange(n, dtype=np.int64))})
+    right = pa.table({
+        "rk": pa.array([7, 100, 101], type=pa.int64()),
+        "rv": pa.array([70, 1000, 1010], type=pa.int64())})
+
+    hot = detect_hot_keys(ray.data.from_arrow(left), "k",
+                          hot_threshold=1000)
+    assert hot == [7]
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)) \
+            .reset_index(drop=True).to_dict("records")
+
+    plain = hash_join(ray.data.from_arrow(left),
+                      ray.data.from_arrow(right), left_on="k",
+                      right_on="rk", right_cols=["rv"], how="inner",
+                      num_parts=8)
+    auto = hash_join(ray.data.from_arrow(left),
+                     ray.data.from_arrow(right), left_on="k",
+                     right_on="rk", right_cols=["rv"], how="inner",
+                     num_parts=8, hot_keys="auto")
+    assert norm(plain) == norm(auto)
+    # and with the detected keys actually salted
+    salted = hash_join(ray.data.from_arrow(left),
+                       ray.data.from_arrow(right), left_on="k",
+                       right_on="rk", right_cols=["rv"], how="inner",
+                       num_parts=8, hot_keys=hot, salt=4)
+    assert norm(plain) == norm(salted)
