@@ -978,7 +978,6 @@ def _q_webdataset_shards(sf_dir: str):
     import hashlib
     import os
 
-    from rse_ray.pipelines.text import pd  # noqa: F401  (pandas)
     from rse_ray.sinks import write_webdataset
 
     out = os.path.join(
@@ -988,6 +987,21 @@ def _q_webdataset_shards(sf_dir: str):
     return _finalize(write_webdataset(
         _read(sf_dir, "documents", ["doc_id", "text"]),
         out, num_shards=8))
+
+
+def _q_source_gini(sf_dir: str):
+    from rse_ray.pipelines.text import source_gini
+
+    return _finalize(source_gini(
+        _read(sf_dir, "documents", ["doc_id", "source"])))
+
+
+def _q_info_gain_terms(sf_dir: str):
+    from rse_ray.pipelines.text import info_gain_terms
+
+    return _finalize(info_gain_terms(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        k=20))
 
 
 def _q_nb_classify(sf_dir: str):
@@ -4018,6 +4032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "nb_classify": _q_nb_classify,
         "webdataset_shards": _q_webdataset_shards,
+        "source_gini": _q_source_gini,
+        "info_gain_terms": _q_info_gain_terms,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
         "pricing_summary": _q_pricing,
@@ -6388,6 +6404,56 @@ QUALIFY row_number() OVER (PARTITION BY query_id
         "semdedup": semdedup_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS,
             threshold=COS_NEARDUP_THRESHOLD, dim=64),
+        # Gini of per-source doc counts: integer numerator over counts
+        # sorted (count, source), one float division
+        "source_gini": """
+WITH c AS (SELECT source, count(*)::BIGINT AS c
+           FROM documents GROUP BY 1),
+r AS (SELECT c, row_number() OVER (ORDER BY c, source) AS i FROM c),
+s AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS tot,
+             sum((2 * i - (SELECT count(*) FROM r) - 1)
+                 * c)::BIGINT AS num
+      FROM r)
+SELECT n AS n_groups, tot AS total,
+       round(num * 1.0 / (n * tot), 6) AS gini FROM s""",
+        # information gain of term presence w.r.t. source: split
+        # entropy over present/absent partitions, natural log
+        "info_gain_terms": _TOKS + """,
+lab AS (SELECT doc_id, source FROM documents),
+nl AS (SELECT source, count(*)::BIGINT AS n FROM documents
+       GROUP BY 1),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+hb AS (SELECT -sum((nl.n / nn.n) * ln(nl.n / nn.n)) AS h
+       FROM nl CROSS JOIN nn),
+tp AS (SELECT t.term, l.source,
+              count(DISTINCT t.doc_id)::BIGINT AS m
+       FROM toks t JOIN lab l USING (doc_id) GROUP BY 1, 2),
+tdf AS (SELECT term, sum(m)::DOUBLE AS df FROM tp GROUP BY 1),
+hp AS (SELECT tp.term,
+              -sum((tp.m / tdf.df) * ln(tp.m / tdf.df)) AS h
+       FROM tp JOIN tdf USING (term) GROUP BY tp.term),
+ab AS (SELECT tdf.term, nl.source,
+              (nl.n - coalesce(tp.m, 0))::DOUBLE AS m,
+              nn.n - tdf.df AS na
+       FROM tdf CROSS JOIN nl
+       LEFT JOIN tp ON tp.term = tdf.term
+                   AND tp.source = nl.source
+       CROSS JOIN nn),
+ha AS (SELECT term,
+              CASE WHEN max(na) > 0
+                   THEN -sum(CASE WHEN m > 0
+                                  THEN (m / na) * ln(m / na)
+                                  ELSE 0 END)
+                   ELSE 0 END AS h
+       FROM ab GROUP BY term)
+SELECT tdf.term, tdf.df::BIGINT AS df,
+       round(hb.h - (tdf.df / nn.n) * hp.h
+             - ((nn.n - tdf.df) / nn.n) * ha.h, 6) AS info_gain
+FROM tdf JOIN hp USING (term) JOIN ha USING (term)
+CROSS JOIN hb CROSS JOIN nn
+ORDER BY (hb.h - (tdf.df / nn.n) * hp.h
+          - ((nn.n - tdf.df) / nn.n) * ha.h) DESC, tdf.term
+LIMIT 20""",
         # WebDataset sink stats: the routed content per tar shard
         "webdataset_shards": """
 SELECT (doc_id % 8)::BIGINT AS shard,

@@ -4043,3 +4043,125 @@ def bm25_pruned(ds, query: str, *, keep_pct: int = 50, k: int = 20,
         "doc_id": agg["doc_id"].astype(np.int64).to_numpy(),
         "score": np.round(agg["raw"].to_numpy(dtype=np.float64), 6),
     }).reset_index(drop=True)
+
+
+def source_gini(ds, *, group_col: str = "source"):
+    """Gini coefficient of the corpus's per-source document-count
+    distribution — the one-number concentration audit (0 = every
+    source contributes equally, ->1 = one source dominates), computed
+    with the exact sorted-cumulative formula
+    G = sum_i (2i - n - 1) * c_i / (n * sum(c)) over counts sorted
+    ascending (ties by source name, pinned). -> one row
+    (n_groups, total, gini).
+
+    Scale shape: ONE tiny groupby collapses the corpus to per-source
+    counts (thousands of rows at any corpus size); the closed form
+    runs on the driver over exact int64 counts — the float division
+    happens once, identically in both engines."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([group_col]).aggregate([([], "count_all")])
+        return pa.table({
+            group_col: g.column(group_col),
+            "c_p": pc.cast(g.column("count_all"), pa.int64())})
+
+    counts = ds.select_columns([group_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(Sum("c_p", alias_name="c")) \
+        .to_pandas()
+    if counts.empty:
+        return pd.DataFrame({
+            "n_groups": pd.Series([0], dtype=np.int64),
+            "total": pd.Series([0], dtype=np.int64),
+            "gini": pd.Series([0.0])})
+    counts = counts.sort_values(["c", group_col]).reset_index(drop=True)
+    c = counts["c"].to_numpy(dtype=np.int64)
+    n = len(c)
+    tot = int(c.sum())
+    # integer numerator, single float division (order-free, exact)
+    num = int(((2 * np.arange(1, n + 1, dtype=np.int64) - n - 1)
+               * c).sum())
+    gini = num / (n * tot) if tot else 0.0
+    return pd.DataFrame({
+        "n_groups": pd.Series([n], dtype=np.int64),
+        "total": pd.Series([tot], dtype=np.int64),
+        "gini": pd.Series([round(gini, 6)])})
+
+
+def info_gain_terms(ds, *, label_col: str = "source", k: int = 20,
+                    stem: bool = False):
+    """Information-gain feature selection (the decision-tree split
+    criterion applied to corpus vocabulary): for each term,
+
+        IG(t) = H(label) - [P(t) H(label | t present)
+                            + (1 - P(t)) H(label | t absent)],
+
+    where presence is document-level and entropies use natural log.
+    Top-``k`` by (IG desc, term asc) -> (term, df, info_gain). High
+    IG = the term's presence predicts the document's source — the
+    exact signal a contamination/provenance probe wants.
+
+    Scale shape: one pass builds per-(term, label) document
+    frequencies (per-batch set-of-terms Counters, ONE groupby); the
+    per-label doc totals ride the same shuffle under term = "". The
+    IG computation is vectorized over the aggregated (term, label)
+    table — O(vocab x labels), independent of corpus row count; the
+    final top-k is a driver head over the per-term reduction."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lab, t in zip(batch.column(label_col).to_pylist(),
+                          batch.column("text").to_pylist()):
+            c[("", lab)] += 1
+            if not t:
+                continue
+            for w in set(_tok(t, stem)):
+                c[(w, lab)] += 1
+        keys = sorted(c)
+        return pa.table({
+            "term": pa.array([k_[0] for k_ in keys],
+                             type=pa.string()),
+            "lab": pa.array([k_[1] for k_ in keys],
+                            type=pa.string()),
+            "c_p": pa.array([c[k_] for k_ in keys],
+                            type=pa.int64())})
+
+    agg = ds.select_columns([label_col, "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["term", "lab"]) \
+        .aggregate(Sum("c_p", alias_name="n")).to_pandas()
+    base = agg[agg["term"] == ""]
+    n_lab = dict(zip(base["lab"], base["n"].astype(int)))
+    labels = sorted(n_lab)
+    N = sum(n_lab.values())
+    p_lab = np.array([n_lab[c] / N for c in labels])
+    h_base = float(-(p_lab * np.log(p_lab)).sum())
+
+    tl = agg[agg["term"] != ""]
+    piv = tl.pivot_table(index="term", columns="lab", values="n",
+                         fill_value=0, aggfunc="sum") \
+        .reindex(columns=labels, fill_value=0)
+    M = piv.to_numpy(dtype=np.float64)          # (vocab, labels)
+    df = M.sum(axis=1)                          # docs containing term
+    absent = np.array([n_lab[c] for c in labels],
+                      dtype=np.float64)[None, :] - M
+    n_abs = N - df
+
+    def cond_h(counts: np.ndarray, totals: np.ndarray) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = counts / totals[:, None]
+            t = np.where(p > 0, p * np.log(p), 0.0)
+        return -t.sum(axis=1)
+
+    hp = cond_h(M, df)
+    ha = np.where(n_abs > 0, cond_h(absent, np.maximum(n_abs, 1)),
+                  0.0)
+    ig = h_base - (df / N) * hp - (n_abs / N) * ha
+    out = pd.DataFrame({
+        "term": piv.index, "df": df.astype(np.int64),
+        "info_gain": np.round(ig, 6)})
+    return out.sort_values(["info_gain", "term"],
+                           ascending=[False, True]).head(k) \
+        .reset_index(drop=True)

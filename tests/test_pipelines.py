@@ -5383,3 +5383,37 @@ def test_hash_join_auto_hot_keys(ray_session):
                        right_on="rk", right_cols=["rv"], how="inner",
                        num_parts=8, hot_keys=hot, salt=4)
     assert norm(plain) == norm(salted)
+
+
+def test_source_gini_and_info_gain(ray_session):
+    """Gini: 0 for equal counts, the exact closed form for a skewed
+    split; info gain: a perfectly source-separating term maxes IG, a
+    ubiquitous term scores 0."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import info_gain_terms, source_gini
+
+    eq = pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "source": pa.array(["a", "a", "b", "b"])})
+    assert source_gini(ray.data.from_arrow(eq))["gini"].iloc[0] == 0.0
+    sk = pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "source": pa.array(["a", "b", "b", "b"])})
+    # counts (1,3): G = (2*1-2-1)*1 + (2*2-2-1)*3 = -1+3 = 2; /(2*4)
+    assert source_gini(ray.data.from_arrow(sk))["gini"].iloc[0] \
+        == 0.25
+
+    docs = pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(["alpha common", "alpha common",
+                          "beta common", "beta common"]),
+        "source": pa.array(["s1", "s1", "s2", "s2"])})
+    ig = info_gain_terms(ray.data.from_arrow(docs), k=3) \
+        .set_index("term")["info_gain"]
+    import math
+
+    assert ig["alpha"] == pytest.approx(math.log(2), abs=1e-6)
+    assert ig["beta"] == pytest.approx(math.log(2), abs=1e-6)
+    assert ig["common"] == pytest.approx(0.0, abs=1e-9)
