@@ -3792,6 +3792,44 @@ WHERE NOT EXISTS (SELECT 1 FROM ue
                   WHERE ue.u = p.url_a AND ue.v = p.url_b)"""
 
 
+def _q_jaccard_links(sf_dir: str):
+    from rse_ray.pipelines.linkgraph import jaccard_links
+
+    return _finalize(jaccard_links(_extracted_links()))
+
+
+def _jaccard_links_sql() -> str:
+    """Jaccard twin: common counts AND windowed in-degrees on the same
+    [2, 100]-out-degree source universe; linked pairs excluded."""
+    links = os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT src_url AS src, dst_url AS dst
+    FROM read_parquet('{links}')
+    WHERE src_url IS NOT NULL AND dst_url IS NOT NULL),
+keep AS (SELECT src FROM e GROUP BY 1
+         HAVING count(*) BETWEEN 2 AND 100),
+ek AS MATERIALIZED (SELECT e.src, e.dst
+                    FROM e JOIN keep k USING (src)),
+pairs AS (SELECT a.dst AS url_a, b.dst AS url_b,
+                 count(*)::BIGINT AS common
+          FROM ek a JOIN ek b ON a.src = b.src AND a.dst < b.dst
+          GROUP BY 1, 2),
+ind AS (SELECT dst, count(*)::BIGINT AS ind FROM ek GROUP BY 1),
+ue AS (SELECT DISTINCT least(src_url, dst_url) AS u,
+              greatest(src_url, dst_url) AS v
+       FROM read_parquet('{links}')
+       WHERE src_url IS NOT NULL AND dst_url IS NOT NULL
+         AND src_url <> dst_url)
+SELECT p.url_a, p.url_b, p.common,
+       round(p.common * 1.0 / (ia.ind + ib.ind - p.common), 6)
+           AS jaccard
+FROM pairs p JOIN ind ia ON ia.dst = p.url_a
+     JOIN ind ib ON ib.dst = p.url_b
+WHERE NOT EXISTS (SELECT 1 FROM ue
+                  WHERE ue.u = p.url_a AND ue.v = p.url_b)"""
+
+
 def _q_chi_square_lang_source(sf_dir: str):
     from rse_ray.pipelines.relational import chi_square_independence
 
@@ -4142,6 +4180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "related_pages": _q_related_pages,
         "adamic_adar": _q_adamic_adar,
+        "jaccard_links": _q_jaccard_links,
         "bloom_semi_join": _q_bloom_semi_join,
         "crawl_depth": _q_crawl_depth,
         "connected_components": _q_connected_components,
@@ -7479,6 +7518,7 @@ FROM read_parquet('{pages}') GROUP BY 1""".format(
         "pagerank_personalized": _ppr_sql(),
         "related_pages": _related_pages_sql(),
         "adamic_adar": _adamic_adar_sql(),
+        "jaccard_links": _jaccard_links_sql(),
         "bloom_semi_join": """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        o_orderdate, o_orderpriority

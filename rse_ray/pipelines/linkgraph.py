@@ -2644,3 +2644,155 @@ def url_templates(pages_ds, *, url_col: str = "url"):
         .groupby("template") \
         .aggregate(Sum("c_p", alias_name="n_urls"),
                    Min("e_p", alias_name="example"))
+
+
+def jaccard_links(links_ds, *, src_col: str = "src_url",
+                  dst_col: str = "dst_url", max_out: int = 100,
+                  round_to: int = 6):
+    """Jaccard-coefficient link prediction — adamic_adar's
+    set-overlap sibling: for every NON-adjacent page pair (a, b),
+
+        J(a, b) = |I(a) ∩ I(b)| / |I(a) ∪ I(b)|
+                = common / (indeg(a) + indeg(b) - common),
+
+    where I(x) is x's in-linker set restricted to the SAME windowed
+    sources (distinct out-degree in [2, max_out]) that generate the
+    common counts, so numerator and denominator live on one universe.
+    Already-linked pairs (either direction) are excluded. ->
+    (url_a, url_b, common, jaccard), url_a < url_b.
+
+    Scale shape: adamic_adar's hash(src)-partition pair generation
+    (pre-summed partials, one groupby(pair)); windowed in-degrees are
+    one extra (dst, count) aggregate attached to the pair table by
+    the ADAPTIVE join (broadcast while the page universe is small,
+    co-partitioned at web scale); the linked-pair exclusion is the
+    same anti join. The division is a single float op on exact int64
+    counts — identical in both engines."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from rse_ray.pipelines.relational import auto_join, hash_join
+    from rse_ray.util import parts_for
+
+    P = parts_for(links_ds.count(), rows_per_part=200_000)
+    SEP = "\x1f"
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = pa.table({"src": batch.column(src_col).cast(pa.string()),
+                      "dst": batch.column(dst_col).cast(pa.string())}) \
+            .drop_null()
+        t = t.group_by(["src", "dst"]).aggregate([])
+        part = (_pr_url_hash(t.column("src").to_numpy(
+            zero_copy_only=False)) % P).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    cleaned = links_ds.map_batches(clean,
+                                   batch_format="pyarrow") \
+        .materialize()
+
+    _triu_cache: dict = {}
+
+    def gen_part(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["src", "dst"]).sort_values(
+            ["src", "dst"])
+        dst = df["dst"].to_numpy()
+        _, starts, counts = np.unique(df["src"].to_numpy(),
+                                      return_index=True,
+                                      return_counts=True)
+        u1p, u2p = [], []
+        for s0, c in zip(starts, counts):
+            if c < 2 or c > max_out:
+                continue
+            if c not in _triu_cache:
+                _triu_cache[c] = np.triu_indices(c, k=1)
+            iu, ju = _triu_cache[c]
+            sl = dst[s0:s0 + c]
+            u1p.append(sl[iu])
+            u2p.append(sl[ju])
+        if not u1p:
+            return pd.DataFrame({"u1": pd.Series([], dtype=str),
+                                 "u2": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        pairs = pd.DataFrame({"u1": np.concatenate(u1p),
+                              "u2": np.concatenate(u2p)})
+        out = pairs.groupby(["u1", "u2"], sort=False) \
+            .size().rename("n").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    pairs = cleaned.groupby("part") \
+        .map_groups(gen_part, batch_format="pandas") \
+        .groupby(["u1", "u2"]).aggregate(Sum("n", alias_name="common"))
+
+    # windowed in-degree: only sources with distinct fan-out in
+    # [2, max_out] contribute — the same universe as the pairs
+    def indeg_part(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["src", "dst"])
+        cnt = df.groupby("src")["dst"].transform("size")
+        keep = df[(cnt >= 2) & (cnt <= max_out)]
+        out = keep.groupby("dst").size().rename("i").reset_index()
+        out["i"] = out["i"].astype(np.int64)
+        return out
+
+    indeg = cleaned.groupby("part") \
+        .map_groups(indeg_part, batch_format="pandas") \
+        .groupby("dst").aggregate(Sum("i", alias_name="ind"))
+
+    j1 = auto_join(pairs, indeg, left_on="u1", right_on="dst",
+                   right_cols=["ind"], how="inner", num_parts=P)
+    j1 = j1.map_batches(
+        lambda b: b.rename_columns(
+            [c if c != "ind" else "ind_a" for c in b.column_names]),
+        batch_format="pyarrow")
+    j2 = auto_join(j1, indeg, left_on="u2", right_on="dst",
+                   right_cols=["ind"], how="inner", num_parts=P)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch.column("u1").cast(pa.string()),
+            batch.column("u2").cast(pa.string()), SEP)
+        return batch.append_column("pair_key", key)
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        t = pa.table({"s": batch.column("src"),
+                      "d": batch.column("dst")})
+        t = t.filter(pc.invert(pc.equal(t.column("s"),
+                                        t.column("d"))))
+        lo = pc.min_element_wise(t.column("s"), t.column("d"))
+        hi = pc.max_element_wise(t.column("s"), t.column("d"))
+        k = pc.binary_join_element_wise(lo, hi, SEP)
+        return pa.table({"pair_key": pc.unique(k)})
+
+    edges = cleaned.map_batches(edge_keys, batch_format="pyarrow")
+    unlinked = hash_join(
+        j2.map_batches(keyed, batch_format="pyarrow"), edges,
+        left_on="pair_key", right_on="pair_key", right_cols=[],
+        how="anti", num_parts=P)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 \
+                or "common" not in batch.column_names:
+            return pa.table({
+                "url_a": pa.array([], type=pa.string()),
+                "url_b": pa.array([], type=pa.string()),
+                "common": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64())})
+        c = batch.column("common").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ia = batch.column("ind_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ib = batch.column("ind").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # half-AWAY like adamic_adar: x/2^k ratios land exactly on
+        # half-ulp boundaries where np.round's half-even disagrees
+        # with the oracle
+        scale = 10.0 ** round_to
+        j = np.floor((c / (ia + ib - c)) * scale + 0.5) / scale
+        return pa.table({
+            "url_a": batch.column("u1"),
+            "url_b": batch.column("u2"),
+            "common": pa.array(c),
+            "jaccard": pa.array(j)})
+
+    return unlinked.map_batches(finish, batch_format="pyarrow")

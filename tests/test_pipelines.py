@@ -5417,3 +5417,24 @@ def test_source_gini_and_info_gain(ray_session):
     assert ig["alpha"] == pytest.approx(math.log(2), abs=1e-6)
     assert ig["beta"] == pytest.approx(math.log(2), abs=1e-6)
     assert ig["common"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_jaccard_links_known_graph(ray_session):
+    """Hand graph: sources s1,s2 both link {a,b}; s3 links {a,c}.
+    Windowed universe: all sources (out-deg 2). common(a,b)=2,
+    ind(a)=3, ind(b)=2 -> J = 2/3. common(a,c)=1, ind(c)=1 ->
+    J = 1/3. common(b,c)=0 (never co-cited, absent)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import jaccard_links
+
+    links = pa.table({
+        "src_url": pa.array(["s1", "s1", "s2", "s2", "s3", "s3"]),
+        "dst_url": pa.array(["a", "b", "a", "b", "a", "c"]),
+    })
+    out = jaccard_links(ray.data.from_arrow(links)).to_pandas()
+    got = {(r["url_a"], r["url_b"]): (r["common"], r["jaccard"])
+           for _, r in out.iterrows()}
+    assert got == {("a", "b"): (2, round(2 / 3, 6)),
+                   ("a", "c"): (1, round(1 / 3, 6))}
