@@ -1591,11 +1591,13 @@ def make_shard_searcher_actor():
     """Defined lazily so importing this module never touches Ray."""
     import ray
 
-    @ray.remote
+    @ray.remote(max_restarts=-1, max_task_retries=-1)
     class ShardSearcherActor:
         """Owns a slice of shard files; resolves terms to (ids, contribs)
         partials. State (decoded file indexes) loads once per actor —
-        the ST5 'open once, serve many queries' pattern."""
+        the ST5 'open once, serve many queries' pattern. Read-only and
+        rebuilt from the on-disk index on restart, so infinite
+        restarts + task retries make shard resolution crash-proof."""
 
         CACHE_POSTINGS_BUDGET = 32_000_000  # same rationale as IndexReader
 
@@ -1730,7 +1732,7 @@ def make_accumulator_actor():
     so the global merge stays rank- and score-identical to TAAT."""
     import ray
 
-    @ray.remote
+    @ray.remote(max_restarts=-1, max_task_retries=-1)
     class AccumulatorActor:
         CACHE_POSTINGS_BUDGET = ACC_POSTINGS_BUDGET_DEFAULT
         DENSE_BLOCK_BITS = 10               # 1024 dense docs per block
@@ -2160,71 +2162,90 @@ class DistributedSearcher:
                 contrib_parts.append(w * tf_part)
         return _accumulate_topk(id_parts, contrib_parts, k)
 
-    def _search_sharded(self, query: str, k: int):
+    def _search_sharded(self, query: str, k: int,
+                        max_attempts: int = 3):
         import ray
 
         terms = _query_weights(query, self.stem)
         R = len(self.accs)
         bounds = self.bound_docs
-        # resolve postings only for terms not yet resident on the
-        # accumulators: a term's slices ship ONCE; warm queries move
-        # no posting bytes at all (only (term, weight) pairs + top-k)
-        # re-ship until RESIDENT (stored on every accumulator): keying
-        # on the df cache alone would send a warm n=0 op for a term a
-        # budget-full accumulator never stored, silently dropping its
-        # contribution for that doc range
-        calls: list[tuple[int, tuple]] = []
-        for ti, (term, _) in enumerate(terms):
-            if term in self._resident or self._term_df.get(term) == 0:
-                continue  # resident, or known-absent from the index
-            for actor in self._actors_for(term):
-                refs = actor.term_partial_split.options(
-                    num_returns=R + 1
-                ).remote(term, bounds)
-                calls.append((ti, refs))
-        if calls:
-            dfs = ray.get([refs[0] for _, refs in calls])
-            fresh: dict[int, int] = {}
-            called = {ti for ti, _ in calls}
-            for (ti, _), df in zip(calls, dfs):
-                if df is not None:
-                    fresh[ti] = fresh.get(ti, 0) + int(df)
+        for _attempt in range(max_attempts):
+            # resolve postings only for terms not yet resident on the
+            # accumulators: a term's slices ship ONCE; warm queries
+            # move no posting bytes at all (only (term, weight) pairs
+            # + top-k). re-ship until RESIDENT (stored on every
+            # accumulator): keying on the df cache alone would send a
+            # warm n=0 op for a term a budget-full accumulator never
+            # stored, silently dropping its contribution for that
+            # doc range
+            calls: list[tuple[int, tuple]] = []
             for ti, (term, _) in enumerate(terms):
-                if ti in called:
-                    self._term_df[term] = fresh.get(ti, 0)
-        per_ti_refs: dict[int, list] = {}
-        for ti, refs in calls:
-            per_ti_refs.setdefault(ti, []).append(refs)
+                if term in self._resident \
+                        or self._term_df.get(term) == 0:
+                    continue  # resident, or known-absent
+                for actor in self._actors_for(term):
+                    refs = actor.term_partial_split.options(
+                        num_returns=R + 1
+                    ).remote(term, bounds)
+                    calls.append((ti, refs))
+            if calls:
+                dfs = ray.get([refs[0] for _, refs in calls])
+                fresh: dict[int, int] = {}
+                called = {ti for ti, _ in calls}
+                for (ti, _), df in zip(calls, dfs):
+                    if df is not None:
+                        fresh[ti] = fresh.get(ti, 0) + int(df)
+                for ti, (term, _) in enumerate(terms):
+                    if ti in called:
+                        self._term_df[term] = fresh.get(ti, 0)
+            per_ti_refs: dict[int, list] = {}
+            for ti, refs in calls:
+                per_ti_refs.setdefault(ti, []).append(refs)
 
-        acc_ops: list[list] = [[] for _ in range(R)]
-        for ti, (term, qtf) in enumerate(terms):  # sorted-term order
-            df = self._term_df.get(term, 0)
-            if df <= 0:
+            warm_sent: set[str] = set()
+            acc_ops: list[list] = [[] for _ in range(R)]
+            for ti, (term, qtf) in enumerate(terms):  # sorted order
+                df = self._term_df.get(term, 0)
+                if df <= 0:
+                    continue
+                w = qtf * _idf(self.N, df)
+                if term in self._resident:
+                    warm_sent.add(term)
+                    for j in range(R):
+                        acc_ops[j].extend((term, w, 0))
+                else:
+                    refs_list = per_ti_refs.get(ti, [])
+                    for j in range(R):
+                        parts = [refs[1 + j] for refs in refs_list]
+                        acc_ops[j].extend((term, w, len(parts),
+                                           *parts))
+            results = ray.get([
+                acc.accumulate_and_topk.remote(k, *acc_ops[j])
+                for j, acc in enumerate(self.accs)
+            ])
+            # FAILOVER: an accumulator that restarted (actor crash)
+            # comes back with an empty slice cache; a warm (n=0) op
+            # for a term it no longer holds contributes NOTHING and
+            # the term is absent from its stored list. Detect exactly
+            # that — a warm-sent term missing from ANY accumulator's
+            # stored set — drop it from the residency view and rerun
+            # the query, which re-resolves and re-ships the slices.
+            stored_sets = [set(stored) for _, stored in results]
+            lost = {t for t in warm_sent
+                    if any(t not in s for s in stored_sets)}
+            if lost and _attempt < max_attempts - 1:
+                self._resident -= lost
                 continue
-            w = qtf * _idf(self.N, df)
-            if term in self._resident:
-                for j in range(R):
-                    acc_ops[j].extend((term, w, 0))
-            else:
-                refs_list = per_ti_refs.get(ti, [])
-                for j in range(R):
-                    parts = [refs[1 + j] for refs in refs_list]
-                    acc_ops[j].extend((term, w, len(parts), *parts))
-        results = ray.get([
-            acc.accumulate_and_topk.remote(k, *acc_ops[j])
-            for j, acc in enumerate(self.accs)
-        ])
-        stored_everywhere = None
-        for _, stored in results:
-            s = set(stored)
-            stored_everywhere = (s if stored_everywhere is None
-                                 else stored_everywhere & s)
-        if stored_everywhere:
-            self._resident |= stored_everywhere
-        # ranges are disjoint: global top-k = best k of the union
-        merged = [t for part, _ in results for t in part]
-        merged.sort(key=lambda t: (-t[1], t[0]))
-        return merged[:k]
+            stored_everywhere = None
+            for s in stored_sets:
+                stored_everywhere = (s if stored_everywhere is None
+                                     else stored_everywhere & s)
+            if stored_everywhere:
+                self._resident |= stored_everywhere
+            # ranges are disjoint: global top-k = best k of the union
+            merged = [t for part, _ in results for t in part]
+            merged.sort(key=lambda t: (-t[1], t[0]))
+            return merged[:k]
 
 
 # --------------------------------------------------------------------------

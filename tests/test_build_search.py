@@ -736,3 +736,41 @@ def test_min_match_bridges_or_and_conjunctive(ray_session, tmp_path):
     assert m2_scores["u1"] == or_scores["u1"]
     # min_match above the found-term count empties the result
     assert s.search(q, k=10, min_match=4) == []
+
+
+def test_distributed_searcher_survives_accumulator_restart(
+        built_index, oracle, fixture_pages, ray_session):
+    """FAILOVER: killing an accumulator actor mid-session (Ray
+    restarts it with an EMPTY slice cache) must not corrupt results —
+    the driver detects warm terms missing from the restarted actor's
+    stored set, drops them from its residency view, re-ships the
+    slices and retries. Results stay oracle-exact before and after
+    the crash."""
+    import ray
+
+    from rse_ray.pipelines.search import DistributedSearcher
+
+    ds = DistributedSearcher(built_index["index_dir"], num_actors=2,
+                             accumulator_actors=2)
+    queries = fixture_pages["queries"][::9]
+    # warm the caches: first pass ships slices, marks residency
+    for q in queries:
+        got = ds.search(q["query"], k=10)
+        assert got == oracle.search(q["query"], k=10), q["qid"]
+    assert ds._resident, "warm pass should have stored slices"
+
+    # crash one accumulator; Ray revives it with empty caches
+    ray.kill(ds.accs[0], no_restart=False)
+
+    for q in queries:
+        got = ds.search(q["query"], k=10)
+        assert got == oracle.search(q["query"], k=10), \
+            f"post-restart mismatch qid={q['qid']}"
+
+    # crash a shard actor too: read-only + max_task_retries, so the
+    # in-flight resolve retries transparently on the revived actor
+    ray.kill(ds.actor_ranges[0][2], no_restart=False)
+    for q in queries[:3]:
+        got = ds.search(q["query"], k=10)
+        assert got == oracle.search(q["query"], k=10), \
+            f"post-shard-restart mismatch qid={q['qid']}"
