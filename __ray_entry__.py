@@ -989,6 +989,14 @@ def _q_webdataset_shards(sf_dir: str):
         out, num_shards=8))
 
 
+def _q_rbo_source_drift(sf_dir: str):
+    from rse_ray.pipelines.text import rbo_source_drift
+
+    return _finalize(rbo_source_drift(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        source_a="src0", source_b="src1", depth=50))
+
+
 def _q_source_gini(sf_dir: str):
     from rse_ray.pipelines.text import source_gini
 
@@ -4071,6 +4079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": _q_nb_classify,
         "webdataset_shards": _q_webdataset_shards,
         "source_gini": _q_source_gini,
+        "rbo_source_drift": _q_rbo_source_drift,
         "info_gain_terms": _q_info_gain_terms,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
@@ -6443,6 +6452,26 @@ QUALIFY row_number() OVER (PARTITION BY query_id
         "semdedup": semdedup_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS,
             threshold=COS_NEARDUP_THRESHOLD, dim=64),
+        # rank-biased overlap between two sources' top-50 term lists
+        "rbo_source_drift": _TOKS + """,
+lab AS (SELECT doc_id, source FROM documents),
+tt AS (SELECT l.source AS src, t.term, count(*)::BIGINT AS tf
+       FROM toks t JOIN lab l USING (doc_id)
+       WHERE l.source IN ('src0', 'src1') GROUP BY 1, 2),
+a AS (SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS r
+      FROM tt WHERE src = 'src0' QUALIFY r <= 50),
+b AS (SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS r
+      FROM tt WHERE src = 'src1' QUALIFY r <= 50),
+dd AS (SELECT unnest(range(1, 51))::BIGINT AS d),
+ov AS (SELECT dd.d,
+              (SELECT count(*) FROM a JOIN b USING (term)
+               WHERE a.r <= dd.d AND b.r <= dd.d)::BIGINT AS c
+       FROM dd)
+SELECT 50::BIGINT AS depth,
+       (SELECT c FROM ov WHERE d = 50) AS overlap_at_depth,
+       round(sum(pow(0.9, d - 1) * c / d)
+             / sum(pow(0.9, d - 1)), 6) AS rbo
+FROM ov""",
         # Gini of per-source doc counts: integer numerator over counts
         # sorted (count, source), one float division
         "source_gini": """

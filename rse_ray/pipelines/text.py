@@ -4165,3 +4165,70 @@ def info_gain_terms(ds, *, label_col: str = "source", k: int = 20,
     return out.sort_values(["info_gain", "term"],
                            ascending=[False, True]).head(k) \
         .reset_index(drop=True)
+
+
+def rbo_source_drift(ds, *, source_a: str = "src0",
+                     source_b: str = "src1", depth: int = 50,
+                     p: float = 0.9, stem: bool = False):
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010)
+    between two sources' top-``depth`` term lists (ranked tf desc,
+    term asc — integer tf, so the cut is deterministic):
+
+        RBO = sum_{d=1..depth} p^(d-1) * |A_d ∩ B_d| / d
+              / sum_{d=1..depth} p^(d-1)
+
+    (the depth-truncated RBO_min normalized by its achievable
+    maximum, so identical lists score exactly 1 at any depth).
+    The one-number vocabulary-drift monitor between two corpus
+    slices or releases: 1 = identical head vocabulary, ~0 = disjoint.
+    -> one row (depth, overlap_at_depth, rbo).
+
+    Scale shape: per-batch (source, term, tf) Counter partials, ONE
+    groupby; only the two top-``depth`` lists (driver head over the
+    per-source reduction) leave the cluster; the geometric sum runs
+    on exact integer overlap counts."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for src, t in zip(batch.column("source").to_pylist(),
+                          batch.column("text").to_pylist()):
+            if src not in (source_a, source_b) or not t:
+                continue
+            for w, n in Counter(_tok(t, stem)).items():
+                c[(src, w)] += n
+        keys = sorted(c)
+        return pa.table({
+            "src": pa.array([k[0] for k in keys], type=pa.string()),
+            "term": pa.array([k[1] for k in keys],
+                             type=pa.string()),
+            "c_p": pa.array([c[k] for k in keys], type=pa.int64())})
+
+    agg = ds.select_columns(["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["src", "term"]) \
+        .aggregate(Sum("c_p", alias_name="tf")).to_pandas()
+
+    def top_list(src: str) -> list[str]:
+        g = agg[agg["src"] == src].sort_values(
+            ["tf", "term"], ascending=[False, True]).head(depth)
+        return g["term"].tolist()
+
+    A, B = top_list(source_a), top_list(source_b)
+    ra = {t: i + 1 for i, t in enumerate(A)}
+    rb = {t: i + 1 for i, t in enumerate(B)}
+    common = set(ra) & set(rb)
+    rbo = 0.0
+    norm = 0.0
+    ov_final = 0
+    for d in range(1, depth + 1):
+        ov = sum(1 for t in common if ra[t] <= d and rb[t] <= d)
+        rbo += (p ** (d - 1)) * ov / d
+        norm += p ** (d - 1)
+        if d == depth:
+            ov_final = ov
+    rbo = rbo / norm if norm > 0 else 0.0
+    return pd.DataFrame({
+        "depth": pd.Series([depth], dtype=np.int64),
+        "overlap_at_depth": pd.Series([ov_final], dtype=np.int64),
+        "rbo": pd.Series([round(rbo, 6)])})

@@ -5438,3 +5438,36 @@ def test_jaccard_links_known_graph(ray_session):
            for _, r in out.iterrows()}
     assert got == {("a", "b"): (2, round(2 / 3, 6)),
                    ("a", "c"): (1, round(1 / 3, 6))}
+
+
+def test_rbo_identical_and_disjoint(ray_session):
+    """RBO = 1 for identical ranked lists, 0 for disjoint ones, and
+    matches the closed geometric form on a hand pair."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import rbo_source_drift
+
+    def mk(texts_a, texts_b):
+        n = len(texts_a) + len(texts_b)
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts_a + texts_b),
+            "source": pa.array(["src0"] * len(texts_a)
+                               + ["src1"] * len(texts_b))}))
+
+    same = mk(["x x x y y z"], ["x x x y y z"])
+    r = rbo_source_drift(same, depth=3)
+    assert r["rbo"].iloc[0] == pytest.approx(1.0, abs=1e-6)
+    assert r["overlap_at_depth"].iloc[0] == 3
+
+    disj = mk(["a a b"], ["c c d"])
+    r = rbo_source_drift(disj, depth=2)
+    assert r["rbo"].iloc[0] == 0.0
+
+    # A = [x, y], B = [x, z] at depth 2, p=0.9:
+    # d=1: ov=1 -> 1/1; d=2: ov=1 -> 0.9 * 1/2;
+    # normalized: (1 + 0.45) / (1 + 0.9)
+    part = mk(["x x y"], ["x x z"])
+    r = rbo_source_drift(part, depth=2)
+    assert r["rbo"].iloc[0] == pytest.approx(1.45 / 1.9, abs=1e-6)
