@@ -989,6 +989,13 @@ def _q_webdataset_shards(sf_dir: str):
         out, num_shards=8))
 
 
+def _q_langid_kappa(sf_dir: str):
+    from rse_ray.pipelines.text import langid_kappa
+
+    return _finalize(langid_kappa(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])))
+
+
 def _q_rbo_source_drift(sf_dir: str):
     from rse_ray.pipelines.text import rbo_source_drift
 
@@ -3682,6 +3689,12 @@ def _q_bm25_pruned(sf_dir: str):
         BM25_QUERY, keep_pct=50, k=20))
 
 
+def _q_theil_sen_trend(sf_dir: str):
+    from rse_ray.pipelines.relational import theil_sen_trend
+
+    return _finalize(theil_sen_trend(_read(sf_dir, "events", ["ts"])))
+
+
 def _q_ks_test(sf_dir: str):
     from rse_ray.pipelines.relational import ks_test
 
@@ -4017,6 +4030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": _q_product_profit,
         "waiting_suppliers": _q_waiting_suppliers,
         "ks_test": _q_ks_test,
+        "theil_sen_trend": _q_theil_sen_trend,
         "bm25_pruned": _q_bm25_pruned,
         "spearman_corr": _q_spearman_corr,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -4080,6 +4094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webdataset_shards": _q_webdataset_shards,
         "source_gini": _q_source_gini,
         "rbo_source_drift": _q_rbo_source_drift,
+        "langid_kappa": _q_langid_kappa,
         "info_gain_terms": _q_info_gain_terms,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
@@ -5321,6 +5336,21 @@ scores AS (
   GROUP BY pr.doc_id)
 SELECT doc_id, round(raw, 6) AS score FROM scores
 ORDER BY raw DESC, doc_id LIMIT 20""",
+        # Theil-Sen: median pairwise slope over exact daily counts
+        "theil_sen_trend": """
+WITH d AS (SELECT (CAST(date_trunc('day', ts) AS DATE)
+                   - DATE '1970-01-01') AS day,
+                  count(*)::BIGINT AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+sl AS (SELECT (b.n - a.n) * 1.0 / (b.day - a.day) AS s
+       FROM d a JOIN d b ON b.day > a.day),
+m AS (SELECT median(s) AS slope FROM sl),
+ic AS (SELECT median(d.n - m.slope * d.day) AS intercept
+       FROM d CROSS JOIN m)
+SELECT (SELECT count(*) FROM d)::BIGINT AS n_days,
+       round(m.slope, 6) AS slope,
+       round(ic.intercept, 6) AS intercept
+FROM m CROSS JOIN ic""",
         # KS two-sample: CDF gap over pooled distinct values in float
         # (identical IEEE expression both sides)
         "ks_test": """
@@ -6381,6 +6411,30 @@ WITH pred AS ({_lang_id_sql()})
 SELECT d.lang AS lang_true, p.lang_pred, count(*)::BIGINT AS n
 FROM documents d JOIN pred p USING (doc_id)
 GROUP BY 1, 2""",
+        # Cohen's kappa over the same confusion matrix: exact integer
+        # marginals, one float division per statistic
+        "langid_kappa": f"""
+WITH pred AS ({_lang_id_sql()}),
+cm AS (SELECT d.lang AS lt, p.lang_pred AS lp,
+              count(*)::BIGINT AS n
+       FROM documents d JOIN pred p USING (doc_id)
+       GROUP BY 1, 2),
+tot AS (SELECT sum(n)::BIGINT AS n FROM cm),
+dg AS (SELECT coalesce(sum(n), 0)::BIGINT AS d FROM cm
+       WHERE lt = lp),
+mg AS (SELECT coalesce(sum(coalesce(r.rn, 0) * coalesce(c.cn, 0)),
+                       0)::BIGINT AS pe_num
+       FROM (SELECT lt, sum(n)::BIGINT AS rn FROM cm GROUP BY 1) r
+       FULL JOIN (SELECT lp, sum(n)::BIGINT AS cn FROM cm
+                  GROUP BY 1) c
+         ON r.lt = c.lp)
+SELECT tot.n,
+       round(dg.d * 1.0 / tot.n, 6) AS po,
+       round(mg.pe_num * 1.0 / (tot.n * tot.n), 6) AS pe,
+       round((dg.d * 1.0 / tot.n
+              - mg.pe_num * 1.0 / (tot.n * tot.n))
+             / (1 - mg.pe_num * 1.0 / (tot.n * tot.n)), 6) AS kappa
+FROM tot CROSS JOIN dg CROSS JOIN mg""",
         "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id IN ({ids})),

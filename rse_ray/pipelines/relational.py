@@ -6362,3 +6362,49 @@ def detect_hot_keys(ds, key_col: str, *,
         return [int(k) for k in ks]
     except ValueError:
         return ks
+
+
+def theil_sen_trend(events_ds, *, ts_col: str = "ts"):
+    """Theil-Sen robust trend of daily event volume (Theil 1950; Sen
+    1968): slope = median of all pairwise day-count slopes
+    (n_j - n_i) / (day_j - day_i), intercept = median of
+    (n_i - slope * day_i) — the outlier-immune alternative to OLS for
+    volume drift (one traffic spike cannot bend the line). -> one row
+    (n_days, slope, intercept), floats rounded to 6.
+
+    Scale shape: the corpus collapses to the per-DAY count table
+    (per-batch partials + one tiny groupby — days number in the
+    thousands at any corpus size); the O(D^2) pairwise-slope median
+    runs on the driver over that D-bounded table, exactly like the
+    oracle. Pair slopes are single float divisions on exact int64
+    counts, so both engines median the identical value multiset."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.drop_null()
+        days = t.column(ts_col).to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        u, c = np.unique(days, return_counts=True)
+        return pa.table({"day": pa.array(u),
+                         "n_p": pa.array(c.astype(np.int64))})
+
+    d = events_ds.select_columns([ts_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("n_p", alias_name="n")) \
+        .to_pandas().sort_values("day")
+    days = d["day"].to_numpy(dtype=np.int64)
+    ns = d["n"].to_numpy(dtype=np.int64)
+    D = len(days)
+    if D < 2:
+        return pd.DataFrame({
+            "n_days": pd.Series([D], dtype=np.int64),
+            "slope": pd.Series([0.0]),
+            "intercept": pd.Series([float(ns[0]) if D else 0.0])})
+    i, j = np.triu_indices(D, k=1)
+    slopes = (ns[j] - ns[i]) / (days[j] - days[i])
+    slope = float(np.median(slopes))
+    intercept = float(np.median(ns - slope * days))
+    return pd.DataFrame({
+        "n_days": pd.Series([D], dtype=np.int64),
+        "slope": pd.Series([round(slope, 6)]),
+        "intercept": pd.Series([round(intercept, 6)])})

