@@ -989,6 +989,21 @@ def _q_webdataset_shards(sf_dir: str):
         out, num_shards=8))
 
 
+def _q_heaps_fit(sf_dir: str):
+    from rse_ray.pipelines.text import heaps_fit
+
+    return _finalize(heaps_fit(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _q_burrows_delta(sf_dir: str):
+    from rse_ray.pipelines.text import burrows_delta
+
+    return _finalize(burrows_delta(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        top_m=30))
+
+
 def _q_langid_kappa(sf_dir: str):
     from rse_ray.pipelines.text import langid_kappa
 
@@ -4095,6 +4110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_gini": _q_source_gini,
         "rbo_source_drift": _q_rbo_source_drift,
         "langid_kappa": _q_langid_kappa,
+        "burrows_delta": _q_burrows_delta,
+        "heaps_fit": _q_heaps_fit,
         "info_gain_terms": _q_info_gain_terms,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
@@ -6506,6 +6523,57 @@ QUALIFY row_number() OVER (PARTITION BY query_id
         "semdedup": semdedup_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS,
             threshold=COS_NEARDUP_THRESHOLD, dim=64),
+        # Heaps fit: OLS of ln(cum_vocab) on ln(cum_tokens) over the
+        # vocab_growth curve
+        "heaps_fit": _TOKS + """,
+nt AS (SELECT d.doc_id, count(t.term)::BIGINT AS nt
+       FROM documents d LEFT JOIN toks t USING (doc_id)
+       GROUP BY 1),
+firsts AS (SELECT term, min(doc_id) AS fd FROM toks GROUP BY 1),
+nv AS (SELECT fd AS doc_id, count(*)::BIGINT AS nv FROM firsts
+       GROUP BY 1),
+curve AS (SELECT nt.doc_id,
+                 CAST(sum(nt.nt) OVER w AS BIGINT) AS ct,
+                 CAST(sum(coalesce(nv.nv, 0)) OVER w AS BIGINT) AS cv
+          FROM nt LEFT JOIN nv USING (doc_id)
+          WINDOW w AS (ORDER BY nt.doc_id ROWS UNBOUNDED PRECEDING)),
+pts AS (SELECT ln(ct * 1.0) AS x, ln(cv * 1.0) AS y FROM curve
+        WHERE ct > 0 AND cv > 0),
+m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy FROM pts)
+SELECT n AS n_points,
+       round(exp((sy - ((n * sxy - sx * sy)
+                        / (n * sxx - sx * sx)) * sx) / n), 6) AS k,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta
+FROM m""",
+        # Burrows' Delta: z-scored relative top-30-term frequencies
+        # across sources, mean |z_a - z_b| per pair
+        "burrows_delta": _TOKS + """,
+lab AS (SELECT doc_id, source FROM documents),
+tt AS (SELECT l.source AS src, t.term, count(*)::BIGINT AS tf
+       FROM toks t JOIN lab l USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT l.source AS src, count(*)::BIGINT AS n
+        FROM toks t JOIN lab l USING (doc_id) GROUP BY 1),
+top AS (SELECT term FROM (SELECT term, sum(tf) AS tf FROM tt
+                          GROUP BY 1)
+        QUALIFY row_number() OVER (ORDER BY tf DESC, term) <= 30),
+grid AS (SELECT s.src, tp.term
+         FROM (SELECT DISTINCT src FROM tot) s CROSS JOIN top tp),
+f AS (SELECT g.src, g.term,
+             coalesce(tt.tf, 0) * 1.0 / tot.n AS f
+      FROM grid g
+      LEFT JOIN tt ON tt.src = g.src AND tt.term = g.term
+      JOIN tot ON tot.src = g.src),
+z AS (SELECT src, term,
+             CASE WHEN stddev_pop(f) OVER (PARTITION BY term) > 0
+                  THEN (f - avg(f) OVER (PARTITION BY term))
+                       / stddev_pop(f) OVER (PARTITION BY term)
+                  ELSE 0 END AS z
+      FROM f)
+SELECT a.src AS source_a, b.src AS source_b,
+       round(avg(abs(a.z - b.z)), 6) AS delta
+FROM z a JOIN z b ON a.term = b.term AND a.src < b.src
+GROUP BY 1, 2""",
         # rank-biased overlap between two sources' top-50 term lists
         "rbo_source_drift": _TOKS + """,
 lab AS (SELECT doc_id, source FROM documents),

@@ -4268,3 +4268,120 @@ def langid_kappa(ds, *, concurrency: int | None = 4):
         "po": pd.Series([round(po, 6)]),
         "pe": pd.Series([round(pe, 6)]),
         "kappa": pd.Series([round(kappa, 6)])})
+
+
+def burrows_delta(ds, *, top_m: int = 30, stem: bool = False):
+    """Burrows' Delta (Burrows 2002) — the classic stylometric
+    distance between corpus slices: over the ``top_m``
+    highest-frequency terms corpus-wide (tf desc, term asc),
+    each source's RELATIVE term frequency is z-scored across sources
+    (population std), and
+
+        delta(a, b) = mean_t | z_{a,t} - z_{b,t} |.
+
+    Output every unordered source pair (source_a < source_b, delta
+    rounded to 6) — the provenance / style-drift matrix that flags a
+    source whose writing style shifted between crawls.
+
+    Scale shape: one pass of per-batch (source, term, tf) partials
+    with per-source token totals riding under term = ""; ONE groupby
+    collapses to the (sources x vocab) model, and the z-score /
+    distance algebra runs on the top_m x sources matrix driver-side
+    — bounded by dimensions, not corpus rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for src, t in zip(batch.column("source").to_pylist(),
+                          batch.column("text").to_pylist()):
+            if not t:
+                continue
+            toks = _tok(t, stem)
+            c[(src, "")] += len(toks)
+            for w, n in Counter(toks).items():
+                c[(src, w)] += n
+        keys = sorted(c)
+        return pa.table({
+            "src": pa.array([k[0] for k in keys], type=pa.string()),
+            "term": pa.array([k[1] for k in keys],
+                             type=pa.string()),
+            "c_p": pa.array([c[k] for k in keys], type=pa.int64())})
+
+    agg = ds.select_columns(["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["src", "term"]) \
+        .aggregate(Sum("c_p", alias_name="tf")).to_pandas()
+    totals = agg[agg["term"] == ""].set_index("src")["tf"].astype(int)
+    tl = agg[agg["term"] != ""]
+    top = tl.groupby("term")["tf"].sum().reset_index() \
+        .sort_values(["tf", "term"], ascending=[False, True]) \
+        .head(top_m)["term"].tolist()
+    sources = sorted(totals.index)
+    piv = tl[tl["term"].isin(top)].pivot_table(
+        index="term", columns="src", values="tf", fill_value=0,
+        aggfunc="sum").reindex(index=sorted(top), columns=sources,
+                               fill_value=0)
+    F = piv.to_numpy(dtype=np.float64) \
+        / totals[sources].to_numpy(dtype=np.float64)[None, :]
+    mu = F.mean(axis=1, keepdims=True)
+    sd = F.std(axis=1, keepdims=True)          # population std
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Z = np.where(sd > 0, (F - mu) / sd, 0.0)
+    out_a, out_b, out_d = [], [], []
+    for i, a in enumerate(sources):
+        for j in range(i + 1, len(sources)):
+            d = float(np.abs(Z[:, i] - Z[:, j]).mean())
+            out_a.append(a)
+            out_b.append(sources[j])
+            out_d.append(round(d, 6))
+    return pd.DataFrame({"source_a": out_a, "source_b": out_b,
+                         "delta": out_d})
+
+
+def heaps_fit(ds, *, stem: bool = False):
+    """Heaps'-law fit V(n) = K * n^beta over the vocabulary growth
+    curve: OLS of ln(cum_vocab) on ln(cum_tokens) across the per-doc
+    checkpoints with cum_tokens > 0 and cum_vocab > 0. -> one row
+    (n_points, k, beta), k = exp(intercept), both rounded to 6 — the
+    capacity-planning constant pair (how big will the term dictionary
+    be at 10^12 tokens?).
+
+    Scale shape: rides vocab_growth's distributed prefix pipeline;
+    the OLS moments collapse per batch (four float partials), so the
+    driver sees scalars. Float summation order differs between
+    engines by design; the 6-dp rounding is the contract (the
+    zipf_slope convention)."""
+    from ray.data.aggregate import Sum
+
+    curve = vocab_growth(ds, stem=stem)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        ct = batch.column("cum_tokens").to_numpy().astype(np.float64)
+        cv = batch.column("cum_vocab").to_numpy().astype(np.float64)
+        keep = (ct > 0) & (cv > 0)
+        x = np.log(ct[keep])
+        y = np.log(cv[keep])
+        return pa.table({
+            "n": pa.array([int(keep.sum())], type=pa.int64()),
+            "sx": pa.array([float(x.sum())]),
+            "sy": pa.array([float(y.sum())]),
+            "sxx": pa.array([float((x * x).sum())]),
+            "sxy": pa.array([float((x * y).sum())])})
+
+    m = curve.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+        Sum("sxy", alias_name="sxy"))
+    n = int(m["n"] or 0)
+    if n < 2:
+        return pd.DataFrame({
+            "n_points": pd.Series([n], dtype=np.int64),
+            "k": pd.Series([0.0]), "beta": pd.Series([0.0])})
+    sx, sy, sxx, sxy = (float(m["sx"]), float(m["sy"]),
+                        float(m["sxx"]), float(m["sxy"]))
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    k = math.exp((sy - beta * sx) / n)
+    return pd.DataFrame({
+        "n_points": pd.Series([n], dtype=np.int64),
+        "k": pd.Series([round(k, 6)]),
+        "beta": pd.Series([round(beta, 6)])})
