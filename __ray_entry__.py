@@ -2719,6 +2719,17 @@ def _q_url_templates(sf_dir: str):
                               columns=["url"])))
 
 
+def _q_crawl_budget(sf_dir: str):
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import crawl_budget
+
+    return _finalize(crawl_budget(
+        ray.data.read_parquet(_linkgraph_pages_paths(),
+                              columns=["url"]),
+        budget=1000))
+
+
 def _q_backlink_counts(sf_dir: str):
     import ray.data
 
@@ -4213,6 +4224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reference_relevance": _q_reference_relevance,
         "link_extract": _q_link_extract,
         "url_templates": _q_url_templates,
+        "crawl_budget": _q_crawl_budget,
         "backlink_counts": _q_backlink_counts,
         "anchor_terms": _q_anchor_terms,
         "anchor_boosted_rank": _q_anchor_boosted_rank,
@@ -7637,6 +7649,25 @@ SELECT dst_url, count(*)::BIGINT AS n_backlinks
 FROM read_parquet('{links}') GROUP BY dst_url""".format(
             links=os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
         ),
+        # Hamilton largest-remainder crawl-budget apportionment over
+        # hosts — all-integer, ties by host asc
+        "crawl_budget": """
+WITH h AS (SELECT regexp_replace(url, '^[a-z]+://([^/]*).*$',
+                                 '\\1') AS host,
+                  count(*)::BIGINT AS n
+           FROM read_parquet({pages}) GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS nn FROM h),
+b AS (SELECT h.host, h.n, (1000 * h.n) // t.nn AS base,
+             (1000 * h.n) % t.nn AS rem
+      FROM h CROSS JOIN t),
+lr AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk
+       FROM b),
+lft AS (SELECT 1000 - sum(base)::BIGINT AS l FROM b)
+SELECT host, n AS n_pages,
+       (base + CASE WHEN rk <= lft.l THEN 1 ELSE 0 END)::BIGINT
+           AS alloc
+FROM lr CROSS JOIN lft""".format(
+            pages=repr(_linkgraph_pages_paths())),
         # URL template mining: path-segment digit runs collapse to
         # {{n}} (hosts keep their names)
         "url_templates": """

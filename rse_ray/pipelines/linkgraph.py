@@ -2796,3 +2796,53 @@ def jaccard_links(links_ds, *, src_col: str = "src_url",
             "jaccard": pa.array(j)})
 
     return unlinked.map_batches(finish, batch_format="pyarrow")
+
+
+def crawl_budget(pages_ds, *, budget: int = 1000,
+                 url_col: str = "url"):
+    """Proportional crawl-budget apportionment across hosts by the
+    largest-remainder (Hamilton) method — the frontier-scheduling
+    decision a polite crawler makes every cycle: host h with c_h of
+    the N known pages gets floor(budget * c_h / N) slots, and the
+    leftover slots go to the largest remainders (budget * c_h mod N,
+    ties by host asc — fully integer arithmetic, so both engines
+    apportion identically). -> (host, n_pages, alloc); sum(alloc) ==
+    budget exactly.
+
+    Scale shape: one vectorized host-extract + per-batch count
+    partials, ONE groupby over hosts (bounded by the host universe,
+    not pages); the apportionment runs driver-side on the host
+    table."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            batch.column(url_col), r"^[a-z]+://([^/]*).*$", r"\1")
+        g = pa.table({"host": host}).group_by(["host"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "host": g.column("host"),
+            "c_p": pc.cast(g.column("count_all"), pa.int64())})
+
+    counts = pages_ds.select_columns([url_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("host").aggregate(Sum("c_p", alias_name="n_pages")) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    if counts.empty:
+        return pd.DataFrame({
+            "host": pd.Series([], dtype=object),
+            "n_pages": pd.Series([], dtype=np.int64),
+            "alloc": pd.Series([], dtype=np.int64)})
+    c = counts["n_pages"].to_numpy(dtype=np.int64)
+    N = int(c.sum())
+    base = (budget * c) // N
+    rem = (budget * c) % N
+    left = budget - int(base.sum())
+    # largest remainders win the leftover slots; ties by host asc
+    order = np.lexsort((counts["host"].to_numpy(), -rem))
+    extra = np.zeros(len(c), dtype=np.int64)
+    extra[order[:left]] = 1
+    return pd.DataFrame({
+        "host": counts["host"],
+        "n_pages": pd.Series(c, dtype=np.int64),
+        "alloc": pd.Series(base + extra, dtype=np.int64)})

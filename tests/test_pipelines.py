@@ -5500,3 +5500,29 @@ def test_langid_kappa_and_theil_sen(ray_session):
     # the outlier day corrupts 6 of 21 pair slopes; the median slope
     # stays exactly 2
     assert out["slope"].iloc[0] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_crawl_budget_apportionment(ray_session):
+    """Largest-remainder apportionment: allocations sum exactly to the
+    budget and match the hand calculation on a skewed host mix."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import crawl_budget
+
+    urls = (["https://big.example/p/%d" % i for i in range(7)]
+            + ["https://mid.example/p/%d" % i for i in range(2)]
+            + ["https://tiny.example/p/0"])
+    pages = pa.table({"url": pa.array(urls)})
+    out = crawl_budget(ray.data.from_arrow(pages), budget=10)
+    got = dict(zip(out["host"], out["alloc"]))
+    # exact proportions: 7, 2, 1 — no remainders at budget 10
+    assert got == {"big.example": 7, "mid.example": 2,
+                   "tiny.example": 1}
+    out = crawl_budget(ray.data.from_arrow(pages), budget=7)
+    # base = floor(7*c/10) = 4, 1, 0 ; rems = 9, 4, 7 -> leftovers 2
+    # go to big (9) then tiny (7)
+    got = dict(zip(out["host"], out["alloc"]))
+    assert got == {"big.example": 5, "mid.example": 1,
+                   "tiny.example": 1}
+    assert out["alloc"].sum() == 7
