@@ -3715,6 +3715,17 @@ def _q_bm25_pruned(sf_dir: str):
         BM25_QUERY, keep_pct=50, k=20))
 
 
+RL_CAPACITY, RL_REFILL = 3.0, 1.0 / 600.0
+
+
+def _q_rate_limit_replay(sf_dir: str):
+    from rse_ray.pipelines.relational import rate_limit_replay
+
+    return _finalize(rate_limit_replay(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        capacity=RL_CAPACITY, refill_per_s=RL_REFILL))
+
+
 def _q_theil_sen_trend(sf_dir: str):
     from rse_ray.pipelines.relational import theil_sen_trend
 
@@ -4057,6 +4068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": _q_waiting_suppliers,
         "ks_test": _q_ks_test,
         "theil_sen_trend": _q_theil_sen_trend,
+        "rate_limit_replay": _q_rate_limit_replay,
         "bm25_pruned": _q_bm25_pruned,
         "spearman_corr": _q_spearman_corr,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -5365,6 +5377,39 @@ scores AS (
   GROUP BY pr.doc_id)
 SELECT doc_id, round(raw, 6) AS score FROM scores
 ORDER BY raw DESC, doc_id LIMIT 20""",
+        # token-bucket admission replay: per-key recursive CTE running
+        # the engine's IDENTICAL float-op sequence (integer-us deltas
+        # divided once, same min/compare/decrement order)
+        "rate_limit_replay": f"""
+WITH RECURSIVE o AS (
+    SELECT user_id, epoch_us(ts)::BIGINT AS us,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS i
+    FROM events),
+tb AS (
+    SELECT user_id, i, us, {RL_CAPACITY!r} - 1.0 AS tokens,
+           1::BIGINT AS adm
+    FROM o WHERE i = 1
+    UNION ALL
+    SELECT o.user_id, o.i, o.us,
+           CASE WHEN least({RL_CAPACITY!r}, tb.tokens
+                          + {RL_REFILL!r}
+                            * ((o.us - tb.us) / 1000000.0)) >= 1.0
+                THEN least({RL_CAPACITY!r}, tb.tokens
+                           + {RL_REFILL!r}
+                             * ((o.us - tb.us) / 1000000.0)) - 1.0
+                ELSE least({RL_CAPACITY!r}, tb.tokens
+                           + {RL_REFILL!r}
+                             * ((o.us - tb.us) / 1000000.0)) END,
+           tb.adm + CASE WHEN least({RL_CAPACITY!r}, tb.tokens
+                                    + {RL_REFILL!r}
+                                      * ((o.us - tb.us)
+                                         / 1000000.0)) >= 1.0
+                         THEN 1 ELSE 0 END
+    FROM tb JOIN o ON o.user_id = tb.user_id AND o.i = tb.i + 1)
+SELECT user_id, max(i)::BIGINT AS n_events,
+       max(adm)::BIGINT AS n_admitted
+FROM tb GROUP BY 1""",
         # Theil-Sen: median pairwise slope over exact daily counts
         "theil_sen_trend": """
 WITH d AS (SELECT (CAST(date_trunc('day', ts) AS DATE)

@@ -6408,3 +6408,43 @@ def theil_sen_trend(events_ds, *, ts_col: str = "ts"):
         "n_days": pd.Series([D], dtype=np.int64),
         "slope": pd.Series([round(slope, 6)]),
         "intercept": pd.Series([round(intercept, 6)])})
+
+
+def rate_limit_replay(events_ds, *, capacity: float = 3.0,
+                      refill_per_s: float = 1.0 / 600.0,
+                      key_col: str = "user_id"):
+    """Token-bucket rate-limit replay — the politeness / admission
+    policy a crawler or API gateway runs per host, replayed
+    deterministically over the event log: each key's bucket starts
+    FULL at ``capacity``; at every event (ordered ts, event_id)
+
+        tokens = min(capacity, tokens + refill_per_s * dt_seconds)
+        admit  = tokens >= 1;  if admit: tokens -= 1.
+
+    -> (user_id, n_events, n_admitted) per key. Both engines execute
+    the IDENTICAL float-op sequence per event (epoch-seconds double
+    deltas), so the admit decisions agree bit-for-bit; the SQL twin
+    is a per-key recursive CTE.
+
+    Scale shape: ONE groupby(key) shuffle; the per-key replay is an
+    inherently sequential recurrence (like user_ewma's), bounded by
+    one key's event count per task — keys never straddle groups."""
+    def replay(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        dt = np.diff(t, prepend=t[0]) / 1e6
+        tokens = capacity
+        admitted = 0
+        for i in range(len(t)):
+            tokens = min(capacity, tokens + refill_per_s * dt[i])
+            if tokens >= 1.0:
+                admitted += 1
+                tokens -= 1.0
+        return pd.DataFrame({
+            key_col: pd.array([int(g[key_col].iloc[0])],
+                              dtype="int64"),
+            "n_events": pd.array([len(t)], dtype="int64"),
+            "n_admitted": pd.array([admitted], dtype="int64")})
+
+    return events_ds.select_columns([key_col, "ts", "event_id"]) \
+        .groupby(key_col).map_groups(replay, batch_format="pandas")

@@ -5526,3 +5526,27 @@ def test_crawl_budget_apportionment(ray_session):
     assert got == {"big.example": 5, "mid.example": 1,
                    "tiny.example": 1}
     assert out["alloc"].sum() == 7
+
+
+def test_rate_limit_replay_semantics(ray_session):
+    """Token bucket capacity 2, refill 1/s: burst of 3 at t=0 admits
+    2; an event 1s later is admitted (one token refilled); an event
+    0.1s after that is dropped."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import rate_limit_replay
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = [t0, t0, t0,
+          t0 + np.timedelta64(1_000_000, "us"),
+          t0 + np.timedelta64(1_100_000, "us")]
+    ev = pa.table({
+        "user_id": pa.array([1] * 5, type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_id": pa.array(range(5), type=pa.int64())})
+    out = rate_limit_replay(ray.data.from_arrow(ev), capacity=2.0,
+                            refill_per_s=1.0).to_pandas()
+    assert out["n_events"].iloc[0] == 5
+    assert out["n_admitted"].iloc[0] == 3
