@@ -989,6 +989,13 @@ def _q_webdataset_shards(sf_dir: str):
         out, num_shards=8))
 
 
+def _q_otsu_threshold(sf_dir: str):
+    from rse_ray.pipelines.text import otsu_threshold
+
+    return _finalize(otsu_threshold(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+
+
 def _q_heaps_fit(sf_dir: str):
     from rse_ray.pipelines.text import heaps_fit
 
@@ -4135,6 +4142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_kappa": _q_langid_kappa,
         "burrows_delta": _q_burrows_delta,
         "heaps_fit": _q_heaps_fit,
+        "otsu_threshold": _q_otsu_threshold,
         "info_gain_terms": _q_info_gain_terms,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
@@ -6580,6 +6588,30 @@ QUALIFY row_number() OVER (PARTITION BY query_id
         "semdedup": semdedup_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS,
             threshold=COS_NEARDUP_THRESHOLD, dim=64),
+        # Otsu split of the doc-length histogram: exact integer
+        # moments, identical float variance expression, ties -> min v
+        "otsu_threshold": _TOKS + """,
+dt AS (SELECT d.doc_id, count(t.term)::BIGINT AS v
+       FROM documents d LEFT JOIN toks t USING (doc_id)
+       GROUP BY 1),
+h AS (SELECT v, count(*)::BIGINT AS c FROM dt GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n, sum(v * c)::BIGINT AS s FROM h),
+cum AS (SELECT v, CAST(sum(c) OVER w AS BIGINT) AS w0,
+               CAST(sum(v * c) OVER w AS BIGINT) AS s0
+        FROM h WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+cand AS (SELECT cum.v, cum.w0, tot.n - cum.w0 AS w1,
+                (cum.w0 * (tot.n - cum.w0))::DOUBLE
+                * (((cum.s0 * 1.0 / cum.w0)
+                    - ((tot.s - cum.s0) * 1.0 / (tot.n - cum.w0)))
+                   * ((cum.s0 * 1.0 / cum.w0)
+                      - ((tot.s - cum.s0)
+                         * 1.0 / (tot.n - cum.w0)))) AS var
+         FROM cum CROSS JOIN tot
+         WHERE cum.w0 > 0 AND tot.n - cum.w0 > 0)
+SELECT v AS threshold, w0 AS n_short, w1 AS n_long,
+       round(var, 6) AS between_var
+FROM cand
+QUALIFY row_number() OVER (ORDER BY var DESC, v) = 1""",
         # Heaps fit: OLS of ln(cum_vocab) on ln(cum_tokens) over the
         # vocab_growth curve
         "heaps_fit": _TOKS + """,

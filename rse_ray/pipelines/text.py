@@ -4385,3 +4385,66 @@ def heaps_fit(ds, *, stem: bool = False):
         "n_points": pd.Series([n], dtype=np.int64),
         "k": pd.Series([round(k, 6)]),
         "beta": pd.Series([round(beta, 6)])})
+
+
+def otsu_threshold(ds, *, stem: bool = False):
+    """Otsu's method (Otsu 1979) applied to corpus curation: the
+    automatic binary split of the per-document TOKEN-COUNT
+    distribution that maximizes between-class variance
+
+        sigma_b^2(t) = w0 * w1 * (mu0 - mu1)^2
+
+    over candidate thresholds t = each distinct doc length (class 0 =
+    docs with n_tokens <= t). The data-driven "short doc" cutoff that
+    replaces a hand-picked length filter. -> one row
+    (threshold, n_short, n_long, between_var), var rounded to 6.
+
+    Scale shape: per-batch per-doc token counts collapse to the
+    distinct-length histogram (ONE tiny groupby); cumulative sums +
+    the argmax sweep run on that histogram — O(distinct lengths),
+    corpus-size-independent. All moments are exact int64 sums; the
+    variance is float-identical in both engines, and ties break
+    toward the smaller threshold."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = np.fromiter((len(_tok(t, stem)) if t else 0
+                         for t in texts), dtype=np.int64,
+                        count=len(texts))
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "c_p": pa.array(c.astype(np.int64))})
+
+    h = ds.select_columns(["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("c_p", alias_name="c")) \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    v = h["v"].to_numpy(dtype=np.int64)
+    c = h["c"].to_numpy(dtype=np.int64)
+    N = int(c.sum())
+    cw = np.cumsum(c)                   # w0 per threshold (int)
+    cs = np.cumsum(v * c)               # sum of values <= t (int)
+    tot = int((v * c).sum())
+    best = (-1.0, None)
+    for i in range(len(v)):
+        w0, w1 = int(cw[i]), N - int(cw[i])
+        if w0 == 0 or w1 == 0:
+            continue
+        mu0 = int(cs[i]) / w0
+        mu1 = (tot - int(cs[i])) / w1
+        var = w0 * w1 * (mu0 - mu1) ** 2
+        if var > best[0]:
+            best = (var, i)
+    if best[1] is None:
+        return pd.DataFrame({
+            "threshold": pd.Series([0], dtype=np.int64),
+            "n_short": pd.Series([N], dtype=np.int64),
+            "n_long": pd.Series([0], dtype=np.int64),
+            "between_var": pd.Series([0.0])})
+    i = best[1]
+    return pd.DataFrame({
+        "threshold": pd.Series([int(v[i])], dtype=np.int64),
+        "n_short": pd.Series([int(cw[i])], dtype=np.int64),
+        "n_long": pd.Series([N - int(cw[i])], dtype=np.int64),
+        "between_var": pd.Series([round(best[0], 6)])})

@@ -5550,3 +5550,23 @@ def test_rate_limit_replay_semantics(ray_session):
                             refill_per_s=1.0).to_pandas()
     assert out["n_events"].iloc[0] == 5
     assert out["n_admitted"].iloc[0] == 3
+
+
+def test_otsu_threshold_bimodal(ray_session):
+    """A cleanly bimodal length mix (short ~3 tokens vs long ~40)
+    must split exactly between the modes."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import otsu_threshold
+
+    texts = (["a b c"] * 10 + ["a b c d"] * 10
+             + [" ".join(["w"] * 40)] * 10
+             + [" ".join(["w"] * 42)] * 10)
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)})
+    out = otsu_threshold(ray.data.from_arrow(docs))
+    assert out["n_short"].iloc[0] == 20
+    assert out["n_long"].iloc[0] == 20
+    assert out["threshold"].iloc[0] == 4
