@@ -989,6 +989,14 @@ def _q_webdataset_shards(sf_dir: str):
         out, num_shards=8))
 
 
+def _q_fightin_words(sf_dir: str):
+    from rse_ray.pipelines.text import fightin_words
+
+    return _finalize(fightin_words(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        source_a="src0", source_b="src1", a0=10.0, k=20))
+
+
 def _q_otsu_threshold(sf_dir: str):
     from rse_ray.pipelines.text import otsu_threshold
 
@@ -4143,6 +4151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burrows_delta": _q_burrows_delta,
         "heaps_fit": _q_heaps_fit,
         "otsu_threshold": _q_otsu_threshold,
+        "fightin_words": _q_fightin_words,
         "info_gain_terms": _q_info_gain_terms,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
@@ -6588,6 +6597,31 @@ QUALIFY row_number() OVER (PARTITION BY query_id
         "semdedup": semdedup_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS,
             threshold=COS_NEARDUP_THRESHOLD, dim=64),
+        # Monroe log-odds with informative Dirichlet prior between two
+        # sources; same float expression order as the engine
+        "fightin_words": _TOKS + """,
+lab AS (SELECT doc_id, source FROM documents),
+tt AS (SELECT l.source AS src, t.term, count(*)::BIGINT AS tf
+       FROM toks t JOIN lab l USING (doc_id)
+       WHERE l.source IN ('src0', 'src1') GROUP BY 1, 2),
+y AS (SELECT term,
+             sum(CASE WHEN src = 'src0' THEN tf ELSE 0 END)::BIGINT
+                 AS ya,
+             sum(CASE WHEN src = 'src1' THEN tf ELSE 0 END)::BIGINT
+                 AS yb
+      FROM tt GROUP BY 1),
+n AS (SELECT sum(ya)::BIGINT AS na, sum(yb)::BIGINT AS nb FROM y),
+calc AS (SELECT y.term, y.ya, y.yb, n.na, n.nb,
+                (10.0 * (y.ya + y.yb)) / (n.na + n.nb) AS alpha
+         FROM y CROSS JOIN n),
+zt AS (SELECT term, ya, yb,
+              (ln((ya + alpha) / (na + 10.0 - ya - alpha))
+               - ln((yb + alpha) / (nb + 10.0 - yb - alpha)))
+              / sqrt(1.0 / (ya + alpha) + 1.0 / (yb + alpha)) AS z
+       FROM calc)
+SELECT term, ya AS count_a, yb AS count_b, round(z, 6) AS z
+FROM zt
+QUALIFY row_number() OVER (ORDER BY abs(z) DESC, term) <= 20""",
         # Otsu split of the doc-length histogram: exact integer
         # moments, identical float variance expression, ties -> min v
         "otsu_threshold": _TOKS + """,

@@ -4448,3 +4448,72 @@ def otsu_threshold(ds, *, stem: bool = False):
         "n_short": pd.Series([int(cw[i])], dtype=np.int64),
         "n_long": pd.Series([N - int(cw[i])], dtype=np.int64),
         "between_var": pd.Series([round(best[0], 6)])})
+
+
+def fightin_words(ds, *, source_a: str = "src0",
+                  source_b: str = "src1", a0: float = 10.0,
+                  k: int = 20, stem: bool = False):
+    """Monroe, Colaresi & Quinn's "Fightin' Words" (2008): log-odds
+    ratio of term use between two corpus slices with an INFORMATIVE
+    Dirichlet prior drawn from the pooled corpus,
+
+        alpha_t = a0 * y_all(t) / n_all,
+        delta_t = ln((y_a + alpha_t) / (n_a + a0 - y_a - alpha_t))
+                - ln((y_b + alpha_t) / (n_b + a0 - y_b - alpha_t)),
+        z_t     = delta_t / sqrt(1/(y_a + alpha_t)
+                                 + 1/(y_b + alpha_t)),
+
+    the statistically-grounded replacement for raw tf-ratio "keyness"
+    lists (rare terms stop dominating). Top-``k`` by (|z| desc, term
+    asc), keeping the sign. -> (term, count_a, count_b, z).
+
+    Scale shape: one (source, term, tf) partial pass + ONE groupby
+    (the pooled counts derive from the same table); the z algebra
+    runs vectorized over the two-source vocabulary driver-side —
+    bounded by vocab, not corpus rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for src, t in zip(batch.column("source").to_pylist(),
+                          batch.column("text").to_pylist()):
+            if src not in (source_a, source_b) or not t:
+                continue
+            for w, n in Counter(_tok(t, stem)).items():
+                c[(src, w)] += n
+        keys = sorted(c)
+        return pa.table({
+            "src": pa.array([x[0] for x in keys], type=pa.string()),
+            "term": pa.array([x[1] for x in keys],
+                             type=pa.string()),
+            "c_p": pa.array([c[x] for x in keys], type=pa.int64())})
+
+    agg = ds.select_columns(["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["src", "term"]) \
+        .aggregate(Sum("c_p", alias_name="tf")).to_pandas()
+    terms = sorted(agg["term"].unique())
+    ya = agg[agg["src"] == source_a].set_index("term")["tf"] \
+        .reindex(terms, fill_value=0).to_numpy(dtype=np.int64)
+    yb = agg[agg["src"] == source_b].set_index("term")["tf"] \
+        .reindex(terms, fill_value=0).to_numpy(dtype=np.int64)
+    na, nb = int(ya.sum()), int(yb.sum())
+    yall = ya + yb
+    nall = na + nb
+    alpha = a0 * yall / nall
+    da = np.log((ya + alpha) / (na + a0 - ya - alpha))
+    db = np.log((yb + alpha) / (nb + a0 - yb - alpha))
+    z = (da - db) / np.sqrt(1.0 / (ya + alpha)
+                            + 1.0 / (yb + alpha))
+    out = pd.DataFrame({"term": terms,
+                        "count_a": pd.array(ya, dtype="int64"),
+                        "count_b": pd.array(yb, dtype="int64"),
+                        "z_raw": z})
+    out["az"] = np.abs(out["z_raw"])
+    out = out.sort_values(["az", "term"],
+                          ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "term": out["term"].to_numpy(),
+        "count_a": out["count_a"].to_numpy(),
+        "count_b": out["count_b"].to_numpy(),
+        "z": np.round(out["z_raw"].to_numpy(dtype=np.float64), 6)})

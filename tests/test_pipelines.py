@@ -5570,3 +5570,24 @@ def test_otsu_threshold_bimodal(ray_session):
     assert out["n_short"].iloc[0] == 20
     assert out["n_long"].iloc[0] == 20
     assert out["threshold"].iloc[0] == 4
+
+
+def test_fightin_words_direction(ray_session):
+    """A term exclusive to source A gets positive z, one exclusive to
+    B negative, and a balanced term scores nearer zero than both."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import fightin_words
+
+    docs = pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(["aonly aonly both both",
+                          "aonly both filler filler",
+                          "bonly bonly both both",
+                          "bonly both filler filler"]),
+        "source": pa.array(["src0", "src0", "src1", "src1"])})
+    out = fightin_words(ray.data.from_arrow(docs), k=10) \
+        .set_index("term")["z"]
+    assert out["aonly"] > 0 and out["bonly"] < 0
+    assert abs(out["both"]) < abs(out["aonly"])
