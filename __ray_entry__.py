@@ -989,6 +989,14 @@ def _q_webdataset_shards(sf_dir: str):
         out, num_shards=8))
 
 
+def _q_lead_terms(sf_dir: str):
+    from rse_ray.pipelines.text import lead_terms
+
+    return _finalize(lead_terms(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        k=20, min_df=10))
+
+
 def _q_fightin_words(sf_dir: str):
     from rse_ray.pipelines.text import fightin_words
 
@@ -4152,6 +4160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_fit": _q_heaps_fit,
         "otsu_threshold": _q_otsu_threshold,
         "fightin_words": _q_fightin_words,
+        "lead_terms": _q_lead_terms,
         "info_gain_terms": _q_info_gain_terms,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
@@ -6597,6 +6606,22 @@ QUALIFY row_number() OVER (PARTITION BY query_id
         "semdedup": semdedup_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS,
             threshold=COS_NEARDUP_THRESHOLD, dim=64),
+        # mean normalized first-occurrence position per term (lead
+        # bias); per-doc ratio divided identically in both engines
+        "lead_terms": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+pos AS (SELECT doc_id, i, a[i] AS w, len(a) AS l
+        FROM arr, unnest(range(1, len(a) + 1)) AS t(i)),
+fp AS (SELECT doc_id, w AS term, min(i) AS fpos, max(l) AS l
+       FROM pos GROUP BY 1, 2),
+ag AS (SELECT term, sum(fpos * 1.0 / l) AS s,
+              count(*)::BIGINT AS df
+       FROM fp GROUP BY 1)
+SELECT term, df, round(s / df, 6) AS mean_first_pos
+FROM ag WHERE df >= 10
+QUALIFY row_number() OVER (ORDER BY round(s / df, 6), term) <= 20""",
         # Monroe log-odds with informative Dirichlet prior between two
         # sources; same float expression order as the engine
         "fightin_words": _TOKS + """,

@@ -4517,3 +4517,58 @@ def fightin_words(ds, *, source_a: str = "src0",
         "count_a": out["count_a"].to_numpy(),
         "count_b": out["count_b"].to_numpy(),
         "z": np.round(out["z_raw"].to_numpy(dtype=np.float64), 6)})
+
+
+def lead_terms(ds, *, k: int = 20, min_df: int = 10,
+               stem: bool = False):
+    """Lead-position bias per term: the mean over documents containing
+    the term of first_position / doc_length (1-based tokens) — terms
+    that systematically open documents (headline / lead-paragraph
+    vocabulary) score near 0, body-only vocabulary near 1. The
+    position prior several rankers (and snippet pickers) exploit.
+    Top-``k`` lowest mean positions among terms with df >=
+    ``min_df``, ties by term asc. -> (term, df, mean_first_pos).
+
+    Scale shape: per-batch per-doc first-occurrence scan collapses to
+    (term, ratio-sum, df) partials; ONE vocab-bounded groupby; the
+    top-k is a driver head. The per-doc ratio division happens
+    identically in both engines before the order-insensitive sum
+    (6-dp rounding is the contract for the float mean)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s: Counter = Counter()
+        d: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if not t:
+                continue
+            toks = _tok(t, stem)
+            L = len(toks)
+            if not L:
+                continue
+            seen: dict = {}
+            for i, w in enumerate(toks):
+                if w not in seen:
+                    seen[w] = i + 1
+            for w, fp in seen.items():
+                s[w] += fp / L
+                d[w] += 1
+        keys = sorted(d)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "s_p": pa.array([s[w] for w in keys],
+                            type=pa.float64()),
+            "d_p": pa.array([d[w] for w in keys], type=pa.int64())})
+
+    agg = ds.select_columns(["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("s_p", alias_name="s"),
+                                   Sum("d_p", alias_name="df")) \
+        .to_pandas()
+    agg = agg[agg["df"] >= min_df].copy()
+    agg["mean_first_pos"] = (agg["s"] / agg["df"]).round(6)
+    agg = agg.sort_values(["mean_first_pos", "term"]).head(k)
+    return pd.DataFrame({
+        "term": agg["term"].to_numpy(),
+        "df": agg["df"].astype(np.int64).to_numpy(),
+        "mean_first_pos": agg["mean_first_pos"].to_numpy()})
