@@ -433,6 +433,12 @@ def _q_hybrid_combsum(sf_dir: str):
                                               KNN_QUERY_IDS[0]))
 
 
+def _q_bm25_proximity(sf_dir: str):
+    from rse_ray.pipelines.docsearch import bm25_proximity
+
+    return _finalize(bm25_proximity(sf_dir, BM25_QUERY))
+
+
 def _q_bm25_topk_diverse(sf_dir: str):
     from rse_ray.pipelines.docsearch import bm25_topk_diverse
 
@@ -4012,6 +4018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_combsum": _q_hybrid_combsum,
         "query_clarity": _q_query_clarity,
         "bm25_topk_diverse": _q_bm25_topk_diverse,
+        "bm25_proximity": _q_bm25_proximity,
         "knn_cosine_sq_rerank": _q_knn_cosine_sq_rerank,
         "bm25_champions": _q_bm25_champions,
         "bm25_plus_scores": _q_bm25_plus,
@@ -4596,6 +4603,28 @@ f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
       FROM lnorm l FULL OUTER JOIN vnorm v ON l.doc_id = v.doc_id)
 SELECT doc_id, round(cs, 6) AS combsum, round(mnz, 6) AS combmnz
 FROM f ORDER BY mnz DESC, doc_id LIMIT 20""",
+        # BM25 + 1/mindist^2 pair-proximity boost (positional unnest)
+        "bm25_proximity": _BM25_CTES_TMPL.format(
+            terms=BM25_QUERY_SQL_TERMS) + """,
+arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+pos AS (SELECT doc_id, i, a[i] AS w
+        FROM arr, unnest(range(1, len(a) + 1)) AS t(i)),
+qp AS (SELECT doc_id, w, i FROM pos
+       WHERE w IN ('merge', 'spark', 'window')),
+md AS (SELECT p1.doc_id, p1.w AS wa, p2.w AS wb,
+              min(abs(p1.i - p2.i))::BIGINT AS d
+       FROM qp p1 JOIN qp p2
+         ON p1.doc_id = p2.doc_id AND p1.w < p2.w
+       GROUP BY 1, 2, 3),
+px AS (SELECT doc_id, sum(1.0 / (d * d)) AS prox FROM md
+       GROUP BY 1)
+SELECT s.doc_id,
+       round(s.raw + coalesce(px.prox, 0.0), 6) AS score
+FROM scores s LEFT JOIN px USING (doc_id)
+ORDER BY s.raw + coalesce(px.prox, 0.0) DESC, s.doc_id
+LIMIT 20""",
         # source-diversified top-k: per-source quota window then
         # overall top-k window (order-equivalent to greedy skip-full)
         "bm25_topk_diverse": _BM25_CTES_TMPL.format(

@@ -778,6 +778,84 @@ def bm25_topk_diverse(sf_dir: str, query: str, *, pool: int = 50,
                           round_to)})
 
 
+def bm25_proximity(sf_dir: str, query: str, *, lam: float = 1.0,
+                   k: int = 20, round_to: int = 6) -> pd.DataFrame:
+    """Proximity-boosted BM25 (Rasolofo & Savoy, ECIR 2003): the
+    exact BM25 score plus a term-pair proximity bonus
+
+        score(d) = bm25(d) + lam * sum_{a<b in q} 1 / mindist(a,b)^2
+
+    over distinct query-term pairs both present in d (mindist = the
+    closest token distance between any occurrence of a and of b) —
+    documents where the query terms cluster beat documents where they
+    scatter, at equal tf. Top-``k`` (score desc, doc_id asc). ->
+    (doc_id, score).
+
+    Scale shape: the BM25 side rides the shared index; only MATCHING
+    docs' texts are fetched (distributed is_in) and their pair
+    distances computed vectorized per doc; the boost join runs on the
+    match set, never the corpus."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from rse_ray.functions.tokenizer import tokenize
+
+    base = bm25_documents(sf_dir, query, k=None, round_to=None)
+    scores = {int(d): float(s)
+              for d, s in zip(base["doc_id"], base["score"])}
+    if not scores:
+        return pd.DataFrame({
+            "doc_id": pd.array([], dtype="int64"),
+            "score": pd.array([], dtype="float64")})
+    q_terms = sorted(set(tokenize(query, stem=False)))
+    qref = ray.put(q_terms)
+    idref = ray.put(pa.array(sorted(scores), type=pa.int64()))
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+
+    def prox_partial(batch: pa.Table) -> pa.Table:
+        qs = ray.get(qref)
+        b = batch.filter(pc.is_in(batch.column("doc_id"),
+                                  value_set=ray.get(idref)))
+        ids, px = [], []
+        for did, t in zip(b.column("doc_id").to_pylist(),
+                          b.column("text").to_pylist()):
+            toks = tokenize(t or "", stem=False)
+            posmap = {}
+            for i, w in enumerate(toks):
+                if w in qs:
+                    posmap.setdefault(w, []).append(i + 1)
+            p = 0.0
+            terms = sorted(posmap)
+            for ai in range(len(terms)):
+                pa_ = np.asarray(posmap[terms[ai]],
+                                 dtype=np.int64)
+                for bi in range(ai + 1, len(terms)):
+                    pb = np.asarray(posmap[terms[bi]],
+                                    dtype=np.int64)
+                    md = int(np.abs(pa_[:, None] - pb[None, :])
+                             .min())
+                    p += 1.0 / (md * md)
+            ids.append(int(did))
+            px.append(p)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "prox": pa.array(px, type=pa.float64())})
+
+    prox = docs.map_batches(prox_partial,
+                            batch_format="pyarrow").to_pandas()
+    pm = dict(zip(prox["doc_id"].astype(int), prox["prox"]))
+    rows = [(d, s + lam * pm.get(d, 0.0))
+            for d, s in scores.items()]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    rows = rows[:k]
+    return pd.DataFrame({
+        "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
+        "score": [round(s, round_to) for _, s in rows]})
+
+
 def query_clarity(sf_dir: str, query: str, *, k: int = 10,
                   round_to: int = 6) -> pd.DataFrame:
     """Query clarity score (Cronen-Townsend, Zhou & Croft, SIGIR

