@@ -995,6 +995,18 @@ def _q_webdataset_shards(sf_dir: str):
         out, num_shards=8))
 
 
+AC_PATTERNS = ["spark", "window merge", "hash join",
+               "batch stream", "dup", "key order"]
+
+
+def _q_multi_pattern_scan(sf_dir: str):
+    from rse_ray.pipelines.text import multi_pattern_scan
+
+    return _finalize(multi_pattern_scan(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        AC_PATTERNS))
+
+
 def _q_lead_terms(sf_dir: str):
     from rse_ray.pipelines.text import lead_terms
 
@@ -4168,6 +4180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "otsu_threshold": _q_otsu_threshold,
         "fightin_words": _q_fightin_words,
         "lead_terms": _q_lead_terms,
+        "multi_pattern_scan": _q_multi_pattern_scan,
         "info_gain_terms": _q_info_gain_terms,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
@@ -6635,6 +6648,20 @@ QUALIFY row_number() OVER (PARTITION BY query_id
         "semdedup": semdedup_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS,
             threshold=COS_NEARDUP_THRESHOLD, dim=64),
+        # single-pass Aho-Corasick multi-pattern counts; border-free
+        # patterns make overlap-counting equal replace()-counting
+        "multi_pattern_scan": """
+WITH p(pattern) AS (VALUES {pats})
+SELECT p.pattern,
+       sum(CASE WHEN contains(d.text, p.pattern)
+                THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       sum((length(d.text)
+            - length(replace(d.text, p.pattern, '')))
+           // length(p.pattern))::BIGINT AS n_hits
+FROM p CROSS JOIN documents d
+WHERE d.text IS NOT NULL
+GROUP BY 1""".format(pats=", ".join(
+            "('{}')".format(p) for p in AC_PATTERNS)),
         # mean normalized first-occurrence position per term (lead
         # bias); per-doc ratio divided identically in both engines
         "lead_terms": """

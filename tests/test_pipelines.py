@@ -5605,3 +5605,27 @@ def test_bm25_proximity_boost_orders_clusters_first(ray_session):
     # boost is additive and non-negative)
     s = out["score"].to_numpy()
     assert (s[:-1] >= s[1:]).all()
+
+
+def test_multi_pattern_scan_overlaps(ray_session):
+    """The Aho-Corasick pass counts every match: the classic 'ushers'
+    overlap case plus doc/hit accounting across documents."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import _AhoCorasick, multi_pattern_scan
+
+    assert _AhoCorasick(["he", "she", "his", "hers"]) \
+        .count("ushers") == [1, 1, 0, 1]
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["spark spark and hash join",
+                          "no matches here", "hash join hash join"])})
+    out = multi_pattern_scan(ray.data.from_arrow(docs),
+                             ["spark", "hash join"]).to_pandas() \
+        .set_index("pattern")
+    assert out.loc["spark", "n_docs"] == 1
+    assert out.loc["spark", "n_hits"] == 2
+    assert out.loc["hash join", "n_docs"] == 2
+    assert out.loc["hash join", "n_hits"] == 3
