@@ -873,6 +873,12 @@ def _q_dup_clusters(sf_dir: str):
     return _finalize(dup_clusters(pairs=_minhash_pairs_df(sf_dir)))
 
 
+def _q_dup_graph_stats(sf_dir: str):
+    from rse_ray.pipelines.dedup import dup_graph_stats
+
+    return _finalize(dup_graph_stats(pairs=_minhash_pairs_df(sf_dir)))
+
+
 def _q_keep_representative(sf_dir: str):
     from rse_ray.pipelines.dedup import dedup_keep_representative
 
@@ -4158,6 +4164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_dedup_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
+        "dup_graph_stats": _q_dup_graph_stats,
         "dedup_keep_representative": _q_keep_representative,
         "simhash_dup_pairs": _q_simhash_pairs,
         # similarity search
@@ -6533,6 +6540,26 @@ reach(a, b) AS (SELECT a, b FROM e
                 UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
 SELECT a::BIGINT AS doc_id, least(a, min(b))::BIGINT AS cluster_id
 FROM reach GROUP BY a"""
+        ),
+        # duplicate-graph dashboard: components of the verified pair
+        # graph summarized to one row
+        "dup_graph_stats": (
+            "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + """,
+e AS (SELECT doc_a AS a, doc_b AS b FROM vpairs
+      UNION SELECT doc_b, doc_a FROM vpairs),
+reach(a, b) AS (SELECT a, b FROM e
+                UNION SELECT r.a, e.b
+                FROM reach r JOIN e ON r.b = e.a),
+cl AS (SELECT a::BIGINT AS doc_id,
+              least(a, min(b))::BIGINT AS cluster_id
+       FROM reach GROUP BY a),
+csz AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM cl
+        GROUP BY 1)
+SELECT (SELECT count(*) FROM cl)::BIGINT AS n_dup_docs,
+       count(*)::BIGINT AS n_clusters,
+       max(csize)::BIGINT AS max_cluster,
+       ((SELECT count(*) FROM cl) - count(*))::BIGINT AS removable
+FROM csz"""
         ),
         "dedup_keep_representative": (
             "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + """,

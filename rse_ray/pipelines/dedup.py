@@ -1243,3 +1243,36 @@ def fuzzy_pairs(ds, *, col: str = "c_name",
         .map_batches(repart, batch_format="pyarrow") \
         .groupby("part").map_groups(verify_part,
                                     batch_format="pandas")
+
+
+def dup_graph_stats(ds=None, *, pairs: pd.DataFrame | None = None,
+                    threshold: float = 0.8, num_perm=128,
+                    num_bands=16, shingle_n=3,
+                    concurrency: int = 4) -> pd.DataFrame:
+    """One-row health report of the verified near-duplicate graph —
+    the corpus-curation dashboard number set: how many docs sit in
+    >=1 duplicate cluster, how many clusters there are, the largest
+    cluster, and the deduplication yield (docs removable = members -
+    clusters). -> (n_dup_docs, n_clusters, max_cluster, removable).
+
+    Scale shape: everything expensive is the distributed MinHash
+    pipeline; the stats collapse the (doc, cluster) table — already
+    O(dup docs), not O(corpus) — with one pandas groupby
+    driver-side."""
+    cl = dup_clusters(ds, pairs=pairs, threshold=threshold,
+                      num_perm=num_perm, num_bands=num_bands,
+                      shingle_n=shingle_n, concurrency=concurrency)
+    if cl.empty:
+        return pd.DataFrame({
+            "n_dup_docs": pd.Series([0], dtype=np.int64),
+            "n_clusters": pd.Series([0], dtype=np.int64),
+            "max_cluster": pd.Series([0], dtype=np.int64),
+            "removable": pd.Series([0], dtype=np.int64)})
+    sizes = cl.groupby("cluster_id").size()
+    return pd.DataFrame({
+        "n_dup_docs": pd.Series([len(cl)], dtype=np.int64),
+        "n_clusters": pd.Series([len(sizes)], dtype=np.int64),
+        "max_cluster": pd.Series([int(sizes.max())],
+                                 dtype=np.int64),
+        "removable": pd.Series([len(cl) - len(sizes)],
+                               dtype=np.int64)})
