@@ -701,6 +701,15 @@ def _route_links(tbl: pa.Table, P: int, full_dst_rows: bool = False) -> list:
     by hash(dst) either as dst node stubs (PageRank/BFS/CC need only
     the node id) or as full edge rows (HITS pushes in both
     directions); returns 2P tables (by-src then by-dst)."""
+    if tbl.num_rows == 0 or "src" not in tbl.column_names:
+        # an all-empty upstream block can arrive schema-less (Ray
+        # drops the schema on empty map outputs — seen once in a
+        # 297-query bench run); it routes nothing everywhere
+        empty_edge = pa.table({"src": pa.array([], type=pa.string()),
+                               "dst": pa.array([], type=pa.string())})
+        empty_dst = empty_edge if full_dst_rows \
+            else pa.table({"dst": pa.array([], type=pa.string())})
+        return [empty_edge] * P + [empty_dst] * P
     src = tbl.column("src").to_numpy(zero_copy_only=False)
     dst = tbl.column("dst").to_numpy(zero_copy_only=False)
     h_src = (_pr_url_hash(src) % P).astype(np.int64)
