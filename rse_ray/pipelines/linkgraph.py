@@ -1079,6 +1079,12 @@ def triangle_count(links_ds, *, src_col: str = "src_url",
         parts_for(n_edges, rows_per_part=200_000)
 
     def route_pairs(tbl: pa.Table, P: int) -> list:
+        if tbl.num_rows == 0 or "src" not in tbl.column_names:
+            # schema-less empty block (see _route_links): routes
+            # nothing everywhere
+            e = pa.table({"lo": pa.array([], type=pa.string()),
+                          "hi": pa.array([], type=pa.string())})
+            return [e] * max(P, 2)
         tbl = tbl.drop_null()  # a null endpoint is no edge
         s = tbl.column("src").to_numpy(zero_copy_only=False)
         d = tbl.column("dst").to_numpy(zero_copy_only=False)
