@@ -3765,6 +3765,14 @@ def _q_bm25_pruned(sf_dir: str):
 RL_CAPACITY, RL_REFILL = 3.0, 1.0 / 600.0
 
 
+def _q_hll_sliding(sf_dir: str):
+    from rse_ray.pipelines.sketch import hll_sliding
+
+    return _finalize(hll_sliding(
+        _read(sf_dir, "events", ["ts", "user_id"]),
+        window_hours=3))
+
+
 def _q_rate_limit_replay(sf_dir: str):
     from rse_ray.pipelines.relational import rate_limit_replay
 
@@ -4117,6 +4125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_test": _q_ks_test,
         "theil_sen_trend": _q_theil_sen_trend,
         "rate_limit_replay": _q_rate_limit_replay,
+        "hll_sliding": _q_hll_sliding,
         "bm25_pruned": _q_bm25_pruned,
         "spearman_corr": _q_spearman_corr,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -7657,6 +7666,14 @@ FROM documents d LEFT JOIN b USING (doc_id) LEFT JOIN tt USING (doc_id)""",
         "approx_ndistinct_users": hll_oracle_sql("user_id", "events"),
         "approx_ndistinct_by_type": hll_group_oracle_sql(
             "event_type", "user_id", "events"),
+        # sliding 3h/1h-hop HLL: each event explodes into its 3
+        # windows; register-max over a union IS the union's registers,
+        # so the direct per-window hash equals the engine's hour-merge
+        "hll_sliding": hll_group_oracle_sql(
+            "window_start", "user_id",
+            "(SELECT date_trunc('hour', e.ts) - to_hours(k.k) "
+            "AS window_start, e.user_id FROM events e "
+            "CROSS JOIN (VALUES (0), (1), (2)) k(k)) we"),
         "video_frame_sample": """
 SELECT media_id, frame_idx, n_values, v_mean, v_std, v_min, v_max,
        width, height

@@ -5629,3 +5629,32 @@ def test_multi_pattern_scan_overlaps(ray_session):
     assert out.loc["spark", "n_hits"] == 2
     assert out.loc["hash join", "n_docs"] == 2
     assert out.loc["hash join", "n_hits"] == 3
+
+
+def test_hll_sliding_merge_equals_direct(ray_session):
+    """Register-max merging per window must give the IDENTICAL
+    estimate to hashing each window's rows directly (union registers
+    = max of member registers)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.sketch import (_hll_estimate,
+                                          _hll_registers, _md5_u64,
+                                          hll_sliding)
+
+    rng = np.random.default_rng(3)
+    t0 = np.datetime64("2024-05-01T00:00:00", "us")
+    n = 3000
+    ts = t0 + (rng.integers(0, 6 * 3600, size=n) * 1_000_000) \
+        .astype("timedelta64[us]")
+    users = rng.integers(0, 400, size=n).astype(np.int64)
+    ev = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                   "user_id": pa.array(users)})
+    out = hll_sliding(ray.data.from_arrow(ev), window_hours=3) \
+        .to_pandas().set_index("window_start")["est_ndistinct"]
+    # direct recompute for one interior window
+    w = np.datetime64("2024-05-01T02:00:00", "us")
+    sel = (ts >= w) & (ts < w + np.timedelta64(3, "h"))
+    reg = _hll_registers(_md5_u64([int(u) for u in users[sel]]))
+    assert out[pd.Timestamp(w.item())] == round(_hll_estimate(reg), 6)
