@@ -3765,6 +3765,14 @@ def _q_bm25_pruned(sf_dir: str):
 RL_CAPACITY, RL_REFILL = 3.0, 1.0 / 600.0
 
 
+def _q_transition_entropy(sf_dir: str):
+    from rse_ray.pipelines.relational import transition_entropy
+
+    return _finalize(transition_entropy(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"])))
+
+
 def _q_hll_sliding(sf_dir: str):
     from rse_ray.pipelines.sketch import hll_sliding
 
@@ -4126,6 +4134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_trend": _q_theil_sen_trend,
         "rate_limit_replay": _q_rate_limit_replay,
         "hll_sliding": _q_hll_sliding,
+        "transition_entropy": _q_transition_entropy,
         "bm25_pruned": _q_bm25_pruned,
         "spearman_corr": _q_spearman_corr,
         "min_cost_supplier": _q_min_cost_supplier,
@@ -5461,6 +5470,20 @@ scores AS (
   GROUP BY pr.doc_id)
 SELECT doc_id, round(raw, 6) AS score FROM scores
 ORDER BY raw DESC, doc_id LIMIT 20""",
+        # per-user entropy of the consecutive-transition distribution
+        "transition_entropy": """
+WITH o AS (SELECT user_id, event_type AS ft,
+                  lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS tt
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+tr AS (SELECT user_id, ft, tt, count(*)::BIGINT AS c
+       FROM o WHERE tt IS NOT NULL GROUP BY 1, 2, 3),
+ut AS (SELECT user_id, sum(c)::BIGINT AS n FROM tr GROUP BY 1)
+SELECT tr.user_id, ut.n AS n_transitions,
+       round(-sum((tr.c * 1.0 / ut.n)
+                  * ln(tr.c * 1.0 / ut.n)), 6) AS entropy
+FROM tr JOIN ut USING (user_id) GROUP BY 1, 2""",
         # token-bucket admission replay: per-key recursive CTE running
         # the engine's IDENTICAL float-op sequence (integer-us deltas
         # divided once, same min/compare/decrement order)

@@ -6448,3 +6448,45 @@ def rate_limit_replay(events_ds, *, capacity: float = 3.0,
 
     return events_ds.select_columns([key_col, "ts", "event_id"]) \
         .groupby(key_col).map_groups(replay, batch_format="pandas")
+
+
+def transition_entropy(events_ds, *, ts_col: str = "ts",
+                       user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       id_col: str = "event_id"):
+    """Per-user behavioral entropy: Shannon entropy (natural log) of
+    the user's CONSECUTIVE event-type transition-pair distribution
+    (ordered ts, event_id) — a bot/automation signal: scripted
+    sessions repeat one transition (entropy ~ 0), organic ones
+    spread. -> (user_id, n_transitions, entropy), entropy rounded
+    to 6.
+
+    Scale shape: ONE hash(user) exchange; per group the pairs are a
+    pandas shift + value_counts, entropy from exact integer counts
+    with one division per cell — the 6-dp rounding absorbs the
+    summation-order difference vs the SQL window twin."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[ts_col, user_col]) \
+            .sort_values([ts_col, id_col])
+        if len(g) < 2:
+            return pd.DataFrame({
+                user_col: pd.Series([], dtype=np.int64),
+                "n_transitions": pd.Series([], dtype=np.int64),
+                "entropy": pd.Series([], dtype=np.float64)})
+        ft = g[type_col].to_numpy()
+        pairs = pd.Series(list(zip(ft[:-1], ft[1:])))
+        c = pairs.value_counts().to_numpy(dtype=np.float64)
+        n = c.sum()
+        p = c / n
+        ent = float(-(p * np.log(p)).sum())
+        return pd.DataFrame({
+            user_col: pd.array([int(g[user_col].iloc[0])],
+                               dtype="int64"),
+            "n_transitions": pd.array([int(n)], dtype="int64"),
+            "entropy": pd.array([round(ent, 6)],
+                                dtype="float64")})
+
+    return events_ds.select_columns(
+        [user_col, ts_col, id_col, type_col]) \
+        .groupby(user_col).map_groups(per_user,
+                                      batch_format="pandas")
