@@ -1005,6 +1005,14 @@ AC_PATTERNS = ["spark", "window merge", "hash join",
                "batch stream", "dup", "key order"]
 
 
+def _q_mrf_sd_scores(sf_dir: str):
+    from rse_ray.pipelines.text import mrf_sd_scores
+
+    return _finalize(mrf_sd_scores(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        BM25_QUERY, mu=2000.0, k=20))
+
+
 def _q_multi_pattern_scan(sf_dir: str):
     from rse_ray.pipelines.text import multi_pattern_scan
 
@@ -4206,6 +4214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fightin_words": _q_fightin_words,
         "lead_terms": _q_lead_terms,
         "multi_pattern_scan": _q_multi_pattern_scan,
+        "mrf_sd_scores": _q_mrf_sd_scores,
         "info_gain_terms": _q_info_gain_terms,
         "cosine_neardup_pairs": _q_cos_neardup,
         # relational / streaming surface
@@ -6707,6 +6716,65 @@ QUALIFY row_number() OVER (PARTITION BY query_id
         "semdedup": semdedup_oracle_sql(
             k=KMEANS_K, iters=KMEANS_ITERS,
             threshold=COS_NEARDUP_THRESHOLD, dim=64),
+        # Metzler-Croft sequential dependence: Dirichlet-smoothed
+        # unigram + ordered-adjacent + unordered-window-8 features;
+        # zero-collection-cf features dropped in BOTH engines
+        "mrf_sd_scores": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents),
+dl AS (SELECT doc_id, len(a)::BIGINT AS dl FROM arr
+       WHERE len(a) > 0),
+ct AS (SELECT sum(len(a))::DOUBLE AS c FROM arr),
+pos AS (SELECT doc_id, i, a[i] AS w
+        FROM arr, unnest(range(1, len(a) + 1)) AS t(i)),
+qt(w) AS (VALUES ('merge'), ('spark'), ('window')),
+qb(bg, wa, wb) AS (VALUES
+    ('merge window', 'merge', 'window'),
+    ('spark window', 'spark', 'window'),
+    ('window merge', 'window', 'merge')),
+tfd AS (SELECT p.doc_id, p.w, count(*)::BIGINT AS tf
+        FROM pos p JOIN qt ON p.w = qt.w GROUP BY 1, 2),
+cft AS (SELECT w, sum(tf)::BIGINT AS cf FROM tfd GROUP BY 1),
+o1d AS (SELECT p1.doc_id, qb.bg, count(*)::BIGINT AS tf
+        FROM pos p1
+        JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.i = p1.i + 1
+        JOIN qb ON p1.w = qb.wa AND p2.w = qb.wb
+        GROUP BY 1, 2),
+cfo AS (SELECT bg, sum(tf)::BIGINT AS cf FROM o1d GROUP BY 1),
+uwd AS (SELECT p1.doc_id, qb.bg, count(*)::BIGINT AS tf
+        FROM pos p1
+        JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.i > p1.i
+                   AND p2.i - p1.i < 8
+        JOIN qb ON (p1.w = qb.wa AND p2.w = qb.wb)
+                OR (p1.w = qb.wb AND p2.w = qb.wa)
+        GROUP BY 1, 2),
+cfu AS (SELECT bg, sum(tf)::BIGINT AS cf FROM uwd GROUP BY 1),
+cand AS (SELECT DISTINCT doc_id FROM tfd),
+feat AS (
+    SELECT c.doc_id, 0.8 AS lam, coalesce(tfd.tf, 0) AS tf,
+           cft.cf AS cf
+    FROM cand c CROSS JOIN qt
+    LEFT JOIN tfd ON tfd.doc_id = c.doc_id AND tfd.w = qt.w
+    JOIN cft ON cft.w = qt.w
+    UNION ALL
+    SELECT c.doc_id, 0.1, coalesce(o1d.tf, 0), cfo.cf
+    FROM cand c CROSS JOIN qb
+    LEFT JOIN o1d ON o1d.doc_id = c.doc_id AND o1d.bg = qb.bg
+    JOIN cfo ON cfo.bg = qb.bg
+    UNION ALL
+    SELECT c.doc_id, 0.1, coalesce(uwd.tf, 0), cfu.cf
+    FROM cand c CROSS JOIN qb
+    LEFT JOIN uwd ON uwd.doc_id = c.doc_id AND uwd.bg = qb.bg
+    JOIN cfu ON cfu.bg = qb.bg),
+sc AS (SELECT f.doc_id,
+              sum(f.lam * ln((f.tf + 2000.0 * f.cf / ct.c)
+                             / (d.dl + 2000.0))) AS raw
+       FROM feat f JOIN dl d USING (doc_id) CROSS JOIN ct
+       WHERE f.cf > 0
+       GROUP BY 1)
+SELECT doc_id, round(raw, 6) AS score FROM sc
+ORDER BY raw DESC, doc_id LIMIT 20""",
         # single-pass Aho-Corasick multi-pattern counts; border-free
         # patterns make overlap-counting equal replace()-counting
         "multi_pattern_scan": """

@@ -4679,3 +4679,183 @@ def multi_pattern_scan(ds, patterns: list[str], *,
         .groupby("pattern") \
         .aggregate(Sum("d_p", alias_name="n_docs"),
                    Sum("h_p", alias_name="n_hits"))
+
+
+def mrf_sd_scores(ds, query: str, *, mu: float = 2000.0,
+                  lam_t: float = 0.8, lam_o: float = 0.1,
+                  lam_u: float = 0.1, window: int = 8, k: int = 20,
+                  stem: bool = False):
+    """Sequential Dependence ranking (Metzler & Croft, SIGIR 2005) —
+    the Markov-random-field model that beat bag-of-words across TREC:
+    Dirichlet-smoothed log features for single terms, ORDERED
+    adjacent bigrams (#1) and UNORDERED window-``window`` pairs
+    (#uwN) of consecutive query terms,
+
+        f(x, d) = ln((tf_x(d) + mu * cf_x / C_tok) / (dl + mu))
+        score   = lam_t * sum_qi f + lam_o * sum_bigram f_#1
+                + lam_u * sum_bigram f_uw,
+
+    over documents containing >= 1 query term; top-``k``
+    (raw desc, doc_id). -> (doc_id, score), rounded to 6.
+
+    Occurrence semantics, pinned for the SQL twin: #1 counts
+    positions i with (w_i, w_i+1) = the bigram in order; #uwN counts
+    unordered position pairs i < j, j - i < N, with {w_i, w_j} = the
+    bigram's two terms (both orders). Collection frequencies use the
+    same counters corpus-wide; C_tok is the corpus token total for
+    all three feature kinds (the Indri convention).
+
+    Scale shape: pass 1 aggregates the collection stats for EXACTLY
+    the query's terms/bigrams (broadcast sets, per-batch partials,
+    driver scalars); pass 2 emits per-doc feature rows for matching
+    docs only; scoring is one vectorized map over those rows with
+    broadcast stats; the top-k is a driver head."""
+    import math as _math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    q_toks = _tok(query, stem)
+    terms = sorted(set(q_toks))
+    bigrams = sorted(set(zip(q_toks, q_toks[1:])))
+    if not terms:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    qref = ray.put((set(terms), bigrams, window))
+
+    def doc_counts(toks: list, tset: set, bgs: list, W: int):
+        tf = Counter(w for w in toks if w in tset)
+        o1: Counter = Counter()
+        uw: Counter = Counter()
+        pos: dict = {}
+        for i, w in enumerate(toks):
+            if w in tset:
+                pos.setdefault(w, []).append(i)
+        for a, b in zip(toks, toks[1:]):
+            if (a, b) in bgs:
+                o1[(a, b)] += 1
+        for bg in bgs:
+            a, b = bg
+            pa_ = pos.get(a, ())
+            pb = pos.get(b, ())
+            if not pa_ or not pb:
+                continue
+            n = 0
+            if a == b:
+                arr = np.asarray(pa_, dtype=np.int64)
+                d = arr[None, :] - arr[:, None]
+                n = int(((d > 0) & (d < W)).sum())
+            else:
+                xa = np.asarray(pa_, dtype=np.int64)
+                xb = np.asarray(pb, dtype=np.int64)
+                d = np.abs(xa[:, None] - xb[None, :])
+                n = int((d < W).sum())
+            uw[bg] = n
+        return tf, o1, uw
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tset, bgs, W = ray.get(qref)
+        rows: Counter = Counter()
+        ctok = 0
+        for t in batch.column("text").to_pylist():
+            toks = _tok(t, stem) if t else []
+            ctok += len(toks)
+            tf, o1, uw = doc_counts(toks, tset, bgs, W)
+            for w, c in tf.items():
+                rows[("t", w)] += c
+            for bg, c in o1.items():
+                rows[("o", " ".join(bg))] += c
+            for bg, c in uw.items():
+                rows[("u", " ".join(bg))] += c
+        rows[("c", "")] = ctok
+        keys = sorted(rows)
+        return pa.table({
+            "kind": pa.array([x[0] for x in keys],
+                             type=pa.string()),
+            "key": pa.array([x[1] for x in keys],
+                            type=pa.string()),
+            "c_p": pa.array([rows[x] for x in keys],
+                            type=pa.int64())})
+
+    st = ds.select_columns(["text"]) \
+        .map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby(["kind", "key"]) \
+        .aggregate(Sum("c_p", alias_name="n")).to_pandas()
+    C_tok = int(st.loc[st["kind"] == "c", "n"].sum())
+    cf = {(r["kind"], r["key"]): int(r["n"])
+          for _, r in st.iterrows()}
+
+    def feature_partial(batch: pa.Table) -> pa.Table:
+        tset, bgs, W = ray.get(qref)
+        ids, kinds, keys_, tfs, dls = [], [], [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = _tok(t, stem) if t else []
+            if not toks:
+                continue
+            tf, o1, uw = doc_counts(toks, tset, bgs, W)
+            if not tf:
+                continue  # no query term -> not a candidate
+            dl = len(toks)
+            for w in tset:
+                ids.append(int(did))
+                kinds.append("t")
+                keys_.append(w)
+                tfs.append(tf.get(w, 0))
+                dls.append(dl)
+            for bg in bgs:
+                key = " ".join(bg)
+                for kind, src in (("o", o1), ("u", uw)):
+                    ids.append(int(did))
+                    kinds.append(kind)
+                    keys_.append(key)
+                    tfs.append(src.get(bg, 0))
+                    dls.append(dl)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "key": pa.array(keys_, type=pa.string()),
+            "tf": pa.array(tfs, type=pa.int64()),
+            "dl": pa.array(dls, type=pa.int64())})
+
+    lam = {"t": lam_t, "o": lam_o, "u": lam_u}
+    cref = ray.put((cf, float(C_tok), lam, float(mu)))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        cf_l, C, lam_l, mu_l = ray.get(cref)
+        if batch.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "s_p": pa.array([], type=pa.float64())})
+        kinds = batch.column("kind").to_pylist()
+        keys_ = batch.column("key").to_pylist()
+        tf = batch.column("tf").to_numpy().astype(np.float64)
+        dl = batch.column("dl").to_numpy().astype(np.float64)
+        cfv = np.fromiter(
+            (cf_l.get((kd, ky), 0) for kd, ky in zip(kinds, keys_)),
+            dtype=np.float64, count=len(kinds))
+        w = np.fromiter((lam_l[kd] for kd in kinds),
+                        dtype=np.float64, count=len(kinds))
+        # a feature absent from the whole corpus (cf = 0) smooths to
+        # ln(0): drop it — in BOTH engines — rather than poison every
+        # candidate with -inf
+        keep = cfv > 0
+        tf, dl, cfv, w = tf[keep], dl[keep], cfv[keep], w[keep]
+        batch = batch.filter(pa.array(keep))
+        f = w * np.log((tf + mu_l * cfv / C) / (dl + mu_l))
+        g = pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "s": pa.array(f)}).group_by(["doc_id"]) \
+            .aggregate([("s", "sum")])
+        return g.rename_columns(["doc_id", "s_p"])
+
+    agg = ds.select_columns(["doc_id", "text"]) \
+        .map_batches(feature_partial, batch_format="pyarrow") \
+        .map_batches(score_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("s_p", alias_name="raw")) \
+        .to_pandas()
+    agg = agg.sort_values(["raw", "doc_id"],
+                          ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "doc_id": agg["doc_id"].astype(np.int64).to_numpy(),
+        "score": np.round(agg["raw"].to_numpy(dtype=np.float64), 6)})

@@ -5658,3 +5658,25 @@ def test_hll_sliding_merge_equals_direct(ray_session):
     sel = (ts >= w) & (ts < w + np.timedelta64(3, "h"))
     reg = _hll_registers(_md5_u64([int(u) for u in users[sel]]))
     assert out[pd.Timestamp(w.item())] == round(_hll_estimate(reg), 6)
+
+
+def test_mrf_sd_orders_phrase_doc_first(ray_session):
+    """Sequential dependence: with equal unigram stats, the doc whose
+    query terms appear as the exact ordered bigram must outrank the
+    doc where they are far apart."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.text import mrf_sd_scores
+
+    filler = " ".join(["x"] * 20)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array([
+            f"spark window {filler}",           # adjacent, ordered
+            f"spark {filler} window",           # same tf, no window
+        ])})
+    out = mrf_sd_scores(ray.data.from_arrow(docs), "spark window",
+                        k=2)
+    assert out["doc_id"].tolist()[0] == 0
+    assert out["score"].iloc[0] > out["score"].iloc[1]
