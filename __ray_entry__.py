@@ -7028,8 +7028,11 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       sum(round(l_extendedprice * 100)::BIGINT) / 100.0
+           AS sum_base_price,
+       (sum(round(l_extendedprice * (1.0 - l_discount)
+                  * 10000)::BIGINT) + 50) // 100 / 100.0
+           AS sum_disc_price,
        count(*)::BIGINT AS count_order,
        round(sum(l_quantity) / count(*), 6) AS avg_qty
 FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'

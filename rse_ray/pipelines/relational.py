@@ -92,13 +92,21 @@ def pricing_summary(lineitem_ds, *, cutoff: str = "1998-09-01"):
         # round-trip copied every batch for nothing)
         t = batch.filter(pc.less(batch.column("l_shipdate"),
                                  pa.scalar(cutoff_ts)))
-        disc_price = pc.multiply(
-            t.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
-        )
-        g = t.append_column("disc_price", disc_price).group_by(
+        # disc_price in EXACT 10^-4 units (2-dp price x 2-dp discount):
+        # int64 partials make the sum order-free, so the group totals
+        # cannot land a half-cent off the serial oracle (the Q9
+        # integer-cents contract; a float-summed version differed at
+        # sf0.001 on a group hitting an exact half-cent boundary)
+        ext = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        disc_price = pa.array(
+            np.round(ext * (1.0 - disc) * 10_000.0).astype(np.int64))
+        base_cents = pa.array(np.round(ext * 100.0).astype(np.int64))
+        t = t.append_column("disc_price", disc_price) \
+            .append_column("base_cents", base_cents)
+        g = t.group_by(
             ["l_returnflag", "l_linestatus"]
-        ).aggregate([("l_quantity", "sum"), ("l_extendedprice", "sum"),
+        ).aggregate([("l_quantity", "sum"), ("base_cents", "sum"),
                      ("disc_price", "sum"), ([], "count_all")])
         # count_all = count(*) (rows, not non-null values) to match the
         # SQL contract when an aggregated column carries nulls
@@ -106,7 +114,7 @@ def pricing_summary(lineitem_ds, *, cutoff: str = "1998-09-01"):
             {"l_returnflag": g.column("l_returnflag"),
              "l_linestatus": g.column("l_linestatus"),
              "qty_p": g.column("l_quantity_sum"),
-             "base_p": g.column("l_extendedprice_sum"),
+             "base_p": g.column("base_cents_sum"),
              "disc_p": g.column("disc_price_sum"),
              "cnt_p": g.column("count_all")}
         )
@@ -125,8 +133,12 @@ def pricing_summary(lineitem_ds, *, cutoff: str = "1998-09-01"):
             {"l_returnflag": batch.column("l_returnflag"),
              "l_linestatus": batch.column("l_linestatus"),
              "sum_qty": _round_np(batch.column("sum_qty"), 2),
-             "sum_base_price": _round_np(batch.column("sum_base_price"), 2),
-             "sum_disc_price": _round_np(batch.column("sum_disc_price"), 2),
+             "sum_base_price": pa.array(
+                 batch.column("sum_base_price").to_numpy()
+                 .astype(np.int64) / 100.0),
+             "sum_disc_price": pa.array(
+                 (batch.column("sum_disc_price").to_numpy()
+                  .astype(np.int64) + 50) // 100 / 100.0),
              "count_order": pc.cast(batch.column("count_order"), pa.int64()),
              "avg_qty": pa.array(np.round(
                  batch.column("sum_qty").to_numpy()
@@ -3166,7 +3178,11 @@ def market_basket(lineitem_ds, *, min_pair: int = 2,
             "n_pair": pa.array(n, type=pa.int64()),
             "n_a": pa.array(na, type=pa.int64()),
             "n_b": pa.array(nb, type=pa.int64()),
-            "lift": pa.array(np.round(lift, 6), type=pa.float64()),
+            # half-AWAY: n*N/(na*nb) ratios with power-of-two
+            # denominators land on exact half-ulp boundaries where
+            # np.round's half-even disagrees with the oracle
+            "lift": pa.array(np.floor(lift * 1e6 + 0.5) / 1e6,
+                             type=pa.float64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")

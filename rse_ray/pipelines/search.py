@@ -518,6 +518,7 @@ def delete_urls(index_dir: str, urls: list[str]) -> int:
 
 class Searcher:
     def __init__(self, index_dir: str) -> None:
+        self.index_dir = index_dir
         self.reader = IndexReader(index_dir)
         self.N = int(self.reader.stats["num_docs"])
         self.avgdl = float(self.reader.stats["avgdl"])
@@ -903,12 +904,31 @@ class Searcher:
                 if not len(ids):
                     continue
             if len(ids) > m:
-                # exact (tf desc, doc_id asc) top-m (a real pruned tier
-                # precomputes this at BUILD time; doing it at query
-                # time keeps one index on disk while the cut semantics
-                # stay identical)
-                order = np.lexsort((ids, -tfs))[:m]
-                ids, tfs, dls = ids[order], tfs[order], dls[order]
+                # exact top-m by tf desc; ties AT the boundary tf
+                # resolve by URL — the only cross-engine-stable order
+                # (internal dense docIDs follow crc32-bucket layout,
+                # and for doc:// corpora URL order IS the table's
+                # doc_id order the SQL twin cuts by). A real pruned
+                # tier precomputes this at BUILD time; doing it at
+                # query time keeps one index on disk while the cut
+                # semantics stay identical.
+                order = np.argsort(-tfs, kind="stable")
+                btf = tfs[order[m - 1]]
+                sure = order[tfs[order] > btf]
+                cand = order[tfs[order] == btf]
+                need = m - len(sure)
+                if len(cand) > need:
+                    ranked = hydrate_urls(
+                        self.index_dir,
+                        [(int(ids[i]), 0.0) for i in cand])
+                    url_of = {d: u for d, _, u in ranked}
+                    cand = np.array(
+                        sorted(cand,
+                               key=lambda i: url_of[int(ids[i])])
+                        [:need], dtype=np.int64)
+                keep = np.concatenate(
+                    [sure, cand]).astype(np.int64)
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
             w = qtf * _idf(self.N, df)
             tf_part = (tfs * (K1 + 1)) / (
                 tfs + K1 * (1 - B + B * dls / self.avgdl))
