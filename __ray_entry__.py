@@ -4749,7 +4749,8 @@ scores AS (
   GROUP BY 1, 2)
 SELECT query_id, doc_id, round(raw, 6) AS score FROM scores
 QUALIFY row_number() OVER (PARTITION BY query_id
-                           ORDER BY raw DESC, doc_id) <= {BATCH_K}""",
+                           ORDER BY round(raw, 6) DESC, doc_id)
+        <= {BATCH_K}""",
         # search-quality eval: MRR / nDCG@k of the BM25 top-k against
         # the conjunctive (all-terms) relevance set; ideal-DCG
         # constants injected so both engines divide identically
@@ -6100,16 +6101,19 @@ WITH g AS (SELECT user_id,
              epoch_us(ts) - lag(epoch_us(ts))
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
            FROM events),
-gg AS (SELECT user_id, d / 1000000.0 AS gap FROM g
-       WHERE d IS NOT NULL),
-s AS (SELECT user_id, count(*)::BIGINT AS n_gaps, sum(gap) AS s1,
-             sum(gap * gap) AS s2 FROM gg GROUP BY 1)
-SELECT user_id, n_gaps, round(s1 / n_gaps, 6) AS mean_gap_s,
-       round(CASE WHEN s1 / n_gaps = 0 THEN 0
-                  ELSE sqrt(greatest(s2 / n_gaps
-                            - (s1 / n_gaps) * (s1 / n_gaps), 0))
-                       / (s1 / n_gaps) END, 6) AS cv
-FROM s""",
+gg AS (SELECT user_id, d::BIGINT AS dus, d / 1000000.0 AS gap
+       FROM g WHERE d IS NOT NULL),
+s AS (SELECT user_id, count(*)::BIGINT AS n_gaps,
+             sum(dus)::BIGINT AS s1us,
+             sum(gap * gap) AS s2 FROM gg GROUP BY 1),
+m AS (SELECT user_id, n_gaps, s2,
+             s1us / (n_gaps * 1000000.0) AS mean FROM s)
+SELECT user_id, n_gaps,
+       floor(mean * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_s,
+       round(CASE WHEN mean = 0 THEN 0
+                  ELSE sqrt(greatest(s2 / n_gaps - mean * mean, 0))
+                       / mean END, 6) AS cv
+FROM m""",
         "did_you_mean": _TOKS + """,
 dt AS (SELECT DISTINCT term, doc_id FROM toks),
 d AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1),

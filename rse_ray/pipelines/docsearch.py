@@ -1020,10 +1020,19 @@ def batch_bm25_topk(sf_dir: str, queries: list[str], k: int = 10,
             qids, dids, scores = [], [], []
             for qid, q in zip(batch.column("query_id").to_pylist(),
                               batch.column("query").to_pylist()):
-                for d, sc in self.s.search(q, k=self.k):
+                # over-fetch, then cut on the ROUNDED score with
+                # doc_id tie-break: two docs whose raw scores differ
+                # only in summation-order ulps round equal, and the
+                # raw-score cut then picks engine-dependent winners
+                # at the k boundary (seen once at sf0.1)
+                hits = [(round(sc, self.round_to),
+                         int(self._url(d)[len("doc://"):]))
+                        for d, sc in self.s.search(q, k=self.k + 10)]
+                hits.sort(key=lambda t: (-t[0], t[1]))
+                for sc, did in hits[:self.k]:
                     qids.append(int(qid))
-                    dids.append(int(self._url(d)[len("doc://"):]))
-                    scores.append(round(sc, self.round_to))
+                    dids.append(did)
+                    scores.append(sc)
             return pa.table(
                 {"query_id": pa.array(qids, type=pa.int64()),
                  "doc_id": pa.array(dids, type=pa.int64()),

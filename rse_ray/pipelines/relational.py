@@ -3725,18 +3725,26 @@ def user_burstiness(events_ds, *, by: str = "user_id",
                                  "mean_gap_s": [], "cv": []})
         order = np.lexsort((g[id_col].to_numpy(), g[ts_col].to_numpy()))
         ts = g[ts_col].to_numpy()[order].astype("datetime64[us]")
-        gaps = np.diff(ts).astype(np.int64).astype(np.float64) / 1e6
+        gaps_us = np.diff(ts).astype(np.int64)
+        gaps = gaps_us.astype(np.float64) / 1e6
         n = float(len(gaps))
-        s1 = float(np.sum(gaps))
+        # exact integer-us sum -> ONE float division: the mean is
+        # bit-identical in both engines (a float-summed s1 differed
+        # by 1 ulp from the oracle's sum order and flipped 6-dp
+        # rounding on two sf0.1 users)
+        s1_us = int(gaps_us.sum())
         s2 = float(np.sum(gaps * gaps))
-        mean = s1 / n
+        mean = s1_us / (n * 1e6)
         var = max(s2 / n - mean * mean, 0.0)
         cv = 0.0 if mean == 0 else math.sqrt(var) / mean
         return pd.DataFrame({
             by: [g[by].iloc[0]],
             "n_gaps": np.array([int(n)], dtype=np.int64),
-            "mean_gap_s": [round(mean, 6)],
-            "cv": [round(cv, 6)],
+            # half-AWAY: gap means are exact 1e-6 multiples divided
+            # by small ints — they land on half boundaries where
+            # python/np half-even disagrees with the oracle
+            "mean_gap_s": [math.floor(mean * 1e6 + 0.5) / 1e6],
+            "cv": [math.floor(cv * 1e6 + 0.5) / 1e6],
         })
 
     return events_ds.select_columns([by, ts_col, id_col]) \

@@ -3501,7 +3501,11 @@ def readability_scores(ds):
             "n_words": pa.array(w.astype(np.int64)),
             "n_syllables": pa.array(s.astype(np.int64)),
             "n_sentences": pa.array(sent.astype(np.int64)),
-            "flesch": pa.array(np.round(fl, 4)),
+            # half-AWAY (sign-aware): integer-ratio scores land on
+            # exact half boundaries at 4 dp
+            "flesch": pa.array(
+                np.copysign(np.floor(np.abs(fl) * 1e4 + 0.5), fl)
+                / 1e4),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
