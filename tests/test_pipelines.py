@@ -5680,3 +5680,44 @@ def test_mrf_sd_orders_phrase_doc_first(ray_session):
                         k=2)
     assert out["doc_id"].tolist()[0] == 0
     assert out["score"].iloc[0] > out["score"].iloc[1]
+
+
+def test_half_away_rounding_contracts(ray_session):
+    """Regression guards for the cross-scale sweep findings: values
+    landing on exact half-ulp boundaries must round AWAY from zero
+    (the oracle convention), not half-even."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import market_basket
+
+    # lift = n_pair * N / (n_a * n_b) engineered to 2.3015625
+    # (exact binary), which half-even would print as 2.301562
+    orders = []
+    li_rows = []
+    ok = 0
+    # 1473 baskets; parts 1 and 2 co-occur twice; n_1 = 32, n_2 = 40
+    for b in range(1473):
+        ok += 1
+        items = []
+        if b < 2:
+            items = [1, 2]
+        elif b < 32:
+            items = [1]
+        elif b < 70:
+            items = [2]
+        else:
+            items = [900 + (b % 5)]
+        for p in items:
+            li_rows.append((ok, p))
+    li_t = pa.table({
+        "l_orderkey": pa.array([r[0] for r in li_rows],
+                               type=pa.int64()),
+        "l_partkey": pa.array([r[1] for r in li_rows],
+                              type=pa.int64())})
+    out = market_basket(ray.data.from_arrow(li_t),
+                        min_pair=2).to_pandas()
+    row = out[(out["part_a"] == 1) & (out["part_b"] == 2)]
+    assert len(row) == 1
+    # 2 * 1473 / (32 * 40) = 2.3015625 -> half-away = 2.301563
+    assert row["lift"].iloc[0] == 2.301563
