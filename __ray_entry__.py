@@ -2774,6 +2774,12 @@ def _q_url_templates(sf_dir: str):
                               columns=["url"])))
 
 
+def _q_diameter_estimate(sf_dir: str):
+    from rse_ray.pipelines.linkgraph import diameter_estimate
+
+    return _finalize(diameter_estimate(_extracted_links()))
+
+
 def _q_crawl_budget(sf_dir: str):
     import ray.data
 
@@ -4317,6 +4323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_extract": _q_link_extract,
         "url_templates": _q_url_templates,
         "crawl_budget": _q_crawl_budget,
+        "diameter_estimate": _q_diameter_estimate,
         "backlink_counts": _q_backlink_counts,
         "anchor_terms": _q_anchor_terms,
         "anchor_boosted_rank": _q_anchor_boosted_rank,
@@ -7983,6 +7990,35 @@ SELECT dst_url, count(*)::BIGINT AS n_backlinks
 FROM read_parquet('{links}') GROUP BY dst_url""".format(
             links=os.path.join(LINKGRAPH_DIR, "golden_links.parquet")
         ),
+        # double-sweep diameter bound: two recursive-CTE BFS passes
+        # ((v, dep) UNION-dedup keeps the frontier polynomial)
+        "diameter_estimate": """
+WITH RECURSIVE e AS (
+    SELECT DISTINCT src_url AS s, dst_url AS d
+    FROM read_parquet('{links}')
+    WHERE src_url IS NOT NULL AND dst_url IS NOT NULL),
+seed AS (SELECT min(s) AS v FROM e),
+b1(v, dep) AS (
+    SELECT seed.v, 0 FROM seed
+    UNION
+    SELECT e.d, b1.dep + 1 FROM b1 JOIN e ON e.s = b1.v
+    WHERE b1.dep < 32),
+d1 AS (SELECT v, min(dep)::BIGINT AS depth FROM b1 GROUP BY 1),
+far AS (SELECT v FROM d1 ORDER BY depth DESC, v LIMIT 1),
+b2(v, dep) AS (
+    SELECT far.v, 0 FROM far
+    UNION
+    SELECT e.d, b2.dep + 1 FROM b2 JOIN e ON e.s = b2.v
+    WHERE b2.dep < 32),
+d2 AS (SELECT v, min(dep)::BIGINT AS depth FROM b2 GROUP BY 1)
+SELECT (SELECT v FROM seed) AS seed,
+       (SELECT v FROM far) AS far_node,
+       (SELECT max(depth) FROM d1)::BIGINT AS ecc1,
+       (SELECT max(depth) FROM d2)::BIGINT AS diameter_lb,
+       (SELECT count(*) FROM d1)::BIGINT AS n_reached1,
+       (SELECT count(*) FROM d2)::BIGINT AS n_reached2""".format(
+            links=os.path.join(LINKGRAPH_DIR,
+                               "golden_links.parquet")),
         # Hamilton largest-remainder crawl-budget apportionment over
         # hosts — all-integer, ties by host asc
         "crawl_budget": """

@@ -2861,3 +2861,56 @@ def crawl_budget(pages_ds, *, budget: int = 1000,
         "host": counts["host"],
         "n_pages": pd.Series(c, dtype=np.int64),
         "alloc": pd.Series(base + extra, dtype=np.int64)})
+
+
+def diameter_estimate(links_ds, *, max_depth: int = 32,
+                      src_col: str = "src_url",
+                      dst_col: str = "dst_url"):
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib
+    2009) on the directed link graph: BFS from the lexicographically
+    smallest source node, take the farthest reached node (max depth,
+    ties by url asc), BFS again from it — the second eccentricity is
+    a tight diameter lower bound at two BFS costs, the standard
+    estimator where an exact all-pairs diameter is 10^12-node
+    impossible. -> one row (seed, far_node, ecc1, diameter_lb,
+    n_reached1, n_reached2).
+
+    Scale shape: two crawl_depth runs on the shared pregel shard
+    layout (edges route once per run, supersteps are vectorized
+    frontier expansions); only per-run (url, depth) tables — bounded
+    by reachable nodes — leave the actors, and the argmax runs on
+    those."""
+    def _min_src() -> str:
+        from ray.data.aggregate import Min
+
+        m = links_ds.map_batches(
+            lambda b: pa.table({
+                "s": pc.cast(b.column(src_col), pa.string())}),
+            batch_format="pyarrow").aggregate(Min("s",
+                                              alias_name="m"))
+        return str(m["m"])
+
+    seed = _min_src()
+
+    def seed_eq(val):
+        def pred(urls: np.ndarray) -> np.ndarray:
+            return urls == val
+        return pred
+
+    d1 = crawl_depth(links_ds, seed_pred=seed_eq(seed),
+                     max_depth=max_depth, src_col=src_col,
+                     dst_col=dst_col).to_pandas()
+    d1 = d1.sort_values(["depth", "url"],
+                        ascending=[False, True])
+    far = str(d1["url"].iloc[0])
+    ecc1 = int(d1["depth"].iloc[0])
+    d2 = crawl_depth(links_ds, seed_pred=seed_eq(far),
+                     max_depth=max_depth, src_col=src_col,
+                     dst_col=dst_col).to_pandas()
+    lb = int(d2["depth"].max())
+    return pd.DataFrame({
+        "seed": [seed], "far_node": [far],
+        "ecc1": pd.array([ecc1], dtype="int64"),
+        "diameter_lb": pd.array([lb], dtype="int64"),
+        "n_reached1": pd.array([len(d1)], dtype="int64"),
+        "n_reached2": pd.array([len(d2)], dtype="int64")})

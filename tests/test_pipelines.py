@@ -5721,3 +5721,25 @@ def test_half_away_rounding_contracts(ray_session):
     assert len(row) == 1
     # 2 * 1473 / (32 * 40) = 2.3015625 -> half-away = 2.301563
     assert row["lift"].iloc[0] == 2.301563
+
+
+def test_diameter_estimate_path_graph(ray_session):
+    """On a directed path a -> b -> c -> d the first sweep from 'a'
+    reaches d at depth 3; the second sweep from d reaches only d, so
+    the double-sweep bound is max(ecc) = 3 from sweep one and the
+    output carries both reach counts."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.linkgraph import diameter_estimate
+
+    links = pa.table({
+        "src_url": pa.array(["a", "b", "c"]),
+        "dst_url": pa.array(["b", "c", "d"])})
+    out = diameter_estimate(ray.data.from_arrow(links))
+    assert out["seed"].iloc[0] == "a"
+    assert out["far_node"].iloc[0] == "d"
+    assert out["ecc1"].iloc[0] == 3
+    assert out["n_reached1"].iloc[0] == 4
+    assert out["n_reached2"].iloc[0] == 1
+    assert out["diameter_lb"].iloc[0] == 0  # d has no out-edges
