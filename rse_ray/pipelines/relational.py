@@ -6146,9 +6146,13 @@ def spearman_corr(lineitem_ds, *, x_col: str = "l_quantity",
 
     def rank_table(col: str) -> pd.DataFrame:
         """(value, cnt) distinct table -> (value, avg_rank), via the
-        sorted block-offset prefix pattern."""
+        sorted block-offset prefix pattern; a LOW-cardinality column
+        (the common x side: integer quantities, grades, buckets)
+        skips the distributed sort entirely — its distinct aggregate
+        is driver-sized, and ranks from a numpy cumsum are identical
+        by construction."""
         agg = "x" if col == x_col else "y"
-        d = pairs.map_batches(
+        d0 = pairs.map_batches(
             lambda b, a=agg: pa.table({
                 "value": b.column(a),
                 "c_p": b.column("cnt")})
@@ -6156,7 +6160,15 @@ def spearman_corr(lineitem_ds, *, x_col: str = "l_quantity",
             .rename_columns(["value", "c_p"]),
             batch_format="pyarrow") \
             .groupby("value").aggregate(Sum("c_p", alias_name="cnt")) \
-            .sort("value").materialize()
+            .materialize()
+        if d0.count() <= 100_000:
+            df = d0.to_pandas().sort_values("value") \
+                .reset_index(drop=True)
+            cnt = df["cnt"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(cnt)
+            df["r"] = cum - cnt + (cnt + 1) / 2.0
+            return df[["value", "r"]]
+        d = d0.sort("value").materialize()
 
         def block_tot(batch: pa.Table) -> pa.Table:
             n = min(batch.num_rows, 1)
