@@ -6294,6 +6294,13 @@ def auto_join(left_ds, right_ds, *, left_on: str, right_on: str,
     left_types = _arrow_types(left_ds.schema())
     right_t = right_ds.select_columns([right_on] + right_cols) \
         .to_pandas()
+    if right_on not in right_t.columns:
+        # an all-empty dataset collects schema-less; rebuild the
+        # typed empty frame so the probe/merge sees its columns
+        rtypes = _arrow_types(right_ds.schema())
+        right_t = pd.DataFrame({
+            c: pd.Series([], dtype=rtypes[c].to_pandas_dtype())
+            for c in [right_on] + list(right_cols)})
 
     if how in ("semi", "anti"):
         if right_cols:

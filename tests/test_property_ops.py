@@ -134,3 +134,33 @@ def test_sessionize_matches_pandas_reference(ray_session, data):
     got["total_value"] = got["total_value"].round(5)
     want["total_value"] = want["total_value"].round(5)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_auto_join_equals_hash_join_property(ray_session, data):
+    """auto_join's broadcast path must equal the partitioned
+    hash_join result set on arbitrary (null-bearing, duplicate-key)
+    inputs, for every broadcast-capable `how`."""
+    import ray.data
+
+    from rse_ray.pipelines.relational import auto_join, hash_join
+
+    left, right = _frames(data.draw)
+    how = data.draw(st.sampled_from(["inner", "left", "semi",
+                                     "anti"]))
+    cols = [] if how in ("semi", "anti") else ["rv"]
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+    a = auto_join(lds, rds, left_on="k", right_on="rk",
+                  right_cols=cols, how=how).to_pandas()
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+    h = hash_join(lds, rds, left_on="k", right_on="rk",
+                  right_cols=cols, how=how, num_parts=4).to_pandas()
+
+    def norm(df):
+        df = df.sort_values(list(df.columns)).reset_index(drop=True)
+        return df.astype(object).where(df.notna(), None) \
+            .to_dict("records")
+
+    assert norm(a) == norm(h), how
