@@ -2879,17 +2879,25 @@ def _extracted_links():
 
     out = os.path.join(
         _linkgraph_corpus(),
-        f"extracted_links_{EXTRACT_CACHE_VERSION}.parquet")
-    if not os.path.exists(out):
-        import pyarrow.parquet as pq_
+        f"extracted_links_{EXTRACT_CACHE_VERSION}")
+    marker = os.path.join(out, "_DONE.json")
+    if not os.path.exists(marker):
+        import shutil
 
-        from rse_ray.state.manifest import write_file_atomic
+        from rse_ray.state.manifest import write_json_atomic
 
-        t = pa.concat_tables(
-            ray.get(extract_links(ray.data.read_parquet(
-                _linkgraph_pages_paths())).to_arrow_refs()))
-        write_file_atomic(out, lambda tmp: pq_.write_table(t, tmp))
-    return ray.data.read_parquet(out)
+        # Distributed write: each block lands as its own parquet file
+        # (no driver-side concat of the corpus-sized edge table), then
+        # the atomic _DONE marker commits the directory — a partial
+        # write from a killed run is simply rebuilt.
+        shutil.rmtree(out, ignore_errors=True)
+        extract_links(ray.data.read_parquet(
+            _linkgraph_pages_paths())).write_parquet(out)
+        write_json_atomic(marker, {"status": "done",
+                                   "version": EXTRACT_CACHE_VERSION})
+    return ray.data.read_parquet(
+        [os.path.join(out, f) for f in sorted(os.listdir(out))
+         if f.endswith(".parquet")])
 
 
 def _q_pagerank(sf_dir: str):

@@ -5487,12 +5487,13 @@ def product_profit(orders_ds, lineitem_ds, supplier_ds, nation_ds,
     bit-exact (a float-summed draft differed from the oracle on a
     group landing exactly on a half-cent boundary).
 
-    Scale shape: part (name match + retail price) and
-    supplier->nation broadcast as dense arrays; lineitem prunes to
-    matching parts at the scan; ONE co-partitioned hash join attaches
-    o_orderdate; partials collapse to (nation, year) cells per
-    batch."""
-    import ray
+    Scale shape: part (name-matched at the scan) and
+    supplier->nationkey both attach via auto_join — broadcast while
+    they fit, co-partitioned shuffle once they don't (part and
+    supplier scale linearly with sf, unlike the fixed 25-row nation
+    table, which stays a driver map); lineitem prunes to matching
+    parts at the first join; partials collapse to (nation, year)
+    cells per batch."""
     from ray.data.aggregate import Sum
 
     from rse_ray.util import parts_for
@@ -5502,39 +5503,23 @@ def product_profit(orders_ds, lineitem_ds, supplier_ds, nation_ds,
     nat = nation_ds.to_pandas()
     name_of = {int(a): str(b) for a, b in zip(nat["n_nationkey"],
                                               nat["n_name"])}
-    sup = supplier_ds.select_columns(
-        ["s_suppkey", "s_nationkey"]).to_pandas()
-    smax = int(sup["s_suppkey"].max()) if len(sup) else 0
-    s_nat = np.full(smax + 1, -1, dtype=np.int64)
-    s_nat[sup["s_suppkey"].to_numpy()] = \
-        sup["s_nationkey"].to_numpy()
-    sref = ray.put(s_nat)
 
-    pt = part_ds.select_columns(
-        ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
-    pmax = int(pt["p_partkey"].max()) if len(pt) else 0
-    p_price = np.full(pmax + 1, np.nan, dtype=np.float64)
-    match = pt["p_name"].str.contains(name_token, regex=False)
-    p_price[pt["p_partkey"].to_numpy()[match.to_numpy()]] = \
-        pt["p_retailprice"].to_numpy()[match.to_numpy()]
-    pref = ray.put(p_price)
-
-    def li_filter(batch: pa.Table) -> pa.Table:
-        price = ray.get(pref)
-        pk = batch.column("l_partkey").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        unit = np.full(len(pk), np.nan)
-        in_r = pk < len(price)
-        unit[in_r] = price[pk[in_r]]
-        m = ~np.isnan(unit)
-        t = batch.filter(pa.array(m))
-        return t.append_column("p_retailprice",
-                               pa.array(unit[m], type=pa.float64()))
+    pt = part_ds.map_batches(
+        lambda b: b.filter(pc.match_substring(
+            b.column("p_name"), name_token))
+        .select(["p_partkey", "p_retailprice"]),
+        batch_format="pyarrow")
 
     li = lineitem_ds.select_columns(
         ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-         "l_extendedprice", "l_discount"]) \
-        .map_batches(li_filter, batch_format="pyarrow")
+         "l_extendedprice", "l_discount"])
+    li = auto_join(li, pt, left_on="l_partkey", right_on="p_partkey",
+                   right_cols=["p_retailprice"], how="inner",
+                   num_parts=P)
+    li = auto_join(li, supplier_ds.select_columns(
+        ["s_suppkey", "s_nationkey"]),
+        left_on="l_suppkey", right_on="s_suppkey",
+        right_cols=["s_nationkey"], how="inner", num_parts=P)
     j = auto_join(li, orders_ds.select_columns(["o_orderkey",
                                                 "o_orderdate"]),
                   left_on="l_orderkey", right_on="o_orderkey",
@@ -5549,10 +5534,8 @@ def product_profit(orders_ds, lineitem_ds, supplier_ds, nation_ds,
         if batch.num_rows == 0 \
                 or "o_orderdate" not in batch.column_names:
             return empty
-        snat = ray.get(sref)
-        sk = batch.column("l_suppkey").to_numpy(
+        nk = batch.column("s_nationkey").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        nk = snat[np.clip(sk, 0, len(snat) - 1)]
         yr = batch.column("o_orderdate").to_pandas().dt.year \
             .to_numpy(dtype=np.int64)
         rev4 = np.rint(batch.column("l_extendedprice").to_numpy()
@@ -5699,15 +5682,17 @@ def min_cost_supplier(part_ds, supplier_ds, lineitem_ds, nation_ds,
     p_partkey, top ``top``. -> (s_acctbal, s_name, n_name,
     p_partkey, cost).
 
-    Scale shape: part predicate and the region's supplier->nation
-    map broadcast as a partkey set + suppkey lookup (part and
-    supplier are the TINY dimension tables); lineitem prunes to
-    qualifying (part, supplier) rows at the scan and collapses to
-    per-batch (partkey, suppkey) min partials, so the only shuffle
-    is a groupby over qualifying PAIRS (bounded by
-    |parts| x |region suppliers|, corpus-size-independent); the
-    correlated per-part min + equality selection runs on that
-    pair table driver-side."""
+    Scale shape: part and supplier scale with sf, so lineitem
+    prunes to qualifying (part, supplier) rows via two auto_join
+    semi-joins (broadcast key-set probe while the dimension side
+    fits, co-partitioned shuffle beyond), collapses to per-batch
+    (partkey, suppkey) min partials, and the only forced shuffle is
+    a groupby over qualifying PAIRS (bounded by
+    |parts| x |region suppliers|); the correlated per-part min +
+    equality selection is a second tiny groupby + auto_join, the
+    name attach is an auto_join against supplier, and only the
+    top-``top`` result reaches the driver. Nation/region stay fixed
+    25/5-row driver maps."""
     import ray
     from ray.data.aggregate import Min
 
@@ -5718,32 +5703,34 @@ def min_cost_supplier(part_ds, supplier_ds, lineitem_ds, nation_ds,
     nat_in = nat[nat["n_regionkey"].astype(int).isin(rkeys)]
     name_of = {int(a): str(b) for a, b in zip(nat_in["n_nationkey"],
                                               nat_in["n_name"])}
-    sup = supplier_ds.select_columns(
-        ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]).to_pandas()
-    sup = sup[sup["s_nationkey"].astype(int).isin(name_of)]
-    sset = set(sup["s_suppkey"].astype(int))
+    nkeys = pa.array(sorted(name_of), type=pa.int64())
+
+    sup_in = supplier_ds.map_batches(
+        lambda b: b.filter(pc.is_in(
+            pc.cast(b.column("s_nationkey"), pa.int64()),
+            value_set=nkeys))
+        .select(["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]),
+        batch_format="pyarrow")
     parts = part_ds.map_batches(
         lambda b: b.filter(pc.and_(
             pc.less_equal(b.column("p_size"), pa.scalar(max_size)),
             pc.equal(b.column("p_type"), pa.scalar(ptype))))
-        .select(["p_partkey"]), batch_format="pyarrow").to_pandas()
-    pset = set(parts["p_partkey"].astype(int))
-    pref = ray.put((pset, sset))
+        .select(["p_partkey"]), batch_format="pyarrow")
 
-    def offer_partial(batch: pa.Table) -> pa.Table:
-        ps, ss = ray.get(pref)
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
-        keep = (np.fromiter((p in ps for p in pk), dtype=bool,
-                            count=len(pk))
-                & np.fromiter((s in ss for s in sk), dtype=bool,
-                              count=len(sk)))
-        if not keep.any():
+    li = lineitem_ds.select_columns(
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+    li = auto_join(li, parts, left_on="l_partkey",
+                   right_on="p_partkey", right_cols=[], how="semi")
+    li = auto_join(li, sup_in.select_columns(["s_suppkey"]),
+                   left_on="l_suppkey", right_on="s_suppkey",
+                   right_cols=[], how="semi")
+
+    def offer_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return pa.table({
                 "p_partkey": pa.array([], type=pa.int64()),
                 "s_suppkey": pa.array([], type=pa.int64()),
                 "c_p": pa.array([], type=pa.float64())})
-        b = batch.filter(pa.array(keep))
         cost = (b.column("l_extendedprice").to_numpy()
                 / b.column("l_quantity").to_numpy())
         g = pa.table({
@@ -5754,35 +5741,59 @@ def min_cost_supplier(part_ds, supplier_ds, lineitem_ds, nation_ds,
             [("cost", "min")])
         return g.rename_columns(["p_partkey", "s_suppkey", "c_p"])
 
-    offers = lineitem_ds.select_columns(
-        ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]) \
-        .map_batches(offer_partial, batch_format="pyarrow") \
+    # pin the pair table: the per-part-min branch and the equality
+    # join both consume it — one object-store copy instead of a
+    # double execution of the lineitem scan
+    offers = li.map_batches(offer_partial, batch_format="pyarrow") \
         .groupby(["p_partkey", "s_suppkey"]) \
-        .aggregate(Min("c_p", alias_name="cost")).to_pandas()
-    if offers.empty:
+        .aggregate(Min("c_p", alias_name="cost")).materialize()
+    best = offers.groupby("p_partkey") \
+        .aggregate(Min("cost", alias_name="best")) \
+        .map_batches(lambda b: b.rename_columns(["bk", "best"]),
+                     batch_format="pyarrow")
+    win = auto_join(offers, best, left_on="p_partkey",
+                    right_on="bk", right_cols=["best"], how="inner")
+    win = win.map_batches(
+        lambda b: b.filter(pc.equal(b.column("cost"),
+                                    b.column("best")))
+        .drop_columns(["best"]), batch_format="pyarrow")
+    win = auto_join(win, sup_in, left_on="s_suppkey",
+                    right_on="s_suppkey",
+                    right_cols=["s_name", "s_acctbal", "s_nationkey"],
+                    how="inner")
+
+    def shape(b: pa.Table) -> pa.Table:
+        nm = [name_of[int(k)] for k in
+              b.column("s_nationkey").to_pylist()]
+        # half-AWAY at 6 dp (costs are non-negative): unit prices are
+        # often exact binary halves (ext / 2^k quantities), where
+        # np.round's half-even and the oracle's half-away disagree
+        cost = np.floor(b.column("cost").to_numpy(
+            zero_copy_only=False) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "s_acctbal": pc.cast(b.column("s_acctbal"), pa.float64()),
+            "s_name": b.column("s_name"),
+            "n_name": pa.array(nm, type=pa.string()),
+            "p_partkey": pc.cast(b.column("p_partkey"), pa.int64()),
+            "cost": pa.array(cost, type=pa.float64())})
+
+    res = win.map_batches(shape, batch_format="pyarrow")
+    # distributed top-k: negate the one desc key, sort, limit
+    out = res.add_column(
+        "_negbal", lambda b: pc.negate(b["s_acctbal"]),
+        batch_format="pyarrow") \
+        .sort(["_negbal", "n_name", "s_name", "p_partkey"]) \
+        .limit(top).drop_columns(["_negbal"]).to_pandas()
+    if out.empty:
         return pd.DataFrame({
             "s_acctbal": pd.Series([], dtype=np.float64),
             "s_name": pd.Series([], dtype=object),
             "n_name": pd.Series([], dtype=object),
             "p_partkey": pd.Series([], dtype=np.int64),
             "cost": pd.Series([], dtype=np.float64)})
-    best = offers.groupby("p_partkey")["cost"].transform("min")
-    win = offers[offers["cost"] == best].merge(
-        sup, left_on="s_suppkey", right_on="s_suppkey")
-    out = pd.DataFrame({
-        "s_acctbal": win["s_acctbal"].astype(np.float64),
-        "s_name": win["s_name"],
-        "n_name": win["s_nationkey"].map(
-            lambda k: name_of[int(k)]),
-        "p_partkey": win["p_partkey"].astype(np.int64),
-        # half-AWAY at 6 dp (costs are non-negative): unit prices are
-        # often exact binary halves (ext / 2^k quantities), where
-        # np.round's half-even and the oracle's half-away disagree
-        "cost": np.floor(win["cost"].to_numpy() * 1e6 + 0.5) / 1e6})
     return out.sort_values(
         ["s_acctbal", "n_name", "s_name", "p_partkey"],
-        ascending=[False, True, True, True]) \
-        .head(top).reset_index(drop=True)
+        ascending=[False, True, True, True]).reset_index(drop=True)
 
 
 def important_parts(lineitem_ds, supplier_ds, *,
@@ -5799,30 +5810,27 @@ def important_parts(lineitem_ds, supplier_ds, *,
     comparison is exact integer arithmetic (value * denom > total)
     — no float-order-dependent threshold flips.
 
-    Scale shape: the nation's supplier set broadcasts (tiny);
-    lineitem prunes to that set at the scan, collapses to per-batch
-    (partkey, int-revenue) partials, one groupby over per-part
-    cells; the scalar total is a Sum aggregate (one number), and
-    the HAVING filter runs distributed with the broadcast scalar."""
-    import ray
+    Scale shape: the supplier table scales with sf, so lineitem
+    prunes to the nation's suppliers via an auto_join SEMI
+    (broadcast key-set probe while the supplier side fits, shuffle
+    beyond), collapses to per-batch (partkey, int-revenue)
+    partials, one groupby over per-part cells pinned once in the
+    object store; the scalar total is a Sum aggregate (one
+    number), and the HAVING filter runs distributed with the
+    broadcast scalar."""
     from ray.data.aggregate import Sum
 
-    sup = supplier_ds.select_columns(
-        ["s_suppkey", "s_nationkey"]).to_pandas()
-    sset = set(sup.loc[sup["s_nationkey"].astype(int) == nation_key,
-                       "s_suppkey"].astype(int))
-    sref = ray.put(sset)
+    nat_sup = supplier_ds.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.cast(b.column("s_nationkey"), pa.int64()),
+            pa.scalar(nation_key, type=pa.int64())))
+        .select(["s_suppkey"]), batch_format="pyarrow")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        ss = ray.get(sref)
-        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
-        keep = np.fromiter((s in ss for s in sk), dtype=bool,
-                           count=len(sk))
-        if not keep.any():
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return pa.table({
                 "l_partkey": pa.array([], type=pa.int64()),
                 "v_p": pa.array([], type=pa.int64())})
-        b = batch.filter(pa.array(keep))
         ext = b.column("l_extendedprice").to_numpy()
         disc = b.column("l_discount").to_numpy()
         cents = np.round(ext * (1.0 - disc) * 10_000.0).astype(np.int64)
@@ -5832,10 +5840,17 @@ def important_parts(lineitem_ds, supplier_ds, *,
         }).group_by(["l_partkey"]).aggregate([("v", "sum")])
         return g.rename_columns(["l_partkey", "v_p"])
 
-    vals = lineitem_ds.select_columns(
-        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
-        .map_batches(partial, batch_format="pyarrow") \
-        .groupby("l_partkey").aggregate(Sum("v_p", alias_name="v"))
+    li = auto_join(
+        lineitem_ds.select_columns(
+            ["l_partkey", "l_suppkey", "l_extendedprice",
+             "l_discount"]),
+        nat_sup, left_on="l_suppkey", right_on="s_suppkey",
+        right_cols=[], how="semi")
+    # pin the per-part cells: the scalar total and the HAVING filter
+    # both consume them — one copy, not a double lineitem scan
+    vals = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("v_p", alias_name="v")) \
+        .materialize()
     tot = vals.aggregate(Sum("v", alias_name="t"))
     total = int(tot["t"] or 0)
     if total == 0:
@@ -5871,53 +5886,55 @@ def supplier_part_counts(lineitem_ds, part_ds, supplier_ds, *,
     part-supplier relation is distinct lineitem pairs). ->
     (p_brand, p_type, p_size, supplier_cnt).
 
-    Scale shape: part attributes and the bad-supplier set broadcast
-    (dimension tables); lineitem collapses per batch to distinct
-    annotated (brand, type, size, suppkey) rows, ONE groupby
-    de-dupes pairs globally, and the count collapses per group —
-    nothing bigger than the distinct pair set ever shuffles."""
-    import ray
+    Scale shape: part and supplier scale with sf, so lineitem pairs
+    drop bad-balance suppliers via an auto_join ANTI (broadcast
+    key-set probe while the supplier side fits, shuffle beyond) and
+    pick up part attributes via an auto_join INNER against the
+    pre-filtered part table (the filter doubles as the brand/type/
+    size predicate); batches collapse to distinct annotated
+    (brand, type, size, suppkey) rows, ONE groupby de-dupes pairs
+    globally, and the count collapses per group — nothing bigger
+    than the distinct pair set ever shuffles."""
     from ray.data.aggregate import Sum
 
-    part = part_ds.select_columns(
-        ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
-    part = part[(part["p_brand"] != exclude_brand)
-                & (part["p_type"] != exclude_type)
-                & (part["p_size"].astype(int) <= max_size)]
-    pmap = {int(k): (str(b), str(t), int(s))
-            for k, b, t, s in zip(part["p_partkey"], part["p_brand"],
-                                  part["p_type"], part["p_size"])}
-    sup = supplier_ds.select_columns(
-        ["s_suppkey", "s_acctbal"]).to_pandas()
-    bad = set(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].astype(int))
-    ref = ray.put((pmap, bad))
+    pt = part_ds.map_batches(
+        lambda b: b.filter(pc.and_(pc.and_(
+            pc.not_equal(b.column("p_brand"),
+                         pa.scalar(exclude_brand)),
+            pc.not_equal(b.column("p_type"),
+                         pa.scalar(exclude_type))),
+            pc.less_equal(b.column("p_size"), pa.scalar(max_size))))
+        .select(["p_partkey", "p_brand", "p_type", "p_size"]),
+        batch_format="pyarrow")
+    bad = supplier_ds.map_batches(
+        lambda b: b.filter(pc.less(b.column("s_acctbal"),
+                                   pa.scalar(0.0)))
+        .select(["s_suppkey"]), batch_format="pyarrow")
+
+    li = lineitem_ds.select_columns(["l_partkey", "l_suppkey"])
+    li = auto_join(li, bad, left_on="l_suppkey",
+                   right_on="s_suppkey", right_cols=[], how="anti")
+    li = auto_join(li, pt, left_on="l_partkey", right_on="p_partkey",
+                   right_cols=["p_brand", "p_type", "p_size"],
+                   how="inner")
 
     def annotate(batch: pa.Table) -> pa.Table:
-        pm, bd = ray.get(ref)
-        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
-        keep = np.fromiter(
-            (p in pm and s not in bd for p, s in zip(pk, sk)),
-            dtype=bool, count=len(pk))
-        if not keep.any():
+        if batch.num_rows == 0:
             return pa.table({
                 "p_brand": pa.array([], type=pa.string()),
                 "p_type": pa.array([], type=pa.string()),
                 "p_size": pa.array([], type=pa.int64()),
                 "s_suppkey": pa.array([], type=pa.int64())})
-        pk, sk = pk[keep], sk[keep]
-        attrs = [pm[int(p)] for p in pk]
         return pa.table({
-            "p_brand": pa.array([a[0] for a in attrs]),
-            "p_type": pa.array([a[1] for a in attrs]),
-            "p_size": pa.array([a[2] for a in attrs],
-                               type=pa.int64()),
-            "s_suppkey": pa.array(sk.astype(np.int64)),
+            "p_brand": pc.cast(batch.column("p_brand"), pa.string()),
+            "p_type": pc.cast(batch.column("p_type"), pa.string()),
+            "p_size": pc.cast(batch.column("p_size"), pa.int64()),
+            "s_suppkey": pc.cast(batch.column("l_suppkey"),
+                                 pa.int64()),
         }).group_by(["p_brand", "p_type", "p_size",
                      "s_suppkey"]).aggregate([])
 
-    pairs = lineitem_ds.select_columns(["l_partkey", "l_suppkey"]) \
-        .map_batches(annotate, batch_format="pyarrow") \
+    pairs = li.map_batches(annotate, batch_format="pyarrow") \
         .groupby(["p_brand", "p_type", "p_size", "s_suppkey"]) \
         .count()
 
