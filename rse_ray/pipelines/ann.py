@@ -149,7 +149,9 @@ def train_pq_codebooks(ds, *, m: int = 16, ksub: int = 128,
     m bytes per vector vs 4*d bytes of float32 — 16x compression at
     d=64, m=16 (recall ~0.7 on the near-random fixture embeddings;
     structured real-world embeddings compress far better)."""
-    n = n_rows if n_rows is not None else ds.count()
+    from rse_ray.util import plan_rows
+
+    n = plan_rows(ds, n_rows)
     stride = np.uint64(max(1, -(-int(n) // sample_rows)))
 
     def keep_sample(batch: pa.Table) -> pa.Table:
@@ -577,10 +579,12 @@ def train_ivf_centroids(ds, *, nlist: int = 16, iters: int = 5,
     recipe."""
     import ray  # noqa: F401  (ds is a Ray Dataset)
 
-    # ds.count() is metadata-only for a parquet read but executes a
-    # transformed pipeline; callers with expensive upstream stages pass
-    # n_rows to skip it
-    n = n_rows if n_rows is not None else ds.count()
+    # plan_rows resolves the size from plan metadata / parquet footers
+    # without executing a transformed pipeline; callers can still pass
+    # n_rows to pin it exactly
+    from rse_ray.util import plan_rows
+
+    n = plan_rows(ds, n_rows)
     stride = np.uint64(max(1, -(-int(n) // sample_rows)))
 
     def keep_sample(batch: pa.Table) -> pa.Table:

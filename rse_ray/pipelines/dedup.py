@@ -119,15 +119,14 @@ def minhash_candidate_pairs(ds, *, num_perm=128, num_bands=16, shingle_n=3,
     Python+Arrow overhead on ~|docs|x|bands| near-singleton groups.
     ``num_parts`` defaults to ``parts_for(rows)`` — input-derived, so
     an sf100 corpus fans out past 32 reduce slots; the pair SET is
-    invariant to it (buckets never straddle a part). The default does
-    ``ds.count()`` — metadata-only for a parquet read, but it EXECUTES
-    a transformed pipeline once; pass ``num_parts`` explicitly when
-    ``ds`` carries expensive upstream stages."""
-    from rse_ray.util import clamp_pool, parts_for
+    invariant to it (buckets never straddle a part). The default size
+    probe is ``plan_rows`` — plan metadata / parquet footers, so a
+    transformed input is NOT executed twice for its count."""
+    from rse_ray.util import clamp_pool, parts_for, plan_rows
 
     concurrency = clamp_pool(concurrency)
     if num_parts is None:
-        num_parts = parts_for(ds.count())
+        num_parts = parts_for(plan_rows(ds))
 
     def add_part(batch: pa.Table) -> pa.Table:
         part = pc.cast(
@@ -208,7 +207,7 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, num_perm=128,
     the is_in text filter)."""
     import ray
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     from rse_ray.functions.hashing import exact_jaccard
 
@@ -216,7 +215,7 @@ def minhash_dedup_pairs(ds, *, threshold: float = 0.8, num_perm=128,
                           "doc_b": pd.array([], dtype="int64"),
                           "jaccard": pd.array([], dtype="float64")})
     if num_parts is None:
-        num_parts = parts_for(ds.count())
+        num_parts = parts_for(plan_rows(ds))
     P = num_parts
     raw = minhash_candidate_pairs(
         ds, num_perm=num_perm, num_bands=num_bands, shingle_n=shingle_n,
@@ -507,13 +506,13 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_n: int = 3,
     import zlib
 
     from rse_ray.functions.hashing import shingles
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     if num_blocks is None:
         # B² /2 tasks: keep B modest — ~25k docs per block, capped so
         # the grid stays under ~2k tasks (exact all-pairs is a ground-
         # truth tool, not the scale path)
-        num_blocks = parts_for(ds.count(), rows_per_part=25_000,
+        num_blocks = parts_for(plan_rows(ds), rows_per_part=25_000,
                                min_parts=8, max_parts=64, pow2=False)
 
     def make_sets(batch: pa.Table) -> pa.Table:
@@ -632,8 +631,8 @@ def ngram_jaccard_pairs(ds, *, threshold: float = 0.5, shingle_n: int = 3,
 # duplicate clusters + keep-one-representative (the dedup OUTPUT)
 # --------------------------------------------------------------------------
 
-def _clusters_label_prop(pairs: pd.DataFrame,
-                         num_parts: int | None = None) -> pd.DataFrame:
+def _clusters_label_prop(pairs, num_parts: int | None = None
+                         ) -> pd.DataFrame:
     """Distributed connected components by iterative min-label
     propagation — the fleet-scale form for pair lists too big for one
     process: label(v) <- min(label(v), min label over neighbors),
@@ -642,33 +641,76 @@ def _clusters_label_prop(pairs: pd.DataFrame,
     the driver holds only iteration control and the converged (node,
     label) table. Converges in O(component diameter) rounds; the label
     sum is monotone nonincreasing, so an unchanged sum witnesses the
-    fixpoint."""
+    fixpoint.
+
+    ``pairs`` is a (doc_a, doc_b) table, EITHER a pandas DataFrame
+    (small verified pair lists) OR a ``ray.data.Dataset`` — the
+    Dataset form never routes the pair list through the driver: edges
+    and initial labels derive per batch (initial labels may repeat a
+    node across batches; the first reduce_min round de-dupes them,
+    since min(l)=n for every copy)."""
     import ray.data as rd
 
     from rse_ray.util import parts_for
 
-    if pairs.empty:
-        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                             "cluster_id": pd.array([], dtype="int64")})
-    a = pairs["doc_a"].to_numpy().astype(np.int64)
-    b = pairs["doc_b"].to_numpy().astype(np.int64)
-    src = np.concatenate([a, b])
-    dst = np.concatenate([b, a])
-    P = num_parts or parts_for(len(src), rows_per_part=100_000,
-                               min_parts=8, max_parts=512)
-    edges_ds = rd.from_arrow(pa.table(
-        {"part": pa.array((src % P).astype(np.int32)),
-         "n": pa.array(src, type=pa.int64()),
-         "l": pa.array(dst, type=pa.int64()),
-         "kind": pa.array(np.ones(len(src), dtype=np.int8))}
-    )).materialize()
-    nodes = np.unique(src)
-    labels_ds = rd.from_arrow(pa.table(
-        {"part": pa.array((nodes % P).astype(np.int32)),
-         "n": pa.array(nodes, type=pa.int64()),
-         "l": pa.array(nodes, type=pa.int64()),
-         "kind": pa.array(np.zeros(len(nodes), dtype=np.int8))}
-    )).materialize()
+    empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                          "cluster_id": pd.array([], dtype="int64")})
+    if isinstance(pairs, pd.DataFrame):
+        if pairs.empty:
+            return empty
+        a = pairs["doc_a"].to_numpy().astype(np.int64)
+        b = pairs["doc_b"].to_numpy().astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        P = num_parts or parts_for(len(src), rows_per_part=100_000,
+                                   min_parts=8, max_parts=512)
+        edges_ds = rd.from_arrow(pa.table(
+            {"part": pa.array((src % P).astype(np.int32)),
+             "n": pa.array(src, type=pa.int64()),
+             "l": pa.array(dst, type=pa.int64()),
+             "kind": pa.array(np.ones(len(src), dtype=np.int8))}
+        )).materialize()
+        nodes = np.unique(src)
+        labels_ds = rd.from_arrow(pa.table(
+            {"part": pa.array((nodes % P).astype(np.int32)),
+             "n": pa.array(nodes, type=pa.int64()),
+             "l": pa.array(nodes, type=pa.int64()),
+             "kind": pa.array(np.zeros(len(nodes), dtype=np.int8))}
+        )).materialize()
+    else:
+        # Dataset of verified pairs: pin once (edge and label branches
+        # both consume it; count() on the pinned copy is metadata)
+        pairs = pairs.materialize()
+        n_pairs = pairs.count()
+        if n_pairs == 0:
+            return empty
+        P = num_parts or parts_for(2 * n_pairs, rows_per_part=100_000,
+                                   min_parts=8, max_parts=512)
+
+        def to_rows(b: pa.Table, kind: int) -> pa.Table:
+            a = b.column("doc_a").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            bb = b.column("doc_b").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            src = np.concatenate([a, bb])
+            if kind == 1:
+                dst = np.concatenate([bb, a])
+            else:
+                src = np.unique(src)  # batch-local; global dedup is
+                dst = src             # round 1's reduce_min
+            return pa.table(
+                {"part": pa.array((src % P).astype(np.int32)),
+                 "n": pa.array(src, type=pa.int64()),
+                 "l": pa.array(dst, type=pa.int64()),
+                 "kind": pa.array(np.full(len(src), kind,
+                                          dtype=np.int8))})
+
+        edges_ds = pairs.map_batches(
+            lambda b: to_rows(b, 1), batch_format="pyarrow"
+        ).materialize()
+        labels_ds = pairs.map_batches(
+            lambda b: to_rows(b, 0), batch_format="pyarrow"
+        ).materialize()
 
     def send(g: pd.DataFrame) -> pa.Table:
         # arrow out: the result unions with arrow-block datasets into
@@ -714,7 +756,7 @@ def _clusters_label_prop(pairs: pd.DataFrame,
     ).reset_index(drop=True)
 
 
-def dup_clusters(ds=None, *, pairs: pd.DataFrame | None = None,
+def dup_clusters(ds=None, *, pairs=None,
                  threshold: float = 0.8, num_perm=128, num_bands=16,
                  shingle_n=3, concurrency: int = 4,
                  method: str = "union_find",
@@ -738,7 +780,11 @@ def dup_clusters(ds=None, *, pairs: pd.DataFrame | None = None,
         (tests/test_pipelines.py asserts equality on the fixtures).
 
     Pass ``pairs`` to reuse an already-computed verified pair list
-    (skips the whole MinHash pipeline)."""
+    (skips the whole MinHash pipeline) — a pandas DataFrame, or a
+    ``ray.data.Dataset`` of (doc_a, doc_b) rows, which the
+    ``label_prop`` branch consumes end-to-end without ever routing
+    the pair list through the driver (``union_find`` is BY DEFINITION
+    single-process and collects a Dataset argument)."""
     if pairs is None:
         pairs = minhash_dedup_pairs(
             ds, threshold=threshold, num_perm=num_perm, num_bands=num_bands,
@@ -748,6 +794,8 @@ def dup_clusters(ds=None, *, pairs: pd.DataFrame | None = None,
         return _clusters_label_prop(pairs, num_parts)
     if method != "union_find":
         raise ValueError(f"unknown method {method!r}")
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -857,10 +905,10 @@ def dup_spans(ds, *, k: int = 25, id_col: str = "doc_id",
     shuffle drops from ~k+24 to 24 bytes/position). Partition fan-out
     is input-derived: ~128 docs (~40k position rows at web page sizes)
     per reduce slot via the shared parts_for rule."""
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     if num_parts is None:
-        num_parts = parts_for(ds.count(), rows_per_part=128)
+        num_parts = parts_for(plan_rows(ds), rows_per_part=128)
     P = np.uint64(num_parts)
     wa = np.array([pow(_DS_BASE_A, k - 1 - j, _DS_MOD) for j in range(k)],
                   dtype=np.uint64)
@@ -1172,10 +1220,10 @@ def fuzzy_pairs(ds, *, col: str = "c_name",
     import pandas as pd
 
     from rse_ray.pipelines.linkgraph import _pr_url_hash
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     P = num_parts if num_parts is not None else \
-        parts_for(ds.count(), rows_per_part=100_000)
+        parts_for(plan_rows(ds), rows_per_part=100_000)
 
     def explode(batch: pa.Table) -> pa.Table:
         vals = batch.column(col).to_pylist()

@@ -399,7 +399,7 @@ def frontier_prep(pages_ds, rules_ds, *, num_parts: int | None = None):
     via ray.put; the wave rank is one hash(host) exchange with a
     per-partition sort + cumcount (no per-host Python)."""
     from rse_ray.pipelines.relational import hash_join
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     cand = extract_links(pages_ds).map_batches(
         lambda b: pa.table({"url": b.column("dst_url")}),
@@ -413,7 +413,7 @@ def frontier_prep(pages_ds, rules_ds, *, num_parts: int | None = None):
         batch_format="pyarrow")
 
     P = num_parts if num_parts is not None else \
-        parts_for(pages_ds.count(), rows_per_part=200_000)
+        parts_for(plan_rows(pages_ds), rows_per_part=200_000)
 
     def tag(batch: pa.Table) -> pa.Table:
         from urllib.parse import urlsplit
@@ -597,7 +597,7 @@ def _pagerank_dataset(links_ds, *, iters: int, damping: float,
     import pyarrow.compute as pc
 
     from rse_ray.pipelines.relational import hash_join
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     links = links_ds.map_batches(
         lambda b: pa.table({"src": b.column(src_col),
@@ -606,7 +606,7 @@ def _pagerank_dataset(links_ds, *, iters: int, damping: float,
     # one shared fan-out for every join/groupby in the loop, derived
     # from the edge count ONCE (a per-join count() would add a full
     # pass per iteration)
-    P = parts_for(links.count())
+    P = parts_for(plan_rows(links))
 
     def halves(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1814,9 +1814,9 @@ def related_pages(links_ds, *, src_col: str = "src_url",
     from ray.data.aggregate import Sum
 
     from rse_ray.pipelines.relational import hash_join
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = parts_for(links_ds.count(), rows_per_part=200_000)
+    P = parts_for(plan_rows(links_ds), rows_per_part=200_000)
 
     def clean(batch: pa.Table) -> pa.Table:
         t = pa.table({"src": batch.column(src_col).cast(pa.string()),
@@ -2384,7 +2384,7 @@ def deterministic_walks(links_ds, *, steps: int = 3,
 
     from rse_ray.pipelines.relational import hash_join
     from rse_ray.pipelines.sketch import _md5_u64
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     edges = links_ds.map_batches(
         lambda b: pa.table(
@@ -2392,7 +2392,7 @@ def deterministic_walks(links_ds, *, steps: int = 3,
              "dst": b.column(dst_col).cast(pa.string())}).drop_null(),
         batch_format="pyarrow").materialize()
     P = num_parts if num_parts is not None else \
-        parts_for(edges.count(), rows_per_part=500_000)
+        parts_for(plan_rows(edges), rows_per_part=500_000)
 
     def parted(batch: pa.Table) -> pa.Table:
         part = (_pr_url_hash(batch.column("src")
@@ -2532,9 +2532,9 @@ def adamic_adar(links_ds, *, src_col: str = "src_url",
     from ray.data.aggregate import Sum
 
     from rse_ray.pipelines.relational import hash_join
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = parts_for(links_ds.count(), rows_per_part=200_000)
+    P = parts_for(plan_rows(links_ds), rows_per_part=200_000)
     SEP = "\x1f"
 
     def clean(batch: pa.Table) -> pa.Table:
@@ -2688,9 +2688,9 @@ def jaccard_links(links_ds, *, src_col: str = "src_url",
     from ray.data.aggregate import Sum
 
     from rse_ray.pipelines.relational import auto_join, hash_join
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = parts_for(links_ds.count(), rows_per_part=200_000)
+    P = parts_for(plan_rows(links_ds), rows_per_part=200_000)
     SEP = "\x1f"
 
     def clean(batch: pa.Table) -> pa.Table:

@@ -632,9 +632,9 @@ def asof_join(left_ds, right_ds, *, on: str = "ts", by: str = "user_id",
     if strategy != "partitioned":
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = num_parts if num_parts is not None else parts_for(left_ds.count())
+    P = num_parts if num_parts is not None else parts_for(plan_rows(left_ds))
 
     # union needs ONE schema: left columns + the right-value carrier
     # (rv) + routing columns; right rows null-pad the left-only
@@ -730,7 +730,7 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
     import ray  # noqa: F401
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     if how not in ("inner", "left", "semi", "anti", "outer"):
         raise ValueError(f"how={how!r}")
@@ -755,7 +755,7 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
         # (tested); detection only reshapes the partitioning.
         hot_keys = detect_hot_keys(left_ds, left_on)
 
-    P = num_parts if num_parts is not None else parts_for(left_ds.count())
+    P = num_parts if num_parts is not None else parts_for(plan_rows(left_ds))
 
     left_schema = left_ds.schema()
     left_cols = list(left_schema.names)
@@ -1238,9 +1238,9 @@ def sessionize(events_ds, *, by: str = "user_id", ts_col: str = "ts",
     which never exceeds the gap), so the result is deterministic
     regardless of shuffle arrival order.
     """
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = num_parts if num_parts is not None else parts_for(events_ds.count())
+    P = num_parts if num_parts is not None else parts_for(plan_rows(events_ds))
     gap = np.timedelta64(gap_minutes * 60_000_000, "us")
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -1681,12 +1681,12 @@ def snapshot_diff(old_ds, new_ds, *, key: str = "doc_id",
     materialization; fan-out is input-derived via parts_for."""
     import hashlib
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     if num_parts is None:
         # one count pass, not two: snapshots are the same table across
         # a refresh, so 2x the old side sizes the exchange fine
-        num_parts = parts_for(2 * old_ds.count())
+        num_parts = parts_for(2 * plan_rows(old_ds))
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -2010,10 +2010,10 @@ def interval_join(rows_ds, intervals_ds, *, key: str = "user_id",
     ``num_parts`` defaults to ``parts_for(rows)`` — input-derived (the
     round-2 rule: never a fixed 32); pass it explicitly when the row
     side is a transformed pipeline whose count() re-executes work."""
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     if num_parts is None:
-        num_parts = parts_for(rows_ds.count())
+        num_parts = parts_for(plan_rows(rows_ds))
 
     def tag(is_interval: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -2252,12 +2252,12 @@ def funnel_counts(events_ds, *, steps: tuple = ("view", "click", "purchase"),
 
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     step_list = list(steps)
     n_steps = len(step_list)
 
-    P = parts_for(events_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(events_ds), rows_per_part=500_000)
 
     def prune(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch.column(type_col),
@@ -2338,9 +2338,9 @@ def event_transitions(events_ds, *, ts_col: str = "ts",
 
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = parts_for(events_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(events_ds), rows_per_part=500_000)
 
     def prune(batch: pa.Table) -> pa.Table:
         t = pa.table({"u": batch.column(user_col),
@@ -2462,9 +2462,9 @@ def weekly_churn(events_ds, *, ts_col: str = "ts",
     import pandas as pd
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = parts_for(events_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(events_ds), rows_per_part=500_000)
 
     def prune(batch: pa.Table) -> pa.Table:
         t = pa.table({"u": batch.column(user_col),
@@ -2528,9 +2528,9 @@ def retention_cohorts(events_ds, *, ts_col: str = "ts",
 
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = parts_for(events_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(events_ds), rows_per_part=500_000)
 
     def prune(batch: pa.Table) -> pa.Table:
         t = pa.table({"u": batch.column(user_col),
@@ -2597,9 +2597,9 @@ def event_paths(events_ds, *, first_k: int = 5,
 
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = parts_for(events_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(events_ds), rows_per_part=500_000)
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pa.table({
@@ -2750,9 +2750,9 @@ def rolling_time_window(events_ds, *, hours: int = 24,
     Python, no O(n x window) rescan."""
     import pandas as pd
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = parts_for(events_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(events_ds), rows_per_part=500_000)
     delta = np.timedelta64(hours, "h")
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -3064,10 +3064,10 @@ def market_basket(lineitem_ds, *, min_pair: int = 2,
     swap the broadcast for the repo's hash_join."""
     import ray
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     P = num_parts if num_parts is not None else \
-        parts_for(lineitem_ds.count(), rows_per_part=500_000)
+        parts_for(plan_rows(lineitem_ds), rows_per_part=500_000)
 
     def clean(batch: pa.Table) -> pa.Table:
         t = batch.select(["l_orderkey", "l_partkey"]) \
@@ -3438,13 +3438,13 @@ def shipping_priority(customer_ds, orders_ds, lineitem_ds, *,
     reduce of blocks x k rows."""
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     cut = np.datetime64(cutoff, "us")
     # input-derived partition count from the cheap metadata row count
     # (hash_join's internal default would count() the lazy FILTER
     # chain, re-executing it)
-    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(lineitem_ds), rows_per_part=500_000)
 
     cust = customer_ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("c_mktsegment"), segment))
@@ -3886,11 +3886,11 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
     import ray
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
-    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(lineitem_ds), rows_per_part=500_000)
 
     nat = nation_ds.to_pandas()
     reg = region_ds.to_pandas()
@@ -4043,9 +4043,9 @@ def small_quantity_revenue(lineitem_ds):
     broadcast); the revenue partial pre-aggregates per batch."""
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(lineitem_ds), rows_per_part=500_000)
 
     def qpart(batch: pa.Table) -> pa.Table:
         g = batch.select(["l_partkey", "l_quantity"]) \
@@ -4254,11 +4254,11 @@ def returned_item_revenue(customer_ds, orders_ds, lineitem_ds,
     import ray
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
-    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(lineitem_ds), rows_per_part=500_000)
 
     nat = nation_ds.to_pandas()
     nation_name = {int(a): b for a, b in zip(nat["n_nationkey"],
@@ -4625,7 +4625,7 @@ def rfm_segments(events_ds, *, tiles: int = 4):
     tiles^3-sized."""
     from ray.data.aggregate import Count, Max, Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     per_user = events_ds.select_columns(["user_id", "ts", "value"]) \
         .groupby("user_id").aggregate(
@@ -4650,7 +4650,7 @@ def rfm_segments(events_ds, *, tiles: int = 4):
 
     u = per_user.map_batches(prep, batch_format="pyarrow") \
         .materialize()
-    P = parts_for(u.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(u), rows_per_part=500_000)
 
     r = ntile_rank(u, order="recency_days", key="user_id", n=tiles,
                    descending=False).map_batches(
@@ -4723,12 +4723,12 @@ def late_shipment_priority(orders_ds, lineitem_ds, *,
     final 5-row groupby."""
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
     grace_us = np.int64(grace_days) * 86_400_000_000
-    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(lineitem_ds), rows_per_part=500_000)
 
     orders = orders_ds.map_batches(
         lambda b: b.filter(pc.and_(
@@ -4802,11 +4802,11 @@ def priority_line_counts(lineitem_ds, orders_ds, *,
     groupby moves a handful of rows."""
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
-    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(lineitem_ds), rows_per_part=500_000)
 
     li = lineitem_ds.map_batches(
         lambda b: b.filter(pc.and_(
@@ -4869,9 +4869,9 @@ def customer_order_distribution(customer_ds, orders_ds):
     last groupby sees ~tens of distinct counts."""
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = parts_for(customer_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(customer_ds), rows_per_part=500_000)
 
     def count_partial(batch: pa.Table) -> pa.Table:
         g = batch.select(["o_custkey"]).group_by(["o_custkey"]) \
@@ -4928,9 +4928,9 @@ def large_volume_customers(customer_ds, orders_ds, lineitem_ds, *,
     import ray
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(lineitem_ds), rows_per_part=500_000)
 
     def qty_partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["l_orderkey"]).aggregate(
@@ -5004,9 +5004,9 @@ def idle_rich_customers(customer_ds, orders_ds, *,
     groupby."""
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = parts_for(customer_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(customer_ds), rows_per_part=500_000)
 
     def bal_partial(batch: pa.Table) -> pa.Table:
         pos = batch.filter(pc.greater(batch.column("c_acctbal"),
@@ -5085,11 +5085,11 @@ def nation_trade_volume(customer_ds, orders_ds, lineitem_ds,
     import ray
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
-    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(lineitem_ds), rows_per_part=500_000)
 
     nat = nation_ds.to_pandas()
     name_of = {int(a): str(b) for a, b in zip(nat["n_nationkey"],
@@ -5353,11 +5353,11 @@ def market_share(customer_ds, orders_ds, lineitem_ds, supplier_ds,
     import ray
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
-    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(lineitem_ds), rows_per_part=500_000)
 
     nat = nation_ds.to_pandas()
     reg = region_ds.to_pandas()
@@ -5496,9 +5496,9 @@ def product_profit(orders_ds, lineitem_ds, supplier_ds, nation_ds,
     cells per batch."""
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
-    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(lineitem_ds), rows_per_part=500_000)
 
     nat = nation_ds.to_pandas()
     name_of = {int(a): str(b) for a, b in zip(nat["n_nationkey"],
@@ -5594,10 +5594,10 @@ def waiting_suppliers(supplier_ds, orders_ds, lineitem_ds, *,
     name attach + top-k."""
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     grace_us = np.int64(grace_days) * 86_400_000_000
-    P = parts_for(lineitem_ds.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(lineitem_ds), rows_per_part=500_000)
 
     orders = orders_ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("o_orderstatus"),
@@ -6229,7 +6229,7 @@ def spearman_corr(lineitem_ds, *, x_col: str = "l_quantity",
     yrank_ds = ray.data.from_pandas(
         pd.DataFrame({"y": yr["value"],
                       "ry": yr["r"].to_numpy() - mean}))
-    P = parts_for(pairs.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(pairs), rows_per_part=500_000)
     j = auto_join(pairs, yrank_ds, left_on="y", right_on="y",
                   right_cols=["ry"], how="inner", num_parts=P)
 

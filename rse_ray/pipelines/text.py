@@ -3639,7 +3639,7 @@ def source_overlap_matrix(ds, *, n: int = 3):
     from ray.data.aggregate import Sum
 
     from rse_ray.pipelines.relational import hash_join
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     def explode(batch: pa.Table) -> pa.Table:
         srcs = batch.column("source").to_pylist()
@@ -3659,7 +3659,7 @@ def source_overlap_matrix(ds, *, n: int = 3):
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     dist = exploded.groupby(["shingle", "source"]).count() \
         .drop_columns(["count()"]).materialize()
-    P = parts_for(dist.count(), rows_per_part=500_000)
+    P = parts_for(plan_rows(dist), rows_per_part=500_000)
     right = dist.map_batches(
         lambda b: b.rename_columns(["sh2", "source_b"]),
         batch_format="pyarrow")

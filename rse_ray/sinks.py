@@ -69,7 +69,7 @@ def write_partitioned(ds, out_dir: str, *, key: str,
     """
     import ray.data
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     os.makedirs(out_dir, exist_ok=True)
     man = PartitionManifests(out_dir)
@@ -79,7 +79,7 @@ def write_partitioned(ds, out_dir: str, *, key: str,
         return {**prior, "written": 0,
                 "skipped": int(prior["partitions"])}
 
-    P = num_parts if num_parts is not None else parts_for(ds.count())
+    P = num_parts if num_parts is not None else parts_for(plan_rows(ds))
     done = sorted(int(k) for k in
                   (m["partition"] for m in man.load_all()))
     done_arr = np.array(done, dtype=np.int64)

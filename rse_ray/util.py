@@ -20,6 +20,62 @@ def parts_for(n_rows: int, *, rows_per_part: int = 50_000,
     return min(want, max_parts)
 
 
+def plan_rows(ds, n_rows: int | None = None) -> int:
+    """Row count for SHUFFLE PLANNING (``parts_for`` inputs) without
+    executing a lazily-transformed pipeline twice (round-3 VERDICT:
+    ``num_parts=None -> parts_for(ds.count())`` re-ran the whole
+    upstream map once for the count and again for the real consume).
+
+    Resolution order: an explicit ``n_rows`` wins; then Ray's plan
+    metadata count (free for reads / from_pandas / materialized
+    datasets); then the source parquet FOOTERS via ``input_files()``
+    (an upper bound when upstream filters drop rows — fine, fan-out
+    only needs the order of magnitude and parts_for clamps); only if
+    all of those fail does it fall back to ``ds.count()``, which
+    executes. Callers chaining expensive upstream maps over non-file
+    sources should thread ``n_rows``."""
+    if n_rows is not None:
+        return int(n_rows)
+    try:
+        c = ds._meta_count()
+    except Exception:  # internal API; any change degrades gracefully
+        c = None
+    if c is not None:
+        return int(c)
+    total = _read_leaf_rows(ds)
+    if total is not None:
+        return total
+    return ds.count()
+
+
+def _read_leaf_rows(ds) -> int | None:
+    """Sum the prefetched parquet-footer row counts of every Read leaf
+    in the dataset's logical plan (Ray's ParquetDatasource caches
+    fragment metadata at read_parquet() time, so this is zero-I/O).
+    Returns None when any leaf is not a metadata-bearing parquet read
+    — the caller then decides whether counting is worth an execution."""
+    try:
+        stack, total = [ds._logical_plan.dag], 0
+        while stack:
+            op = stack.pop()
+            deps = op.input_dependencies
+            if deps:
+                stack.extend(deps)
+                continue
+            metas = getattr(getattr(op, "_datasource", None),
+                            "_metadata", None)
+            if not metas:
+                return None
+            for m in metas:
+                nr = getattr(m, "num_rows", None)
+                if nr is None:
+                    return None
+                total += int(nr)
+        return total
+    except Exception:
+        return None
+
+
 def distinct_ints(ds, cols, *, dtype="int64"):
     """Distinct values across integer column(s) WITHOUT
     Dataset.unique(): Ray's Unique aggregate merge intermittently dies
