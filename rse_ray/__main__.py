@@ -87,6 +87,15 @@ def _cmd_search(args) -> dict:
     return {"query": args.query, "k": args.k, "hits": hits_with_urls}
 
 
+def _cmd_serve(args) -> dict:
+    from rse_ray.serve import serve
+
+    serve(args.index_dir, host=args.host, port=args.port,
+          num_actors=args.num_actors, accumulators=args.accumulators,
+          warmup=args.warmup, driver=args.driver)
+    return {"stopped": True}
+
+
 def _add_build_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--input", required=True,
                    help="parquet path/dir of pages (url, warc_ts, html|text)")
@@ -127,6 +136,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--warmup", type=int, default=0, metavar="TOP_N",
                    help="prefetch the TOP_N highest-df terms before querying")
     s.set_defaults(fn=_cmd_search)
+
+    v = sub.add_parser(
+        "serve", help="HTTP GET /search?q= over a warm searcher "
+        "(the reference's api/main.go face)")
+    v.add_argument("--index-dir", required=True)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8080)
+    v.add_argument("--num-actors", type=int, default=4)
+    v.add_argument("--accumulators", type=int, default=0)
+    v.add_argument("--warmup", type=int, default=0, metavar="TOP_N")
+    v.add_argument("--driver", action="store_true",
+                   help="one in-process Searcher instead of the "
+                   "actor pool")
+    v.set_defaults(fn=_cmd_serve)
 
     args = ap.parse_args(argv)
     owns = _ray_session()
