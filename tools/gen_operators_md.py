@@ -15,14 +15,36 @@ def main():
 
     qs = e.queries()
     oracled = set(qs) & set(e.oracle_sql())
+    def imports_of(s: str):
+        # both import forms: bare names and parenthesized multi-line
+        m = re.search(
+            r"from (rse_ray[\w.]*) import (?:\(([^)]*)\)|([\w, ]+))", s)
+        if not m:
+            return None
+        return m.group(1), " ".join((m.group(2) or m.group(3)).split())
+
     rows = []
     for name, fn in qs.items():
         try:
             s = inspect.getsource(fn)
         except (OSError, TypeError):
             s = ""
-        m = re.search(r"from (rse_ray[\w.]*) import ([\w, ]+)", s)
-        mod, funcs = (m.group(1), m.group(2).strip()) if m else ("", "")
+        got = imports_of(s)
+        if got is None:
+            # the pipeline import may live in a shared module-level
+            # helper (e.g. the memoized minhash pair list) — follow
+            # every entry-module helper the query body calls, one level
+            for helper in re.findall(r"\b(_[a-z][\w]*)\(", s):
+                h = getattr(e, helper, None)
+                if h is None or not callable(h):
+                    continue
+                try:
+                    got = imports_of(inspect.getsource(h))
+                except (OSError, TypeError):
+                    got = None
+                if got:
+                    break
+        mod, funcs = got if got else ("", "")
         rows.append((name, mod, funcs))
     lines = [
         "# OPERATORS.md — queries() inventory (auto-generated)", "",
