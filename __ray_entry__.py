@@ -2709,7 +2709,7 @@ def _q_reference_relevance(sf_dir: str):
 
 
 LINKGRAPH_DIR = "/tmp/rse_ray_cache/linkgraph_pages_2000_i"  # i: +DDL-wide rows
-MEDIA_DIR = "/tmp/rse_ray_cache/media_real_v3_96"  # v3: +RMS goldens
+MEDIA_DIR = "/tmp/rse_ray_cache/media_real_v4_96"  # v4: +JPEG rows
 
 
 def _linkgraph_corpus() -> str:
@@ -3469,7 +3469,7 @@ def _q_media_features(sf_dir: str):
     return _finalize(media_features(ds, backend="real"))
 
 
-PHASH_DIR = "/tmp/rse_ray_cache/phash_v1_48"
+PHASH_DIR = "/tmp/rse_ray_cache/phash_v2_48"  # v2: +JPEG bases
 PHASH_MAX_HAMMING = 3
 
 

@@ -205,12 +205,16 @@ def decode_png(buf: bytes) -> np.ndarray:
 
 def decode_image(buf: bytes) -> np.ndarray:
     """Image bytes -> (h, w, 3) uint8 RGB, dispatched on the container
-    magic (BMP ``BM`` / PNG signature)."""
+    magic (BMP ``BM`` / PNG signature / JPEG SOI)."""
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
-    raise ValueError("unrecognized image container (need BMP or PNG)")
+    if buf[:2] == b"\xFF\xD8":
+        from rse_ray.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
+    raise ValueError("unrecognized image container (need BMP/PNG/JPEG)")
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:

@@ -6,15 +6,19 @@ The container has no media libraries (no PIL/ffmpeg/torchvision).
 Two decode paths exist:
 
   * ``backend="real"`` — an actual decode with pure numpy + stdlib
-    zlib (functions/media.py): 24-bit BMP and compressed 8-bit RGB
-    PNG images (dispatched on container magic) and PCM s16 WAV audio.
-    Bytes go in, pixel/sample arrays come out, and the features are
-    computed from the decoded arrays; a golden features parquet
-    written by the GENERATOR (from the raw arrays, pre-encode)
-    oracles the full encode->ship->decode->feature round trip.
+    zlib (functions/media.py + functions/jpeg.py): 24-bit BMP,
+    compressed 8-bit RGB PNG, and baseline-sequential JPEG images
+    (dispatched on container magic) and PCM s16 WAV audio. Bytes go
+    in, pixel/sample arrays come out, and the features are computed
+    from the decoded arrays; a golden features parquet written by
+    the GENERATOR (from the raw arrays pre-encode — for the lossy
+    JPEG rows, from ``jpeg_reference_pixels``, the mathematically
+    defined quant->dequant->IDCT reconstruction computed before any
+    bytes exist) oracles the full encode->ship->decode->feature
+    round trip bit-exactly.
   * ``backend="stub"`` — a deterministic fake decode (byte histogram)
     standing in for formats whose codecs aren't in the container
-    (JPEG/MP3/H.264); exercised for plumbing tests.
+    (MP3/H.264); exercised for plumbing tests.
 
 Video decode remains stubbed (no pure-numpy container is honest for
 video); its frame-sample plumbing runs through the stub path.
@@ -316,14 +320,19 @@ def write_phash_fixture(out_dir: str, *, n_base: int = 48,
         out_dir/golden_phash.parquet  pHash computed from the RAW
                                       pixels BEFORE encoding
 
-    Golden hashes never see the codec, so matching them proves the
-    decode path; the planted pairs give the dup-pair query a
-    non-empty, fully characterized answer. Idempotent via _DONE."""
+    Golden hashes never see the codec's serialization, so matching
+    them proves the decode path; the planted pairs give the dup-pair
+    query a non-empty, fully characterized answer. Bases at
+    ``i % 4 == 3`` (never pair bases — pairs plant at ``i % 4 == 0``)
+    ship as lossy baseline JPEG, whose golden phash derives from the
+    pre-encode ``jpeg_reference_pixels`` reconstruction (the decoder
+    must land on it bit-exactly). Idempotent via _DONE."""
     import json as _json
     import os
 
     import pyarrow.parquet as pq
 
+    from rse_ray.functions.jpeg import encode_jpeg, jpeg_reference_pixels
     from rse_ray.functions.media import encode_bmp, encode_png, phash64
 
     marker = os.path.join(out_dir, "_DONE.json")
@@ -338,18 +347,24 @@ def write_phash_fixture(out_dir: str, *, n_base: int = 48,
     def emit(mid: int, px: np.ndarray, fmt: str) -> None:
         media["media_id"].append(mid)
         media["kind"].append("image")
-        media["payload"].append(
-            encode_bmp(px) if fmt == "bmp" else encode_png(px))
+        if fmt == "jpeg":
+            media["payload"].append(encode_jpeg(px, quality=75))
+            hash_px = jpeg_reference_pixels(px, 75)
+        else:
+            media["payload"].append(
+                encode_bmp(px) if fmt == "bmp" else encode_png(px))
+            hash_px = px
         media["meta"].append(_json.dumps(
             {"width": px.shape[1], "height": px.shape[0], "format": fmt}))
         golden["media_id"].append(mid)
-        golden["phash"].append(np.int64(np.uint64(phash64(px))))
+        golden["phash"].append(np.int64(np.uint64(phash64(hash_px))))
 
     for i in range(n_base):
         h = int(rng.integers(16, 48))
         w = int(rng.integers(16, 48))
         px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
-        emit(i, px, "bmp" if i % 2 == 0 else "png")
+        emit(i, px, "jpeg" if i % 4 == 3
+             else ("bmp" if i % 2 == 0 else "png"))
         if i % 4 == 0:
             px2 = px.copy()
             px2[:3, :3] = np.minimum(
@@ -390,6 +405,7 @@ def write_real_media_fixture(out_dir: str, *, n: int = 96,
 
     import pyarrow.parquet as pq
 
+    from rse_ray.functions.jpeg import encode_jpeg, jpeg_reference_pixels
     from rse_ray.functions.media import (
         encode_bmp,
         encode_png,
@@ -414,11 +430,24 @@ def write_real_media_fixture(out_dir: str, *, n: int = 96,
             h = int(rng.integers(8, 48))
             w = int(rng.integers(8, 48))
             px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
-            fmt = "bmp" if i % 3 == 0 else "png"
-            payload = encode_bmp(px) if fmt == "bmp" else encode_png(px)
-            feats = value_features(px)
+            # image rows alternate all three real codecs; JPEG is
+            # lossy, so ITS golden features derive from the
+            # pre-serialization reference reconstruction (the
+            # serialization under test is lossless)
+            fmt = ("bmp", "jpeg", "png")[(i // 3 + i) % 3]
+            if fmt == "bmp":
+                payload = encode_bmp(px)
+                feats = value_features(px)
+            elif fmt == "png":
+                payload = encode_png(px)
+                feats = value_features(px)
+            else:
+                payload = encode_jpeg(px, quality=75)
+                feats = value_features(jpeg_reference_pixels(px, 75))
             kind, width, height = "image", w, h
             meta = {"width": w, "height": h, "format": fmt}
+            if fmt == "jpeg":
+                meta["quality"] = 75
         else:
             ns = int(rng.integers(256, 4096))
             samples = rng.integers(-32768, 32768, size=ns).astype(np.int16)

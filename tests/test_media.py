@@ -60,6 +60,72 @@ def test_png_crc_and_magic_rejected():
         decode_png(bytes(buf))
 
 
+def test_jpeg_roundtrip_equals_reference():
+    """The serialization layer is lossless: decode(encode(px)) must be
+    BIT-IDENTICAL to jpeg_reference_pixels (the pre-encode
+    quant->dequant->IDCT reconstruction the fixture goldens use), for
+    non-multiple-of-8 dims (edge-block cropping) and across the
+    quality range."""
+    from rse_ray.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_reference_pixels,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(8, 8), (13, 27), (1, 1), (40, 33), (7, 9)]:
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(px, quality=75))
+        assert got.shape == (h, w, 3)
+        assert np.array_equal(got, jpeg_reference_pixels(px, 75))
+    px = rng.integers(0, 256, size=(24, 16, 3)).astype(np.uint8)
+    for q in (5, 50, 95, 100):
+        assert np.array_equal(decode_jpeg(encode_jpeg(px, q)),
+                              jpeg_reference_pixels(px, q))
+
+
+def test_jpeg_lossy_behavior():
+    """Sanity on the lossy math itself: a smooth gradient survives
+    high quality nearly unchanged; lower quality compresses smaller;
+    reconstruction error grows as quality drops."""
+    from rse_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 64)
+    px = np.stack([np.tile(x, (64, 1))] * 3, axis=-1).astype(np.uint8)
+    hi = decode_jpeg(encode_jpeg(px, 95))
+    err_hi = np.abs(hi.astype(int) - px.astype(int)).mean()
+    assert err_hi < 1.0
+    lo_b, hi_b = encode_jpeg(px, 10), encode_jpeg(px, 95)
+    assert len(lo_b) < len(hi_b)
+    lo = decode_jpeg(lo_b)
+    assert np.abs(lo.astype(int) - px.astype(int)).mean() >= err_hi
+
+
+def test_jpeg_bad_payloads_raise():
+    from rse_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    # progressive SOF2 must be rejected, not mis-decoded
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    buf = bytearray(encode_jpeg(px))
+    sof = bytes(buf).find(b"\xFF\xC0")
+    buf[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(buf))
+
+
+def test_decode_image_dispatch_jpeg():
+    from rse_ray.functions.jpeg import encode_jpeg, \
+        jpeg_reference_pixels
+    from rse_ray.functions.media import decode_image
+
+    px = np.random.default_rng(1).integers(
+        0, 256, size=(12, 20, 3)).astype(np.uint8)
+    assert np.array_equal(decode_image(encode_jpeg(px)),
+                          jpeg_reference_pixels(px))
+
+
 def test_decode_image_dispatch():
     from rse_ray.functions.media import decode_image, encode_bmp, encode_png
 
