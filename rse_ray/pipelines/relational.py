@@ -6144,7 +6144,7 @@ def spearman_corr(lineitem_ds, *, x_col: str = "l_quantity",
     import ray.data
     from ray.data.aggregate import Sum
 
-    from rse_ray.util import parts_for
+    from rse_ray.util import parts_for, plan_rows
 
     src = lineitem_ds.select_columns([x_col, y_col])
 
