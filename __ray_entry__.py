@@ -2709,7 +2709,7 @@ def _q_reference_relevance(sf_dir: str):
 
 
 LINKGRAPH_DIR = "/tmp/rse_ray_cache/linkgraph_pages_2000_i"  # i: +DDL-wide rows
-MEDIA_DIR = "/tmp/rse_ray_cache/media_real_v4_96"  # v4: +JPEG rows
+MEDIA_DIR = "/tmp/rse_ray_cache/media_real_v5_96"  # v5: +transcode golden
 
 
 def _linkgraph_corpus() -> str:
@@ -2754,6 +2754,21 @@ def _media_fixture_dir() -> str:
 
     write_real_media_fixture(MEDIA_DIR, n=96, seed=5)
     return MEDIA_DIR
+
+
+def _q_image_transcode(sf_dir: str):
+    """Corpus normalization: decode BMP/PNG/JPEG payloads, re-encode
+    all of them as baseline JPEG at TRANSCODE_QUALITY; the size/crc
+    report is golden-oracled byte-exactly (generator computed the
+    same transcode pre-write, via jpeg_reference_pixels for the
+    lossy inputs)."""
+    import ray.data
+
+    from rse_ray.pipelines.multimodal import transcode_images
+
+    d = _media_fixture_dir()
+    ds = ray.data.read_parquet(os.path.join(d, "media.parquet"))
+    return _finalize(transcode_images(ds))
 
 
 def _q_link_extract(sf_dir: str):
@@ -4357,6 +4372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reference_rank": _q_reference_rank,
         # multimodal plumbing (stubbed decode kernel)
         "media_features": _q_media_features,
+        "image_transcode": _q_image_transcode,
         "image_phash": _q_image_phash,
         "audio_rms_windows": _q_audio_rms,
         "image_dup_pairs": _q_image_dup_pairs,
@@ -8162,6 +8178,12 @@ SELECT media_id, kind, n_values, v_mean, v_std, v_min, v_max,
        width, height
 FROM read_parquet('{golden}')""".format(
             golden=os.path.join(MEDIA_DIR, "golden_features.parquet")
+        ),
+        # decode->re-encode must land on the pre-write transcode
+        "image_transcode": """
+SELECT media_id, in_fmt, in_bytes, out_bytes, width, height, out_crc32
+FROM read_parquet('{golden}')""".format(
+            golden=os.path.join(MEDIA_DIR, "golden_transcode.parquet")
         ),
         # decode->RMS must reproduce the pre-encode golden frames
         "audio_rms_windows": """

@@ -425,6 +425,9 @@ def write_real_media_fixture(out_dir: str, *, n: int = 96,
               "v_std": [], "v_min": [], "v_max": [], "width": [],
               "height": []}
     grms = {"media_id": [], "frame_idx": [], "rms": []}
+    gtrans = {"media_id": [], "in_fmt": [], "in_bytes": [],
+              "out_bytes": [], "width": [], "height": [],
+              "out_crc32": []}
     for i in range(n):
         if i % 3 != 1:
             h = int(rng.integers(8, 48))
@@ -448,6 +451,20 @@ def write_real_media_fixture(out_dir: str, *, n: int = 96,
             meta = {"width": w, "height": h, "format": fmt}
             if fmt == "jpeg":
                 meta["quality"] = 75
+            # pre-write transcode golden: what a decode->re-encode at
+            # TRANSCODE_QUALITY must produce, byte-exactly (a decoder
+            # of the payload lands on px, or on the JPEG reference
+            # reconstruction for the lossy rows)
+            ref_px = px if fmt != "jpeg" else jpeg_reference_pixels(
+                px, 75)
+            tout = encode_jpeg(ref_px, TRANSCODE_QUALITY)
+            gtrans["media_id"].append(i)
+            gtrans["in_fmt"].append(fmt)
+            gtrans["in_bytes"].append(len(payload))
+            gtrans["out_bytes"].append(len(tout))
+            gtrans["width"].append(w)
+            gtrans["height"].append(h)
+            gtrans["out_crc32"].append(zlib.crc32(tout))
         else:
             ns = int(rng.integers(256, 4096))
             samples = rng.integers(-32768, 32768, size=ns).astype(np.int16)
@@ -501,6 +518,20 @@ def write_real_media_fixture(out_dir: str, *, n: int = 96,
              "rms": pa.array(grms["rms"], type=pa.float64())}
         ),
         os.path.join(out_dir, "golden_rms.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"media_id": pa.array(gtrans["media_id"], type=pa.int64()),
+             "in_fmt": pa.array(gtrans["in_fmt"], type=pa.string()),
+             "in_bytes": pa.array(gtrans["in_bytes"], type=pa.int64()),
+             "out_bytes": pa.array(gtrans["out_bytes"],
+                                   type=pa.int64()),
+             "width": pa.array(gtrans["width"], type=pa.int64()),
+             "height": pa.array(gtrans["height"], type=pa.int64()),
+             "out_crc32": pa.array(gtrans["out_crc32"],
+                                   type=pa.int64())}
+        ),
+        os.path.join(out_dir, "golden_transcode.parquet"),
     )
     meta_out = {"n": n, "seed": seed, "dir": out_dir}
     with open(marker, "w") as f:
@@ -575,6 +606,95 @@ class ImageResizer:
              "width": pa.array(rows["width"], type=pa.int64()),
              "height": pa.array(rows["height"], type=pa.int64())}
         )
+
+
+TRANSCODE_QUALITY = 50  # default target for corpus normalization
+
+
+class ImageTranscoder:
+    """Actor-pool transcode stage: decode ANY supported container
+    (BMP/PNG/baseline JPEG, dispatched on magic) and re-encode as
+    baseline JPEG at ``quality`` — the corpus-normalization op a
+    multimodal training pipeline runs to collapse mixed crawl
+    formats into one storage codec. Emits a size/identity report
+    (media_id, in_fmt, in_bytes, out_bytes, width, height,
+    out_crc32); with ``keep_payload=True`` the transcoded bytes ride
+    along for a downstream sink. Codec kernels bind once per actor.
+
+    Deterministic end-to-end: the fixture generator computes the
+    SAME transcode pre-write (raw pixels -> encode_jpeg; for lossy
+    JPEG inputs via jpeg_reference_pixels first), so out_bytes and
+    out_crc32 oracle the full decode->re-encode path byte-exactly."""
+
+    def __init__(self, quality: int = TRANSCODE_QUALITY,
+                 keep_payload: bool = False) -> None:
+        from rse_ray.functions.jpeg import encode_jpeg
+        from rse_ray.functions.media import decode_image
+
+        self._decode = decode_image
+        self._encode = encode_jpeg
+        self.quality = quality
+        self.keep_payload = keep_payload
+
+    @staticmethod
+    def _fmt(payload: bytes) -> str:
+        if payload[:2] == b"BM":
+            return "bmp"
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return "png"
+        if payload[:2] == b"\xFF\xD8":
+            return "jpeg"
+        return "unknown"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        rows = {"media_id": [], "in_fmt": [], "in_bytes": [],
+                "out_bytes": [], "width": [], "height": [],
+                "out_crc32": [], "payload": []}
+        for mid, kind, payload in zip(ids, kinds, payloads):
+            if kind != "image":
+                continue
+            px = self._decode(payload)
+            out = self._encode(px, self.quality)
+            rows["media_id"].append(int(mid))
+            rows["in_fmt"].append(self._fmt(payload))
+            rows["in_bytes"].append(len(payload))
+            rows["out_bytes"].append(len(out))
+            rows["width"].append(px.shape[1])
+            rows["height"].append(px.shape[0])
+            rows["out_crc32"].append(zlib.crc32(out))
+            if self.keep_payload:
+                rows["payload"].append(out)
+        cols = {
+            "media_id": pa.array(rows["media_id"], type=pa.int64()),
+            "in_fmt": pa.array(rows["in_fmt"], type=pa.string()),
+            "in_bytes": pa.array(rows["in_bytes"], type=pa.int64()),
+            "out_bytes": pa.array(rows["out_bytes"], type=pa.int64()),
+            "width": pa.array(rows["width"], type=pa.int64()),
+            "height": pa.array(rows["height"], type=pa.int64()),
+            "out_crc32": pa.array(rows["out_crc32"], type=pa.int64()),
+        }
+        if self.keep_payload:
+            cols["payload"] = pa.array(rows["payload"],
+                                       type=pa.binary())
+        return pa.table(cols)
+
+
+def transcode_images(ds, *, quality: int = TRANSCODE_QUALITY,
+                     keep_payload: bool = False,
+                     concurrency: int = 2, batch_size: int = 32):
+    """media table -> per-image transcode report (and optionally the
+    JPEG payloads): normalize a mixed BMP/PNG/JPEG corpus to one
+    codec. Small batch_size: payloads drive block size."""
+    from rse_ray.util import clamp_pool
+
+    return ds.map_batches(
+        ImageTranscoder, batch_format="pyarrow",
+        fn_constructor_kwargs={"quality": quality,
+                               "keep_payload": keep_payload},
+        batch_size=batch_size, concurrency=clamp_pool(concurrency))
 
 
 class VideoFrameSampler:

@@ -304,6 +304,40 @@ def test_image_phash_pipeline_matches_golden(ray_session, tmp_path):
         {(1000 + i, i) for i in range(0, 16, 4)}
 
 
+def test_transcode_images_matches_golden(ray_session, tmp_path):
+    """Decode->re-encode-as-JPEG reproduces the generator's pre-write
+    transcode report byte-exactly (sizes AND crc32), and the
+    keep_payload variant emits payloads that decode back to exactly
+    what a reference reconstruction of the report row promises."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rse_ray.functions.jpeg import decode_jpeg
+    from rse_ray.pipelines.multimodal import (
+        transcode_images,
+        write_real_media_fixture,
+    )
+
+    d = str(tmp_path / "media_fx")
+    write_real_media_fixture(d, n=24, seed=5)
+    ds = ray.data.read_parquet(os.path.join(d, "media.parquet"))
+    got = transcode_images(ds).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    want = pq.read_table(os.path.join(d, "golden_transcode.parquet")) \
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert got.equals(want[got.columns.tolist()])
+    assert set(got["in_fmt"]) == {"bmp", "png", "jpeg"}
+    # every output is smaller codec-normalized JPEG; payloads decode
+    with_payload = transcode_images(
+        ds, keep_payload=True).to_pandas()
+    for _, r in with_payload.iterrows():
+        px = decode_jpeg(bytes(r["payload"]))
+        assert px.shape == (r["height"], r["width"], 3)
+        assert len(r["payload"]) == r["out_bytes"]
+
+
 def test_audio_rms_windows(ray_session, tmp_path):
     """Framewise RMS: decode reproduces pre-encode goldens; the frame
     count follows the (len - frame) // hop + 1 contract and a
