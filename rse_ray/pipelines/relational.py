@@ -5705,12 +5705,14 @@ def min_cost_supplier(part_ds, supplier_ds, lineitem_ds, nation_ds,
                                               nat_in["n_name"])}
     nkeys = pa.array(sorted(name_of), type=pa.int64())
 
+    # pinned: the semi-join key probe AND the final name attach both
+    # consume this filtered projection — one scan of supplier, not two
     sup_in = supplier_ds.map_batches(
         lambda b: b.filter(pc.is_in(
             pc.cast(b.column("s_nationkey"), pa.int64()),
             value_set=nkeys))
         .select(["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     parts = part_ds.map_batches(
         lambda b: b.filter(pc.and_(
             pc.less_equal(b.column("p_size"), pa.scalar(max_size)),
@@ -5741,22 +5743,17 @@ def min_cost_supplier(part_ds, supplier_ds, lineitem_ds, nation_ds,
             [("cost", "min")])
         return g.rename_columns(["p_partkey", "s_suppkey", "c_p"])
 
-    # pin the pair table: the per-part-min branch and the equality
-    # join both consume it — one object-store copy instead of a
-    # double execution of the lineitem scan
     offers = li.map_batches(offer_partial, batch_format="pyarrow") \
         .groupby(["p_partkey", "s_suppkey"]) \
-        .aggregate(Min("c_p", alias_name="cost")).materialize()
-    best = offers.groupby("p_partkey") \
-        .aggregate(Min("cost", alias_name="best")) \
-        .map_batches(lambda b: b.rename_columns(["bk", "best"]),
-                     batch_format="pyarrow")
-    win = auto_join(offers, best, left_on="p_partkey",
-                    right_on="bk", right_cols=["best"], how="inner")
-    win = win.map_batches(
-        lambda b: b.filter(pc.equal(b.column("cost"),
-                                    b.column("best")))
-        .drop_columns(["best"]), batch_format="pyarrow")
+        .aggregate(Min("c_p", alias_name="cost"))
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        # the correlated per-part MIN + equality selection in one
+        # in-group step (one exchange, no offers re-execution)
+        return g[g["cost"] == g["cost"].min()]
+
+    win = offers.groupby("p_partkey").map_groups(
+        keep_min, batch_format="pandas")
     win = auto_join(win, sup_in, left_on="s_suppkey",
                     right_on="s_suppkey",
                     right_cols=["s_name", "s_acctbal", "s_nationkey"],
