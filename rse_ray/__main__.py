@@ -87,6 +87,19 @@ def _cmd_search(args) -> dict:
     return {"query": args.query, "k": args.k, "hits": hits_with_urls}
 
 
+def _cmd_compact(args) -> dict:
+    from rse_ray.pipelines.build import compact_index
+
+    return compact_index(args.index_dir, _cfg_from_args(args))
+
+
+def _cmd_delete(args) -> dict:
+    from rse_ray.pipelines.search import delete_urls
+
+    n = delete_urls(args.index_dir, args.url)
+    return {"index_dir": args.index_dir, "tombstoned": n}
+
+
 def _cmd_serve(args) -> dict:
     from rse_ray.serve import serve
 
@@ -96,9 +109,12 @@ def _cmd_serve(args) -> dict:
     return {"stopped": True}
 
 
-def _add_build_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--input", required=True,
-                   help="parquet path/dir of pages (url, warc_ts, html|text)")
+def _add_build_args(p: argparse.ArgumentParser,
+                    with_input: bool = True) -> None:
+    if with_input:
+        p.add_argument(
+            "--input", required=True,
+            help="parquet path/dir of pages (url, warc_ts, html|text)")
     p.add_argument("--index-dir", required=True)
     p.add_argument("--num-buckets", type=int, default=128,
                    help="doc partitions; scale ~rows/6250 (BASELINE.md)")
@@ -136,6 +152,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--warmup", type=int, default=0, metavar="TOP_N",
                    help="prefetch the TOP_N highest-df terms before querying")
     s.set_defaults(fn=_cmd_search)
+
+    dl = sub.add_parser(
+        "delete", help="tombstone urls (masked at query time; run "
+        "compact to expunge)")
+    dl.add_argument("--index-dir", required=True)
+    dl.add_argument("--url", action="append", required=True,
+                    help="repeatable")
+    dl.set_defaults(fn=_cmd_delete)
+
+    c = sub.add_parser(
+        "compact", help="expunge tombstones: incremental re-index of "
+        "only the affected buckets (cfg flags must match the build)")
+    _add_build_args(c, with_input=False)
+    c.set_defaults(fn=_cmd_compact)
 
     v = sub.add_parser(
         "serve", help="HTTP GET /search?q= over a warm searcher "

@@ -55,7 +55,8 @@ class MediaDecoder:
         if backend not in ("stub",):
             raise NotImplementedError(
                 "MediaDecoder is the stub path; use RealMediaDecoder / "
-                "media_features(backend='real') for BMP/WAV decode"
+                "media_features(backend='real') for BMP/PNG/JPEG/WAV "
+                "decode"
             )
         self.feature_dim = feature_dim
         # stand-in for model load: a fixed projection matrix
@@ -388,9 +389,10 @@ def write_phash_fixture(out_dir: str, *, n_base: int = 48,
 
 def write_real_media_fixture(out_dir: str, *, n: int = 96,
                              seed: int = 5) -> dict:
-    """Deterministic REAL media corpus: BMP + PNG images and WAV audio
-    whose payloads are actual encoded containers (rows cycle
-    BMP/WAV/PNG). Writes
+    """Deterministic REAL media corpus: BMP + PNG + baseline-JPEG
+    images and WAV audio whose payloads are actual encoded containers
+    (every third row is audio; image rows cycle the three codecs).
+    Writes
 
         out_dir/media.parquet            (media_id, kind, payload, meta)
         out_dir/golden_features.parquet  features computed from the RAW
