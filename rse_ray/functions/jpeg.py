@@ -198,7 +198,15 @@ def _quantize_planes(px: np.ndarray, quality: int = 75):
         blocks = _blockify(ycc[c] - 128.0)
         f = np.einsum("ij,abjk,lk->abil", _D, blocks, _D)
         q = qt[0] if c == 0 else qt[1]
-        coeffs.append(np.round(f / q).astype(np.int32))
+        # clamp ACs into Huffman size<=10 territory: the orthonormal
+        # DCT of [-128,127] bounds |coef| at ~1025, a hair over the
+        # 1023 a 10-bit magnitude code carries (standard AC tables
+        # stop at size 10). Reachable only by a +-full-range
+        # checkerboard at quality>=99; the clamp keeps encode total
+        # instead of KeyError-ing on that corner. DC diffs (size<=11,
+        # +-2047) are always in range.
+        coeffs.append(np.clip(np.round(f / q), -1023,
+                              1023).astype(np.int32))
     return coeffs, qt, h, w
 
 

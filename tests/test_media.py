@@ -101,6 +101,30 @@ def test_jpeg_lossy_behavior():
     assert np.abs(lo.astype(int) - px.astype(int)).mean() >= err_hi
 
 
+def test_jpeg_worst_case_coefficients():
+    """Max-energy high-frequency blocks (checkerboards/stripes) at
+    quality 100 push quantized ACs toward the 10-bit Huffman magnitude
+    ceiling — the encoder must stay total and exactly reproducible."""
+    from rse_ray.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_reference_pixels,
+    )
+
+    for pat in range(3):
+        px = np.zeros((8, 8, 3), dtype=np.uint8)
+        if pat == 0:
+            px[::2, ::2] = 255
+            px[1::2, 1::2] = 255
+        elif pat == 1:
+            px[:, ::2] = 255
+        else:
+            px[:4] = 255
+        for q in (100, 99):
+            assert np.array_equal(decode_jpeg(encode_jpeg(px, q)),
+                                  jpeg_reference_pixels(px, q))
+
+
 def test_jpeg_bad_payloads_raise():
     from rse_ray.functions.jpeg import decode_jpeg, encode_jpeg
 
