@@ -2771,6 +2771,25 @@ def _q_image_transcode(sf_dir: str):
     return _finalize(transcode_images(ds))
 
 
+BOILER_DIR = "/tmp/rse_ray_cache/boiler_v1_120"
+
+
+def _q_main_content(sf_dir: str):
+    """Boilerplate removal (jusText-lite) over a planted corpus: the
+    golden main text is the planted content paragraphs by
+    construction — never computed by the extractor."""
+    import ray.data
+
+    from rse_ray.pipelines.text import main_content
+    from rse_ray.sources.fixtures import write_boilerplate_fixture
+
+    write_boilerplate_fixture(BOILER_DIR)
+    ds = ray.data.read_parquet(os.path.join(BOILER_DIR,
+                                            "pages.parquet"))
+    return _finalize(main_content(ds).select_columns(
+        ["url", "main_text", "n_kept"]))
+
+
 def _q_link_extract(sf_dir: str):
     import ray.data
 
@@ -4188,6 +4207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": _q_idle_rich_customers,
         "nation_trade_volume": _q_nation_trade_volume,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
+        "main_content": _q_main_content,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "source_overlap_matrix": _q_source_overlap_matrix,
         "daily_anomalies": _q_daily_anomalies,
@@ -5889,6 +5909,10 @@ SELECT r_tile::BIGINT AS r_tile, f_tile::BIGINT AS f_tile,
 FROM tiles GROUP BY 1, 2, 3""",
         # per-doc-deduped whitespace bigrams of lower(text), kept
         # when seen in >= 3 distinct docs of the same source
+        "main_content": """
+SELECT url, main_text, n_kept FROM read_parquet('{golden}')""".format(
+            golden=os.path.join(BOILER_DIR, "golden_main.parquet")
+        ),
         "boilerplate_ngrams": """
 WITH arr AS (SELECT source, doc_id,
     list_filter(regexp_split_to_array(lower(text), '\\s+'),

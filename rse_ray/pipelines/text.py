@@ -4863,3 +4863,56 @@ def mrf_sd_scores(ds, query: str, *, mu: float = 2000.0,
     return pd.DataFrame({
         "doc_id": agg["doc_id"].astype(np.int64).to_numpy(),
         "score": np.round(agg["raw"].to_numpy(dtype=np.float64), 6)})
+
+
+class _MainContentExtractor:
+    """Actor-pool stage: parse each page's html into text blocks and
+    keep the content ones (functions/maincontent.py — block
+    segmentation at block-tag boundaries, jusText-lite word-count +
+    link-density classification). Parser class binds once per actor;
+    per-page work is one html.parser pass."""
+
+    def __init__(self, min_words: int = 10,
+                 max_link_density: float = 0.4) -> None:
+        from rse_ray.functions.maincontent import extract_main
+
+        self._extract = extract_main
+        self.min_words = min_words
+        self.max_link_density = max_link_density
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        texts, kept, total = [], [], []
+        for h in htmls:
+            t, k, n = self._extract(
+                h, min_words=self.min_words,
+                max_link_density=self.max_link_density)
+            texts.append(t)
+            kept.append(k)
+            total.append(n)
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "main_text": pa.array(texts, type=pa.string()),
+            "n_kept": pa.array(kept, type=pa.int64()),
+            "n_blocks": pa.array(total, type=pa.int64()),
+        })
+
+
+def main_content(ds, *, min_words: int = 10,
+                 max_link_density: float = 0.4,
+                 concurrency: int | None = 4, batch_size: int = 64):
+    """(url, html) pages -> (url, main_text, n_kept, n_blocks):
+    boilerplate removal — the CCNet/jusText step between raw crawl
+    text and a training corpus. The reference extracts the FULL DOM
+    text (crawler.go:262-292); this drops nav/sidebar/footer/link-farm
+    blocks by the published word-count + link-density rules, so the
+    planted-fixture golden oracles it exactly."""
+    from rse_ray.util import clamp_pool
+
+    return ds.map_batches(
+        _MainContentExtractor,
+        fn_constructor_kwargs={"min_words": min_words,
+                               "max_link_density": max_link_density},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=clamp_pool(concurrency))

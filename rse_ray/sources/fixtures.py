@@ -635,3 +635,95 @@ def generate_scc_graph(out_path: str) -> None:
     write_file_atomic(out_path, lambda tmp: _pq.write_table(
         _pa.table({"src_url": _pa.array(src, type=_pa.string()),
                    "dst_url": _pa.array(dst, type=_pa.string())}), tmp))
+
+
+def write_boilerplate_fixture(out_dir: str, *, n: int = 120,
+                              seed: int = 17) -> dict:
+    """Deterministic web-page corpus with PLANTED boilerplate for the
+    main-content extraction operator (functions/maincontent.py):
+    every page carries a nav bar (high link density), a short h1, a
+    sidebar link list, a link-farm div (word-RICH but link-dense —
+    the case word count alone cannot catch), content paragraphs (one
+    with a low-density inline anchor), and a short footer. Writes
+
+        out_dir/pages.parquet       (url, html)
+        out_dir/golden_main.parquet (url, main_text, n_kept)
+
+    The golden main text is the planted content paragraphs BY
+    CONSTRUCTION (the generator knows which blocks are content under
+    the operator's published rules: >=10 words and link density
+    <=0.4) — it never calls the extractor, so the oracle is not
+    circular. Idempotent via a _DONE marker."""
+    import json as _json
+
+    marker = os.path.join(out_dir, "_DONE.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return _json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    vocab = make_vocab(4000, seed)
+    rows = {"url": [], "html": []}
+    golden = {"url": [], "main_text": [], "n_kept": []}
+    for i in range(n):
+        rng = np.random.default_rng(seed * 999_983 + i)
+        url = f"https://content{i % 7}.example/a/{i}"
+
+        def words(k, tag=0):
+            return " ".join(
+                vocab[int(r)] for r in
+                rng.integers(0, len(vocab), size=k))
+
+        nav = "".join(
+            f'<a href="/n/{j}">{words(int(rng.integers(1, 3)))}</a> '
+            for j in range(int(rng.integers(4, 9))))
+        h1 = words(int(rng.integers(2, 6)))
+        sidebar = "".join(
+            f'<li><a href="/s/{j}">{words(2)}</a></li>'
+            for j in range(int(rng.integers(3, 7))))
+        farm = " ".join(
+            f'<a href="/f/{j}">{words(2)}</a>'
+            for j in range(15))
+        paras = []
+        for _p in range(int(rng.integers(2, 5))):
+            paras.append(words(int(rng.integers(12, 40))))
+        # one paragraph gets a low-density inline anchor: the anchor
+        # text IS content (stays in the golden text)
+        a_txt = words(2)
+        head_txt = words(14)
+        paras.append(f"{head_txt} {a_txt} tail")
+        inline = (f'{head_txt} <a href="/x/{i}">{a_txt}</a> tail')
+        footer = f"copyright site{i % 7} 2024 all rights reserved"
+        html = (
+            "<!DOCTYPE html><html><head><title>"
+            + h1 + "</title><style>p{color:#000}</style></head><body>"
+            + f"<header><nav>{nav}</nav></header>"
+            + f"<h1>{h1}</h1>"
+            + f'<div class="side"><ul>{sidebar}</ul></div>'
+            + "<article>"
+            + "".join(f"<p>{p}</p>" for p in paras[:-1])
+            + f"<p>{inline}</p>"
+            + "</article>"
+            + f'<div class="links">{farm}</div>'
+            + f"<footer>{footer}</footer>"
+            + "</body></html>"
+        )
+        rows["url"].append(url)
+        rows["html"].append(html.encode("utf-8"))
+        golden["url"].append(url)
+        golden["main_text"].append("\n".join(paras))
+        golden["n_kept"].append(len(paras))
+    pq.write_table(
+        pa.table({"url": pa.array(rows["url"], type=pa.string()),
+                  "html": pa.array(rows["html"], type=pa.binary())}),
+        os.path.join(out_dir, "pages.parquet"))
+    pq.write_table(
+        pa.table({"url": pa.array(golden["url"], type=pa.string()),
+                  "main_text": pa.array(golden["main_text"],
+                                        type=pa.string()),
+                  "n_kept": pa.array(golden["n_kept"],
+                                     type=pa.int64())}),
+        os.path.join(out_dir, "golden_main.parquet"))
+    meta = {"n": n, "seed": seed, "dir": out_dir}
+    with open(marker, "w") as f:
+        _json.dump(meta, f)
+    return meta

@@ -159,3 +159,53 @@ def test_anchor_text_capture():
     assert got["hrefs"] == [a for a, _ in got["anchors"]]
     # anchor text still contributes to the enclosing paragraph
     assert "before click & go! after" in got["body"]
+
+
+def test_main_content_blocks_and_rules():
+    """Block segmentation + jusText-lite classification unit cases:
+    inline tags don't split blocks, script/style/head text vanishes,
+    link-dense blocks die regardless of word count, short blocks die
+    regardless of density, inline anchors inside long content stay."""
+    from rse_ray.functions.maincontent import content_blocks, extract_main
+
+    html = (
+        "<html><head><title>t</title><style>p{}</style></head><body>"
+        "<p>one two <b>three</b> four</p>"
+        "<div>alpha <span>beta</span></div>"
+        "</body></html>"
+    )
+    blocks = [t for t, _, _ in content_blocks(html)]
+    assert blocks == ["one two three four", "alpha beta"]
+
+    # link farm: 12 words but ~all chars linked -> dropped
+    farm = "<div>" + " ".join(
+        f'<a href="/{i}">w{i} x{i}</a>' for i in range(6)) + "</div>"
+    # content: 12 words, one 2-word anchor -> kept, anchor text kept
+    content = ("<p>aaa bbb ccc ddd eee fff ggg hhh iii "
+               '<a href="/y">jjj kkk</a> lll</p>')
+    short = "<p>tiny block here</p>"
+    text, kept, total = extract_main(
+        f"<body>{farm}{content}{short}</body>")
+    assert kept == 1 and total == 3
+    assert text == "aaa bbb ccc ddd eee fff ggg hhh iii jjj kkk lll"
+
+
+def test_main_content_fixture_golden_roundtrip(tmp_path):
+    """The planted-fixture golden (written by construction, not by the
+    extractor) is reproduced exactly for every page."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rse_ray.functions.maincontent import extract_main
+    from rse_ray.sources.fixtures import write_boilerplate_fixture
+
+    d = str(tmp_path / "boiler")
+    write_boilerplate_fixture(d, n=40, seed=23)
+    pages = pq.read_table(os.path.join(d, "pages.parquet")).to_pylist()
+    gold = {r["url"]: r for r in pq.read_table(
+        os.path.join(d, "golden_main.parquet")).to_pylist()}
+    for r in pages:
+        t, k, _n = extract_main(r["html"])
+        assert t == gold[r["url"]]["main_text"]
+        assert k == gold[r["url"]]["n_kept"]
