@@ -2771,7 +2771,7 @@ def _q_image_transcode(sf_dir: str):
     return _finalize(transcode_images(ds))
 
 
-BOILER_DIR = "/tmp/rse_ray_cache/boiler_v1_120"
+BOILER_DIR = "/tmp/rse_ray_cache/boiler_v2_120"  # v2: +syndicated dups
 
 
 def _q_main_content(sf_dir: str):
@@ -2788,6 +2788,22 @@ def _q_main_content(sf_dir: str):
                                             "pages.parquet"))
     return _finalize(main_content(ds).select_columns(
         ["url", "main_text", "n_kept"]))
+
+
+def _q_webtext_clean(sf_dir: str):
+    """Composed cleaning chain over the planted corpus — the
+    syndicated copies (unique raw html, identical article) survive a
+    raw-bytes dedup and collapse only after boilerplate removal."""
+    import ray.data
+
+    from rse_ray.pipelines.text import webtext_clean
+    from rse_ray.sources.fixtures import write_boilerplate_fixture
+
+    write_boilerplate_fixture(BOILER_DIR)
+    ds = ray.data.read_parquet(os.path.join(BOILER_DIR,
+                                            "pages.parquet"))
+    return _finalize(webtext_clean(ds).select_columns(
+        ["url", "n_tokens"]))
 
 
 def _q_link_extract(sf_dir: str):
@@ -4208,6 +4224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": _q_nation_trade_volume,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "main_content": _q_main_content,
+        "webtext_clean": _q_webtext_clean,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "source_overlap_matrix": _q_source_overlap_matrix,
         "daily_anomalies": _q_daily_anomalies,
@@ -5909,6 +5926,15 @@ SELECT r_tile::BIGINT AS r_tile, f_tile::BIGINT AS f_tile,
 FROM tiles GROUP BY 1, 2, 3""",
         # per-doc-deduped whitespace bigrams of lower(text), kept
         # when seen in >= 3 distinct docs of the same source
+        "webtext_clean": """
+WITH m AS (SELECT url, main_text,
+                  len(regexp_split_to_array(main_text, '\s+')) AS n_tokens
+           FROM read_parquet('{golden}')),
+f AS (SELECT * FROM m WHERE n_tokens >= 60)
+SELECT min(url) AS url, n_tokens
+FROM f GROUP BY main_text, n_tokens""".format(
+            golden=os.path.join(BOILER_DIR, "golden_main.parquet")
+        ),
         "main_content": """
 SELECT url, main_text, n_kept FROM read_parquet('{golden}')""".format(
             golden=os.path.join(BOILER_DIR, "golden_main.parquet")

@@ -4916,3 +4916,46 @@ def main_content(ds, *, min_words: int = 10,
                                "max_link_density": max_link_density},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=clamp_pool(concurrency))
+
+
+def webtext_clean(pages_ds, *, min_words: int = 10,
+                  max_link_density: float = 0.4,
+                  min_tokens: int = 60):
+    """The composed web-to-training-corpus cleaning chain in one
+    pipeline: (url, html) -> main-content extraction (boilerplate
+    removal) -> token-length gate -> EXACT content dedup keeping the
+    min url per text -> (url, n_tokens).
+
+    Order matters and the planted fixture proves it: its syndicated
+    pages re-publish another page's article under fresh boilerplate,
+    so every RAW html is unique — dedup on the raw bytes finds
+    nothing, dedup after boilerplate removal collapses each
+    syndicate to one survivor. Scale shape: per-page parse in an
+    actor pool, the gate is a per-batch filter, and the only shuffle
+    moves (md5(text), url, n_tokens) rows — never the text."""
+    import hashlib
+
+    cleaned = main_content(pages_ds, min_words=min_words,
+                           max_link_density=max_link_density,
+                           batch_size=64)
+
+    def gate(b: pa.Table) -> pa.Table:
+        texts = b.column("main_text").to_pylist()
+        n_tok = np.fromiter((len(t.split()) for t in texts),
+                            dtype=np.int64, count=len(texts))
+        keep = n_tok >= min_tokens
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t, k in zip(texts, keep) if k]
+        return pa.table({
+            "h": pa.array(hs, type=pa.string()),
+            "url": pc.cast(b.column("url").filter(pa.array(keep)),
+                           pa.string()),
+            "n_tokens": pa.array(n_tok[keep]),
+        })
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.sort_values("url").head(1)
+        return r[["url", "n_tokens"]]
+
+    return cleaned.map_batches(gate, batch_format="pyarrow") \
+        .groupby("h").map_groups(keep_first, batch_format="pandas")

@@ -638,13 +638,17 @@ def generate_scc_graph(out_path: str) -> None:
 
 
 def write_boilerplate_fixture(out_dir: str, *, n: int = 120,
-                              seed: int = 17) -> dict:
+                              n_dup: int = 8, seed: int = 17) -> dict:
     """Deterministic web-page corpus with PLANTED boilerplate for the
     main-content extraction operator (functions/maincontent.py):
     every page carries a nav bar (high link density), a short h1, a
     sidebar link list, a link-farm div (word-RICH but link-dense —
     the case word count alone cannot catch), content paragraphs (one
-    with a low-density inline anchor), and a short footer. Writes
+    with a low-density inline anchor), and a short footer. The LAST
+    ``n_dup`` pages re-publish an earlier page's content paragraphs
+    verbatim under their OWN url and their own fresh boilerplate —
+    the syndicated-article case where exact dedup only fires AFTER
+    boilerplate removal (the raw html differs on every page). Writes
 
         out_dir/pages.parquet       (url, html)
         out_dir/golden_main.parquet (url, main_text, n_kept)
@@ -664,6 +668,7 @@ def write_boilerplate_fixture(out_dir: str, *, n: int = 120,
     vocab = make_vocab(4000, seed)
     rows = {"url": [], "html": []}
     golden = {"url": [], "main_text": [], "n_kept": []}
+    paras_cache: dict[int, list[str]] = {}
     for i in range(n):
         rng = np.random.default_rng(seed * 999_983 + i)
         url = f"https://content{i % 7}.example/a/{i}"
@@ -683,15 +688,27 @@ def write_boilerplate_fixture(out_dir: str, *, n: int = 120,
         farm = " ".join(
             f'<a href="/f/{j}">{words(2)}</a>'
             for j in range(15))
-        paras = []
-        for _p in range(int(rng.integers(2, 5))):
-            paras.append(words(int(rng.integers(12, 40))))
-        # one paragraph gets a low-density inline anchor: the anchor
-        # text IS content (stays in the golden text)
-        a_txt = words(2)
-        head_txt = words(14)
-        paras.append(f"{head_txt} {a_txt} tail")
-        inline = (f'{head_txt} <a href="/x/{i}">{a_txt}</a> tail')
+        if i >= n - n_dup and (i - n_dup) in paras_cache:
+            # syndicated copy: earlier page's content verbatim, own
+            # fresh boilerplate (nav/h1/sidebar/farm above consumed
+            # this page's rng, so every copy's RAW html is unique)
+            paras = list(paras_cache[i - n_dup])
+        else:
+            paras = []
+            for _p in range(int(rng.integers(2, 5))):
+                paras.append(words(int(rng.integers(12, 40))))
+            # one paragraph gets a low-density inline anchor: the
+            # anchor text IS content (stays in the golden text)
+            a_txt = words(2)
+            head_txt = words(14)
+            paras.append(f"{head_txt} {a_txt} tail")
+        paras_cache[i] = paras
+        # re-split the inline-anchor paragraph for the html form
+        last_words = paras[-1].split()
+        inline = (" ".join(last_words[:-3])
+                  + f' <a href="/x/{i}">'
+                  + " ".join(last_words[-3:-1]) + "</a> "
+                  + last_words[-1])
         footer = f"copyright site{i % 7} 2024 all rights reserved"
         html = (
             "<!DOCTYPE html><html><head><title>"

@@ -209,3 +209,34 @@ def test_main_content_fixture_golden_roundtrip(tmp_path):
         t, k, _n = extract_main(r["html"])
         assert t == gold[r["url"]]["main_text"]
         assert k == gold[r["url"]]["n_kept"]
+
+
+def test_webtext_clean_dedups_only_after_boilerplate(ray_session,
+                                                     tmp_path):
+    """The composed chain collapses each syndicated copy to one
+    survivor — and the raw html level shows NO duplicates, proving
+    the dedup can only fire after boilerplate removal."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rse_ray.pipelines.text import webtext_clean
+    from rse_ray.sources.fixtures import write_boilerplate_fixture
+
+    d = str(tmp_path / "boiler")
+    write_boilerplate_fixture(d, n=40, n_dup=6, seed=17)
+    pages = pq.read_table(os.path.join(d, "pages.parquet"))
+    raw = pages.column("html").to_pylist()
+    assert len(set(bytes(h) for h in raw)) == len(raw)  # no raw dups
+
+    out = webtext_clean(
+        ray.data.read_parquet(os.path.join(d, "pages.parquet")),
+        min_tokens=1).to_pandas()
+    # with the length gate off, survivors = pages minus the 6 copies
+    assert len(out) == 40 - 6
+    # survivor per syndicate is the lexicographically-min url
+    gold = pq.read_table(os.path.join(d, "golden_main.parquet")) \
+        .to_pandas()
+    want = gold.groupby("main_text")["url"].min().sort_values()
+    assert sorted(out["url"]) == sorted(want)
