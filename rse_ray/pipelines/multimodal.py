@@ -300,8 +300,12 @@ def image_dup_clusters(ds, *, max_hamming: int = 3,
     from rse_ray.pipelines.dedup import dup_clusters
 
     pairs = image_dup_pairs(ds, max_hamming=max_hamming,
-                            num_parts=num_parts).to_pandas() \
-        .rename(columns={"media_a": "doc_a", "media_b": "doc_b"})
+                            num_parts=num_parts).map_batches(
+        lambda b: b.rename_columns(["doc_a", "doc_b", "hamming"]),
+        batch_format="pyarrow")
+    if method != "label_prop":
+        # union-find is BY DEFINITION single-process over the pair list
+        pairs = pairs.to_pandas()
     out = dup_clusters(pairs=pairs, method=method, num_parts=num_parts)
     if isinstance(out, pd.DataFrame):
         return out.rename(columns={"doc_id": "media_id"})

@@ -164,3 +164,47 @@ def test_auto_join_equals_hash_join_property(ray_session, data):
             .to_dict("records")
 
     assert norm(a) == norm(h), how
+
+
+def test_plan_rows_resolution_paths(ray_session, tmp_path):
+    """plan_rows resolves without executing wherever metadata exists:
+    raw parquet reads (meta count), transformed reads and unions of
+    reads (footer sum via the plan's Read leaves), from_pandas (meta),
+    and an upstream filter yields the honest UPPER BOUND (footers),
+    never an under-count."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rse_ray.util import plan_rows
+
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"x": list(range(100))}), p1)
+    pq.write_table(pa.table({"x": list(range(40))}), p2)
+
+    assert plan_rows(ray.data.read_parquet(p1)) == 100
+    assert plan_rows(ray.data.read_parquet(p1), n_rows=7) == 7
+    chained = ray.data.read_parquet(p1).map_batches(
+        lambda b: b, batch_format="pyarrow")
+    assert plan_rows(chained) == 100
+    both = ray.data.read_parquet([p1, p2]).map_batches(
+        lambda b: b, batch_format="pyarrow")
+    assert plan_rows(both) == 140
+    u = ray.data.read_parquet(p1).union(ray.data.read_parquet(p2))
+    assert plan_rows(u.map_batches(lambda b: b,
+                                   batch_format="pyarrow")) == 140
+    assert plan_rows(ray.data.from_pandas(
+        pd.DataFrame({"x": range(25)}))) == 25
+    filtered = ray.data.read_parquet(p1).map_batches(
+        lambda b: b.filter(pa.array([v < 10 for v in
+                                     b.column("x").to_pylist()])),
+        batch_format="pyarrow")
+    assert plan_rows(filtered) == 100  # planning upper bound
+    # no metadata anywhere -> falls back to count() and stays correct
+    items = ray.data.from_items([{"x": i} for i in range(9)]) \
+        .map_batches(lambda b: b, batch_format="pyarrow")
+    assert plan_rows(items) == 9
