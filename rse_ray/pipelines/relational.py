@@ -5743,17 +5743,21 @@ def min_cost_supplier(part_ds, supplier_ds, lineitem_ds, nation_ds,
             [("cost", "min")])
         return g.rename_columns(["p_partkey", "s_suppkey", "c_p"])
 
-    offers = li.map_batches(offer_partial, batch_format="pyarrow") \
-        .groupby(["p_partkey", "s_suppkey"]) \
-        .aggregate(Min("c_p", alias_name="cost"))
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE exchange does everything correlated: per-(part,supplier)
+        # min over the batch partials, then the per-part MIN +
+        # equality selection — all inside the p_partkey group
+        m = g.groupby("s_suppkey", as_index=False)["c_p"].min()
+        m = m[m["c_p"] == m["c_p"].min()]
+        return pd.DataFrame({
+            "p_partkey": g["p_partkey"].iloc[:1].repeat(len(m)
+                                                        ).to_numpy(),
+            "s_suppkey": m["s_suppkey"].to_numpy(),
+            "cost": m["c_p"].to_numpy()})
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        # the correlated per-part MIN + equality selection in one
-        # in-group step (one exchange, no offers re-execution)
-        return g[g["cost"] == g["cost"].min()]
-
-    win = offers.groupby("p_partkey").map_groups(
-        keep_min, batch_format="pandas")
+    win = li.map_batches(offer_partial, batch_format="pyarrow") \
+        .groupby("p_partkey").map_groups(winners,
+                                         batch_format="pandas")
     win = auto_join(win, sup_in, left_on="s_suppkey",
                     right_on="s_suppkey",
                     right_cols=["s_name", "s_acctbal", "s_nationkey"],
