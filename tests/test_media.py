@@ -82,6 +82,11 @@ def test_jpeg_roundtrip_equals_reference():
     for q in (5, 50, 95, 100):
         assert np.array_equal(decode_jpeg(encode_jpeg(px, q)),
                               jpeg_reference_pixels(px, q))
+    # extreme aspect ratios: single-row/column MCU grids
+    for h, w in [(1, 200), (200, 1), (3, 100)]:
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(px, 60)),
+                              jpeg_reference_pixels(px, 60))
 
 
 def test_jpeg_lossy_behavior():

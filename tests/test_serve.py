@@ -105,6 +105,32 @@ def test_serve_equals_bm25_topk_oracle(ray_session, http_server):
     assert len(via_http) == 20
 
 
+def test_serve_concurrent_requests(ray_session, http_server):
+    """Parallel clients against the threaded server: every response
+    must equal the single-threaded answer for its own query (the
+    search lock serializes the shared searcher without cross-wiring
+    responses)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from rse_ray.pipelines.docsearch import documents_index
+
+    base = http_server(documents_index(SF, stem=False), driver=True)
+    queries = ["spark window", "merge", "window spark merge",
+               "zebra", "spark"] * 4
+
+    def fetch(q):
+        st, got = _get(f"{base}/search?q={q.replace(' ', '+')}&k=5")
+        assert st == 200
+        return q, got["hits"]
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(fetch, queries))
+    solo = {q: _get(f"{base}/search?q={q.replace(' ', '+')}&k=5")[1]
+            ["hits"] for q in set(queries)}
+    for q, hits in results:
+        assert hits == solo[q], q
+
+
 def test_serve_error_contract(ray_session, http_server):
     """400 on missing q, 404 off-route, k clamped to >= 1."""
     from urllib.error import HTTPError
