@@ -3876,13 +3876,13 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
     revenue) rounded to 2 places after aggregation.
 
     Scale shape: region->nation is a tiny dimension chain collected
-    once and broadcast (the star-schema treatment); customers filter
-    AT the scan against the broadcast nation set; the two big joins
-    (orders->customer, lineitem->orders) are co-partitioned hash
-    joins carrying only c_nationkey; the supplier nation lookup is a
-    broadcast dict applied inside the revenue partial (suppliers are
-    a dimension here — swap for a third hash_join when they outgrow
-    a broadcast); revenue pre-aggregates per batch per nation."""
+    once and broadcast (fixed 25/5 rows); customers filter AT the
+    scan against the broadcast nation set; the big joins
+    (orders->customer, lineitem->orders, lineitem->supplier) all go
+    through auto_join — broadcast while the right side fits,
+    co-partitioned shuffle beyond (supplier scales with sf, so it is
+    NOT collected driver-side); revenue pre-aggregates per batch per
+    nation."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -3899,11 +3899,7 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
     nat = nat[nat["n_regionkey"].astype(int).isin(rk)]
     nation_name = {int(k): v for k, v in zip(nat["n_nationkey"],
                                              nat["n_name"])}
-    sup = supplier_ds.to_pandas()
-    sup_nation = {int(k): int(v) for k, v in
-                  zip(sup["s_suppkey"], sup["s_nationkey"])}
     nset = set(nation_name)
-    sup_ref = ray.put(sup_nation)
 
     cust = customer_ds.map_batches(
         lambda b: pa.table({
@@ -3938,6 +3934,10 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
                   right_on="o_orderkey",
                   right_cols=["c_nationkey"], how="inner",
                   num_parts=P)
+    j = auto_join(j, supplier_ds.select_columns(
+        ["s_suppkey", "s_nationkey"]),
+        left_on="l_suppkey", right_on="s_suppkey",
+        right_cols=["s_nationkey"], how="inner", num_parts=P)
 
     def partial(batch: pa.Table) -> pa.Table:
         empty = pa.table({"n_key": pa.array([], type=pa.int64()),
@@ -3945,11 +3945,10 @@ def local_supplier_volume(customer_ds, orders_ds, lineitem_ds,
         if "l_suppkey" not in batch.column_names \
                 or batch.num_rows == 0:
             return empty
-        sn = ray.get(sup_ref)
-        sk = batch.column("l_suppkey").to_numpy()
-        cn = batch.column("c_nationkey").to_numpy()
-        s_nat = np.array([sn.get(int(k), -1) for k in sk],
-                         dtype=np.int64)
+        cn = batch.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s_nat = batch.column("s_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         keep = s_nat == cn
         if not keep.any():
             return empty
@@ -4329,38 +4328,45 @@ def promo_revenue(lineitem_ds, part_ds, *,
     promotional parts. -> ONE row (promo_pct, promo_revenue,
     total_revenue); pct rounded to 6, money to 2.
 
-    Scale shape: part is the dimension side — its partkey->is_promo
-    flag broadcasts ONCE as a dense numpy bool array (ray.put), each
-    lineitem batch filters the ship-date window at the scan and
-    accumulates two doubles; the reduce is a 2-number sum. No
-    shuffle at all."""
-    import ray
+    Scale shape: part scales with sf, so its partkey->is_promo flag
+    attaches via a LEFT auto_join (broadcast while part fits,
+    co-partitioned shuffle beyond; LEFT so a lineitem with no part
+    row still counts toward total revenue, as the dense-array
+    lookup did); lineitem filters the ship-date window at the scan
+    and accumulates two doubles per batch; the reduce is a 2-number
+    sum."""
     from ray.data.aggregate import Sum
 
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
 
-    pt = part_ds.select_columns(["p_partkey", "p_type"]).to_pandas()
-    keys = pt["p_partkey"].to_numpy().astype(np.int64)
-    promo = np.zeros(int(keys.max()) + 1, dtype=bool)
-    promo[keys] = (pt["p_type"] == "PROMO").to_numpy()
-    promo_ref = ray.put(promo)
+    flags = part_ds.map_batches(
+        lambda b: pa.table({
+            "p_partkey": pc.cast(b.column("p_partkey"), pa.int64()),
+            "is_promo": pc.cast(pc.equal(b.column("p_type"),
+                                         pa.scalar("PROMO")),
+                                pa.int64())}),
+        batch_format="pyarrow")
+    li = lineitem_ds.select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount",
+         "l_shipdate"]).map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+            pc.less(b.column("l_shipdate"), pa.scalar(hi)))),
+        batch_format="pyarrow")
+    li = auto_join(li, flags, left_on="l_partkey",
+                   right_on="p_partkey", right_cols=["is_promo"],
+                   how="left")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        sd = batch.column("l_shipdate").to_numpy()
-        keep = (sd >= lo) & (sd < hi)
-        t = batch.filter(pa.array(keep))
+    def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"g": pa.array([], type=pa.int64()),
                              "promo_p": pa.array([],
                                                  type=pa.float64()),
                              "total_p": pa.array([],
                                                  type=pa.float64())})
-        flag = ray.get(promo_ref)
-        pk = t.column("l_partkey").to_numpy().astype(np.int64)
-        is_promo = np.zeros(len(pk), dtype=bool)
-        in_range = pk < len(flag)
-        is_promo[in_range] = flag[pk[in_range]]
+        is_promo = pc.fill_null(t.column("is_promo"), 0).to_numpy(
+            zero_copy_only=False).astype(bool)
         rev = (t.column("l_extendedprice").to_numpy()
                * (1.0 - t.column("l_discount").to_numpy()))
         return pa.table({
@@ -4369,10 +4375,7 @@ def promo_revenue(lineitem_ds, part_ds, *,
             "total_p": pa.array([float(rev.sum())]),
         })
 
-    agg = lineitem_ds.select_columns(
-        ["l_partkey", "l_extendedprice", "l_discount",
-         "l_shipdate"]) \
-        .map_batches(partial, batch_format="pyarrow") \
+    agg = li.map_batches(partial, batch_format="pyarrow") \
         .groupby("g").aggregate(Sum("promo_p", alias_name="promo"),
                                 Sum("total_p", alias_name="total")) \
         .to_pandas()
@@ -5343,13 +5346,13 @@ def market_share(customer_ds, orders_ds, lineitem_ds, supplier_ds,
     mkt_share); money rounded to 2, share to 6, share computed on the
     RAW sums before rounding.
 
-    Scale shape: region->nation, part->type and supplier->nation are
-    all BROADCAST lookups (dense numpy arrays via ray.put — dimension
-    tables never shuffle); orders prune to the window at the scan and
-    semi-reduce to region customers with ONE co-partitioned hash
-    join; the only big exchange is lineitem<-orders; per-batch
-    partials collapse to (year, is_nation) pairs so the final groupby
-    sees a handful of rows."""
+    Scale shape: region->nation stays a fixed 25/5-row driver map;
+    part (type predicate, semi) and supplier (nation flag, inner)
+    attach via auto_join — broadcast while they fit, co-partitioned
+    shuffle once they outgrow it (both scale with sf); orders prune
+    to the window at the scan and semi-reduce to region customers;
+    per-batch partials collapse to (year, is_nation) pairs so the
+    final groupby sees a handful of rows."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -5372,20 +5375,13 @@ def market_share(customer_ds, orders_ds, lineitem_ds, supplier_ds,
         raise ValueError("unknown supplier nation")
     sn_key = sn_keys[0]
 
-    sup = supplier_ds.select_columns(
-        ["s_suppkey", "s_nationkey"]).to_pandas()
-    smax = int(sup["s_suppkey"].max()) if len(sup) else 0
-    s_is_nation = np.zeros(smax + 1, dtype=bool)
-    s_is_nation[sup["s_suppkey"].to_numpy()] = \
-        (sup["s_nationkey"].to_numpy() == sn_key)
-    sref = ray.put(s_is_nation)
-
-    pt = part_ds.select_columns(["p_partkey", "p_type"]).to_pandas()
-    pmax = int(pt["p_partkey"].max()) if len(pt) else 0
-    p_keep = np.zeros(pmax + 1, dtype=bool)
-    p_keep[pt["p_partkey"].to_numpy()] = \
-        (pt["p_type"] == p_type).to_numpy()
-    pref = ray.put(p_keep)
+    # part and supplier scale with sf: the type predicate rides a
+    # semi auto_join and the nation flag an inner auto_join —
+    # broadcast while they fit, co-partitioned shuffle beyond
+    pt = part_ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_type"),
+                                    pa.scalar(p_type)))
+        .select(["p_partkey"]), batch_format="pyarrow")
 
     rn = np.array(sorted(region_nations), dtype=np.int64)
 
@@ -5407,18 +5403,16 @@ def market_share(customer_ds, orders_ds, lineitem_ds, supplier_ds,
                       right_on="c_custkey", right_cols=[],
                       how="semi", num_parts=max(32, P // 8))
 
-    def li_filter(batch: pa.Table) -> pa.Table:
-        keep_flags = ray.get(pref)
-        pk = batch.column("l_partkey").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        m = np.zeros(len(pk), dtype=bool)
-        in_r = pk < len(keep_flags)
-        m[in_r] = keep_flags[pk[in_r]]
-        return batch.filter(pa.array(m)) \
-            .select(["l_orderkey", "l_suppkey", "l_extendedprice",
-                     "l_discount"])
-
-    li = lineitem_ds.map_batches(li_filter, batch_format="pyarrow")
+    li = auto_join(
+        lineitem_ds.select_columns(
+            ["l_orderkey", "l_partkey", "l_suppkey",
+             "l_extendedprice", "l_discount"]),
+        pt, left_on="l_partkey", right_on="p_partkey",
+        right_cols=[], how="semi", num_parts=P)
+    li = auto_join(li, supplier_ds.select_columns(
+        ["s_suppkey", "s_nationkey"]),
+        left_on="l_suppkey", right_on="s_suppkey",
+        right_cols=["s_nationkey"], how="inner", num_parts=P)
     j = auto_join(li, o_reg.select_columns(["o_orderkey",
                                             "o_orderdate"]),
                   left_on="l_orderkey", right_on="o_orderkey",
@@ -5433,12 +5427,8 @@ def market_share(customer_ds, orders_ds, lineitem_ds, supplier_ds,
         if batch.num_rows == 0 \
                 or "o_orderdate" not in batch.column_names:
             return empty
-        flag = ray.get(sref)
-        sk = batch.column("l_suppkey").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        is_n = np.zeros(len(sk), dtype=bool)
-        in_r = sk < len(flag)
-        is_n[in_r] = flag[sk[in_r]]
+        is_n = batch.column("s_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64) == sn_key
         yr = batch.column("o_orderdate").to_pandas().dt.year \
             .to_numpy(dtype=np.int64)
         rev = (batch.column("l_extendedprice").to_numpy()
@@ -5655,13 +5645,16 @@ def waiting_suppliers(supplier_ds, orders_ds, lineitem_ds, *,
 
     agg = j.map_batches(partial, batch_format="pyarrow") \
         .groupby("l_suppkey") \
-        .aggregate(Sum("w_p", alias_name="numwait")).to_pandas()
-    names = supplier_ds.select_columns(
-        ["s_suppkey", "s_name"]).to_pandas()
-    if agg.empty:
+        .aggregate(Sum("w_p", alias_name="numwait"))
+    # supplier scales with sf: the name attach is an auto_join, not a
+    # driver collect of the whole supplier table
+    out = auto_join(agg, supplier_ds.select_columns(
+        ["s_suppkey", "s_name"]),
+        left_on="l_suppkey", right_on="s_suppkey",
+        right_cols=["s_name"], how="inner").to_pandas()
+    if out.empty:
         return pd.DataFrame({"s_name": pd.Series([], dtype=object),
                              "numwait": pd.Series([], dtype=np.int64)})
-    out = agg.merge(names, left_on="l_suppkey", right_on="s_suppkey")
     out = pd.DataFrame({"s_name": out["s_name"],
                         "numwait": out["numwait"].astype(np.int64)})
     return out.sort_values(["numwait", "s_name"],
@@ -5974,51 +5967,57 @@ def promotion_suppliers(part_ds, lineitem_ds, supplier_ds, *,
     are exact integers well under 2^53 and the threshold compare
     cannot flip on summation order.
 
-    Scale shape: the token partkey set broadcasts; lineitem prunes
-    to (part set x ship-year) at the scan and collapses to
-    per-batch per-supplier quantity partials; one groupby over
-    |suppliers| cells; only qualifying suppkeys (bounded by the
-    supplier dimension table) reach the driver for the name
-    attach."""
-    import ray
+    Scale shape: part and supplier scale with sf — the token
+    predicate rides a semi auto_join and the name attach an inner
+    auto_join (broadcast while they fit, co-partitioned shuffle
+    beyond); lineitem prunes to (part set x ship-year) and collapses
+    to per-batch per-supplier quantity partials; one groupby over
+    |suppliers| cells; only the qualifying result reaches the
+    driver."""
     from ray.data.aggregate import Sum
 
     lo = np.datetime64(f"{year}-01-01", "us")
     hi = np.datetime64(f"{year + 1}-01-01", "us")
-    parts = part_ds.select_columns(["p_partkey", "p_name"]).to_pandas()
-    pset = set(parts.loc[parts["p_name"].str.contains(token,
-                                                      regex=False),
-                         "p_partkey"].astype(int))
-    pref = ray.put(pset)
+    parts = part_ds.map_batches(
+        lambda b: b.filter(pc.match_substring(b.column("p_name"),
+                                              token))
+        .select(["p_partkey"]), batch_format="pyarrow")
+    li = lineitem_ds.select_columns(
+        ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]) \
+        .map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+            pc.less(b.column("l_shipdate"), pa.scalar(hi)))),
+        batch_format="pyarrow")
+    li = auto_join(li, parts, left_on="l_partkey",
+                   right_on="p_partkey", right_cols=[], how="semi")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        ps = ray.get(pref)
-        b = batch.filter(pc.and_(
-            pc.greater_equal(batch.column("l_shipdate"),
-                             pa.scalar(lo)),
-            pc.less(batch.column("l_shipdate"), pa.scalar(hi))))
-        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
-        keep = np.fromiter((p in ps for p in pk), dtype=bool,
-                           count=len(pk))
-        if not keep.any():
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return pa.table({
                 "s_suppkey": pa.array([], type=pa.int64()),
                 "q_p": pa.array([], type=pa.float64())})
-        b = b.filter(pa.array(keep))
         g = pa.table({
             "s_suppkey": pc.cast(b.column("l_suppkey"), pa.int64()),
             "q": b.column("l_quantity"),
         }).group_by(["s_suppkey"]).aggregate([("q", "sum")])
         return g.rename_columns(["s_suppkey", "q_p"])
 
-    qty = lineitem_ds.select_columns(
-        ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]) \
-        .map_batches(partial, batch_format="pyarrow") \
+    qty = li.map_batches(partial, batch_format="pyarrow") \
         .groupby("s_suppkey") \
-        .aggregate(Sum("q_p", alias_name="qty")).to_pandas()
-    names = supplier_ds.select_columns(
-        ["s_suppkey", "s_name", "s_acctbal"]).to_pandas()
-    hit = qty[qty["qty"] > qty_threshold].merge(names, on="s_suppkey")
+        .aggregate(Sum("q_p", alias_name="qty"))
+    qty = qty.map_batches(
+        lambda b: b.filter(pc.greater(b.column("qty"),
+                                      pa.scalar(qty_threshold))),
+        batch_format="pyarrow")
+    hit = auto_join(qty, supplier_ds.select_columns(
+        ["s_suppkey", "s_name", "s_acctbal"]),
+        left_on="s_suppkey", right_on="s_suppkey",
+        right_cols=["s_name", "s_acctbal"], how="inner").to_pandas()
+    if hit.empty:
+        return pd.DataFrame({
+            "s_name": pd.Series([], dtype=object),
+            "s_acctbal": pd.Series([], dtype=np.float64)})
     out = pd.DataFrame({
         "s_name": hit["s_name"],
         "s_acctbal": hit["s_acctbal"].astype(np.float64)})
