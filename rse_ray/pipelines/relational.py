@@ -5643,9 +5643,13 @@ def waiting_suppliers(supplier_ds, orders_ds, lineitem_ds, *,
             "l_suppkey": pc.cast(g.column("sk"), pa.int64()),
             "w_p": pc.cast(g.column("count_all"), pa.int64())})
 
+    # pin the per-supplier cells: auto_join's schema probe would
+    # otherwise re-run the whole aggregation once for the schema and
+    # again for the consume (all-to-all upstreams execute fully on
+    # .schema(), unlike map-only chains)
     agg = j.map_batches(partial, batch_format="pyarrow") \
         .groupby("l_suppkey") \
-        .aggregate(Sum("w_p", alias_name="numwait"))
+        .aggregate(Sum("w_p", alias_name="numwait")).materialize()
     # supplier scales with sf: the name attach is an auto_join, not a
     # driver collect of the whole supplier table
     out = auto_join(agg, supplier_ds.select_columns(
@@ -5748,9 +5752,11 @@ def min_cost_supplier(part_ds, supplier_ds, lineitem_ds, nation_ds,
             "s_suppkey": m["s_suppkey"].to_numpy(),
             "cost": m["c_p"].to_numpy()})
 
+    # pinned for the same schema-probe reason as waiting_suppliers
     win = li.map_batches(offer_partial, batch_format="pyarrow") \
         .groupby("p_partkey").map_groups(winners,
-                                         batch_format="pandas")
+                                         batch_format="pandas") \
+        .materialize()
     win = auto_join(win, sup_in, left_on="s_suppkey",
                     right_on="s_suppkey",
                     right_cols=["s_name", "s_acctbal", "s_nationkey"],
@@ -6006,10 +6012,11 @@ def promotion_suppliers(part_ds, lineitem_ds, supplier_ds, *,
     qty = li.map_batches(partial, batch_format="pyarrow") \
         .groupby("s_suppkey") \
         .aggregate(Sum("q_p", alias_name="qty"))
+    # pinned for the same schema-probe reason as waiting_suppliers
     qty = qty.map_batches(
         lambda b: b.filter(pc.greater(b.column("qty"),
                                       pa.scalar(qty_threshold))),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     hit = auto_join(qty, supplier_ds.select_columns(
         ["s_suppkey", "s_name", "s_acctbal"]),
         left_on="s_suppkey", right_on="s_suppkey",
