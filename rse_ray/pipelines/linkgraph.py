@@ -2736,9 +2736,13 @@ def jaccard_links(links_ds, *, src_col: str = "src_url",
         out["n"] = out["n"].astype(np.int64)
         return out
 
+    # pinned: auto_join's schema probe fully executes an all-to-all
+    # upstream, so an unpinned pair table would pay the quadratic
+    # pair generation once for the probe and again for the join
     pairs = cleaned.groupby("part") \
         .map_groups(gen_part, batch_format="pandas") \
-        .groupby(["u1", "u2"]).aggregate(Sum("n", alias_name="common"))
+        .groupby(["u1", "u2"]) \
+        .aggregate(Sum("n", alias_name="common")).materialize()
 
     # windowed in-degree: only sources with distinct fan-out in
     # [2, max_out] contribute — the same universe as the pairs
@@ -2750,9 +2754,12 @@ def jaccard_links(links_ds, *, src_col: str = "src_url",
         out["i"] = out["i"].astype(np.int64)
         return out
 
+    # pinned: both u1 and u2 attaches consume this aggregate — one
+    # execution instead of one per join
     indeg = cleaned.groupby("part") \
         .map_groups(indeg_part, batch_format="pandas") \
-        .groupby("dst").aggregate(Sum("i", alias_name="ind"))
+        .groupby("dst").aggregate(Sum("i", alias_name="ind")) \
+        .materialize()
 
     j1 = auto_join(pairs, indeg, left_on="u1", right_on="dst",
                    right_cols=["ind"], how="inner", num_parts=P)

@@ -685,6 +685,32 @@ def asof_join(left_ds, right_ds, *, on: str = "ts", by: str = "user_id",
                                            batch_format="pyarrow")
 
 
+def _pin_if_shuffled(ds):
+    """hash_join/auto_join need the LEFT schema up front (typed empty
+    results, key-type dispatch). ``Dataset.schema()`` on a plan whose
+    upstream contains an all-to-all op executes the WHOLE plan for the
+    probe and again at consume time (measured: a groupby left ran its
+    upstream maps twice). Pin exactly those inputs — the all-to-all
+    output is resident in the object store once, probe and consume
+    share it. Map-only chains stay streaming: their schema probe only
+    touches one block."""
+    try:
+        if ds.schema(fetch_if_missing=False) is not None:
+            return ds
+        from ray.data._internal.logical.operators.all_to_all_operator \
+            import AbstractAllToAll
+
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            if isinstance(op, AbstractAllToAll):
+                return ds.materialize()
+            stack.extend(op.input_dependencies)
+    except Exception:  # internal APIs; degrade to the probe
+        pass
+    return ds
+
+
 def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
               right_cols: list[str], num_parts: int | None = None,
               hot_keys=None, salt: int = 8, how: str = "inner"):
@@ -757,6 +783,7 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
     P = num_parts if num_parts is not None else parts_for(plan_rows(left_ds))
 
+    left_ds = _pin_if_shuffled(left_ds)
     left_schema = left_ds.schema()
     left_cols = list(left_schema.names)
     left_types = _arrow_types(left_schema)
@@ -6315,6 +6342,7 @@ def auto_join(left_ds, right_ds, *, left_on: str, right_on: str,
                          right_on=right_on, right_cols=right_cols,
                          how=how, num_parts=num_parts, salt=salt)
 
+    left_ds = _pin_if_shuffled(left_ds)
     left_types = _arrow_types(left_ds.schema())
     right_t = right_ds.select_columns([right_on] + right_cols) \
         .to_pandas()
