@@ -779,6 +779,10 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
         # so "hot" means "this one key alone would fill a reduce
         # slot". Results are identical with or without salting
         # (tested); detection only reshapes the partitioning.
+        # pin FIRST: detection is a full counting pass over the left,
+        # so an unpinned all-to-all upstream would execute for the
+        # count, again for the schema probe, and again at consume
+        left_ds = _pin_if_shuffled(left_ds)
         hot_keys = detect_hot_keys(left_ds, left_on)
 
     P = num_parts if num_parts is not None else parts_for(plan_rows(left_ds))
