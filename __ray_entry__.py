@@ -937,6 +937,17 @@ def _q_lsh_knn(sf_dir: str):
     )
 
 
+def _q_hnsw_knn(sf_dir: str):
+    """Sharded-HNSW approximate kNN (recall-oracled in pytest like
+    LSH/IVF/PQ; the driver records a rows-only check)."""
+    from rse_ray.pipelines.ann import hnsw_knn
+
+    return _finalize(
+        hnsw_knn(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                 KNN_QUERY_IDS, k=10, n_shards=4, ef_search=128)
+    )
+
+
 def _q_ivf_knn(sf_dir: str):
     from rse_ray.pipelines.ann import ivf_knn
 
@@ -4264,6 +4275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_sq": _q_knn_sq,
         "knn_cosine_pq": _q_knn_pq,
         "knn_cosine_lsh": _q_lsh_knn,
+        "knn_cosine_hnsw": _q_hnsw_knn,
         "knn_cosine_ivf": _q_ivf_knn,
         "knn_cosine_ivf_exact": _q_ivf_knn_exact,
         "embedding_centroids": _q_centroids,

@@ -1386,3 +1386,179 @@ def nearest_centroid_eval(ds, *, round_to: int = 6) -> pa.Table:
     out["n"] = out["n"].astype(np.int64)
     return pa.Table.from_pandas(out[["label", "pred_label", "n"]],
                                 preserve_index=False)
+
+
+def _splitmix_unit(ids: np.ndarray) -> np.ndarray:
+    """Content-determined uniform(0,1) per id (splitmix64 finalizer) —
+    the level draw must not depend on insertion order or RNG state."""
+    x = ids.astype(np.int64).view(np.uint64).copy()
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+class _HnswGraph:
+    """Single-shard HNSW (Malkov & Yashunin 2016) over COSINE
+    similarity, pure numpy. Deterministic by construction: levels
+    come from a splitmix hash of vec_id, inserts run in vec_id order,
+    and neighbor selection is top-M by similarity with id tiebreak —
+    so a shard's graph is a pure function of its vector set."""
+
+    def __init__(self, ids: np.ndarray, mat: np.ndarray, *,
+                 M: int = 8, ef_construction: int = 64) -> None:
+        order = np.argsort(ids)
+        self.ids = ids[order]
+        self.mat = _normalize(mat[order])
+        self.M = M
+        self.efc = ef_construction
+        n = len(self.ids)
+        mL = 1.0 / np.log(M)
+        u = _splitmix_unit(self.ids)
+        self.levels = np.minimum(
+            (-np.log(np.clip(u, 1e-12, 1.0)) * mL).astype(np.int64),
+            24)
+        self.max_level = int(self.levels.max()) if n else 0
+        # neighbors[l][i] -> int64 array of neighbor indices
+        self.nbrs = [dict() for _ in range(self.max_level + 1)]
+        self.entry = -1
+        for i in range(n):
+            self._insert(i)
+
+    def _search_layer(self, q: np.ndarray, entry: int, ef: int,
+                      layer: int) -> np.ndarray:
+        """Beam search on one layer; returns candidate indices sorted
+        best-first (sim desc, id asc)."""
+        import heapq
+
+        sims = {entry: float(self.mat[entry] @ q)}
+        visited = {entry}
+        # candidates: max-heap by sim; results: min-heap by sim
+        cand = [(-sims[entry], entry)]
+        res = [(sims[entry], entry)]
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if res and -negs < res[0][0] and len(res) >= ef:
+                break
+            for nb in self.nbrs[layer].get(c, ()):  # int indices
+                nb = int(nb)
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                s = float(self.mat[nb] @ q)
+                sims[nb] = s
+                if len(res) < ef or s > res[0][0]:
+                    heapq.heappush(cand, (-s, nb))
+                    heapq.heappush(res, (s, nb))
+                    if len(res) > ef:
+                        heapq.heappop(res)
+        out = sorted(res, key=lambda t: (-t[0], self.ids[t[1]]))
+        return np.array([i for _, i in out], dtype=np.int64)
+
+    def _select(self, q: np.ndarray, cands: np.ndarray,
+                m: int) -> np.ndarray:
+        if len(cands) <= m:
+            return cands
+        sims = self.mat[cands] @ q
+        keep = np.lexsort((self.ids[cands], -sims))[:m]
+        return cands[keep]
+
+    def _insert(self, i: int) -> None:
+        q = self.mat[i]
+        lvl = int(self.levels[i])
+        if self.entry < 0:
+            self.entry = i
+            for layer in range(lvl + 1):
+                self.nbrs[layer][i] = np.empty(0, dtype=np.int64)
+            return
+        ep = self.entry
+        top = int(self.levels[self.entry])
+        for layer in range(top, lvl, -1):
+            ep = int(self._search_layer(q, ep, 1, layer)[0])
+        for layer in range(min(lvl, top), -1, -1):
+            cands = self._search_layer(q, ep, self.efc, layer)
+            sel = self._select(q, cands, self.M)
+            self.nbrs[layer][i] = sel
+            for nb in sel:
+                nb = int(nb)
+                cur = np.append(self.nbrs[layer].get(
+                    nb, np.empty(0, dtype=np.int64)), i)
+                self.nbrs[layer][nb] = self._select(
+                    self.mat[nb], cur, self.M)
+            ep = int(cands[0])
+        for layer in range(top + 1, lvl + 1):
+            self.nbrs[layer][i] = np.empty(0, dtype=np.int64)
+        if lvl > top:
+            self.entry = i
+
+    def search(self, q: np.ndarray, k: int, ef: int):
+        """-> (ids, sims) top-k, (sim desc, id asc)."""
+        if self.entry < 0:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
+        ep = self.entry
+        for layer in range(int(self.levels[self.entry]), 0, -1):
+            ep = int(self._search_layer(q, ep, 1, layer)[0])
+        cand = self._search_layer(q, ep, max(ef, k), 0)[:k]
+        return self.ids[cand], self.mat[cand] @ q
+
+
+def hnsw_knn(ds, query_ids: list[int], k: int = 10, *,
+             n_shards: int = 4, M: int = 8, ef_construction: int = 64,
+             ef_search: int = 64,
+             round_to: int | None = 6) -> pd.DataFrame:
+    """Approximate cosine top-k over sharded HNSW graphs — the
+    navigable-small-world ANN structure production vector stores use.
+
+    Scale shape: the corpus hash-partitions by vec_id into
+    ``n_shards`` groups; each group task builds its OWN in-memory
+    HNSW (a pure function of its vector set: content-hashed levels,
+    id-ordered inserts) and answers every query against it, emitting
+    per-shard top-k rows; the driver reduces k x n_shards rows per
+    query. Sharding costs no recall beyond per-graph search error
+    (every vector lives in exactly one searched graph, and the union
+    of per-shard ANN results is reduced exactly); build time is
+    O(n/S · ef_c) per shard in parallel, and at fleet scale the
+    shard graphs live in long-lived searcher actors exactly like the
+    BM25 index shards. Self-matches are excluded (contract shared
+    with brute_force_knn; recall-oracled in pytest like LSH/IVF/PQ)."""
+    import ray
+
+    from rse_ray.util import parts_for, plan_rows  # noqa: F401
+
+    qvecs = _fetch_query_vectors(ds, query_ids)
+    q_ids = sorted(qvecs)
+    Q = _normalize(np.stack([qvecs[q] for q in q_ids]))
+    q_ref = ray.put((q_ids, Q))
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        h = (ids.view(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return batch.append_column(
+            "shard", pa.array((h % n_shards).astype(np.int64)))
+
+    def shard_topk(g: pa.Table) -> pa.Table:
+        q_ids_l, Q_l = ray.get(q_ref)
+        ids, mat = _batch_matrix(g)
+        graph = _HnswGraph(ids, mat, M=M,
+                           ef_construction=ef_construction)
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(q_ids_l):
+            n_ids, n_sims = graph.search(Q_l[qi], k + 1, ef_search)
+            keep = n_ids != qid            # exclude self
+            n_ids, n_sims = n_ids[keep][:k], n_sims[keep][:k]
+            out_q.extend([qid] * len(n_ids))
+            out_n.extend(int(x) for x in n_ids)
+            out_c.extend(float(s) for s in n_sims)
+        return pa.table(
+            {"query_id": pa.array(out_q, type=pa.int64()),
+             "neighbor_id": pa.array(out_n, type=pa.int64()),
+             "cos": pa.array(out_c, type=pa.float64())})
+
+    local = ds.select_columns(["vec_id", "embedding"]) \
+        .map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("shard") \
+        .map_groups(shard_topk, batch_format="pyarrow").to_pandas()
+    return _reduce_local_topk(local, k, round_to)

@@ -5828,3 +5828,30 @@ def test_diameter_estimate_path_graph(ray_session):
     assert out["n_reached1"].iloc[0] == 4
     assert out["n_reached2"].iloc[0] == 1
     assert out["diameter_lb"].iloc[0] == 0  # d has no out-edges
+
+
+def test_hnsw_knn_recall_and_determinism(ray_session):
+    """Sharded HNSW vs exact top-k on the fixture embeddings (random
+    vectors — the hard case for graph ANN): high-ef search must reach
+    near-exact recall, and the graph is a pure function of the vector
+    set (content-hashed levels, id-ordered inserts), so two runs at
+    any sharding agree exactly."""
+    from rse_ray.pipelines.ann import brute_force_knn, hnsw_knn
+
+    qids = [0, 1, 2, 3, 4]
+    emb = lambda: _read("embeddings", ["vec_id", "embedding"])  # noqa
+    exact = brute_force_knn(emb(), qids, k=10)
+    approx = hnsw_knn(emb(), qids, k=10, n_shards=4, ef_search=128)
+    hits = total = 0
+    for q in qids:
+        a = set(exact[exact.query_id == q].neighbor_id)
+        b = set(approx[approx.query_id == q].neighbor_id)
+        hits += len(a & b)
+        total += len(a)
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+    again = hnsw_knn(emb(), qids, k=10, n_shards=4, ef_search=128)
+    pd.testing.assert_frame_equal(approx.reset_index(drop=True),
+                                  again.reset_index(drop=True))
+    # self-exclusion contract shared with brute_force_knn
+    assert not ((approx["query_id"] == approx["neighbor_id"]).any())
