@@ -1562,3 +1562,132 @@ def hnsw_knn(ds, query_ids: list[int], k: int = 10, *,
         .groupby("shard") \
         .map_groups(shard_topk, batch_format="pyarrow").to_pandas()
     return _reduce_local_topk(local, k, round_to)
+
+
+def make_hnsw_shard_actor():
+    """Actor factory (lazy ray.remote like the BM25 shard actors):
+    one actor owns one shard's HNSW graph for the lifetime of the
+    searcher — build once, answer many."""
+    import ray
+
+    @ray.remote
+    class HnswShard:
+        def __init__(self, ids, mat, M, ef_construction):
+            self.graph = _HnswGraph(np.asarray(ids, dtype=np.int64),
+                                    np.asarray(mat, dtype=np.float64),
+                                    M=M, ef_construction=ef_construction)
+
+        def topk(self, Q, k, ef):
+            """(nq, d) query matrix -> per-query (ids, sims) lists."""
+            out = []
+            Qn = _normalize(np.asarray(Q, dtype=np.float64))
+            for qi in range(len(Qn)):
+                ids, sims = self.graph.search(Qn[qi], k, ef)
+                out.append((ids, sims))
+            return out
+
+    return HnswShard
+
+
+class DistributedAnnSearcher:
+    """Warm scatter-gather ANN service — the vector-search twin of the
+    BM25 ``DistributedSearcher``: the corpus hash-partitions by vec_id
+    into shard actors that each build their HNSW ONCE in __init__;
+    ``search`` ships only the query matrix and reduces k rows per
+    shard. Results are IDENTICAL to the one-shot ``hnsw_knn`` at the
+    same parameters (same shard hash, same graphs — tested), so the
+    batch pipeline is the oracle for the serving path."""
+
+    def __init__(self, ds, *, n_shards: int = 4, M: int = 8,
+                 ef_construction: int = 64,
+                 shard_dir: str | None = None) -> None:
+        """With ``shard_dir`` the corpus routes to per-shard parquet
+        via a DISTRIBUTED write and each actor reads only its own
+        shard from storage — the driver never touches vector bytes
+        (the BM25 shard-actor pattern; use this at scale). Without it
+        the driver streams batches into per-shard buffers — fine for
+        corpora that fit one process, which is also the regime where
+        a one-process build is fastest."""
+        import ray
+
+        Actor = make_hnsw_shard_actor()
+        self.actors = []
+        if shard_dir is not None:
+            import os
+
+            import pyarrow.parquet as _pq
+
+            def add_shard(batch: pa.Table) -> pa.Table:
+                ids = batch.column("vec_id").to_numpy().astype(np.int64)
+                h = (ids.view(np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+                return batch.append_column(
+                    "shard", pa.array((h % n_shards).astype(np.int64)))
+
+            ds.select_columns(["vec_id", "embedding"]) \
+                .map_batches(add_shard, batch_format="pyarrow") \
+                .write_parquet(shard_dir, partition_cols=["shard"])
+
+            @ray.remote
+            def build(i):
+                part = os.path.join(shard_dir, f"shard={i}")
+                if not os.path.isdir(part):
+                    return None
+                t = _pq.read_table(part,
+                                   columns=["vec_id", "embedding"])
+                ids, mat = _batch_matrix(t)
+                return Actor.remote(ids, mat, M, ef_construction)
+
+            self.actors = [a for a in ray.get(
+                [build.remote(i) for i in range(n_shards)])
+                if a is not None]
+            return
+        parts: dict[int, list] = {i: [[], []] for i in range(n_shards)}
+        for batch in ds.select_columns(["vec_id", "embedding"]) \
+                .iter_batches(batch_size=4096, batch_format="pyarrow"):
+            ids, mat = _batch_matrix(batch)
+            h = (ids.view(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+            sh = (h % n_shards).astype(np.int64)
+            for i in range(n_shards):
+                m = sh == i
+                if m.any():
+                    parts[i][0].append(ids[m])
+                    parts[i][1].append(mat[m])
+        for i in range(n_shards):
+            if not parts[i][0]:
+                continue
+            ids = np.concatenate(parts[i][0])
+            mat = np.concatenate(parts[i][1])
+            self.actors.append(Actor.remote(ids, mat, M,
+                                            ef_construction))
+
+    def search(self, Q: np.ndarray, k: int = 10, *,
+               ef_search: int = 64,
+               exclude_ids=None) -> pd.DataFrame:
+        """(nq, d) query matrix -> (query_idx, neighbor_id, cos) rows,
+        global top-k per query with the (cos desc, id asc) contract.
+        ``exclude_ids[qi]`` masks a self-id per query (optional)."""
+        import ray
+
+        got = ray.get([a.topk.remote(Q, k + 1, ef_search)
+                       for a in self.actors])
+        rows_q, rows_n, rows_c = [], [], []
+        for qi in range(len(Q)):
+            cand_ids = np.concatenate(
+                [g[qi][0] for g in got]) if got else \
+                np.empty(0, dtype=np.int64)
+            cand_sims = np.concatenate(
+                [g[qi][1] for g in got]) if got else \
+                np.empty(0, dtype=np.float64)
+            if exclude_ids is not None:
+                keep = cand_ids != exclude_ids[qi]
+                cand_ids, cand_sims = cand_ids[keep], cand_sims[keep]
+            order = np.lexsort((cand_ids, -cand_sims))[:k]
+            rows_q.extend([qi] * len(order))
+            rows_n.extend(int(x) for x in cand_ids[order])
+            rows_c.extend(float(s) for s in cand_sims[order])
+        return pd.DataFrame({
+            "query_idx": pd.array(rows_q, dtype="int64"),
+            "neighbor_id": pd.array(rows_n, dtype="int64"),
+            "cos": pd.array(rows_c, dtype="float64")})

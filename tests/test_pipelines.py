@@ -5855,3 +5855,52 @@ def test_hnsw_knn_recall_and_determinism(ray_session):
                                   again.reset_index(drop=True))
     # self-exclusion contract shared with brute_force_knn
     assert not ((approx["query_id"] == approx["neighbor_id"]).any())
+
+
+def test_distributed_ann_searcher_equals_batch(ray_session):
+    """The warm shard-actor ANN service must return EXACTLY the batch
+    hnsw_knn pipeline's answer at the same parameters — same shard
+    hash, same deterministic graphs — so the oracled batch path
+    vouches for the serving path."""
+    import numpy as np
+
+    from rse_ray.pipelines.ann import (
+        DistributedAnnSearcher,
+        _fetch_query_vectors,
+        hnsw_knn,
+    )
+
+    qids = [0, 1, 2, 3, 4]
+    emb = lambda: _read("embeddings", ["vec_id", "embedding"])  # noqa
+    one_shot = hnsw_knn(emb(), qids, k=10, n_shards=4,
+                        ef_search=128)
+    searcher = DistributedAnnSearcher(emb(), n_shards=4)
+    qv = _fetch_query_vectors(emb(), qids)
+    order = sorted(qv)
+    Q = np.stack([qv[q] for q in order])
+    served = searcher.search(Q, k=10, ef_search=128,
+                             exclude_ids=order)
+    served = served.assign(
+        query_id=[order[i] for i in served["query_idx"]])
+    served["cos"] = served["cos"].round(6)
+    key = ["query_id", "cos", "neighbor_id"]
+    a = one_shot.sort_values(key, ascending=[True, False, True]) \
+        .reset_index(drop=True)[["query_id", "neighbor_id", "cos"]]
+    b = served.sort_values(key, ascending=[True, False, True]) \
+        .reset_index(drop=True)[["query_id", "neighbor_id", "cos"]]
+    pd.testing.assert_frame_equal(a, b)
+    # the scale path — distributed shard write, actors read their own
+    # partition from storage, driver never touches vector bytes —
+    # must land on the same graphs and therefore the same rows
+    import tempfile
+
+    disk = DistributedAnnSearcher(
+        emb(), n_shards=4,
+        shard_dir=tempfile.mkdtemp(prefix="hnsw_shards_"))
+    served2 = disk.search(Q, k=10, ef_search=128, exclude_ids=order)
+    served2 = served2.assign(
+        query_id=[order[i] for i in served2["query_idx"]])
+    served2["cos"] = served2["cos"].round(6)
+    b2 = served2.sort_values(key, ascending=[True, False, True]) \
+        .reset_index(drop=True)[["query_id", "neighbor_id", "cos"]]
+    pd.testing.assert_frame_equal(a, b2)
