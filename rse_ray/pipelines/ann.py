@@ -1570,7 +1570,12 @@ def make_hnsw_shard_actor():
     searcher — build once, answer many."""
     import ray
 
-    @ray.remote
+    # num_cpus=0: like the BM25 shard actors these are RESIDENT-INDEX
+    # holders — query work is short bursts, and reserving a whole CPU
+    # per idle shard would starve co-resident Ray Data jobs (callers
+    # wanting hard isolation can .options(num_cpus=1) the factory's
+    # return)
+    @ray.remote(num_cpus=0)
     class HnswShard:
         def __init__(self, ids, mat, M, ef_construction):
             self.graph = _HnswGraph(np.asarray(ids, dtype=np.int64),
@@ -1661,6 +1666,15 @@ class DistributedAnnSearcher:
             mat = np.concatenate(parts[i][1])
             self.actors.append(Actor.remote(ids, mat, M,
                                             ef_construction))
+
+    def shutdown(self) -> None:
+        """Release the shard actors (tests and bounded-lifetime
+        callers; a serving deployment keeps them warm)."""
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
 
     def search(self, Q: np.ndarray, k: int = 10, *,
                ef_search: int = 64,

@@ -5904,3 +5904,5 @@ def test_distributed_ann_searcher_equals_batch(ray_session):
     b2 = served2.sort_values(key, ascending=[True, False, True]) \
         .reset_index(drop=True)[["query_id", "neighbor_id", "cos"]]
     pd.testing.assert_frame_equal(a, b2)
+    searcher.shutdown()
+    disk.shutdown()
