@@ -412,11 +412,21 @@ def test_default_num_parts_executes_upstream_once(ray_session):
         return _read(table, cols).map_batches(
             bump, batch_format="pyarrow")
 
+    def assert_single_pass(tally, n, label):
+        # exact equality flakes under a loaded session: Ray may
+        # legitimately re-run individual blocks (task retry, lineage
+        # recomputation after eviction). The defect this test guards
+        # against — a planning count() executing the WHOLE upstream a
+        # second time — lands at exactly 2n, so anything under 1.5n
+        # is a single pass plus at most retry noise.
+        got = ray.get(tally.get.remote())
+        assert n <= got < 1.5 * n, f"{label}: {got} rows for n={n}"
+
     t1 = Tally.remote()
     docs = chained("documents", ["doc_id", "text"], t1)
     n_docs = _read("documents").count()  # metadata-only
     minhash_candidate_pairs(docs).materialize()
-    assert ray.get(t1.get.remote()) == n_docs
+    assert_single_pass(t1, n_docs, "minhash")
 
     t2 = Tally.remote()
     ev = chained("events", ["user_id", "event_type"], t2) \
@@ -425,13 +435,13 @@ def test_default_num_parts_executes_upstream_once(ray_session):
                      batch_format="pyarrow")
     n_ev = _read("events").count()
     jaccard_links(ev).materialize()
-    assert ray.get(t2.get.remote()) == n_ev
+    assert_single_pass(t2, n_ev, "jaccard")
 
     t3 = Tally.remote()
     emb = chained("embeddings", ["vec_id", "embedding"], t3)
     n_emb = _read("embeddings").count()
     train_ivf_centroids(emb)
-    assert ray.get(t3.get.remote()) == n_emb
+    assert_single_pass(t3, n_emb, "ivf")
 
 
 def test_minhash_distributed_cand_dedup_identical(ray_session):
