@@ -5940,7 +5940,7 @@ FROM tiles GROUP BY 1, 2, 3""",
         # when seen in >= 3 distinct docs of the same source
         "webtext_clean": """
 WITH m AS (SELECT url, main_text,
-                  len(regexp_split_to_array(main_text, '\s+')) AS n_tokens
+                  len(regexp_split_to_array(main_text, '\\s+')) AS n_tokens
            FROM read_parquet('{golden}')),
 f AS (SELECT * FROM m WHERE n_tokens >= 60)
 SELECT min(url) AS url, n_tokens

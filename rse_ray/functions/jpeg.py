@@ -345,8 +345,15 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.at >= len(self.buf):
+            # cut entropy stream: keep the decoder's documented
+            # ValueError contract instead of leaking IndexError
+            # (round-4 ADVICE — real crawls carry truncated payloads)
+            raise ValueError("truncated JPEG (entropy stream cut)")
         b = self.buf[self.at]
         if b == 0xFF:
+            if self.at + 1 >= len(self.buf):
+                raise ValueError("truncated JPEG (entropy stream cut)")
             nxt = self.buf[self.at + 1]
             if nxt == 0x00:
                 self.at += 2
@@ -399,14 +406,22 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     while at < len(buf):
         if buf[at] != 0xFF:
             raise ValueError("marker sync lost")
+        if at + 2 > len(buf):
+            raise ValueError("truncated JPEG (marker cut)")
         marker = (buf[at] << 8) | buf[at + 1]
         if marker == 0xFFD9:
             break
+        if at + 4 > len(buf):
+            raise ValueError("truncated JPEG (marker header cut)")
         (length,) = struct.unpack_from(">H", buf, at + 2)
         body = buf[at + 4: at + 2 + length]
+        if len(body) != max(0, length - 2):
+            raise ValueError("truncated JPEG (segment body cut)")
         if marker == 0xFFDB:
             pos = 0
             while pos < len(body):
+                if len(body) - pos < 65:
+                    raise ValueError("truncated JPEG (DQT cut)")
                 pq_, tq = body[pos] >> 4, body[pos] & 0xF
                 if pq_ != 0:
                     raise ValueError("16-bit quant tables unsupported")
@@ -418,14 +433,22 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xFFC4:
             pos = 0
             while pos < len(body):
+                if len(body) - pos < 17:
+                    raise ValueError("truncated JPEG (DHT cut)")
                 cls, tid = body[pos] >> 4, body[pos] & 0xF
                 bits = list(body[pos + 1: pos + 17])
                 nv = sum(bits)
+                if len(body) - pos - 17 < nv:
+                    raise ValueError("truncated JPEG (DHT cut)")
                 vals = list(body[pos + 17: pos + 17 + nv])
                 htabs[(cls, tid)] = _huff_decode_table(bits, vals)
                 pos += 17 + nv
         elif marker == 0xFFC0:
+            if len(body) < 6:
+                raise ValueError("truncated JPEG (SOF cut)")
             prec, ph, pw, nc = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG (SOF cut)")
             if prec != 8 or nc != 3:
                 raise ValueError("need 8-bit 3-component baseline")
             comps = []
@@ -442,6 +465,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xFFDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xFFDA:
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated JPEG (SOS cut)")
             ns = body[0]
             comp_tabs = []
             for c in range(ns):

@@ -39,6 +39,17 @@ BLOCK_TAGS = frozenset("""
 SKIP_TAGS = frozenset(
     ["script", "style", "noscript", "template", "head", "title"])
 
+# Skip tags whose content model cannot legally contain block-level
+# elements: a block start tag seen while one of these is open means the
+# close tag was MISSING (malformed crawl HTML), so the frame is closed
+# implicitly — browsers auto-close <head>/<title> the same way. NOT
+# applied to noscript/template (block children are valid there, the
+# region really is boilerplate) nor to script/style (html.parser's
+# CDATA mode never fires handle_starttag inside them; an unterminated
+# <script> therefore swallows the document remainder, which matches
+# browser behavior for that malformation). Round-4 ADVICE.
+_AUTO_CLOSE_SKIP = frozenset(["head", "title"])
+
 
 class _BlockParser(HTMLParser):
     """Collects (normalized_text, link_chars, total_chars) blocks."""
@@ -48,7 +59,11 @@ class _BlockParser(HTMLParser):
         self.blocks: list[tuple[str, int, int]] = []
         self._segs: list[tuple[str, bool]] = []
         self._a_depth = 0
-        self._skip_depth = 0
+        self._skip_stack: list[str] = []
+
+    @property
+    def _skip_depth(self) -> int:
+        return len(self._skip_stack)
 
     def _flush(self) -> None:
         if not self._segs:
@@ -67,16 +82,22 @@ class _BlockParser(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         if tag in SKIP_TAGS:
-            self._skip_depth += 1
+            self._skip_stack.append(tag)
             return
         if tag in BLOCK_TAGS:
+            while self._skip_stack \
+                    and self._skip_stack[-1] in _AUTO_CLOSE_SKIP:
+                self._skip_stack.pop()  # unterminated <head>/<title>
             self._flush()
         elif tag == "a":
             self._a_depth += 1
 
     def handle_endtag(self, tag):
         if tag in SKIP_TAGS:
-            self._skip_depth = max(0, self._skip_depth - 1)
+            if tag in self._skip_stack:
+                # pop through any unterminated inner skip frames too
+                while self._skip_stack.pop() != tag:
+                    pass
             return
         if tag in BLOCK_TAGS:
             self._flush()

@@ -53,11 +53,25 @@ def _read_leaf_rows(ds) -> int | None:
     in the dataset's logical plan (Ray's ParquetDatasource caches
     fragment metadata at read_parquet() time, so this is zero-I/O).
     Returns None when any leaf is not a metadata-bearing parquet read
-    — the caller then decides whether counting is worth an execution."""
+    — the caller then decides whether counting is worth an execution.
+
+    All-to-all operators (groupby/aggregate/sort/repartition) CHANGE
+    the row count in ways footers can't bound usefully (an aggregate
+    collapses the input by its group fan-in), so the walk stops and
+    returns None when it meets one — plan_rows then falls back to
+    count(), keeping its contract of a filter-only upper bound
+    (round-4 ADVICE)."""
     try:
         stack, total = [ds._logical_plan.dag], 0
         while stack:
             op = stack.pop()
+            kind = type(op).__name__
+            if "AllToAll" in kind or kind in (
+                    "Aggregate", "Sort", "RandomShuffle", "Repartition"):
+                return None
+            for klass in type(op).__mro__:
+                if "AbstractAllToAll" in klass.__name__:
+                    return None
             deps = op.input_dependencies
             if deps:
                 stack.extend(deps)

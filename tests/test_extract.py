@@ -190,6 +190,41 @@ def test_main_content_blocks_and_rules():
     assert text == "aaa bbb ccc ddd eee fff ggg hhh iii jjj kkk lll"
 
 
+def test_main_content_malformed_skip_tags():
+    """Malformed-HTML behavior of the skip-tag machinery (round-4
+    ADVICE): an unterminated <head>/<title> closes implicitly at the
+    first block-level start tag (browser auto-close) instead of
+    silently discarding the whole document; an unterminated <script>
+    swallows the remainder (html.parser CDATA mode — matches browsers);
+    valid block content inside <noscript> stays skipped; stray close
+    tags are ignored."""
+    from rse_ray.functions.maincontent import content_blocks
+
+    words = " ".join(f"w{i}" for i in range(12))
+
+    # unterminated <head> (no </head>): body text must survive
+    got = [t for t, _, _ in content_blocks(
+        f"<html><head><title>t</title><body><p>{words}</p></body>")]
+    assert got == [words]
+    # unterminated <title> inside an unterminated <head>: both pop
+    got = [t for t, _, _ in content_blocks(
+        f"<head><title>site<p>{words}</p>")]
+    assert got == [words]
+    # unterminated <script>: CDATA mode swallows the remainder —
+    # documented, browser-consistent
+    got = [t for t, _, _ in content_blocks(
+        f"<body><script>var x=1;<p>{words}</p></body>")]
+    assert got == []
+    # block content inside noscript is valid markup and stays skipped
+    got = [t for t, _, _ in content_blocks(
+        f"<body><noscript><p>enable js</p></noscript><p>{words}</p>")]
+    assert got == [words]
+    # stray close tags don't underflow the stack
+    got = [t for t, _, _ in content_blocks(
+        f"</head></script></title><p>{words}</p>")]
+    assert got == [words]
+
+
 def test_main_content_fixture_golden_roundtrip(tmp_path):
     """The planted-fixture golden (written by construction, not by the
     extractor) is reproduced exactly for every page."""

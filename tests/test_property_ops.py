@@ -208,3 +208,12 @@ def test_plan_rows_resolution_paths(ray_session, tmp_path):
     items = ray.data.from_items([{"x": i} for i in range(9)]) \
         .map_batches(lambda b: b, batch_format="pyarrow")
     assert plan_rows(items) == 9
+    # an all-to-all op (aggregate) collapses rows: the footer walk
+    # must NOT report the pre-aggregation input count (round-4
+    # ADVICE). 100 input rows, 100//10 = 10 groups.
+    agg = ray.data.read_parquet(p1).add_column(
+        "g", lambda df: df["x"] % 10, batch_format="pandas"
+    ).groupby("g").count()
+    assert plan_rows(agg) == 10  # falls back to count(), not 100
+    srt = ray.data.read_parquet(p2).sort("x")
+    assert plan_rows(srt) == 40  # sort keeps rows; count() fallback
