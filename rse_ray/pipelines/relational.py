@@ -4434,44 +4434,68 @@ def discounted_revenue(lineitem_ds, part_ds, *, arms=DISCOUNT_ARMS):
     arm (arm, n_items, revenue) + the disjunction total under arm =
     -1, money rounded to 2.
 
-    Scale shape: part attributes broadcast once as dense numpy
-    arrays (brand code int8 + size int32 indexed by partkey); every
-    arm evaluates vectorized inside the same single pass over
-    lineitem; the reduce is a |arms|+1-row groupby."""
-    import ray
+    Scale shape: part pre-filters to the arms' brands and a size
+    inside any arm's window (a few-percent selectivity cut over the
+    dimension) with brand mapped to an int8 arm code BEFORE the join;
+    ``auto_join`` then broadcasts the pruned dimension — or
+    co-partitions past its 2M-row threshold — so there is NO driver
+    collect of the sf-scaling part table (round-4 VERDICT item 2);
+    every arm evaluates vectorized inside the same single pass over
+    the joined stream; the reduce is a |arms|+1-row groupby. Lineitems
+    whose part matches no arm's brand drop at the inner join — they
+    can't satisfy any arm, so the counts are unchanged."""
     from ray.data.aggregate import Sum
 
-    pt = part_ds.select_columns(
-        ["p_partkey", "p_brand", "p_size"]).to_pandas()
-    keys = pt["p_partkey"].to_numpy().astype(np.int64)
-    n = int(keys.max()) + 1
     brand_names = sorted(set(a["brand"] for a in arms))
     brand_code = {b: i for i, b in enumerate(brand_names)}
-    codes = np.full(n, -1, dtype=np.int8)
-    codes[keys] = pt["p_brand"].map(
-        lambda b: brand_code.get(b, -1)).to_numpy().astype(np.int8)
-    sizes = np.zeros(n, dtype=np.int32)
-    sizes[keys] = pt["p_size"].to_numpy().astype(np.int32)
-    ref = ray.put((codes, sizes))
+    max_size = max(int(a["size_hi"]) for a in arms)
+    brand_set = pa.array(brand_names)
     arm_specs = [(brand_code[a["brand"]], int(a["size_hi"]),
                   float(a["qty_lo"]), float(a["qty_hi"]))
                  for a in arms]
 
+    def project_part(b: pa.Table) -> pa.Table:
+        code = pc.index_in(b.column("p_brand"), value_set=brand_set)
+        sz = b.column("p_size")
+        keep = pc.and_(pc.is_valid(code),
+                       pc.and_(pc.greater_equal(sz, pa.scalar(1)),
+                               pc.less_equal(sz,
+                                             pa.scalar(max_size))))
+        b = b.filter(keep)
+        return pa.table({
+            "p_partkey": b.column("p_partkey"),
+            "bcode": pc.cast(pc.index_in(b.column("p_brand"),
+                                         value_set=brand_set),
+                             pa.int8()),
+            "p_size": pc.cast(b.column("p_size"), pa.int32())})
+
+    part_f = part_ds.select_columns(
+        ["p_partkey", "p_brand", "p_size"]).map_batches(
+        project_part, batch_format="pyarrow")
+    j = auto_join(
+        lineitem_ds.select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice",
+             "l_discount"]),
+        part_f, left_on="l_partkey", right_on="p_partkey",
+        right_cols=["bcode", "p_size"], how="inner")
+
     def partial(batch: pa.Table) -> pa.Table:
-        codes_a, sizes_a = ray.get(ref)
-        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        empty = pa.table({"arm": pa.array([], type=pa.int64()),
+                          "n_p": pa.array([], type=pa.int64()),
+                          "rev_p": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0 \
+                or "bcode" not in batch.column_names:
+            return empty
+        bc = batch.column("bcode").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sz = batch.column("p_size").to_numpy(zero_copy_only=False)
         qty = batch.column("l_quantity").to_numpy()
         rev = (batch.column("l_extendedprice").to_numpy()
                * (1.0 - batch.column("l_discount").to_numpy()))
-        ok = pk < len(codes_a)
-        bc = np.where(ok, codes_a[np.minimum(pk, len(codes_a) - 1)],
-                      -1)
-        sz = np.where(ok, sizes_a[np.minimum(pk, len(sizes_a) - 1)],
-                      0)
         o_arm, o_n, o_rev = [], [], []
-        any_mask = np.zeros(len(pk), dtype=bool)
+        any_mask = np.zeros(len(bc), dtype=bool)
         for i, (code, size_hi, qlo, qhi) in enumerate(arm_specs):
-            m = ((bc == code) & (sz >= 1) & (sz <= size_hi)
+            m = ((bc == code) & (sz <= size_hi)
                  & (qty >= qlo) & (qty <= qhi))
             any_mask |= m
             o_arm.append(i)
@@ -4485,18 +4509,21 @@ def discounted_revenue(lineitem_ds, part_ds, *, arms=DISCOUNT_ARMS):
                          "rev_p": pa.array(o_rev,
                                            type=pa.float64())})
 
-    agg = lineitem_ds.select_columns(
-        ["l_partkey", "l_quantity", "l_extendedprice",
-         "l_discount"]) \
-        .map_batches(partial, batch_format="pyarrow") \
+    agg = j.map_batches(partial, batch_format="pyarrow") \
         .groupby("arm").aggregate(Sum("n_p", alias_name="n_items"),
-                                  Sum("rev_p", alias_name="revenue"))
-    return agg.map_batches(
-        lambda b: pa.table({
-            "arm": b.column("arm"),
-            "n_items": pc.cast(b.column("n_items"), pa.int64()),
-            "revenue": _round_np(b.column("revenue"), 2),
-        }), batch_format="pyarrow")
+                                  Sum("rev_p", alias_name="revenue")) \
+        .to_pandas()
+    # the oracle emits every arm even at zero matches; with the inner
+    # join an unmatched arm produces no partial rows, so reindex the
+    # (<= |arms|+1)-row aggregate over the full arm set
+    want = [*range(len(arm_specs)), -1]
+    agg = agg.set_index("arm").reindex(want).fillna(0.0) if len(agg) \
+        else pd.DataFrame(index=pd.Index(want, name="arm"),
+                          data={"n_items": 0.0, "revenue": 0.0})
+    return pd.DataFrame({
+        "arm": np.asarray(want, dtype=np.int64),
+        "n_items": agg["n_items"].to_numpy().astype(np.int64),
+        "revenue": agg["revenue"].to_numpy().round(2)})
 
 
 def top_supplier_revenue(lineitem_ds, supplier_ds, *,
@@ -4508,10 +4535,16 @@ def top_supplier_revenue(lineitem_ds, supplier_ds, *,
     places BEFORE the max comparison so both engines agree on ties.
 
     Scale shape: revenue pre-aggregates per batch per suppkey (ONE
-    supplier-cardinality groupby — suppliers are a dimension);
-    the max/tie cut runs on the dimension-sized aggregate; names
-    attach from the supplier table collected once."""
-    from ray.data.aggregate import Sum
+    supplier-cardinality groupby — suppliers are a dimension); the
+    aggregate pins (materialize of a dimension-sized table) so the max
+    and the tie cut both read it without re-running the lineitem
+    pass; the max itself is a distributed ``Dataset.aggregate``; the
+    tie cut filters the pinned aggregate to the (usually 1-row) top
+    set; names attach by joining SUPPLIER AGAINST THE TINY TOP SET
+    with ``auto_join`` (right side = top rows, so it always
+    broadcasts) — no driver collect of the sf-scaling supplier table
+    (round-4 VERDICT item 2)."""
+    from ray.data.aggregate import Max, Sum
 
     lo = np.datetime64(date_lo, "us")
     hi = np.datetime64(date_hi, "us")
@@ -4540,24 +4573,33 @@ def top_supplier_revenue(lineitem_ds, supplier_ds, *,
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("s_suppkey") \
         .aggregate(Sum("rev_p", alias_name="total_revenue")) \
-        .to_pandas()
-    if agg.empty:
+        .map_batches(
+            lambda b: pa.table({
+                "s_suppkey": pc.cast(b.column("s_suppkey"),
+                                     pa.int64()),
+                "total_revenue": _round_np(
+                    b.column("total_revenue"), 2)}),
+            batch_format="pyarrow") \
+        .materialize()
+    best_row = agg.aggregate(Max("total_revenue"))
+    best = (best_row or {}).get("max(total_revenue)")
+    if best is None:
         return pd.DataFrame({"s_suppkey": pd.Series([],
                                                     dtype=np.int64),
                              "s_name": pd.Series([], dtype=object),
                              "total_revenue": pd.Series(
                                  [], dtype=np.float64)})
-    agg["total_revenue"] = agg["total_revenue"].round(2)
-    best = agg["total_revenue"].max()
-    top = agg[agg["total_revenue"] == best].copy()
-    sup = supplier_ds.select_columns(
-        ["s_suppkey", "s_name"]).to_pandas()
-    names = {int(a): b for a, b in zip(sup["s_suppkey"],
-                                       sup["s_name"])}
-    top["s_suppkey"] = top["s_suppkey"].astype(np.int64)
-    top["s_name"] = top["s_suppkey"].map(
-        lambda x: names.get(int(x), ""))
-    return top.sort_values("s_suppkey")[
+    top = agg.map_batches(
+        lambda b: b.filter(pc.equal(b.column("total_revenue"),
+                                    pa.scalar(float(best)))),
+        batch_format="pyarrow")
+    named = auto_join(
+        supplier_ds.select_columns(["s_suppkey", "s_name"]), top,
+        left_on="s_suppkey", right_on="s_suppkey",
+        right_cols=["total_revenue"], how="inner")
+    out = named.to_pandas()  # <= |ties| rows
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    return out.sort_values("s_suppkey").reset_index(drop=True)[
         ["s_suppkey", "s_name", "total_revenue"]]
 
 
@@ -5109,14 +5151,17 @@ def nation_trade_volume(customer_ds, orders_ds, lineitem_ds,
     the order. -> (supp_nation, cust_nation, l_year, revenue).
 
     Scale shape: lineitem prunes to the ship window at the scan;
-    supplier and nation are BROADCAST lookups (ray.put once, numpy
-    take per batch — never a shuffle); the one big exchange is the
+    nation (fixed 25-ish rows) resolves names driver-side; supplier
+    nationkeys attach via ``auto_join`` (dimension broadcast under
+    its 2M-row threshold, co-partitioned beyond — no driver collect
+    of the sf-scaling supplier table, round-4 VERDICT item 2), and
+    BOTH join inputs then pre-filter to the two nations of interest
+    (~2/|nations| selectivity each) BEFORE the one big exchange — the
     co-partitioned lineitem<-orders join, where orders arrive already
     annotated with c_nationkey from an orders<-customer join that
-    moves only (orderkey, nationkey) pairs; the pair filter runs
-    vectorized BEFORE revenue partials, so the final groupby sees
+    moves only (orderkey, nationkey) pairs; the cross-pair cut runs
+    vectorized before revenue partials, so the final groupby sees
     (2 directions x years) rows."""
-    import ray
     from ray.data.aggregate import Sum
 
     from rse_ray.util import parts_for, plan_rows
@@ -5134,20 +5179,23 @@ def nation_trade_volume(customer_ds, orders_ds, lineitem_ds,
         raise ValueError("unknown nation name")
     ka, kb = key_a[0], key_b[0]
 
-    sup = supplier_ds.select_columns(
-        ["s_suppkey", "s_nationkey"]).to_pandas()
-    smax = int(sup["s_suppkey"].max()) if len(sup) else 0
-    slook = np.full(smax + 1, -1, dtype=np.int64)
-    slook[sup["s_suppkey"].to_numpy()] = \
-        sup["s_nationkey"].to_numpy()
-    sref = ray.put(slook)
+    def keep_pair(col):
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or col not in b.column_names:
+                return b
+            return b.filter(pc.is_in(
+                b.column(col),
+                value_set=pa.array(sorted({ka, kb}),
+                                   type=b.column(col).type)))
+        return f
 
     ords = auto_join(
         orders_ds.select_columns(["o_orderkey", "o_custkey"]),
         customer_ds.select_columns(["c_custkey", "c_nationkey"]),
         left_on="o_custkey", right_on="c_custkey",
         right_cols=["c_nationkey"], how="inner",
-        num_parts=max(32, P // 8))
+        num_parts=max(32, P // 8)) \
+        .map_batches(keep_pair("c_nationkey"), batch_format="pyarrow")
     li = lineitem_ds.map_batches(
         lambda b: b.filter(pc.and_(
             pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
@@ -5155,6 +5203,13 @@ def nation_trade_volume(customer_ds, orders_ds, lineitem_ds,
         .select(["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount", "l_shipdate"]),
         batch_format="pyarrow")
+    li = auto_join(li,
+                   supplier_ds.select_columns(["s_suppkey",
+                                               "s_nationkey"]),
+                   left_on="l_suppkey", right_on="s_suppkey",
+                   right_cols=["s_nationkey"], how="inner",
+                   num_parts=P) \
+        .map_batches(keep_pair("s_nationkey"), batch_format="pyarrow")
     j = auto_join(li, ords.select_columns(["o_orderkey",
                                            "c_nationkey"]),
                   left_on="l_orderkey", right_on="o_orderkey",
@@ -5168,11 +5223,11 @@ def nation_trade_volume(customer_ds, orders_ds, lineitem_ds,
             "l_year": pa.array([], type=pa.int64()),
             "rev_p": pa.array([], type=pa.float64())})
         if batch.num_rows == 0 \
-                or "c_nationkey" not in batch.column_names:
+                or "c_nationkey" not in batch.column_names \
+                or "s_nationkey" not in batch.column_names:
             return empty
-        sl = ray.get(sref)
-        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
-        sn = sl[np.clip(sk, 0, len(sl) - 1)]
+        sn = batch.column("s_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         cn = batch.column("c_nationkey").to_numpy(
             zero_copy_only=False).astype(np.int64)
         keep = ((sn == ka) & (cn == kb)) | ((sn == kb) & (cn == ka))

@@ -379,69 +379,99 @@ def test_parts_for_input_derived():
                      max_parts=64, pow2=False) == 12
 
 
-def test_default_num_parts_executes_upstream_once(ray_session):
+def test_default_num_parts_executes_upstream_once():
     """Round-3 VERDICT item 4: `num_parts=None` used to derive the
     shuffle fan-out via ds.count(), which EXECUTES a lazily-chained
     input once for the count and again for the real consume. plan_rows
     now resolves the size from parquet footers, so an expensive
     upstream map must run exactly once per input row. A counter actor
     tallies rows flowing through the chained map; after consuming each
-    entry point, the tally equals the input row count — not 2x."""
-    import ray
-    import ray.data
+    entry point, the tally equals the input row count — not 2x.
 
-    from rse_ray.pipelines.ann import train_ivf_centroids
-    from rse_ray.pipelines.dedup import minhash_candidate_pairs
-    from rse_ray.pipelines.linkgraph import jaccard_links
+    Runs in its OWN subprocess Ray session (round-4 VERDICT item 3):
+    under the shared pytest session, object-store pressure from
+    earlier tests can evict blocks and trigger lineage recomputation,
+    re-running enough individual blocks to cross the tolerance even
+    though the planning path is single-pass. A fresh low-pressure
+    session makes such retries rare; the 1.5n tolerance (the count()
+    defect lands at exactly 2n) absorbs any that remain."""
+    import subprocess
+    import sys
+    from pathlib import Path
 
-    @ray.remote
-    class Tally:
-        def __init__(self):
-            self.n = 0
+    script = r'''
+import ray
+import ray.data
 
-        def add(self, k):
-            self.n += int(k)
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+ray.data.DataContext.get_current().enable_progress_bars = False
 
-        def get(self):
-            return self.n
+from rse_ray.pipelines.ann import train_ivf_centroids
+from rse_ray.pipelines.dedup import minhash_candidate_pairs
+from rse_ray.pipelines.linkgraph import jaccard_links
 
-    def chained(table, cols, tally):
-        def bump(b):
-            ray.get(tally.add.remote(b.num_rows))
-            return b
-        return _read(table, cols).map_batches(
-            bump, batch_format="pyarrow")
+SF = "/root/testdata/sf0.001"
 
-    def assert_single_pass(tally, n, label):
-        # exact equality flakes under a loaded session: Ray may
-        # legitimately re-run individual blocks (task retry, lineage
-        # recomputation after eviction). The defect this test guards
-        # against — a planning count() executing the WHOLE upstream a
-        # second time — lands at exactly 2n, so anything under 1.5n
-        # is a single pass plus at most retry noise.
-        got = ray.get(tally.get.remote())
-        assert n <= got < 1.5 * n, f"{label}: {got} rows for n={n}"
 
-    t1 = Tally.remote()
-    docs = chained("documents", ["doc_id", "text"], t1)
-    n_docs = _read("documents").count()  # metadata-only
-    minhash_candidate_pairs(docs).materialize()
-    assert_single_pass(t1, n_docs, "minhash")
+def _read(table, cols=None):
+    return ray.data.read_parquet(f"{SF}/{table}.parquet",
+                                 columns=cols)
 
-    t2 = Tally.remote()
-    ev = chained("events", ["user_id", "event_type"], t2) \
-        .map_batches(lambda b: b.rename_columns(["src_url",
-                                                 "dst_url"]),
-                     batch_format="pyarrow")
-    n_ev = _read("events").count()
-    jaccard_links(ev).materialize()
-    assert_single_pass(t2, n_ev, "jaccard")
 
-    t3 = Tally.remote()
-    emb = chained("embeddings", ["vec_id", "embedding"], t3)
-    n_emb = _read("embeddings").count()
-    train_ivf_centroids(emb)
-    assert_single_pass(t3, n_emb, "ivf")
+@ray.remote
+class Tally:
+    def __init__(self):
+        self.n = 0
+
+    def add(self, k):
+        self.n += int(k)
+
+    def get(self):
+        return self.n
+
+
+def chained(table, cols, tally):
+    def bump(b):
+        ray.get(tally.add.remote(b.num_rows))
+        return b
+    return _read(table, cols).map_batches(bump,
+                                          batch_format="pyarrow")
+
+
+def assert_single_pass(tally, n, label):
+    got = ray.get(tally.get.remote())
+    assert n <= got < 1.5 * n, f"{label}: {got} rows for n={n}"
+
+
+t1 = Tally.remote()
+docs = chained("documents", ["doc_id", "text"], t1)
+n_docs = _read("documents").count()  # metadata-only
+minhash_candidate_pairs(docs).materialize()
+assert_single_pass(t1, n_docs, "minhash")
+
+t2 = Tally.remote()
+ev = chained("events", ["user_id", "event_type"], t2) \
+    .map_batches(lambda b: b.rename_columns(["src_url", "dst_url"]),
+                 batch_format="pyarrow")
+n_ev = _read("events").count()
+jaccard_links(ev).materialize()
+assert_single_pass(t2, n_ev, "jaccard")
+
+t3 = Tally.remote()
+emb = chained("embeddings", ["vec_id", "embedding"], t3)
+n_emb = _read("embeddings").count()
+train_ivf_centroids(emb)
+assert_single_pass(t3, n_emb, "ivf")
+
+ray.shutdown()
+print("SINGLE_PASS_OK")
+'''
+    repo = str(Path(__file__).resolve().parents[1])
+    r = subprocess.run([sys.executable, "-c", script], cwd=repo,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0 and "SINGLE_PASS_OK" in r.stdout, \
+        f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
 
 
 def test_minhash_distributed_cand_dedup_identical(ray_session):
@@ -4609,8 +4639,7 @@ def test_tpch_q10_q14_q19_q15_shapes(ray_session):
     # arm 1 = Brand#23/size<=10/qty 10-20 -> row 1 (rev 180);
     # arm 2 = Brand#24/size<=15/qty 20-30 -> row 3 fails (qty 40),
     # row 2 is Brand#12 (qty 25 out of arm 0's range) -> empty.
-    q19 = discounted_revenue(D(li), D(part)).to_pandas() \
-        .set_index("arm")
+    q19 = discounted_revenue(D(li), D(part)).set_index("arm")
     assert (q19.loc[0, "n_items"], q19.loc[0, "revenue"]) == (1,
                                                               100.0)
     assert (q19.loc[1, "n_items"], q19.loc[1, "revenue"]) == (1,
