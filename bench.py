@@ -57,6 +57,49 @@ def _cpu_times() -> tuple[int, int]:
     return steal, sum(vals)
 
 
+def _mem_sample() -> dict:
+    """Session memory snapshot, all from /proc — no extra deps:
+    driver RSS, summed RSS of every Ray worker/raylet process, and
+    /dev/shm usage (the plasma object store mmaps there on Linux).
+    Recorded per bench query (round-4 VERDICT item 8) so a slow
+    outlier is attributable from the JSON alone: a step change in
+    rss_workers_mb or shm_mb right before an outlier names the
+    culprit (resident actors / object-store pressure) without a
+    rerun."""
+
+    def rss_kb(pid: str) -> int:
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1])
+        except OSError:
+            pass
+        return 0
+
+    workers = 0
+    nproc = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == os.getpid():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read()
+        except OSError:
+            continue
+        if b"ray::" in cmd or b"raylet" in cmd \
+                or b"default_worker.py" in cmd:
+            workers += rss_kb(pid)
+            nproc += 1
+    shm = shutil.disk_usage("/dev/shm")
+    return {
+        "rss_driver_mb": round(rss_kb(str(os.getpid())) / 1024, 1),
+        "rss_workers_mb": round(workers / 1024, 1),
+        "n_ray_procs": nproc,
+        "shm_used_mb": round(shm.used / 1e6, 1),
+    }
+
+
 CORPUS_ROWS_PER_FILE = 50_000  # ~75 MB files: parquet metadata/listing
 # cost at read planning is per-FILE driver time (measured 6.8 s for the
 # 3.2M corpus at 2k rows/file vs <0.5 s at 50k rows/file)
@@ -177,12 +220,21 @@ def run_headline(num_cpus: int, n_rows: int) -> dict:
     }
 
 
-def run_queries(sf_dir: str) -> dict:
-    """Time every `queries()` entry over sf_dir (one run each)."""
+def run_queries(sf_dir: str) -> tuple[dict, dict]:
+    """Time every `queries()` entry over sf_dir (one run each).
+    Returns (times, mem): per-query seconds plus a post-query
+    memory snapshot (_mem_sample). `RSE_BENCH_ONLY=a,b,...` (exact
+    names) or `RSE_BENCH_UPTO=name` (run the dict-order prefix
+    through `name`) restrict the set for outlier bisection."""
     import __ray_entry__ as entrymod
 
-    out = {}
+    only = {s for s in os.environ.get("RSE_BENCH_ONLY", "").split(",")
+            if s}
+    upto = os.environ.get("RSE_BENCH_UPTO", "")
+    out, mem = {}, {"_start": _mem_sample()}
     for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             res = fn(sf_dir)
@@ -190,13 +242,16 @@ def run_queries(sf_dir: str) -> dict:
             out[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # keep the bench alive; surface the failure
             out[name] = f"ERROR: {type(e).__name__}: {e}"
-    return out
+        mem[name] = _mem_sample()
+        if upto and name == upto:
+            break
+    return out, mem
 
 
 def main_default(num_cpus: int) -> None:
     _ray_init(num_cpus)
     headline = run_headline(num_cpus, CORPUS_ROWS)
-    qtimes = run_queries(SF_DIR)
+    qtimes, qmem = run_queries(SF_DIR)
     sf = 0.1
     for tok in ("sf0.001", "sf0.01", "sf0.1", "sf1"):
         if tok in SF_DIR:
@@ -209,6 +264,7 @@ def main_default(num_cpus: int) -> None:
         "sf": sf,
         "num_cpus": num_cpus,
         "headline": headline,
+        "query_mem": qmem,
     }
     print(json.dumps(result))
     import ray

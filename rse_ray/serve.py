@@ -22,13 +22,18 @@ Endpoints (JSON responses):
   GET /healthz
       -> {"status": "ok", "num_docs": N, "distributed": bool}
 
-Concurrency: requests are served on threads but searches serialize on
-one lock — the sharded-accumulator path mutates warm residency state
-(``DistributedSearcher._resident``), and a single query already fans
-out across the whole actor pool, so concurrent scatter-gathers would
-contend for the same actors anyway. Scale path: run several server
-processes over the same read-only index dir behind any TCP balancer;
-the index files are immutable segments, so replicas share nothing.
+Concurrency: requests are served on threads, and in the default
+distributed mode searches run CONCURRENTLY — ``DistributedSearcher``
+is thread-safe (its residency bookkeeping snapshots/updates under an
+internal lock; the scatter-gather ray.gets overlap across requests,
+and the actors serialize per-call like the Go server's handler
+goroutines against a shared engine, ``api/main.go:236-240``). Only
+``--driver`` mode serializes on a lock: the in-process ``Searcher``'s
+``IndexReader`` LRU caches are not thread-safe, and that mode exists
+for single-box debugging, not throughput. Scale path beyond one
+process: run several server processes over the same read-only index
+dir behind any TCP balancer; the index files are immutable segments,
+so replicas share nothing.
 
 Run:  python -m rse_ray serve --index-dir IDX [--host H] [--port P]
           [--num-actors N] [--accumulators R] [--warmup TOP_N]
@@ -69,7 +74,10 @@ def make_server(index_dir: str, *, host: str = "127.0.0.1",
         if warmup:
             searcher.warmup(top_n=warmup)
     stats = read_json(os.path.join(index_dir, "stats.json")) or {}
-    lock = threading.Lock()
+    # driver mode only: the in-process IndexReader's LRU caches are
+    # not thread-safe. Distributed mode searches concurrently — the
+    # DistributedSearcher locks its own residency bookkeeping.
+    lock = threading.Lock() if driver else None
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "rse_ray-serve/1.0"
@@ -108,7 +116,10 @@ def make_server(index_dir: str, *, host: str = "127.0.0.1",
                 self._json(400, {"error": "k must be an int"})
                 return
             k = max(1, min(k, max_k))
-            with lock:
+            if lock is not None:
+                with lock:
+                    hits = searcher.search(query, k=k)
+            else:
                 hits = searcher.search(query, k=k)
             rows = [{"doc_id": int(d), "score": round(float(s), 6),
                      "url": url}

@@ -131,6 +131,72 @@ def test_serve_concurrent_requests(ray_session, http_server):
         assert hits == solo[q], q
 
 
+def test_serve_distributed_concurrent_inflight(ray_session,
+                                               built_index):
+    """Round-4 VERDICT item 4: distributed mode holds MORE THAN ONE
+    search in flight at once (no global serve lock), and concurrent
+    answers equal the sequential ones. The searcher's search() is
+    wrapped with a 2-party barrier the first two requests must meet
+    INSIDE the search body — if a lock serialized them, the first
+    could never be joined by the second and the barrier would break —
+    plus an in-flight high-water counter."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from rse_ray.serve import make_server
+
+    httpd = make_server(built_index["index_dir"], port=0,
+                        num_actors=2, accumulators=2, warmup=16)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    host, port = httpd.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        real = httpd.rse_searcher.search
+        gate = threading.Barrier(2, timeout=20)
+        state = {"in": 0, "max": 0, "calls": 0}
+        slock = threading.Lock()
+
+        def wrapped(query, k=10):
+            with slock:
+                state["in"] += 1
+                state["calls"] += 1
+                state["max"] = max(state["max"], state["in"])
+                nth = state["calls"]
+            try:
+                if nth <= 2:
+                    try:
+                        gate.wait()
+                    except threading.BrokenBarrierError:
+                        pass
+                return real(query, k=k)
+            finally:
+                with slock:
+                    state["in"] -= 1
+
+        httpd.rse_searcher.search = wrapped
+        queries = ["google example", "the quick brown", "zebra",
+                   "example", "quick zebra", "brown google"]
+
+        def fetch(q):
+            st, got = _get(f"{base}/search?q={q.replace(' ', '+')}&k=5")
+            assert st == 200
+            return q, got["hits"]
+
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            results = dict(ex.map(fetch, queries))
+        assert state["max"] >= 2, \
+            f"searches serialized (max in-flight {state['max']})"
+
+        httpd.rse_searcher.search = real  # sequential reference pass
+        for q in queries:
+            _, got = _get(f"{base}/search?q={q.replace(' ', '+')}&k=5")
+            assert results[q] == got["hits"], q
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        t.join(timeout=5)
+
+
 def test_serve_error_contract(ray_session, http_server):
     """400 on missing q, 404 off-route, k clamped to >= 1."""
     from urllib.error import HTTPError
