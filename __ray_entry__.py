@@ -1927,6 +1927,22 @@ def _q_bm25_after_compact(sf_dir: str):
         sf_dir, BM25_QUERY, DELETE_DOC_IDS))
 
 
+def _q_phrase_after_compact(sf_dir: str):
+    from rse_ray.pipelines.docsearch import \
+        phrase_documents_after_compact
+
+    return _finalize(phrase_documents_after_compact(
+        sf_dir, PHRASE_QUERY, DELETE_DOC_IDS))
+
+
+def _q_bm25_after_compact_refresh(sf_dir: str):
+    from rse_ray.pipelines.docsearch import \
+        bm25_documents_after_compact_refresh
+
+    return _finalize(bm25_documents_after_compact_refresh(
+        sf_dir, BM25_QUERY, DELETE_DOC_IDS))
+
+
 def _q_more_like_this(sf_dir: str):
     from rse_ray.pipelines.docsearch import more_like_this_documents
 
@@ -4325,6 +4341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": _q_prefix_search,
         "bm25_with_deletes": _q_bm25_with_deletes,
         "bm25_after_compact": _q_bm25_after_compact,
+        "phrase_after_compact": _q_phrase_after_compact,
+        "bm25_after_compact_refresh": _q_bm25_after_compact_refresh,
         "bm25_filtered": _q_bm25_filtered,
         "more_like_this": _q_more_like_this,
         "phrase_match": _q_phrase_match,
@@ -7350,6 +7368,24 @@ WHERE doc_id NOT IN ({', '.join(str(i) for i in DELETE_DOC_IDS)})""",
             "FROM documents",
             "FROM (SELECT * FROM documents WHERE doc_id NOT IN "
             f"({', '.join(str(i) for i in DELETE_DOC_IDS)}))") + """
+SELECT doc_id, round(raw, 6) AS score FROM scores""",
+        # positional compaction (round-4 VERDICT item 7): phrase
+        # search over the positions=True index after delete+compact —
+        # positions are rewritten for EVERY surviving doc, so the
+        # result is phrase_match minus the deleted ids
+        "phrase_after_compact": """
+WITH arr AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS a FROM documents
+    WHERE doc_id NOT IN (%s))
+SELECT doc_id, count(*)::BIGINT AS n_matches
+FROM arr, unnest(range(1, len(a))) AS t(i)
+WHERE a[i] = 'hash' AND a[i+1] = 'join'
+GROUP BY 1""" % ", ".join(str(i) for i in DELETE_DOC_IDS),
+        # lifecycle round trip: delete -> compact -> refresh re-adds
+        # the deleted docs, so the index must score the FULL corpus
+        # exactly like a never-touched build
+        "bm25_after_compact_refresh": _BM25_CTES + """
 SELECT doc_id, round(raw, 6) AS score FROM scores""",
         # attribute-filtered top-k: full-corpus idf/avgdl, candidate
         # set restricted by the attribute join

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import os
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pandas as pd
 import pyarrow as pa
@@ -246,6 +246,117 @@ def bm25_documents_after_compact(sf_dir: str, query: str,
         {
             "doc_id": pd.array([int(u[len("doc://"):]) for _, _, u in rows],
                                dtype="int64"),
+            "score": [round(score, round_to) for _, score, _ in rows],
+        }
+    )
+
+
+def phrase_documents_after_compact(sf_dir: str, phrase: str,
+                                   delete_doc_ids: list[int]) \
+        -> pd.DataFrame:
+    """Exact phrase search over a POSITIONAL index after delete_urls +
+    compact_index — the round-4 VERDICT item 7 composition proof:
+    positional payloads must survive the rewrite (compaction re-runs
+    the full segment/merge pipeline over the surviving docs with the
+    same positions=True config), so the result equals phrase_match
+    over the corpus minus the deleted ids, which is exactly the SQL
+    twin. Shares phrase_documents' (doc_id, n_matches) contract."""
+    import shutil
+
+    from rse_ray.pipelines.build import BuildConfig, compact_index
+    from rse_ray.pipelines.search import Searcher, delete_urls, \
+        hydrate_urls
+
+    base = documents_index(sf_dir, stem=False, positions=True)
+    tag = hashlib.md5(
+        ("pos_compact:" + ",".join(str(i) for i in
+                                   sorted(delete_doc_ids))
+         ).encode()).hexdigest()[:8]
+    c_dir = f"{base}_cmp_{tag}"
+    if not os.path.exists(c_dir):
+        tmp = c_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp)
+        delete_urls(tmp, [f"doc://{i:012d}" for i in delete_doc_ids])
+        compact_index(tmp, BuildConfig(num_buckets=16,
+                                       buckets_per_salt_group=4,
+                                       stem=False, from_html=False,
+                                       positions=True))
+        os.rename(tmp, c_dir)
+    s = Searcher(c_dir)
+    hits = s.search_phrase(phrase)
+    rows = hydrate_urls(c_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):])
+                                for _, _, u in rows], dtype="int64"),
+            "n_matches": pd.array([n for _, n, _ in rows],
+                                  dtype="int64"),
+        }
+    )
+
+
+def bm25_documents_after_compact_refresh(sf_dir: str, query: str,
+                                         delete_doc_ids: list[int],
+                                         *, round_to: int = 6) \
+        -> pd.DataFrame:
+    """The full index lifecycle round trip (round-4 VERDICT item 7):
+    delete_urls -> compact_index -> refresh_index that RE-ADDS the
+    deleted docs (same text, strictly newer warc_ts). The refresh's
+    changed buckets re-run their dedup reduce over old ∪ fresh and
+    rebuild their segments, so the final index must score the FULL
+    corpus exactly like the never-touched index — the SQL twin is
+    therefore the plain full-corpus BM25 scores CTE, and any
+    compaction/refresh state leak (stale watermark, dropped segment,
+    wrong stats) breaks the hash."""
+    import shutil
+
+    import ray.data
+
+    from rse_ray.pipelines.build import BuildConfig, compact_index, \
+        refresh_index
+    from rse_ray.pipelines.search import Searcher, delete_urls, \
+        hydrate_urls
+
+    base = documents_index(sf_dir, stem=False)
+    tag = hashlib.md5(
+        ("compact_refresh:" + ",".join(str(i) for i in
+                                       sorted(delete_doc_ids))
+         ).encode()).hexdigest()[:8]
+    r_dir = f"{base}_cr_{tag}"
+    cfg = BuildConfig(num_buckets=16, buckets_per_salt_group=4,
+                      stem=False, from_html=False)
+    if not os.path.exists(r_dir):
+        tmp = r_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp)
+        delete_urls(tmp, [f"doc://{i:012d}" for i in delete_doc_ids])
+        compact_index(tmp, cfg)
+        ids = sorted(int(i) for i in delete_doc_ids)
+        readd = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"]
+        ).map_batches(
+            lambda b, ids=ids: b.filter(
+                pc.is_in(b.column("doc_id"),
+                         value_set=pa.array(ids, type=pa.int64()))),
+            batch_format="pyarrow"
+        ).map_batches(_wrap_documents, batch_format="pyarrow") \
+            .map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("warc_ts"), "warc_ts",
+                pa.array([_EPOCH + timedelta(days=1)] * b.num_rows,
+                         type=pa.timestamp("us"))),
+            batch_format="pyarrow")
+        refresh_index(readd, tmp, cfg)
+        os.rename(tmp, r_dir)
+    s = Searcher(r_dir)
+    hits = s.search(query, k=s.N)
+    rows = hydrate_urls(r_dir, hits)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([int(u[len("doc://"):])
+                                for _, _, u in rows], dtype="int64"),
             "score": [round(score, round_to) for _, score, _ in rows],
         }
     )

@@ -486,6 +486,89 @@ def test_compact_index_equals_fresh_build(ray_session, tmp_path):
     assert compact_index(idx, cfg())["status"] == "done"
 
 
+def test_compact_positional_then_refresh_equals_fresh(ray_session,
+                                                      tmp_path):
+    """Round-4 VERDICT item 7 — the lifecycle composes on a
+    positions=True index: delete_urls -> compact_index rewrites the
+    positional payloads byte-identically to a from-scratch positional
+    build over the survivors (phrase/proximity answers included), and
+    a refresh_index on the COMPACTED index that re-adds the deleted
+    docs restores an index logically identical to a from-scratch
+    positional build over the full corpus."""
+    import pandas as pd
+    import pyarrow.parquet as pqt
+    import ray.data
+
+    from rse_ray.pipelines.build import (BuildConfig, build_index,
+                                         compact_index, refresh_index)
+    from rse_ray.pipelines.search import Searcher, delete_urls, \
+        hydrate_urls
+
+    rng = np.random.default_rng(11)
+    words = ["hash", "join", "scan", "sort", "merge", "probe"]
+    urls = [f"u{i:03d}" for i in range(40)]
+    t0 = pd.Timestamp("2024-12-01")
+    rows = pd.DataFrame({
+        "url": urls,
+        "text": [" ".join(rng.choice(words,
+                                     size=int(rng.integers(4, 14))))
+                 for _ in urls],
+        "warc_ts": t0})
+    cfg = lambda: BuildConfig(num_buckets=4, buckets_per_salt_group=2,
+                              stem=False, from_html=False,
+                              positions=True)
+
+    def shard_bytes(idx):
+        d = os.path.join(idx, "shards")
+        return {f: open(os.path.join(d, f), "rb").read()
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")}
+
+    def answers(idx):
+        s = Searcher(idx)
+        return {
+            "phrase": sorted(hydrate_urls(idx,
+                                          s.search_phrase("hash join"))),
+            "prox": sorted(hydrate_urls(idx,
+                                        s.search_proximity("scan",
+                                                           "sort"))),
+            "bm25": sorted(hydrate_urls(idx,
+                                        s.search("hash merge", k=40))),
+        }
+
+    idx = str(tmp_path / "pos_idx")
+    build_index(ray.data.from_pandas(rows), idx, cfg())
+    dead = ["u004", "u011", "u029"]
+    delete_urls(idx, dead)
+    assert compact_index(idx, cfg())["status"] == "done"
+    # positional payload survived the rewrite for every surviving doc
+    first_shard = sorted(f for f in os.listdir(
+        os.path.join(idx, "shards")) if f.endswith(".parquet"))[0]
+    sh = pqt.read_table(os.path.join(idx, "shards", first_shard))
+    assert "pospayload" in sh.column_names
+
+    fresh_surv = str(tmp_path / "fresh_surv")
+    surviving = rows[~rows["url"].isin(dead)].reset_index(drop=True)
+    build_index(ray.data.from_pandas(surviving), fresh_surv, cfg())
+    assert shard_bytes(idx) == shard_bytes(fresh_surv)
+    assert answers(idx) == answers(fresh_surv)
+
+    # refresh the COMPACTED index with the deleted docs re-added
+    # (strictly newer ts) -> logically the full corpus again
+    readd = rows[rows["url"].isin(dead)].copy()
+    readd["warc_ts"] = t0 + pd.Timedelta(days=1)
+    assert refresh_index(ray.data.from_pandas(
+        readd.reset_index(drop=True)), idx, cfg())["status"] == "done"
+
+    fresh_full = str(tmp_path / "fresh_full")
+    full = pd.concat([surviving, readd]).reset_index(drop=True)
+    build_index(ray.data.from_pandas(full), fresh_full, cfg())
+    assert answers(idx) == answers(fresh_full)
+    sa = Searcher(idx)
+    sb = Searcher(fresh_full)
+    assert sa.N == sb.N == 40 and sa.avgdl == sb.avgdl
+
+
 def test_review_fixes_positional_and_lifecycle(ray_session, tmp_path):
     """Round-3 review fixes: (a) conjunctive never silently degrades
     to OR under mode='bmw'; (b) a resumed build whose positions flag
