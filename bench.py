@@ -358,14 +358,82 @@ def main_scaling() -> None:
     print(json.dumps(out))
 
 
+def main_weak_scaling() -> None:
+    """Weak-scaling pair (round-4 VERDICT item 6): the same job with
+    DATA SCALED WITH CORES — 100k pages per cpu at both levels (800k
+    @8 cpus, 3.2M @32) — validating that SCALE_PLAYBOOK.md's
+    µs·core/doc cost constant holds as data grows with cores (the
+    regime a fixed-size-cluster deployment actually runs in), rather
+    than extrapolating it from strong-scaling runs alone. Perfect
+    weak scaling = equal build_sec at both levels; the reported
+    efficiency is t(8cpus,800k) / t(32cpus,3.2M)."""
+    pairs = ((8, 800_000), (32, 3_200_000))
+    reps = int(os.environ.get("RSE_BENCH_SCALING_REPS", "2"))
+    _ray_init(DEFAULT_CPUS)
+    for _, rows in pairs:
+        ensure_corpus(rows)
+    import ray
+
+    ray.shutdown()
+    results = {}
+    for cpus, rows in pairs:
+        runs = []
+        for rep in range(reps):
+            os.sync()
+            time.sleep(2)
+            out = os.path.join(CACHE, f"weak_{cpus}_{rep}.json")
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(cpus)
+            env["RSE_BENCH_CORPUS_ROWS"] = str(rows)
+            subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--headline-json", out, "--cpus", str(cpus)],
+                check=True, env=env, cwd=REPO,
+            )
+            with open(out) as f:
+                runs.append(json.load(f))
+        runs.sort(key=lambda g: g["build_sec"])
+        results[cpus] = {
+            "rows": rows,
+            "best": runs[0],
+            "build_sec_reps": [g["build_sec"] for g in runs],
+            "steal_pct_reps": [g.get("steal_pct_during_build")
+                               for g in runs],
+        }
+    cost = {  # µs·core per document, the playbook constant
+        cpus: round(cpus * r["best"]["build_sec"]
+                    / max(1, r["best"]["num_docs"]) * 1e6, 2)
+        for cpus, r in results.items()
+    }
+    eff = results[8]["best"]["build_sec"] \
+        / results[32]["best"]["build_sec"]
+    print(json.dumps({
+        "metric": "weak_scaling_8x800k_to_32x3200k",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "us_core_per_doc": cost,
+        "cost_ratio_32_vs_8": round(cost[32] / cost[8], 4),
+        "reps": reps,
+        "levels": {str(c): {k: v for k, v in r.items()
+                            if k != "best"} | {
+            "build_sec": r["best"]["build_sec"],
+            "docs_per_sec": r["best"]["docs_per_sec"],
+            "num_docs": r["best"]["num_docs"]}
+            for c, r in results.items()},
+    }))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--weak-scaling", action="store_true")
     ap.add_argument("--headline-json", default=None)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     args = ap.parse_args()
     if args.scaling:
         main_scaling()
+    elif args.weak_scaling:
+        main_weak_scaling()
     elif args.headline_json:
         main_headline_json(args.cpus, args.headline_json)
     else:
