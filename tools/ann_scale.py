@@ -93,7 +93,10 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--methods", default="hnsw,ivf,pq,lsh",
+                    help="comma list of hnsw,ivf,pq,lsh")
     args = ap.parse_args()
+    methods = {m.strip() for m in args.methods.split(",") if m.strip()}
 
     import ray
     import ray.data
@@ -116,68 +119,118 @@ def main() -> None:
     exact = brute_force_knn(ds, qids, k=k, round_to=None)
     bf_s = round(time.perf_counter() - t0, 1)
 
-    # --- sharded HNSW, the serving path (shard_dir = storage route) --
-    n_shards = 32
-    shard_dir = os.path.join(CACHE, f"ann_shards_{args.rows}")
-    shutil.rmtree(shard_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    searcher = DistributedAnnSearcher(
-        ds, n_shards=n_shards, M=8, ef_construction=48,
-        shard_dir=shard_dir)
-    hnsw_build_s = round(time.perf_counter() - t0, 1)
-
-    from rse_ray.pipelines.ann import _fetch_query_vectors, _normalize
-    qvecs = _fetch_query_vectors(ds, qids)
-    Q = _normalize(np.stack([qvecs[q] for q in qids]))
-
-    hnsw = {}
-    for ef in (32, 64, 128):
-        t0 = time.perf_counter()
-        got = searcher.search(Q, k=k, ef_search=ef,
-                              exclude_ids=np.asarray(qids))
-        batch_s = time.perf_counter() - t0
-        got = got.assign(query_id=[qids[i] for i in got["query_idx"]])
-        hnsw[f"ef{ef}"] = {
-            "recall_at_10": recall_at_k(got, exact, k),
-            "batch_query_sec": round(batch_s, 2),
-        }
-    # warm per-query latency at ef=64
-    lats = []
-    for qi in range(min(len(qids), 100)):
-        t0 = time.perf_counter()
-        searcher.search(Q[qi:qi + 1], k=k, ef_search=64)
-        lats.append(time.perf_counter() - t0)
-    lats.sort()
-    hnsw_lat = {
-        "p50_ms": round(lats[len(lats) // 2] * 1e3, 2),
-        "p95_ms": round(lats[int(0.95 * len(lats))] * 1e3, 2),
-    }
-    searcher.shutdown()
-
-    # --- IVF at a real nlist --------------------------------------
-    ivf = {}
-    for nprobe in (8, 32, 64):
-        t0 = time.perf_counter()
-        got = ivf_knn(ds, qids, k=k, nlist=256, nprobe=nprobe,
-                      iters=5)
-        ivf[f"nprobe{nprobe}"] = {
-            "recall_at_10": recall_at_k(got, exact, k),
-            "wall_sec": round(time.perf_counter() - t0, 1),
-        }
-
-    print(json.dumps({
+    report = {
         "metric": "ann_recall_at_1M",
         "rows": args.rows, "dim": DIM, "n_queries": len(qids),
         "corpus": {"centers": N_CENTERS, "noise": NOISE,
                    "intrinsic_dim": D_EFF, "ambient_eps": EPS,
                    "gen_sec": gen_s},
         "brute_force_sec": bf_s,
-        "hnsw": {"n_shards": n_shards, "M": 8, "ef_construction": 48,
-                 "build_sec": hnsw_build_s, "levels": hnsw,
-                 "warm_latency_ef64": hnsw_lat},
-        "ivf": {"nlist": 256, "levels": ivf},
         "num_cpus": args.cpus,
-    }))
+    }
+
+    if "hnsw" in methods:
+        # --- sharded HNSW, the serving path (shard_dir route) ------
+        n_shards = 32
+        shard_dir = os.path.join(CACHE, f"ann_shards_{args.rows}")
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        searcher = DistributedAnnSearcher(
+            ds, n_shards=n_shards, M=8, ef_construction=48,
+            shard_dir=shard_dir)
+        hnsw_build_s = round(time.perf_counter() - t0, 1)
+
+        from rse_ray.pipelines.ann import (_fetch_query_vectors,
+                                           _normalize)
+        qvecs = _fetch_query_vectors(ds, qids)
+        Q = _normalize(np.stack([qvecs[q] for q in qids]))
+
+        hnsw = {}
+        for ef in (32, 64, 128):
+            t0 = time.perf_counter()
+            got = searcher.search(Q, k=k, ef_search=ef,
+                                  exclude_ids=np.asarray(qids))
+            batch_s = time.perf_counter() - t0
+            got = got.assign(
+                query_id=[qids[i] for i in got["query_idx"]])
+            hnsw[f"ef{ef}"] = {
+                "recall_at_10": recall_at_k(got, exact, k),
+                "batch_query_sec": round(batch_s, 2),
+            }
+        lats = []  # warm per-query latency at ef=64
+        for qi in range(min(len(qids), 100)):
+            t0 = time.perf_counter()
+            searcher.search(Q[qi:qi + 1], k=k, ef_search=64)
+            lats.append(time.perf_counter() - t0)
+        lats.sort()
+        report["hnsw"] = {
+            "n_shards": n_shards, "M": 8, "ef_construction": 48,
+            "build_sec": hnsw_build_s, "levels": hnsw,
+            "warm_latency_ef64": {
+                "p50_ms": round(lats[len(lats) // 2] * 1e3, 2),
+                "p95_ms": round(lats[int(0.95 * len(lats))] * 1e3,
+                                2)}}
+        searcher.shutdown()
+
+    if "ivf" in methods:
+        ivf = {}
+        for nprobe in (8, 32, 64):
+            t0 = time.perf_counter()
+            got = ivf_knn(ds, qids, k=k, nlist=256, nprobe=nprobe,
+                          iters=5)
+            ivf[f"nprobe{nprobe}"] = {
+                "recall_at_10": recall_at_k(got, exact, k),
+                "wall_sec": round(time.perf_counter() - t0, 1),
+            }
+        report["ivf"] = {"nlist": 256, "levels": ivf}
+
+    if "pq" in methods:
+        # 16x compression ADC full scan: every vector scored from its
+        # m uint8 codes, so "recall" here measures quantization loss,
+        # not candidate pruning
+        from rse_ray.pipelines.ann import pq_knn
+
+        pq = {}
+        for m_sub in (8, 16):
+            t0 = time.perf_counter()
+            got = pq_knn(ds, qids, k=k, m=m_sub, ksub=256, iters=8)
+            pq[f"m{m_sub}"] = {
+                "recall_at_10": recall_at_k(got, exact, k),
+                "wall_sec": round(time.perf_counter() - t0, 1),
+            }
+        report["pq"] = {"ksub": 256, "levels": pq}
+
+    if "sq" in methods:
+        # int8 scalar quantization (4x) full scan, and the
+        # quantized-scan -> exact-rerank composition that is the
+        # standard answer to quantization recall loss
+        from rse_ray.pipelines.ann import sq_knn, sq_rerank_knn
+
+        t0 = time.perf_counter()
+        got = sq_knn(ds, qids, k=k)
+        sq_plain = {"recall_at_10": recall_at_k(got, exact, k),
+                    "wall_sec": round(time.perf_counter() - t0, 1)}
+        t0 = time.perf_counter()
+        got = sq_rerank_knn(ds, qids, k=k)
+        sq_rr = {"recall_at_10": recall_at_k(got, exact, k),
+                 "wall_sec": round(time.perf_counter() - t0, 1)}
+        report["sq"] = {"int8_scan": sq_plain, "rerank": sq_rr}
+
+    if "lsh" in methods:
+        from rse_ray.pipelines.ann import lsh_knn
+
+        lsh = {}
+        for planes, probe in ((10, 1), (12, 2)):
+            t0 = time.perf_counter()
+            got = lsh_knn(ds, qids, k=k, n_planes=planes,
+                          multiprobe=probe)
+            lsh[f"planes{planes}_mp{probe}"] = {
+                "recall_at_10": recall_at_k(got, exact, k),
+                "wall_sec": round(time.perf_counter() - t0, 1),
+            }
+        report["lsh"] = {"levels": lsh}
+
+    print(json.dumps(report))
     ray.shutdown()
 
 
