@@ -616,7 +616,8 @@ def train_ivf_centroids(ds, *, nlist: int = 16, iters: int = 5,
 
 
 def ivf_knn(ds, query_ids: list[int], k: int = 10, *, nlist: int = 16,
-            nprobe: int = 4, iters: int = 5, seed: int = 23) -> pd.DataFrame:
+            nprobe: int = 4, iters: int = 5, seed: int = 23,
+            sample_rows: int | None = None) -> pd.DataFrame:
     """Approximate cosine top-k via IVF: vectors are assigned to their
     nearest (cosine) centroid by a broadcast-matmul map stage; each
     query scores ONLY the nprobe nearest inverted lists (a
@@ -627,7 +628,14 @@ def ivf_knn(ds, query_ids: list[int], k: int = 10, *, nlist: int = 16,
     brute_force_knn."""
     import ray
 
-    cent = train_ivf_centroids(ds, nlist=nlist, iters=iters, seed=seed)
+    # the k-means sample must scale with nlist or centroids starve:
+    # the old fixed 4096 gave 16 points/centroid at nlist=256. ~64
+    # points per centroid is the standard training budget; the
+    # driver-side sample stays bounded (64*nlist rows of d floats)
+    cent = train_ivf_centroids(
+        ds, nlist=nlist, iters=iters, seed=seed,
+        sample_rows=(sample_rows if sample_rows is not None
+                     else max(4096, 64 * nlist)))
     qvecs = _fetch_query_vectors(ds, query_ids)
     q_ids = sorted(qvecs)
     Q = _normalize(np.stack([qvecs[q] for q in q_ids]))

@@ -2309,6 +2309,60 @@ class DistributedSearcher:
 # result hydration (doc_id -> url), J2-free by design (SURVEY §2.4)
 # --------------------------------------------------------------------------
 
+class UrlHydrator:
+    """Warm doc_id -> url hydration for the SERVING face: bucket
+    docmap columns LRU-cache in-process as (sorted ids ndarray, url
+    list) pairs, so repeated queries stop paying a parquet read per
+    request — `hydrate_urls` below re-reads its bucket file every
+    call, which is right for batch pipelines (each runs once) and
+    wrong for a warm server (measured: hydration was ~half of the
+    16 ms p50 at 1 client). Thread-safe: the serve face handles
+    requests on threads. Capacity is in BUCKETS (LRU) — at the
+    playbook's 10^6 docs/bucket one cached bucket is ~an int64 array
+    + url list, so the default 64 bounds the cache to a few GB worst
+    case and far less on fixture indexes."""
+
+    def __init__(self, index_dir: str, max_buckets: int = 64) -> None:
+        import threading
+        from collections import OrderedDict
+
+        self.docs_dir = os.path.join(index_dir, "docs")
+        self.max_buckets = max_buckets
+        self._cache: OrderedDict[int, tuple] = OrderedDict()
+        self._lock = threading.Lock()
+
+    def _bucket(self, bucket: int):
+        with self._lock:
+            got = self._cache.get(bucket)
+            if got is not None:
+                self._cache.move_to_end(bucket)
+                return got
+        path = os.path.join(self.docs_dir,
+                            f"bucket_{bucket:06d}.parquet")
+        t = pq.read_table(path, columns=["doc_id", "url"])
+        ids = t.column("doc_id").to_numpy()
+        order = np.argsort(ids)
+        urls = t.column("url").to_pylist()
+        entry = (ids[order], [urls[i] for i in order])
+        with self._lock:
+            self._cache[bucket] = entry
+            self._cache.move_to_end(bucket)
+            while len(self._cache) > self.max_buckets:
+                self._cache.popitem(last=False)
+        return entry
+
+    def __call__(self, hits: list[tuple[int, float]]):
+        """Same contract as hydrate_urls: [(doc_id, score, url)]."""
+        from rse_ray.functions.ids import DOC_BUCKET_BITS
+
+        out = []
+        for did, score in hits:
+            ids, urls = self._bucket(did >> DOC_BUCKET_BITS)
+            pos = int(np.searchsorted(ids, did))
+            out.append((did, score, urls[pos]))
+        return out
+
+
 def hydrate_urls(index_dir: str, hits: list[tuple[int, float]]):
     """Join top-k doc_ids back to urls via the bucket-routed docmap:
     doc_id >> 40 names the one docs file to read (point lookup, no scan

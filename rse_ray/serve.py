@@ -58,8 +58,10 @@ def make_server(index_dir: str, *, host: str = "127.0.0.1",
     here, so ``serve_forever()`` answers its first request hot.
     ``port=0`` binds an ephemeral port (tests); read it back from
     ``server.server_address[1]``."""
-    from rse_ray.pipelines.search import hydrate_urls
+    from rse_ray.pipelines.search import UrlHydrator
     from rse_ray.state.manifest import read_json
+
+    hydrate = UrlHydrator(index_dir)  # warm bucket docmap LRU
 
     if driver:
         from rse_ray.pipelines.search import Searcher
@@ -123,7 +125,7 @@ def make_server(index_dir: str, *, host: str = "127.0.0.1",
                 hits = searcher.search(query, k=k)
             rows = [{"doc_id": int(d), "score": round(float(s), 6),
                      "url": url}
-                    for d, s, url in hydrate_urls(index_dir, hits)]
+                    for d, s, url in hydrate(hits)]
             self._json(200, {"query": query, "k": k, "hits": rows})
 
     httpd = ThreadingHTTPServer((host, port), Handler)
