@@ -2374,12 +2374,16 @@ def deterministic_walks(links_ds, *, steps: int = 3,
     sink pads the remaining hops with nulls). -> (start_url, hop_1..
     hop_k).
 
-    Scale shape: hop k's next-hop table N_k(src -> argmin-hash dst)
-    is computed by the hash(src)-partition idiom (one sort + one
-    vectorized in-partition argmin per task); the walk then composes
-    by ``steps`` co-partitioned LEFT hash joins (current frontier x
-    next-hop table) — never a broadcast of the edge set. Total cost:
-    steps x (one partition pass + one join)."""
+    Scale shape: ALL hop tables N_k(src -> argmin-hash dst) come out
+    of ONE hash(src)-partition pass over the edge set (the per-step
+    md5 keys differ but the grouping is identical, so step k's argmin
+    is just another column of the same in-partition reduce — round 5;
+    the previous shape re-shuffled the full edge set once per step);
+    the walk then composes by ``steps`` co-partitioned LEFT hash
+    joins of the node-cardinality frontier against the
+    node-cardinality hop table — never a broadcast of the edge set.
+    Total cost: one edge partition pass + steps x (one
+    node-cardinality join)."""
     import pandas as pd
 
     from rse_ray.pipelines.relational import hash_join
@@ -2403,18 +2407,22 @@ def deterministic_walks(links_ds, *, steps: int = 3,
     edges_p = edges.map_batches(parted,
                                 batch_format="pyarrow").materialize()
 
-    def next_hop(step: int):
-        def gen(g: pd.DataFrame) -> pd.DataFrame:
-            df = g.drop_duplicates(["src", "dst"])
-            h = _md5_u64([f"walk:{step}:{s}>{d}"
+    def next_hops_all(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["src", "dst"])
+        out = None
+        for k in range(1, steps + 1):
+            h = _md5_u64([f"walk:{k}:{s}>{d}"
                           for s, d in zip(df["src"], df["dst"])])
-            df = df.assign(h=h).sort_values(["src", "h", "dst"])
-            keep = df.groupby("src", sort=False).head(1)
-            return keep[["src", "dst"]].rename(
-                columns={"src": f"cur{step}", "dst": f"nxt{step}"})
+            dk = df.assign(h=h).sort_values(["src", "h", "dst"])
+            keep = dk.groupby("src", sort=False).head(1)[
+                ["src", "dst"]].rename(columns={"dst": f"nxt{k}"})
+            # every src has >=1 dst in every step (same edge set), so
+            # this merge is total — left == inner by construction
+            out = keep if out is None else out.merge(keep, on="src")
+        return out
 
-        return edges_p.groupby("part").map_groups(
-            gen, batch_format="pandas").materialize()
+    nh_all = edges_p.groupby("part").map_groups(
+        next_hops_all, batch_format="pandas").materialize()
 
     # start frontier: every distinct node (srcs ∪ dsts)
     def nodes(batch: pa.Table) -> pa.Table:
@@ -2431,9 +2439,8 @@ def deterministic_walks(links_ds, *, steps: int = 3,
 
     cur = "start_url"
     for k in range(1, steps + 1):
-        nh = next_hop(k)
-        walk = hash_join(walk, nh, left_on=cur,
-                         right_on=f"cur{k}",
+        walk = hash_join(walk, nh_all, left_on=cur,
+                         right_on="src",
                          right_cols=[f"nxt{k}"], how="left")
         walk = walk.map_batches(
             lambda b, _k=k: b.rename_columns(
