@@ -2179,24 +2179,26 @@ def condensation_layers(links_ds, *, max_depth: int = 256,
     (layer(v) = 0 for sources, else 1 + max over predecessors).
     -> (scc_id, layer, n_members).
 
-    Scale shape: scc ids attach to both edge endpoints by
-    co-partitioned hash_join (never a broadcast of the node map) and
-    the distinct cross-SCC edge set materializes ONCE; the layer
-    sweep then runs on RESIDENT shard actors (the pagerank/scc
-    engine): every scc node lives on shard hash(scc_id), edges live
-    with their src, and a superstep is one pre-aggregated max
-    exchange — so the per-round cost is actor messaging, not a fresh
-    Dataset execution per round (a first draft that re-joined
-    layers each round spent ~10 Dataset executions x depth; this
-    spends ~10 total + depth actor rounds). Max-propagation over a
-    DAG is monotone and bounded by depth, so fixpoint = a round with
-    no raises; ``max_depth`` is the runaway cap (a cycle would mean
-    scc() was wrong)."""
+    Scale shape: scc ids attach to both edge endpoints via
+    ``auto_join`` (the node map is a dimension of the page graph —
+    broadcast under the planner threshold, co-partitioned beyond;
+    round 5 — the explicit hash_join here was two full page-graph
+    exchanges at every fixture size) and the distinct cross-SCC edge
+    set materializes ONCE; the layer sweep then runs on RESIDENT
+    shard actors (the pagerank/scc engine): every scc node lives on
+    shard hash(scc_id), edges live with their src, and a superstep is
+    one pre-aggregated max exchange — so the per-round cost is actor
+    messaging, not a fresh Dataset execution per round. The sweep's
+    shard count derives from the CONDENSATION size, not the page
+    count (a 69-node condensation used to spawn 32 actors for the
+    sweep). Max-propagation over a DAG is monotone and bounded by
+    depth, so fixpoint = a round with no raises; ``max_depth`` is the
+    runaway cap (a cycle would mean scc() was wrong)."""
     import ray
     import ray.data
     from ray.data.aggregate import Count
 
-    from rse_ray.pipelines.relational import hash_join
+    from rse_ray.pipelines.relational import auto_join
     from rse_ray.util import parts_for
 
     sccs = scc(links_ds, src_col=src_col, dst_col=dst_col,
@@ -2217,7 +2219,7 @@ def condensation_layers(links_ds, *, max_depth: int = 256,
             {"src": b.column(src_col).cast(pa.string()),
              "dst": b.column(dst_col).cast(pa.string())}).drop_null(),
         batch_format="pyarrow").materialize()
-    e1 = hash_join(edges, sccs, left_on="src", right_on="url",
+    e1 = auto_join(edges, sccs, left_on="src", right_on="url",
                    right_cols=["scc_id"], how="inner",
                    num_parts=P).map_batches(
         lambda b: (pa.table({"dst": b.column("dst"),
@@ -2227,7 +2229,7 @@ def condensation_layers(links_ds, *, max_depth: int = 256,
                              "src_scc": pa.array([],
                                                  type=pa.string())})),
         batch_format="pyarrow")
-    e2 = hash_join(e1.materialize(), sccs, left_on="dst",
+    e2 = auto_join(e1, sccs, left_on="dst",
                    right_on="url", right_cols=["scc_id"], how="inner",
                    num_parts=P)
 
@@ -2246,6 +2248,13 @@ def condensation_layers(links_ds, *, max_depth: int = 256,
     cond = e2.map_batches(cross_only, batch_format="pyarrow") \
         .groupby(["src", "dst"]) \
         .map_groups(first_row, batch_format="pyarrow").materialize()
+
+    # the layer sweep's shard count follows the CONDENSATION node
+    # count (~50k cond nodes per shard actor): page-count-derived P
+    # spawned 32 resident actors for a fixture whose condensation has
+    # dozens of nodes, and actor spawn dominated the sweep
+    n_cond = members.count()
+    Pl = max(1, min(P, -(-int(n_cond) // 50_000)))
 
     # route members by hash(scc_id), cond edges by hash(src)
     def route_members(tbl: pa.Table, P: int) -> list:
@@ -2272,11 +2281,11 @@ def condensation_layers(links_ds, *, max_depth: int = 256,
 
     rm = ray.remote(route_members)
     rc = ray.remote(route_cond)
-    mem_parts = [rm.options(num_returns=P).remote(r, P)
+    mem_parts = [rm.options(num_returns=Pl).remote(r, Pl)
                  for r in members.to_arrow_refs()]
-    cond_parts = [rc.options(num_returns=P).remote(r, P)
+    cond_parts = [rc.options(num_returns=Pl).remote(r, Pl)
                   for r in cond.to_arrow_refs()]
-    if P == 1:
+    if Pl == 1:
         mem_parts = [[r] for r in mem_parts]
         cond_parts = [[r] for r in cond_parts]
 
@@ -2284,8 +2293,18 @@ def condensation_layers(links_ds, *, max_depth: int = 256,
     class _LayerShard:
         def __init__(self, p: int, P: int, mem_refs, edge_refs):
             self.P = P
-            mem = pa.concat_tables(ray.get(list(mem_refs)))
-            ed = pa.concat_tables(ray.get(list(edge_refs)))
+
+            def tables(refs):
+                # num_returns=1 hands back ONE ref resolving to the
+                # router's 1-element LIST (P==1 path); flatten both
+                got, out = ray.get(list(refs)), []
+                for g in got:
+                    out.extend(g) if isinstance(g, list) \
+                        else out.append(g)
+                return out
+
+            mem = pa.concat_tables(tables(mem_refs))
+            ed = pa.concat_tables(tables(edge_refs))
             self.ids = mem.column("scc_id") \
                 .to_numpy(zero_copy_only=False)
             order = np.argsort(self.ids, kind="stable")
@@ -2343,16 +2362,16 @@ def condensation_layers(links_ds, *, max_depth: int = 256,
                                        type=pa.int64())})
 
     shards = [
-        _LayerShard.remote(p, P,
+        _LayerShard.remote(p, Pl,
                            [mp[p] for mp in mem_parts],
                            [cp[p] for cp in cond_parts])
-        for p in range(P)
+        for p in range(Pl)
     ]
     for _ in range(max_depth):
-        outs = [s.step.options(num_returns=P + 1).remote()
+        outs = [s.step.options(num_returns=Pl + 1).remote()
                 for s in shards]
         n = sum(ray.get([
-            s.apply.remote(*[outs[p][q + 1] for p in range(P)])
+            s.apply.remote(*[outs[p][q + 1] for p in range(Pl)])
             for q, s in enumerate(shards)
         ]))
         if n == 0:
