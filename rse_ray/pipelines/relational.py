@@ -6254,13 +6254,17 @@ def spearman_corr(lineitem_ds, *, x_col: str = "l_quantity",
         .groupby(["x", "y"]).aggregate(Sum("c_p", alias_name="cnt")) \
         .materialize()
 
-    def rank_table(col: str) -> pd.DataFrame:
+    def rank_table(col: str, want: str = "pandas"):
         """(value, cnt) distinct table -> (value, avg_rank), via the
         sorted block-offset prefix pattern; a LOW-cardinality column
         (the common x side: integer quantities, grades, buckets)
         skips the distributed sort entirely — its distinct aggregate
         is driver-sized, and ranks from a numpy cumsum are identical
-        by construction."""
+        by construction. ``want='dataset'`` keeps the rank table
+        DISTRIBUTED (the y side: its cardinality scales with the
+        fact table, and the only collect decision belongs to
+        auto_join's planner — round 5; it used to to_pandas the whole
+        ranked table and from_pandas it straight back)."""
         agg = "x" if col == x_col else "y"
         d0 = pairs.map_batches(
             lambda b, a=agg: pa.table({
@@ -6277,7 +6281,9 @@ def spearman_corr(lineitem_ds, *, x_col: str = "l_quantity",
             cnt = df["cnt"].to_numpy(dtype=np.int64)
             cum = np.cumsum(cnt)
             df["r"] = cum - cnt + (cnt + 1) / 2.0
-            return df[["value", "r"]]
+            df = df[["value", "r"]]
+            return ray.data.from_pandas(df) if want == "dataset" \
+                else df
         d = d0.sort("value").materialize()
 
         def block_tot(batch: pa.Table) -> pa.Table:
@@ -6306,22 +6312,25 @@ def spearman_corr(lineitem_ds, *, x_col: str = "l_quantity",
             return pa.table({"value": batch.column("value"),
                              "r": pa.array(r)})
 
-        return d.map_batches(block_rank, batch_size=None,
-                             batch_format="pyarrow").to_pandas()
+        ds_r = d.map_batches(block_rank, batch_size=None,
+                             batch_format="pyarrow")
+        return ds_r if want == "dataset" else ds_r.to_pandas()
 
-    xr = rank_table(x_col)
-    yr = rank_table(y_col)
     n = int(pairs.aggregate(Sum("cnt", alias_name="n"))["n"] or 0)
     if n < 2:
         return pd.DataFrame({"n": pd.Series([n], dtype=np.int64),
                              "rho": pd.Series([0.0])})
     mean = (n + 1) / 2.0
+    xr = rank_table(x_col)
     x_rank = {float(v): float(r) - mean
               for v, r in zip(xr["value"], xr["r"])}
     xref = ray.put(x_rank)
-    yrank_ds = ray.data.from_pandas(
-        pd.DataFrame({"y": yr["value"],
-                      "ry": yr["r"].to_numpy() - mean}))
+    yrank_ds = rank_table(y_col, want="dataset").map_batches(
+        lambda b: pa.table({
+            "y": b.column("value"),
+            "ry": pc.subtract(pc.cast(b.column("r"), pa.float64()),
+                              pa.scalar(mean))}),
+        batch_format="pyarrow")
     P = parts_for(plan_rows(pairs), rows_per_part=500_000)
     j = auto_join(pairs, yrank_ds, left_on="y", right_on="y",
                   right_cols=["ry"], how="inner", num_parts=P)
