@@ -3631,14 +3631,15 @@ def source_overlap_matrix(ds, *, n: int = 3):
 
     Scale shape: docs explode to (shingle, source) rows deduped per
     doc; ONE groupby dedupes them per source; the pair expansion is a
-    co-partitioned hash self-join on the shingle (vectorized pandas
-    merge inside each partition — NOT a per-key map_groups, which
-    walks group boundaries in Python), emitting <= |sources|^2 rows
-    per shingle; the final |sources|^2 groupby sums. No stage ever
-    holds more than a partition of the shingle table."""
+    single hash(shingle)-partition pass with a vectorized pandas
+    self-merge INSIDE each partition (round 5 — the previous
+    hash-self-join shape exchanged the same shingle table twice, once
+    per join side), emitting <= |sources|^2 rows per shingle; the
+    final |sources|^2 groupby sums. No stage ever holds more than a
+    partition of the shingle table."""
+    import pandas as pd
     from ray.data.aggregate import Sum
 
-    from rse_ray.pipelines.relational import hash_join
     from rse_ray.util import parts_for, plan_rows
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -3660,28 +3661,34 @@ def source_overlap_matrix(ds, *, n: int = 3):
     dist = exploded.groupby(["shingle", "source"]).count() \
         .drop_columns(["count()"]).materialize()
     P = parts_for(plan_rows(dist), rows_per_part=500_000)
-    right = dist.map_batches(
-        lambda b: b.rename_columns(["sh2", "source_b"]),
-        batch_format="pyarrow")
-    paired = hash_join(dist, right, left_on="shingle",
-                       right_on="sh2", right_cols=["source_b"],
-                       num_parts=P)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        if "source" not in batch.column_names or batch.num_rows == 0:
+    def parted(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 \
+                or "shingle" not in batch.column_names:
             return pa.table({
-                "source_a": pa.array([], type=pa.string()),
-                "source_b": pa.array([], type=pa.string()),
-                "c_p": pa.array([], type=pa.int64())})
-        g = pa.table({"source_a": batch.column("source"),
-                      "source_b": batch.column("source_b")}) \
-            .group_by(["source_a", "source_b"]).aggregate(
-                [([], "count_all")])
-        return pa.table({"source_a": g.column("source_a"),
-                         "source_b": g.column("source_b"),
-                         "c_p": g.column("count_all")})
+                "shingle": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "part": pa.array([], type=pa.int64())})
+        h = pd.util.hash_array(
+            batch.column("shingle").to_numpy(zero_copy_only=False)
+            .astype(object))
+        return batch.append_column(
+            "part", pa.array((h % P).astype(np.int64)))
 
-    agg = paired.map_batches(partial, batch_format="pyarrow") \
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a shingle land in this partition: the
+        # in-partition self-merge IS the pair expansion
+        m = g[["shingle", "source"]].merge(
+            g[["shingle", "source"]], on="shingle",
+            suffixes=("_a", "_b"))
+        out = m.groupby(["source_a", "source_b"]) \
+            .size().reset_index(name="c_p")
+        out["c_p"] = out["c_p"].astype(np.int64)
+        return out
+
+    agg = dist.map_batches(parted, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(pair_counts, batch_format="pandas") \
         .groupby(["source_a", "source_b"]) \
         .aggregate(Sum("c_p", alias_name="n_shared"))
     return agg.map_batches(
