@@ -1806,14 +1806,16 @@ def related_pages(links_ds, *, src_col: str = "src_url",
     degree filter and VECTORIZED pair generation for its whole slice
     of sources (pair fan-out bounded at max_out^2 per source), and
     pre-aggregates its pair/degree counts before the groupby(pair)
-    exchange; in-degrees attach via two co-partitioned hash joins
-    (never a driver-side degree map — the node set is corpus-sized).
-    No stage materializes edges on the driver."""
+    exchange; in-degrees attach via ``auto_join`` (the degree table
+    is node-cardinality — broadcast under the planner threshold,
+    co-partitioned beyond; round 5 — never a driver-side degree map
+    built by this operator). No stage materializes edges on the
+    driver."""
     import pandas as pd
 
     from ray.data.aggregate import Sum
 
-    from rse_ray.pipelines.relational import hash_join
+    from rse_ray.pipelines.relational import auto_join
     from rse_ray.util import parts_for, plan_rows
 
     P = parts_for(plan_rows(links_ds), rows_per_part=200_000)
@@ -1886,9 +1888,9 @@ def related_pages(links_ds, *, src_col: str = "src_url",
     d2 = deg.map_batches(
         lambda b: pa.table({"url": b.column("u1"), "d2": b.column("d")}),
         batch_format="pyarrow")
-    joined = hash_join(pairs, d1, left_on="u1", right_on="url",
+    joined = auto_join(pairs, d1, left_on="u1", right_on="url",
                        right_cols=["d1"])
-    joined = hash_join(joined, d2, left_on="u2", right_on="url",
+    joined = auto_join(joined, d2, left_on="u2", right_on="url",
                        right_cols=["d2"])
 
     scale = 10.0 ** round_to
