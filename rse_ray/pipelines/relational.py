@@ -795,8 +795,14 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
     if set(right_cols) & set(left_cols):
         raise ValueError("right_cols collide with left column names")
 
-    key_is_str = pa.types.is_string(left_types[left_on]) or \
-        pa.types.is_large_string(left_types[left_on])
+    # a degenerate all-null left input reports a NULL-typed key (no
+    # values to infer from) — fall back to the right side's key type
+    # so string right keys still route through the siphash branch
+    _ktype = left_types[left_on]
+    if pa.types.is_null(_ktype):
+        _ktype = right_types.get(right_on, _ktype)
+    key_is_str = pa.types.is_string(_ktype) or \
+        pa.types.is_large_string(_ktype)
 
     def _keys_np(batch: pa.Table, col: str) -> np.ndarray:
         """Routing keys: int64 values, or a stable vectorized siphash
@@ -935,9 +941,23 @@ def hash_join(left_ds, right_ds, *, left_on: str, right_on: str,
             rkeys = g.filter(pc.equal(side, 1)).column("_rkey")
             if isinstance(rkeys, pa.ChunkedArray):
                 rkeys = rkeys.combine_chunks()
-            mask = pc.fill_null(
-                pc.is_in(left_t.column(left_on),
-                         value_set=rkeys.unique()), False)
+            lkey = left_t.column(left_on)
+            if len(rkeys) == 0 or pa.types.is_null(rkeys.type) \
+                    or left_t.num_rows == 0 \
+                    or pa.types.is_null(lkey.type):
+                # EITHER side's key can arrive NULL-typed (Ray drops
+                # the schema on empty map outputs, and a concat of
+                # schema-dropped blocks leaves an all-null column);
+                # is_in(null, string) / is_in(string, null) both
+                # raise ArrowTypeError — seen intermittently in the
+                # jaccard_links anti join. Semantics are unambiguous
+                # without is_in: an empty/null key never matches, so
+                # semi keeps nothing and anti keeps every left row.
+                mask = pa.array(np.zeros(left_t.num_rows, dtype=bool))
+            else:
+                mask = pc.fill_null(
+                    pc.is_in(left_t.column(left_on),
+                             value_set=rkeys.unique()), False)
             return left_t.filter(mask if how == "semi"
                                  else pc.invert(mask))
         if how == "outer":

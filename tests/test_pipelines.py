@@ -403,8 +403,12 @@ def test_default_num_parts_executes_upstream_once():
 import ray
 import ray.data
 
+# small explicit object store: the default grabs ~1/3 of system RAM
+# from /dev/shm, which the long-lived pytest session cluster already
+# holds a large slice of — racing it for the remainder can fail this
+# cluster's startup mid-suite. The fixture data is tiny.
 ray.init(address="local", num_cpus=4, include_dashboard=False,
-         logging_level="ERROR")
+         logging_level="ERROR", object_store_memory=2_000_000_000)
 ray.data.DataContext.get_current().enable_progress_bars = False
 
 from rse_ray.pipelines.ann import train_ivf_centroids
@@ -1836,6 +1840,50 @@ def test_pq_knn_recall_and_compression_contract(ray_session):
     e_s = brute_force_knn(small, [0, 1], k=5)
     p_s = pq_knn(small, [0, 1], k=5, m=8, ksub=64, iters=25)
     assert (e_s["neighbor_id"] == p_s["neighbor_id"]).mean() >= 0.8
+
+
+def test_hash_join_semi_anti_null_typed_right_keys(ray_session):
+    """A right side whose key column arrives NULL-typed (what Ray's
+    empty-map-output schema drop hands a partition whose right slice
+    is empty) must behave as an EMPTY key set — semi keeps nothing,
+    anti keeps every left row — instead of raising ArrowTypeError
+    from is_in(string, null) (intermittent full-suite failure seen in
+    the jaccard_links anti join, round 5)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rse_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array(["a", "b", "c"], type=pa.string())}))
+
+    def run(right_tbl, how):
+        got = hash_join(left, ray.data.from_arrow(right_tbl),
+                        left_on="k", right_on="k", right_cols=[],
+                        how=how, num_parts=2).to_pandas()
+        return sorted(got["k"]) if "k" in got.columns else []
+
+    null_right = pa.table({"k": pa.array([], type=pa.null())})
+    assert run(null_right, "anti") == ["a", "b", "c"]
+    assert run(null_right, "semi") == []
+    empty_typed = pa.table({"k": pa.array([], type=pa.string())})
+    assert run(empty_typed, "anti") == ["a", "b", "c"]
+    assert run(empty_typed, "semi") == []
+
+    # null-typed LEFT key (all-null rows after a schema drop): null
+    # keys EXISTS-match nothing — anti keeps them, semi drops them
+    nleft = ray.data.from_arrow(pa.table(
+        {"k": pa.array([None, None], type=pa.null())}))
+    rds = ray.data.from_arrow(pa.table(
+        {"k": pa.array(["a"], type=pa.string())}))
+    anti = hash_join(nleft, rds, left_on="k", right_on="k",
+                     right_cols=[], how="anti",
+                     num_parts=2).to_pandas()
+    assert len(anti) == 2 and anti["k"].isna().all()
+    semi = hash_join(nleft, rds, left_on="k", right_on="k",
+                     right_cols=[], how="semi",
+                     num_parts=2).to_pandas()
+    assert len(semi) == 0
 
 
 def test_hash_join_full_outer_null_keys(ray_session):
