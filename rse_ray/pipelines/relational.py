@@ -6450,7 +6450,11 @@ def auto_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
         def filt(batch: pa.Table) -> pa.Table:
             ks = ray.get(kref)
-            if len(ks) == 0:
+            if len(ks) == 0 or batch.num_rows == 0 \
+                    or pa.types.is_null(batch.column(left_on).type):
+                # null-typed left key blocks (Ray's empty-map-output
+                # schema drop) crash is_in — same hazard fixed in
+                # hash_join's join_part; null keys match nothing
                 mask = pa.array(np.zeros(batch.num_rows, dtype=bool))
             else:
                 mask = pc.fill_null(

@@ -1885,6 +1885,16 @@ def test_hash_join_semi_anti_null_typed_right_keys(ray_session):
                      num_parts=2).to_pandas()
     assert len(semi) == 0
 
+    # auto_join's broadcast semi/anti has the same is_in hazard
+    from rse_ray.pipelines.relational import auto_join
+
+    a_anti = auto_join(nleft, rds, left_on="k", right_on="k",
+                       right_cols=[], how="anti").to_pandas()
+    assert len(a_anti) == 2
+    a_semi = auto_join(nleft, rds, left_on="k", right_on="k",
+                       right_cols=[], how="semi").to_pandas()
+    assert len(a_semi) == 0
+
 
 def test_hash_join_full_outer_null_keys(ray_session):
     """FULL OUTER: unmatched rows from both sides survive with null
