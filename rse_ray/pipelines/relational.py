@@ -5203,6 +5203,10 @@ def nation_trade_volume(customer_ds, orders_ds, lineitem_ds,
         def f(b: pa.Table) -> pa.Table:
             if b.num_rows == 0 or col not in b.column_names:
                 return b
+            if pa.types.is_null(b.column(col).type):
+                # schema-dropped block: a null nationkey matches
+                # neither nation — drop the rows, don't crash is_in
+                return b.slice(0, 0)
             return b.filter(pc.is_in(
                 b.column(col),
                 value_set=pa.array(sorted({ka, kb}),
